@@ -1,0 +1,49 @@
+"""Source/sink helpers over the test corpus.
+
+The corpus (TESTDATA.md) is one parquet file per table under a scale-factor
+directory. Loading is always ``spark.read.parquet`` — schema travels with the
+file, Catalyst gets pushdown/pruning for free, and at cluster scale the same
+call transparently reads a multi-file partitioned dataset.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one corpus table. ``name`` must be in TABLES.
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark 4.x rejects
+    outright (PARQUET_TYPE_ILLEGAL). We read it as raw nanos via the
+    ``nanosAsLong`` legacy conf and rebuild a TimestampType column at µs
+    precision — the same truncation DuckDB applies, so oracle parity holds.
+    This stays fully distributed (a projection, no driver roundtrip).
+    """
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def register_temp_views(spark: SparkSession, sf_dir: str) -> None:
+    """Expose all corpus tables as temp views for ``spark.sql`` entry points."""
+    for t in TABLES:
+        load(spark, sf_dir, t).createOrReplaceTempView(t)

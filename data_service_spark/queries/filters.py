@@ -1,0 +1,111 @@
+"""§2.B — projections, filters, predicates.
+
+All identity-mappings to Catalyst expressions; every predicate here is
+pushdown-eligible (verified in plan-shape tests), so at 100 TB these run at
+scan speed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_service_spark.io import load
+from data_service_spark.registry import register
+
+
+@register(
+    "b_project_arith",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS net,
+           l_quantity + l_tax AS qty_tax
+    FROM lineitem
+    """,
+)
+def b_project_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Per-row arithmetic is deterministic across engines — safe unrounded.
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net"),
+        (F.col("l_quantity") + F.col("l_tax")).alias("qty_tax"),
+    )
+
+
+@register(
+    "b_filter_simple",
+    oracle="SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity > 45",
+)
+def b_filter_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") > 45)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+    )
+
+
+@register(
+    "b_filter_compound",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders
+    WHERE o_orderstatus IN ('F', 'P')
+      AND o_totalprice BETWEEN 100000 AND 200000
+      AND NOT (o_orderpriority = '5-LOW' AND o_totalprice < 150000)
+    """,
+)
+def b_filter_compound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.filter(
+        F.col("o_orderstatus").isin("F", "P")
+        & F.col("o_totalprice").between(100000, 200000)
+        & ~((F.col("o_orderpriority") == "5-LOW") & (F.col("o_totalprice") < 150000))
+    ).select("o_orderkey", "o_orderstatus", "o_totalprice")
+
+
+@register(
+    "b_filter_like",
+    oracle="""
+    SELECT p_partkey, p_name, p_brand FROM part
+    WHERE p_name LIKE '%bolt%' AND p_brand LIKE 'Brand#1%'
+    """,
+)
+def b_filter_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    return p.filter(
+        F.col("p_name").like("%bolt%") & F.col("p_brand").like("Brand#1%")
+    ).select("p_partkey", "p_name", "p_brand")
+
+
+@register(
+    "b_filter_null_semantics",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           count(CASE WHEN nullif(l_discount, 0.0) IS NULL THEN 1 END) AS n_null,
+           count(CASE WHEN nullif(l_discount, 0.0) IS NOT NULL THEN 1 END) AS n_not_null,
+           count(CASE WHEN l_discount IS NOT DISTINCT FROM nullif(l_discount, 0.0)
+                 THEN 1 END) AS n_nullsafe_eq
+    FROM lineitem
+    """,
+)
+def b_filter_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The corpus has zero nulls (FIXTURES.md) — manufacture them with nullif
+    # and exercise IS NULL / IS NOT NULL / null-safe equality (<=>).
+    li = load(spark, sf_dir, "lineitem")
+    d = F.nullif(F.col("l_discount"), F.lit(0.0))
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(d.isNull(), 1)).alias("n_null"),
+        F.count(F.when(d.isNotNull(), 1)).alias("n_not_null"),
+        F.count(F.when(F.col("l_discount").eqNullSafe(d), 1)).alias("n_nullsafe_eq"),
+    )
+
+
+@register(
+    "b_distinct",
+    oracle="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+)
+def b_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()

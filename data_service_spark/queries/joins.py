@@ -1,0 +1,274 @@
+"""§2.C — joins.
+
+Scale notes baked into each operator:
+- dimension tables (region/nation/supplier) are broadcast — no shuffle of the
+  fact side; Spark's autoBroadcastJoinThreshold usually picks this up, and
+  ``c_join_broadcast`` forces it explicitly;
+- fact-fact joins (lineitem ⋈ orders) are shuffle hash/sort-merge on the join
+  key — AQE handles skew splitting at runtime;
+- the theta/band join is quadratic by nature and is deliberately run on the
+  smallest table (supplier); at 100 TB you'd pre-bucket by a coarse band key
+  (the banded self-join pattern) — documented in the docstring;
+- the as-of join has no native Spark operator; the idiom here (equi-join on
+  key + max_by over the inequality) is the standard DataFrame formulation and
+  cross-validated against DuckDB's native ASOF JOIN.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_service_spark.io import load
+from data_service_spark.registry import register
+
+
+@register(
+    "c_join_inner",
+    oracle="""
+    SELECT o_orderkey, o_custkey, c_name, c_mktsegment, o_totalprice
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def c_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "o_custkey", "c_name", "c_mktsegment", "o_totalprice"
+    )
+
+
+@register(
+    "c_join_multiway",
+    oracle="""
+    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name IN ('ASIA', 'EUROPE')
+    GROUP BY n_name
+    """,
+)
+def c_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style 5-way join; the flagship query (SURVEY.md §7.2).
+
+    Plan shape at scale: lineitem⋈orders shuffle-joins on orderkey; customer,
+    nation, region are broadcast; aggregation is partial map-side then final.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .filter(F.col("r_name").isin("ASIA", "EUROPE"))
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "c_join_broadcast",
+    oracle="""
+    SELECT s_suppkey, s_name, n_name
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    """,
+)
+def c_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    return s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+        "s_suppkey", "s_name", "n_name"
+    )
+
+
+@register(
+    "c_join_left",
+    oracle="""
+    SELECT c_custkey, c_name, o_orderkey, o_totalprice
+    FROM customer LEFT JOIN orders
+      ON c_custkey = o_custkey AND o_totalprice > 450000
+    """,
+)
+def c_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The >450000 condition makes unmatched customers common -> real nulls.
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(
+        o, (c.c_custkey == o.o_custkey) & (o.o_totalprice > 450000), "left"
+    ).select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+
+
+@register(
+    "c_join_right",
+    oracle="""
+    SELECT c_custkey, c_name, o_orderkey, o_totalprice
+    FROM orders RIGHT JOIN customer
+      ON c_custkey = o_custkey AND o_totalprice > 450000
+    """,
+)
+def c_join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return o.join(
+        c, (c.c_custkey == o.o_custkey) & (o.o_totalprice > 450000), "right"
+    ).select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+
+
+@register(
+    "c_join_full",
+    oracle="""
+    WITH lo AS (SELECT c_custkey, c_name FROM customer WHERE c_custkey < 100),
+         hi AS (SELECT c_custkey AS k2, c_acctbal FROM customer WHERE c_custkey >= 50)
+    SELECT lo.c_custkey, lo.c_name, hi.k2, hi.c_acctbal
+    FROM lo FULL OUTER JOIN hi ON lo.c_custkey = hi.k2
+    """,
+)
+def c_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Deliberately partial key ranges so both sides contribute null halves.
+    c = load(spark, sf_dir, "customer")
+    lo = c.filter(F.col("c_custkey") < 100).select("c_custkey", "c_name")
+    hi = c.filter(F.col("c_custkey") >= 50).select(
+        F.col("c_custkey").alias("k2"), "c_acctbal"
+    )
+    return lo.join(hi, lo.c_custkey == hi.k2, "full").select(
+        "c_custkey", "c_name", "k2", "c_acctbal"
+    )
+
+
+@register(
+    "c_join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+    """,
+)
+def c_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "c_join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+    """,
+)
+def c_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "c_join_cross",
+    oracle="SELECT r_name, n_name FROM region CROSS JOIN nation",
+)
+def c_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load(spark, sf_dir, "region")
+    n = load(spark, sf_dir, "nation")
+    return r.crossJoin(n).select("r_name", "n_name")
+
+
+@register(
+    "c_join_theta_band",
+    oracle="""
+    SELECT a.s_suppkey AS s1, b.s_suppkey AS s2,
+           round(abs(a.s_acctbal - b.s_acctbal), 2) AS bal_diff
+    FROM supplier a JOIN supplier b
+      ON a.s_suppkey < b.s_suppkey AND abs(a.s_acctbal - b.s_acctbal) < 100
+    """,
+)
+def c_join_theta_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band self-join (non-equi). Runs as BroadcastNestedLoopJoin here; the
+    100 TB formulation buckets s_acctbal into width-100 bands and equi-joins
+    on adjacent band ids before applying the exact predicate."""
+    s = load(spark, sf_dir, "supplier")
+    a = s.select(F.col("s_suppkey").alias("s1"), F.col("s_acctbal").alias("bal1"))
+    b = s.select(F.col("s_suppkey").alias("s2"), F.col("s_acctbal").alias("bal2"))
+    return (
+        a.join(b, (F.col("s1") < F.col("s2")) & (F.abs(F.col("bal1") - F.col("bal2")) < 100))
+        .select("s1", "s2", F.round(F.abs(F.col("bal1") - F.col("bal2")), 2).alias("bal_diff"))
+    )
+
+
+@register(
+    "c_join_interval",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_lines,
+           round(sum(l_extendedprice), 2) AS sum_price
+    FROM lineitem JOIN orders
+      ON l_orderkey = o_orderkey
+     AND l_shipdate >= o_orderdate
+     AND l_shipdate < o_orderdate + INTERVAL 90 DAY
+    GROUP BY o_orderpriority
+    """,
+)
+def c_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval/range join: equi-key plus a time-range predicate. The equi
+    key keeps it a hash join (range predicate applied post-match) — the shape
+    that survives scale-up, vs. a pure range cross-join."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    cond = (
+        (li.l_orderkey == o.o_orderkey)
+        & (li.l_shipdate >= o.o_orderdate)
+        & (li.l_shipdate < o.o_orderdate + F.expr("INTERVAL 90 DAYS"))
+    )
+    return (
+        li.join(o, cond)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+@register(
+    "c_join_asof",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.ts, o.o_orderdate AS last_order_date
+    FROM events e
+    ASOF LEFT JOIN orders o
+      ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """,
+)
+def c_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event paired with the most recent order of that
+    customer at-or-before the event time.
+
+    Spark has no native as-of DataFrame join; the idiom is equi-join on the
+    key + the inequality, then keep the max matching timestamp per left row
+    (left join preserves events with no prior order). DuckDB's native ASOF
+    JOIN cross-validates the semantics. At 100 TB the same plan holds: the
+    equi-key join shuffles both sides by key once, and max() is a partial
+    aggregate. Output only the matched *timestamp* (not a row id) so
+    duplicate-date ties cannot make the result ambiguous.
+    """
+    e = load(spark, sf_dir, "events")
+    o = load(spark, sf_dir, "orders")
+    joined = e.join(
+        o, (e.user_id == o.o_custkey) & (e.ts >= o.o_orderdate), "left"
+    )
+    return joined.groupBy("event_id", "user_id", "ts").agg(
+        F.max("o_orderdate").alias("last_order_date")
+    )

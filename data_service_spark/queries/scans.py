@@ -1,0 +1,110 @@
+"""§2.A — scans, sources, sinks.
+
+These look trivial but carry the scale contract: the scan queries are the
+plan-shape canaries (column pruning + predicate pushdown must reach the
+parquet reader — asserted in tests/test_plan_shape.py), and the sink queries
+exercise the write path including partitioned layout, which is how a 100 TB
+dataset is actually stored (partition pruning at read time).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_service_spark.io import load
+from data_service_spark.registry import register
+
+
+def _tmpdir(tag: str) -> str:
+    """Stable-per-process scratch dir for sink roundtrips."""
+    base = os.path.join(tempfile.gettempdir(), "data_service_spark_sinks")
+    os.makedirs(base, exist_ok=True)
+    return os.path.join(base, tag)
+
+
+@register("a_scan_parquet", oracle="SELECT * FROM lineitem")
+def a_scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "lineitem")
+
+
+@register(
+    "a_scan_prune",
+    oracle="SELECT l_orderkey, l_quantity, l_shipdate FROM lineitem",
+)
+def a_scan_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Catalyst ColumnPruning drives ReadSchema down to 3 columns — at 100 TB
+    # this is the difference between scanning 3 columns and all 16.
+    return load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity", "l_shipdate")
+
+
+@register(
+    "a_scan_filter_pushdown",
+    oracle="""
+    SELECT l_orderkey, l_quantity, l_shipdate FROM lineitem
+    WHERE l_shipdate < TIMESTAMP '1996-01-01'
+    """,
+)
+def a_scan_filter_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The predicate lands in PushedFilters -> parquet row-group skipping.
+    return (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+        .select("l_orderkey", "l_quantity", "l_shipdate")
+    )
+
+
+@register("a_sink_parquet_roundtrip", oracle="SELECT * FROM region")
+def a_sink_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _tmpdir("region_parquet")
+    load(spark, sf_dir, "region").write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+@register(
+    "a_sink_partitioned",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def a_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Hive-style partitioned layout: the storage pattern that enables
+    # partition pruning at scale. Partition column type is re-inferred on
+    # read, so cast it back to int and restore column order.
+    path = _tmpdir("nation_partitioned")
+    load(spark, sf_dir, "nation").write.mode("overwrite").partitionBy(
+        "n_regionkey"
+    ).parquet(path)
+    return spark.read.parquet(path).select(
+        "n_nationkey",
+        "n_name",
+        F.col("n_regionkey").cast("int").alias("n_regionkey"),
+    )
+
+
+@register(
+    "a_sink_csv_json",
+    oracle="""
+    SELECT * FROM region
+    UNION ALL
+    SELECT * FROM region
+    """,
+)
+def a_sink_csv_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load(spark, sf_dir, "region")
+    csv_path = _tmpdir("region_csv")
+    json_path = _tmpdir("region_json")
+    region.write.mode("overwrite").option("header", True).csv(csv_path)
+    region.write.mode("overwrite").json(json_path)
+    from_csv = (
+        spark.read.option("header", True)
+        .option("inferSchema", True)
+        .csv(csv_path)
+        .select(F.col("r_regionkey").cast("int"), "r_name")
+    )
+    # JSON inference widens ints to long — cast back for schema parity.
+    from_json_ = spark.read.json(json_path).select(
+        F.col("r_regionkey").cast("int"), "r_name"
+    )
+    return from_csv.unionByName(from_json_)

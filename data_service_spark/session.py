@@ -1,0 +1,35 @@
+"""SparkSession factory.
+
+Defaults chosen for correctness parity with the DuckDB oracle (UTC session
+timezone, ANSI off so arithmetic matches the corpus' permissive semantics)
+and for scale (AQE on with skew-join handling, Arrow for the pandas-UDF
+path). On a real cluster the same builder is used — only master/memory
+change, never query code.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "data_service_spark", master: str | None = None) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        # Parity: hash-compare against DuckDB needs instant-stable timestamps.
+        .config("spark.sql.session.timeZone", "UTC")
+        # Scale: adaptive execution re-plans joins, coalesces partitions,
+        # and splits skewed shuffle partitions at runtime.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", "32")
+        # Arrow: the only sane JVM<->Python boundary for pandas UDFs.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()
