@@ -1,1 +1,314 @@
-"""placeholder — populated in a later phase."""
+"""§2.D — aggregations.
+
+Everything here is Spark's hash aggregate: partial (map-side combine) then
+final after a shuffle on the group keys — the shape that scales linearly.
+Rounding convention (SURVEY.md §7.4): floating sums/avgs 2dp (money) or 4dp
+(ratios) on BOTH engine and oracle sides, because double accumulation order
+differs across engines in the last ulps.
+
+DuckDB dialect notes encoded below: SUM(integer) returns HUGEINT there →
+oracle casts to BIGINT; arg_max ties are nondeterministic → oracle uses an
+explicit row_number formulation for the min_by/max_by twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_service_spark.io import load
+from data_service_spark.registry import register
+
+
+@register(
+    "d_agg_global",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(avg(l_extendedprice), 2) AS avg_price,
+           round(min(l_extendedprice), 2) AS min_price,
+           round(max(l_extendedprice), 2) AS max_price
+    FROM lineitem
+    """,
+)
+def d_agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+    )
+
+
+@register(
+    "d_agg_groupby",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 2) AS avg_qty,
+           round(avg(l_extendedprice), 2) AS avg_price,
+           round(avg(l_discount), 4) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def d_agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1: the canonical partial+final hash aggregate."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(disc), 2).alias("sum_disc_price"),
+        F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+        F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@register(
+    "d_agg_having",
+    oracle="""
+    SELECT o_custkey, count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_spend
+    FROM orders GROUP BY o_custkey HAVING count(*) > 12
+    """,
+)
+def d_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+        )
+        .filter(F.col("n_orders") > 12)
+    )
+
+
+@register(
+    "d_agg_distinct",
+    oracle="""
+    SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def d_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts")
+    )
+
+
+@register(
+    "d_agg_multi_distinct",
+    oracle="""
+    SELECT l_linestatus,
+           count(DISTINCT l_partkey) AS n_parts,
+           count(DISTINCT l_suppkey) AS n_supps,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem GROUP BY l_linestatus
+    """,
+)
+def d_agg_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Two distinct aggregates + one plain in one pass → Spark's Expand-based
+    # multi-distinct plan (one shuffle, n× row expansion on the map side).
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+@register(
+    "d_agg_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag) AS g_flag, GROUPING(l_linestatus) AS g_status,
+           count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+)
+def d_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("long").alias("g_flag"),
+        F.grouping("l_linestatus").cast("long").alias("g_status"),
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    ).select("l_returnflag", "l_linestatus", "g_flag", "g_status", "n", "sum_qty")
+
+
+@register(
+    "d_agg_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag) AS g_flag, GROUPING(l_linestatus) AS g_status,
+           count(*) AS n, round(sum(l_extendedprice), 2) AS sum_price
+    FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+    """,
+)
+def d_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("long").alias("g_flag"),
+        F.grouping("l_linestatus").cast("long").alias("g_status"),
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    ).select("l_returnflag", "l_linestatus", "g_flag", "g_status", "n", "sum_price")
+
+
+@register(
+    "d_agg_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, count(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def d_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exercises the spark.sql() entry path (full parse → analyze pipeline),
+    # the same route the REST layer uses.
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("dss_lineitem_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, count(*) AS n
+        FROM dss_lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@register(
+    "d_agg_stats",
+    oracle="""
+    SELECT l_returnflag,
+           round(stddev_samp(l_quantity), 4) AS sd_qty,
+           round(var_samp(l_quantity), 4) AS var_qty,
+           round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+           round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def d_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+            "covar_qty_price"
+        ),
+    )
+
+
+@register(
+    "d_agg_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           round(median(l_quantity), 4) AS med_qty,
+           round(quantile_cont(l_quantity, 0.9), 4) AS p90_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def d_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Spark percentile() is exact continuous-interpolation = quantile_cont.
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.median("l_quantity"), 4).alias("med_qty"),
+        F.round(F.percentile("l_quantity", F.lit(0.9)), 4).alias("p90_qty"),
+    )
+
+
+@register(
+    "d_agg_conditional",
+    oracle="""
+    SELECT l_linestatus,
+           count(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+           round(sum(CASE WHEN l_returnflag = 'A' THEN l_quantity ELSE 0 END), 2)
+               AS qty_returned,
+           round(avg(l_extendedprice) FILTER (WHERE l_tax > 0.04), 2) AS avg_taxed_price
+    FROM lineitem GROUP BY l_linestatus
+    """,
+)
+def d_agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.count_if(F.col("l_discount") > 0.05).alias("n_discounted"),
+        F.round(
+            F.sum(
+                F.when(F.col("l_returnflag") == "A", F.col("l_quantity")).otherwise(0)
+            ),
+            2,
+        ).alias("qty_returned"),
+        F.round(
+            F.avg(F.when(F.col("l_tax") > 0.04, F.col("l_extendedprice"))), 2
+        ).alias("avg_taxed_price"),
+    )
+
+
+@register(
+    "d_agg_minmax_by",
+    oracle="""
+    SELECT o_custkey, best_order, worst_order FROM (
+      SELECT o_custkey,
+             first(o_orderkey ORDER BY o_totalprice DESC, o_orderkey DESC) AS best_order,
+             first(o_orderkey ORDER BY o_totalprice ASC, o_orderkey ASC)  AS worst_order
+      FROM orders GROUP BY o_custkey)
+    """,
+)
+def d_agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Ties on o_totalprice are broken by the unique o_orderkey — max_by over
+    # a struct orders lexicographically, which the oracle mirrors with an
+    # ordered-first aggregate (DuckDB arg_max ties are nondeterministic).
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.expr("max_by(o_orderkey, struct(o_totalprice, o_orderkey))").alias(
+            "best_order"
+        ),
+        F.expr("min_by(o_orderkey, struct(o_totalprice, o_orderkey))").alias(
+            "worst_order"
+        ),
+    )
+
+
+@register("d_agg_approx")  # rows-only: HLL sketches differ across engines
+def d_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts")
+    )
+
+
+@register(
+    "d_agg_collect",
+    oracle="""
+    SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def d_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # collect_list is order-nondeterministic under shuffle → sort_array makes
+    # the string form portable and hash-stable.
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias("nations")
+        )
+    )

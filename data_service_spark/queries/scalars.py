@@ -1,1 +1,316 @@
-"""placeholder — populated in a later phase."""
+"""§2.H — scalar function surface (string / regex / date / math / conditional
+/ cast / array / map+json / explode / struct).
+
+All built-in pyspark.sql.functions — JVM-side inside whole-stage codegen, no
+Python in the hot path. Oracle twins encode the DuckDB dialect deltas
+(SURVEY.md §7.4.7): dayofweek is 0-based there, ceil/floor return DOUBLE,
+sign returns TINYINT, list functions are `list_*`/`len`, JSON extraction is
+`json_extract_string`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_service_spark.io import load
+from data_service_spark.registry import register
+
+
+@register(
+    "h_str_basic",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_name) AS up, lower(p_brand) AS lo,
+           length(p_name) AS nlen,
+           trim('  ' || p_name || ' ') AS trimmed,
+           substring(p_name, 2, 5) AS sub,
+           concat_ws('|', p_name, p_brand, p_type) AS joined,
+           replace(p_name, ' ', '_') AS repl,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS padded,
+           reverse(p_brand) AS rev,
+           left(p_name, 3) AS l3, right(p_name, 3) AS r3
+    FROM part
+    """,
+)
+def h_str_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("up"),
+        F.lower("p_brand").alias("lo"),
+        F.length("p_name").cast("long").alias("nlen"),
+        F.trim(F.concat(F.lit("  "), F.col("p_name"), F.lit(" "))).alias("trimmed"),
+        F.substring("p_name", 2, 5).alias("sub"),
+        F.concat_ws("|", "p_name", "p_brand", "p_type").alias("joined"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("repl"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("padded"),
+        F.reverse("p_brand").alias("rev"),
+        F.expr("left(p_name, 3)").alias("l3"),
+        F.expr("right(p_name, 3)").alias("r3"),
+    )
+
+
+@register(
+    "h_str_regex",
+    oracle="""
+    SELECT c_custkey,
+           regexp_extract(c_name, '(\\d+)$', 1) AS id_digits,
+           regexp_replace(c_name, '\\d', 'x', 'g') AS masked,
+           starts_with(c_name, 'Customer#0000001') AS sw,
+           ends_with(c_name, '7') AS ew,
+           contains(c_name, '99') AS has99
+    FROM customer
+    """,
+)
+def h_str_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Spark regexp_replace is global by default; DuckDB needs the 'g' flag.
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.regexp_extract("c_name", r"(\d+)$", 1).alias("id_digits"),
+        F.regexp_replace("c_name", r"\d", "x").alias("masked"),
+        F.col("c_name").startswith("Customer#0000001").alias("sw"),
+        F.col("c_name").endswith("7").alias("ew"),
+        F.col("c_name").contains("99").alias("has99"),
+    )
+
+
+@register(
+    "h_date_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+           day(o_orderdate) AS dom, quarter(o_orderdate) AS qtr,
+           dayofweek(o_orderdate) + 1 AS dow,
+           date_trunc('month', o_orderdate) AS month_start,
+           date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS days_since_95,
+           CAST(o_orderdate AS DATE) + 30 AS plus30,
+           last_day(o_orderdate) AS month_end,
+           CAST(o_orderdate AS DATE) AS as_date
+    FROM orders
+    """,
+)
+def h_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # o_orderdate is a midnight TIMESTAMP, not DATE (FIXTURES.md) — casts are
+    # explicit. Spark dayofweek is 1-based (Sunday=1), DuckDB 0-based.
+    o = load(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(d).cast("long").alias("yr"),
+        F.month(d).cast("long").alias("mo"),
+        F.dayofmonth(d).cast("long").alias("dom"),
+        F.quarter(d).cast("long").alias("qtr"),
+        F.dayofweek(d).cast("long").alias("dow"),
+        F.date_trunc("month", d).alias("month_start"),
+        F.datediff(d, F.lit("1995-01-01").cast("timestamp")).cast("long").alias(
+            "days_since_95"
+        ),
+        F.date_add(d.cast("date"), 30).alias("plus30"),
+        F.last_day(d).alias("month_end"),
+        d.cast("date").alias("as_date"),
+    )
+
+
+@register(
+    "h_math_funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(abs(l_extendedprice - 30000), 2) AS dist30k,
+           CAST(ceil(l_quantity) AS BIGINT) AS qceil,
+           CAST(floor(l_quantity) AS BIGINT) AS qfloor,
+           round(l_extendedprice, 1) AS r1,
+           round(pow(l_quantity, 2), 4) AS qsq,
+           round(sqrt(l_extendedprice), 6) AS sq,
+           round(exp(l_discount), 6) AS e_disc,
+           round(ln(l_extendedprice), 6) AS ln_price,
+           round(log10(l_extendedprice), 6) AS log_price,
+           mod(l_linenumber, 3) AS lmod,
+           CAST(sign(l_extendedprice - 30000) AS INTEGER) AS sgn,
+           greatest(l_quantity, l_tax * 100) AS gr,
+           least(l_quantity, l_discount * 100) AS le
+    FROM lineitem
+    """,
+)
+def h_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # libm last-ulp differences across engines → transcendentals rounded 6dp.
+    li = load(spark, sf_dir, "lineitem")
+    q, ep = F.col("l_quantity"), F.col("l_extendedprice")
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        F.round(F.abs(ep - 30000), 2).alias("dist30k"),
+        F.ceil(q).alias("qceil"),
+        F.floor(q).alias("qfloor"),
+        F.round(ep, 1).alias("r1"),
+        F.round(F.pow(q, 2), 4).alias("qsq"),
+        F.round(F.sqrt(ep), 6).alias("sq"),
+        F.round(F.exp("l_discount"), 6).alias("e_disc"),
+        F.round(F.log(ep), 6).alias("ln_price"),
+        F.round(F.log10(ep), 6).alias("log_price"),
+        F.pmod(F.col("l_linenumber"), F.lit(3)).alias("lmod"),
+        F.signum(ep - 30000).cast("int").alias("sgn"),
+        F.greatest(q, F.col("l_tax") * 100).alias("gr"),
+        F.least(q, F.col("l_discount") * 100).alias("le"),
+    )
+
+
+@register(
+    "h_cond_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice < 50000 THEN 'small'
+                WHEN o_totalprice < 200000 THEN 'medium'
+                WHEN o_totalprice < 400000 THEN 'large'
+                ELSE 'jumbo' END AS bucket,
+           coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_or_open,
+           CASE WHEN nullif(o_orderstatus, 'F') IS NOT NULL
+                THEN 'has-status' ELSE 'finished' END AS nvl2_status
+    FROM orders
+    """,
+)
+def h_cond_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    p = F.col("o_totalprice")
+    return o.select(
+        "o_orderkey",
+        F.when(p < 50000, "small")
+        .when(p < 200000, "medium")
+        .when(p < 400000, "large")
+        .otherwise("jumbo")
+        .alias("bucket"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("OPEN")).alias(
+            "status_or_open"
+        ),
+        F.nvl2(
+            F.nullif(F.col("o_orderstatus"), F.lit("F")),
+            F.lit("has-status"),
+            F.lit("finished"),
+        ).alias("nvl2_status"),
+    )
+
+
+@register(
+    "h_cast",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR) AS price_dec_str,
+           CAST(o_orderkey AS VARCHAR) AS key_str,
+           CAST(o_orderdate AS DATE) AS od_date,
+           TRY_CAST(o_orderpriority AS INTEGER) AS bad_int,
+           TRY_CAST(substring(o_orderpriority, 1, 1) AS INTEGER) AS prio_num
+    FROM orders
+    """,
+)
+def h_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Both engines round HALF_UP on the decimal cast; try_cast of
+    # non-numeric text yields NULL in both.
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("decimal(12,2)").cast("string").alias(
+            "price_dec_str"
+        ),
+        F.col("o_orderkey").cast("string").alias("key_str"),
+        F.col("o_orderdate").cast("date").alias("od_date"),
+        F.expr("try_cast(o_orderpriority AS INT)").alias("bad_int"),
+        F.expr("try_cast(substring(o_orderpriority, 1, 1) AS INT)").alias("prio_num"),
+    )
+
+
+@register(
+    "h_array_funcs",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+    SELECT doc_id,
+           CAST(len(words) AS INTEGER) AS n_words,
+           list_contains(words, 'join') AS has_join,
+           words[3] AS third_word,
+           CAST(len(list_distinct(words)) AS INTEGER) AS n_unique,
+           array_to_string(words[2:4], ' ') AS mid3,
+           CAST(list_position(words, 'scan') AS INTEGER) AS scan_pos
+    FROM w
+    """,
+)
+def h_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Spark array_position and DuckDB list_position are both 1-based and
+    # both return 0 when absent (probed).
+    d = load(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.size(w).alias("n_words"),
+        F.array_contains(w, "join").alias("has_join"),
+        F.element_at(w, 3).alias("third_word"),
+        F.size(F.array_distinct(w)).alias("n_unique"),
+        F.array_join(F.slice(w, 2, 3), " ").alias("mid3"),
+        F.array_position(w, "scan").cast("int").alias("scan_pos"),
+    )
+
+
+@register(
+    "h_map_json",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_json,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_schema,
+           event_type AS et_from_map
+    FROM events
+    """,
+)
+def h_map_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Three routes to the same value: path extraction, schema-ful from_json,
+    # and a map literal read back — the oracle inlines the identities.
+    e = load(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k_json"),
+        F.from_json(F.col("props"), "k INT").getField("k").alias("k_schema"),
+        F.create_map(F.lit("et"), F.col("event_type"))
+        .getItem("et")
+        .alias("et_from_map"),
+    )
+
+
+@register(
+    "h_explode",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+    SELECT doc_id,
+           unnest(generate_series(0, CAST(len(words) AS INTEGER) - 1)) AS pos,
+           unnest(words) AS word
+    FROM w
+    """,
+)
+def h_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # posexplode is 0-based; DuckDB zips parallel unnests positionally
+    # (probed), giving the same (pos, word) pairs.
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "word")
+    ).select("doc_id", F.col("pos").cast("long").alias("pos"), "word")
+
+
+@register(
+    "h_struct",
+    oracle="""
+    SELECT o_orderkey, o_orderkey AS sk, round(o_totalprice, 2) AS sp,
+           'order' AS tag
+    FROM orders
+    """,
+)
+def h_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Build a struct, then flatten fields back out (the hash needs flat
+    # scalar columns; struct columns don't hash portably across engines).
+    o = load(spark, sf_dir, "orders")
+    s = F.struct(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice"), 2).alias("p"),
+    )
+    named = F.named_struct(F.lit("tag"), F.lit("order"))
+    return o.select(
+        "o_orderkey",
+        s.getField("k").alias("sk"),
+        s.getField("p").alias("sp"),
+        named.getField("tag").alias("tag"),
+    )

@@ -1,1 +1,94 @@
-"""placeholder — populated in a later phase."""
+"""§2.F — sorts, limits, top-k.
+
+The driver's value-hash is order-insensitive, so sort order is made
+*checkable* by materializing it as a rank column. Scale notes: `f_topk` runs
+as TakeOrderedAndProject (per-partition heap + driver merge — no global
+sort); `f_sort_verify`'s single global window is the one deliberately
+non-scalable shape here, kept because it verifies total order — the
+scalable alternative for ranking at 100 TB is rangeBetween bucketing or
+zipWithIndex-style two-pass ranking.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from data_service_spark.io import load
+from data_service_spark.registry import register
+
+
+@register(
+    "f_sort_verify",
+    oracle="""
+    SELECT o_orderkey, o_totalprice,
+           row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rk
+    FROM orders
+    """,
+)
+def f_sort_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return o.select(
+        "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rk")
+    )
+
+
+@register(
+    "f_topk",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+    """,
+)
+def f_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .limit(100)
+    )
+
+
+@register(
+    "f_topk_per_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders) WHERE rn <= 3
+    """,
+)
+def f_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Partitioned window — shuffles once on the group key; scales, unlike a
+    # global sort. At extreme group cardinality AQE coalesces the partitions.
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_custkey", "o_orderkey", "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "f_offset",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_orderkey LIMIT 50 OFFSET 100
+    """,
+)
+def f_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.orderBy("o_orderkey")
+        .select("o_orderkey", "o_totalprice")
+        .offset(100)
+        .limit(50)
+    )
