@@ -1,1 +1,411 @@
-"""placeholder — populated in a later phase."""
+"""§2.K — LLM-data-pipeline operators (dedup, similarity, text analysis,
+multimodal) over the documents/embeddings tables.
+
+Design notes for the 100 TB path (BASELINE.json north star):
+- everything is DataFrame algebra — no collect() anywhere; "small" sides
+  (probes, centroids, term dictionaries) are broadcast DataFrames;
+- embeddings are L2-normalized (FIXTURES.md) so cosine ≡ dot product; both
+  engines compute it as a sequential double fold (Spark aggregate/zip_with
+  over array<double>, DuckDB list_inner_product over DOUBLE[]) so the
+  results match bitwise;
+- quadratic ops (all-pairs similarity, shingle self-join) are correct
+  baselines; their scalable twins are the LSH variants (k_sim_ann here,
+  MinHash in operators/dedup.py) which bucket candidates first;
+- similarity ranking orders by round(sim, 6) with a unique vec_id tiebreak
+  so float last-ulp noise can never flip a rank across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from data_service_spark.io import load
+from data_service_spark.registry import register
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product over array<double> — stays in Catalyst
+    (higher-order functions, codegen) rather than a UDF."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+        "label",
+    )
+
+
+# ---------------------------------------------------------------- dedup ----
+
+
+@register(
+    "k_dedup_exact",
+    oracle="""
+    SELECT md5(lower(trim(text))) AS text_hash,
+           min(doc_id) AS keep_id, count(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+)
+def k_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: canonical-text hash → keep min doc_id per group.
+    One shuffle on the hash; at 100 TB this is the cheapest dedup pass and
+    runs before any fuzzy method."""
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy(
+        F.md5(F.lower(F.trim(F.col("text")))).alias("text_hash")
+    ).agg(
+        F.min("doc_id").alias("keep_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+_SHINGLES = (
+    "array_distinct(transform(sequence(1, size(words) - 4),"
+    " i -> concat_ws(' ', slice(words, i, 5))))"
+)
+
+
+@register(
+    "k_dedup_near",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM documents
+      WHERE len(string_split(text, ' ')) >= 5
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, len(words) - 4),
+                           i -> array_to_string(words[i:i+4], ' '))) AS shingles
+      FROM w
+    ), ex AS (SELECT doc_id, unnest(shingles) AS sh FROM sh),
+    sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+    inter AS (
+      SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2, count(*) AS n_common
+      FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_id_1, doc_id_2,
+           round(n_common * 1.0 / (s1.n + s2.n - n_common), 4) AS jaccard
+    FROM inter
+    JOIN sizes s1 ON doc_id_1 = s1.doc_id
+    JOIN sizes s2 ON doc_id_2 = s2.doc_id
+    WHERE n_common * 1.0 / (s1.n + s2.n - n_common) >= 0.6
+    """,
+)
+def k_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs via exact 5-gram-shingle Jaccard >= 0.6.
+
+    The shingle self-join is the exact baseline; it is already *not*
+    quadratic in docs (it joins on shingle, so only docs sharing a shingle
+    pair up). The truly scalable twin is MinHash+LSH (k_dedup_minhash),
+    which bounds candidate pairs per band bucket.
+    """
+    d = load(spark, sf_dir, "documents")
+    sh = (
+        d.withColumn("words", F.split("text", " "))
+        .filter(F.size("words") >= 5)
+        .withColumn("shingles", F.expr(_SHINGLES))
+        .select("doc_id", "shingles", F.size("shingles").alias("n"))
+    )
+    ex = sh.select("doc_id", "n", F.explode("shingles").alias("sh"))
+    a = ex.select(
+        F.col("doc_id").alias("doc_id_1"), F.col("n").alias("n1"), "sh"
+    )
+    b = ex.select(
+        F.col("doc_id").alias("doc_id_2"), F.col("n").alias("n2"), "sh"
+    )
+    inter = (
+        a.join(b, ["sh"])
+        .filter(F.col("doc_id_1") < F.col("doc_id_2"))
+        .groupBy("doc_id_1", "doc_id_2", "n1", "n2")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = F.col("n_common") * 1.0 / (F.col("n1") + F.col("n2") - F.col("n_common"))
+    return (
+        inter.filter(jac >= 0.6)
+        .select("doc_id_1", "doc_id_2", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+# ----------------------------------------------------------- similarity ----
+
+
+@register(
+    "k_sim_topk",
+    oracle="""
+    WITH p AS (SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pv
+               FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+    sims AS (
+      SELECT probe_id, vec_id, list_inner_product(pv, cv) AS sim
+      FROM p CROSS JOIN c WHERE vec_id <> probe_id
+    ), ranked AS (
+      SELECT probe_id, vec_id AS neighbor_id, round(sim, 4) AS sim,
+             row_number() OVER (PARTITION BY probe_id
+                                ORDER BY round(sim, 6) DESC, vec_id) AS rn
+      FROM sims
+    )
+    SELECT probe_id, neighbor_id, sim, rn FROM ranked WHERE rn <= 5
+    """,
+)
+def k_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for 10 probe vectors.
+
+    Probes stay a broadcast DataFrame (never collected): the corpus streams
+    past them once — the same plan shape works for a 100 TB corpus. The
+    scale path for large probe sets is k_sim_ann (LSH) or IVF bucketing
+    (k_cluster_assign prunes to a centroid's bucket).
+    """
+    emb = _emb(spark, sf_dir)
+    probes = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("probe_id"), F.col("v").alias("pv")
+    )
+    sims = (
+        emb.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("neighbor_id"),
+            dot(F.col("pv"), F.col("v")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.round(F.col("sim"), 6).desc(), F.col("neighbor_id")
+    )
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("probe_id", "neighbor_id", F.round("sim", 4).alias("sim"), "rn")
+    )
+
+
+@register(
+    "k_sim_threshold",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT a.vec_id AS vec_id_1, b.vec_id AS vec_id_2,
+           round(list_inner_product(a.v, b.v), 4) AS sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_inner_product(a.v, b.v) >= 0.4
+    """,
+)
+def k_sim_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All vector pairs with cosine >= 0.4 (the corpus' max off-diagonal
+    sim is ~0.51, so 0.4 captures the genuine near-neighbor tail).
+    All-pairs is the exactness baseline; LSH (k_sim_ann) is the scale twin.
+    """
+    emb = _emb(spark, sf_dir)
+    a = emb.select(F.col("vec_id").alias("vec_id_1"), F.col("v").alias("va"))
+    b = emb.select(F.col("vec_id").alias("vec_id_2"), F.col("v").alias("vb"))
+    sim = dot(F.col("va"), F.col("vb"))
+    return (
+        a.join(b, F.col("vec_id_1") < F.col("vec_id_2"))
+        .withColumn("sim_raw", sim)
+        .filter(F.col("sim_raw") >= 0.4)
+        .select("vec_id_1", "vec_id_2", F.round("sim_raw", 4).alias("sim"))
+    )
+
+
+@register("k_sim_ann")  # rows-only: LSH is approximate by design
+def k_sim_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN pairs via BucketedRandomProjectionLSH (euclidean; on
+    L2-normalized vectors dist² = 2 - 2·cos, so dist 1.1 ≈ cos 0.4).
+    This is the 100 TB path: candidates meet only inside hash buckets."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", array_to_vector(F.col("v")).alias("features")
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=2.0,
+        numHashTables=4,
+        seed=42,
+    )
+    model = lsh.fit(emb)
+    pairs = model.approxSimilarityJoin(emb, emb, 1.1, distCol="dist")
+    return (
+        pairs.filter(F.col("datasetA.vec_id") < F.col("datasetB.vec_id"))
+        .select(
+            F.col("datasetA.vec_id").alias("vec_id_1"),
+            F.col("datasetB.vec_id").alias("vec_id_2"),
+            F.round("dist", 4).alias("dist"),
+        )
+    )
+
+
+@register(
+    "k_cluster_assign",
+    oracle="""
+    WITH cent AS (SELECT vec_id AS cluster_id, CAST(embedding AS DOUBLE[]) AS cv
+                  FROM embeddings WHERE vec_id < 10),
+         e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    sims AS (
+      SELECT e.vec_id, cluster_id, list_inner_product(v, cv) AS sim
+      FROM e CROSS JOIN cent
+    ), ranked AS (
+      SELECT vec_id, cluster_id, round(sim, 4) AS sim,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY round(sim, 6) DESC, cluster_id) AS rn
+      FROM sims
+    )
+    SELECT vec_id, cluster_id, sim FROM ranked WHERE rn = 1
+    """,
+)
+def k_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means assignment step as join+argmax: every vector to its nearest
+    of 10 deterministic centroids (vec_id 0..9). Centroids broadcast; the
+    corpus streams once — the building block of IVF-style ANN and of a full
+    Lloyd's iteration."""
+    emb = _emb(spark, sf_dir)
+    cent = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("cluster_id"), F.col("v").alias("cv")
+    )
+    sims = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "cluster_id", dot(F.col("v"), F.col("cv")).alias("sim")
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.round(F.col("sim"), 6).desc(), F.col("cluster_id")
+    )
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cluster_id", F.round("sim", 4).alias("sim"))
+    )
+
+
+# ------------------------------------------------------------- text ----
+
+
+_STOPWORDS = ("the", "a", "of", "and", "in", "to", "is", "on", "for", "with")
+
+
+@register(
+    "k_text_tokens",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS term FROM documents
+    ), counts AS (
+      SELECT term, count(*) AS n FROM tok
+      WHERE term NOT IN {_STOPWORDS!r} AND term <> ''
+      GROUP BY term
+    ), ranked AS (
+      SELECT term, n, row_number() OVER (ORDER BY n DESC, term) AS rn
+      FROM counts
+    )
+    SELECT term, n, rn FROM ranked WHERE rn <= 50
+    """,
+)
+def k_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize → stopword filter → global top-50 terms (unique tiebreak).
+    Token counting for corpus statistics; partial aggregation makes the
+    count a single shuffle of the term dictionary, not the corpus."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(F.explode(F.split("text", " ")).alias("term")).filter(
+        (~F.col("term").isin(*_STOPWORDS)) & (F.col("term") != "")
+    )
+    counts = tok.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.col("n").desc(), F.col("term"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 50)
+        .select("term", "n", "rn")
+    )
+
+
+@register(
+    "k_text_tfidf",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2
+    ), df AS (
+      SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1
+    ), top_terms AS (
+      SELECT term, df, row_number() OVER (ORDER BY df DESC, term) AS rn FROM df
+    ), n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT tf.doc_id, tf.term,
+           round(tf.tf * ln(n.n_docs * 1.0 / t.df), 4) AS tfidf
+    FROM tf JOIN top_terms t ON tf.term = t.term AND t.rn <= 20
+    CROSS JOIN n
+    """,
+)
+def k_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF (idf = ln(N/df)) for the 20 highest-df terms — pure SQL
+    algebra, no MLlib. N is carried as a broadcast 1-row DataFrame, never a
+    driver-side collect."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    w = Window.orderBy(F.col("df").desc(), F.col("term"))
+    top = df.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 20)
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        tf.join(F.broadcast(top), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") * 1.0 / F.col("df")), 4
+            ).alias("tfidf"),
+        )
+    )
+
+
+@register(
+    "k_text_stats",
+    oracle="""
+    SELECT lang, count(*) AS n_docs,
+           round(avg(n_chars), 2) AS avg_chars,
+           round(avg(len(string_split(text, ' '))), 2) AS avg_tokens
+    FROM documents GROUP BY lang
+    """,
+)
+def k_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        F.round(F.avg(F.size(F.split("text", " ")).cast("double")), 2).alias(
+            "avg_tokens"
+        ),
+    )
+
+
+# -------------------------------------------------------- multimodal ----
+
+
+@register(
+    "k_multimodal_join",
+    oracle="""
+    SELECT d.doc_id, d.lang, d.source, d.n_chars, e.label,
+           round(CAST(e.embedding[1] AS DOUBLE), 4) AS e0
+    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    """,
+)
+def k_multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal-column pattern: one row carrying text metadata + a
+    vector + a label, flattened to scalars for the hash. At scale this is a
+    bucketed equi-join on the shared id."""
+    d = load(spark, sf_dir, "documents")
+    e = _emb(spark, sf_dir)
+    return d.join(e, d.doc_id == e.vec_id).select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        "label",
+        F.round(F.element_at("v", 1), 4).alias("e0"),
+    )

@@ -1,1 +1,136 @@
-"""placeholder — populated in a later phase."""
+"""§2.I — streaming operators, batch twins.
+
+Contract (SURVEY.md §2.I): every windowing expression runs twice-for-once —
+here in batch mode over events.parquet (what the driver hashes), and in the
+Structured Streaming harness under tests/test_streaming.py with a file
+source + availableNow trigger to prove the streaming path produces the same
+result. The expressions are identical; only readStream/writeStream differ.
+
+Scale: tumbling/sliding/session windows are all single-shuffle groupBys on
+(window, key); at 100 TB the watermark bounds state, and session windows
+merge incrementally in the state store.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_service_spark.io import load
+from data_service_spark.registry import register
+
+
+def tumbling_agg(events: DataFrame) -> DataFrame:
+    """1-hour tumbling count+sum by event_type (shared with streaming tests)."""
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("bucket_start"), "event_type", "n", "sum_value"
+        )
+    )
+
+
+@register(
+    "i_tumbling",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS bucket_start, event_type,
+           count(*) AS n, round(sum(value), 2) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def i_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tumbling_agg(load(spark, sf_dir, "events"))
+
+
+def sliding_agg(events: DataFrame) -> DataFrame:
+    """1-hour windows sliding every 15 min (shared with streaming tests)."""
+    return (
+        events.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("win_start"), "n")
+    )
+
+
+# Each event belongs to the 4 sliding windows whose starts are the four
+# 15-minute marks in (ts - 1h, ts]; DuckDB zips parallel unnests.
+_SLIDING_ORACLE = """
+WITH expanded AS (
+  SELECT time_bucket(INTERVAL '15 minutes', ts)
+           - unnest([0, 1, 2, 3]) * INTERVAL '15 minutes' AS win_start
+  FROM events
+)
+SELECT win_start, count(*) AS n FROM expanded GROUP BY win_start
+"""
+
+
+@register("i_sliding", oracle=_SLIDING_ORACLE)
+def i_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sliding_agg(load(spark, sf_dir, "events"))
+
+
+def session_agg(events: DataFrame) -> DataFrame:
+    """Per-user session windows with a 30-minute gap (shared with tests)."""
+    return (
+        events.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id", F.col("w.start").alias("session_start"), "n_events", "sum_value"
+        )
+    )
+
+
+@register(
+    "i_session",
+    oracle="""
+    -- Gaps-and-islands twin of Spark's session_window semantics: an event
+    -- starts a new session when it is >= 30 minutes after the previous one
+    -- (Spark sessions are [first, last+gap) half-open).
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       >= INTERVAL '30 minutes'
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ), numbered AS (
+      SELECT user_id, ts, value,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM flagged
+    )
+    SELECT user_id, min(ts) AS session_start,
+           count(*) AS n_events, round(sum(value), 2) AS sum_value
+    FROM numbered GROUP BY user_id, sess_id
+    """,
+)
+def i_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return session_agg(load(spark, sf_dir, "events"))
+
+
+def dedup_keys_agg(events: DataFrame) -> DataFrame:
+    """Exact dedup on (user_id, event_type) keeping the earliest event.
+
+    Batch formulation is a min aggregate; the streaming twin is
+    dropDuplicates within a watermark (tests/test_streaming.py).
+    """
+    return events.groupBy("user_id", "event_type").agg(
+        F.min("event_id").alias("first_event_id")
+    )
+
+
+@register(
+    "i_dedup_keys",
+    oracle="""
+    SELECT user_id, event_type, min(event_id) AS first_event_id
+    FROM events GROUP BY user_id, event_type
+    """,
+)
+def i_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_keys_agg(load(spark, sf_dir, "events"))

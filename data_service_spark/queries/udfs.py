@@ -1,1 +1,172 @@
-"""placeholder — populated in a later phase."""
+"""§2.J — UDF / UDAF / UDTF surface.
+
+UDFs are the slow path (JVM↔Python boundary); the point of this category is
+that the *plumbing* is right, not that UDFs are preferred: each op has a
+pure-SQL twin the oracle hashes. Hierarchy demonstrated here, fastest first:
+pandas UDFs (Arrow-batched, j_pandas_*) ≫ row-at-a-time Python UDFs
+(j_udf_scalar, kept deliberately tiny). Rounding is applied Spark-side
+(F.round, HALF_UP) — never inside pandas (numpy rounds half-even).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, StringType
+
+from data_service_spark.io import load
+from data_service_spark.registry import register
+
+
+@register(
+    "j_udf_scalar",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice < 100000 THEN 'low'
+                WHEN o_totalprice < 300000 THEN 'mid'
+                ELSE 'high' END AS bucket
+    FROM orders
+    """,
+)
+def j_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Row-at-a-time Python UDF — the anti-pattern kept as surface coverage.
+    @F.udf(returnType=StringType())
+    def bucket(price: float) -> str:
+        if price < 100000:
+            return "low"
+        if price < 300000:
+            return "mid"
+        return "high"
+
+    o = load(spark, sf_dir, "orders")
+    return o.select("o_orderkey", bucket("o_totalprice").alias("bucket"))
+
+
+@register(
+    "j_pandas_udf_scalar",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS net
+    FROM lineitem
+    """,
+)
+def j_pandas_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Arrow-batched Series->Series — the right way to run Python per-row math.
+    # Deliberately UNROUNDED: per-row IEEE products are bitwise identical
+    # across pandas/JVM/DuckDB, while round() itself diverges on half-boundary
+    # values (Spark rounds the shortest decimal repr, DuckDB the binary value
+    # — e.g. 37081.645 → .65 vs .64). Rounding here would *introduce*
+    # mismatches. Only multi-row sums need rounding (SURVEY.md §7.4.1).
+    @F.pandas_udf(DoubleType())
+    def net_price(price: pd.Series, discount: pd.Series) -> pd.Series:
+        return price * (1.0 - discount)
+
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        net_price("l_extendedprice", "l_discount").alias("net"),
+    )
+
+
+@register(
+    "j_pandas_udaf",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(l_discount * l_quantity) / sum(l_quantity), 4) AS wavg_disc
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def j_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Grouped-agg pandas UDF (Series -> scalar inside .agg).
+    @F.pandas_udf("double")
+    def wavg(discount: pd.Series, qty: pd.Series) -> float:
+        return float((discount * qty).sum() / qty.sum())
+
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(wavg("l_discount", "l_quantity"), 4).alias("wavg_disc")
+    )
+
+
+@register(
+    "j_grouped_map",
+    oracle="""
+    SELECT o_orderkey, round((o_totalprice - m) / sd, 4) AS z FROM (
+      SELECT o_orderkey, o_totalprice,
+             avg(o_totalprice) OVER (PARTITION BY o_custkey) AS m,
+             stddev_samp(o_totalprice) OVER (PARTITION BY o_custkey) AS sd,
+             count(*) OVER (PARTITION BY o_custkey) AS n
+      FROM orders)
+    WHERE n >= 2 AND sd > 0
+    """,
+)
+def j_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Grouped-map applyInPandas: per-customer z-score of order price.
+    # Single-order customers (sd undefined) are dropped on both sides so no
+    # NaN-vs-NULL hash ambiguity exists.
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"o_orderkey": [], "z": []})
+        sd = pdf["o_totalprice"].std(ddof=1)
+        if not sd > 0:
+            return pd.DataFrame({"o_orderkey": [], "z": []})
+        z = (pdf["o_totalprice"] - pdf["o_totalprice"].mean()) / sd
+        return pd.DataFrame({"o_orderkey": pdf["o_orderkey"], "z": z})
+
+    o = load(spark, sf_dir, "orders")
+    raw = o.groupBy("o_custkey").applyInPandas(zscore, "o_orderkey long, z double")
+    return raw.select("o_orderkey", F.round("z", 4).alias("z"))
+
+
+@register(
+    "j_map_in_pandas",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+    WHERE l_quantity > 45
+    """,
+)
+def j_map_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Partition-wise iterator transform — the shape used for batch scoring /
+    # model inference at scale (one Arrow batch in, one out, bounded memory).
+    def keep_bulk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[pdf["l_quantity"] > 45]
+            yield out[["l_orderkey", "l_linenumber", "l_quantity"]]
+
+    li = load(spark, sf_dir, "lineitem")
+    return li.mapInPandas(
+        keep_bulk, "l_orderkey long, l_linenumber int, l_quantity double"
+    )
+
+
+@register(
+    "j_udtf",
+    oracle="""
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+           CAST(len(unnest(string_split(text, ' '))) AS INTEGER) AS wlen
+    FROM documents
+    """,
+)
+def j_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Python UDTF (Spark 4.x): one input row -> N output rows, used via
+    # LATERAL join in SQL — the table-function entry point of the engine.
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="word string, wlen int")
+    class SplitWords:
+        def eval(self, text: str):
+            for w in text.split(" "):
+                yield w, len(w)
+
+    spark.udtf.register("dss_split_words", SplitWords)
+    load(spark, sf_dir, "documents").createOrReplaceTempView("dss_docs_udtf")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.word, t.wlen
+        FROM dss_docs_udtf d, LATERAL dss_split_words(d.text) t
+        """
+    )
