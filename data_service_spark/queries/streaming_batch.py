@@ -114,6 +114,126 @@ def i_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_agg(load(spark, sf_dir, "events"))
 
 
+def watermark_windowed_agg(events: DataFrame) -> DataFrame:
+    """10-min watermark + 30-min tumbling window per event_type.
+
+    In batch mode ``withWatermark`` is a declared no-op, so the batch result
+    is the plain windowed aggregate — that is what the driver hashes. The
+    *streaming* semantics (late rows beyond the watermark dropped, windows
+    emitted on close in append mode) are proven in
+    tests/test_streaming.py::test_watermark_drops_late with a controlled
+    file-arrival order, per SURVEY.md §2.I ``i_watermark_late``.
+    """
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "30 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("win_start"), "event_type", "n", "sum_value")
+    )
+
+
+@register(
+    "i_watermark_late",
+    oracle="""
+    SELECT time_bucket(INTERVAL '30 minutes', ts) AS win_start, event_type,
+           count(*) AS n, round(sum(value), 2) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def i_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return watermark_windowed_agg(load(spark, sf_dir, "events"))
+
+
+def funnel_batch(events: DataFrame) -> DataFrame:
+    """Per-user signup→purchase funnel state, batch formulation.
+
+    Stage 0 = never signed up, 1 = signed up, 2 = purchased after signing up;
+    also counts purchases after the first signup. The streaming twin keeps
+    the same state per user in ``applyInPandasWithState``
+    (tests/test_streaming.py::test_stateful_funnel) — SURVEY.md §2.I
+    ``i_stateful``. Batch version is two hash aggregates over the same key
+    (map-side partials keep it one shuffle each at 100 TB).
+    """
+    first_signup = (
+        events.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_signup"))
+    )
+    return (
+        events.join(first_signup, "user_id", "left")
+        .groupBy("user_id")
+        .agg(
+            F.count(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & F.col("first_signup").isNotNull()
+                    & (F.col("ts") > F.col("first_signup")),
+                    1,
+                )
+            ).alias("purchases_after_signup"),
+            F.max(F.col("first_signup").isNotNull()).alias("signed_up"),
+        )
+        .select(
+            "user_id",
+            "purchases_after_signup",
+            F.when(F.col("purchases_after_signup") > 0, 2)
+            .when(F.col("signed_up"), 1)
+            .otherwise(0)
+            .alias("funnel_stage"),
+        )
+    )
+
+
+@register(
+    "i_stateful",
+    oracle="""
+    WITH su AS (
+      SELECT user_id, min(ts) AS first_signup
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ), agg AS (
+      SELECT e.user_id,
+             count(*) FILTER (WHERE e.event_type = 'purchase'
+                              AND su.first_signup IS NOT NULL
+                              AND e.ts > su.first_signup)
+               AS purchases_after_signup,
+             max(su.first_signup IS NOT NULL) AS signed_up
+      FROM events e LEFT JOIN su ON e.user_id = su.user_id
+      GROUP BY e.user_id
+    )
+    SELECT user_id, purchases_after_signup,
+           CASE WHEN purchases_after_signup > 0 THEN 2
+                WHEN signed_up THEN 1 ELSE 0 END AS funnel_stage
+    FROM agg
+    """,
+)
+def i_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return funnel_batch(load(spark, sf_dir, "events"))
+
+
+def sink_agg(events: DataFrame) -> DataFrame:
+    """Global per-type rollup — the aggregate the foreachBatch sink converges
+    to in complete output mode (tests/test_streaming.py::test_foreach_batch
+    proves the streaming sink path; SURVEY.md §2.I ``i_stream_sink``)."""
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+@register(
+    "i_stream_sink",
+    oracle="""
+    SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def i_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sink_agg(load(spark, sf_dir, "events"))
+
+
 def dedup_keys_agg(events: DataFrame) -> DataFrame:
     """Exact dedup on (user_id, event_type) keeping the earliest event.
 
