@@ -90,12 +90,14 @@ def session_agg(events: DataFrame) -> DataFrame:
     "i_session",
     oracle="""
     -- Gaps-and-islands twin of Spark's session_window semantics: an event
-    -- starts a new session when it is >= 30 minutes after the previous one
-    -- (Spark sessions are [first, last+gap) half-open).
+    -- starts a new session only when it is STRICTLY more than the gap after
+    -- the previous one — Spark merges windows that touch at the boundary
+    -- (verified: events at 9:29 and 9:59 with a 30-min gap share a session;
+    -- tests/test_operators.py::test_session_gap_boundary).
     WITH flagged AS (
       SELECT user_id, ts, value,
              CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                       >= INTERVAL '30 minutes'
+                       > INTERVAL '30 minutes'
                   OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                   THEN 1 ELSE 0 END AS is_new
       FROM events

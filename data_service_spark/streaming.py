@@ -1,0 +1,137 @@
+"""Structured Streaming twins of the §2.I batch operators.
+
+Contract (SURVEY.md §2.I): every streaming operator exists twice-for-once —
+the batch formulation in ``queries/streaming_batch.py`` (what the driver's
+DuckDB oracle hashes) and the streaming path here, proven equivalent by
+``tests/test_streaming.py`` with a file source + ``availableNow`` trigger
+(the only deterministic drain, SURVEY.md §7.4.8).
+
+Scale notes: a file/Kafka source partitions by input split; the windowed
+aggregates shuffle once on (window, key); watermarks bound state so a
+100 TB/day stream holds only the open windows per key in the state store.
+The stateful funnel keeps O(1) state per user (two scalars), the shape that
+survives hundreds of millions of keys with RocksDB state backend.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+EVENTS_DDL = (
+    "event_id long, ts timestamp, user_id long, "
+    "event_type string, value double, props string"
+)
+
+
+def read_event_stream(
+    spark: SparkSession, path: str, one_file_per_batch: bool = False
+) -> DataFrame:
+    """File-source stream over parquet event files (schema fixed up front —
+    streaming sources never infer). ``one_file_per_batch`` gives tests
+    deterministic micro-batch boundaries (files ordered by mtime)."""
+    reader = spark.readStream.schema(EVENTS_DDL)
+    if one_file_per_batch:
+        reader = reader.option("maxFilesPerTrigger", 1)
+    return reader.parquet(path)
+
+
+def drain_available_now(
+    sdf: DataFrame, output_mode: str = "append"
+) -> list[pd.DataFrame]:
+    """Run a streaming DataFrame to completion with ``availableNow`` and a
+    ``foreachBatch`` collector; returns one pandas frame per micro-batch.
+    This is the pytest-facing sink; production would point ``writeStream``
+    at parquet/Kafka with the same plan."""
+    batches: list[pd.DataFrame] = []
+
+    def collect(batch_df: DataFrame, _epoch: int) -> None:
+        batches.append(batch_df.toPandas())
+
+    q = (
+        sdf.writeStream.outputMode(output_mode)
+        .foreachBatch(collect)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return batches
+
+
+def funnel_stream(events: DataFrame) -> DataFrame:
+    """Streaming twin of ``streaming_batch.funnel_batch``: per-user
+    signup→purchase funnel kept as explicit state in
+    ``applyInPandasWithState``.
+
+    State per user is (first_signup_us, purchases_after_signup) — two
+    scalars, updated per micro-batch in event-time order; each batch emits
+    the user's current funnel row (update semantics). Equivalence with the
+    batch twin holds when batches arrive in event-time order, which is the
+    at-most-once-late regime watermarks enforce; the pytest harness feeds
+    time-ordered files.
+    """
+
+    def update(
+        key: tuple[int],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            first_signup_us, purchases = state.get
+        else:
+            first_signup_us, purchases = None, 0
+        for pdf in pdfs:
+            for _, row in pdf.sort_values("ts").iterrows():
+                ts_us = row["ts"].value // 1000
+                et = row["event_type"]
+                if et == "signup":
+                    if first_signup_us is None or ts_us < first_signup_us:
+                        first_signup_us = ts_us
+                elif (
+                    et == "purchase"
+                    and first_signup_us is not None
+                    and ts_us > first_signup_us
+                ):
+                    purchases += 1
+        state.update((first_signup_us, purchases))
+        stage = 2 if purchases > 0 else (1 if first_signup_us is not None else 0)
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "purchases_after_signup": [purchases],
+                "funnel_stage": [stage],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, purchases_after_signup long, funnel_stage int",
+        stateStructType="first_signup_us long, purchases long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def dedup_stream(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Streaming twin of ``i_dedup_keys``: first event per (user_id,
+    event_type) within the watermark horizon. State = one row per seen key,
+    expired past the watermark."""
+    return events.withWatermark("ts", watermark).dropDuplicates(
+        ["user_id", "event_type"]
+    )
+
+
+def last_rows_per_key(
+    batches: list[pd.DataFrame], key: str
+) -> dict[Any, pd.Series]:
+    """Fold update-mode micro-batch outputs to the final row per key."""
+    final: dict[Any, pd.Series] = {}
+    for pdf in batches:
+        for _, row in pdf.iterrows():
+            final[row[key]] = row
+    return final

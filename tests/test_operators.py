@@ -1,0 +1,117 @@
+"""Unit tests on tiny inline DataFrames — null/edge semantics the corpus
+can't exercise (it has no nulls, SURVEY.md §1.3), plus hand-computed
+expectations for the custom idioms (as-of join, funnel, near-dup)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from data_service_spark.queries.streaming_batch import funnel_batch, session_agg
+
+
+def test_asof_idiom_no_prior_match_keeps_null(spark):
+    # The c_join_asof idiom: left join on key + ts>=t, max(t) per left row.
+    e = spark.createDataFrame(
+        [(1, datetime(2024, 1, 5), 10), (2, datetime(2024, 1, 1), 10),
+         (3, datetime(2024, 1, 5), 99)],
+        "event_id long, ts timestamp, user_id long",
+    )
+    o = spark.createDataFrame(
+        [(10, datetime(2024, 1, 2)), (10, datetime(2024, 1, 4)),
+         (10, datetime(2024, 1, 6))],
+        "o_custkey long, o_orderdate timestamp",
+    )
+    got = {
+        r.event_id: r.last_order
+        for r in e.join(o, (e.user_id == o.o_custkey) & (e.ts >= o.o_orderdate), "left")
+        .groupBy("event_id")
+        .agg(F.max("o_orderdate").alias("last_order"))
+        .collect()
+    }
+    assert got[1] == datetime(2024, 1, 4)  # most recent at-or-before
+    assert got[2] is None  # event before any order
+    assert got[3] is None  # unknown key survives with null (left join)
+
+
+def test_outer_join_manufactures_nulls(spark):
+    a = spark.createDataFrame([(1, "a"), (2, "b")], "k long, va string")
+    b = spark.createDataFrame([(2, "x"), (3, "y")], "k long, vb string")
+    rows = {r.k: (r.va, r.vb) for r in a.join(b, "k", "full").collect()}
+    assert rows == {1: ("a", None), 2: ("b", "x"), 3: (None, "y")}
+
+
+def test_null_safe_equality(spark):
+    df = spark.createDataFrame([(None,), (1,)], "x int")
+    got = df.select(
+        F.col("x").eqNullSafe(F.lit(None).cast("int")).alias("ns"),
+        (F.col("x") == F.lit(None).cast("int")).alias("plain"),
+    ).collect()
+    assert [r.ns for r in got] == [True, False]  # NULL <=> NULL is TRUE
+    assert [r.plain for r in got] == [None, None]  # NULL = anything is NULL
+
+
+def test_funnel_batch_edges(spark):
+    events = spark.createDataFrame(
+        [
+            # user 1: purchase exactly AT signup ts — not "after", stage 1.
+            (1, datetime(2024, 1, 1, 9, 0), 1, "signup", 0.0, "{}"),
+            (2, datetime(2024, 1, 1, 9, 0), 1, "purchase", 0.0, "{}"),
+            # user 2: purchase only, never signed up → stage 0.
+            (3, datetime(2024, 1, 1, 9, 0), 2, "purchase", 0.0, "{}"),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    got = {r.user_id: (r.funnel_stage, r.purchases_after_signup)
+           for r in funnel_batch(events).collect()}
+    assert got == {1: (1, 0), 2: (0, 0)}
+
+
+def test_session_gap_boundary(spark):
+    # Spark merges session windows that TOUCH: an event exactly `gap` after
+    # the previous one stays in the same session; only a strictly larger gap
+    # splits. The i_session DuckDB oracle mirrors this with `>` (not `>=`).
+    base = [
+        (1, datetime(2024, 1, 1, 9, 0), 1, "view", 1.0, "{}"),
+        (2, datetime(2024, 1, 1, 9, 29), 1, "view", 1.0, "{}"),
+        (3, datetime(2024, 1, 1, 9, 59), 1, "view", 1.0, "{}"),  # exactly 30min after #2
+        (4, datetime(2024, 1, 1, 10, 29, 0, 1), 1, "view", 1.0, "{}"),  # 30min+1µs
+    ]
+    schema = ("event_id long, ts timestamp, user_id long, event_type string, "
+              "value double, props string")
+    rows = session_agg(spark.createDataFrame(base, schema)).collect()
+    assert sorted(r.n_events for r in rows) == [1, 3]
+
+
+def test_dedup_exact_idempotent(spark):
+    # k_dedup_exact semantics: canonicalize → min doc_id per hash; applying
+    # it twice changes nothing (the corpus has no dupes, so manufacture them).
+    docs = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello  world"), (3, "other text")],
+        "doc_id long, text string",
+    )
+
+    def dedup(df):
+        return (
+            df.withColumn("h", F.md5(F.lower(F.trim(F.col("text")))))
+            .groupBy("h")
+            .agg(F.min("doc_id").alias("doc_id"))
+            .drop("h")
+        )
+
+    once = dedup(docs)
+    survivors = {r.doc_id for r in once.collect()}
+    assert survivors == {1, 3}
+    again = dedup(
+        docs.join(once, "doc_id", "left_semi")
+    )
+    assert {r.doc_id for r in again.collect()} == survivors
+
+
+def test_topk_prefix_property(spark):
+    df = spark.createDataFrame([(i, (i * 37) % 101) for i in range(200)], "k long, v long")
+    top5 = [(r.v, r.k) for r in df.orderBy(F.desc("v"), "k").limit(5).collect()]
+    top10 = [(r.v, r.k) for r in df.orderBy(F.desc("v"), "k").limit(10).collect()]
+    assert top10[:5] == top5  # topk(k) is a prefix of topk(k+n) with total order

@@ -1,0 +1,69 @@
+"""Plan-shape golden tests (SURVEY.md §5.3): assert the optimizations that
+matter at 100 TB actually appear in the physical plan — pushdown, pruning,
+broadcast — so a refactor can't silently regress them."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from data_service_spark.registry import QUERIES, load_all
+
+load_all()
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_filter_pushdown_reaches_parquet(spark, sf_dir):
+    plan = plan_of(QUERIES["a_scan_filter_pushdown"](spark, sf_dir))
+    assert "PushedFilters: [" in plan
+    assert "l_shipdate" in plan.split("PushedFilters:")[1].splitlines()[0]
+
+
+def test_column_pruning_reaches_parquet(spark, sf_dir):
+    plan = plan_of(QUERIES["a_scan_prune"](spark, sf_dir))
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    for col in ("l_orderkey", "l_quantity", "l_shipdate"):
+        assert col in read_schema
+    # Pruned: none of the wide columns survive to the scan.
+    assert "l_comment" not in read_schema and "l_extendedprice" not in read_schema
+
+
+def test_broadcast_join_is_broadcast(spark, sf_dir):
+    plan = plan_of(QUERIES["c_join_broadcast"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_multiway_join_broadcasts_small_dims(spark, sf_dir):
+    # nation/region are tiny at any SF — Catalyst must broadcast them rather
+    # than shuffle lineitem for every dimension hop.
+    plan = plan_of(QUERIES["c_join_multiway"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_interval_join_is_hash_not_nested_loop(spark, sf_dir):
+    # Equi-key + range predicate must plan as a hash join (range applied as
+    # post-join condition), never a nested-loop over both sides.
+    plan = plan_of(QUERIES["c_join_interval"](spark, sf_dir))
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_agg_has_partial_aggregation(spark, sf_dir):
+    # Map-side partial agg is what keeps a 100 TB groupBy to one shuffle of
+    # partial states rather than raw rows.
+    plan = plan_of(QUERIES["d_agg_groupby"](spark, sf_dir))
+    assert "partial_" in plan  # e.g. partial_sum / partial_count
+    # Formatted mode prints each node once in the tree and once as a
+    # "(n) Exchange" detail block — count the detail headers.
+    assert plan.count(") Exchange") <= 1
+
+
+def test_whole_stage_codegen_covers_scan_filter(spark, sf_dir):
+    plan = plan_of(QUERIES["b_filter_compound"](spark, sf_dir), "simple")
+    # Simple mode marks codegen'd operators with a "*(stageId)" prefix.
+    assert "*(1) Filter" in plan and "*(1) Project" in plan

@@ -1,0 +1,61 @@
+"""Contract tests for the driver-facing registry: full §2 inventory, stable
+keys, resolvable oracles."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from data_service_spark.registry import ORACLES, QUERIES, load_all
+
+load_all()
+
+DECLARED = """
+a_scan_parquet a_scan_prune a_scan_filter_pushdown a_sink_parquet_roundtrip
+a_sink_partitioned a_sink_csv_json
+b_project_arith b_filter_simple b_filter_compound b_filter_like
+b_filter_null_semantics b_distinct
+c_join_inner c_join_multiway c_join_broadcast c_join_left c_join_right
+c_join_full c_join_semi c_join_anti c_join_cross c_join_theta_band
+c_join_interval c_join_asof
+d_agg_global d_agg_groupby d_agg_having d_agg_distinct d_agg_multi_distinct
+d_agg_rollup d_agg_cube d_agg_grouping_sets d_agg_stats d_agg_percentile
+d_agg_conditional d_agg_minmax_by d_agg_approx d_agg_collect
+e_win_rank e_win_lag_lead e_win_running e_win_sliding_rows e_win_range_frame
+e_win_distribution e_win_first_last
+f_sort_verify f_topk f_topk_per_group f_offset
+g_union_all g_union_distinct g_intersect g_except
+h_str_basic h_str_regex h_date_funcs h_math_funcs h_cond_funcs h_cast
+h_array_funcs h_map_json h_explode h_struct
+i_tumbling i_sliding i_session i_dedup_keys i_watermark_late i_stateful
+i_stream_sink
+j_udf_scalar j_pandas_udf_scalar j_pandas_udaf j_grouped_map j_map_in_pandas
+j_udtf
+k_dedup_exact k_dedup_near k_sim_topk k_sim_threshold k_sim_ann
+k_text_tokens k_text_tfidf k_text_stats k_multimodal_join k_cluster_assign
+""".split()
+
+
+def test_full_inventory_registered():
+    assert set(QUERIES) == set(DECLARED), (
+        sorted(set(DECLARED) - set(QUERIES)),
+        sorted(set(QUERIES) - set(DECLARED)),
+    )
+
+
+def test_rows_only_keys_are_the_declared_ones():
+    assert set(QUERIES) - set(ORACLES) == {"d_agg_approx", "k_sim_ann"}
+
+
+@pytest.mark.parametrize("key", sorted(ORACLES))
+def test_oracle_sql_parses_in_duckdb(key):
+    con = duckdb.connect()
+    sf = "/root/testdata/sf0.001"
+    for t in ("region nation customer supplier part orders lineitem "
+              "events documents embeddings").split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+        )
+    # PREPARE-style validation: plan it with LIMIT 0 (cheap, catches dialect
+    # errors without running the full query).
+    con.execute(f"SELECT * FROM ({ORACLES[key]}) q LIMIT 0")

@@ -1,0 +1,201 @@
+"""Structured Streaming proofs for the §2.I operators.
+
+The driver hashes the *batch* twins; these tests prove the *streaming* path
+computes the same thing: file source → windowed/stateful op → foreachBatch
+sink, drained with availableNow (deterministic per SURVEY.md §7.4.8).
+Watermark and stateful semantics (arrival-order dependent) use hand-built
+file sequences with controlled mtimes so micro-batch order is fixed.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pytest
+
+from data_service_spark.io import load
+from data_service_spark.queries.streaming_batch import (
+    dedup_keys_agg,
+    funnel_batch,
+    session_agg,
+    sink_agg,
+    tumbling_agg,
+)
+from data_service_spark.streaming import (
+    dedup_stream,
+    drain_available_now,
+    funnel_stream,
+    last_rows_per_key,
+    read_event_stream,
+)
+
+TS = pd.Timestamp
+
+
+def write_event_files(spark, path: str, *file_rows: list[dict]) -> None:
+    """Write each row-list as one parquet file with strictly increasing
+    mtimes so the file source replays them in order."""
+    os.makedirs(path, exist_ok=True)
+    for i, rows in enumerate(file_rows):
+        pdf = pd.DataFrame(rows)
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        fpath = os.path.join(path, f"batch_{i:03d}.parquet")
+        # µs precision: Spark 4 rejects parquet TIMESTAMP(NANOS) outright.
+        pdf.to_parquet(fpath, index=False, coerce_timestamps="us")
+        os.utime(fpath, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+
+
+def ev(eid, ts, uid, et="view", value=1.0):
+    return {
+        "event_id": eid,
+        "ts": ts,
+        "user_id": uid,
+        "event_type": et,
+        "value": value,
+        "props": "{}",
+    }
+
+
+def corpus_stream_dir(spark, sf_dir, tmp_path_factory) -> str:
+    """sf0.001 events re-written as a clean µs-timestamp parquet stream dir."""
+    d = str(tmp_path_factory.mktemp("events_stream"))
+    load(spark, sf_dir, "events").coalesce(4).write.mode("overwrite").parquet(d)
+    return d
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, sf_dir, tmp_path_factory) -> str:
+    return corpus_stream_dir(spark, sf_dir, tmp_path_factory)
+
+
+def assert_frames_match(actual: pd.DataFrame, expected: pd.DataFrame, keys):
+    a = actual.sort_values(keys).reset_index(drop=True)
+    e = expected.sort_values(keys).reset_index(drop=True)
+    assert list(a.columns) == list(e.columns)
+    pd.testing.assert_frame_equal(a, e, check_dtype=False, atol=1e-6)
+
+
+def test_tumbling_stream_matches_batch(spark, sf_dir, events_dir):
+    sdf = tumbling_agg(read_event_stream(spark, events_dir))
+    batches = drain_available_now(sdf, output_mode="complete")
+    final = batches[-1]
+    expected = tumbling_agg(load(spark, sf_dir, "events")).toPandas()
+    assert_frames_match(final, expected, ["bucket_start", "event_type"])
+
+
+def test_session_stream_matches_batch(spark, sf_dir, events_dir):
+    sdf = session_agg(read_event_stream(spark, events_dir))
+    batches = drain_available_now(sdf, output_mode="complete")
+    expected = session_agg(load(spark, sf_dir, "events")).toPandas()
+    assert_frames_match(batches[-1], expected, ["user_id", "session_start"])
+
+
+def test_foreach_batch_sink_converges(spark, sf_dir, events_dir):
+    # i_stream_sink: complete-mode agg through foreachBatch converges to the
+    # batch rollup once all files are consumed.
+    sdf = sink_agg(read_event_stream(spark, events_dir))
+    batches = drain_available_now(sdf, output_mode="complete")
+    expected = sink_agg(load(spark, sf_dir, "events")).toPandas()
+    assert_frames_match(batches[-1], expected, ["event_type"])
+
+
+def test_dedup_stream_keys_match_batch(spark, tmp_path):
+    d = str(tmp_path / "dedup")
+    write_event_files(
+        spark,
+        d,
+        [ev(1, "2024-01-01 10:00", 1, "view"), ev(2, "2024-01-01 10:01", 1, "view")],
+        [ev(3, "2024-01-01 10:02", 1, "click"), ev(4, "2024-01-01 10:03", 1, "view")],
+    )
+    sdf = dedup_stream(read_event_stream(spark, d, one_file_per_batch=True))
+    batches = drain_available_now(sdf, output_mode="append")
+    got = pd.concat(batches, ignore_index=True)
+    # One survivor per key, and it is the FIRST arrival (event_id 1 and 3).
+    assert sorted(zip(got["user_id"], got["event_type"])) == [
+        (1, "click"),
+        (1, "view"),
+    ]
+    assert sorted(got["event_id"]) == [1, 3]
+    # Same key set as the batch twin.
+    events = spark.createDataFrame(
+        [(r.event_id, r.ts, r.user_id, r.event_type, r.value, r.props)
+         for r in spark.read.parquet(d).collect()],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    batch_keys = {
+        (r.user_id, r.event_type) for r in dedup_keys_agg(events).collect()
+    }
+    assert set(zip(got["user_id"], got["event_type"])) == batch_keys
+
+
+def test_watermark_drops_late(spark, tmp_path):
+    """i_watermark_late: a row older than the watermark must not reach the
+    closed window's aggregate (append mode emits a window once, on close).
+
+    Spark ≥3.4 keeps TWO watermarks per batch: late-input filtering uses the
+    watermark committed after batch N-2, state eviction the one after N-1 —
+    so the late row must arrive ≥2 batches after the event that advanced the
+    watermark past it.
+    """
+    d = str(tmp_path / "late")
+    write_event_files(
+        spark,
+        d,
+        # Window [10:00, 10:30): two on-time rows.
+        [ev(1, "2024-01-01 10:00", 1, value=1.0), ev(2, "2024-01-01 10:10", 1, value=2.0)],
+        # Advances the committed watermark to 11:50.
+        [ev(3, "2024-01-01 12:00", 1, value=4.0)],
+        # Batch 2: late-filter watermark now 11:50 → closes+emits the 10:00
+        # window (n=2) and arms the filter for the next batch.
+        [ev(4, "2024-01-01 12:05", 1, value=8.0)],
+        # Late by ~1h45m against the 11:50 watermark → must be dropped, and
+        # the already-closed 10:00 window must NOT re-emit.
+        [ev(5, "2024-01-01 10:05", 1, value=99.0)],
+    )
+    from data_service_spark.queries.streaming_batch import watermark_windowed_agg
+
+    sdf = watermark_windowed_agg(read_event_stream(spark, d, one_file_per_batch=True))
+    batches = drain_available_now(sdf, output_mode="append")
+    got = pd.concat(batches, ignore_index=True) if batches else pd.DataFrame()
+    closed = got[got["win_start"] == TS("2024-01-01 10:00")]
+    assert len(closed) == 1, f"expected exactly one closed-window row, got:\n{got}"
+    assert int(closed.iloc[0]["n"]) == 2  # late event_id=5 excluded
+    assert abs(closed.iloc[0]["sum_value"] - 3.0) < 1e-9  # 1.0+2.0, not +99
+
+
+def test_stateful_funnel(spark, tmp_path, sf_dir):
+    """i_stateful: applyInPandasWithState funnel over time-ordered batches
+    converges to the batch-twin result."""
+    d = str(tmp_path / "funnel")
+    write_event_files(
+        spark,
+        d,
+        [
+            ev(1, "2024-01-01 09:00", 1, "view"),
+            ev(2, "2024-01-01 09:05", 1, "signup"),
+            ev(3, "2024-01-01 09:00", 2, "purchase"),  # purchase before signup
+        ],
+        [
+            ev(4, "2024-01-01 10:00", 1, "purchase"),
+            ev(5, "2024-01-01 10:05", 2, "signup"),
+            ev(6, "2024-01-01 10:10", 3, "view"),
+        ],
+        [ev(7, "2024-01-01 11:00", 2, "purchase")],
+    )
+    sdf = funnel_stream(read_event_stream(spark, d, one_file_per_batch=True))
+    batches = drain_available_now(sdf, output_mode="update")
+    final = last_rows_per_key(batches, "user_id")
+    # user 1: signup then purchase → stage 2, 1 purchase after signup
+    assert final[1]["funnel_stage"] == 2 and final[1]["purchases_after_signup"] == 1
+    # user 2: pre-signup purchase ignored, post-signup purchase counts → 2/1
+    assert final[2]["funnel_stage"] == 2 and final[2]["purchases_after_signup"] == 1
+    # user 3: never signed up → stage 0
+    assert final[3]["funnel_stage"] == 0 and final[3]["purchases_after_signup"] == 0
+    # Batch twin agrees on every user.
+    events = spark.read.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ).parquet(d)
+    for r in funnel_batch(events).collect():
+        assert final[r.user_id]["funnel_stage"] == r.funnel_stage, r
+        assert final[r.user_id]["purchases_after_signup"] == r.purchases_after_signup, r
