@@ -1,0 +1,162 @@
+"""SQL-over-HTTP service layer — reference parity (SURVEY.md §7.6).
+
+The reference's defining surface beyond Spark SQL itself is a REST-fronted
+multi-source SQL service. The PySpark-native equivalent is one long-lived
+SparkSession behind a thin HTTP app:
+
+    POST /sql    {"sql": "...", "limit": 1000}  → {"columns": [...], "rows": [[...]]}
+    GET  /tables                                → {"tables": [...]}
+    GET  /health                                → {"status": "ok"}
+
+Stdlib-only (ThreadingHTTPServer) so the service runs in any environment
+that has PySpark — no web-framework dependency. Row limits are enforced
+with ``df.limit(n)`` BEFORE collect, so the driver never materializes an
+unbounded result; at cluster scale the session is the gateway's and
+executors do all heavy lifting.
+
+Source registration mirrors the reference's multi-source model: any
+DataSource V2 format (parquet/csv/json/orc/jdbc/kafka) declared as a dict
+config becomes a temp view. Connector recipes that need external services
+(JDBC/Kafka/Hive) are config-only here — see ``sources.py``.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from datetime import date, datetime
+from decimal import Decimal
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any
+
+from pyspark.sql import SparkSession
+
+from data_service_spark.io import TABLES, register_temp_views
+
+MAX_ROWS = 10_000  # hard cap per request; pagination is the client's job
+
+
+def _json_cell(v: Any) -> Any:
+    if isinstance(v, (datetime, date)):
+        return v.isoformat()
+    if isinstance(v, Decimal):
+        return float(v)
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, (list, tuple)):
+        return [_json_cell(x) for x in v]
+    if hasattr(v, "asDict"):  # Row / struct
+        return {k: _json_cell(x) for k, x in v.asDict().items()}
+    return v
+
+
+class SqlEngine:
+    """Owns the SparkSession and executes SQL texts against registered views.
+
+    ``spark.sql`` runs the full Catalyst path (parse → analyze → optimize →
+    plan → AQE execute); results are truncated with ``limit`` inside the
+    plan, not after collect.
+    """
+
+    def __init__(self, spark: SparkSession, sf_dir: str | None = None):
+        self.spark = spark
+        if sf_dir is not None:
+            register_temp_views(spark, sf_dir)
+
+    def register_source(self, name: str, fmt: str, path: str | None = None,
+                        options: dict[str, str] | None = None) -> None:
+        reader = self.spark.read.format(fmt)
+        for k, v in (options or {}).items():
+            reader = reader.option(k, v)
+        df = reader.load(path) if path else reader.load()
+        df.createOrReplaceTempView(name)
+
+    def tables(self) -> list[str]:
+        return [t.name for t in self.spark.catalog.listTables()]
+
+    def sql(self, sql_text: str, limit: int = 1000) -> dict[str, Any]:
+        limit = max(1, min(int(limit), MAX_ROWS))
+        df = self.spark.sql(sql_text).limit(limit)
+        rows = df.collect()
+        return {
+            "columns": df.columns,
+            "rows": [[_json_cell(v) for v in row] for row in rows],
+            "row_count": len(rows),
+            "truncated_at": limit,
+        }
+
+
+def make_handler(engine: SqlEngine) -> type[BaseHTTPRequestHandler]:
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *_args) -> None:  # quiet test runs
+            pass
+
+        def _send(self, code: int, payload: dict) -> None:
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self) -> None:
+            if self.path == "/health":
+                self._send(200, {"status": "ok"})
+            elif self.path == "/tables":
+                self._send(200, {"tables": engine.tables()})
+            else:
+                self._send(404, {"error": f"no route {self.path}"})
+
+        def do_POST(self) -> None:
+            if self.path != "/sql":
+                self._send(404, {"error": f"no route {self.path}"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(n) or b"{}")
+                result = engine.sql(req["sql"], req.get("limit", 1000))
+                self._send(200, result)
+            except KeyError:
+                self._send(400, {"error": "missing required field 'sql'"})
+            except Exception as exc:  # analysis/parse errors → client fault
+                self._send(400, {"error": f"{type(exc).__name__}: {exc}"})
+
+    return Handler
+
+
+class SqlService:
+    """Threaded HTTP server wrapper; ``start()`` returns the bound port."""
+
+    def __init__(self, engine: SqlEngine, host: str = "127.0.0.1", port: int = 0):
+        self._server = ThreadingHTTPServer((host, port), make_handler(engine))
+        self._thread = threading.Thread(target=self._server.serve_forever, daemon=True)
+
+    @property
+    def port(self) -> int:
+        return self._server.server_address[1]
+
+    def start(self) -> int:
+        self._thread.start()
+        return self.port
+
+    def stop(self) -> None:
+        self._server.shutdown()
+        self._server.server_close()
+
+
+def main() -> None:
+    """Entry point: serve the corpus at $SPARK_GRAFT_SF_DIR on :8080."""
+    import os
+
+    from data_service_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    engine = SqlEngine(get_spark("sql-service"), sf_dir)
+    service = SqlService(engine, port=int(os.environ.get("PORT", "8080")))
+    port = service.start()
+    print(f"serving {len(TABLES)} tables on :{port}")
+    threading.Event().wait()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,78 @@
+"""Multi-source connectors — the reference's "integrating multiple data
+sources" surface, expressed as DataSource V2 reader/writer configs.
+
+File formats (parquet/csv/json/orc) work anywhere and are exercised by the
+a_sink_* keys and tests. Service-backed connectors (JDBC/Kafka/Hive) have
+no live endpoints in this sandbox, so they are config recipes validated for
+*shape* only: ``build_reader`` constructs the reader without triggering a
+connection (Spark connects lazily on action), and tests assert the plumbing
+raises cleanly when the endpoint is absent.
+
+At 100 TB the connector choices that matter:
+- JDBC: always set partitionColumn/lowerBound/upperBound/numPartitions —
+  a single-partition JDBC read serializes the whole table through one task.
+- Kafka: one Spark partition per Kafka partition; minPartitions to fan out.
+- files: spark.sql.files.maxPartitionBytes (default 128m) controls split
+  granularity; prefer fewer, larger parquet files with row-group ~128m.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+FILE_FORMATS = {"parquet", "csv", "json", "orc", "text"}
+
+
+def build_reader(spark: SparkSession, cfg: dict[str, Any]):
+    """Build a DataFrameReader from a declarative source config.
+
+    cfg: {"format": ..., "path": ..., "options": {...}, "schema": ddl?}
+    Returns the reader (lazy); call ``.load()`` to materialize.
+    """
+    fmt = cfg["format"]
+    reader = spark.read.format(fmt)
+    if "schema" in cfg:
+        reader = reader.schema(cfg["schema"])
+    for k, v in cfg.get("options", {}).items():
+        reader = reader.option(k, str(v))
+    return reader
+
+
+def load_source(spark: SparkSession, cfg: dict[str, Any]) -> DataFrame:
+    reader = build_reader(spark, cfg)
+    path = cfg.get("path")
+    return reader.load(path) if path else reader.load()
+
+
+def jdbc_config(url: str, table: str, partition_column: str,
+                lower: int, upper: int, num_partitions: int = 32,
+                **options: str) -> dict[str, Any]:
+    """Partitioned-JDBC recipe — the only JDBC shape that scales."""
+    return {
+        "format": "jdbc",
+        "options": {
+            "url": url,
+            "dbtable": table,
+            "partitionColumn": partition_column,
+            "lowerBound": lower,
+            "upperBound": upper,
+            "numPartitions": num_partitions,
+            **options,
+        },
+    }
+
+
+def kafka_config(bootstrap: str, topic: str, starting: str = "earliest",
+                 min_partitions: int | None = None) -> dict[str, Any]:
+    """Kafka batch/stream source recipe (value is binary; pair with
+    ``from_json(CAST(value AS STRING), schema)`` downstream)."""
+    options = {
+        "kafka.bootstrap.servers": bootstrap,
+        "subscribe": topic,
+        "startingOffsets": starting,
+    }
+    if min_partitions:
+        options["minPartitions"] = min_partitions
+    return {"format": "kafka", "options": options}

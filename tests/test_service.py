@@ -1,0 +1,94 @@
+"""SQL-over-HTTP service tests: real socket, real Catalyst path."""
+
+from __future__ import annotations
+
+import json
+import urllib.error
+import urllib.request
+
+import pytest
+
+from data_service_spark.service import SqlEngine, SqlService
+from data_service_spark.sources import build_reader, jdbc_config, kafka_config
+
+
+@pytest.fixture(scope="module")
+def service(spark, sf_dir):
+    svc = SqlService(SqlEngine(spark, sf_dir))
+    svc.start()
+    yield svc
+    svc.stop()
+
+
+def call(svc: SqlService, path: str, payload: dict | None = None) -> dict:
+    url = f"http://127.0.0.1:{svc.port}{path}"
+    if payload is None:
+        req = urllib.request.Request(url)
+    else:
+        req = urllib.request.Request(
+            url, json.dumps(payload).encode(), {"Content-Type": "application/json"}
+        )
+    with urllib.request.urlopen(req, timeout=60) as resp:
+        return json.loads(resp.read())
+
+
+def test_health_and_tables(service):
+    assert call(service, "/health") == {"status": "ok"}
+    assert "lineitem" in call(service, "/tables")["tables"]
+
+
+def test_sql_roundtrip(service):
+    out = call(service, "/sql", {"sql": "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey"})
+    assert out["columns"] == ["r_regionkey", "r_name"]
+    assert out["row_count"] == 5
+    assert out["rows"][0][1] == "AFRICA"
+
+
+def test_sql_join_agg(service):
+    out = call(service, "/sql", {
+        "sql": """SELECT n_name, count(*) AS n FROM customer
+                  JOIN nation ON c_nationkey = n_nationkey
+                  GROUP BY n_name ORDER BY n DESC, n_name""",
+        "limit": 3,
+    })
+    assert out["row_count"] == 3
+    assert all(len(r) == 2 for r in out["rows"])
+
+
+def test_sql_limit_enforced_in_plan(service):
+    out = call(service, "/sql", {"sql": "SELECT * FROM lineitem", "limit": 7})
+    assert out["row_count"] == 7 and out["truncated_at"] == 7
+
+
+def test_sql_timestamp_and_array_serialization(service):
+    out = call(service, "/sql", {
+        "sql": "SELECT ts, event_type FROM events ORDER BY event_id LIMIT 1"})
+    assert "T" in out["rows"][0][0]  # ISO-8601 timestamp
+    out = call(service, "/sql", {
+        "sql": "SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 1"})
+    assert isinstance(out["rows"][0][1], list) and len(out["rows"][0][1]) == 64
+
+
+def test_bad_sql_is_400_not_500(service):
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        call(service, "/sql", {"sql": "SELECT FROM nowhere"})
+    assert ei.value.code == 400
+    body = json.loads(ei.value.read())
+    assert "error" in body
+
+
+def test_missing_sql_field_is_400(service):
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        call(service, "/sql", {})
+    assert ei.value.code == 400
+
+
+def test_connector_configs_build_lazily(spark):
+    # No JDBC/Kafka endpoints exist in the sandbox: the reader must still
+    # CONSTRUCT (lazy), proving the config plumbing; connecting is the only
+    # part that needs a live service.
+    jdbc = jdbc_config("jdbc:postgresql://db:5432/x", "t", "id", 0, 1000)
+    assert build_reader(spark, jdbc) is not None
+    kafka = kafka_config("broker:9092", "events", min_partitions=64)
+    assert build_reader(spark, kafka) is not None
+    assert kafka["options"]["minPartitions"] == 64
