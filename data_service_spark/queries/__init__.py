@@ -13,4 +13,5 @@ from data_service_spark.queries import (  # noqa: F401
     streaming_batch,
     udfs,
     llm,
+    llm_text,
 )

@@ -1,0 +1,356 @@
+"""§2.K extensions — training-data-pipeline text operators.
+
+Beyond the original SURVEY.md §2.K inventory: SimHash near-dup detection,
+language-ID heuristic, quality scoring, document fingerprinting, BPE-ish
+token counting, and multimodal binary-column plumbing. Every key has a
+DuckDB oracle over the same ``documents`` table.
+
+Portability conventions (both engines must compute bit-identical values):
+- token hash = first 8 hex chars of md5 parsed as int — Spark
+  ``conv(hex,16,10)``, DuckDB ``('0x'||hex)::BIGINT`` (verified equal);
+- tokenization is ``split(text, ' ')`` / ``string_split`` (the corpus is
+  single-space delimited);
+- every ratio rounds to 4dp on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_service_spark.io import load
+from data_service_spark.registry import register
+
+# ------------------------------------------------------------- simhash ----
+
+# 32-bit SimHash: per-bit majority vote over token hashes. The bit algebra
+# is generated once and spliced into BOTH dialects (identical text).
+_BIT_VOTES = " + ".join(
+    f"(CASE WHEN sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) > 0 "
+    f"THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    for i in range(32)
+)
+
+_SPARK_TOKEN_HASH = (
+    "CAST(conv(substr(md5(tok), 1, 8), 16, 10) AS BIGINT)"
+)
+_DUCK_TOKEN_HASH = "('0x' || substr(md5(tok), 1, 8))::BIGINT"
+
+
+def _simhash_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id → 32-bit simhash, computed fully in SQL expressions (stays in
+    codegen; one explode + one hash-agg shuffle — linear at 100 TB)."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView("dss_docs_sh")
+    return spark.sql(
+        f"""
+        WITH tok AS (
+          SELECT doc_id, explode(split(text, ' ')) AS tok FROM dss_docs_sh
+        ), hashed AS (
+          SELECT doc_id, {_SPARK_TOKEN_HASH} AS h FROM tok
+        )
+        SELECT doc_id, {_BIT_VOTES} AS simhash FROM hashed GROUP BY doc_id
+        """
+    )
+
+
+@register(
+    "k_dedup_simhash",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), hashed AS (
+      SELECT doc_id, {_DUCK_TOKEN_HASH} AS h FROM tok
+    ), fp AS (
+      SELECT doc_id, {_BIT_VOTES} AS simhash FROM hashed GROUP BY doc_id
+    )
+    SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM fp a JOIN fp b
+      ON a.doc_id < b.doc_id
+     AND bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
+def k_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs at Hamming distance <= 3.
+
+    Candidate generation uses 4-band LSH (8 bits per band): by pigeonhole,
+    any pair within distance 3 agrees exactly on >=1 band, so the banded
+    equi-join finds EVERY qualifying pair — the oracle's brute-force O(n²)
+    join cross-validates completeness. The band join is the 100 TB path:
+    one shuffle on (band_idx, band_value) instead of an all-pairs product.
+    """
+    fp = _simhash_fp(spark, sf_dir)
+    bands = fp.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.shiftrightunsigned(F.col("simhash"), i * 8)
+                    .bitwiseAND(F.lit(255))
+                    .alias("val"),
+                )
+                for i in range(4)
+            ])
+        ).alias("b"),
+    ).select("doc_id", "simhash", F.col("b.band").alias("band"), F.col("b.val").alias("val"))
+    a = bands.select(
+        F.col("doc_id").alias("doc_id_1"), F.col("simhash").alias("sh1"), "band", "val"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_id_2"), F.col("simhash").alias("sh2"), "band", "val"
+    )
+    ham = F.bit_count(F.col("sh1").bitwiseXOR(F.col("sh2")))
+    return (
+        a.join(b, ["band", "val"])
+        .filter(F.col("doc_id_1") < F.col("doc_id_2"))
+        .select("doc_id_1", "doc_id_2", ham.alias("hamming"))
+        .filter(F.col("hamming") <= 3)
+        .distinct()  # a pair can collide in several bands
+    )
+
+
+# -------------------------------------------------------------- langid ----
+
+_LANG_MARKERS = {
+    "en": ("the", "a", "of", "and"),
+    "de": ("der", "die", "das", "und"),
+    "es": ("el", "los", "las", "y"),
+    "fr": ("le", "les", "des", "et"),
+    "zh": ("的", "了", "是", "在"),
+}
+
+
+def _hits(col_words: str, words: tuple[str, ...], filter_fn: str,
+          len_fn: str = "len") -> str:
+    lst = ", ".join(f"'{w}'" for w in words)
+    return f"{len_fn}({filter_fn}({col_words}, w -> w IN ({lst})))"
+
+
+@register(
+    "k_text_langid",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang AS lang_meta,
+             {_hits('string_split(text, chr(32))', _LANG_MARKERS['en'], 'list_filter')} AS h_en,
+             {_hits('string_split(text, chr(32))', _LANG_MARKERS['de'], 'list_filter')} AS h_de,
+             {_hits('string_split(text, chr(32))', _LANG_MARKERS['es'], 'list_filter')} AS h_es,
+             {_hits('string_split(text, chr(32))', _LANG_MARKERS['fr'], 'list_filter')} AS h_fr,
+             {_hits('string_split(text, chr(32))', _LANG_MARKERS['zh'], 'list_filter')} AS h_zh,
+             len(string_split(text, chr(32))) AS n_tok
+      FROM documents
+    )
+    SELECT doc_id, lang_meta,
+           CASE WHEN h_en + h_de + h_es + h_fr + h_zh = 0 THEN 'unknown'
+                WHEN h_en >= h_de AND h_en >= h_es AND h_en >= h_fr AND h_en >= h_zh THEN 'en'
+                WHEN h_de >= h_es AND h_de >= h_fr AND h_de >= h_zh THEN 'de'
+                WHEN h_es >= h_fr AND h_es >= h_zh THEN 'es'
+                WHEN h_fr >= h_zh THEN 'fr'
+                ELSE 'zh' END AS pred_lang,
+           round((h_en + h_de + h_es + h_fr + h_zh) * 1.0 / n_tok, 4) AS marker_ratio
+    FROM scored
+    """,
+)
+def k_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language ID (stopword-hit argmax with a fixed tie-break
+    ladder). One projection — no shuffle; the CASE ladder is identical text
+    in both dialects so ties resolve identically."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView("dss_docs_lid")
+    selects = ",\n".join(
+        f"{_hits('split(text, chr(32))', ws, 'filter', 'size')} AS h_{lang}"
+        for lang, ws in _LANG_MARKERS.items()
+    )
+    return spark.sql(
+        f"""
+        WITH scored AS (
+          SELECT doc_id, lang AS lang_meta, {selects},
+                 size(split(text, chr(32))) AS n_tok
+          FROM dss_docs_lid
+        )
+        SELECT doc_id, lang_meta,
+               CASE WHEN h_en + h_de + h_es + h_fr + h_zh = 0 THEN 'unknown'
+                    WHEN h_en >= h_de AND h_en >= h_es AND h_en >= h_fr AND h_en >= h_zh THEN 'en'
+                    WHEN h_de >= h_es AND h_de >= h_fr AND h_de >= h_zh THEN 'de'
+                    WHEN h_es >= h_fr AND h_es >= h_zh THEN 'es'
+                    WHEN h_fr >= h_zh THEN 'fr'
+                    ELSE 'zh' END AS pred_lang,
+               round((h_en + h_de + h_es + h_fr + h_zh) * 1.0 / n_tok, 4) AS marker_ratio
+        FROM scored
+        """
+    )
+
+
+# ------------------------------------------------------------- quality ----
+
+
+@register(
+    "k_text_quality",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             length(text) AS n_chars_m,
+             len(string_split(text, chr(32))) AS n_tokens,
+             length(replace(text, chr(32), '')) AS n_nonspace,
+             len(list_filter(string_split(text, chr(32)),
+                             w -> w IN ('a', 'the', 'of', 'and'))) AS n_stop
+      FROM documents
+    )
+    SELECT doc_id, n_chars_m, n_tokens,
+           round(n_nonspace * 1.0 / n_tokens, 4) AS avg_token_len,
+           round(n_stop * 1.0 / n_tokens, 4) AS stop_ratio,
+           CASE WHEN n_tokens >= 50 AND n_stop * 1.0 / n_tokens BETWEEN 0.01 AND 0.5
+                THEN 'high'
+                WHEN n_tokens >= 20 THEN 'mid' ELSE 'low' END AS quality
+    FROM m
+    """,
+)
+def k_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score: token count, mean token length, stopword
+    ratio → high/mid/low tier. Pure projection (codegen, no shuffle) — the
+    shape of a 100 TB corpus-filter pass."""
+    d = load(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    n_tokens = F.size(words)
+    n_stop = F.size(
+        F.filter(words, lambda w: w.isin("a", "the", "of", "and"))
+    )
+    n_nonspace = F.length(F.regexp_replace("text", " ", ""))
+    stop_ratio = n_stop * F.lit(1.0) / n_tokens
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars_m"),
+        n_tokens.alias("n_tokens"),
+        F.round(n_nonspace * 1.0 / n_tokens, 4).alias("avg_token_len"),
+        F.round(stop_ratio, 4).alias("stop_ratio"),
+        F.when(
+            (n_tokens >= 50) & (stop_ratio >= 0.01) & (stop_ratio <= 0.5), "high"
+        )
+        .when(n_tokens >= 20, "mid")
+        .otherwise("low")
+        .alias("quality"),
+    )
+
+
+# --------------------------------------------------------- fingerprint ----
+
+
+@register(
+    "k_text_fingerprint",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split(text, chr(32)) AS words FROM documents
+      WHERE len(string_split(text, chr(32))) >= 4
+    ), sh AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, len(words) - 3),
+                            i -> md5(array_to_string(words[i:i+3], chr(32)))) AS hashes
+      FROM w
+    )
+    SELECT doc_id,
+           list_aggregate(hashes, 'min') AS fp_min,
+           list_aggregate(hashes, 'max') AS fp_max,
+           len(list_distinct(hashes)) AS n_distinct
+    FROM sh
+    """,
+)
+def k_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprint: md5 over every 4-word window;
+    keep the min/max hash (winnowing-style representatives) + distinct
+    window count. Map-only — each doc's fingerprint is computed where the
+    doc lives, the 100 TB-friendly shape (contrast with shingle JOINS,
+    which k_dedup_near covers)."""
+    d = load(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    # words[i:i+3] in DuckDB is INCLUSIVE of both ends → a 4-word window.
+    hashes = F.expr(
+        "transform(sequence(1, size(split(text, ' ')) - 3), "
+        "i -> md5(concat_ws(' ', slice(split(text, ' '), i, 4))))"
+    )
+    return (
+        d.filter(F.size(words) >= 4)
+        .select(
+            "doc_id",
+            F.array_min(hashes).alias("fp_min"),
+            F.array_max(hashes).alias("fp_max"),
+            F.size(F.array_distinct(hashes)).alias("n_distinct"),
+        )
+    )
+
+
+# --------------------------------------------------------- token count ----
+
+_BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+@register(
+    "k_text_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           len(string_split(text, chr(32))) AS n_ws_tokens,
+           len(regexp_extract_all(text, '{_BPE_RE}')) AS n_bpe_tokens,
+           length(text) AS n_chars_m
+    FROM documents
+    """,
+)
+def k_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace split and a BPE-ish lexer regex
+    (letter runs | digit runs | single punctuation). Projection-only."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(_BPE_RE), 0)).alias(
+            "n_bpe_tokens"
+        ),
+        F.length("text").alias("n_chars_m"),
+    )
+
+
+# ---------------------------------------------------------- multimodal ----
+
+
+@register(
+    "k_multimodal_decode",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           (octet_length(encode(text)) % 640) + 1 AS width,
+           (octet_length(encode(text)) % 480) + 1 AS height,
+           3 AS channels
+    FROM documents
+    """,
+)
+def k_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal-column plumbing: an opaque ``binary`` payload column
+    decoded to typed metadata by an Arrow-batched ``mapInPandas`` stage.
+
+    The decode itself is a STUB (no image libs in this container): a
+    deterministic fake derives width/height from the byte length, standing
+    in for PIL/ffmpeg. Everything Spark-side is real and is what matters at
+    100 TB: binary column through Arrow, iterator-of-batches UDF (bounded
+    memory however large the blobs), typed output schema. Swap the body for
+    a real decoder and nothing else changes.
+    """
+    import pandas as pd
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+
+    def decode(batches):
+        for pdf in batches:
+            n = pdf["payload"].map(len)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": n,
+                    "width": (n % 640) + 1,
+                    "height": (n % 480) + 1,
+                    "channels": 3,
+                }
+            )
+
+    return d.mapInPandas(
+        decode, "doc_id long, n_bytes long, width int, height int, channels int"
+    )

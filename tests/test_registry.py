@@ -33,6 +33,8 @@ j_udf_scalar j_pandas_udf_scalar j_pandas_udaf j_grouped_map j_map_in_pandas
 j_udtf
 k_dedup_exact k_dedup_near k_sim_topk k_sim_threshold k_sim_ann
 k_text_tokens k_text_tfidf k_text_stats k_multimodal_join k_cluster_assign
+k_dedup_simhash k_text_langid k_text_quality k_text_fingerprint
+k_text_token_count k_multimodal_decode
 """.split()
 
 
