@@ -440,3 +440,97 @@ def k_multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.round(F.element_at("v", 1), 4).alias("e0"),
     )
+
+
+@register("k_dedup_minhash")  # rows-only: MinHash signatures are approximate
+def k_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates — the 100 TB twin of k_dedup_near.
+
+    5-gram word shingles → HashingTF sparse sets → MinHashLSH banded join at
+    Jaccard distance <= 0.4. Candidate pairs meet only inside minhash-band
+    buckets, so cost scales with bucket occupancy, not docs² (contrast the
+    exact shingle self-join). Approximate by design → rows-only check; the
+    exact twin (k_dedup_near) anchors correctness.
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    d = load(spark, sf_dir, "documents")
+    sh = (
+        d.withColumn("words", F.split("text", " "))
+        .filter(F.size("words") >= 5)
+        .withColumn("shingles", F.expr(_SHINGLES))
+        .select("doc_id", "shingles")
+    )
+    tf = HashingTF(inputCol="shingles", outputCol="features",
+                   numFeatures=1 << 18, binary=True)
+    feats = tf.transform(sh)
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes",
+                     numHashTables=4, seed=42)
+    model = lsh.fit(feats)
+    pairs = model.approxSimilarityJoin(feats, feats, 0.4, distCol="jdist")
+    return (
+        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_id_1"),
+            F.col("datasetB.doc_id").alias("doc_id_2"),
+            F.round(F.lit(1.0) - F.col("jdist"), 4).alias("jaccard_est"),
+        )
+    )
+
+
+@register("k_sim_ivf")  # rows-only: IVF probes one cell, recall < 1 by design
+def k_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: coarse-quantize the corpus to the 10 deterministic
+    centroids (vectors with vec_id 0..9, as k_cluster_assign), then answer
+    each probe by scanning ONLY its own cell.
+
+    This is the inverted-file scale path: the corpus partitions by cell id
+    (a real partition key at 100 TB), and a probe touches ~1/n_cells of the
+    data. Assignment and search reuse the same broadcast-centroid dot
+    product; nprobe>1 is the recall knob (here nprobe=1, rows-only).
+    """
+    emb = _emb(spark, sf_dir)
+    cents = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
+    )
+    csim = dot(F.col("v"), F.col("cv"))
+    assigned = (
+        emb.crossJoin(F.broadcast(cents))
+        .withColumn("csim", csim)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(
+                    F.desc("csim"), F.asc("cent_id")
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", F.col("cent_id").alias("cell"))
+    )
+    probes = assigned.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), F.col("v").alias("pv"),
+        F.col("cell").alias("pcell"),
+    )
+    psim = dot(F.col("v"), F.col("pv"))
+    hits = (
+        assigned.join(
+            F.broadcast(probes),
+            (F.col("cell") == F.col("pcell"))
+            & (F.col("vec_id") != F.col("probe_id")),
+        )
+        .withColumn("sim", psim)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("probe_id").orderBy(
+                    F.desc("sim"), F.asc("vec_id")
+                )
+            ),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+    return hits.select(
+        "probe_id", F.col("vec_id").alias("neighbor_id"),
+        F.round("sim", 4).alias("sim"), "rn",
+    )

@@ -6,7 +6,7 @@ token counting, and multimodal binary-column plumbing. Every key has a
 DuckDB oracle over the same ``documents`` table.
 
 Portability conventions (both engines must compute bit-identical values):
-- token hash = first 8 hex chars of md5 parsed as int — Spark
+- token hash = leading hex chars of md5 parsed as int — Spark
   ``conv(hex,16,10)``, DuckDB ``('0x'||hex)::BIGINT`` (verified equal);
 - tokenization is ``split(text, ' ')`` / ``string_split`` (the corpus is
   single-space delimited);
@@ -23,22 +23,27 @@ from data_service_spark.registry import register
 
 # ------------------------------------------------------------- simhash ----
 
-# 32-bit SimHash: per-bit majority vote over token hashes. The bit algebra
-# is generated once and spliced into BOTH dialects (identical text).
+# 60-bit SimHash: per-bit majority vote over token hashes (15 hex chars of
+# md5 → 60 bits; stays well inside signed-64 range in both engines). The
+# bit algebra is generated once and spliced into BOTH dialects (identical
+# text). 60 bits (not 32) so the 4 LSH bands below are 15 bits wide —
+# narrow bands collide constantly on a small vocabulary and each collision
+# is a candidate pair.
+_SIMHASH_BITS = 60
 _BIT_VOTES = " + ".join(
     f"(CASE WHEN sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) > 0 "
     f"THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
-    for i in range(32)
+    for i in range(_SIMHASH_BITS)
 )
 
 _SPARK_TOKEN_HASH = (
-    "CAST(conv(substr(md5(tok), 1, 8), 16, 10) AS BIGINT)"
+    "CAST(conv(substr(md5(tok), 1, 15), 16, 10) AS BIGINT)"
 )
-_DUCK_TOKEN_HASH = "('0x' || substr(md5(tok), 1, 8))::BIGINT"
+_DUCK_TOKEN_HASH = "('0x' || substr(md5(tok), 1, 15))::BIGINT"
 
 
 def _simhash_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """doc_id → 32-bit simhash, computed fully in SQL expressions (stays in
+    """doc_id → 60-bit simhash, computed fully in SQL expressions (stays in
     codegen; one explode + one hash-agg shuffle — linear at 100 TB)."""
     load(spark, sf_dir, "documents").createOrReplaceTempView("dss_docs_sh")
     return spark.sql(
@@ -73,7 +78,7 @@ def _simhash_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
 def k_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs at Hamming distance <= 3.
 
-    Candidate generation uses 4-band LSH (8 bits per band): by pigeonhole,
+    Candidate generation uses 4-band LSH (15 bits per band): by pigeonhole,
     any pair within distance 3 agrees exactly on >=1 band, so the banded
     equi-join finds EVERY qualifying pair — the oracle's brute-force O(n²)
     join cross-validates completeness. The band join is the 100 TB path:
@@ -87,8 +92,8 @@ def k_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(*[
                 F.struct(
                     F.lit(i).alias("band"),
-                    F.shiftrightunsigned(F.col("simhash"), i * 8)
-                    .bitwiseAND(F.lit(255))
+                    F.shiftrightunsigned(F.col("simhash"), i * 15)
+                    .bitwiseAND(F.lit((1 << 15) - 1))
                     .alias("val"),
                 )
                 for i in range(4)

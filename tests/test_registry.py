@@ -34,7 +34,7 @@ j_udtf
 k_dedup_exact k_dedup_near k_sim_topk k_sim_threshold k_sim_ann
 k_text_tokens k_text_tfidf k_text_stats k_multimodal_join k_cluster_assign
 k_dedup_simhash k_text_langid k_text_quality k_text_fingerprint
-k_text_token_count k_multimodal_decode
+k_text_token_count k_multimodal_decode k_dedup_minhash k_sim_ivf
 """.split()
 
 
@@ -46,7 +46,12 @@ def test_full_inventory_registered():
 
 
 def test_rows_only_keys_are_the_declared_ones():
-    assert set(QUERIES) - set(ORACLES) == {"d_agg_approx", "k_sim_ann"}
+    assert set(QUERIES) - set(ORACLES) == {
+        "d_agg_approx",  # HLL sketches differ across engines
+        "k_sim_ann",  # LSH is approximate
+        "k_dedup_minhash",  # MinHash signatures are approximate
+        "k_sim_ivf",  # IVF probes one cell; recall < 1 by design
+    }
 
 
 @pytest.mark.parametrize("key", sorted(ORACLES))
