@@ -359,3 +359,55 @@ def k_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(
         decode, "doc_id long, n_bytes long, width int, height int, channels int"
     )
+
+
+@register(
+    "k_multimodal_features",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) % 256 AS f_len,
+           ascii(substr(text, 1, 1)) AS f_first,
+           ascii(substr(text, length(text), 1)) AS f_last,
+           CAST(list_aggregate(list_transform(generate_series(1, length(text)),
+                          i -> ascii(substr(text, i, 1))), 'sum') AS INTEGER) % 997
+             AS f_checksum
+    FROM documents
+    """,
+)
+def k_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction over an opaque binary column — the second
+    multimodal plumbing op (after k_multimodal_decode): payload bytes →
+    fixed-width numeric features via Arrow ``mapInPandas``.
+
+    The "model" is a deterministic stand-in (length mod, first/last byte,
+    byte-sum checksum) for an image/audio embedding net; the Spark shape is
+    exactly what batch inference needs at 100 TB — binary through Arrow,
+    iterator of bounded batches, numeric feature schema out. The DuckDB
+    oracle recomputes the same features from the (ASCII) text, pinning the
+    byte math end-to-end.
+    """
+    import numpy as np
+    import pandas as pd
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+
+    def featurize(batches):
+        for pdf in batches:
+            raw = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "f_len": raw.map(len) % 256,
+                    "f_first": raw.map(lambda b: b[0]),
+                    "f_last": raw.map(lambda b: b[-1]),
+                    "f_checksum": raw.map(
+                        lambda b: int(np.frombuffer(b, dtype=np.uint8).sum()) % 997
+                    ),
+                }
+            )
+
+    return d.mapInPandas(
+        featurize, "doc_id long, f_len int, f_first int, f_last int, f_checksum int"
+    )

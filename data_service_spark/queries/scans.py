@@ -108,3 +108,12 @@ def a_sink_csv_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r_regionkey").cast("int"), "r_name"
     )
     return from_csv.unionByName(from_json_)
+
+
+@register("a_sink_orc", oracle="SELECT * FROM region")
+def a_sink_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ORC roundtrip — the third columnar format of the multi-source surface
+    # (vectorized reader + predicate pushdown, same as parquet).
+    path = _tmpdir("region_orc")
+    load(spark, sf_dir, "region").write.mode("overwrite").orc(path)
+    return spark.read.orc(path)

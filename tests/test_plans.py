@@ -67,3 +67,31 @@ def test_whole_stage_codegen_covers_scan_filter(spark, sf_dir):
     plan = plan_of(QUERIES["b_filter_compound"](spark, sf_dir), "simple")
     # Simple mode marks codegen'd operators with a "*(stageId)" prefix.
     assert "*(1) Filter" in plan and "*(1) Project" in plan
+
+
+def test_sim_topk_broadcasts_probes(spark, sf_dir):
+    # The probe set must broadcast so the corpus streams past it once — a
+    # shuffled cross join would move the full corpus per probe at scale.
+    plan = plan_of(QUERIES["k_sim_topk"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_simhash_band_join_is_hash_join(spark, sf_dir):
+    # LSH banding exists to turn near-dup search into an equi-join; the plan
+    # must show a hash join on (band, val), never a nested loop.
+    plan = plan_of(QUERIES["k_dedup_simhash"](spark, sf_dir))
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_semi_anti_stay_semi_anti(spark, sf_dir):
+    # EXISTS/NOT EXISTS must plan as semi/anti joins (no row blowup).
+    assert "LeftSemi" in plan_of(QUERIES["c_join_semi"](spark, sf_dir))
+    assert "LeftAnti" in plan_of(QUERIES["c_join_anti"](spark, sf_dir))
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    # ORDER BY + LIMIT must run as TakeOrderedAndProject (per-partition
+    # top-k then merge), never a global sort of everything.
+    plan = plan_of(QUERIES["f_topk"](spark, sf_dir), "simple")
+    assert "TakeOrderedAndProject" in plan

@@ -12,7 +12,7 @@ load_all()
 
 DECLARED = """
 a_scan_parquet a_scan_prune a_scan_filter_pushdown a_sink_parquet_roundtrip
-a_sink_partitioned a_sink_csv_json
+a_sink_partitioned a_sink_csv_json a_sink_orc
 b_project_arith b_filter_simple b_filter_compound b_filter_like
 b_filter_null_semantics b_distinct
 c_join_inner c_join_multiway c_join_broadcast c_join_left c_join_right
@@ -35,6 +35,7 @@ k_dedup_exact k_dedup_near k_sim_topk k_sim_threshold k_sim_ann
 k_text_tokens k_text_tfidf k_text_stats k_multimodal_join k_cluster_assign
 k_dedup_simhash k_text_langid k_text_quality k_text_fingerprint
 k_text_token_count k_multimodal_decode k_dedup_minhash k_sim_ivf
+k_multimodal_features
 """.split()
 
 
