@@ -314,3 +314,43 @@ def h_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.getField("p").alias("sp"),
         named.getField("tag").alias("tag"),
     )
+
+
+@register(
+    "h_array_higher_order",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT vec_id,
+           round(CAST(list_sum(list_transform(v, x -> x * x)) AS DOUBLE), 4)
+             AS sum_sq,
+           len(list_filter(v, x -> x > 0)) AS n_pos,
+           round(CAST(list_aggregate(v, 'max') AS DOUBLE), 4) AS vmax,
+           round(CAST(list_sum(list_transform(
+                   list_zip(v, list_reverse(v)),
+                   p -> p[1] * p[2])) AS DOUBLE), 4) AS rev_dot
+    FROM e
+    """,
+)
+def h_array_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions — transform/filter/aggregate/zip_with
+    lambdas over the embedding vectors. These are the JVM-side primitives the
+    K-category ops compose (no Python boundary); sum-of-squares ≈ 1.0
+    doubles as a check that vectors are L2-normalized."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    sum_sq = F.aggregate(
+        F.transform("v", lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+    )
+    rev_dot = F.aggregate(
+        F.zip_with("v", F.reverse("v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    return e.select(
+        "vec_id",
+        F.round(sum_sq, 4).alias("sum_sq"),
+        F.size(F.filter("v", lambda x: x > 0)).alias("n_pos"),
+        F.round(F.array_max("v"), 4).alias("vmax"),
+        F.round(rev_dot, 4).alias("rev_dot"),
+    )
