@@ -9,15 +9,17 @@ Scale notes baked into each operator:
 - the theta/band join is quadratic by nature and is deliberately run on the
   smallest table (supplier); at 100 TB you'd pre-bucket by a coarse band key
   (the banded self-join pattern) — documented in the docstring;
-- the as-of join has no native Spark operator; the idiom here (equi-join on
-  key + max_by over the inequality) is the standard DataFrame formulation and
-  cross-validated against DuckDB's native ASOF JOIN.
+- the as-of join has no native Spark operator; the idiom here (union both
+  sides on the key, carry the last order time forward with a running-max
+  window) is linear in rows with one shuffle, and is cross-validated against
+  DuckDB's native ASOF JOIN.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from data_service_spark.io import load
 from data_service_spark.registry import register
@@ -256,19 +258,42 @@ def c_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each event paired with the most recent order of that
     customer at-or-before the event time.
 
-    Spark has no native as-of DataFrame join; the idiom is equi-join on the
-    key + the inequality, then keep the max matching timestamp per left row
-    (left join preserves events with no prior order). DuckDB's native ASOF
-    JOIN cross-validates the semantics. At 100 TB the same plan holds: the
-    equi-key join shuffles both sides by key once, and max() is a partial
-    aggregate. Output only the matched *timestamp* (not a row id) so
-    duplicate-date ties cannot make the result ambiguous.
+    Spark has no native as-of DataFrame join. The scalable idiom is
+    union-then-window: tag both sides, union on (key, time), and carry the
+    last order time forward with ``max().over(rows unbounded preceding)``
+    — ONE shuffle on the key, O(n+m) rows throughout. (The naive
+    alternative — equi-join on key + ``ts >= t`` then max per event —
+    materializes every event × all-prior-orders pair first: quadratic per
+    hot key, a guaranteed skew blowup at 100 TB.) Orders sort before
+    equal-timestamp events via a side rank so "at-or-before" is inclusive.
+    DuckDB's native ASOF JOIN cross-validates the semantics. Output only
+    the matched *timestamp* (not a row id) so duplicate-date ties cannot
+    make the result ambiguous.
     """
-    e = load(spark, sf_dir, "events")
-    o = load(spark, sf_dir, "orders")
-    joined = e.join(
-        o, (e.user_id == o.o_custkey) & (e.ts >= o.o_orderdate), "left"
+    e = load(spark, sf_dir, "events").select(
+        F.col("user_id").alias("k"),
+        F.col("ts").alias("t"),
+        "event_id",
+        F.lit(1).alias("side"),
     )
-    return joined.groupBy("event_id", "user_id", "ts").agg(
-        F.max("o_orderdate").alias("last_order_date")
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(0).alias("side"),
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy("t", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = e.unionByName(o).withColumn(
+        "last_order_date",
+        F.max(F.when(F.col("side") == 0, F.col("t"))).over(w),
+    )
+    return carried.filter(F.col("side") == 1).select(
+        "event_id",
+        F.col("k").alias("user_id"),
+        F.col("t").alias("ts"),
+        "last_order_date",
     )
