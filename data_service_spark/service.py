@@ -4,9 +4,10 @@ The reference's defining surface beyond Spark SQL itself is a REST-fronted
 multi-source SQL service. The PySpark-native equivalent is one long-lived
 SparkSession behind a thin HTTP app:
 
-    POST /sql    {"sql": "...", "limit": 1000}  → {"columns": [...], "rows": [[...]]}
-    GET  /tables                                → {"tables": [...]}
-    GET  /health                                → {"status": "ok"}
+    POST /sql     {"sql": "...", "limit": 1000}  → {"columns": [...], "rows": [[...]]}
+    POST /explain {"sql": "..."}                 → {"plan": "..."}  (formatted physical plan)
+    GET  /tables                                 → {"tables": [...]}
+    GET  /health                                 → {"status": "ok"}
 
 Stdlib-only (ThreadingHTTPServer) so the service runs in any environment
 that has PySpark — no web-framework dependency. Row limits are enforced
@@ -74,6 +75,17 @@ class SqlEngine:
     def tables(self) -> list[str]:
         return [t.name for t in self.spark.catalog.listTables()]
 
+    def explain(self, sql_text: str) -> dict[str, Any]:
+        """Formatted physical plan without executing — the ops surface for
+        checking pushdown/broadcast/shuffle shape before running at scale."""
+        import contextlib
+        import io as _io
+
+        buf = _io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            self.spark.sql(sql_text).explain("formatted")
+        return {"plan": buf.getvalue()}
+
     def sql(self, sql_text: str, limit: int = 1000) -> dict[str, Any]:
         limit = max(1, min(int(limit), MAX_ROWS))
         df = self.spark.sql(sql_text).limit(limit)
@@ -108,13 +120,16 @@ def make_handler(engine: SqlEngine) -> type[BaseHTTPRequestHandler]:
                 self._send(404, {"error": f"no route {self.path}"})
 
         def do_POST(self) -> None:
-            if self.path != "/sql":
+            if self.path not in ("/sql", "/explain"):
                 self._send(404, {"error": f"no route {self.path}"})
                 return
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(n) or b"{}")
-                result = engine.sql(req["sql"], req.get("limit", 1000))
+                if self.path == "/explain":
+                    result = engine.explain(req["sql"])
+                else:
+                    result = engine.sql(req["sql"], req.get("limit", 1000))
                 self._send(200, result)
             except KeyError:
                 self._send(400, {"error": "missing required field 'sql'"})

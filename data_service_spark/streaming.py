@@ -11,6 +11,13 @@ aggregates shuffle once on (window, key); watermarks bound state so a
 100 TB/day stream holds only the open windows per key in the state store.
 The stateful funnel keeps O(1) state per user (two scalars), the shape that
 survives hundreds of millions of keys with RocksDB state backend.
+
+Stateful API choice: Spark 4.x adds ``transformWithStateInPandas`` as the
+successor API, but its driver worker imports ``google.protobuf``, which this
+environment does not ship (verified: STREAMING_PYTHON_RUNNER_INITIALIZATION
+ImportError) — so the funnel uses ``applyInPandasWithState``, which is
+self-contained. The processor body would port to a StatefulProcessor
+unchanged (same per-key scalar state, same update-mode emissions).
 """
 
 from __future__ import annotations

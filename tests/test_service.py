@@ -92,3 +92,9 @@ def test_connector_configs_build_lazily(spark):
     kafka = kafka_config("broker:9092", "events", min_partitions=64)
     assert build_reader(spark, kafka) is not None
     assert kafka["options"]["minPartitions"] == 64
+
+
+def test_explain_endpoint_shows_pushdown(service):
+    out = call(service, "/explain", {
+        "sql": "SELECT l_orderkey FROM lineitem WHERE l_quantity > 45"})
+    assert "PushedFilters" in out["plan"] and "Physical Plan" in out["plan"]
