@@ -312,3 +312,47 @@ def d_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias("nations")
         )
     )
+
+
+@register(
+    "d_agg_pivot",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS p_urgent,
+           count(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS p_high,
+           count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS p_medium,
+           count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS p_notspec,
+           count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS p_low
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def d_agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: order counts by status × priority, priorities as columns.
+    The value list is EXPLICIT — with it, Spark skips the extra distinct-
+    values job and the pivot compiles to one pass of conditional aggregates
+    (exactly the oracle's FILTER form); never leave it implicit at scale."""
+    o = load(spark, sf_dir, "orders")
+    pivoted = (
+        o.groupBy("o_orderstatus")
+        .pivot(
+            "o_orderpriority",
+            ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"],
+        )
+        .count()
+    )
+    renames = {
+        "1-URGENT": "p_urgent",
+        "2-HIGH": "p_high",
+        "3-MEDIUM": "p_medium",
+        "4-NOT SPECIFIED": "p_notspec",
+        "5-LOW": "p_low",
+    }
+    out = pivoted
+    for old, new in renames.items():
+        out = out.withColumnRenamed(old, new)
+    # Pivot leaves null where a (status, priority) pair never occurs; the
+    # FILTER twin counts 0 — align.
+    return out.select(
+        "o_orderstatus",
+        *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in renames.values()],
+    )

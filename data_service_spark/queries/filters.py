@@ -109,3 +109,24 @@ def b_filter_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def b_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+@register(
+    "b_filter_scalar_subquery",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders)
+    """,
+)
+def b_filter_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery in a predicate — Catalyst plans the
+    subquery once (a broadcast scalar), not per row; exact float equality
+    on the 1.5*avg threshold is safe because both engines compute the same
+    double sum/count over identical input."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("dss_orders_ssq")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice FROM dss_orders_ssq
+        WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM dss_orders_ssq)
+        """
+    )

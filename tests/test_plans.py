@@ -95,3 +95,24 @@ def test_topk_uses_take_ordered(spark, sf_dir):
     # top-k then merge), never a global sort of everything.
     plan = plan_of(QUERIES["f_topk"](spark, sf_dir), "simple")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_no_accidental_cartesian_products(spark, sf_dir):
+    """Global audit: no key's plan may contain a CartesianProduct unless it
+    is semantically a cross join. (BroadcastNestedLoopJoin with a broadcast
+    small side is acceptable for theta joins; an unbroadcast cartesian of
+    two big sides is never acceptable at 100 TB.)"""
+    intentionally_cross = {"c_join_cross"}
+    sinks = {k for k in QUERIES if k.startswith("a_sink")}  # these write
+    bad = []
+    for key in sorted(QUERIES):
+        if key in intentionally_cross | sinks:
+            continue
+        try:
+            plan = plan_of(QUERIES[key](spark, sf_dir), "simple")
+        except Exception as exc:  # pragma: no cover - surface in assert
+            bad.append((key, f"plan build failed: {exc}"))
+            continue
+        if "CartesianProduct" in plan:
+            bad.append((key, "CartesianProduct"))
+    assert not bad, bad
