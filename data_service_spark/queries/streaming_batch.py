@@ -256,3 +256,49 @@ def dedup_keys_agg(events: DataFrame) -> DataFrame:
 )
 def i_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_keys_agg(load(spark, sf_dir, "events"))
+
+
+def purchase_click_join(purchases: DataFrame, clicks: DataFrame) -> DataFrame:
+    """Each purchase joined to the same user's clicks in the preceding 30
+    minutes (shared between the batch twin and the stream-stream test).
+
+    Equi-key on user + time-band predicate: as a stream-stream join the
+    watermarks on both sides bound the buffered state to the band width —
+    the only join shape that runs indefinitely at 100 TB/day.
+    """
+    p = purchases.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = clicks.select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    cond = (
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+    )
+    return p.join(c, cond).select(
+        "purchase_id", F.col("p_user").alias("user_id"), "click_id"
+    )
+
+
+@register(
+    "i_stream_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id, c.event_id AS click_id
+    FROM events p JOIN events c
+      ON p.user_id = c.user_id
+     AND p.event_type = 'purchase' AND c.event_type = 'click'
+     AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL '30 minutes'
+    """,
+)
+def i_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return purchase_click_join(
+        ev.filter(F.col("event_type") == "purchase"),
+        ev.filter(F.col("event_type") == "click"),
+    )

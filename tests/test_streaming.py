@@ -199,3 +199,47 @@ def test_stateful_funnel(spark, tmp_path, sf_dir):
     for r in funnel_batch(events).collect():
         assert final[r.user_id]["funnel_stage"] == r.funnel_stage, r
         assert final[r.user_id]["purchases_after_signup"] == r.purchases_after_signup, r
+
+
+def test_stream_stream_join_matches_batch(spark, tmp_path):
+    """i_stream_join: watermarked stream-stream interval join produces the
+    same pairs as the batch twin over the same files."""
+    from data_service_spark.queries.streaming_batch import purchase_click_join
+    from pyspark.sql import functions as F
+
+    d = str(tmp_path / "ssj")
+    write_event_files(
+        spark,
+        d,
+        [
+            ev(1, "2024-01-01 10:00", 1, "click"),
+            ev(2, "2024-01-01 10:20", 1, "purchase"),  # joins click 1
+            ev(3, "2024-01-01 10:50", 1, "purchase"),  # click 1 is >30m old
+        ],
+        [
+            ev(4, "2024-01-01 11:00", 2, "click"),
+            ev(5, "2024-01-01 11:10", 2, "purchase"),  # joins click 4
+            ev(6, "2024-01-01 12:30", 1, "purchase"),  # no click in band
+        ],
+    )
+    stream = read_event_stream(spark, d, one_file_per_batch=True)
+    purchases = stream.filter(F.col("event_type") == "purchase").withWatermark(
+        "ts", "1 hour"
+    )
+    clicks = stream.filter(F.col("event_type") == "click").withWatermark(
+        "ts", "2 hours"  # clicks buffer longer: they must outlive the band
+    )
+    sdf = purchase_click_join(purchases, clicks)
+    batches = drain_available_now(sdf, output_mode="append")
+    got = pd.concat(batches, ignore_index=True)
+    pairs = set(zip(got["purchase_id"], got["click_id"]))
+    assert pairs == {(2, 1), (5, 4)}
+    # Batch twin over the same files agrees.
+    events = spark.read.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ).parquet(d)
+    batch = purchase_click_join(
+        events.filter(F.col("event_type") == "purchase"),
+        events.filter(F.col("event_type") == "click"),
+    )
+    assert pairs == {(r.purchase_id, r.click_id) for r in batch.collect()}
