@@ -117,3 +117,31 @@ def a_sink_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _tmpdir("region_orc")
     load(spark, sf_dir, "region").write.mode("overwrite").orc(path)
     return spark.read.orc(path)
+
+
+@register(
+    "a_source_python_ds",
+    oracle="""
+    SELECT i AS id, (i * i) % 97 AS mod97, 'row' || CAST(i AS VARCHAR) AS tag
+    FROM range(0, 1000) t(i)
+    """,
+)
+def a_source_python_ds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python data source (Spark 4 DataSource V2 Python API): the
+    extension point for bespoke feeds. Reads happen executor-side, one task
+    per InputPartition — the same parallelism contract as a file format."""
+    from data_service_spark.sources import register_synthetic_source
+
+    register_synthetic_source(spark)
+    return spark.read.format("dss_synth").option("n", 1000).option("parts", 8).load()
+
+
+@register("a_sink_table", oracle="SELECT * FROM nation")
+def a_sink_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Managed-table roundtrip through the session catalog (saveAsTable →
+    spark.table). Locally this is the spark-warehouse dir; on a cluster the
+    same two lines target Hive/Unity/Glue via the configured catalog."""
+    load(spark, sf_dir, "nation").write.mode("overwrite").saveAsTable(
+        "dss_nation_managed"
+    )
+    return spark.table("dss_nation_managed")

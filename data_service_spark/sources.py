@@ -76,3 +76,51 @@ def kafka_config(bootstrap: str, topic: str, starting: str = "earliest",
     if min_partitions:
         options["minPartitions"] = min_partitions
     return {"format": "kafka", "options": options}
+
+
+# --------------------------------------------------------------------------
+# Custom Python data source (Spark 4 DataSource V2 Python API) — how a
+# bespoke feed (an internal API, a proprietary format) plugs into the same
+# DataFrame surface as parquet/JDBC. Partition planning happens in
+# ``partitions()`` (N independent splits → N tasks, executor-side reads),
+# so the source scales out like any file format.
+
+
+def register_synthetic_source(spark: SparkSession) -> None:
+    """Register the 'dss_synth' format: deterministic generated rows
+    (id, mod97, tag), split into ``parts`` input partitions."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+    )
+
+    class SynthReader(DataSourceReader):
+        def __init__(self, options):
+            self.n = int(options.get("n", 100))
+            self.parts = int(options.get("parts", 4))
+
+        def partitions(self):
+            step = max(1, self.n // self.parts)
+            bounds = list(range(0, self.n, step))
+            return [
+                InputPartition((lo, min(lo + step, self.n))) for lo in bounds
+            ]
+
+        def read(self, partition):
+            lo, hi = partition.value
+            for i in range(lo, hi):
+                yield (i, i * i % 97, f"row{i}")
+
+    class SynthSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "dss_synth"
+
+        def schema(self):
+            return "id long, mod97 long, tag string"
+
+        def reader(self, schema):
+            return SynthReader(self.options)
+
+    spark.dataSource.register(SynthSource)

@@ -12,7 +12,7 @@ load_all()
 
 DECLARED = """
 a_scan_parquet a_scan_prune a_scan_filter_pushdown a_sink_parquet_roundtrip
-a_sink_partitioned a_sink_csv_json a_sink_orc
+a_sink_partitioned a_sink_csv_json a_sink_orc a_source_python_ds a_sink_table
 b_project_arith b_filter_simple b_filter_compound b_filter_like
 b_filter_null_semantics b_distinct b_filter_scalar_subquery
 c_join_inner c_join_multiway c_join_broadcast c_join_left c_join_right
