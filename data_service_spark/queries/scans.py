@@ -140,7 +140,19 @@ def a_source_python_ds(spark: SparkSession, sf_dir: str) -> DataFrame:
 def a_sink_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Managed-table roundtrip through the session catalog (saveAsTable →
     spark.table). Locally this is the spark-warehouse dir; on a cluster the
-    same two lines target Hive/Unity/Glue via the configured catalog."""
+    same two lines target Hive/Unity/Glue via the configured catalog.
+
+    The default in-memory catalog forgets tables between sessions while the
+    warehouse directory persists, so a leftover location from a previous
+    process would fail the write — clear both sides first (a purely local
+    concern; a persistent metastore makes mode("overwrite") sufficient).
+    """
+    import shutil
+    from urllib.parse import urlparse
+
+    spark.sql("DROP TABLE IF EXISTS dss_nation_managed")
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    shutil.rmtree(os.path.join(wh, "dss_nation_managed"), ignore_errors=True)
     load(spark, sf_dir, "nation").write.mode("overwrite").saveAsTable(
         "dss_nation_managed"
     )
