@@ -108,9 +108,20 @@ def register_synthetic_source(spark: SparkSession) -> None:
             ]
 
         def read(self, partition):
+            # Yield one Arrow batch per split instead of per-row tuples —
+            # the vectorized path through the Python worker (~10× less
+            # serialization overhead).
+            import pyarrow as pa
+
             lo, hi = partition.value
-            for i in range(lo, hi):
-                yield (i, i * i % 97, f"row{i}")
+            ids = list(range(lo, hi))
+            yield pa.record_batch(
+                {
+                    "id": pa.array(ids, pa.int64()),
+                    "mod97": pa.array([i * i % 97 for i in ids], pa.int64()),
+                    "tag": pa.array([f"row{i}" for i in ids]),
+                }
+            )
 
     class SynthSource(DataSource):
         @classmethod
