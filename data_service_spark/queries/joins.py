@@ -17,6 +17,8 @@ Scale notes baked into each operator:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -296,4 +298,81 @@ def c_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("k").alias("user_id"),
         F.col("t").alias("ts"),
         "last_order_date",
+    )
+
+
+@register(
+    "c_join_salted",
+    oracle="""
+    SELECT e.user_id, count(*) AS n_events,
+           round(sum(e.value), 2) AS sum_value, max(c.c_name) AS c_name
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY e.user_id
+    """,
+)
+def c_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated join: SALT the (potentially hot) fact keys.
+
+    The fact side gets a random-free deterministic salt (event_id % S) and
+    the dimension side is exploded S ways, so one hot user_id spreads over
+    S shuffle partitions instead of melting a single reducer. Results are
+    IDENTICAL to the plain join — the oracle computes the unsalted twin.
+    AQE's skew-join split handles moderate skew automatically; explicit
+    salting is the belt-and-suspenders form for pathological keys (one key
+    = whole partition) and for non-AQE engines. S=8 here; at 100 TB pick
+    S ≈ hot-key rows / target-partition-rows.
+    """
+    S = 8
+    e = load(spark, sf_dir, "events")
+    c = load(spark, sf_dir, "customer")
+    salted_e = e.withColumn("salt", (F.col("event_id") % S).cast("int"))
+    exploded_c = c.select(
+        "c_custkey", "c_name", F.explode(F.array(*[F.lit(i) for i in range(S)])).alias("salt")
+    )
+    joined = salted_e.join(
+        exploded_c,
+        (salted_e.user_id == exploded_c.c_custkey)
+        & (salted_e.salt == exploded_c.salt),
+    )
+    return joined.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.max("c_name").alias("c_name"),
+    )
+
+
+@register(
+    "c_join_bucketed",
+    oracle="""
+    SELECT o_orderkey, o_custkey, c_name, o_totalprice
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE o_totalprice > 300000
+    """,
+)
+def c_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join: both sides stored bucketed by the join key
+    → the join runs WITHOUT a shuffle exchange on either side (asserted in
+    tests/test_plans.py::test_bucketed_join_has_no_exchange).
+
+    This is the storage-level answer to repeated fact⋈dim joins at 100 TB:
+    pay the shuffle once at write time, never at read time. Bucket counts
+    must match (or divide) across tables; 8 here.
+    """
+    import shutil
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for tbl, src, key in (
+        ("dss_orders_bkt", "orders", "o_custkey"),
+        ("dss_customer_bkt", "customer", "c_custkey"),
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        shutil.rmtree(os.path.join(wh, tbl), ignore_errors=True)
+        load(spark, sf_dir, src).write.bucketBy(8, key).sortBy(
+            key
+        ).mode("overwrite").saveAsTable(tbl)
+    o = spark.table("dss_orders_bkt").filter(F.col("o_totalprice") > 300000)
+    c = spark.table("dss_customer_bkt")
+    return o.join(c, o.o_custkey == c.c_custkey).select(
+        "o_orderkey", "o_custkey", "c_name", "o_totalprice"
     )

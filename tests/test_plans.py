@@ -116,3 +116,11 @@ def test_no_accidental_cartesian_products(spark, sf_dir):
         if "CartesianProduct" in plan:
             bad.append((key, "CartesianProduct"))
     assert not bad, bad
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    # Both sides bucketed by the join key → zero shuffle exchanges in the
+    # join (the point of paying the bucket shuffle once at write time).
+    plan = plan_of(QUERIES["c_join_bucketed"](spark, sf_dir))
+    assert ") Exchange" not in plan, plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
