@@ -534,3 +534,72 @@ def k_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "probe_id", F.col("vec_id").alias("neighbor_id"),
         F.round("sim", 4).alias("sim"), "rn",
     )
+
+
+def _kmeans_sql(pos_explode: str, round_fn: str = "round") -> str:
+    """Two unrolled Lloyd iterations in portable SQL over EXPLODED vectors
+    (vec_id, pos, x). ``pos_explode`` is the dialect-specific CTE body that
+    produces that table; everything after it is shared verbatim, so Spark
+    and DuckDB run the same algebra: assign to nearest centroid by rounded
+    dot product (vec_id tiebreak), recompute centroids as per-dimension
+    means, assign again.
+    """
+    assign = """
+      SELECT vec_id, cell, sim FROM (
+        SELECT e.vec_id, c.cell,
+               {rnd}(sum(e.x * c.c), 6) AS sim,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {rnd}(sum(e.x * c.c), 6) DESC, c.cell
+               ) AS rn
+        FROM ex e JOIN {cents} c ON e.pos = c.pos
+        GROUP BY e.vec_id, c.cell
+      ) r WHERE rn = 1
+    """
+    return f"""
+    WITH ex AS ({pos_explode}),
+    c0 AS (
+      SELECT vec_id AS cell, pos, x AS c FROM ex WHERE vec_id < 10
+    ),
+    a1 AS ({assign.format(rnd=round_fn, cents='c0')}),
+    c1 AS (
+      SELECT a1.cell, e.pos, avg(e.x) AS c
+      FROM ex e JOIN a1 ON e.vec_id = a1.vec_id
+      GROUP BY a1.cell, e.pos
+    ),
+    a2 AS ({assign.format(rnd=round_fn, cents='c1')})
+    -- Assignments only: a displayed sim column would re-round avg-derived
+    -- doubles and can land exactly on a half boundary, where Spark
+    -- (decimal HALF_UP) and DuckDB (binary) round differently. The argmax
+    -- itself is safe: 6dp rounding + unique cell tiebreak inside ORDER BY.
+    SELECT vec_id, cell FROM a2
+    """
+
+
+@register(
+    "k_cluster_iterate",
+    oracle=_kmeans_sql(
+        "SELECT vec_id, generate_subscripts(v, 1) - 1 AS pos, unnest(v) AS x "
+        "FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"
+    ),
+)
+def k_cluster_iterate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative algorithm on DataFrames: two unrolled k-means (Lloyd)
+    iterations — assign to nearest of 10 deterministic seed centroids,
+    recompute centroids as per-dimension means, re-assign.
+
+    The driver loop builds plans; data never leaves the cluster (centroid
+    recompute is a groupBy over (cell, pos), tiny result). At 100 TB each
+    iteration is one broadcast-join pass over the corpus plus a small
+    aggregate — the standard distributed k-means shape (what
+    ``pyspark.ml.clustering.KMeans`` runs under the hood). Dot products are
+    rounded to 6dp before the argmax (unique cell tiebreak) so float ulp
+    noise cannot flip an assignment between engines.
+    """
+    _emb(spark, sf_dir).createOrReplaceTempView("dss_emb_km")
+    return spark.sql(
+        _kmeans_sql(
+            "SELECT vec_id, p.pos, p.x "
+            "FROM dss_emb_km LATERAL VIEW posexplode(v) p AS pos, x"
+        )
+    )
