@@ -43,10 +43,16 @@ def main() -> None:
     ).save()
 
     timings: dict[str, float] = {}
+    failures: dict[str, str] = {}
     for key in keys:
         t0 = time.perf_counter()
-        QUERIES[key](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[key] = round(time.perf_counter() - t0, 3)
+        try:
+            QUERIES[key](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            timings[key] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # one bad key must not sink the whole run
+            failures[key] = f"{type(exc).__name__}: {exc}"[:200]
 
     total = round(sum(timings.values()), 3)
     print(
@@ -57,6 +63,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                **({"failures": failures} if failures else {}),
             }
         )
     )
