@@ -391,3 +391,23 @@ def d_agg_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+@register(
+    "d_agg_bool",
+    oracle="""
+    SELECT l_returnflag,
+           bool_and(l_quantity > 1) AS all_bulk,
+           bool_or(l_discount = 0.0) AS any_no_discount,
+           count(*) FILTER (WHERE l_tax > 0.05) AS n_high_tax
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def d_agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregates (every/any) + filtered count per group."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.bool_and(F.col("l_quantity") > 1).alias("all_bulk"),
+        F.bool_or(F.col("l_discount") == 0.0).alias("any_no_discount"),
+        F.count(F.when(F.col("l_tax") > 0.05, 1)).alias("n_high_tax"),
+    )

@@ -354,3 +354,33 @@ def h_array_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.array_max("v"), 4).alias("vmax"),
         F.round(rev_dot, 4).alias("rev_dot"),
     )
+
+
+@register(
+    "h_bitwise",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_orderkey & 255 AS b_and,
+           l_orderkey | 15 AS b_or,
+           xor(l_orderkey, l_linenumber) AS b_xor,
+           (l_orderkey << 2) AS b_shl,
+           (l_orderkey >> 3) AS b_shr,
+           bit_count(l_orderkey) AS b_pop
+    FROM lineitem
+    """,
+)
+def h_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise operator surface (&, |, xor, shifts, popcount) — the
+    primitives behind the simhash/banding operators, pinned directly."""
+    li = load(spark, sf_dir, "lineitem")
+    k, ln = F.col("l_orderkey"), F.col("l_linenumber")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        k.bitwiseAND(F.lit(255)).alias("b_and"),
+        k.bitwiseOR(F.lit(15)).alias("b_or"),
+        k.bitwiseXOR(ln).alias("b_xor"),
+        F.shiftleft(k, 2).alias("b_shl"),
+        F.shiftright(k, 3).alias("b_shr"),
+        F.bit_count(k).alias("b_pop"),
+    )

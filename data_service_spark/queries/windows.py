@@ -176,3 +176,44 @@ def e_win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("o_orderkey").over(w).alias("first_order"),
         F.last("o_orderkey").over(w).alias("last_order"),
     )
+
+
+@register(
+    "e_win_ignore_nulls",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_custkey,
+             CASE WHEN o_orderstatus = 'O' THEN NULL ELSE o_totalprice END
+               AS closed_price
+      FROM orders
+    )
+    SELECT o_orderkey, closed_price,
+           last_value(closed_price IGNORE NULLS) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS last_closed
+    FROM base
+    """,
+)
+def e_win_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IGNORE NULLS window semantics: carry the last non-null value forward
+    (the gap-fill idiom for sparse sensor/event data). Nulls manufactured
+    from open orders — the corpus itself has none (SURVEY §1.3)."""
+    o = load(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.when(F.col("o_orderstatus") == "O", None)
+        .otherwise(F.col("o_totalprice"))
+        .alias("closed_price"),
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return base.select(
+        "o_orderkey",
+        "closed_price",
+        F.last("closed_price", ignorenulls=True).over(w).alias("last_closed"),
+    )
