@@ -183,3 +183,62 @@ def j_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM dss_docs_udtf d, LATERAL dss_split_words(d.text) t
         """
     )
+
+
+@register(
+    "j_cogroup",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey AS k, count(*) AS n_orders,
+             round(sum(o_totalprice), 2) AS sum_orders
+      FROM orders GROUP BY o_custkey
+    ), e AS (
+      SELECT user_id AS k, count(*) AS n_events,
+             round(sum(value), 2) AS sum_events
+      FROM events GROUP BY user_id
+    )
+    SELECT coalesce(o.k, e.k) AS k,
+           coalesce(n_orders, 0) AS n_orders,
+           coalesce(sum_orders, 0.0) AS sum_orders,
+           coalesce(n_events, 0) AS n_events,
+           coalesce(sum_events, 0.0) AS sum_events
+    FROM o FULL OUTER JOIN e ON o.k = e.k
+    """,
+)
+def j_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped-map pandas UDF: both sides grouped on the key, each
+    (orders-group, events-group) pair lands in one Python call — the API
+    for custom merge logic (feature joins, interval alignment) that plain
+    SQL joins can't express. Here the merge is deliberately SQL-expressible
+    so the oracle can hash it. Arrives pre-shuffled per key; at 100 TB the
+    cost is the same single co-partitioned shuffle as a join.
+    """
+    from data_service_spark.io import load as _load
+
+    o = _load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k"), "o_totalprice"
+    )
+    e = _load(spark, sf_dir, "events").select(
+        F.col("user_id").alias("k"), "value"
+    )
+
+    def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        k = left["k"].iloc[0] if len(left) else right["k"].iloc[0]
+        return pd.DataFrame(
+            {
+                "k": [k],
+                "n_orders": [len(left)],
+                "sum_orders": [round(float(left["o_totalprice"].sum()), 2)],
+                "n_events": [len(right)],
+                "sum_events": [round(float(right["value"].sum()), 2)],
+            }
+        )
+
+    return (
+        o.groupby("k")
+        .cogroup(e.groupby("k"))
+        .applyInPandas(
+            merge,
+            "k long, n_orders long, sum_orders double, n_events long, sum_events double",
+        )
+    )

@@ -217,3 +217,31 @@ def e_win_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
         "closed_price",
         F.last("closed_price", ignorenulls=True).over(w).alias("last_closed"),
     )
+
+
+@register(
+    "e_win_scd2",
+    oracle="""
+    SELECT user_id, event_type, ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS valid_to,
+           CASE WHEN lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     IS NULL THEN 1 ELSE 0 END AS is_current
+    FROM events
+    """,
+)
+def e_win_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension build: each per-user state change
+    becomes an effective-dated row ([valid_from, valid_to), open-ended for
+    the current row). One window pass — the standard way to turn an event
+    log into a dimension history at any scale; event_id breaks ts ties."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return e.select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        F.when(nxt.isNull(), 1).otherwise(0).alias("is_current"),
+    )
