@@ -222,23 +222,41 @@ def j_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id").alias("k"), "value"
     )
 
+    # Cogroup on a key BUCKET (pmod 64), not the raw key — same rationale as
+    # j_grouped_map: per-call dispatch would dominate with one call per
+    # customer; per-key merge logic vectorizes inside the bucket.
     def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-        k = left["k"].iloc[0] if len(left) else right["k"].iloc[0]
+        lo = (
+            left.groupby("k")["o_totalprice"].agg(["size", "sum"])
+            if len(left)
+            else pd.DataFrame(columns=["size", "sum"])
+        )
+        ro = (
+            right.groupby("k")["value"].agg(["size", "sum"])
+            if len(right)
+            else pd.DataFrame(columns=["size", "sum"])
+        )
+        m = lo.join(ro, how="outer", lsuffix="_o", rsuffix="_e").fillna(0)
         return pd.DataFrame(
             {
-                "k": [k],
-                "n_orders": [len(left)],
-                "sum_orders": [round(float(left["o_totalprice"].sum()), 2)],
-                "n_events": [len(right)],
-                "sum_events": [round(float(right["value"].sum()), 2)],
+                "k": m.index.astype("int64"),
+                "n_orders": m["size_o"].astype("int64"),
+                "sum_orders": m["sum_o"],
+                "n_events": m["size_e"].astype("int64"),
+                "sum_events": m["sum_e"],
             }
         )
 
-    return (
-        o.groupby("k")
-        .cogroup(e.groupby("k"))
-        .applyInPandas(
-            merge,
-            "k long, n_orders long, sum_orders double, n_events long, sum_events double",
-        )
+    bucket = lambda df: df.groupby(F.pmod("k", F.lit(64)))  # noqa: E731
+    raw = bucket(o).cogroup(bucket(e)).applyInPandas(
+        merge,
+        "k long, n_orders long, sum_orders double, n_events long, sum_events double",
+    )
+    # Round Spark-side per the module convention (pandas rounds half-even).
+    return raw.select(
+        "k",
+        "n_orders",
+        F.round("sum_orders", 2).alias("sum_orders"),
+        "n_events",
+        F.round("sum_events", 2).alias("sum_events"),
     )
