@@ -411,3 +411,101 @@ def k_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(
         featurize, "doc_id long, f_len int, f_first int, f_last int, f_checksum int"
     )
+
+
+@register(
+    "k_multimodal_framesample",
+    oracle="""
+    WITH frames AS (
+      SELECT doc_id, unnest(generate_series(0,
+               CAST(floor((length(text) - 1) / 64) AS INTEGER))) AS frame_idx,
+             text
+      FROM documents
+    )
+    SELECT doc_id, frame_idx,
+           length(substr(text, frame_idx * 64 + 1, 64)) AS frame_bytes,
+           ascii(substr(text, frame_idx * 64 + 1, 1)) AS first_byte
+    FROM frames
+    WHERE frame_idx % 4 = 0
+    """,
+)
+def k_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over an opaque binary payload: treat the blob as a
+    sequence of fixed 64-byte frames (standing in for video frames), keep
+    every 4th, emit one metadata row per kept frame via ``mapInPandas``.
+
+    One input row → many output rows through the Arrow iterator — the
+    batch shape of real video sampling (ffmpeg would replace the slicing;
+    schema, fan-out, and partitioning stay identical). The oracle recomputes
+    frame boundaries with substr arithmetic on the ASCII text.
+    """
+    import pandas as pd
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+
+    FRAME, STRIDE = 64, 4
+
+    def sample(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "frame_bytes": [], "first_byte": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n_frames = (len(payload) - 1) // FRAME + 1
+                for idx in range(0, n_frames, STRIDE):
+                    frame = payload[idx * FRAME:(idx + 1) * FRAME]
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(idx)
+                    out["frame_bytes"].append(len(frame))
+                    out["first_byte"].append(frame[0])
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(
+        sample, "doc_id long, frame_idx int, frame_bytes int, first_byte int"
+    )
+
+
+@register(
+    "k_multimodal_resize",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS orig_bytes,
+           CAST(ceil(octet_length(encode(text)) / 4.0) AS INTEGER)
+             AS resized_bytes,
+           CAST(list_aggregate(list_transform(
+                  generate_series(1, length(text), 4),
+                  i -> ascii(substr(text, i, 1))), 'sum') AS BIGINT) % 997
+             AS resized_checksum
+    FROM documents
+    """,
+)
+def k_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize/downsample an opaque payload: stride-4 byte decimation as the
+    deterministic stand-in for image resampling (PIL.thumbnail would slot
+    into the same ``mapInPandas`` body). Output pins source size, resized
+    size, and a checksum of the kept bytes so the oracle verifies the
+    exact byte selection, not just the shape."""
+    import numpy as np
+    import pandas as pd
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+
+    def resize(batches):
+        for pdf in batches:
+            raw = pdf["payload"]
+            kept = raw.map(lambda b: np.frombuffer(b, dtype=np.uint8)[::4])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "orig_bytes": raw.map(len),
+                    "resized_bytes": kept.map(len),
+                    "resized_checksum": kept.map(lambda a: int(a.sum()) % 997),
+                }
+            )
+
+    return d.mapInPandas(
+        resize,
+        "doc_id long, orig_bytes long, resized_bytes int, resized_checksum long",
+    )

@@ -35,7 +35,8 @@ k_dedup_exact k_dedup_near k_sim_topk k_sim_threshold k_sim_ann
 k_text_tokens k_text_tfidf k_text_stats k_multimodal_join k_cluster_assign
 k_dedup_simhash k_text_langid k_text_quality k_text_fingerprint
 k_text_token_count k_multimodal_decode k_dedup_minhash k_sim_ivf
-k_multimodal_features k_cluster_iterate
+k_multimodal_features k_cluster_iterate k_multimodal_framesample
+k_multimodal_resize
 """.split()
 
 
