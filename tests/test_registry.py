@@ -68,3 +68,16 @@ def test_oracle_sql_parses_in_duckdb(key):
     # PREPARE-style validation: plan it with LIMIT 0 (cheap, catches dialect
     # errors without running the full query).
     con.execute(f"SELECT * FROM ({ORACLES[key]}) q LIMIT 0")
+
+
+def test_driver_contract_surface(spark, sf_dir):
+    """Mirror of the driver's smoke: entry() yields rows with a stable
+    schema; queries()/oracle_sql() keys line up."""
+    import __spark_entry__ as E
+
+    df = E.entry(spark)
+    assert df.count() > 0
+    assert df.columns == ["n_name", "revenue"]
+    q, o = E.queries(), E.oracle_sql()
+    assert set(o) <= set(q)
+    assert len(q) == len(DECLARED)
