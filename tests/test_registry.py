@@ -17,7 +17,7 @@ b_project_arith b_filter_simple b_filter_compound b_filter_like
 b_filter_null_semantics b_distinct b_filter_scalar_subquery
 c_join_inner c_join_multiway c_join_broadcast c_join_left c_join_right
 c_join_full c_join_semi c_join_anti c_join_cross c_join_theta_band
-c_join_interval c_join_asof c_join_salted c_join_bucketed c_join_tpch_q3
+c_join_interval c_join_asof c_join_salted c_join_bucketed c_join_tpch_q3 c_join_tpch_q10 c_join_tpch_q14
 d_agg_global d_agg_groupby d_agg_having d_agg_distinct d_agg_multi_distinct
 d_agg_rollup d_agg_cube d_agg_grouping_sets d_agg_stats d_agg_percentile
 d_agg_conditional d_agg_minmax_by d_agg_approx d_agg_collect d_agg_pivot d_agg_tpch_q6 d_agg_bool
