@@ -411,3 +411,30 @@ def d_agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_or(F.col("l_discount") == 0.0).alias("any_no_discount"),
         F.count(F.when(F.col("l_tax") > 0.05, 1)).alias("n_high_tax"),
     )
+
+
+@register(
+    "d_agg_histogram",
+    oracle="""
+    SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bin,
+           count(*) AS n,
+           round(min(o_totalprice), 2) AS lo,
+           round(max(o_totalprice), 2) AS hi
+    FROM orders GROUP BY 1
+    """,
+)
+def d_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram via arithmetic binning — one hash aggregate,
+    the distributed histogram shape (width_bucket without the dialect
+    dependency)."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.floor(F.col("o_totalprice") / 50000).cast("long").alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )

@@ -47,3 +47,33 @@ def g_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 def g_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     urgent, high = _sides(spark, sf_dir)
     return urgent.subtract(high)  # EXCEPT (distinct semantics)
+
+
+@register(
+    "g_union_byname",
+    oracle="""
+    SELECT r_regionkey AS k, r_name AS name, NULL AS acctbal FROM region
+    UNION ALL
+    SELECT n_nationkey AS k, n_name AS name, NULL AS acctbal FROM nation
+    UNION ALL
+    SELECT s_suppkey AS k, s_name AS name, s_acctbal AS acctbal FROM supplier
+    """,
+)
+def g_union_byname(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolving union: unionByName(allowMissingColumns=True) aligns
+    columns by NAME and null-fills the gaps — the append shape when sources
+    gain columns over time (vs positional UNION, which silently mismatches)."""
+    r = load(spark, sf_dir, "region").select(
+        F.col("r_regionkey").alias("k"), F.col("r_name").alias("name")
+    )
+    n = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("k"), F.col("n_name").alias("name")
+    )
+    s = load(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("k"),
+        F.col("s_name").alias("name"),
+        F.col("s_acctbal").alias("acctbal"),
+    )
+    return r.unionByName(n).unionByName(s, allowMissingColumns=True).select(
+        "k", "name", F.col("acctbal").cast("double").alias("acctbal")
+    )

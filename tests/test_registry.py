@@ -20,11 +20,11 @@ c_join_full c_join_semi c_join_anti c_join_cross c_join_theta_band
 c_join_interval c_join_asof c_join_salted c_join_bucketed c_join_tpch_q3 c_join_tpch_q10 c_join_tpch_q14
 d_agg_global d_agg_groupby d_agg_having d_agg_distinct d_agg_multi_distinct
 d_agg_rollup d_agg_cube d_agg_grouping_sets d_agg_stats d_agg_percentile
-d_agg_conditional d_agg_minmax_by d_agg_approx d_agg_collect d_agg_pivot d_agg_tpch_q6 d_agg_bool
+d_agg_conditional d_agg_minmax_by d_agg_approx d_agg_collect d_agg_pivot d_agg_tpch_q6 d_agg_bool d_agg_histogram
 e_win_rank e_win_lag_lead e_win_running e_win_sliding_rows e_win_range_frame
 e_win_distribution e_win_first_last e_win_ignore_nulls e_win_scd2
 f_sort_verify f_topk f_topk_per_group f_offset
-g_union_all g_union_distinct g_intersect g_except
+g_union_all g_union_distinct g_intersect g_except g_union_byname
 h_str_basic h_str_regex h_date_funcs h_math_funcs h_cond_funcs h_cast
 h_array_funcs h_map_json h_explode h_struct h_array_higher_order h_bitwise
 i_tumbling i_sliding i_session i_dedup_keys i_watermark_late i_stateful
