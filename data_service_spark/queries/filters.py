@@ -130,3 +130,30 @@ def b_filter_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM dss_orders_ssq)
         """
     )
+
+
+@register(
+    "b_filter_corr_subquery",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+    FROM orders o
+    WHERE o.o_totalprice > 1.5 * (SELECT avg(o2.o_totalprice)
+                                  FROM orders o2
+                                  WHERE o2.o_custkey = o.o_custkey)
+    """,
+)
+def b_filter_corr_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery: orders 1.5× above their own customer's
+    average. Catalyst decorrelates this into an aggregate + join
+    (RewriteCorrelatedScalarSubquery) — no per-row re-execution, which is
+    what makes the construct usable at 100 TB."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("dss_orders_corr")
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+        FROM dss_orders_corr o
+        WHERE o.o_totalprice > 1.5 * (SELECT avg(o2.o_totalprice)
+                                      FROM dss_orders_corr o2
+                                      WHERE o2.o_custkey = o.o_custkey)
+        """
+    )

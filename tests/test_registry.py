@@ -15,6 +15,7 @@ a_scan_parquet a_scan_prune a_scan_filter_pushdown a_sink_parquet_roundtrip
 a_sink_partitioned a_sink_csv_json a_sink_orc a_source_python_ds a_sink_table
 b_project_arith b_filter_simple b_filter_compound b_filter_like
 b_filter_null_semantics b_distinct b_filter_scalar_subquery
+b_filter_corr_subquery
 c_join_inner c_join_multiway c_join_broadcast c_join_left c_join_right
 c_join_full c_join_semi c_join_anti c_join_cross c_join_theta_band
 c_join_interval c_join_asof c_join_salted c_join_bucketed c_join_tpch_q3 c_join_tpch_q10 c_join_tpch_q14
