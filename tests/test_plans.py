@@ -124,3 +124,18 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
     plan = plan_of(QUERIES["c_join_bucketed"](spark, sf_dir))
     assert ") Exchange" not in plan, plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_partition_pruning_on_partitioned_layout(spark, sf_dir):
+    # Reading a partitionBy layout with a partition predicate must prune at
+    # planning time (PartitionFilters), not scan-and-filter — at 100 TB this
+    # is the difference between touching 1/N directories and all of them.
+    from data_service_spark.queries.scans import _tmpdir
+
+    QUERIES["a_sink_partitioned"](spark, sf_dir).count()  # materialize layout
+    df = spark.read.parquet(_tmpdir("nation_partitioned")).filter(
+        "n_regionkey = 2"
+    )
+    plan = plan_of(df)
+    pf = plan.split("PartitionFilters:")[1].splitlines()[0]
+    assert "n_regionkey" in pf and "2" in pf
