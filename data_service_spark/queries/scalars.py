@@ -384,3 +384,31 @@ def h_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftright(k, 3).alias("b_shr"),
         F.bit_count(k).alias("b_pop"),
     )
+
+
+@register(
+    "h_trig_funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(sin(l_quantity), 6) AS t_sin,
+           round(cos(l_quantity), 6) AS t_cos,
+           round(atan2(l_quantity, l_linenumber + 1), 6) AS t_atan2,
+           round(degrees(atan(l_quantity / 50.0)), 6) AS t_deg,
+           round(radians(l_quantity), 6) AS t_rad
+    FROM lineitem
+    """,
+)
+def h_trig_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigonometric scalar surface (libm on both engines; 6dp rounding
+    absorbs the last-ulp differences between implementations)."""
+    li = load(spark, sf_dir, "lineitem")
+    q, ln = F.col("l_quantity"), F.col("l_linenumber")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sin(q), 6).alias("t_sin"),
+        F.round(F.cos(q), 6).alias("t_cos"),
+        F.round(F.atan2(q, ln + 1), 6).alias("t_atan2"),
+        F.round(F.degrees(F.atan(q / 50.0)), 6).alias("t_deg"),
+        F.round(F.radians(q), 6).alias("t_rad"),
+    )

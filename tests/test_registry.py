@@ -28,6 +28,7 @@ f_sort_verify f_topk f_topk_per_group f_offset
 g_union_all g_union_distinct g_intersect g_except g_union_byname
 h_str_basic h_str_regex h_date_funcs h_math_funcs h_cond_funcs h_cast
 h_array_funcs h_map_json h_explode h_struct h_array_higher_order h_bitwise
+h_trig_funcs
 i_tumbling i_sliding i_session i_dedup_keys i_watermark_late i_stateful
 i_stream_sink i_stream_join
 j_udf_scalar j_pandas_udf_scalar j_pandas_udaf j_grouped_map j_map_in_pandas
