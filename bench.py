@@ -2,8 +2,14 @@
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1).
 
 Prints ONE JSON line:
-    {"metric": ..., "value": <total sec>, "unit": "sec",
-     "queries": {key: sec, ...}, "sf": ...}
+    {"metric": ..., "value": <total sec over ALL keys>, "unit": "sec",
+     "queries": {headline key: sec, ...}, "n_queries": N, "sf": ...}
+
+The driver records only the LAST ~2000 characters of stdout and parses the
+JSON from that tail (round-1 BENCH_r01.json: a full 120-key dict blew past
+the buffer and parsed as null). So the stdout line carries a fixed headline
+subset of per-key timings and stays well under 2000 bytes; the complete
+per-key dict is written to ``bench_full.json`` next to this script.
 
 Each query is materialized through the noop sink (full computation, no
 driver collect, no result pruning — a bare count() would let Catalyst drop
@@ -55,18 +61,55 @@ def main() -> None:
             failures[key] = f"{type(exc).__name__}: {exc}"[:200]
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "wallclock_all_queries",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                **({"failures": failures} if failures else {}),
-            }
-        )
-    )
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    full = {
+        "metric": "wallclock_all_queries",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "n_queries": len(timings),
+        "sf": sf_val,
+        **({"failures": failures} if failures else {}),
+    }
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json"),
+        "w",
+    ) as fh:
+        json.dump(full, fh, indent=1, sort_keys=True)
+
+    headline = [
+        "a_scan_filter_pushdown",
+        "c_join_tpch_q3",
+        "c_join_tpch_q10",
+        "c_join_tpch_q14",
+        "c_join_asof",
+        "c_join_bucketed",
+        "d_agg_tpch_q6",
+        "d_agg_groupby",
+        "e_win_rank",
+        "e_win_range_frame",
+        "f_topk_per_group",
+        "g_except",
+        "h_array_higher_order",
+        "i_tumbling",
+        "j_grouped_map",
+        "k_dedup_exact",
+        "k_dedup_minhash",
+        "k_dedup_simhash",
+        "k_sim_ann",
+        "k_sim_topk",
+        "k_text_tfidf",
+        "k_multimodal_features",
+    ]
+    line = dict(full)
+    line["queries"] = {k: timings[k] for k in headline if k in timings}
+    if failures:
+        line["failures"] = {k: v[:60] for k, v in list(failures.items())[:5]}
+    out = json.dumps(line, separators=(",", ":"))
+    if len(out) > 1900:  # never outgrow the driver's tail buffer again
+        line["queries"] = {}
+        out = json.dumps(line, separators=(",", ":"))
+    print(out)
 
 
 if __name__ == "__main__":

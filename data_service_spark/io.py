@@ -33,6 +33,12 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ``nanosAsLong`` legacy conf and rebuild a TimestampType column at µs
     precision — the same truncation DuckDB applies, so oracle parity holds.
     This stays fully distributed (a projection, no driver roundtrip).
+
+    The conf is session-wide by design and is pre-set (and documented) in
+    ``session.get_spark``; the ``conf.set`` below is a defensive repeat for
+    foreign sessions. It cannot be save/restored around this call: Spark
+    resolves the flag at *execution* time, so restoring it after the lazy
+    ``read`` would break the scan when the query actually runs.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")

@@ -172,6 +172,8 @@ def j_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="word string, wlen int")
     class SplitWords:
         def eval(self, text: str):
+            if text is None:  # null-tolerant like the SQL-side operators
+                return
             for w in text.split(" "):
                 yield w, len(w)
 

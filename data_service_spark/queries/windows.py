@@ -134,19 +134,20 @@ def e_win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "e_win_distribution",
     oracle="""
-    SELECT o_orderkey,
+    SELECT o_orderkey, o_orderstatus,
            ntile(4) OVER w AS quartile,
            round(percent_rank() OVER w, 6) AS pct_rank,
            round(cume_dist() OVER w, 6) AS cdist
     FROM orders
-    WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
     """,
 )
 def e_win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
     return o.select(
         "o_orderkey",
+        "o_orderstatus",
         F.ntile(4).over(w).alias("quartile"),
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cdist"),

@@ -86,7 +86,45 @@ class SqlEngine:
             self.spark.sql(sql_text).explain("formatted")
         return {"plan": buf.getvalue()}
 
+    # First keyword of statements the /sql endpoint will run. Everything
+    # else (DDL/DML/SET/...) is rejected: the endpoint is a QUERY surface,
+    # not an admin console — DROP TABLE on the managed tables or SET on
+    # session confs must not be reachable over HTTP.
+    _QUERY_KEYWORDS = frozenset(
+        {"select", "with", "values", "table", "show", "describe", "desc"}
+    )
+
+    @classmethod
+    def _first_keyword(cls, sql_text: str) -> str:
+        """Leading keyword after stripping whitespace, line comments and
+        bracketed comments — cheap lexing, no execution."""
+        s = sql_text
+        while True:
+            s = s.lstrip(" \t\r\n;")
+            if s.startswith("--"):
+                nl = s.find("\n")
+                s = "" if nl < 0 else s[nl + 1:]
+                continue
+            if s.startswith("/*"):
+                end = s.find("*/")
+                s = "" if end < 0 else s[end + 2:]
+                continue
+            break
+        word = ""
+        for ch in s:
+            if ch.isalpha():
+                word += ch
+            else:
+                break
+        return word.lower()
+
     def sql(self, sql_text: str, limit: int = 1000) -> dict[str, Any]:
+        kw = self._first_keyword(sql_text)
+        if kw not in self._QUERY_KEYWORDS:
+            raise PermissionError(
+                f"statement kind {kw or '<empty>'!r} is not allowed on /sql; "
+                f"only read queries ({', '.join(sorted(self._QUERY_KEYWORDS))})"
+            )
         limit = max(1, min(int(limit), MAX_ROWS))
         df = self.spark.sql(sql_text).limit(limit)
         rows = df.collect()
@@ -133,6 +171,8 @@ def make_handler(engine: SqlEngine) -> type[BaseHTTPRequestHandler]:
                 self._send(200, result)
             except KeyError:
                 self._send(400, {"error": "missing required field 'sql'"})
+            except PermissionError as exc:
+                self._send(403, {"error": str(exc)})
             except Exception as exc:  # analysis/parse errors → client fault
                 self._send(400, {"error": f"{type(exc).__name__}: {exc}"})
 

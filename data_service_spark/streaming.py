@@ -92,8 +92,15 @@ def funnel_stream(events: DataFrame) -> DataFrame:
             first_signup_us, purchases = state.get
         else:
             first_signup_us, purchases = None, 0
-        for pdf in pdfs:
-            for _, row in pdf.sort_values("ts").iterrows():
+        # Concatenate the chunk iterator BEFORE folding: Spark may split one
+        # group's micro-batch across several ~10k-row pandas chunks, and a
+        # signup in a later chunk must still see purchases from an earlier
+        # chunk with a later ts. One concat + one sort per (group, batch)
+        # restores whole-batch event-time order.
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            batch = pd.concat(chunks, ignore_index=True).sort_values("ts")
+            for _, row in batch.iterrows():
                 ts_us = row["ts"].value // 1000
                 et = row["event_type"]
                 if et == "signup":
