@@ -14,4 +14,5 @@ from data_service_spark.queries import (  # noqa: F401
     udfs,
     llm,
     llm_text,
+    tpch,
 )
