@@ -49,6 +49,29 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def load_parallel(
+    spark: SparkSession, sf_dir: str, name: str, key: str
+) -> DataFrame:
+    """``load`` + hash-repartition on ``key`` for fan-out pipelines.
+
+    The corpus ships one parquet file per table with a single row group, so
+    a scan yields ONE partition no matter how many cores exist —
+    ``maxPartitionBytes`` can't split inside a row group. Any operator that
+    fans each row out (shingling, per-token explode, per-vector hashing)
+    would then run its whole map side on one core. One small shuffle of the
+    pre-fan-out rows buys full parallelism for everything downstream. At
+    cluster scale a real multi-file table already arrives parallel and this
+    repartition is a no-op-sized pass that also co-locates by ``key``.
+
+    The partition count is EXPLICIT: AQE coalesces a bare
+    ``repartition(col)`` back to one partition when the bytes are small —
+    exactly wrong here, where per-row downstream CPU (hashing, shingling),
+    not input bytes, is the cost. An explicit count pins the exchange.
+    """
+    n = spark.sparkContext.defaultParallelism
+    return load(spark, sf_dir, name).repartition(n, F.col(key))
+
+
 def register_temp_views(spark: SparkSession, sf_dir: str) -> None:
     """Expose all corpus tables as temp views for ``spark.sql`` entry points."""
     for t in TABLES:

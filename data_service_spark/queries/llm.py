@@ -21,7 +21,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from data_service_spark.io import load
+from data_service_spark.io import load, load_parallel
 from data_service_spark.registry import register
 
 
@@ -107,7 +107,7 @@ def k_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair up). The truly scalable twin is MinHash+LSH (k_dedup_minhash),
     which bounds candidate pairs per band bucket.
     """
-    d = load(spark, sf_dir, "documents")
+    d = load_parallel(spark, sf_dir, "documents", "doc_id")
     sh = (
         d.withColumn("words", F.split("text", " "))
         .filter(F.size("words") >= 5)
@@ -454,7 +454,7 @@ def k_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
-    d = load(spark, sf_dir, "documents")
+    d = load_parallel(spark, sf_dir, "documents", "doc_id")
     sh = (
         d.withColumn("words", F.split("text", " "))
         .filter(F.size("words") >= 5)
@@ -602,4 +602,152 @@ def k_cluster_iterate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "SELECT vec_id, p.pos, p.x "
             "FROM dss_emb_km LATERAL VIEW posexplode(v) p AS pos, x"
         )
+    )
+
+
+@register(
+    "k_dedup_minhash_sql",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM documents
+      WHERE len(string_split(text, ' ')) >= 5
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, len(words) - 4),
+                           i -> array_to_string(words[i:i+4], ' '))) AS shingles
+      FROM w
+    ), ex AS (SELECT doc_id, unnest(shingles) AS sh FROM sh),
+    sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+    hx AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(sh), 1, 15))::BIGINT AS ha,
+             ('0x' || substr(md5(sh), 17, 14))::BIGINT AS hb
+      FROM ex
+    ),
+    mh AS (
+      SELECT hx.doc_id, hs.h AS h, min(ha + hs.h * hb) AS mh
+      FROM hx CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS h) hs
+      GROUP BY hx.doc_id, hs.h
+    ),
+    bands AS (
+      SELECT doc_id, h // 3 AS band_id,
+             string_agg(CAST(mh AS VARCHAR), ',' ORDER BY h) AS bkey
+      FROM mh GROUP BY doc_id, h // 3
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2
+      FROM bands a JOIN bands b ON a.band_id = b.band_id
+           AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    ),
+    inter AS (
+      SELECT c.doc_id_1, c.doc_id_2, count(*) AS n_common
+      FROM cand c JOIN ex e1 ON e1.doc_id = c.doc_id_1
+           JOIN ex e2 ON e2.doc_id = c.doc_id_2 AND e2.sh = e1.sh
+      GROUP BY 1, 2
+    )
+    SELECT i.doc_id_1, i.doc_id_2,
+           round(n_common * 1.0 / (s1.n + s2.n - n_common), 4) AS jaccard
+    FROM inter i
+    JOIN sizes s1 ON i.doc_id_1 = s1.doc_id
+    JOIN sizes s2 ON i.doc_id_2 = s2.doc_id
+    WHERE n_common * 1.0 / (s1.n + s2.n - n_common) >= 0.6
+    """,
+)
+def k_dedup_minhash_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-native MinHash+LSH near-dup dedup with an EXACT cross-engine
+    oracle — the deterministic scale path beside the ml-lib variant
+    (k_dedup_minhash, rows-only).
+
+    Signatures are 12 md5-derived 60-bit min-hashes per doc (md5 exists in
+    both engines, so DuckDB reproduces the signatures bit-for-bit — that is
+    what upgrades this from rows-only to hash-checked). Banding is 4 bands
+    x 3 rows: candidate pairs must share one full band, then candidates are
+    verified with exact shingle Jaccard >= 0.6. Every step is JVM-side
+    column algebra (no Python UDF):
+
+      shingles --explode--> (doc, shingle) --12 hash mins, map-side
+      combined--> signature --4 band keys--> equi-join on (band_id, key)
+      --> candidates --shingle join--> exact Jaccard.
+
+    At 100 TB: the signature agg is one shuffle on doc_id with partial
+    aggregation; the band join is an equi-join whose cost tracks bucket
+    occupancy, not docs^2; only surviving candidates (a tiny set) pay the
+    exact-verification join. Skewed buckets (boilerplate docs) are handled
+    by AQE skew-join splitting.
+    """
+    H, R = 12, 3  # 12 hashes, bands of 3 -> 4 bands
+    d = load_parallel(spark, sf_dir, "documents", "doc_id")
+    sh = (
+        d.withColumn("words", F.split("text", " "))
+        .filter(F.size("words") >= 5)
+        .withColumn("shingles", F.expr(_SHINGLES))
+        .select("doc_id", "shingles", F.size("shingles").alias("n"))
+    )
+    ex = sh.select("doc_id", F.explode("shingles").alias("sh"))
+    # One md5 per shingle, 12 derived hashes a + i*b (Carter-Wegman): a is
+    # 60 bits, b 56 bits, so a + 11*b < 2^62 — no int64 overflow, and both
+    # engines evaluate the identical arithmetic on the identical digest.
+    #
+    # LONG format on purpose: a wide signature (12 min(hs[i]) aggregates
+    # over a transform() array) gets its projection collapsed into every
+    # aggregate expression by Catalyst, re-running the md5/conv chain 12x
+    # per shingle (measured ~2x slower end-to-end). Exploding the hash
+    # index through a Generate keeps ha/hb evaluated once per shingle;
+    # repartitioning by doc_id upstream makes the (doc_id, h) partial agg
+    # collapse to |docs|*12 rows before the shuffle.
+    hx = ex.select(
+        "doc_id",
+        F.expr("cast(conv(substr(md5(sh), 1, 15), 16, 10) AS bigint)").alias("ha"),
+        F.expr("cast(conv(substr(md5(sh), 17, 14), 16, 10) AS bigint)").alias("hb"),
+    )
+    longh = hx.select(
+        "doc_id", "ha", "hb",
+        F.explode(F.sequence(F.lit(0), F.lit(H - 1))).alias("h"),
+    )
+    mh = longh.groupBy("doc_id", "h").agg(
+        F.min(F.col("ha") + F.col("h") * F.col("hb")).alias("mh")
+    )
+    banded = mh.groupBy("doc_id", F.expr(f"h div {R}").alias("band_id")).agg(
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(h, mh))),"
+            " s -> cast(s.mh AS string)), ',')"
+        ).alias("bkey")
+    )
+    a = banded.select(
+        F.col("doc_id").alias("doc_id_1"), "band_id", "bkey"
+    )
+    b = banded.select(
+        F.col("doc_id").alias("doc_id_2"), "band_id", "bkey"
+    )
+    cand = (
+        a.join(b, ["band_id", "bkey"])
+        .filter(F.col("doc_id_1") < F.col("doc_id_2"))
+        .select("doc_id_1", "doc_id_2")
+        .distinct()
+    )
+    # Verify candidates with exact Jaccard via array_intersect on the (few)
+    # surviving pairs — shingle lists are already distinct, so the
+    # intersection size IS the common-shingle count. Two joins, no extra
+    # shuffle-agg: at bench scale stage count dominates, at cluster scale
+    # the candidate set is tiny relative to the corpus either way.
+    s1 = sh.select(
+        F.col("doc_id").alias("doc_id_1"),
+        F.col("shingles").alias("sh1"),
+        F.col("n").alias("n1"),
+    )
+    s2 = sh.select(
+        F.col("doc_id").alias("doc_id_2"),
+        F.col("shingles").alias("sh2"),
+        F.col("n").alias("n2"),
+    )
+    ver = (
+        cand.join(s1, ["doc_id_1"])
+        .join(s2, ["doc_id_2"])
+        .withColumn("n_common", F.size(F.array_intersect("sh1", "sh2")))
+    )
+    jac = F.col("n_common") * 1.0 / (
+        F.col("n1") + F.col("n2") - F.col("n_common")
+    )
+    return ver.filter(jac >= 0.6).select(
+        "doc_id_1", "doc_id_2", F.round(jac, 4).alias("jaccard")
     )

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from data_service_spark.io import load
+from data_service_spark.io import load, load_parallel
 from data_service_spark.registry import register
 
 # ------------------------------------------------------------- simhash ----
@@ -45,7 +45,9 @@ _DUCK_TOKEN_HASH = "('0x' || substr(md5(tok), 1, 15))::BIGINT"
 def _simhash_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """doc_id → 60-bit simhash, computed fully in SQL expressions (stays in
     codegen; one explode + one hash-agg shuffle — linear at 100 TB)."""
-    load(spark, sf_dir, "documents").createOrReplaceTempView("dss_docs_sh")
+    load_parallel(spark, sf_dir, "documents", "doc_id").createOrReplaceTempView(
+        "dss_docs_sh"
+    )
     return spark.sql(
         f"""
         WITH tok AS (
