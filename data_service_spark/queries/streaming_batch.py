@@ -302,3 +302,61 @@ def i_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("event_type") == "purchase"),
         ev.filter(F.col("event_type") == "click"),
     )
+
+
+def static_enrich_join(events: DataFrame, customers: DataFrame) -> DataFrame:
+    """Stream-static equi-join: each event enriched with the customer row
+    whose key equals its user_id (shared between batch twin and stream
+    test).
+
+    As a stream the static side is re-broadcast per micro-batch (no state,
+    no watermark needed) — the standard dimension-enrichment shape; at
+    100 TB/day the only cost is the broadcast of the dimension snapshot.
+    """
+    dim = customers.select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment", "c_nationkey"
+    )
+    return events.join(F.broadcast(dim), "user_id").select(
+        "event_id", "user_id", "event_type", "c_mktsegment", "c_nationkey"
+    )
+
+
+@register(
+    "i_stream_static",
+    oracle="""
+    SELECT event_id, user_id, event_type, c_mktsegment, c_nationkey
+    FROM events JOIN customer ON user_id = c_custkey
+    """,
+)
+def i_stream_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return static_enrich_join(
+        load(spark, sf_dir, "events"), load(spark, sf_dir, "customer")
+    )
+
+
+def latest_state_agg(events: DataFrame) -> DataFrame:
+    """Latest event per user — the state an UPSERT sink converges to
+    (shared between the batch twin and the foreachBatch-merge test).
+
+    event_id is unique and event-time-ordered (FIXTURES.md), so max_by on
+    it is deterministic; in update-mode streaming each micro-batch emits
+    the users it touched and the sink keeps the last row per key.
+    """
+    return events.groupBy("user_id").agg(
+        F.max("event_id").alias("last_event_id"),
+        F.round(F.max_by("value", "event_id"), 2).alias("last_value"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "i_upsert_sink",
+    oracle="""
+    SELECT user_id, max(event_id) AS last_event_id,
+           round(arg_max(value, event_id), 2) AS last_value,
+           count(*) AS n_events
+    FROM events GROUP BY user_id
+    """,
+)
+def i_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return latest_state_agg(load(spark, sf_dir, "events"))

@@ -30,7 +30,7 @@ h_str_basic h_str_regex h_date_funcs h_math_funcs h_cond_funcs h_cast
 h_array_funcs h_map_json h_explode h_struct h_array_higher_order h_bitwise
 h_trig_funcs
 i_tumbling i_sliding i_session i_dedup_keys i_watermark_late i_stateful
-i_stream_sink i_stream_join
+i_stream_sink i_stream_join i_stream_static i_upsert_sink
 j_udf_scalar j_pandas_udf_scalar j_pandas_udaf j_grouped_map j_map_in_pandas
 j_udtf j_cogroup
 k_dedup_exact k_dedup_near k_sim_topk k_sim_threshold k_sim_ann

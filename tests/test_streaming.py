@@ -243,3 +243,38 @@ def test_stream_stream_join_matches_batch(spark, tmp_path):
         events.filter(F.col("event_type") == "click"),
     )
     assert pairs == {(r.purchase_id, r.click_id) for r in batch.collect()}
+
+
+def test_stream_static_join_matches_batch(spark, sf_dir, events_dir):
+    # i_stream_static: the static dimension side is joined per micro-batch;
+    # appended outputs over all batches equal the batch-twin join.
+    from data_service_spark.queries.streaming_batch import static_enrich_join
+
+    customers = load(spark, sf_dir, "customer")
+    sdf = static_enrich_join(read_event_stream(spark, events_dir), customers)
+    batches = drain_available_now(sdf, output_mode="append")
+    got = pd.concat([b for b in batches if len(b)], ignore_index=True)
+    expected = static_enrich_join(
+        load(spark, sf_dir, "events"), customers
+    ).toPandas()
+    assert_frames_match(got, expected, ["event_id"])
+
+
+def test_upsert_sink_converges_to_latest_state(spark, sf_dir, events_dir):
+    # i_upsert_sink: update-mode agg emits touched users per micro-batch; an
+    # upsert sink (last row per key wins) converges to the batch state.
+    from data_service_spark.queries.streaming_batch import latest_state_agg
+
+    sdf = latest_state_agg(read_event_stream(spark, events_dir))
+    batches = drain_available_now(sdf, output_mode="update")
+    state = last_rows_per_key(batches, "user_id")
+    got = pd.DataFrame(sorted(state.values(), key=lambda r: r["user_id"])).reset_index(
+        drop=True
+    )
+    expected = (
+        latest_state_agg(load(spark, sf_dir, "events"))
+        .toPandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    assert_frames_match(got, expected, ["user_id"])
