@@ -751,3 +751,129 @@ def k_dedup_minhash_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ver.filter(jac >= 0.6).select(
         "doc_id_1", "doc_id_2", F.round(jac, 4).alias("jaccard")
     )
+
+
+@register(
+    "k_sim_ann_sql",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    dims AS (SELECT unnest(generate_series(0, 63)) AS d),
+    ps AS (SELECT unnest(generate_series(0, 5)) AS p),
+    planes AS (
+      SELECT ps.p, dims.d,
+             CASE WHEN substr(md5(CAST(ps.p AS VARCHAR) || ':'
+                                  || CAST(dims.d AS VARCHAR)), 1, 1)
+                       IN ('0','2','4','6','8','a','c','e')
+                  THEN 1.0 ELSE -1.0 END AS w
+      FROM ps CROSS JOIN dims
+    ),
+    ex AS (SELECT vec_id, dims.d AS d, v[dims.d + 1] AS x
+           FROM e CROSS JOIN dims),
+    proj AS (
+      SELECT vec_id, p, sum(x * w) AS s
+      FROM ex JOIN planes USING (d) GROUP BY vec_id, p
+    ),
+    buck AS (
+      SELECT vec_id,
+             string_agg(CASE WHEN round(s, 9) >= 0 THEN '1' ELSE '0' END,
+                        '' ORDER BY p) AS bucket
+      FROM proj GROUP BY vec_id
+    ),
+    sims AS (
+      SELECT pb.vec_id AS probe_id, cb.vec_id AS neighbor_id,
+             list_inner_product(pe.v, ce.v) AS sim
+      FROM buck pb JOIN buck cb ON pb.bucket = cb.bucket
+                                AND pb.vec_id <> cb.vec_id
+           JOIN e pe ON pe.vec_id = pb.vec_id
+           JOIN e ce ON ce.vec_id = cb.vec_id
+      WHERE pb.vec_id < 10
+    ),
+    ranked AS (
+      SELECT probe_id, neighbor_id, round(sim, 4) AS sim,
+             row_number() OVER (PARTITION BY probe_id
+                                ORDER BY round(sim, 6) DESC, neighbor_id) AS rn
+      FROM sims
+    )
+    SELECT probe_id, neighbor_id, sim, rn FROM ranked WHERE rn <= 3
+    """,
+)
+def k_sim_ann_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ANN via sign-random-projection LSH with an EXACT
+    cross-engine oracle — the hash-checked twin of the ml-lib k_sim_ann
+    (rows-only).
+
+    Six hyperplanes with ±1 weights derived from md5(plane:dim) parity —
+    a deterministic function both engines evaluate identically, so DuckDB
+    reproduces the buckets bit-for-bit. Each vector's 6-bit sign pattern is
+    its bucket; probes (vec_id < 10) rank only their own bucket by exact
+    cosine (dot ≡ cosine, embeddings are L2-normalized) and keep top-3.
+    Projections are rounded to 9dp before the sign test so summation-order
+    ulp noise cannot flip a bucket bit between engines.
+
+    Scale: the plane table is 384 rows (broadcast); the projection is one
+    explode + two partial-aggregated shuffles, linear in corpus size; the
+    candidate join is an equi-join on bucket — cost tracks bucket occupancy
+    (recall < 1 by design), never corpus². Skewed buckets fall to AQE
+    skew-join handling.
+    """
+    P = 6
+    emb = load_parallel(spark, sf_dir, "embeddings", "vec_id").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    dims = spark.range(64).select(F.col("id").cast("int").alias("d"))
+    planes = (
+        spark.range(P)
+        .select(F.col("id").cast("int").alias("p"))
+        .crossJoin(dims)
+        .select(
+            "p",
+            "d",
+            F.expr(
+                "CASE WHEN substr(md5(concat(cast(p AS string), ':',"
+                " cast(d AS string))), 1, 1)"
+                " IN ('0','2','4','6','8','a','c','e')"
+                " THEN 1.0D ELSE -1.0D END"
+            ).alias("w"),
+        )
+    )
+    ex = emb.select(
+        "vec_id", F.posexplode("v").alias("d", "x")
+    )
+    proj = (
+        ex.join(F.broadcast(planes), ["d"])
+        .groupBy("vec_id", "p")
+        .agg(F.sum(F.col("x") * F.col("w")).alias("s"))
+    )
+    buck = proj.groupBy("vec_id").agg(
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(p,"
+            " CASE WHEN round(s, 9) >= 0 THEN '1' ELSE '0' END AS bit))),"
+            " t -> t.bit), '')"
+        ).alias("bucket")
+    )
+    bv = buck.join(emb, ["vec_id"])
+    probes = bv.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("bucket"),
+        F.col("v").alias("pv"),
+    )
+    sims = (
+        bv.join(F.broadcast(probes), ["bucket"])
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("neighbor_id"),
+            dot(F.col("pv"), F.col("v")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.round(F.col("sim"), 6).desc(), F.col("neighbor_id")
+    )
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "probe_id", "neighbor_id", F.round("sim", 4).alias("sim"), "rn"
+        )
+    )
