@@ -157,3 +157,33 @@ def a_sink_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dss_nation_managed"
     )
     return spark.table("dss_nation_managed")
+
+
+@register(
+    "a_source_jdbc",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation WHERE n_regionkey < 3",
+)
+def a_source_jdbc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JDBC connector roundtrip against an embedded Derby database — the
+    'multiple data sources' surface with a real JDBC driver (Derby ships in
+    Spark's jars for the Hive metastore, so this runs anywhere Spark does).
+
+    Write nation over JDBC, read it back with a pushed predicate:
+    ``filter`` on a JDBC relation compiles into the remote WHERE clause
+    (visible as PushedFilters in the scan), so the database — not Spark —
+    prunes rows. At cluster scale the read also takes partitionColumn/
+    numPartitions options to parallelize the pull; a 25-row dimension
+    needs exactly one.
+    """
+    url = f"jdbc:derby:{_tmpdir('derby_nation')};create=true"
+    opts = {"url": url, "driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    load(spark, sf_dir, "nation").write.format("jdbc").options(
+        dbtable="NATION", **opts
+    ).mode("overwrite").save()
+    return (
+        spark.read.format("jdbc")
+        .options(dbtable="NATION", **opts)
+        .load()
+        .filter(F.col("n_regionkey") < 3)
+        .select("n_nationkey", "n_name", "n_regionkey")
+    )

@@ -139,3 +139,11 @@ def test_partition_pruning_on_partitioned_layout(spark, sf_dir):
     plan = plan_of(df)
     pf = plan.split("PartitionFilters:")[1].splitlines()[0]
     assert "n_regionkey" in pf and "2" in pf
+
+
+def test_jdbc_filter_pushes_to_database(spark, sf_dir):
+    # a_source_jdbc: the n_regionkey predicate must compile into the remote
+    # WHERE clause (JDBC PushedFilters), not run as a Spark-side filter.
+    plan = plan_of(QUERIES["a_source_jdbc"](spark, sf_dir))
+    assert "PushedFilters" in plan
+    assert "n_regionkey" in plan.split("PushedFilters")[1].splitlines()[0]
