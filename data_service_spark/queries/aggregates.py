@@ -438,3 +438,30 @@ def d_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("o_totalprice"), 2).alias("hi"),
         )
     )
+
+
+@register(
+    "d_agg_unpivot",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+           l_quantity AS value FROM lineitem WHERE l_orderkey < 500
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+    FROM lineitem WHERE l_orderkey < 500
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+    FROM lineitem WHERE l_orderkey < 500
+    """,
+)
+def d_agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide→long melt), the inverse of d_agg_pivot: three measure
+    columns become (metric, value) rows. Spark's ``unpivot`` expands
+    row-wise in the scan stage (an Expand node — no shuffle, no UDF); the
+    oracle states the same semantics as a UNION ALL of projections."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 500)
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_discount", "l_tax"],
+        "metric",
+        "value",
+    )

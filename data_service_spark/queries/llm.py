@@ -877,3 +877,110 @@ def k_sim_ann_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
             "probe_id", "neighbor_id", F.round("sim", 4).alias("sim"), "rn"
         )
     )
+
+
+@register(
+    "k_dedup_clusters",
+    oracle="""
+    WITH RECURSIVE w AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM documents
+      WHERE len(string_split(text, ' ')) >= 5
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, len(words) - 4),
+                           i -> array_to_string(words[i:i+4], ' '))) AS shingles
+      FROM w
+    ), ex AS (SELECT doc_id, unnest(shingles) AS sh FROM sh),
+    sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+    inter AS (
+      SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2, count(*) AS n_common
+      FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT doc_id_1, doc_id_2
+      FROM inter
+      JOIN sizes s1 ON doc_id_1 = s1.doc_id
+      JOIN sizes s2 ON doc_id_2 = s2.doc_id
+      WHERE n_common * 1.0 / (s1.n + s2.n - n_common) >= 0.6
+    ),
+    edges AS (
+      SELECT doc_id_1 AS src, doc_id_2 AS dst FROM pairs
+      UNION ALL
+      SELECT doc_id_2, doc_id_1 FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+    )
+    SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
+    """,
+)
+def k_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the near-duplicate graph: every document
+    labeled with the min doc_id reachable through Jaccard>=0.6 edges — the
+    canonical-representative assignment a dedup pipeline applies after
+    pair mining (singletons label themselves).
+
+    Spark side is iterative min-label propagation to a fixpoint: each round
+    joins labels to the symmetric edge list, takes the neighborhood min,
+    and localCheckpoints to cut lineage (the standard large-graph CC shape
+    — one shuffle join per round, rounds = graph diameter, which for
+    near-dup cliques is 1-2). The driver-side loop only moves one scalar
+    (the changed-count) per round; all data stays distributed. The DuckDB
+    oracle computes the same fixpoint declaratively as a recursive-CTE
+    transitive closure — two formulations, one semantics.
+    """
+    d = load_parallel(spark, sf_dir, "documents", "doc_id")
+    sh = (
+        d.withColumn("words", F.split("text", " "))
+        .filter(F.size("words") >= 5)
+        .withColumn("shingles", F.expr(_SHINGLES))
+        .select("doc_id", "shingles", F.size("shingles").alias("n"))
+    )
+    ex = sh.select("doc_id", "n", F.explode("shingles").alias("sh"))
+    a = ex.select(F.col("doc_id").alias("doc_id_1"), F.col("n").alias("n1"), "sh")
+    b = ex.select(F.col("doc_id").alias("doc_id_2"), F.col("n").alias("n2"), "sh")
+    jac = F.col("n_common") * 1.0 / (F.col("n1") + F.col("n2") - F.col("n_common"))
+    pairs = (
+        a.join(b, ["sh"])
+        .filter(F.col("doc_id_1") < F.col("doc_id_2"))
+        .groupBy("doc_id_1", "doc_id_2", "n1", "n2")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .filter(jac >= 0.6)
+        .select("doc_id_1", "doc_id_2")
+    )
+    edges = pairs.select(
+        F.col("doc_id_1").alias("src"), F.col("doc_id_2").alias("dst")
+    ).unionAll(
+        pairs.select(F.col("doc_id_2").alias("src"), F.col("doc_id_1").alias("dst"))
+    ).localCheckpoint()
+    labels = d.select("doc_id", F.col("doc_id").alias("cluster_id")).localCheckpoint()
+    for _ in range(20):  # bound >> any real near-dup-graph diameter
+        nbr_min = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("nbr_id"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.doc_id == nbr_min.src, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce(F.col("nbr_id"), F.col("cluster_id")),
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
