@@ -252,8 +252,11 @@ def k_sim_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector
 
-    emb = _emb(spark, sf_dir).select(
-        "vec_id", array_to_vector(F.col("v")).alias("features")
+    # load_parallel: the single-row-group source otherwise leaves the LSH
+    # transform + approxSimilarityJoin explode on one core (measured ~2x).
+    emb = load_parallel(spark, sf_dir, "embeddings", "vec_id").select(
+        "vec_id",
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
     )
     lsh = BucketedRandomProjectionLSH(
         inputCol="features",

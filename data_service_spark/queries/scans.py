@@ -175,7 +175,10 @@ def a_source_jdbc(spark: SparkSession, sf_dir: str) -> DataFrame:
     numPartitions options to parallelize the pull; a 25-row dimension
     needs exactly one.
     """
-    url = f"jdbc:derby:{_tmpdir('derby_nation')};create=true"
+    # Embedded Derby allows ONE process per database directory — key the
+    # path by pid so a concurrent session (bench vs. driver) can't collide
+    # on the boot lock.
+    url = f"jdbc:derby:{_tmpdir(f'derby_nation_{os.getpid()}')};create=true"
     opts = {"url": url, "driver": "org.apache.derby.jdbc.EmbeddedDriver"}
     load(spark, sf_dir, "nation").write.format("jdbc").options(
         dbtable="NATION", **opts
