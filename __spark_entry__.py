@@ -40,33 +40,37 @@ def entry(spark: SparkSession) -> DataFrame:
 # deferred, so a count- OR time-bounded pass still covers the whole
 # operator surface.
 PRIORITY = [
-    # a: scan/sink/source
-    "a_scan_parquet", "a_scan_filter_pushdown", "a_sink_partitioned",
+    # a: scan/sink/source (jdbc + binaryFile are the round-2 connectors)
+    "a_scan_filter_pushdown", "a_sink_partitioned", "a_source_jdbc",
+    "a_source_binaryfile",
     # b: project/filter
     "b_filter_compound", "b_filter_null_semantics", "b_filter_corr_subquery",
-    "b_distinct",
     # c: joins
-    "c_join_inner", "c_join_broadcast", "c_join_left", "c_join_anti",
+    "c_join_inner", "c_join_broadcast", "c_join_anti",
     "c_join_asof", "c_join_salted", "c_join_tpch_q3",
     # d: aggregates
-    "d_agg_groupby", "d_agg_rollup", "d_agg_multi_distinct",
-    "d_agg_percentile", "d_agg_pivot", "d_agg_tpch_q6",
+    "d_agg_groupby", "d_agg_rollup", "d_agg_percentile", "d_agg_pivot",
+    "d_agg_tpch_q6",
     # e: windows
-    "e_win_rank", "e_win_running", "e_win_lag_lead", "e_win_scd2",
-    "e_win_ignore_nulls",
+    "e_win_rank", "e_win_running", "e_win_scd2", "e_win_ignore_nulls",
     # f: sort/limit
-    "f_topk", "f_topk_per_group", "f_offset",
+    "f_topk", "f_topk_per_group",
     # g: set ops
-    "g_union_all", "g_except", "g_intersect",
+    "g_union_all", "g_except",
     # h: scalar functions
-    "h_explode", "h_array_higher_order", "h_map_json", "h_date_funcs",
+    "h_explode", "h_array_higher_order",
     # i: streaming
-    "i_tumbling", "i_session", "i_watermark_late", "i_stream_join",
+    "i_session", "i_watermark_late", "i_stream_join", "i_window_chain",
     # j: UDF surface
     "j_pandas_udf_scalar", "j_grouped_map", "j_udtf", "j_cogroup",
-    # k: LLM-pipeline ops
-    "k_dedup_exact", "k_dedup_simhash", "k_dedup_near", "k_sim_topk",
-    "k_text_langid", "k_text_tfidf", "k_multimodal_features",
+    # k: LLM/training-pipeline ops (round-2 curation keys included)
+    "k_dedup_exact", "k_dedup_simhash", "k_dedup_near",
+    "k_dedup_minhash_sql", "k_dedup_embedding", "k_sim_topk",
+    "k_sim_ann_sql", "k_sample_stratified", "k_split_train_test",
+    "k_text_repetition", "k_text_pii_redact", "k_text_tfidf",
+    "k_multimodal_features",
+    # q: TPC-H suite representative (deepest join tree)
+    "q_tpch_q08",
 ]
 
 

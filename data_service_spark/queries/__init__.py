@@ -15,4 +15,5 @@ from data_service_spark.queries import (  # noqa: F401
     llm,
     llm_text,
     tpch,
+    training,
 )

@@ -190,3 +190,64 @@ def a_source_jdbc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_regionkey") < 3)
         .select("n_nationkey", "n_name", "n_regionkey")
     )
+
+
+@register(
+    "a_source_binaryfile",
+    oracle="""
+    SELECT 'n_' || n_nationkey::VARCHAR || '.bin' AS file_name,
+           length(n_name) AS length, md5(n_name) AS content_md5
+    FROM nation
+    """,
+)
+def a_source_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`binaryFile` source — the multimodal-ingest entry point: each file
+    becomes one row of (path, modificationTime, length, content binary),
+    the shape image/audio/video corpora arrive in before the mapInPandas
+    decode stage (k_multimodal_*).
+
+    One payload file per nation row is materialized (driver-side, 25 tiny
+    files — the fixture step, not the operator), then read back through the
+    distributed source; outputs reduce content to length + md5 so the hash
+    is portable. At 100 TB the same reader fans files across executors and
+    `pathGlobFilter`/`recursiveFileLookup` prune the listing.
+    """
+    path = _tmpdir(f"nation_bin_{os.getpid()}")
+    os.makedirs(path, exist_ok=True)
+    for key, name in load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    ).collect():  # fixture materialization, not operator dataflow
+        with open(os.path.join(path, f"n_{key}.bin"), "wb") as fh:
+            fh.write(name.encode())
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(path)
+        .select(
+            F.element_at(F.split(F.col("path"), "/"), -1).alias("file_name"),
+            F.col("length"),
+            F.md5(F.col("content")).alias("content_md5"),
+        )
+    )
+
+
+@register(
+    "a_scan_text",
+    oracle="""
+    SELECT n_name AS value, length(n_name) AS line_len FROM nation
+    """,
+)
+def a_scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`text` source — line-oriented ingest (the raw form of most web-scale
+    text corpora before parsing). Write nation names as lines, read back
+    with one row per line. At scale this reader splits large files on line
+    boundaries across tasks; `wholetext=true` flips to one-row-per-document
+    for formats that must not split."""
+    path = _tmpdir(f"nation_txt_{os.getpid()}")
+    load(spark, sf_dir, "nation").select("n_name").coalesce(1).write.mode(
+        "overwrite"
+    ).text(path)
+    df = spark.read.text(path)
+    return df.select(
+        F.col("value"), F.length("value").alias("line_len")
+    )

@@ -360,3 +360,52 @@ def latest_state_agg(events: DataFrame) -> DataFrame:
 )
 def i_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     return latest_state_agg(load(spark, sf_dir, "events"))
+
+
+def chained_window_agg(events: DataFrame) -> DataFrame:
+    """Hour→day chained windowed aggregation (shared with streaming tests):
+    hourly event counts per type, then per-day avg/peak of those hourly
+    counts. Spark 4 supports this natively in streaming — the second
+    ``window()`` groups on the first's window column, so both levels ride
+    one watermark. Batch and stream run the identical expression."""
+    hourly = events.groupBy(
+        F.window("ts", "1 hour").alias("hw"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n_hour"))
+    return (
+        hourly.groupBy(F.window("hw", "1 day").alias("dw"), "event_type")
+        .agg(
+            F.round(F.avg("n_hour"), 4).alias("avg_hourly"),
+            F.max("n_hour").alias("peak_hourly"),
+            F.count(F.lit(1)).alias("n_hours"),
+        )
+        .select(
+            F.col("dw.start").alias("day_start"),
+            "event_type",
+            "avg_hourly",
+            "peak_hourly",
+            "n_hours",
+        )
+    )
+
+
+@register(
+    "i_window_chain",
+    oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS n_hour
+      FROM events GROUP BY 1, 2
+    )
+    SELECT date_trunc('day', h) AS day_start, event_type,
+           round(avg(n_hour), 4) AS avg_hourly,
+           max(n_hour) AS peak_hourly,
+           count(*) AS n_hours
+    FROM hourly GROUP BY 1, 2
+    """,
+)
+def i_window_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained time-window aggregations (hour→day rollup) — the hypertable
+    continuous-rollup shape. Two hash aggregates; the second input is
+    already tiny (one row per hour×type) so the day-level shuffle is
+    negligible — the pattern that lets a 100 TB event store keep multi-
+    resolution rollups without re-scanning raw data."""
+    return chained_window_agg(load(spark, sf_dir, "events"))

@@ -115,3 +115,86 @@ def test_topk_prefix_property(spark):
     top5 = [(r.v, r.k) for r in df.orderBy(F.desc("v"), "k").limit(5).collect()]
     top10 = [(r.v, r.k) for r in df.orderBy(F.desc("v"), "k").limit(10).collect()]
     assert top10[:5] == top5  # topk(k) is a prefix of topk(k+n) with total order
+
+
+def test_split_is_deterministic_and_total(spark, sf_dir):
+    # Hash-split invariants: every doc gets exactly one split label, the
+    # assignment is stable across evaluations, and no stratum is empty.
+    from data_service_spark.registry import QUERIES
+
+    a = {r.doc_id: r.split for r in QUERIES["k_split_train_test"](spark, sf_dir).collect()}
+    b = {r.doc_id: r.split for r in QUERIES["k_split_train_test"](spark, sf_dir).collect()}
+    assert a == b
+    assert set(a.values()) == {"train", "valid", "test"}
+    n = len(a)
+    n_train = sum(1 for v in a.values() if v == "train")
+    assert 0.8 * n < n_train < 0.97 * n  # ~90% within hash noise
+
+
+def test_stratified_sample_subset_of_corpus(spark, sf_dir):
+    from data_service_spark.io import load
+    from data_service_spark.registry import QUERIES
+
+    sampled = QUERIES["k_sample_stratified"](spark, sf_dir)
+    total = load(spark, sf_dir, "documents")
+    # sample ⊆ corpus and strictly smaller; en rate < other rates by design
+    assert sampled.count() < total.count()
+    assert sampled.join(total, "doc_id", "left_anti").count() == 0
+
+
+def test_pii_redaction_scrubs_and_preserves(spark):
+    df = spark.createDataFrame(
+        [(1, "mail bob.smith@corp.example.com now"),
+         (2, "call 555-1234 today"),
+         (3, "clean text only")],
+        "doc_id long, s string",
+    )
+    red = df.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace(
+                "s", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"
+            ),
+            r"\b\d{3}-\d{4}\b",
+            "[PHONE]",
+        ).alias("r"),
+    )
+    got = {r.doc_id: r.r for r in red.collect()}
+    assert got[1] == "mail [EMAIL] now"
+    assert got[2] == "call [PHONE] today"
+    assert got[3] == "clean text only"
+
+
+def test_repetition_signal_hand_computed(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a b a"),  # bigrams: ab ba ab ba -> 4 total, 2 unique
+         (2, "w x y z")],   # 3 bigrams, all unique
+        "doc_id long, text string",
+    )
+    words = F.split("text", " ")
+    bi = F.expr(
+        "transform(sequence(1, size(words) - 1), i -> concat_ws(' ', slice(words, i, 2)))"
+    )
+    out = {
+        r.doc_id: (r.n, r.u)
+        for r in df.select("doc_id", words.alias("words"))
+        .select("doc_id", bi.alias("b"))
+        .select("doc_id", F.size("b").alias("n"), F.size(F.array_distinct("b")).alias("u"))
+        .collect()
+    }
+    assert out[1] == (4, 2)
+    assert out[2] == (3, 3)
+
+
+def test_embedding_dedup_drops_only_neighbored(spark, sf_dir):
+    # survivors + dropped partition the corpus; every dropped vector has a
+    # smaller-id neighbor above threshold (spot-check via the pair list).
+    from data_service_spark.registry import QUERIES
+
+    surv = {r.vec_id for r in QUERIES["k_dedup_embedding"](spark, sf_dir).collect()}
+    pairs = QUERIES["k_sim_threshold"](spark, sf_dir).collect()
+    dropped_expected = {r.vec_id_2 for r in pairs}
+    from data_service_spark.io import load
+
+    all_ids = {r.vec_id for r in load(spark, sf_dir, "embeddings").select("vec_id").collect()}
+    assert surv == all_ids - dropped_expected
