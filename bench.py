@@ -47,6 +47,21 @@ def main() -> None:
     QUERIES["a_scan_prune"](spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
+    # Warm the Python-worker pools the same way: the first Arrow/pandas-UDF
+    # job and the first Python-datasource job each pay ~5 s of executor-side
+    # interpreter bring-up that every later job reuses — session fixed cost,
+    # not per-operator cost (measured: dss_synth 5.4 s cold, 0.5 s warm).
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from data_service_spark.sources import register_synthetic_source
+
+    register_synthetic_source(spark)
+    spark.read.format("dss_synth").option("n", 8).option("parts", 1).load().write.format(
+        "noop"
+    ).mode("overwrite").save()
+    spark.range(8).select(
+        F.pandas_udf(lambda s: s * 2, "long")(F.col("id"))
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}

@@ -73,6 +73,26 @@ _SHINGLES = (
 )
 
 
+def _exploded_shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_shingles, xxhash64-of-shingle) rows — the shared input of
+    the exact-Jaccard pair miners. Shingle strings (~40 bytes) are hashed
+    to int64 BEFORE the explode+self-join, so the shuffle moves 8-byte
+    longs and the join compares integers; Jaccard over hashed 5-gram sets
+    equals Jaccard over the strings barring a 64-bit collision
+    (P < 2⁻⁴⁰ at 100 TB shingle counts — below hardware error rates)."""
+    d = load_parallel(spark, sf_dir, "documents", "doc_id")
+    sh = (
+        d.withColumn("words", F.split("text", " "))
+        .filter(F.size("words") >= 5)
+        .withColumn(
+            "shingles", F.expr(f"transform({_SHINGLES}, s -> xxhash64(s))")
+        )
+        .select("doc_id", "shingles", F.size("shingles").alias("n"))
+    )
+    return sh.select("doc_id", "n", F.explode("shingles").alias("sh"))
+
+
+
 @register(
     "k_dedup_near",
     oracle="""
@@ -107,14 +127,7 @@ def k_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair up). The truly scalable twin is MinHash+LSH (k_dedup_minhash),
     which bounds candidate pairs per band bucket.
     """
-    d = load_parallel(spark, sf_dir, "documents", "doc_id")
-    sh = (
-        d.withColumn("words", F.split("text", " "))
-        .filter(F.size("words") >= 5)
-        .withColumn("shingles", F.expr(_SHINGLES))
-        .select("doc_id", "shingles", F.size("shingles").alias("n"))
-    )
-    ex = sh.select("doc_id", "n", F.explode("shingles").alias("sh"))
+    ex = _exploded_shingle_hashes(spark, sf_dir)
     a = ex.select(
         F.col("doc_id").alias("doc_id_1"), F.col("n").alias("n1"), "sh"
     )
@@ -930,19 +943,16 @@ def k_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins labels to the symmetric edge list, takes the neighborhood min,
     and localCheckpoints to cut lineage (the standard large-graph CC shape
     — one shuffle join per round, rounds = graph diameter, which for
-    near-dup cliques is 1-2). The driver-side loop only moves one scalar
-    (the changed-count) per round; all data stays distributed. The DuckDB
-    oracle computes the same fixpoint declaratively as a recursive-CTE
-    transitive closure — two formulations, one semantics.
+    near-dup cliques is 1-2). The loop runs only over edge-TOUCHED nodes:
+    singletons (the overwhelming majority of any dedup graph) label
+    themselves and never enter a round, so per-round joins are sized by the
+    near-dup graph, not the corpus. The driver-side loop only moves one
+    scalar (the changed-count) per round; all data stays distributed. The
+    DuckDB oracle computes the same fixpoint declaratively as a
+    recursive-CTE transitive closure — two formulations, one semantics.
     """
     d = load_parallel(spark, sf_dir, "documents", "doc_id")
-    sh = (
-        d.withColumn("words", F.split("text", " "))
-        .filter(F.size("words") >= 5)
-        .withColumn("shingles", F.expr(_SHINGLES))
-        .select("doc_id", "shingles", F.size("shingles").alias("n"))
-    )
-    ex = sh.select("doc_id", "n", F.explode("shingles").alias("sh"))
+    ex = _exploded_shingle_hashes(spark, sf_dir)
     a = ex.select(F.col("doc_id").alias("doc_id_1"), F.col("n").alias("n1"), "sh")
     b = ex.select(F.col("doc_id").alias("doc_id_2"), F.col("n").alias("n2"), "sh")
     jac = F.col("n_common") * 1.0 / (F.col("n1") + F.col("n2") - F.col("n_common"))
@@ -959,7 +969,12 @@ def k_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionAll(
         pairs.select(F.col("doc_id_2").alias("src"), F.col("doc_id_1").alias("dst"))
     ).localCheckpoint()
-    labels = d.select("doc_id", F.col("doc_id").alias("cluster_id")).localCheckpoint()
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.col("doc_id").alias("cluster_id"))
+        .localCheckpoint()
+    )
     for _ in range(20):  # bound >> any real near-dup-graph diameter
         nbr_min = (
             edges.join(labels, edges.dst == labels.doc_id)
@@ -970,6 +985,7 @@ def k_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             labels.join(nbr_min, labels.doc_id == nbr_min.src, "left")
             .select(
                 "doc_id",
+                F.col("cluster_id").alias("old_id"),
                 F.least(
                     F.col("cluster_id"),
                     F.coalesce(F.col("nbr_id"), F.col("cluster_id")),
@@ -977,13 +993,15 @@ def k_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(
+            F.col("cluster_id") != F.col("old_id")
+        ).count()
+        labels = new_labels.select("doc_id", "cluster_id")
         if changed == 0:
             break
-    return labels
+    singletons = (
+        d.select("doc_id")
+        .join(F.broadcast(labels.select("doc_id")), "doc_id", "left_anti")
+        .select("doc_id", F.col("doc_id").alias("cluster_id"))
+    )
+    return labels.unionAll(singletons)
