@@ -412,3 +412,46 @@ def h_trig_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.degrees(F.atan(q / 50.0)), 6).alias("t_deg"),
         F.round(F.radians(q), 6).alias("t_rad"),
     )
+
+
+@register(
+    "h_url_funcs",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id,
+             concat('https://', source, '.example.com/docs/',
+                    doc_id::VARCHAR, '?lang=', lang, '&v=2') AS url
+      FROM documents
+    )
+    SELECT doc_id, url,
+           regexp_extract(url, '^[a-z]+://([^/]+)/', 1) AS host,
+           regexp_extract(url, '^[a-z]+://[^/]+(/[^?]*)', 1) AS path,
+           regexp_extract(url, '[?&]lang=([^&]*)', 1) AS lang_param
+    FROM u
+    """,
+)
+def h_url_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing surface (`parse_url`): host / path / query-parameter
+    extraction — the web-corpus provenance columns (domain-level filtering,
+    per-site rate stats) every crawl pipeline derives first. URLs are
+    synthesized from document metadata (corpus has no URL column); DuckDB
+    lacks parse_url so the oracle cross-validates with anchored regexes —
+    two independent parsers, one answer."""
+    d = load(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+        F.lit("&v=2"),
+    )
+    u = d.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id",
+        "url",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+    )

@@ -409,3 +409,65 @@ def i_window_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     negligible — the pattern that lets a 100 TB event store keep multi-
     resolution rollups without re-scanning raw data."""
     return chained_window_agg(load(spark, sf_dir, "events"))
+
+
+@register(
+    "i_gap_fill",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h, round(sum(value), 2) AS sv
+      FROM events GROUP BY 1, 2
+    ), b AS (
+      SELECT event_type, min(h) AS mn, max(h) AS mx FROM hourly GROUP BY 1
+    ), spine AS (
+      SELECT event_type, unnest(generate_series(mn, mx, INTERVAL 1 hour)) AS h
+      FROM b
+    ), j AS (
+      SELECT s.event_type, s.h, hv.sv, hv.sv IS NULL AS is_gap
+      FROM spine s LEFT JOIN hourly hv
+        ON s.h = hv.h AND s.event_type = hv.event_type
+    )
+    SELECT event_type, h AS hour_start, is_gap,
+           last_value(sv IGNORE NULLS) OVER (
+             PARTITION BY event_type ORDER BY h
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+    FROM j
+    """,
+)
+def i_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill: a dense hourly spine per event_type
+    (`sequence()` between observed bounds) left-joined to the hourly
+    aggregate, missing hours carried forward with IGNORE NULLS — the
+    hypertable `locf`/gap-fill operator.
+
+    The spine is generated from a per-key one-row bounds aggregate, so its
+    size is hours×keys regardless of event volume; the join is an equi-join
+    on (key, hour) that AQE broadcasts when the spine is small. The carry-
+    forward window partitions by event_type — parallel across keys, and at
+    100 TB the window state is one scalar per partition."""
+    e = load(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.round(F.sum("value"), 2).alias("sv"))
+    spine = (
+        hourly.groupBy("event_type")
+        .agg(F.min("h").alias("mn"), F.max("h").alias("mx"))
+        .select(
+            "event_type",
+            F.explode(F.expr("sequence(mn, mx, interval 1 hour)")).alias("h"),
+        )
+    )
+    j = spine.join(hourly, ["event_type", "h"], "left")
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "event_type",
+        F.col("h").alias("hour_start"),
+        F.col("sv").isNull().alias("is_gap"),
+        F.last("sv", ignorenulls=True).over(w).alias("filled"),
+    )

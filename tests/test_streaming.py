@@ -278,3 +278,24 @@ def test_upsert_sink_converges_to_latest_state(spark, sf_dir, events_dir):
         .reset_index(drop=True)
     )
     assert_frames_match(got, expected, ["user_id"])
+
+
+def test_chained_window_stream_matches_batch(spark, sf_dir, events_dir):
+    # i_window_chain: Spark 4 chained windowed aggregations (hour -> day)
+    # run natively in streaming; complete-mode drain converges to the
+    # batch twin.
+    from data_service_spark.queries.streaming_batch import chained_window_agg
+
+    # Spark's chained-stateful check guards append/update modes, where late
+    # rows between the two aggs could be dropped; complete mode keeps all
+    # state so nothing can be lost — disable the guard for this query only.
+    conf = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+    prev = spark.conf.get(conf)
+    spark.conf.set(conf, "false")
+    try:
+        sdf = chained_window_agg(read_event_stream(spark, events_dir))
+        batches = drain_available_now(sdf, output_mode="complete")
+    finally:
+        spark.conf.set(conf, prev)
+    expected = chained_window_agg(load(spark, sf_dir, "events")).toPandas()
+    assert_frames_match(batches[-1], expected, ["day_start", "event_type"])
