@@ -283,3 +283,237 @@ def k_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropped = pairs.select(F.col("vec_id_2").alias("vec_id")).distinct()
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "label")
     return emb.join(F.broadcast(dropped), "vec_id", "left_anti")
+
+
+# -------------------------------------------------- sequence packing ----
+
+
+@register(
+    "k_pack_sequences",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+    ), c AS (
+      SELECT doc_id, n_tokens,
+             sum(n_tokens) OVER (ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t
+    )
+    SELECT doc_id, n_tokens,
+           CAST(floor((cum - n_tokens) / 512) AS BIGINT) AS pack_id,
+           CAST(cum - n_tokens - floor((cum - n_tokens) / 512) * 512 AS BIGINT)
+             AS pack_offset
+    FROM c
+    """,
+)
+def k_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (concat-and-chunk): documents are laid out in
+    doc_id order into a contiguous token stream and cut into 512-token
+    training sequences; each doc gets the pack it STARTS in plus its offset
+    there — the GPT-style packing manifest a dataloader consumes.
+
+    One running-sum window over a global order is the only non-projection
+    step. At 100 TB the global window is the known bottleneck (single sort
+    task); production shape: pack per shard (`partitionBy(shard)` window,
+    shard = hash-bucket of doc_id) — identical algebra, embarrassingly
+    parallel, at the cost of one ragged tail per shard instead of one
+    total. The global form here keeps the oracle exact.
+    """
+    d = load(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window
+
+    t = d.select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    w = Window.orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = t.select(
+        "doc_id",
+        "n_tokens",
+        (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("start"),
+    )
+    return c.select(
+        "doc_id",
+        "n_tokens",
+        F.floor(F.col("start") / 512).cast("long").alias("pack_id"),
+        (F.col("start") - F.floor(F.col("start") / 512) * 512)
+        .cast("long")
+        .alias("pack_offset"),
+    )
+
+
+# ---------------------------------------------- contamination check ----
+
+
+@register(
+    "k_text_contamination",
+    oracle="""
+    WITH bench AS (
+      SELECT DISTINCT unnest(list_transform(
+               generate_series(1, len(string_split(text, ' ')) - 7),
+               i -> array_to_string(string_split(text, ' ')[i:i+7], ' ')))
+               AS g
+      FROM documents WHERE doc_id < 10
+    ), cand AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, len(string_split(text, ' ')) - 7),
+               i -> array_to_string(string_split(text, ' ')[i:i+7], ' ')))
+               AS grams
+      FROM documents WHERE doc_id >= 10 AND len(string_split(text, ' ')) >= 8
+    ), ex AS (SELECT doc_id, unnest(grams) AS g FROM cand),
+    hits AS (
+      SELECT ex.doc_id, count(*) AS n_hit
+      FROM ex JOIN bench ON ex.g = bench.g GROUP BY 1
+    )
+    SELECT c.doc_id, len(c.grams) AS n_grams,
+           coalesce(h.n_hit, 0) AS n_hit,
+           round(coalesce(h.n_hit, 0) * 1.0 / len(c.grams), 4) AS contam_ratio
+    FROM cand c LEFT JOIN hits h ON c.doc_id = h.doc_id
+    """,
+)
+def k_text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination audit: fraction of each candidate document's
+    distinct 8-gram shingles that appear in a benchmark set (docs 0-9 stand
+    in for an eval suite) — the decontamination gate run before training.
+
+    The benchmark gram set is tiny relative to the corpus, so the membership
+    probe is a BROADCAST semi-join against the exploded candidate grams: the
+    100 TB side streams once, never shuffles. Grams join as xxhash64 ints
+    (same trick as the dedup miners); the hit count re-aggregates per doc on
+    the already-partitioned doc_id key.
+    """
+    d = load_parallel(spark, sf_dir, "documents", "doc_id")
+    grams8 = (
+        "array_distinct(transform(sequence(1, size(words) - 7),"
+        " i -> xxhash64(concat_ws(' ', slice(words, i, 8)))))"
+    )
+    with_grams = d.withColumn("words", F.split("text", " "))
+    bench = (
+        with_grams.filter(F.col("doc_id") < 10)
+        .select(F.explode(F.expr(grams8)).alias("g"))
+        .distinct()
+    )
+    cand = (
+        with_grams.filter((F.col("doc_id") >= 10) & (F.size("words") >= 8))
+        .select("doc_id", F.expr(grams8).alias("grams"))
+    )
+    ex = cand.select("doc_id", F.explode("grams").alias("g"))
+    hits = (
+        ex.join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return (
+        cand.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("grams").alias("n_grams"),
+            F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+            F.round(
+                F.coalesce("n_hit", F.lit(0)) * F.lit(1.0) / F.size("grams"), 4
+            ).alias("contam_ratio"),
+        )
+    )
+
+
+# ------------------------------------------- unigram-logprob quality ----
+
+
+@register(
+    "k_text_unigram_logprob",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), tf AS (
+      SELECT term, count(*) AS n FROM tok GROUP BY 1
+    ), tot AS (SELECT sum(n) AS total FROM tf)
+    SELECT doc_id,
+           count(*) AS n_tokens,
+           round(avg(ln(tf.n * 1.0 / tot.total)), 4) AS avg_logprob
+    FROM tok JOIN tf USING (term) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+)
+def k_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality score: mean unigram log-probability of each
+    document under the corpus's own term distribution (low = rare-token
+    gibberish, high = repetitive boilerplate — both tails get filtered).
+
+    Two passes over the token stream: (1) term frequencies — one hash agg;
+    (2) per-doc mean of ln(tf/total) — the term-frequency table joins back
+    to the token stream. At corpus scale the tf table is Zipf-compact
+    (vocab ≪ tokens) so AQE broadcasts it; the one-row total is a literal
+    cross join both engines fold away. No UDFs, pure log algebra.
+    """
+    d = load_parallel(spark, sf_dir, "documents", "doc_id")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = tok.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    total = tf.agg(F.sum("n").alias("total"))
+    return (
+        tok.join(tf, "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.avg(F.log(F.col("n") * F.lit(1.0) / F.col("total"))), 4
+            ).alias("avg_logprob"),
+        )
+    )
+
+
+# ------------------------------------------- embedding quantization ----
+
+
+@register(
+    "k_embed_quantize",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), s AS (
+      SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) AS amax
+      FROM e
+    )
+    SELECT vec_id, round(amax, 6) AS scale_max,
+           CAST(list_sum(list_transform(v,
+                  x -> CAST(floor(x / amax * 127) AS BIGINT))) AS BIGINT)
+             AS q_sum,
+           round(list_sum(list_transform(v,
+                  x -> abs(x - floor(x / amax * 127) * amax / 127))), 6)
+             AS recon_err
+    FROM s
+    """,
+)
+def k_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embedding column: per-vector absmax
+    scale, `floor(x/scale*127)` codes, plus the L1 reconstruction error —
+    the 4× storage/bandwidth compression a 100 TB vector store applies
+    before ANN indexing. `floor` (not `round`) keeps the code assignment
+    free of half-way tie-break divergence between engines.
+
+    All higher-order-function algebra on the array column — one projection,
+    no explode, no shuffle; the checked outputs are scalar reductions
+    (code sum, error sum) so the driver hash stays portable.
+    """
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    amax = F.expr("array_max(transform(v, x -> abs(x)))")
+    s = emb.select("vec_id", "v", amax.alias("amax"))
+    q_sum = F.expr(
+        "aggregate(transform(v, x -> cast(floor(x / amax * 127) AS bigint)),"
+        " 0L, (a, x) -> a + x)"
+    )
+    err = F.expr(
+        "aggregate(transform(v, x -> abs(x - floor(x / amax * 127) * amax / 127)),"
+        " 0D, (a, x) -> a + x)"
+    )
+    return s.select(
+        "vec_id",
+        F.round("amax", 6).alias("scale_max"),
+        q_sum.cast("long").alias("q_sum"),
+        F.round(err, 6).alias("recon_err"),
+    )
