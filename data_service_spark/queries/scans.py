@@ -251,3 +251,32 @@ def a_scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select(
         F.col("value"), F.length("value").alias("line_len")
     )
+
+
+@register(
+    "a_sink_compact",
+    oracle="SELECT doc_id, lang, n_chars FROM documents",
+)
+def a_sink_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction — the table-maintenance pass every long-lived
+    100 TB dataset needs. A fragmented copy (64 shards of a 500-row table —
+    the streaming-sink debris shape) is rewritten to a target file count
+    computed from actual bytes (~128 MB/file), then read back; row parity
+    with the source proves the rewrite is lossless.
+
+    `coalesce` (not `repartition`) does the shrink: it merges partitions
+    without a shuffle, which is the right move when the goal is fewer
+    files, not rebalanced keys."""
+    src = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    frag = _tmpdir(f"docs_frag_{os.getpid()}")
+    compact = _tmpdir(f"docs_compact_{os.getpid()}")
+    src.repartition(64).write.mode("overwrite").parquet(frag)
+    fragged = spark.read.parquet(frag)
+    total_bytes = sum(
+        os.path.getsize(os.path.join(frag, f))
+        for f in os.listdir(frag)
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, total_bytes // (128 << 20))
+    fragged.coalesce(int(n_files)).write.mode("overwrite").parquet(compact)
+    return spark.read.parquet(compact)

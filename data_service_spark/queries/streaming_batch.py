@@ -471,3 +471,60 @@ def i_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sv").isNull().alias("is_gap"),
         F.last("sv", ignorenulls=True).over(w).alias("filled"),
     )
+
+
+def session_stats_batch(events: DataFrame) -> DataFrame:
+    """Per-user session statistics (count / longest / events), batch
+    formulation over ``session_window`` — the twin of the custom
+    ``applyInPandasWithState`` sessionizer in streaming.py
+    (tests/test_streaming.py::test_stateful_sessionizer)."""
+    sess = events.groupBy(
+        F.session_window("ts", "30 minutes").alias("w"), "user_id"
+    ).agg(
+        F.count(F.lit(1)).alias("n_ev"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("dur_us"),
+    )
+    return sess.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.max("dur_us").alias("longest_us"),
+        F.sum("n_ev").alias("n_events"),
+    )
+
+
+@register(
+    "i_stateful_sessions",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL '30 minutes'
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ), numbered AS (
+      SELECT user_id, ts,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM flagged
+    ), sess AS (
+      SELECT user_id, sess_id, count(*) AS n_ev,
+             epoch_us(max(ts)) - epoch_us(min(ts)) AS dur_us
+      FROM numbered GROUP BY 1, 2
+    )
+    SELECT user_id, count(*) AS n_sessions,
+           CAST(max(dur_us) AS BIGINT) AS longest_us,
+           CAST(sum(n_ev) AS BIGINT) AS n_events
+    FROM sess GROUP BY 1
+    """,
+)
+def i_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session rollup (how many sessions, longest one, total
+    events) — the per-entity engagement profile a product-analytics store
+    maintains incrementally. Batch side is two hash aggregates over
+    ``session_window``; the streaming side keeps the same numbers as
+    explicit state in ``applyInPandasWithState`` (sessionize_stream),
+    proving the arbitrary-stateful-operator path beyond the built-in
+    session windows. Oracle is the strict-gap gaps-and-islands fixpoint —
+    cross-validating Spark's merge-at-boundary semantics again at the
+    rollup level."""
+    return session_stats_batch(load(spark, sf_dir, "events"))

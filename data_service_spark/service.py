@@ -61,6 +61,7 @@ class SqlEngine:
 
     def __init__(self, spark: SparkSession, sf_dir: str | None = None):
         self.spark = spark
+        self.sf_dir = sf_dir
         if sf_dir is not None:
             register_temp_views(spark, sf_dir)
 
@@ -74,6 +75,34 @@ class SqlEngine:
 
     def tables(self) -> list[str]:
         return [t.name for t in self.spark.catalog.listTables()]
+
+    def query_keys(self) -> list[str]:
+        from data_service_spark.registry import QUERIES, load_all
+
+        load_all()
+        return sorted(QUERIES)
+
+    def run_query(self, key: str, limit: int = 1000) -> dict[str, Any]:
+        """Execute a registered operator (SURVEY.md §2 key) against the
+        service's corpus dir — the named-pipeline counterpart of raw /sql,
+        so clients get every curated operator without shipping SQL."""
+        from data_service_spark.registry import QUERIES, load_all
+
+        load_all()
+        if self.sf_dir is None:
+            raise PermissionError("service started without a corpus dir")
+        if key not in QUERIES:
+            raise KeyError(key)
+        limit = max(1, min(int(limit), MAX_ROWS))
+        df = QUERIES[key](self.spark, self.sf_dir).limit(limit)
+        rows = df.collect()
+        return {
+            "key": key,
+            "columns": df.columns,
+            "rows": [[_json_cell(v) for v in row] for row in rows],
+            "row_count": len(rows),
+            "truncated_at": limit,
+        }
 
     def explain(self, sql_text: str) -> dict[str, Any]:
         """Formatted physical plan without executing — the ops surface for
@@ -154,11 +183,13 @@ def make_handler(engine: SqlEngine) -> type[BaseHTTPRequestHandler]:
                 self._send(200, {"status": "ok"})
             elif self.path == "/tables":
                 self._send(200, {"tables": engine.tables()})
+            elif self.path == "/queries":
+                self._send(200, {"queries": engine.query_keys()})
             else:
                 self._send(404, {"error": f"no route {self.path}"})
 
         def do_POST(self) -> None:
-            if self.path not in ("/sql", "/explain"):
+            if self.path not in ("/sql", "/explain", "/query"):
                 self._send(404, {"error": f"no route {self.path}"})
                 return
             try:
@@ -166,11 +197,13 @@ def make_handler(engine: SqlEngine) -> type[BaseHTTPRequestHandler]:
                 req = json.loads(self.rfile.read(n) or b"{}")
                 if self.path == "/explain":
                     result = engine.explain(req["sql"])
+                elif self.path == "/query":
+                    result = engine.run_query(req["key"], req.get("limit", 1000))
                 else:
                     result = engine.sql(req["sql"], req.get("limit", 1000))
                 self._send(200, result)
-            except KeyError:
-                self._send(400, {"error": "missing required field 'sql'"})
+            except KeyError as exc:
+                self._send(400, {"error": f"missing/unknown field or key: {exc}"})
             except PermissionError as exc:
                 self._send(403, {"error": str(exc)})
             except Exception as exc:  # analysis/parse errors → client fault

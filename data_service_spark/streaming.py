@@ -149,3 +149,71 @@ def last_rows_per_key(
         for _, row in pdf.iterrows():
             final[row[key]] = row
     return final
+
+
+def sessionize_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Custom stateful sessionizer: per-user (n_sessions, longest_us,
+    n_events) maintained as explicit state in ``applyInPandasWithState`` —
+    the arbitrary-stateful path for session logic the built-in
+    ``session_window`` can't express (e.g. emitting rollups, capping
+    session length, custom merge rules).
+
+    State per user: (open_start_us, open_last_us, closed_sessions,
+    longest_us, n_events). A new event more than ``gap_minutes`` after the
+    open session's last event closes it. Events are folded in event-time
+    order per micro-batch (chunk-concat first — one group's batch may span
+    pandas chunks); cross-batch order comes from the watermark regime, as
+    with funnel_stream. Boundary rule matches session_window: a gap of
+    EXACTLY gap_minutes continues the session (merge-at-boundary), only
+    strictly-greater gaps split.
+    """
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def update(
+        key: tuple[int],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            start_us, last_us, closed, longest, n_ev = state.get
+        else:
+            start_us, last_us, closed, longest, n_ev = None, None, 0, 0, 0
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            batch = pd.concat(chunks, ignore_index=True).sort_values("ts")
+            for ts in batch["ts"]:
+                ts_us = ts.value // 1000
+                n_ev += 1
+                if start_us is None:
+                    start_us, last_us = ts_us, ts_us
+                elif ts_us - last_us > gap_us:
+                    closed += 1
+                    longest = max(longest, last_us - start_us)
+                    start_us, last_us = ts_us, ts_us
+                else:
+                    last_us = ts_us
+        state.update((start_us, last_us, closed, longest, n_ev))
+        open_n = 1 if start_us is not None else 0
+        open_dur = (last_us - start_us) if open_n else 0
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_sessions": [closed + open_n],
+                "longest_us": [max(longest, open_dur)],
+                "n_events": [n_ev],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "user_id long, n_sessions long, longest_us long, n_events long"
+        ),
+        stateStructType=(
+            "open_start_us long, open_last_us long, closed long, "
+            "longest_us long, n_events long"
+        ),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -98,3 +98,17 @@ def test_explain_endpoint_shows_pushdown(service):
     out = call(service, "/explain", {
         "sql": "SELECT l_orderkey FROM lineitem WHERE l_quantity > 45"})
     assert "PushedFilters" in out["plan"] and "Physical Plan" in out["plan"]
+
+
+def test_query_registry_endpoints(service):
+    keys = call(service, "/queries")["queries"]
+    assert "d_agg_groupby" in keys and len(keys) > 150
+    out = call(service, "/query", {"key": "k_split_train_test", "limit": 10})
+    assert out["columns"] == ["doc_id", "lang", "split"]
+    assert out["row_count"] == 10
+
+
+def test_unknown_query_key_is_400(service):
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        call(service, "/query", {"key": "no_such_key"})
+    assert ei.value.code == 400

@@ -299,3 +299,45 @@ def test_chained_window_stream_matches_batch(spark, sf_dir, events_dir):
         spark.conf.set(conf, prev)
     expected = chained_window_agg(load(spark, sf_dir, "events")).toPandas()
     assert_frames_match(batches[-1], expected, ["day_start", "event_type"])
+
+
+def test_stateful_sessionizer(spark, tmp_path):
+    # Sessions spanning micro-batches: user 1 has one session continued
+    # across files (gap < 30 min), then a new session in a later file;
+    # user 2 stays in one session; exact-gap boundary continues (matches
+    # session_window merge-at-boundary).
+    from data_service_spark.queries.streaming_batch import session_stats_batch
+    from data_service_spark.streaming import read_event_stream, sessionize_stream
+
+    d = str(tmp_path / "sess_stream")
+    f1 = [
+        ev(1, TS("2024-01-01 09:00:00"), 1),
+        ev(2, TS("2024-01-01 09:10:00"), 1),
+        ev(3, TS("2024-01-01 09:00:00"), 2),
+    ]
+    f2 = [
+        ev(4, TS("2024-01-01 09:40:00"), 1),   # exactly 30 min after 09:10 -> same session
+        ev(5, TS("2024-01-01 09:20:00"), 2),
+    ]
+    f3 = [
+        ev(6, TS("2024-01-01 11:00:00"), 1),   # > 30 min gap -> new session
+        ev(7, TS("2024-01-01 11:05:00"), 1),
+    ]
+    write_event_files(spark, d, f1, f2, f3)
+    sdf = sessionize_stream(read_event_stream(spark, d))
+    batches = drain_available_now(sdf, output_mode="update")
+    # last emitted row per user across all update batches = final state
+    final = (
+        pd.concat(batches, ignore_index=True)
+        .groupby("user_id", as_index=False)
+        .last()
+    )
+    batch_events = spark.createDataFrame(
+        pd.DataFrame(f1 + f2 + f3).assign(ts=lambda x: pd.to_datetime(x["ts"]))
+    )
+    expected = session_stats_batch(batch_events).toPandas()
+    assert_frames_match(
+        final[["user_id", "n_sessions", "longest_us", "n_events"]],
+        expected[["user_id", "n_sessions", "longest_us", "n_events"]],
+        ["user_id"],
+    )
