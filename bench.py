@@ -115,6 +115,10 @@ def main() -> None:
         "k_sim_topk",
         "k_text_tfidf",
         "k_multimodal_features",
+        "k_pack_sequences",
+        "k_text_contamination",
+        "k_embed_quantize",
+        "k_split_train_test",
     ]
     line = dict(full)
     line["queries"] = {k: timings[k] for k in headline if k in timings}

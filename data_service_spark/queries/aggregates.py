@@ -465,3 +465,44 @@ def d_agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "metric",
         "value",
     )
+
+
+@register(
+    "d_agg_mode_det",
+    oracle="""
+    WITH c AS (
+      SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+      FROM orders GROUP BY 1, 2
+    ), r AS (
+      SELECT o_orderstatus, o_orderpriority, cnt,
+             row_number() OVER (PARTITION BY o_orderstatus
+                                ORDER BY cnt DESC, o_orderpriority) AS rn
+      FROM c
+    )
+    SELECT o_orderstatus, o_orderpriority AS mode_priority, cnt AS mode_count
+    FROM r WHERE rn = 1
+    """,
+)
+def d_agg_mode_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mode: most frequent o_orderpriority per status with a
+    lexicographic tie-break. Built explicitly as count + rank rather than
+    the engines' ``mode()`` aggregates, whose tie behavior is
+    implementation-defined and would diverge between engines — the explicit
+    form is also the one that scales (two hash aggs, no ordered state)."""
+    from pyspark.sql.window import Window
+
+    c = load(spark, sf_dir, "orders").groupBy(
+        "o_orderstatus", "o_orderpriority"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("cnt").desc(), "o_orderpriority"
+    )
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("mode_priority"),
+            F.col("cnt").alias("mode_count"),
+        )
+    )

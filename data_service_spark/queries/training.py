@@ -517,3 +517,74 @@ def k_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         q_sum.cast("long").alias("q_sum"),
         F.round(err, 6).alias("recon_err"),
     )
+
+
+# -------------------------------------------- edit-distance near-dup ----
+
+
+@register(
+    "k_dedup_levenshtein",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             array_to_string((string_split(text, ' '))[1:6], ' ') AS pfx
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+           levenshtein(a.pfx, b.pfx) AS edit_dist
+    FROM p a JOIN p b ON a.doc_id < b.doc_id
+    WHERE abs(length(a.pfx) - length(b.pfx)) <= 3
+      AND levenshtein(a.pfx, b.pfx) <= 3
+    """,
+)
+def k_dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup pairs on the 6-word document prefix
+    (levenshtein <= 3) — the fuzzy-match complement to token-set Jaccard:
+    catches character-level noise (OCR errors, typos) that word shingles
+    miss.
+
+    Levenshtein is quadratic per pair, so the Spark side prunes candidates
+    FIRST with the edit-distance length bound |len1-len2| <= 3, realized as
+    an equi-join on length bands (each right row fans to its 3 adjacent
+    bands, so every qualifying pair meets exactly once — no theta join, no
+    docs² nested loop). The oracle states the same predicate declaratively;
+    both engines implement standard Levenshtein so distances agree. At
+    100 TB the band join is the difference between a shuffle-bounded
+    candidate set and an impossible cross join.
+    """
+    d = load_parallel(spark, sf_dir, "documents", "doc_id")
+    p = d.select(
+        "doc_id",
+        F.concat_ws(" ", F.slice(F.split("text", " "), 1, 6)).alias("pfx"),
+    ).withColumn("l", F.length("pfx"))
+    a = p.select(
+        F.col("doc_id").alias("doc_id_1"),
+        F.col("pfx").alias("pfx1"),
+        F.col("l").alias("l1"),
+        F.floor(F.col("l") / 4).alias("band"),
+    )
+    b = p.select(
+        F.col("doc_id").alias("doc_id_2"),
+        F.col("pfx").alias("pfx2"),
+        F.col("l").alias("l2"),
+        F.explode(
+            F.array(
+                F.floor(F.col("l") / 4) - 1,
+                F.floor(F.col("l") / 4),
+                F.floor(F.col("l") / 4) + 1,
+            )
+        ).alias("band"),
+    )
+    return (
+        a.join(b, ["band"])
+        .filter(
+            (F.col("doc_id_1") < F.col("doc_id_2"))
+            & (F.abs(F.col("l1") - F.col("l2")) <= 3)
+            & (F.levenshtein("pfx1", "pfx2") <= 3)
+        )
+        .select(
+            "doc_id_1",
+            "doc_id_2",
+            F.levenshtein("pfx1", "pfx2").alias("edit_dist"),
+        )
+    )

@@ -77,3 +77,80 @@ def test_running_sum_totals(spark, vals):
         df.withColumn("rs", F.sum("v").over(w)).orderBy(F.desc("i")).first().rs
     )
     assert last_running == sum(vals)
+
+
+token_lists = st.lists(st.integers(1, 200), min_size=1, max_size=20)
+
+
+@given(sizes=token_lists)
+@settings(**SETTINGS)
+def test_packing_invariants(spark, sizes):
+    # Concat-and-chunk packing: offsets stay in [0, 512), pack_ids are
+    # non-decreasing in doc order, and start positions reconstruct the
+    # running sum exactly.
+    df = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(sizes)], "doc_id long, n_tokens long"
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    c = df.select(
+        "doc_id", "n_tokens",
+        (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("start"),
+    ).select(
+        "doc_id", "n_tokens", "start",
+        F.floor(F.col("start") / 512).alias("pack_id"),
+        (F.col("start") - F.floor(F.col("start") / 512) * 512).alias("off"),
+    )
+    rows = c.orderBy("doc_id").collect()
+    run = 0
+    prev_pack = 0
+    for r in rows:
+        assert r.start == run
+        assert 0 <= r.off < 512
+        assert r.pack_id >= prev_pack
+        prev_pack = r.pack_id
+        run += r.n_tokens
+
+
+vecs = st.lists(
+    st.lists(st.floats(-1, 1, width=32, allow_nan=False), min_size=4, max_size=4).filter(
+        lambda v: max(abs(x) for x in v) > 1e-6
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@given(vs=vecs)
+@settings(**SETTINGS)
+def test_quantization_error_bound(spark, vs):
+    # absmax-int8: per-element reconstruction error < scale/127 + eps, so the
+    # L1 error over dim d is bounded by d*amax/127.
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vs)],
+        "vec_id long, v array<double>",
+    )
+    amax = F.expr("array_max(transform(v, x -> abs(x)))")
+    err = F.expr(
+        "aggregate(transform(v, x -> abs(x - floor(x / amax * 127) * amax / 127)),"
+        " 0D, (a, x) -> a + x)"
+    )
+    for r in df.select(amax.alias("amax"), err.alias("err"), F.size("v").alias("d")).collect():
+        assert r.err <= r.d * r.amax / 127 + 1e-9
+
+
+@given(ids=st.lists(st.integers(0, 10_000), min_size=1, max_size=30, unique=True))
+@settings(**SETTINGS)
+def test_hash_split_stable_under_permutation(spark, ids):
+    # The split label depends only on the key, never on row order or
+    # partitioning — the reproducibility contract of hash-based splitting.
+    expr = (
+        "CASE WHEN CAST(conv(substr(md5(concat('split:', CAST(doc_id AS STRING))), 1, 8),"
+        " 16, 10) AS BIGINT) % 100 < 90 THEN 'train' ELSE 'other' END"
+    )
+    a = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    b = spark.createDataFrame([(i,) for i in reversed(ids)], "doc_id long").repartition(5)
+    ga = {r.doc_id: r.s for r in a.select("doc_id", F.expr(expr).alias("s")).collect()}
+    gb = {r.doc_id: r.s for r in b.select("doc_id", F.expr(expr).alias("s")).collect()}
+    assert ga == gb

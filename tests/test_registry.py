@@ -48,7 +48,7 @@ k_sample_stratified k_split_train_test k_text_pii_redact k_text_repetition
 k_profile_table k_dedup_embedding
 a_source_binaryfile a_scan_text i_window_chain i_gap_fill h_url_funcs
 k_pack_sequences k_text_contamination k_text_unigram_logprob k_embed_quantize
-a_sink_compact i_stateful_sessions
+a_sink_compact i_stateful_sessions d_agg_mode_det k_dedup_levenshtein
 """.split()
 
 
