@@ -506,3 +506,49 @@ def d_agg_mode_det(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cnt").alias("mode_count"),
         )
     )
+
+
+@register("d_agg_approx_quantile")  # rows-only: sketch internals differ across engines
+def d_agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles via the KLL-style `approx_percentile` sketch —
+    the constant-memory quantile path for 100 TB columns where exact
+    `percentile` would need a full sort. Mergeable across partitions
+    (partial sketches combine associatively), which is what makes it one
+    shuffle of sketch bytes instead of data. Rows-only check: sketch
+    estimates are engine-specific by design; the exact twin
+    (d_agg_percentile) anchors correctness."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_percentile(
+            "l_extendedprice", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)), 10_000
+        ).alias("price_q"),
+        F.count(F.lit(1)).alias("n"),
+    ).select(
+        "l_returnflag",
+        F.round(F.element_at("price_q", 1), 2).alias("p50"),
+        F.round(F.element_at("price_q", 2), 2).alias("p90"),
+        F.round(F.element_at("price_q", 3), 2).alias("p99"),
+        "n",
+    )
+
+
+@register("d_agg_hll_sketch")  # rows-only: HLL sketch bytes are engine-specific
+def d_agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketches (Apache DataSketches via Spark 4
+    `hll_sketch_agg`/`hll_union_agg`): per-group distinct-part sketches,
+    then a re-aggregated global estimate from the SKETCHES — the two-level
+    rollup a 100 TB store uses to answer distinct counts at any grouping
+    without rescanning (sketch bytes, not data, move in the second pass).
+    Rows-only: estimates are sketch-impl-specific; d_agg_distinct anchors
+    the exact values."""
+    li = load(spark, sf_dir, "lineitem")
+    per_flag = li.groupBy("l_returnflag").agg(
+        F.hll_sketch_agg("l_partkey").alias("sk")
+    )
+    global_est = per_flag.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    ).select(F.lit("ALL").alias("l_returnflag"), "est")
+    per_est = per_flag.select(
+        "l_returnflag", F.hll_sketch_estimate("sk").alias("est")
+    )
+    return per_est.unionAll(global_est)

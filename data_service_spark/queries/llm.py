@@ -1005,3 +1005,104 @@ def k_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("doc_id").alias("cluster_id"))
     )
     return labels.unionAll(singletons)
+
+
+@register(
+    "k_graph_pagerank",
+    oracle="""
+    WITH e0 AS (
+      SELECT DISTINCT 'c' || o_custkey::VARCHAR AS src,
+             's' || l_suppkey::VARCHAR AS dst
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ), edges AS (
+      SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0
+    ), deg AS (SELECT src, count(*) AS d FROM edges GROUP BY 1),
+    ew AS (
+      SELECT e.src, e.dst, 1.0 / deg.d AS inv
+      FROM edges e JOIN deg ON e.src = deg.src
+    ),
+    n AS (SELECT count(*) AS n_nodes FROM deg),
+    r0 AS (SELECT src AS node, 1.0 / n_nodes AS r FROM deg, n),
+    r1 AS (
+      SELECT e.dst AS node,
+             0.15 / max(n.n_nodes) + 0.85 * sum(r0.r * e.inv) AS r
+      FROM ew e JOIN r0 ON e.src = r0.node, n
+      GROUP BY 1
+    ),
+    r2 AS (
+      SELECT e.dst AS node,
+             0.15 / max(n.n_nodes) + 0.85 * sum(r1.r * e.inv) AS r
+      FROM ew e JOIN r1 ON e.src = r1.node, n
+      GROUP BY 1
+    ),
+    r3 AS (
+      SELECT e.dst AS node,
+             0.15 / max(n.n_nodes) + 0.85 * sum(r2.r * e.inv) AS r
+      FROM ew e JOIN r2 ON e.src = r2.node, n
+      GROUP BY 1
+    )
+    SELECT node, round(r * 1000, 6) AS rank_x1000 FROM r3
+    """,
+)
+def k_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (3 unrolled iterations, damping 0.85) over the bipartite
+    customer↔supplier transaction graph mined from lineitem⋈orders — the
+    entity-importance signal a curation pipeline uses to weight sources.
+
+    Iterative DataFrame algebra: each iteration is contributions
+    (rank/out-degree shipped along edges) + one hash aggregate per node —
+    the standard distributed PageRank shape, fixed-point-free so both
+    engines compute bit-comparable ranks (the DuckDB oracle unrolls the
+    same three iterations as CTEs). Edges/degrees build once and reuse
+    across iterations; at 100 TB each iteration is one shuffle on dst,
+    and the edge list would be checkpoint-cached (here the plan is small
+    enough to re-derive; localCheckpoint would pin it).
+
+    Undirected walk (both edge directions) so every node has out-degree
+    ≥ 1 — no dangling-mass correction term needed.
+    """
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e0 = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = e0.unionAll(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    # One checkpointed weighted edge list (src, dst, 1/deg) — the degree
+    # join happens once, not once per iteration; each iteration is then a
+    # single join + hash aggregate.
+    ewd = (
+        edges.join(deg, "src")
+        .select("src", "dst", (F.lit(1.0) / F.col("d")).alias("inv"))
+        .localCheckpoint()
+    )
+    n_nodes = ewd.select(
+        F.countDistinct("src").alias("n_nodes")
+    ).localCheckpoint()
+    # init ranks from the CHECKPOINTED edge list, not deg — deg's lineage
+    # would re-run the whole edge build a second time.
+    ranks = (
+        ewd.select(F.col("src").alias("node"))
+        .distinct()
+        .crossJoin(F.broadcast(n_nodes))
+        .select("node", (F.lit(1.0) / F.col("n_nodes")).alias("r"))
+    )
+    for _ in range(3):
+        ranks = (
+            ewd.join(ranks, ewd.src == ranks.node)
+            .groupBy("dst")
+            .agg(F.sum(F.col("r") * F.col("inv")).alias("s"))
+            .crossJoin(F.broadcast(n_nodes))
+            .select(
+                F.col("dst").alias("node"),
+                (F.lit(0.15) / F.col("n_nodes") + F.lit(0.85) * F.col("s")).alias("r"),
+            )
+        )
+    return ranks.select("node", F.round(F.col("r") * 1000, 6).alias("rank_x1000"))

@@ -49,6 +49,7 @@ k_profile_table k_dedup_embedding
 a_source_binaryfile a_scan_text i_window_chain i_gap_fill h_url_funcs
 k_pack_sequences k_text_contamination k_text_unigram_logprob k_embed_quantize
 a_sink_compact i_stateful_sessions d_agg_mode_det k_dedup_levenshtein
+d_agg_approx_quantile d_agg_hll_sketch k_graph_pagerank
 """.split()
 
 
@@ -65,6 +66,8 @@ def test_rows_only_keys_are_the_declared_ones():
         "k_sim_ann",  # LSH is approximate
         "k_dedup_minhash",  # MinHash signatures are approximate
         "k_sim_ivf",  # IVF probes one cell; recall < 1 by design
+        "d_agg_approx_quantile",  # KLL sketch estimates are engine-specific
+        "d_agg_hll_sketch",  # DataSketches HLL bytes are engine-specific
     }
 
 
