@@ -503,3 +503,54 @@ def c_join_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
     )
+
+
+@register(
+    "c_join_dpp",
+    oracle="""
+    SELECT l_linestatus,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n
+    FROM lineitem
+    JOIN (VALUES ('R', 'returned')) AS dim(flag, label)
+      ON l_returnflag = dim.flag
+    GROUP BY l_linestatus
+    """,
+)
+def c_join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the fact table is STORED partitioned by
+    the join key (l_returnflag), the dim side carries a selective filter,
+    and Catalyst injects a runtime `dynamicpruning` subquery into the
+    fact scan's partition filters — only matching partitions are read
+    (asserted in tests/test_plans.py::test_dpp_prunes_partitions). At
+    100 TB, DPP on a date/region-partitioned fact is routinely a 10-100×
+    I/O cut with zero query changes; this is the storage-layout twin of
+    broadcast-join pruning.
+    """
+    from data_service_spark.queries.scans import _tmpdir
+
+    # keyed by sf so each scale factor gets its own partitioned copy
+    part_dir = _tmpdir(f"lineitem_by_flag_{os.path.basename(sf_dir.rstrip('/'))}")
+    marker = os.path.join(part_dir, "_SUCCESS")
+    fact_cols = ["l_returnflag", "l_linestatus", "l_extendedprice", "l_discount"]
+    if not os.path.exists(marker):  # fixture: partitioned copy, built once
+        load(spark, sf_dir, "lineitem").select(*fact_cols).write.partitionBy(
+            "l_returnflag"
+        ).mode("overwrite").parquet(part_dir)
+    fact = spark.read.parquet(part_dir)
+    # The dim carries a SELECTIVE FILTER (Catalyst's PartitionPruning rule
+    # requires one on the build side before it injects the pruning subquery).
+    dim = spark.createDataFrame(
+        [("R", "returned"), ("N", "kept"), ("A", "kept")],
+        "flag string, label string",
+    ).filter(F.col("label") == "returned")
+    return (
+        fact.join(F.broadcast(dim), fact.l_returnflag == dim.flag)
+        .groupBy("l_linestatus")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )

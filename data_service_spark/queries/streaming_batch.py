@@ -528,3 +528,54 @@ def i_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-validating Spark's merge-at-boundary semantics again at the
     rollup level."""
     return session_stats_batch(load(spark, sf_dir, "events"))
+
+
+def purchase_click_outer_join(
+    purchases: DataFrame, clicks: DataFrame
+) -> DataFrame:
+    """LEFT OUTER variant of purchase_click_join: purchases with NO
+    preceding click still emit (null click_id). In streaming, outer
+    results can only emit once the watermark proves no match can arrive —
+    both sides carry watermarks and the null rows appear on window close
+    (proven in tests/test_streaming.py::test_stream_outer_join)."""
+    p = purchases.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = clicks.select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    cond = (
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+    )
+    return p.join(c, cond, "left").select(
+        "purchase_id", F.col("p_user").alias("user_id"), "click_id"
+    )
+
+
+@register(
+    "i_stream_outer_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id, c.event_id AS click_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL '30 minutes'
+    """,
+)
+def i_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: attribution with explicit
+    'no prior click' rows. Outer stream joins need watermarks on BOTH
+    sides — the engine emits null-padded rows only when the watermark
+    closes the band, which also bounds state exactly like the inner
+    variant. Batch twin here; streaming semantics in tests."""
+    ev = load(spark, sf_dir, "events")
+    return purchase_click_outer_join(
+        ev.filter(F.col("event_type") == "purchase"),
+        ev.filter(F.col("event_type") == "click"),
+    )

@@ -147,3 +147,10 @@ def test_jdbc_filter_pushes_to_database(spark, sf_dir):
     plan = plan_of(QUERIES["a_source_jdbc"](spark, sf_dir))
     assert "PushedFilters" in plan
     assert "n_regionkey" in plan.split("PushedFilters")[1].splitlines()[0]
+
+
+def test_dpp_prunes_partitions(spark, sf_dir):
+    # c_join_dpp: the partitioned fact scan must carry a runtime
+    # dynamicpruning expression on the partition column.
+    plan = plan_of(QUERIES["c_join_dpp"](spark, sf_dir))
+    assert "dynamicpruningexpression(l_returnflag" in plan

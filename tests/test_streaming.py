@@ -341,3 +341,45 @@ def test_stateful_sessionizer(spark, tmp_path):
         expected[["user_id", "n_sessions", "longest_us", "n_events"]],
         ["user_id"],
     )
+
+
+def test_stream_outer_join_emits_null_rows(spark, tmp_path):
+    """i_stream_outer_join: LEFT OUTER stream-stream join emits null-padded
+    rows for purchases with no prior click — but only after the watermark
+    closes the band, so a final far-future event forces the emission."""
+    from pyspark.sql import functions as F
+
+    from data_service_spark.queries.streaming_batch import purchase_click_outer_join
+
+    d = str(tmp_path / "ssoj")
+    write_event_files(
+        spark,
+        d,
+        [
+            ev(1, "2024-01-01 10:00", 1, "click"),
+            ev(2, "2024-01-01 10:20", 1, "purchase"),   # joins click 1
+            ev(3, "2024-01-01 11:30", 2, "purchase"),   # NO click -> null row
+        ],
+        # Watermark movers on BOTH sides (global watermark = min over all
+        # watermark nodes) and spread over several batches (late-filter uses
+        # the watermark committed two batches back).
+        [ev(20, "2024-01-02 12:00", 9, "purchase"), ev(21, "2024-01-02 12:00", 9, "click")],
+        [ev(22, "2024-01-03 00:00", 9, "purchase"), ev(23, "2024-01-03 00:00", 9, "click")],
+        [ev(24, "2024-01-04 00:00", 9, "purchase"), ev(25, "2024-01-04 00:00", 9, "click")],
+    )
+    stream = read_event_stream(spark, d, one_file_per_batch=True)
+    purchases = stream.filter(F.col("event_type") == "purchase").withWatermark(
+        "ts", "1 hour"
+    )
+    clicks = stream.filter(F.col("event_type") == "click").withWatermark(
+        "ts", "2 hours"
+    )
+    sdf = purchase_click_outer_join(purchases, clicks)
+    batches = drain_available_now(sdf, output_mode="append")
+    got = pd.concat(batches, ignore_index=True)
+    pairs = {
+        (int(p), None if pd.isna(c) else int(c))
+        for p, c in zip(got["purchase_id"], got["click_id"])
+    }
+    assert (2, 1) in pairs          # matched purchase
+    assert (3, None) in pairs       # unmatched purchase emitted with null
