@@ -554,3 +554,52 @@ def c_join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+@register(
+    "c_join_band_bucketed",
+    oracle="""
+    SELECT a.s_suppkey AS s1, b.s_suppkey AS s2,
+           round(abs(a.s_acctbal - b.s_acctbal), 2) AS bal_diff
+    FROM supplier a JOIN supplier b
+      ON a.s_suppkey < b.s_suppkey AND abs(a.s_acctbal - b.s_acctbal) < 100
+    """,
+)
+def c_join_band_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE formulation of c_join_theta_band, same result set: bucket
+    s_acctbal into width-100 bands and equi-join each row against its own
+    and adjacent buckets (any pair with |Δbal| < 100 differs by ≤ 1 bucket
+    id and meets exactly once — the left side holds one bucket, the right
+    fans to three), then apply the exact predicate. Turns the
+    BroadcastNestedLoopJoin of the theta form into a shuffle equi-join
+    whose cost tracks band occupancy — the only formulation that survives
+    when neither side broadcasts. Identical oracle as the theta key, so
+    the driver proves result parity between the two plans.
+    """
+    s = load(spark, sf_dir, "supplier")
+    a = s.select(
+        F.col("s_suppkey").alias("s1"),
+        F.col("s_acctbal").alias("bal1"),
+        F.floor(F.col("s_acctbal") / 100).alias("bkt"),
+    )
+    b = s.select(
+        F.col("s_suppkey").alias("s2"),
+        F.col("s_acctbal").alias("bal2"),
+        F.explode(
+            F.array(
+                F.floor(F.col("s_acctbal") / 100) - 1,
+                F.floor(F.col("s_acctbal") / 100),
+                F.floor(F.col("s_acctbal") / 100) + 1,
+            )
+        ).alias("bkt"),
+    )
+    return (
+        a.join(b, ["bkt"])
+        .filter(
+            (F.col("s1") < F.col("s2"))
+            & (F.abs(F.col("bal1") - F.col("bal2")) < 100)
+        )
+        .select(
+            "s1", "s2", F.round(F.abs(F.col("bal1") - F.col("bal2")), 2).alias("bal_diff")
+        )
+    )

@@ -511,3 +511,51 @@ def k_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         resize,
         "doc_id long, orig_bytes long, resized_bytes int, resized_checksum long",
     )
+
+
+@register(
+    "k_text_ngram_chars",
+    oracle="""
+    WITH tri AS (
+      SELECT lang,
+             unnest(list_transform(generate_series(1, length(text) - 2),
+                                   i -> substr(text, i, 3))) AS g
+      FROM documents
+    ), counts AS (
+      SELECT lang, g, count(*) AS n FROM tri GROUP BY 1, 2
+    ), ranked AS (
+      SELECT lang, g, n,
+             row_number() OVER (PARTITION BY lang ORDER BY n DESC, g) AS rn
+      FROM counts
+    )
+    SELECT lang, g AS trigram, n, rn FROM ranked WHERE rn <= 10
+    """,
+)
+def k_text_ngram_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram profile per language: top-10 trigrams with counts —
+    the feature table a statistical language-ID model trains on (the
+    heuristic in k_text_langid consumes exactly this kind of profile).
+
+    Trigram fan-out is a higher-order `transform(sequence)` + explode (one
+    Generate, no UDF); counting is one hash aggregate on (lang, trigram)
+    and the top-10 cut is a per-lang window over the already-tiny count
+    table. At 100 TB the explode dominates — it pipelines inside the scan
+    stage, and the aggregate's map-side partials collapse the stream before
+    the only shuffle.
+    """
+    d = load_parallel(spark, sf_dir, "documents", "doc_id")
+    tri = d.select(
+        "lang",
+        F.explode(
+            F.expr("transform(sequence(1, length(text) - 2), i -> substr(text, i, 3))")
+        ).alias("g"),
+    )
+    counts = tri.groupBy("lang", "g").agg(F.count(F.lit(1)).alias("n"))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), "g")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("lang", F.col("g").alias("trigram"), "n", "rn")
+    )
