@@ -455,3 +455,42 @@ def h_url_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url("url", F.lit("PATH")).alias("path"),
         F.parse_url("url", F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
     )
+
+
+@register(
+    "h_nested_struct_array",
+    oracle="""
+    WITH g AS (
+      SELECT o_custkey,
+             list_transform(
+               list_sort(list(o_orderkey ORDER BY o_orderkey)),
+               k -> k * 2) AS doubled,
+             count(*) AS n_orders
+      FROM orders WHERE o_custkey < 100 GROUP BY 1
+    )
+    SELECT o_custkey, n_orders,
+           doubled[1] AS first_doubled,
+           len(list_filter(doubled, x -> x % 4 = 0)) AS n_div4
+    FROM g
+    """,
+)
+def h_nested_struct_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-collection algebra: per-customer order lists built with
+    collect_list, lambda-transformed and filtered entirely JVM-side —
+    the array-of-values form of a nested document column. `sort_array`
+    canonicalizes collect_list's nondeterministic order BEFORE any
+    element access so results are engine-portable; flattened scalars
+    (first element, filtered count) keep the driver hash stable."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    g = o.groupBy("o_custkey").agg(
+        F.expr("transform(sort_array(collect_list(o_orderkey)), k -> k * 2)").alias(
+            "doubled"
+        ),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    return g.select(
+        "o_custkey",
+        "n_orders",
+        F.element_at("doubled", 1).alias("first_doubled"),
+        F.size(F.expr("filter(doubled, x -> x % 4 = 0)")).alias("n_div4"),
+    )

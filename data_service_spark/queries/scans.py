@@ -280,3 +280,43 @@ def a_sink_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_files = max(1, total_bytes // (128 << 20))
     fragged.coalesce(int(n_files)).write.mode("overwrite").parquet(compact)
     return spark.read.parquet(compact)
+
+
+@register(
+    "a_source_csv_malformed",
+    oracle="""
+    SELECT * FROM (VALUES
+      (1, 'alpha', 10.5, NULL),
+      (2, 'beta', NULL, '2,beta,notanumber'),
+      (3, 'gamma', 30.25, NULL),
+      (4, 'unterminated,40.0', NULL, '4,"unterminated,40.0')
+    ) AS t(id, name, score, corrupt)
+    """,
+)
+def a_source_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-input handling on the CSV source: PERMISSIVE mode parses
+    what it can, nulls what it can't, and preserves the raw line in
+    `_corrupt_record` — the ingest contract that keeps a 100 TB load from
+    dying on row 80 billion. (The strict alternatives are one option away:
+    DROPMALFORMED discards, FAILFAST aborts.) The fixture writes two good
+    rows, one type-error row, and one unterminated-quote row; the oracle
+    pins the exact per-row outcome (the quote row keeps its parseable
+    prefix columns, nulls the rest, and carries the raw line)."""
+    path = _tmpdir(f"csv_malformed_{os.getpid()}")
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "rows.csv"), "w") as fh:
+        fh.write(
+            "1,alpha,10.5\n"
+            "2,beta,notanumber\n"
+            "3,gamma,30.25\n"
+            '4,"unterminated,40.0\n'
+        )
+    return (
+        spark.read.schema(
+            "id int, name string, score double, corrupt string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "corrupt")
+        .csv(path)
+        .select("id", "name", "score", "corrupt")
+    )

@@ -51,6 +51,7 @@ k_pack_sequences k_text_contamination k_text_unigram_logprob k_embed_quantize
 a_sink_compact i_stateful_sessions d_agg_mode_det k_dedup_levenshtein
 d_agg_approx_quantile d_agg_hll_sketch k_graph_pagerank
 c_join_dpp i_stream_outer_join k_text_ngram_chars c_join_band_bucketed
+a_source_csv_malformed h_nested_struct_array
 """.split()
 
 
