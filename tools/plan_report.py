@@ -92,6 +92,18 @@ SHOWCASE = {
         "one-row-per-key bounds aggregate exploded into the spine, equi-join back, per-key Window",
         "spine size is hours×keys regardless of event volume; carry-forward parallelizes by key",
     ),
+    "c_join_dpp": (
+        "`dynamicpruningexpression(l_returnflag IN dynamicpruning#N)` inside the scan's PartitionFilters",
+        "the dim filter prunes fact PARTITIONS at runtime — 10-100× I/O cuts on date/region-partitioned facts",
+    ),
+    "k_graph_pagerank": (
+        "one checkpointed weighted edge list; per iteration exactly one join + one partial→final HashAggregate",
+        "iteration cost is one shuffle on dst; driver traffic per round is zero (fixed iteration count)",
+    ),
+    "c_join_band_bucketed": (
+        "SortMergeJoin/ShuffledHashJoin on the band key where the theta twin plans BroadcastNestedLoopJoin",
+        "the non-equi predicate becomes an equi-join whose cost tracks band occupancy — survives when neither side broadcasts",
+    ),
 }
 
 
