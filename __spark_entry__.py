@@ -54,15 +54,18 @@ PRIORITY = [
     # e: windows
     "e_win_rank", "e_win_running", "e_win_scd2", "e_win_ignore_nulls",
     # f: sort/limit
-    "f_topk", "f_topk_per_group",
+    "f_topk_per_group",
     # g: set ops
-    "g_union_all", "g_except",
+    "g_except",
     # h: scalar functions
     "h_explode", "h_array_higher_order",
     # i: streaming
     "i_session", "i_watermark_late", "i_stream_join", "i_window_chain",
+    "i_gap_fill",
     # j: UDF surface
-    "j_pandas_udf_scalar", "j_grouped_map", "j_udtf", "j_cogroup",
+    "j_grouped_map", "j_udtf", "j_cogroup",
+    # round-2 flagships: runtime partition pruning + iterative graph algebra
+    "c_join_dpp", "k_graph_pagerank",
     # k: LLM/training-pipeline ops (round-2 curation keys included)
     "k_dedup_exact", "k_dedup_simhash", "k_dedup_near",
     "k_dedup_minhash_sql", "k_dedup_embedding", "k_sim_topk",

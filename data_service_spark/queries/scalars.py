@@ -494,3 +494,31 @@ def h_nested_struct_array(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("doubled", 1).alias("first_doubled"),
         F.size(F.expr("filter(doubled, x -> x % 4 = 0)")).alias("n_div4"),
     )
+
+
+@register(
+    "h_try_funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice / nullif(l_discount, 0.0), 4) AS safe_ratio,
+           TRY_CAST(l_comment_free AS DOUBLE) AS bad_number,
+           TRY_CAST('123.5' AS DOUBLE) AS good_number
+    FROM (SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount,
+                 'n/a' AS l_comment_free
+          FROM lineitem) t
+    """,
+)
+def h_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe error handling: `try_divide` nulls division-by-zero instead
+    of raising under ANSI mode, `try_cast` nulls unparseable input — the
+    functions that keep a 100 TB batch from aborting on one bad cell while
+    staying ANSI-compliant. Oracle expresses the same semantics with
+    nullif-guarded division and TRY_CAST."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.try_divide("l_extendedprice", "l_discount"), 4).alias("safe_ratio"),
+        F.lit("n/a").cast("string").try_cast("double").alias("bad_number"),
+        F.lit("123.5").try_cast("double").alias("good_number"),
+    )

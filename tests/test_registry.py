@@ -51,7 +51,7 @@ k_pack_sequences k_text_contamination k_text_unigram_logprob k_embed_quantize
 a_sink_compact i_stateful_sessions d_agg_mode_det k_dedup_levenshtein
 d_agg_approx_quantile d_agg_hll_sketch k_graph_pagerank
 c_join_dpp i_stream_outer_join k_text_ngram_chars c_join_band_bucketed
-a_source_csv_malformed h_nested_struct_array
+a_source_csv_malformed h_nested_struct_array h_try_funcs
 """.split()
 
 
@@ -98,3 +98,12 @@ def test_driver_contract_surface(spark, sf_dir):
     q, o = E.queries(), E.oracle_sql()
     assert set(o) <= set(q)
     assert len(q) == len(DECLARED)
+
+
+def test_priority_keys_all_exist():
+    # _ordered() silently drops unknown PRIORITY keys — pin them instead so
+    # a rename can't quietly shrink the driver's recorded-verdict sample.
+    import __spark_entry__ as E
+
+    assert set(E.PRIORITY) <= set(QUERIES)
+    assert len(E.PRIORITY) == len(set(E.PRIORITY))
