@@ -1106,3 +1106,48 @@ def k_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return ranks.select("node", F.round(F.col("r") * 1000, 6).alias("rank_x1000"))
+
+
+from data_service_spark.registry import ORACLES as _ORACLES  # noqa: E402
+
+
+@register(
+    "k_eval_ann_recall",
+    # The oracle COMPOSES the two registered pipelines verbatim as CTEs —
+    # both are deterministic, so recall itself is hash-checkable.
+    oracle=f"""
+    WITH approx AS ({_ORACLES["k_sim_ann_sql"]}),
+    exact AS ({_ORACLES["k_sim_topk"]})
+    SELECT p.probe_id,
+           count(a.neighbor_id) AS n_hits,
+           round(count(a.neighbor_id) / 3.0, 4) AS recall_at_3
+    FROM (SELECT DISTINCT probe_id FROM exact) p
+    LEFT JOIN (SELECT probe_id, neighbor_id FROM exact WHERE rn <= 3) e3
+      ON p.probe_id = e3.probe_id
+    LEFT JOIN approx a
+      ON a.probe_id = e3.probe_id AND a.neighbor_id = e3.neighbor_id
+    GROUP BY 1
+    """,
+)
+def k_eval_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation: recall@3 of the sign-random-projection index
+    (k_sim_ann_sql) against exact brute-force top-3 (k_sim_topk), per probe
+    — the measurement an index-tuning loop optimizes (more planes → purer
+    buckets → higher recall, smaller candidate sets). Composes the two
+    registered pipelines; because both are deterministic, even the
+    EVALUATION is oracle-hash-checked — an unusual property this engine
+    gets from its determinism-first design. Both inputs are probe-bounded
+    (10 rows each side), so the evaluation cost is the two pipelines, not
+    the join."""
+    approx = k_sim_ann_sql(spark, sf_dir).select("probe_id", "neighbor_id")
+    exact = k_sim_topk(spark, sf_dir)
+    probes = exact.select("probe_id").distinct()
+    e3 = exact.filter(F.col("rn") <= 3).select("probe_id", "neighbor_id")
+    hits = e3.join(approx, ["probe_id", "neighbor_id"]).groupBy("probe_id").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    return probes.join(hits, "probe_id", "left").select(
+        "probe_id",
+        F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+        F.round(F.coalesce("n_hits", F.lit(0)) / F.lit(3.0), 4).alias("recall_at_3"),
+    )

@@ -588,3 +588,49 @@ def k_dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.levenshtein("pfx1", "pfx2").alias("edit_dist"),
         )
     )
+
+
+# --------------------------------------------------- domain mix report ----
+
+
+@register(
+    "k_mix_report",
+    oracle="""
+    WITH t AS (
+      SELECT source, lang, len(string_split(text, ' ')) AS n_tok
+      FROM documents
+    ), tot AS (SELECT sum(n_tok) AS total FROM t)
+    SELECT source, lang,
+           count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           round(sum(n_tok) * 100.0 / tot.total, 4) AS pct_tokens
+    FROM t, tot
+    GROUP BY source, lang, tot.total
+    """,
+)
+def k_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mix report: documents and tokens by (source, lang) with each
+    cell's share of the total token budget — the table a pretraining-mix
+    decision is made from (and the input k_sample_stratified's rates come
+    back to). One hash aggregate + a one-row broadcast total; at 100 TB
+    this is a footnote-cost query that every curation iteration reruns."""
+    d = load(spark, sf_dir, "documents")
+    t = d.select("source", "lang", F.size(F.split("text", " ")).alias("n_tok"))
+    tot = t.agg(F.sum("n_tok").alias("total"))
+    return (
+        t.groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "lang",
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("n_tokens") * 100.0 / F.col("total"), 4).alias(
+                "pct_tokens"
+            ),
+        )
+    )
