@@ -320,3 +320,61 @@ def a_source_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .csv(path)
         .select("id", "name", "score", "corrupt")
     )
+
+
+@register(
+    "a_sink_partition_overwrite",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def a_sink_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite — the idempotent-backfill write: with
+    partitionOverwriteMode=dynamic, an INSERT OVERWRITE touches ONLY the
+    partitions present in the incoming batch; all others keep their data.
+    Re-running a day's pipeline rewrites that day, never the table — the
+    property that makes 100 TB backfills safe. Here: full partitioned
+    write, then a rerun of just region 0's rows; the oracle (full nation)
+    proves regions 1-4 survived and region 0 deduplicated.
+    """
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    path = _tmpdir(f"nation_dynoverwrite_{os.getpid()}")
+    n = load(spark, sf_dir, "nation")
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        n.write.partitionBy("n_regionkey").mode("overwrite").parquet(path)
+        # Backfill rerun: only region 0 arrives; with dynamic mode this
+        # overwrites partition n_regionkey=0 and leaves 1-4 untouched.
+        n.filter(F.col("n_regionkey") == 0).write.partitionBy(
+            "n_regionkey"
+        ).mode("overwrite").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return spark.read.parquet(path).select(
+        "n_nationkey",
+        "n_name",
+        F.col("n_regionkey").cast("bigint").alias("n_regionkey"),
+    )
+
+
+@register(
+    "a_scan_metadata",
+    oracle="""
+    SELECT 'lineitem.parquet' AS file_name, count(*) AS n_rows,
+           count(DISTINCT l_orderkey) AS n_orders
+    FROM lineitem
+    """,
+)
+def a_scan_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hidden `_metadata` columns on file sources: every row carries its
+    file provenance (path, name, size, mtime) with no storage cost — the
+    lineage column a curation pipeline groups by to trace a bad batch back
+    to its input file. At 100 TB, per-file row counts via `_metadata` are
+    how you audit a load without a separate manifest."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.select(F.col("_metadata.file_name").alias("file_name"), "l_orderkey")
+        .groupBy("file_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+        )
+    )

@@ -48,23 +48,27 @@ def read_event_stream(
 
 
 def drain_available_now(
-    sdf: DataFrame, output_mode: str = "append"
+    sdf: DataFrame,
+    output_mode: str = "append",
+    checkpoint: str | None = None,
 ) -> list[pd.DataFrame]:
     """Run a streaming DataFrame to completion with ``availableNow`` and a
     ``foreachBatch`` collector; returns one pandas frame per micro-batch.
     This is the pytest-facing sink; production would point ``writeStream``
-    at parquet/Kafka with the same plan."""
+    at parquet/Kafka with the same plan.
+
+    ``checkpoint`` persists source offsets + state: a second drain with the
+    same location resumes where the first stopped (exactly-once progress —
+    proven in tests/test_streaming.py::test_checkpoint_resume)."""
     batches: list[pd.DataFrame] = []
 
     def collect(batch_df: DataFrame, _epoch: int) -> None:
         batches.append(batch_df.toPandas())
 
-    q = (
-        sdf.writeStream.outputMode(output_mode)
-        .foreachBatch(collect)
-        .trigger(availableNow=True)
-        .start()
-    )
+    w = sdf.writeStream.outputMode(output_mode).foreachBatch(collect)
+    if checkpoint is not None:
+        w = w.option("checkpointLocation", checkpoint)
+    q = w.trigger(availableNow=True).start()
     q.awaitTermination()
     return batches
 

@@ -383,3 +383,31 @@ def test_stream_outer_join_emits_null_rows(spark, tmp_path):
     }
     assert (2, 1) in pairs          # matched purchase
     assert (3, None) in pairs       # unmatched purchase emitted with null
+
+
+def test_checkpoint_resume(spark, tmp_path):
+    """Checkpointed drain is exactly-once over the source: a second drain
+    with the same checkpoint processes ONLY files added since the first —
+    the recovery/backfill contract a production sink depends on."""
+    d = str(tmp_path / "ckpt_src")
+    ckpt = str(tmp_path / "ckpt_loc")
+    write_event_files(
+        spark, d,
+        [ev(1, "2024-01-01 10:00", 1), ev(2, "2024-01-01 10:05", 2)],
+    )
+    proj = lambda s: s.select("event_id", "user_id")  # stateless pass-through
+    first = drain_available_now(
+        proj(read_event_stream(spark, d)), checkpoint=ckpt
+    )
+    assert sorted(pd.concat(first)["event_id"]) == [1, 2]
+    # New file arrives; resumed drain sees only it.
+    pdf = pd.DataFrame([ev(3, "2024-01-01 10:10", 3)])
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    pdf.to_parquet(
+        os.path.join(d, "batch_zzz.parquet"), index=False, coerce_timestamps="us"
+    )
+    second = drain_available_now(
+        proj(read_event_stream(spark, d)), checkpoint=ckpt
+    )
+    got = pd.concat(second) if second else pd.DataFrame(columns=["event_id"])
+    assert sorted(got["event_id"]) == [3]
