@@ -634,3 +634,72 @@ def k_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ------------------------------------------ boilerplate segment dedup ----
+
+
+@register(
+    "k_dedup_segments",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM documents
+      WHERE len(string_split(text, ' ')) >= 8
+    ), segs AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(words) - 7, 8),
+                    i -> array_to_string(words[i:i+7], ' '))) AS seg
+      FROM w
+    ), seg_docs AS (
+      SELECT seg, count(DISTINCT doc_id) AS nd FROM segs GROUP BY 1
+    )
+    SELECT s.doc_id,
+           count(*) AS n_segments,
+           count(*) FILTER (WHERE d.nd > 1) AS n_shared,
+           round(count(*) FILTER (WHERE d.nd > 1) * 1.0 / count(*), 4)
+             AS boilerplate_ratio
+    FROM segs s JOIN seg_docs d ON s.seg = d.seg
+    GROUP BY 1
+    """,
+)
+def k_dedup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-level boilerplate detection (the CCNet/RefinedWeb line-dedup
+    family): documents are cut into consecutive non-overlapping 8-word
+    segments; a segment appearing in more than one document is boilerplate
+    (headers, footers, templates), and each doc reports its shared-segment
+    ratio — the removal criterion runs downstream.
+
+    Unlike the shingle miners this keeps WITHIN-doc duplicates and uses
+    stride-8 chunking, so the exploded volume is tokens/8, not tokens — at
+    100 TB the segment-frequency table is the only shuffle (hash agg with
+    map-side partials over int64 xxhash64 keys) and the per-doc rollup
+    re-aggregates on the already-partitioned doc_id.
+    """
+    d = load_parallel(spark, sf_dir, "documents", "doc_id")
+    segs = (
+        d.withColumn("words", F.split("text", " "))
+        .filter(F.size("words") >= 8)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(words) - 7, 8),"
+                    " i -> xxhash64(concat_ws(' ', slice(words, i, 8))))"
+                )
+            ).alias("seg"),
+        )
+    )
+    seg_docs = segs.groupBy("seg").agg(
+        F.countDistinct("doc_id").alias("nd")
+    )
+    return (
+        segs.join(seg_docs, "seg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.count(F.when(F.col("nd") > 1, 1)).alias("n_shared"),
+            F.round(
+                F.count(F.when(F.col("nd") > 1, 1)) * F.lit(1.0) / F.count(F.lit(1)), 4
+            ).alias("boilerplate_ratio"),
+        )
+    )
