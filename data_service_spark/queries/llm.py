@@ -1151,3 +1151,64 @@ def k_eval_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
         F.round(F.coalesce("n_hits", F.lit(0)) / F.lit(3.0), 4).alias("recall_at_3"),
     )
+
+
+@register(
+    "k_cluster_silhouette",
+    oracle="""
+    WITH cent AS (SELECT vec_id AS cluster_id, CAST(embedding AS DOUBLE[]) AS cv
+                  FROM embeddings WHERE vec_id < 10),
+         e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    sims AS (
+      SELECT e.vec_id, cluster_id, list_inner_product(v, cv) AS sim
+      FROM e CROSS JOIN cent
+    ), ranked AS (
+      SELECT vec_id, cluster_id, sim,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY round(sim, 6) DESC, cluster_id) AS rn
+      FROM sims
+    ), margins AS (
+      SELECT a.vec_id, a.cluster_id, a.sim - b.sim AS margin
+      FROM ranked a JOIN ranked b
+        ON a.vec_id = b.vec_id AND a.rn = 1 AND b.rn = 2
+    )
+    SELECT cluster_id, count(*) AS n_members,
+           round(avg(margin), 4) AS avg_margin,
+           round(min(margin), 4) AS worst_margin
+    FROM margins GROUP BY 1
+    """,
+)
+def k_cluster_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering-quality evaluation (silhouette-style separation margin):
+    per vector, cosine to its own centroid minus cosine to the runner-up
+    centroid; per cluster, the average and worst margin — low margins flag
+    clusters to split before using them as IVF cells (k_sim_ivf) or
+    curriculum buckets. Like k_eval_ann_recall, the evaluation itself is
+    deterministic and hash-checked. One broadcast of the centroid set; the
+    corpus streams once; margins re-aggregate on the small (vec, rank≤2)
+    set."""
+    emb = _emb(spark, sf_dir)
+    cent = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("cluster_id"), F.col("v").alias("cv")
+    )
+    sims = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "cluster_id", dot(F.col("v"), F.col("cv")).alias("sim")
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.round(F.col("sim"), 6).desc(), F.col("cluster_id")
+    )
+    ranked = sims.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= 2
+    )
+    a = ranked.filter(F.col("rn") == 1).select(
+        "vec_id", "cluster_id", F.col("sim").alias("sim1")
+    )
+    b = ranked.filter(F.col("rn") == 2).select("vec_id", F.col("sim").alias("sim2"))
+    margins = a.join(b, "vec_id").select(
+        "vec_id", "cluster_id", (F.col("sim1") - F.col("sim2")).alias("margin")
+    )
+    return margins.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.round(F.avg("margin"), 4).alias("avg_margin"),
+        F.round(F.min("margin"), 4).alias("worst_margin"),
+    )

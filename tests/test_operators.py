@@ -198,3 +198,36 @@ def test_embedding_dedup_drops_only_neighbored(spark, sf_dir):
 
     all_ids = {r.vec_id for r in load(spark, sf_dir, "embeddings").select("vec_id").collect()}
     assert surv == all_ids - dropped_expected
+
+
+def test_curation_pipeline_composes(spark, sf_dir):
+    """End-to-end curation flow: mix report → stratified sample → dedup
+    survivors → split → packing. Checks the ops compose (shared schemas)
+    and conserve rows sensibly at each stage."""
+    from data_service_spark.registry import QUERIES
+
+    total = QUERIES["k_mix_report"](spark, sf_dir).agg(
+        F.sum("n_docs").alias("n")
+    ).collect()[0].n
+    sampled = QUERIES["k_sample_stratified"](spark, sf_dir)
+    n_sampled = sampled.count()
+    assert 0 < n_sampled < total
+    # dedup survivors of the sampled set: drop docs whose cluster rep differs
+    clusters = QUERIES["k_dedup_clusters"](spark, sf_dir)
+    survivors = (
+        sampled.join(clusters, "doc_id")
+        .filter(F.col("cluster_id") == F.col("doc_id"))
+    )
+    n_surv = survivors.count()
+    assert 0 < n_surv <= n_sampled
+    # split the survivors; every survivor gets exactly one split label
+    split = QUERIES["k_split_train_test"](spark, sf_dir).select("doc_id", "split")
+    labeled = survivors.join(split, "doc_id")
+    assert labeled.count() == n_surv
+    # pack the train subset; pack manifest covers exactly the train docs
+    train_ids = {r.doc_id for r in labeled.filter(F.col("split") == "train").collect()}
+    packs = QUERIES["k_pack_sequences"](spark, sf_dir)
+    packed_train = packs.join(
+        labeled.filter(F.col("split") == "train").select("doc_id"), "doc_id"
+    )
+    assert packed_train.count() == len(train_ids)
