@@ -6,7 +6,12 @@ value multiset. Run BEFORE the driver does:
 
     python tools/selfcheck.py                 # all keys at sf0.01
     python tools/selfcheck.py b_distinct ...  # subset
+    python tools/selfcheck.py --plain         # DRIVER-FAITHFUL bare session
     SPARK_GRAFT_SF_DIR=/root/testdata/sf0.001 python tools/selfcheck.py
+
+--plain runs on a bare SparkSession (no session.py confs) — exactly what
+the driver's verify uses; run it before relying on any conf set in
+data_service_spark.session (queries must set what they need themselves).
 """
 
 from __future__ import annotations
@@ -82,8 +87,15 @@ def run_one(spark, con, key: str, sf_dir: str) -> tuple[bool, str]:
 def main() -> int:
     load_all()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
-    keys = sys.argv[1:] or sorted(QUERIES)
-    spark = get_spark("selfcheck")
+    args = sys.argv[1:]
+    plain = "--plain" in args
+    keys = [a for a in args if not a.startswith("--")] or sorted(QUERIES)
+    if plain:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[8]").getOrCreate()
+    else:
+        spark = get_spark("selfcheck")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
