@@ -154,3 +154,78 @@ def test_hash_split_stable_under_permutation(spark, ids):
     ga = {r.doc_id: r.s for r in a.select("doc_id", F.expr(expr).alias("s")).collect()}
     gb = {r.doc_id: r.s for r in b.select("doc_id", F.expr(expr).alias("s")).collect()}
     assert ga == gb
+
+
+words_st = st.lists(st.sampled_from(["aa", "ab", "ba", "bb", "cc"]), min_size=1, max_size=8)
+
+
+@given(docs=st.lists(words_st, min_size=2, max_size=6))
+@settings(**SETTINGS)
+def test_levenshtein_banding_is_complete(spark, docs):
+    # The length-band fan-out join must find EXACTLY the pairs the brute
+    # force predicate defines (|Δlen| <= 3 AND lev <= 3) — banding is a
+    # pure optimization, never a filter.
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, pfx string")
+    p = df.withColumn("l", F.length("pfx"))
+    a = p.select(F.col("doc_id").alias("d1"), F.col("pfx").alias("p1"),
+                 F.col("l").alias("l1"), F.floor(F.col("l") / 4).alias("band"))
+    b = p.select(F.col("doc_id").alias("d2"), F.col("pfx").alias("p2"),
+                 F.col("l").alias("l2"),
+                 F.explode(F.array(F.floor(F.col("l") / 4) - 1,
+                                   F.floor(F.col("l") / 4),
+                                   F.floor(F.col("l") / 4) + 1)).alias("band"))
+    banded = {
+        (r.d1, r.d2)
+        for r in a.join(b, ["band"])
+        .filter((F.col("d1") < F.col("d2"))
+                & (F.abs(F.col("l1") - F.col("l2")) <= 3)
+                & (F.levenshtein("p1", "p2") <= 3))
+        .collect()
+    }
+    import itertools
+
+    def lev(x, y):
+        prev = list(range(len(y) + 1))
+        for i, cx in enumerate(x, 1):
+            cur = [i]
+            for j, cy in enumerate(y, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (cx != cy)))
+            prev = cur
+        return prev[-1]
+
+    brute = {
+        (i, j)
+        for (i, x), (j, y) in itertools.combinations(rows, 2)
+        if abs(len(x) - len(y)) <= 3 and lev(x, y) <= 3
+    }
+    assert banded == brute
+
+
+@given(bals=st.lists(st.integers(-999, 999), min_size=2, max_size=10, unique=True))
+@settings(**SETTINGS)
+def test_band_bucket_join_is_complete(spark, bals):
+    # Width-100 bucketing with 3-bucket fan-out finds exactly the
+    # |Δbal| < 100 pairs — including across negative/positive bucket edges.
+    rows = [(i, float(b)) for i, b in enumerate(bals)]
+    df = spark.createDataFrame(rows, "k long, bal double")
+    a = df.select(F.col("k").alias("k1"), F.col("bal").alias("b1"),
+                  F.floor(F.col("bal") / 100).alias("bkt"))
+    b = df.select(F.col("k").alias("k2"), F.col("bal").alias("b2"),
+                  F.explode(F.array(F.floor(F.col("bal") / 100) - 1,
+                                    F.floor(F.col("bal") / 100),
+                                    F.floor(F.col("bal") / 100) + 1)).alias("bkt"))
+    got = {
+        (r.k1, r.k2)
+        for r in a.join(b, ["bkt"])
+        .filter((F.col("k1") < F.col("k2")) & (F.abs(F.col("b1") - F.col("b2")) < 100))
+        .collect()
+    }
+    import itertools
+
+    brute = {
+        (i, j)
+        for (i, x), (j, y) in itertools.combinations(rows, 2)
+        if abs(x - y) < 100
+    }
+    assert got == brute
