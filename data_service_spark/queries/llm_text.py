@@ -559,3 +559,36 @@ def k_text_ngram_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 10)
         .select("lang", F.col("g").alias("trigram"), "n", "rn")
     )
+
+
+@register(
+    "k_multimodal_dedup",
+    oracle="""
+    -- DuckDB 1.0 md5() binds VARCHAR only; the slice's UTF-8 bytes are what
+    -- Spark hashes, so hashing the VARCHAR here is byte-identical.
+    WITH p AS (
+      SELECT doc_id, substr(text, 1, 64) AS payload FROM documents
+    )
+    SELECT md5(payload) AS payload_hash,
+           min(doc_id) AS keep_id,
+           count(*) AS n_copies,
+           CAST(min(octet_length(encode(payload))) AS BIGINT) AS n_bytes
+    FROM p GROUP BY 1
+    """,
+)
+def k_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload dedup — content-hash dedup on an opaque media column
+    (the first pass every image/audio corpus runs; identical bytes from
+    re-crawls collapse before any expensive perceptual hashing). Payloads
+    are the first-64-byte slices of the synthetic media column, so
+    collisions actually occur and the keep-min rule exercises. One hash
+    aggregate on md5(binary) — at 100 TB the shuffle carries 16-byte
+    digests, not blobs, because md5 computes map-side."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.substring("text", 1, 64), "UTF-8").alias("payload")
+    )
+    return d.groupBy(F.md5("payload").alias("payload_hash")).agg(
+        F.min("doc_id").alias("keep_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min(F.octet_length("payload")).cast("long").alias("n_bytes"),
+    )
