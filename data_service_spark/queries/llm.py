@@ -1212,3 +1212,57 @@ def k_cluster_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("margin"), 4).alias("avg_margin"),
         F.round(F.min("margin"), 4).alias("worst_margin"),
     )
+
+
+@register(
+    "k_text_keywords",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2
+    ), df AS (
+      SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1
+    ), n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             round(tf.tf * ln(n.n_docs * 1.0 / df.df), 4) AS score
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    ), ranked AS (
+      SELECT doc_id, term, score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, term) AS rn
+      FROM scored
+    )
+    SELECT doc_id, term AS keyword, score, rn FROM ranked WHERE rn <= 3
+    """,
+)
+def k_text_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword extraction: top-3 TF-IDF terms per document (term tiebreak)
+    — the auto-tagging pass that labels corpus documents for routing and
+    mix decisions. Reuses the TF-IDF algebra over the FULL vocabulary,
+    then a per-doc window over the already-small (doc, term, score) set.
+    The idf table is Zipf-compact and broadcasts; rounding BEFORE ranking
+    makes the cut identical across engines."""
+    d = load_parallel(spark, sf_dir, "documents", "doc_id")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") * F.lit(1.0) / F.col("df")), 4
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", F.col("term").alias("keyword"), "score", "rn")
+    )

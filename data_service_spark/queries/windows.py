@@ -246,3 +246,43 @@ def e_win_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         nxt.alias("valid_to"),
         F.when(nxt.isNull(), 1).otherwise(0).alias("is_current"),
     )
+
+
+@register(
+    "e_win_streak",
+    oracle="""
+    WITH seq AS (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             lag(o_totalprice, 1) OVER w AS p1,
+             lag(o_totalprice, 2) OVER w AS p2
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    )
+    SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice
+    FROM seq
+    WHERE p2 IS NOT NULL AND o_totalprice > p1 AND p1 > p2
+    """,
+)
+def e_win_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern detection (the MATCH_RECOGNIZE shape): orders that
+    complete a 3-long strictly-increasing price run per customer — fraud/
+    momentum patterns expressed as lag chains over an ordered per-key
+    window. One shuffle on the key, linear window walk; arbitrary-length
+    patterns generalize to the gaps-and-islands idiom (i_session) without
+    new machinery."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.lag("o_totalprice", 1).over(w).alias("p1"),
+        F.lag("o_totalprice", 2).over(w).alias("p2"),
+    )
+    return seq.filter(
+        F.col("p2").isNotNull()
+        & (F.col("o_totalprice") > F.col("p1"))
+        & (F.col("p1") > F.col("p2"))
+    ).select(
+        "o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice")
+    )

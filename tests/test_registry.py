@@ -54,6 +54,7 @@ c_join_dpp i_stream_outer_join k_text_ngram_chars c_join_band_bucketed
 a_source_csv_malformed h_nested_struct_array h_try_funcs
 k_eval_ann_recall k_mix_report a_sink_partition_overwrite a_scan_metadata
 k_dedup_segments k_cluster_silhouette k_multimodal_dedup
+e_win_streak k_text_keywords
 """.split()
 
 
