@@ -552,3 +552,20 @@ def d_agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag", F.hll_sketch_estimate("sk").alias("est")
     )
     return per_est.unionAll(global_est)
+
+
+@register("d_agg_freq_items")  # rows-only: single-pass sketch, engine-specific
+def d_agg_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via `freqItems` (Karp-Shenker-Papadimitriou single-pass
+    frequent-items sketch): candidate sets for columns with support >= 10% —
+    the skew-detection probe that feeds salting/AQE decisions before an
+    expensive join (find the hot keys WITHOUT a full groupBy). One pass,
+    constant memory per column, mergeable across partitions. Rows-only:
+    KSP candidate sets are order/impl-sensitive; the exact twin for declared
+    frequencies is d_agg_groupby-style counting."""
+    o = load(spark, sf_dir, "orders")
+    fi = o.freqItems(["o_orderstatus", "o_orderpriority"], support=0.1)
+    return fi.select(
+        F.sort_array(F.col("o_orderstatus_freqItems")).alias("hot_statuses"),
+        F.sort_array(F.col("o_orderpriority_freqItems")).alias("hot_priorities"),
+    )

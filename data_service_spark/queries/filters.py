@@ -157,3 +157,32 @@ def b_filter_corr_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       WHERE o2.o_custkey = o.o_custkey)
         """
     )
+
+
+@register(
+    "b_filter_in_subquery",
+    oracle="""
+    SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+    FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer
+                        WHERE c_mktsegment = 'BUILDING')
+      AND o_orderpriority = '1-URGENT'
+    """,
+)
+def b_filter_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery predicate — the third correlated-filter shape beside the
+    scalar (b_filter_scalar_subquery) and EXISTS (c_join_semi) forms.
+    Catalyst rewrites IN (SELECT ...) into a left-semi join, so the 100 TB
+    plan is one hash join against the (small, broadcastable) subquery
+    result, never a per-row probe."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("dss_in_orders")
+    load(spark, sf_dir, "customer").createOrReplaceTempView("dss_in_customer")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+        FROM dss_in_orders
+        WHERE o_custkey IN (SELECT c_custkey FROM dss_in_customer
+                            WHERE c_mktsegment = 'BUILDING')
+          AND o_orderpriority = '1-URGENT'
+        """
+    )

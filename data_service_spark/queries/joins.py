@@ -603,3 +603,37 @@ def c_join_band_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             "s1", "s2", F.round(F.abs(F.col("bal1") - F.col("bal2")), 2).alias("bal_diff")
         )
     )
+
+
+@register(
+    "c_join_lateral",
+    oracle="""
+    SELECT c_custkey, c_name, t.top_price, t.top_key
+    FROM customer,
+    LATERAL (
+      SELECT round(o_totalprice, 2) AS top_price, o_orderkey AS top_key
+      FROM orders WHERE o_custkey = c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 1
+    ) t
+    """,
+)
+def c_join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery — the per-row-subquery surface the SQL
+    service exposes; Catalyst decorrelates it into an window/join, so
+    what executes is one shuffle, not a per-customer loop (the rewrite that
+    makes LATERAL usable at 100 TB). Expressed through spark.sql because
+    LATERAL is a parser-level feature; this is the top-1-per-key idiom
+    (ORDER BY + LIMIT 1 inside the lateral) with a unique tiebreak."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("dss_lat_customer")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("dss_lat_orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name, t.top_price, t.top_key
+        FROM dss_lat_customer,
+        LATERAL (
+          SELECT round(o_totalprice, 2) AS top_price, o_orderkey AS top_key
+          FROM dss_lat_orders WHERE o_custkey = c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 1
+        ) t
+        """
+    )

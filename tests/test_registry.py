@@ -54,7 +54,8 @@ c_join_dpp i_stream_outer_join k_text_ngram_chars c_join_band_bucketed
 a_source_csv_malformed h_nested_struct_array h_try_funcs
 k_eval_ann_recall k_mix_report a_sink_partition_overwrite a_scan_metadata
 k_dedup_segments k_cluster_silhouette k_multimodal_dedup
-e_win_streak k_text_keywords
+e_win_streak k_text_keywords c_join_lateral b_filter_in_subquery
+d_agg_freq_items
 """.split()
 
 
@@ -73,6 +74,7 @@ def test_rows_only_keys_are_the_declared_ones():
         "k_sim_ivf",  # IVF probes one cell; recall < 1 by design
         "d_agg_approx_quantile",  # KLL sketch estimates are engine-specific
         "d_agg_hll_sketch",  # DataSketches HLL bytes are engine-specific
+        "d_agg_freq_items",  # KSP frequent-items candidate sets are impl-specific
     }
 
 
