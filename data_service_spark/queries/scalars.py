@@ -522,3 +522,30 @@ def h_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("n/a").cast("string").try_cast("double").alias("bad_number"),
         F.lit("123.5").try_cast("double").alias("good_number"),
     )
+
+
+@register(
+    "h_hash_funcs",
+    oracle="""
+    SELECT p_partkey,
+           md5(p_name) AS h_md5,
+           sha256(p_name) AS h_sha256,
+           ('0x' || substr(md5(p_name), 1, 15))::BIGINT AS h_bucket
+    FROM part
+    """,
+)
+def h_hash_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hash-function family every pipeline layer leans on (dedup keys,
+    salts, bucket routing, cache keys): md5 / sha256 (DuckDB 1.0 ships no sha1) plus the
+    hex→int64 bucket idiom used throughout the K operators. All JVM-side
+    codegen; identical digests across engines because the input bytes are
+    the same UTF-8."""
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.md5("p_name").alias("h_md5"),
+        F.sha2("p_name", 256).alias("h_sha256"),
+        F.expr(
+            "cast(conv(substr(md5(p_name), 1, 15), 16, 10) AS bigint)"
+        ).alias("h_bucket"),
+    )

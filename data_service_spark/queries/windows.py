@@ -286,3 +286,54 @@ def e_win_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice")
     )
+
+
+@register(
+    "e_win_pareto",
+    oracle="""
+    WITH r AS (
+      SELECT c_mktsegment, o_orderkey, o_totalprice,
+             sum(o_totalprice) OVER (PARTITION BY c_mktsegment) AS seg_total,
+             sum(o_totalprice) OVER (
+               PARTITION BY c_mktsegment
+               ORDER BY o_totalprice DESC, o_orderkey
+               ROWS UNBOUNDED PRECEDING) AS run
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    )
+    SELECT c_mktsegment, o_orderkey,
+           round(run / seg_total, 6) AS cum_share,
+           run / seg_total <= 0.8 AS in_top80
+    FROM r
+    """,
+)
+def e_win_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto/concentration analysis: per market segment, each order's
+    cumulative share of segment revenue (largest first) and an 80%-band
+    flag — the 'which slice of the data carries the value' question that
+    decides curation and caching priorities. Two window passes over one
+    shuffle on the segment key; the unbounded-sum and the ordered
+    running-sum share the partition."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        "c_mktsegment", "o_orderkey", "o_totalprice"
+    )
+    w_all = Window.partitionBy("c_mktsegment")
+    w_run = (
+        Window.partitionBy("c_mktsegment")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    r = j.select(
+        "c_mktsegment",
+        "o_orderkey",
+        F.sum("o_totalprice").over(w_all).alias("seg_total"),
+        F.sum("o_totalprice").over(w_run).alias("run"),
+    )
+    share = F.col("run") / F.col("seg_total")
+    return r.select(
+        "c_mktsegment",
+        "o_orderkey",
+        F.round(share, 6).alias("cum_share"),
+        (share <= 0.8).alias("in_top80"),
+    )
