@@ -378,3 +378,30 @@ def a_scan_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("l_orderkey").alias("n_orders"),
         )
     )
+
+
+@register(
+    "a_scan_schema_merge",
+    oracle="""
+    SELECT r_regionkey, r_name, NULL AS r_priority FROM region
+    UNION ALL
+    SELECT r_regionkey, r_name, r_regionkey * 10 AS r_priority FROM region
+    """,
+)
+def a_scan_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet schema evolution: two file generations — the second adds an
+    `r_priority` column — read together with ``mergeSchema=true``; old rows
+    surface NULL for the new column. The contract that lets a 100 TB table
+    gain columns without rewriting history (schema-on-read union, pruning
+    and pushdown intact). Footer-only merge cost at planning time."""
+    path = _tmpdir(f"region_evolving_{os.getpid()}")
+    r = load(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    r.write.mode("overwrite").parquet(os.path.join(path, "gen=1"))
+    r.withColumn(
+        "r_priority", (F.col("r_regionkey") * 10).cast("bigint")
+    ).write.mode("overwrite").parquet(os.path.join(path, "gen=2"))
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(os.path.join(path, "gen=1"), os.path.join(path, "gen=2"))
+        .select("r_regionkey", "r_name", "r_priority")
+    )

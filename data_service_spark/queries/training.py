@@ -703,3 +703,46 @@ def k_dedup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("boilerplate_ratio"),
         )
     )
+
+
+# -------------------------------------------------- curriculum buckets ----
+
+
+@register(
+    "k_curriculum",
+    oracle="""
+    WITH q AS (
+      SELECT doc_id, lang,
+             len(string_split(text, ' ')) AS n_tok,
+             round(length(text) * 1.0 / len(string_split(text, ' ')), 4)
+               AS mean_tok_len
+      FROM documents
+    )
+    SELECT doc_id, lang, n_tok,
+           ntile(5) OVER (PARTITION BY lang
+                          ORDER BY mean_tok_len, doc_id) AS difficulty_band
+    FROM q
+    """,
+)
+def k_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum assignment: per-language difficulty bands (quintiles of a
+    mean-token-length proxy, unique tiebreak) — the ordering signal a
+    curriculum-learning schedule consumes (short-token 'easy' docs first).
+    One window per language partition; at 100 TB the proxy column computes
+    in the scan and ntile parallelizes across languages. Swap the proxy for
+    a model-based difficulty score and the plumbing is unchanged."""
+    from pyspark.sql.window import Window
+
+    d = load(spark, sf_dir, "documents")
+    q = d.select(
+        "doc_id",
+        "lang",
+        F.size(F.split("text", " ")).alias("n_tok"),
+        F.round(
+            F.length("text") * F.lit(1.0) / F.size(F.split("text", " ")), 4
+        ).alias("mean_tok_len"),
+    )
+    w = Window.partitionBy("lang").orderBy("mean_tok_len", "doc_id")
+    return q.select(
+        "doc_id", "lang", "n_tok", F.ntile(5).over(w).alias("difficulty_band")
+    )

@@ -55,7 +55,7 @@ a_source_csv_malformed h_nested_struct_array h_try_funcs
 k_eval_ann_recall k_mix_report a_sink_partition_overwrite a_scan_metadata
 k_dedup_segments k_cluster_silhouette k_multimodal_dedup
 e_win_streak k_text_keywords c_join_lateral b_filter_in_subquery
-d_agg_freq_items h_hash_funcs e_win_pareto
+d_agg_freq_items h_hash_funcs e_win_pareto k_curriculum a_scan_schema_merge
 """.split()
 
 
