@@ -592,3 +592,77 @@ def k_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_copies"),
         F.min(F.octet_length("payload")).cast("long").alias("n_bytes"),
     )
+
+
+@register(
+    "k_bpe_first_merge",
+    oracle="""
+    WITH w AS (
+      SELECT unnest(string_split(text, ' ')) AS word FROM documents
+    ), pairs AS (
+      SELECT unnest(list_transform(generate_series(1, length(word) - 1),
+                                   i -> substr(word, i, 2))) AS pair
+      FROM w WHERE length(word) >= 2
+    ), counts AS (
+      SELECT pair, count(*) AS n FROM pairs GROUP BY 1
+    ), ranked AS (
+      SELECT pair, n, row_number() OVER (ORDER BY n DESC, pair) AS rn
+      FROM counts
+    )
+    SELECT pair, n, rn FROM ranked WHERE rn <= 20
+    """,
+)
+def k_bpe_first_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-training primitive: the first BPE merge iteration —
+    corpus-wide adjacent-character-pair frequencies within words, top-20
+    merge candidates (deterministic tiebreak). A full BPE trainer is this
+    step iterated with the merge applied (the iterative shape of
+    k_cluster_iterate / k_graph_pagerank); each iteration is one explode +
+    one hash aggregate, so vocabulary induction over 100 TB is a sequence
+    of linear scans, not a driver-side loop over the corpus."""
+    d = load_parallel(spark, sf_dir, "documents", "doc_id")
+    w = d.select(F.explode(F.split("text", " ")).alias("word")).filter(
+        F.length("word") >= 2
+    )
+    pairs = w.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(word) - 1), i -> substr(word, i, 2))"
+            )
+        ).alias("pair")
+    )
+    counts = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("n"))
+    from pyspark.sql.window import Window
+
+    rnk = Window.orderBy(F.col("n").desc(), "pair")
+    return (
+        counts.withColumn("rn", F.row_number().over(rnk))
+        .filter(F.col("rn") <= 20)
+        .select("pair", "n", "rn")
+    )
+
+
+@register(
+    "k_text_normalize",
+    oracle="""
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS norm_hash,
+           length(trim(regexp_replace(lower(text), ' +', ' ', 'g')))
+             AS norm_len
+    FROM documents
+    """,
+)
+def k_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text canonicalization: lowercase → collapse whitespace runs → trim,
+    reported as (hash, length) — the normalization pass that runs before
+    exact dedup so trivially-different copies (case, spacing) collapse.
+    Pure projection, composes with the scan at line rate; the regex is in
+    the RE2 ∩ Java common subset and DuckDB takes the explicit 'g' flag to
+    match Spark's replace-all."""
+    d = load(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), " +", " "))
+    return d.select(
+        "doc_id",
+        F.md5(norm).alias("norm_hash"),
+        F.length(norm).cast("long").alias("norm_len"),
+    )
