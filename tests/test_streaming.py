@@ -411,3 +411,24 @@ def test_checkpoint_resume(spark, tmp_path):
     )
     got = pd.concat(second) if second else pd.DataFrame(columns=["event_id"])
     assert sorted(got["event_id"]) == [3]
+
+
+def test_dedup_within_watermark(spark, tmp_path):
+    # dropDuplicatesWithinWatermark: duplicates within the horizon are
+    # dropped across micro-batches; state is bounded by the watermark.
+    from data_service_spark.streaming import dedup_stream_within_watermark
+
+    d = str(tmp_path / "dedup_wm")
+    write_event_files(
+        spark,
+        d,
+        [ev(1, "2024-01-01 10:00", 1, "view"), ev(2, "2024-01-01 10:01", 1, "view")],
+        [ev(3, "2024-01-01 10:02", 1, "view"), ev(4, "2024-01-01 10:03", 1, "click")],
+    )
+    sdf = dedup_stream_within_watermark(
+        read_event_stream(spark, d, one_file_per_batch=True)
+    )
+    batches = drain_available_now(sdf, output_mode="append")
+    got = pd.concat(batches, ignore_index=True)
+    # one survivor per key within the horizon, first arrival wins
+    assert sorted(got["event_id"]) == [1, 4]
