@@ -161,7 +161,17 @@ _suite(
     "q_tpch_q09",
     ["part", "lineitem", "supplier", "orders", "nation"],
     """
-    SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+    -- Exact-summation form: amounts quantize to BIGINT ten-thousandths per
+    -- row (inputs carry <=4dp of decimal content, so the per-row rounding
+    -- is never near a .5 tie), the SUM is integer-exact and
+    -- order-independent, and the output is the unrounded quotient — the
+    -- same integer divided by the same literal is bit-identical in both
+    -- engines. A final round(...,2) is a landmine: the exact sum can be a
+    -- true decimal .xx5, which Spark (shortest-repr HALF_UP) and DuckDB
+    -- (HALF_EVEN) round to DIFFERENT cents — hit at sf0.001.
+    SELECT nation, o_year,
+           CAST(sum(CAST(round(amount * 10000, 0) AS BIGINT)) AS BIGINT)
+             / 10000.0 AS sum_profit
     FROM (
       SELECT n_name AS nation, EXTRACT(YEAR FROM o_orderdate) AS o_year,
              l_extendedprice * (1 - l_discount)
