@@ -549,3 +549,40 @@ def h_hash_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cast(conv(substr(md5(p_name), 1, 15), 16, 10) AS bigint)"
         ).alias("h_bucket"),
     )
+
+
+@register(
+    "h_json_build",
+    oracle="""
+    SELECT o_orderkey,
+           to_json(struct_pack(
+             k := o_orderkey,
+             status := o_orderstatus,
+             pri := o_orderpriority,
+             price := CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR)
+           ))::VARCHAR AS row_json
+    FROM orders
+    """,
+)
+def h_json_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row→JSON serialization (`to_json(struct(...))`) — the exact shape the
+    REST layer emits per row and the export format of JSONL training
+    shards. Field set is integers + strings: both engines emit identical
+    compact JSON for those, while raw doubles diverge (Spark shortest-
+    round-trip vs DuckDB %.15g) — so money is pre-formatted through a
+    DECIMAL(12,2)→string cast, which also pins the 2dp wire format."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.to_json(
+            F.struct(
+                F.col("o_orderkey").alias("k"),
+                F.col("o_orderstatus").alias("status"),
+                F.col("o_orderpriority").alias("pri"),
+                F.col("o_totalprice")
+                .cast("decimal(12,2)")
+                .cast("string")
+                .alias("price"),
+            )
+        ).alias("row_json"),
+    )

@@ -77,3 +77,33 @@ def g_union_byname(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.unionByName(n).unionByName(s, allowMissingColumns=True).select(
         "k", "name", F.col("acctbal").cast("double").alias("acctbal")
     )
+
+
+@register(
+    "g_symmetric_diff",
+    oracle="""
+    WITH a AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+         b AS (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+    SELECT o_custkey, 'only_urgent' AS side FROM (
+      SELECT DISTINCT o_custkey FROM a EXCEPT SELECT DISTINCT o_custkey FROM b)
+    UNION ALL
+    SELECT o_custkey, 'only_high_value' AS side FROM (
+      SELECT DISTINCT o_custkey FROM b EXCEPT SELECT DISTINCT o_custkey FROM a)
+    """,
+)
+def g_symmetric_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric difference with provenance — (A∖B) ∪ (B∖A), each row
+    labeled with the side it came from: the audit query for 'which keys
+    exist in exactly one of two snapshots' (ingest-diff, replica drift).
+    Two EXCEPTs share the same two scans; Catalyst plans each as a hash
+    anti-join, one shuffle apiece."""
+    o = load(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    b = o.filter(F.col("o_totalprice") > 300000).select("o_custkey")
+    only_a = a.distinct().exceptAll(b.distinct()).select(
+        "o_custkey", F.lit("only_urgent").alias("side")
+    )
+    only_b = b.distinct().exceptAll(a.distinct()).select(
+        "o_custkey", F.lit("only_high_value").alias("side")
+    )
+    return only_a.unionAll(only_b)
