@@ -62,8 +62,47 @@ class SqlEngine:
     def __init__(self, spark: SparkSession, sf_dir: str | None = None):
         self.spark = spark
         self.sf_dir = sf_dir
+        self._streams: dict[str, Any] = {}
         if sf_dir is not None:
             register_temp_views(spark, sf_dir)
+
+    # ------------------------------------------------ streaming lifecycle --
+
+    def start_stream(self, name: str, path: str) -> dict[str, Any]:
+        """Start a named streaming aggregation over an events directory into
+        an in-memory sink table — streaming-as-a-service: the sink table is
+        immediately queryable through /sql (`SELECT * FROM <name>`), which
+        is how a dashboard polls a live rollup. availableNow processes the
+        backlog and terminates; a production config would drop the trigger
+        and run continuously — same plan, same sink."""
+        if not name.isidentifier():
+            raise PermissionError(f"stream name {name!r} must be an identifier")
+        if name in self._streams and self._streams[name].isActive:
+            raise PermissionError(f"stream {name!r} already active")
+        from data_service_spark.queries.streaming_batch import tumbling_agg
+        from data_service_spark.streaming import read_event_stream
+
+        q = (
+            tumbling_agg(read_event_stream(self.spark, path))
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        self._streams[name] = q
+        return {"name": name, "id": str(q.id), "active": q.isActive}
+
+    def streams(self) -> list[dict[str, Any]]:
+        return [
+            {"name": n, "active": q.isActive}
+            for n, q in self._streams.items()
+        ]
+
+    def stop_stream(self, name: str) -> dict[str, Any]:
+        q = self._streams[name]
+        q.stop()
+        return {"name": name, "active": q.isActive}
 
     def register_source(self, name: str, fmt: str, path: str | None = None,
                         options: dict[str, str] | None = None) -> None:
@@ -185,11 +224,14 @@ def make_handler(engine: SqlEngine) -> type[BaseHTTPRequestHandler]:
                 self._send(200, {"tables": engine.tables()})
             elif self.path == "/queries":
                 self._send(200, {"queries": engine.query_keys()})
+            elif self.path == "/streams":
+                self._send(200, {"streams": engine.streams()})
             else:
                 self._send(404, {"error": f"no route {self.path}"})
 
         def do_POST(self) -> None:
-            if self.path not in ("/sql", "/explain", "/query"):
+            routes = ("/sql", "/explain", "/query", "/stream/start", "/stream/stop")
+            if self.path not in routes:
                 self._send(404, {"error": f"no route {self.path}"})
                 return
             try:
@@ -199,6 +241,10 @@ def make_handler(engine: SqlEngine) -> type[BaseHTTPRequestHandler]:
                     result = engine.explain(req["sql"])
                 elif self.path == "/query":
                     result = engine.run_query(req["key"], req.get("limit", 1000))
+                elif self.path == "/stream/start":
+                    result = engine.start_stream(req["name"], req["path"])
+                elif self.path == "/stream/stop":
+                    result = engine.stop_stream(req["name"])
                 else:
                     result = engine.sql(req["sql"], req.get("limit", 1000))
                 self._send(200, result)

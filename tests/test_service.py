@@ -112,3 +112,33 @@ def test_unknown_query_key_is_400(service):
     with pytest.raises(urllib.error.HTTPError) as ei:
         call(service, "/query", {"key": "no_such_key"})
     assert ei.value.code == 400
+
+
+def test_streaming_as_a_service(service, spark, sf_dir, tmp_path_factory):
+    # POST /stream/start runs a windowed rollup into a memory sink that
+    # /sql can immediately query — the live-dashboard loop.
+    import time
+
+    from data_service_spark.io import load
+
+    d = str(tmp_path_factory.mktemp("svc_stream"))
+    load(spark, sf_dir, "events").coalesce(2).write.mode("overwrite").parquet(d)
+    out = call(service, "/stream/start", {"name": "svc_rollup", "path": d})
+    assert out["name"] == "svc_rollup"
+    # availableNow drains the backlog then deactivates; poll briefly.
+    for _ in range(120):
+        st = {s["name"]: s["active"] for s in call(service, "/streams")["streams"]}
+        if not st["svc_rollup"]:
+            break
+        time.sleep(0.5)
+    rows = call(service, "/sql", {
+        "sql": "SELECT count(*) AS n, sum(n) AS total FROM "
+               "(SELECT n FROM svc_rollup)"})
+    from data_service_spark.queries.streaming_batch import tumbling_agg
+
+    expected = tumbling_agg(load(spark, sf_dir, "events"))
+    exp_rows = expected.count()
+    exp_total = expected.agg({"n": "sum"}).collect()[0][0]
+    assert rows["rows"][0] == [exp_rows, exp_total]
+    stopped = call(service, "/stream/stop", {"name": "svc_rollup"})
+    assert stopped["active"] is False
