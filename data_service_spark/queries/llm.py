@@ -437,8 +437,9 @@ def k_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "k_multimodal_join",
     oracle="""
+    -- + 0.0 canonicalizes IEEE -0.0 (round of a tiny negative component)
     SELECT d.doc_id, d.lang, d.source, d.n_chars, e.label,
-           round(CAST(e.embedding[1] AS DOUBLE), 4) AS e0
+           round(CAST(e.embedding[1] AS DOUBLE), 4) + 0.0 AS e0
     FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
     """,
 )
@@ -454,7 +455,8 @@ def k_multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "n_chars",
         "label",
-        F.round(F.element_at("v", 1), 4).alias("e0"),
+        # + 0.0: canonicalize IEEE -0.0 so both engines hash identically
+        (F.round(F.element_at("v", 1), 4) + F.lit(0.0)).alias("e0"),
     )
 
 

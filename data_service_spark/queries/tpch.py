@@ -372,3 +372,48 @@ _suite(
     "anti-join becomes no-big-ticket-orders (> 300000) to keep the result "
     "non-degenerate.",
 )
+
+
+_suite(
+    "q_tpch_q11",
+    ["supplier", "nation"],
+    """
+    SELECT s_nationkey, round(sum(s_acctbal), 2) AS value
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_regionkey < 3
+    GROUP BY s_nationkey
+    HAVING sum(s_acctbal) > (
+      SELECT sum(s_acctbal) * 0.05
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_regionkey < 3
+    )
+    ORDER BY value DESC
+    """,
+    "Q11 shape (important stock): grouped value share filtered by a scalar "
+    "subquery over the SAME joined base — the HAVING-vs-global-fraction "
+    "pattern. Adapted: no partsupp, supplier account balances play the "
+    "stock-value role.",
+)
+
+_suite(
+    "q_tpch_q20",
+    ["supplier", "nation", "lineitem", "part"],
+    """
+    SELECT s_name, round(s_acctbal, 2) AS s_acctbal_r
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name IN ('NATION_1', 'NATION_5')
+      AND s_suppkey IN (
+        SELECT l_suppkey FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM part
+                            WHERE p_name LIKE 'part_1%')
+          AND l_shipdate >= TIMESTAMP '1996-01-01'
+        GROUP BY l_suppkey
+        HAVING sum(l_quantity) > 50
+      )
+    ORDER BY s_name
+    """,
+    "Q20 shape (excess-stock suppliers): nested IN-subqueries — a "
+    "part-name filter feeding a grouped HAVING feeding a semi-join. "
+    "Adapted: no partsupp/ps_availqty, shipped-quantity sums play the "
+    "stock role.",
+)

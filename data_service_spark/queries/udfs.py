@@ -95,7 +95,8 @@ def j_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "j_grouped_map",
     oracle="""
-    SELECT o_orderkey, round((o_totalprice - m) / sd, 4) AS z FROM (
+    -- + 0.0 canonicalizes IEEE -0.0 (DuckDB round of a tiny negative)
+    SELECT o_orderkey, round((o_totalprice - m) / sd, 4) + 0.0 AS z FROM (
       SELECT o_orderkey, o_totalprice,
              avg(o_totalprice) OVER (PARTITION BY o_custkey) AS m,
              stddev_samp(o_totalprice) OVER (PARTITION BY o_custkey) AS sd,
@@ -132,7 +133,8 @@ def j_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = o.groupBy(F.pmod("o_custkey", F.lit(256))).applyInPandas(
         zscore_bucket, "o_orderkey long, z double"
     )
-    return raw.select("o_orderkey", F.round("z", 4).alias("z"))
+    # + 0.0: canonicalize IEEE -0.0 so both engines hash identically
+    return raw.select("o_orderkey", (F.round("z", 4) + F.lit(0.0)).alias("z"))
 
 
 @register(
