@@ -746,3 +746,57 @@ def k_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q.select(
         "doc_id", "lang", "n_tok", F.ntile(5).over(w).alias("difficulty_band")
     )
+
+
+# ------------------------------------------------- SFT record assembly ----
+
+
+@register(
+    "k_sft_records",
+    oracle="""
+    WITH split_doc AS (
+      SELECT doc_id,
+             array_to_string((string_split(text, ' '))[1:10], ' ') AS prompt,
+             array_to_string((string_split(text, ' '))[11:], ' ') AS completion
+      FROM documents
+      WHERE len(string_split(text, ' ')) > 10
+    )
+    SELECT doc_id,
+           to_json(list_value(
+             struct_pack(role := 'user', content := prompt),
+             struct_pack(role := 'assistant', content := completion)
+           ))::VARCHAR AS messages_json
+    FROM split_doc
+    """,
+)
+def k_sft_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT training-record assembly: each document becomes a chat-format
+    JSONL record ([{role:user,...},{role:assistant,...}] — the fine-tuning
+    wire format) with the first 10 words as the prompt and the remainder as
+    the completion. String-only nested JSON serializes byte-identically in
+    both engines (verified; raw doubles would not). Pure projection —
+    composes with the sampling/split/dedup stages at zero extra cost, and
+    the output column IS the shard line a trainer reads."""
+    d = load(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    sd = d.select(
+        "doc_id",
+        F.concat_ws(" ", F.slice(words, 1, 10)).alias("prompt"),
+        F.concat_ws(
+            " ", F.expr("slice(split(text, ' '), 11, size(split(text, ' ')))")
+        ).alias("completion"),
+    ).filter(F.size(words) > 10)
+    return sd.select(
+        "doc_id",
+        F.to_json(
+            F.array(
+                F.struct(
+                    F.lit("user").alias("role"), F.col("prompt").alias("content")
+                ),
+                F.struct(
+                    F.lit("assistant").alias("role"),
+                    F.col("completion").alias("content"),
+                ),
+            )
+        ).alias("messages_json"),
+    )
