@@ -1268,3 +1268,42 @@ def k_text_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("doc_id", F.col("term").alias("keyword"), "score", "rn")
     )
+
+
+@register(
+    "k_eval_dedup_recall",
+    # Composes the two registered dedup pipelines verbatim as CTEs — both
+    # deterministic, so the pair-level recall itself is hash-checked.
+    oracle=f"""
+    WITH lsh AS ({_ORACLES["k_dedup_minhash_sql"]}),
+    exact AS ({_ORACLES["k_dedup_near"]}),
+    hits AS (
+      SELECT count(*) AS n_found
+      FROM lsh JOIN exact USING (doc_id_1, doc_id_2)
+    ), tot AS (SELECT count(*) AS n_exact FROM exact)
+    SELECT tot.n_exact, hits.n_found,
+           round(hits.n_found * 1.0 / tot.n_exact, 4) AS pair_recall
+    FROM tot CROSS JOIN hits
+    """,
+)
+def k_eval_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup index-quality evaluation: pair-level recall of the MinHash-LSH
+    miner (k_dedup_minhash_sql) against the exact shingle-Jaccard ground
+    truth (k_dedup_near). Candidates are exact-verified, so precision is 1
+    by construction and recall is the whole quality story — the number a
+    banding-parameter sweep (bands × rows) optimizes. Like the other k_eval
+    keys, the evaluation composes deterministic pipelines and is itself
+    oracle-hash-checked."""
+    lsh = k_dedup_minhash_sql(spark, sf_dir).select("doc_id_1", "doc_id_2")
+    exact = k_dedup_near(spark, sf_dir).select("doc_id_1", "doc_id_2")
+    hits = lsh.join(exact, ["doc_id_1", "doc_id_2"]).agg(
+        F.count(F.lit(1)).alias("n_found")
+    )
+    tot = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    return tot.crossJoin(hits).select(
+        "n_exact",
+        "n_found",
+        F.round(F.col("n_found") * F.lit(1.0) / F.col("n_exact"), 4).alias(
+            "pair_recall"
+        ),
+    )
