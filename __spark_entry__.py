@@ -71,7 +71,7 @@ PRIORITY = [
     "k_dedup_minhash_sql", "k_dedup_embedding", "k_sim_topk",
     "k_sim_ann_sql", "k_sample_stratified", "k_split_train_test",
     "k_text_repetition", "k_text_pii_redact", "k_text_tfidf",
-    "k_multimodal_features",
+    "k_multimodal_features", "k_chunk_rag", "k_dpo_pairs",
     # q: TPC-H suite representative (deepest join tree)
     "q_tpch_q08",
 ]

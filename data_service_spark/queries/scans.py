@@ -405,3 +405,44 @@ def a_scan_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(os.path.join(path, "gen=1"), os.path.join(path, "gen=2"))
         .select("r_regionkey", "r_name", "r_priority")
     )
+
+
+@register(
+    "a_observe_metrics",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(CASE WHEN l_discount > 0.05 THEN 1 END) AS BIGINT)
+             AS n_discounted,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    """,
+)
+def a_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline observability via ``Dataset.observe``: named accumulator
+    metrics (row count, predicate count, quantity total) collected DURING a
+    pass over the data — zero extra scans, zero extra shuffles — the way a
+    production ingest job self-audits every batch it writes.
+
+    The observed frame is driven through the noop sink (the metrics
+    materialize with the action); the result is the one metrics row
+    rebuilt as a DataFrame with a pinned schema. This is the registry's
+    one deliberate driver roundtrip: what crosses is O(#metrics) scalars,
+    independent of table size — the same contract as
+    StreamingQueryProgress observations.
+    """
+    from pyspark.sql import Observation
+
+    li = load(spark, sf_dir, "lineitem")
+    obs = Observation("ingest_audit")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("l_discount") > 0.05, 1)).alias("n_discounted"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["n_discounted"], m["sum_qty"])],
+        "n_rows long, n_discounted long, sum_qty double",
+    )

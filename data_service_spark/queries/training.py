@@ -800,3 +800,191 @@ def k_sft_records(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("messages_json"),
     )
+
+
+# ------------------------------------------------ RAG chunking / DPO ----
+
+
+@register(
+    "k_chunk_rag",
+    oracle="""
+    SELECT doc_id,
+           CAST(s / 150 AS BIGINT) AS chunk_idx,
+           CAST(s AS BIGINT) AS chunk_start,
+           substr(text, CAST(s + 1 AS INT), 200) AS chunk_text,
+           CAST(length(substr(text, CAST(s + 1 AS INT), 200)) AS BIGINT)
+             AS chunk_len
+    FROM documents,
+         LATERAL unnest(generate_series(0, n_chars - 1, 150)) AS t(s)
+    """,
+)
+def k_chunk_rag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style document chunking: fixed 200-char windows on a 150-char
+    stride (50-char overlap so no retrieval-relevant span straddles a cut
+    unseen), each chunk carrying (doc_id, chunk_idx, chunk_start)
+    provenance back to its source row.
+
+    ``explode(sequence(...))`` is a narrow generator — no shuffle at all;
+    the chunk table inherits the scan's partitioning, which is exactly how
+    a 100 TB corpus fans out to an embedding/indexing stage. Offsets are
+    computed from ``n_chars`` (never a Python loop over text), so the 1.3×
+    row fan-out is the only cost.
+    """
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            "text",
+            F.explode(
+                F.sequence(F.lit(0), F.col("n_chars") - 1, F.lit(150))
+            ).alias("s"),
+        )
+        .select(
+            "doc_id",
+            (F.col("s") / 150).cast("long").alias("chunk_idx"),
+            F.col("s").cast("long").alias("chunk_start"),
+            F.expr("substr(text, s + 1, 200)").alias("chunk_text"),
+            F.length(F.expr("substr(text, s + 1, 200)"))
+            .cast("long")
+            .alias("chunk_len"),
+        )
+    )
+
+
+@register(
+    "k_dpo_pairs",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, lang, source, n_chars,
+             row_number() OVER (PARTITION BY lang, source
+                                ORDER BY n_chars DESC, doc_id) AS rb,
+             row_number() OVER (PARTITION BY lang, source
+                                ORDER BY n_chars ASC, doc_id DESC) AS rw
+      FROM documents
+    )
+    SELECT lang, source,
+           max(CASE WHEN rb = 1 THEN doc_id END) AS chosen_doc,
+           max(CASE WHEN rw = 1 THEN doc_id END) AS rejected_doc,
+           CAST(max(CASE WHEN rb = 1 THEN n_chars END)
+                - max(CASE WHEN rw = 1 THEN n_chars END) AS BIGINT)
+             AS score_margin
+    FROM ranked
+    GROUP BY lang, source
+    HAVING count(*) >= 2
+    """,
+)
+def k_dpo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPO/RLHF preference-pair assembly: within each candidate group
+    (lang, source) — the stand-in for "responses to one prompt" — emit one
+    (chosen, rejected) pair: the highest- vs lowest-scoring member by the
+    quality proxy ``n_chars``, with deterministic doc_id tiebreaks chosen
+    OPPOSITE ways (asc for best, desc for worst) so a fully-tied group
+    still yields two distinct docs; 1-member groups drop.
+
+    One shuffle on the group key serves both window ranks and the final
+    aggregation (same partitioning, Catalyst reuses the exchange). At
+    100 TB the group key is a real prompt_id — high-cardinality, so the
+    window partitions stay small and skew-free.
+    """
+    from pyspark.sql.window import Window
+
+    d = load(spark, sf_dir, "documents")
+    wb = Window.partitionBy("lang", "source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    ww = Window.partitionBy("lang", "source").orderBy(
+        F.col("n_chars").asc(), F.col("doc_id").desc()
+    )
+    ranked = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.row_number().over(wb).alias("rb"),
+        F.row_number().over(ww).alias("rw"),
+    )
+    return (
+        ranked.groupBy("lang", "source")
+        .agg(
+            F.max(F.when(F.col("rb") == 1, F.col("doc_id"))).alias(
+                "chosen_doc"
+            ),
+            F.max(F.when(F.col("rw") == 1, F.col("doc_id"))).alias(
+                "rejected_doc"
+            ),
+            (
+                F.max(F.when(F.col("rb") == 1, F.col("n_chars")))
+                - F.max(F.when(F.col("rw") == 1, F.col("n_chars")))
+            )
+            .cast("long")
+            .alias("score_margin"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .filter(F.col("_n") >= 2)
+        .drop("_n")
+    )
+
+
+@register(
+    "k_winsorize_embed",
+    oracle="""
+    WITH vals AS (SELECT unnest(embedding)::DOUBLE AS x FROM embeddings),
+    b AS (SELECT floor(quantile_cont(x, 0.05) * 10000) / 10000 AS lo,
+                 floor(quantile_cont(x, 0.95) * 10000) / 10000 AS hi
+          FROM vals)
+    SELECT vec_id,
+           CAST(len(list_filter(embedding,
+                    v -> v::DOUBLE < lo OR v::DOUBLE > hi)) AS BIGINT)
+             AS n_clipped,
+           round(sqrt(list_sum(list_transform(embedding, v ->
+             (CASE WHEN v::DOUBLE < lo THEN lo
+                   WHEN v::DOUBLE > hi THEN hi
+                   ELSE v::DOUBLE END)
+             * (CASE WHEN v::DOUBLE < lo THEN lo
+                     WHEN v::DOUBLE > hi THEN hi
+                     ELSE v::DOUBLE END)))), 4) AS w_norm
+    FROM embeddings, b
+    """,
+)
+def k_winsorize_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust feature scaling (winsorization): clamp every embedding
+    component to the corpus-global [p05, p95] band, reporting per vector
+    how many components were clipped and the post-clip L2 norm — the
+    outlier-taming pass run before quantization/indexing.
+
+    The percentile bounds are a 2-value aggregate broadcast back over the
+    table (explode→agg is map-side-combinable; the clip itself is a narrow
+    higher-order ``transform``, JVM-side codegen, no Python). Bounds are
+    floor-quantized to 4dp before clamping so both engines compare against
+    bit-identical constants (floor, not round — Spark HALF_UP vs DuckDB
+    HALF_EVEN, SURVEY.md §7.4).
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    vals = emb.select(
+        F.explode("embedding").alias("xf")
+    ).select(F.col("xf").cast("double").alias("x"))
+    b = vals.agg(
+        (F.floor(F.percentile("x", F.lit(0.05)) * 10000) / 10000).alias("lo"),
+        (F.floor(F.percentile("x", F.lit(0.95)) * 10000) / 10000).alias("hi"),
+    )
+    return emb.crossJoin(F.broadcast(b)).select(
+        "vec_id",
+        F.expr(
+            "size(filter(embedding,"
+            " v -> CAST(v AS DOUBLE) < lo OR CAST(v AS DOUBLE) > hi))"
+        )
+        .cast("long")
+        .alias("n_clipped"),
+        F.round(
+            F.expr(
+                "sqrt(aggregate(embedding, 0.0D, (a, v) -> a +"
+                " (CASE WHEN CAST(v AS DOUBLE) < lo THEN lo"
+                "       WHEN CAST(v AS DOUBLE) > hi THEN hi"
+                "       ELSE CAST(v AS DOUBLE) END)"
+                " * (CASE WHEN CAST(v AS DOUBLE) < lo THEN lo"
+                "         WHEN CAST(v AS DOUBLE) > hi THEN hi"
+                "         ELSE CAST(v AS DOUBLE) END)))"
+            ),
+            4,
+        ).alias("w_norm"),
+    )

@@ -231,3 +231,94 @@ def test_curation_pipeline_composes(spark, sf_dir):
         labeled.filter(F.col("split") == "train").select("doc_id"), "doc_id"
     )
     assert packed_train.count() == len(train_ids)
+
+
+def test_chunk_rag_covers_and_overlaps(spark, sf_dir):
+    """Chunks tile every doc: chunk 0 starts at 0, strides are 150, the
+    last chunk reaches the end of the text, and consecutive chunks share a
+    50-char overlap region."""
+    from data_service_spark.io import load
+    from data_service_spark.registry import QUERIES
+
+    chunks = QUERIES["k_chunk_rag"](spark, sf_dir)
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    agg = (
+        chunks.groupBy("doc_id")
+        .agg(
+            F.min("chunk_start").alias("first_start"),
+            F.max(F.col("chunk_start") + F.col("chunk_len")).alias("covered"),
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.max("chunk_idx").alias("max_idx"),
+        )
+        .join(d, "doc_id")
+    )
+    bad = agg.filter(
+        (F.col("first_start") != 0)
+        | (F.col("covered") < F.col("n_chars"))
+        | (F.col("max_idx") != F.col("n_chunks") - 1)
+    )
+    assert bad.count() == 0
+    # every chunk is exactly the window clipped to the end of the text:
+    # len == min(200, n_chars - start); starts are exact 150-multiples.
+    clipped = chunks.join(d, "doc_id").filter(
+        (F.col("chunk_len") != F.least(F.lit(200), F.col("n_chars") - F.col("chunk_start")))
+        | (F.col("chunk_start") % 150 != 0)
+    )
+    assert clipped.count() == 0
+
+
+def test_dpo_pairs_are_extremes(spark, sf_dir):
+    """chosen/rejected are distinct docs from the group, margin >= 0 and
+    equals the true max-min n_chars spread of the group."""
+    from data_service_spark.io import load
+    from data_service_spark.registry import QUERIES
+
+    pairs = QUERIES["k_dpo_pairs"](spark, sf_dir)
+    assert pairs.filter(F.col("chosen_doc") == F.col("rejected_doc")).count() == 0
+    assert pairs.filter(F.col("score_margin") < 0).count() == 0
+    spread = (
+        load(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(
+            (F.max("n_chars") - F.min("n_chars")).alias("true_margin"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .filter(F.col("n") >= 2)
+    )
+    joined = pairs.join(spread, ["lang", "source"], "full")
+    assert joined.filter(
+        F.col("score_margin").isNull()
+        | F.col("true_margin").isNull()
+        | (F.col("score_margin") != F.col("true_margin"))
+    ).count() == 0
+
+
+def test_winsorize_bounds_and_monotone_norm(spark, sf_dir):
+    """Clipping count is within [0, 64] and the winsorized norm never
+    exceeds 1 by more than float slack (vectors are L2-normalized, and
+    clamping toward the interior cannot grow the norm beyond that)."""
+    from data_service_spark.registry import QUERIES
+
+    w = QUERIES["k_winsorize_embed"](spark, sf_dir)
+    assert w.filter((F.col("n_clipped") < 0) | (F.col("n_clipped") > 64)).count() == 0
+    assert w.filter(F.col("w_norm") > 1.01).count() == 0
+    # at least one vector is actually clipped (p05/p95 band is interior)
+    assert w.filter(F.col("n_clipped") > 0).count() > 0
+
+
+def test_observe_metrics_matches_direct_agg(spark, sf_dir):
+    from data_service_spark.io import load
+    from data_service_spark.registry import QUERIES
+
+    m = QUERIES["a_observe_metrics"](spark, sf_dir).collect()[0]
+    direct = (
+        load(spark, sf_dir, "lineitem")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("s"),
+        )
+        .collect()[0]
+    )
+    assert m.n_rows == direct.n
+    assert m.sum_qty == direct.s
