@@ -666,3 +666,58 @@ def k_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(norm).alias("norm_hash"),
         F.length(norm).cast("long").alias("norm_len"),
     )
+
+
+@register(
+    "k_text_entropy",
+    oracle="""
+    WITH chars AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, n_chars),
+                                   i -> substr(text, CAST(i AS INT), 1))) AS c
+      FROM documents
+    ), counts AS (
+      SELECT doc_id, c, CAST(count(*) AS DOUBLE) AS cnt
+      FROM chars GROUP BY doc_id, c
+    ), tot AS (
+      SELECT doc_id, sum(cnt) AS n FROM counts GROUP BY doc_id
+    )
+    SELECT doc_id,
+           round(-sum((cnt / n) * log2(cnt / n)), 4) + 0.0 AS char_entropy
+    FROM counts JOIN tot USING (doc_id)
+    GROUP BY doc_id
+    """,
+)
+def k_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document — the gibberish /
+    encoding-noise quality filter (low entropy = repeated filler, high =
+    random bytes; natural text sits in a narrow band).
+
+    The Spark side is a ZERO-SHUFFLE narrow projection: chars → distinct
+    chars → per-char counts → entropy fold, all inside one higher-order
+    expression chain (O(distinct·len) per row, JVM codegen) — at 100 TB
+    this runs at scan speed with no fan-out. The oracle states the same
+    math in the explode→groupBy shape DuckDB prefers; the two sums meet at
+    4dp (`+ 0.0` absorbs the signed-zero divergence, SURVEY.md §7.4).
+    """
+    d = load(spark, sf_dir, "documents")
+    cs = F.expr(
+        "transform(sequence(1, CAST(n_chars AS INT)), i -> substr(text, i, 1))"
+    )
+    ent = F.expr(
+        """
+        aggregate(
+          transform(array_distinct(cs),
+                    c -> CAST(size(filter(cs, x -> x = c)) AS DOUBLE)),
+          0.0D,
+          (acc, cnt) -> acc
+            - (cnt / CAST(size(cs) AS DOUBLE))
+              * log2(cnt / CAST(size(cs) AS DOUBLE)))
+        """
+    )
+    return (
+        d.select("doc_id", cs.alias("cs"))
+        .select(
+            "doc_id", (F.round(ent, 4) + F.lit(0.0)).alias("char_entropy")
+        )
+    )

@@ -417,3 +417,36 @@ _suite(
     "Adapted: no partsupp/ps_availqty, shipped-quantity sums play the "
     "stock role.",
 )
+
+
+_RCTE_TEXT = """
+    WITH RECURSIVE walk(doc_id, anc, depth) AS (
+      SELECT doc_id, doc_id AS anc, 0 AS depth FROM documents
+      UNION ALL
+      SELECT doc_id, CAST(floor(anc / 3.0) AS BIGINT) AS anc, depth + 1
+      FROM walk WHERE anc > 0
+    )
+    SELECT doc_id,
+           CAST(max(depth) AS BIGINT) AS tree_depth,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(sum(anc) AS BIGINT) AS path_sum
+    FROM walk
+    GROUP BY doc_id
+"""
+
+
+@register("q_recursive_cte", oracle=_RCTE_TEXT)
+def q_recursive_cte(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Recursive CTE (Spark 4 ``WITH RECURSIVE``): walk every doc up a
+    synthetic parent chain (parent = floor(id/3) — a ternary-tree
+    hierarchy) to the root, then aggregate per-doc depth / node count /
+    ancestor-id sum. The iterate-until-fixpoint SQL surface (org charts,
+    BOM explosions, graph reachability) that previously required a driver
+    loop (cf. k_dedup_clusters); identical text runs on both engines.
+
+    Scale: each iteration is one narrow self-union batch; Spark executes
+    the recursion as iterative unions with the anchor partitioning
+    preserved — depth is log3(max_id) (~11 levels at 100 TB ids), so the
+    plan stays shallow even at full scale.
+    """
+    return _sql(spark, sf_dir, ["documents"], _RCTE_TEXT)

@@ -264,3 +264,36 @@ def j_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.round("sum_events", 2).alias("sum_events"),
     )
+
+
+@register(
+    "j_sql_udf",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def j_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-defined scalar UDF (Spark 4 `CREATE FUNCTION ... RETURN expr`):
+    the function body is pure SQL, so unlike Python UDFs Catalyst INLINES it
+    — the plan is identical to writing the expression by hand (whole-stage
+    codegen, pushdown, no Python worker). The right tool whenever a "UDF"
+    is really just a reusable expression; the oracle states the inlined
+    form, proving the equivalence.
+    """
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION disc_revenue(p DOUBLE, d DOUBLE)"
+        " RETURNS DOUBLE RETURN p * (1 - d)"
+    )
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               round(sum(disc_revenue(l_extendedprice, l_discount)), 2)
+                 AS revenue
+        FROM lineitem
+        GROUP BY l_returnflag
+        """
+    )

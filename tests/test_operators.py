@@ -322,3 +322,65 @@ def test_observe_metrics_matches_direct_agg(spark, sf_dir):
     )
     assert m.n_rows == direct.n
     assert m.sum_qty == direct.s
+
+
+def test_variant_extraction_edges(spark):
+    # Typed variant_get: present path extracts, absent path yields NULL,
+    # type coercion to int works from a JSON number.
+    df = spark.createDataFrame(
+        [(1, '{"k": 7}'), (2, '{"other": 1}'), (3, '{"k": 2.0}')],
+        "id long, props string",
+    )
+    got = {
+        r.id: r.k
+        for r in df.select(
+            "id",
+            F.expr("variant_get(parse_json(props), '$.k', 'int')").alias("k"),
+        ).collect()
+    }
+    assert got == {1: 7, 2: None, 3: 2}
+
+
+def test_recursive_cte_hand_walk(spark, sf_dir):
+    # doc 10 walks 10 -> 3 -> 1 -> 0: depth 3, 4 nodes, path sum 14.
+    # doc 0 is its own root: depth 0, 1 node, sum 0.
+    from data_service_spark.registry import QUERIES
+
+    rows = {
+        r.doc_id: (r.tree_depth, r.n_nodes, r.path_sum)
+        for r in QUERIES["q_recursive_cte"](spark, sf_dir).collect()
+    }
+    assert rows[10] == (3, 4, 14)
+    assert rows[0] == (0, 1, 0)
+    # depth is monotone in id magnitude: parent has depth one less.
+    assert rows[30][0] == rows[10][0] + 1
+
+
+def test_entropy_hand_computed(spark):
+    # "aabb" -> two symbols at p=0.5 -> exactly 1 bit; "aaaa" -> 0.
+    df = spark.createDataFrame(
+        [(1, "aabb", 4), (2, "aaaa", 4)], "doc_id long, text string, n_chars long"
+    )
+    df.createOrReplaceTempView("_ent_docs")
+    cs = F.expr(
+        "transform(sequence(1, CAST(n_chars AS INT)), i -> substr(text, i, 1))"
+    )
+    ent = F.expr(
+        """
+        aggregate(
+          transform(array_distinct(cs),
+                    c -> CAST(size(filter(cs, x -> x = c)) AS DOUBLE)),
+          0.0D,
+          (acc, cnt) -> acc
+            - (cnt / CAST(size(cs) AS DOUBLE))
+              * log2(cnt / CAST(size(cs) AS DOUBLE)))
+        """
+    )
+    got = {
+        r.doc_id: r.e
+        for r in df.select("doc_id", cs.alias("cs"))
+        .select("doc_id", (F.round(ent, 4) + F.lit(0.0)).alias("e"))
+        .collect()
+    }
+    assert got == {1: 1.0, 2: 0.0}
+    assert str(got[2]) == "0.0"  # signed zero absorbed

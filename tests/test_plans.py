@@ -154,3 +154,17 @@ def test_dpp_prunes_partitions(spark, sf_dir):
     # dynamicpruning expression on the partition column.
     plan = plan_of(QUERIES["c_join_dpp"](spark, sf_dir))
     assert "dynamicpruningexpression(l_returnflag" in plan
+
+
+def test_sql_udf_is_inlined(spark, sf_dir):
+    # The SQL-defined UDF must disappear into the plan: no Python
+    # evaluation node, aggregation fully JVM-side with a partial phase.
+    plan = plan_of(QUERIES["j_sql_udf"](spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_entropy_is_shuffle_free(spark, sf_dir):
+    # k_text_entropy is a narrow projection chain: no Exchange anywhere.
+    plan = plan_of(QUERIES["k_text_entropy"](spark, sf_dir))
+    assert "Exchange" not in plan

@@ -59,6 +59,7 @@ d_agg_freq_items h_hash_funcs e_win_pareto k_curriculum a_scan_schema_merge
 k_bpe_first_merge k_text_normalize h_json_build g_symmetric_diff
 k_sft_records k_eval_dedup_recall
 k_chunk_rag k_dpo_pairs k_winsorize_embed a_observe_metrics
+j_sql_udf h_variant q_recursive_cte k_text_entropy
 """.split()
 
 
