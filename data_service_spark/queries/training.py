@@ -988,3 +988,192 @@ def k_winsorize_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("w_norm"),
     )
+
+
+# ------------------------------------------------- weighted sampling ----
+
+
+@register(
+    "k_sample_weighted",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, n_chars,
+             -ln((('0x' || substr(md5(concat('wsamp:', doc_id::VARCHAR)), 1, 8))::BIGINT
+                  + 0.5) / 4294967296.0) / n_chars AS k
+      FROM documents
+    )
+    SELECT doc_id, n_chars, CAST(floor(k * 1e12) AS BIGINT) AS key_q
+    FROM keyed ORDER BY k LIMIT 20
+    """,
+)
+def k_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirtes exponential
+    race): each doc draws a deterministic uniform u from a salted md5 hash
+    and races with key ``-ln(u) / w``; the 20 smallest keys are the sample,
+    with inclusion probability proportional to weight ``w = n_chars``.
+    The importance-sampling primitive behind mix re-weighting ("sample
+    long documents more") — reproducible across reruns and engines, unlike
+    ``rand()``-based samplers.
+
+    Scale: the race key is a zero-shuffle projection; top-20 runs as
+    TakeOrderedAndProject (per-partition heads → driver merge of 20-row
+    heaps), so a 100 TB corpus never sorts globally. Keys are emitted
+    floor-quantized at 1e-12 so the hash compare is float-repr-safe.
+    """
+    d = load(spark, sf_dir, "documents")
+    u = (
+        "(CAST(conv(substr(md5(concat('wsamp:', CAST(doc_id AS STRING))), 1, 8),"
+        " 16, 10) AS BIGINT) + 0.5) / 4294967296.0"
+    )
+    keyed = d.select(
+        "doc_id",
+        "n_chars",
+        F.expr(f"-ln({u}) / n_chars").alias("k"),
+    )
+    return (
+        keyed.orderBy("k")
+        .limit(20)
+        .select(
+            "doc_id",
+            "n_chars",
+            F.floor(F.col("k") * F.lit(1e12)).cast("long").alias("key_q"),
+        )
+    )
+
+
+# ------------------------------------------- quality-classifier score ----
+
+
+@register(
+    "k_quality_logreg",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id,
+             ln(1 + n_chars) AS f_len,
+             len(string_split(text, ' ')) AS n_words,
+             (n_chars - len(string_split(text, ' ')) + 1)
+               * 1.0 / len(string_split(text, ' ')) AS mean_wlen,
+             (n_chars - length(regexp_replace(text, '[0-9]', '', 'g')))
+               * 1.0 / n_chars AS digit_ratio
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(floor(1.0 / (1.0 + exp(-(-8.0 + 1.6 * f_len + 0.5 * mean_wlen
+                                         - 4.0 * digit_ratio))) * 1e6) AS BIGINT)
+             AS score_q,
+           CASE WHEN 1.0 / (1.0 + exp(-(-8.0 + 1.6 * f_len + 0.5 * mean_wlen
+                                        - 4.0 * digit_ratio))) >= 0.5
+                THEN 'keep' ELSE 'drop' END AS verdict
+    FROM f
+    """,
+)
+def k_quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering: a logistic-regression scorer over
+    cheap text features (log length, mean word length, digit ratio) with
+    FIXED published-style weights — the fasttext/classifier quality-filter
+    shape with the learned weights swapped for deterministic constants so
+    both engines agree bit-for-bit (a real pipeline broadcasts its trained
+    coefficients through the identical plan).
+
+    Scale: pure zero-shuffle projection; features and sigmoid are JVM
+    codegen expressions evaluated in the scan stage, so the filter runs at
+    read speed on 100 TB. Scores floor-quantized at 1e-6 for the hash.
+    """
+    d = load(spark, sf_dir, "documents")
+    n_words = "size(split(text, ' '))"
+    z = (
+        f"-8.0 + 1.6 * ln(1 + n_chars)"
+        f" + 0.5 * ((n_chars - {n_words} + 1) * 1.0 / {n_words})"
+        f" - 4.0 * ((n_chars - length(regexp_replace(text, '[0-9]', '')))"
+        f"          * 1.0 / n_chars)"
+    )
+    score = f"1.0 / (1.0 + exp(-({z})))"
+    return d.select(
+        "doc_id",
+        F.expr(f"CAST(floor({score} * 1e6) AS BIGINT)").alias("score_q"),
+        F.expr(
+            f"CASE WHEN {score} >= 0.5 THEN 'keep' ELSE 'drop' END"
+        ).alias("verdict"),
+    )
+
+
+# -------------------------------------- DSIR importance resampling ----
+
+
+@register(
+    "k_dsir_weights",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ), raw AS (
+      SELECT term, CAST(count(*) AS DOUBLE) AS r_cnt FROM tok GROUP BY term
+    ), tgt AS (
+      SELECT term, CAST(count(*) AS DOUBLE) AS t_cnt
+      FROM tok WHERE lang = 'en' GROUP BY term
+    ), consts AS (
+      SELECT (SELECT sum(r_cnt) FROM raw) AS r_tot,
+             (SELECT coalesce(sum(t_cnt), 0) FROM tgt) AS t_tot,
+             (SELECT count(*) FROM raw) AS v
+    ), ratio AS (
+      SELECT raw.term,
+             ln(((coalesce(tgt.t_cnt, 0) + 1) / (c.t_tot + c.v))
+                / ((raw.r_cnt + 1) / (c.r_tot + c.v))) AS lr
+      FROM raw LEFT JOIN tgt USING (term) CROSS JOIN consts c
+    )
+    SELECT tok.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           round(sum(ratio.lr), 4) + 0.0 AS dsir_weight
+    FROM tok JOIN ratio USING (term)
+    GROUP BY tok.doc_id
+    """,
+)
+def k_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR (Data Selection via Importance Resampling, Xie et al. 2023)
+    importance weights: score every raw document by how much its unigram
+    profile looks like a target domain (here: the English sub-corpus)
+    versus the raw pool — ``sum over tokens of ln(p_target / p_raw)`` with
+    add-one smoothing over the shared vocabulary. Docs with high weight get
+    upsampled into the training mix; pairs with `k_sample_weighted` as the
+    selector.
+
+    Scale: two Zipf-compact term-frequency aggregations (map-side partial),
+    the per-term log-ratio table AQE-broadcasts back onto the token stream
+    (vocab ≪ tokens), one final per-doc agg — the same three-shuffle shape
+    as TF-IDF, no UDFs, no driver state.
+    """
+    d = load_parallel(spark, sf_dir, "documents", "doc_id")
+    tok = d.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("term")
+    )
+    raw = tok.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("r_cnt")
+    )
+    tgt = (
+        tok.filter(F.col("lang") == "en")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("double").alias("t_cnt"))
+    )
+    consts = raw.agg(
+        F.sum("r_cnt").alias("r_tot"),
+        F.count(F.lit(1)).cast("double").alias("v"),
+    ).crossJoin(tgt.agg(F.coalesce(F.sum("t_cnt"), F.lit(0.0)).alias("t_tot")))
+    ratio = (
+        raw.join(tgt, "term", "left")
+        .crossJoin(F.broadcast(consts))
+        .select(
+            "term",
+            F.expr(
+                "ln(((coalesce(t_cnt, 0) + 1) / (t_tot + v))"
+                " / ((r_cnt + 1) / (r_tot + v)))"
+            ).alias("lr"),
+        )
+    )
+    return (
+        tok.join(ratio, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (F.round(F.sum("lr"), 4) + F.lit(0.0)).alias("dsir_weight"),
+        )
+    )

@@ -384,3 +384,40 @@ def test_entropy_hand_computed(spark):
     }
     assert got == {1: 1.0, 2: 0.0}
     assert str(got[2]) == "0.0"  # signed zero absorbed
+
+
+def test_weighted_sample_favors_long_docs(spark, sf_dir):
+    # Exponential-race sampling with w = n_chars must bias the sample
+    # toward long documents: sample mean length > corpus mean length.
+    from data_service_spark.registry import QUERIES
+
+    sample = QUERIES["k_sample_weighted"](spark, sf_dir).collect()
+    assert len(sample) == 20
+    corpus_mean = (
+        QUERIES["k_sample_weighted"](spark, sf_dir)
+        .sparkSession.read.parquet(f"{sf_dir}/documents.parquet")
+        .agg(F.avg("n_chars"))
+        .first()[0]
+    )
+    sample_mean = sum(r.n_chars for r in sample) / len(sample)
+    assert sample_mean > corpus_mean
+
+
+def test_dsir_weights_prefer_target_language(spark, sf_dir):
+    # DSIR importance weights score target-domain (en) docs higher on
+    # average than off-domain docs — the resampling signal.
+    from data_service_spark.registry import QUERIES
+
+    docs = {
+        r.doc_id: r.lang
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "lang")
+        .collect()
+    }
+    w = {
+        r.doc_id: r.dsir_weight / r.n_tokens
+        for r in QUERIES["k_dsir_weights"](spark, sf_dir).collect()
+    }
+    en = [w[d] for d, lang in docs.items() if lang == "en"]
+    other = [w[d] for d, lang in docs.items() if lang != "en"]
+    assert sum(en) / len(en) > sum(other) / len(other)

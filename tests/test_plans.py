@@ -168,3 +168,17 @@ def test_entropy_is_shuffle_free(spark, sf_dir):
     # k_text_entropy is a narrow projection chain: no Exchange anywhere.
     plan = plan_of(QUERIES["k_text_entropy"](spark, sf_dir))
     assert "Exchange" not in plan
+
+
+def test_quality_logreg_is_scan_speed(spark, sf_dir):
+    # Classifier scoring is a pure projection: no Exchange, no Python.
+    plan = plan_of(QUERIES["k_quality_logreg"](spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_weighted_sample_avoids_global_sort(spark, sf_dir):
+    # Top-20 by race key must run as TakeOrderedAndProject (per-partition
+    # heaps), never a full Sort + global exchange.
+    plan = plan_of(QUERIES["k_sample_weighted"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan

@@ -60,6 +60,7 @@ k_bpe_first_merge k_text_normalize h_json_build g_symmetric_diff
 k_sft_records k_eval_dedup_recall
 k_chunk_rag k_dpo_pairs k_winsorize_embed a_observe_metrics
 j_sql_udf h_variant q_recursive_cte k_text_entropy
+k_sample_weighted k_quality_logreg k_dsir_weights
 """.split()
 
 
