@@ -637,3 +637,93 @@ def c_join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) t
         """
     )
+
+
+@register(
+    "c_merge_scd1",
+    oracle="""
+    WITH ch0 AS (
+      SELECT o_custkey AS key,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_cents
+      FROM orders GROUP BY o_custkey
+    ), changes AS (
+      SELECT key, rev_cents,
+             CASE WHEN n_orders <= 2 THEN 'D' ELSE 'U' END AS op
+      FROM ch0
+      UNION ALL
+      SELECT key + 1000000, rev_cents, 'U' FROM ch0 WHERE key % 7 = 0
+    )
+    SELECT
+      coalesce(b.c_custkey, c.key) AS custkey,
+      CASE WHEN c.key IS NULL THEN 'kept'
+           WHEN b.c_custkey IS NULL THEN 'inserted'
+           ELSE 'updated' END AS status,
+      CASE WHEN c.key IS NULL
+             THEN CAST(round(b.c_acctbal * 100) AS BIGINT)
+           WHEN b.c_custkey IS NULL THEN c.rev_cents // 1000
+           ELSE CAST(round(b.c_acctbal * 100) AS BIGINT)
+                + c.rev_cents // 1000 END AS balance_cents
+    FROM customer b FULL OUTER JOIN changes c ON b.c_custkey = c.key
+    -- coalesce: a base-only row has op NULL; NOT(NULL AND ..) is NULL and
+    -- would silently drop the unmatched customer (bit at sf0.1)
+    WHERE NOT coalesce(c.op = 'D' AND b.c_custkey IS NOT NULL, FALSE)
+    """,
+)
+def c_merge_scd1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics (SCD type-1 upsert) as pure join algebra — the
+    CDC-apply step of a warehouse sync: a change set (derived here from
+    per-customer order rollups, plus synthetic brand-new keys) merges into
+    the customer dimension with WHEN MATCHED UPDATE / WHEN MATCHED AND
+    op='D' DELETE / WHEN NOT MATCHED INSERT, expressed as one full outer
+    join + conditional projection. Spark's native MERGE INTO needs a v2
+    ACID table; this formulation produces the identical result relation on
+    plain parquet and is what a foreachBatch streaming upsert runs per
+    micro-batch (i_upsert_sink holds the streaming twin).
+
+    Money flows as integer cents (exact sums, no float-tie divergence —
+    SURVEY.md §7.4). Scale: change sets are orders of magnitude smaller
+    than the dimension; AQE broadcasts them. At equal scale the join
+    shuffle-partitions on the merge key — the same plan Delta/Iceberg
+    MERGE compiles to before file rewriting.
+    """
+    o = load(spark, sf_dir, "orders")
+    ch0 = o.groupBy(F.col("o_custkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("rev_cents"),
+    )
+    changes = ch0.select(
+        "key",
+        "rev_cents",
+        F.when(F.col("n_orders") <= 2, "D").otherwise("U").alias("op"),
+    ).unionAll(
+        ch0.filter(F.col("key") % 7 == 0).select(
+            (F.col("key") + 1000000).alias("key"),
+            "rev_cents",
+            F.lit("U").alias("op"),
+        )
+    )
+    b = load(spark, sf_dir, "customer")
+    bal = F.round(F.col("c_acctbal") * 100).cast("long")
+    merged = b.join(changes, b.c_custkey == changes.key, "full_outer")
+    return merged.filter(
+        ~((F.col("op") == "D") & F.col("c_custkey").isNotNull())
+        | F.col("op").isNull()
+        | F.col("c_custkey").isNull()
+    ).select(
+        F.coalesce("c_custkey", "key").alias("custkey"),
+        F.when(F.col("key").isNull(), "kept")
+        .when(F.col("c_custkey").isNull(), "inserted")
+        .otherwise("updated")
+        .alias("status"),
+        F.when(F.col("key").isNull(), bal)
+        .when(
+            F.col("c_custkey").isNull(),
+            F.expr("rev_cents DIV 1000"),
+        )
+        .otherwise(bal + F.expr("rev_cents DIV 1000"))
+        .alias("balance_cents"),
+    )

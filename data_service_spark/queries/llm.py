@@ -199,22 +199,11 @@ def k_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "k_sim_threshold",
-    oracle="""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
-    SELECT a.vec_id AS vec_id_1, b.vec_id AS vec_id_2,
-           round(list_inner_product(a.v, b.v), 4) AS sim
-    FROM e a JOIN e b ON a.vec_id < b.vec_id
-    WHERE list_inner_product(a.v, b.v) >= 0.4
-    """,
-)
-def k_sim_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All vector pairs with cosine >= 0.4 (the corpus' max off-diagonal
-    sim is ~0.51, so 0.4 captures the genuine near-neighbor tail).
-    All-pairs is the exactness baseline; LSH (k_sim_ann) is the scale twin.
-
-    Executed as a distributed block matrix multiply, not a pair join: a
+def sim_pairs(
+    spark: SparkSession, sf_dir: str, threshold: float
+) -> DataFrame:
+    """All vector pairs (id_1 < id_2) with cosine >= ``threshold``,
+    executed as a distributed block matrix multiply, not a pair join: a
     per-pair ``aggregate(zip_with(...))`` fold was ~20× slower (higher-order
     functions are interpreted, not codegen'd) and even a pandas-UDF dot on
     the joined pairs moves O(n²) array copies through Arrow. Here each task
@@ -222,7 +211,8 @@ def k_sim_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs a single BLAS GEMM, emitting only the surviving pairs — O(n²/B)
     memory per task, O(n) Arrow traffic. At 100 TB both sides get blocked
     (B×B grid) or pre-bucketed by LSH (k_sim_ann); the GEMM inner loop is
-    unchanged.
+    unchanged. Shared by k_sim_threshold (0.4), k_dedup_embedding (0.4)
+    and k_graph_triangles (0.3).
     """
     import numpy as np
     import pandas as pd
@@ -244,7 +234,9 @@ def k_sim_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
                 cids = np.fromiter((r["vec_id"] for r in row["corpus"]), np.int64)
                 cmat = np.vstack([np.asarray(r["v"]) for r in row["corpus"]])
                 sims = amat @ cmat.T
-                i, j = np.where((sims >= 0.4) & (aids[:, None] < cids[None, :]))
+                i, j = np.where(
+                    (sims >= threshold) & (aids[:, None] < cids[None, :])
+                )
                 yield pd.DataFrame(
                     {"vec_id_1": aids[i], "vec_id_2": cids[j], "sim_raw": sims[i, j]}
                 )
@@ -255,6 +247,25 @@ def k_sim_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "vec_id_1", "vec_id_2", F.round("sim_raw", 4).alias("sim")
     )
+
+
+@register(
+    "k_sim_threshold",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT a.vec_id AS vec_id_1, b.vec_id AS vec_id_2,
+           round(list_inner_product(a.v, b.v), 4) AS sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_inner_product(a.v, b.v) >= 0.4
+    """,
+)
+def k_sim_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All vector pairs with cosine >= 0.4 (the corpus' max off-diagonal
+    sim is ~0.51, so 0.4 captures the genuine near-neighbor tail).
+    All-pairs is the exactness baseline; LSH (k_sim_ann) is the scale twin.
+    Physical strategy documented on ``sim_pairs`` (blocked GEMM).
+    """
+    return sim_pairs(spark, sf_dir, 0.4)
 
 
 @register("k_sim_ann")  # rows-only: LSH is approximate by design
@@ -1306,4 +1317,52 @@ def k_eval_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n_found") * F.lit(1.0) / F.col("n_exact"), 4).alias(
             "pair_recall"
         ),
+    )
+
+
+@register(
+    "k_graph_triangles",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    ed AS (
+      SELECT a.vec_id AS a, b.vec_id AS b
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      WHERE list_inner_product(a.v, b.v) >= 0.3
+    ), tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM ed e1 JOIN ed e2 ON e1.b = e2.a
+                 JOIN ed e3 ON e3.a = e1.a AND e3.b = e2.b
+    )
+    SELECT node AS vec_id, CAST(count(*) AS BIGINT) AS n_triangles
+    FROM (SELECT unnest([x, y, z]) AS node FROM tri)
+    GROUP BY node
+    """,
+)
+def k_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts on the similarity graph (edges = cosine
+    >= 0.3 pairs): the clustering-coefficient numerator that separates a
+    coherent near-duplicate CLUSTER (dense, many triangles) from a chain of
+    pairwise matches (sparse) — the audit a dedup pass runs before deciding
+    to drop whole groups.
+
+    Canonical oriented-triangle algebra: edges stored once as (a < b);
+    a triangle (x < y < z) is found exactly once by joining e1=(x,y),
+    e2=(y,z) and checking the closing edge (x,z) — no double counting,
+    no direction explosion. Scale: the thresholded edge list is orders of
+    magnitude smaller than the input (Zipf-ish similarity tail), both
+    joins broadcast it; at web scale the same joins shuffle-partition on
+    the shared vertex, the standard distributed triangle-enumeration plan.
+    Edge generation reuses the blocked-GEMM ``sim_pairs`` finder.
+    """
+    ed = sim_pairs(spark, sf_dir, 0.3).select(
+        F.col("vec_id_1").alias("a"), F.col("vec_id_2").alias("b")
+    )
+    e1 = ed.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = ed.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = ed.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = e1.join(F.broadcast(e2), "y").join(F.broadcast(e3), ["x", "z"])
+    return (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("vec_id"))
+        .groupBy("vec_id")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
