@@ -619,3 +619,39 @@ def h_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("k").cast("long").alias("sum_k"),
         F.max("k").cast("long").alias("max_k"),
     )
+
+
+@register(
+    "h_xml_roundtrip",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(event_id) AS BIGINT) AS sum_id,
+           round(sum(value), 2) + 0.0 AS sum_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def h_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML serialize/parse roundtrip (Spark 4 ``to_xml``/``from_xml``) —
+    the enterprise-feed ingest surface: each event renders to an XML
+    fragment and is parsed back through an explicit schema; the aggregate
+    over PARSED fields must equal the oracle's aggregate over the source
+    columns, proving the roundtrip is lossless (shortest-repr doubles
+    reparse bit-exact). Zero shuffles before the final agg; both XML
+    functions are JVM expressions, no Python worker.
+    """
+    e = load(spark, sf_dir, "events")
+    xml = e.select(
+        F.to_xml(F.struct("event_id", "event_type", "value")).alias("x")
+    )
+    parsed = xml.select(
+        F.from_xml(
+            "x", "event_id bigint, event_type string, value double"
+        ).alias("p")
+    ).select("p.event_id", "p.event_type", "p.value")
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("event_id").cast("long").alias("sum_id"),
+        (F.round(F.sum("value"), 2) + F.lit(0.0)).alias("sum_value"),
+    )

@@ -446,3 +446,112 @@ def a_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(m["n_rows"], m["n_discounted"], m["sum_qty"])],
         "n_rows long, n_discounted long, sum_qty double",
     )
+
+
+@register(
+    "a_source_python_stream",
+    oracle="""
+    SELECT i AS id, (i * i) % 97 AS mod97, 'row' || CAST(i AS VARCHAR) AS tag
+    FROM range(0, 1000) t(i)
+    """,
+)
+def a_source_python_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Python data source (Spark 4 ``simpleStreamReader``):
+    1000 rows arrive over four 256-row micro-batches driven by the
+    offset contract (initialOffset → read(start) → commit), landing in a
+    memory sink that this key returns and the oracle hash-checks — the
+    custom-connector entry point for incremental feeds (queues, CDC logs,
+    vendor APIs). Offset-resume is proven in tests/test_streaming.py.
+    """
+    from data_service_spark.sources import register_synthetic_stream_source
+
+    register_synthetic_stream_source(spark)
+    for q in spark.streams.active:
+        if q.name == "dss_synth_stream_sink":
+            q.stop()
+    sdf = (
+        spark.readStream.format("dss_synth_stream")
+        .option("n", 1000)
+        .option("chunk", 256)
+        .load()
+    )
+    q = (
+        sdf.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dss_synth_stream_sink")
+        .trigger(processingTime="50 milliseconds")
+        .start()
+    )
+    import time
+
+    deadline = time.monotonic() + 60
+    out = spark.table("dss_synth_stream_sink")
+    while time.monotonic() < deadline and out.count() < 1000:
+        time.sleep(0.2)
+    q.stop()
+    q.awaitTermination()
+    assert out.count() == 1000, "stream failed to drain"
+    return out
+
+
+@register(
+    "a_sink_sorted_layout",
+    oracle="""
+    SELECT CAST(8 AS BIGINT) AS n_files,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           true AS ranges_disjoint,
+           min(l_shipdate) AS lo, max(l_shipdate) AS hi
+    FROM lineitem
+    """,
+)
+def a_sink_sorted_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted data layout for scan locality: ``repartitionByRange`` on the
+    filter column + ``sortWithinPartitions`` before the write — the
+    cluster-by step every large fact table runs so later date-range queries
+    prune whole files (each parquet footer's min/max covers a disjoint
+    slice, so a predicate touches 1/8 of the files instead of all of
+    them; within a file, row-group stats prune further).
+
+    The returned row AUDITS the layout from the written files themselves
+    via the hidden ``_metadata`` column: per-file min/max of the sort key,
+    windowed disjointness check, lossless row count — the oracle pins the
+    expected invariants from the source table. The audit pattern (read
+    your own layout, verify clustering) is what a table-maintenance job
+    runs after compaction at 100 TB.
+    """
+    from pyspark.sql.window import Window
+
+    path = _tmpdir("lineitem_sorted")
+    li = load(spark, sf_dir, "lineitem")
+    (
+        li.repartitionByRange(8, "l_shipdate")
+        .sortWithinPartitions("l_shipdate")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    per_file = (
+        spark.read.parquet(path)
+        .select("l_shipdate", F.col("_metadata.file_name").alias("f"))
+        .groupBy("f")
+        .agg(
+            F.min("l_shipdate").alias("f_lo"),
+            F.max("l_shipdate").alias("f_hi"),
+            F.count(F.lit(1)).alias("f_rows"),
+        )
+    )
+    w = Window.orderBy("f_lo")
+    audited = per_file.select(
+        "f_rows",
+        "f_lo",
+        "f_hi",
+        F.lag("f_hi").over(w).alias("prev_hi"),
+    )
+    return audited.agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.sum("f_rows").cast("long").alias("n_rows"),
+        F.min(
+            F.col("prev_hi").isNull() | (F.col("prev_hi") < F.col("f_lo"))
+        ).alias("ranges_disjoint"),
+        F.min("f_lo").alias("lo"),
+        F.max("f_hi").alias("hi"),
+    )

@@ -135,3 +135,52 @@ def register_synthetic_source(spark: SparkSession) -> None:
             return SynthReader(self.options)
 
     spark.dataSource.register(SynthSource)
+
+
+def register_synthetic_stream_source(spark: SparkSession) -> None:
+    """Register 'dss_synth_stream': the STREAMING Python data source
+    (Spark 4 ``simpleStreamReader``) emitting the same deterministic rows
+    as ``dss_synth`` but incrementally — ``chunk`` rows per micro-batch,
+    offset = next row index. ``readBetweenOffsets`` replays any committed
+    range, which is what exactly-once recovery calls after a restart.
+
+    SimpleDataSourceStreamReader reads on the driver (prefetch model) —
+    right for low-volume control feeds; a high-volume source implements
+    the partition-based ``streamReader`` instead, which plans one
+    InputPartition per executor task per batch exactly like the batch
+    reader. The offset/commit contract is identical, so this source is the
+    API-shape proof for both.
+    """
+    from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+
+    def _rows(lo: int, hi: int):
+        return [(i, i * i % 97, f"row{i}") for i in range(lo, hi)]
+
+    class SynthStreamReader(SimpleDataSourceStreamReader):
+        def __init__(self, options):
+            self.n = int(options.get("n", 1000))
+            self.chunk = int(options.get("chunk", 256))
+
+        def initialOffset(self):
+            return {"pos": 0}
+
+        def read(self, start):
+            lo = start["pos"]
+            hi = min(lo + self.chunk, self.n)
+            return iter(_rows(lo, hi)), {"pos": hi}
+
+        def readBetweenOffsets(self, start, end):
+            return iter(_rows(start["pos"], end["pos"]))
+
+    class SynthStreamSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "dss_synth_stream"
+
+        def schema(self):
+            return "id long, mod97 long, tag string"
+
+        def simpleStreamReader(self, schema):
+            return SynthStreamReader(self.options)
+
+    spark.dataSource.register(SynthStreamSource)

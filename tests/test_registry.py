@@ -62,6 +62,7 @@ k_chunk_rag k_dpo_pairs k_winsorize_embed a_observe_metrics
 j_sql_udf h_variant q_recursive_cte k_text_entropy
 k_sample_weighted k_quality_logreg k_dsir_weights
 k_graph_triangles c_merge_scd1
+a_source_python_stream a_sink_sorted_layout h_xml_roundtrip
 """.split()
 
 
