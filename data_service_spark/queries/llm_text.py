@@ -693,14 +693,18 @@ def k_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     encoding-noise quality filter (low entropy = repeated filler, high =
     random bytes; natural text sits in a narrow band).
 
-    The Spark side is a ZERO-SHUFFLE narrow projection: chars → distinct
-    chars → per-char counts → entropy fold, all inside one higher-order
-    expression chain (O(distinct·len) per row, JVM codegen) — at 100 TB
-    this runs at scan speed with no fan-out. The oracle states the same
-    math in the explode→groupBy shape DuckDB prefers; the two sums meet at
-    4dp (`+ 0.0` absorbs the signed-zero divergence, SURVEY.md §7.4).
+    The computation adds NO shuffle of its own: chars → distinct chars →
+    per-char counts → entropy fold, all inside one higher-order expression
+    chain (O(distinct·len) per row) — at 100 TB this runs at scan speed
+    with no fan-out. Higher-order lambdas are interpreted (not codegen'd),
+    so the per-row cost is real CPU: the read goes through
+    ``load_parallel`` to spread it across cores (the corpus'
+    single-row-group file otherwise serializes the fold onto one task —
+    measured 3.5 s → 0.5 s at sf0.1). The oracle states the same math in
+    the explode→groupBy shape DuckDB prefers; the two sums meet at 4dp
+    (`+ 0.0` absorbs the signed-zero divergence, SURVEY.md §7.4).
     """
-    d = load(spark, sf_dir, "documents")
+    d = load_parallel(spark, sf_dir, "documents", "doc_id")
     cs = F.expr(
         "transform(sequence(1, CAST(n_chars AS INT)), i -> substr(text, i, 1))"
     )

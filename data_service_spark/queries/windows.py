@@ -337,3 +337,53 @@ def e_win_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(share, 6).alias("cum_share"),
         (share <= 0.8).alias("in_top80"),
     )
+
+
+@register(
+    "e_win_ewma",
+    oracle="""
+    SELECT event_id, user_id,
+           round((value
+                  + coalesce(lag(value, 1) OVER w, 0) * 0.5
+                  + coalesce(lag(value, 2) OVER w, 0) * 0.25
+                  + coalesce(lag(value, 3) OVER w, 0) * 0.125
+                  + coalesce(lag(value, 4) OVER w, 0) * 0.0625)
+                 / (1
+                    + CASE WHEN lag(value, 1) OVER w IS NULL THEN 0 ELSE 0.5 END
+                    + CASE WHEN lag(value, 2) OVER w IS NULL THEN 0 ELSE 0.25 END
+                    + CASE WHEN lag(value, 3) OVER w IS NULL THEN 0 ELSE 0.125 END
+                    + CASE WHEN lag(value, 4) OVER w IS NULL THEN 0 ELSE 0.0625 END),
+                 4) + 0.0 AS ewma
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def e_win_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average per user (alpha = 0.5,
+    5-tap truncated kernel, normalized over the taps actually present) —
+    the time-series smoothing step of anomaly/trend detection on event
+    streams. Weights are exact powers of two, so every product is an
+    exact float scaling and both engines agree to well under the 4dp
+    rounding.
+
+    A lag-chain instead of a recursive fold: each output depends on a
+    FIXED window of history, so the whole column evaluates inside one
+    partitioned window — one shuffle on user_id, codegen'd, no iterative
+    state. (The infinite-memory EWMA recurrence needs ordered stateful
+    folding — that variant lives in streaming as applyInPandasWithState;
+    the truncated kernel is the batch-scale formulation: the alpha^5 tail
+    it drops is <3% of the mass.)
+    """
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    num = F.col("value")
+    den = F.lit(1.0)
+    for k, coef in enumerate([0.5, 0.25, 0.125, 0.0625], start=1):
+        lagged = F.lag("value", k).over(w)
+        num = num + F.coalesce(lagged, F.lit(0.0)) * F.lit(coef)
+        den = den + F.when(lagged.isNull(), 0.0).otherwise(coef)
+    return e.select(
+        "event_id",
+        "user_id",
+        (F.round(num / den, 4) + F.lit(0.0)).alias("ewma"),
+    )

@@ -164,10 +164,15 @@ def test_sql_udf_is_inlined(spark, sf_dir):
     assert "HashAggregate" in plan
 
 
-def test_entropy_is_shuffle_free(spark, sf_dir):
-    # k_text_entropy is a narrow projection chain: no Exchange anywhere.
+def test_entropy_computation_adds_no_shuffle(spark, sf_dir):
+    # k_text_entropy's entropy math is a narrow projection chain: the only
+    # Exchange is load_parallel's explicit round-robin spread of the
+    # single-row-group source — no hash shuffle from the computation.
     plan = plan_of(QUERIES["k_text_entropy"](spark, sf_dir))
-    assert "Exchange" not in plan
+    # formatted plans print each node twice (tree + detail), so count the
+    # partitioning argument: exactly one, and it is the explicit spread.
+    assert plan.count("hashpartitioning") == 1
+    assert "hashpartitioning(doc_id" in plan
 
 
 def test_quality_logreg_is_scan_speed(spark, sf_dir):
