@@ -727,3 +727,45 @@ def c_merge_scd1(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(bal + F.expr("rev_cents DIV 1000"))
         .alias("balance_cents"),
     )
+
+
+@register(
+    "c_join_null_safe",
+    oracle="""
+    WITH l AS (
+      SELECT CASE WHEN o_custkey % 10 = 0 THEN NULL
+                  ELSE o_custkey % 100 END AS bkt,
+             CAST(count(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY 1
+    ), r AS (
+      SELECT CASE WHEN c_custkey % 10 = 0 THEN NULL
+                  ELSE c_custkey % 100 END AS bkt,
+             CAST(count(*) AS BIGINT) AS n_custs
+      FROM customer GROUP BY 1
+    )
+    SELECT l.bkt, l.n_orders, r.n_custs
+    FROM l JOIN r ON l.bkt IS NOT DISTINCT FROM r.bkt
+    """,
+)
+def c_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (``<=>`` / IS NOT DISTINCT FROM): NULL
+    keys match each other instead of silently dropping — the semantics a
+    sentinel-free dimension merge needs when 'unknown' is itself a valid
+    bucket. Spark plans ``<=>`` as an ordinary hash-join key (coalesced
+    comparison), so it shuffles and broadcasts exactly like ``=`` — no
+    nested-loop penalty for the null handling.
+    """
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    bkt = lambda col: F.when(  # noqa: E731
+        F.col(col) % 10 == 0, F.lit(None).cast("long")
+    ).otherwise(F.col(col) % 100)
+    left = o.groupBy(bkt("o_custkey").alias("bkt")).agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    right = c.groupBy(bkt("c_custkey").alias("bkt")).agg(
+        F.count(F.lit(1)).alias("n_custs")
+    )
+    return left.join(
+        right, left["bkt"].eqNullSafe(right["bkt"]), "inner"
+    ).select(left["bkt"], "n_orders", "n_custs")

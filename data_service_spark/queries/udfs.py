@@ -297,3 +297,51 @@ def j_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY l_returnflag
         """
     )
+
+
+@register(
+    "j_pandas_on_spark",
+    oracle="""
+    SELECT lang, source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           round(avg(n_chars), 2) AS avg_chars
+    FROM documents
+    WHERE n_chars > 50
+    GROUP BY lang, source
+    """,
+)
+def j_pandas_on_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pandas API on Spark (``pyspark.pandas``): pandas idioms —
+    boolean-mask filter, groupby-agg, reset_index — compile to the same
+    Catalyst plans as DataFrame code, giving pandas users the whole engine
+    without a rewrite. ``to_spark()`` hands the logical plan back (no
+    materialization), so the result behaves like any other DataFrame here.
+    Distributed by construction: nothing collects to the driver; the
+    groupby is one hash shuffle like its SQL twin.
+    """
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        import pyspark.pandas as ps
+
+        psdf = ps.DataFrame(load(spark, sf_dir, "documents"))
+        out = (
+            psdf[psdf.n_chars > 50]
+            .groupby(["lang", "source"])
+            .agg(
+                n_docs=("doc_id", "count"),
+                total_chars=("n_chars", "sum"),
+                avg_chars=("n_chars", "mean"),
+            )
+            .reset_index()
+        )
+        sdf = out.to_spark()
+    return sdf.select(
+        "lang",
+        "source",
+        F.col("n_docs").cast("long"),
+        F.col("total_chars").cast("long"),
+        F.round("avg_chars", 2).alias("avg_chars"),
+    )

@@ -115,6 +115,22 @@ class SqlEngine:
     def tables(self) -> list[str]:
         return [t.name for t in self.spark.catalog.listTables()]
 
+    def table_schema(self, name: str) -> dict[str, Any]:
+        """Column metadata for one registered view/table — the catalog
+        introspection a client runs before writing SQL. Served from the
+        analyzer (no scan, no action)."""
+        if name not in self.tables():
+            raise KeyError(name)
+        df = self.spark.table(name)
+        return {
+            "table": name,
+            "columns": [
+                {"name": f.name, "type": f.dataType.simpleString(),
+                 "nullable": f.nullable}
+                for f in df.schema.fields
+            ],
+        }
+
     def query_keys(self) -> list[str]:
         from data_service_spark.registry import QUERIES, load_all
 
@@ -226,6 +242,12 @@ def make_handler(engine: SqlEngine) -> type[BaseHTTPRequestHandler]:
                 self._send(200, {"queries": engine.query_keys()})
             elif self.path == "/streams":
                 self._send(200, {"streams": engine.streams()})
+            elif self.path.startswith("/schema/"):
+                name = self.path[len("/schema/"):]
+                try:
+                    self._send(200, engine.table_schema(name))
+                except KeyError:
+                    self._send(404, {"error": f"unknown table {name!r}"})
             else:
                 self._send(404, {"error": f"no route {self.path}"})
 

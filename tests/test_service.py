@@ -142,3 +142,20 @@ def test_streaming_as_a_service(service, spark, sf_dir, tmp_path_factory):
     assert rows["rows"][0] == [exp_rows, exp_total]
     stopped = call(service, "/stream/stop", {"name": "svc_rollup"})
     assert stopped["active"] is False
+
+
+def test_schema_endpoint(service):
+    out = call(service, "/schema/nation")
+    assert out["table"] == "nation"
+    cols = {c["name"]: c["type"] for c in out["columns"]}
+    # key width depends on the fixture's source format; both are integral
+    assert cols["n_nationkey"] in ("int", "bigint")
+    assert cols["n_name"] == "string"
+    # unknown table -> 404, not a server error
+    import urllib.error
+
+    try:
+        call(service, "/schema/nope")
+        raise AssertionError("expected 404")
+    except urllib.error.HTTPError as e:
+        assert e.code == 404
