@@ -569,3 +569,35 @@ def d_agg_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sort_array(F.col("o_orderstatus_freqItems")).alias("hot_statuses"),
         F.sort_array(F.col("o_orderpriority_freqItems")).alias("hot_priorities"),
     )
+
+
+@register(
+    "d_agg_grouping_id",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+           CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio,
+           CAST(count(*) AS BIGINT) AS n
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def d_agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``grouping()`` flags on a rollup: the marker that tells a report
+    consumer whether a NULL in a dimension column means 'subtotal row' or
+    'genuinely null data' — required the moment rollup output feeds
+    anything programmatic. Same one-pass partial-agg plan as the plain
+    rollup; the flags are free bits from the grouping-set id.
+    """
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping("o_orderstatus").cast("long").alias("g_status"),
+            F.grouping("o_orderpriority").cast("long").alias("g_prio"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "o_orderstatus", "o_orderpriority", "g_status", "g_prio", "n"
+        )
+    )

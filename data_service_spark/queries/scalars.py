@@ -655,3 +655,44 @@ def h_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("event_id").cast("long").alias("sum_id"),
         (F.round(F.sum("value"), 2) + F.lit(0.0)).alias("sum_value"),
     )
+
+
+@register(
+    "h_collation",
+    oracle="""
+    WITH m AS (
+      SELECT CASE WHEN c_custkey % 2 = 0 THEN c_mktsegment
+                  ELSE upper(substr(c_mktsegment, 1, 1))
+                       || lower(substr(c_mktsegment, 2)) END AS seg_mixed
+      FROM customer
+    )
+    SELECT CAST(count(DISTINCT seg_mixed) AS BIGINT) AS n_binary,
+           CAST(count(DISTINCT lower(seg_mixed)) AS BIGINT) AS n_lcase
+    FROM m
+    """,
+)
+def h_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String collations (Spark 4): the same column counted distinct under
+    binary semantics vs ``COLLATE UTF8_LCASE`` — case-insensitive
+    comparison as a TYPE property, so every operator downstream (group,
+    join, distinct) inherits it without lower() wrappers mangling the
+    stored values. The fixture mixes the case of half the rows; binary
+    sees 2× the segments, the collated count restores the true 5. The
+    oracle states the lcase semantics explicitly with lower().
+
+    Scale: collation-aware distinct is the same hash aggregate with a
+    collation-keyed hash — no extra pass, unlike the lower()-projection
+    workaround which doubles the string bytes through the shuffle.
+    """
+    c = load(spark, sf_dir, "customer")
+    mixed = F.expr(
+        "CASE WHEN c_custkey % 2 = 0 THEN c_mktsegment"
+        " ELSE concat(upper(substr(c_mktsegment, 1, 1)),"
+        "             lower(substr(c_mktsegment, 2))) END"
+    )
+    return c.select(mixed.alias("seg_mixed")).agg(
+        F.countDistinct("seg_mixed").cast("long").alias("n_binary"),
+        F.countDistinct(F.expr("seg_mixed COLLATE UTF8_LCASE"))
+        .cast("long")
+        .alias("n_lcase"),
+    )

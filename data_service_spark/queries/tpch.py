@@ -450,3 +450,38 @@ def q_recursive_cte(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     plan stays shallow even at full scale.
     """
     return _sql(spark, sf_dir, ["documents"], _RCTE_TEXT)
+
+
+@register(
+    "q_param_sql",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM orders
+    WHERE o_orderstatus = 'F' AND o_totalprice >= 150000
+    GROUP BY o_orderpriority
+    """,
+)
+def q_param_sql(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Parameterized SQL (Spark 4 named parameter markers): the service
+    boundary shape — SQL text with ``:status`` / ``:cutoff`` markers plus a
+    typed args dict, so user input binds as VALUES, never string-splices
+    into the query (injection-proof by construction, and the plan cache
+    can reuse the parsed tree across bindings). The oracle inlines the
+    same literals; money flows as integer cents.
+    """
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               count(*) AS n_orders,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS revenue_cents
+        FROM orders
+        WHERE o_orderstatus = :status AND o_totalprice >= :cutoff
+        GROUP BY o_orderpriority
+        """,
+        args={"status": "F", "cutoff": 150000},
+    )

@@ -345,3 +345,54 @@ def j_pandas_on_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("total_chars").cast("long"),
         F.round("avg_chars", 2).alias("avg_chars"),
     )
+
+
+@register(
+    "j_udtf_analyze",
+    oracle="""
+    SELECT doc_id,
+           list_aggr(words[1:3], 'string_agg', ' ') AS gram_3,
+           CAST(3 AS INTEGER) AS width
+    FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+    WHERE len(words) >= 3
+    """,
+)
+def j_udtf_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polymorphic UDTF (Spark 4 ``analyze()``): the output schema is
+    COMPUTED at plan time from the constant argument — here the leading
+    n-gram width names its own column (``gram_3``), the pattern for
+    table functions whose shape depends on configuration (pivot-like
+    expanders, configurable feature extractors). ``analyze`` runs once on
+    the driver during resolution; per-row ``eval`` stays a plain
+    generator, executed in parallel LATERAL fan-out like any UDTF.
+    """
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import IntegerType, StringType, StructType
+
+    class LeadingGram:
+        @staticmethod
+        def analyze(text, n):
+            width = int(n.value)
+            return AnalyzeResult(
+                StructType()
+                .add(f"gram_{width}", StringType())
+                .add("width", IntegerType())
+            )
+
+        def eval(self, text: str, n: int):
+            if text is None:
+                return
+            words = text.split(" ")
+            if len(words) >= n:
+                yield " ".join(words[:n]), n
+
+    from pyspark.sql.udtf import AnalyzeResult
+
+    spark.udtf.register("dss_leading_gram", udtf(LeadingGram))
+    load(spark, sf_dir, "documents").createOrReplaceTempView("dss_docs_gram")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.gram_3, t.width
+        FROM dss_docs_gram d, LATERAL dss_leading_gram(d.text, 3) t
+        """
+    )

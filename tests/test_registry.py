@@ -64,6 +64,7 @@ k_sample_weighted k_quality_logreg k_dsir_weights
 k_graph_triangles c_merge_scd1
 a_source_python_stream a_sink_sorted_layout h_xml_roundtrip
 e_win_ewma j_pandas_on_spark c_join_null_safe
+h_collation d_agg_grouping_id q_param_sql j_udtf_analyze
 """.split()
 
 
