@@ -696,3 +696,34 @@ def h_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_lcase"),
     )
+
+
+@register(
+    "h_mask_funcs",
+    oracle="""
+    SELECT c_custkey,
+           regexp_replace(regexp_replace(regexp_replace(c_name,
+             '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g')
+             AS masked_default,
+           regexp_replace(regexp_replace(regexp_replace(c_phone,
+             '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', '9', 'g')
+             AS masked_phone
+    FROM customer
+    """,
+)
+def h_mask_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mask()`` — the built-in character-class redaction (upper→X,
+    lower→x, digit→n, custom replacements per class): structure-preserving
+    PII masking for display/export, one codegen pass per string instead of
+    the regex chain the oracle spells out. Complements
+    ``k_text_pii_redact`` (pattern-level redaction) with character-level
+    masking. Zero-shuffle projection, evaluated in the scan stage.
+    """
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.mask("c_name").alias("masked_default"),
+        F.mask(
+            "c_phone", F.lit("X"), F.lit("x"), F.lit("9"), F.lit(None)
+        ).alias("masked_phone"),
+    )
