@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
 
 TABLES = [
     "region",
@@ -28,24 +29,34 @@ TABLES = [
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one corpus table. ``name`` must be in TABLES.
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark 4.x rejects
-    outright (PARQUET_TYPE_ILLEGAL). We read it as raw nanos via the
-    ``nanosAsLong`` legacy conf and rebuild a TimestampType column at µs
-    precision — the same truncation DuckDB applies, so oracle parity holds.
-    This stays fully distributed (a projection, no driver roundtrip).
+    ``events.ts`` has shipped as both parquet TIMESTAMP(MICROS) and
+    TIMESTAMP(NANOS) across corpus generations. Spark 4.x rejects NANOS
+    outright (PARQUET_TYPE_ILLEGAL) unless the legacy ``nanosAsLong`` conf
+    is on, in which case the column arrives as raw int64 nanos. Rather than
+    pinning one corpus shape, adapt to what the footer actually says: read,
+    and if the read fails on the nanos type, enable the conf for this
+    session and retry; if ``ts`` then arrives as a long, rebuild a
+    TimestampType column at µs precision — the same truncation DuckDB
+    applies, so oracle parity holds. All of this is schema-resolution-time
+    work plus (at most) one distributed projection; no driver roundtrip.
 
-    The conf is session-wide by design and is pre-set (and documented) in
-    ``session.get_spark``; the ``conf.set`` below is a defensive repeat for
-    foreign sessions. It cannot be save/restored around this call: Spark
-    resolves the flag at *execution* time, so restoring it after the lazy
-    ``read`` would break the scan when the query actually runs.
+    The conf is only turned on when the corpus actually needs it, so a
+    µs-precision corpus never observes the legacy flag (a nanos source in
+    the same session would otherwise silently come back as raw longs).
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/events.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        path = f"{sf_dir}/events.parquet"
+        try:
+            df = spark.read.parquet(path)
+        except Exception:
+            # NANOS corpus with the legacy flag off: enable and retry.
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            df = spark.read.parquet(path)
+        if isinstance(df.schema["ts"].dataType, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

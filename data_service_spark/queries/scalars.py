@@ -705,7 +705,8 @@ def h_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
            regexp_replace(regexp_replace(regexp_replace(c_name,
              '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g')
              AS masked_default,
-           regexp_replace(regexp_replace(regexp_replace(c_phone,
+           regexp_replace(regexp_replace(regexp_replace(
+             lpad(cast(c_custkey AS VARCHAR), 9, '0'),
              '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', '9', 'g')
              AS masked_phone
     FROM customer
@@ -717,13 +718,16 @@ def h_mask_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     PII masking for display/export, one codegen pass per string instead of
     the regex chain the oracle spells out. Complements
     ``k_text_pii_redact`` (pattern-level redaction) with character-level
-    masking. Zero-shuffle projection, evaluated in the scan stage.
+    masking. Zero-shuffle projection, evaluated in the scan stage. The
+    corpus carries no phone column, so a 9-digit account id stands in for
+    the digits-only PII case.
     """
     c = load(spark, sf_dir, "customer")
+    phone = F.lpad(F.col("c_custkey").cast("string"), 9, "0")
     return c.select(
         "c_custkey",
         F.mask("c_name").alias("masked_default"),
         F.mask(
-            "c_phone", F.lit("X"), F.lit("x"), F.lit("9"), F.lit(None)
+            phone, F.lit("X"), F.lit("x"), F.lit("9"), F.lit(None)
         ).alias("masked_phone"),
     )

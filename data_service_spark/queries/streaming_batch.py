@@ -482,7 +482,7 @@ def session_stats_batch(events: DataFrame) -> DataFrame:
         F.session_window("ts", "30 minutes").alias("w"), "user_id"
     ).agg(
         F.count(F.lit(1)).alias("n_ev"),
-        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("dur_us"),
+        F.timestamp_diff("MICROSECOND", F.min("ts"), F.max("ts")).alias("dur_us"),
     )
     return sess.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_sessions"),

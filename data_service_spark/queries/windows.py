@@ -53,12 +53,15 @@ def e_win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 def e_win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    us = F.unix_micros(F.col("ts"))
+    # timestamp_diff works on TIMESTAMP and TIMESTAMP_NTZ alike (the corpus
+    # has shipped ts as both), with no session-timezone dependence.
     return e.select(
         "event_id", "user_id", "value",
         F.lag("value").over(w).alias("prev_value"),
         F.lead("value").over(w).alias("next_value"),
-        (us - F.lag(us).over(w)).alias("delta_us"),
+        F.timestamp_diff(
+            "MICROSECOND", F.lag("ts").over(w), F.col("ts")
+        ).alias("delta_us"),
     )
 
 

@@ -29,15 +29,10 @@ def get_spark(app_name: str = "data_service_spark", master: str | None = None) -
         .config("spark.sql.shuffle.partitions", "32")
         # Arrow: the only sane JVM<->Python boundary for pandas UDFs.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # Parity, DELIBERATELY session-wide: events.parquet carries
-        # TIMESTAMP(NANOS), which Spark 4.x rejects outright. With this flag
-        # every nanos parquet column in the session reads as raw long and
-        # io.load() rebuilds µs timestamps explicitly (the same truncation
-        # DuckDB applies). A future nanos source read outside io.load() will
-        # surface as a LongType column — visible in the schema, not a silent
-        # precision change. io.load() also sets it defensively for foreign
-        # sessions (e.g. the driver's own).
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # NOTE on TIMESTAMP(NANOS) parquet: Spark 4.x rejects it outright.
+        # io.load() detects that corpus shape at read time and enables the
+        # legacy nanosAsLong conf only when actually needed, so a µs-precision
+        # corpus (the current one) never runs under the legacy flag.
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
