@@ -601,3 +601,46 @@ def d_agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderstatus", "o_orderpriority", "g_status", "g_prio", "n"
         )
     )
+
+
+@register(
+    "d_agg_bitmap",
+    oracle="""
+    SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT 'ALL' AS event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    """,
+)
+def d_agg_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via mergeable roaring-style bitmaps
+    (``bitmap_bucket_number`` / ``bitmap_bit_position`` /
+    ``bitmap_construct_agg`` / ``bitmap_count`` / ``bitmap_or_agg``).
+
+    The scale story vs COUNT(DISTINCT): per-(group, 32k-bucket) bitmaps are
+    built map-side, merge associatively (OR), and never hold raw keys —
+    a re-aggregatable exact-distinct materialization (store the bitmaps,
+    answer distinct over any group rollup later without re-scanning the
+    fact table). The ALL row demonstrates exactly that: it is computed by
+    OR-merging the per-type bucket bitmaps, not by re-reading events.
+    """
+    e = load(spark, sf_dir, "events")
+    buckets = e.select(
+        "event_type",
+        F.expr("bitmap_bucket_number(user_id)").alias("bucket"),
+        F.expr("bitmap_bit_position(user_id)").alias("pos"),
+    )
+    per_bucket = buckets.groupBy("event_type", "bucket").agg(
+        F.expr("bitmap_construct_agg(pos)").alias("bm")
+    )
+    per_type = per_bucket.groupBy("event_type").agg(
+        F.sum(F.expr("bitmap_count(bm)")).cast("long").alias("n_users")
+    )
+    merged = (
+        per_bucket.groupBy("bucket")
+        .agg(F.expr("bitmap_or_agg(bm)").alias("bm"))
+        .agg(F.sum(F.expr("bitmap_count(bm)")).cast("long").alias("n_users"))
+        .select(F.lit("ALL").alias("event_type"), "n_users")
+    )
+    return per_type.unionAll(merged)

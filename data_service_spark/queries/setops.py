@@ -107,3 +107,23 @@ def g_symmetric_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey", F.lit("only_high_value").alias("side")
     )
     return only_a.unionAll(only_b)
+
+
+@register("g_except_all", oracle=f"{_URGENT} EXCEPT ALL {_HIGH_VALUE}")
+def g_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics EXCEPT ALL: multiset difference preserving
+    multiplicity (a key appearing 3× urgent and 1× high-value survives
+    twice). The dedup-free variant matters for ledgers/event logs where
+    duplicates are data. Plans as one count-per-row aggregation on each
+    side + a joined multiplicity subtraction — same single shuffle as the
+    DISTINCT variant, no extra pass."""
+    urgent, high = _sides(spark, sf_dir)
+    return urgent.exceptAll(high)
+
+
+@register("g_intersect_all", oracle=f"{_URGENT} INTERSECT ALL {_HIGH_VALUE}")
+def g_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics INTERSECT ALL: min-of-multiplicities per key, the
+    multiset twin of g_intersect."""
+    urgent, high = _sides(spark, sf_dir)
+    return urgent.intersectAll(high)
