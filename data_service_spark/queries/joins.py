@@ -769,3 +769,66 @@ def c_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return left.join(
         right, left["bkt"].eqNullSafe(right["bkt"]), "inner"
     ).select(left["bkt"], "n_orders", "n_custs")
+
+
+def _bloom_filtered_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw plan for c_join_bloom — split out so tests can assert the
+    optimized plan contains the runtime filter while the confs are set."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+@register(
+    "c_join_bloom",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n,
+           round(sum(l_extendedprice), 2) AS sum_price
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_totalprice > 400000
+    GROUP BY o_orderstatus
+    """,
+)
+def c_join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter semi-join reduction: the selective dimension
+    side (orders with o_totalprice > 400000, ~7% of rows) builds a
+    ``bloom_filter_agg`` at runtime and the fact scan applies
+    ``might_contain`` BEFORE the shuffle — at 100 TB this is the
+    difference between shuffling the whole fact table and shuffling only
+    the rows that can possibly match (Spark injects it automatically when
+    the application side exceeds 10 GB; here the threshold is lowered to
+    exercise the same plan at test scale — plan-asserted in
+    tests/test_plans.py).
+
+    Spark's InjectRuntimeFilter only fires for joins that will actually
+    shuffle the application side — it skips when the creation side is
+    broadcastable (a broadcast join never re-shuffles the fact side, so a
+    bloom would only save scan I/O it models as cheap). At test scale the
+    filtered orders side fits the broadcast threshold, so the key disables
+    auto-broadcast for THIS materialization to exercise the
+    big-joins-big-shape the rule exists for at 100 TB.
+
+    The confs are scoped: the join materializes eagerly (localCheckpoint)
+    under the lowered thresholds, then the session values are restored, so
+    no other key's plan sees the non-default planning knobs.
+    """
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        out = _bloom_filtered_join(spark, sf_dir).localCheckpoint()
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+    return out

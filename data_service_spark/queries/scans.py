@@ -555,3 +555,90 @@ def a_sink_sorted_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("f_lo").alias("lo"),
         F.max("f_hi").alias("hi"),
     )
+
+
+@register(
+    "a_cbo_stats",
+    oracle="""
+    SELECT n_name, CAST(count(*) AS BIGINT) AS n_customers,
+           round(sum(c_acctbal), 2) AS sum_bal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def a_cbo_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog statistics lifecycle: ``ANALYZE TABLE … COMPUTE STATISTICS
+    FOR ALL COLUMNS`` on a managed dimension copy, then a join planned off
+    those stats. On a 100 TB warehouse, table/column stats are what let the
+    optimizer pick broadcast sides, reorder multi-way joins (CBO), and
+    estimate shuffle sizes BEFORE reading data — file-size heuristics stop
+    working once tables are views or unpruned partitions. The test asserts
+    rowCount lands in the catalog and that the stats-costed plan still
+    broadcasts the dimension (tests/test_plans.py::test_cbo_stats).
+    """
+    import shutil
+    from urllib.parse import urlparse
+
+    spark.sql("DROP TABLE IF EXISTS dss_nation_stats")
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    shutil.rmtree(os.path.join(wh, "dss_nation_stats"), ignore_errors=True)
+    load(spark, sf_dir, "nation").write.mode("overwrite").saveAsTable(
+        "dss_nation_stats"
+    )
+    spark.sql(
+        "ANALYZE TABLE dss_nation_stats COMPUTE STATISTICS FOR ALL COLUMNS"
+    )
+    c = load(spark, sf_dir, "customer")
+    n = spark.table("dss_nation_stats")
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
+        )
+    )
+
+
+@register(
+    "a_cache_reuse",
+    oracle="""
+    WITH hot AS (SELECT c_custkey, c_nationkey, c_acctbal FROM customer
+                 WHERE c_acctbal > 0)
+    SELECT a.c_nationkey, CAST(count(*) AS BIGINT) AS n_pos,
+           round(avg(a.c_acctbal), 2) AS avg_bal,
+           round(max(b.mx), 2) AS max_bal
+    FROM hot a JOIN (SELECT c_nationkey, max(c_acctbal) AS mx
+                     FROM hot GROUP BY c_nationkey) b
+      ON a.c_nationkey = b.c_nationkey
+    GROUP BY a.c_nationkey
+    """,
+)
+def a_cache_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit caching of a hot intermediate: one projected+filtered
+    relation consumed twice in the same plan (per-row side and per-group
+    side of a self-join). ``.cache()`` pins the columnar in-memory relation
+    so the second consumer reads Tungsten pages instead of re-scanning
+    parquet — the iterate-over-a-working-set pattern (feature tables,
+    candidate pools). Plan-asserted: both subtrees resolve to
+    InMemoryTableScan (tests/test_plans.py::test_cache_reuse).
+
+    The cached plan is a narrow PROJECTION of customer (not the bare scan),
+    so no other key's ``load('customer')`` plan-matches into this cache.
+    """
+    hot = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 0)
+        .select("c_custkey", "c_nationkey", "c_acctbal")
+        .cache()
+    )
+    per_nation = hot.groupBy("c_nationkey").agg(F.max("c_acctbal").alias("mx"))
+    return (
+        hot.join(per_nation, "c_nationkey")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_pos"),
+            F.round(F.avg("c_acctbal"), 2).alias("avg_bal"),
+            F.round(F.max("mx"), 2).alias("max_bal"),
+        )
+    )

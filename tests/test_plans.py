@@ -187,3 +187,44 @@ def test_weighted_sample_avoids_global_sort(spark, sf_dir):
     # heaps), never a full Sort + global exchange.
     plan = plan_of(QUERIES["k_sample_weighted"](spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_bloom_runtime_filter_injected(spark, sf_dir):
+    # With the application-side threshold lowered (as c_join_bloom does),
+    # the optimized plan must carry bloom_filter_agg on the selective side
+    # and might_contain ahead of the fact-side shuffle.
+    from data_service_spark.queries.joins import _bloom_filtered_join
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        plan = _bloom_filtered_join(spark, sf_dir)._jdf.queryExecution() \
+            .optimizedPlan().toString()
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+    assert "bloom_filter_agg" in plan and "might_contain" in plan
+
+
+def test_cbo_stats_land_in_catalog(spark, sf_dir):
+    QUERIES["a_cbo_stats"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    ext = spark.sql("DESCRIBE TABLE EXTENDED dss_nation_stats").collect()
+    stats = [r.data_type for r in ext if r.col_name == "Statistics"]
+    assert stats and "rows" in stats[0], ext
+    # The stats-costed plan still broadcasts the dimension side.
+    plan = plan_of(QUERIES["a_cbo_stats"](spark, sf_dir), "simple")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_cache_reuse_hits_inmemory_scan(spark, sf_dir):
+    df = QUERIES["a_cache_reuse"](spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    plan = plan_of(df, "simple")
+    assert plan.count("InMemoryTableScan") >= 2, plan
