@@ -579,3 +579,64 @@ def i_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("event_type") == "purchase"),
         ev.filter(F.col("event_type") == "click"),
     )
+
+
+@register(
+    "i_state_reader",
+    oracle="""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def i_state_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State Store batch reader (Spark 4 ``statestore`` format): run a
+    checkpointed streaming aggregation to completion, then read the
+    operator's STATE as a plain DataFrame — the ops/debugging surface for
+    stateful pipelines (inspect what a 100-TB-a-day job is actually
+    holding per key, audit state growth, repair bad keys offline). The
+    drained state of a full availableNow pass over events equals the batch
+    aggregate, which is exactly what the oracle checks.
+
+    The read is one task per state-store partition — the same parallelism
+    the streaming job itself uses.
+    """
+    import os
+    import tempfile
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"dss_state_reader_{os.getpid()}_{sf_tag}",
+    )
+    ck = os.path.join(base, "ck")
+    # The streaming file source wants a DIRECTORY; expose the single corpus
+    # file through a symlinked dir (a real deployment streams a directory
+    # or Kafka topic to begin with).
+    src = os.path.join(base, "src")
+    os.makedirs(src, exist_ok=True)
+    link = os.path.join(src, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    sdf = (
+        spark.readStream.schema("event_type string, value double")
+        .parquet(src)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_v"))
+    )
+    q = (
+        sdf.writeStream.outputMode("update")
+        .format("noop")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    state = spark.read.format("statestore").load(ck)
+    # State value fields carry the PHYSICAL aggregate buffer names
+    # (count/sum), not the query aliases — part of what the reader exposes.
+    return state.select(
+        F.col("key.event_type").alias("event_type"),
+        F.col("value.count").alias("n"),
+        F.round(F.col("value.sum"), 2).alias("sum_value"),
+    )

@@ -66,7 +66,7 @@ a_source_python_stream a_sink_sorted_layout h_xml_roundtrip
 e_win_ewma j_pandas_on_spark c_join_null_safe
 h_collation d_agg_grouping_id q_param_sql j_udtf_analyze
 g_except_all g_intersect_all d_agg_bitmap h_mask_funcs
-c_join_bloom a_cbo_stats a_cache_reuse
+c_join_bloom a_cbo_stats a_cache_reuse i_state_reader
 """.split()
 
 
