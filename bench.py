@@ -62,6 +62,24 @@ def main() -> None:
     spark.range(8).select(
         F.pandas_udf(lambda s: s * 2, "long")(F.col("id"))
     ).write.format("noop").mode("overwrite").save()
+    # Warm the shuffle/join/window codegen paths too: without this the
+    # first alphabetical keys (a_*) absorb one-time JIT compilation that
+    # belongs to the session, not the operator (measured ~2-3 s on the
+    # first scan-heavy keys).
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    warm = spark.range(10000).select(
+        (F.col("id") % 7).alias("k"), F.col("id").alias("v")
+    )
+    warm_w = Window.partitionBy("k").orderBy("v")
+    (
+        warm.groupBy("k")
+        .agg(F.sum("v").alias("s"))
+        .join(warm, "k")
+        .select("k", "v", "s", F.row_number().over(warm_w).alias("rn"))
+        .orderBy("k", "rn")
+        .limit(100)
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}

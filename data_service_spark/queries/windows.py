@@ -122,6 +122,18 @@ def e_win_sliding_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def e_win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native RANGE frame (±5000 on the ORDER BY value). Two deliberate
+    scale notes: (1) parallelism is bound by the 3 o_orderstatus values —
+    semantic, the frame is defined within that partition; (2) Spark's
+    sliding value-frames re-aggregate the frame per row (no retract on agg
+    buffers), so cost is O(rows × avg-frame-rows) per partition. Where
+    that product explodes at 100 TB, the linear rewrite is
+    per-(status,price) mass → prefix sum → two merge-lookups at p±5000 —
+    prototyped equal on this corpus, but kept OUT of the registry because
+    a difference-of-prefix-sums carries float error that can flip the 2dp
+    rounding against a direct-sum oracle. The native frame is the
+    correctness-stable formulation.
+    """
     o = load(spark, sf_dir, "orders")
     w = (
         Window.partitionBy("o_orderstatus")

@@ -449,10 +449,16 @@ def test_python_stream_source_offset_resume(spark, tmp_path):
         .option("chunk", 100)
         .load()
     )
-    seen: list[pd.DataFrame] = []
+    # foreachBatch is AT-LEAST-once on restart: a batch whose sink ran but
+    # whose commit never landed is replayed with the SAME batchId, so the
+    # documented exactly-once recipe is an idempotent sink keyed by epoch.
+    seen: dict[int, pd.DataFrame] = {}
 
-    def sink(b, _e):
-        seen.append(b.toPandas())
+    def sink(b, epoch):
+        seen[epoch] = b.toPandas()
+
+    def n_rows() -> int:
+        return sum(len(p) for p in seen.values())
 
     # First run: stop after at least one micro-batch commits.
     q = (
@@ -463,15 +469,17 @@ def test_python_stream_source_offset_resume(spark, tmp_path):
         .start()
     )
     deadline = time.monotonic() + 30
-    while time.monotonic() < deadline and sum(len(p) for p in seen) < 100:
+    while time.monotonic() < deadline and n_rows() < 100:
         time.sleep(0.1)
     q.stop()
     q.awaitTermination()
-    first_rows = sum(len(p) for p in seen)
+    first_rows = n_rows()
     assert 100 <= first_rows <= 300
 
     # Resumed run: same checkpoint drains the remainder (or nothing if the
-    # first run already finished), never re-emitting committed rows.
+    # first run already finished). A replayed uncommitted batch overwrites
+    # its own epoch slot; committed rows are never re-emitted under a NEW
+    # epoch — so the union over epochs is exactly the full range.
     q2 = (
         sdf.writeStream.outputMode("append")
         .foreachBatch(sink)
@@ -480,9 +488,9 @@ def test_python_stream_source_offset_resume(spark, tmp_path):
         .start()
     )
     deadline = time.monotonic() + 30
-    while time.monotonic() < deadline and sum(len(p) for p in seen) < 300:
+    while time.monotonic() < deadline and n_rows() < 300:
         time.sleep(0.1)
     q2.stop()
     q2.awaitTermination()
-    allr = pd.concat(seen)
+    allr = pd.concat(seen.values())
     assert sorted(allr["id"]) == list(range(300))  # exactly once, complete
