@@ -644,3 +644,38 @@ def d_agg_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("ALL").alias("event_type"), "n_users")
     )
     return per_type.unionAll(merged)
+
+
+@register(
+    "d_transpose",
+    oracle="""
+    SELECT 'n_orders' AS key,
+           CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS F,
+           CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS O,
+           CAST(count(*) FILTER (WHERE o_orderstatus = 'P') AS DOUBLE) AS P
+    FROM orders
+    UNION ALL
+    SELECT 'sum_price',
+           round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 2),
+           round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 2),
+           round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'P'), 2)
+    FROM orders
+    """,
+)
+def d_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``DataFrame.transpose`` (Spark 4): rows↔columns flip with the first
+    column as the new header — the report-shaping step after an aggregate
+    (metrics as rows, groups as columns). Distinct header values must be
+    collected to NAME the output columns, so this is a small-result
+    operator by design: transpose the AGGREGATE, never the fact table.
+    """
+    o = load(spark, sf_dir, "orders")
+    agg = (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+    return agg.transpose()

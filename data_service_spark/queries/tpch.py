@@ -485,3 +485,87 @@ def q_param_sql(spark: "SparkSession", sf_dir: str) -> "DataFrame":
         """,
         args={"status": "F", "cutoff": 150000},
     )
+
+
+@register(
+    "q_pipe_sql",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    WHERE l_quantity >= 10
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_pipe_sql(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """SQL pipe syntax (Spark 4 ``|>`` operators): the same logical plan as
+    the ANSI text, written as a linear dataflow — scan |> filter |>
+    aggregate — the composable form query generators and notebooks emit.
+    Catalyst parses both to identical plans; the oracle runs the classic
+    formulation, proving the two syntaxes agree.
+    """
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        FROM lineitem
+        |> WHERE l_quantity >= 10
+        |> AGGREGATE count(*) AS n,
+                     round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS revenue
+           GROUP BY l_returnflag, l_linestatus
+        |> SELECT l_returnflag, l_linestatus, n, revenue
+        """
+    )
+
+
+@register(
+    "q_execute_immediate",
+    oracle="""
+    SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+           round(avg(c_acctbal), 2) AS avg_bal
+    FROM customer WHERE c_acctbal > 1000 GROUP BY c_mktsegment
+    """,
+)
+def q_execute_immediate(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """``EXECUTE IMMEDIATE`` with a bound parameter: SQL-from-SQL dynamic
+    execution (stored query text, dashboards, migration runners) with the
+    binding kept OUT of the string — same injection-proof property as
+    parameterized SQL, exercised through the SQL-native entry point.
+    """
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        EXECUTE IMMEDIATE
+          'SELECT c_mktsegment, count(*) AS n,
+                  round(avg(c_acctbal), 2) AS avg_bal
+           FROM customer WHERE c_acctbal > ? GROUP BY c_mktsegment'
+          USING 1000
+        """
+    )
+
+
+@register(
+    "q_sql_script",
+    oracle="""
+    SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_big
+    FROM orders WHERE o_totalprice >= 300000 GROUP BY o_orderstatus
+    """,
+)
+def q_sql_script(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """SQL scripting (Spark 4 BEGIN…END): a session variable declared and
+    consumed inside one multi-statement script — the procedural glue for
+    SQL-only deployments (parameter sweep, guarded DDL). The script's last
+    statement is the result relation.
+    """
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE big_cutoff DOUBLE DEFAULT 300000.0;
+          SELECT o_orderstatus, count(*) AS n_big
+          FROM orders WHERE o_totalprice >= big_cutoff
+          GROUP BY o_orderstatus;
+        END
+        """
+    )

@@ -396,3 +396,85 @@ def j_udtf_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM dss_docs_gram d, LATERAL dss_leading_gram(d.text, 3) t
         """
     )
+
+
+@register(
+    "j_udf_arrow",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+           upper(substr(text, 1, 8)) AS head
+    FROM documents
+    """,
+)
+def j_udf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-optimized Python UDF (Spark 4 ``useArrow=True``): same
+    def-a-function ergonomics as a classic row UDF, but arguments arrive
+    as Arrow-backed batches — serialization drops from pickle-per-row to
+    columnar buffers (the ~10× middle ground between legacy UDFs and
+    hand-vectorized pandas UDFs). The Python body is still per-row logic;
+    only the transport changed, which is exactly the migration story for
+    a codebase full of legacy UDFs.
+    """
+    from pyspark.sql.functions import udf
+
+    n_words = udf(
+        lambda t: len(t.split(" ")) if t is not None else None,
+        "long",
+        useArrow=True,
+    )
+    head = udf(
+        lambda t: t[:8].upper() if t is not None else None,
+        "string",
+        useArrow=True,
+    )
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        n_words("text").alias("n_words"),
+        head("text").alias("head"),
+    )
+
+
+@register(
+    "j_map_in_arrow",
+    oracle="""
+    SELECT event_id, round(value * value, 4) AS value_sq,
+           CAST(len(event_type) AS INTEGER) AS type_len
+    FROM events
+    """,
+)
+def j_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow``: partition-at-a-time transform over raw
+    ``pyarrow.RecordBatch``es — the zero-copy floor of the Python
+    boundary (no pandas materialization at all), where columnar kernels
+    (pyarrow.compute, numpy over buffers) run at C speed. The batch shape
+    is what a custom columnar codec / tensor packer would consume.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def batches(it):
+        for b in it:
+            value = b.column("value")
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column("event_id"),
+                    pc.multiply(value, value),
+                    pc.cast(
+                        pc.utf8_length(b.column("event_type")), pa.int32()
+                    ),
+                ],
+                names=["event_id", "value_sq", "type_len"],
+            )
+
+    e = load(spark, sf_dir, "events").select("event_id", "value", "event_type")
+    out = e.mapInArrow(
+        batches, "event_id long, value_sq double, type_len int"
+    )
+    # Round JVM-side: pyarrow's round is bit-different from SQL ROUND on
+    # doubles (half-to-even over binary representations), so the kernel
+    # emits the raw product and the engine's own round keeps oracle parity.
+    return out.select(
+        "event_id", F.round("value_sq", 4).alias("value_sq"), "type_len"
+    )
