@@ -66,6 +66,9 @@ PRIORITY = [
     # a/c/d stragglers r01 missed (connectors, DPP, deterministic mode)
     "a_source_jdbc", "a_source_binaryfile", "a_scan_metadata",
     "a_observe_metrics", "c_join_dpp", "c_join_lateral", "d_agg_mode_det",
+    # round-2-continuation flagships (new this session)
+    "i_state_reader", "c_join_bloom", "d_agg_bitmap", "a_cbo_stats",
+    "q_pipe_sql", "j_map_in_arrow",
 ]
 
 

@@ -679,3 +679,23 @@ def d_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("o_orderstatus")
     )
     return agg.transpose()
+
+
+_GROUP_BY_ALL_SQL = """
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(l_discount), 4) AS avg_disc
+    FROM lineitem GROUP BY ALL
+"""
+
+
+@register("d_agg_group_by_all", oracle=_GROUP_BY_ALL_SQL)
+def d_agg_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``GROUP BY ALL``: the analyzer derives the grouping set from the
+    non-aggregate select items — the notebook/BI shorthand both engines
+    now share, so the IDENTICAL text runs on Spark and the oracle (the
+    strongest form of cross-engine parity). Plans exactly like the
+    explicit GROUP BY (one partial+final hash aggregate).
+    """
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_GROUP_BY_ALL_SQL)

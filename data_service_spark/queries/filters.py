@@ -186,3 +186,24 @@ def b_filter_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
           AND o_orderpriority = '1-URGENT'
         """
     )
+
+
+_LATERAL_ALIAS_SQL = """
+    SELECT o_orderkey,
+           o_totalprice * (1 - 0.04) AS discounted,
+           discounted * 0.07 AS tax,
+           round(discounted + tax, 2) AS total_due
+    FROM orders
+"""
+
+
+@register("b_lateral_alias", oracle=_LATERAL_ALIAS_SQL)
+def b_lateral_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral column aliases: a projection expression referencing an
+    alias defined earlier in the SAME select list — the way derived-metric
+    chains are actually written (no nested subquery per step). Both
+    engines support it, so the identical text runs on each; Catalyst
+    inlines the chain into one codegen projection (zero extra operators).
+    """
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_LATERAL_ALIAS_SQL)
