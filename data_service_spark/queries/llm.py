@@ -1321,7 +1321,14 @@ def k_eval_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys, the evaluation composes deterministic pipelines and is itself
     oracle-hash-checked."""
     lsh = k_dedup_minhash_sql(spark, sf_dir).select("doc_id_1", "doc_id_2")
-    exact = k_dedup_near(spark, sf_dir).select("doc_id_1", "doc_id_2")
+    # The exact pair list feeds BOTH the hit join and the denominator;
+    # pin it once (it is tiny — pairs, not shingles) so the expensive
+    # shingle self-join underneath runs a single time.
+    exact = (
+        k_dedup_near(spark, sf_dir)
+        .select("doc_id_1", "doc_id_2")
+        .localCheckpoint()
+    )
     hits = lsh.join(exact, ["doc_id_1", "doc_id_2"]).agg(
         F.count(F.lit(1)).alias("n_found")
     )

@@ -640,3 +640,54 @@ def i_state_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value.count").alias("n"),
         F.round(F.col("value.sum"), 2).alias("sum_value"),
     )
+
+
+@register(
+    "i_stream_file_sink",
+    oracle="""
+    SELECT event_id, event_type, round(value, 2) AS value
+    FROM events WHERE event_type IN ('purchase', 'signup')
+    """,
+)
+def i_stream_file_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming PARQUET file sink with its exactly-once commit log: a
+    filtered event stream drains (availableNow) into a parquet directory
+    whose ``_spark_metadata`` transaction log records committed files —
+    re-reading through Spark sees exactly the committed set even if stray
+    files exist (the crash-safety contract of file sinks at scale). The
+    oracle is the same filter over the source table: sink + read-back must
+    be lossless and duplicate-free.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    base = os.path.join(
+        tempfile.gettempdir(), f"dss_file_sink_{os.getpid()}_{sf_tag}"
+    )
+    # Fresh fixture per process: the commit log must correspond to THIS
+    # run's checkpoint, so clear both together.
+    shutil.rmtree(base, ignore_errors=True)
+    src = os.path.join(base, "src")
+    os.makedirs(src)
+    os.symlink(
+        os.path.join(sf_dir, "events.parquet"),
+        os.path.join(src, "events.parquet"),
+    )
+    out, ck = os.path.join(base, "out"), os.path.join(base, "ck")
+    sdf = (
+        spark.readStream.schema("event_id long, event_type string, value double")
+        .parquet(src)
+        .filter(F.col("event_type").isin("purchase", "signup"))
+        .select("event_id", "event_type", F.round("value", 2).alias("value"))
+    )
+    q = (
+        sdf.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out)
