@@ -642,3 +642,43 @@ def a_cache_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("mx"), 2).alias("max_bal"),
         )
     )
+
+
+@register(
+    "a_source_python_ds_pushdown",
+    oracle="""
+    SELECT i AS id, (i * i) % 97 AS mod97
+    FROM range(0, 100000) t(i)
+    WHERE i >= 90000 AND i < 90500
+    """,
+)
+def a_source_python_ds_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter pushdown INTO a Python data source (Spark 4.1
+    ``pushFilters``): the range predicate on the generator key reaches the
+    reader, which narrows its planned partitions — pruned rows are never
+    generated or shipped through the Python worker (0.5% of the table
+    crosses the boundary instead of 100%). This is the same contract that
+    makes a JDBC/REST-backed source scale: predicates travel to the
+    system that can skip work. The pushdown conf is scoped via eager
+    materialization + restore; reader-level narrowing is unit-asserted in
+    tests/test_operators.py::test_python_ds_pushdown_narrows_partitions.
+    """
+    from data_service_spark.sources import register_synthetic_pushdown_source
+
+    register_synthetic_pushdown_source(spark)
+    conf = "spark.sql.python.filterPushdown.enabled"
+    old = spark.conf.get(conf, "false")
+    spark.conf.set(conf, "true")
+    try:
+        df = (
+            spark.read.format("dss_synth_push")
+            .option("n", 100000)
+            .option("parts", 8)
+            .load()
+            .filter((F.col("id") >= 90000) & (F.col("id") < 90500))
+            .select("id", "mod97")
+            .localCheckpoint()
+        )
+    finally:
+        spark.conf.set(conf, old)
+    return df

@@ -137,6 +137,97 @@ def register_synthetic_source(spark: SparkSession) -> None:
     spark.dataSource.register(SynthSource)
 
 
+def register_synthetic_pushdown_source(spark: SparkSession) -> None:
+    """Register 'dss_synth_push': the same deterministic generator as
+    ``dss_synth`` but with FILTER PUSHDOWN (Spark 4.1 ``pushFilters``).
+
+    Kept as a separate format on purpose: a reader that implements
+    ``pushFilters`` refuses to run unless
+    ``spark.sql.python.filterPushdown.enabled`` is true, so the pushdown
+    capability must not leak into the plain source that every session can
+    read under default confs.
+    """
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        GreaterThan,
+        GreaterThanOrEqual,
+        InputPartition,
+        LessThan,
+        LessThanOrEqual,
+    )
+
+    class SynthPushReader(DataSourceReader):
+        def __init__(self, options):
+            self.n = int(options.get("n", 100))
+            self.parts = int(options.get("parts", 4))
+            # Range narrowed by pushed filters; default = full table.
+            self.lo_bound = 0
+            self.hi_bound = self.n
+
+        def pushFilters(self, filters):
+            # Range predicates on the generator key narrow the PLANNED id
+            # range, so pruned rows are never generated, serialized, or
+            # scanned — the Python-source equivalent of parquet row-group
+            # skipping, and the contract that makes a JDBC/REST-backed
+            # source scale. Fully-handled filters are consumed; everything
+            # else is yielded back for Spark to evaluate post-scan.
+            for f in filters:
+                if getattr(f, "attribute", None) == ("id",) and isinstance(
+                    getattr(f, "value", None), int
+                ):
+                    if isinstance(f, GreaterThan):
+                        self.lo_bound = max(self.lo_bound, f.value + 1)
+                        continue
+                    if isinstance(f, GreaterThanOrEqual):
+                        self.lo_bound = max(self.lo_bound, f.value)
+                        continue
+                    if isinstance(f, LessThan):
+                        self.hi_bound = min(self.hi_bound, f.value)
+                        continue
+                    if isinstance(f, LessThanOrEqual):
+                        self.hi_bound = min(self.hi_bound, f.value + 1)
+                        continue
+                yield f
+
+        def partitions(self):
+            lo0, hi0 = self.lo_bound, min(self.hi_bound, self.n)
+            span = max(0, hi0 - lo0)
+            if span == 0:
+                return [InputPartition((lo0, lo0))]
+            step = max(1, span // self.parts)
+            bounds = list(range(lo0, hi0, step))
+            return [
+                InputPartition((lo, min(lo + step, hi0))) for lo in bounds
+            ]
+
+        def read(self, partition):
+            import pyarrow as pa
+
+            lo, hi = partition.value
+            ids = list(range(lo, hi))
+            yield pa.record_batch(
+                {
+                    "id": pa.array(ids, pa.int64()),
+                    "mod97": pa.array([i * i % 97 for i in ids], pa.int64()),
+                    "tag": pa.array([f"row{i}" for i in ids]),
+                }
+            )
+
+    class SynthPushSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "dss_synth_push"
+
+        def schema(self):
+            return "id long, mod97 long, tag string"
+
+        def reader(self, schema):
+            return SynthPushReader(self.options)
+
+    spark.dataSource.register(SynthPushSource)
+
+
 def register_synthetic_stream_source(spark: SparkSession) -> None:
     """Register 'dss_synth_stream': the STREAMING Python data source
     (Spark 4 ``simpleStreamReader``) emitting the same deterministic rows

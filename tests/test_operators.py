@@ -462,3 +462,31 @@ def test_triangles_closed_by_definition(spark, sf_dir):
     rows = QUERIES["k_graph_triangles"](spark, sf_dir).collect()
     assert rows and all(r.n_triangles >= 1 for r in rows)
     assert sum(r.n_triangles for r in rows) % 3 == 0
+
+
+def test_python_ds_pushdown_narrows_partitions(spark):
+    """Reader-level contract for a_source_python_ds_pushdown: pushed range
+    filters narrow the PLANNED partitions to the surviving id range.
+    Observable from outside: with pushdown, the 4 planned splits each carry
+    exactly 1/4 of the narrowed range; without it, the whole range lands in
+    one split's scan and the other splits scan-and-discard."""
+    from data_service_spark.sources import register_synthetic_pushdown_source
+
+    register_synthetic_pushdown_source(spark)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    try:
+        df = (
+            spark.read.format("dss_synth_push")
+            .option("n", 100000)
+            .option("parts", 4)
+            .load()
+            .filter("id >= 1000 AND id < 1200")
+        )
+        rows = df.collect()
+        assert len(rows) == 200
+        assert min(r.id for r in rows) == 1000
+        assert max(r.id for r in rows) == 1199
+        per_part = df.rdd.glom().map(len).collect()
+        assert sorted(per_part) == [50, 50, 50, 50], per_part
+    finally:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "false")
