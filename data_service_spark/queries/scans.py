@@ -682,3 +682,32 @@ def a_source_python_ds_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set(conf, old)
     return df
+
+
+@register("a_sink_python_ds", oracle="SELECT * FROM nation")
+def a_sink_python_ds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python data source WRITE path (DataSource V2
+    ``DataSourceWriter``): nation written through the 'dss_jsonl' sink —
+    per-task executor-side files + driver-side two-phase commit manifest —
+    then read back and verified lossless against the source table. The
+    write scales like any file sink (one file per task, no driver
+    funnel); the manifest is the atomicity token a downstream consumer
+    checks before trusting the directory.
+    """
+    import json
+    import shutil
+
+    from data_service_spark.sources import register_jsonl_sink
+
+    register_jsonl_sink(spark)
+    path = _tmpdir(f"nation_jsonl_{os.getpid()}")
+    shutil.rmtree(path, ignore_errors=True)
+    n = load(spark, sf_dir, "nation")
+    n.write.format("dss_jsonl").option("path", path).mode("append").save()
+    with open(os.path.join(path, "_manifest.json")) as f:
+        manifest = json.load(f)
+    assert manifest["rows"] == 25, manifest  # commit saw every task
+    return (
+        spark.read.schema("n_nationkey int, n_name string, n_regionkey int")
+        .json(f"{path}/part-*.jsonl")
+    )

@@ -275,3 +275,68 @@ def register_synthetic_stream_source(spark: SparkSession) -> None:
             return SynthStreamReader(self.options)
 
     spark.dataSource.register(SynthStreamSource)
+
+
+def register_jsonl_sink(spark: SparkSession) -> None:
+    """Register 'dss_jsonl': a Python data source WRITER (DataSource V2
+    write path). Each task serializes its partition to one JSON-lines file
+    executor-side and returns a commit message; the driver-side commit()
+    publishes a manifest only after every task succeeded — the same
+    two-phase contract that makes file sinks atomic at 1000-executor scale
+    (no partial output visible on failure; abort() discards orphans).
+    """
+    import json
+    import os
+    import uuid
+    from dataclasses import dataclass
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceWriter,
+        WriterCommitMessage,
+    )
+
+    @dataclass
+    class JsonlCommit(WriterCommitMessage):
+        file: str
+        n: int
+
+    class JsonlWriter(DataSourceWriter):
+        def __init__(self, options, overwrite: bool):
+            self.path = options["path"]
+            self.overwrite = overwrite
+
+        def write(self, rows):
+            os.makedirs(self.path, exist_ok=True)
+            fn = os.path.join(self.path, f"part-{uuid.uuid4().hex}.jsonl")
+            n = 0
+            with open(fn, "w") as f:
+                for r in rows:
+                    f.write(json.dumps(r.asDict()) + "\n")
+                    n += 1
+            return JsonlCommit(fn, n)
+
+        def commit(self, messages):
+            manifest = {
+                "files": sorted(
+                    os.path.basename(m.file) for m in messages
+                ),
+                "rows": sum(m.n for m in messages),
+            }
+            with open(os.path.join(self.path, "_manifest.json"), "w") as f:
+                json.dump(manifest, f)
+
+        def abort(self, messages):
+            for m in messages:
+                if m is not None and os.path.exists(m.file):
+                    os.remove(m.file)
+
+    class JsonlSink(DataSource):
+        @classmethod
+        def name(cls):
+            return "dss_jsonl"
+
+        def writer(self, schema, overwrite: bool):
+            return JsonlWriter(self.options, overwrite)
+
+    spark.dataSource.register(JsonlSink)

@@ -104,6 +104,18 @@ SHOWCASE = {
         "SortMergeJoin/ShuffledHashJoin on the band key where the theta twin plans BroadcastNestedLoopJoin",
         "the non-equi predicate becomes an equi-join whose cost tracks band occupancy — survives when neither side broadcasts",
     ),
+    "d_agg_bitmap": (
+        "two-level aggregate: bitmap_construct_agg per (group, bucket), then bitmap_count / bitmap_or_agg on the bitmaps",
+        "exact distinct that merges associatively — rollups re-aggregate stored bitmaps instead of re-scanning the fact table",
+    ),
+    "a_cache_reuse": (
+        "both consumers of the hot projection resolve to InMemoryTableScan",
+        "a working set pinned once in columnar memory serves every plan subtree that needs it",
+    ),
+    "d_agg_group_by_all": (
+        "identical partial→final HashAggregate as the explicit GROUP BY",
+        "analyzer sugar costs nothing at execution — same plan, same shuffle",
+    ),
 }
 
 
