@@ -229,3 +229,49 @@ def test_band_bucket_join_is_complete(spark, bals):
         if abs(x - y) < 100
     }
     assert got == brute
+
+
+@given(ids=st.lists(st.integers(0, 100000), min_size=0, max_size=30))
+@settings(**SETTINGS)
+def test_bitmap_distinct_equals_exact(spark, ids):
+    """d_agg_bitmap's algebra: bucketed bitmap_construct_agg + bitmap_count
+    equals COUNT(DISTINCT) on arbitrary non-negative keys — including the
+    bucket-boundary and empty-input cases the corpus never hits."""
+    if not ids:
+        return
+    df = spark.createDataFrame([(i,) for i in ids], "k long")
+    via_bitmap = (
+        df.select(
+            F.expr("bitmap_bucket_number(k)").alias("b"),
+            F.expr("bitmap_bit_position(k)").alias("p"),
+        )
+        .groupBy("b")
+        .agg(F.expr("bitmap_construct_agg(p)").alias("bm"))
+        .agg(F.sum(F.expr("bitmap_count(bm)")).alias("n"))
+        .collect()[0]["n"]
+    )
+    assert via_bitmap == len(set(ids))
+
+
+@given(
+    vals=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(-1000, 1000)),
+        min_size=0,
+        max_size=20,
+    )
+)
+@settings(**SETTINGS)
+def test_bag_setops_multiplicity(spark, vals):
+    """exceptAll/intersectAll multiset laws vs Python Counter arithmetic:
+    |A ∖ B| + |A ∩ B| = |A| element-wise, on arbitrary multiplicities."""
+    from collections import Counter
+
+    a = [(k,) for k, tag in vals if tag >= 0]
+    b = [(k,) for k, tag in vals if tag < 0]
+    dfa = spark.createDataFrame(a or [(None,)], "k int").filter("k IS NOT NULL")
+    dfb = spark.createDataFrame(b or [(None,)], "k int").filter("k IS NOT NULL")
+    ca, cb = Counter(k for (k,) in a), Counter(k for (k,) in b)
+    got_minus = Counter(r.k for r in dfa.exceptAll(dfb).collect())
+    got_inter = Counter(r.k for r in dfa.intersectAll(dfb).collect())
+    assert got_minus == ca - cb
+    assert got_inter == ca & cb
