@@ -490,3 +490,68 @@ def test_python_ds_pushdown_narrows_partitions(spark):
         assert sorted(per_part) == [50, 50, 50, 50], per_part
     finally:
         spark.conf.set("spark.sql.python.filterPushdown.enabled", "false")
+
+
+def test_multifile_layout_equivalence(spark, sf_dir, tmp_path):
+    """io.load's scale claim: the same call reads a MULTI-FILE dataset (the
+    only layout that exists at 100 TB) with identical results. Re-lay
+    lineitem as 8 part-files, symlink the other tables, and re-run
+    representative keys from three operator classes against the new dir."""
+    import os
+
+    from data_service_spark.io import TABLES, load
+    from data_service_spark.registry import QUERIES
+
+    alt = tmp_path / "corpus"
+    alt.mkdir()
+    for t in TABLES:
+        if t == "lineitem":
+            load(spark, sf_dir, "lineitem").repartition(8).write.parquet(
+                str(alt / "lineitem.parquet")
+            )
+        else:
+            os.symlink(f"{sf_dir}/{t}.parquet", alt / f"{t}.parquet")
+
+    multi = spark.read.parquet(str(alt / "lineitem.parquet"))
+    assert multi.rdd.getNumPartitions() > 1  # scan actually parallelized
+
+    def approx_eq(x, y):
+        # Double sums are order-dependent; a different file split changes
+        # addition order, so compare floats with relative tolerance.
+        if isinstance(x, float) and isinstance(y, float):
+            return abs(x - y) <= 1e-9 * max(1.0, abs(x), abs(y))
+        return x == y
+
+    for key in ("d_agg_groupby", "c_join_multiway", "f_topk"):
+        one = sorted(map(tuple, QUERIES[key](spark, sf_dir).collect()))
+        many = sorted(map(tuple, QUERIES[key](spark, str(alt)).collect()))
+        assert len(one) == len(many), key
+        for r1, r2 in zip(one, many):
+            assert len(r1) == len(r2) and all(
+                approx_eq(a, b) for a, b in zip(r1, r2)
+            ), (key, r1, r2)
+
+
+def test_conf_scoped_keys_leave_session_clean(spark, sf_dir):
+    """The conf-scoping contract of c_join_bloom / a_source_python_ds_pushdown:
+    after the key materializes, every planning knob it touched is back at
+    its prior value (the ADVICE.md conf-leak class, regression-proofed)."""
+    from data_service_spark.registry import QUERIES
+
+    watched = [
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "spark.sql.python.filterPushdown.enabled",
+    ]
+    # Effective values (defaults resolved): the keys restore the value
+    # spark.conf.get reported, which pins a previously-unset conf to its
+    # default explicitly — semantically identical, so compare effectively.
+    before = {k: spark.conf.get(k) for k in watched}
+    QUERIES["c_join_bloom"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    QUERIES["a_source_python_ds_pushdown"](spark, sf_dir).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    after = {k: spark.conf.get(k) for k in watched}
+    assert before == after
