@@ -1388,3 +1388,58 @@ def k_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("vec_id")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
+
+
+@register(
+    "k_anonymize_kanon",
+    oracle="""
+    WITH quasi AS (
+      SELECT c_custkey, n.n_name AS nation, c_mktsegment AS segment,
+             CAST(floor(c_acctbal / 2000) AS BIGINT) AS bal_band
+      FROM customer JOIN nation n ON c_nationkey = n.n_nationkey
+    ), sized AS (
+      SELECT *, count(*) OVER (PARTITION BY nation, segment, bal_band)
+               AS group_size
+      FROM quasi
+    )
+    SELECT c_custkey,
+           CASE WHEN group_size >= 5 THEN nation ELSE '*' END AS nation,
+           CASE WHEN group_size >= 5 THEN segment ELSE '*' END AS segment,
+           CASE WHEN group_size >= 5 THEN CAST(bal_band AS VARCHAR)
+                ELSE '*' END AS bal_band,
+           CAST(group_size >= 5 AS BOOLEAN) AS released
+    FROM sized
+    """,
+)
+def k_anonymize_kanon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity suppression (k=5) over quasi-identifiers — the privacy
+    gate a curation pipeline applies before releasing joined user-adjacent
+    data: any (nation, segment, balance-band) combination shared by fewer
+    than k records is fully suppressed ('*'), so no released row's
+    quasi-identifier tuple isolates fewer than k people.
+
+    One window count over the quasi-identifier partition (single shuffle,
+    same scale shape as any keyed window); generalization granularity
+    (the 2000-unit balance band) is the tunable that trades utility for
+    release rate. The oracle computes the identical suppression in SQL.
+    """
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    quasi = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).select(
+        "c_custkey",
+        F.col("n_name").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+        F.floor(F.col("c_acctbal") / 2000).cast("long").alias("bal_band"),
+    )
+    w = Window.partitionBy("nation", "segment", "bal_band")
+    sized = quasi.withColumn("group_size", F.count(F.lit(1)).over(w))
+    ok = F.col("group_size") >= 5
+    return sized.select(
+        "c_custkey",
+        F.when(ok, F.col("nation")).otherwise("*").alias("nation"),
+        F.when(ok, F.col("segment")).otherwise("*").alias("segment"),
+        F.when(ok, F.col("bal_band").cast("string")).otherwise("*").alias(
+            "bal_band"
+        ),
+        ok.alias("released"),
+    )

@@ -69,7 +69,7 @@ g_except_all g_intersect_all d_agg_bitmap h_mask_funcs
 c_join_bloom a_cbo_stats a_cache_reuse i_state_reader
 q_pipe_sql q_execute_immediate q_sql_script j_udf_arrow j_map_in_arrow
 d_transpose d_agg_group_by_all b_lateral_alias i_stream_file_sink
-a_source_python_ds_pushdown a_sink_python_ds
+a_source_python_ds_pushdown a_sink_python_ds k_anonymize_kanon
 """.split()
 
 
