@@ -1443,3 +1443,55 @@ def k_anonymize_kanon(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         ok.alias("released"),
     )
+
+
+@register(
+    "k_incremental_agg",
+    oracle="""
+    SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents,
+           CAST(max(o_orderkey) AS BIGINT) AS last_key
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def k_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: the materialized per-status
+    rollup is NOT recomputed when a late batch arrives — the stored
+    partial (count/sum/max over the history slice) merges with the
+    delta's partial via the aggregates' own merge algebra (counts add,
+    sums add, maxes max). At 100 TB this is the difference between
+    re-scanning years of history per ingest and touching only the new
+    partition. The oracle computes the full aggregate directly — merge
+    must be exact, which is why the money column flows as integer cents
+    (double sums would drift under re-association).
+
+    history/delta are split deterministically (orderkey mod 10) to stand
+    in for 'yesterday's materialization' + 'today's batch'.
+    """
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100)
+        .cast("long")
+        .alias("price_cents"),
+    )
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("price_cents").alias("revenue_cents"),
+            F.max("o_orderkey").alias("last_key"),
+        )
+
+    history = partial(o.filter(F.col("o_orderkey") % 10 != 0))
+    delta = partial(o.filter(F.col("o_orderkey") % 10 == 0))
+    return (
+        history.unionAll(delta)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("revenue_cents").alias("revenue_cents"),
+            F.max("last_key").alias("last_key"),
+        )
+    )
