@@ -731,3 +731,37 @@ def h_mask_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             phone, F.lit("X"), F.lit("x"), F.lit("9"), F.lit(None)
         ).alias("masked_phone"),
     )
+
+
+@register(
+    "h_explode_outer",
+    oracle="""
+    WITH longw AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), w -> len(w) > 9) AS ws
+      FROM documents
+    )
+    SELECT doc_id,
+           unnest(CASE WHEN len(ws) = 0 THEN [NULL] ELSE ws END) AS long_word
+    FROM longw
+    """,
+)
+def h_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``explode_outer``: the null-preserving fan-out — a row whose array
+    is empty (or null) SURVIVES with a NULL element instead of vanishing.
+    The semantics that matter for join-like denormalization (every parent
+    must appear downstream exactly once even with no children); plain
+    explode silently drops them, the classic row-loss bug. DuckDB has no
+    outer unnest, so the oracle pads empty lists with [NULL] — same
+    algebra spelled out.
+    """
+    d = load(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id",
+        F.filter(
+            F.split("text", " "), lambda w: F.length(w) > 9
+        ).alias("ws"),
+    )
+    return words.select(
+        "doc_id", F.explode_outer("ws").alias("long_word")
+    )
