@@ -478,3 +478,44 @@ def j_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_id", F.round("value_sq", 4).alias("value_sq"), "type_len"
     )
+
+
+@register(
+    "j_apply_in_arrow",
+    oracle="""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           round(min(value), 2) AS vmin, round(max(value), 2) AS vmax,
+           round(max(value) - min(value), 2) AS vrange
+    FROM events GROUP BY event_type
+    """,
+)
+def j_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``groupBy().applyInArrow``: grouped map over raw Arrow tables —
+    the zero-pandas sibling of ``j_grouped_map`` (one pyarrow.Table in,
+    one out per group). The right boundary when the per-group kernel is
+    columnar math (pyarrow.compute / numpy), not row-wise logic: no
+    pandas conversion cost on either side. Each group lands on one task
+    after the usual single hash shuffle.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def per_group(tbl: pa.Table) -> pa.Table:
+        v = tbl.column("value")
+        vmin = pc.min(v).as_py()
+        vmax = pc.max(v).as_py()
+        return pa.table(
+            {
+                "event_type": [tbl.column("event_type")[0].as_py()],
+                "n": pa.array([tbl.num_rows], pa.int64()),
+                "vmin": pa.array([round(vmin, 2)], pa.float64()),
+                "vmax": pa.array([round(vmax, 2)], pa.float64()),
+                "vrange": pa.array([round(vmax - vmin, 2)], pa.float64()),
+            }
+        )
+
+    e = load(spark, sf_dir, "events").select("event_type", "value")
+    return e.groupBy("event_type").applyInArrow(
+        per_group,
+        "event_type string, n long, vmin double, vmax double, vrange double",
+    )
