@@ -711,3 +711,61 @@ def a_sink_python_ds(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.schema("n_nationkey int, n_name string, n_regionkey int")
         .json(f"{path}/part-*.jsonl")
     )
+
+
+def _zvalue(a, b, bits: int = 8):
+    """Interleave the low ``bits`` of two int columns into a Z-order key —
+    pure bitwise algebra, whole-stage codegen'd (no UDF)."""
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(a, i) % 2, 2 * i)
+        ).bitwiseOR(F.shiftleft(F.shiftright(b, i) % 2, 2 * i + 1))
+    return z
+
+
+@register(
+    "a_sink_zorder",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           CAST(o_custkey % 256 AS BIGINT) AS cust_bucket,
+           CAST((year(o_orderdate) * 12 + month(o_orderdate)) % 256 AS BIGINT)
+             AS month_bucket
+    FROM orders
+    """,
+)
+def a_sink_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustered write: files sorted by the bit-interleaved key of
+    TWO dimensions (customer bucket × order month), so per-file min/max
+    stats are tight on BOTH — data skipping works for queries filtering
+    either dimension, where a linear sort clusters one and scatters the
+    other. The multi-dimensional layout every lakehouse OPTIMIZE ZORDER
+    implements, expressed as pure Spark: codegen'd bit interleave →
+    repartitionByRange → sortWithinPartitions → parquet. Locality is
+    audited from the written files' ``_metadata`` in
+    tests/test_plans.py::test_zorder_files_cluster_both_dims; the oracle
+    checks the roundtrip is lossless.
+    """
+    import shutil
+
+    path = _tmpdir(f"orders_zorder_{os.getpid()}")
+    shutil.rmtree(path, ignore_errors=True)
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        (F.col("o_custkey") % 256).alias("cust_bucket"),
+        (
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate")) % 256
+        ).cast("long").alias("month_bucket"),
+    )
+    z = _zvalue(F.col("cust_bucket"), F.col("month_bucket"))
+    (
+        o.withColumn("zval", z)
+        .repartitionByRange(8, "zval")
+        .sortWithinPartitions("zval")
+        .drop("zval")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    return spark.read.parquet(path)

@@ -228,3 +228,39 @@ def test_cache_reuse_hits_inmemory_scan(spark, sf_dir):
     df.write.format("noop").mode("overwrite").save()
     plan = plan_of(df, "simple")
     assert plan.count("InMemoryTableScan") >= 2, plan
+
+
+def test_zorder_files_cluster_both_dims(spark, sf_dir):
+    """a_sink_zorder's layout claim: per-file min/max spans are tight on
+    BOTH interleaved dimensions. A linear sort on one key would leave the
+    other dimension's per-file span at ~the full domain; Z-order bounds
+    both, which is what makes min/max data skipping work two-dimensionally."""
+    QUERIES["a_sink_zorder"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    import os
+    import tempfile
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "data_service_spark_sinks",
+        f"orders_zorder_{os.getpid()}",
+    )
+    from pyspark.sql import functions as F
+
+    per_file = (
+        spark.read.parquet(path)
+        .groupBy(F.col("_metadata.file_name").alias("f"))
+        .agg(
+            (F.max("cust_bucket") - F.min("cust_bucket")).alias("span_cust"),
+            (F.max("month_bucket") - F.min("month_bucket")).alias("span_month"),
+        )
+        .collect()
+    )
+    assert len(per_file) >= 4  # actually multi-file
+    avg_cust = sum(r.span_cust for r in per_file) / len(per_file)
+    avg_month = sum(r.span_month for r in per_file) / len(per_file)
+    # Global spans are ~255 (cust) and ~79 (months). Z-order keeps the
+    # average per-file span well under the global on BOTH dims.
+    assert avg_cust < 255 * 0.75, avg_cust
+    assert avg_month < 79 * 0.75, avg_month
