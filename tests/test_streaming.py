@@ -494,3 +494,41 @@ def test_python_stream_source_offset_resume(spark, tmp_path):
     q2.awaitTermination()
     allr = pd.concat(seen.values())
     assert sorted(allr["id"]) == list(range(300))  # exactly once, complete
+
+
+def test_stateful_funnel_on_rocksdb(spark, tmp_path):
+    """Scale-grade state backend: the applyInPandasWithState funnel yields
+    identical state under RocksDBStateStoreProvider — the off-heap backend
+    that holds 100s of millions of keys with changelog checkpointing —
+    proving the stateful operators are provider-agnostic (the conf is the
+    ONLY difference between this test and test_stateful_funnel)."""
+    conf = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(conf)
+    spark.conf.set(
+        conf,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        d = str(tmp_path / "funnel_rocks")
+        write_event_files(
+            spark,
+            d,
+            [
+                ev(1, "2024-01-01 09:00", 1, "signup"),
+                ev(2, "2024-01-01 09:05", 2, "purchase"),
+            ],
+            [
+                ev(3, "2024-01-01 10:00", 1, "purchase"),
+                ev(4, "2024-01-01 10:05", 2, "signup"),
+            ],
+        )
+        sdf = funnel_stream(read_event_stream(spark, d, one_file_per_batch=True))
+        batches = drain_available_now(sdf, output_mode="update")
+        final = last_rows_per_key(batches, "user_id")
+        assert final[1]["funnel_stage"] == 2
+        assert final[1]["purchases_after_signup"] == 1
+        assert final[2]["funnel_stage"] == 1  # purchase preceded signup
+        assert final[2]["purchases_after_signup"] == 0
+    finally:
+        spark.conf.set(conf, old)
