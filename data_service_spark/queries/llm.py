@@ -1495,3 +1495,82 @@ def k_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("last_key").alias("last_key"),
         )
     )
+
+
+@register(
+    "k_expectations",
+    oracle="""
+    SELECT 'o_orderkey_not_null' AS rule,
+           CAST(count(*) FILTER (WHERE o_orderkey IS NOT NULL) AS BIGINT)
+             AS n_pass,
+           CAST(count(*) FILTER (WHERE o_orderkey IS NULL) AS BIGINT)
+             AS n_fail
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice_positive',
+           count(*) FILTER (WHERE o_totalprice > 0),
+           count(*) FILTER (WHERE o_totalprice <= 0 OR o_totalprice IS NULL)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus_in_domain',
+           count(*) FILTER (WHERE o_orderstatus IN ('F', 'O', 'P')),
+           count(*) FILTER (WHERE o_orderstatus NOT IN ('F', 'O', 'P')
+                            OR o_orderstatus IS NULL)
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey_references_customer',
+           count(*) FILTER (WHERE c.c_custkey IS NOT NULL),
+           count(*) FILTER (WHERE c.c_custkey IS NULL)
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def k_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectations (the DLT/Great-Expectations gate): a rule
+    set — not-null, range, domain, referential integrity — evaluated over
+    the fact table and emitted as a per-rule pass/fail ledger a pipeline
+    checks before promoting a batch. The three row-local rules compute in
+    ONE scan (a single aggregate of conditional counts, unpivoted to the
+    ledger shape); the FK rule adds one broadcast join. At 100 TB you run
+    exactly this shape per ingest partition, not per table. NULLs count
+    as failures (coalesce before negation — ~NULL is NULL in SQL).
+    """
+    o = load(spark, sf_dir, "orders")
+
+    def pf(name: str, passed):
+        ok = F.coalesce(passed, F.lit(False))
+        return [
+            F.count(F.when(ok, 1)).alias(f"{name}__pass"),
+            F.count(F.when(~ok, 1)).alias(f"{name}__fail"),
+        ]
+
+    local = o.agg(
+        *pf("o_orderkey_not_null", F.col("o_orderkey").isNotNull()),
+        *pf("o_totalprice_positive", F.col("o_totalprice") > 0),
+        *pf(
+            "o_orderstatus_in_domain",
+            F.col("o_orderstatus").isin("F", "O", "P"),
+        ),
+    )
+    rules = [
+        "o_orderkey_not_null",
+        "o_totalprice_positive",
+        "o_orderstatus_in_domain",
+    ]
+    stack_expr = "stack({n}, {args}) AS (rule, n_pass, n_fail)".format(
+        n=len(rules),
+        args=", ".join(
+            f"'{r}', {r}__pass, {r}__fail" for r in rules
+        ),
+    )
+    local_long = local.selectExpr(stack_expr)
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    fk = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left")
+        .agg(*pf("fk", F.col("c_custkey").isNotNull()))
+        .select(
+            F.lit("o_custkey_references_customer").alias("rule"),
+            F.col("fk__pass").alias("n_pass"),
+            F.col("fk__fail").alias("n_fail"),
+        )
+    )
+    return local_long.unionAll(fk)
