@@ -699,3 +699,34 @@ def d_agg_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(_GROUP_BY_ALL_SQL)
+
+
+@register(
+    "d_agg_listagg",
+    oracle="""
+    SELECT o_orderpriority,
+           string_agg(o_orderstatus, '' ORDER BY o_orderstatus) AS statuses,
+           CAST(length(string_agg(o_orderstatus, '' ORDER BY o_orderstatus))
+                AS BIGINT) AS n_chars
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def d_agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``LISTAGG … WITHIN GROUP (ORDER BY …)`` (Spark 4.1): ordered string
+    aggregation — the reporting shape for 'all values of X per group' with
+    a DETERMINISTIC order (an unordered listagg is a flaky-test factory).
+    Maps to DuckDB's ``string_agg(… ORDER BY …)``. Note the scale
+    contract: output size is O(group cardinality) — run it on bounded
+    groups (here 5 priorities × 1 char), never on unbounded keys.
+    """
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               listagg(o_orderstatus, '')
+                 WITHIN GROUP (ORDER BY o_orderstatus) AS statuses,
+               length(listagg(o_orderstatus, '')
+                 WITHIN GROUP (ORDER BY o_orderstatus)) AS n_chars
+        FROM orders GROUP BY o_orderpriority
+        """
+    )
