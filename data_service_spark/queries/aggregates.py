@@ -730,3 +730,34 @@ def d_agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders GROUP BY o_orderpriority
         """
     )
+
+
+@register(
+    "d_agg_regression",
+    oracle="""
+    SELECT l_returnflag,
+           round(corr(l_extendedprice, l_quantity), 6) AS price_qty_corr,
+           round(covar_samp(l_extendedprice, l_quantity), 4) AS cov,
+           round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def d_agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regression/correlation aggregates (``corr`` / ``covar_samp`` /
+    ``regr_slope`` / ``regr_intercept`` / ``regr_count``): the in-engine
+    least-squares fit — drift monitors and feature screens compute these
+    per segment WITHOUT exporting data. Single-pass streaming moments
+    (sum, sum², cross-sum) with map-side partials — the same one-shuffle
+    shape as any hash aggregate, however many moments are stacked.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr(y, x), 6).alias("price_qty_corr"),
+        F.round(F.covar_samp(y, x), 4).alias("cov"),
+        F.round(F.regr_slope(y, x), 4).alias("slope"),
+        F.round(F.regr_intercept(y, x), 4).alias("intercept"),
+        F.regr_count(y, x).alias("n"),
+    )

@@ -765,3 +765,54 @@ def h_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return words.select(
         "doc_id", F.explode_outer("ws").alias("long_word")
     )
+
+
+@register(
+    "h_aes_roundtrip",
+    oracle="""
+    SELECT c_custkey, c_name AS decrypted, length(c_name) AS n_chars
+    FROM customer
+    """,
+)
+def h_aes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level encryption surface: ``aes_encrypt``/``aes_decrypt``
+    roundtrip (AES-128-ECB for determinism; production uses GCM whose
+    random IV makes ciphertexts non-reproducible — the right property for
+    storage, the wrong one for a hash-checked test). The oracle is the
+    identity projection: decrypt∘encrypt must be lossless. Both sides of
+    the roundtrip run JVM-side in one codegen stage — encrypt-at-rest for
+    a PII column costs one projection, no Python, no extra pass.
+    """
+    c = load(spark, sf_dir, "customer")
+    dec = F.expr(
+        "CAST(aes_decrypt(aes_encrypt(c_name, '0123456789abcdef', 'ECB'),"
+        " '0123456789abcdef', 'ECB') AS STRING)"
+    )
+    return c.select(
+        "c_custkey",
+        dec.alias("decrypted"),
+        F.length(dec).cast("long").alias("n_chars"),
+    )
+
+
+@register(
+    "h_str_distance",
+    oracle="""
+    SELECT p_partkey,
+           CAST(levenshtein(p_name, p_type) AS INTEGER) AS lev,
+           CAST(levenshtein(p_brand, 'Brand#13') AS INTEGER) AS lev_brand
+    FROM part
+    """,
+)
+def h_str_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in edit distance (``levenshtein``) — the fuzzy-match scalar
+    both engines share, JVM-side (contrast k_dedup_levenshtein, which
+    BANDS the quadratic all-pairs search; this is the per-pair scalar it
+    verifies candidates with).
+    """
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.levenshtein("p_name", "p_type").alias("lev"),
+        F.levenshtein("p_brand", F.lit("Brand#13")).alias("lev_brand"),
+    )
