@@ -89,7 +89,12 @@ def _exploded_shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "shingles", F.size("shingles").alias("n"))
     )
-    return sh.select("doc_id", "n", F.explode("shingles").alias("sh"))
+    # Pinned: every consumer self-joins this (a/b aliases), and an aliased
+    # subtree defeats exchange reuse — without the checkpoint the whole
+    # split/shingle/xxhash chain runs once per side (A/B: ~2x cold).
+    return sh.select(
+        "doc_id", "n", F.explode("shingles").alias("sh")
+    ).localCheckpoint()
 
 
 
@@ -706,11 +711,16 @@ def k_dedup_minhash_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     H, R = 12, 3  # 12 hashes, bands of 3 -> 4 bands
     d = load_parallel(spark, sf_dir, "documents", "doc_id")
+    # Pinned ONCE: sh feeds both the signature build and both sides of the
+    # candidate verification; banded feeds both sides of the band join.
+    # Without the checkpoints each aliased consumer re-runs the whole
+    # shingle/md5 chain (A/B-measured ~2.8x slower end-to-end at sf0.1).
     sh = (
         d.withColumn("words", F.split("text", " "))
         .filter(F.size("words") >= 5)
         .withColumn("shingles", F.expr(_SHINGLES))
         .select("doc_id", "shingles", F.size("shingles").alias("n"))
+        .localCheckpoint()
     )
     ex = sh.select("doc_id", F.explode("shingles").alias("sh"))
     # One md5 per shingle, 12 derived hashes a + i*b (Carter-Wegman): a is
@@ -741,7 +751,7 @@ def k_dedup_minhash_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
             "array_join(transform(array_sort(collect_list(struct(h, mh))),"
             " s -> cast(s.mh AS string)), ',')"
         ).alias("bkey")
-    )
+    ).localCheckpoint()
     a = banded.select(
         F.col("doc_id").alias("doc_id_1"), "band_id", "bkey"
     )
