@@ -891,7 +891,9 @@ def k_sim_ann_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
             " t -> t.bit), '')"
         ).alias("bucket")
     )
-    bv = buck.join(emb, ["vec_id"])
+    # Pinned: bv feeds both the probe extraction and the bucket join —
+    # aliased consumers would re-run the plane projection otherwise.
+    bv = buck.join(emb, ["vec_id"]).localCheckpoint()
     probes = bv.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("probe_id"),
         F.col("bucket"),
