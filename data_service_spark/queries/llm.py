@@ -1586,3 +1586,38 @@ def k_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return local_long.unionAll(fk)
+
+
+@register(
+    "k_dedup_apply",
+    oracle=f"""
+    WITH labels AS ({_ORACLES["k_dedup_clusters"]})
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (WHERE doc_id = cluster_id) AS BIGINT)
+             AS n_kept,
+           CAST(count(*) FILTER (WHERE doc_id <> cluster_id) AS BIGINT)
+             AS n_dropped,
+           CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters
+    FROM labels
+    """,
+)
+def k_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup DECISION applied: keep one canonical document per
+    connected-component cluster (the min-doc_id representative
+    k_dedup_clusters labels) and report the retention ledger — total /
+    kept / dropped / cluster count — the numbers a curation run logs and
+    alerts on (a dedup pass that suddenly drops 40% is a pipeline bug,
+    not a cleaner corpus). Composes the registered clustering verbatim;
+    one aggregate over its labels.
+    """
+    labels = k_dedup_clusters(spark, sf_dir)
+    return labels.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(F.col("doc_id") == F.col("cluster_id"), 1)).alias(
+            "n_kept"
+        ),
+        F.count(F.when(F.col("doc_id") != F.col("cluster_id"), 1)).alias(
+            "n_dropped"
+        ),
+        F.countDistinct("cluster_id").alias("n_clusters"),
+    )

@@ -402,3 +402,34 @@ def e_win_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         (F.round(num / den, 4) + F.lit(0.0)).alias("ewma"),
     )
+
+
+@register(
+    "e_win_nth_value",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           nth_value(o_orderkey, 2) OVER w AS second_order,
+           nth_value(o_totalprice, 3) OVER w AS third_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def e_win_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``nth_value`` over the full partition frame: positional picks from
+    an ordered per-key history (second order ever, third price ever) —
+    NULL where the partition is shorter, identical semantics both
+    engines. Partitioned by a real key, so the sort shards per customer.
+    """
+    o = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.nth_value("o_orderkey", 2).over(w).alias("second_order"),
+        F.nth_value("o_totalprice", 3).over(w).alias("third_price"),
+    )
