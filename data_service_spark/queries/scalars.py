@@ -816,3 +816,79 @@ def h_str_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.levenshtein("p_name", "p_type").alias("lev"),
         F.levenshtein("p_brand", F.lit("Brand#13")).alias("lev_brand"),
     )
+
+
+@register(
+    "h_map_higher_order",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, list_distinct(string_split(text, ' ')) AS words
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(words) AS INTEGER) AS n_entries,
+           CAST(len(list_filter(words, x -> len(x) > 5)) AS INTEGER)
+             AS n_long,
+           CAST(list_sum(list_transform(words, x -> len(x) + 1)) AS BIGINT)
+             AS sum_bumped
+    FROM w
+    """,
+)
+def h_map_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map higher-order functions (`map_from_entries` / `map_filter` /
+    `transform_values` / `map_values`): a word→length map built per row,
+    filtered and value-transformed entirely inside whole-stage codegen.
+    Output is scalars (cardinalities, a value sum) so the oracle — DuckDB
+    has no map HOFs — proves the same algebra via list operations on the
+    identical distinct-word set.
+    """
+    d = load(spark, sf_dir, "documents")
+    m = F.expr(
+        "map_from_entries(transform(array_distinct(split(text, ' ')),"
+        " w -> struct(w, length(w))))"
+    )
+    return d.select(
+        "doc_id",
+        F.size(m).alias("n_entries"),
+        F.size(F.expr(
+            "map_filter(map_from_entries(transform(array_distinct("
+            "split(text, ' ')), w -> struct(w, length(w)))),"
+            " (k, v) -> v > 5)"
+        )).alias("n_long"),
+        F.aggregate(
+            F.map_values(F.expr(
+                "transform_values(map_from_entries(transform(array_distinct("
+                "split(text, ' ')), w -> struct(w, length(w)))),"
+                " (k, v) -> v + 1)"
+            )),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias("sum_bumped"),
+    )
+
+
+@register(
+    "h_interval_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS plus_3mo,
+           CAST(o_orderdate AS DATE) + INTERVAL 10 DAY AS plus_10d,
+           CAST(o_orderdate AS DATE) - INTERVAL 1 YEAR AS minus_1y
+    FROM orders
+    """,
+)
+def h_interval_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-interval arithmetic: month/day/year offsets with the
+    month-end clamping both engines share (Jan 31 + 1 month = Feb 28/29).
+    `add_months` and interval literals are the two Spark spellings; the
+    oracle uses DuckDB's interval addition on the same dates. All codegen
+    projection — date math never justifies a UDF.
+    """
+    o = load(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.add_months(d, 3).cast("timestamp").alias("plus_3mo"),
+        F.date_add(d, 10).cast("timestamp").alias("plus_10d"),
+        F.add_months(d, -12).cast("timestamp").alias("minus_1y"),
+    )
