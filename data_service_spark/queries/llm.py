@@ -1621,3 +1621,51 @@ def k_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.countDistinct("cluster_id").alias("n_clusters"),
     )
+
+
+@register(
+    "k_dataset_card",
+    oracle="""
+    WITH s AS (
+      SELECT lang, n_chars,
+             len(string_split(text, ' ')) AS n_words
+      FROM documents
+    ), tot AS (SELECT count(*) AS n FROM s)
+    SELECT s.lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(count(*) * 100.0 / max(tot.n), 2) AS pct_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(sum(n_words) AS BIGINT) AS total_words,
+           round(avg(n_words), 2) AS avg_words,
+           CAST(min(n_words) AS BIGINT) AS min_words,
+           CAST(max(n_words) AS BIGINT) AS max_words
+    FROM s CROSS JOIN tot
+    GROUP BY s.lang
+    """,
+)
+def k_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset card: the per-language composition report a curation run
+    publishes with every release — doc counts and share, char/word
+    volumes, word-length distribution. One scan + one hash aggregate; the
+    corpus total rides along as a broadcast scalar join, so the report
+    costs the same at 100 TB as the groupBy underneath it.
+    """
+    d = load(spark, sf_dir, "documents").select(
+        "lang", "n_chars", F.size(F.split("text", " ")).alias("n_words")
+    )
+    tot = d.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        d.crossJoin(F.broadcast(tot))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.count(F.lit(1)) * 100.0 / F.max("n"), 2).alias(
+                "pct_docs"
+            ),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum("n_words").cast("long").alias("total_words"),
+            F.round(F.avg("n_words"), 2).alias("avg_words"),
+            F.min("n_words").cast("long").alias("min_words"),
+            F.max("n_words").cast("long").alias("max_words"),
+        )
+    )
