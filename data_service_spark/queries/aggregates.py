@@ -761,3 +761,37 @@ def d_agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_intercept(y, x), 4).alias("intercept"),
         F.regr_count(y, x).alias("n"),
     )
+
+
+@register(
+    "d_agg_crosstab",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) FILTER (WHERE o_orderpriority = '1-URGENT')
+                AS BIGINT) AS "1-URGENT",
+           CAST(count(*) FILTER (WHERE o_orderpriority = '2-HIGH')
+                AS BIGINT) AS "2-HIGH",
+           CAST(count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM')
+                AS BIGINT) AS "3-MEDIUM",
+           CAST(count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED')
+                AS BIGINT) AS "4-NOT SPECIFIED",
+           CAST(count(*) FILTER (WHERE o_orderpriority = '5-LOW')
+                AS BIGINT) AS "5-LOW"
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def d_agg_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contingency table via ``df.stat.crosstab`` — the category×category
+    count matrix (status × priority) the profiling layer renders. One
+    pivot-shaped aggregate; column set is the value domain, so like any
+    pivot it belongs on BOUNDED cardinality columns. Columns re-selected
+    in sorted order because crosstab's column order is value-discovery
+    order (nondeterministic under parallel scan).
+    """
+    o = load(spark, sf_dir, "orders")
+    ct = o.stat.crosstab("o_orderstatus", "o_orderpriority")
+    value_cols = sorted(c for c in ct.columns if c != "o_orderstatus_o_orderpriority")
+    return ct.select(
+        F.col("o_orderstatus_o_orderpriority").alias("o_orderstatus"),
+        *[F.col(f"`{c}`").cast("long").alias(c) for c in value_cols],
+    )

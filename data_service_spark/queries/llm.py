@@ -1669,3 +1669,57 @@ def k_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_words").cast("long").alias("max_words"),
         )
     )
+
+
+@register(
+    "k_vocab_coverage",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ), vocab AS (
+      SELECT w FROM (
+        SELECT w, count(*) AS cnt FROM words GROUP BY w
+        ORDER BY cnt DESC, w LIMIT 100
+      )
+    )
+    SELECT words.doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(count(*) FILTER (WHERE vocab.w IS NULL) AS BIGINT) AS n_oov,
+           round(count(*) FILTER (WHERE vocab.w IS NULL) * 1.0 / count(*), 4)
+             AS oov_rate
+    FROM words LEFT JOIN vocab ON words.w = vocab.w
+    GROUP BY words.doc_id
+    """,
+)
+def k_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage / OOV-rate per document against the corpus'
+    top-100 words — the tokenizer-fit metric a data pipeline computes
+    before committing to a vocab (high OOV → wrong tokenizer or wrong
+    corpus slice). Two aggregates and one BROADCAST join: the vocab is
+    top-N by construction, so membership travels to the data; per-doc
+    rates need no second scan of text. Deterministic via the (count,
+    word) tiebreak on the vocab boundary.
+    """
+    d = load_parallel(spark, sf_dir, "documents", "doc_id")
+    words = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    vocab = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("w"))
+        .limit(100)
+        .select("w", F.lit(True).alias("in_vocab"))
+    )
+    return (
+        words.join(F.broadcast(vocab), "w", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.count(F.when(F.col("in_vocab").isNull(), 1)).alias("n_oov"),
+            F.round(
+                F.count(F.when(F.col("in_vocab").isNull(), 1))
+                * 1.0
+                / F.count(F.lit(1)),
+                4,
+            ).alias("oov_rate"),
+        )
+    )

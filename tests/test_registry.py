@@ -73,7 +73,7 @@ a_source_python_ds_pushdown a_sink_python_ds k_anonymize_kanon
 k_incremental_agg h_explode_outer j_apply_in_arrow a_sink_zorder
 k_expectations d_agg_listagg d_agg_regression h_aes_roundtrip
 h_str_distance e_win_nth_value k_dedup_apply h_map_higher_order
-h_interval_funcs k_dataset_card
+h_interval_funcs k_dataset_card k_vocab_coverage d_agg_crosstab
 """.split()
 
 
