@@ -137,6 +137,15 @@ def main() -> None:
         "k_text_contamination",
         "k_embed_quantize",
         "k_split_train_test",
+        # round-2-continuation flagships
+        "k_graph_pagerank",
+        "k_dedup_minhash_sql",
+        "k_eval_dedup_recall",
+        "c_join_bloom",
+        "d_agg_bitmap",
+        "i_state_reader",
+        "a_cbo_stats",
+        "q_pipe_sql",
     ]
     line = dict(full)
     line["queries"] = {k: timings[k] for k in headline if k in timings}
