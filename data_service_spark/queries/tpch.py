@@ -64,6 +64,31 @@ def _suite(key: str, tables: list[str], text: str, doc: str) -> None:
 
 
 _suite(
+    "q_tpch_q01",
+    ["lineitem"],
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+             AS sum_charge,
+           round(avg(l_quantity), 6) AS avg_qty,
+           round(avg(l_extendedprice), 6) AS avg_price,
+           round(avg(l_discount), 6) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    "Q1 (pricing summary report) verbatim on the corpus schema — the "
+    "canonical scan→filter→wide-agg plan: one parquet pass, map-side "
+    "partial aggregation, 6-group final. Round 1 carried the shape as "
+    "d_agg_groupby; this is the exact suite member so the named 22-query "
+    "set is complete.",
+)
+
+_suite(
     "q_tpch_q02",
     ["part", "supplier", "lineitem"],
     """
@@ -100,6 +125,31 @@ _suite(
     "join by both engines. Adapted: no l_commitdate/l_receiptdate, so the "
     "late-delivery predicate becomes a quantity predicate with similar "
     "selectivity.",
+)
+
+_suite(
+    "q_tpch_q05",
+    ["customer", "orders", "lineitem", "supplier", "nation", "region"],
+    """
+    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+         JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON l_orderkey = o_orderkey
+         JOIN supplier ON l_suppkey = s_suppkey
+                      AND c_nationkey = s_nationkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    ORDER BY revenue DESC
+    """,
+    "Q5 (local supplier volume) verbatim: the 6-way snowflake join with the "
+    "same-nation equi-condition folded into the supplier join. Catalyst "
+    "broadcasts region/nation/supplier; only customer⋈orders⋈lineitem "
+    "shuffle. Round 1 carried the shape as c_join_multiway (the entry() "
+    "flagship); this is the exact suite member.",
 )
 
 _suite(

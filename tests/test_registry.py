@@ -40,6 +40,7 @@ k_text_token_count k_multimodal_decode k_dedup_minhash k_sim_ivf
 k_multimodal_features k_cluster_iterate k_multimodal_framesample
 k_dedup_minhash_sql k_sim_ann_sql a_source_jdbc k_dedup_clusters
 d_agg_unpivot
+q_tpch_q01 q_tpch_q05
 q_tpch_q02 q_tpch_q04 q_tpch_q07 q_tpch_q08 q_tpch_q09 q_tpch_q12
 q_tpch_q13 q_tpch_q15 q_tpch_q16 q_tpch_q17 q_tpch_q18 q_tpch_q19
 q_tpch_q21 q_tpch_q22 q_tpch_q11 q_tpch_q20
