@@ -69,6 +69,9 @@ PRIORITY = [
     # round-2-continuation flagships (new this session)
     "i_state_reader", "c_join_bloom", "d_agg_bitmap", "a_cbo_stats",
     "q_pipe_sql", "j_map_in_arrow",
+    # linear-algebra extensions + exact TPC-H Q1/Q5 (latest session)
+    "k_embed_gram", "k_hard_negatives", "k_class_weights",
+    "q_tpch_q01", "q_tpch_q05",
 ]
 
 

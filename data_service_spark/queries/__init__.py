@@ -16,4 +16,5 @@ from data_service_spark.queries import (  # noqa: F401
     llm_text,
     tpch,
     training,
+    linalg,
 )

@@ -1,0 +1,265 @@
+"""§2.K extensions — distributed linear algebra over the embeddings table.
+
+The matrix workloads an embedding-curation pipeline runs that aren't
+per-pair similarity (llm.py already covers those): the d×d Gram matrix
+(the reduce step behind PCA / whitening / covariance shift detection),
+the PCA projection itself, contrastive triplet mining (hardest positive /
+hardest negative per anchor), and inverse-frequency class weights.
+
+Scale design (100 TB): the Gram matrix is the canonical "big N, tiny d"
+reduction — each task folds its partition of row-vectors into a d×d
+partial with one BLAS GEMM (numpy, Arrow-batched), so the shuffle moves
+O(parts · d²) doubles, independent of N. The eigendecomposition that
+follows is O(d³) on a d×d matrix — driver-side by design (d=64 here;
+even d=4096 is a laptop job), NOT a distributed bottleneck. Projection
+back onto the top components is a broadcast of 2·d literals folded in
+Catalyst. Nothing here collects O(N) data to the driver.
+
+Reference provenance: `/root/reference` was empty at survey time
+(SURVEY.md §0); the operator set follows the public embedding-pipeline
+canon (truncated SVD whitening, triplet mining, class-balanced weighting).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from data_service_spark.queries.llm import _emb, dot
+from data_service_spark.registry import register
+
+# ------------------------------------------------------------ gram / PCA ----
+
+
+def _gram_partials(emb: DataFrame) -> DataFrame:
+    """(i, j, partial) rows: one d×d partial XᵀX per Arrow batch, computed
+    as a single numpy GEMM. 1-indexed (i, j) so the oracle's DuckDB list
+    indexing lines up. The input is repartitioned to a fixed small count —
+    the corpus ships as one row group (io.load_parallel notes), and the
+    explicit count pins fan-out so the GEMM runs in parallel while the
+    reduce stays O(parts · d²)."""
+    import numpy as np
+    import pandas as pd
+
+    def partials(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.vstack(pdf["v"].to_numpy())  # (n, d) float64
+            g = x.T @ x  # one GEMM per batch
+            d = g.shape[0]
+            idx = np.arange(1, d + 1)
+            yield pd.DataFrame(
+                {
+                    "i": np.repeat(idx, d),
+                    "j": np.tile(idx, d),
+                    "partial": g.ravel(),
+                }
+            )
+
+    return emb.select("v").repartition(16).mapInPandas(
+        partials, schema="i int, j int, partial double"
+    )
+
+
+_GRAM_ORACLE = """
+    WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT i.i AS i, j.j AS j, round(sum(v[i.i] * v[j.j]), 4) AS gram
+    FROM e, range(1, 65) i(i), range(1, 65) j(j)
+    GROUP BY 1, 2
+"""
+
+
+@register("k_embed_gram", oracle=_GRAM_ORACLE)
+def k_embed_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Gram matrix XᵀX of the embedding corpus.
+
+    Map side: one BLAS GEMM per Arrow batch → d² partials; reduce side:
+    groupBy (i, j) sum — O(parts · d²) shuffled bytes regardless of N.
+    The oracle unnests the same products pairwise; double accumulation
+    keeps the 4dp rounding stable across summation orders."""
+    g = _gram_partials(_emb(spark, sf_dir))
+    return g.groupBy("i", "j").agg(
+        F.round(F.sum("partial"), 4).alias("gram")
+    )
+
+
+@register("k_embed_pca_project")  # rows-only: eigenvectors aren't SQL
+def k_embed_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Project every embedding onto the top-2 principal axes (truncated
+    SVD on the uncentered Gram — the sphere-PCA variant appropriate for
+    L2-normalized vectors, FIXTURES.md).
+
+    The Gram reduce is distributed (k_embed_gram); only the d×d matrix
+    (64×64 = 4 096 rows, O(1) in N) comes to the driver for the O(d³)
+    eigh. Components re-enter the plan as broadcast literals; the
+    projection is a Catalyst fold per row — no Python in the per-row path.
+    Sign convention: each component's largest-|coordinate| entry is made
+    positive, so the output is deterministic across eigh implementations
+    up to that canonical form."""
+    import numpy as np
+
+    emb = _emb(spark, sf_dir)
+    rows = (
+        _gram_partials(emb)
+        .groupBy("i", "j")
+        .agg(F.sum("partial").alias("g"))
+        .collect()
+    )  # d² = 4096 scalars — O(1) w.r.t. corpus size
+    d = max(r["i"] for r in rows)
+    g = np.zeros((d, d))
+    for r in rows:
+        g[r["i"] - 1, r["j"] - 1] = r["g"]
+    vals, vecs = np.linalg.eigh(g)
+    comps = []
+    for k in (d - 1, d - 2):  # top-2 by eigenvalue (eigh sorts ascending)
+        c = vecs[:, k]
+        if c[np.argmax(np.abs(c))] < 0:
+            c = -c
+        comps.append(c)
+
+    def lit_vec(c) -> F.Column:
+        return F.array(*[F.lit(float(x)) for x in c])
+
+    return emb.select(
+        "vec_id",
+        "label",
+        F.round(dot(F.col("v"), lit_vec(comps[0])), 4).alias("pc1"),
+        F.round(dot(F.col("v"), lit_vec(comps[1])), 4).alias("pc2"),
+    )
+
+
+# ------------------------------------------------------- triplet mining ----
+
+
+@register(
+    "k_hard_negatives",
+    oracle="""
+    WITH a AS (SELECT vec_id AS anchor_id, CAST(embedding AS DOUBLE[]) AS av,
+                      label AS alabel
+               FROM embeddings WHERE vec_id < 20),
+         c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv, label
+               FROM embeddings),
+         sims AS (
+           SELECT anchor_id, alabel, vec_id, label,
+                  list_inner_product(av, cv) AS sim
+           FROM a CROSS JOIN c WHERE vec_id <> anchor_id
+         ),
+         pos AS (
+           SELECT anchor_id, vec_id AS pos_id, round(sim, 4) AS pos_sim,
+                  row_number() OVER (PARTITION BY anchor_id
+                                     ORDER BY round(sim, 6) DESC, vec_id) AS rn
+           FROM sims WHERE label = alabel
+         ),
+         neg AS (
+           SELECT anchor_id, vec_id AS neg_id, round(sim, 4) AS neg_sim,
+                  row_number() OVER (PARTITION BY anchor_id
+                                     ORDER BY round(sim, 6) DESC, vec_id) AS rn
+           FROM sims WHERE label <> alabel
+         )
+    SELECT p.anchor_id, p.pos_id, p.pos_sim, n.neg_id, n.neg_sim,
+           round(p.pos_sim - n.neg_sim, 4) AS margin
+    FROM pos p JOIN neg n ON p.anchor_id = n.anchor_id
+    WHERE p.rn = 1 AND n.rn = 1
+    """,
+)
+def k_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive triplet mining: per anchor, the hardest positive (most
+    similar, same label) and hardest negative (most similar, different
+    label), plus the triplet margin.
+
+    Plan shape = k_sim_topk's broadcast-probe scan: the corpus streams
+    once past the (broadcast) anchor set, then two per-anchor windows rank
+    same-label and cross-label candidates. At 100 TB with all-vectors-as-
+    anchors, the cross join becomes the blocked GEMM of sim_pairs or an
+    LSH pre-bucket (k_sim_ann); the ranking windows are unchanged."""
+    emb = _emb(spark, sf_dir)
+    anchors = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("v").alias("av"),
+        F.col("label").alias("alabel"),
+    )
+    sims = (
+        emb.crossJoin(F.broadcast(anchors))
+        .filter(F.col("vec_id") != F.col("anchor_id"))
+        .select(
+            "anchor_id",
+            "alabel",
+            "vec_id",
+            "label",
+            dot(F.col("av"), F.col("v")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.round("sim", 6).desc(), F.col("vec_id")
+    )
+    pos = (
+        sims.filter(F.col("label") == F.col("alabel"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "anchor_id",
+            F.col("vec_id").alias("pos_id"),
+            F.round("sim", 4).alias("pos_sim"),
+        )
+    )
+    neg = (
+        sims.filter(F.col("label") != F.col("alabel"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "anchor_id",
+            F.col("vec_id").alias("neg_id"),
+            F.round("sim", 4).alias("neg_sim"),
+        )
+    )
+    return pos.join(neg, "anchor_id").select(
+        "anchor_id",
+        "pos_id",
+        "pos_sim",
+        "neg_id",
+        "neg_sim",
+        F.round(F.col("pos_sim") - F.col("neg_sim"), 4).alias("margin"),
+    )
+
+
+# -------------------------------------------------------- class weights ----
+
+
+@register(
+    "k_class_weights",
+    oracle="""
+    WITH tot AS (SELECT count(*) AS n_tot,
+                        count(DISTINCT label) AS n_cls
+                 FROM embeddings)
+    SELECT label, count(*) AS n,
+           round(n_tot / (n_cls * CAST(count(*) AS DOUBLE)), 6) AS weight
+    FROM embeddings, tot
+    GROUP BY label, n_tot, n_cls
+    """,
+)
+def k_class_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-frequency class weights (sklearn's 'balanced' convention:
+    n_tot / (n_classes · n_c)) — the lookup table a class-balanced sampler
+    or weighted loss joins against. One groupBy plus a broadcast of the
+    single-row totals; at 100 TB the per-class counts are the only shuffle
+    and the weight table stays dimension-sized."""
+    e = _emb(spark, sf_dir)
+    tot = e.agg(
+        F.count(F.lit(1)).alias("n_tot"),
+        F.countDistinct("label").alias("n_cls"),
+    )
+    return (
+        e.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "label",
+            "n",
+            F.round(
+                F.col("n_tot") / (F.col("n_cls") * F.col("n").cast("double")),
+                6,
+            ).alias("weight"),
+        )
+    )

@@ -555,3 +555,80 @@ def test_conf_scoped_keys_leave_session_clean(spark, sf_dir):
     ).mode("overwrite").save()
     after = {k: spark.conf.get(k) for k in watched}
     assert before == after
+
+
+def test_gram_matrix_matches_numpy(spark, sf_dir):
+    """k_embed_gram's distributed GEMM reduce equals a single-node numpy
+    X.T @ X on the same corpus, and the uncentered Gram of L2-normalized
+    vectors has trace == N."""
+    import numpy as np
+
+    from data_service_spark.registry import QUERIES
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").toPandas()
+    x = np.vstack(emb["embedding"].to_numpy()).astype("float64")
+    want = x.T @ x
+    got = np.zeros_like(want)
+    for r in QUERIES["k_embed_gram"](spark, sf_dir).collect():
+        got[r.i - 1, r.j - 1] = r.gram
+    assert np.allclose(got, want, atol=1e-3)
+    assert abs(np.trace(got) - len(x)) < 1e-2  # unit rows: diag sums to N
+
+
+def test_pca_projection_energy_ordered(spark, sf_dir):
+    """pc1 captures at least as much energy as pc2 (eigh ordering), every
+    vector is projected, and projection norms are bounded by unit rows."""
+    from data_service_spark.registry import QUERIES
+
+    pdf = QUERIES["k_embed_pca_project"](spark, sf_dir).toPandas()
+    n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    assert len(pdf) == n
+    e1, e2 = (pdf.pc1**2).sum(), (pdf.pc2**2).sum()
+    assert e1 >= e2 > 0
+    assert (pdf.pc1.abs() <= 1.0 + 1e-6).all()  # |<v, e>| <= |v||e| = 1
+
+
+def test_hard_negatives_brute_force_one_anchor(spark, sf_dir):
+    """Replicate anchor 0's hardest positive/negative with pandas brute
+    force; margin column is their rounded difference."""
+    import numpy as np
+
+    from data_service_spark.registry import QUERIES
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").toPandas()
+    x = np.vstack(emb["embedding"].to_numpy()).astype("float64")
+    lab = emb["label"].to_numpy()
+    vid = emb["vec_id"].to_numpy()
+    a = int(np.where(vid == 0)[0][0])
+    sims = x @ x[a]
+    order = np.lexsort((vid, -np.round(sims, 6)))
+
+    def best(same: bool) -> int:
+        for idx in order:
+            if vid[idx] == 0:
+                continue
+            if (lab[idx] == lab[a]) == same:
+                return idx
+        raise AssertionError("no candidate")
+
+    row = (
+        QUERIES["k_hard_negatives"](spark, sf_dir)
+        .filter("anchor_id = 0")
+        .collect()[0]
+    )
+    bp, bn = best(True), best(False)
+    assert row.pos_id == vid[bp] and row.neg_id == vid[bn]
+    assert abs(row.pos_sim - round(sims[bp], 4)) < 1e-9
+    assert abs(row.margin - round(row.pos_sim - row.neg_sim, 4)) < 1e-9
+
+
+def test_class_weights_rebalance_exactly(spark, sf_dir):
+    """Balanced-weight identity: sum_c n_c * w_c == n_total (each class
+    contributes equal total weight), so a weighted sampler sees uniform
+    class mass."""
+    from data_service_spark.registry import QUERIES
+
+    pdf = QUERIES["k_class_weights"](spark, sf_dir).toPandas()
+    n_tot = int(pdf.n.sum())
+    assert abs((pdf.n * pdf.weight).sum() - n_tot) < n_tot * 1e-4
+    assert (pdf.weight > 0).all()

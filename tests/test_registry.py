@@ -75,6 +75,7 @@ k_incremental_agg h_explode_outer j_apply_in_arrow a_sink_zorder
 k_expectations d_agg_listagg d_agg_regression h_aes_roundtrip
 h_str_distance e_win_nth_value k_dedup_apply h_map_higher_order
 h_interval_funcs k_dataset_card k_vocab_coverage d_agg_crosstab
+k_embed_gram k_embed_pca_project k_hard_negatives k_class_weights
 """.split()
 
 
@@ -94,6 +95,7 @@ def test_rows_only_keys_are_the_declared_ones():
         "d_agg_approx_quantile",  # KLL sketch estimates are engine-specific
         "d_agg_hll_sketch",  # DataSketches HLL bytes are engine-specific
         "d_agg_freq_items",  # KSP frequent-items candidate sets are impl-specific
+        "k_embed_pca_project",  # eigenvectors aren't SQL-expressible
     }
 
 
