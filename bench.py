@@ -146,6 +146,11 @@ def main() -> None:
         "i_state_reader",
         "a_cbo_stats",
         "q_pipe_sql",
+        # linear-algebra + exact TPC-H Q1/Q5 flagships
+        "k_embed_gram",
+        "k_hard_negatives",
+        "q_tpch_q01",
+        "q_tpch_q05",
     ]
     line = dict(full)
     line["queries"] = {k: timings[k] for k in headline if k in timings}

@@ -152,6 +152,64 @@ def k_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "k_dedup_containment",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM documents
+      WHERE len(string_split(text, ' ')) >= 5
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, len(words) - 4),
+                           i -> array_to_string(words[i:i+4], ' '))) AS shingles
+      FROM w
+    ), ex AS (SELECT doc_id, unnest(shingles) AS sh FROM sh),
+    sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+    inter AS (
+      SELECT a.doc_id AS doc_id, b.doc_id AS contained_in,
+             count(*) AS n_common
+      FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_id, contained_in,
+           round(n_common * 1.0 / s1.n, 4) AS containment
+    FROM inter JOIN sizes s1 USING (doc_id)
+    WHERE n_common * 1.0 / s1.n >= 0.5
+    """,
+)
+def k_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed containment dedup: C(a→b) = |shingles(a) ∩ shingles(b)| /
+    |shingles(a)| ≥ 0.5 — the asymmetric twin of k_dedup_near's Jaccard.
+
+    Containment catches what symmetric Jaccard structurally cannot: a
+    short document quoted inside a much longer one scores near-1
+    containment but near-0 Jaccard (the union is dominated by the long
+    side). Curation pipelines run both — Jaccard for mirror/near-mirror
+    pages, containment for quote-inclusion and boilerplate envelopment.
+
+    Same scale shape as k_dedup_near: the pair space is generated by the
+    shingle-hash equi-join (only docs sharing a shingle pair up; int64
+    hashed payloads), one groupBy per directed pair, denominator joined
+    from the pinned shingle table. The LSH twin at 100 TB buckets by
+    MinHash first; the containment formula on verified candidates is
+    unchanged."""
+    ex = _exploded_shingle_hashes(spark, sf_dir)
+    a = ex.select(
+        F.col("doc_id").alias("doc_id"), F.col("n").alias("n1"), "sh"
+    )
+    b = ex.select(F.col("doc_id").alias("contained_in"), "sh")
+    inter = (
+        a.join(b, ["sh"])
+        .filter(F.col("doc_id") != F.col("contained_in"))
+        .groupBy("doc_id", "contained_in", "n1")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    cont = F.col("n_common") * 1.0 / F.col("n1")
+    return inter.filter(cont >= 0.5).select(
+        "doc_id", "contained_in", F.round(cont, 4).alias("containment")
+    )
+
+
 # ----------------------------------------------------------- similarity ----
 
 

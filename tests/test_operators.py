@@ -632,3 +632,30 @@ def test_class_weights_rebalance_exactly(spark, sf_dir):
     n_tot = int(pdf.n.sum())
     assert abs((pdf.n * pdf.weight).sum() - n_tot) < n_tot * 1e-4
     assert (pdf.weight > 0).all()
+
+
+def test_containment_brute_force(spark, sf_dir):
+    """k_dedup_containment equals a pandas brute force over 5-gram shingle
+    sets at smoke scale, and is directional (denominator = left doc)."""
+    from data_service_spark.registry import QUERIES
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").toPandas()
+    sets = {}
+    for _, r in docs.iterrows():
+        w = r["text"].split(" ")
+        if len(w) >= 5:
+            sets[r["doc_id"]] = {
+                " ".join(w[i : i + 5]) for i in range(len(w) - 4)
+            }
+    want = {}
+    for a, sa in sets.items():
+        for b, sb in sets.items():
+            if a != b:
+                c = len(sa & sb) / len(sa)
+                if c >= 0.5:
+                    want[(a, b)] = round(c, 4)
+    got = {
+        (r.doc_id, r.contained_in): r.containment
+        for r in QUERIES["k_dedup_containment"](spark, sf_dir).collect()
+    }
+    assert got == want

@@ -116,6 +116,18 @@ SHOWCASE = {
         "identical partial→final HashAggregate as the explicit GROUP BY",
         "analyzer sugar costs nothing at execution — same plan, same shuffle",
     ),
+    "k_embed_gram": (
+        "MapInPandas emitting d² partials per task, then one partial→final HashAggregate on (i, j)",
+        "the Gram reduce ships O(parts·d²) doubles regardless of corpus size — the scan, not the reduce, is the 100 TB cost",
+    ),
+    "k_hard_negatives": (
+        "one corpus scan crossed with a BroadcastExchange of the anchor set; two Window ranks over the same shuffle",
+        "the corpus streams once past broadcast anchors; ranking reuses the anchor partitioning — no second scan",
+    ),
+    "q_tpch_q05": (
+        "BroadcastHashJoins for region/nation/supplier; shuffle joins only on customer⋈orders⋈lineitem",
+        "the snowflake's dimension legs ship to executors once; fact shuffles are the only data movement",
+    ),
 }
 
 
