@@ -795,3 +795,46 @@ def d_agg_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderstatus_o_orderpriority").alias("o_orderstatus"),
         *[F.col(f"`{c}`").cast("long").alias(c) for c in value_cols],
     )
+
+
+@register(
+    "d_agg_approx_top_k",
+    oracle="""
+    SELECT o_custkey, n
+    FROM (
+      SELECT o_custkey, CAST(count(*) AS BIGINT) AS n,
+             row_number() OVER (ORDER BY count(*) DESC, o_custkey) AS rn
+      FROM orders GROUP BY o_custkey
+    ) WHERE rn <= 10
+    """,
+)
+def d_agg_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter top-k via Spark 4.1's ``approx_top_k`` sketch — the
+    one-pass, mergeable, bounded-memory way to find hot keys at 100 TB
+    (a full groupBy of a high-cardinality key shuffles everything; the
+    sketch ships one fixed-size summary per partition).
+
+    Run here in the sketch's EXACT regime: maxItemsTracked (100k) exceeds
+    the key cardinality, so every count is exact and the result — re-sorted
+    with a deterministic (count desc, key) tiebreak — hash-matches the
+    exact GROUP BY oracle. At true 100 TB cardinalities the same plan
+    degrades gracefully to approximate counts; the oracle pin is the
+    exact-regime contract."""
+    from pyspark.sql.window import Window
+
+    o = load(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("dss_topk_orders")
+    sk = spark.sql(
+        """
+        SELECT explode(approx_top_k(o_custkey, 10000, 100000)) AS e
+        FROM dss_topk_orders
+        """
+    ).select(F.col("e.item").alias("o_custkey"), F.col("e.count").alias("n"))
+    # Unpartitioned window is fine here: its input is the SKETCH output
+    # (<= maxItemsTracked rows), not the data — bounded regardless of N.
+    w = Window.orderBy(F.col("n").desc(), F.col("o_custkey"))
+    return (
+        sk.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("o_custkey", "n")
+    )

@@ -1177,3 +1177,62 @@ def k_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.round(F.sum("lr"), 4) + F.lit(0.0)).alias("dsir_weight"),
         )
     )
+
+
+@register(
+    "k_shard_balance",
+    oracle="""
+    WITH assign AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(concat('shard:', doc_id::VARCHAR)), 1, 8))::BIGINT
+               % 8 AS shard,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    ), per AS (
+      SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS tokens
+      FROM assign GROUP BY shard
+    )
+    SELECT shard, n_docs, tokens,
+           round(tokens / (sum(tokens) OVER () / 8.0), 4) AS load_ratio
+    FROM per
+    """,
+)
+def k_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Output-shard assignment + balance audit: docs land on 8 shards by
+    salted hash (deterministic, rerun-stable, no sampler state — the same
+    convention as k_split_train_test), and the audit reports each shard's
+    token mass against the ideal 1/8 share.
+
+    This is the write-side planning op for a tokenized corpus: shard files
+    feed data loaders round-robin, so token-mass imbalance becomes straggler
+    time at training. Hash assignment keeps the pipeline one scan + one
+    groupBy; if the audit's load_ratio drifts from 1.0 (pathological doc-
+    length skew), the fix is salting the hash with a length band — same
+    plan shape. The final OVER () window runs on 8 rows (shard count, not
+    data size)."""
+    d = load(spark, sf_dir, "documents")
+    shard = F.expr(
+        "CAST(conv(substr(md5(concat('shard:', CAST(doc_id AS STRING))), 1, 8),"
+        " 16, 10) AS BIGINT) % 8"
+    )
+    per = (
+        d.select(
+            shard.alias("shard"),
+            F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("tokens"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    total = F.sum("tokens").over(Window.partitionBy())
+    return per.select(
+        "shard",
+        "n_docs",
+        "tokens",
+        F.round(F.col("tokens") / (total / F.lit(8.0)), 4).alias("load_ratio"),
+    )
