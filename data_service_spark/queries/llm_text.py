@@ -725,3 +725,84 @@ def k_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", (F.round(ent, 4) + F.lit(0.0)).alias("char_entropy")
         )
     )
+
+
+@register(
+    "k_text_bm25",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), dl AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
+    ), stats AS (
+      SELECT count(*) AS n_docs, avg(len(string_split(text, ' '))) AS avgdl
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM tok
+      WHERE term IN ('table', 'hash', 'scan') GROUP BY 1, 2
+    ), df AS (
+      SELECT term, count(DISTINCT doc_id) AS df FROM tok
+      WHERE term IN ('table', 'hash', 'scan') GROUP BY 1
+    ), scored AS (
+      SELECT tf.doc_id,
+             sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                 * tf * 2.2
+                 / (tf + 1.2 * (0.25 + 0.75 * dl.dl / avgdl))) AS score
+      FROM tf JOIN df USING (term)
+           JOIN dl ON tf.doc_id = dl.doc_id
+           CROSS JOIN stats
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id, round(score, 4) AS bm25
+    FROM (SELECT doc_id, score,
+                 row_number() OVER (ORDER BY round(score, 6) DESC, doc_id) AS rn
+          FROM scored)
+    WHERE rn <= 20
+    """,
+)
+def k_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval scoring (k1=1.2, b=0.75) for a fixed 3-term query —
+    the lexical-search ranker a corpus-curation stack runs for targeted
+    subset extraction ("pull the docs about X").
+
+    All corpus statistics stay distributed: df and (N, avgdl) are 1-row/
+    3-row aggregates broadcast back into the per-doc score join; the term
+    filter lands BEFORE the tf groupBy so the shuffle carries only
+    query-term postings (at 100 TB: the posting lists, not the corpus).
+    Final top-20 ranks on round(score, 6) with doc_id tiebreak so float
+    last-ulp noise can't flip ranks across engines; the unpartitioned
+    window sees only the scored postings' doc set, already reduced by the
+    query-term filter (per-shard pre-top-k is the production variant at
+    web scale)."""
+    d = load(spark, sf_dir, "documents")
+    terms = ["table", "hash", "scan"]
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    qtok = tok.filter(F.col("term").isin(terms))
+    tf = qtok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = qtok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    dl = d.select("doc_id", F.size(F.split("text", " ")).alias("dl"))
+    stats = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.size(F.split("text", " ")).cast("double")).alias("avgdl"),
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    score_term = idf * F.col("tf") * 2.2 / (
+        F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(score_term).alias("score"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.round("score", 6).desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("doc_id", F.round("score", 4).alias("bm25"))
+    )
