@@ -1236,3 +1236,77 @@ def k_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tokens",
         F.round(F.col("tokens") / (total / F.lit(8.0)), 4).alias("load_ratio"),
     )
+
+
+@register(
+    "k_text_bigram_logprob",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM documents
+      WHERE len(string_split(text, ' ')) >= 2
+    ), bgx AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(words) - 1),
+               i -> {'w1': words[i],
+                     'bigram': array_to_string(words[i:i+1], ' ')})) AS b
+      FROM w
+    ), bg AS (SELECT doc_id, b.w1 AS w1, b.bigram AS bigram FROM bgx),
+    bgc AS (SELECT bigram, count(*) AS c_bg FROM bg GROUP BY 1),
+    ctx AS (SELECT w1, count(*) AS c_w1 FROM bg GROUP BY 1),
+    v AS (
+      SELECT count(DISTINCT term) AS vocab
+      FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+    )
+    SELECT doc_id, count(*) AS n_bigrams,
+           round(avg(ln((c_bg + 1.0) / (c_w1 + vocab))), 4) AS avg_logprob
+    FROM bg JOIN bgc USING (bigram) JOIN ctx USING (w1) CROSS JOIN v
+    GROUP BY doc_id
+    """,
+)
+def k_text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM perplexity proxy: per-doc mean log P(w2|w1) under the
+    corpus's own add-one-smoothed bigram model — the conditional upgrade
+    of k_text_unigram_logprob (catches incoherent *sequences* that a
+    unigram model scores as normal, e.g. shuffled text).
+
+    Three corpus aggregates — bigram counts, context counts, vocab size —
+    then one join back to the per-doc bigram stream. The bigram table is
+    the only non-Zipf-compact piece; it joins on its own key (hash
+    shuffle), while context counts and the scalar vocab broadcast. Same
+    plan family at 100 TB: posting-style joins keyed by n-gram, no UDFs.
+    """
+    d = load_parallel(spark, sf_dir, "documents", "doc_id")
+    w = d.select("doc_id", F.split("text", " ").alias("words")).filter(
+        F.size("words") >= 2
+    )
+    bg = w.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(words) - 1),"
+                " i -> struct(element_at(words, i) AS w1,"
+                "             concat_ws(' ', slice(words, i, 2)) AS bigram))"
+            )
+        ).alias("b"),
+    ).select("doc_id", F.col("b.w1").alias("w1"), F.col("b.bigram").alias("bigram"))
+    bgc = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c_bg"))
+    ctx = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c_w1"))
+    tok = d.select(F.explode(F.split("text", " ")).alias("term"))
+    v = tok.agg(F.countDistinct("term").alias("vocab"))
+    return (
+        bg.join(bgc, "bigram")
+        .join(F.broadcast(ctx), "w1")
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.avg(
+                    F.log(
+                        (F.col("c_bg") + 1.0) / (F.col("c_w1") + F.col("vocab"))
+                    )
+                ),
+                4,
+            ).alias("avg_logprob"),
+        )
+    )
