@@ -1310,3 +1310,64 @@ def k_text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_logprob"),
         )
     )
+
+
+@register(
+    "k_source_divergence",
+    oracle="""
+    WITH tok AS (
+      SELECT source, unnest(string_split(text, ' ')) AS term FROM documents
+    ), cs AS (
+      SELECT source, term, count(*) AS n FROM tok GROUP BY 1, 2
+    ), ts AS (SELECT source, sum(n) AS t_s FROM cs GROUP BY 1),
+    c AS (SELECT term, count(*) AS n FROM tok GROUP BY 1),
+    t AS (SELECT sum(n) AS total FROM c),
+    grid AS (
+      SELECT ts.source, c.term, ts.t_s, c.n AS cn, t.total
+      FROM ts CROSS JOIN c CROSS JOIN t
+    ), parts AS (
+      SELECT g.source,
+             COALESCE(cs.n, 0) * 1.0 / g.t_s AS p,
+             g.cn * 1.0 / g.total AS q
+      FROM grid g LEFT JOIN cs ON g.source = cs.source AND g.term = cs.term
+    )
+    SELECT source,
+           round(0.5 * sum(CASE WHEN p > 0 THEN p * ln(p / ((p + q) / 2))
+                                ELSE 0 END)
+               + 0.5 * sum(q * ln(q / ((p + q) / 2))), 6) AS js_divergence
+    FROM parts GROUP BY source
+    """,
+)
+def k_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between each source's unigram distribution
+    and the corpus-wide distribution — the drift/outlier audit a data-mix
+    owner runs per ingest batch (a source whose JS jumps is a scrape gone
+    wrong or a domain shift; JS is symmetric and bounded in [0, ln 2], so
+    thresholds transfer across corpora).
+
+    Everything after tokenization is vocab-sized, not corpus-sized: term
+    counts are Zipf-compact aggregates, the source×term grid is a cross
+    join of two tiny broadcast relations, and the final sum is one
+    per-source fold. Missing-term cells (p=0) contribute only the q-side
+    term, exactly as the closed form requires — no smoothing needed
+    because the mixture m = (p+q)/2 is positive wherever q > 0."""
+    d = load_parallel(spark, sf_dir, "documents", "doc_id")
+    tok = d.select("source", F.explode(F.split("text", " ")).alias("term"))
+    cs = tok.groupBy("source", "term").agg(F.count(F.lit(1)).alias("n"))
+    ts = cs.groupBy("source").agg(F.sum("n").alias("t_s"))
+    c = tok.groupBy("term").agg(F.count(F.lit(1)).alias("cn"))
+    t = c.agg(F.sum("cn").alias("total"))
+    grid = ts.crossJoin(F.broadcast(c)).crossJoin(F.broadcast(t))
+    parts = grid.join(cs, ["source", "term"], "left").select(
+        "source",
+        (F.coalesce(F.col("n"), F.lit(0)) * 1.0 / F.col("t_s")).alias("p"),
+        (F.col("cn") * 1.0 / F.col("total")).alias("q"),
+    )
+    m = (F.col("p") + F.col("q")) / 2
+    p_side = F.when(F.col("p") > 0, F.col("p") * F.log(F.col("p") / m)).otherwise(0.0)
+    q_side = F.col("q") * F.log(F.col("q") / m)
+    return parts.groupBy("source").agg(
+        F.round(0.5 * F.sum(p_side) + 0.5 * F.sum(q_side), 6).alias(
+            "js_divergence"
+        )
+    )
