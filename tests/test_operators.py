@@ -659,3 +659,85 @@ def test_containment_brute_force(spark, sf_dir):
         for r in QUERIES["k_dedup_containment"](spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_shard_balance_partitions_everything(spark, sf_dir):
+    """All 8 shards exist, doc counts sum to the corpus, and load ratios
+    average to 1 (token mass is conserved)."""
+    from data_service_spark.registry import QUERIES
+
+    pdf = QUERIES["k_shard_balance"](spark, sf_dir).toPandas()
+    n = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert sorted(pdf.shard) == list(range(8))
+    assert pdf.n_docs.sum() == n
+    assert abs(pdf.load_ratio.sum() - 8.0) < 0.01
+
+
+def test_bm25_scores_only_matching_docs(spark, sf_dir):
+    """Every BM25 hit actually contains a query term, scores are positive
+    and returned in strictly descending (rounded) order."""
+    from data_service_spark.registry import QUERIES
+
+    rows = QUERIES["k_text_bm25"](spark, sf_dir).collect()
+    docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    assert 0 < len(rows) <= 20
+    for r in rows:
+        toks = set(docs[r.doc_id].split(" "))
+        assert toks & {"table", "hash", "scan"}
+        assert r.bm25 > 0
+    scores = [r.bm25 for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_bigram_logprob_bounds(spark, sf_dir):
+    """Log-probabilities are negative, bigram counts equal token count - 1,
+    and every multi-token doc is scored."""
+    from data_service_spark.registry import QUERIES
+
+    pdf = QUERIES["k_text_bigram_logprob"](spark, sf_dir).toPandas()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").toPandas()
+    docs["n_tok"] = docs.text.str.split(" ").str.len()
+    expect = docs[docs.n_tok >= 2]
+    assert len(pdf) == len(expect)
+    merged = pdf.merge(expect, on="doc_id")
+    assert (merged.n_bigrams == merged.n_tok - 1).all()
+    assert (merged.avg_logprob < 0).all()
+
+
+def test_source_divergence_bounded(spark, sf_dir):
+    """JS divergence lies in [0, ln 2] and covers every source."""
+    import math
+
+    from data_service_spark.registry import QUERIES
+
+    pdf = QUERIES["k_source_divergence"](spark, sf_dir).toPandas()
+    n_sources = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("source")
+        .distinct()
+        .count()
+    )
+    assert len(pdf) == n_sources
+    assert (pdf.js_divergence >= 0).all()
+    assert (pdf.js_divergence <= math.log(2) + 1e-9).all()
+
+
+def test_approx_top_k_exact_regime(spark, sf_dir):
+    """With maxItemsTracked above the key cardinality the sketch is exact:
+    result equals the brute-force top-10 with (count desc, key) tiebreak."""
+    from data_service_spark.registry import QUERIES
+
+    got = [
+        (r.o_custkey, r.n)
+        for r in QUERIES["d_agg_approx_top_k"](spark, sf_dir).collect()
+    ]
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").toPandas()
+    vc = orders.o_custkey.value_counts()
+    want = sorted(
+        ((int(k), int(v)) for k, v in vc.items()),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:10]
+    assert got == want
