@@ -1371,3 +1371,67 @@ def k_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             "js_divergence"
         )
     )
+
+
+@register(
+    "k_retention_cohorts",
+    oracle="""
+    WITH first AS (
+      SELECT user_id, CAST(min(date_trunc('day', ts)) AS DATE) AS cohort_day
+      FROM events GROUP BY user_id
+    ), sizes AS (
+      SELECT cohort_day, count(*) AS cohort_n FROM first GROUP BY 1
+    ), active AS (
+      SELECT f.cohort_day,
+             datediff('day', f.cohort_day, CAST(date_trunc('day', e.ts) AS DATE))
+               AS day_offset,
+             count(DISTINCT e.user_id) AS n_active
+      FROM events e JOIN first f USING (user_id)
+      GROUP BY 1, 2
+    )
+    SELECT a.cohort_day, a.day_offset, s.cohort_n, a.n_active,
+           round(a.n_active * 1.0 / s.cohort_n, 4) AS retention
+    FROM active a JOIN sizes s USING (cohort_day)
+    """,
+)
+def k_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity day, then
+    the fraction of each cohort active again N days later — the engagement
+    rollup every event pipeline serves, and (for training-data work) the
+    freshness decay curve of a feedback/interaction stream.
+
+    Two shuffles total: the per-user min (first touch) and the
+    (cohort, offset) distinct-count; the cohort-size side is dimension-
+    sized and broadcasts back. At 100 TB the distinct-count is the hot
+    aggregate — it partial-aggregates per partition, and the mergeable-
+    sketch variant (approx_count_distinct / d_agg_hll_sketch's two-level
+    rollup) swaps in when exactness isn't required."""
+    e = load(spark, sf_dir, "events")
+    day = F.date_trunc("DAY", F.col("ts"))
+    first = e.groupBy("user_id").agg(
+        F.min(day).cast("date").alias("cohort_day")
+    )
+    sizes = first.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).alias("cohort_n")
+    )
+    active = (
+        e.join(first, "user_id")
+        .select(
+            "cohort_day",
+            F.datediff(day.cast("date"), F.col("cohort_day")).alias(
+                "day_offset"
+            ),
+            "user_id",
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+    return active.join(F.broadcast(sizes), "cohort_day").select(
+        "cohort_day",
+        "day_offset",
+        "cohort_n",
+        "n_active",
+        F.round(F.col("n_active") * 1.0 / F.col("cohort_n"), 4).alias(
+            "retention"
+        ),
+    )
