@@ -263,3 +263,74 @@ def k_class_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("weight"),
         )
     )
+
+
+# ------------------------------------------------------ outlier scoring ----
+
+
+@register(
+    "k_embed_outliers",
+    oracle="""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    dims AS (SELECT vec_id, i.i AS i, v[i.i] AS x FROM e, range(1, 65) i(i)),
+    stats AS (SELECT i, avg(x) AS mu, var_samp(x) AS vr FROM dims GROUP BY 1),
+    dist AS (
+      SELECT vec_id, sum((x - mu) * (x - mu) / vr) AS d
+      FROM dims JOIN stats USING (i) GROUP BY 1
+    ), ranked AS (
+      SELECT e.vec_id, e.label, dist.d,
+             row_number() OVER (ORDER BY round(dist.d, 6) DESC, e.vec_id) AS rn
+      FROM dist JOIN e USING (vec_id)
+    )
+    SELECT vec_id, label, round(d, 4) AS m_dist
+    FROM ranked WHERE rn <= 20
+    """,
+)
+def k_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding outlier detection: top-20 vectors by diagonal-Mahalanobis
+    distance (per-dimension standardized Euclidean) from the corpus
+    centroid — the cheap anomaly screen a pipeline runs on a new embedding
+    batch before it pollutes dedup/clustering state (full-covariance
+    Mahalanobis plugs in the k_embed_gram matrix when dimensions correlate).
+
+    Per-dim mean/variance come from one posexplode + groupBy(i) — a
+    64-group aggregate that partial-aggregates map-side. The stats then
+    COLLAPSE back to two broadcast array literals (one row), so the
+    distance is a zip_with/aggregate fold per vector in codegen — the
+    corpus is scanned exactly twice (stats pass, score pass) and the
+    explode never feeds a per-row shuffle."""
+    emb = _emb(spark, sf_dir)
+    dims = emb.select(
+        "vec_id", F.posexplode("v").alias("i0", "x")
+    ).select("vec_id", (F.col("i0") + 1).alias("i"), "x")
+    stats = dims.groupBy("i").agg(
+        F.avg("x").alias("mu"), F.var_samp("x").alias("vr")
+    )
+    arrs = stats.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "mu"))),
+            lambda s: s["mu"],
+        ).alias("mu_arr"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "vr"))),
+            lambda s: s["vr"],
+        ).alias("vr_arr"),
+    )
+    diff2 = F.zip_with(
+        F.col("v"), F.col("mu_arr"), lambda x, m: (x - m) * (x - m)
+    )
+    d = F.aggregate(
+        F.zip_with(diff2, F.col("vr_arr"), lambda a, b: a / b),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    scored = emb.crossJoin(F.broadcast(arrs)).select(
+        "vec_id", "label", d.alias("d")
+    )
+    w = Window.orderBy(F.round("d", 6).desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("vec_id", "label", F.round("d", 4).alias("m_dist"))
+    )

@@ -741,3 +741,24 @@ def test_approx_top_k_exact_regime(spark, sf_dir):
         key=lambda kv: (-kv[1], kv[0]),
     )[:10]
     assert got == want
+
+
+def test_embed_outliers_match_numpy(spark, sf_dir):
+    """Diagonal-Mahalanobis top-20 equals the numpy brute force (per-dim
+    sample variance, (count desc, id) tiebreak ordering)."""
+    import numpy as np
+
+    from data_service_spark.registry import QUERIES
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").toPandas()
+    x = np.vstack(emb["embedding"].to_numpy()).astype("float64")
+    vid = emb["vec_id"].to_numpy()
+    mu, vr = x.mean(axis=0), x.var(axis=0, ddof=1)
+    d = (((x - mu) ** 2) / vr).sum(axis=1)
+    order = np.lexsort((vid, -np.round(d, 6)))[:20]
+    want = [(int(vid[i]), round(float(d[i]), 4)) for i in order]
+    got = [
+        (r.vec_id, r.m_dist)
+        for r in QUERIES["k_embed_outliers"](spark, sf_dir).collect()
+    ]
+    assert got == want
