@@ -334,3 +334,99 @@ def k_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 20)
         .select("vec_id", "label", F.round("d", 4).alias("m_dist"))
     )
+
+
+# ----------------------------------------------------- label-noise audit ----
+
+
+@register(
+    "k_label_noise_knn",
+    oracle="""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    sims AS (
+      SELECT a.vec_id, a.label,
+             b.label AS nlabel,
+             row_number() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY round(list_inner_product(a.v, b.v), 6) DESC, b.vec_id
+             ) AS rn
+      FROM e a JOIN e b ON a.vec_id <> b.vec_id
+    )
+    SELECT vec_id, label,
+           CAST(sum(CASE WHEN nlabel <> label THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_diff,
+           round(sum(CASE WHEN nlabel <> label THEN 1 ELSE 0 END) / 5.0, 4)
+             AS noise_frac
+    FROM sims WHERE rn <= 5
+    GROUP BY vec_id, label
+    """,
+)
+def k_label_noise_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise audit: for every vector, the fraction of its 5 nearest
+    neighbors (cosine) carrying a DIFFERENT label — the confident-learning
+    screen that flags probable mislabels before supervised training
+    (noise_frac 1.0 = every neighbor disagrees).
+
+    This is the all-rows kNN join, done the way it scales: row blocks ×
+    (broadcast) corpus matrix, one BLAS GEMM per block, and — unlike the
+    thresholded sim_pairs — each block emits only its rows' top-5
+    (O(N·k) Arrow traffic, never the N² similarity matrix). Neighbor
+    ranking uses round(sim, 6) desc + vec_id asc, the registry-wide
+    convention that keeps float last-ulp noise from flipping ranks
+    against the oracle. At 100 TB the corpus side shards into column
+    blocks with a per-shard top-k merge (same GEMM inner loop)."""
+    import numpy as np
+    import pandas as pd
+
+    emb = _emb(spark, sf_dir)
+    vec = F.struct("vec_id", "v", "label")
+    a_blocks = (
+        emb.withColumn("blk", F.pmod("vec_id", F.lit(32)))
+        .groupBy("blk")
+        .agg(F.collect_list(vec).alias("ablock"))
+    )
+    corpus = emb.agg(F.collect_list(vec).alias("corpus"))
+
+    def knn(batches):
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                aids = np.fromiter(
+                    (r["vec_id"] for r in row["ablock"]), np.int64
+                )
+                alab = np.fromiter(
+                    (r["label"] for r in row["ablock"]), np.int64
+                )
+                amat = np.vstack([np.asarray(r["v"]) for r in row["ablock"]])
+                cids = np.fromiter(
+                    (r["vec_id"] for r in row["corpus"]), np.int64
+                )
+                clab = np.fromiter(
+                    (r["label"] for r in row["corpus"]), np.int64
+                )
+                cmat = np.vstack([np.asarray(r["v"]) for r in row["corpus"]])
+                sims = amat @ cmat.T
+                out_id, out_lab, out_n = [], [], []
+                for r_i in range(len(aids)):
+                    s = sims[r_i]
+                    mask = cids != aids[r_i]
+                    order = np.lexsort(
+                        (cids[mask], -np.round(s[mask], 6))
+                    )[:5]
+                    n_diff = int((clab[mask][order] != alab[r_i]).sum())
+                    out_id.append(aids[r_i])
+                    out_lab.append(alab[r_i])
+                    out_n.append(n_diff)
+                yield pd.DataFrame(
+                    {"vec_id": out_id, "label": out_lab, "n_diff": out_n}
+                )
+
+    scored = a_blocks.crossJoin(F.broadcast(corpus)).mapInPandas(
+        knn, "vec_id long, label int, n_diff long"
+    )
+    return scored.select(
+        "vec_id",
+        "label",
+        "n_diff",
+        F.round(F.col("n_diff") / 5.0, 4).alias("noise_frac"),
+    )
