@@ -1435,3 +1435,55 @@ def k_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "retention"
         ),
     )
+
+
+@register(
+    "k_anomaly_zscore",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ), stats AS (
+      SELECT event_type, avg(n) AS mu, stddev_samp(n) AS sd
+      FROM daily GROUP BY 1
+    )
+    SELECT day, event_type, n,
+           round(CASE WHEN sd > 0 THEN (n - mu) / sd ELSE 0 END, 4) AS z,
+           CASE WHEN sd > 0 AND abs((n - mu) / sd) >= 2 THEN TRUE
+                ELSE FALSE END AS is_anomaly
+    FROM daily JOIN stats USING (event_type)
+    """,
+)
+def k_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-volume anomaly screen: per-(day, event_type) counts scored
+    against that type's own daily mean/stddev; |z| ≥ 2 flags the day — the
+    monitor that catches a broken scraper (collapse) or a bot flood
+    (spike) before the batch joins the corpus.
+
+    The daily rollup is the only data-sized aggregate; the per-type stats
+    table is dimension-sized and broadcasts back. The same two-level shape
+    incrementalizes: k_incremental_agg maintains the daily counts, so the
+    monitor's marginal cost per new day is one partial aggregate."""
+    e = load(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(
+            F.date_trunc("DAY", F.col("ts")).cast("date").alias("day"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.avg("n").alias("mu"), F.stddev_samp("n").alias("sd")
+    )
+    z = F.when(
+        F.col("sd") > 0, (F.col("n") - F.col("mu")) / F.col("sd")
+    ).otherwise(0.0)
+    return daily.join(F.broadcast(stats), "event_type").select(
+        "day",
+        "event_type",
+        "n",
+        F.round(z, 4).alias("z"),
+        (F.when(F.col("sd") > 0, F.abs((F.col("n") - F.col("mu")) / F.col("sd")))
+         .otherwise(0.0) >= 2).alias("is_anomaly"),
+    )
