@@ -72,6 +72,9 @@ PRIORITY = [
     # linear-algebra extensions + exact TPC-H Q1/Q5 (latest session)
     "k_embed_gram", "k_hard_negatives", "k_class_weights",
     "q_tpch_q01", "q_tpch_q05",
+    # round-2b: paper-grounded dedup/eval + the CMS sketch
+    "k_dedup_semantic", "k_dedup_spans", "k_eval_heldout_ppl",
+    "k_sample_temperature", "d_agg_countmin",
 ]
 
 

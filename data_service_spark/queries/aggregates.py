@@ -838,3 +838,116 @@ def d_agg_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 10)
         .select("o_custkey", "n")
     )
+
+
+# Count-min sketch plumbing: d=3 hash rows x w=64 buckets. The salted-md5
+# bucket is the same portable hash idiom as training.py's samplers, with
+# modulus 64 instead of 100; identical text spliced into both dialects.
+_CM_SPARK = (
+    "CAST(conv(substr(md5(concat('cm{r}:', CAST({key} AS STRING))), 1, 8),"
+    " 16, 10) AS BIGINT) % 64"
+)
+_CM_DUCK = (
+    "('0x' || substr(md5(concat('cm{r}:', {key}::VARCHAR)), 1, 8))::BIGINT"
+    " % 64"
+)
+
+
+@register(
+    "d_agg_countmin",
+    oracle=f"""
+    WITH counters AS (
+      SELECT 0 AS r, {_CM_DUCK.format(r=0, key="l_suppkey")} AS b,
+             count(*) AS n
+      FROM lineitem GROUP BY 2
+      UNION ALL
+      SELECT 1, {_CM_DUCK.format(r=1, key="l_suppkey")}, count(*)
+      FROM lineitem GROUP BY 2
+      UNION ALL
+      SELECT 2, {_CM_DUCK.format(r=2, key="l_suppkey")}, count(*)
+      FROM lineitem GROUP BY 2
+    ), probes AS (
+      SELECT DISTINCT l_suppkey AS k FROM lineitem WHERE l_suppkey <= 10
+    ), pb AS (
+      SELECT k, 0 AS r, {_CM_DUCK.format(r=0, key="k")} AS b FROM probes
+      UNION ALL
+      SELECT k, 1, {_CM_DUCK.format(r=1, key="k")} FROM probes
+      UNION ALL
+      SELECT k, 2, {_CM_DUCK.format(r=2, key="k")} FROM probes
+    ), est AS (
+      SELECT k, min(n) AS cm_est FROM pb JOIN counters USING (r, b)
+      GROUP BY k
+    ), truth AS (
+      SELECT l_suppkey AS k, count(*) AS true_n FROM lineitem
+      WHERE l_suppkey <= 10 GROUP BY 1
+    )
+    SELECT k AS suppkey, true_n, cm_est,
+           cm_est >= true_n AS never_undercounts
+    FROM truth JOIN est USING (k)
+    """,
+)
+def d_agg_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) as pure relational
+    algebra: d=3 salted hash rows x w=64 counters built in ONE scan (the
+    per-row explode emits 3 (row, bucket) pairs, then a single hash
+    aggregate over 192 cells), then point-estimate 10 probe keys as
+    min over rows of their counter — checked against true counts,
+    including the sketch's signature one-sided error (never_undercounts).
+    Completes the sketch family next to HLL (d_agg_hll_sketch) and KLL
+    (d_agg_approx_quantile) with the sketch that answers point frequency.
+
+    Scale: the sketch table is 192 rows whatever the corpus size — the
+    partial aggregation happens map-side, the final state broadcasts, and
+    merging shards is cell-wise addition (the property that makes CMS the
+    streaming/distributed frequency sketch of choice).
+    """
+    li = load(spark, sf_dir, "lineitem").select("l_suppkey")
+    pairs = li.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        F.expr(_CM_SPARK.format(r=r, key="l_suppkey")).alias("b"),
+                    )
+                    for r in range(3)
+                ]
+            )
+        ).alias("p")
+    ).select("p.r", "p.b")
+    counters = pairs.groupBy("r", "b").agg(F.count(F.lit(1)).alias("n"))
+    probes = (
+        li.filter(F.col("l_suppkey") <= 10)
+        .select(F.col("l_suppkey").alias("k"))
+        .distinct()
+    )
+    pb = probes.select(
+        "k",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        F.expr(_CM_SPARK.format(r=r, key="k")).alias("b"),
+                    )
+                    for r in range(3)
+                ]
+            )
+        ).alias("p"),
+    ).select("k", "p.r", "p.b")
+    est = (
+        pb.join(F.broadcast(counters), ["r", "b"])
+        .groupBy("k")
+        .agg(F.min("n").alias("cm_est"))
+    )
+    truth = (
+        li.filter(F.col("l_suppkey") <= 10)
+        .groupBy(F.col("l_suppkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("true_n"))
+    )
+    return truth.join(est, "k").select(
+        F.col("k").alias("suppkey"),
+        "true_n",
+        "cm_est",
+        (F.col("cm_est") >= F.col("true_n")).alias("never_undercounts"),
+    )

@@ -1781,3 +1781,64 @@ def k_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("oov_rate"),
         )
     )
+
+
+@register(
+    "k_dedup_semantic",
+    # Composes the registered centroid-assignment pipeline verbatim as a
+    # CTE, then applies the same min-id cosine-threshold rule CLUSTER-
+    # LOCALLY — the oracle checks the full two-stage pipeline.
+    oracle=f"""
+    WITH assign AS ({_ORACLES["k_cluster_assign"]}),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    m AS (SELECT a.vec_id, a.cluster_id, e.v
+          FROM assign a JOIN e USING (vec_id)),
+    dropped AS (
+      SELECT DISTINCT b.vec_id
+      FROM m a JOIN m b
+        ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+      WHERE list_inner_product(a.v, b.v) >= 0.4
+    )
+    SELECT m.vec_id, m.cluster_id, emb.label
+    FROM m JOIN embeddings emb USING (vec_id)
+    WHERE m.vec_id NOT IN (SELECT vec_id FROM dropped)
+    """,
+)
+def k_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    assign every embedding to its nearest centroid (k_cluster_assign), then
+    drop any vector with a smaller-id SAME-CLUSTER neighbor at cosine >=
+    0.4. Same min-id rule as k_dedup_embedding, but the candidate-pair
+    search is cluster-scoped — this is the published scale recipe for
+    semantic dedup: with C clusters the pair space shrinks from O(n^2) to
+    sum(m_c^2), and C grows with the corpus so per-cluster sizes stay
+    bounded.
+
+    Spark shape: the within-cluster pair search is a plain equi-join on
+    cluster_id (hash shuffle co-locates each cluster on one task; no
+    broadcast of the full corpus, no BNLJ), the dot product is the
+    Catalyst higher-order fold, and the dropped-id set — small by
+    construction — broadcasts into a left-anti join. At 100 TB each stage
+    is embarrassingly parallel in the number of clusters.
+    """
+    assign = k_cluster_assign(spark, sf_dir).select("vec_id", "cluster_id")
+    emb = _emb(spark, sf_dir)
+    m = assign.join(emb, "vec_id").select("vec_id", "cluster_id", "v", "label")
+    a = m.select(
+        F.col("vec_id").alias("id_a"), "cluster_id", F.col("v").alias("va")
+    )
+    b = m.select(
+        F.col("vec_id").alias("id_b"), "cluster_id", F.col("v").alias("vb")
+    )
+    dropped = (
+        a.join(b, "cluster_id")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (dot(F.col("va"), F.col("vb")) >= 0.4)
+        )
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+    )
+    return m.join(F.broadcast(dropped), "vec_id", "left_anti").select(
+        "vec_id", "cluster_id", "label"
+    )

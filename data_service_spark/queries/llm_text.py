@@ -806,3 +806,74 @@ def k_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 20)
         .select("doc_id", F.round("score", 4).alias("bm25"))
     )
+
+
+@register(
+    "k_dedup_spans",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      WHERE len(string_split(text, ' ')) >= 8
+    ), pos AS (
+      SELECT doc_id, toks, unnest(range(1, len(toks) - 6)) AS i FROM t
+    ), grams AS (
+      SELECT doc_id, array_to_string(list_slice(toks, i, i + 7), ' ') AS gram
+      FROM pos
+    ), dup AS (
+      SELECT gram FROM grams GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+    )
+    SELECT g.doc_id, count(*) AS n_grams, count(d.gram) AS n_dup,
+           round(count(d.gram) * 1.0 / count(*), 4) AS dup_ratio
+    FROM grams g LEFT JOIN dup d USING (gram)
+    GROUP BY g.doc_id
+    """,
+)
+def k_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-span detection at 8-token-gram granularity — the
+    distributed approximation of suffix-array ExactSubstr dedup (Lee et
+    al. 2022, "Deduplicating Training Data Makes Language Models Better"):
+    a position's 8-gram is "duplicated" when the identical gram occurs in
+    >= 2 distinct documents; the output is each document's duplicated-span
+    coverage (the signal used to cut boilerplate/templated spans before
+    training). Docs shorter than the gram width carry no spans and drop
+    out on both engines.
+
+    Spark shape: split once, explode positions via sequence+transform
+    (all Catalyst higher-order functions, no Python), aggregate grams
+    (hash shuffle keyed by gram — the posting-list pattern), then one
+    equi-join back. The dup-gram side is NOT broadcast: its size scales
+    with corpus duplication, so it stays a shuffle join; at 100 TB you'd
+    additionally xxhash64 the gram to an int64 join key to cut shuffle
+    bytes (proven equivalent in k_dedup_minhash's hashed-shingle path).
+    """
+    t = (
+        load_parallel(spark, sf_dir, "documents", "doc_id")
+        .select("doc_id", F.split("text", " ").alias("toks"))
+        .filter(F.size("toks") >= 8)
+    )
+    grams = t.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 7),"
+                " i -> concat_ws(' ', slice(toks, i, 8)))"
+            )
+        ).alias("gram"),
+    )
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gram", F.lit(1).alias("is_dup"))
+    )
+    return (
+        grams.join(dup, "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("is_dup").alias("n_dup"),
+            F.round(F.count("is_dup") * 1.0 / F.count(F.lit(1)), 4).alias(
+                "dup_ratio"
+            ),
+        )
+    )

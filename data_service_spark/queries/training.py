@@ -1487,3 +1487,142 @@ def k_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.when(F.col("sd") > 0, F.abs((F.col("n") - F.col("mu")) / F.col("sd")))
          .otherwise(0.0) >= 2).alias("is_anomaly"),
     )
+
+
+@register(
+    "k_sample_temperature",
+    oracle="""
+    WITH s AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+    w AS (SELECT source, n, pow(n, 0.5) AS wt FROM s)
+    SELECT source, n,
+           round(n * 1.0 / sum(n) OVER (), 6) AS p_natural,
+           round(wt / sum(wt) OVER (), 6) AS p_temp,
+           round((wt / sum(wt) OVER ()) / (n * 1.0 / sum(n) OVER ()), 4)
+             AS boost
+    FROM w
+    """,
+)
+def k_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing (the multilingual/multi-domain
+    sampling rule from mBERT/XLM-R and T5's mixture: p_i ∝ n_i^alpha with
+    alpha=0.5): per-source natural share, temperature share, and the
+    upsampling boost low-resource sources receive. This is the table a
+    data-mix controller feeds to the sampler.
+
+    One scan + one groupBy; the unpartitioned windows run over the
+    POST-AGGREGATE frame (one row per source — bounded by source
+    cardinality, not corpus size), the same deliberate tiny-global-window
+    exception documented for f_sort_verify.
+    """
+    from pyspark.sql.window import Window
+
+    s = (
+        load(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("wt", F.pow(F.col("n"), 0.5))
+    )
+    w = Window.partitionBy()
+    p_nat = F.col("n") * 1.0 / F.sum("n").over(w)
+    p_temp = F.col("wt") / F.sum("wt").over(w)
+    return s.select(
+        "source",
+        "n",
+        F.round(p_nat, 6).alias("p_natural"),
+        F.round(p_temp, 6).alias("p_temp"),
+        F.round(p_temp / p_nat, 4).alias("boost"),
+    )
+
+
+@register(
+    "k_eval_heldout_ppl",
+    oracle=f"""
+    WITH split AS (
+      SELECT doc_id, text,
+             {_DUCK_BUCKET.format(salt="ppl:", key="doc_id")} < 80 AS is_train
+      FROM documents
+    ), w AS (
+      SELECT doc_id, is_train, string_split(text, ' ') AS words FROM split
+      WHERE len(string_split(text, ' ')) >= 2
+    ), bgx AS (
+      SELECT doc_id, is_train,
+             unnest(list_transform(generate_series(1, len(words) - 1),
+               i -> {{'w1': words[i],
+                      'bigram': array_to_string(words[i:i+1], ' ')}})) AS b
+      FROM w
+    ), bg AS (SELECT doc_id, is_train, b.w1 AS w1, b.bigram AS bigram
+              FROM bgx),
+    bgc AS (SELECT bigram, count(*) AS c_bg FROM bg WHERE is_train
+            GROUP BY 1),
+    ctx AS (SELECT w1, count(*) AS c_w1 FROM bg WHERE is_train GROUP BY 1),
+    v AS (
+      SELECT count(DISTINCT term) AS vocab
+      FROM (SELECT unnest(string_split(text, ' ')) AS term
+            FROM split WHERE is_train)
+    )
+    SELECT doc_id, count(*) AS n_bigrams,
+           round(avg(ln((coalesce(c_bg, 0) + 1.0)
+                        / (coalesce(c_w1, 0) + vocab))), 4) AS avg_logprob
+    FROM bg
+    LEFT JOIN bgc USING (bigram) LEFT JOIN ctx USING (w1) CROSS JOIN v
+    WHERE NOT is_train
+    GROUP BY doc_id
+    """,
+)
+def k_eval_heldout_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out perplexity proxy: fit the add-one-smoothed bigram model on
+    the hash-bucket TRAIN split (80%) only, score the HELD-OUT docs' mean
+    log P(w2|w1). Unlike k_text_bigram_logprob (which scores the corpus
+    under its own statistics), this is the honest generalization
+    measurement — unseen held-out bigrams fall back to the smoothing
+    floor — i.e. the eval loop a data-curation pipeline runs to compare
+    corpus variants.
+
+    Same posting-list plan family: two train-side aggregates (bigram and
+    context counts, each one hash shuffle on its own key), a broadcast
+    scalar vocab, LEFT joins back to the held-out bigram stream (left:
+    held-out bigrams may be unseen in train). The split predicate is the
+    deterministic md5 bucket, so train/test membership is reproducible
+    across engines and reruns.
+    """
+    d = load_parallel(spark, sf_dir, "documents", "doc_id").withColumn(
+        "is_train",
+        F.expr(_SPARK_BUCKET.format(salt="ppl:", key="doc_id")) < 80,
+    )
+    w = d.select("doc_id", "is_train", F.split("text", " ").alias("words")).filter(
+        F.size("words") >= 2
+    )
+    bg = w.select(
+        "doc_id",
+        "is_train",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(words) - 1),"
+                " i -> struct(element_at(words, i) AS w1,"
+                "             concat_ws(' ', slice(words, i, 2)) AS bigram))"
+            )
+        ).alias("b"),
+    ).select("doc_id", "is_train", F.col("b.w1").alias("w1"), F.col("b.bigram").alias("bigram"))
+    train = bg.filter("is_train")
+    bgc = train.groupBy("bigram").agg(F.count(F.lit(1)).alias("c_bg"))
+    ctx = train.groupBy("w1").agg(F.count(F.lit(1)).alias("c_w1"))
+    v = (
+        d.filter("is_train")
+        .select(F.explode(F.split("text", " ")).alias("term"))
+        .agg(F.countDistinct("term").alias("vocab"))
+    )
+    lp = F.log(
+        (F.coalesce(F.col("c_bg"), F.lit(0)) + 1.0)
+        / (F.coalesce(F.col("c_w1"), F.lit(0)) + F.col("vocab"))
+    )
+    return (
+        bg.filter(~F.col("is_train"))
+        .join(bgc, "bigram", "left")
+        .join(ctx, "w1", "left")
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(lp), 4).alias("avg_logprob"),
+        )
+    )

