@@ -74,7 +74,8 @@ PRIORITY = [
     "q_tpch_q01", "q_tpch_q05",
     # round-2b: paper-grounded dedup/eval + the CMS sketch
     "k_dedup_semantic", "k_dedup_spans", "k_eval_heldout_ppl",
-    "k_sample_temperature", "d_agg_countmin",
+    "k_sample_temperature", "d_agg_countmin", "k_filter_gate",
+    "e_win_interpolate",
 ]
 
 

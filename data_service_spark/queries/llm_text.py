@@ -877,3 +877,68 @@ def k_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "k_text_novelty",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      WHERE len(string_split(text, ' ')) >= 3
+    ), pos AS (
+      SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i FROM t
+    ), grams AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(list_slice(toks, i, i + 2), ' ') AS gram
+      FROM pos
+    ), firsts AS (
+      SELECT gram, min(doc_id) AS first_doc FROM grams GROUP BY gram
+    )
+    SELECT g.doc_id, count(*) AS n_grams,
+           count(*) FILTER (f.first_doc = g.doc_id) AS n_novel,
+           round(count(*) FILTER (f.first_doc = g.doc_id) * 1.0 / count(*), 4)
+             AS novelty_ratio
+    FROM grams g JOIN firsts f USING (gram)
+    GROUP BY g.doc_id
+    """,
+)
+def k_text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-order novelty: the fraction of a document's distinct 3-grams
+    whose FIRST corpus occurrence (min doc_id — the deterministic stand-in
+    for ingest order) is this document. Low novelty late in the corpus =
+    the incoming batch mostly restates what's already collected — the
+    diminishing-returns curve a data-acquisition loop watches (and the
+    document-level dual of k_dedup_spans' span view).
+
+    Same posting-list plan family: distinct (doc, gram) pairs, a min
+    aggregate keyed by gram (one hash shuffle), then the join back and a
+    per-doc aggregate. Nothing broadcasts the gram table — it scales with
+    the corpus; both joins are hash-partitioned on gram/doc_id.
+    """
+    t = (
+        load_parallel(spark, sf_dir, "documents", "doc_id")
+        .select("doc_id", F.split("text", " ").alias("toks"))
+        .filter(F.size("toks") >= 3)
+    )
+    grams = t.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 2),"
+                " i -> concat_ws(' ', slice(toks, i, 3)))"
+            )
+        ).alias("gram"),
+    ).distinct()
+    firsts = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.when(F.col("first_doc") == F.col("doc_id"), 1)
+    return (
+        grams.join(firsts, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count(novel).alias("n_novel"),
+            F.round(F.count(novel) * 1.0 / F.count(F.lit(1)), 4).alias(
+                "novelty_ratio"
+            ),
+        )
+    )

@@ -1626,3 +1626,65 @@ def k_eval_heldout_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(lp), 4).alias("avg_logprob"),
         )
     )
+
+
+from data_service_spark.registry import ORACLES as _REG_ORACLES  # noqa: E402
+
+
+@register(
+    "k_filter_gate",
+    # Composes the three registered signal pipelines verbatim as CTEs and
+    # applies the gate on top — the oracle checks signals AND decision.
+    oracle=f"""
+    WITH q AS ({_REG_ORACLES["k_text_quality"]}),
+         r AS ({_REG_ORACLES["k_text_repetition"]}),
+         l AS ({_REG_ORACLES["k_text_langid"]})
+    SELECT q.doc_id,
+           concat_ws('|',
+             CASE WHEN q.quality = 'low' THEN 'low_quality' END,
+             CASE WHEN q.n_tokens < 20 THEN 'too_short' END,
+             CASE WHEN r.dup_bigram_ratio > 0.08 THEN 'repetitive' END,
+             CASE WHEN l.marker_ratio < 0.005 THEN 'lang_uncertain' END
+           ) AS reasons,
+           (q.quality <> 'low' AND q.n_tokens >= 20
+            AND coalesce(r.dup_bigram_ratio, 0) <= 0.08
+            AND l.marker_ratio >= 0.005) AS keep
+    FROM q
+    LEFT JOIN r ON q.doc_id = r.doc_id
+    JOIN l ON q.doc_id = l.doc_id
+    """,
+)
+def k_filter_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation DECISION layer: fold the registered quality signals —
+    heuristic quality tier (k_text_quality), bigram repetition
+    (k_text_repetition, Gopher rules family), language-marker confidence
+    (k_text_langid) — into one keep/drop verdict per document with a
+    pipe-joined reason trail (the audit column a data lineage system
+    stores next to every drop). LEFT join on the repetition side: docs
+    with < 2 tokens carry no bigrams and must not be lost by the gate.
+
+    One join tree over three already-single-scan pipelines, all keyed by
+    doc_id — at 100 TB the three signal scans fuse per-partition (same
+    source, co-partitioned joins) and the gate adds no extra shuffle
+    beyond the signals' own aggregates.
+    """
+    from data_service_spark.queries.llm_text import k_text_langid, k_text_quality
+
+    q = k_text_quality(spark, sf_dir).select("doc_id", "quality", "n_tokens")
+    r = k_text_repetition(spark, sf_dir).select("doc_id", "dup_bigram_ratio")
+    l = k_text_langid(spark, sf_dir).select("doc_id", "marker_ratio")
+    j = q.join(r, "doc_id", "left").join(l, "doc_id")
+    reasons = F.concat_ws(
+        "|",
+        F.when(F.col("quality") == "low", "low_quality"),
+        F.when(F.col("n_tokens") < 20, "too_short"),
+        F.when(F.col("dup_bigram_ratio") > 0.08, "repetitive"),
+        F.when(F.col("marker_ratio") < 0.005, "lang_uncertain"),
+    )
+    keep = (
+        (F.col("quality") != "low")
+        & (F.col("n_tokens") >= 20)
+        & (F.coalesce(F.col("dup_bigram_ratio"), F.lit(0.0)) <= 0.08)
+        & (F.col("marker_ratio") >= 0.005)
+    )
+    return j.select("doc_id", reasons.alias("reasons"), keep.alias("keep"))

@@ -433,3 +433,105 @@ def e_win_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.nth_value("o_orderkey", 2).over(w).alias("second_order"),
         F.nth_value("o_totalprice", 3).over(w).alias("third_price"),
     )
+
+
+@register(
+    "e_win_interpolate",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h, round(sum(value), 2) AS sv
+      FROM events GROUP BY 1, 2
+    ), b AS (
+      SELECT event_type, min(h) AS mn, max(h) AS mx FROM hourly GROUP BY 1
+    ), spine AS (
+      SELECT event_type, unnest(generate_series(mn, mx, INTERVAL 1 hour)) AS h
+      FROM b
+    ), j AS (
+      SELECT s.event_type, s.h, hv.sv
+      FROM spine s LEFT JOIN hourly hv
+        ON s.h = hv.h AND s.event_type = hv.event_type
+    ), n AS (
+      SELECT event_type, h, sv,
+             last_value(sv IGNORE NULLS) OVER pw AS pv,
+             last_value(CASE WHEN sv IS NOT NULL THEN h END IGNORE NULLS)
+               OVER pw AS ph,
+             first_value(sv IGNORE NULLS) OVER fw AS nv,
+             first_value(CASE WHEN sv IS NOT NULL THEN h END IGNORE NULLS)
+               OVER fw AS nh
+      FROM j
+      WINDOW pw AS (PARTITION BY event_type ORDER BY h
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             fw AS (PARTITION BY event_type ORDER BY h
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type, h AS hour_start, sv IS NULL AS interpolated,
+           round(CASE WHEN sv IS NOT NULL THEN sv
+                      ELSE pv + (nv - pv)
+                           * (date_diff('hour', ph, h) * 1.0
+                              / date_diff('hour', ph, nh)) END, 4) AS filled
+    FROM n
+    """,
+)
+def e_win_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear gap interpolation over the hourly spine — the `interpolate`
+    twin of i_gap_fill's locf: a missing hour gets the straight line
+    between its nearest observed neighbors, weighted by hour distance
+    (the hypertable `time_bucket_gapfill(..., interpolate(...))`
+    operator). Spine bounds are each key's observed min/max, so every gap
+    has both neighbors by construction.
+
+    Two keyed window passes (one backward, one forward carry of value AND
+    timestamp, IGNORE NULLS) over the dense spine — parallel across
+    event_type keys; the lerp itself is pure codegen arithmetic. Hour
+    distances are exact integers on both engines, so the double lerp is
+    bit-identical before the 4dp round.
+    """
+    from data_service_spark.io import load
+
+    e = load(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.round(F.sum("value"), 2).alias("sv"))
+    spine = (
+        hourly.groupBy("event_type")
+        .agg(F.min("h").alias("mn"), F.max("h").alias("mx"))
+        .select(
+            "event_type",
+            F.explode(F.expr("sequence(mn, mx, interval 1 hour)")).alias("h"),
+        )
+    )
+    j = spine.join(hourly, ["event_type", "h"], "left")
+    pw = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fw = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_h = F.when(F.col("sv").isNotNull(), F.col("h"))
+    n = j.select(
+        "event_type",
+        "h",
+        "sv",
+        F.last("sv", ignorenulls=True).over(pw).alias("pv"),
+        F.last(obs_h, ignorenulls=True).over(pw).alias("ph"),
+        F.first("sv", ignorenulls=True).over(fw).alias("nv"),
+        F.first(obs_h, ignorenulls=True).over(fw).alias("nh"),
+    )
+    frac = (
+        F.timestamp_diff("HOUR", F.col("ph"), F.col("h"))
+        * F.lit(1.0)
+        / F.timestamp_diff("HOUR", F.col("ph"), F.col("nh"))
+    )
+    lerp = F.col("pv") + (F.col("nv") - F.col("pv")) * frac
+    return n.select(
+        "event_type",
+        F.col("h").alias("hour_start"),
+        F.col("sv").isNull().alias("interpolated"),
+        F.round(F.when(F.col("sv").isNotNull(), F.col("sv")).otherwise(lerp), 4).alias(
+            "filled"
+        ),
+    )

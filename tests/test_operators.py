@@ -862,3 +862,56 @@ def test_countmin_sketch_properties(spark, sf_dir):
     assert (pdf.cm_est >= pdf.true_n).all()
     # the three independent hash rows make gross overestimates unlikely
     assert (pdf.cm_est <= pdf.true_n * 10).all()
+
+
+def test_filter_gate_reasons_consistent(spark, sf_dir):
+    """keep == (reasons == '') row-wise, every doc appears exactly once,
+    and each reason implies its underlying signal threshold."""
+    from data_service_spark.registry import QUERIES
+
+    gate = QUERIES["k_filter_gate"](spark, sf_dir).toPandas()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").toPandas()
+    assert sorted(gate.doc_id) == sorted(docs.doc_id)
+    assert (gate.keep == (gate.reasons == "")).all()
+    q = QUERIES["k_text_quality"](spark, sf_dir).toPandas().set_index("doc_id")
+    flagged = gate[gate.reasons.str.contains("low_quality")]
+    assert (q.loc[flagged.doc_id].quality == "low").all()
+    assert len(gate[~gate.keep]) > 0 and gate.keep.sum() > 0
+
+
+def test_interpolate_matches_locf_on_observed(spark, sf_dir):
+    """Observed hours keep their value and agree with i_gap_fill; every
+    interpolated value lies between its segment's endpoints."""
+    from data_service_spark.registry import QUERIES
+
+    interp = QUERIES["e_win_interpolate"](spark, sf_dir).toPandas()
+    locf = QUERIES["i_gap_fill"](spark, sf_dir).toPandas()
+    m = interp.merge(locf, on=["event_type", "hour_start"])
+    assert len(m) == len(interp) == len(locf)
+    obs = m[~m.interpolated]
+    assert (obs.is_gap == False).all()  # noqa: E712
+    assert ((obs.filled_x - obs.filled_y).abs() < 1e-6).all()
+    # piecewise-linear values are bounded by neighboring observations
+    for et, g in interp.groupby("event_type"):
+        g = g.sort_values("hour_start")
+        lo, hi = g[~g.interpolated].filled.min(), g[~g.interpolated].filled.max()
+        assert (g.filled >= lo - 1e-9).all() and (g.filled <= hi + 1e-9).all()
+
+
+def test_novelty_first_doc_is_fully_novel(spark, sf_dir):
+    """The minimum doc_id has novelty 1.0; ratios are in (0, 1]; gram
+    counts equal the pandas distinct-3-gram counts."""
+    from data_service_spark.registry import QUERIES
+
+    pdf = QUERIES["k_text_novelty"](spark, sf_dir).toPandas().set_index("doc_id")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").toPandas()
+    first = pdf.loc[pdf.index.min()]
+    assert first.novelty_ratio == 1.0
+    toks = docs.set_index("doc_id").text.str.split(" ")
+    for doc_id in list(pdf.index)[:20]:
+        t = toks[doc_id]
+        want = len({" ".join(t[i : i + 3]) for i in range(len(t) - 2)})
+        assert pdf.loc[doc_id].n_grams == want
+    # exact duplicates of earlier docs legitimately score 0.0
+    assert ((pdf.novelty_ratio >= 0) & (pdf.novelty_ratio <= 1)).all()
+    assert (pdf.novelty_ratio == 0).any()  # the corpus has exact dups

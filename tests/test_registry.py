@@ -80,7 +80,7 @@ k_dedup_containment d_agg_approx_top_k k_shard_balance k_text_bm25
 k_text_bigram_logprob k_source_divergence k_retention_cohorts
 k_embed_outliers k_label_noise_knn k_anomaly_zscore
 k_dedup_semantic k_dedup_spans k_sample_temperature k_eval_heldout_ppl
-d_agg_countmin
+d_agg_countmin k_filter_gate e_win_interpolate k_text_novelty
 """.split()
 
 
