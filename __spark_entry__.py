@@ -75,7 +75,7 @@ PRIORITY = [
     # round-2b: paper-grounded dedup/eval + the CMS sketch
     "k_dedup_semantic", "k_dedup_spans", "k_eval_heldout_ppl",
     "k_sample_temperature", "d_agg_countmin", "k_filter_gate",
-    "e_win_interpolate",
+    "e_win_interpolate", "k_eval_lsh_calibration", "k_mix_epochs",
 ]
 
 

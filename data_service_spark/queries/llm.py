@@ -1842,3 +1842,53 @@ def k_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.join(F.broadcast(dropped), "vec_id", "left_anti").select(
         "vec_id", "cluster_id", "label"
     )
+
+
+@register(
+    "k_eval_lsh_calibration",
+    # Composes the exact-Jaccard miner and the MinHash-LSH candidate
+    # generator verbatim; the hash gate checks the whole calibration.
+    oracle=f"""
+    WITH exact AS ({_ORACLES["k_dedup_near"]}),
+    cand AS ({_ORACLES["k_dedup_minhash_sql"]})
+    SELECT round(floor(e.jaccard * 10) / 10, 1) AS jac_band,
+           count(*) AS n_pairs,
+           count(c.doc_id_1) AS n_detected,
+           round(count(c.doc_id_1) * 1.0 / count(*), 4) AS detect_rate
+    FROM exact e
+    LEFT JOIN (SELECT doc_id_1, doc_id_2 FROM cand) c
+      USING (doc_id_1, doc_id_2)
+    GROUP BY 1
+    """,
+)
+def k_eval_lsh_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH S-curve calibration: per true-Jaccard decile, the fraction of
+    exact near-dup pairs (k_dedup_near) that the MinHash band-bucket
+    candidate generator (k_dedup_minhash_sql) actually surfaces — the
+    measurement that tunes (bands, rows) before trusting LSH at scale,
+    where running the exact miner corpus-wide is impossible. High bands
+    should detect at ~1.0; the rate decaying toward the threshold maps
+    the S-curve's knee. Like k_eval_ann_recall, the EVALUATION itself is
+    oracle-hash-checked because both composed pipelines are deterministic.
+
+    Cost is the two pipelines (each already posting-list-shaped); the
+    calibration join is keyed by pair id and its output is bounded by the
+    exact-pair count, which a real run bounds by sampling strata of
+    doc-pairs — the composition shape is unchanged.
+    """
+    exact = k_dedup_near(spark, sf_dir)
+    cand = k_dedup_minhash_sql(spark, sf_dir).select(
+        "doc_id_1", "doc_id_2", F.lit(1).alias("hit")
+    )
+    band = F.round(F.floor(F.col("jaccard") * 10) / 10, 1)
+    return (
+        exact.join(cand, ["doc_id_1", "doc_id_2"], "left")
+        .groupBy(band.alias("jac_band"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.count("hit").alias("n_detected"),
+            F.round(F.count("hit") * 1.0 / F.count(F.lit(1)), 4).alias(
+                "detect_rate"
+            ),
+        )
+    )

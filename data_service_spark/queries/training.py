@@ -1664,9 +1664,11 @@ def k_filter_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     with < 2 tokens carry no bigrams and must not be lost by the gate.
 
     One join tree over three already-single-scan pipelines, all keyed by
-    doc_id — at 100 TB the three signal scans fuse per-partition (same
-    source, co-partitioned joins) and the gate adds no extra shuffle
-    beyond the signals' own aggregates.
+    doc_id. The three signal subtrees each scan the source once (Catalyst
+    does not fuse independent subtrees); at 100 TB a production run
+    materializes the per-doc signal table once per ingest batch and the
+    gate becomes a metadata-only re-filter — the decision logic here is
+    that artifact's defining query.
     """
     from data_service_spark.queries.llm_text import k_text_langid, k_text_quality
 
@@ -1688,3 +1690,59 @@ def k_filter_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("marker_ratio") >= 0.005)
     )
     return j.select("doc_id", reasons.alias("reasons"), keep.alias("keep"))
+
+
+@register(
+    "k_mix_epochs",
+    oracle="""
+    WITH tok AS (
+      SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS avail
+      FROM documents GROUP BY 1
+    ), w AS (SELECT source, avail, pow(avail, 0.5) AS wt FROM tok),
+    tot AS (SELECT sum(avail) AS total_avail, sum(wt) AS total_wt FROM w)
+    SELECT source, avail,
+           round(3.0 * total_avail * wt / total_wt, 1) AS target_tokens,
+           round(3.0 * total_avail * wt / total_wt / avail, 4) AS epochs_raw,
+           round(least(3.0 * total_avail * wt / total_wt / avail, 4.0), 4)
+             AS epochs_capped,
+           round(least(3.0 * total_avail * wt / total_wt, 4.0 * avail), 1)
+             AS sampled_tokens
+    FROM w CROSS JOIN tot
+    """,
+)
+def k_mix_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-capped mixing schedule for a data-constrained run
+    (Muennighoff et al. 2023, arXiv:2305.16264: repeating data up to ~4
+    epochs is nearly as good as fresh data; beyond that, returns decay):
+    token budget = 3x the corpus, split by temperature weights (alpha=0.5
+    on token mass), each source's implied epoch count capped at 4 — the
+    allocation table that decides how often each source repeats in the
+    final shuffle.
+
+    One scan for per-source token mass, a one-row broadcast of the
+    (total, total-weight) pair, pure codegen arithmetic after that — the
+    same bounded-by-source-cardinality shape as k_sample_temperature, so
+    the 100 TB cost is the token-count scan alone.
+    """
+    tok = (
+        load(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.sum(F.size(F.split("text", " "))).alias("avail"))
+        .withColumn("wt", F.pow(F.col("avail"), 0.5))
+    )
+    tot = tok.agg(
+        F.sum("avail").alias("total_avail"), F.sum("wt").alias("total_wt")
+    )
+    target = F.lit(3.0) * F.col("total_avail") * F.col("wt") / F.col("total_wt")
+    return tok.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "avail",
+        F.round(target, 1).alias("target_tokens"),
+        F.round(target / F.col("avail"), 4).alias("epochs_raw"),
+        F.round(F.least(target / F.col("avail"), F.lit(4.0)), 4).alias(
+            "epochs_capped"
+        ),
+        F.round(
+            F.least(target, F.lit(4.0) * F.col("avail")), 1
+        ).alias("sampled_tokens"),
+    )

@@ -915,3 +915,31 @@ def test_novelty_first_doc_is_fully_novel(spark, sf_dir):
     # exact duplicates of earlier docs legitimately score 0.0
     assert ((pdf.novelty_ratio >= 0) & (pdf.novelty_ratio <= 1)).all()
     assert (pdf.novelty_ratio == 0).any()  # the corpus has exact dups
+
+
+def test_lsh_calibration_recall_shape(spark, sf_dir):
+    """Detection rates are valid fractions, pair counts total the exact
+    miner's output, and overall detection matches k_eval_dedup_recall's
+    premise (LSH finds nearly all >= threshold pairs on this corpus)."""
+    from data_service_spark.registry import QUERIES
+
+    cal = QUERIES["k_eval_lsh_calibration"](spark, sf_dir).toPandas()
+    n_exact = QUERIES["k_dedup_near"](spark, sf_dir).count()
+    assert cal.n_pairs.sum() == n_exact
+    assert ((cal.detect_rate >= 0) & (cal.detect_rate <= 1)).all()
+    assert (cal.n_detected <= cal.n_pairs).all()
+    assert cal.n_detected.sum() / cal.n_pairs.sum() > 0.8
+
+
+def test_mix_epochs_cap_and_budget(spark, sf_dir):
+    """Epochs never exceed the 4x cap, sampled tokens never exceed
+    min(target, 4x available), and the uncapped targets spend exactly the
+    3x-corpus budget."""
+    from data_service_spark.registry import QUERIES
+
+    pdf = QUERIES["k_mix_epochs"](spark, sf_dir).toPandas()
+    assert (pdf.epochs_capped <= 4.0 + 1e-9).all()
+    assert (pdf.epochs_capped <= pdf.epochs_raw + 1e-9).all()
+    assert (pdf.sampled_tokens <= pdf.avail * 4 + 0.1).all()
+    assert (pdf.sampled_tokens <= pdf.target_tokens + 0.1).all()
+    assert abs(pdf.target_tokens.sum() - 3.0 * pdf.avail.sum()) < 1.0
