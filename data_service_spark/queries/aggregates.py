@@ -951,3 +951,73 @@ def d_agg_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cm_est",
         (F.col("cm_est") >= F.col("true_n")).alias("never_undercounts"),
     )
+
+
+@register(
+    "d_agg_theta_sets",
+    oracle="""
+    SELECT concat('distinct_', o_orderstatus) AS set_op,
+           count(DISTINCT o_custkey) AS n
+    FROM orders GROUP BY o_orderstatus
+    UNION ALL
+    SELECT 'union_all', count(DISTINCT o_custkey) FROM orders
+    UNION ALL
+    SELECT 'intersect_OF', count(*) FROM (
+      SELECT o_custkey FROM orders GROUP BY o_custkey
+      HAVING bool_or(o_orderstatus = 'O') AND bool_or(o_orderstatus = 'F')
+    )
+    UNION ALL
+    SELECT 'diff_O_minus_F', count(*) FROM (
+      SELECT o_custkey FROM orders GROUP BY o_custkey
+      HAVING bool_or(o_orderstatus = 'O') AND NOT bool_or(o_orderstatus = 'F')
+    )
+    """,
+)
+def d_agg_theta_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch SET ALGEBRA (Datasketches, Spark 4.1): per-status
+    customer sketches stored once, then distinct / union / intersection /
+    difference all answered FROM THE SKETCHES — the capability HLL lacks
+    (HLL unions but cannot intersect), and the reason theta is the
+    warehouse sketch for audience-overlap questions. lgNomEntries=16
+    (65536 nominal entries) keeps this corpus in the sketch's exact
+    regime, so the DuckDB oracle pins exact set-algebra counts — the same
+    exact-regime contract as d_agg_approx_top_k; at 100 TB the estimates
+    degrade gracefully and the sketches still merge cell-free across
+    shards.
+
+    One scan builds all per-group sketches (map-side partial merge); every
+    set question after that touches only the 3-row sketch table.
+    """
+    load(spark, sf_dir, "orders").createOrReplaceTempView("dss_theta_orders")
+    # Materialize the per-group sketches ONCE (a plain CTE re-executes per
+    # reference — 5 scans of the fact table; the cache pins it to one scan
+    # and the four set questions read the 3-row in-memory sketch table).
+    sketches = spark.sql(
+        """
+        SELECT o_orderstatus, theta_sketch_agg(o_custkey, 16) AS sk
+        FROM dss_theta_orders GROUP BY o_orderstatus
+        """
+    ).coalesce(1).cache()
+    # coalesce(1): the sketch table is 3 rows; intersection partials over
+    # empty partitions are illegal ("infinite set") in the Datasketches
+    # intersection, and a single partition also skips 200-partition
+    # shuffles for every set question.
+    sketches.createOrReplaceTempView("dss_theta_sketches")
+    return spark.sql(
+        """
+        SELECT concat('distinct_', o_orderstatus) AS set_op,
+               theta_sketch_estimate(sk) AS n
+        FROM dss_theta_sketches
+        UNION ALL
+        SELECT 'union_all', theta_sketch_estimate(theta_union_agg(sk, 16))
+        FROM dss_theta_sketches
+        UNION ALL
+        SELECT 'intersect_OF',
+               theta_sketch_estimate(theta_intersection_agg(sk))
+        FROM dss_theta_sketches WHERE o_orderstatus IN ('O', 'F')
+        UNION ALL
+        SELECT 'diff_O_minus_F', theta_sketch_estimate(theta_difference(
+          (SELECT sk FROM dss_theta_sketches WHERE o_orderstatus = 'O'),
+          (SELECT sk FROM dss_theta_sketches WHERE o_orderstatus = 'F')))
+        """
+    )

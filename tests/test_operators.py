@@ -943,3 +943,26 @@ def test_mix_epochs_cap_and_budget(spark, sf_dir):
     assert (pdf.sampled_tokens <= pdf.avail * 4 + 0.1).all()
     assert (pdf.sampled_tokens <= pdf.target_tokens + 0.1).all()
     assert abs(pdf.target_tokens.sum() - 3.0 * pdf.avail.sum()) < 1.0
+
+
+def test_theta_sets_match_exact_set_algebra(spark, sf_dir):
+    """In the exact regime the sketch answers equal brute-force set
+    algebra: distinct + union + intersection + difference over customer
+    sets, and |O| = |O∩F| + |O\\F| holds exactly."""
+    from data_service_spark.registry import QUERIES
+
+    got = {
+        r.set_op: r.n
+        for r in QUERIES["d_agg_theta_sets"](spark, sf_dir).collect()
+    }
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").toPandas()
+    by_status = {
+        s: set(g.o_custkey) for s, g in orders.groupby("o_orderstatus")
+    }
+    for s, cust in by_status.items():
+        assert got[f"distinct_{s}"] == len(cust)
+    assert got["union_all"] == orders.o_custkey.nunique()
+    o, f = by_status["O"], by_status["F"]
+    assert got["intersect_OF"] == len(o & f)
+    assert got["diff_O_minus_F"] == len(o - f)
+    assert got["distinct_O"] == got["intersect_OF"] + got["diff_O_minus_F"]

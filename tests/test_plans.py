@@ -302,3 +302,51 @@ def test_bm25_filters_terms_before_aggregation(spark, sf_dir):
     assert "Filter" in plan and "HashAggregate" in plan
     # the IN-list literal lands in a Filter, not a Join condition
     assert "table" in plan and "hash" in plan and "scan" in plan
+
+
+def test_semantic_dedup_pair_join_is_equi(spark, sf_dir):
+    """k_dedup_semantic's within-cluster pair search must plan as an
+    EQUI-join on cluster_id (hash/broadcast-hash/sort-merge), never the
+    un-keyed all-pairs nested loop. (The tiny 10-row centroid broadcast
+    cross from k_cluster_assign is the one intended BNLJ.)"""
+    plan = plan_of(QUERIES["k_dedup_semantic"](spark, sf_dir), "simple")
+    join_lines = [
+        ln for ln in plan.splitlines() if "Join" in ln and "cluster_id" in ln
+    ]
+    assert any(
+        "SortMergeJoin" in ln or "HashJoin" in ln for ln in join_lines
+    ), plan
+    assert "CartesianProduct" not in plan
+    # every BNLJ present must be the broadcast centroid cross, never the
+    # pair search itself
+    for ln in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in ln:
+            assert "Cross" in ln and "BuildRight" in ln, ln
+
+
+def test_span_and_novelty_scans_prune_to_text(spark, sf_dir):
+    """The gram pipelines must read only (doc_id, text) — the wide corpus
+    columns (source, lang, n_chars) never leave the parquet scan."""
+    for key in ("k_dedup_spans", "k_text_novelty"):
+        plan = plan_of(QUERIES[key](spark, sf_dir), "formatted")
+        scan_lines = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+        assert scan_lines, key
+        for ln in scan_lines:
+            assert "n_chars" not in ln and "source" not in ln, (key, ln)
+
+
+def test_interpolate_windows_are_keyed(spark, sf_dir):
+    """Both IGNORE NULLS carries partition by event_type — no global
+    single-task window sort anywhere in the interpolation plan."""
+    plan = plan_of(QUERIES["e_win_interpolate"](spark, sf_dir), "simple")
+    assert "Window" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_theta_sets_scan_orders_once(spark, sf_dir):
+    """The four set questions must reuse the cached 3-row sketch table —
+    exactly one scan of the fact table (cache materialization), the rest
+    InMemoryTableScan."""
+    df = QUERIES["d_agg_theta_sets"](spark, sf_dir)
+    plan = plan_of(df, "simple")
+    assert "InMemoryTableScan" in plan or plan.count("FileScan") <= 1
