@@ -76,7 +76,7 @@ PRIORITY = [
     "k_dedup_semantic", "k_dedup_spans", "k_eval_heldout_ppl",
     "k_sample_temperature", "d_agg_countmin", "k_filter_gate",
     "e_win_interpolate", "k_eval_lsh_calibration", "k_mix_epochs",
-    "d_agg_theta_sets",
+    "d_agg_theta_sets", "e_win_rolling_median",
 ]
 
 

@@ -892,3 +892,39 @@ def h_interval_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_add(d, 10).cast("timestamp").alias("plus_10d"),
         F.add_months(d, -12).cast("timestamp").alias("minus_1y"),
     )
+
+
+@register(
+    "h_format_funcs",
+    oracle="""
+    SELECT p_partkey,
+           printf('PART-%06d', p_partkey) AS part_code,
+           printf('%,d units @ %.2f', CAST(p_size AS BIGINT), p_retailprice)
+             AS label,
+           printf('%x', p_partkey) AS hex_key,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+           translate(p_brand, '#', '-') AS brand_slug,
+           repeat('*', p_size % 5) AS stars
+    FROM part WHERE p_partkey <= 50
+    """,
+)
+def h_format_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """printf-style report formatting in the engine: zero-padded codes,
+    thousands grouping, hex rendering, pad/translate/repeat — the
+    display-layer functions an export or labeling pass runs at scan speed
+    (Spark `format_string` and DuckDB `printf` share the C format-spec
+    dialect, which is what makes the twin exact). All codegen'd
+    projections over a pruned, pushed-down scan — no shuffle at any
+    scale."""
+    p = load(spark, sf_dir, "part").filter(F.col("p_partkey") <= 50)
+    return p.select(
+        "p_partkey",
+        F.format_string("PART-%06d", "p_partkey").alias("part_code"),
+        F.format_string(
+            "%,d units @ %.2f", F.col("p_size").cast("bigint"), "p_retailprice"
+        ).alias("label"),
+        F.format_string("%x", "p_partkey").alias("hex_key"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.translate("p_brand", "#", "-").alias("brand_slug"),
+        F.repeat(F.lit("*"), F.col("p_size") % 5).alias("stars"),
+    )

@@ -535,3 +535,48 @@ def e_win_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "filled"
         ),
     )
+
+
+@register(
+    "e_win_rolling_median",
+    oracle="""
+    SELECT event_id, user_id,
+           round(quantile_cont(value, 0.5) OVER w, 4) AS roll_med,
+           round(quantile_cont(value, 0.75) OVER w
+                 - quantile_cont(value, 0.25) OVER w, 4) AS roll_iqr
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    """,
+)
+def e_win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling median + IQR per user over the trailing 5 events — the
+    robust-statistics twin of e_win_running's mean family (a single wild
+    value shifts a rolling mean but not the rolling median; IQR is the
+    robust spread an outlier screen thresholds against). Spark's exact
+    `percentile` aggregate accepts a ROWS frame; DuckDB's `quantile_cont`
+    is the same linearly-interpolated definition, so the 4dp-rounded
+    values hash-match.
+
+    One keyed window sort (user_id), frame bounded at 5 rows — state per
+    partition is O(frame), embarrassingly parallel across users at any
+    scale. Ordering carries the unique event_id tiebreak so frames are
+    identical across engines.
+    """
+    from data_service_spark.io import load
+
+    e = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    med = F.expr("percentile(value, 0.5)").over(w)
+    p75 = F.expr("percentile(value, 0.75)").over(w)
+    p25 = F.expr("percentile(value, 0.25)").over(w)
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(med, 4).alias("roll_med"),
+        F.round(p75 - p25, 4).alias("roll_iqr"),
+    )

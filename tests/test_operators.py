@@ -966,3 +966,47 @@ def test_theta_sets_match_exact_set_algebra(spark, sf_dir):
     assert got["intersect_OF"] == len(o & f)
     assert got["diff_O_minus_F"] == len(o - f)
     assert got["distinct_O"] == got["intersect_OF"] + got["diff_O_minus_F"]
+
+
+def test_rolling_median_is_robust_to_spike(spark):
+    """A single spike moves the rolling mean but not the rolling median:
+    hand-computed trailing-5 medians on an inline series."""
+    from datetime import datetime
+
+    from pyspark.sql.window import Window
+
+    vals = [1.0, 1.0, 1.0, 100.0, 1.0, 1.0, 1.0]
+    df = spark.createDataFrame(
+        [(i, datetime(2024, 1, 1, 9, i), 1, "view", v, "{}")
+         for i, v in enumerate(vals)],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    got = [
+        r.m
+        for r in df.select(F.expr("percentile(value, 0.5)").over(w).alias("m"))
+        .orderBy("event_id")
+        .collect()
+    ]
+    # trailing-5 windows: medians stay 1.0 everywhere despite the spike
+    assert got == [1.0] * 7
+
+
+def test_format_funcs_shapes(spark, sf_dir):
+    """Codes are fixed-width, hex round-trips, stars length == size%5."""
+    from data_service_spark.registry import QUERIES
+
+    pdf = QUERIES["h_format_funcs"](spark, sf_dir).toPandas()
+    assert (pdf.part_code.str.len() == len("PART-") + 6).all()
+    assert (
+        pdf.hex_key.apply(lambda h: int(h, 16)) == pdf.p_partkey
+    ).all()
+    assert (pdf.stars.str.len() == pdf.p_partkey.map(
+        dict(zip(pdf.p_partkey, pdf.stars.str.len()))
+    )).all()
+    assert pdf.size_padded.str.len().eq(4).all()
