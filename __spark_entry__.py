@@ -47,6 +47,13 @@ PRIORITY = [
     "k_text_pii_redact", "k_text_contamination", "k_pack_sequences",
     "k_chunk_rag", "k_dpo_pairs", "k_text_entropy",
     "k_multimodal_features", "k_eval_ann_recall",
+    # round-2b flagships (paper-grounded dedup/eval + sketches) — in the
+    # bounded window so THIS round's correctness pass records them
+    "k_dedup_semantic", "k_dedup_spans", "k_eval_lsh_calibration",
+    "k_eval_heldout_ppl", "k_filter_gate", "k_mix_epochs",
+    "k_sample_temperature", "k_text_novelty", "d_agg_theta_sets",
+    "d_agg_countmin", "e_win_interpolate", "e_win_rolling_median",
+    "k_rank_fusion",
     # e: windows (none recorded in r01)
     "e_win_rank", "e_win_running", "e_win_scd2", "e_win_range_frame",
     "e_win_streak",
@@ -54,7 +61,7 @@ PRIORITY = [
     "f_topk_per_group", "f_sort_verify", "g_except", "g_symmetric_diff",
     # h: scalar surface incl. the Spark-4 VARIANT path
     "h_explode", "h_array_higher_order", "h_variant", "h_url_funcs",
-    "h_json_build",
+    "h_json_build", "h_format_funcs",
     # i: streaming (batch-equivalent oracles)
     "i_tumbling", "i_session", "i_watermark_late", "i_stream_join",
     "i_window_chain", "i_gap_fill", "i_stateful_sessions",
@@ -66,17 +73,12 @@ PRIORITY = [
     # a/c/d stragglers r01 missed (connectors, DPP, deterministic mode)
     "a_source_jdbc", "a_source_binaryfile", "a_scan_metadata",
     "a_observe_metrics", "c_join_dpp", "c_join_lateral", "d_agg_mode_det",
-    # round-2-continuation flagships (new this session)
+    # round-2-continuation flagships
     "i_state_reader", "c_join_bloom", "d_agg_bitmap", "a_cbo_stats",
     "q_pipe_sql", "j_map_in_arrow",
-    # linear-algebra extensions + exact TPC-H Q1/Q5 (latest session)
+    # linear-algebra extensions + exact TPC-H Q1/Q5
     "k_embed_gram", "k_hard_negatives", "k_class_weights",
     "q_tpch_q01", "q_tpch_q05",
-    # round-2b: paper-grounded dedup/eval + the CMS sketch
-    "k_dedup_semantic", "k_dedup_spans", "k_eval_heldout_ppl",
-    "k_sample_temperature", "d_agg_countmin", "k_filter_gate",
-    "e_win_interpolate", "k_eval_lsh_calibration", "k_mix_epochs",
-    "d_agg_theta_sets", "e_win_rolling_median",
 ]
 
 

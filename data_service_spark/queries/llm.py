@@ -1892,3 +1892,4 @@ def k_eval_lsh_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+

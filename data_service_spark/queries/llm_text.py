@@ -942,3 +942,96 @@ def k_text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+from data_service_spark.registry import ORACLES as _REG_ORACLES  # noqa: E402
+
+
+@register(
+    "k_rank_fusion",
+    oracle=f"""
+    WITH sparse AS ({_REG_ORACLES["k_text_bm25"]}),
+    sr AS (
+      SELECT doc_id, row_number() OVER (ORDER BY round(bm25, 6) DESC, doc_id)
+               AS r
+      FROM sparse
+    ),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    dense AS (
+      SELECT vec_id AS doc_id,
+             row_number() OVER (ORDER BY
+               round(list_inner_product(v, qv), 6) DESC, vec_id) AS r
+      FROM e CROSS JOIN q WHERE vec_id <> 0
+    ),
+    dr AS (SELECT doc_id, r FROM dense WHERE r <= 20),
+    fused AS (
+      SELECT coalesce(sr.doc_id, dr.doc_id) AS doc_id,
+             round(coalesce(1.0 / (60 + sr.r), 0)
+                   + coalesce(1.0 / (60 + dr.r), 0), 6) AS rrf
+      FROM sr FULL JOIN dr ON sr.doc_id = dr.doc_id
+    )
+    SELECT doc_id, rrf, rank FROM (
+      SELECT doc_id, rrf,
+             row_number() OVER (ORDER BY rrf DESC, doc_id) AS rank
+      FROM fused
+    ) WHERE rank <= 10
+    """,
+)
+def k_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via Reciprocal Rank Fusion (Cormack et al. 2009,
+    k=60): the lexical leg is the registered BM25 top-20 (k_text_bm25),
+    the dense leg ranks embeddings by cosine against a fixed probe vector,
+    and each document scores sum(1/(60+rank)) over the lists it appears in
+    — the standard RAG-stack combiner of sparse and dense retrieval,
+    robust to the two scorers' incomparable scales because only RANKS
+    enter the fusion. FULL join: a doc found by one leg only still fuses.
+
+    Each leg is itself bounded (top-20), so the fusion join and the final
+    rank window run on tens of rows regardless of corpus size — the
+    global windows here order POST-RETRIEVAL candidate lists, not data
+    (same documented exception as f_sort_verify). At 100 TB the legs are
+    the cost, and both are already index-shaped (posting join / GEMM-LSH).
+    """
+    from pyspark.sql.window import Window as W
+
+    from data_service_spark.queries.llm import _emb, dot
+
+    sparse = k_text_bm25(spark, sf_dir)
+    sr = sparse.select(
+        "doc_id",
+        F.row_number()
+        .over(W.orderBy(F.round("bm25", 6).desc(), "doc_id"))
+        .alias("r_sparse"),
+    )
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    dense = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.row_number()
+            .over(W.orderBy(F.round(dot(F.col("v"), F.col("qv")), 6).desc(), "vec_id"))
+            .alias("r_dense"),
+        )
+        .filter(F.col("r_dense") <= 20)
+    )
+    fused = (
+        sr.join(dense, "doc_id", "full")
+        .select(
+            "doc_id",
+            F.round(
+                F.coalesce(1.0 / (60 + F.col("r_sparse")), F.lit(0.0))
+                + F.coalesce(1.0 / (60 + F.col("r_dense")), F.lit(0.0)),
+                6,
+            ).alias("rrf"),
+        )
+    )
+    return (
+        fused.withColumn(
+            "rank", F.row_number().over(W.orderBy(F.col("rrf").desc(), "doc_id"))
+        )
+        .filter(F.col("rank") <= 10)
+        .select("doc_id", "rrf", "rank")
+    )

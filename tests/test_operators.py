@@ -1010,3 +1010,16 @@ def test_format_funcs_shapes(spark, sf_dir):
         dict(zip(pdf.p_partkey, pdf.stars.str.len()))
     )).all()
     assert pdf.size_padded.str.len().eq(4).all()
+
+
+def test_rank_fusion_bounds_and_agreement(spark, sf_dir):
+    """RRF scores are bounded by 2/(60+1), docs present in both legs beat
+    equal-rank single-leg docs, and the output is exactly top-10."""
+    from data_service_spark.registry import QUERIES
+
+    pdf = QUERIES["k_rank_fusion"](spark, sf_dir).toPandas()
+    assert len(pdf) == 10
+    assert list(pdf["rank"]) == sorted(pdf["rank"]) == list(range(1, 11))
+    assert (pdf.rrf <= 2.0 / 61 + 1e-9).all()
+    assert (pdf.rrf > 0).all()
+    assert pdf.rrf.is_monotonic_decreasing

@@ -128,6 +128,22 @@ SHOWCASE = {
         "BroadcastHashJoins for region/nation/supplier; shuffle joins only on customer⋈orders⋈lineitem",
         "the snowflake's dimension legs ship to executors once; fact shuffles are the only data movement",
     ),
+    "k_dedup_semantic": (
+        "SortMergeJoin on cluster_id for the pair search; the only BNLJ is the 10-row centroid broadcast cross",
+        "SemDeDup's point: candidate pairs shrink O(n²)→Σm_c² and the pair search is a plain co-partitioned equi-join",
+    ),
+    "k_dedup_spans": (
+        "posting-style hash aggregate keyed by gram, then a shuffle equi-join back (dup side NOT broadcast)",
+        "the gram table scales with corpus duplication — shuffle join survives where a broadcast would OOM",
+    ),
+    "e_win_interpolate": (
+        "two Window nodes both partitioned by event_type; no SinglePartition exchange anywhere",
+        "backward+forward IGNORE NULLS carries parallelize across keys; the lerp is pure codegen",
+    ),
+    "d_agg_theta_sets": (
+        "one ObjectHashAggregate scan building sketches; every set question reads InMemoryTableScan of the 3-row sketch table",
+        "set algebra (incl. intersection/difference) answered from mergeable sketches — one fact-table pass total",
+    ),
 }
 
 
