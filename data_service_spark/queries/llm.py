@@ -1893,3 +1893,83 @@ def k_eval_lsh_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+
+
+@register(
+    "k_coreset_kcenter",
+    # The greedy recurrence unrolled declaratively: each pX picks the
+    # farthest-from-selected point, each dX folds it into the running min
+    # distance. 5 steps — the oracle IS the algorithm, just unrolled.
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    d1 AS (SELECT vec_id, v,
+                  2 - 2 * list_inner_product(v,
+                    (SELECT v FROM e WHERE vec_id = 0)) AS dmin
+           FROM e),
+    p2 AS (SELECT vec_id AS sid, v AS sv, round(dmin, 6) AS sd FROM d1
+           ORDER BY round(dmin, 6) DESC, vec_id LIMIT 1),
+    d2 AS (SELECT vec_id, v, least(dmin,
+             2 - 2 * list_inner_product(v, (SELECT sv FROM p2))) AS dmin
+           FROM d1),
+    p3 AS (SELECT vec_id AS sid, v AS sv, round(dmin, 6) AS sd FROM d2
+           ORDER BY round(dmin, 6) DESC, vec_id LIMIT 1),
+    d3 AS (SELECT vec_id, v, least(dmin,
+             2 - 2 * list_inner_product(v, (SELECT sv FROM p3))) AS dmin
+           FROM d2),
+    p4 AS (SELECT vec_id AS sid, v AS sv, round(dmin, 6) AS sd FROM d3
+           ORDER BY round(dmin, 6) DESC, vec_id LIMIT 1),
+    d4 AS (SELECT vec_id, v, least(dmin,
+             2 - 2 * list_inner_product(v, (SELECT sv FROM p4))) AS dmin
+           FROM d3),
+    p5 AS (SELECT vec_id AS sid, v AS sv, round(dmin, 6) AS sd FROM d4
+           ORDER BY round(dmin, 6) DESC, vec_id LIMIT 1)
+    SELECT CAST(1 AS INT) AS step, CAST(0 AS BIGINT) AS vec_id,
+           0.0 AS sel_dist
+    UNION ALL SELECT 2, (SELECT sid FROM p2), (SELECT sd FROM p2)
+    UNION ALL SELECT 3, (SELECT sid FROM p3), (SELECT sd FROM p3)
+    UNION ALL SELECT 4, (SELECT sid FROM p4), (SELECT sd FROM p4)
+    UNION ALL SELECT 5, (SELECT sid FROM p5), (SELECT sd FROM p5)
+    """,
+)
+def k_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset selection (Gonzalez 1985; the data-selection
+    scheme behind diversity-maximizing subset pickers): seed with vec_id 0,
+    then 4× pick the point FARTHEST from everything already selected
+    (squared L2 on unit vectors: d² = 2 − 2·cos, so only dot products are
+    computed). Output = the selection order and each pick's distance-at-
+    selection — the decreasing sequence whose last value is the 2-approx
+    coverage radius.
+
+    Spark runs the natural driver loop: per round one broadcast of the new
+    center (a 64-float row), one codegen `least` fold into the running
+    min-distance column, one TakeOrdered argmax — driver traffic is ONE
+    ROW per round, data never leaves executors. The oracle unrolls the
+    same recurrence as nested CTEs; round(·,6)+vec_id tiebreaks pin the
+    argmax across engines. At 100 TB each round is one scan-speed map over
+    the running-distance table (k rounds, k small by design)."""
+    emb = _emb(spark, sf_dir).select("vec_id", "v")
+    first = emb.filter(F.col("vec_id") == 0).select(F.col("v").alias("cv"))
+    d = emb.crossJoin(F.broadcast(first)).select(
+        "vec_id", "v", (2 - 2 * dot(F.col("v"), F.col("cv"))).alias("dmin")
+    )
+    picks = [(1, 0, 0.0)]
+    for step in range(2, 6):
+        top = (
+            d.select("vec_id", F.round("dmin", 6).alias("sd"), "v")
+            .orderBy(F.col("sd").desc(), "vec_id")
+            .limit(1)
+        )
+        row = top.collect()[0]
+        picks.append((step, row.vec_id, float(row.sd)))
+        center = top.select(F.col("v").alias("cv"))
+        d = d.crossJoin(F.broadcast(center)).select(
+            "vec_id",
+            "v",
+            F.least(
+                F.col("dmin"), 2 - 2 * dot(F.col("v"), F.col("cv"))
+            ).alias("dmin"),
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        picks, "step int, vec_id bigint, sel_dist double"
+    )

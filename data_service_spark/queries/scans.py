@@ -769,3 +769,38 @@ def a_sink_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(path)
     )
     return spark.read.parquet(path)
+
+
+@register(
+    "a_scan_glob",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation"
+    " WHERE n_regionkey IN (0, 2)",
+)
+def a_scan_glob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lake-layout discovery surface: a nested `region=<k>/batch=<b>/`
+    tree read back with `recursiveFileLookup` + `pathGlobFilter` — the
+    selective-ingest pattern for picking one slice of a hierarchically
+    organized lake without listing (or reading) the rest. The glob
+    filters FILES (region 0 and 2 only); schema comes from the files
+    themselves since recursive lookup deliberately ignores partition
+    directories.
+
+    At 100 TB, file-listing is itself a distributed job; glob pruning
+    happens during listing — pruned subtrees are never stat'ed, the same
+    way partition pruning skips row groups. The write side is fixture
+    setup, not the operator under test.
+    """
+    path = _tmpdir(f"nation_glob_{os.getpid()}")
+    n = load(spark, sf_dir, "nation")
+    for rk in range(5):
+        (
+            n.filter(F.col("n_regionkey") == rk)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{path}/region_{rk}/batch_0")
+        )
+    return (
+        spark.read.option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(f"{path}/region_0", f"{path}/region_2")
+    )

@@ -691,3 +691,66 @@ def i_stream_file_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.read.parquet(out)
+
+
+@register(
+    "i_session_dynamic_gap",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type = 'purchase'
+                  THEN INTERVAL 60 MINUTE ELSE INTERVAL 30 MINUTE END AS gap
+      FROM events
+    ), runs AS (
+      SELECT user_id, ts, event_id,
+             max(ts + gap) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end,
+             ts + gap AS my_end
+      FROM g
+    ), flagged AS (
+      SELECT user_id, ts, event_id, my_end,
+             CASE WHEN prev_end IS NULL OR ts > prev_end THEN 1 ELSE 0 END
+               AS is_new
+      FROM runs
+    ), labeled AS (
+      SELECT user_id, ts, my_end,
+             sum(is_new) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+      FROM flagged
+    )
+    SELECT user_id, min(ts) AS session_start, max(my_end) AS session_end,
+           count(*) AS n_events
+    FROM labeled GROUP BY user_id, sess
+    """,
+)
+def i_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-gap sessionization: `session_window` whose inactivity gap is
+    PER-EVENT (60 min after a purchase — buying intent keeps a session
+    alive longer — 30 min otherwise). The oracle is the gaps-and-islands
+    formulation: an event opens a new session iff its ts exceeds the
+    running max of every earlier event's (ts + its own gap) — exactly the
+    interval-union semantics session_window merges by (touching intervals
+    merge: `>` not `>=`, the same boundary pinned for i_session).
+
+    In streaming this is the state-bounded sessionizer with per-event
+    timeouts; in batch it is one keyed window sort + one aggregate —
+    parallel across users, O(1) running state per partition. The islands
+    twin doubles as the backfill/repair path that recomputes historical
+    sessions identically.
+    """
+    e = load(spark, sf_dir, "events")
+    gap = F.when(
+        F.col("event_type") == "purchase", F.lit("60 minutes")
+    ).otherwise(F.lit("30 minutes"))
+    return (
+        e.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )

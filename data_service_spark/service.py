@@ -202,7 +202,16 @@ class SqlEngine:
                 break
         return word.lower()
 
-    def sql(self, sql_text: str, limit: int = 1000) -> dict[str, Any]:
+    def sql(
+        self,
+        sql_text: str,
+        limit: int = 1000,
+        args: dict[str, Any] | None = None,
+    ) -> dict[str, Any]:
+        """Run a read query; ``args`` binds Spark named parameter markers
+        (``:name``) so client-supplied values enter as VALUES, never by
+        string-splicing into the statement (the q_param_sql surface at the
+        service boundary)."""
         kw = self._first_keyword(sql_text)
         if kw not in self._QUERY_KEYWORDS:
             raise PermissionError(
@@ -210,7 +219,10 @@ class SqlEngine:
                 f"only read queries ({', '.join(sorted(self._QUERY_KEYWORDS))})"
             )
         limit = max(1, min(int(limit), MAX_ROWS))
-        df = self.spark.sql(sql_text).limit(limit)
+        if args is not None and not isinstance(args, dict):
+            raise ValueError("args must be an object of name → value")
+        df = self.spark.sql(sql_text, args=args) if args else self.spark.sql(sql_text)
+        df = df.limit(limit)
         rows = df.collect()
         return {
             "columns": df.columns,
@@ -268,7 +280,9 @@ def make_handler(engine: SqlEngine) -> type[BaseHTTPRequestHandler]:
                 elif self.path == "/stream/stop":
                     result = engine.stop_stream(req["name"])
                 else:
-                    result = engine.sql(req["sql"], req.get("limit", 1000))
+                    result = engine.sql(
+                        req["sql"], req.get("limit", 1000), req.get("args")
+                    )
                 self._send(200, result)
             except KeyError as exc:
                 self._send(400, {"error": f"missing/unknown field or key: {exc}"})

@@ -1023,3 +1023,50 @@ def test_rank_fusion_bounds_and_agreement(spark, sf_dir):
     assert (pdf.rrf <= 2.0 / 61 + 1e-9).all()
     assert (pdf.rrf > 0).all()
     assert pdf.rrf.is_monotonic_decreasing
+
+
+def test_session_dynamic_gap_vs_static(spark, sf_dir):
+    """Dynamic-gap sessions are never MORE numerous than pure-30min
+    sessions (a longer purchase gap can only merge), every event is
+    covered exactly once, and ends respect the per-event gap."""
+    from data_service_spark.registry import QUERIES
+
+    dyn = QUERIES["i_session_dynamic_gap"](spark, sf_dir).toPandas()
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").toPandas()
+    assert dyn.n_events.sum() == len(ev)
+    static = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .count()
+        .count()
+    )
+    assert len(dyn) <= static
+    assert (dyn.session_end > dyn.session_start).all()
+
+
+def test_kcenter_matches_numpy_greedy(spark, sf_dir):
+    """The distributed greedy equals the numpy greedy (same rounding and
+    tiebreaks), and selection distances decrease monotonically."""
+    import numpy as np
+
+    from data_service_spark.registry import QUERIES
+
+    got = QUERIES["k_coreset_kcenter"](spark, sf_dir).toPandas()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").toPandas()
+    x = np.vstack(emb["embedding"].to_numpy()).astype("float64")
+    vid = emb["vec_id"].to_numpy()
+    order = np.argsort(vid)
+    x, vid = x[order], vid[order]
+    sel = [0]
+    dmin = 2 - 2 * (x @ x[vid == 0][0])
+    picks = [(1, 0, 0.0)]
+    for step in range(2, 6):
+        sd = np.round(dmin, 6)
+        i = np.lexsort((vid, -sd))[0]
+        picks.append((step, int(vid[i]), float(sd[i])))
+        dmin = np.minimum(dmin, 2 - 2 * (x @ x[i]))
+    want = [tuple(p) for p in picks]
+    have = [tuple(r) for r in got.itertuples(index=False)]
+    assert have == want
+    dists = [p[2] for p in picks[1:]]
+    assert dists == sorted(dists, reverse=True)

@@ -82,7 +82,8 @@ k_embed_outliers k_label_noise_knn k_anomaly_zscore
 k_dedup_semantic k_dedup_spans k_sample_temperature k_eval_heldout_ppl
 d_agg_countmin k_filter_gate e_win_interpolate k_text_novelty
 k_eval_lsh_calibration k_mix_epochs d_agg_theta_sets
-e_win_rolling_median h_format_funcs k_rank_fusion
+e_win_rolling_median h_format_funcs k_rank_fusion a_scan_glob
+i_session_dynamic_gap k_coreset_kcenter
 """.split()
 
 

@@ -159,3 +159,46 @@ def test_schema_endpoint(service):
         raise AssertionError("expected 404")
     except urllib.error.HTTPError as e:
         assert e.code == 404
+
+
+def test_sql_named_parameters_bind_as_values(service):
+    """/sql with `args` binds :markers as values — same result as the
+    inline literal, and a malicious value stays a VALUE (no injection)."""
+    out = call(
+        service,
+        "/sql",
+        {
+            "sql": "SELECT count(*) AS n FROM orders"
+            " WHERE o_orderstatus = :status AND o_totalprice > :floor",
+            "args": {"status": "F", "floor": 100000},
+        },
+    )
+    inline = call(
+        service,
+        "/sql",
+        {
+            "sql": "SELECT count(*) AS n FROM orders"
+            " WHERE o_orderstatus = 'F' AND o_totalprice > 100000"
+        },
+    )
+    assert out["rows"] == inline["rows"]
+    # injection attempt arrives as a value: matches nothing, parses fine
+    evil = call(
+        service,
+        "/sql",
+        {
+            "sql": "SELECT count(*) AS n FROM orders WHERE o_orderstatus = :status",
+            "args": {"status": "F' OR '1'='1"},
+        },
+    )
+    assert evil["rows"][0][0] == 0
+
+
+def test_sql_bad_args_type_is_400(service):
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        call(
+            service,
+            "/sql",
+            {"sql": "SELECT 1 AS x", "args": ["not", "a", "dict"]},
+        )
+    assert ei.value.code == 400
