@@ -54,6 +54,7 @@ PRIORITY = [
     "k_sample_temperature", "k_text_novelty", "d_agg_theta_sets",
     "d_agg_countmin", "e_win_interpolate", "e_win_rolling_median",
     "k_rank_fusion", "k_coreset_kcenter", "i_session_dynamic_gap",
+    "k_drift_psi", "k_ab_ztest", "k_eval_cluster_purity",
     # e: windows (none recorded in r01)
     "e_win_rank", "e_win_running", "e_win_scd2", "e_win_range_frame",
     "e_win_streak",

@@ -1973,3 +1973,62 @@ def k_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         picks, "step int, vec_id bigint, sel_dist double"
     )
+
+
+@register(
+    "k_eval_cluster_purity",
+    oracle=f"""
+    WITH assign AS ({_ORACLES["k_cluster_assign"]}),
+    m AS (
+      SELECT a.cluster_id, e.label
+      FROM assign a JOIN embeddings e USING (vec_id)
+    ), lc AS (
+      SELECT cluster_id, label, count(*) AS n_l
+      FROM m GROUP BY cluster_id, label
+    ), top AS (
+      SELECT cluster_id, label AS top_label, n_l AS n_top,
+             row_number() OVER (PARTITION BY cluster_id
+                                ORDER BY n_l DESC, label) AS rn
+      FROM lc
+    ), sz AS (SELECT cluster_id, count(*) AS n FROM m GROUP BY cluster_id)
+    SELECT s.cluster_id, s.n, t.top_label, t.n_top,
+           round(t.n_top * 1.0 / s.n, 4) AS purity
+    FROM sz s JOIN top t ON s.cluster_id = t.cluster_id AND t.rn = 1
+    """,
+)
+def k_eval_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-label purity: per nearest-centroid cluster
+    (k_cluster_assign), the majority ground-truth label's share — the
+    external clustering-quality check that complements the internal
+    silhouette margin (k_cluster_silhouette): purity near 1/n_labels means
+    the clustering ignores the label structure; near 1.0 means clusters
+    could stand in for labels (e.g. as curriculum or IVF cells). The
+    composition is oracle-hash-checked like the other eval keys.
+
+    Shape: the assignment pipeline + two keyed aggregates + an argmax
+    window over the (cluster × label) table — whose size is bounded by
+    C·L, not the corpus."""
+    assign = k_cluster_assign(spark, sf_dir).select("vec_id", "cluster_id")
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "label")
+    m = assign.join(emb, "vec_id").select("cluster_id", "label")
+    lc = m.groupBy("cluster_id", "label").agg(F.count(F.lit(1)).alias("n_l"))
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_l").desc(), F.col("label")
+    )
+    top = (
+        lc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("label").alias("top_label"),
+            F.col("n_l").alias("n_top"),
+        )
+    )
+    sz = m.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n"))
+    return sz.join(top, "cluster_id").select(
+        "cluster_id",
+        "n",
+        "top_label",
+        "n_top",
+        F.round(F.col("n_top") * 1.0 / F.col("n"), 4).alias("purity"),
+    )

@@ -1746,3 +1746,154 @@ def k_mix_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least(target, F.lit(4.0) * F.col("avail")), 1
         ).alias("sampled_tokens"),
     )
+
+
+@register(
+    "k_drift_psi",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id,
+             CASE WHEN {_DUCK_BUCKET.format(salt="split:", key="doc_id")} < 90
+                  THEN 'train' ELSE 'heldout' END AS split,
+             least(len(string_split(text, ' ')) // 20, 5) AS bucket
+      FROM documents
+    ), counts AS (
+      SELECT bucket,
+             count(*) FILTER (split = 'train') AS n_a,
+             count(*) FILTER (split = 'heldout') AS n_b
+      FROM b GROUP BY bucket
+    ), tot AS (
+      SELECT sum(n_a) AS ta, sum(n_b) AS tb, count(*) AS nb FROM counts
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           round((n_a + 0.5) / (ta + 0.5 * nb), 6) AS p_train,
+           round((n_b + 0.5) / (tb + 0.5 * nb), 6) AS p_heldout,
+           round(((n_a + 0.5) / (ta + 0.5 * nb)
+                  - (n_b + 0.5) / (tb + 0.5 * nb))
+                 * ln(((n_a + 0.5) / (ta + 0.5 * nb))
+                      / ((n_b + 0.5) / (tb + 0.5 * nb))), 6) AS psi_contrib
+    FROM counts CROSS JOIN tot
+    """,
+)
+def k_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index over document-length buckets between the
+    registered train split and its held-out complement — the distribution-
+    drift monitor (PSI > 0.2 = population shifted, retrain/re-curate).
+    Laplace-smoothed (+0.5 per bucket) so empty buckets contribute finite
+    terms; each bucket's signed contribution is reported (the total is
+    their sum, and per-bucket attribution is what the monitor alerts on).
+
+    One scan + one 6-bucket aggregate + a broadcast one-row total — the
+    same bounded-post-agg shape as k_mix_epochs; at 100 TB PSI is computed
+    per ingest batch against the frozen reference histogram, and the
+    reference side here (the train split) stands in for that stored
+    profile."""
+    d = load(spark, sf_dir, "documents")
+    bucket_hash = F.expr(_SPARK_BUCKET.format(salt="split:", key="doc_id"))
+    b = d.select(
+        F.when(bucket_hash < 90, "train").otherwise("heldout").alias("split"),
+        F.least(
+            F.floor(F.size(F.split("text", " ")) / 20), F.lit(5)
+        ).alias("bucket"),
+    )
+    counts = b.groupBy("bucket").agg(
+        F.count(F.when(F.col("split") == "train", 1)).alias("n_a"),
+        F.count(F.when(F.col("split") == "heldout", 1)).alias("n_b"),
+    )
+    tot = counts.agg(
+        F.sum("n_a").alias("ta"),
+        F.sum("n_b").alias("tb"),
+        F.count(F.lit(1)).alias("nb"),
+    )
+    pa = (F.col("n_a") + 0.5) / (F.col("ta") + 0.5 * F.col("nb"))
+    pb = (F.col("n_b") + 0.5) / (F.col("tb") + 0.5 * F.col("nb"))
+    return counts.crossJoin(F.broadcast(tot)).select(
+        F.col("bucket").cast("bigint").alias("bucket"),
+        F.round(pa, 6).alias("p_train"),
+        F.round(pb, 6).alias("p_heldout"),
+        F.round((pa - pb) * F.log(pa / pb), 6).alias("psi_contrib"),
+    )
+
+
+@register(
+    "k_ab_ztest",
+    oracle="""
+    WITH cohorts AS (
+      SELECT user_id % 2 AS cohort,
+             count(DISTINCT user_id) AS n_users,
+             count(DISTINCT CASE WHEN event_type = 'purchase'
+                                      AND value > 200
+                                 THEN user_id END) AS n_converted
+      FROM events GROUP BY 1
+    ), wide AS (
+      SELECT
+        max(CASE WHEN cohort = 0 THEN n_users END) AS n0,
+        max(CASE WHEN cohort = 0 THEN n_converted END) AS c0,
+        max(CASE WHEN cohort = 1 THEN n_users END) AS n1,
+        max(CASE WHEN cohort = 1 THEN n_converted END) AS c1
+      FROM cohorts
+    )
+    SELECT n0, c0, n1, c1,
+           round(c0 * 1.0 / n0, 6) AS rate_a,
+           round(c1 * 1.0 / n1, 6) AS rate_b,
+           round((c0 * 1.0 / n0 - c1 * 1.0 / n1)
+                 / sqrt(((c0 + c1) * 1.0 / (n0 + n1))
+                        * (1 - (c0 + c1) * 1.0 / (n0 + n1))
+                        * (1.0 / n0 + 1.0 / n1)), 4) AS z_stat,
+           abs((c0 * 1.0 / n0 - c1 * 1.0 / n1)
+               / sqrt(((c0 + c1) * 1.0 / (n0 + n1))
+                      * (1 - (c0 + c1) * 1.0 / (n0 + n1))
+                      * (1.0 / n0 + 1.0 / n1))) > 1.96 AS significant_95
+    FROM wide
+    """,
+)
+def k_ab_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test in the engine: purchase conversion of the
+    even-user cohort vs the odd-user cohort (the deterministic stand-in
+    for an experiment assignment column), pooled-variance z statistic and
+    the 95% verdict — the A/B readout an event pipeline serves without
+    exporting to a stats package.
+
+    One distinct-aggregate over (cohort, user) then pure scalar algebra on
+    a two-row frame. At 100 TB the distinct-user counts are the only real
+    work (hash agg keyed by user); everything after is driver-free
+    arithmetic on a broadcast row."""
+    e = load(spark, sf_dir, "events")
+    cohorts = (
+        e.select(
+            (F.col("user_id") % 2).alias("cohort"),
+            "user_id",
+            "event_type",
+            "value",
+        )
+        .groupBy("cohort")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.countDistinct(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("value") > 200),
+                    F.col("user_id"),
+                )
+            ).alias("n_converted"),
+        )
+    )
+    wide = cohorts.agg(
+        F.max(F.when(F.col("cohort") == 0, F.col("n_users"))).alias("n0"),
+        F.max(F.when(F.col("cohort") == 0, F.col("n_converted"))).alias("c0"),
+        F.max(F.when(F.col("cohort") == 1, F.col("n_users"))).alias("n1"),
+        F.max(F.when(F.col("cohort") == 1, F.col("n_converted"))).alias("c1"),
+    )
+    ra = F.col("c0") * 1.0 / F.col("n0")
+    rb = F.col("c1") * 1.0 / F.col("n1")
+    pooled = (F.col("c0") + F.col("c1")) * 1.0 / (F.col("n0") + F.col("n1"))
+    z = (ra - rb) / F.sqrt(
+        pooled * (1 - pooled) * (1.0 / F.col("n0") + 1.0 / F.col("n1"))
+    )
+    return wide.select(
+        "n0", "c0", "n1", "c1",
+        F.round(ra, 6).alias("rate_a"),
+        F.round(rb, 6).alias("rate_b"),
+        F.round(z, 4).alias("z_stat"),
+        (F.abs(z) > 1.96).alias("significant_95"),
+    )

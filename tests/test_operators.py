@@ -1070,3 +1070,45 @@ def test_kcenter_matches_numpy_greedy(spark, sf_dir):
     assert have == want
     dists = [p[2] for p in picks[1:]]
     assert dists == sorted(dists, reverse=True)
+
+
+def test_psi_contributions_sane(spark, sf_dir):
+    """Smoothed probabilities sum to ~1 per side; PSI contributions carry
+    the sign of (p_train - p_heldout); total PSI is small (same
+    underlying distribution split at random)."""
+    from data_service_spark.registry import QUERIES
+
+    pdf = QUERIES["k_drift_psi"](spark, sf_dir).toPandas()
+    assert abs(pdf.p_train.sum() - 1.0) < 0.01
+    assert abs(pdf.p_heldout.sum() - 1.0) < 0.01
+    # (p-q)·ln(p/q) >= 0 always: every bucket contributes non-negatively
+    assert (pdf.psi_contrib >= -1e-9).all()
+    assert 0 <= pdf.psi_contrib.sum() < 0.25  # hash split => no real drift
+
+
+def test_ab_ztest_matches_scipy_formula(spark, sf_dir):
+    """z statistic equals the hand-computed pooled two-proportion z."""
+    import math
+
+    from data_service_spark.registry import QUERIES
+
+    r = QUERIES["k_ab_ztest"](spark, sf_dir).collect()[0]
+    p_pool = (r.c0 + r.c1) / (r.n0 + r.n1)
+    z = (r.c0 / r.n0 - r.c1 / r.n1) / math.sqrt(
+        p_pool * (1 - p_pool) * (1 / r.n0 + 1 / r.n1)
+    )
+    assert abs(r.z_stat - round(z, 4)) < 1e-9
+    assert r.significant_95 == (abs(z) > 1.96)
+
+
+def test_cluster_purity_bounds(spark, sf_dir):
+    """Purity in [1/n_labels, 1], sizes cover the corpus, majority label
+    count consistent with a pandas recount."""
+    from data_service_spark.registry import QUERIES
+
+    pdf = QUERIES["k_eval_cluster_purity"](spark, sf_dir).toPandas()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").toPandas()
+    assert pdf.n.sum() == len(emb)
+    n_labels = emb.label.nunique()
+    assert ((pdf.purity >= 1.0 / n_labels - 1e-9) & (pdf.purity <= 1.0)).all()
+    assert (pdf.n_top <= pdf.n).all()
