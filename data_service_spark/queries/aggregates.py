@@ -1021,3 +1021,176 @@ def d_agg_theta_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
           (SELECT sk FROM dss_theta_sketches WHERE o_orderstatus = 'F')))
         """
     )
+
+
+@register(
+    "d_agg_funnel_window",
+    oracle="""
+    WITH t1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), t2 AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN t1 ON e.user_id = t1.user_id
+      WHERE e.event_type = 'signup' AND e.ts > t1.t1
+        AND e.ts < t1.t1 + INTERVAL 1 DAY
+      GROUP BY e.user_id
+    ), t3 AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e
+      JOIN t1 ON e.user_id = t1.user_id
+      JOIN t2 ON e.user_id = t2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > t2.t2
+        AND e.ts < t1.t1 + INTERVAL 1 DAY
+      GROUP BY e.user_id
+    ), levels AS (
+      SELECT u.user_id,
+             CASE WHEN t3.user_id IS NOT NULL THEN 3
+                  WHEN t2.user_id IS NOT NULL THEN 2
+                  WHEN t1.user_id IS NOT NULL THEN 1
+                  ELSE 0 END AS level
+      FROM (SELECT DISTINCT user_id FROM events) u
+      LEFT JOIN t1 USING (user_id)
+      LEFT JOIN t2 USING (user_id)
+      LEFT JOIN t3 USING (user_id)
+    )
+    SELECT level, count(*) AS n_users FROM levels GROUP BY level
+    """,
+)
+def d_agg_funnel_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed funnel (the ClickHouse `windowFunnel` shape): how far each
+    user progresses through view → signup → purchase where every later
+    stage must land within ONE DAY of the first view and stages must be
+    strictly ordered in time; output is the user count per reached level —
+    the conversion-funnel report. Each stage is a keyed min-aggregate
+    joined to the previous stage's earliest-completion time (the greedy
+    earliest-first chaining is windowFunnel's documented semantics).
+
+    Three hash aggregates + equi-joins, all keyed by user_id — one
+    partitioning reused throughout; no windows, no UDFs, no per-user
+    state. The 1-day window bound is what keeps streaming/backfill state
+    finite at 100 TB/day."""
+    e = load(spark, sf_dir, "events")
+    t1 = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    t2 = (
+        e.join(t1, "user_id")
+        .filter(
+            (F.col("event_type") == "signup")
+            & (F.col("ts") > F.col("t1"))
+            & (F.col("ts") < F.col("t1") + F.expr("INTERVAL 1 DAY"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    t3 = (
+        e.join(t1, "user_id")
+        .join(t2, "user_id")
+        .filter(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts") > F.col("t2"))
+            & (F.col("ts") < F.col("t1") + F.expr("INTERVAL 1 DAY"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    users = e.select("user_id").distinct()
+    levels = (
+        users.join(t1.select("user_id", F.lit(1).alias("l1")), "user_id", "left")
+        .join(t2.select("user_id", F.lit(1).alias("l2")), "user_id", "left")
+        .join(t3.select("user_id", F.lit(1).alias("l3")), "user_id", "left")
+        .select(
+            F.when(F.col("l3").isNotNull(), 3)
+            .when(F.col("l2").isNotNull(), 2)
+            .when(F.col("l1").isNotNull(), 1)
+            .otherwise(0)
+            .alias("level")
+        )
+    )
+    return levels.groupBy("level").agg(F.count(F.lit(1)).alias("n_users"))
+
+
+@register(
+    "k_attribution_last_touch",
+    oracle="""
+    WITH p AS (
+      SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'purchase'
+    ), c AS (
+      SELECT user_id, ts,
+             min(CAST(props->>'k' AS BIGINT) % 3) AS ch
+      FROM events WHERE event_type IN ('click', 'view')
+      GROUP BY user_id, ts
+    ), m AS (
+      SELECT p.event_id, p.value, p.ts AS p_ts, c.ts AS c_ts, c.ch
+      FROM p ASOF LEFT JOIN c
+        ON p.user_id = c.user_id AND p.ts >= c.ts
+    )
+    SELECT CASE
+             WHEN c_ts IS NULL OR c_ts < p_ts - INTERVAL 7 DAY
+               THEN 'unattributed'
+             WHEN ch = 0 THEN 'organic'
+             WHEN ch = 1 THEN 'paid'
+             ELSE 'email' END AS channel,
+           count(*) AS n_purchases,
+           round(sum(value), 2) AS revenue
+    FROM m GROUP BY 1
+    """,
+)
+def k_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: every purchase credits the user's
+    most recent click/view touchpoint at-or-before it (as-of semantics),
+    lapsing to 'unattributed' past a 7-day lookback; channels derive
+    deterministically from the event's JSON props. Revenue-by-channel is
+    the report; the DuckDB native ASOF JOIN cross-validates the Spark
+    idiom (equi-key join + max-struct argmax), the same pairing proven in
+    c_join_asof. Touchpoints are pre-deduped per (user, ts) with a min
+    tiebreak so the as-of pick is unique on both engines.
+
+    Scale shape: one equi-join keyed by user_id, the per-purchase argmax
+    as a max(struct) aggregate (no window needed), then a tiny channel
+    rollup. The 7-day lookback is evaluated AFTER the as-of pick, so the
+    join state per user is one row."""
+    e = load(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("p_ts"), "value"
+    )
+    c = (
+        e.filter(F.col("event_type").isin("click", "view"))
+        .select(
+            "user_id",
+            F.col("ts").alias("c_ts"),
+            (F.get_json_object("props", "$.k").cast("bigint") % 3).alias("ch"),
+        )
+        .groupBy("user_id", "c_ts")
+        .agg(F.min("ch").alias("ch"))
+    )
+    m = (
+        p.join(c, (p.user_id == c.user_id) & (c.c_ts <= p.p_ts), "left")
+        .groupBy("event_id", "p_ts", "value")
+        .agg(F.max(F.struct("c_ts", "ch")).alias("t"))
+        .select(
+            "event_id",
+            "p_ts",
+            "value",
+            F.col("t.c_ts").alias("c_ts"),
+            F.col("t.ch").alias("ch"),
+        )
+    )
+    channel = (
+        F.when(
+            F.col("c_ts").isNull()
+            | (F.col("c_ts") < F.col("p_ts") - F.expr("INTERVAL 7 DAYS")),
+            "unattributed",
+        )
+        .when(F.col("ch") == 0, "organic")
+        .when(F.col("ch") == 1, "paid")
+        .otherwise("email")
+    )
+    return m.groupBy(channel.alias("channel")).agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.round(F.sum("value"), 2).alias("revenue"),
+    )

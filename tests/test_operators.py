@@ -1112,3 +1112,37 @@ def test_cluster_purity_bounds(spark, sf_dir):
     n_labels = emb.label.nunique()
     assert ((pdf.purity >= 1.0 / n_labels - 1e-9) & (pdf.purity <= 1.0)).all()
     assert (pdf.n_top <= pdf.n).all()
+
+
+def test_funnel_window_levels_partition_users(spark, sf_dir):
+    """Level counts cover every user exactly once and levels only shrink
+    (n at level k reachable ≥ n at level k+1 cumulative property)."""
+    from data_service_spark.registry import QUERIES
+
+    pdf = QUERIES["d_agg_funnel_window"](spark, sf_dir).toPandas()
+    n_users = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert pdf.n_users.sum() == n_users
+    counts = dict(zip(pdf.level, pdf.n_users))
+    reached = {
+        lvl: sum(n for l2, n in counts.items() if l2 >= lvl)
+        for lvl in (1, 2, 3)
+    }
+    assert reached[1] >= reached[2] >= reached[3]
+
+
+def test_attribution_conserves_revenue(spark, sf_dir):
+    """Channel revenues sum to total purchase revenue; every purchase is
+    attributed exactly once; channels are the declared four."""
+    from data_service_spark.registry import QUERIES
+
+    pdf = QUERIES["k_attribution_last_touch"](spark, sf_dir).toPandas()
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").toPandas()
+    purchases = ev[ev.event_type == "purchase"]
+    assert pdf.n_purchases.sum() == len(purchases)
+    assert abs(pdf.revenue.sum() - round(purchases.value.sum(), 2)) < 0.1
+    assert set(pdf.channel) <= {"organic", "paid", "email", "unattributed"}
