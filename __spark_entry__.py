@@ -55,7 +55,7 @@ PRIORITY = [
     "d_agg_countmin", "e_win_interpolate", "e_win_rolling_median",
     "k_rank_fusion", "k_coreset_kcenter", "i_session_dynamic_gap",
     "k_drift_psi", "k_ab_ztest", "k_eval_cluster_purity",
-    "d_agg_funnel_window", "k_attribution_last_touch",
+    "d_agg_funnel_window", "k_attribution_last_touch", "k_pipeline_e2e",
     # e: windows (none recorded in r01)
     "e_win_rank", "e_win_running", "e_win_scd2", "e_win_range_frame",
     "e_win_streak",

@@ -1897,3 +1897,107 @@ def k_ab_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 4).alias("z_stat"),
         (F.abs(z) > 1.96).alias("significant_95"),
     )
+
+
+@register(
+    "k_pipeline_e2e",
+    # The whole curation pipeline as ONE declarative plan: the oracle
+    # chains the registered gate / exact-dedup / near-dup-cluster oracles
+    # verbatim and reads the ledger off a single conditional aggregate.
+    oracle=f"""
+    WITH gate AS ({_REG_ORACLES["k_filter_gate"]}),
+    exact AS ({_REG_ORACLES["k_dedup_exact"]}),
+    clusters AS ({_REG_ORACLES["k_dedup_clusters"]}),
+    flags AS (
+      SELECT d.doc_id, len(string_split(d.text, ' ')) AS nt,
+             g.keep AS gated,
+             d.doc_id IN (SELECT keep_id FROM exact) AS exact_keep,
+             c.cluster_id = d.doc_id AS near_keep,
+             {_DUCK_BUCKET.format(salt="split:", key="d.doc_id")} < 90
+               AS is_train
+      FROM documents d
+      JOIN gate g ON d.doc_id = g.doc_id
+      JOIN clusters c ON d.doc_id = c.doc_id
+    ), agg AS (
+      SELECT
+        count(*) AS n1, sum(nt) AS t1,
+        count(*) FILTER (gated) AS n2, sum(nt) FILTER (gated) AS t2,
+        count(*) FILTER (gated AND exact_keep) AS n3,
+        sum(nt) FILTER (gated AND exact_keep) AS t3,
+        count(*) FILTER (gated AND exact_keep AND near_keep) AS n4,
+        sum(nt) FILTER (gated AND exact_keep AND near_keep) AS t4,
+        count(*) FILTER (gated AND exact_keep AND near_keep AND is_train)
+          AS n5,
+        sum(nt) FILTER (gated AND exact_keep AND near_keep AND is_train)
+          AS t5
+      FROM flags
+    )
+    SELECT 'raw' AS stage, 1 AS stage_ord, n1 AS n_docs,
+           CAST(t1 AS BIGINT) AS n_tokens FROM agg
+    UNION ALL SELECT 'gated', 2, n2, CAST(t2 AS BIGINT) FROM agg
+    UNION ALL SELECT 'exact_dedup', 3, n3, CAST(t3 AS BIGINT) FROM agg
+    UNION ALL SELECT 'near_dedup', 4, n4, CAST(t4 AS BIGINT) FROM agg
+    UNION ALL SELECT 'train_split', 5, n5, CAST(t5 AS BIGINT) FROM agg
+    """,
+)
+def k_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END curation funnel in one plan: raw corpus → quality
+    gate (k_filter_gate) → exact-dedup survivors (k_dedup_exact) →
+    near-dup cluster representatives (k_dedup_clusters) → train split —
+    reported as the stage ledger (docs + tokens surviving each stage),
+    i.e. the headline table of a curation run report. Masks are computed
+    corpus-wide and applied jointly (the standard practice: each stage's
+    verdict is independent of the others' filtering, so stages can be
+    audited and re-ordered without recomputation).
+
+    Everything composes as DataFrame algebra: the three pipelines join on
+    doc_id, the five ledger rows come from ONE conditional aggregate over
+    the flag table plus a stack — no extra scan per stage. At 100 TB this
+    is the plan a daily curation job materializes; its cost is the
+    underlying pipelines, the ledger itself is free.
+    """
+    from data_service_spark.queries.llm import k_dedup_clusters, k_dedup_exact
+
+    d = load_parallel(spark, sf_dir, "documents", "doc_id").select(
+        "doc_id", F.size(F.split("text", " ")).alias("nt")
+    )
+    gate = k_filter_gate(spark, sf_dir).select("doc_id", F.col("keep").alias("gated"))
+    exact = k_dedup_exact(spark, sf_dir).select(
+        F.col("keep_id").alias("doc_id"), F.lit(True).alias("exact_keep")
+    )
+    clusters = k_dedup_clusters(spark, sf_dir).select(
+        "doc_id", (F.col("cluster_id") == F.col("doc_id")).alias("near_keep")
+    )
+    is_train = F.expr(_SPARK_BUCKET.format(salt="split:", key="doc_id")) < 90
+    flags = (
+        d.join(gate, "doc_id")
+        .join(exact, "doc_id", "left")
+        .join(clusters, "doc_id")
+        .select(
+            "nt",
+            "gated",
+            F.coalesce(F.col("exact_keep"), F.lit(False)).alias("exact_keep"),
+            "near_keep",
+            is_train.alias("is_train"),
+        )
+    )
+    g = F.col("gated")
+    ge = g & F.col("exact_keep")
+    gen_ = ge & F.col("near_keep")
+    gent = gen_ & F.col("is_train")
+    agg = flags.agg(
+        F.count(F.lit(1)).alias("n1"), F.sum("nt").alias("t1"),
+        F.count(F.when(g, 1)).alias("n2"), F.sum(F.when(g, F.col("nt"))).alias("t2"),
+        F.count(F.when(ge, 1)).alias("n3"), F.sum(F.when(ge, F.col("nt"))).alias("t3"),
+        F.count(F.when(gen_, 1)).alias("n4"), F.sum(F.when(gen_, F.col("nt"))).alias("t4"),
+        F.count(F.when(gent, 1)).alias("n5"), F.sum(F.when(gent, F.col("nt"))).alias("t5"),
+    )
+    return agg.selectExpr(
+        "stack(5,"
+        " 'raw', 1, n1, CAST(t1 AS BIGINT),"
+        " 'gated', 2, n2, CAST(t2 AS BIGINT),"
+        " 'exact_dedup', 3, n3, CAST(t3 AS BIGINT),"
+        " 'near_dedup', 4, n4, CAST(t4 AS BIGINT),"
+        " 'train_split', 5, n5, CAST(t5 AS BIGINT)"
+        ") AS (stage, stage_ord, n_docs, n_tokens)"
+    )

@@ -1146,3 +1146,24 @@ def test_attribution_conserves_revenue(spark, sf_dir):
     assert pdf.n_purchases.sum() == len(purchases)
     assert abs(pdf.revenue.sum() - round(purchases.value.sum(), 2)) < 0.1
     assert set(pdf.channel) <= {"organic", "paid", "email", "unattributed"}
+
+
+def test_pipeline_e2e_ledger_monotone(spark, sf_dir):
+    """Each curation stage can only shrink the corpus (docs AND tokens);
+    the raw row matches the corpus; every stage survives non-empty."""
+    from data_service_spark.registry import QUERIES
+
+    pdf = (
+        QUERIES["k_pipeline_e2e"](spark, sf_dir)
+        .toPandas()
+        .sort_values("stage_ord")
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").toPandas()
+    assert pdf.iloc[0].stage == "raw"
+    assert pdf.iloc[0].n_docs == len(docs)
+    assert pdf.n_docs.is_monotonic_decreasing
+    assert pdf.n_tokens.is_monotonic_decreasing
+    assert (pdf.n_docs > 0).all()
+    assert list(pdf.stage) == [
+        "raw", "gated", "exact_dedup", "near_dedup", "train_split",
+    ]
