@@ -56,6 +56,7 @@ PRIORITY = [
     "k_rank_fusion", "k_coreset_kcenter", "i_session_dynamic_gap",
     "k_drift_psi", "k_ab_ztest", "k_eval_cluster_purity",
     "d_agg_funnel_window", "k_attribution_last_touch", "k_pipeline_e2e",
+    "c_join_asof_forward", "k_event_transitions", "f_keyset_page",
     # e: windows (none recorded in r01)
     "e_win_rank", "e_win_running", "e_win_scd2", "e_win_range_frame",
     "e_win_streak",

@@ -832,3 +832,56 @@ def c_join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         for k, v in old.items():
             spark.conf.set(k, v)
     return out
+
+
+@register(
+    "c_join_asof_forward",
+    oracle="""
+    WITH m AS (
+      SELECT o.o_orderkey, o.o_orderstatus, o.o_orderdate, e.ts AS next_ts
+      FROM orders o
+      ASOF LEFT JOIN events e
+        ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+    )
+    SELECT o_orderstatus,
+           count(*) AS n_orders,
+           count(next_ts) AS n_matched,
+           round(avg(date_diff('second', o_orderdate, next_ts) / 86400.0), 4)
+             AS avg_lag_days
+    FROM m GROUP BY o_orderstatus
+    """,
+)
+def c_join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join — the mirror of c_join_asof: each order matched
+    to the customer's EARLIEST event at-or-after the order date
+    (time-to-first-activity), rolled up to average lag per status. The
+    Spark idiom flips max→min over the future side; DuckDB's native ASOF
+    infers direction from the inequality and cross-validates it.
+
+    Same scale shape as the backward twin: one equi-join keyed by the
+    customer, the per-order argmin as a plain min aggregate — no window,
+    no nested loop."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderdate", "o_custkey"
+    )
+    e = load(spark, sf_dir, "events").select(
+        F.col("user_id").alias("e_user"), "ts"
+    )
+    m = (
+        o.join(
+            e,
+            (o.o_custkey == e.e_user) & (o.o_orderdate <= e.ts),
+            "left",
+        )
+        .groupBy("o_orderkey", "o_orderstatus", "o_orderdate")
+        .agg(F.min("ts").alias("next_ts"))
+    )
+    lag_days = (
+        F.timestamp_diff("SECOND", F.col("o_orderdate"), F.col("next_ts"))
+        / 86400.0
+    )
+    return m.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.count("next_ts").alias("n_matched"),
+        F.round(F.avg(lag_days), 4).alias("avg_lag_days"),
+    )

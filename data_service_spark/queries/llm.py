@@ -2067,3 +2067,65 @@ def k_eval_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_top",
         F.round(F.col("n_top") * 1.0 / F.col("n"), 4).alias("purity"),
     )
+
+
+@register(
+    "k_negatives_random",
+    oracle="""
+    WITH pairs AS (
+      SELECT a.vec_id AS anchor_id, a.label AS anchor_label,
+             b.vec_id AS negative_id,
+             ('0x' || substr(md5(concat('neg:', a.vec_id::VARCHAR, ':',
+                                        b.vec_id::VARCHAR)), 1, 8))::BIGINT
+               AS h
+      FROM embeddings a JOIN embeddings b ON a.label <> b.label
+      WHERE a.vec_id < 20
+    ), ranked AS (
+      SELECT anchor_id, anchor_label, negative_id,
+             row_number() OVER (PARTITION BY anchor_id
+                                ORDER BY h, negative_id) AS rn
+      FROM pairs
+    )
+    SELECT anchor_id, anchor_label, negative_id, CAST(rn AS INT) AS rn
+    FROM ranked WHERE rn <= 4
+    """,
+)
+def k_negatives_random(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform (hash-)random negative sampling for contrastive training:
+    per anchor, 4 pseudo-random different-label negatives picked by a
+    salted-pair hash order — the easy-negatives counterpart of
+    k_hard_negatives (training recipes mix both; random negatives keep
+    gradients unbiased, hard ones sharpen the margin). Hash order instead
+    of rand(): reproducible across engines, reruns, and backfills — the
+    same determinism convention as every sampler in this repo.
+
+    Anchors are a bounded probe set (broadcast); candidates stream once;
+    the per-anchor pick is a rank window over each anchor's candidate
+    list. At 100 TB you'd pre-bucket candidates by hash range instead of
+    ranking all n per anchor — the hash-order semantics are unchanged."""
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "label")
+    a = (
+        emb.filter(F.col("vec_id") < 20)
+        .select(
+            F.col("vec_id").alias("anchor_id"),
+            F.col("label").alias("anchor_label"),
+        )
+    )
+    b = emb.select(
+        F.col("vec_id").alias("negative_id"), F.col("label").alias("neg_label")
+    )
+    h = F.expr(
+        "CAST(conv(substr(md5(concat('neg:', CAST(anchor_id AS STRING), ':',"
+        " CAST(negative_id AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+    )
+    pairs = (
+        F.broadcast(a)
+        .join(b, F.col("anchor_label") != F.col("neg_label"))
+        .select("anchor_id", "anchor_label", "negative_id", h.alias("h"))
+    )
+    w = Window.partitionBy("anchor_id").orderBy("h", "negative_id")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 4)
+        .select("anchor_id", "anchor_label", "negative_id", F.col("rn").cast("int").alias("rn"))
+    )

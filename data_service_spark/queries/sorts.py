@@ -92,3 +92,38 @@ def f_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
         .offset(100)
         .limit(50)
     )
+
+
+@register(
+    "f_keyset_page",
+    oracle="""
+    SELECT o_totalprice, o_orderkey, o_orderstatus
+    FROM orders
+    WHERE o_totalprice > 150000.0
+       OR (o_totalprice = 150000.0 AND o_orderkey > 5000)
+    ORDER BY o_totalprice, o_orderkey
+    LIMIT 20
+    """,
+)
+def f_keyset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset (seek) pagination — the scalable alternative to
+    OFFSET/LIMIT (f_offset): resume AFTER cursor (150000.0, 5000) on the
+    total order (o_totalprice, o_orderkey) via the expanded row-comparison
+    predicate, then take one page. OFFSET must compute and discard every
+    earlier row (O(offset) per page — quadratic over a full scan-through);
+    the seek predicate pushes into the parquet scan and each page costs
+    one TakeOrdered over the survivors. This is the contract a service
+    layer should expose for paging large results.
+
+    The composite cursor (price, unique key) makes the order total, so
+    pages never skip or repeat rows under concurrent identical prices."""
+    o = load(spark, sf_dir, "orders")
+    after = (F.col("o_totalprice") > 150000.0) | (
+        (F.col("o_totalprice") == 150000.0) & (F.col("o_orderkey") > 5000)
+    )
+    return (
+        o.filter(after)
+        .orderBy("o_totalprice", "o_orderkey")
+        .limit(20)
+        .select("o_totalprice", "o_orderkey", "o_orderstatus")
+    )

@@ -580,3 +580,53 @@ def e_win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(med, 4).alias("roll_med"),
         F.round(p75 - p25, 4).alias("roll_iqr"),
     )
+
+
+@register(
+    "k_event_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ), t AS (
+      SELECT prev_type, event_type AS next_type, count(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, next_type
+    ), tot AS (
+      SELECT prev_type, sum(n) AS n_from FROM t GROUP BY prev_type
+    )
+    SELECT t.prev_type, t.next_type, t.n,
+           round(t.n * 1.0 / tot.n_from, 4) AS p_next
+    FROM t JOIN tot USING (prev_type)
+    """,
+)
+def k_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user behavior: for every
+    (previous event type → next event type) pair, the count and the
+    conditional probability P(next|prev) — the model behind next-action
+    prediction, bot detection (improbable chains), and session-path
+    sankey reports. Ordering carries the unique event_id tiebreak so the
+    lag is identical across engines.
+
+    One keyed window (lag over user_id — parallel across users), one hash
+    aggregate on the E×E transition table (bounded by event-type
+    cardinality squared, not data), one broadcast-size normalizer join."""
+    from data_service_spark.io import load
+
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    t = seq.groupBy(
+        "prev_type", F.col("event_type").alias("next_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = t.groupBy("prev_type").agg(F.sum("n").alias("n_from"))
+    return t.join(F.broadcast(tot), "prev_type").select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n") * 1.0 / F.col("n_from"), 4).alias("p_next"),
+    )

@@ -1167,3 +1167,66 @@ def test_pipeline_e2e_ledger_monotone(spark, sf_dir):
     assert list(pdf.stage) == [
         "raw", "gated", "exact_dedup", "near_dedup", "train_split",
     ]
+
+
+def test_asof_forward_lags_nonnegative(spark, sf_dir):
+    """Forward as-of lags are >= 0 by construction and statuses cover all
+    orders."""
+    from data_service_spark.registry import QUERIES
+
+    pdf = QUERIES["c_join_asof_forward"](spark, sf_dir).toPandas()
+    n_orders = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    assert pdf.n_orders.sum() == n_orders
+    assert (pdf.n_matched <= pdf.n_orders).all()
+    assert (pdf.avg_lag_days.dropna() >= 0).all()
+
+
+def test_event_transitions_rows_and_probs(spark, sf_dir):
+    """Transition probabilities sum to 1 per source state; total
+    transitions = events - users (each user chain has n-1 edges)."""
+    from data_service_spark.registry import QUERIES
+
+    pdf = QUERIES["k_event_transitions"](spark, sf_dir).toPandas()
+    sums = pdf.groupby("prev_type").p_next.sum()
+    assert ((sums - 1.0).abs() < 0.01).all()
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n_events, n_users = ev.count(), ev.select("user_id").distinct().count()
+    assert pdf.n.sum() == n_events - n_users
+
+
+def test_negatives_random_label_disjoint(spark, sf_dir):
+    """Every sampled negative has a different label from its anchor;
+    exactly 4 per anchor; the pick is deterministic across reruns."""
+    from data_service_spark.registry import QUERIES
+
+    a = QUERIES["k_negatives_random"](spark, sf_dir).toPandas()
+    b = QUERIES["k_negatives_random"](spark, sf_dir).toPandas()
+    key = ["anchor_id", "rn"]
+    assert a.sort_values(key).reset_index(drop=True).equals(
+        b.sort_values(key).reset_index(drop=True)
+    )
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .toPandas()
+        .set_index("vec_id")
+    )
+    assert (a.groupby("anchor_id").size() == 4).all()
+    neg_labels = emb.loc[a.negative_id].label.to_numpy()
+    assert (neg_labels != a.anchor_label.to_numpy()).all()
+
+
+def test_keyset_page_resumes_without_gap_or_overlap(spark, sf_dir):
+    """Page 2 via the returned cursor continues exactly where page 1
+    ended against a brute-force global sort."""
+    from data_service_spark.registry import QUERIES
+
+    page = QUERIES["f_keyset_page"](spark, sf_dir).toPandas()
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").toPandas()
+    allrows = orders.sort_values(["o_totalprice", "o_orderkey"]).reset_index()
+    after = allrows[
+        (allrows.o_totalprice > 150000.0)
+        | ((allrows.o_totalprice == 150000.0) & (allrows.o_orderkey > 5000))
+    ]
+    want = after.head(20)[["o_totalprice", "o_orderkey"]].reset_index(drop=True)
+    got = page[["o_totalprice", "o_orderkey"]].reset_index(drop=True)
+    assert got.equals(want)

@@ -85,7 +85,8 @@ k_eval_lsh_calibration k_mix_epochs d_agg_theta_sets
 e_win_rolling_median h_format_funcs k_rank_fusion a_scan_glob
 i_session_dynamic_gap k_coreset_kcenter k_drift_psi k_ab_ztest
 k_eval_cluster_purity d_agg_funnel_window k_attribution_last_touch
-k_pipeline_e2e
+k_pipeline_e2e c_join_asof_forward k_event_transitions
+k_negatives_random f_keyset_page
 """.split()
 
 
