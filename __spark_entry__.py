@@ -57,6 +57,8 @@ PRIORITY = [
     "k_drift_psi", "k_ab_ztest", "k_eval_cluster_purity",
     "d_agg_funnel_window", "k_attribution_last_touch", "k_pipeline_e2e",
     "c_join_asof_forward", "k_event_transitions", "f_keyset_page",
+    # round-2c flagships: offline-eval metrics over registered pipelines
+    "k_eval_auc", "k_eval_ndcg", "k_eval_calibration",
     # e: windows (none recorded in r01)
     "e_win_rank", "e_win_running", "e_win_scd2", "e_win_range_frame",
     "e_win_streak",

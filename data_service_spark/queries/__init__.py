@@ -17,4 +17,5 @@ from data_service_spark.queries import (  # noqa: F401
     tpch,
     training,
     linalg,
+    metrics,
 )

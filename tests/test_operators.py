@@ -1230,3 +1230,57 @@ def test_keyset_page_resumes_without_gap_or_overlap(spark, sf_dir):
     want = after.head(20)[["o_totalprice", "o_orderkey"]].reset_index(drop=True)
     got = page[["o_totalprice", "o_orderkey"]].reset_index(drop=True)
     assert got.equals(want)
+
+
+def test_eval_auc_matches_sklearn_style_reference(spark, sf_dir):
+    """AUC from the grouped rank-sum plan equals a brute-force pairwise
+    AUC (ties count 1/2) computed in pandas over the same score/label."""
+    from data_service_spark.registry import QUERIES
+
+    got = QUERIES["k_eval_auc"](spark, sf_dir).collect()[0]
+    scored = QUERIES["k_quality_logreg"](spark, sf_dir).toPandas()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").toPandas()
+    m = scored.merge(docs[["doc_id", "lang"]], on="doc_id")
+    pos = m[m.lang == "en"].score_q.to_numpy()
+    neg = m[m.lang != "en"].score_q.to_numpy()
+    import numpy as np
+
+    wins = (pos[:, None] > neg[None, :]).sum()
+    ties = (pos[:, None] == neg[None, :]).sum()
+    want = (wins + 0.5 * ties) / (len(pos) * len(neg))
+    assert got.n_pos == len(pos) and got.n_neg == len(neg)
+    assert abs(got.auc - round(want, 6)) < 1e-9
+
+
+def test_eval_ndcg_bounds_and_mrr_consistency(spark, sf_dir):
+    """NDCG in (0, 1]; MRR is 1/r of the first rel=3 doc in the BM25
+    ranking (cross-checked by recomputing the ranking in pandas)."""
+    from data_service_spark.registry import QUERIES
+
+    got = QUERIES["k_eval_ndcg"](spark, sf_dir).collect()[0]
+    assert 0.0 < got.ndcg10 <= 1.0
+    bm = QUERIES["k_text_bm25"](spark, sf_dir).toPandas()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").toPandas()
+    docs["rel"] = docs.text.map(
+        lambda t: sum(w in t.split(" ") for w in ("table", "hash", "scan"))
+    )
+    ranking = bm.sort_values(
+        ["bm25", "doc_id"], ascending=[False, True]
+    ).merge(docs[["doc_id", "rel"]], on="doc_id")
+    full = ranking.reset_index(drop=True).index[ranking.rel.to_numpy() == 3]
+    want_mrr = round(1.0 / (full[0] + 1), 4) if len(full) else 0.0
+    assert got.mrr == want_mrr
+
+
+def test_eval_calibration_bins_partition_the_corpus(spark, sf_dir):
+    """Every doc lands in exactly one bin; mean_pred is within the bin's
+    nominal probability range (clamped top bin aside)."""
+    from data_service_spark.registry import QUERIES
+
+    rows = QUERIES["k_eval_calibration"](spark, sf_dir).collect()
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert sum(r.n for r in rows) == n_docs
+    for r in rows:
+        lo, hi = r.bin / 10.0, (r.bin + 1) / 10.0 if r.bin < 9 else 1.01
+        assert lo <= r.mean_pred < hi
+        assert 0.0 <= r.frac_pos <= 1.0

@@ -87,6 +87,7 @@ i_session_dynamic_gap k_coreset_kcenter k_drift_psi k_ab_ztest
 k_eval_cluster_purity d_agg_funnel_window k_attribution_last_touch
 k_pipeline_e2e c_join_asof_forward k_event_transitions
 k_negatives_random f_keyset_page
+k_eval_auc k_eval_ndcg k_eval_calibration
 """.split()
 
 
