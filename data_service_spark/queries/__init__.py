@@ -18,4 +18,5 @@ from data_service_spark.queries import (  # noqa: F401
     training,
     linalg,
     metrics,
+    corpus_stats,
 )

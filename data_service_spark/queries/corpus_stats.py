@@ -1,0 +1,194 @@
+"""Corpus-level statistical profiles (SURVEY.md §2.O continuation).
+
+Language-model corpora are audited through distributional statistics before
+training: Zipf rank-frequency slope (is the source natural-language-like or
+boilerplate?), PMI collocations (which token pairs are glued — template
+detection), and term burstiness (cf/df — topical terms repeat within few
+docs, function words spread thin). Each is a two-shuffle aggregate over the
+token stream, so the same audit runs at 100 TB: the shuffles carry VOCABULARY
+rows (bounded), never corpus rows.
+
+Determinism: every statistic reduces to ratios/logs of EXACT integer counts,
+so both engines derive identical doubles before the final rounding; the Zipf
+regression is written as the explicit least-squares ratio (same formula text
+in both dialects) rather than each engine's regr_slope internals.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from data_service_spark.io import load
+from data_service_spark.registry import register
+
+# ------------------------------------------------------- Zipf slope ----
+
+
+@register(
+    "k_text_zipf",
+    oracle="""
+    WITH tok AS (
+      SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents
+    ), tf AS (
+      SELECT lang, term, count(*) AS cnt FROM tok GROUP BY lang, term
+    ), ranked AS (
+      SELECT lang,
+             ln(CAST(row_number() OVER (
+                  PARTITION BY lang ORDER BY cnt DESC, term) AS DOUBLE)) AS x,
+             ln(CAST(cnt AS DOUBLE)) AS y
+      FROM tf
+    )
+    SELECT lang, count(*) AS n_terms,
+           round((count(*) * sum(x * y) - sum(x) * sum(y))
+                 / (count(*) * sum(x * x) - sum(x) * sum(x)), 4) AS zipf_slope
+    FROM ranked GROUP BY lang
+    """,
+)
+def k_text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language Zipf slope: least-squares slope of ln(freq) on ln(rank)
+    over the language's term-frequency table. Natural text sits near -1;
+    flat slopes flag templated/boilerplate sources — a standard corpus
+    health probe (Piantadosi 2014).
+
+    Scale: token explode → (lang, term) count (map-side combine shrinks the
+    shuffle to vocabulary size), per-lang rank window over vocabulary rows
+    only, then a 5-row reduce. The slope is the explicit Σ-formula so both
+    engines evaluate the same arithmetic tree.
+    """
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("lang", F.explode(F.split("text", " ")).alias("term"))
+    tf = tok.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("lang").orderBy(F.col("cnt").desc(), F.col("term"))
+    ranked = tf.select(
+        "lang",
+        F.log(F.row_number().over(w).cast("double")).alias("x"),
+        F.log(F.col("cnt").cast("double")).alias("y"),
+    )
+    n = F.count(F.lit(1))
+    return ranked.groupBy("lang").agg(
+        n.alias("n_terms"),
+        F.round(
+            (n * F.sum(F.col("x") * F.col("y")) - F.sum("x") * F.sum("y"))
+            / (n * F.sum(F.col("x") * F.col("x")) - F.sum("x") * F.sum("x")),
+            4,
+        ).alias("zipf_slope"),
+    )
+
+
+# ------------------------------------------------- PMI collocations ----
+
+
+@register(
+    "k_text_collocations",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), big AS (
+      SELECT t[i] AS w1, t[i + 1] AS w2
+      FROM toks, unnest(range(1, len(t))) AS r(i)
+    ), bc AS (
+      SELECT w1, w2, count(*) AS c_ab FROM big GROUP BY w1, w2
+    ), uni AS (
+      SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ), uc AS (
+      SELECT w, count(*) AS c FROM uni GROUP BY w
+    ), consts AS (
+      SELECT (SELECT count(*) FROM big) AS n_big,
+             (SELECT count(*) FROM uni) AS n_tok
+    )
+    SELECT w1, w2, c_ab,
+           round(ln((c_ab * 1.0 / n_big)
+                    / ((u1.c * 1.0 / n_tok) * (u2.c * 1.0 / n_tok))), 6)
+             AS pmi
+    FROM bc JOIN uc u1 ON bc.w1 = u1.w
+            JOIN uc u2 ON bc.w2 = u2.w
+            CROSS JOIN consts
+    WHERE c_ab >= 5
+    ORDER BY pmi DESC, w1, w2
+    LIMIT 20
+    """,
+)
+def k_text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 adjacent-bigram collocations by pointwise mutual information,
+    min count 5 — the template/boilerplate detector (word pairs glued far
+    beyond their unigram rates are markup, legal footers, generated text).
+
+    PMI = ln(p(ab) / (p(a)·p(b))) from exact integer counts: the bigram and
+    unigram count tables are vocabulary-sized after their map-side-combined
+    groupBys, the unigram side joins in broadcast, and the final top-20
+    sorts only the |V|²-bounded collocation table. Nothing proportional to
+    corpus size crosses a shuffle after tokenization.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(F.split("text", " ").alias("t"))
+    big = toks.select(
+        F.explode(
+            F.expr("transform(sequence(1, size(t) - 1), i -> struct(t[i-1] AS w1, t[i] AS w2))")
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    bc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab"))
+    uni = d.select(F.explode(F.split("text", " ")).alias("w"))
+    uc = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    consts = big.agg(F.count(F.lit(1)).alias("n_big")).crossJoin(
+        uni.agg(F.count(F.lit(1)).alias("n_tok"))
+    )
+    u1 = uc.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uc.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    pmi = F.round(
+        F.log(
+            (F.col("c_ab") * 1.0 / F.col("n_big"))
+            / (
+                (F.col("c1") * 1.0 / F.col("n_tok"))
+                * (F.col("c2") * 1.0 / F.col("n_tok"))
+            )
+        ),
+        6,
+    )
+    return (
+        bc.filter(F.col("c_ab") >= 5)
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(consts))
+        .select("w1", "w2", "c_ab", pmi.alias("pmi"))
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------- term burstiness ----
+
+
+@register(
+    "k_text_burstiness",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    )
+    SELECT term,
+           count(*) AS cf,
+           count(DISTINCT doc_id) AS df,
+           round(count(*) * 1.0 / count(DISTINCT doc_id), 4) AS burstiness
+    FROM tok GROUP BY term
+    """,
+)
+def k_text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-term burstiness cf/df (collection frequency over document
+    frequency): topical terms cluster inside few documents (high), function
+    words spread thin (≈1) — the Church/Gale signal used to pick keyword
+    candidates and spot machine-generated repetition.
+
+    One exploded groupBy; the distinct-doc count rewrites to a two-level
+    partial aggregate (Spark's count(DISTINCT) expansion), both levels
+    keyed on vocabulary-sized groups.
+    """
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    return tok.groupBy("term").agg(
+        F.count(F.lit(1)).alias("cf"),
+        F.countDistinct("doc_id").alias("df"),
+        F.round(
+            F.count(F.lit(1)) * 1.0 / F.countDistinct("doc_id"), 4
+        ).alias("burstiness"),
+    )

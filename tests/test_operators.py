@@ -1284,3 +1284,57 @@ def test_eval_calibration_bins_partition_the_corpus(spark, sf_dir):
         lo, hi = r.bin / 10.0, (r.bin + 1) / 10.0 if r.bin < 9 else 1.01
         assert lo <= r.mean_pred < hi
         assert 0.0 <= r.frac_pos <= 1.0
+
+
+def test_zipf_slope_is_negative_and_matches_numpy_fit(spark, sf_dir):
+    """Slope of ln(freq) on ln(rank) must be negative for every language
+    and equal numpy's polyfit on the same (rank, freq) table."""
+    import numpy as np
+
+    from data_service_spark.registry import QUERIES
+
+    got = {r.lang: r.zipf_slope for r in QUERIES["k_text_zipf"](spark, sf_dir).collect()}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").toPandas()
+    for lang, grp in docs.groupby("lang"):
+        from collections import Counter
+
+        cnt = Counter(w for t in grp.text for w in t.split(" "))
+        ordered = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+        x = np.log(np.arange(1, len(ordered) + 1))
+        y = np.log([c for _, c in ordered])
+        want = np.polyfit(x, y, 1)[0]
+        assert got[lang] < 0
+        assert abs(got[lang] - round(want, 4)) < 1e-3
+
+
+def test_collocations_pmi_hand_check(spark, sf_dir):
+    """PMI of the top pair equals the hand formula from raw counts."""
+    import math
+    from collections import Counter
+
+    from data_service_spark.registry import QUERIES
+
+    top = QUERIES["k_text_collocations"](spark, sf_dir).collect()[0]
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").toPandas()
+    uni, big = Counter(), Counter()
+    for t in docs.text:
+        ws = t.split(" ")
+        uni.update(ws)
+        big.update(zip(ws, ws[1:]))
+    n_tok, n_big = sum(uni.values()), sum(big.values())
+    c_ab = big[(top.w1, top.w2)]
+    want = math.log(
+        (c_ab / n_big) / ((uni[top.w1] / n_tok) * (uni[top.w2] / n_tok))
+    )
+    assert top.c_ab == c_ab
+    assert abs(top.pmi - round(want, 6)) < 1e-9
+
+
+def test_burstiness_at_least_one_and_cf_ge_df(spark, sf_dir):
+    from data_service_spark.registry import QUERIES
+
+    rows = QUERIES["k_text_burstiness"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.cf >= r.df >= 1
+        assert r.burstiness >= 1.0

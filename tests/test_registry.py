@@ -88,6 +88,7 @@ k_eval_cluster_purity d_agg_funnel_window k_attribution_last_touch
 k_pipeline_e2e c_join_asof_forward k_event_transitions
 k_negatives_random f_keyset_page
 k_eval_auc k_eval_ndcg k_eval_calibration
+k_text_zipf k_text_collocations k_text_burstiness
 """.split()
 
 
