@@ -60,6 +60,7 @@ PRIORITY = [
     # round-2c flagships: offline-eval metrics over registered pipelines
     "k_eval_auc", "k_eval_ndcg", "k_eval_calibration",
     "k_text_zipf", "k_text_collocations", "k_text_burstiness",
+    "k_changepoint_cusum", "k_anomaly_mad", "c_join_overlap",
     # e: windows (none recorded in r01)
     "e_win_rank", "e_win_running", "e_win_scd2", "e_win_range_frame",
     "e_win_streak",

@@ -19,4 +19,5 @@ from data_service_spark.queries import (  # noqa: F401
     linalg,
     metrics,
     corpus_stats,
+    monitoring,
 )

@@ -885,3 +885,60 @@ def c_join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("next_ts").alias("n_matched"),
         F.round(F.avg(lag_days), 4).alias("avg_lag_days"),
     )
+
+
+@register(
+    "c_join_overlap",
+    oracle="""
+    WITH spans AS (
+      SELECT user_id, event_type,
+             CAST(min(ts) AS DATE) AS s_date, CAST(max(ts) AS DATE) AS e_date
+      FROM events GROUP BY 1, 2
+    )
+    SELECT a.user_id, a.event_type AS t1, b.event_type AS t2,
+           CAST(date_diff('day', greatest(a.s_date, b.s_date),
+                          least(a.e_date, b.e_date)) + 1 AS BIGINT)
+             AS overlap_days
+    FROM spans a JOIN spans b
+      ON a.user_id = b.user_id AND a.event_type < b.event_type
+     AND a.s_date <= b.e_date AND b.s_date <= a.e_date
+    """,
+)
+def c_join_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-OVERLAP join (Allen's `overlaps` over two interval sets):
+    per-(user, event-type) activity spans [first day, last day] self-joined
+    on the user to find which behaviours COEXISTED in time, with the exact
+    overlap length in days — the shape c_join_interval (point-in-interval)
+    cannot express.
+
+    The equi key (user_id) keeps it a hash join; the two range predicates
+    filter post-match, so at scale the span table (a grouped aggregate,
+    dimension-sized per user×type) shuffles once on the key and the overlap
+    test never degenerates to a cross-product. Day-granularity arithmetic
+    is exact integer math in both engines — no float rounding surface.
+    """
+    e = load(spark, sf_dir, "events")
+    spans = e.groupBy("user_id", "event_type").agg(
+        F.min(F.col("ts").cast("date")).alias("s_date"),
+        F.max(F.col("ts").cast("date")).alias("e_date"),
+    )
+    a = spans.alias("a")
+    b = spans.alias("b")
+    cond = (
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("a.event_type") < F.col("b.event_type"))
+        & (F.col("a.s_date") <= F.col("b.e_date"))
+        & (F.col("b.s_date") <= F.col("a.e_date"))
+    )
+    return a.join(b, cond).select(
+        F.col("a.user_id").alias("user_id"),
+        F.col("a.event_type").alias("t1"),
+        F.col("b.event_type").alias("t2"),
+        (
+            F.datediff(
+                F.least("a.e_date", "b.e_date"),
+                F.greatest("a.s_date", "b.s_date"),
+            )
+            + 1
+        ).cast("long").alias("overlap_days"),
+    )

@@ -1338,3 +1338,57 @@ def test_burstiness_at_least_one_and_cf_ge_df(spark, sf_dir):
     for r in rows:
         assert r.cf >= r.df >= 1
         assert r.burstiness >= 1.0
+
+
+def test_cusum_sums_to_zero_and_flags_one_day_per_type(spark, sf_dir):
+    """C_T over the full series telescopes to ~0; exactly one changepoint
+    per type; cusum matches a pandas cumulative recomputation."""
+    import numpy as np
+
+    from data_service_spark.registry import QUERIES
+
+    rows = QUERIES["k_changepoint_cusum"](spark, sf_dir).toPandas()
+    for et, g in rows.groupby("event_type"):
+        g = g.sort_values("day")
+        assert g.is_changepoint.sum() == 1
+        want = np.cumsum(g.n.to_numpy() - g.n.mean())
+        assert np.allclose(g.cusum.to_numpy(), np.round(want, 4), atol=1e-3)
+        assert abs(want[-1]) < 1e-6
+        peak = g.loc[g.cusum.abs().idxmax()]
+        assert g.loc[g.is_changepoint, "day"].iloc[0] == peak.day
+
+
+def test_mad_outliers_are_extreme_under_plain_zscore_too(spark, sf_dir):
+    """Every MAD-flagged event sits far from its type's median, and the
+    flagged set equals a pandas recomputation."""
+    from data_service_spark.registry import QUERIES
+
+    got = QUERIES["k_anomaly_mad"](spark, sf_dir).toPandas()
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").toPandas()
+    flagged = set()
+    for et, g in ev.groupby("event_type"):
+        med = round(g.value.median(), 6)
+        mad = round((g.value - med).abs().median(), 6)
+        z = 0.6745 * (g.value - med) / mad
+        flagged |= set(g.event_id[z.abs() >= 3.0])
+    assert set(got.event_id) == flagged
+
+
+def test_overlap_join_matches_pandas_interval_check(spark, sf_dir):
+    from data_service_spark.registry import QUERIES
+
+    got = QUERIES["c_join_overlap"](spark, sf_dir).toPandas()
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").toPandas()
+    ev["d"] = ev.ts.dt.normalize()
+    spans = ev.groupby(["user_id", "event_type"]).d.agg(["min", "max"]).reset_index()
+    import itertools
+
+    want = set()
+    for uid, g in spans.groupby("user_id"):
+        for a, b in itertools.combinations(
+            sorted(g.itertuples(), key=lambda r: r.event_type), 2
+        ):
+            if a.min <= b.max and b.min <= a.max:
+                days = (min(a.max, b.max) - max(a.min, b.min)).days + 1
+                want.add((uid, a.event_type, b.event_type, days))
+    assert set(map(tuple, got[["user_id", "t1", "t2", "overlap_days"]].itertuples(index=False))) == want

@@ -89,6 +89,7 @@ k_pipeline_e2e c_join_asof_forward k_event_transitions
 k_negatives_random f_keyset_page
 k_eval_auc k_eval_ndcg k_eval_calibration
 k_text_zipf k_text_collocations k_text_burstiness
+k_changepoint_cusum k_anomaly_mad c_join_overlap
 """.split()
 
 
