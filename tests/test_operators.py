@@ -1392,3 +1392,33 @@ def test_overlap_join_matches_pandas_interval_check(spark, sf_dir):
                 days = (min(a.max, b.max) - max(a.min, b.min)).days + 1
                 want.add((uid, a.event_type, b.event_type, days))
     assert set(map(tuple, got[["user_id", "t1", "t2", "overlap_days"]].itertuples(index=False))) == want
+
+
+def test_pq_rerank_distances_match_bruteforce_and_recall_reasonable(spark, sf_dir):
+    """Rerank stage's exact distances equal numpy's for the same ids, and
+    the PQ shortlist recovers most of the true top-10 (recall@10 >= 0.5 on
+    this corpus)."""
+    import numpy as np
+
+    from data_service_spark.registry import QUERIES
+
+    rr = QUERIES["k_sim_pq_rerank"](spark, sf_dir).toPandas()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").toPandas()
+    mat = np.array([np.array(v, dtype=np.float64) for v in emb.embedding])
+    ids = emb.vec_id.to_numpy()
+    q = mat[ids == 0][0]
+    d = np.sqrt(((mat - q) ** 2).sum(axis=1))
+    exact = {i: di for i, di in zip(ids, d)}
+    for r in rr.itertuples():
+        assert abs(r.exact_dist - round(exact[r.vec_id], 4)) < 1e-6
+    true10 = set(ids[np.argsort(d + (ids == 0) * 1e9)][:10])
+    assert len(set(rr.vec_id) & true10) >= 5
+
+
+def test_pq_codes_are_valid_and_adist_monotone(spark, sf_dir):
+    from data_service_spark.registry import QUERIES
+
+    pq = QUERIES["k_sim_pq"](spark, sf_dir).toPandas()
+    assert list(pq.rn) == list(range(1, 11))
+    assert (pq.sort_values("rn").adist.diff().dropna() >= -1e-9).all()
+    assert 0 not in set(pq.vec_id)

@@ -90,6 +90,7 @@ k_negatives_random f_keyset_page
 k_eval_auc k_eval_ndcg k_eval_calibration
 k_text_zipf k_text_collocations k_text_burstiness
 k_changepoint_cusum k_anomaly_mad c_join_overlap
+k_sim_pq k_sim_pq_rerank
 """.split()
 
 
