@@ -61,7 +61,8 @@ PRIORITY = [
     "k_eval_auc", "k_eval_ndcg", "k_eval_calibration",
     "k_text_zipf", "k_text_collocations", "k_text_burstiness",
     "k_changepoint_cusum", "k_anomaly_mad", "c_join_overlap",
-    "k_sim_pq", "k_sim_pq_rerank",
+    "k_sim_pq", "k_sim_pq_rerank", "k_rag_mmr",
+    "k_text_hashing_trick", "k_eval_regression",
     # e: windows (none recorded in r01)
     "e_win_rank", "e_win_running", "e_win_scd2", "e_win_range_frame",
     "e_win_streak",

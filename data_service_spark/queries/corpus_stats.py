@@ -192,3 +192,55 @@ def k_text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)) * 1.0 / F.countDistinct("doc_id"), 4
         ).alias("burstiness"),
     )
+
+
+# ---------------------------------------------------- feature hashing ----
+
+
+@register(
+    "k_text_hashing_trick",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), h AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(concat('fh:', term)), 1, 8))::BIGINT % 1024
+               AS bucket,
+             CASE WHEN ('0x' || substr(md5(concat('fh:', term)), 9, 1))::BIGINT
+                       % 2 = 0
+                  THEN 1 ELSE -1 END AS sgn
+      FROM tok
+    )
+    SELECT doc_id, bucket, CAST(sum(sgn) AS BIGINT) AS weight
+    FROM h GROUP BY doc_id, bucket
+    HAVING sum(sgn) <> 0
+    """,
+)
+def k_text_hashing_trick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature hashing (Weinberger et al. 2009, the Vowpal-Wabbit trick):
+    terms map to a FIXED 1024-bucket space via a salted hash, with an
+    alternate-sign bit so collisions cancel in expectation — the
+    vocabulary-free featurization that needs no dictionary build, no
+    fitting pass, and no vocabulary shuffle at 100 TB.
+
+    One exploded projection (hash + sign are scan-stage codegen) and one
+    (doc, bucket) groupBy whose map-side combine bounds every partial at
+    1024 entries per doc. Pure integer arithmetic end to end — the hash
+    splice keeps both engines bit-identical.
+    """
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    bucket = F.expr(
+        "CAST(conv(substr(md5(concat('fh:', term)), 1, 8), 16, 10) AS BIGINT)"
+        " % 1024"
+    )
+    sgn = F.expr(
+        "CASE WHEN CAST(conv(substr(md5(concat('fh:', term)), 9, 1), 16, 10)"
+        " AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END"
+    )
+    return (
+        tok.select("doc_id", bucket.alias("bucket"), sgn.alias("sgn"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.sum("sgn").alias("weight"))
+        .filter(F.col("weight") != 0)
+    )

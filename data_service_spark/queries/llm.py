@@ -2361,3 +2361,122 @@ def k_sim_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 10)
         .select("vec_id", F.round("exact_dist", 4).alias("exact_dist"), "rn")
     )
+
+
+@register(
+    "k_rag_mmr",
+    # Greedy MMR unrolled as CTE steps, kcenter-style: each pX is one
+    # argmax of the 6dp-rounded MMR score; each dX folds the new pick into
+    # the running max-similarity-to-selected column.
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    cand AS (
+      SELECT vec_id, v,
+             list_inner_product(v, (SELECT v FROM e WHERE vec_id = 0)) AS sim
+      FROM e WHERE vec_id <> 0
+      ORDER BY round(list_inner_product(v,
+                (SELECT v FROM e WHERE vec_id = 0)), 6) DESC, vec_id
+      LIMIT 20
+    ),
+    p1 AS (SELECT vec_id AS sid, v AS sv, round(0.7 * sim, 6) AS sc
+           FROM cand ORDER BY round(sim, 6) DESC, vec_id LIMIT 1),
+    d1 AS (SELECT vec_id, v, sim,
+                  list_inner_product(v, (SELECT sv FROM p1)) AS msim
+           FROM cand WHERE vec_id <> (SELECT sid FROM p1)),
+    p2 AS (SELECT vec_id AS sid, v AS sv,
+                  round(0.7 * sim - 0.3 * msim, 6) AS sc
+           FROM d1 ORDER BY round(0.7 * sim - 0.3 * msim, 6) DESC, vec_id
+           LIMIT 1),
+    d2 AS (SELECT vec_id, v, sim,
+                  greatest(msim, list_inner_product(v, (SELECT sv FROM p2)))
+                    AS msim
+           FROM d1 WHERE vec_id <> (SELECT sid FROM p2)),
+    p3 AS (SELECT vec_id AS sid, v AS sv,
+                  round(0.7 * sim - 0.3 * msim, 6) AS sc
+           FROM d2 ORDER BY round(0.7 * sim - 0.3 * msim, 6) DESC, vec_id
+           LIMIT 1),
+    d3 AS (SELECT vec_id, v, sim,
+                  greatest(msim, list_inner_product(v, (SELECT sv FROM p3)))
+                    AS msim
+           FROM d2 WHERE vec_id <> (SELECT sid FROM p3)),
+    p4 AS (SELECT vec_id AS sid, v AS sv,
+                  round(0.7 * sim - 0.3 * msim, 6) AS sc
+           FROM d3 ORDER BY round(0.7 * sim - 0.3 * msim, 6) DESC, vec_id
+           LIMIT 1),
+    d4 AS (SELECT vec_id, v, sim,
+                  greatest(msim, list_inner_product(v, (SELECT sv FROM p4)))
+                    AS msim
+           FROM d3 WHERE vec_id <> (SELECT sid FROM p4)),
+    p5 AS (SELECT vec_id AS sid, v AS sv,
+                  round(0.7 * sim - 0.3 * msim, 6) AS sc
+           FROM d4 ORDER BY round(0.7 * sim - 0.3 * msim, 6) DESC, vec_id
+           LIMIT 1)
+    SELECT CAST(1 AS INT) AS step, (SELECT sid FROM p1) AS vec_id,
+           (SELECT sc FROM p1) AS mmr_score
+    UNION ALL SELECT 2, (SELECT sid FROM p2), (SELECT sc FROM p2)
+    UNION ALL SELECT 3, (SELECT sid FROM p3), (SELECT sc FROM p3)
+    UNION ALL SELECT 4, (SELECT sid FROM p4), (SELECT sc FROM p4)
+    UNION ALL SELECT 5, (SELECT sid FROM p5), (SELECT sc FROM p5)
+    """,
+)
+def k_rag_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998),
+    the diversity stage of a RAG retriever: from the query's cosine top-20
+    shortlist, greedily pick 5 passages maximizing
+    0.7·sim(query, d) − 0.3·max_{s∈selected} sim(d, s) — relevance traded
+    against redundancy, so near-duplicate hits don't crowd the context
+    window.
+
+    The corpus-sized work is only the top-20 shortlist (TakeOrdered over a
+    broadcast-query dot product — the k_sim_topk shape). The greedy loop
+    then runs on the 20-row candidate table: per round one broadcast of
+    the new pick, one `greatest` fold into the running max-sim column, one
+    TakeOrdered argmax — the k_coreset_kcenter driver pattern, O(k) rounds
+    of one-row driver traffic. Scores rank on 6dp rounds with vec_id
+    tiebreaks across engines.
+    """
+    emb = _emb(spark, sf_dir).select("vec_id", "v")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    cand = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", "v", dot(F.col("v"), F.col("qv")).alias("sim"))
+        .orderBy(F.round("sim", 6).desc(), "vec_id")
+        .limit(20)
+        .localCheckpoint()
+    )
+    picks = []
+    d = cand
+    for step in range(1, 6):
+        if step == 1:
+            score = F.round(0.7 * F.col("sim"), 6)
+        else:
+            score = F.round(0.7 * F.col("sim") - 0.3 * F.col("msim"), 6)
+        top = (
+            d.select("vec_id", "v", score.alias("sc"))
+            .orderBy(F.col("sc").desc(), "vec_id")
+            .limit(1)
+        )
+        row = top.collect()[0]
+        picks.append((step, row.vec_id, float(row.sc)))
+        sel = top.select(F.col("v").alias("sv"))
+        prev_msim = (
+            F.col("msim") if step > 1 else F.lit(float("-inf"))
+        )
+        d = (
+            d.filter(F.col("vec_id") != row.vec_id)
+            .crossJoin(F.broadcast(sel))
+            .select(
+                "vec_id",
+                "v",
+                "sim",
+                F.greatest(prev_msim, dot(F.col("v"), F.col("sv"))).alias(
+                    "msim"
+                ),
+            )
+            .localCheckpoint()
+        )
+    return spark.createDataFrame(
+        picks, "step int, vec_id bigint, mmr_score double"
+    )

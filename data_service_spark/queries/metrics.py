@@ -244,3 +244,84 @@ def k_eval_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(F.col("y") * 1.0), 6).alias("frac_pos"),
         F.round(F.abs(F.avg("p") - F.avg(F.col("y") * 1.0)), 6).alias("gap"),
     )
+
+
+# ------------------------------------------- regression-metric audit ----
+
+
+@register(
+    "k_eval_regression",
+    oracle="""
+    WITH base AS (
+      SELECT event_type, extract(hour FROM ts) AS hr,
+             CAST(date_trunc('day', ts) AS DATE) AS day, value
+      FROM events
+    ), model AS (
+      SELECT event_type, hr, avg(value) AS pred
+      FROM base WHERE day < DATE '2024-01-21' GROUP BY 1, 2
+    ), test AS (
+      SELECT b.event_type, b.value, m.pred
+      FROM base b JOIN model m USING (event_type, hr)
+      WHERE b.day >= DATE '2024-01-21'
+    ), stats AS (
+      SELECT event_type, count(*) AS n,
+             sum((value - pred) * (value - pred)) AS sse,
+             sum(abs(value - pred)) AS sae,
+             sum(value) AS sv, sum(value * value) AS svv
+      FROM test GROUP BY 1
+    )
+    SELECT event_type, n,
+           round(sqrt(sse / n), 4) AS rmse,
+           round(sae / n, 4) AS mae,
+           round(1.0 - sse / (svv - sv * sv / n), 4) AS r2
+    FROM stats
+    """,
+)
+def k_eval_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regression-metric audit (RMSE / MAE / R²) of a seasonal-baseline
+    predictor: per (event type, hour-of-day) mean value fitted on days
+    1-20, scored on days 21+ — the train/test temporal split every
+    forecasting or value-model deployment reports before shipping.
+
+    The model is a dimension-sized aggregate (type × 24 rows) broadcast
+    back onto the test scan; metrics are one groupBy over sum-of-squares
+    partials, so the corpus crosses exactly one shuffle each for fit and
+    score. R² is computed from the same Σv/Σv² partials — no second pass
+    for the mean.
+    """
+    e = load(spark, sf_dir, "events")
+    base = e.select(
+        "event_type",
+        F.hour("ts").alias("hr"),
+        F.date_trunc("DAY", F.col("ts")).cast("date").alias("day"),
+        "value",
+    )
+    cut = F.lit("2024-01-21").cast("date")
+    model = (
+        base.filter(F.col("day") < cut)
+        .groupBy("event_type", "hr")
+        .agg(F.avg("value").alias("pred"))
+    )
+    test = base.filter(F.col("day") >= cut).join(
+        F.broadcast(model), ["event_type", "hr"]
+    )
+    err = F.col("value") - F.col("pred")
+    stats = test.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(err * err).alias("sse"),
+        F.sum(F.abs(err)).alias("sae"),
+        F.sum("value").alias("sv"),
+        F.sum(F.col("value") * F.col("value")).alias("svv"),
+    )
+    return stats.select(
+        "event_type",
+        "n",
+        F.round(F.sqrt(F.col("sse") / F.col("n")), 4).alias("rmse"),
+        F.round(F.col("sae") / F.col("n"), 4).alias("mae"),
+        F.round(
+            1.0
+            - F.col("sse")
+            / (F.col("svv") - F.col("sv") * F.col("sv") / F.col("n")),
+            4,
+        ).alias("r2"),
+    )

@@ -1422,3 +1422,74 @@ def test_pq_codes_are_valid_and_adist_monotone(spark, sf_dir):
     assert list(pq.rn) == list(range(1, 11))
     assert (pq.sort_values("rn").adist.diff().dropna() >= -1e-9).all()
     assert 0 not in set(pq.vec_id)
+
+
+def test_mmr_first_pick_is_most_similar_and_diversity_tradeoff_holds(spark, sf_dir):
+    """Pick 1 is the cosine argmax; every later pick's raw relevance is
+    <= pick 1's; selected ids are distinct; greedy scores match a pandas
+    recomputation of the MMR recurrence on the same shortlist."""
+    import numpy as np
+
+    from data_service_spark.registry import QUERIES
+
+    got = QUERIES["k_rag_mmr"](spark, sf_dir).toPandas().sort_values("step")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").toPandas()
+    mat = np.array([np.array(v, dtype=np.float64) for v in emb.embedding])
+    ids = emb.vec_id.to_numpy()
+    q = mat[ids == 0][0]
+    sims = mat @ q
+    order = np.lexsort((ids, -np.round(sims, 6)))
+    cand = [i for i in order if ids[i] != 0][:20]
+    sel, msim = [], {}
+    for step in range(5):
+        best = None
+        for i in cand:
+            if i in sel:
+                continue
+            sc = round(0.7 * sims[i] - 0.3 * msim.get(i, 0.0), 6) if sel else round(0.7 * sims[i], 6)
+            key = (-sc, ids[i])
+            if best is None or key < best[0]:
+                best = (key, i, sc)
+        _, i, sc = best
+        sel.append(i)
+        for j in cand:
+            s = float(mat[j] @ mat[i])
+            msim[j] = max(msim.get(j, -np.inf), s)
+        row = got.iloc[step]
+        assert row.vec_id == ids[i]
+        assert abs(row.mmr_score - sc) < 1e-6
+    assert got.vec_id.nunique() == 5
+
+
+def test_hashing_trick_buckets_bounded_and_reproducible(spark, sf_dir):
+    from data_service_spark.registry import QUERIES
+
+    a = QUERIES["k_text_hashing_trick"](spark, sf_dir).toPandas()
+    b = QUERIES["k_text_hashing_trick"](spark, sf_dir).toPandas()
+    assert a.bucket.between(0, 1023).all()
+    assert (a.weight != 0).all()
+    key = lambda df: sorted(map(tuple, df.itertuples(index=False)))
+    assert key(a) == key(b)
+
+
+def test_regression_metrics_match_pandas(spark, sf_dir):
+    import numpy as np
+
+    from data_service_spark.registry import QUERIES
+
+    got = QUERIES["k_eval_regression"](spark, sf_dir).toPandas()
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").toPandas()
+    ev["hr"] = ev.ts.dt.hour
+    ev["day"] = ev.ts.dt.normalize()
+    cut = np.datetime64("2024-01-21")
+    train, test = ev[ev.day < cut], ev[ev.day >= cut]
+    model = train.groupby(["event_type", "hr"]).value.mean().rename("pred")
+    t = test.join(model, on=["event_type", "hr"], how="inner")
+    for et, g in t.groupby("event_type"):
+        err = g.value - g.pred
+        row = got[got.event_type == et].iloc[0]
+        assert row.n == len(g)
+        assert abs(row.rmse - round(float(np.sqrt((err**2).mean())), 4)) < 1e-3
+        assert abs(row.mae - round(float(err.abs().mean()), 4)) < 1e-3
+        sst = ((g.value - g.value.mean()) ** 2).sum()
+        assert abs(row.r2 - round(float(1 - (err**2).sum() / sst), 4)) < 1e-3

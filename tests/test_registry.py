@@ -91,6 +91,7 @@ k_eval_auc k_eval_ndcg k_eval_calibration
 k_text_zipf k_text_collocations k_text_burstiness
 k_changepoint_cusum k_anomaly_mad c_join_overlap
 k_sim_pq k_sim_pq_rerank
+k_rag_mmr k_text_hashing_trick k_eval_regression
 """.split()
 
 
