@@ -1194,3 +1194,66 @@ def k_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_purchases"),
         F.round(F.sum("value"), 2).alias("revenue"),
     )
+
+
+@register(
+    "d_agg_moments",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             count(*) AS n, sum(l_quantity) AS s1,
+             sum(l_quantity * l_quantity) AS s2,
+             sum(l_quantity * l_quantity * l_quantity) AS s3,
+             sum(l_quantity * l_quantity * l_quantity * l_quantity) AS s4
+      FROM lineitem GROUP BY 1
+    )
+    SELECT l_returnflag, n,
+           round(s1 / n, 4) AS mean,
+           round((s2 - s1 * s1 / n) / n, 4) AS m2,
+           round(((s3 - 3 * s1 * s2 / n + 2 * s1 * s1 * s1 / (n * n)) / n)
+                 / pow((s2 - s1 * s1 / n) / n, 1.5), 4) AS skewness,
+           round(((s4 - 4 * s1 * s3 / n + 6 * s1 * s1 * s2 / (n * n)
+                   - 3 * s1 * s1 * s1 * s1 / (n * n * n)) / n)
+                 / pow((s2 - s1 * s1 / n) / n, 2) - 3.0, 4) AS kurtosis
+    FROM s
+    """,
+)
+def d_agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher central moments — population skewness and excess kurtosis per
+    return flag — computed from RAW POWER SUMS (Σx, Σx², Σx³, Σx⁴) rather
+    than each engine's built-in skewness/kurtosis, whose definitional
+    variants (sample vs population, bias corrections) disagree across
+    engines. l_quantity is integer-valued, so every power sum is an exact
+    integer below 2^53: the moment arithmetic is bit-identical in both
+    engines before the final rounding.
+
+    One map-side-combined groupBy — the moment sums are associative
+    partials, the textbook single-pass distributed-statistics shape (at
+    100 TB: one shuffle of 4 doubles per group).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q).alias("s1"),
+        F.sum(q * q).alias("s2"),
+        F.sum(q * q * q).alias("s3"),
+        F.sum(q * q * q * q).alias("s4"),
+    )
+    n, s1, s2, s3, s4 = (F.col(c) for c in ["n", "s1", "s2", "s3", "s4"])
+    m2 = (s2 - s1 * s1 / n) / n
+    m3 = (s3 - 3 * s1 * s2 / n + 2 * s1 * s1 * s1 / (n * n)) / n
+    m4 = (
+        s4
+        - 4 * s1 * s3 / n
+        + 6 * s1 * s1 * s2 / (n * n)
+        - 3 * s1 * s1 * s1 * s1 / (n * n * n)
+    ) / n
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.round(s1 / n, 4).alias("mean"),
+        F.round(m2, 4).alias("m2"),
+        F.round(m3 / F.pow(m2, 1.5), 4).alias("skewness"),
+        F.round(m4 / F.pow(m2, 2) - 3.0, 4).alias("kurtosis"),
+    )

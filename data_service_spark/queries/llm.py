@@ -2480,3 +2480,43 @@ def k_rag_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         picks, "step int, vec_id bigint, mmr_score double"
     )
+
+
+@register(
+    "k_anonymize_ldiv",
+    oracle="""
+    WITH quasi AS (
+      SELECT n.n_name AS nation,
+             CAST(floor(c_acctbal / 2000) AS BIGINT) AS bal_band,
+             c_mktsegment AS segment
+      FROM customer JOIN nation n ON c_nationkey = n.n_nationkey
+    )
+    SELECT nation, bal_band, count(*) AS n,
+           count(DISTINCT segment) AS l,
+           CAST(count(DISTINCT segment) >= 3 AS BOOLEAN) AS diverse
+    FROM quasi GROUP BY 1, 2
+    """,
+)
+def k_anonymize_ldiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al. 2007), the k-anonymity
+    follow-up: a quasi-identifier group that is large enough (k-anonymous)
+    can STILL leak if everyone in it shares the sensitive value. Per
+    (nation, balance-band) equivalence class: size, number of distinct
+    sensitive values (market segment), and the l≥3 release flag — the
+    audit k_anonymize_kanon's suppression decision should consult next.
+
+    One groupBy with a distinct-count (two-level partial aggregate);
+    output is equivalence-class-sized, never row-sized.
+    """
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    quasi = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).select(
+        F.col("n_name").alias("nation"),
+        F.floor(F.col("c_acctbal") / 2000).cast("long").alias("bal_band"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    return quasi.groupBy("nation", "bal_band").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("segment").alias("l"),
+        (F.countDistinct("segment") >= 3).alias("diverse"),
+    )

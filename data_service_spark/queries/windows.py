@@ -630,3 +630,65 @@ def k_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n") * 1.0 / F.col("n_from"), 4).alias("p_next"),
     )
+
+
+@register(
+    "e_win_reset_sum",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts, event_type, value,
+             coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS island
+      FROM events
+    )
+    SELECT user_id, event_id, CAST(island AS BIGINT) AS island,
+           round(sum(value) OVER (PARTITION BY user_id, island
+                                  ORDER BY ts, event_id), 4) AS run_sum
+    FROM flagged
+    """,
+)
+def e_win_reset_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running sum that RESETS after each 'purchase' — accumulated
+    basket value since the user's last conversion. The reset is encoded
+    as a gaps-and-islands id (cumulative count of PRIOR purchases via a
+    1-PRECEDING frame, so a purchase closes its own island), then a plain
+    running sum within (user, island): two keyed window passes over the
+    same (user, ts) sort order, which Spark executes with ONE sort — no
+    self-join, no recursion.
+
+    Both windows partition by user: embarrassingly parallel across users
+    at any scale, O(1) state per row. Event-id tiebreaks pin frame order
+    across engines; the running sum folds in that same order, so the
+    float accumulation sequence is identical.
+    """
+    e = load(spark, sf_dir, "events")
+    wi = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.coalesce(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).over(wi),
+            F.lit(0),
+        ).cast("long").alias("island"),
+    )
+    wr = (
+        Window.partitionBy("user_id", "island")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return flagged.select(
+        "user_id",
+        "event_id",
+        "island",
+        F.round(F.sum("value").over(wr), 4).alias("run_sum"),
+    )

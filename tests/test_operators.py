@@ -1493,3 +1493,52 @@ def test_regression_metrics_match_pandas(spark, sf_dir):
         assert abs(row.mae - round(float(err.abs().mean()), 4)) < 1e-3
         sst = ((g.value - g.value.mean()) ** 2).sum()
         assert abs(row.r2 - round(float(1 - (err**2).sum() / sst), 4)) < 1e-3
+
+
+def test_moments_match_scipy_style_population_formulas(spark, sf_dir):
+    import numpy as np
+
+    from data_service_spark.registry import QUERIES
+
+    got = QUERIES["d_agg_moments"](spark, sf_dir).toPandas()
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").toPandas()
+    for rf, g in li.groupby("l_returnflag"):
+        x = g.l_quantity.to_numpy()
+        mu = x.mean()
+        m2 = ((x - mu) ** 2).mean()
+        skew = ((x - mu) ** 3).mean() / m2 ** 1.5
+        kurt = ((x - mu) ** 4).mean() / m2 ** 2 - 3.0
+        row = got[got.l_returnflag == rf].iloc[0]
+        assert row["n"] == len(x)
+        assert abs(row["skewness"] - round(skew, 4)) < 1e-3
+        assert abs(row["kurtosis"] - round(kurt, 4)) < 1e-3
+
+
+def test_reset_sum_restarts_after_purchase(spark, sf_dir):
+    """For each user the island id is non-decreasing, increments exactly
+    after purchases, and the running sum within an island is the plain
+    cumulative sum."""
+    from data_service_spark.registry import QUERIES
+
+    got = QUERIES["e_win_reset_sum"](spark, sf_dir).toPandas()
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").toPandas()
+    m = ev.merge(got, on=["user_id", "event_id"]).sort_values(
+        ["user_id", "ts", "event_id"]
+    )
+    one_user = m[m.user_id == m.user_id.iloc[0]]
+    island, acc = 0, 0.0
+    for r in one_user.itertuples():
+        assert r.island == island
+        acc += r.value
+        assert abs(r.run_sum - round(acc, 4)) < 1e-6
+        if r.event_type == "purchase":
+            island += 1
+            acc = 0.0
+
+
+def test_ldiversity_flags_match_group_structure(spark, sf_dir):
+    from data_service_spark.registry import QUERIES
+
+    rows = QUERIES["k_anonymize_ldiv"](spark, sf_dir).toPandas()
+    assert (rows.l <= rows.n).all()
+    assert ((rows.l >= 3) == rows.diverse).all()

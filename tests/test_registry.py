@@ -92,6 +92,7 @@ k_text_zipf k_text_collocations k_text_burstiness
 k_changepoint_cusum k_anomaly_mad c_join_overlap
 k_sim_pq k_sim_pq_rerank
 k_rag_mmr k_text_hashing_trick k_eval_regression
+d_agg_moments e_win_reset_sum k_anonymize_ldiv
 """.split()
 
 
