@@ -244,3 +244,69 @@ def k_text_hashing_trick(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("sgn").alias("weight"))
         .filter(F.col("weight") != 0)
     )
+
+
+# ------------------------------------------ co-occurrence Jaccard graph ----
+
+
+@register(
+    "k_graph_jaccard",
+    oracle="""
+    WITH adj AS (
+      SELECT DISTINCT event_type, user_id FROM events
+    ), deg AS (
+      SELECT event_type, count(*) AS deg FROM adj GROUP BY 1
+    ), inter AS (
+      SELECT a.event_type AS t1, b.event_type AS t2, count(*) AS n_both
+      FROM adj a JOIN adj b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT i.t1, i.t2, i.n_both,
+           round(i.n_both * 1.0 / (d1.deg + d2.deg - i.n_both), 4)
+             AS jaccard
+    FROM inter i JOIN deg d1 ON i.t1 = d1.event_type
+                 JOIN deg d2 ON i.t2 = d2.event_type
+    """,
+)
+def k_graph_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighborhood-Jaccard node similarity on the bipartite
+    (event_type, user) graph: J(a,b) = |users(a) ∩ users(b)| / |∪| — the
+    co-occurrence similarity behind item-item recommenders and graph-based
+    dedup candidate generation.
+
+    Intersections come from ONE self-join of the deduplicated adjacency
+    list keyed on user (each user contributes its type-pair combinations —
+    at scale, per-user combination fan-out bounded by per-user degree);
+    degrees are a dimension-sized aggregate broadcast into the final
+    projection. Pure integer counts — no float surface beyond the final
+    ratio.
+    """
+    e = load(spark, sf_dir, "events")
+    adj = e.select("event_type", "user_id").distinct()
+    deg = adj.groupBy("event_type").agg(F.count(F.lit(1)).alias("deg"))
+    a = adj.select(F.col("event_type").alias("t1"), "user_id")
+    b = adj.select(F.col("event_type").alias("t2"), "user_id")
+    inter = (
+        a.join(b, "user_id")
+        .filter(F.col("t1") < F.col("t2"))
+        .groupBy("t1", "t2")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    d1 = deg.select(F.col("event_type").alias("t1"), F.col("deg").alias("deg1"))
+    d2 = deg.select(F.col("event_type").alias("t2"), F.col("deg").alias("deg2"))
+    return (
+        inter.join(F.broadcast(d1), "t1")
+        .join(F.broadcast(d2), "t2")
+        .select(
+            "t1",
+            "t2",
+            "n_both",
+            F.round(
+                F.col("n_both")
+                * 1.0
+                / (F.col("deg1") + F.col("deg2") - F.col("n_both")),
+                4,
+            ).alias("jaccard"),
+        )
+    )

@@ -1035,3 +1035,90 @@ def k_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 10)
         .select("doc_id", "rrf", "rank")
     )
+
+
+@register(
+    "k_bpe_apply",
+    oracle="""
+    WITH w AS (
+      SELECT DISTINCT unnest(string_split(text, ' ')) AS word FROM documents
+    ), enc AS (
+      SELECT word,
+             replace(replace(replace(word, 'ta', chr(1)), 'er', chr(2)),
+                     'sc', chr(3)) AS encoded
+      FROM w
+    )
+    SELECT word, length(word) AS n_chars,
+           CAST(length(encoded) AS BIGINT) AS n_units,
+           CAST(length(word) - length(encoded) AS BIGINT) AS n_merged
+    FROM enc
+    """,
+)
+def k_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLY path: rewrite each distinct word with a fixed
+    3-entry BPE merge table ('ta', 'er', 'sc' → one symbol each, the
+    inverse of k_bpe_first_merge's training step). Each merge is one
+    left-to-right non-overlapping `replace` — the same rewrite a BPE
+    encoder performs per learned merge, and both engines share replace()'s
+    scan semantics, so unit counts agree exactly.
+
+    Runs on the DISTINCT-word table (the standard tokenizer-cache trick:
+    encode each type once, not each token): one dedup shuffle of
+    vocabulary-sized data, then a zero-shuffle projection. At 100 TB the
+    vocabulary table is millions of rows while the corpus is trillions —
+    the apply cost collapses to a broadcast-joinable dictionary.
+    """
+    d = load(spark, sf_dir, "documents")
+    w = d.select(F.explode(F.split("text", " ")).alias("word")).distinct()
+    enc = F.expr(
+        "replace(replace(replace(word, 'ta', char(1)), 'er', char(2)),"
+        " 'sc', char(3))"
+    )
+    return w.select(
+        "word",
+        F.length("word").alias("n_chars"),
+        F.length(enc).cast("long").alias("n_units"),
+        (F.length("word") - F.length(enc)).cast("long").alias("n_merged"),
+    )
+
+
+@register("k_text_compressibility")  # rows-only: no zlib in DuckDB SQL
+def k_text_compressibility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-ratio quality signal (deflate bytes / raw bytes) — the
+    Gopher/FineWeb-style repetition detector: highly compressible text is
+    templated or looping, incompressible text is noise; both tails get
+    gated. No SQL oracle (DuckDB has no deflate surface), so the driver
+    records the weaker rows-only check; determinism inside the engine is
+    still exact (zlib level 6 is a pure function of the bytes).
+
+    Arrow-batched pandas UDF (one zlib call per row, no Python-row
+    overhead); zero shuffles — the score is a scan-stage projection, and
+    the flag thresholds are plain codegen comparisons on top.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    def _ratios(texts):
+        import zlib
+
+        def ratio(t: str) -> float:
+            raw = t.encode("utf-8")
+            if not raw:
+                return 1.0
+            return round(len(zlib.compress(raw, 6)) / len(raw), 4)
+
+        return texts.map(ratio)
+
+    # Series->Series scalar pandas UDF; eval type passed positionally (the
+    # from-__future__ string annotations defeat hint inference here).
+    comp_ratio = pandas_udf(_ratios, "double")
+
+    d = load_parallel(spark, sf_dir, "documents", "doc_id")
+    scored = d.select(
+        "doc_id", comp_ratio(F.col("text")).alias("comp_ratio")
+    )
+    return scored.select(
+        "doc_id",
+        "comp_ratio",
+        (F.col("comp_ratio") < 0.25).alias("too_repetitive"),
+        (F.col("comp_ratio") > 0.9).alias("incompressible"),
+    )

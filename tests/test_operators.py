@@ -1542,3 +1542,42 @@ def test_ldiversity_flags_match_group_structure(spark, sf_dir):
     rows = QUERIES["k_anonymize_ldiv"](spark, sf_dir).toPandas()
     assert (rows.l <= rows.n).all()
     assert ((rows.l >= 3) == rows.diverse).all()
+
+
+def test_bpe_apply_merge_counts_hand_check(spark, sf_dir):
+    from data_service_spark.registry import QUERIES
+
+    rows = QUERIES["k_bpe_apply"](spark, sf_dir).toPandas()
+    for r in rows.itertuples():
+        enc = r.word.replace("ta", "\x01").replace("er", "\x02").replace("sc", "\x03")
+        assert r.n_units == len(enc)
+        assert r.n_merged == len(r.word) - len(enc)
+    assert (rows.n_merged >= 0).all()
+
+
+def test_graph_jaccard_matches_set_arithmetic(spark, sf_dir):
+    from data_service_spark.registry import QUERIES
+
+    got = QUERIES["k_graph_jaccard"](spark, sf_dir).toPandas()
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").toPandas()
+    nbrs = ev.groupby("event_type").user_id.agg(set).to_dict()
+    for r in got.itertuples():
+        inter = len(nbrs[r.t1] & nbrs[r.t2])
+        union = len(nbrs[r.t1] | nbrs[r.t2])
+        assert r.n_both == inter
+        assert abs(r.jaccard - round(inter / union, 4)) < 1e-9
+
+
+def test_compressibility_scores_are_deterministic_and_bounded(spark, sf_dir):
+    from data_service_spark.registry import QUERIES
+
+    a = QUERIES["k_text_compressibility"](spark, sf_dir).toPandas()
+    b = QUERIES["k_text_compressibility"](spark, sf_dir).toPandas()
+    assert a.comp_ratio.between(0.0, 1.5).all()
+    assert a.sort_values("doc_id").comp_ratio.tolist() == b.sort_values("doc_id").comp_ratio.tolist()
+    import zlib
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").toPandas()
+    t0 = docs.sort_values("doc_id").iloc[0]
+    want = round(len(zlib.compress(t0.text.encode(), 6)) / len(t0.text.encode()), 4)
+    assert a.set_index("doc_id").loc[t0.doc_id, "comp_ratio"] == want

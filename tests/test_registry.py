@@ -93,6 +93,7 @@ k_changepoint_cusum k_anomaly_mad c_join_overlap
 k_sim_pq k_sim_pq_rerank
 k_rag_mmr k_text_hashing_trick k_eval_regression
 d_agg_moments e_win_reset_sum k_anonymize_ldiv
+k_bpe_apply k_graph_jaccard k_text_compressibility
 """.split()
 
 
@@ -113,6 +114,7 @@ def test_rows_only_keys_are_the_declared_ones():
         "d_agg_hll_sketch",  # DataSketches HLL bytes are engine-specific
         "d_agg_freq_items",  # KSP frequent-items candidate sets are impl-specific
         "k_embed_pca_project",  # eigenvectors aren't SQL-expressible
+        "k_text_compressibility",  # no deflate surface in DuckDB SQL
     }
 
 
