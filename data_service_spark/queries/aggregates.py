@@ -1257,3 +1257,82 @@ def d_agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(m3 / F.pow(m2, 1.5), 4).alias("skewness"),
         F.round(m4 / F.pow(m2, 2) - 3.0, 4).alias("kurtosis"),
     )
+
+
+@register(
+    "d_agg_corr_matrix",
+    oracle="""
+    WITH s AS (
+      SELECT count(*) AS n,
+             sum(l_quantity) AS sq, sum(l_extendedprice) AS sp,
+             sum(l_discount) AS sd,
+             sum(l_quantity * l_quantity) AS sqq,
+             sum(l_extendedprice * l_extendedprice) AS spp,
+             sum(l_discount * l_discount) AS sdd,
+             sum(l_quantity * l_extendedprice) AS sqp,
+             sum(l_quantity * l_discount) AS sqd,
+             sum(l_extendedprice * l_discount) AS spd
+      FROM lineitem
+    )
+    SELECT 'quantity~price' AS pair,
+           round((n * sqp - sq * sp)
+                 / (sqrt(n * sqq - sq * sq) * sqrt(n * spp - sp * sp)), 4)
+             AS corr
+    FROM s
+    UNION ALL
+    SELECT 'quantity~discount',
+           round((n * sqd - sq * sd)
+                 / (sqrt(n * sqq - sq * sq) * sqrt(n * sdd - sd * sd)), 4)
+    FROM s
+    UNION ALL
+    SELECT 'price~discount',
+           round((n * spd - sp * sd)
+                 / (sqrt(n * spp - sp * sp) * sqrt(n * sdd - sd * sd)), 4)
+    FROM s
+    """,
+)
+def d_agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix over lineitem's numeric columns
+    — the column-profiling step of an EDA/feature-audit pass, computed as
+    ONE single-pass aggregate of co-moment power sums (Σx, Σx², Σxy per
+    pair) rather than three built-in corr() passes: all pairs share one
+    scan and one 1-row shuffle, the distributed-statistics shape that costs
+    the same at 100 TB as a count(*).
+
+    The explicit Σ-formula (not each engine's corr()) keeps the arithmetic
+    tree identical across engines before the 4dp rounding.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    q, p, dc = F.col("l_quantity"), F.col("l_extendedprice"), F.col("l_discount")
+    s = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q).alias("sq"), F.sum(p).alias("sp"), F.sum(dc).alias("sd"),
+        F.sum(q * q).alias("sqq"), F.sum(p * p).alias("spp"),
+        F.sum(dc * dc).alias("sdd"),
+        F.sum(q * p).alias("sqp"), F.sum(q * dc).alias("sqd"),
+        F.sum(p * dc).alias("spd"),
+    )
+    n = F.col("n")
+
+    def corr(sxy, sx, sy, sxx, syy):
+        return F.round(
+            (n * F.col(sxy) - F.col(sx) * F.col(sy))
+            / (
+                F.sqrt(n * F.col(sxx) - F.col(sx) * F.col(sx))
+                * F.sqrt(n * F.col(syy) - F.col(sy) * F.col(sy))
+            ),
+            4,
+        )
+
+    rows = [
+        s.select(F.lit("quantity~price").alias("pair"),
+                 corr("sqp", "sq", "sp", "sqq", "spp").alias("corr")),
+        s.select(F.lit("quantity~discount").alias("pair"),
+                 corr("sqd", "sq", "sd", "sqq", "sdd").alias("corr")),
+        s.select(F.lit("price~discount").alias("pair"),
+                 corr("spd", "sp", "sd", "spp", "sdd").alias("corr")),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out

@@ -942,3 +942,52 @@ def c_join_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             + 1
         ).cast("long").alias("overlap_days"),
     )
+
+
+@register(
+    "c_merge_cdc",
+    oracle="""
+    WITH log AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+             value
+      FROM events
+    ), latest AS (
+      SELECT user_id, op, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM log
+    )
+    SELECT user_id, round(value, 4) AS value
+    FROM latest WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def c_merge_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply with DELETES: collapse a change log (upserts + deletes —
+    here derived from events, 'error' rows acting as tombstones) to the
+    final table state by last-writer-wins per key; keys whose latest
+    record is a tombstone vanish. The Debezium/Delta-CDF compaction shape
+    that c_merge_scd1 (upsert-only) cannot express.
+
+    One keyed window (single shuffle on user_id) ordered by (ts,
+    event_id) — commit-time with a unique tiebreak, the idempotency
+    contract a real CDC consumer needs; at scale this runs per
+    micro-batch over only the batch's keys, merging into a bucketed
+    target.
+    """
+    e = load(spark, sf_dir, "events")
+    log = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+        "value",
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        log.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select("user_id", F.round("value", 4).alias("value"))
+    )

@@ -2520,3 +2520,47 @@ def k_anonymize_ldiv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("segment").alias("l"),
         (F.countDistinct("segment") >= 3).alias("diverse"),
     )
+
+
+@register(
+    "k_dedup_incremental",
+    oracle="""
+    WITH corpus AS (
+      SELECT md5(text) AS h FROM documents WHERE doc_id < 250 GROUP BY 1
+    ), incoming AS (
+      SELECT doc_id, md5(text) AS h, n_chars FROM documents
+      WHERE doc_id >= 250
+    )
+    SELECT i.doc_id, i.n_chars,
+           CAST(c.h IS NOT NULL AS BOOLEAN) AS dup_of_corpus
+    FROM incoming i LEFT JOIN corpus c USING (h)
+    """,
+)
+def k_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup: a NEW BATCH (doc_id ≥ 250) screened
+    against the EXISTING corpus snapshot's content-hash index (doc_id <
+    250) — the daily-ingest shape, where full-corpus re-dedup would be
+    O(corpus) per batch but an index anti/left-join is O(batch + index
+    probe).
+
+    At 100 TB the corpus side is a persisted hash index bucketed on h:
+    the incoming batch shuffles once on h and co-locates with the index
+    partitions (or broadcast, if the daily batch is the small side). The
+    left join keeps non-dups with a false flag so downstream gates see
+    the whole batch.
+    """
+    d = load(spark, sf_dir, "documents")
+    corpus = (
+        d.filter(F.col("doc_id") < 250)
+        .select(F.md5("text").alias("h"))
+        .distinct()
+        .withColumn("in_corpus", F.lit(True))
+    )
+    incoming = d.filter(F.col("doc_id") >= 250).select(
+        "doc_id", F.md5("text").alias("h"), "n_chars"
+    )
+    return incoming.join(corpus, "h", "left").select(
+        "doc_id",
+        "n_chars",
+        F.coalesce(F.col("in_corpus"), F.lit(False)).alias("dup_of_corpus"),
+    )

@@ -1581,3 +1581,49 @@ def test_compressibility_scores_are_deterministic_and_bounded(spark, sf_dir):
     t0 = docs.sort_values("doc_id").iloc[0]
     want = round(len(zlib.compress(t0.text.encode(), 6)) / len(t0.text.encode()), 4)
     assert a.set_index("doc_id").loc[t0.doc_id, "comp_ratio"] == want
+
+
+def test_corr_matrix_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    from data_service_spark.registry import QUERIES
+
+    got = dict(
+        QUERIES["d_agg_corr_matrix"](spark, sf_dir)
+        .toPandas()
+        .itertuples(index=False)
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").toPandas()
+    want = {
+        "quantity~price": np.corrcoef(li.l_quantity, li.l_extendedprice)[0, 1],
+        "quantity~discount": np.corrcoef(li.l_quantity, li.l_discount)[0, 1],
+        "price~discount": np.corrcoef(li.l_extendedprice, li.l_discount)[0, 1],
+    }
+    for k, v in want.items():
+        assert abs(got[k] - round(v, 4)) < 1e-3
+
+
+def test_incremental_dedup_flags_exact_corpus_matches(spark, sf_dir):
+    from data_service_spark.registry import QUERIES
+
+    got = QUERIES["k_dedup_incremental"](spark, sf_dir).toPandas()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").toPandas()
+    corpus = set(docs[docs.doc_id < 250].text)
+    inc = docs[docs.doc_id >= 250]
+    assert len(got) == len(inc)
+    want = {r.doc_id: (r.text in corpus) for r in inc.itertuples()}
+    assert dict(zip(got.doc_id, got.dup_of_corpus)) == want
+
+
+def test_cdc_merge_last_writer_wins_and_tombstones_delete(spark, sf_dir):
+    from data_service_spark.registry import QUERIES
+
+    got = QUERIES["c_merge_cdc"](spark, sf_dir).toPandas()
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").toPandas()
+    last = ev.sort_values(["ts", "event_id"]).groupby("user_id").tail(1)
+    want = {
+        r.user_id: round(r.value, 4)
+        for r in last.itertuples()
+        if r.event_type != "error"
+    }
+    assert dict(zip(got.user_id, got.value)) == want

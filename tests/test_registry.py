@@ -94,6 +94,7 @@ k_sim_pq k_sim_pq_rerank
 k_rag_mmr k_text_hashing_trick k_eval_regression
 d_agg_moments e_win_reset_sum k_anonymize_ldiv
 k_bpe_apply k_graph_jaccard k_text_compressibility
+d_agg_corr_matrix k_dedup_incremental c_merge_cdc
 """.split()
 
 

@@ -144,6 +144,22 @@ SHOWCASE = {
         "one ObjectHashAggregate scan building sketches; every set question reads InMemoryTableScan of the 3-row sketch table",
         "set algebra (incl. intersection/difference) answered from mergeable sketches — one fact-table pass total",
     ),
+    "k_sim_pq": (
+        "codebook and query LUT enter as BroadcastHashJoins; per-vector work is explode(4) + fold; final top-10 is TakeOrderedAndProject",
+        "ADC scoring never re-reads full vectors — a compressed-code scan plus a 64-row broadcast LUT replaces the O(corpus×dim) distance pass",
+    ),
+    "k_eval_auc": (
+        "two-level HashAggregate (score groups), ONE Window over the distinct-score table, then a 1-row aggregate",
+        "the rank-sum AUC needs no global per-row sort: the only ordered pass is over ≤1e6 distinct quantized scores",
+    ),
+    "k_text_hashing_trick": (
+        "hash+sign computed in the scan-stage project; single shuffle on (doc_id, bucket) with partial_sum map-side combine",
+        "vocabulary-free featurization: no dictionary build, no vocab shuffle — the only exchange carries ≤1024 buckets per doc",
+    ),
+    "e_win_reset_sum": (
+        "two Window nodes sharing the (user_id, ts, event_id) sort order — one Exchange + one Sort total",
+        "reset-on-event accumulation stays a windowing problem: no self-join, no recursion, O(1) state per row",
+    ),
 }
 
 
