@@ -66,6 +66,7 @@ PRIORITY = [
     "d_agg_moments", "e_win_reset_sum", "k_anonymize_ldiv",
     "k_bpe_apply", "k_graph_jaccard", "k_text_compressibility",
     "d_agg_corr_matrix", "k_dedup_incremental", "c_merge_cdc",
+    "k_batch_padding_waste", "k_active_margin", "k_embed_drift",
     # e: windows (none recorded in r01)
     "e_win_rank", "e_win_running", "e_win_scd2", "e_win_range_frame",
     "e_win_streak",

@@ -2001,3 +2001,169 @@ def k_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         " 'train_split', 5, n5, CAST(t5 AS BIGINT)"
         ") AS (stage, stage_ord, n_docs, n_tokens)"
     )
+
+
+@register(
+    "k_batch_padding_waste",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents
+    ), b AS (
+      SELECT doc_id, n_tok,
+             CAST(ceil(n_tok / 16.0) * 16 AS BIGINT) AS bucket_len
+      FROM d
+    )
+    SELECT bucket_len, count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS real_tokens,
+           CAST(sum(bucket_len - n_tok) AS BIGINT) AS pad_tokens,
+           round(sum(bucket_len - n_tok) * 1.0 / sum(bucket_len), 4)
+             AS waste_ratio
+    FROM b GROUP BY bucket_len
+    """,
+)
+def k_batch_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching audit: documents rounded up to 16-token
+    bucket lengths, with per-bucket padding waste — the efficiency report
+    that justifies dynamic batching / sequence packing (k_pack_sequences
+    is the remedy; this measures the disease). waste_ratio is the share
+    of FLOPs a fixed-shape batcher would burn on pad tokens.
+
+    One map-side-combined groupBy on a small integer key; exact integer
+    token arithmetic end to end.
+    """
+    d = load(spark, sf_dir, "documents")
+    n_tok = F.size(F.split("text", " "))
+    b = d.select(
+        n_tok.alias("n_tok"),
+        (F.ceil(n_tok / 16.0) * 16).cast("long").alias("bucket_len"),
+    )
+    return b.groupBy("bucket_len").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("real_tokens"),
+        F.sum(F.col("bucket_len") - F.col("n_tok")).cast("long").alias(
+            "pad_tokens"
+        ),
+        F.round(
+            F.sum(F.col("bucket_len") - F.col("n_tok"))
+            * 1.0
+            / F.sum("bucket_len"),
+            4,
+        ).alias("waste_ratio"),
+    )
+
+
+@register(
+    "k_active_margin",
+    oracle="""
+    WITH scored AS (
+    WITH f AS (
+      SELECT doc_id,
+             ln(1 + n_chars) AS f_len,
+             len(string_split(text, ' ')) AS n_words,
+             (n_chars - len(string_split(text, ' ')) + 1)
+               * 1.0 / len(string_split(text, ' ')) AS mean_wlen,
+             (n_chars - length(regexp_replace(text, '[0-9]', '', 'g')))
+               * 1.0 / n_chars AS digit_ratio
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(floor(1.0 / (1.0 + exp(-(-8.0 + 1.6 * f_len + 0.5 * mean_wlen
+                                         - 4.0 * digit_ratio))) * 1e6) AS BIGINT)
+             AS score_q,
+           CASE WHEN 1.0 / (1.0 + exp(-(-8.0 + 1.6 * f_len + 0.5 * mean_wlen
+                                        - 4.0 * digit_ratio))) >= 0.5
+                THEN 'keep' ELSE 'drop' END AS verdict
+    FROM f
+    )
+    SELECT doc_id, score_q,
+           CAST(abs(score_q - 500000) AS BIGINT) AS margin_q
+    FROM scored
+    ORDER BY abs(score_q - 500000), doc_id
+    LIMIT 20
+    """,
+)
+def k_active_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncertainty sampling for active learning: the 20 documents whose
+    quality-classifier probability sits closest to the 0.5 decision
+    boundary — the rows a labeling budget buys the most from (margin
+    sampling, Lewis & Gale 1994). Composes the registered logreg scorer;
+    the margin is exact integer arithmetic on the quantized score.
+
+    Zero-shuffle projection + TakeOrderedAndProject: per-partition top-20
+    heaps merge on the driver, no global sort at any corpus size.
+    """
+    from data_service_spark.registry import QUERIES
+
+    scored = QUERIES["k_quality_logreg"](spark, sf_dir).select(
+        "doc_id", "score_q"
+    )
+    margin = F.abs(F.col("score_q") - 500000).cast("long")
+    return (
+        scored.select("doc_id", "score_q", margin.alias("margin_q"))
+        .orderBy("margin_q", "doc_id")
+        .limit(20)
+    )
+
+
+@register(
+    "k_embed_drift",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, label,
+             CASE WHEN vec_id < (SELECT quantile_cont(vec_id, 0.5)
+                                 FROM embeddings) THEN 0 ELSE 1 END AS half,
+             unnest(CAST(embedding AS DOUBLE[])) AS x,
+             generate_subscripts(embedding, 1) AS dim
+      FROM embeddings
+    ), cent AS (
+      SELECT label, half, dim, avg(x) AS c
+      FROM e GROUP BY 1, 2, 3
+    )
+    SELECT a.label, round(sqrt(sum((a.c - b.c) * (a.c - b.c))), 4)
+             AS centroid_shift
+    FROM cent a JOIN cent b
+      ON a.label = b.label AND a.dim = b.dim AND a.half = 0 AND b.half = 1
+    GROUP BY a.label
+    """,
+)
+def k_embed_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift monitor: per ground-truth label, the L2
+    distance between the class centroid of the FIRST corpus half and the
+    SECOND (vec_id median split standing in for time) — the
+    representation-shift check run when an embedding model is upgraded or
+    a new crawl lands (k_drift_psi's geometric twin).
+
+    Centroids are per-(label, half, dim) averages after a dimension
+    explode: the shuffle carries labels × 2 × 64 rows of partial sums, not
+    vectors. The split threshold is the exact vec_id median, broadcast as
+    a scalar subquery in both engines.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    med = emb.agg(F.expr("percentile(vec_id, 0.5)").alias("m"))
+    e = (
+        emb.crossJoin(F.broadcast(med))
+        .select(
+            "label",
+            F.when(F.col("vec_id") < F.col("m"), 0).otherwise(1).alias("half"),
+            F.posexplode(F.col("embedding").cast("array<double>")).alias(
+                "pos", "x"
+            ),
+        )
+        .select("label", "half", (F.col("pos") + 1).alias("dim"), "x")
+    )
+    cent = e.groupBy("label", "half", "dim").agg(F.avg("x").alias("c"))
+    a = cent.filter(F.col("half") == 0).select(
+        "label", "dim", F.col("c").alias("c0")
+    )
+    b = cent.filter(F.col("half") == 1).select(
+        "label", "dim", F.col("c").alias("c1")
+    )
+    return (
+        a.join(b, ["label", "dim"])
+        .groupBy("label")
+        .agg(
+            F.round(
+                F.sqrt(F.sum((F.col("c0") - F.col("c1")) ** 2)), 4
+            ).alias("centroid_shift")
+        )
+    )

@@ -1627,3 +1627,49 @@ def test_cdc_merge_last_writer_wins_and_tombstones_delete(spark, sf_dir):
         if r.event_type != "error"
     }
     assert dict(zip(got.user_id, got.value)) == want
+
+
+def test_padding_waste_token_conservation(spark, sf_dir):
+    from data_service_spark.registry import QUERIES
+
+    got = QUERIES["k_batch_padding_waste"](spark, sf_dir).toPandas()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").toPandas()
+    n_tok = docs.text.str.split(" ").str.len()
+    assert got.n_docs.sum() == len(docs)
+    assert got.real_tokens.sum() == n_tok.sum()
+    assert (got.bucket_len % 16 == 0).all()
+    assert ((got.real_tokens + got.pad_tokens)
+            == got.bucket_len * got.n_docs).all()
+
+
+def test_active_margin_picks_closest_to_boundary(spark, sf_dir):
+    from data_service_spark.registry import QUERIES
+
+    got = QUERIES["k_active_margin"](spark, sf_dir).toPandas()
+    allscores = QUERIES["k_quality_logreg"](spark, sf_dir).toPandas()
+    want = (
+        allscores.assign(margin_q=(allscores.score_q - 500000).abs())
+        .sort_values(["margin_q", "doc_id"])
+        .head(20)
+    )
+    assert list(got.doc_id) == list(want.doc_id)
+
+
+def test_embed_drift_matches_numpy_centroids(spark, sf_dir):
+    import numpy as np
+
+    from data_service_spark.registry import QUERIES
+
+    got = dict(
+        QUERIES["k_embed_drift"](spark, sf_dir)
+        .toPandas()[["label", "centroid_shift"]]
+        .itertuples(index=False)
+    )
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").toPandas()
+    med = emb.vec_id.median()
+    for lab, g in emb.groupby("label"):
+        m = np.array([np.array(v, dtype=np.float64) for v in g.embedding])
+        first = m[(g.vec_id < med).to_numpy()]
+        second = m[(g.vec_id >= med).to_numpy()]
+        want = np.sqrt(((first.mean(0) - second.mean(0)) ** 2).sum())
+        assert abs(got[lab] - round(want, 4)) < 1e-3
