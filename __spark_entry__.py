@@ -67,6 +67,7 @@ PRIORITY = [
     "k_bpe_apply", "k_graph_jaccard", "k_text_compressibility",
     "d_agg_corr_matrix", "k_dedup_incremental", "c_merge_cdc",
     "k_batch_padding_waste", "k_active_margin", "k_embed_drift",
+    "k_tail_hill", "k_gini_sources", "c_join_asof_nearest",
     # e: windows (none recorded in r01)
     "e_win_rank", "e_win_running", "e_win_scd2", "e_win_range_frame",
     "e_win_streak",

@@ -310,3 +310,107 @@ def k_graph_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+# ----------------------------------------------- heavy-tail diagnostics ----
+
+
+@register(
+    "k_tail_hill",
+    oracle="""
+    WITH ranked AS (
+      SELECT value,
+             row_number() OVER (ORDER BY round(value, 6) DESC, event_id) AS r
+      FROM events WHERE value > 0
+    ), topk AS (
+      SELECT value, r FROM ranked WHERE r <= 101
+    ), xk AS (
+      SELECT value AS xmin FROM topk WHERE r = 101
+    )
+    SELECT CAST(100 AS BIGINT) AS k,
+           round((SELECT xmin FROM xk), 4) AS x_k,
+           round(100.0 / sum(ln(t.value / (SELECT xmin FROM xk))), 4)
+             AS hill_alpha
+    FROM topk t WHERE t.r <= 100
+    """,
+)
+def k_tail_hill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the heavy-tail exponent over the event-value
+    distribution (k=100 upper order statistics): α̂ = k / Σ ln(x_i / x_k).
+    Small α means a fat tail — the diagnostic that decides whether mean-
+    based monitors (z-score) are even valid or the MAD/quantile family is
+    required, and how aggressively winsorization must clip.
+
+    The ONLY ordered work is a top-101 TakeOrderedAndProject (per-partition
+    heaps, no global sort); the log-sum is a 100-row reduce. Ranks pin on
+    6dp-rounded values with event_id tiebreaks.
+    """
+    e = load(spark, sf_dir, "events").filter(F.col("value") > 0)
+    w = Window.orderBy(F.round("value", 6).desc(), F.col("event_id"))
+    ranked = e.select("value", F.row_number().over(w).alias("r")).filter(
+        F.col("r") <= 101
+    )
+    xk = ranked.filter(F.col("r") == 101).select(F.col("value").alias("xmin"))
+    top = ranked.filter(F.col("r") <= 100)
+    return (
+        top.crossJoin(F.broadcast(xk))
+        .agg(
+            F.lit(100).cast("long").alias("k"),
+            F.round(F.first("xmin"), 4).alias("x_k"),
+            F.round(
+                100.0 / F.sum(F.log(F.col("value") / F.col("xmin"))), 4
+            ).alias("hill_alpha"),
+        )
+    )
+
+
+@register(
+    "k_gini_sources",
+    oracle="""
+    WITH src AS (
+      SELECT source, CAST(sum(n_chars) AS DOUBLE) AS x
+      FROM documents GROUP BY 1
+    ), ranked AS (
+      SELECT x, row_number() OVER (ORDER BY x, source) AS i,
+             count(*) OVER () AS n, sum(x) OVER () AS tot
+      FROM src
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n_sources,
+           CAST(max(tot) AS BIGINT) AS total_chars,
+           round(2.0 * sum(i * x) / (max(n) * max(tot))
+                 - (max(n) + 1.0) / max(n), 4) AS gini
+    FROM ranked
+    """,
+)
+def k_gini_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-source character mass — the concentration
+    number a data-mix report leads with (0 = every source contributes
+    equally, →1 = one crawl dominates). Computed by the sorted-rank
+    identity G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n.
+
+    The sort runs over the SOURCE-level aggregate (dimension-sized — 20
+    rows here, maybe thousands at 100 TB), never over documents; the
+    corpus-sized work is one map-side-combined groupBy. Integer char
+    counts make the rank products exact.
+    """
+    d = load(spark, sf_dir, "documents")
+    src = d.groupBy("source").agg(
+        F.sum("n_chars").cast("double").alias("x")
+    )
+    w = Window.orderBy("x", "source")
+    wall = Window.partitionBy()
+    ranked = src.select(
+        "x",
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+        F.sum("x").over(wall).alias("tot"),
+    )
+    return ranked.agg(
+        F.max("n").cast("long").alias("n_sources"),
+        F.max("tot").cast("long").alias("total_chars"),
+        F.round(
+            2.0 * F.sum(F.col("i") * F.col("x")) / (F.max("n") * F.max("tot"))
+            - (F.max("n") + 1.0) / F.max("n"),
+            4,
+        ).alias("gini"),
+    )

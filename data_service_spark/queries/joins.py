@@ -991,3 +991,51 @@ def c_merge_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("rn") == 1) & (F.col("op") != "D"))
         .select("user_id", F.round("value", 4).alias("value"))
     )
+
+
+@register(
+    "c_join_asof_nearest",
+    oracle="""
+    WITH cand AS (
+      SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate,
+             abs(date_diff('second', o.o_orderdate, e.ts)) AS gap_s
+      FROM events e JOIN orders o ON e.user_id = o.o_custkey
+      WHERE e.event_id < 2000
+    )
+    SELECT event_id, user_id, o_orderkey, CAST(gap_s AS BIGINT) AS gap_s
+    FROM (SELECT *, row_number() OVER (PARTITION BY event_id
+                                       ORDER BY gap_s, o_orderkey) AS rn
+          FROM cand)
+    WHERE rn = 1
+    """,
+)
+def c_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-match as-of join: each event pairs with the order (same
+    user) whose timestamp is closest in EITHER direction — the variant
+    backward (c_join_asof) and forward (c_join_asof_forward) cannot
+    express, needed when the reference series may lag or lead (sensor
+    alignment, clock-skewed feeds).
+
+    Equi-key hash join on user + per-event argmin over that user's orders:
+    the candidate fan-out is bounded by per-key order count, then one
+    keyed window reduces to the closest row. Gap measured in whole seconds
+    (integer date_diff semantics match across engines on second-aligned
+    order dates); o_orderkey tiebreaks equal gaps.
+    """
+    e = load(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    o = load(spark, sf_dir, "orders")
+    cand = e.join(o, e.user_id == o.o_custkey).select(
+        "event_id",
+        "user_id",
+        "o_orderkey",
+        F.abs(
+            F.expr("timestampdiff(SECOND, o_orderdate, ts)")
+        ).alias("gap_s"),
+    )
+    w = Window.partitionBy("event_id").orderBy("gap_s", "o_orderkey")
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id", "o_orderkey",
+                F.col("gap_s").cast("long").alias("gap_s"))
+    )

@@ -1673,3 +1673,56 @@ def test_embed_drift_matches_numpy_centroids(spark, sf_dir):
         second = m[(g.vec_id >= med).to_numpy()]
         want = np.sqrt(((first.mean(0) - second.mean(0)) ** 2).sum())
         assert abs(got[lab] - round(want, 4)) < 1e-3
+
+
+def test_hill_alpha_matches_numpy_order_statistics(spark, sf_dir):
+    import numpy as np
+
+    from data_service_spark.registry import QUERIES
+
+    got = QUERIES["k_tail_hill"](spark, sf_dir).collect()[0]
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").toPandas()
+    v = ev[ev.value > 0].sort_values(
+        ["value", "event_id"], ascending=[False, True]
+    ).value.to_numpy()
+    want = 100.0 / np.log(v[:100] / v[100]).sum()
+    assert got.k == 100
+    assert abs(got.hill_alpha - round(want, 4)) < 1e-3
+
+
+def test_gini_in_unit_interval_and_matches_formula(spark, sf_dir):
+    import numpy as np
+
+    from data_service_spark.registry import QUERIES
+
+    got = QUERIES["k_gini_sources"](spark, sf_dir).collect()[0]
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").toPandas()
+    x = np.sort(docs.groupby("source").n_chars.sum().to_numpy().astype(float))
+    n = len(x)
+    want = 2 * (np.arange(1, n + 1) * x).sum() / (n * x.sum()) - (n + 1) / n
+    assert 0.0 <= got.gini < 1.0
+    assert abs(got.gini - round(want, 4)) < 1e-6
+    assert got.n_sources == n
+
+
+def test_asof_nearest_beats_both_directional_variants(spark, sf_dir):
+    """The nearest match's |gap| is <= both the backward and forward
+    matches' gaps for every event (sampled)."""
+    from data_service_spark.registry import QUERIES
+
+    near = (
+        QUERIES["c_join_asof_nearest"](spark, sf_dir)
+        .toPandas()
+        .set_index("event_id")
+    )
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").toPandas()
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").toPandas()
+    sample = ev[ev.event_id < 50]
+    for r in sample.itertuples():
+        mine = orders[orders.o_custkey == r.user_id]
+        if len(mine) == 0:
+            assert r.event_id not in near.index
+            continue
+        gaps = (r.ts - mine.o_orderdate).dt.total_seconds().abs()
+        best = int(gaps.min())
+        assert near.loc[r.event_id, "gap_s"] == best

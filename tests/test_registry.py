@@ -96,6 +96,7 @@ d_agg_moments e_win_reset_sum k_anonymize_ldiv
 k_bpe_apply k_graph_jaccard k_text_compressibility
 d_agg_corr_matrix k_dedup_incremental c_merge_cdc
 k_batch_padding_waste k_active_margin k_embed_drift
+k_tail_hill k_gini_sources c_join_asof_nearest
 """.split()
 
 
