@@ -1122,3 +1122,108 @@ def k_text_compressibility(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("comp_ratio") < 0.25).alias("too_repetitive"),
         (F.col("comp_ratio") > 0.9).alias("incompressible"),
     )
+
+
+@register(
+    "k_query_expansion_prf",
+    oracle="""
+    WITH scored AS (
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), dl AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
+    ), stats AS (
+      SELECT count(*) AS n_docs, avg(len(string_split(text, ' '))) AS avgdl
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM tok
+      WHERE term IN ('table', 'hash', 'scan') GROUP BY 1, 2
+    ), df AS (
+      SELECT term, count(DISTINCT doc_id) AS df FROM tok
+      WHERE term IN ('table', 'hash', 'scan') GROUP BY 1
+    ), scored AS (
+      SELECT tf.doc_id,
+             sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                 * tf * 2.2
+                 / (tf + 1.2 * (0.25 + 0.75 * dl.dl / avgdl))) AS score
+      FROM tf JOIN df USING (term)
+           JOIN dl ON tf.doc_id = dl.doc_id
+           CROSS JOIN stats
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id, round(score, 4) AS bm25
+    FROM (SELECT doc_id, score,
+                 row_number() OVER (ORDER BY round(score, 6) DESC, doc_id) AS rn
+          FROM scored)
+    WHERE rn <= 20
+    ),
+    top5 AS (
+      SELECT doc_id FROM (
+        SELECT doc_id, row_number() OVER (ORDER BY round(bm25, 6) DESC,
+                                          doc_id) AS rn
+        FROM scored) WHERE rn <= 5
+    ), fb_terms AS (
+      SELECT term, count(DISTINCT d.doc_id) AS df_fb
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents) d
+      JOIN top5 USING (doc_id)
+      WHERE term NOT IN ('table', 'hash', 'scan')
+      GROUP BY term
+    ), corpus_df AS (
+      SELECT term, count(DISTINCT doc_id) AS df
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents)
+      GROUP BY term
+    ), n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT f.term, f.df_fb,
+           round(f.df_fb * ln((n_docs + 1.0) / (c.df + 1.0)), 6) AS prf_score
+    FROM fb_terms f JOIN corpus_df c USING (term) CROSS JOIN n
+    ORDER BY round(f.df_fb * ln((n_docs + 1.0) / (c.df + 1.0)), 6) DESC, term
+    LIMIT 10
+    """,
+)
+def k_query_expansion_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance-feedback query expansion (Rocchio-style): assume
+    the BM25 top-5 are relevant, then rank their terms (minus the query's
+    own) by feedback-frequency × smoothed idf — the top-10 become the
+    expanded query. The classic recall lever when the seed query is
+    underspecified ("pull the docs about X … and things X co-occurs
+    with").
+
+    Composes the registered BM25 plan for the feedback set (5-row
+    broadcast into the posting join); both term tables are vocabulary-
+    sized map-side-combined aggregates. Scores are integer-count ratios
+    through one ln — ranked on 6dp rounds with term tiebreaks.
+    """
+    from pyspark.sql.window import Window
+
+    from data_service_spark.registry import QUERIES
+
+    d = load(spark, sf_dir, "documents")
+    scored = QUERIES["k_text_bm25"](spark, sf_dir)
+    wr = Window.orderBy(F.round("bm25", 6).desc(), F.col("doc_id"))
+    top5 = (
+        scored.select("doc_id", F.row_number().over(wr).alias("rn"))
+        .filter(F.col("rn") <= 5)
+        .select("doc_id")
+    )
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    fb = (
+        tok.join(F.broadcast(top5), "doc_id")
+        .filter(~F.col("term").isin("table", "hash", "scan"))
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df_fb"))
+    )
+    cdf = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    score = F.round(
+        F.col("df_fb") * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)),
+        6,
+    )
+    return (
+        fb.join(cdf, "term")
+        .crossJoin(F.broadcast(n))
+        .select("term", "df_fb", score.alias("prf_score"))
+        .orderBy(F.col("prf_score").desc(), "term")
+        .limit(10)
+    )

@@ -2167,3 +2167,40 @@ def k_embed_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("centroid_shift")
         )
     )
+
+
+@register(
+    "k_group_kfold",
+    oracle="""
+    WITH folds AS (
+      SELECT doc_id, source,
+             ('0x' || substr(md5(concat('gkf:', source)), 1, 8))::BIGINT % 5
+               AS fold
+      FROM documents
+    )
+    SELECT fold, count(*) AS n_docs, count(DISTINCT source) AS n_sources
+    FROM folds GROUP BY fold
+    """,
+)
+def k_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP k-fold assignment: the fold is a salted hash of the SOURCE,
+    so every document from one crawl/domain lands in the same fold —
+    the leakage-proof cross-validation split (near-duplicates within a
+    source can never straddle train and validation, which doc-level
+    splitting like k_split_train_test permits).
+
+    The fold is a scan-stage projection (no fitting pass, reproducible
+    across engines/reruns); the report is one small-key groupBy. At
+    100 TB the same hash routes shards at write time — fold extraction
+    becomes partition pruning.
+    """
+    d = load(spark, sf_dir, "documents")
+    fold = F.expr(_SPARK_BUCKET.format(salt="gkf:", key="source")) % 5
+    return (
+        d.select("doc_id", "source", (fold % 5).alias("fold"))
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+    )

@@ -692,3 +692,39 @@ def e_win_reset_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "island",
         F.round(F.sum("value").over(wr), 4).alias("run_sum"),
     )
+
+
+@register(
+    "e_win_zscore_rolling",
+    oracle="""
+    SELECT event_id, user_id,
+           round((value - avg(value) OVER w)
+                 / nullif(stddev_samp(value) OVER w, 0), 4) + 0.0 AS roll_z
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    """,
+)
+def e_win_zscore_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling standardization per user (trailing-5 z-score): the
+    self-normalizing anomaly signal for non-stationary per-key series,
+    where a global z (k_anomaly_zscore) misreads every user whose own
+    baseline drifts. First row of each user yields NULL (undefined
+    sample stddev), matching both engines' semantics.
+
+    One keyed window sort with an O(1) frame — parallel across users at
+    any scale; event_id tiebreaks pin the frame so the float sequence is
+    identical across engines before the 4dp round.
+    """
+    e = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    z = (F.col("value") - F.avg("value").over(w)) / F.nullif(
+        F.stddev_samp("value").over(w), F.lit(0)
+    )
+    return e.select(
+        "event_id", "user_id", (F.round(z, 4) + F.lit(0.0)).alias("roll_z")
+    )

@@ -1726,3 +1726,39 @@ def test_asof_nearest_beats_both_directional_variants(spark, sf_dir):
         gaps = (r.ts - mine.o_orderdate).dt.total_seconds().abs()
         best = int(gaps.min())
         assert near.loc[r.event_id, "gap_s"] == best
+
+
+def test_group_kfold_no_source_straddles_folds(spark, sf_dir):
+    from data_service_spark.registry import QUERIES
+
+    rep = QUERIES["k_group_kfold"](spark, sf_dir).toPandas()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").toPandas()
+    assert rep.n_docs.sum() == len(docs)
+    # group property: distinct sources across folds partition the sources
+    assert rep.n_sources.sum() == docs.source.nunique()
+
+
+def test_prf_excludes_query_terms_and_scores_monotone(spark, sf_dir):
+    from data_service_spark.registry import QUERIES
+
+    got = QUERIES["k_query_expansion_prf"](spark, sf_dir).toPandas()
+    assert len(got) == 10
+    assert not set(got.term) & {"table", "hash", "scan"}
+    assert (got.prf_score.diff().dropna() <= 1e-9).all()
+    assert got.df_fb.between(1, 5).all()
+
+
+def test_rolling_zscore_matches_pandas(spark, sf_dir):
+    from data_service_spark.registry import QUERIES
+
+    got = QUERIES["e_win_zscore_rolling"](spark, sf_dir).toPandas()
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").toPandas()
+    one = ev[ev.user_id == ev.user_id.iloc[0]].sort_values(["ts", "event_id"])
+    roll = one.value.rolling(5, min_periods=1)
+    z = ((one.value - roll.mean()) / roll.std()).round(4)
+    mine = got.set_index("event_id").loc[one.event_id, "roll_z"]
+    import numpy as np
+
+    assert np.allclose(
+        mine.to_numpy(), z.to_numpy(), atol=1e-3, equal_nan=True
+    )

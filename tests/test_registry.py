@@ -97,6 +97,7 @@ k_bpe_apply k_graph_jaccard k_text_compressibility
 d_agg_corr_matrix k_dedup_incremental c_merge_cdc
 k_batch_padding_waste k_active_margin k_embed_drift
 k_tail_hill k_gini_sources c_join_asof_nearest
+k_group_kfold k_query_expansion_prf e_win_zscore_rolling
 """.split()
 
 
