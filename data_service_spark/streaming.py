@@ -235,3 +235,57 @@ def dedup_stream_within_watermark(
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["user_id", "event_type"]
     )
+
+
+def cdc_stream(events: DataFrame) -> DataFrame:
+    """Streaming twin of ``c_merge_cdc``: last-writer-wins CDC apply with
+    delete tombstones kept as explicit state in ``applyInPandasWithState``.
+
+    State per user is (last_ts_us, last_event_id, last_op, last_value);
+    each micro-batch folds its rows in (ts, event_id) order and emits the
+    user's CURRENT materialized row — ``deleted`` true when the latest
+    record is a tombstone ('error' events, mirroring the batch op). A
+    downstream sink upserts/deletes on that flag; the final emission per
+    key equals the batch op's final table state (proven in
+    tests/test_streaming.py).
+    """
+
+    def update(
+        key: tuple[int],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            last_ts, last_eid, last_op, last_val = state.get
+        else:
+            last_ts, last_eid, last_op, last_val = -1, -1, "U", 0.0
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            batch = pd.concat(chunks, ignore_index=True).sort_values(
+                ["ts", "event_id"]
+            )
+            for _, row in batch.iterrows():
+                ts_us = row["ts"].value // 1000
+                if (ts_us, row["event_id"]) >= (last_ts, last_eid):
+                    last_ts, last_eid = ts_us, int(row["event_id"])
+                    last_op = "D" if row["event_type"] == "error" else "U"
+                    last_val = float(row["value"])
+        state.update((last_ts, last_eid, last_op, last_val))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "value": [round(last_val, 4)],
+                "deleted": [last_op == "D"],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, value double, deleted boolean",
+        stateStructType=(
+            "last_ts long, last_eid long, last_op string, last_val double"
+        ),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -532,3 +532,56 @@ def test_stateful_funnel_on_rocksdb(spark, tmp_path):
         assert final[2]["purchases_after_signup"] == 0
     finally:
         spark.conf.set(conf, old)
+
+
+def test_cdc_stream_matches_batch_merge(spark, tmp_path, sf_dir):
+    """cdc_stream: last-writer-wins with tombstones converges, per key, to
+    c_merge_cdc's final table state over the same events."""
+    from data_service_spark.streaming import cdc_stream
+
+    d = str(tmp_path / "cdc")
+    write_event_files(
+        spark,
+        d,
+        [
+            ev(1, "2024-01-01 09:00", 1, "view", value=10.0),
+            ev(2, "2024-01-01 09:05", 2, "click", value=20.0),
+        ],
+        [
+            ev(3, "2024-01-01 10:00", 1, "error", value=0.0),   # tombstone
+            ev(4, "2024-01-01 10:05", 2, "purchase", value=25.0),
+            ev(5, "2024-01-01 10:10", 3, "view", value=30.0),
+        ],
+        [ev(6, "2024-01-01 11:00", 1, "click", value=11.0)],    # resurrect
+    )
+    sdf = cdc_stream(read_event_stream(spark, d, one_file_per_batch=True))
+    batches = drain_available_now(sdf, output_mode="update")
+    final = last_rows_per_key(batches, "user_id")
+    assert final[1]["deleted"] == False and final[1]["value"] == 11.0  # noqa: E712
+    assert final[2]["deleted"] == False and final[2]["value"] == 25.0  # noqa: E712
+    assert final[3]["deleted"] == False and final[3]["value"] == 30.0  # noqa: E712
+    # Mid-stream check: after batch 2, user 1 must surface as deleted.
+    mid = last_rows_per_key(batches[:2], "user_id")
+    assert mid[1]["deleted"] == True  # noqa: E712
+    # Batch twin agrees with the surviving rows.
+    events = spark.read.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ).parquet(d)
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    batch_final = {
+        r.user_id: round(r.value, 4)
+        for r in events.withColumn("rn", F.row_number().over(w))
+        .filter(
+            (F.col("rn") == 1) & (F.col("event_type") != "error")
+        )
+        .collect()
+    }
+    stream_final = {
+        k: v["value"] for k, v in final.items() if not v["deleted"]
+    }
+    assert stream_final == batch_final
