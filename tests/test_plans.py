@@ -350,3 +350,60 @@ def test_theta_sets_scan_orders_once(spark, sf_dir):
     df = QUERIES["d_agg_theta_sets"](spark, sf_dir)
     plan = plan_of(df, "simple")
     assert "InMemoryTableScan" in plan or plan.count("FileScan") <= 1
+
+
+def test_pq_codebook_and_lut_are_broadcast(spark, sf_dir):
+    # PQ's whole point: full vectors are read once for encoding; query
+    # scoring touches only codes + a broadcast LUT. No shuffle join, no
+    # nested loop anywhere.
+    plan = plan_of(QUERIES["k_sim_pq"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_auc_orders_only_the_distinct_score_table(spark, sf_dir):
+    # The rank-sum AUC must not globally sort per-row data: the single
+    # Sort node sits ABOVE the score-group aggregate.
+    plan = plan_of(QUERIES["k_eval_auc"](spark, sf_dir), "simple")
+    agg_pos = plan.find("HashAggregate")
+    sort_pos = plan.find("Sort ")
+    assert agg_pos != -1 and sort_pos != -1
+    # In bottom-up explain text, the Window's Sort appears before (above)
+    # the aggregates that feed it; both aggregates below must be partial'd.
+    assert "partial_" in plan
+
+
+def test_reset_sum_uses_one_exchange_for_both_windows(spark, sf_dir):
+    # Both window passes share the (user_id) partitioning and (ts,
+    # event_id) order — Spark must plan ONE hash-partition exchange, not
+    # re-shuffle between the island id and the running sum.
+    plan = plan_of(QUERIES["e_win_reset_sum"](spark, sf_dir), "simple")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "SinglePartition" not in plan
+
+
+def test_hashing_trick_single_shuffle_with_partial_agg(spark, sf_dir):
+    plan = plan_of(QUERIES["k_text_hashing_trick"](spark, sf_dir), "simple")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_sum" in plan
+
+
+def test_asof_nearest_is_hash_join_not_nested_loop(spark, sf_dir):
+    plan = plan_of(QUERIES["c_join_asof_nearest"](spark, sf_dir))
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_corr_matrix_is_single_scan_single_row_agg(spark, sf_dir):
+    # All pairwise correlations from one pass: exactly one scan of
+    # lineitem in the plan (the three UNION legs reuse the same 1-row
+    # aggregate via ReusedExchange or recompute on a 1-row input).
+    plan = plan_of(QUERIES["d_agg_corr_matrix"](spark, sf_dir), "simple")
+    assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_incremental_dedup_probe_is_join_on_hash_key(spark, sf_dir):
+    plan = plan_of(QUERIES["k_dedup_incremental"](spark, sf_dir))
+    assert "md5" in plan.lower() or "Join" in plan
+    assert "CartesianProduct" not in plan
