@@ -1336,3 +1336,42 @@ def d_agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionAll(r)
     return out
+
+
+@register(
+    "d_agg_histogram_equiheight",
+    oracle="""
+    WITH t AS (
+      SELECT o_totalprice,
+             ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+      FROM orders
+    )
+    SELECT bucket, count(*) AS n,
+           round(min(o_totalprice), 2) AS lo,
+           round(max(o_totalprice), 2) AS hi
+    FROM t GROUP BY bucket
+    """,
+)
+def d_agg_histogram_equiheight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-HEIGHT histogram build (10 buckets of equal row count via
+    ntile) — the optimizer-statistics structure that, unlike the
+    equi-width d_agg_histogram, stays informative under skew: bucket
+    BOUNDARIES move, counts don't, so selectivity estimates are accurate
+    in the heavy tail where equi-width lumps everything into one bin.
+
+    ntile's exact integer bucketing (with o_orderkey tiebreak) sidesteps
+    cross-engine percentile interpolation entirely. Local-mode caveat:
+    the global ntile is a single-task sort here; the production build
+    computes boundaries from a quantile sketch (d_agg_approx_quantile's
+    KLL path) and bucket counts from one scan against those boundaries.
+    """
+    from pyspark.sql.window import Window
+
+    o = load(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    t = o.select("o_totalprice", F.ntile(10).over(w).alias("bucket"))
+    return t.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("o_totalprice"), 2).alias("lo"),
+        F.round(F.max("o_totalprice"), 2).alias("hi"),
+    )

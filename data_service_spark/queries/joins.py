@@ -1039,3 +1039,129 @@ def c_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", "o_orderkey",
                 F.col("gap_s").cast("long").alias("gap_s"))
     )
+
+
+@register(
+    "c_join_pit",
+    oracle="""
+    WITH hist AS (
+      SELECT user_id, event_type, ts AS valid_from,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS valid_to
+      FROM events
+    ), spine AS (
+      SELECT u.user_id, d.d AS as_of
+      FROM (SELECT DISTINCT user_id FROM events) u
+      CROSS JOIN (SELECT unnest(generate_series(TIMESTAMP '2024-01-02',
+                                                TIMESTAMP '2024-01-30',
+                                                INTERVAL 1 DAY)) AS d) d
+    )
+    SELECT s.user_id, s.as_of, h.event_type AS state_at
+    FROM spine s JOIN hist h
+      ON s.user_id = h.user_id
+     AND h.valid_from <= s.as_of
+     AND (h.valid_to IS NULL OR s.as_of < h.valid_to)
+    """,
+)
+def c_join_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-TIME join: a daily as-of spine probed against the SCD2
+    effective-dated history (the e_win_scd2 build) — "what was each
+    user's state at midnight on day D". The feature-store correctness
+    primitive: training features must come from the version valid AT the
+    label timestamp, never a later one (label leakage otherwise).
+
+    Equi-key hash join on user_id with the validity range applied
+    post-match: per probe exactly one history row qualifies (SCD2
+    intervals partition time), so output = spine size. At scale both
+    sides bucket on user_id and the spine is generated, not stored.
+    """
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    hist = e.select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+    )
+    spine = (
+        e.select("user_id")
+        .distinct()
+        .crossJoin(
+            spark.sql(
+                "SELECT explode(sequence(TIMESTAMP '2024-01-02',"
+                " TIMESTAMP '2024-01-30', INTERVAL 1 DAY)) AS as_of"
+            )
+        )
+    )
+    cond = (
+        (spine.user_id == hist.user_id)
+        & (hist.valid_from <= spine.as_of)
+        & (hist.valid_to.isNull() | (spine.as_of < hist.valid_to))
+    )
+    return spine.join(hist, cond).select(
+        spine.user_id.alias("user_id"),
+        "as_of",
+        F.col("event_type").alias("state_at"),
+    )
+
+
+@register(
+    "c_join_cardinality_est",
+    oracle="""
+    WITH s AS (
+      SELECT (SELECT count(*) FROM orders) AS n_o,
+             (SELECT count(*) FROM customer) AS n_c,
+             (SELECT count(DISTINCT o_custkey) FROM orders) AS ndv_o,
+             (SELECT count(DISTINCT c_custkey) FROM customer) AS ndv_c,
+             (SELECT count(*) FROM orders JOIN customer
+               ON o_custkey = c_custkey) AS actual
+    )
+    SELECT n_o, n_c,
+           CAST(n_o * n_c / greatest(ndv_o, ndv_c) AS BIGINT) AS estimated,
+           actual,
+           round(CAST(n_o * n_c / greatest(ndv_o, ndv_c) AS BIGINT)
+                 * 1.0 / actual, 4) AS est_over_actual
+    FROM s
+    """,
+)
+def c_join_cardinality_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimizer-style join cardinality estimation, checked against
+    reality: the textbook equi-join estimate |A⋈B| = |A|·|B| /
+    max(ndv_A, ndv_B) (uniformity + containment assumptions — what
+    Catalyst's CBO computes from a_cbo_stats' ANALYZE numbers) next to
+    the true join count and the over/under ratio. The literacy probe that
+    explains WHY a plan picked broadcast vs shuffle, and when to expect
+    the estimate to mislead (skew breaks uniformity — c_join_salted's
+    territory).
+
+    Five scalar aggregates + one count over the real join; everything is
+    exact integer arithmetic but the final ratio.
+    """
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    s = (
+        o.agg(
+            F.count(F.lit(1)).alias("n_o"),
+            F.countDistinct("o_custkey").alias("ndv_o"),
+        )
+        .crossJoin(
+            c.agg(
+                F.count(F.lit(1)).alias("n_c"),
+                F.countDistinct("c_custkey").alias("ndv_c"),
+            )
+        )
+        .crossJoin(
+            o.join(c, o.o_custkey == c.c_custkey)
+            .agg(F.count(F.lit(1)).alias("actual"))
+        )
+    )
+    est = (F.col("n_o") * F.col("n_c") / F.greatest("ndv_o", "ndv_c")).cast(
+        "long"
+    )
+    return s.select(
+        "n_o",
+        "n_c",
+        est.alias("estimated"),
+        "actual",
+        F.round(est * 1.0 / F.col("actual"), 4).alias("est_over_actual"),
+    )

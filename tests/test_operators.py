@@ -1762,3 +1762,46 @@ def test_rolling_zscore_matches_pandas(spark, sf_dir):
     assert np.allclose(
         mine.to_numpy(), z.to_numpy(), atol=1e-3, equal_nan=True
     )
+
+
+def test_pit_join_yields_exactly_one_state_per_probe(spark, sf_dir):
+    from data_service_spark.registry import QUERIES
+
+    got = QUERIES["c_join_pit"](spark, sf_dir).toPandas()
+    # SCD2 intervals partition time: each (user, as_of) appears at most
+    # once, and exactly once when the user has history before the probe.
+    assert got.groupby(["user_id", "as_of"]).size().max() == 1
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").toPandas()
+    one = ev[ev.user_id == 0].sort_values(["ts", "event_id"])
+    import pandas as pd
+
+    probe = pd.Timestamp("2024-01-15")
+    valid = one[one.ts <= probe]
+    if len(valid):
+        want = valid.iloc[-1].event_type
+        gotv = got[(got.user_id == 0) & (got.as_of == probe)]
+        assert len(gotv) == 1 and gotv.iloc[0].state_at == want
+
+
+def test_cardinality_estimate_exact_under_uniform_keys(spark, sf_dir):
+    from data_service_spark.registry import QUERIES
+
+    r = QUERIES["c_join_cardinality_est"](spark, sf_dir).collect()[0]
+    # FK join with containment: estimate should be within 2x of actual
+    # on this corpus, and the ratio column must be consistent.
+    assert r.actual > 0
+    assert abs(r.est_over_actual - round(r.estimated / r.actual, 4)) < 1e-9
+    assert 0.5 <= r.est_over_actual <= 2.0
+
+
+def test_equiheight_buckets_have_equal_counts_and_ordered_bounds(spark, sf_dir):
+    from data_service_spark.registry import QUERIES
+
+    got = (
+        QUERIES["d_agg_histogram_equiheight"](spark, sf_dir)
+        .toPandas()
+        .sort_values("bucket")
+    )
+    assert len(got) == 10
+    assert got.n.max() - got.n.min() <= 1  # ntile guarantee
+    assert (got.lo.to_numpy()[1:] >= got.hi.to_numpy()[:-1]).all()

@@ -98,6 +98,7 @@ d_agg_corr_matrix k_dedup_incremental c_merge_cdc
 k_batch_padding_waste k_active_margin k_embed_drift
 k_tail_hill k_gini_sources c_join_asof_nearest
 k_group_kfold k_query_expansion_prf e_win_zscore_rolling
+c_join_pit c_join_cardinality_est d_agg_histogram_equiheight
 """.split()
 
 
