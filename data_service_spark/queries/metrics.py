@@ -325,3 +325,201 @@ def k_eval_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("r2"),
     )
+
+
+# ------------------------------------------- two-sample KS statistic ----
+
+
+@register(
+    "k_eval_ks_test",
+    oracle="""
+    WITH v AS (
+      SELECT value,
+             CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT)
+               AS c1,
+             CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT)
+               AS c2
+      FROM events WHERE event_type IN ('view', 'click')
+      GROUP BY value
+    ), n AS (
+      SELECT sum(c1) AS n1, sum(c2) AS n2 FROM v
+    ), steps AS (
+      SELECT sum(v.c1) OVER (ORDER BY v.value) * 1.0 / n.n1
+               AS f1,
+             sum(v.c2) OVER (ORDER BY v.value) * 1.0 / n.n2
+               AS f2,
+             n.n1, n.n2
+      FROM v CROSS JOIN n
+    )
+    SELECT CAST(max(n1) AS BIGINT) AS n1, CAST(max(n2) AS BIGINT) AS n2,
+           round(max(abs(f1 - f2)), 6) AS ks_d,
+           round(1.36 * sqrt((max(n1) + max(n2)) * 1.0
+                             / (max(n1) * max(n2))), 6) AS crit_05,
+           CAST(max(abs(f1 - f2))
+                > 1.36 * sqrt((max(n1) + max(n2)) * 1.0
+                              / (max(n1) * max(n2))) AS BOOLEAN) AS reject
+    FROM steps
+    """,
+)
+def k_eval_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov test between the 'view' and 'click'
+    value distributions: D = sup|F₁−F₂| over the merged support, with the
+    α=0.05 large-sample critical value 1.36·√((n₁+n₂)/n₁n₂) — the
+    distribution-free "did this feed change shape?" test that PSI
+    (binned) and the z-test (mean-only) both miss.
+
+    CDF steps come from integer cumulative counts over the DISTINCT-value
+    table (value range is bounded, so the single ordered pass covers a
+    dimension-sized table, not the corpus; the groupBy before it is the
+    only corpus-sized shuffle). Exact integer numerators make F₁/F₂
+    identical across engines before the 6dp rounds.
+    """
+    e = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "click")
+    )
+    v = e.groupBy("value").agg(
+        F.count(F.when(F.col("event_type") == "view", 1)).alias("c1"),
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("c2"),
+    )
+    n = v.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
+    wv = Window.orderBy("value").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    steps = v.crossJoin(F.broadcast(n)).select(
+        (F.sum("c1").over(wv) * 1.0 / F.col("n1")).alias("f1"),
+        (F.sum("c2").over(wv) * 1.0 / F.col("n2")).alias("f2"),
+        "n1",
+        "n2",
+    )
+    d = F.max(F.abs(F.col("f1") - F.col("f2")))
+    crit = 1.36 * F.sqrt(
+        (F.max("n1") + F.max("n2")) * 1.0 / (F.max("n1") * F.max("n2"))
+    )
+    return steps.agg(
+        F.max("n1").cast("long").alias("n1"),
+        F.max("n2").cast("long").alias("n2"),
+        F.round(d, 6).alias("ks_d"),
+        F.round(crit, 6).alias("crit_05"),
+        (d > crit).alias("reject"),
+    )
+
+
+# --------------------------------------------------- sequential SPRT ----
+
+
+@register(
+    "k_ab_sprt",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(count(*) FILTER (WHERE user_id % 2 = 1) AS BIGINT) AS n,
+             CAST(count(*) FILTER (WHERE user_id % 2 = 1
+                                   AND event_type = 'purchase') AS BIGINT)
+               AS x
+      FROM events GROUP BY 1
+    ), llr AS (
+      SELECT day, n, x,
+             sum(x * ln(0.22 / 0.18)
+                 + (n - x) * ln(0.78 / 0.82)) OVER (ORDER BY day) AS llr
+      FROM daily
+    )
+    SELECT day, n, x, round(llr, 6) AS llr,
+           CASE WHEN llr >= ln(0.95 / 0.05) THEN 'accept_h1'
+                WHEN llr <= ln(0.05 / 0.95) THEN 'accept_h0'
+                ELSE 'continue' END AS decision
+    FROM llr
+    """,
+)
+def k_ab_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential probability ratio test (Wald 1945) on the odd-user arm's
+    daily purchase rate — H₀: p=0.18 vs H₁: p=0.22, α=β=0.05: the
+    cumulative log-likelihood ratio walks between ln(β/(1−α)) and
+    ln((1−β)/α), and the experiment STOPS the first day it crosses —
+    the always-valid alternative to the fixed-horizon k_ab_ztest that
+    peeking invalidates.
+
+    Daily success/trial counts are the only corpus-sized aggregate; the
+    LLR is a cumulative window over ~30 day-rows with constant
+    coefficients, so both engines fold identical doubles in identical
+    order.
+    """
+    e = load(spark, sf_dir, "events")
+    arm = F.col("user_id") % 2 == 1
+    daily = e.groupBy(
+        F.date_trunc("DAY", F.col("ts")).cast("date").alias("day")
+    ).agg(
+        F.count(F.when(arm, 1)).alias("n"),
+        F.count(
+            F.when(arm & (F.col("event_type") == "purchase"), 1)
+        ).alias("x"),
+    )
+    import math
+
+    c1 = math.log(0.22 / 0.18)
+    c0 = math.log(0.78 / 0.82)
+    hi = math.log(0.95 / 0.05)
+    lo = math.log(0.05 / 0.95)
+    wd = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    llr = F.sum(F.col("x") * c1 + (F.col("n") - F.col("x")) * c0).over(wd)
+    return daily.select(
+        "day",
+        "n",
+        "x",
+        F.round(llr, 6).alias("llr"),
+        F.when(llr >= hi, "accept_h1")
+        .when(llr <= lo, "accept_h0")
+        .otherwise("continue")
+        .alias("decision"),
+    )
+
+
+# ------------------------------------------------------- Brier score ----
+
+
+@register(
+    "k_eval_brier",
+    oracle=f"""
+    WITH scored AS ({_REG_ORACLES.get("k_quality_logreg", "SELECT 1")}),
+    lab AS (
+      SELECT s.score_q / 1e6 AS p,
+             CASE WHEN d.lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+      FROM scored s JOIN documents d USING (doc_id)
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           round(avg((p - y) * (p - y)), 6) AS brier,
+           round(avg(y) * (1 - avg(y)), 6) AS brier_ref,
+           round(1 - avg((p - y) * (p - y))
+                     / (avg(y) * (1 - avg(y))), 4) AS skill
+    FROM lab
+    """,
+)
+def k_eval_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brier score of the quality classifier against the lang='en' label,
+    with the climatology reference (ȳ(1−ȳ), the score of always
+    predicting the base rate) and the resulting skill score 1 −
+    BS/BS_ref — positive skill means the classifier beats guessing the
+    prior; the single number that pairs with k_eval_calibration's bins.
+
+    One broadcast-joined projection and a 1-row aggregate of squared
+    errors — scan-rate cost at any corpus size.
+    """
+    d = load(spark, sf_dir, "documents")
+    from data_service_spark.registry import QUERIES
+
+    scored = QUERIES["k_quality_logreg"](spark, sf_dir).select(
+        "doc_id", (F.col("score_q") / 1e6).alias("p")
+    )
+    lab = scored.join(d.select("doc_id", "lang"), "doc_id").select(
+        "p", F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y")
+    )
+    se = (F.col("p") - F.col("y")) * (F.col("p") - F.col("y"))
+    return lab.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.avg(se), 6).alias("brier"),
+        F.round(F.avg("y") * (1 - F.avg("y")), 6).alias("brier_ref"),
+        F.round(1 - F.avg(se) / (F.avg("y") * (1 - F.avg("y"))), 4).alias(
+            "skill"
+        ),
+    )

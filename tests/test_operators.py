@@ -1805,3 +1805,46 @@ def test_equiheight_buckets_have_equal_counts_and_ordered_bounds(spark, sf_dir):
     assert len(got) == 10
     assert got.n.max() - got.n.min() <= 1  # ntile guarantee
     assert (got.lo.to_numpy()[1:] >= got.hi.to_numpy()[:-1]).all()
+
+
+def test_ks_statistic_matches_scipy_formula(spark, sf_dir):
+    import numpy as np
+
+    from data_service_spark.registry import QUERIES
+
+    got = QUERIES["k_eval_ks_test"](spark, sf_dir).collect()[0]
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").toPandas()
+    x1 = np.sort(ev[ev.event_type == "view"].value.to_numpy())
+    x2 = np.sort(ev[ev.event_type == "click"].value.to_numpy())
+    support = np.union1d(x1, x2)
+    f1 = np.searchsorted(x1, support, side="right") / len(x1)
+    f2 = np.searchsorted(x2, support, side="right") / len(x2)
+    want = np.abs(f1 - f2).max()
+    assert got.n1 == len(x1) and got.n2 == len(x2)
+    assert abs(got.ks_d - round(want, 6)) < 1e-9
+
+
+def test_sprt_llr_is_cumulative_and_decision_consistent(spark, sf_dir):
+    import math
+
+    from data_service_spark.registry import QUERIES
+
+    got = QUERIES["k_ab_sprt"](spark, sf_dir).toPandas().sort_values("day")
+    c1, c0 = math.log(0.22 / 0.18), math.log(0.78 / 0.82)
+    acc = 0.0
+    for r in got.itertuples():
+        acc += r.x * c1 + (r.n - r.x) * c0
+        assert abs(r.llr - round(acc, 6)) < 1e-6
+        want = (
+            "accept_h1" if acc >= math.log(19) else
+            "accept_h0" if acc <= -math.log(19) else "continue"
+        )
+        assert r.decision == want
+
+
+def test_brier_skill_consistent_with_auc_direction(spark, sf_dir):
+    from data_service_spark.registry import QUERIES
+
+    b = QUERIES["k_eval_brier"](spark, sf_dir).collect()[0]
+    assert 0.0 <= b.brier <= 1.0
+    assert abs(b.skill - round(1 - b.brier / b.brier_ref, 4)) < 1e-3
