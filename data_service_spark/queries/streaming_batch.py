@@ -754,3 +754,69 @@ def i_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@register(
+    "k_conversion_lag",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, min(ts) AS signup_ts FROM events
+      WHERE event_type = 'signup' GROUP BY 1
+    ), p AS (
+      SELECT e.user_id,
+             min(e.ts) AS first_purchase_ts
+      FROM events e JOIN s USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > s.signup_ts
+      GROUP BY 1
+    ), lags AS (
+      SELECT s.user_id,
+             date_diff('microsecond', s.signup_ts, p.first_purchase_ts)
+               AS lag_us
+      FROM s JOIN p USING (user_id)
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_converted,
+           CAST(min(lag_us) AS BIGINT) AS min_us,
+           round(quantile_cont(lag_us, 0.5) / 1e6, 2) AS p50_s,
+           round(quantile_cont(lag_us, 0.9) / 1e6, 2) AS p90_s,
+           CAST(max(lag_us) AS BIGINT) AS max_us
+    FROM lags
+    """,
+)
+def k_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: per user, seconds from first signup
+    to first subsequent purchase; reported as count / min / p50 / p90 /
+    max — the product-analytics number that turns the funnel
+    (d_agg_funnel_window) into an SLA ("median user converts within X").
+
+    Two keyed min-aggregates and one join — every shuffle is user-keyed
+    and dimension-sized after aggregation. Lags are exact integer
+    MICROSECONDS (second-granularity diffs diverge across engines:
+    boundary-crossing vs elapsed-truncation semantics on sub-second
+    timestamps — observed off-by-one at sf0.01); the percentiles
+    interpolate over identical integers in both engines.
+    """
+    e = load(spark, sf_dir, "events")
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .filter(F.col("ts") > F.col("signup_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase_ts"))
+    )
+    lags = s.join(p, "user_id").select(
+        F.expr(
+            "timestampdiff(MICROSECOND, signup_ts, first_purchase_ts)"
+        ).alias("lag_us")
+    )
+    return lags.agg(
+        F.count(F.lit(1)).cast("long").alias("n_converted"),
+        F.min("lag_us").cast("long").alias("min_us"),
+        F.round(F.expr("percentile(lag_us, 0.5)") / 1e6, 2).alias("p50_s"),
+        F.round(F.expr("percentile(lag_us, 0.9)") / 1e6, 2).alias("p90_s"),
+        F.max("lag_us").cast("long").alias("max_us"),
+    )

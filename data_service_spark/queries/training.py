@@ -2204,3 +2204,135 @@ def k_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("source").alias("n_sources"),
         )
     )
+
+
+@register(
+    "k_learning_curve",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id, lang,
+             ln(1 + n_chars) AS f_len,
+             (n_chars - len(string_split(text, ' ')) + 1)
+               * 1.0 / len(string_split(text, ' ')) AS mean_wlen,
+             (n_chars - length(regexp_replace(text, '[0-9]', '', 'g')))
+               * 1.0 / n_chars AS digit_ratio,
+             ('0x' || substr(md5(concat('lc:', doc_id::VARCHAR)), 1, 8))::BIGINT
+               % 100 AS bucket
+      FROM documents
+    ), scored AS (
+      SELECT bucket,
+             CASE WHEN 1.0 / (1.0 + exp(-(-8.0 + 1.6 * f_len + 0.5 * mean_wlen
+                                          - 4.0 * digit_ratio))) >= 0.5
+                  THEN 1 ELSE 0 END AS pred,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM f
+    )
+    SELECT frac,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(CASE WHEN pred = y THEN 1.0 ELSE 0.0 END), 4) AS acc
+    FROM scored
+    CROSS JOIN (SELECT unnest([10, 25, 50, 100]) AS frac)
+    WHERE bucket < frac
+    GROUP BY frac
+    """,
+)
+def k_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learning-curve audit: the quality classifier's agreement with the
+    lang='en' label evaluated on NESTED hash-bucket subsets (10% ⊂ 25% ⊂
+    50% ⊂ 100% of the corpus) — the data-scaling readout that answers
+    "does the metric move if we double the data?" before anyone pays for
+    the doubling. Nesting (not disjoint folds) is what makes the curve
+    monotone-comparable.
+
+    The subset membership is the same salted-hash bucket as the samplers
+    (deterministic, scan-stage); the 4-point curve is ONE scan with the
+    subset sizes unrolled as a 4-row broadcast cross join — not four
+    passes.
+    """
+    d = load(spark, sf_dir, "documents")
+    from data_service_spark.registry import QUERIES
+
+    scored = QUERIES["k_quality_logreg"](spark, sf_dir).select(
+        "doc_id", (F.col("score_q") >= 500000).cast("int").alias("pred")
+    )
+    bucket = F.expr(_SPARK_BUCKET.format(salt="lc:", key="doc_id"))
+    lab = (
+        d.select(
+            "doc_id",
+            bucket.alias("bucket"),
+            F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+        )
+        .join(scored, "doc_id")
+    )
+    fracs = spark.createDataFrame([(10,), (25,), (50,), (100,)], "frac int")
+    return (
+        lab.crossJoin(F.broadcast(fracs))
+        .filter(F.col("bucket") < F.col("frac"))
+        .groupBy("frac")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(
+                F.avg(
+                    F.when(F.col("pred") == F.col("y"), 1.0).otherwise(0.0)
+                ),
+                4,
+            ).alias("acc"),
+        )
+    )
+
+
+@register(
+    "k_dataset_diff",
+    oracle="""
+    WITH yesterday AS (
+      SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id < 400
+    ), today AS (
+      SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id >= 100
+    )
+    SELECT
+      CAST((SELECT count(*) FROM today t LEFT JOIN yesterday y USING (doc_id)
+            WHERE y.doc_id IS NULL) AS BIGINT) AS added,
+      CAST((SELECT count(*) FROM yesterday y LEFT JOIN today t USING (doc_id)
+            WHERE t.doc_id IS NULL) AS BIGINT) AS removed,
+      CAST((SELECT count(*) FROM yesterday y JOIN today t USING (doc_id)
+            WHERE y.h <> t.h) AS BIGINT) AS changed,
+      CAST((SELECT count(*) FROM yesterday y JOIN today t USING (doc_id)
+            WHERE y.h = t.h) AS BIGINT) AS unchanged
+    """,
+)
+def k_dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff ledger between two dataset versions (stand-ins:
+    doc_id < 400 as yesterday, ≥ 100 as today): added / removed /
+    changed / unchanged row counts by key, with 'changed' detected via
+    content hash — the audit a data-versioning layer (Delta/LakeFS-style)
+    prints per commit, and the input to incremental downstream refresh
+    (only 'added'+'changed' need reprocessing).
+
+    One full-outer-shaped comparison implemented as key-partitioned
+    joins of (key, hash) projections — at 100 TB both snapshots bucket
+    by key and the diff never moves document bodies, only 16-byte
+    hashes.
+    """
+    d = load(spark, sf_dir, "documents")
+    y = d.filter(F.col("doc_id") < 400).select(
+        "doc_id", F.md5("text").alias("hy")
+    )
+    t = d.filter(F.col("doc_id") >= 100).select(
+        "doc_id", F.md5("text").alias("ht")
+    )
+    j = y.join(t, "doc_id", "full")
+    return j.agg(
+        F.count(F.when(F.col("hy").isNull(), 1)).cast("long").alias("added"),
+        F.count(F.when(F.col("ht").isNull(), 1)).cast("long").alias("removed"),
+        F.count(
+            F.when(
+                F.col("hy").isNotNull()
+                & F.col("ht").isNotNull()
+                & (F.col("hy") != F.col("ht")),
+                1,
+            )
+        ).cast("long").alias("changed"),
+        F.count(F.when(F.col("hy") == F.col("ht"), 1)).cast("long").alias(
+            "unchanged"
+        ),
+    )

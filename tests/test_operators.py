@@ -1848,3 +1848,47 @@ def test_brier_skill_consistent_with_auc_direction(spark, sf_dir):
     b = QUERIES["k_eval_brier"](spark, sf_dir).collect()[0]
     assert 0.0 <= b.brier <= 1.0
     assert abs(b.skill - round(1 - b.brier / b.brier_ref, 4)) < 1e-3
+
+
+def test_learning_curve_subsets_nest_and_counts_grow(spark, sf_dir):
+    from data_service_spark.registry import QUERIES
+
+    got = QUERIES["k_learning_curve"](spark, sf_dir).toPandas().sort_values("frac")
+    assert list(got.frac) == [10, 25, 50, 100]
+    assert got.n_docs.is_monotonic_increasing
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert got.n_docs.iloc[-1] == n_docs
+    assert got.acc.between(0, 1).all()
+
+
+def test_dataset_diff_partitions_the_key_space(spark, sf_dir):
+    from data_service_spark.registry import QUERIES
+
+    r = QUERIES["k_dataset_diff"](spark, sf_dir).collect()[0]
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").toPandas()
+    n_y = (docs.doc_id < 400).sum()
+    n_t = (docs.doc_id >= 100).sum()
+    assert r.added == (docs.doc_id >= 400).sum()
+    assert r.removed == (docs.doc_id < 100).sum()
+    assert r.changed == 0  # same snapshot → overlap content identical
+    assert r.unchanged == ((docs.doc_id >= 100) & (docs.doc_id < 400)).sum()
+    assert r.added + r.unchanged + r.changed == n_t
+    assert r.removed + r.unchanged + r.changed == n_y
+
+
+def test_conversion_lag_matches_pandas(spark, sf_dir):
+    from data_service_spark.registry import QUERIES
+
+    got = QUERIES["k_conversion_lag"](spark, sf_dir).collect()[0]
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").toPandas()
+    s = ev[ev.event_type == "signup"].groupby("user_id").ts.min()
+    lags = []
+    for uid, st in s.items():
+        p = ev[(ev.user_id == uid) & (ev.event_type == "purchase") & (ev.ts > st)]
+        if len(p):
+            lags.append((p.ts.min() - st).value // 1000)
+    import numpy as np
+
+    assert got.n_converted == len(lags)
+    assert got.min_us == min(lags)
+    assert abs(got.p50_s - round(float(np.percentile(lags, 50)) / 1e6, 2)) < 0.01

@@ -100,6 +100,7 @@ k_tail_hill k_gini_sources c_join_asof_nearest
 k_group_kfold k_query_expansion_prf e_win_zscore_rolling
 c_join_pit c_join_cardinality_est d_agg_histogram_equiheight
 k_eval_ks_test k_ab_sprt k_eval_brier
+k_learning_curve k_dataset_diff k_conversion_lag
 """.split()
 
 
