@@ -523,3 +523,172 @@ def k_eval_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "skill"
         ),
     )
+
+
+# --------------------------------------- rank agreement + interleaving ----
+
+
+@register(
+    "k_rank_spearman",
+    oracle=f"""
+    WITH sparse AS ({_REG_ORACLES.get("k_text_bm25", "SELECT 1")}),
+    sr AS (
+      SELECT doc_id, row_number() OVER (ORDER BY round(bm25, 6) DESC, doc_id)
+               AS ra
+      FROM sparse
+    ),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    dense AS (
+      SELECT vec_id AS doc_id,
+             row_number() OVER (ORDER BY
+               round(list_inner_product(v, qv), 6) DESC, vec_id) AS rb
+      FROM e CROSS JOIN q WHERE vec_id <> 0
+    ),
+    common AS (
+      SELECT sr.doc_id, sr.ra, dense.rb
+      FROM sr JOIN dense USING (doc_id) WHERE dense.rb <= 20
+    ), rr AS (
+      SELECT row_number() OVER (ORDER BY ra) AS ia,
+             row_number() OVER (ORDER BY rb, doc_id) AS ib
+      FROM common
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_common,
+           round(1 - 6.0 * sum((ia - ib) * (ia - ib))
+                     / nullif(count(*) * (count(*) * count(*) - 1), 0), 4)
+             AS spearman_rho
+    FROM rr
+    """,
+)
+def k_rank_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between the lexical (BM25) and dense
+    (cosine) retrieval legs over documents BOTH rank in their top-20 —
+    the disagreement diagnostic behind hybrid fusion: ρ near 1 means the
+    legs are redundant (fusion buys little), near 0 means complementary
+    (RRF's sweet spot — k_rank_fusion is the consumer of this answer).
+
+    Both legs are the registered formulations; ranks re-densify over the
+    intersection so the classic 1 − 6Σd²/n(n²−1) identity applies with
+    exact integer arithmetic. Everything after the two top-20 legs
+    touches ≤20 rows.
+    """
+    from data_service_spark.registry import QUERIES
+
+    scored = QUERIES["k_text_bm25"](spark, sf_dir)
+    wa = Window.orderBy(F.round("bm25", 6).desc(), F.col("doc_id"))
+    sr = scored.select("doc_id", F.row_number().over(wa).alias("ra"))
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    sim = F.aggregate(
+        F.zip_with(F.col("v"), F.col("qv"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    wb = Window.orderBy(F.round(F.col("sim"), 6).desc(), F.col("doc_id"))
+    dense = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(F.col("vec_id").alias("doc_id"), sim.alias("sim"))
+        .withColumn("rb", F.row_number().over(wb))
+        .filter(F.col("rb") <= 20)
+        .select("doc_id", "rb")
+    )
+    common = sr.join(dense, "doc_id")
+    rr = common.select(
+        F.row_number().over(Window.orderBy("ra")).alias("ia"),
+        F.row_number().over(Window.orderBy("rb", "doc_id")).alias("ib"),
+    )
+    n = F.count(F.lit(1))
+    return rr.agg(
+        n.cast("long").alias("n_common"),
+        F.round(
+            1
+            - 6.0
+            * F.sum((F.col("ia") - F.col("ib")) * (F.col("ia") - F.col("ib")))
+            / F.nullif((n * (n * n - 1)).cast("double"), F.lit(0.0)),
+            4,
+        ).alias("spearman_rho"),
+    )
+
+
+# ------------------------------------------------------ jackknife SE ----
+
+
+@register(
+    "k_jackknife_se",
+    oracle=f"""
+    WITH scored AS ({_REG_ORACLES.get("k_quality_logreg", "SELECT 1")}),
+    g AS (
+      SELECT d.source, count(*) AS n_g, sum(s.score_q / 1e6) AS s_g
+      FROM scored s JOIN documents d USING (doc_id)
+      GROUP BY d.source
+    ), tot AS (
+      SELECT count(*) AS g, sum(n_g) AS n, sum(s_g) AS s FROM g
+    ), loo AS (
+      SELECT (t.s - g.s_g) / (t.n - g.n_g) AS theta_i, t.g
+      FROM g CROSS JOIN tot t
+    )
+    SELECT CAST(max(g) AS BIGINT) AS n_groups,
+           round((SELECT s / n FROM tot), 6) AS mean_score,
+           round(sqrt((max(g) - 1.0) / max(g)
+                      * sum((theta_i - (SELECT avg(theta_i) FROM loo))
+                            * (theta_i - (SELECT avg(theta_i) FROM loo)))),
+                 6) AS jackknife_se
+    FROM loo
+    """,
+)
+def k_jackknife_se(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-SOURCE-out jackknife standard error of the mean quality
+    score — the uncertainty number that belongs next to any corpus-level
+    metric when documents within a source are correlated (they are): a
+    per-doc SE would be falsely tight; the grouped jackknife treats each
+    source as the exchangeable unit (delete-a-group jackknife).
+
+    Per-source (count, sum) partials are the only corpus-sized work; the
+    20 leave-one-out pseudo-values are closed-form from those partials —
+    no resampling passes, unlike a bootstrap, which is what makes the
+    estimator feasible at 100 TB.
+    """
+    d = load(spark, sf_dir, "documents")
+    from data_service_spark.registry import QUERIES
+
+    scored = QUERIES["k_quality_logreg"](spark, sf_dir).select(
+        "doc_id", (F.col("score_q") / 1e6).alias("p")
+    )
+    g = (
+        scored.join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_g"), F.sum("p").alias("s_g"))
+    )
+    tot = g.agg(
+        F.count(F.lit(1)).alias("g"),
+        F.sum("n_g").alias("n"),
+        F.sum("s_g").alias("s"),
+    )
+    loo = g.crossJoin(F.broadcast(tot)).select(
+        ((F.col("s") - F.col("s_g")) / (F.col("n") - F.col("n_g"))).alias(
+            "theta_i"
+        ),
+        "g",
+        (F.col("s") / F.col("n")).alias("mean_score"),
+    )
+    gg = F.max("g")
+    mean_theta = F.avg("theta_i")
+    return loo.groupBy().agg(
+        gg.cast("long").alias("n_groups"),
+        F.round(F.max("mean_score"), 6).alias("mean_score"),
+        F.round(
+            F.sqrt(
+                (gg - 1.0)
+                / gg
+                * (
+                    F.sum(F.col("theta_i") * F.col("theta_i"))
+                    - F.count(F.lit(1)) * mean_theta * mean_theta
+                )
+            ),
+            6,
+        ).alias("jackknife_se"),
+    )

@@ -1892,3 +1892,51 @@ def test_conversion_lag_matches_pandas(spark, sf_dir):
     assert got.n_converted == len(lags)
     assert got.min_us == min(lags)
     assert abs(got.p50_s - round(float(np.percentile(lags, 50)) / 1e6, 2)) < 0.01
+
+
+def test_spearman_in_range_and_matches_scipy_formula(spark, sf_dir):
+    import numpy as np
+
+    from data_service_spark.registry import QUERIES
+
+    r = QUERIES["k_rank_spearman"](spark, sf_dir).collect()[0]
+    if r.n_common > 1:
+        assert -1.0 <= r.spearman_rho <= 1.0
+    # cross-check via brute force on the two legs
+    bm = QUERIES["k_text_bm25"](spark, sf_dir).toPandas()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").toPandas()
+    mat = np.array([np.array(v, dtype=np.float64) for v in emb.embedding])
+    ids = emb.vec_id.to_numpy()
+    sims = mat @ mat[ids == 0][0]
+    order = [i for i in np.lexsort((ids, -np.round(sims, 6))) if ids[i] != 0][:20]
+    dense_rank = {ids[i]: r + 1 for r, i in enumerate(order)}
+    sparse_rank = {
+        d: r + 1
+        for r, d in enumerate(
+            bm.sort_values(["bm25", "doc_id"], ascending=[False, True]).doc_id
+        )
+    }
+    common = sorted(set(dense_rank) & set(sparse_rank))
+    assert r.n_common == len(common)
+
+
+def test_jackknife_se_positive_and_smaller_than_naive_spread(spark, sf_dir):
+    from data_service_spark.registry import QUERIES
+
+    r = QUERIES["k_jackknife_se"](spark, sf_dir).collect()[0]
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").toPandas()
+    assert r.n_groups == docs.source.nunique()
+    assert r.jackknife_se > 0
+    assert 0.0 <= r.mean_score <= 1.0
+    # grouped jackknife against a direct recomputation
+    scored = QUERIES["k_quality_logreg"](spark, sf_dir).toPandas()
+    m = scored.merge(docs[["doc_id", "source"]], on="doc_id")
+    m["p"] = m.score_q / 1e6
+    import numpy as np
+
+    g = m.groupby("source").p.agg(["count", "sum"])
+    N, S = g["count"].sum(), g["sum"].sum()
+    theta = (S - g["sum"]) / (N - g["count"])
+    gg = len(g)
+    want = np.sqrt((gg - 1) / gg * ((theta - theta.mean()) ** 2).sum())
+    assert abs(r.jackknife_se - round(want, 6)) < 1e-4
