@@ -73,6 +73,7 @@ PRIORITY = [
     "k_eval_ks_test", "k_ab_sprt", "k_eval_brier",
     "k_learning_curve", "k_dataset_diff", "k_conversion_lag",
     "k_rank_spearman", "k_jackknife_se",
+    "k_eval_interleave", "k_assoc_rules",
     # e: windows (none recorded in r01)
     "e_win_rank", "e_win_running", "e_win_scd2", "e_win_range_frame",
     "e_win_streak",

@@ -414,3 +414,73 @@ def k_gini_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("gini"),
     )
+
+
+# ---------------------------------------------------- association rules ----
+
+
+@register(
+    "k_assoc_rules",
+    oracle="""
+    WITH baskets AS (
+      SELECT DISTINCT user_id, event_type FROM events
+    ), n_users AS (
+      SELECT count(DISTINCT user_id) AS n FROM baskets
+    ), item AS (
+      SELECT event_type, count(*) AS c FROM baskets GROUP BY 1
+    ), pair AS (
+      SELECT a.event_type AS lhs, b.event_type AS rhs, count(*) AS c_ab
+      FROM baskets a JOIN baskets b
+        ON a.user_id = b.user_id AND a.event_type <> b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT p.lhs, p.rhs,
+           round(p.c_ab * 1.0 / n.n, 4) AS support,
+           round(p.c_ab * 1.0 / ia.c, 4) AS confidence,
+           round(p.c_ab * 1.0 * n.n / (ia.c * ib.c), 4) AS lift
+    FROM pair p JOIN item ia ON p.lhs = ia.event_type
+                JOIN item ib ON p.rhs = ib.event_type
+                CROSS JOIN n_users n
+    """,
+)
+def k_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over user event baskets: for every directed
+    event-type pair lhs→rhs, support P(lhs∧rhs), confidence P(rhs|lhs),
+    and lift P(lhs∧rhs)/(P(lhs)P(rhs)) — the market-basket triple
+    (Agrawal & Srikant 1994) behind "users who X also Y" and feature
+    co-occurrence audits; lift>1 is genuine association, ≈1 independence
+    (k_graph_jaccard's probabilistic sibling).
+
+    The basket dedup is the only corpus-sized shuffle; pair counts come
+    from a user-keyed self-join whose fan-out is bounded by per-user
+    distinct-item degree. Pure integer counts into three final ratios.
+    """
+    e = load(spark, sf_dir, "events")
+    baskets = e.select("user_id", "event_type").distinct()
+    n_users = baskets.agg(F.countDistinct("user_id").alias("n"))
+    item = baskets.groupBy("event_type").agg(F.count(F.lit(1)).alias("c"))
+    a = baskets.select(F.col("event_type").alias("lhs"), "user_id")
+    b = baskets.select(F.col("event_type").alias("rhs"), "user_id")
+    pair = (
+        a.join(b, "user_id")
+        .filter(F.col("lhs") != F.col("rhs"))
+        .groupBy("lhs", "rhs")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+    )
+    ia = item.select(F.col("event_type").alias("lhs"), F.col("c").alias("ca"))
+    ib = item.select(F.col("event_type").alias("rhs"), F.col("c").alias("cb"))
+    return (
+        pair.join(F.broadcast(ia), "lhs")
+        .join(F.broadcast(ib), "rhs")
+        .crossJoin(F.broadcast(n_users))
+        .select(
+            "lhs",
+            "rhs",
+            F.round(F.col("c_ab") * 1.0 / F.col("n"), 4).alias("support"),
+            F.round(F.col("c_ab") * 1.0 / F.col("ca"), 4).alias("confidence"),
+            F.round(
+                F.col("c_ab") * 1.0 * F.col("n") / (F.col("ca") * F.col("cb")),
+                4,
+            ).alias("lift"),
+        )
+    )

@@ -692,3 +692,125 @@ def k_jackknife_se(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("jackknife_se"),
     )
+
+
+# ------------------------------------------------ balanced interleaving ----
+
+
+@register(
+    "k_eval_interleave",
+    oracle=f"""
+    WITH sparse AS ({_REG_ORACLES.get("k_text_bm25", "SELECT 1")}),
+    a AS (
+      SELECT doc_id, 2 * row_number() OVER (ORDER BY round(bm25, 6) DESC,
+                                            doc_id) - 1 AS slot
+      FROM sparse QUALIFY row_number() OVER (ORDER BY round(bm25, 6) DESC,
+                                             doc_id) <= 10
+    ),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    b AS (
+      SELECT vec_id AS doc_id,
+             2 * row_number() OVER (ORDER BY
+               round(list_inner_product(v, qv), 6) DESC, vec_id) AS slot
+      FROM e CROSS JOIN q WHERE vec_id <> 0
+      QUALIFY row_number() OVER (ORDER BY
+               round(list_inner_product(v, qv), 6) DESC, vec_id) <= 10
+    ), pooled AS (
+      SELECT doc_id, min(slot) AS slot,
+             CASE WHEN min(slot) % 2 = 1 THEN 'sparse' ELSE 'dense' END
+               AS team
+      FROM (SELECT * FROM a UNION ALL SELECT * FROM b)
+      GROUP BY doc_id
+    ), top AS (
+      SELECT doc_id, team,
+             row_number() OVER (ORDER BY slot) AS pos
+      FROM pooled QUALIFY row_number() OVER (ORDER BY slot) <= 10
+    ), rel AS (
+      SELECT doc_id,
+             CAST(list_contains(string_split(text, ' '), 'table') AS INT)
+             + CAST(list_contains(string_split(text, ' '), 'hash') AS INT)
+             + CAST(list_contains(string_split(text, ' '), 'scan') AS INT)
+               AS rel
+      FROM documents
+    )
+    SELECT t.team, CAST(count(*) AS BIGINT) AS n_in_top10,
+           CAST(sum(r.rel) AS BIGINT) AS rel_sum
+    FROM top t JOIN rel r USING (doc_id)
+    GROUP BY t.team
+    """,
+)
+def k_eval_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced-interleaving online-eval SIMULATION (Joachims 2002): the
+    sparse (BM25) and dense (cosine) legs alternate slots (sparse odd,
+    dense even), duplicates credit the EARLIER slot's team, and the
+    interleaved top-10's graded relevance is attributed per team — the
+    deterministic offline stand-in for the production interleave that
+    decides which retriever wins user clicks.
+
+    Both legs are the registered bounded top-10 formulations; slotting,
+    dedup, and credit are integer operations over ≤20 rows after the
+    legs. The same attribution runs on real click logs by swapping the
+    rel table for clicks.
+    """
+    from data_service_spark.registry import QUERIES
+
+    d = load(spark, sf_dir, "documents")
+    scored = QUERIES["k_text_bm25"](spark, sf_dir)
+    wa = Window.orderBy(F.round("bm25", 6).desc(), F.col("doc_id"))
+    a = (
+        scored.select("doc_id", F.row_number().over(wa).alias("ra"))
+        .filter(F.col("ra") <= 10)
+        .select("doc_id", (2 * F.col("ra") - 1).alias("slot"))
+    )
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    sim = F.aggregate(
+        F.zip_with(F.col("v"), F.col("qv"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    wb = Window.orderBy(F.round(F.col("sim"), 6).desc(), F.col("doc_id"))
+    b = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(F.col("vec_id").alias("doc_id"), sim.alias("sim"))
+        .withColumn("rb", F.row_number().over(wb))
+        .filter(F.col("rb") <= 10)
+        .select("doc_id", (2 * F.col("rb")).alias("slot"))
+    )
+    pooled = (
+        a.unionAll(b)
+        .groupBy("doc_id")
+        .agg(F.min("slot").alias("slot"))
+        .select(
+            "doc_id",
+            "slot",
+            F.when(F.col("slot") % 2 == 1, "sparse")
+            .otherwise("dense")
+            .alias("team"),
+        )
+    )
+    wt = Window.orderBy("slot")
+    top = pooled.withColumn("pos", F.row_number().over(wt)).filter(
+        F.col("pos") <= 10
+    )
+    toks = F.split("text", " ")
+    rel = d.select(
+        "doc_id",
+        (
+            F.array_contains(toks, "table").cast("int")
+            + F.array_contains(toks, "hash").cast("int")
+            + F.array_contains(toks, "scan").cast("int")
+        ).alias("rel"),
+    )
+    return (
+        top.join(rel, "doc_id")
+        .groupBy("team")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_in_top10"),
+            F.sum("rel").cast("long").alias("rel_sum"),
+        )
+    )

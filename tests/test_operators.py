@@ -1940,3 +1940,34 @@ def test_jackknife_se_positive_and_smaller_than_naive_spread(spark, sf_dir):
     gg = len(g)
     want = np.sqrt((gg - 1) / gg * ((theta - theta.mean()) ** 2).sum())
     assert abs(r.jackknife_se - round(want, 6)) < 1e-4
+
+
+def test_interleave_top10_splits_ten_slots(spark, sf_dir):
+    from data_service_spark.registry import QUERIES
+
+    got = QUERIES["k_eval_interleave"](spark, sf_dir).toPandas()
+    assert got.n_in_top10.sum() == 10
+    assert set(got.team) <= {"sparse", "dense"}
+    assert (got.rel_sum >= 0).all()
+
+
+def test_assoc_rules_identities_hold(spark, sf_dir):
+    from data_service_spark.registry import QUERIES
+
+    got = QUERIES["k_assoc_rules"](spark, sf_dir).toPandas()
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").toPandas()
+    baskets = ev[["user_id", "event_type"]].drop_duplicates()
+    n = baskets.user_id.nunique()
+    item = baskets.groupby("event_type").size()
+    for r in got.itertuples():
+        both = len(
+            set(baskets[baskets.event_type == r.lhs].user_id)
+            & set(baskets[baskets.event_type == r.rhs].user_id)
+        )
+        assert abs(r.support - round(both / n, 4)) < 1e-9
+        assert abs(r.confidence - round(both / item[r.lhs], 4)) < 1e-9
+        assert abs(r.lift - round(both * n / (item[r.lhs] * item[r.rhs]), 4)) < 1e-9
+    # symmetry: lift(lhs,rhs) == lift(rhs,lhs)
+    m = got.set_index(["lhs", "rhs"]).lift
+    for (l, r_), v in m.items():
+        assert abs(v - m[(r_, l)]) < 1e-9

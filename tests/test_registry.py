@@ -102,6 +102,7 @@ c_join_pit c_join_cardinality_est d_agg_histogram_equiheight
 k_eval_ks_test k_ab_sprt k_eval_brier
 k_learning_curve k_dataset_diff k_conversion_lag
 k_rank_spearman k_jackknife_se
+k_eval_interleave k_assoc_rules
 """.split()
 
 
