@@ -74,6 +74,7 @@ PRIORITY = [
     "k_learning_curve", "k_dataset_diff", "k_conversion_lag",
     "k_rank_spearman", "k_jackknife_se",
     "k_eval_interleave", "k_assoc_rules",
+    "d_agg_weighted_median", "k_survival_km",
     # e: windows (none recorded in r01)
     "e_win_rank", "e_win_running", "e_win_scd2", "e_win_range_frame",
     "e_win_streak",

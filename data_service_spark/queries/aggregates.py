@@ -1375,3 +1375,64 @@ def d_agg_histogram_equiheight(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("o_totalprice"), 2).alias("lo"),
         F.round(F.max("o_totalprice"), 2).alias("hi"),
     )
+
+
+@register(
+    "d_agg_weighted_median",
+    oracle="""
+    WITH w AS (
+      SELECT l_returnflag, l_extendedprice AS v, l_quantity AS wt,
+             sum(l_quantity) OVER (PARTITION BY l_returnflag
+                                   ORDER BY l_extendedprice, l_orderkey,
+                                            l_linenumber) AS cumw,
+             sum(l_quantity) OVER (PARTITION BY l_returnflag) AS totw
+      FROM lineitem
+    ), pick AS (
+      SELECT l_returnflag, v, cumw, totw,
+             row_number() OVER (PARTITION BY l_returnflag
+                                ORDER BY cumw, v) AS rn
+      FROM w WHERE cumw >= totw / 2.0
+    )
+    SELECT l_returnflag, round(v, 2) AS weighted_median,
+           CAST(totw AS BIGINT) AS total_weight
+    FROM pick WHERE rn = 1
+    """,
+)
+def d_agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED median: the price at which half the QUANTITY mass (not
+    half the rows) lies below — per return flag. The mixing/allocation
+    statistic plain percentile() cannot express (every row counts
+    equally there), and the robust center used when rows represent
+    unequal masses (tokens, bytes, quantities).
+
+    One keyed window cumulative sum over (value, unique-key) order, then
+    the first row crossing half the total mass. l_quantity is
+    integer-valued so cumulative weights are exact; the crossing row is
+    pinned by the unique (orderkey, linenumber) tiebreak.
+    """
+    from pyspark.sql.window import Window
+
+    li = load(spark, sf_dir, "lineitem")
+    wc = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("l_returnflag")
+    w = li.select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("v"),
+        F.sum("l_quantity").over(wc).alias("cumw"),
+        F.sum("l_quantity").over(wt).alias("totw"),
+    )
+    wp = Window.partitionBy("l_returnflag").orderBy("cumw", "v")
+    return (
+        w.filter(F.col("cumw") >= F.col("totw") / 2.0)
+        .withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_returnflag",
+            F.round("v", 2).alias("weighted_median"),
+            F.col("totw").cast("long").alias("total_weight"),
+        )
+    )

@@ -820,3 +820,132 @@ def k_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(lag_us, 0.9)") / 1e6, 2).alias("p90_s"),
         F.max("lag_us").cast("long").alias("max_us"),
     )
+
+
+@register(
+    "k_survival_km",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, min(ts) AS signup_ts FROM events
+      WHERE event_type = 'signup' GROUP BY 1
+    ), conv AS (
+      SELECT s.user_id,
+             min(CASE WHEN e.event_type = 'purchase' AND e.ts > s.signup_ts
+                      THEN e.ts END) AS conv_ts
+      FROM s JOIN events e USING (user_id)
+      GROUP BY s.user_id
+    ), horizon AS (
+      SELECT max(ts) AS h FROM events
+    ), spells AS (
+      SELECT c.user_id,
+             CASE WHEN c.conv_ts IS NOT NULL
+                  THEN date_diff('day', CAST(s.signup_ts AS DATE),
+                                        CAST(c.conv_ts AS DATE))
+                  ELSE date_diff('day', CAST(s.signup_ts AS DATE),
+                                        CAST(h.h AS DATE)) END AS t,
+             CAST(c.conv_ts IS NOT NULL AS INT) AS converted
+      FROM conv c JOIN s USING (user_id) CROSS JOIN horizon h
+    ), daily AS (
+      SELECT t, CAST(sum(converted) AS BIGINT) AS d,
+             CAST(count(*) AS BIGINT) AS leaving
+      FROM spells GROUP BY t
+    ), risk AS (
+      SELECT t, d,
+             CAST((SELECT count(*) FROM spells) -
+               coalesce(sum(leaving) OVER (ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS n_risk
+      FROM daily
+    )
+    SELECT t, d, n_risk,
+           round(CASE WHEN max(CASE WHEN d >= n_risk THEN 1 ELSE 0 END)
+                        OVER (ORDER BY t) = 1
+                 THEN 0.0
+                 ELSE exp(sum(CASE WHEN d < n_risk
+                                   THEN ln(1.0 - d * 1.0 / n_risk)
+                                   ELSE 0.0 END) OVER (ORDER BY t)) END, 4)
+             AS survival
+    FROM risk WHERE d > 0
+    """,
+)
+def k_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival curve for time-to-conversion with CENSORING:
+    users who signed up but never purchased are censored at the
+    observation horizon instead of being dropped (what the naive
+    conversion-lag histogram gets wrong — it biases toward fast
+    converters). S(t) = Π(1 − dᵢ/nᵢ) over conversion days, computed as
+    exp of a cumulative log-sum window.
+
+    Spell construction is two user-keyed aggregates; the risk table is
+    day-granular (≤ horizon days), so the ordered windows run over a
+    dimension-sized frame. Integer day diffs and counts; the only floats
+    are the final per-day factors, folded in identical day order in both
+    engines.
+    """
+    from pyspark.sql.window import Window
+
+    e = load(spark, sf_dir, "events")
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    conv = (
+        s.join(e, "user_id")
+        .groupBy("user_id", "signup_ts")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("signup_ts")),
+                    F.col("ts"),
+                )
+            ).alias("conv_ts")
+        )
+    )
+    horizon = e.agg(F.max("ts").alias("h"))
+    spells = conv.crossJoin(F.broadcast(horizon)).select(
+        F.when(
+            F.col("conv_ts").isNotNull(),
+            F.datediff(F.col("conv_ts").cast("date"),
+                       F.col("signup_ts").cast("date")),
+        )
+        .otherwise(
+            F.datediff(F.col("h").cast("date"),
+                       F.col("signup_ts").cast("date"))
+        )
+        .alias("t"),
+        F.col("conv_ts").isNotNull().cast("int").alias("converted"),
+    )
+    daily = spells.groupBy("t").agg(
+        F.sum("converted").cast("long").alias("d"),
+        F.count(F.lit(1)).cast("long").alias("leaving"),
+    )
+    total = spells.agg(F.count(F.lit(1)).alias("n_tot"))
+    wprev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    risk = daily.crossJoin(F.broadcast(total)).select(
+        "t",
+        "d",
+        (
+            F.col("n_tot")
+            - F.coalesce(F.sum("leaving").over(wprev), F.lit(0))
+        ).cast("long").alias("n_risk"),
+    )
+    wcum = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # A day where everyone at risk converts has factor 0 — ln is undefined,
+    # so fold a guarded 0 term and pin survival to 0 from that day on.
+    hit_zero = F.max(
+        F.when(F.col("d") >= F.col("n_risk"), 1).otherwise(0)
+    ).over(wcum)
+    term = F.when(
+        F.col("d") < F.col("n_risk"),
+        F.log(1.0 - F.col("d") * 1.0 / F.col("n_risk")),
+    ).otherwise(0.0)
+    surv = F.when(hit_zero == 1, F.lit(0.0)).otherwise(
+        F.exp(F.sum(term).over(wcum))
+    )
+    return risk.filter(F.col("d") > 0).select(
+        "t", "d", "n_risk", F.round(surv, 4).alias("survival")
+    )

@@ -1971,3 +1971,42 @@ def test_assoc_rules_identities_hold(spark, sf_dir):
     m = got.set_index(["lhs", "rhs"]).lift
     for (l, r_), v in m.items():
         assert abs(v - m[(r_, l)]) < 1e-9
+
+
+def test_weighted_median_splits_quantity_mass(spark, sf_dir):
+    from data_service_spark.registry import QUERIES
+
+    got = QUERIES["d_agg_weighted_median"](spark, sf_dir).toPandas()
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").toPandas()
+    for r in got.itertuples():
+        g = li[li.l_returnflag == r.l_returnflag]
+        below = g[g.l_extendedprice < r.weighted_median].l_quantity.sum()
+        at_or_below = g[g.l_extendedprice <= r.weighted_median].l_quantity.sum()
+        tot = g.l_quantity.sum()
+        assert r.total_weight == tot
+        assert below < tot / 2.0 <= at_or_below + 1e-9
+
+
+def test_km_curve_monotone_and_matches_lifelines_style_recompute(spark, sf_dir):
+    from data_service_spark.registry import QUERIES
+
+    got = QUERIES["k_survival_km"](spark, sf_dir).toPandas().sort_values("t")
+    assert (got.survival.diff().dropna() <= 1e-9).all()  # non-increasing
+    assert got.survival.between(0, 1).all()
+    # recompute S(t) from the emitted (d, n_risk) table
+    s = 1.0
+    for r in got.itertuples():
+        s *= 1 - r.d / r.n_risk
+        assert abs(r.survival - round(s, 4)) < 1e-6
+    # censoring sanity: final survival > 0 iff some users never converted
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").toPandas()
+    signups = set(ev[ev.event_type == "signup"].user_id)
+    sgn = ev[ev.event_type == "signup"].groupby("user_id").ts.min()
+    nonconv = sum(
+        1
+        for u in signups
+        if not len(
+            ev[(ev.user_id == u) & (ev.event_type == "purchase") & (ev.ts > sgn[u])]
+        )
+    )
+    assert (got.survival.iloc[-1] > 0) == (nonconv > 0)

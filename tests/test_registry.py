@@ -103,6 +103,7 @@ k_eval_ks_test k_ab_sprt k_eval_brier
 k_learning_curve k_dataset_diff k_conversion_lag
 k_rank_spearman k_jackknife_se
 k_eval_interleave k_assoc_rules
+d_agg_weighted_median k_survival_km
 """.split()
 
 
