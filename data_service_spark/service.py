@@ -93,6 +93,23 @@ class SqlEngine:
         self._streams[name] = q
         return {"name": name, "id": str(q.id), "active": q.isActive}
 
+    def metrics(self) -> dict[str, Any]:
+        """Engine observability snapshot: the numbers an operator dashboard
+        scrapes — engine version, parallelism, catalog/stream/registry
+        sizes, and the JVM's executor-side job counters from the status
+        tracker. Cheap (driver-side metadata only, no jobs run)."""
+        sc = self.spark.sparkContext
+        tracker = sc.statusTracker()
+        return {
+            "spark_version": self.spark.version,
+            "default_parallelism": sc.defaultParallelism,
+            "n_tables": len(self.tables()),
+            "n_streams": len(self._streams),
+            "n_query_keys": len(self.query_keys()),
+            "active_job_ids": list(tracker.getActiveJobsIds()),
+            "active_stage_ids": list(tracker.getActiveStageIds()),
+        }
+
     def streams(self) -> list[dict[str, Any]]:
         return [
             {"name": n, "active": q.isActive}
@@ -254,6 +271,8 @@ def make_handler(engine: SqlEngine) -> type[BaseHTTPRequestHandler]:
                 self._send(200, {"queries": engine.query_keys()})
             elif self.path == "/streams":
                 self._send(200, {"streams": engine.streams()})
+            elif self.path == "/metrics":
+                self._send(200, engine.metrics())
             elif self.path.startswith("/schema/"):
                 name = self.path[len("/schema/"):]
                 try:

@@ -202,3 +202,12 @@ def test_sql_bad_args_type_is_400(service):
             {"sql": "SELECT 1 AS x", "args": ["not", "a", "dict"]},
         )
     assert ei.value.code == 400
+
+
+def test_metrics_endpoint(service):
+    body = call(service, "/metrics")
+    assert body["spark_version"].startswith("4.")
+    assert body["default_parallelism"] >= 1
+    assert body["n_query_keys"] >= 343
+    assert body["n_tables"] >= 10
+    assert isinstance(body["active_job_ids"], list)

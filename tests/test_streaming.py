@@ -585,3 +585,35 @@ def test_cdc_stream_matches_batch_merge(spark, tmp_path, sf_dir):
         k: v["value"] for k, v in final.items() if not v["deleted"]
     }
     assert stream_final == batch_final
+
+
+def test_streaming_progress_exposes_state_metrics(spark, tmp_path):
+    """Observability contract: a drained stateful query leaves progress
+    telemetry (rows processed, state rows) that an operator dashboard can
+    scrape — the streaming twin of the /metrics surface."""
+    d = str(tmp_path / "obs")
+    write_event_files(
+        spark,
+        d,
+        [ev(1, "2024-01-01 09:00", 1, "signup"),
+         ev(2, "2024-01-01 09:05", 1, "purchase")],
+    )
+    sdf = funnel_stream(read_event_stream(spark, d))
+    progress = {}
+
+    def collect(batch_df, epoch):
+        batch_df.count()
+
+    q = (
+        sdf.writeStream.outputMode("update")
+        .foreachBatch(collect)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    last = q.lastProgress
+    assert last is not None
+    assert last["numInputRows"] >= 2
+    ops = last["stateOperators"]
+    assert ops and ops[0]["numRowsUpdated"] >= 1
+    assert ops[0]["numRowsTotal"] >= 1
