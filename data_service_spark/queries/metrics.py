@@ -814,3 +814,169 @@ def k_eval_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("rel").cast("long").alias("rel_sum"),
         )
     )
+
+
+# ------------------------------------------- threshold tuning surface ----
+
+
+@register(
+    "k_threshold_sweep",
+    oracle=f"""
+    WITH scored AS ({_REG_ORACLES.get("k_quality_logreg", "SELECT 1")}),
+    j AS (
+      SELECT s.score_q, d.n_chars,
+             len(string_split(d.text, ' ')) AS n_tok
+      FROM scored s JOIN documents d USING (doc_id)
+    ), tot AS (
+      SELECT count(*) AS n_docs, sum(n_tok) AS n_tokens FROM j
+    )
+    SELECT t.thr,
+           CAST(count(*) FILTER (WHERE score_q >= t.thr * 1e6) AS BIGINT)
+             AS docs_kept,
+           round(count(*) FILTER (WHERE score_q >= t.thr * 1e6)
+                 * 1.0 / max(tot.n_docs), 4) AS doc_rate,
+           CAST(coalesce(sum(n_tok) FILTER (WHERE score_q >= t.thr * 1e6), 0)
+                AS BIGINT) AS tokens_kept,
+           round(coalesce(sum(n_tok) FILTER (WHERE score_q >= t.thr * 1e6), 0)
+                 * 1.0 / max(tot.n_tokens), 4) AS token_rate
+    FROM j CROSS JOIN tot
+    CROSS JOIN (SELECT unnest([0.3, 0.4, 0.5, 0.6, 0.7]) AS thr) t
+    GROUP BY t.thr
+    """,
+)
+def k_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate-threshold sweep: documents AND tokens surviving the quality
+    gate at thresholds 0.3–0.7 — the yield curve a curation team reads
+    before pinning the cut (docs and tokens diverge when quality
+    correlates with length, which is exactly when a doc-rate-only sweep
+    misleads a token-budgeted training run).
+
+    One scan; the five thresholds unroll as a broadcast cross join into a
+    single grouped conditional aggregate — a 5-point curve for one pass,
+    the same trick as k_learning_curve.
+    """
+    d = load(spark, sf_dir, "documents")
+    from data_service_spark.registry import QUERIES
+
+    scored = QUERIES["k_quality_logreg"](spark, sf_dir).select(
+        "doc_id", "score_q"
+    )
+    j = scored.join(
+        d.select("doc_id", F.size(F.split("text", " ")).alias("n_tok")),
+        "doc_id",
+    )
+    tot = j.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("n_tokens")
+    )
+    thr = spark.createDataFrame(
+        [(0.3,), (0.4,), (0.5,), (0.6,), (0.7,)], "thr double"
+    )
+    keep = F.col("score_q") >= F.col("thr") * 1e6
+    return (
+        j.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(thr))
+        .groupBy("thr")
+        .agg(
+            F.count(F.when(keep, 1)).cast("long").alias("docs_kept"),
+            F.round(
+                F.count(F.when(keep, 1)) * 1.0 / F.max("n_docs"), 4
+            ).alias("doc_rate"),
+            F.coalesce(F.sum(F.when(keep, F.col("n_tok"))), F.lit(0))
+            .cast("long")
+            .alias("tokens_kept"),
+            F.round(
+                F.coalesce(F.sum(F.when(keep, F.col("n_tok"))), F.lit(0))
+                * 1.0
+                / F.max("n_tokens"),
+                4,
+            ).alias("token_rate"),
+        )
+    )
+
+
+@register(
+    "k_threshold_youden",
+    oracle=f"""
+    WITH scored AS ({_REG_ORACLES.get("k_quality_logreg", "SELECT 1")}),
+    lab AS (
+      SELECT s.score_q, CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM scored s JOIN documents d USING (doc_id)
+    ), grp AS (
+      SELECT score_q, count(*) AS n, sum(y) AS pos FROM lab GROUP BY 1
+    ), tot AS (
+      SELECT sum(pos) AS p, sum(n) - sum(pos) AS neg FROM grp
+    ), roc AS (
+      SELECT score_q,
+             (t.p - coalesce(sum(pos) OVER (ORDER BY score_q
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))
+               * 1.0 / t.p AS tpr,
+             (t.neg - coalesce(sum(n - pos) OVER (ORDER BY score_q
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))
+               * 1.0 / t.neg AS fpr
+      FROM grp CROSS JOIN tot t
+    )
+    SELECT score_q AS best_threshold_q,
+           round(tpr, 6) AS tpr, round(fpr, 6) AS fpr,
+           round(tpr - fpr, 6) AS youden_j
+    FROM roc
+    ORDER BY round(tpr - fpr, 6) DESC, score_q
+    LIMIT 1
+    """,
+)
+def k_threshold_youden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimal operating point by Youden's J = TPR − FPR: sweep every
+    distinct classifier score as the '≥ threshold ⇒ positive' cut and
+    report the maximizing threshold with its ROC coordinates — how a gate
+    threshold is actually CHOSEN once k_eval_auc says the ranking is
+    worth using.
+
+    Same bounded plumbing as the AUC: per-score (count, positives), one
+    prefix-sum window over distinct scores (≤1e6 rows by construction),
+    argmax on exact-integer-derived ratios with a score tiebreak.
+    """
+    d = load(spark, sf_dir, "documents")
+    from data_service_spark.registry import QUERIES
+
+    scored = QUERIES["k_quality_logreg"](spark, sf_dir).select(
+        "doc_id", "score_q"
+    )
+    lab = scored.join(d.select("doc_id", "lang"), "doc_id").select(
+        "score_q", F.when(F.col("lang") == "en", 1).otherwise(0).alias("y")
+    )
+    grp = lab.groupBy("score_q").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("pos")
+    )
+    tot = grp.agg(
+        F.sum("pos").alias("p"), (F.sum("n") - F.sum("pos")).alias("neg")
+    )
+    wprev = Window.orderBy("score_q").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    roc = grp.crossJoin(F.broadcast(tot)).select(
+        "score_q",
+        (
+            (F.col("p") - F.coalesce(F.sum("pos").over(wprev), F.lit(0)))
+            * 1.0
+            / F.col("p")
+        ).alias("tpr"),
+        (
+            (
+                F.col("neg")
+                - F.coalesce(
+                    F.sum(F.col("n") - F.col("pos")).over(wprev), F.lit(0)
+                )
+            )
+            * 1.0
+            / F.col("neg")
+        ).alias("fpr"),
+    )
+    return (
+        roc.select(
+            F.col("score_q").alias("best_threshold_q"),
+            F.round("tpr", 6).alias("tpr"),
+            F.round("fpr", 6).alias("fpr"),
+            F.round(F.col("tpr") - F.col("fpr"), 6).alias("youden_j"),
+        )
+        .orderBy(F.col("youden_j").desc(), "best_threshold_q")
+        .limit(1)
+    )

@@ -2336,3 +2336,62 @@ def k_dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             "unchanged"
         ),
     )
+
+
+@register(
+    "k_shard_plan",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents
+    ), cum AS (
+      SELECT doc_id, n_tok,
+             sum(n_tok) OVER (ORDER BY doc_id) AS cum_tok
+      FROM d
+    ), planned AS (
+      SELECT doc_id, n_tok,
+             CAST(floor((cum_tok - n_tok) / 2000.0) AS BIGINT) AS shard
+      FROM cum
+    )
+    SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS shard_tokens,
+           CAST(min(doc_id) AS BIGINT) AS first_doc,
+           CAST(max(doc_id) AS BIGINT) AS last_doc
+    FROM planned GROUP BY shard
+    """,
+)
+def k_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard PLANNING: assign documents (in stable doc_id
+    order) to contiguous output shards of ~2000 tokens each via a
+    cumulative-token prefix sum — the write plan that gives a training
+    loader near-equal shard sizes AND preserves corpus order (unlike the
+    hash sharding k_shard_balance audits, which balances but scatters).
+    A doc starts a new shard when the budget would otherwise overflow —
+    the streaming-fill rule floor(prefix_before/budget) encodes exactly.
+
+    Local-mode caveat: the global prefix sum is one ordered pass here; at
+    100 TB the same plan computes per-partition token subtotals first (a
+    tiny driver-side scan) and offsets each partition's prefix sums —
+    two linear passes, no global sort of documents.
+    """
+    d = load(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window as W
+
+    cumw = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = d.select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tok")
+    ).select(
+        "doc_id",
+        "n_tok",
+        (F.sum("n_tok").over(cumw) - F.col("n_tok")).alias("before"),
+    )
+    planned = cum.select(
+        "doc_id",
+        "n_tok",
+        F.floor(F.col("before") / 2000.0).cast("long").alias("shard"),
+    )
+    return planned.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("shard_tokens"),
+        F.min("doc_id").cast("long").alias("first_doc"),
+        F.max("doc_id").cast("long").alias("last_doc"),
+    )

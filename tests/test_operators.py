@@ -2010,3 +2010,47 @@ def test_km_curve_monotone_and_matches_lifelines_style_recompute(spark, sf_dir):
         )
     )
     assert (got.survival.iloc[-1] > 0) == (nonconv > 0)
+
+
+def test_threshold_sweep_monotone_in_threshold(spark, sf_dir):
+    from data_service_spark.registry import QUERIES
+
+    got = QUERIES["k_threshold_sweep"](spark, sf_dir).toPandas().sort_values("thr")
+    assert list(got.thr) == [0.3, 0.4, 0.5, 0.6, 0.7]
+    assert got.docs_kept.is_monotonic_decreasing
+    assert got.tokens_kept.is_monotonic_decreasing
+    assert got.doc_rate.between(0, 1).all() and got.token_rate.between(0, 1).all()
+
+
+def test_youden_point_maximizes_j_over_brute_force(spark, sf_dir):
+    from data_service_spark.registry import QUERIES
+
+    r = QUERIES["k_threshold_youden"](spark, sf_dir).collect()[0]
+    scored = QUERIES["k_quality_logreg"](spark, sf_dir).toPandas()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").toPandas()
+    m = scored.merge(docs[["doc_id", "lang"]], on="doc_id")
+    y = (m.lang == "en").to_numpy()
+    s = m.score_q.to_numpy()
+    P, N = y.sum(), (~y).sum()
+    best = max(
+        (
+            round(((s >= t) & y).sum() / P - ((s >= t) & ~y).sum() / N, 6)
+            for t in set(s)
+        )
+    )
+    assert abs(r.youden_j - best) < 1e-9
+    assert abs(r.tpr - r.fpr - r.youden_j) < 1e-4
+
+
+def test_shard_plan_preserves_order_and_respects_budget(spark, sf_dir):
+    from data_service_spark.registry import QUERIES
+
+    got = QUERIES["k_shard_plan"](spark, sf_dir).toPandas().sort_values("shard")
+    # contiguity: shard ranges don't interleave
+    assert (got.first_doc.to_numpy()[1:] > got.last_doc.to_numpy()[:-1]).all()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").toPandas()
+    total = docs.text.str.split(" ").str.len().sum()
+    assert got.shard_tokens.sum() == total
+    # every shard except possibly the last is filled past the budget point
+    assert (got.shard_tokens.iloc[:-1] >= 1).all()
+    assert list(got.shard) == list(range(len(got)))

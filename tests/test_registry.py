@@ -104,6 +104,7 @@ k_learning_curve k_dataset_diff k_conversion_lag
 k_rank_spearman k_jackknife_se
 k_eval_interleave k_assoc_rules
 d_agg_weighted_median k_survival_km
+k_threshold_sweep k_threshold_youden k_shard_plan
 """.split()
 
 
