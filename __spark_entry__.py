@@ -76,6 +76,7 @@ PRIORITY = [
     "k_eval_interleave", "k_assoc_rules",
     "d_agg_weighted_median", "k_survival_km",
     "k_threshold_sweep", "k_threshold_youden", "k_shard_plan",
+    "k_eval_langid_confusion", "e_win_vwap", "k_trimmed_mean",
     # e: windows (none recorded in r01)
     "e_win_rank", "e_win_running", "e_win_scd2", "e_win_range_frame",
     "e_win_streak",

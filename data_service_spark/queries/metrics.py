@@ -980,3 +980,46 @@ def k_threshold_youden(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("youden_j").desc(), "best_threshold_q")
         .limit(1)
     )
+
+
+# ------------------------------------------- langid confusion matrix ----
+
+
+@register(
+    "k_eval_langid_confusion",
+    oracle=f"""
+    WITH pred AS ({_REG_ORACLES.get("k_text_langid", "SELECT 1")})
+    SELECT lang_meta AS true_lang, pred_lang,
+           CAST(count(*) AS BIGINT) AS n,
+           round(count(*) * 1.0 / sum(count(*)) OVER (PARTITION BY lang_meta),
+                 4) AS row_rate
+    FROM pred GROUP BY lang_meta, pred_lang
+    """,
+)
+def k_eval_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the marker-token language identifier against
+    the corpus's ground-truth lang column: per (true, predicted) cell,
+    count and row-normalized rate (per-class recall on the diagonal) —
+    the per-class error breakdown that a single accuracy number hides,
+    and the audit that catches the classic failure of marker-based LID
+    (everything defaulting to the tie-break winner).
+
+    Composes the registered k_text_langid plan; the matrix aggregate is a
+    |langs|² -cell groupBy with a partition-local rate window over the
+    aggregated cells.
+    """
+    from data_service_spark.registry import QUERIES
+
+    pred = QUERIES["k_text_langid"](spark, sf_dir)
+    cells = pred.groupBy(
+        F.col("lang_meta").alias("true_lang"), "pred_lang"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    wrow = Window.partitionBy("true_lang")
+    return cells.select(
+        "true_lang",
+        "pred_lang",
+        "n",
+        F.round(F.col("n") * 1.0 / F.sum("n").over(wrow), 4).alias(
+            "row_rate"
+        ),
+    )

@@ -142,3 +142,54 @@ def k_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(z * 1e4).cast("long").alias("z_q"),
         )
     )
+
+
+@register(
+    "k_trimmed_mean",
+    oracle="""
+    WITH ranked AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    )
+    SELECT event_type,
+           CAST(max(n) AS BIGINT) AS n,
+           round(avg(value), 4) AS plain_mean,
+           round(avg(value) FILTER (WHERE rn > n * 0.05
+                                      AND rn <= n * 0.95), 4)
+             AS trimmed_mean_90
+    FROM ranked GROUP BY event_type
+    """,
+)
+def k_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5%-each-side TRIMMED mean per event type next to the plain mean —
+    the robust location estimate between mean (0% trim) and median (50%
+    trim): when the two disagree materially, the tails are driving the
+    metric and k_tail_hill / k_anomaly_mad explain why.
+
+    Trim membership comes from exact integer ranks (row_number with
+    event_id tiebreak), not interpolated percentiles — no cross-engine
+    quantile surface at all. One keyed window sort + one grouped
+    conditional average.
+    """
+    e = load(spark, sf_dir, "events")
+    wr = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    ranked = e.select(
+        "event_type",
+        "value",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    inner = (F.col("rn") > F.col("n") * 0.05) & (
+        F.col("rn") <= F.col("n") * 0.95
+    )
+    return ranked.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n"),
+        F.round(F.avg("value"), 4).alias("plain_mean"),
+        F.round(F.avg(F.when(inner, F.col("value"))), 4).alias(
+            "trimmed_mean_90"
+        ),
+    )

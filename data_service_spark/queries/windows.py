@@ -728,3 +728,56 @@ def e_win_zscore_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "event_id", "user_id", (F.round(z, 4) + F.lit(0.0)).alias("roll_z")
     )
+
+
+@register(
+    "e_win_vwap",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_orderdate,
+           CAST(floor(sum(cents * w8) OVER w * 1.0
+                      / sum(w8) OVER w) AS BIGINT) AS wavg_cents
+    FROM (SELECT *, CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                 1 + o_orderkey % 3 AS w8 FROM orders)
+    WINDOW w AS (PARTITION BY o_orderstatus,
+                              date_trunc('month', o_orderdate)
+                 ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def e_win_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchored weighted running average (the VWAP shape): per order
+    status, the weight-adjusted mean price accumulated SINCE THE MONTH
+    STARTED — two running sums that reset at each anchor boundary because
+    the anchor is part of the window partition key, not a filter. The
+    standard market/ops metric for "average so far this period".
+
+    Weights here are a deterministic per-row stand-in (1 + key mod 3);
+    in production they're quantities. Prices enter as EXACT integer cents
+    so both running sums are integers and the reported value is the
+    FLOOR-quantized cent amount: engines round the same double
+    differently exactly at half-cent quotients (observed 144260.175 →
+    .17 vs .18), while floor of a bit-identical quotient cannot diverge.
+    """
+    o = (
+        load(spark, sf_dir, "orders")
+        .withColumn("w8", 1 + F.col("o_orderkey") % 3)
+        .withColumn(
+            "cents", F.round(F.col("o_totalprice") * 100).cast("long")
+        )
+    )
+    w = (
+        Window.partitionBy(
+            "o_orderstatus", F.date_trunc("month", F.col("o_orderdate"))
+        )
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_orderdate",
+        F.floor(
+            F.sum(F.col("cents") * F.col("w8")).over(w)
+            * 1.0
+            / F.sum("w8").over(w)
+        ).cast("long").alias("wavg_cents"),
+    )

@@ -2054,3 +2054,46 @@ def test_shard_plan_preserves_order_and_respects_budget(spark, sf_dir):
     # every shard except possibly the last is filled past the budget point
     assert (got.shard_tokens.iloc[:-1] >= 1).all()
     assert list(got.shard) == list(range(len(got)))
+
+
+def test_langid_confusion_rows_sum_to_class_counts(spark, sf_dir):
+    from data_service_spark.registry import QUERIES
+
+    got = QUERIES["k_eval_langid_confusion"](spark, sf_dir).toPandas()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").toPandas()
+    per_class = got.groupby("true_lang").n.sum()
+    want = docs.lang.value_counts()
+    for lang, n in want.items():
+        assert per_class[lang] == n
+    sums = got.groupby("true_lang").row_rate.sum()
+    assert ((sums - 1.0).abs() < 0.01).all()
+
+
+def test_vwap_anchored_first_row_equals_own_price(spark, sf_dir):
+    from data_service_spark.registry import QUERIES
+
+    got = QUERIES["e_win_vwap"](spark, sf_dir).toPandas()
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").toPandas()
+    m = got.merge(orders, on=["o_orderkey"])
+    m["month"] = m.o_orderdate_x.dt.to_period("M")
+    firsts = m.sort_values(["o_orderdate_x", "o_orderkey"]).groupby(
+        ["o_orderstatus_x", "month"]
+    ).head(1)
+    for r in firsts.itertuples():
+        assert r.wavg_cents == int(round(r.o_totalprice * 100))
+
+
+def test_trimmed_mean_between_median_and_mean_behaviour(spark, sf_dir):
+    import numpy as np
+
+    from data_service_spark.registry import QUERIES
+
+    got = QUERIES["k_trimmed_mean"](spark, sf_dir).toPandas()
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").toPandas()
+    for r in got.itertuples():
+        g = ev[ev.event_type == r.event_type].sort_values(["value", "event_id"])
+        n = len(g)
+        inner = g.iloc[int(np.floor(n * 0.05)) : int(np.floor(n * 0.95))]
+        want = inner.value.mean()
+        assert r.n == n
+        assert abs(r.trimmed_mean_90 - round(want, 4)) < 1e-2

@@ -105,6 +105,7 @@ k_rank_spearman k_jackknife_se
 k_eval_interleave k_assoc_rules
 d_agg_weighted_median k_survival_km
 k_threshold_sweep k_threshold_youden k_shard_plan
+k_eval_langid_confusion e_win_vwap k_trimmed_mean
 """.split()
 
 
