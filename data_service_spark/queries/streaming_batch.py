@@ -949,3 +949,245 @@ def k_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     return risk.filter(F.col("d") > 0).select(
         "t", "d", "n_risk", F.round(surv, 4).alias("survival")
     )
+
+
+@register(
+    "k_cohort_ltv",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort
+      FROM events GROUP BY 1
+    ), spend AS (
+      SELECT e.user_id, f.cohort,
+             CAST(date_diff('week', f.cohort, CAST(e.ts AS DATE)) AS BIGINT)
+               AS week_age,
+             e.value
+      FROM events e JOIN first_seen f USING (user_id)
+      WHERE e.event_type = 'purchase'
+    ), weekly AS (
+      SELECT cohort, week_age, sum(value) AS wk_value
+      FROM spend GROUP BY 1, 2
+    )
+    SELECT cohort, week_age,
+           round(sum(wk_value) OVER (PARTITION BY cohort ORDER BY week_age),
+                 2) + 0.0 AS cum_value
+    FROM weekly
+    """,
+)
+def k_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: cumulative purchase value per
+    first-seen-week cohort by week age — the revenue twin of
+    k_retention_cohorts' activity matrix, and the number product teams
+    fit payback models against ("cohort X recovers acquisition cost by
+    week N").
+
+    First-seen assignment and weekly spend are user-keyed aggregates; the
+    cumulative window runs over (cohorts × week-ages) — dimension-sized.
+    Week arithmetic is integer date_diff on DATE-truncated timestamps,
+    identical across engines.
+    """
+    from pyspark.sql.window import Window
+
+    e = load(spark, sf_dir, "events")
+    first_seen = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort")
+    )
+    spend = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(first_seen, "user_id")
+        .select(
+            "cohort",
+            F.floor(
+                F.datediff(F.col("ts").cast("date"), F.col("cohort")) / 7
+            ).cast("long").alias("week_age"),
+            "value",
+        )
+    )
+    weekly = spend.groupBy("cohort", "week_age").agg(
+        F.sum("value").alias("wk_value")
+    )
+    wc = (
+        Window.partitionBy("cohort")
+        .orderBy("week_age")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return weekly.select(
+        "cohort",
+        "week_age",
+        (F.round(F.sum("wk_value").over(wc), 2) + F.lit(0.0)).alias(
+            "cum_value"
+        ),
+    )
+
+
+@register(
+    "k_autocorr_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ), lagged AS (
+      SELECT n, lag(n, 1) OVER (ORDER BY day) AS n1,
+             lag(n, 7) OVER (ORDER BY day) AS n7
+      FROM daily
+    ), m AS (SELECT avg(n) AS mu FROM daily)
+    SELECT
+      round(sum((n - mu) * (n1 - mu)) FILTER (WHERE n1 IS NOT NULL)
+            / sum((n - mu) * (n - mu)), 4) AS acf_lag1,
+      round(sum((n - mu) * (n7 - mu)) FILTER (WHERE n7 IS NOT NULL)
+            / sum((n - mu) * (n - mu)), 4) AS acf_lag7
+    FROM lagged CROSS JOIN m
+    """,
+)
+def k_autocorr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the daily event count at lags 1 and 7 — the
+    numeric seasonality detector: a weekly-patterned feed shows acf_lag7
+    well above acf_lag1's level, telling the anomaly monitors
+    (k_anomaly_zscore, k_changepoint_cusum) to deseasonalize (the
+    k_eval_regression hour-of-day model) before thresholding.
+
+    Daily rollup → ~30-row lag windows → 1-row reduce; the ACF ratio
+    is the standard Σ(xₜ−μ)(xₜ₋ₖ−μ)/Σ(xₜ−μ)² with the same formula text
+    in both dialects.
+    """
+    from pyspark.sql.window import Window
+
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.date_trunc("DAY", F.col("ts")).cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wd = Window.orderBy("day")
+    lagged = daily.select(
+        "n",
+        F.lag("n", 1).over(wd).alias("n1"),
+        F.lag("n", 7).over(wd).alias("n7"),
+    )
+    m = daily.agg(F.avg("n").alias("mu"))
+    lm = lagged.crossJoin(F.broadcast(m))
+    num1 = F.sum(
+        F.when(
+            F.col("n1").isNotNull(),
+            (F.col("n") - F.col("mu")) * (F.col("n1") - F.col("mu")),
+        )
+    )
+    num7 = F.sum(
+        F.when(
+            F.col("n7").isNotNull(),
+            (F.col("n") - F.col("mu")) * (F.col("n7") - F.col("mu")),
+        )
+    )
+    den = F.sum((F.col("n") - F.col("mu")) * (F.col("n") - F.col("mu")))
+    return lm.agg(
+        F.round(num1 / den, 4).alias("acf_lag1"),
+        F.round(num7 / den, 4).alias("acf_lag7"),
+    )
+
+
+@register(
+    "k_peak_concurrency",
+    oracle="""
+    WITH spans AS (
+      SELECT user_id, event_type,
+             CAST(min(ts) AS DATE) AS s_date, CAST(max(ts) AS DATE) AS e_date
+      FROM events GROUP BY 1, 2
+    ), deltas AS (
+      SELECT s_date AS day, 1 AS delta FROM spans
+      UNION ALL
+      SELECT e_date + INTERVAL 1 DAY, -1 FROM spans
+    ), sweep AS (
+      SELECT CAST(day AS DATE) AS day,
+             CAST(sum(sum(delta)) OVER (ORDER BY day) AS BIGINT)
+               AS active_spans
+      FROM deltas GROUP BY day
+    )
+    SELECT day, active_spans,
+           (row_number() OVER (ORDER BY active_spans DESC, day) = 1)
+             AS is_peak
+    FROM sweep
+    """,
+)
+def k_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak interval concurrency by SWEEP-LINE: each (user, event-type)
+    activity span emits +1 at its first day and −1 after its last; the
+    running sum over day-boundaries is the number of simultaneously
+    active spans, with the peak day flagged — the capacity-planning
+    question ("how many concurrent anythings must we provision for")
+    answered without expanding intervals into per-day rows.
+
+    The delta table is 2 rows per span (dimension-sized); the sweep is
+    one ordered prefix sum over distinct boundary days. Pure integer
+    arithmetic.
+    """
+    from pyspark.sql.window import Window
+
+    e = load(spark, sf_dir, "events")
+    spans = e.groupBy("user_id", "event_type").agg(
+        F.min(F.col("ts").cast("date")).alias("s_date"),
+        F.max(F.col("ts").cast("date")).alias("e_date"),
+    )
+    deltas = spans.select(
+        F.col("s_date").alias("day"), F.lit(1).alias("delta")
+    ).unionAll(
+        spans.select(
+            F.date_add(F.col("e_date"), 1).alias("day"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    per_day = deltas.groupBy("day").agg(F.sum("delta").alias("d"))
+    ws = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sweep = per_day.select(
+        "day", F.sum("d").over(ws).cast("long").alias("active_spans")
+    )
+    wr = Window.orderBy(F.col("active_spans").desc(), "day")
+    return sweep.select(
+        "day",
+        "active_spans",
+        (F.row_number().over(wr) == 1).alias("is_peak"),
+    )
+
+
+@register(
+    "k_event_paths",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS e1,
+             lead(event_type, 1) OVER w AS e2,
+             lead(event_type, 2) OVER w AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT e1, e2, e3, CAST(count(*) AS BIGINT) AS n
+    FROM seq WHERE e3 IS NOT NULL
+    GROUP BY e1, e2, e3
+    ORDER BY n DESC, e1, e2, e3
+    LIMIT 10
+    """,
+)
+def k_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 most frequent 3-step behaviour paths (consecutive
+    event-type trigrams per user in event-time order) — the path-analysis
+    view behind "what do users do right before purchasing", one order of
+    structure above k_event_transitions' single-step Markov matrix.
+
+    One keyed window (user partition, two leads — O(1) state), one
+    trigram groupBy whose key space is |types|³ ≤ 125, and a
+    TakeOrdered top-10. Integer counts with full lexical tiebreaks.
+    """
+    from pyspark.sql.window import Window
+
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e3").isNotNull())
+    return (
+        seq.groupBy("e1", "e2", "e3")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), "e1", "e2", "e3")
+        .limit(10)
+    )

@@ -2097,3 +2097,71 @@ def test_trimmed_mean_between_median_and_mean_behaviour(spark, sf_dir):
         want = inner.value.mean()
         assert r.n == n
         assert abs(r.trimmed_mean_90 - round(want, 4)) < 1e-2
+
+
+def test_cohort_ltv_monotone_within_cohort(spark, sf_dir):
+    from data_service_spark.registry import QUERIES
+
+    got = QUERIES["k_cohort_ltv"](spark, sf_dir).toPandas()
+    for _, g in got.groupby("cohort"):
+        g = g.sort_values("week_age")
+        assert (g.cum_value.diff().dropna() >= -1e-9).all()
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").toPandas()
+    total = ev[ev.event_type == "purchase"].value.sum()
+    finals = got.sort_values("week_age").groupby("cohort").cum_value.last()
+    assert abs(finals.sum() - round(total, 2)) < 1.0
+
+
+def test_autocorr_bounded_and_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    from data_service_spark.registry import QUERIES
+
+    r = QUERIES["k_autocorr_daily"](spark, sf_dir).collect()[0]
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").toPandas()
+    daily = ev.groupby(ev.ts.dt.normalize()).size().sort_index().to_numpy()
+    mu = daily.mean()
+    den = ((daily - mu) ** 2).sum()
+    a1 = ((daily[1:] - mu) * (daily[:-1] - mu)).sum() / den
+    a7 = ((daily[7:] - mu) * (daily[:-7] - mu)).sum() / den
+    assert abs(r.acf_lag1 - round(a1, 4)) < 1e-3
+    assert abs(r.acf_lag7 - round(a7, 4)) < 1e-3
+
+
+def test_peak_concurrency_matches_bruteforce_daily_expansion(spark, sf_dir):
+    import pandas as pd
+
+    from data_service_spark.registry import QUERIES
+
+    got = QUERIES["k_peak_concurrency"](spark, sf_dir).toPandas()
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").toPandas()
+    ev["d"] = ev.ts.dt.normalize()
+    spans = ev.groupby(["user_id", "event_type"]).d.agg(["min", "max"])
+    days = pd.date_range(ev.d.min(), ev.d.max(), freq="D")
+    counts = {
+        day: int(((spans["min"] <= day) & (day <= spans["max"])).sum())
+        for day in days
+    }
+    m = got.set_index(got.day.astype("datetime64[ns]")).active_spans
+    for day, want in counts.items():
+        if day in m.index:
+            assert m[day] == want
+    peak = got[got.is_peak]
+    assert len(peak) == 1
+    assert peak.iloc[0].active_spans == max(counts.values())
+
+
+def test_event_paths_counts_match_pandas_trigrams(spark, sf_dir):
+    from collections import Counter
+
+    from data_service_spark.registry import QUERIES
+
+    got = QUERIES["k_event_paths"](spark, sf_dir).toPandas()
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").toPandas()
+    c = Counter()
+    for _, g in ev.sort_values(["ts", "event_id"]).groupby("user_id"):
+        ts = list(g.event_type)
+        c.update(zip(ts, ts[1:], ts[2:]))
+    for r in got.itertuples():
+        assert c[(r.e1, r.e2, r.e3)] == r.n
+    assert got.n.iloc[0] == max(c.values())
