@@ -2395,3 +2395,129 @@ def k_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").cast("long").alias("first_doc"),
         F.max("doc_id").cast("long").alias("last_doc"),
     )
+
+
+@register(
+    "k_sample_balanced",
+    oracle="""
+    WITH sized AS (
+      SELECT lang, count(*) AS n FROM documents GROUP BY 1
+    ), target AS (
+      SELECT min(n) AS n_min FROM sized
+    ), ranked AS (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY ('0x' || substr(md5(concat('bal:',
+                          doc_id::VARCHAR)), 1, 8))::BIGINT, doc_id) AS rn
+      FROM documents
+    )
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_kept
+    FROM ranked CROSS JOIN target
+    WHERE rn <= n_min
+    GROUP BY lang
+    """,
+)
+def k_sample_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-BALANCED downsampling: every language keeps exactly
+    min-class-size documents, chosen by salted-hash rank (deterministic
+    "random" order, stable across reruns/engines) — the equal-class
+    training set k_class_weights' loss-reweighting is the alternative
+    to; this one trades data for exact balance.
+
+    Per-class ranks are one keyed window; the target size is a 1-row
+    broadcast. At 100 TB the same hash-rank is a per-class
+    TakeOrdered(n_min) — no global sort. Output is the per-class ledger
+    proving exact balance.
+    """
+    from pyspark.sql.window import Window
+
+    d = load(spark, sf_dir, "documents")
+    target = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).agg(
+        F.min("n").alias("n_min")
+    )
+    h = F.expr(
+        "CAST(conv(substr(md5(concat('bal:', CAST(doc_id AS STRING))), 1, 8),"
+        " 16, 10) AS BIGINT)"
+    )
+    wr = Window.partitionBy("lang").orderBy(h.asc(), F.col("doc_id"))
+    ranked = d.select("doc_id", "lang", F.row_number().over(wr).alias("rn"))
+    return (
+        ranked.crossJoin(F.broadcast(target))
+        .filter(F.col("rn") <= F.col("n_min"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_kept"))
+    )
+
+
+@register(
+    "k_fk_orphans",
+    oracle="""
+    SELECT 'orders.o_custkey -> customer' AS relationship,
+           CAST((SELECT count(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey))
+                AS BIGINT) AS n_orphans,
+           CAST((SELECT count(*) FROM orders) AS BIGINT) AS n_rows
+    UNION ALL
+    SELECT 'lineitem.l_orderkey -> orders',
+           CAST((SELECT count(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
+                AS BIGINT),
+           CAST((SELECT count(*) FROM lineitem) AS BIGINT)
+    UNION ALL
+    SELECT 'events.user_id -> customer',
+           CAST((SELECT count(*) FROM events e
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = e.user_id))
+                AS BIGINT),
+           CAST((SELECT count(*) FROM events) AS BIGINT)
+    """,
+)
+def k_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: orphan counts for the corpus's three
+    foreign-key relationships via LEFT ANTI joins — the data-quality
+    check (k_expectations' relational sibling) that catches broken
+    upstream joins before they silently drop or duplicate rows
+    downstream.
+
+    Each anti join broadcasts the key projection of its dimension side;
+    counts are 1-row aggregates. At 100 TB the fact sides stream
+    partition-parallel against broadcast key sets (or bloom filters for
+    dimensions too big to broadcast — c_join_bloom's machinery).
+    """
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    li = load(spark, sf_dir, "lineitem")
+    e = load(spark, sf_dir, "events")
+
+    def audit(name, fact, dim_keys, cond):
+        orphans = fact.join(F.broadcast(dim_keys), cond, "left_anti").agg(
+            F.count(F.lit(1)).alias("n_orphans")
+        )
+        total = fact.agg(F.count(F.lit(1)).alias("n_rows"))
+        return (
+            orphans.crossJoin(total)
+            .select(
+                F.lit(name).alias("relationship"),
+                F.col("n_orphans").cast("long"),
+                F.col("n_rows").cast("long"),
+            )
+        )
+
+    ck = c.select("c_custkey")
+    ok = o.select("o_orderkey")
+    r1 = audit(
+        "orders.o_custkey -> customer", o, ck,
+        F.col("o_custkey") == F.col("c_custkey"),
+    )
+    r2 = audit(
+        "lineitem.l_orderkey -> orders", li, ok,
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    r3 = audit(
+        "events.user_id -> customer", e, ck,
+        F.col("user_id") == F.col("c_custkey"),
+    )
+    return r1.unionAll(r2).unionAll(r3)

@@ -2165,3 +2165,32 @@ def test_event_paths_counts_match_pandas_trigrams(spark, sf_dir):
     for r in got.itertuples():
         assert c[(r.e1, r.e2, r.e3)] == r.n
     assert got.n.iloc[0] == max(c.values())
+
+
+def test_balanced_sample_all_classes_equal_min(spark, sf_dir):
+    from data_service_spark.registry import QUERIES
+
+    got = QUERIES["k_sample_balanced"](spark, sf_dir).toPandas()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").toPandas()
+    n_min = docs.lang.value_counts().min()
+    assert (got.n_kept == n_min).all()
+    assert set(got.lang) == set(docs.lang)
+
+
+def test_fk_orphans_match_pandas_antijoins(spark, sf_dir):
+    from data_service_spark.registry import QUERIES
+
+    got = dict(
+        (r.relationship, (r.n_orphans, r.n_rows))
+        for r in QUERIES["k_fk_orphans"](spark, sf_dir).collect()
+    )
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").toPandas()
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").toPandas()
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").toPandas()
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").toPandas()
+    assert got["orders.o_custkey -> customer"] == (
+        (~o.o_custkey.isin(c.c_custkey)).sum(), len(o))
+    assert got["lineitem.l_orderkey -> orders"] == (
+        (~li.l_orderkey.isin(o.o_orderkey)).sum(), len(li))
+    assert got["events.user_id -> customer"] == (
+        (~e.user_id.isin(c.c_custkey)).sum(), len(e))
