@@ -160,6 +160,18 @@ SHOWCASE = {
         "two Window nodes sharing the (user_id, ts, event_id) sort order — one Exchange + one Sort total",
         "reset-on-event accumulation stays a windowing problem: no self-join, no recursion, O(1) state per row",
     ),
+    "k_peak_concurrency": (
+        "span aggregate → 2-rows-per-span union → one ordered prefix-sum Window over boundary days",
+        "sweep-line answers interval concurrency WITHOUT per-day interval expansion — delta table is dimension-sized",
+    ),
+    "k_survival_km": (
+        "user-keyed aggregates for spells; risk/survival windows run over day-granular (≤ horizon) rows",
+        "censoring-correct KM needs no per-user timeline expansion — corpus touches two keyed aggregates only",
+    ),
+    "k_fk_orphans": (
+        "three BroadcastHashJoin LeftAnti legs, one per relationship; no shuffle of any fact side",
+        "referential-integrity audits ride broadcast anti-joins — fact tables stream once, dimensions ship as key sets",
+    ),
 }
 
 
