@@ -79,6 +79,7 @@ PRIORITY = [
     "k_eval_langid_confusion", "e_win_vwap", "k_trimmed_mean",
     "k_cohort_ltv", "k_autocorr_daily", "k_peak_concurrency",
     "k_event_paths", "k_sample_balanced", "k_fk_orphans",
+    "k_sim_matryoshka", "k_truncation_loss",
     # e: windows (none recorded in r01)
     "e_win_rank", "e_win_running", "e_win_scd2", "e_win_range_frame",
     "e_win_streak",

@@ -2564,3 +2564,69 @@ def k_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         F.coalesce(F.col("in_corpus"), F.lit(False)).alias("dup_of_corpus"),
     )
+
+
+@register(
+    "k_sim_matryoshka",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    q AS (SELECT v FROM e WHERE vec_id = 0),
+    full_rank AS (
+      SELECT vec_id,
+             row_number() OVER (ORDER BY
+               round(list_inner_product(v, (SELECT v FROM q)), 6) DESC,
+               vec_id) AS r
+      FROM e WHERE vec_id <> 0
+    ), trunc_rank AS (
+      SELECT vec_id,
+             row_number() OVER (ORDER BY
+               round(list_inner_product(list_slice(v, 1, 16),
+                 (SELECT list_slice(v, 1, 16) FROM q)), 6) DESC,
+               vec_id) AS r
+      FROM e WHERE vec_id <> 0
+    )
+    SELECT
+      CAST(count(*) FILTER (WHERE t.r <= 10) AS BIGINT) AS hits_at_10,
+      round(count(*) FILTER (WHERE t.r <= 10) / 10.0, 4) AS recall_at_10,
+      round(avg(t.r - f.r) FILTER (WHERE f.r <= 10), 2) AS avg_rank_shift
+    FROM full_rank f JOIN trunc_rank t USING (vec_id)
+    WHERE f.r <= 10
+    """,
+)
+def k_sim_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncated-dimension retrieval audit (Kusupati et
+    al. 2022): how much of the full-64-dim cosine top-10 survives when
+    ranking uses only the FIRST 16 dimensions — recall@10 plus the mean
+    rank shift of the true neighbours. The budgeting question behind
+    serving truncated embeddings (4× memory/bandwidth cut) before
+    committing the index to it.
+
+    Two ranking passes over broadcast-query dot products (the truncated
+    one reads a 16-element slice — at scale, a separate 4×-smaller
+    column); the audit join touches only the two top-k frames' union.
+    """
+    emb = _emb(spark, sf_dir).select("vec_id", "v")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("v").alias("qv"),
+        F.expr("slice(v, 1, 16)").alias("qv16"),
+    )
+    base = emb.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(q))
+    simf = dot(F.col("v"), F.col("qv"))
+    simt = dot(F.expr("slice(v, 1, 16)"), F.col("qv16"))
+    wf = Window.orderBy(F.round(simf, 6).desc(), F.col("vec_id"))
+    wt = Window.orderBy(F.round(simt, 6).desc(), F.col("vec_id"))
+    fr = base.select("vec_id", F.row_number().over(wf).alias("fr"))
+    tr = base.select("vec_id", F.row_number().over(wt).alias("tr"))
+    j = fr.join(tr, "vec_id").filter(F.col("fr") <= 10)
+    return j.agg(
+        F.count(F.when(F.col("tr") <= 10, 1)).cast("long").alias(
+            "hits_at_10"
+        ),
+        F.round(F.count(F.when(F.col("tr") <= 10, 1)) / 10.0, 4).alias(
+            "recall_at_10"
+        ),
+        F.round(F.avg(F.col("tr") - F.col("fr")), 2).alias(
+            "avg_rank_shift"
+        ),
+    )

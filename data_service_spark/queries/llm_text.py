@@ -1227,3 +1227,44 @@ def k_query_expansion_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("prf_score").desc(), "term")
         .limit(10)
     )
+
+
+@register(
+    "k_truncation_loss",
+    oracle="""
+    WITH d AS (
+      SELECT source, len(string_split(text, ' ')) AS n_tok FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (WHERE n_tok > 32) AS BIGINT) AS n_truncated,
+           CAST(sum(CASE WHEN n_tok > 32 THEN n_tok - 32 ELSE 0 END)
+                AS BIGINT) AS tokens_lost,
+           round(sum(CASE WHEN n_tok > 32 THEN n_tok - 32 ELSE 0 END)
+                 * 1.0 / sum(n_tok), 4) AS loss_ratio
+    FROM d GROUP BY source
+    """,
+)
+def k_truncation_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncation-loss audit at a 32-token context limit, per source: how
+    many documents overflow and what fraction of their token mass a
+    hard-truncating loader would silently discard — the number that
+    decides between truncation, chunking (k_chunk_rag), and packing
+    (k_pack_sequences) per source. Sources with high loss_ratio need the
+    chunker; low-loss sources can truncate for free.
+
+    One map-side-combined groupBy over a scan-stage token count; exact
+    integer token arithmetic.
+    """
+    d = load(spark, sf_dir, "documents")
+    n_tok = F.size(F.split("text", " "))
+    b = d.select("source", n_tok.alias("n_tok"))
+    lost = F.when(F.col("n_tok") > 32, F.col("n_tok") - 32).otherwise(0)
+    return b.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count(F.when(F.col("n_tok") > 32, 1)).cast("long").alias(
+            "n_truncated"
+        ),
+        F.sum(lost).cast("long").alias("tokens_lost"),
+        F.round(F.sum(lost) * 1.0 / F.sum("n_tok"), 4).alias("loss_ratio"),
+    )

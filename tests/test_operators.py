@@ -2194,3 +2194,38 @@ def test_fk_orphans_match_pandas_antijoins(spark, sf_dir):
         (~li.l_orderkey.isin(o.o_orderkey)).sum(), len(li))
     assert got["events.user_id -> customer"] == (
         (~e.user_id.isin(c.c_custkey)).sum(), len(e))
+
+
+def test_matryoshka_recall_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    from data_service_spark.registry import QUERIES
+
+    r = QUERIES["k_sim_matryoshka"](spark, sf_dir).collect()[0]
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").toPandas()
+    mat = np.array([np.array(v, dtype=np.float64) for v in emb.embedding])
+    ids = emb.vec_id.to_numpy()
+    q = mat[ids == 0][0]
+
+    def topk(m, qq, k=10):
+        sims = m @ qq
+        order = [i for i in np.lexsort((ids, -np.round(sims, 6))) if ids[i] != 0]
+        return [ids[i] for i in order[:k]]
+
+    full10 = set(topk(mat, q))
+    trunc10 = set(topk(mat[:, :16], q[:16]))
+    assert r.hits_at_10 == len(full10 & trunc10)
+    assert abs(r.recall_at_10 - round(len(full10 & trunc10) / 10, 4)) < 1e-9
+
+
+def test_truncation_loss_conserves_tokens(spark, sf_dir):
+    from data_service_spark.registry import QUERIES
+
+    got = QUERIES["k_truncation_loss"](spark, sf_dir).toPandas()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").toPandas()
+    docs["n_tok"] = docs.text.str.split(" ").str.len()
+    for r in got.itertuples():
+        g = docs[docs.source == r.source]
+        assert r.n_docs == len(g)
+        assert r.n_truncated == (g.n_tok > 32).sum()
+        assert r.tokens_lost == (g.n_tok[g.n_tok > 32] - 32).sum()
