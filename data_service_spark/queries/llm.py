@@ -2630,3 +2630,39 @@ def k_sim_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_rank_shift"
         ),
     )
+
+
+@register(
+    "k_dup_family_sizes",
+    oracle=f"""
+    WITH labels AS ({_ORACLES["k_dedup_clusters"]}),
+    fam AS (
+      SELECT cluster_id, count(*) AS family_size
+      FROM labels GROUP BY cluster_id
+    )
+    SELECT family_size, CAST(count(*) AS BIGINT) AS n_families,
+           CAST(family_size * count(*) AS BIGINT) AS n_docs
+    FROM fam GROUP BY family_size
+    """,
+)
+def k_dup_family_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-family size distribution: how many near-dup clusters
+    exist at each size, and how many documents they hold — the shape
+    report that distinguishes benign pairwise duplication (families of
+    2) from template explosions (one family of 10k), which need
+    different remediation (drop-one vs drop-source).
+
+    Composes the session-memoized CC labels (the clustering pays once
+    per session); both rollups are dimension-sized. The oracle chains
+    the registered recursive-CTE clustering.
+    """
+    labels = k_dedup_clusters(spark, sf_dir)
+    fam = labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("family_size")
+    )
+    return fam.groupBy("family_size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_families"),
+        (F.col("family_size") * F.count(F.lit(1))).cast("long").alias(
+            "n_docs"
+        ),
+    )

@@ -193,3 +193,52 @@ def k_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             "trimmed_mean_90"
         ),
     )
+
+
+@register(
+    "k_interarrival",
+    oracle="""
+    WITH gaps AS (
+      SELECT event_type,
+             date_diff('microsecond',
+                       lag(ts) OVER (PARTITION BY event_type
+                                     ORDER BY ts, event_id),
+                       ts) AS gap_us
+      FROM events
+    )
+    SELECT event_type,
+           CAST(count(gap_us) AS BIGINT) AS n_gaps,
+           round(quantile_cont(gap_us, 0.5) / 1e6, 2) AS p50_s,
+           round(quantile_cont(gap_us, 0.99) / 1e6, 2) AS p99_s,
+           round(avg(gap_us) / 1e6, 2) AS mean_s
+    FROM gaps WHERE gap_us IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def k_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interarrival-time profile per event type (median / p99 / mean gap
+    in seconds): the throughput-stability fingerprint — a p99 far above
+    the median means bursty arrival (batch-flush upstream), a mean far
+    above the median means stalls; feeds capacity models and the
+    watermark-delay choice for the streaming twins.
+
+    One keyed window lag (O(1) state), gaps as exact integer
+    MICROSECONDS (the k_conversion_lag lesson — second-granularity
+    diffs diverge across engines), percentiles interpolated over
+    identical integers.
+    """
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    gaps = e.select(
+        "event_type",
+        F.expr(
+            "timestampdiff(MICROSECOND, lag(ts) OVER "
+            "(PARTITION BY event_type ORDER BY ts, event_id), ts)"
+        ).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    return gaps.groupBy("event_type").agg(
+        F.count("gap_us").cast("long").alias("n_gaps"),
+        F.round(F.expr("percentile(gap_us, 0.5)") / 1e6, 2).alias("p50_s"),
+        F.round(F.expr("percentile(gap_us, 0.99)") / 1e6, 2).alias("p99_s"),
+        F.round(F.avg("gap_us") / 1e6, 2).alias("mean_s"),
+    )

@@ -781,3 +781,50 @@ def e_win_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("w8").over(w)
         ).cast("long").alias("wavg_cents"),
     )
+
+
+@register(
+    "e_win_drawdown",
+    oracle="""
+    WITH seq AS (
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             max(CAST(round(o_totalprice * 100) AS BIGINT))
+               OVER (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey) AS peak_cents
+      FROM orders
+    )
+    SELECT o_custkey, o_orderkey, cents, peak_cents,
+           round(1.0 - cents * 1.0 / peak_cents, 4) AS drawdown
+    FROM seq
+    """,
+)
+def e_win_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running drawdown per customer: each order's price relative to that
+    customer's running-maximum order price (1 − x/peak) — the
+    finance-style "distance from high-water mark" window, and in ops the
+    per-key degradation signal ("this feed's batch sizes are 60% off
+    their peak"). A running max is the one O(1)-state window even easier
+    than a sum — no retraction, monotone merge.
+
+    Prices enter as exact integer cents (the e_win_vwap lesson: float
+    window accumulation orders differ across engines); the single ratio
+    divides bit-identical integers before the 4dp round.
+    """
+    o = load(spark, sf_dir, "orders").withColumn(
+        "cents", F.round(F.col("o_totalprice") * 100).cast("long")
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "cents",
+        F.max("cents").over(w).alias("peak_cents"),
+        F.round(
+            1.0 - F.col("cents") * 1.0 / F.max("cents").over(w), 4
+        ).alias("drawdown"),
+    )

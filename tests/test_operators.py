@@ -2229,3 +2229,48 @@ def test_truncation_loss_conserves_tokens(spark, sf_dir):
         assert r.n_docs == len(g)
         assert r.n_truncated == (g.n_tok > 32).sum()
         assert r.tokens_lost == (g.n_tok[g.n_tok > 32] - 32).sum()
+
+
+def test_drawdown_zero_at_peaks_and_bounded(spark, sf_dir):
+    from data_service_spark.registry import QUERIES
+
+    got = QUERIES["e_win_drawdown"](spark, sf_dir).toPandas()
+    assert got.drawdown.between(0, 1).all()
+    assert (got.cents <= got.peak_cents).all()
+    at_peak = got[got.cents == got.peak_cents]
+    assert (at_peak.drawdown == 0.0).all()
+    one = got[got.o_custkey == got.o_custkey.iloc[0]]
+    assert one.peak_cents.is_monotonic_increasing is False or True  # sorted?
+    # peak is running max when re-sorted by the window order
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").toPandas()
+    m = got.merge(orders, on="o_orderkey").sort_values(
+        ["o_custkey_x", "o_orderdate", "o_orderkey"]
+    )
+    for _, g in m.groupby("o_custkey_x"):
+        assert (g.peak_cents == g.cents.cummax()).all()
+
+
+def test_dup_family_sizes_account_for_every_doc(spark, sf_dir):
+    from data_service_spark.registry import QUERIES
+
+    got = QUERIES["k_dup_family_sizes"](spark, sf_dir).toPandas()
+    labels = QUERIES["k_dedup_clusters"](spark, sf_dir).toPandas()
+    assert got.n_docs.sum() == len(labels)
+    sizes = labels.groupby("cluster_id").size().value_counts()
+    for r in got.itertuples():
+        assert sizes[r.family_size] == r.n_families
+
+
+def test_interarrival_matches_pandas_quantiles(spark, sf_dir):
+    import numpy as np
+
+    from data_service_spark.registry import QUERIES
+
+    got = QUERIES["k_interarrival"](spark, sf_dir).toPandas()
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").toPandas()
+    for r in got.itertuples():
+        g = ev[ev.event_type == r.event_type].sort_values(["ts", "event_id"])
+        gaps = g.ts.diff().dropna().dt.total_seconds() * 1e6
+        assert r.n_gaps == len(gaps)
+        assert abs(r.p50_s - round(np.percentile(gaps, 50) / 1e6, 2)) < 0.05
+        assert abs(r.mean_s - round(gaps.mean() / 1e6, 2)) < 0.05

@@ -109,6 +109,7 @@ k_eval_langid_confusion e_win_vwap k_trimmed_mean
 k_cohort_ltv k_autocorr_daily k_peak_concurrency k_event_paths
 k_sample_balanced k_fk_orphans
 k_sim_matryoshka k_truncation_loss
+e_win_drawdown k_dup_family_sizes k_interarrival
 """.split()
 
 
