@@ -81,6 +81,7 @@ PRIORITY = [
     "k_event_paths", "k_sample_balanced", "k_fk_orphans",
     "k_sim_matryoshka", "k_truncation_loss",
     "e_win_drawdown", "k_dup_family_sizes", "k_interarrival",
+    "k_dedup_canonical_best", "k_sim_hamming", "k_target_encoding",
     # e: windows (none recorded in r01)
     "e_win_rank", "e_win_running", "e_win_scd2", "e_win_range_frame",
     "e_win_streak",

@@ -2666,3 +2666,147 @@ def k_dup_family_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_docs"
         ),
     )
+
+
+@register(
+    "k_dedup_canonical_best",
+    oracle=f"""
+    WITH labels AS ({_ORACLES["k_dedup_clusters"]}),
+    scored AS (
+      SELECT doc_id,
+             CAST(floor(1.0 / (1.0 + exp(-(-8.0
+               + 1.6 * ln(1 + n_chars)
+               + 0.5 * ((n_chars - len(string_split(text, ' ')) + 1)
+                        * 1.0 / len(string_split(text, ' ')))
+               - 4.0 * ((n_chars - length(regexp_replace(text, '[0-9]', '',
+                                                         'g')))
+                        * 1.0 / n_chars)))) * 1e6) AS BIGINT) AS score_q
+      FROM documents
+    )
+    SELECT l.cluster_id,
+           CAST(count(*) AS BIGINT) AS family_size,
+           CAST(max_by(l.doc_id,
+                       s.score_q * 10000000 + (9999999 - l.doc_id))
+                AS BIGINT) AS canonical_doc
+    FROM labels l JOIN scored s USING (doc_id)
+    GROUP BY l.cluster_id
+    """,
+)
+def k_dedup_canonical_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonicalization: per near-dup family, KEEP THE BEST
+    document (argmax quality score, lowest doc_id on ties) instead of the
+    arbitrary min-id representative — the difference between deduping a
+    corpus and UPGRADING it (families often contain one clean copy and
+    several mangled ones; min-id keeps whichever crawled first).
+
+    Composes the memoized CC labels with the registered quality scorer;
+    the argmax is a single max_by aggregate over the family key, with
+    the (score, -doc_id) tie ladder packed into one exact BIGINT ordinal
+    (DuckDB's max_by takes no struct keys).
+    """
+    from data_service_spark.registry import QUERIES
+
+    labels = k_dedup_clusters(spark, sf_dir)
+    scored = QUERIES["k_quality_logreg"](spark, sf_dir).select(
+        "doc_id", "score_q"
+    )
+    j = labels.join(scored, "doc_id")
+    return j.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("family_size"),
+        F.expr("max_by(doc_id, score_q * 10000000 + (9999999 - doc_id))")
+        .cast("long")
+        .alias("canonical_doc"),
+    )
+
+
+@register(
+    "k_sim_hamming",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    sig AS (
+      SELECT vec_id,
+             list_sum(list_transform(generate_series(1, 64),
+               i -> CASE WHEN v[i] > 0
+                    THEN CAST(pow(2, (i - 1) % 62) AS BIGINT) ELSE 0 END))
+               AS h
+      FROM e
+    ), q AS (SELECT h AS qh, (SELECT v FROM e WHERE vec_id = 0) AS qv
+             FROM sig WHERE vec_id = 0),
+    ranked AS (
+      SELECT s.vec_id,
+             row_number() OVER (ORDER BY bit_count(xor(s.h, q.qh)), s.vec_id)
+               AS hr
+      FROM sig s CROSS JOIN q WHERE s.vec_id <> 0
+    ), exact AS (
+      SELECT e.vec_id,
+             row_number() OVER (ORDER BY
+               round(list_inner_product(e.v, (SELECT qv FROM q)), 6) DESC,
+               e.vec_id) AS er
+      FROM e WHERE e.vec_id <> 0
+    )
+    SELECT CAST(count(*) FILTER (WHERE r.hr <= 30) AS BIGINT) AS hits_in_30,
+           round(count(*) FILTER (WHERE r.hr <= 30) / 10.0, 4)
+             AS recall_10_at_30
+    FROM exact x JOIN ranked r USING (vec_id)
+    WHERE x.er <= 10
+    """,
+)
+def k_sim_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-bit Hamming retrieval audit: each vector compresses to a
+    64-bit sign signature (1 bit/dim — 512× smaller than float64); the
+    query ranks by Hamming distance via bit_count(xor), and the audit
+    reports how much of the exact cosine top-10 a 30-candidate Hamming
+    shortlist recovers — the cheapest possible first-stage filter
+    (Charikar 2002 sign-LSH collapsed to one word), sitting below even
+    PQ (k_sim_pq) on the accuracy/cost curve.
+
+    Signatures pack dims into one BIGINT with overflow-safe modular bit
+    positions (62 used); signature build is a zero-shuffle projection,
+    distance is two ALU ops per candidate. Exact integer Hamming ranks
+    with id tiebreaks.
+    """
+    emb = _emb(spark, sf_dir).select("vec_id", "v")
+    sig = emb.select(
+        "vec_id",
+        F.expr(
+            "aggregate(transform(sequence(1, 64), i -> CASE WHEN v[i-1] > 0"
+            " THEN CAST(pow(2, (i - 1) % 62) AS BIGINT) ELSE 0L END),"
+            " 0L, (acc, x) -> acc + x)"
+        ).alias("h"),
+    )
+    q = (
+        sig.filter(F.col("vec_id") == 0)
+        .crossJoin(
+            emb.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+        )
+        .select(F.col("h").alias("qh"), "qv")
+    )
+    wh = Window.orderBy(
+        F.expr("bit_count(h ^ qh)"), F.col("vec_id")
+    )
+    ranked = (
+        sig.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", F.row_number().over(wh).alias("hr"))
+    )
+    we = Window.orderBy(
+        F.round(dot(F.col("v"), F.col("qv")), 6).desc(), F.col("vec_id")
+    )
+    exact = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q.select("qv")))
+        .select("vec_id", F.row_number().over(we).alias("er"))
+    )
+    return (
+        exact.filter(F.col("er") <= 10)
+        .join(ranked, "vec_id")
+        .agg(
+            F.count(F.when(F.col("hr") <= 30, 1)).cast("long").alias(
+                "hits_in_30"
+            ),
+            F.round(
+                F.count(F.when(F.col("hr") <= 30, 1)) / 10.0, 4
+            ).alias("recall_10_at_30"),
+        )
+    )

@@ -2521,3 +2521,52 @@ def k_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id") == F.col("c_custkey"),
     )
     return r1.unionAll(r2).unionAll(r3)
+
+
+@register(
+    "k_target_encoding",
+    oracle="""
+    WITH lab AS (
+      SELECT source, CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+      FROM documents
+    ), prior AS (SELECT avg(y) AS p FROM lab)
+    SELECT source, CAST(count(*) AS BIGINT) AS n,
+           round(avg(y), 4) AS raw_rate,
+           round((count(*) * avg(y) + 20 * max(prior.p))
+                 / (count(*) + 20), 4) AS encoded
+    FROM lab CROSS JOIN prior
+    GROUP BY source
+    """,
+)
+def k_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed target (mean) encoding of the `source` categorical
+    against the lang='en' label: encoded = (n·rate + m·prior)/(n + m)
+    with m=20 pseudo-observations (Micci-Barreca 2001) — the
+    high-cardinality categorical featurizer that raw one-hot can't
+    scale to, with the shrinkage that stops rare categories from
+    memorizing the label.
+
+    One grouped aggregate plus a broadcast 1-row prior; exact integer
+    counts drive the shrinkage blend. (Leakage-correct training uses the
+    k_group_kfold folds to encode each fold from the others — same
+    aggregate per fold.)
+    """
+    d = load(spark, sf_dir, "documents")
+    lab = d.select(
+        "source",
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+    )
+    prior = lab.agg(F.avg("y").alias("p"))
+    return (
+        lab.crossJoin(F.broadcast(prior))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.avg("y"), 4).alias("raw_rate"),
+            F.round(
+                (F.count(F.lit(1)) * F.avg("y") + 20 * F.max("p"))
+                / (F.count(F.lit(1)) + 20),
+                4,
+            ).alias("encoded"),
+        )
+    )

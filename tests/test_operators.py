@@ -2274,3 +2274,40 @@ def test_interarrival_matches_pandas_quantiles(spark, sf_dir):
         assert r.n_gaps == len(gaps)
         assert abs(r.p50_s - round(np.percentile(gaps, 50) / 1e6, 2)) < 0.05
         assert abs(r.mean_s - round(gaps.mean() / 1e6, 2)) < 0.05
+
+
+def test_canonical_best_picks_highest_quality_in_family(spark, sf_dir):
+    from data_service_spark.registry import QUERIES
+
+    got = QUERIES["k_dedup_canonical_best"](spark, sf_dir).toPandas()
+    labels = QUERIES["k_dedup_clusters"](spark, sf_dir).toPandas()
+    scores = QUERIES["k_quality_logreg"](spark, sf_dir).toPandas().set_index(
+        "doc_id"
+    ).score_q
+    fams = labels.groupby("cluster_id").doc_id.agg(list)
+    for r in got.itertuples():
+        members = fams[r.cluster_id]
+        assert r.family_size == len(members)
+        best = sorted(members, key=lambda d: (-scores[d], d))[0]
+        assert r.canonical_doc == best
+
+
+def test_hamming_shortlist_recall_reasonable_and_exact_at_self(spark, sf_dir):
+    from data_service_spark.registry import QUERIES
+
+    r = QUERIES["k_sim_hamming"](spark, sf_dir).collect()[0]
+    assert 0.0 <= r.recall_10_at_30 <= 1.0
+    assert r.hits_in_30 >= 1  # 1-bit signatures recover a nonzero fraction
+
+
+def test_target_encoding_shrinks_toward_prior(spark, sf_dir):
+    from data_service_spark.registry import QUERIES
+
+    got = QUERIES["k_target_encoding"](spark, sf_dir).toPandas()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").toPandas()
+    prior = (docs.lang == "en").mean()
+    for r in got.itertuples():
+        lo, hi = sorted((r.raw_rate, round(prior, 4)))
+        assert lo - 1e-3 <= r.encoded <= hi + 1e-3
+        want = (r.n * r.raw_rate + 20 * prior) / (r.n + 20)
+        assert abs(r.encoded - round(want, 4)) < 1e-2

@@ -110,6 +110,7 @@ k_cohort_ltv k_autocorr_daily k_peak_concurrency k_event_paths
 k_sample_balanced k_fk_orphans
 k_sim_matryoshka k_truncation_loss
 e_win_drawdown k_dup_family_sizes k_interarrival
+k_dedup_canonical_best k_sim_hamming k_target_encoding
 """.split()
 
 
