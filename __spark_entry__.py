@@ -82,6 +82,7 @@ PRIORITY = [
     "k_sim_matryoshka", "k_truncation_loss",
     "e_win_drawdown", "k_dup_family_sizes", "k_interarrival",
     "k_dedup_canonical_best", "k_sim_hamming", "k_target_encoding",
+    "k_chi2_terms", "k_eval_kappa",
     # e: windows (none recorded in r01)
     "e_win_rank", "e_win_running", "e_win_scd2", "e_win_range_frame",
     "e_win_streak",

@@ -484,3 +484,82 @@ def k_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+# ------------------------------------------- chi-square feature select ----
+
+
+@register(
+    "k_chi2_terms",
+    oracle="""
+    WITH pres AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ), lab AS (
+      SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM documents
+    ), tot AS (
+      SELECT count(*) AS n, sum(y) AS n_pos FROM lab
+    ), cell AS (
+      SELECT p.term,
+             count(*) AS df,
+             sum(l.y) AS a
+      FROM pres p JOIN lab l USING (doc_id)
+      GROUP BY p.term
+    )
+    SELECT term, CAST(df AS BIGINT) AS df,
+           round(t.n * 1.0
+                 * pow(a * (t.n - df - (t.n_pos - a)) 
+                       - (df - a) * (t.n_pos - a), 2)
+                 / (df * (t.n - df) * t.n_pos * (t.n - t.n_pos)), 4)
+             AS chi2
+    FROM cell CROSS JOIN tot t
+    ORDER BY round(t.n * 1.0
+                 * pow(a * (t.n - df - (t.n_pos - a))
+                       - (df - a) * (t.n_pos - a), 2)
+                 / (df * (t.n - df) * t.n_pos * (t.n - t.n_pos)), 4) DESC,
+             term
+    LIMIT 20
+    """,
+)
+def k_chi2_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """χ² feature selection: the 20 terms whose document presence is most
+    dependent on the lang='en' label, by the 2×2 chi-square statistic
+    χ² = n(ad−bc)²/((a+b)(c+d)(a+c)(b+d)) — the classic pre-neural
+    discriminative-vocabulary selector (Yang & Pedersen 1997), and in a
+    curation stack the "which tokens leak the label" audit run before
+    training a fairness-sensitive classifier.
+
+    Presence dedup → one vocabulary-keyed aggregate carrying two integer
+    cells per term (the other two derive from the broadcast totals); the
+    statistic is exact-integer arithmetic into one division, ranked on
+    the 4dp round with term tiebreaks.
+    """
+    d = load(spark, sf_dir, "documents")
+    pres = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).distinct()
+    lab = d.select(
+        "doc_id", F.when(F.col("lang") == "en", 1).otherwise(0).alias("y")
+    )
+    tot = lab.agg(F.count(F.lit(1)).alias("n"), F.sum("y").alias("n_pos"))
+    cell = (
+        pres.join(lab, "doc_id")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"), F.sum("y").alias("a"))
+    )
+    n, np_, df_, a = (F.col(c) for c in ["n", "n_pos", "df", "a"])
+    b = df_ - a
+    c = np_ - a
+    dd = n - df_ - c
+    chi2 = F.round(
+        n * 1.0 * F.pow(a * dd - b * c, 2)
+        / (df_ * (n - df_) * np_ * (n - np_)),
+        4,
+    )
+    return (
+        cell.crossJoin(F.broadcast(tot))
+        .select("term", df_.cast("long").alias("df"), chi2.alias("chi2"))
+        .orderBy(F.col("chi2").desc(), "term")
+        .limit(20)
+    )

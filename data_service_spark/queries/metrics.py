@@ -1023,3 +1023,81 @@ def k_eval_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "row_rate"
         ),
     )
+
+
+# ----------------------------------------------------- Cohen's kappa ----
+
+
+@register(
+    "k_eval_kappa",
+    oracle=f"""
+    WITH pred AS ({_REG_ORACLES.get("k_text_langid", "SELECT 1")}),
+    cells AS (
+      SELECT lang_meta, pred_lang, count(*) AS n
+      FROM pred GROUP BY 1, 2
+    ), tot AS (SELECT sum(n) AS n FROM cells),
+    po AS (
+      SELECT sum(n) * 1.0 / (SELECT n FROM tot) AS po
+      FROM cells WHERE lang_meta = pred_lang
+    ), marg AS (
+      SELECT sum(r.rn * c.cn) * 1.0 / ((SELECT n FROM tot)
+                                       * (SELECT n FROM tot)) AS pe
+      FROM (SELECT lang_meta AS k, sum(n) AS rn FROM cells GROUP BY 1) r
+      JOIN (SELECT pred_lang AS k, sum(n) AS cn FROM cells GROUP BY 1) c
+        USING (k)
+    )
+    SELECT round(po.po, 4) AS p_observed,
+           round(marg.pe, 4) AS p_expected,
+           round((po.po - marg.pe) / (1 - marg.pe), 4) AS kappa
+    FROM po CROSS JOIN marg
+    """,
+)
+def k_eval_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the language identifier and the ground-truth
+    label: chance-corrected agreement κ = (p_o − p_e)/(1 − p_e), where
+    p_e comes from the marginal products — the honesty check on raw
+    accuracy when one class dominates (a majority-class predictor gets
+    high p_o but κ ≈ 0; k_eval_langid_confusion shows WHERE it fails,
+    kappa says WHETHER it beats chance at all).
+
+    Composes the registered langid plan; the kappa arithmetic runs over
+    the |langs|² confusion cells and two marginal vectors — integer
+    counts into three final ratios.
+    """
+    from data_service_spark.registry import QUERIES
+
+    pred = QUERIES["k_text_langid"](spark, sf_dir)
+    cells = pred.groupBy("lang_meta", "pred_lang").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = cells.agg(F.sum("n").alias("nt"))
+    po = (
+        cells.filter(F.col("lang_meta") == F.col("pred_lang"))
+        .agg(F.sum("n").alias("agree"))
+        .crossJoin(F.broadcast(tot))
+        .select((F.col("agree") * 1.0 / F.col("nt")).alias("po"))
+    )
+    r = cells.groupBy("lang_meta").agg(F.sum("n").alias("rn")).select(
+        F.col("lang_meta").alias("k"), "rn"
+    )
+    c = cells.groupBy("pred_lang").agg(F.sum("n").alias("cn")).select(
+        F.col("pred_lang").alias("k"), "cn"
+    )
+    pe = (
+        r.join(c, "k")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            (
+                F.sum(F.col("rn") * F.col("cn"))
+                * 1.0
+                / (F.max("nt") * F.max("nt"))
+            ).alias("pe")
+        )
+    )
+    return po.crossJoin(pe).select(
+        F.round("po", 4).alias("p_observed"),
+        F.round("pe", 4).alias("p_expected"),
+        F.round((F.col("po") - F.col("pe")) / (1 - F.col("pe")), 4).alias(
+            "kappa"
+        ),
+    )

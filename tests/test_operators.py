@@ -2311,3 +2311,34 @@ def test_target_encoding_shrinks_toward_prior(spark, sf_dir):
         assert lo - 1e-3 <= r.encoded <= hi + 1e-3
         want = (r.n * r.raw_rate + 20 * prior) / (r.n + 20)
         assert abs(r.encoded - round(want, 4)) < 1e-2
+
+
+def test_chi2_matches_scipy_style_contingency(spark, sf_dir):
+    from data_service_spark.registry import QUERIES
+
+    got = QUERIES["k_chi2_terms"](spark, sf_dir).toPandas()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").toPandas()
+    n = len(docs)
+    en = docs.lang == "en"
+    for r in got.itertuples():
+        has = docs.text.map(lambda t: r.term in t.split(" "))
+        a = int((has & en).sum())
+        b = int((has & ~en).sum())
+        c = int((~has & en).sum())
+        d = int((~has & ~en).sum())
+        want = n * (a * d - b * c) ** 2 / ((a + b) * (c + d) * (a + c) * (b + d))
+        assert r.df == a + b
+        assert abs(r.chi2 - round(want, 4)) < 1e-6
+    assert (got.chi2.diff().dropna() <= 1e-9).all()
+
+
+def test_kappa_identity_and_range(spark, sf_dir):
+    from data_service_spark.registry import QUERIES
+
+    r = QUERIES["k_eval_kappa"](spark, sf_dir).collect()[0]
+    assert -1.0 <= r.kappa <= 1.0
+    want = (r.p_observed - r.p_expected) / (1 - r.p_expected)
+    assert abs(r.kappa - round(want, 4)) < 1e-2
+    conf = QUERIES["k_eval_langid_confusion"](spark, sf_dir).toPandas()
+    po = conf[conf.true_lang == conf.pred_lang].n.sum() / conf.n.sum()
+    assert abs(r.p_observed - round(po, 4)) < 1e-6
