@@ -33,81 +33,62 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness pass is BOUNDED (~50 keys) and records the
-# FIRST entries of queries() in insertion order. CORRECTNESS_r01.json
-# already holds green verdicts for the alphabetically-first 50 keys
-# (all of a/b/c and most of d), so this round ROTATES: every key below
-# is one r01 did NOT record, ordered flagship-first — cumulative judged
-# coverage grows ~50 keys per round instead of re-proving the same set.
+# FIRST entries of queries() in insertion order. Rounds 1+2 recorded 100
+# distinct keys (r01: alphabetical a/b/c/d; r02: the k_ flagships + late
+# stragglers). Round 3 ROTATES to the §2 normative core the driver has
+# never seen: the e/f/g/h/i/j window/sort/setop/scalar/streaming/UDF
+# surface plus recursive CTE and the deepest TPC-H trees — cumulative
+# judged coverage grows ~50 keys per round instead of re-proving a set.
 PRIORITY = [
-    # k: LLM/training-pipeline flagships (the north-star ops)
-    "k_dedup_exact", "k_dedup_minhash_sql", "k_dedup_near",
-    "k_dedup_simhash", "k_dedup_embedding", "k_dedup_levenshtein",
-    "k_sim_topk", "k_sim_ann_sql", "k_sim_ivf", "k_graph_pagerank",
-    "k_sample_stratified", "k_split_train_test", "k_text_tfidf",
-    "k_text_pii_redact", "k_text_contamination", "k_pack_sequences",
-    "k_chunk_rag", "k_dpo_pairs", "k_text_entropy",
-    "k_multimodal_features", "k_eval_ann_recall",
-    # round-2b flagships (paper-grounded dedup/eval + sketches) — in the
-    # bounded window so THIS round's correctness pass records them
-    "k_dedup_semantic", "k_dedup_spans", "k_eval_lsh_calibration",
-    "k_eval_heldout_ppl", "k_filter_gate", "k_mix_epochs",
-    "k_sample_temperature", "k_text_novelty", "d_agg_theta_sets",
-    "d_agg_countmin", "e_win_interpolate", "e_win_rolling_median",
-    "k_rank_fusion", "k_coreset_kcenter", "i_session_dynamic_gap",
-    "k_drift_psi", "k_ab_ztest", "k_eval_cluster_purity",
-    "d_agg_funnel_window", "k_attribution_last_touch", "k_pipeline_e2e",
-    "c_join_asof_forward", "k_event_transitions", "f_keyset_page",
-    # round-2c flagships: offline-eval metrics over registered pipelines
-    "k_eval_auc", "k_eval_ndcg", "k_eval_calibration",
-    "k_text_zipf", "k_text_collocations", "k_text_burstiness",
-    "k_changepoint_cusum", "k_anomaly_mad", "c_join_overlap",
-    "k_sim_pq", "k_sim_pq_rerank", "k_rag_mmr",
-    "k_text_hashing_trick", "k_eval_regression",
-    "d_agg_moments", "e_win_reset_sum", "k_anonymize_ldiv",
-    "k_bpe_apply", "k_graph_jaccard", "k_text_compressibility",
-    "d_agg_corr_matrix", "k_dedup_incremental", "c_merge_cdc",
-    "k_batch_padding_waste", "k_active_margin", "k_embed_drift",
-    "k_tail_hill", "k_gini_sources", "c_join_asof_nearest",
-    "k_group_kfold", "k_query_expansion_prf", "e_win_zscore_rolling",
-    "c_join_pit", "c_join_cardinality_est", "d_agg_histogram_equiheight",
-    "k_eval_ks_test", "k_ab_sprt", "k_eval_brier",
-    "k_learning_curve", "k_dataset_diff", "k_conversion_lag",
-    "k_rank_spearman", "k_jackknife_se",
-    "k_eval_interleave", "k_assoc_rules",
-    "d_agg_weighted_median", "k_survival_km",
-    "k_threshold_sweep", "k_threshold_youden", "k_shard_plan",
-    "k_eval_langid_confusion", "e_win_vwap", "k_trimmed_mean",
-    "k_cohort_ltv", "k_autocorr_daily", "k_peak_concurrency",
-    "k_event_paths", "k_sample_balanced", "k_fk_orphans",
-    "k_sim_matryoshka", "k_truncation_loss",
-    "e_win_drawdown", "k_dup_family_sizes", "k_interarrival",
-    "k_dedup_canonical_best", "k_sim_hamming", "k_target_encoding",
-    "k_chi2_terms", "k_eval_kappa",
-    # e: windows (none recorded in r01)
-    "e_win_rank", "e_win_running", "e_win_scd2", "e_win_range_frame",
-    "e_win_streak",
-    # f/g: sort/limit + set ops
-    "f_topk_per_group", "f_sort_verify", "g_except", "g_symmetric_diff",
-    # h: scalar surface incl. the Spark-4 VARIANT path
-    "h_explode", "h_array_higher_order", "h_variant", "h_url_funcs",
-    "h_json_build", "h_format_funcs",
-    # i: streaming (batch-equivalent oracles)
-    "i_tumbling", "i_session", "i_watermark_late", "i_stream_join",
-    "i_window_chain", "i_gap_fill", "i_stateful_sessions",
-    # j: UDF/UDTF surface incl. the inlined SQL UDF
-    "j_grouped_map", "j_udtf", "j_cogroup", "j_pandas_udaf", "j_sql_udf",
+    # e: window functions (zero CORRECTNESS rows through r02)
+    "e_win_rank", "e_win_lag_lead", "e_win_running", "e_win_sliding_rows",
+    "e_win_range_frame", "e_win_distribution", "e_win_first_last",
+    # f: sort / top-k / pagination
+    "f_sort_verify", "f_topk", "f_topk_per_group", "f_offset",
+    # g: set operations
+    "g_union_all", "g_union_distinct", "g_intersect", "g_except",
+    # h: scalar-function surface
+    "h_str_basic", "h_str_regex", "h_date_funcs", "h_math_funcs",
+    "h_cond_funcs", "h_cast", "h_array_funcs", "h_map_json", "h_explode",
+    "h_struct",
+    # i: streaming semantics (batch-equivalent oracles)
+    "i_tumbling", "i_sliding", "i_session", "i_dedup_keys",
+    "i_watermark_late", "i_stateful", "i_stream_sink",
+    # j: UDF/UDAF/UDTF surface
+    "j_udf_scalar", "j_pandas_udf_scalar", "j_pandas_udaf",
+    "j_grouped_map", "j_map_in_pandas", "j_udtf",
     # q: recursive CTE + deepest TPC-H join trees
     "q_recursive_cte", "q_tpch_q08", "q_tpch_q09", "q_tpch_q18",
     "q_tpch_q21",
-    # a/c/d stragglers r01 missed (connectors, DPP, deterministic mode)
+    # second-tier core never recorded (fills the ~50-key window)
+    "e_win_scd2", "e_win_streak", "g_symmetric_diff",
+    "h_array_higher_order", "h_variant", "i_stream_join", "j_cogroup",
+    "j_sql_udf", "q_tpch_q01", "q_tpch_q05", "q_pipe_sql",
+    # round-3 additions (judge items 3-6: sharded packing, linear range
+    # frame, persistent catalog, avro, kafka-shaped wrapper)
+    "k_pack_sequences_sharded", "e_win_range_frame_linear",
+    "a_sink_hive_table", "a_sink_avro", "a_source_kafka_shaped",
+    # remaining never-recorded core, next rounds' window
+    "e_win_ignore_nulls", "e_win_pareto", "e_win_ewma", "e_win_nth_value",
+    "g_union_byname", "g_except_all", "g_intersect_all",
+    "h_bitwise", "h_trig_funcs", "h_nested_struct_array", "h_try_funcs",
+    "h_hash_funcs", "h_xml_roundtrip", "h_collation", "h_mask_funcs",
+    "h_explode_outer", "h_aes_roundtrip", "h_str_distance",
+    "h_map_higher_order", "h_interval_funcs", "h_url_funcs",
+    "h_json_build", "h_format_funcs",
+    "i_window_chain", "i_gap_fill", "i_stateful_sessions",
+    "i_stream_static", "i_upsert_sink", "i_stream_outer_join",
+    "i_stream_file_sink", "i_state_reader",
+    "j_pandas_on_spark", "j_udtf_analyze", "j_udf_arrow",
+    "j_apply_in_arrow", "j_map_in_arrow",
+    "q_tpch_q02", "q_tpch_q04", "q_tpch_q07", "q_tpch_q12", "q_tpch_q13",
+    "q_tpch_q15", "q_tpch_q16", "q_tpch_q17", "q_tpch_q19", "q_tpch_q22",
+    "q_tpch_q11", "q_tpch_q20", "q_param_sql", "q_execute_immediate",
+    "q_sql_script",
     "a_source_jdbc", "a_source_binaryfile", "a_scan_metadata",
     "a_observe_metrics", "c_join_dpp", "c_join_lateral", "d_agg_mode_det",
-    # round-2-continuation flagships
-    "i_state_reader", "c_join_bloom", "d_agg_bitmap", "a_cbo_stats",
-    "q_pipe_sql", "j_map_in_arrow",
-    # linear-algebra extensions + exact TPC-H Q1/Q5
+    "c_join_bloom", "d_agg_bitmap", "a_cbo_stats",
     "k_embed_gram", "k_hard_negatives", "k_class_weights",
-    "q_tpch_q01", "q_tpch_q05",
 ]
 
 
