@@ -125,7 +125,13 @@ def k_text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select(F.split("text", " ").alias("t"))
     big = toks.select(
         F.explode(
-            F.expr("transform(sequence(1, size(t) - 1), i -> struct(t[i-1] AS w1, t[i] AS w2))")
+            # filter() guards 1-token docs: sequence(1, 0) auto-steps -1 in
+            # Spark ([1, 0]) and would emit two NULL-member bigrams where the
+            # DuckDB oracle's range(1, len(t)) is empty (ADVICE r2).
+            F.expr(
+                "transform(filter(sequence(1, size(t) - 1), i -> i >= 1 AND i < size(t)),"
+                " i -> struct(t[i-1] AS w1, t[i] AS w2))"
+            )
         ).alias("p")
     ).select("p.w1", "p.w2")
     bc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab"))

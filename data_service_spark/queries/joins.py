@@ -1117,9 +1117,10 @@ def c_join_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
                ON o_custkey = c_custkey) AS actual
     )
     SELECT n_o, n_c,
-           CAST(n_o * n_c / greatest(ndv_o, ndv_c) AS BIGINT) AS estimated,
+           CAST(floor(n_o * n_c / greatest(ndv_o, ndv_c)) AS BIGINT)
+             AS estimated,
            actual,
-           round(CAST(n_o * n_c / greatest(ndv_o, ndv_c) AS BIGINT)
+           round(CAST(floor(n_o * n_c / greatest(ndv_o, ndv_c)) AS BIGINT)
                  * 1.0 / actual, 4) AS est_over_actual
     FROM s
     """,
@@ -1155,9 +1156,10 @@ def c_join_cardinality_est(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("actual"))
         )
     )
-    est = (F.col("n_o") * F.col("n_c") / F.greatest("ndv_o", "ndv_c")).cast(
-        "long"
-    )
+    # explicit floor before the integer cast: DuckDB CAST(double AS BIGINT)
+    # rounds-to-nearest while Spark .cast("long") truncates — divergence of 1
+    # whenever the quotient is non-integral (ADVICE r2).
+    est = F.floor(F.col("n_o") * F.col("n_c") / F.greatest("ndv_o", "ndv_c"))
     return s.select(
         "n_o",
         "n_c",

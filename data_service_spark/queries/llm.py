@@ -2726,9 +2726,9 @@ def k_dedup_canonical_best(spark: SparkSession, sf_dir: str) -> DataFrame:
                FROM embeddings),
     sig AS (
       SELECT vec_id,
-             list_sum(list_transform(generate_series(1, 64),
+             list_sum(list_transform(generate_series(1, 62),
                i -> CASE WHEN v[i] > 0
-                    THEN CAST(pow(2, (i - 1) % 62) AS BIGINT) ELSE 0 END))
+                    THEN CAST(pow(2, i - 1) AS BIGINT) ELSE 0 END))
                AS h
       FROM e
     ), q AS (SELECT h AS qh, (SELECT v FROM e WHERE vec_id = 0) AS qv
@@ -2761,17 +2761,19 @@ def k_sim_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Charikar 2002 sign-LSH collapsed to one word), sitting below even
     PQ (k_sim_pq) on the accuracy/cost curve.
 
-    Signatures pack dims into one BIGINT with overflow-safe modular bit
-    positions (62 used); signature build is a zero-shuffle projection,
-    distance is two ALU ops per candidate. Exact integer Hamming ranks
-    with id tiebreaks.
+    Signatures pack the first 62 dims into one BIGINT, one bit per dim
+    (dims 63-64 are skipped so every bit is set at most once — no modular
+    aliasing, no carry propagation, and bit_count(xor) IS the Hamming
+    distance of the sign pattern; ADVICE r2). Signature build is a
+    zero-shuffle projection, distance is two ALU ops per candidate.
+    Exact integer Hamming ranks with id tiebreaks.
     """
     emb = _emb(spark, sf_dir).select("vec_id", "v")
     sig = emb.select(
         "vec_id",
         F.expr(
-            "aggregate(transform(sequence(1, 64), i -> CASE WHEN v[i-1] > 0"
-            " THEN CAST(pow(2, (i - 1) % 62) AS BIGINT) ELSE 0L END),"
+            "aggregate(transform(sequence(1, 62), i -> CASE WHEN v[i-1] > 0"
+            " THEN CAST(pow(2, i - 1) AS BIGINT) ELSE 0L END),"
             " 0L, (acc, x) -> acc + x)"
         ).alias("h"),
     )

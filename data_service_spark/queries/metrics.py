@@ -547,7 +547,8 @@ def k_eval_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     common AS (
       SELECT sr.doc_id, sr.ra, dense.rb
-      FROM sr JOIN dense USING (doc_id) WHERE dense.rb <= 20
+      FROM sr JOIN dense USING (doc_id)
+      WHERE dense.rb <= 20 AND sr.ra <= 20
     ), rr AS (
       SELECT row_number() OVER (ORDER BY ra) AS ia,
              row_number() OVER (ORDER BY rb, doc_id) AS ib
@@ -567,10 +568,11 @@ def k_rank_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     legs are redundant (fusion buys little), near 0 means complementary
     (RRF's sweet spot — k_rank_fusion is the consumer of this answer).
 
-    Both legs are the registered formulations; ranks re-densify over the
-    intersection so the classic 1 − 6Σd²/n(n²−1) identity applies with
-    exact integer arithmetic. Everything after the two top-20 legs
-    touches ≤20 rows.
+    Both legs are the registered formulations and BOTH are truncated at
+    rank 20 before intersecting (ADVICE r2 — previously only the dense
+    leg was); ranks re-densify over the intersection so the classic
+    1 − 6Σd²/n(n²−1) identity applies with exact integer arithmetic.
+    Everything after the two top-20 legs touches ≤20 rows.
     """
     from data_service_spark.registry import QUERIES
 
@@ -596,7 +598,7 @@ def k_rank_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rb") <= 20)
         .select("doc_id", "rb")
     )
-    common = sr.join(dense, "doc_id")
+    common = sr.filter(F.col("ra") <= 20).join(dense, "doc_id")
     rr = common.select(
         F.row_number().over(Window.orderBy("ra")).alias("ia"),
         F.row_number().over(Window.orderBy("rb", "doc_id")).alias("ib"),
@@ -675,22 +677,23 @@ def k_jackknife_se(spark: SparkSession, sf_dir: str) -> DataFrame:
         "g",
         (F.col("s") / F.col("n")).alias("mean_score"),
     )
+    # centered two-pass variance (join theta-bar back, sum squared
+    # deviations) to match the oracle's arithmetic tree — the Σθ²−n·θ̄²
+    # identity loses ~7 significant digits here with ~20 pseudo-values
+    # near 0.5 (ADVICE r2).
     gg = F.max("g")
-    mean_theta = F.avg("theta_i")
-    return loo.groupBy().agg(
-        gg.cast("long").alias("n_groups"),
-        F.round(F.max("mean_score"), 6).alias("mean_score"),
-        F.round(
-            F.sqrt(
-                (gg - 1.0)
-                / gg
-                * (
-                    F.sum(F.col("theta_i") * F.col("theta_i"))
-                    - F.count(F.lit(1)) * mean_theta * mean_theta
-                )
-            ),
-            6,
-        ).alias("jackknife_se"),
+    mt = loo.agg(F.avg("theta_i").alias("mt"))
+    dev2 = (F.col("theta_i") - F.col("mt")) * (F.col("theta_i") - F.col("mt"))
+    return (
+        loo.crossJoin(F.broadcast(mt))
+        .groupBy()
+        .agg(
+            gg.cast("long").alias("n_groups"),
+            F.round(F.max("mean_score"), 6).alias("mean_score"),
+            F.round(
+                F.sqrt((gg - 1.0) / gg * F.sum(dev2)), 6
+            ).alias("jackknife_se"),
+        )
     )
 
 
