@@ -314,10 +314,10 @@ def k_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     One running-sum window over a global order is the only non-projection
     step. At 100 TB the global window is the known bottleneck (single sort
-    task); production shape: pack per shard (`partitionBy(shard)` window,
-    shard = hash-bucket of doc_id) — identical algebra, embarrassingly
-    parallel, at the cost of one ragged tail per shard instead of one
-    total. The global form here keeps the oracle exact.
+    task); the registered production twin is k_pack_sequences_sharded
+    (`partitionBy(shard)` window, shard = md5 hash-bucket of doc_id) —
+    identical algebra, embarrassingly parallel. The global form here is
+    kept as the exact single-stream anchor.
     """
     d = load(spark, sf_dir, "documents")
     from pyspark.sql.window import Window
@@ -335,6 +335,72 @@ def k_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return c.select(
         "doc_id",
+        "n_tokens",
+        F.floor(F.col("start") / 512).cast("long").alias("pack_id"),
+        (F.col("start") - F.floor(F.col("start") / 512) * 512)
+        .cast("long")
+        .alias("pack_offset"),
+    )
+
+
+@register(
+    "k_pack_sequences_sharded",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+             ('0x' || substr(md5(concat('pack:', doc_id::VARCHAR)), 1, 8))
+               ::BIGINT % 16 AS shard
+      FROM documents
+    ), c AS (
+      SELECT doc_id, shard, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t
+    )
+    SELECT doc_id, CAST(shard AS BIGINT) AS shard, n_tokens,
+           CAST(floor((cum - n_tokens) / 512) AS BIGINT) AS pack_id,
+           CAST(cum - n_tokens - floor((cum - n_tokens) / 512) * 512 AS BIGINT)
+             AS pack_offset
+    FROM c
+    """,
+)
+def k_pack_sequences_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing, PRODUCTION SHAPE: documents are hash-bucketed
+    into 16 shards (deterministic md5 bucket of doc_id) and each shard is
+    packed independently into 512-token sequences — `(shard, pack_id,
+    pack_offset)` is the manifest a sharded dataloader consumes.
+
+    This is the scale twin of k_pack_sequences: the running-sum window is
+    `partitionBy(shard)`, so the sort is per-shard and the whole operator
+    is embarrassingly parallel (shard count scales with the cluster; at
+    100 TB you'd use e.g. 2^14 shards, here 16 keeps the oracle readable).
+    Cost vs the exact global form: one ragged tail per shard instead of
+    one total — the standard trade every GPT-style dataloader makes. No
+    global Sort appears in the plan (pinned in tests/test_plans.py).
+    """
+    d = load(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window
+
+    t = d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        F.expr(
+            "CAST(conv(substr(md5(concat('pack:', CAST(doc_id AS STRING))),"
+            " 1, 8), 16, 10) AS BIGINT) % 16"
+        ).alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = t.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("start"),
+    )
+    return c.select(
+        "doc_id",
+        F.col("shard").cast("long").alias("shard"),
         "n_tokens",
         F.floor(F.col("start") / 512).cast("long").alias("pack_id"),
         (F.col("start") - F.floor(F.col("start") / 512) * 512)

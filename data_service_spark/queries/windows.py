@@ -127,12 +127,11 @@ def e_win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantic, the frame is defined within that partition; (2) Spark's
     sliding value-frames re-aggregate the frame per row (no retract on agg
     buffers), so cost is O(rows × avg-frame-rows) per partition. Where
-    that product explodes at 100 TB, the linear rewrite is
-    per-(status,price) mass → prefix sum → two merge-lookups at p±5000 —
-    prototyped equal on this corpus, but kept OUT of the registry because
-    a difference-of-prefix-sums carries float error that can flip the 2dp
-    rounding against a direct-sum oracle. The native frame is the
-    correctness-stable formulation.
+    that product explodes at 100 TB, the registered scale twin is
+    e_win_range_frame_linear: integer-cent mass → distributed prefix sum
+    over value-chunks → difference of two probe lookups, exact by
+    construction. The native frame here stays as the double-semantics
+    anchor.
     """
     o = load(spark, sf_dir, "orders")
     w = (
@@ -144,6 +143,135 @@ def e_win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_orderstatus", "o_totalprice",
         F.round(F.sum("o_totalprice").over(w), 2).alias("band_sum"),
     )
+
+
+@register(
+    "e_win_range_frame_linear",
+    oracle="""
+    WITH c AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS pc
+      FROM orders
+    )
+    SELECT o_orderkey, o_orderstatus, o_totalprice,
+           round(sum(pc) OVER (
+             PARTITION BY o_orderstatus ORDER BY pc
+             RANGE BETWEEN 500000 PRECEDING AND 500000 FOLLOWING)
+             / 100.0, 2) AS band_sum
+    FROM c
+    """,
+)
+def e_win_range_frame_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ±$5000 band sum of e_win_range_frame, SCALE SHAPE: exact
+    integer cents end-to-end, linear work, and parallelism that scales
+    with the VALUE RANGE instead of the 3-value o_orderstatus partition
+    key.
+
+    Pipeline: (1) round prices to integer cents; (2) per-(status, cents)
+    mass table (map-side-combined groupBy); (3) union in two zero-mass
+    probe rows per order at pc−500001 and pc+500000; (4) running sum of
+    mass per (status, value-chunk) where chunk = floor(cents / $20k) —
+    each chunk is an independent task, so parallelism is #status ×
+    #chunks, not 3; (5) chunk offsets come from one tiny window over the
+    per-chunk totals (rows = chunk count, not data size), broadcast back;
+    (6) band = prefix(pc+500000) − prefix(pc−500001), all BIGINT — no
+    float drift, no boundary ambiguity, identical to a RANGE frame on the
+    cent values (the oracle's formulation). This is the distributed
+    prefix-sum decomposition: local scans + an O(#chunks) carry pass —
+    the textbook way to break a low-cardinality window key at 100 TB.
+    """
+    chunk_w = 2_000_000  # cents per value-chunk ($20k)
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("pc"),
+    )
+    mass = (
+        o.groupBy("o_orderstatus", "pc")
+        .agg(F.sum("pc").alias("mass"))
+        .select(
+            "o_orderstatus",
+            F.col("pc").alias("val"),
+            "mass",
+            F.lit(0).alias("is_probe"),
+            F.lit(None).cast("long").alias("o_orderkey"),
+            F.lit(None).cast("double").alias("o_totalprice"),
+            F.lit(None).cast("string").alias("kind"),
+        )
+    )
+    probe_cols = ["o_orderstatus", "val", "mass", "is_probe", "o_orderkey",
+                  "o_totalprice", "kind"]
+    lo = o.select(
+        "o_orderstatus",
+        (F.col("pc") - 500001).alias("val"),
+        F.lit(0).cast("long").alias("mass"),
+        F.lit(1).alias("is_probe"),
+        "o_orderkey",
+        "o_totalprice",
+        F.lit("lo").alias("kind"),
+    )
+    hi = o.select(
+        "o_orderstatus",
+        (F.col("pc") + 500000).alias("val"),
+        F.lit(0).cast("long").alias("mass"),
+        F.lit(1).alias("is_probe"),
+        "o_orderkey",
+        "o_totalprice",
+        F.lit("hi").alias("kind"),
+    )
+    u = (
+        mass.select(probe_cols)
+        .unionByName(lo.select(probe_cols))
+        .unionByName(hi.select(probe_cols))
+        .withColumn(
+            "chunk", F.floor(F.col("val") / F.lit(chunk_w)).cast("long")
+        )
+    )
+    # mass points sort before probes at the same value (is_probe tiebreak)
+    # so a probe's running sum is the inclusive prefix ≤ its value.
+    w_local = (
+        Window.partitionBy("o_orderstatus", "chunk")
+        .orderBy("val", "is_probe")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = u.withColumn("loc", F.sum("mass").over(w_local))
+    totals = u.groupBy("o_orderstatus", "chunk").agg(
+        F.sum("mass").alias("cm")
+    )
+    w_carry = (
+        Window.partitionBy("o_orderstatus")
+        .orderBy("chunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = totals.select(
+        "o_orderstatus",
+        "chunk",
+        F.coalesce(F.sum("cm").over(w_carry), F.lit(0)).alias("off"),
+    )
+    probes = (
+        local.filter(F.col("is_probe") == 1)
+        .join(F.broadcast(offs), ["o_orderstatus", "chunk"])
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            "o_totalprice",
+            "kind",
+            (F.col("loc") + F.col("off")).alias("prefix"),
+        )
+    )
+    return probes.groupBy("o_orderkey").agg(
+        F.max("o_orderstatus").alias("o_orderstatus"),
+        F.max("o_totalprice").alias("o_totalprice"),
+        F.round(
+            (
+                F.max(F.when(F.col("kind") == "hi", F.col("prefix")))
+                - F.max(F.when(F.col("kind") == "lo", F.col("prefix")))
+            )
+            / 100.0,
+            2,
+        ).alias("band_sum"),
+    ).select("o_orderkey", "o_orderstatus", "o_totalprice", "band_sum")
 
 
 @register(

@@ -2342,3 +2342,38 @@ def test_kappa_identity_and_range(spark, sf_dir):
     conf = QUERIES["k_eval_langid_confusion"](spark, sf_dir).toPandas()
     po = conf[conf.true_lang == conf.pred_lang].n.sum() / conf.n.sum()
     assert abs(r.p_observed - round(po, 4)) < 1e-6
+
+
+def test_pack_sequences_sharded_is_exact_per_shard_packing(spark, sf_dir):
+    """The sharded manifest is, per shard, exactly the global algebra: first
+    doc of every shard starts at pack 0 offset 0, offsets stay in [0, 512),
+    and a pandas recomputation of the per-shard running sum reproduces every
+    (pack_id, pack_offset)."""
+    from data_service_spark.registry import QUERIES
+
+    m = QUERIES["k_pack_sequences_sharded"](spark, sf_dir).toPandas()
+    assert m.doc_id.is_unique
+    assert ((m.pack_offset >= 0) & (m.pack_offset < 512)).all()
+    for _, g in m.sort_values("doc_id").groupby("shard"):
+        start = (g.n_tokens.cumsum() - g.n_tokens).to_numpy()
+        assert (g.pack_id.to_numpy() == start // 512).all()
+        assert (g.pack_offset.to_numpy() == start % 512).all()
+        assert g.iloc[0].pack_id == 0 and g.iloc[0].pack_offset == 0
+
+
+def test_range_frame_linear_matches_native_frame(spark, sf_dir):
+    """The distributed prefix-sum twin reproduces the native RANGE frame
+    row-for-row on this corpus (cent-grid prices make the double and
+    integer boundary semantics coincide)."""
+    from data_service_spark.registry import QUERIES
+
+    a = QUERIES["e_win_range_frame"](spark, sf_dir).select(
+        "o_orderkey", F.col("band_sum").alias("a")
+    )
+    b = QUERIES["e_win_range_frame_linear"](spark, sf_dir).select(
+        "o_orderkey", F.col("band_sum").alias("b")
+    )
+    j = a.join(b, "o_orderkey")
+    n = j.count()
+    assert n == a.count()
+    assert j.filter(F.abs(F.col("a") - F.col("b")) > 1e-9).count() == 0

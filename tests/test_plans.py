@@ -407,3 +407,23 @@ def test_incremental_dedup_probe_is_join_on_hash_key(spark, sf_dir):
     plan = plan_of(QUERIES["k_dedup_incremental"](spark, sf_dir))
     assert "md5" in plan.lower() or "Join" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_pack_sequences_sharded_has_no_global_sort(spark, sf_dir):
+    # The sharded packing twin must window per shard: every Sort/window in
+    # the plan sits behind a hashpartitioning exchange on the shard key,
+    # never a single-partition global sort (the known 100 TB bottleneck of
+    # the exact global anchor k_pack_sequences).
+    plan = plan_of(QUERIES["k_pack_sequences_sharded"](spark, sf_dir), "simple")
+    assert "SinglePartition" not in plan
+    assert "Exchange hashpartitioning" in plan
+
+
+def test_range_frame_linear_windows_are_chunked(spark, sf_dir):
+    # The linear range-frame twin's big windows key on (status, chunk) —
+    # parallelism scales with the value range. The only window allowed on
+    # the bare 3-value status key is the O(#chunks)-row carry pass; the
+    # data-sized running sum must include the chunk column.
+    plan = plan_of(QUERIES["e_win_range_frame_linear"](spark, sf_dir), "simple")
+    assert "SinglePartition" not in plan
+    assert "chunk" in plan

@@ -112,6 +112,7 @@ k_sim_matryoshka k_truncation_loss
 e_win_drawdown k_dup_family_sizes k_interarrival
 k_dedup_canonical_best k_sim_hamming k_target_encoding
 k_chi2_terms k_eval_kappa
+k_pack_sequences_sharded e_win_range_frame_linear
 """.split()
 
 
