@@ -110,6 +110,37 @@ def a_sink_csv_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     return from_csv.unionByName(from_json_)
 
 
+@register("a_sink_avro", oracle="SELECT * FROM region")
+def a_sink_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro roundtrip — the last mainstream row format. The sandbox Spark
+    ships Avro core jars but not the ``spark-avro`` connector, so the
+    roundtrip goes through ``data_service_spark.formats.avro_ocf``: a
+    pure-Python Object Container File codec (public Avro spec) mounted as
+    Python DataSource V2 format ``"pyavro"`` — per-task OCF files + a
+    two-phase commit manifest on write, one file per input partition on
+    read, schema re-inferred from the OCF header. On a real cluster you
+    would swap the format string for ``"avro"`` (JVM connector, vectorized)
+    with the identical reader/writer call shape.
+    """
+    import shutil
+
+    from data_service_spark.formats.avro_ocf import register_avro_source
+
+    register_avro_source(spark)
+    path = _tmpdir("region_avro")
+    shutil.rmtree(path, ignore_errors=True)
+    region = load(spark, sf_dir, "region")
+    region.write.format("pyavro").mode("overwrite").option(
+        "path", path
+    ).save()
+    out = spark.read.format("pyavro").option("path", path).load()
+    # nullable-union inference widens nothing, but restore exact field
+    # types/order for schema parity with the parquet original.
+    return out.select(
+        *[F.col(f.name).cast(f.dataType) for f in region.schema.fields]
+    )
+
+
 @register("a_sink_orc", oracle="SELECT * FROM region")
 def a_sink_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ORC roundtrip — the third columnar format of the multi-source surface
@@ -159,6 +190,51 @@ def a_sink_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("dss_nation_managed")
 
 
+@register("a_sink_hive_table", oracle="SELECT * FROM region")
+def a_sink_hive_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persistent Hive-metastore catalog roundtrip: ``enableHiveSupport()``
+    + local Derby metastore, ``saveAsTable`` → ``ANALYZE TABLE`` (stats
+    verified present in the metastore) → ``spark.table`` readback.
+
+    ``catalogImplementation`` is a static conf, so a bare in-memory-catalog
+    session cannot host the Hive catalog in-process; the roundtrip runs in
+    a child process with its own hive-enabled session (see
+    ``data_service_spark/hive_roundtrip.py``) and hands the table content
+    back as parquet. Cross-process catalog PERSISTENCE is proven separately
+    in tests/test_sources.py (phase 2 re-opens the metastore read-only).
+    On a cluster the session is built hive-enabled up front and the same
+    saveAsTable/ANALYZE/spark.table lines run in-session.
+    """
+    import shutil
+    import subprocess
+    import sys
+
+    base = _tmpdir("hive_roundtrip")
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base, exist_ok=True)
+    wh = os.path.join(base, "warehouse")
+    ms = os.path.join(base, "metastore_db")
+    handoff = os.path.join(base, "handoff")
+    subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "data_service_spark.hive_roundtrip",
+            wh,
+            ms,
+            os.path.join(sf_dir, "region.parquet"),
+            handoff,
+        ],
+        check=True,
+        capture_output=True,
+        timeout=300,
+        cwd=os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)
+        ))),
+    )
+    return spark.read.parquet(handoff)
+
+
 @register(
     "a_source_jdbc",
     oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation WHERE n_regionkey < 3",
@@ -189,6 +265,54 @@ def a_source_jdbc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load()
         .filter(F.col("n_regionkey") < 3)
         .select("n_nationkey", "n_name", "n_regionkey")
+    )
+
+
+@register(
+    "a_source_kafka_shaped",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           min(epoch_us(ts)) AS first_us,
+           max(epoch_us(ts)) AS last_us
+    FROM events GROUP BY event_type
+    """,
+)
+def a_source_kafka_shaped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Kafka consumer pipeline, end-to-end, against the kafka-shaped
+    file twin (no broker runs in this sandbox): the wrapper source emits
+    the exact ``format("kafka")`` schema — key/value BINARY, topic,
+    partition, offset, timestamp, timestampType — with one Spark partition
+    per Kafka partition (row group) and monotone offsets; this query then
+    does precisely what a production consumer does: ``CAST(value AS
+    STRING)`` → ``from_json(schema)`` → aggregate. A live cluster changes
+    only the reader config (``sources.kafka_config``), not one line of
+    this parsing/aggregation code. Payload timestamps ride as exact epoch
+    micros so the oracle (DuckDB ``epoch_us`` over the same parquet) is
+    integer-stable.
+    """
+    from data_service_spark.sources import register_kafka_shaped_source
+
+    register_kafka_shaped_source(spark)
+    raw = (
+        spark.read.format("kafka_shaped")
+        .option("path", os.path.join(sf_dir, "events.parquet"))
+        .option("topic", "events")
+        .load()
+    )
+    parsed = raw.select(
+        F.from_json(
+            F.col("value").cast("string"),
+            "event_id BIGINT, event_type STRING, props STRING,"
+            " ts_us BIGINT, user_id BIGINT, value DOUBLE",
+        ).alias("e")
+    )
+    return parsed.groupBy(F.col("e.event_type").alias("event_type")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.countDistinct("e.user_id").cast("long").alias("n_users"),
+        F.min("e.ts_us").alias("first_us"),
+        F.max("e.ts_us").alias("last_us"),
     )
 
 

@@ -340,3 +340,91 @@ def register_jsonl_sink(spark: SparkSession) -> None:
             return JsonlWriter(self.options, overwrite)
 
     spark.dataSource.register(JsonlSink)
+
+
+def register_kafka_shaped_source(spark: SparkSession) -> None:
+    """Register 'kafka_shaped': a Python data source emitting the EXACT
+    schema and partitioning contract of Spark's Kafka batch source
+    (key/value binary, topic, partition, offset, timestamp, timestampType),
+    backed by a parquet file twin — no broker runs in this sandbox, so this
+    wrapper pins the consumer-side code path a real ``format("kafka")``
+    read would exercise: one Spark partition per Kafka partition (here: per
+    parquet row group), monotone offsets within a partition, JSON payloads
+    decoded with ``CAST(value AS STRING)`` + ``from_json``. Swapping the
+    format string for "kafka" + bootstrap options (see ``kafka_config``) is
+    the only change a live cluster needs.
+    """
+    import datetime
+    import json
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+    )
+
+    class RowGroupPartition(InputPartition):
+        def __init__(self, path: str, group: int):
+            self.path = path
+            self.group = group
+
+    class KafkaShapedReader(DataSourceReader):
+        def __init__(self, options):
+            self.path = options["path"]
+            self.topic = options.get("topic", "events")
+
+        def partitions(self):
+            import pyarrow.parquet as pq
+
+            n = pq.ParquetFile(self.path).num_row_groups
+            return [RowGroupPartition(self.path, g) for g in range(n)]
+
+        def read(self, partition):
+            import pyarrow.parquet as pq
+
+            tbl = pq.ParquetFile(partition.path).read_row_group(
+                partition.group
+            )
+            cols = tbl.to_pylist()
+            for off, rec in enumerate(cols):
+                payload = {}
+                for k, v in rec.items():
+                    if isinstance(v, datetime.datetime):
+                        # exact integer micros (total_seconds() is a float
+                        # and loses sub-µs precision at 2026 epochs)
+                        td = v - datetime.datetime(1970, 1, 1)
+                        payload[k + "_us"] = (
+                            td.days * 86_400_000_000
+                            + td.seconds * 1_000_000
+                            + td.microseconds
+                        )
+                    else:
+                        payload[k] = v
+                key = str(rec.get("user_id", off)).encode()
+                value = json.dumps(payload, sort_keys=True).encode()
+                ts = rec.get("ts") or datetime.datetime(1970, 1, 1)
+                yield (
+                    key,
+                    value,
+                    self.topic,
+                    partition.group,
+                    off,
+                    ts,
+                    0,  # TimestampType.CREATE_TIME
+                )
+
+    class KafkaShapedSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "kafka_shaped"
+
+        def schema(self):
+            return (
+                "key BINARY, value BINARY, topic STRING, partition INT,"
+                " offset BIGINT, timestamp TIMESTAMP, timestampType INT"
+            )
+
+        def reader(self, schema):
+            return KafkaShapedReader(self.options)
+
+    spark.dataSource.register(KafkaShapedSource)

@@ -113,6 +113,7 @@ e_win_drawdown k_dup_family_sizes k_interarrival
 k_dedup_canonical_best k_sim_hamming k_target_encoding
 k_chi2_terms k_eval_kappa
 k_pack_sequences_sharded e_win_range_frame_linear
+a_sink_avro a_sink_hive_table a_source_kafka_shaped
 """.split()
 
 

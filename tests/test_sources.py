@@ -1,0 +1,121 @@
+"""Connector / format tests: Avro OCF codec + pyavro DataSource, the
+Hive-metastore cross-process persistence proof, and the kafka-shaped
+file-twin wrapper."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_avro_codec_binary_roundtrip(tmp_path):
+    """Pure-codec check: every supported primitive + null-union survives a
+    write/read cycle byte-exactly, including negative zigzag longs and
+    non-ASCII strings."""
+    from data_service_spark.formats.avro_ocf import (
+        read_ocf,
+        read_ocf_schema,
+        write_ocf,
+    )
+
+    schema = {
+        "type": "record",
+        "name": "row",
+        "fields": [
+            {"name": "a", "type": "long"},
+            {"name": "b", "type": ["null", "string"]},
+            {"name": "c", "type": "double"},
+            {"name": "d", "type": "boolean"},
+            {"name": "e", "type": ["null", "bytes"]},
+        ],
+    }
+    recs = [
+        (1, "x", 1.5, True, b"\x00\xff"),
+        (-3, None, -0.25, False, None),
+        (2**40, "Ωé", 3.0, True, b""),
+        (-(2**40) - 1, "", float("inf"), False, b"z"),
+    ]
+    p = str(tmp_path / "t.avro")
+    assert write_ocf(p, schema, recs) == len(recs)
+    assert list(read_ocf(p)) == recs
+    assert read_ocf_schema(p) == schema
+
+
+def test_pyavro_datasource_roundtrip(spark, sf_dir):
+    """region → pyavro sink (per-task OCF files + commit manifest) →
+    pyavro source (schema from OCF header, one partition per file) matches
+    the original row-for-row."""
+    import json
+
+    from data_service_spark.formats.avro_ocf import register_avro_source
+    from data_service_spark.io import load
+
+    register_avro_source(spark)
+    path = str("/tmp/dss_test_avro_rt")
+    shutil.rmtree(path, ignore_errors=True)
+    region = load(spark, sf_dir, "region")
+    region.write.format("pyavro").mode("overwrite").option(
+        "path", path
+    ).save()
+    manifest = json.load(open(os.path.join(path, "_manifest.json")))
+    assert manifest["rows"] == region.count()
+    back = spark.read.format("pyavro").option("path", path).load()
+    assert {tuple(r) for r in back.collect()} == {
+        tuple(r) for r in region.collect()
+    }
+
+
+def test_hive_metastore_persists_across_processes(sf_dir, tmp_path):
+    """Phase 1 creates dss.region_hive via a hive-enabled child session
+    (saveAsTable + ANALYZE); phase 2 is a FRESH process that only does
+    spark.table — it can succeed only if the Derby metastore persisted the
+    catalog entry and its stats."""
+    wh, ms = str(tmp_path / "wh"), str(tmp_path / "ms")
+    h1, h2 = str(tmp_path / "h1"), str(tmp_path / "h2")
+    src = os.path.join(sf_dir, "region.parquet")
+    base = [sys.executable, "-m", "data_service_spark.hive_roundtrip", wh, ms, src]
+    subprocess.run(base + [h1], check=True, cwd=REPO, timeout=300,
+                   capture_output=True)
+    subprocess.run(base + [h2, "--read-only"], check=True, cwd=REPO,
+                   timeout=300, capture_output=True)
+    import pyarrow.parquet as pq
+
+    t1 = pq.read_table(h1).to_pandas().sort_values("r_regionkey")
+    t2 = pq.read_table(h2).to_pandas().sort_values("r_regionkey")
+    assert t1.reset_index(drop=True).equals(t2.reset_index(drop=True))
+    assert len(t1) == pq.read_table(src).num_rows
+
+
+def test_kafka_shaped_wrapper_contract(spark, sf_dir):
+    """The file twin honors the format("kafka") contract: exact column
+    set/types, one Spark partition per source partition, offsets dense and
+    monotone from 0 within each partition, JSON-decodable binary values."""
+    import json
+
+    from data_service_spark.sources import register_kafka_shaped_source
+
+    register_kafka_shaped_source(spark)
+    raw = (
+        spark.read.format("kafka_shaped")
+        .option("path", os.path.join(sf_dir, "events.parquet"))
+        .option("topic", "t_events")
+        .load()
+    )
+    assert [(f.name, f.dataType.simpleString()) for f in raw.schema.fields] == [
+        ("key", "binary"), ("value", "binary"), ("topic", "string"),
+        ("partition", "int"), ("offset", "bigint"),
+        ("timestamp", "timestamp"), ("timestampType", "int"),
+    ]
+    rows = raw.collect()
+    assert rows and all(r.topic == "t_events" for r in rows)
+    by_part = {}
+    for r in rows:
+        by_part.setdefault(r.partition, []).append(r.offset)
+    for offs in by_part.values():
+        assert sorted(offs) == list(range(len(offs)))
+    payload = json.loads(bytes(rows[0].value).decode())
+    assert {"event_id", "event_type", "user_id", "ts_us"} <= set(payload)
