@@ -103,19 +103,25 @@ def funnel_stream(events: DataFrame) -> DataFrame:
         # restores whole-batch event-time order.
         chunks = [pdf for pdf in pdfs if len(pdf)]
         if chunks:
-            batch = pd.concat(chunks, ignore_index=True).sort_values("ts")
-            for _, row in batch.iterrows():
-                ts_us = row["ts"].value // 1000
-                et = row["event_type"]
-                if et == "signup":
-                    if first_signup_us is None or ts_us < first_signup_us:
-                        first_signup_us = ts_us
-                elif (
-                    et == "purchase"
-                    and first_signup_us is not None
-                    and ts_us > first_signup_us
-                ):
-                    purchases += 1
+            batch = pd.concat(chunks, ignore_index=True).sort_values(
+                "ts", kind="stable"
+            )
+            # Vectorized fold (no per-row Python): a purchase at row i
+            # counts iff some signup strictly earlier in event time has
+            # been seen — i.e. ts_us[i] > running-min of signup ts through
+            # row i (the row itself is a purchase, so inclusive prefix ==
+            # exclusive prefix), seeded with the carried-in state.
+            import numpy as np
+
+            ts_us = batch["ts"].astype("int64").to_numpy() // 1000
+            is_signup = (batch["event_type"] == "signup").to_numpy()
+            is_purchase = (batch["event_type"] == "purchase").to_numpy()
+            seed = float("inf") if first_signup_us is None else first_signup_us
+            sig_ts = np.where(is_signup, ts_us.astype("float64"), np.inf)
+            eff_first = np.minimum(np.minimum.accumulate(sig_ts), seed)
+            purchases += int((is_purchase & (ts_us > eff_first)).sum())
+            if eff_first[-1] != float("inf"):
+                first_signup_us = int(eff_first[-1])
         state.update((first_signup_us, purchases))
         stage = 2 if purchases > 0 else (1 if first_signup_us is not None else 0)
         yield pd.DataFrame(
