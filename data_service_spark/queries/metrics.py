@@ -1104,3 +1104,132 @@ def k_eval_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             "kappa"
         ),
     )
+
+
+# ------------------------------------------- multi-query retrieval MRR ----
+
+
+@register(
+    "k_eval_mrr_labels",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+               FROM embeddings),
+    q AS (SELECT vec_id AS qid, v AS qv, label AS ql FROM e
+          WHERE vec_id < 20),
+    ranked AS (
+      SELECT q.qid, e.label, q.ql,
+             row_number() OVER (PARTITION BY q.qid
+               ORDER BY round(list_inner_product(e.v, q.qv), 6) DESC,
+                        e.vec_id) AS rn
+      FROM e CROSS JOIN q WHERE e.vec_id <> q.qid
+    ), hits AS (
+      SELECT qid, min(rn) AS fr
+      FROM ranked WHERE rn <= 10 AND label = ql GROUP BY qid
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_queries,
+           round(avg(CASE WHEN fr IS NULL THEN 0.0 ELSE 1.0 / fr END), 6)
+             AS mrr_at_10,
+           round(avg(CASE WHEN fr IS NULL THEN 0.0 ELSE 1.0 END), 4)
+             AS hit_rate_at_10
+    FROM q LEFT JOIN hits USING (qid)
+    """,
+)
+def k_eval_mrr_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-query retrieval MRR@10: 20 probe vectors each rank the corpus
+    by cosine; a hit is a top-10 neighbor sharing the probe's class label
+    (label-as-relevance — the standard embedding-quality probe when no
+    judgment set exists). Mean reciprocal rank of the first hit plus the
+    top-10 hit rate — the two numbers that decide whether an embedding
+    column is good enough to drive k_hard_negatives / k_sim_* retrieval.
+
+    The probe set broadcasts (20 rows); the corpus streams once through
+    the scoring crossJoin; the rank window partitions per query. MRR
+    rounds at 6dp (provably off the half-boundary grid for rank-10
+    reciprocal sums; 4dp is NOT — 1/800-denominator averages land exactly
+    on .xxxx5)."""
+    from data_service_spark.queries.llm import _emb, dot
+
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("label").alias("ql"),
+    )
+    ranked = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "label",
+            "ql",
+            F.row_number()
+            .over(
+                Window.partitionBy("qid").orderBy(
+                    F.round(dot(F.col("v"), F.col("qv")), 6).desc(),
+                    F.col("vec_id"),
+                )
+            )
+            .alias("rn"),
+        )
+    )
+    hits = (
+        ranked.filter((F.col("rn") <= 10) & (F.col("label") == F.col("ql")))
+        .groupBy("qid")
+        .agg(F.min("rn").alias("fr"))
+    )
+    return q.join(hits, "qid", "left").agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.round(
+            F.avg(F.when(F.col("fr").isNull(), 0.0).otherwise(1.0 / F.col("fr"))),
+            6,
+        ).alias("mrr_at_10"),
+        F.round(
+            F.avg(F.when(F.col("fr").isNull(), 0.0).otherwise(1.0)), 4
+        ).alias("hit_rate_at_10"),
+    )
+
+
+# --------------------------------------------------- Benford digit law ----
+
+
+@register(
+    "k_benford_digits",
+    oracle="""
+    WITH d AS (
+      SELECT substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+                    1, 1)::INT AS digit
+      FROM orders
+    ), c AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
+    tot AS (SELECT sum(n) AS total FROM c)
+    SELECT digit, CAST(n AS BIGINT) AS n,
+           round(n * 1.0 / total, 6) AS obs_freq,
+           round(log10(1.0 + 1.0 / digit), 6) AS benford_freq
+    FROM c CROSS JOIN tot
+    """,
+)
+def k_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of `o_totalprice`: observed leading-digit
+    frequencies next to the Benford expectation log10(1+1/d) — the classic
+    fabricated-data / synthetic-corpus detector (generated numbers rarely
+    honor the law; organic multiplicative totals do). A 100 TB-safe
+    profiling primitive: one projection + a 9-row aggregate; the total
+    broadcasts back as a one-row crossJoin.
+    """
+    o = load(spark, sf_dir, "orders")
+    d = o.select(
+        F.substring(
+            F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    c = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    tot = c.agg(F.sum("n").alias("total"))
+    return c.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("n") * 1.0 / F.col("total"), 6).alias("obs_freq"),
+        F.round(F.log10(1.0 + 1.0 / F.col("digit")), 6).alias(
+            "benford_freq"
+        ),
+    )

@@ -928,3 +928,34 @@ def h_format_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.translate("p_brand", "#", "-").alias("brand_slug"),
         F.repeat(F.lit("*"), F.col("p_size") % 5).alias("stars"),
     )
+
+
+@register(
+    "h_listagg",
+    oracle="""
+    SELECT n_regionkey,
+           string_agg(n_name, ',' ORDER BY n_name) AS members,
+           string_agg(DISTINCT substr(n_name, 1, 1), ''
+                      ORDER BY substr(n_name, 1, 1)) AS initials
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def h_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation — SQL:2023 ``LISTAGG ... WITHIN GROUP``
+    (Spark 4) against DuckDB's ``string_agg(... ORDER BY ...)``: the
+    report-friendly "concatenate group members deterministically" surface,
+    including the DISTINCT form. The explicit WITHIN GROUP order is what
+    makes the result reproducible across partitionings — an unordered
+    listagg is nondeterministic on any real cluster.
+    """
+    load(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    return spark.sql(
+        """
+        SELECT n_regionkey,
+               listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)
+                 AS members,
+               listagg(DISTINCT substr(n_name, 1, 1), '')
+                 WITHIN GROUP (ORDER BY substr(n_name, 1, 1)) AS initials
+        FROM nation GROUP BY n_regionkey
+        """
+    )

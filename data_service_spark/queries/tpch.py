@@ -619,3 +619,38 @@ def q_sql_script(spark: "SparkSession", sf_dir: str) -> "DataFrame":
         END
         """
     )
+
+
+@register(
+    "q_group_by_all",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM orders
+    GROUP BY ALL
+    ORDER BY ALL
+    """,
+)
+def q_group_by_all(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """``GROUP BY ALL`` / ``ORDER BY ALL`` (Spark 4 and DuckDB share the
+    shorthand): group on every non-aggregate select item, order on every
+    output column — the analyst-ergonomics surface a SQL service exposes.
+    Same physical plan as the explicit form (one partial+final hash
+    aggregate); money flows as integer cents for cross-engine exactness.
+    The ORDER BY ALL is presentation-only on a 12-row result — no
+    data-sized sort.
+    """
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n_orders,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS revenue_cents
+        FROM orders
+        GROUP BY ALL
+        ORDER BY ALL
+        """
+    )
