@@ -69,6 +69,7 @@ PRIORITY = [
     "k_pack_sequences_sharded", "e_win_range_frame_linear",
     "a_sink_hive_table", "a_sink_avro", "a_source_kafka_shaped",
     "k_eval_mrr_labels", "k_benford_digits", "q_group_by_all", "h_listagg",
+    "k_seasonal_dow", "k_eval_map_labels", "k_text_ngram_coverage",
     # remaining never-recorded core, next rounds' window
     "e_win_ignore_nulls", "e_win_pareto", "e_win_ewma", "e_win_nth_value",
     "g_union_byname", "g_except_all", "g_intersect_all",

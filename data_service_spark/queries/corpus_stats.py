@@ -569,3 +569,74 @@ def k_chi2_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("chi2").desc(), "term")
         .limit(20)
     )
+
+
+# --------------------------------------------------- head-gram coverage ----
+
+
+@register(
+    "k_text_ngram_coverage",
+    oracle="""
+    WITH t AS (SELECT string_split(text, ' ') AS w FROM documents),
+    g AS (
+      SELECT array_to_string(w[i:i+3], ' ') AS gram
+      FROM t, unnest(list_transform(generate_series(1, len(w) - 3),
+                                    i -> i)) AS u(i)
+    ), c AS (SELECT gram, count(*) AS n FROM g GROUP BY gram),
+    top AS (
+      SELECT n FROM c ORDER BY n DESC, gram LIMIT 1000
+    ), s AS (
+      SELECT (SELECT count(*) FROM c) AS n_distinct,
+             (SELECT sum(n) FROM c) AS n_total,
+             (SELECT sum(n) FROM top) AS n_top
+    )
+    SELECT CAST(n_distinct AS BIGINT) AS n_distinct,
+           CAST(n_total AS BIGINT) AS n_total,
+           CAST(n_top AS BIGINT) AS n_top,
+           CAST(floor(n_top * 1000000.0 / n_total) AS BIGINT)
+             AS coverage_ppm
+    FROM s
+    """,
+)
+def k_text_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Head-heaviness audit: what fraction of all 4-gram OCCURRENCES the
+    1000 most frequent distinct 4-grams cover (parts-per-million, exact
+    integer arithmetic). High coverage = templated/boilerplate corpus
+    (nav chrome, legal footers, generated text); low = diverse prose —
+    the one-number diversity complement to k_text_zipf's slope.
+
+    Count table is vocabulary-sized after a map-side-combined groupBy;
+    the top-1000 selection is orderBy+limit = TakeOrderedAndProject
+    (per-partition heaps, never a full sort of the gram table); the
+    final row is pure integer division floored on both engines (no
+    round-half ambiguity by construction).
+    """
+    d = load(spark, sf_dir, "documents")
+    grams = d.select(F.split("text", " ").alias("w")).select(
+        F.explode(
+            # guarded like k_text_collocations: docs under 4 tokens emit
+            # zero grams (sequence(1, n<=0) would auto-step -1 in Spark)
+            F.expr(
+                "transform(filter(sequence(1, greatest(size(w) - 3, 1)),"
+                " i -> i <= size(w) - 3),"
+                " i -> concat_ws(' ', slice(w, i, 4)))"
+            )
+        ).alias("gram")
+    )
+    c = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("n"))
+    top = (
+        c.orderBy(F.col("n").desc(), "gram")
+        .limit(1000)
+        .agg(F.sum("n").alias("n_top"))
+    )
+    tot = c.agg(
+        F.count(F.lit(1)).alias("n_distinct"), F.sum("n").alias("n_total")
+    )
+    return tot.crossJoin(F.broadcast(top)).select(
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        F.col("n_total").cast("long").alias("n_total"),
+        F.col("n_top").cast("long").alias("n_top"),
+        F.floor(F.col("n_top") * 1000000.0 / F.col("n_total"))
+        .cast("long")
+        .alias("coverage_ppm"),
+    )

@@ -1233,3 +1233,130 @@ def k_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
             "benford_freq"
         ),
     )
+
+
+# ----------------------------------------------- day-of-week seasonality ----
+
+
+@register(
+    "k_seasonal_dow",
+    oracle="""
+    WITH g AS (SELECT avg(value) AS gmean FROM events),
+    d AS (
+      SELECT dayofweek(ts) AS dow, count(*) AS n_events,
+             avg(value) AS dmean
+      FROM events GROUP BY 1
+    )
+    SELECT dow, CAST(n_events AS BIGINT) AS n_events,
+           round(dmean, 4) AS dow_avg,
+           round(dmean - gmean, 4) AS seasonal_index
+    FROM d CROSS JOIN g
+    """,
+)
+def k_seasonal_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal decomposition of the event value series: per
+    weekday its mean level and additive seasonal index (weekday mean minus
+    the global mean) — the classical-decomposition building block that
+    feeds anomaly baselines (k_anomaly_zscore) and traffic forecasts.
+    Weekday numbering is pinned to Sunday=0 on both engines (Spark
+    ``dayofweek`` is 1-based, DuckDB's 0-based — the off-by-one is
+    normalized Spark-side).
+
+    Two map-side-combined aggregates (7-row and 1-row) + a broadcast
+    crossJoin: scan-rate cost at any corpus size.
+    """
+    e = load(spark, sf_dir, "events")
+    g = e.agg(F.avg("value").alias("gmean"))
+    d = e.groupBy((F.dayofweek("ts") - 1).alias("dow")).agg(
+        F.count(F.lit(1)).alias("n_events"), F.avg("value").alias("dmean")
+    )
+    return d.crossJoin(F.broadcast(g)).select(
+        "dow",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round("dmean", 4).alias("dow_avg"),
+        F.round(F.col("dmean") - F.col("gmean"), 4).alias("seasonal_index"),
+    )
+
+
+# ------------------------------------------------ mean average precision ----
+
+
+@register(
+    "k_eval_map_labels",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+               FROM embeddings),
+    q AS (SELECT vec_id AS qid, v AS qv, label AS ql FROM e
+          WHERE vec_id < 20),
+    ranked AS (
+      SELECT q.qid, e.label, q.ql,
+             row_number() OVER (PARTITION BY q.qid
+               ORDER BY round(list_inner_product(e.v, q.qv), 6) DESC,
+                        e.vec_id) AS rn
+      FROM e CROSS JOIN q WHERE e.vec_id <> q.qid
+    ), hits AS (
+      SELECT qid, rn,
+             row_number() OVER (PARTITION BY qid ORDER BY rn) AS h
+      FROM ranked WHERE rn <= 10 AND label = ql
+    ), ap AS (
+      SELECT qid, sum(h * 1.0 / rn) / 10.0 AS ap10 FROM hits GROUP BY qid
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_queries,
+           round(avg(coalesce(ap10, 0.0)), 6) AS map_at_10
+    FROM q LEFT JOIN ap USING (qid)
+    """,
+)
+def k_eval_map_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean Average Precision@10 over the same 20-probe label-relevance
+    protocol as k_eval_mrr_labels: per query, AP@10 = Σ_hits (precision at
+    each hit rank)/10; MAP averages across probes (no-hit queries score
+    0). MRR sees only the FIRST hit — MAP grades the whole top-10, which
+    is what distinguishes an embedding that buries 9 of 10 relevant
+    neighbors from one that surfaces them all.
+
+    Same scale shape as MRR: broadcast probe set, one corpus stream, rank
+    windows keyed per query, then ≤ 200-row arithmetic. Rounded at 6dp
+    (rank-reciprocal sums land exactly on the 4dp half-grid; the 6dp grid
+    is provably safe for denominators dividing 504000)."""
+    from data_service_spark.queries.llm import _emb, dot
+
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("label").alias("ql"),
+    )
+    ranked = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "label",
+            "ql",
+            F.row_number()
+            .over(
+                Window.partitionBy("qid").orderBy(
+                    F.round(dot(F.col("v"), F.col("qv")), 6).desc(),
+                    F.col("vec_id"),
+                )
+            )
+            .alias("rn"),
+        )
+    )
+    hits = (
+        ranked.filter((F.col("rn") <= 10) & (F.col("label") == F.col("ql")))
+        .select(
+            "qid",
+            "rn",
+            F.row_number()
+            .over(Window.partitionBy("qid").orderBy("rn"))
+            .alias("h"),
+        )
+    )
+    ap = hits.groupBy("qid").agg(
+        (F.sum(F.col("h") * 1.0 / F.col("rn")) / 10.0).alias("ap10")
+    )
+    return q.join(ap, "qid", "left").agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.round(F.avg(F.coalesce("ap10", F.lit(0.0))), 6).alias("map_at_10"),
+    )

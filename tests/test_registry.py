@@ -115,6 +115,7 @@ k_chi2_terms k_eval_kappa
 k_pack_sequences_sharded e_win_range_frame_linear
 a_sink_avro a_sink_hive_table a_source_kafka_shaped
 k_eval_mrr_labels k_benford_digits q_group_by_all h_listagg
+k_seasonal_dow k_eval_map_labels k_text_ngram_coverage
 """.split()
 
 
