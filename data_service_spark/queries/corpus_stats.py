@@ -640,3 +640,60 @@ def k_text_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("coverage_ppm"),
     )
+
+
+# ----------------------------------------------------- readability score ----
+
+
+@register(
+    "k_text_readability",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             greatest(len(string_split(text, '. ')), 1) AS n_sent,
+             greatest(len(string_split(text, ' ')), 1) AS n_words,
+             len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syll
+      FROM documents
+    )
+    SELECT doc_id, CAST(n_sent AS BIGINT) AS n_sent,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_syll AS BIGINT) AS n_syll,
+           round(0.39 * (n_words * 1.0 / n_sent)
+                 + 11.8 * (n_syll * 1.0 / n_words) - 15.59, 4) AS fk_grade
+    FROM m
+    """,
+)
+def k_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-Kincaid grade-level per document, from deterministic
+    proxies: sentences = '. '-splits, words = whitespace tokens,
+    syllables = vowel-group runs ('[aeiouy]+' — the classic cheap
+    approximation). Readability is a standard quality-mix feature
+    (too-low = listicles/spam, too-high = OCR garbage/legalese), cheap
+    enough to run on every document at 100 TB: a zero-shuffle projection
+    — splits and one regexp scan per row, no aggregation at all.
+
+    The identical regex runs on both engines (character-class + '+' is
+    dialect-free between Java regex and RE2).
+    """
+    d = load(spark, sf_dir, "documents")
+    n_sent = F.greatest(F.size(F.split("text", "\\. ")), F.lit(1))
+    n_words = F.greatest(F.size(F.split("text", " ")), F.lit(1))
+    n_syll = F.size(F.expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)"))
+    m = d.select(
+        "doc_id",
+        n_sent.alias("n_sent"),
+        n_words.alias("n_words"),
+        n_syll.alias("n_syll"),
+    )
+    return m.select(
+        "doc_id",
+        F.col("n_sent").cast("long").alias("n_sent"),
+        F.col("n_words").cast("long").alias("n_words"),
+        F.col("n_syll").cast("long").alias("n_syll"),
+        F.round(
+            0.39 * (F.col("n_words") * 1.0 / F.col("n_sent"))
+            + 11.8 * (F.col("n_syll") * 1.0 / F.col("n_words"))
+            - 15.59,
+            4,
+        ).alias("fk_grade"),
+    )

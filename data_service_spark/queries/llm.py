@@ -2812,3 +2812,116 @@ def k_sim_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_10_at_30"),
         )
     )
+
+
+@register(
+    "k_dedup_prefix",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             md5(substr(lower(trim(text)), 1, 64)) AS prefix_hash
+      FROM documents
+    )
+    SELECT prefix_hash,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS keep_id
+    FROM p GROUP BY prefix_hash HAVING count(*) > 1
+    """,
+)
+def k_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-bucket dedup pass: documents sharing an identical normalized
+    64-char PREFIX collapse to one bucket — the cheap first rung of the
+    crawl-dedup ladder (mirror pages, re-hosted articles and templated
+    intros share prefixes long before they share full text), run before
+    the expensive shingle/MinHash passes to shrink their input.
+
+    Same shape as k_dedup_exact (hash → groupBy keep-min) but on the
+    truncated prefix: one 16-byte-key shuffle with map-side partials,
+    HAVING>1 so the output is only the collision buckets. At 100 TB the
+    prefix hash also serves as the shard key for the downstream fuzzy
+    passes — colliding docs are already co-located.
+    """
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.groupBy(
+            F.md5(F.substring(F.lower(F.trim(F.col("text"))), 1, 64)).alias(
+                "prefix_hash"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("doc_id").cast("long").alias("keep_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+@register(
+    "k_sim_reciprocal_nn",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    ed0 AS (
+      SELECT a.vec_id AS a, b.vec_id AS b,
+             round(list_inner_product(a.v, b.v), 4) AS sim
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      WHERE list_inner_product(a.v, b.v) >= 0.3
+    ), ed AS (
+      SELECT a, b, sim FROM ed0
+      UNION ALL SELECT b AS a, a AS b, sim FROM ed0
+    ), nn AS (
+      SELECT a, b, sim,
+             row_number() OVER (PARTITION BY a ORDER BY sim DESC, b) AS rn
+      FROM ed
+    )
+    SELECT x.a AS vec_id_1, x.b AS vec_id_2, x.sim AS sim
+    FROM nn x JOIN nn y ON x.b = y.a AND x.a = y.b
+    WHERE x.rn = 1 AND y.rn = 1 AND x.a < x.b
+    """,
+)
+def k_sim_reciprocal_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-nearest-neighbor pairs on the cosine≥0.3 candidate graph:
+    (a, b) survives iff b is a's single best neighbor AND a is b's — the
+    high-precision pair miner used for bitext/translation mining and as
+    the strictest near-duplicate signal (reciprocity filters out hub
+    vectors that are everyone's neighbor but nobody's match).
+
+    Candidate edges reuse the blocked-GEMM ``sim_pairs`` finder
+    (thresholded — a mutual-NN below 0.3 is noise by construction);
+    symmetrize, take each node's argmax by (sim, id) with one keyed rank
+    window over EDGE rows (not n²), and self-join the two rank-1 tables.
+    At 100 TB the edge list is LSH-bucketed first (k_sim_ann_sql) and
+    this exact reciprocity check runs unchanged on the candidates.
+    """
+    # sim_pairs emits sim already rounded at 4dp — use it as-is on BOTH
+    # sides (re-rounding 6dp-then-4dp here while the oracle rounds once
+    # diverges on .xxx95 values: the double-rounding trap).
+    ed0 = sim_pairs(spark, sf_dir, 0.3).select(
+        F.col("vec_id_1").alias("a"),
+        F.col("vec_id_2").alias("b"),
+        "sim",
+    )
+    ed = ed0.unionByName(
+        ed0.select(
+            F.col("b").alias("a"), F.col("a").alias("b"), "sim"
+        )
+    )
+    w = Window.partitionBy("a").orderBy(F.col("sim").desc(), F.col("b"))
+    nn = ed.select(
+        "a", "b", "sim", F.row_number().over(w).alias("rn")
+    ).filter(F.col("rn") == 1)
+    other = nn.select(
+        F.col("a").alias("b2"), F.col("b").alias("a2")
+    )
+    return (
+        nn.join(
+            other,
+            (F.col("b") == F.col("b2")) & (F.col("a") == F.col("a2")),
+        )
+        .filter(F.col("a") < F.col("b"))
+        .select(
+            F.col("a").alias("vec_id_1"),
+            F.col("b").alias("vec_id_2"),
+            "sim",
+        )
+    )

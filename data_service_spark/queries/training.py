@@ -2636,3 +2636,63 @@ def k_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("encoded"),
         )
     )
+
+
+@register(
+    "k_budget_select",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, source,
+             len(string_split(text, ' ')) AS n_tokens,
+             ('0x' || substr(md5(concat('bsel:', doc_id::VARCHAR)), 1, 8))
+               ::BIGINT AS pri
+      FROM documents
+    ), c AS (
+      SELECT doc_id, source, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY source ORDER BY pri, doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM scored
+    )
+    SELECT doc_id, source, n_tokens, CAST(cum AS BIGINT) AS cum_tokens
+    FROM c WHERE cum <= 20000
+    """,
+)
+def k_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget selection: per source, admit documents in a
+    deterministic hash-priority order until a 20k-token budget fills —
+    the per-domain cap step of a training-mix builder (every source
+    contributes, none dominates; reruns admit the same docs because the
+    priority is an md5 hash, not rand()).
+
+    One running-sum window per source partition + a filter; the shuffle
+    key is the source (the mix dimension), so at 100 TB the parallelism
+    is #sources × AQE skew splits and each partition streams once. The
+    greedy prefix rule (admit while cum ≤ budget) is the standard
+    practical relaxation of the knapsack this problem really is.
+    """
+    from pyspark.sql.window import Window
+
+    d = load(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        F.expr(
+            "CAST(conv(substr(md5(concat('bsel:', CAST(doc_id AS STRING))),"
+            " 1, 8), 16, 10) AS BIGINT)"
+        ).alias("pri"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("pri", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        scored.select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            F.sum("n_tokens").over(w).cast("long").alias("cum_tokens"),
+        )
+        .filter(F.col("cum_tokens") <= 20000)
+    )
