@@ -2925,3 +2925,54 @@ def k_sim_reciprocal_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sim",
         )
     )
+
+
+@register(
+    "k_dup_cross_source",
+    oracle=f"""
+    WITH labels AS ({_ORACLES["k_dedup_clusters"]}),
+    fam AS (
+      SELECT l.cluster_id,
+             count(*) AS n_docs,
+             count(DISTINCT d.source) AS n_sources,
+             string_agg(DISTINCT d.source, ',' ORDER BY d.source) AS sources
+      FROM labels l JOIN documents d USING (doc_id)
+      GROUP BY l.cluster_id
+      HAVING count(*) > 1
+    )
+    SELECT cluster_id, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_sources AS BIGINT) AS n_sources, sources
+    FROM fam
+    """,
+)
+def k_dup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication audit: for every near-dup family (>1 doc),
+    how many distinct SOURCES it spans and which — the syndicated-content
+    detector. Families confined to one source are internal re-posts
+    (drop-one fixes them); families spanning sources mean the same text
+    entered the corpus through multiple feeds, so per-source dedup would
+    silently miss them — the argument for GLOBAL dedup keys at 100 TB.
+
+    Composes the session-memoized CC labels with one broadcast-joined
+    source lookup and a family-sized aggregate; the source list is a
+    sorted collect_set join so the row is deterministic on both engines
+    (listagg(DISTINCT) alongside count(DISTINCT) trips a Spark 4.1.2
+    RewriteDistinctAggregates crash — collect_set avoids the rewrite).
+    """
+    d = load(spark, sf_dir, "documents").select("doc_id", "source")
+    labels = k_dedup_clusters(spark, sf_dir)
+    fam = (
+        labels.join(d, "doc_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.array_sort(F.collect_set("source")).alias("src_set"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+    return fam.select(
+        "cluster_id",
+        "n_docs",
+        F.size("src_set").cast("long").alias("n_sources"),
+        F.array_join("src_set", ",").alias("sources"),
+    )

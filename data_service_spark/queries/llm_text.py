@@ -1268,3 +1268,72 @@ def k_truncation_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(lost).cast("long").alias("tokens_lost"),
         F.round(F.sum(lost) * 1.0 / F.sum("n_tok"), 4).alias("loss_ratio"),
     )
+
+
+@register(
+    "k_tokenizer_fertility",
+    oracle="""
+    WITH tok AS (
+      SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents
+    ), dict AS (
+      SELECT word, length(word) AS n_chars,
+             length(replace(replace(replace(word, 'ta', chr(1)),
+                                    'er', chr(2)), 'sc', chr(3)))
+               AS n_units
+      FROM (SELECT DISTINCT word FROM tok)
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(d.n_units) AS BIGINT) AS n_units,
+           CAST(sum(d.n_chars) AS BIGINT) AS n_chars,
+           CAST(floor(sum(d.n_units) * 1000000.0 / count(*)) AS BIGINT)
+             AS fertility_ppm,
+           CAST(floor(sum(d.n_chars) * 1000000.0 / sum(d.n_units)) AS BIGINT)
+             AS chars_per_unit_ppm
+    FROM tok JOIN dict d USING (word)
+    GROUP BY lang
+    """,
+)
+def k_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: BPE units per whitespace word and
+    chars per unit under the fixed 3-merge table of k_bpe_apply — the
+    number that decides whether a tokenizer is fair to a language (high
+    fertility = more units per word = more compute per character; the
+    standard multilingual-tokenizer audit). Reported as exact integer
+    parts-per-million (floored on both engines — the int/int ratio can
+    land exactly on a rounding half-grid).
+
+    The type-level dictionary trick keeps this 100 TB-safe: merges run
+    once per DISTINCT word (vocabulary-sized), then a broadcast join
+    prices every token occurrence; per-lang rollup is map-side combined.
+    """
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("lang", F.explode(F.split("text", " ")).alias("word"))
+    enc = F.length(
+        F.replace(
+            F.replace(
+                F.replace(F.col("word"), F.lit("ta"), F.lit("\x01")),
+                F.lit("er"),
+                F.lit("\x02"),
+            ),
+            F.lit("sc"),
+            F.lit("\x03"),
+        )
+    )
+    dic = (
+        tok.select("word")
+        .distinct()
+        .select("word", F.length("word").alias("n_chars"), enc.alias("n_units"))
+    )
+    j = tok.join(dic, "word")
+    return j.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.sum("n_units").cast("long").alias("n_units"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+        F.floor(F.sum("n_units") * 1000000.0 / F.count(F.lit(1)))
+        .cast("long")
+        .alias("fertility_ppm"),
+        F.floor(F.sum("n_chars") * 1000000.0 / F.sum("n_units"))
+        .cast("long")
+        .alias("chars_per_unit_ppm"),
+    )
