@@ -20,6 +20,18 @@ SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
 # key → (what to look for, why it matters at 100 TB)
 SHOWCASE = {
+    "e_win_range_frame_linear": (
+        "mass groupBy -> per-(status, chunk) Window -> tiny carry Window -> BroadcastHashJoin of offsets",
+        "the RANGE-frame band sum decomposed as a distributed integer prefix sum: parallelism scales with the value range, not the 3-value partition key",
+    ),
+    "k_pack_sequences_sharded": (
+        "Window partitioned by the md5 shard bucket (no SinglePartition sort anywhere)",
+        "sequence packing sharded: per-shard running sums are embarrassingly parallel; the global-sort anchor stays as the exactness twin",
+    ),
+    "k_sim_reciprocal_nn": (
+        "GEMM candidate edges -> keyed rank Window over EDGES -> self-join of the two rank-1 sides",
+        "mutual-NN mining never touches n² pairs: argmax runs on the thresholded edge list, reciprocity is an equi-join",
+    ),
     "a_scan_filter_pushdown": (
         "`PushedFilters: [IsNotNull(l_shipdate), LessThan(...)]` on the scan",
         "predicates reach parquet row-group statistics — skipped row groups are never read",
