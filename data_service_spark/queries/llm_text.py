@@ -1337,3 +1337,60 @@ def k_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("chars_per_unit_ppm"),
     )
+
+
+@register(
+    "k_boilerplate_phrases",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    p AS (
+      SELECT doc_id, array_to_string(w[i:i+4], ' ') AS phrase
+      FROM t, unnest(list_transform(generate_series(1, len(w) - 4),
+                                    x -> x)) AS u(i)
+    ), c AS (
+      SELECT phrase, count(*) AS n_occur,
+             count(DISTINCT doc_id) AS n_docs
+      FROM p GROUP BY phrase
+    )
+    SELECT phrase, CAST(n_occur AS BIGINT) AS n_occur,
+           CAST(n_docs AS BIGINT) AS n_docs
+    FROM c WHERE n_docs >= 3
+    ORDER BY n_docs DESC, n_occur DESC, phrase LIMIT 50
+    """,
+)
+def k_boilerplate_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style boilerplate miner at PHRASE granularity: 5-word sliding
+    phrases recurring across >= 3 distinct documents, top-50 by spread —
+    the removal list for nav chrome, cookie banners and template frames
+    (Raffel et al. 2020 dropped any line seen 3+ times corpus-wide; this
+    is that census on the unit that actually recurs in prose). Sits
+    between k_dedup_prefix (doc heads) and k_dedup_spans (8-gram hashes):
+    human-readable phrases an editor can allowlist.
+
+    Phrase explode -> vocabulary-sized count table (map-side combined;
+    distinct-doc count is Spark's two-level partial expansion) -> the
+    top-50 is TakeOrderedAndProject over the already-filtered recurring
+    set. At 100 TB phrases hash to int64 first and strings surface only
+    for the 50 winners (the k_dedup_minhash_sql trick); strings stay
+    inline here for oracle readability.
+    """
+    d = load(spark, sf_dir, "documents")
+    p = d.select("doc_id", F.split("text", " ").alias("w")).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(filter(sequence(1, greatest(size(w) - 4, 1)),"
+                " i -> i <= size(w) - 4),"
+                " i -> concat_ws(' ', slice(w, i, 5)))"
+            )
+        ).alias("phrase"),
+    )
+    c = p.groupBy("phrase").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occur"),
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+    )
+    return (
+        c.filter(F.col("n_docs") >= 3)
+        .orderBy(F.col("n_docs").desc(), F.col("n_occur").desc(), "phrase")
+        .limit(50)
+    )

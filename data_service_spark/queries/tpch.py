@@ -654,3 +654,46 @@ def q_group_by_all(spark: "SparkSession", sf_dir: str) -> "DataFrame":
         ORDER BY ALL
         """
     )
+
+
+@register(
+    "q_ctas_insert",
+    oracle="""
+    SELECT n_regionkey,
+           CAST(2 * count(*) AS BIGINT) AS n_nations,
+           CAST(2 * sum(n_nationkey) AS BIGINT) AS key_sum
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def q_ctas_insert(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """The SQL WRITE path a service exposes: CREATE TABLE AS SELECT into
+    the session catalog, then INSERT INTO appending a second copy, then an
+    aggregate read-back through ``spark.table`` — DDL + DML + catalog
+    resolution in one roundtrip (the doubled key_sum proves the INSERT
+    appended rather than replaced). On a cluster the same statements hit
+    the persistent catalog (a_sink_hive_table's territory); the oracle
+    states the doubled aggregate directly.
+    """
+    import os as _os
+    import shutil
+    from urllib.parse import urlparse
+
+    load(spark, sf_dir, "nation").createOrReplaceTempView("nation_src")
+    spark.sql("DROP TABLE IF EXISTS dss_ctas_nation")
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    shutil.rmtree(_os.path.join(wh, "dss_ctas_nation"), ignore_errors=True)
+    spark.sql(
+        "CREATE TABLE dss_ctas_nation USING parquet AS "
+        "SELECT n_nationkey, n_regionkey FROM nation_src"
+    )
+    spark.sql(
+        "INSERT INTO dss_ctas_nation "
+        "SELECT n_nationkey, n_regionkey FROM nation_src"
+    )
+    return spark.sql(
+        """
+        SELECT n_regionkey, count(*) AS n_nations,
+               sum(n_nationkey) AS key_sum
+        FROM dss_ctas_nation GROUP BY n_regionkey
+        """
+    )

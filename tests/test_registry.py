@@ -117,7 +117,7 @@ a_sink_avro a_sink_hive_table a_source_kafka_shaped
 k_eval_mrr_labels k_benford_digits q_group_by_all h_listagg
 k_seasonal_dow k_eval_map_labels k_text_ngram_coverage
 k_dedup_prefix k_budget_select k_text_readability k_sim_reciprocal_nn
-k_dup_cross_source k_tokenizer_fertility
+k_dup_cross_source k_tokenizer_fertility q_ctas_insert k_boilerplate_phrases
 """.split()
 
 
