@@ -2698,3 +2698,123 @@ def k_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cum_tokens") <= 20000)
     )
+
+
+@register(
+    "k_chat_template_render",
+    oracle="""
+    WITH split_doc AS (
+      SELECT doc_id,
+             array_to_string((string_split(text, ' '))[1:10], ' ') AS prompt,
+             array_to_string((string_split(text, ' '))[11:], ' ')
+               AS completion
+      FROM documents
+      WHERE len(string_split(text, ' ')) > 10
+    )
+    SELECT doc_id,
+           '<|user|>' || chr(10) || prompt || '<|end|>' || chr(10)
+             || '<|assistant|>' || chr(10) || completion || '<|end|>'
+             AS rendered,
+           CAST(length('<|user|>' || chr(10) || prompt || '<|end|>'
+                || chr(10) || '<|assistant|>' || chr(10) || completion
+                || '<|end|>') AS BIGINT) AS n_chars
+    FROM split_doc
+    """,
+)
+def k_chat_template_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chat-template rendering: the same prompt/completion split as
+    k_sft_records, flattened into the single training STRING the tokenizer
+    actually sees (role sentinels + turn terminators — the template step
+    every SFT pipeline runs between the JSONL record and the token ids).
+    Keeping it in-engine means template changes re-render 100 TB as a
+    zero-shuffle projection instead of a reprocessing job.
+    """
+    d = load(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    sd = d.select(
+        "doc_id",
+        F.concat_ws(" ", F.slice(words, 1, 10)).alias("prompt"),
+        F.concat_ws(
+            " ", F.expr("slice(split(text, ' '), 11, size(split(text, ' ')))")
+        ).alias("completion"),
+    ).filter(F.size(words) > 10)
+    rendered = F.concat(
+        F.lit("<|user|>\n"),
+        F.col("prompt"),
+        F.lit("<|end|>\n<|assistant|>\n"),
+        F.col("completion"),
+        F.lit("<|end|>"),
+    )
+    return sd.select(
+        "doc_id",
+        rendered.alias("rendered"),
+        F.length(rendered).cast("long").alias("n_chars"),
+    )
+
+
+@register(
+    "k_span_mask_mlm",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    m AS (
+      SELECT doc_id, w,
+             list_transform(generate_series(1, len(w)), i ->
+               ('0x' || substr(md5('mask:' || doc_id::VARCHAR || ':'
+                               || (i - 1)::VARCHAR), 1, 8))::BIGINT % 100
+                 < 15) AS is_masked
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(len(w) AS BIGINT) AS n_tokens,
+           CAST(len(list_filter(generate_series(1, len(w)),
+                                i -> is_masked[i])) AS BIGINT) AS n_masked,
+           array_to_string(list_transform(generate_series(1, len(w)),
+             i -> CASE WHEN is_masked[i] THEN '<mask>' ELSE w[i] END), ' ')
+             AS masked_text,
+           coalesce(array_to_string(list_transform(
+             list_filter(generate_series(1, len(w)), i -> is_masked[i]),
+             i -> w[i]), ' '), '') AS targets
+    FROM m
+    """,
+)
+def k_span_mask_mlm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic MLM/denoising corruption: ~15% of each document's
+    tokens are replaced with ``<mask>``, chosen by an md5 hash bucket of
+    (doc_id, position) — BERT/T5-style masking that is REPRODUCIBLE
+    across reruns and engines (no rand()), so the same example always
+    corrupts the same way (the property that makes loss curves comparable
+    between pipeline versions). Emits the corrupted text plus the
+    in-order target tokens.
+
+    Pure per-row array algebra (transform/filter with index lambdas) —
+    zero shuffle, composes at scan rate; the hash is the same salted-md5
+    bucket convention as the split/sampling keys.
+    """
+    d = load(spark, sf_dir, "documents")
+    bucket = (
+        "CAST(conv(substr(md5(concat('mask:', CAST(doc_id AS STRING), ':',"
+        " CAST(i AS STRING))), 1, 8), 16, 10) AS BIGINT) % 100 < 15"
+    )
+    w = d.select("doc_id", F.split("text", " ").alias("w"))
+    m = w.withColumn(
+        "is_masked",
+        F.expr(
+            f"transform(w, (x, i) -> {bucket})"
+        ),
+    )
+    return m.select(
+        "doc_id",
+        F.size("w").cast("long").alias("n_tokens"),
+        F.expr("size(filter(is_masked, x -> x))").cast("long").alias(
+            "n_masked"
+        ),
+        F.expr(
+            "concat_ws(' ', transform(w, (x, i) ->"
+            " IF(is_masked[i], '<mask>', x)))"
+        ).alias("masked_text"),
+        F.expr(
+            "concat_ws(' ', transform("
+            " filter(sequence(0, size(w) - 1), i -> is_masked[i]),"
+            " i -> w[i]))"
+        ).alias("targets"),
+    )
