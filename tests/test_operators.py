@@ -2377,3 +2377,51 @@ def test_range_frame_linear_matches_native_frame(spark, sf_dir):
     n = j.count()
     assert n == a.count()
     assert j.filter(F.abs(F.col("a") - F.col("b")) > 1e-9).count() == 0
+
+
+def test_span_mask_targets_align_with_masks(spark, sf_dir):
+    """Masked text and target list reconstruct the original: replacing the
+    <mask> slots with the targets in order yields the source tokens, and
+    the corpus-wide mask rate sits near the 15% design point."""
+    from data_service_spark.io import load
+    from data_service_spark.registry import QUERIES
+
+    m = QUERIES["k_span_mask_mlm"](spark, sf_dir)
+    src = load(spark, sf_dir, "documents").select("doc_id", "text")
+    rows = m.join(src, "doc_id").collect()
+    tot, masked = 0, 0
+    for r in rows:
+        orig = r.text.split(" ")
+        out = r.masked_text.split(" ")
+        tgts = r.targets.split(" ") if r.targets else []
+        assert len(out) == len(orig) == r.n_tokens
+        assert r.n_masked == len(tgts)
+        it = iter(tgts)
+        rebuilt = [next(it) if t == "<mask>" else t for t in out]
+        assert rebuilt == orig
+        tot += r.n_tokens
+        masked += r.n_masked
+    assert 0.10 < masked / tot < 0.20
+
+
+def test_budget_select_respects_budget_and_determinism(spark, sf_dir):
+    from data_service_spark.registry import QUERIES
+
+    sel = QUERIES["k_budget_select"](spark, sf_dir).toPandas()
+    assert (sel.groupby("source").cum_tokens.max() <= 20000).all()
+    again = QUERIES["k_budget_select"](spark, sf_dir).toPandas()
+    assert sorted(sel.doc_id) == sorted(again.doc_id)
+
+
+def test_reciprocal_nn_is_a_matching(spark, sf_dir):
+    """Mutual-NN pairs form a matching: every vector appears in at most
+    one pair, and pairs are ordered (id_1 < id_2)."""
+    from data_service_spark.registry import QUERIES
+
+    pairs = QUERIES["k_sim_reciprocal_nn"](spark, sf_dir).collect()
+    seen = set()
+    for r in pairs:
+        assert r.vec_id_1 < r.vec_id_2
+        assert r.vec_id_1 not in seen and r.vec_id_2 not in seen
+        seen.add(r.vec_id_1)
+        seen.add(r.vec_id_2)
