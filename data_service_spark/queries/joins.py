@@ -1167,3 +1167,106 @@ def c_join_cardinality_est(spark: SparkSession, sf_dir: str) -> DataFrame:
         "actual",
         F.round(est * 1.0 / F.col("actual"), 4).alias("est_over_actual"),
     )
+
+
+@register(
+    "c_join_spatial_grid",
+    oracle="""
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    pts AS (
+      SELECT user_id,
+             40.0 + (('0x' || substr(md5('lat:' || user_id::VARCHAR), 1, 8))
+                     ::BIGINT % 400) / 100.0 AS lat,
+             -74.0 + (('0x' || substr(md5('lon:' || user_id::VARCHAR), 1, 8))
+                      ::BIGINT % 400) / 100.0 AS lon
+      FROM u
+    ), pairs AS (
+      SELECT a.user_id AS user_id_1, b.user_id AS user_id_2,
+             2 * 6371.0 * asin(sqrt(
+               pow(sin(radians(b.lat - a.lat) / 2), 2)
+               + cos(radians(a.lat)) * cos(radians(b.lat))
+                 * pow(sin(radians(b.lon - a.lon) / 2), 2))) AS dist_km
+      FROM pts a JOIN pts b ON a.user_id < b.user_id
+    )
+    SELECT user_id_1, user_id_2, round(dist_km, 3) AS dist_km
+    FROM pairs WHERE dist_km <= 50.0
+    """,
+)
+def c_join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial radius join AS AN EQUI-JOIN: user points (deterministic
+    hash-derived coordinates in a ~400 km box) paired within 50 km via
+    grid bucketing — each point keys to a (0.5° lat × 1.0° lon) cell, one
+    side explodes to its 3×3 neighborhood, the join is a plain hash join
+    on the cell id, and the exact haversine runs only on co-cell
+    candidates. Cell sizes are chosen so NO qualifying pair can span more
+    than one cell step (0.5° lat ≈ 55 km ≥ 50; 1.0° lon at this latitude
+    ≈ 85 km ≥ 50) — the completeness argument every grid join needs. The
+    oracle states the naive all-pairs form; candidate pruning must not
+    change the answer.
+
+    This is the PostGIS/geohash pattern on plain Spark: at 100 TB the
+    all-pairs form is impossible while the grid join's cost tracks cell
+    occupancy — identical shape to the LSH band joins on the text side.
+    """
+    e = load(spark, sf_dir, "events")
+    u = e.select("user_id").distinct()
+    bkt = (
+        "CAST(conv(substr(md5(concat('{s}:', CAST(user_id AS STRING))), 1, 8),"
+        " 16, 10) AS BIGINT) % 400"
+    )
+    pts = u.select(
+        "user_id",
+        (40.0 + F.expr(bkt.format(s="lat")) / 100.0).alias("lat"),
+        (-74.0 + F.expr(bkt.format(s="lon")) / 100.0).alias("lon"),
+    )
+    cell_lat = F.floor(F.col("lat") / 0.5)
+    cell_lon = F.floor(F.col("lon") / 1.0)
+    a = pts.select(
+        F.col("user_id").alias("user_id_1"),
+        F.col("lat").alias("lat1"),
+        F.col("lon").alias("lon1"),
+        cell_lat.alias("clat"),
+        cell_lon.alias("clon"),
+    )
+    b = pts.select(
+        F.col("user_id").alias("user_id_2"),
+        F.col("lat").alias("lat2"),
+        F.col("lon").alias("lon2"),
+        F.explode(
+            F.array(cell_lat - 1, cell_lat, cell_lat + 1)
+        ).alias("clat"),
+        F.col("lon").alias("_lon"),
+    ).select(
+        "user_id_2",
+        "lat2",
+        "lon2",
+        "clat",
+        F.explode(
+            F.array(
+                F.floor(F.col("_lon") / 1.0) - 1,
+                F.floor(F.col("_lon") / 1.0),
+                F.floor(F.col("_lon") / 1.0) + 1,
+            )
+        ).alias("clon"),
+    )
+    dist = (
+        2
+        * 6371.0
+        * F.asin(
+            F.sqrt(
+                F.pow(F.sin(F.radians(F.col("lat2") - F.col("lat1")) / 2), 2)
+                + F.cos(F.radians("lat1"))
+                * F.cos(F.radians("lat2"))
+                * F.pow(
+                    F.sin(F.radians(F.col("lon2") - F.col("lon1")) / 2), 2
+                )
+            )
+        )
+    )
+    return (
+        a.join(b, ["clat", "clon"])
+        .filter(F.col("user_id_1") < F.col("user_id_2"))
+        .withColumn("dist_km", dist)
+        .filter(F.col("dist_km") <= 50.0)
+        .select("user_id_1", "user_id_2", F.round("dist_km", 3).alias("dist_km"))
+    )
