@@ -1436,3 +1436,51 @@ def d_agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("totw").cast("long").alias("total_weight"),
         )
     )
+
+
+@register(
+    "d_agg_skew_detect",
+    oracle="""
+    WITH k AS (
+      SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey
+    ), s AS (
+      SELECT count(*) AS n_keys, sum(n) AS n_rows, max(n) AS max_n
+      FROM k
+    ), top AS (
+      SELECT o_custkey, n,
+             row_number() OVER (ORDER BY n DESC, o_custkey) AS r
+      FROM k
+    )
+    SELECT t.o_custkey, CAST(t.n AS BIGINT) AS n_rows_key,
+           CAST(floor(t.n * 1000000.0 / s.n_rows) AS BIGINT) AS share_ppm,
+           CAST(floor(t.n * s.n_keys * 1000000.0 / s.n_rows) AS BIGINT)
+             AS skew_x1e6
+    FROM top t CROSS JOIN s WHERE t.r <= 10
+    """,
+)
+def d_agg_skew_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew profiler: the top-10 heaviest join/agg keys of
+    ``orders.o_custkey`` with their row share and skew factor (key rows ÷
+    mean rows per key, ×1e6 exact integer) — the diagnostic that decides
+    between a plain shuffle join, AQE skew splitting, and explicit salting
+    (c_join_salted). Run it BEFORE the 100 TB join, on the key column
+    alone: one vocabulary-sized count table, a 1-row reduce, and a
+    TakeOrdered top-10 — never the joined data.
+    """
+    o = load(spark, sf_dir, "orders")
+    k = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n"))
+    s = k.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n").alias("n_rows"),
+    )
+    top = k.orderBy(F.col("n").desc(), "o_custkey").limit(10)
+    return top.crossJoin(F.broadcast(s)).select(
+        "o_custkey",
+        F.col("n").cast("long").alias("n_rows_key"),
+        F.floor(F.col("n") * 1000000.0 / F.col("n_rows"))
+        .cast("long")
+        .alias("share_ppm"),
+        F.floor(F.col("n") * F.col("n_keys") * 1000000.0 / F.col("n_rows"))
+        .cast("long")
+        .alias("skew_x1e6"),
+    )

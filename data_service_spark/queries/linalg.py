@@ -430,3 +430,51 @@ def k_label_noise_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_diff",
         F.round(F.col("n_diff") / 5.0, 4).alias("noise_frac"),
     )
+
+
+@register(
+    "k_embed_norm_audit",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id,
+             sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                          x -> x * x))) AS nrm
+      FROM embeddings
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+           round(min(nrm), 4) AS min_norm,
+           round(max(nrm), 4) AS max_norm,
+           round(avg(nrm), 4) AS avg_norm,
+           CAST(count(*) FILTER (WHERE abs(nrm - 1.0) > 0.01) AS BIGINT)
+             AS n_off_unit
+    FROM e
+    """,
+)
+def k_embed_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-norm hygiene audit: L2-norm distribution plus the count
+    of vectors off the unit sphere by >1% — the first check before any
+    cosine retrieval (un-normalized rows silently turn cosine ranking into
+    magnitude ranking; a mixed-norm table means two encoder versions got
+    interleaved). One zero-shuffle projection and a 1-row aggregate —
+    scan-rate at any corpus size.
+    """
+    emb = _emb(spark, sf_dir)
+    nrm = F.sqrt(
+        F.aggregate(
+            F.col("v"),
+            F.lit(0.0),
+            lambda acc, x: acc + x * x,
+        )
+    )
+    e = emb.select(nrm.alias("nrm"))
+    return e.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.round(F.min("nrm"), 4).alias("min_norm"),
+        F.round(F.max("nrm"), 4).alias("max_norm"),
+        F.round(F.avg("nrm"), 4).alias("avg_norm"),
+        F.sum(
+            F.when(F.abs(F.col("nrm") - 1.0) > 0.01, 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_off_unit"),
+    )
