@@ -74,7 +74,7 @@ PRIORITY = [
     "k_sim_reciprocal_nn", "k_dup_cross_source", "k_tokenizer_fertility",
     "q_ctas_insert", "k_boilerplate_phrases",
     "k_chat_template_render", "k_span_mask_mlm", "c_join_spatial_grid",
-    "d_agg_skew_detect", "k_embed_norm_audit",
+    "d_agg_skew_detect", "k_embed_norm_audit", "k_rank_rbo",
     # remaining never-recorded core, next rounds' window
     "e_win_ignore_nulls", "e_win_pareto", "e_win_ewma", "e_win_nth_value",
     "g_union_byname", "g_except_all", "g_intersect_all",

@@ -1360,3 +1360,98 @@ def k_eval_map_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_queries"),
         F.round(F.avg(F.coalesce("ap10", F.lit(0.0))), 6).alias("map_at_10"),
     )
+
+
+# ------------------------------------------------- rank-biased overlap ----
+
+
+@register(
+    "k_rank_rbo",
+    oracle=f"""
+    WITH sparse AS ({_REG_ORACLES.get("k_text_bm25", "SELECT 1")}),
+    sr AS (
+      SELECT doc_id, row_number() OVER (ORDER BY round(bm25, 6) DESC, doc_id)
+               AS ra
+      FROM sparse QUALIFY ra <= 10
+    ),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    dense AS (
+      SELECT vec_id AS doc_id,
+             row_number() OVER (ORDER BY
+               round(list_inner_product(v, qv), 6) DESC, vec_id) AS rb
+      FROM e CROSS JOIN q WHERE vec_id <> 0
+      QUALIFY rb <= 10
+    ),
+    common AS (
+      SELECT greatest(sr.ra, dense.rb) AS m
+      FROM sr JOIN dense USING (doc_id)
+    ),
+    depths AS (SELECT unnest(generate_series(1, 10)) AS d),
+    agree AS (
+      SELECT d.d,
+             (SELECT count(*) FROM common c WHERE c.m <= d.d) * 1.0 / d.d
+               AS a_d
+      FROM depths d
+    )
+    SELECT CAST(10 AS BIGINT) AS depth,
+           round((1 - 0.9) * sum(pow(0.9, d - 1) * a_d), 6) AS rbo
+    FROM agree
+    """,
+)
+def k_rank_rbo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-Biased Overlap (Webber et al. 2010, truncated at depth 10,
+    p = 0.9) between the BM25 and dense retrieval legs: top-WEIGHTED rank
+    agreement — unlike Spearman over the intersection (k_rank_spearman),
+    RBO rewards agreement at the head of the lists, which is what a
+    fusion layer actually cares about. RBO = (1−p)·Σ_d p^(d−1)·|A_d∩B_d|/d.
+
+    Both top-10 legs come from the registered formulations; the overlap
+    algebra runs on ≤ 10 common rows joined to a 10-row depth spine —
+    everything after the two leg windows is constant-sized. Rounded 6dp.
+    """
+    from data_service_spark.registry import QUERIES
+
+    scored = QUERIES["k_text_bm25"](spark, sf_dir)
+    wa = Window.orderBy(F.round("bm25", 6).desc(), F.col("doc_id"))
+    sr = (
+        scored.select("doc_id", F.row_number().over(wa).alias("ra"))
+        .filter(F.col("ra") <= 10)
+    )
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    sim = F.aggregate(
+        F.zip_with(F.col("v"), F.col("qv"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    wb = Window.orderBy(F.round(F.col("sim"), 6).desc(), F.col("doc_id"))
+    dense = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(F.col("vec_id").alias("doc_id"), sim.alias("sim"))
+        .withColumn("rb", F.row_number().over(wb))
+        .filter(F.col("rb") <= 10)
+        .select("doc_id", "rb")
+    )
+    common = sr.join(dense, "doc_id").select(
+        F.greatest("ra", "rb").alias("m")
+    )
+    depths = spark.range(1, 11).select(F.col("id").alias("d"))
+    # LEFT join keeps every depth row even when the top-10s are disjoint
+    # (a crossJoin against an empty overlap set would erase the spine and
+    # aggregate NULL instead of the correct RBO of 0).
+    agree = (
+        depths.join(F.broadcast(common), F.col("m") <= F.col("d"), "left")
+        .groupBy("d")
+        .agg((F.count("m") * 1.0 / F.first("d")).alias("a_d"))
+    )
+    return agree.agg(
+        F.lit(10).cast("long").alias("depth"),
+        F.round(
+            (1 - 0.9) * F.sum(F.pow(F.lit(0.9), F.col("d") - 1) * F.col("a_d")),
+            6,
+        ).alias("rbo"),
+    )
