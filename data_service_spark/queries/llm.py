@@ -2976,3 +2976,102 @@ def k_dup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("src_set").cast("long").alias("n_sources"),
         F.array_join("src_set", ",").alias("sources"),
     )
+
+
+@register(
+    "k_hubness_audit",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    ed0 AS (
+      SELECT a.vec_id AS a, b.vec_id AS b,
+             round(list_inner_product(a.v, b.v), 4) AS sim
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      WHERE list_inner_product(a.v, b.v) >= 0.3
+    ), ed AS (
+      SELECT a, b, sim FROM ed0
+      UNION ALL SELECT b AS a, a AS b, sim FROM ed0
+    ), top5 AS (
+      SELECT a, b FROM (
+        SELECT a, b,
+               row_number() OVER (PARTITION BY a ORDER BY sim DESC, b) AS rn
+        FROM ed) WHERE rn <= 5
+    ), occ AS (
+      SELECT b AS vec_id, count(*) AS k_occurrence
+      FROM top5 GROUP BY b
+    )
+    SELECT vec_id, CAST(k_occurrence AS BIGINT) AS k_occurrence
+    FROM occ ORDER BY k_occurrence DESC, vec_id LIMIT 20
+    """,
+)
+def k_hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hubness audit: the top-20 HUB vectors by 5-occurrence — how often a
+    vector appears in OTHER vectors' top-5 neighbor lists (within the
+    cosine≥0.3 candidate graph). Hubness is the classic high-dimensional
+    retrieval pathology (Radovanović et al. 2010): a few points become
+    everyone's neighbor, poisoning kNN labels and near-dup clustering —
+    this is the census that says whether k_sim_* answers need hubness
+    correction (e.g. reciprocal filtering, which k_sim_reciprocal_nn
+    applies).
+
+    k-occurrence is one groupBy over the rank-1..5 edge table — the rank
+    window runs on thresholded EDGES (bucket-join scale shape shared with
+    k_sim_reciprocal_nn), never n² pairs.
+    """
+    ed0 = sim_pairs(spark, sf_dir, 0.3).select(
+        F.col("vec_id_1").alias("a"),
+        F.col("vec_id_2").alias("b"),
+        "sim",
+    )
+    ed = ed0.unionByName(
+        ed0.select(F.col("b").alias("a"), F.col("a").alias("b"), "sim")
+    )
+    w = Window.partitionBy("a").orderBy(F.col("sim").desc(), F.col("b"))
+    top5 = ed.select(
+        "a", "b", F.row_number().over(w).alias("rn")
+    ).filter(F.col("rn") <= 5)
+    occ = top5.groupBy(F.col("b").alias("vec_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("k_occurrence")
+    )
+    return occ.orderBy(F.col("k_occurrence").desc(), "vec_id").limit(20)
+
+
+@register(
+    "k_source_overlap_matrix",
+    oracle=f"""
+    WITH labels AS ({_ORACLES["k_dedup_clusters"]}),
+    fs AS (
+      SELECT DISTINCT l.cluster_id, d.source
+      FROM labels l JOIN documents d USING (doc_id)
+    )
+    SELECT a.source AS source_1, b.source AS source_2,
+           CAST(count(*) AS BIGINT) AS n_shared_families
+    FROM fs a JOIN fs b
+      ON a.cluster_id = b.cluster_id AND a.source < b.source
+    GROUP BY a.source, b.source
+    """,
+)
+def k_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-overlap matrix: for every SOURCE PAIR, how many near-dup
+    families contain documents from both — the syndication graph that
+    k_dup_cross_source's per-family rows roll up to. Reading it: a heavy
+    pair means one feed republishes the other, so dropping the lower-
+    quality source wholesale may beat per-document dedup (the same call
+    Gopher/RefinedWeb made about Common Crawl snapshots).
+
+    The (family, source) table is DISTINCT-compressed before the self-
+    join, so the pair join runs on families × their few sources, not on
+    documents; output is |sources|² bounded. Composes the memoized CC
+    labels.
+    """
+    d = load(spark, sf_dir, "documents").select("doc_id", "source")
+    labels = k_dedup_clusters(spark, sf_dir)
+    fs = labels.join(d, "doc_id").select("cluster_id", "source").distinct()
+    a = fs.select("cluster_id", F.col("source").alias("source_1"))
+    b = fs.select("cluster_id", F.col("source").alias("source_2"))
+    return (
+        a.join(b, "cluster_id")
+        .filter(F.col("source_1") < F.col("source_2"))
+        .groupBy("source_1", "source_2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_families"))
+    )

@@ -1394,3 +1394,53 @@ def k_boilerplate_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_docs").desc(), F.col("n_occur").desc(), "phrase")
         .limit(50)
     )
+
+
+@register(
+    "k_blocklist_gate",
+    oracle="""
+    WITH hits AS (
+      SELECT doc_id,
+             len(list_filter(string_split(lower(text), ' '),
+                 w -> list_contains(['spark', 'vector', 'gpu'], w)))
+               AS n_hits,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id, CAST(n_hits AS BIGINT) AS n_hits,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(floor(n_hits * 10000.0 / n_tokens) AS BIGINT) AS hit_bp,
+           CAST(floor(n_hits * 10000.0 / n_tokens) AS BIGINT) >= 100
+             AS blocked
+    FROM hits
+    """,
+)
+def k_blocklist_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist keyword gate: per-document hit count against a fixed
+    term blocklist (stand-in terms here; NSFW/spam lists in production),
+    hit density in exact integer basis points, and the block verdict at
+    the 1% density threshold — the first, cheapest content-safety filter
+    every corpus pipeline runs (wordlists catch the bulk; model-based
+    gates like k_quality_logreg handle the rest). Zero-shuffle projection:
+    one tokenize + one list_filter per row, integer division both sides.
+
+    At 100 TB the blocklist (thousands of terms) broadcasts as a set and
+    the same filter-fold runs at scan rate.
+    """
+    d = load(spark, sf_dir, "documents")
+    hits = d.select(
+        "doc_id",
+        F.expr(
+            "size(filter(split(lower(text), ' '),"
+            " w -> array_contains(array('spark', 'vector', 'gpu'), w)))"
+        ).alias("n_hits"),
+        F.size(F.split("text", " ")).alias("n_tokens"),
+    )
+    bp = F.floor(F.col("n_hits") * 10000.0 / F.col("n_tokens")).cast("long")
+    return hits.select(
+        "doc_id",
+        F.col("n_hits").cast("long").alias("n_hits"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        bp.alias("hit_bp"),
+        (bp >= 100).alias("blocked"),
+    )

@@ -1455,3 +1455,55 @@ def k_rank_rbo(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("rbo"),
     )
+
+
+# ------------------------------------------------- day-over-day growth ----
+
+
+@register(
+    "k_daily_growth",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_cents,
+             count(*) AS n_orders
+      FROM orders GROUP BY 1
+    )
+    SELECT day, CAST(rev_cents AS BIGINT) AS rev_cents,
+           CAST(n_orders AS BIGINT) AS n_orders,
+           CAST(rev_cents - lag(rev_cents) OVER (ORDER BY day) AS BIGINT)
+             AS delta_cents,
+           CAST(floor((rev_cents - lag(rev_cents) OVER (ORDER BY day))
+                * 10000.0 / lag(rev_cents) OVER (ORDER BY day)) AS BIGINT)
+             AS growth_bp
+    FROM daily
+    """,
+)
+def k_daily_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day revenue growth: daily integer-cent revenue with its
+    absolute delta and growth in exact basis points (floored int — the
+    int/int ratio convention) — the standard BI pulse metric, shaped for
+    scale: the window runs over the DAILY spine (one row per day, never
+    the order table), so the only data-sized work is the map-side-combined
+    daily aggregate. First day's deltas are NULL by definition.
+    """
+    o = load(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "rev_cents"
+        ),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w = Window.orderBy("day")
+    prev = F.lag("rev_cents").over(w)
+    return daily.select(
+        "day",
+        F.col("rev_cents").cast("long").alias("rev_cents"),
+        F.col("n_orders").cast("long").alias("n_orders"),
+        (F.col("rev_cents") - prev).cast("long").alias("delta_cents"),
+        F.floor((F.col("rev_cents") - prev) * 10000.0 / prev)
+        .cast("long")
+        .alias("growth_bp"),
+    )

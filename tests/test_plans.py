@@ -427,3 +427,18 @@ def test_range_frame_linear_windows_are_chunked(spark, sf_dir):
     plan = plan_of(QUERIES["e_win_range_frame_linear"](spark, sf_dir), "simple")
     assert "SinglePartition" not in plan
     assert "chunk" in plan
+
+
+def test_spatial_grid_join_is_hash_not_nested_loop(spark, sf_dir):
+    # The 3x3 neighborhood explode must make the radius join an equi-join
+    # on the cell id — never a cartesian/nested-loop over point pairs.
+    plan = plan_of(QUERIES["c_join_spatial_grid"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "Join" in plan
+
+
+def test_skew_detect_never_sorts_the_fact_table(spark, sf_dir):
+    # Top-10 heavy keys must come from TakeOrderedAndProject over the
+    # key-count table, not a global sort of orders.
+    plan = plan_of(QUERIES["d_agg_skew_detect"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
