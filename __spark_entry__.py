@@ -76,7 +76,7 @@ PRIORITY = [
     "k_chat_template_render", "k_span_mask_mlm", "c_join_spatial_grid",
     "d_agg_skew_detect", "k_embed_norm_audit", "k_rank_rbo",
     "k_daily_growth", "k_hubness_audit", "k_blocklist_gate",
-    "k_source_overlap_matrix",
+    "k_source_overlap_matrix", "k_prompt_dedup_sft", "d_agg_wilson_ci",
     # remaining never-recorded core, next rounds' window
     "e_win_ignore_nulls", "e_win_pareto", "e_win_ewma", "e_win_nth_value",
     "g_union_byname", "g_except_all", "g_intersect_all",

@@ -1484,3 +1484,59 @@ def d_agg_skew_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("skew_x1e6"),
     )
+
+
+@register(
+    "d_agg_wilson_ci",
+    oracle="""
+    WITH conv AS (
+      SELECT count(DISTINCT user_id) AS n,
+             count(DISTINCT user_id)
+               FILTER (WHERE event_type = 'purchase') AS k
+      FROM events
+    )
+    SELECT CAST(n AS BIGINT) AS n_users,
+           CAST(k AS BIGINT) AS n_converted,
+           round(k * 1.0 / n, 6) AS p_hat,
+           round((k * 1.0 / n + 1.96 * 1.96 / (2 * n)
+                  - 1.96 * sqrt((k * 1.0 / n) * (1 - k * 1.0 / n) / n
+                                + 1.96 * 1.96 / (4.0 * n * n)))
+                 / (1 + 1.96 * 1.96 / n), 6) AS ci_lo,
+           round((k * 1.0 / n + 1.96 * 1.96 / (2 * n)
+                  + 1.96 * sqrt((k * 1.0 / n) * (1 - k * 1.0 / n) / n
+                                + 1.96 * 1.96 / (4.0 * n * n)))
+                 / (1 + 1.96 * 1.96 / n), 6) AS ci_hi
+    FROM conv
+    """,
+)
+def d_agg_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson 95% score interval for the user conversion rate — the
+    proportion CI that stays inside [0,1] and behaves at small n (unlike
+    the Wald interval every naive dashboard ships). The number an A/B
+    readout (k_ab_ztest) should be accompanied by.
+
+    One distinct-user conditional aggregate (two-level partial expansion)
+    then closed-form scalar algebra on a single row; both engines
+    evaluate the identical formula text, rounded at 6dp.
+    """
+    e = load(spark, sf_dir, "events")
+    conv = e.agg(
+        F.countDistinct("user_id").alias("n"),
+        F.countDistinct(
+            F.when(F.col("event_type") == "purchase", F.col("user_id"))
+        ).alias("k"),
+    )
+    p = F.col("k") * 1.0 / F.col("n")
+    z2 = 1.96 * 1.96
+    center = p + z2 / (2 * F.col("n"))
+    half = 1.96 * F.sqrt(
+        p * (1 - p) / F.col("n") + z2 / (4.0 * F.col("n") * F.col("n"))
+    )
+    denom = 1 + z2 / F.col("n")
+    return conv.select(
+        F.col("n").cast("long").alias("n_users"),
+        F.col("k").cast("long").alias("n_converted"),
+        F.round(p, 6).alias("p_hat"),
+        F.round((center - half) / denom, 6).alias("ci_lo"),
+        F.round((center + half) / denom, 6).alias("ci_hi"),
+    )

@@ -2818,3 +2818,63 @@ def k_span_mask_mlm(spark: SparkSession, sf_dir: str) -> DataFrame:
             " i -> w[i]))"
         ).alias("targets"),
     )
+
+
+@register(
+    "k_prompt_dedup_sft",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             array_to_string((string_split(text, ' '))[1:10], ' ') AS prompt,
+             array_to_string((string_split(text, ' '))[11:], ' ')
+               AS completion
+      FROM documents WHERE len(string_split(text, ' ')) > 10
+    )
+    SELECT md5(prompt) AS prompt_hash,
+           CAST(count(*) AS BIGINT) AS n_records,
+           CAST(count(DISTINCT md5(completion)) AS BIGINT) AS n_completions,
+           CAST(min(doc_id) AS BIGINT) AS keep_id,
+           count(DISTINCT md5(completion)) > 1 AS conflicting
+    FROM p GROUP BY md5(prompt) HAVING count(*) > 1
+    """,
+)
+def k_prompt_dedup_sft(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT prompt-level dedup audit: groups of training records sharing an
+    identical PROMPT (k_sft_records' first-10-words split), with the count
+    of distinct completions — same-prompt-same-completion is plain
+    duplication (keep min id), same-prompt-DIFFERENT-completion is a
+    CONFLICT that teaches the model inconsistency (the instruction-data
+    failure mode prompt-dedup exists to catch; it also prevents
+    train/eval prompt leakage when splits are prompt-keyed).
+
+    One 16-byte-hash groupBy with map-side partials; the distinct-
+    completion count is Spark's standard two-level distinct expansion.
+    """
+    d = load(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    p = d.select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", F.slice(words, 1, 10))).alias("prompt_hash"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.expr("slice(split(text, ' '), 11, size(split(text, ' ')))"),
+            )
+        ).alias("completion_hash"),
+    ).filter(F.size(words) > 10)
+    return (
+        p.groupBy("prompt_hash")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_records"),
+            F.countDistinct("completion_hash")
+            .cast("long")
+            .alias("n_completions"),
+            F.min("doc_id").cast("long").alias("keep_id"),
+        )
+        .filter(F.col("n_records") > 1)
+        .withColumn("conflicting", F.col("n_completions") > 1)
+        .select(
+            "prompt_hash", "n_records", "n_completions", "keep_id",
+            "conflicting",
+        )
+    )
