@@ -956,3 +956,57 @@ def e_win_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
             1.0 - F.col("cents") * 1.0 / F.max("cents").over(w), 4
         ).alias("drawdown"),
     )
+
+
+@register(
+    "e_win_running_distinct",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts, event_type,
+             CASE WHEN row_number() OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY ts, event_id) = 1 THEN 1 ELSE 0 END AS is_first
+      FROM events
+    )
+    SELECT user_id, event_id,
+           CAST(sum(is_first) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS distinct_types_so_far
+    FROM flagged
+    """,
+)
+def e_win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running DISTINCT count per user: how many distinct event types each
+    user has seen up to and including each event — the feature-breadth /
+    product-adoption curve. ``count(DISTINCT) OVER`` is unsupported in
+    every engine for ROWS frames; the standard rewrite is the
+    FIRST-OCCURRENCE trick: flag each (user, type)'s first event with one
+    keyed rank window, then a running sum of flags — two windows over the
+    SAME (user)-keyed exchange (Catalyst reuses the partitioning; the
+    second window only re-sorts within partitions), exact integers
+    throughout.
+    """
+    e = load(spark, sf_dir, "events")
+    w_first = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    flagged = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(F.row_number().over(w_first) == 1, 1)
+        .otherwise(0)
+        .alias("is_first"),
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return flagged.select(
+        "user_id",
+        "event_id",
+        F.sum("is_first").over(w_run).cast("long").alias(
+            "distinct_types_so_far"
+        ),
+    )
