@@ -1540,3 +1540,63 @@ def d_agg_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((center - half) / denom, 6).alias("ci_lo"),
         F.round((center + half) / denom, 6).alias("ci_hi"),
     )
+
+
+@register(
+    "d_agg_kmv_sketch",
+    oracle="""
+    WITH h AS (
+      SELECT DISTINCT
+             ('0x' || substr(md5('kmv:' || l_partkey::VARCHAR), 1, 8))
+               ::BIGINT AS hv
+      FROM lineitem
+    ), kth AS (
+      SELECT hv FROM h ORDER BY hv LIMIT 256
+    ), s AS (
+      SELECT (SELECT count(DISTINCT l_partkey) FROM lineitem) AS exact_nd,
+             (SELECT max(hv) FROM kth) AS h_k,
+             (SELECT count(*) FROM kth) AS k
+    )
+    SELECT CAST(exact_nd AS BIGINT) AS exact_distinct,
+           CAST(floor((k - 1) * 4294967296.0 / h_k) AS BIGINT)
+             AS kmv_estimate,
+           CAST(floor(abs((k - 1) * 4294967296.0 / h_k - exact_nd)
+                      * 10000.0 / exact_nd) AS BIGINT) AS rel_err_bp
+    FROM s
+    """,
+)
+def d_agg_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct-count sketch (Bar-Yossef et al. 2002,
+    k=256) over ``l_partkey`` — unlike HLL (engine-private registers,
+    rows-only checkable), KMV over a DETERMINISTIC md5 hash is exactly
+    reproducible in any engine, so this approximate sketch carries a FULL
+    value oracle: estimate = (k−1)/h_(k) with hashes scaled to (0, 2³²).
+    Reported next to the exact distinct count and the relative error in
+    basis points — the sketch-accuracy audit in one row.
+
+    Scale shape: hash projection → k-smallest via orderBy+limit
+    (TakeOrderedAndProject: per-partition heaps of k, never a global
+    sort); at 100 TB the same k values merge from every partition in one
+    driver-side heap of size k·partitions.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    h = li.select(
+        F.expr(
+            "CAST(conv(substr(md5(concat('kmv:', CAST(l_partkey AS STRING))),"
+            " 1, 8), 16, 10) AS BIGINT)"
+        ).alias("hv")
+    ).distinct()
+    kth = h.orderBy("hv").limit(256)
+    s = kth.agg(
+        F.max("hv").alias("h_k"), F.count(F.lit(1)).alias("k")
+    ).crossJoin(
+        F.broadcast(li.agg(F.countDistinct("l_partkey").alias("exact_nd")))
+    )
+    est = (F.col("k") - 1) * 4294967296.0 / F.col("h_k")
+    return s.select(
+        F.col("exact_nd").cast("long").alias("exact_distinct"),
+        F.floor(est).cast("long").alias("kmv_estimate"),
+        F.floor(F.abs(est - F.col("exact_nd")) * 10000.0 / F.col("exact_nd"))
+        .cast("long")
+        .alias("rel_err_bp"),
+    )

@@ -1270,3 +1270,39 @@ def c_join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dist_km") <= 50.0)
         .select("user_id_1", "user_id_2", F.round("dist_km", 3).alias("dist_km"))
     )
+
+
+@register(
+    "c_join_existence_flag",
+    oracle="""
+    SELECT c.c_custkey, c.c_mktsegment,
+           EXISTS (SELECT 1 FROM orders o
+                   WHERE o.o_custkey = c.c_custkey
+                     AND o.o_orderpriority = '1-URGENT') AS has_urgent
+    FROM customer c
+    """,
+)
+def c_join_existence_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS as a COLUMN (not a filter): every customer with a boolean
+    flag for "has an urgent order" — the enrichment shape BI models use
+    constantly, distinct from c_join_semi (which keeps/drops rows).
+    Realized as a left join against the DISTINCT key set of the filtered
+    side + null-check: the distinct projection keeps the join build side
+    key-sized, and no customer row ever duplicates (the bug a naive left
+    join to raw orders would introduce). At 100 TB the distinct urgent-key
+    set is a fraction of orders and broadcasts.
+    """
+    c = load(spark, sf_dir, "customer")
+    urgent = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("uk"))
+        .distinct()
+    )
+    return c.join(
+        F.broadcast(urgent), c.c_custkey == F.col("uk"), "left"
+    ).select(
+        "c_custkey",
+        "c_mktsegment",
+        F.col("uk").isNotNull().alias("has_urgent"),
+    )
