@@ -275,3 +275,87 @@ def test_bag_setops_multiplicity(spark, vals):
     got_inter = Counter(r.k for r in dfa.intersectAll(dfb).collect())
     assert got_minus == ca - cb
     assert got_inter == ca & cb
+
+
+@given(
+    prices=st.lists(
+        st.integers(1, 2000).map(lambda c: c / 100.0 + 900.0),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(**SETTINGS)
+def test_linear_prefix_band_sum_equals_direct(spark, prices):
+    """The distributed integer-cent prefix-sum decomposition of a ±δ band
+    sum (e_win_range_frame_linear's algebra, δ=$5 here) must equal the
+    direct per-row band sum on arbitrary 2dp price lists."""
+    rows = [(i, p) for i, p in enumerate(prices)]
+    df = spark.createDataFrame(rows, "id long, price double")
+    pc = F.round(F.col("price") * 100).cast("long")
+    cents = df.select("id", pc.alias("pc"))
+    # direct quadratic reference, computed in pandas
+    import pandas as pd
+
+    ref = cents.toPandas()
+    expect = {
+        r.id: int(ref.pc[(ref.pc >= r.pc - 500) & (ref.pc <= r.pc + 500)].sum())
+        for r in ref.itertuples()
+    }
+    # prefix-sum decomposition: mass table + two probes per row
+    mass = cents.groupBy("pc").agg(F.sum("pc").alias("mass")).select(
+        F.col("pc").alias("val"), "mass", F.lit(0).alias("is_probe"),
+        F.lit(None).cast("long").alias("id"), F.lit(None).cast("string").alias("kind"),
+    )
+    lo = cents.select((F.col("pc") - 501).alias("val"), F.lit(0).cast("long").alias("mass"),
+                      F.lit(1).alias("is_probe"), "id", F.lit("lo").alias("kind"))
+    hi = cents.select((F.col("pc") + 500).alias("val"), F.lit(0).cast("long").alias("mass"),
+                      F.lit(1).alias("is_probe"), "id", F.lit("hi").alias("kind"))
+    from pyspark.sql.window import Window
+
+    u = mass.unionByName(lo).unionByName(hi).withColumn(
+        "chunk", F.floor(F.col("val") / 2000).cast("long")
+    )
+    wloc = (Window.partitionBy("chunk").orderBy("val", "is_probe")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    local = u.withColumn("loc", F.sum("mass").over(wloc))
+    totals = u.groupBy("chunk").agg(F.sum("mass").alias("cm"))
+    wc = Window.orderBy("chunk").rowsBetween(Window.unboundedPreceding, -1)
+    offs = totals.select("chunk", F.coalesce(F.sum("cm").over(wc), F.lit(0)).alias("off"))
+    probes = (local.filter(F.col("is_probe") == 1)
+              .join(offs, "chunk")
+              .select("id", "kind", (F.col("loc") + F.col("off")).alias("prefix")))
+    got = (probes.groupBy("id")
+           .agg((F.max(F.when(F.col("kind") == "hi", F.col("prefix")))
+                 - F.max(F.when(F.col("kind") == "lo", F.col("prefix")))).alias("band")))
+    for r in got.collect():
+        assert r.band == expect[r.id], (r.id, r.band, expect[r.id])
+
+
+@given(
+    sizes=st.lists(st.integers(1, 700), min_size=1, max_size=30),
+    shards=st.integers(2, 5),
+)
+@settings(**SETTINGS)
+def test_sharded_packing_matches_per_shard_global(spark, sizes, shards):
+    """Sharded packing must equal running the global packing algebra
+    independently inside each shard, for ANY shard assignment."""
+    rows = [(i, n, i % shards) for i, n in enumerate(sizes)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long, shard long")
+    from pyspark.sql.window import Window
+
+    w = (Window.partitionBy("shard").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    got = df.select(
+        "doc_id", "shard",
+        ((F.sum("n_tokens").over(w) - F.col("n_tokens")) / 512).cast("long").alias("pack_id"),
+    ).collect()
+    # reference: python per shard
+    import collections
+
+    cum = collections.defaultdict(int)
+    expect = {}
+    for i, n, s in rows:  # doc_id order == insertion order here
+        expect[i] = cum[s] // 512
+        cum[s] += n
+    for r in got:
+        assert r.pack_id == expect[r.doc_id]
