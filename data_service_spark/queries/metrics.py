@@ -1507,3 +1507,84 @@ def k_daily_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("growth_bp"),
     )
+
+
+# --------------------------------------------------- RFM segmentation ----
+
+
+@register(
+    "k_rfm_segments",
+    oracle="""
+    WITH mx AS (SELECT max(o_orderdate) AS maxd FROM orders),
+    per AS (
+      SELECT o_custkey,
+             date_diff('day', max(o_orderdate), (SELECT maxd FROM mx))
+               AS recency_days,
+             count(*) AS frequency,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS monetary_cents
+      FROM orders GROUP BY o_custkey
+    ), scored AS (
+      SELECT o_custkey, recency_days, frequency, monetary_cents,
+             ntile(5) OVER (ORDER BY recency_days ASC, o_custkey)
+               AS r_score,
+             ntile(5) OVER (ORDER BY frequency DESC, o_custkey) AS f_score,
+             ntile(5) OVER (ORDER BY monetary_cents DESC, o_custkey)
+               AS m_score
+      FROM per
+    )
+    SELECT o_custkey, CAST(recency_days AS BIGINT) AS recency_days,
+           CAST(frequency AS BIGINT) AS frequency,
+           CAST(monetary_cents AS BIGINT) AS monetary_cents,
+           'R' || r_score::VARCHAR || 'F' || f_score::VARCHAR
+             || 'M' || m_score::VARCHAR AS segment
+    FROM scored
+    """,
+)
+def k_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: per customer the classic
+    recency/frequency/monetary triple (integer days / counts / cents) and
+    an R#F#M# quintile segment label with deterministic tiebreaks — the
+    standard lifecycle-marketing rollup. The ntile windows are GLOBAL by
+    semantics, but they run over the per-customer aggregate (dimension
+    cardinality, orders of magnitude below fact rows) — the scale
+    contract is "windows over dimensions are fine; windows over facts are
+    not", same as k_dup_family_sizes.
+    """
+    o = load(spark, sf_dir, "orders")
+    mx = o.agg(F.max("o_orderdate").alias("maxd"))
+    per = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("lastd"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "monetary_cents"
+            ),
+        )
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "o_custkey",
+            F.datediff(F.col("maxd").cast("date"), F.col("lastd").cast("date"))
+            .cast("long")
+            .alias("recency_days"),
+            "frequency",
+            "monetary_cents",
+        )
+    )
+    wr = Window.orderBy(F.asc("recency_days"), "o_custkey")
+    wf = Window.orderBy(F.desc("frequency"), "o_custkey")
+    wm = Window.orderBy(F.desc("monetary_cents"), "o_custkey")
+    return per.select(
+        "o_custkey",
+        "recency_days",
+        F.col("frequency").cast("long").alias("frequency"),
+        F.col("monetary_cents").cast("long").alias("monetary_cents"),
+        F.concat(
+            F.lit("R"),
+            F.ntile(5).over(wr).cast("string"),
+            F.lit("F"),
+            F.ntile(5).over(wf).cast("string"),
+            F.lit("M"),
+            F.ntile(5).over(wm).cast("string"),
+        ).alias("segment"),
+    )
