@@ -1600,3 +1600,86 @@ def d_agg_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("rel_err_bp"),
     )
+
+
+@register(
+    "d_agg_kmv_union",
+    oracle="""
+    WITH h AS (
+      SELECT lang = 'en' AS is_en,
+             ('0x' || substr(md5('kmvu:' || md5(text)), 1, 8))::BIGINT AS hv
+      FROM documents
+    ), sa AS (
+      SELECT hv FROM (SELECT DISTINCT hv FROM h WHERE is_en)
+      ORDER BY hv LIMIT 128
+    ), sb AS (
+      SELECT hv FROM (SELECT DISTINCT hv FROM h WHERE NOT is_en)
+      ORDER BY hv LIMIT 128
+    ), merged AS (
+      SELECT hv FROM (SELECT DISTINCT hv
+                      FROM (SELECT hv FROM sa UNION ALL SELECT hv FROM sb))
+      ORDER BY hv LIMIT 128
+    ), direct AS (
+      SELECT hv FROM (SELECT DISTINCT hv FROM h) ORDER BY hv LIMIT 128
+    ), s AS (
+      SELECT (SELECT count(DISTINCT hv) FROM h) AS exact_union,
+             (SELECT max(hv) FROM merged) AS h_m,
+             (SELECT count(*) FROM merged) AS k_m,
+             (SELECT count(*) FROM (SELECT hv FROM merged
+                                    INTERSECT SELECT hv FROM direct))
+               AS n_agree
+    )
+    SELECT CAST(exact_union AS BIGINT) AS exact_union,
+           CAST(floor((k_m - 1) * 4294967296.0 / h_m) AS BIGINT)
+             AS kmv_union_estimate,
+           n_agree = k_m AS merge_equals_direct
+    FROM s
+    """,
+)
+def d_agg_kmv_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch MERGEABILITY — the property that makes sketches work on
+    a cluster: per-partition (here: per-language-slice) sketches of the
+    k smallest hashes merge by "union then re-take k-min", and the merged
+    sketch is IDENTICAL to the sketch built over the union directly
+    (asserted as a boolean column, not just claimed). The union distinct
+    count is then estimated from the merged sketch next to the exact
+    number. This is the algebra a 1000-executor distinct-count runs: tiny
+    per-partition states, associative merge, one final estimate.
+
+    Everything is TakeOrdered k-min over deterministic md5 hashes — fully
+    value-checkable cross-engine, unlike engine-private HLL registers.
+    """
+    d = load(spark, sf_dir, "documents")
+    h = d.select(
+        (F.col("lang") == "en").alias("is_en"),
+        F.expr(
+            "CAST(conv(substr(md5(concat('kmvu:', md5(text))), 1, 8),"
+            " 16, 10) AS BIGINT)"
+        ).alias("hv"),
+    )
+    sa = h.filter("is_en").select("hv").distinct().orderBy("hv").limit(128)
+    sb = (
+        h.filter(~F.col("is_en")).select("hv").distinct().orderBy("hv").limit(128)
+    )
+    merged = (
+        sa.unionAll(sb).distinct().orderBy("hv").limit(128).localCheckpoint()
+    )
+    direct = h.select("hv").distinct().orderBy("hv").limit(128)
+    agree = merged.intersect(direct).agg(
+        F.count(F.lit(1)).alias("n_agree")
+    )
+    stats = merged.agg(
+        F.max("hv").alias("h_m"), F.count(F.lit(1)).alias("k_m")
+    )
+    exact = h.agg(F.countDistinct("hv").alias("exact_union"))
+    return (
+        exact.crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(agree))
+        .select(
+            F.col("exact_union").cast("long").alias("exact_union"),
+            F.floor((F.col("k_m") - 1) * 4294967296.0 / F.col("h_m"))
+            .cast("long")
+            .alias("kmv_union_estimate"),
+            (F.col("n_agree") == F.col("k_m")).alias("merge_equals_direct"),
+        )
+    )

@@ -1588,3 +1588,92 @@ def k_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.ntile(5).over(wm).cast("string"),
         ).alias("segment"),
     )
+
+
+# ------------------------------------------------ Otsu threshold choice ----
+
+
+@register(
+    "k_threshold_otsu",
+    oracle=f"""
+    WITH scored AS ({_REG_ORACLES.get("k_quality_logreg", "SELECT 1")}),
+    b AS (
+      SELECT least(CAST(floor(score_q / 50000) AS BIGINT), 19) AS bin,
+             count(*) AS n, sum(score_q) AS s
+      FROM scored GROUP BY 1
+    ), t AS (SELECT unnest(generate_series(1, 19)) AS thr),
+    split AS (
+      SELECT t.thr,
+             sum(CASE WHEN b.bin < t.thr THEN b.n ELSE 0 END) AS w0,
+             sum(CASE WHEN b.bin < t.thr THEN b.s ELSE 0 END) AS s0,
+             sum(CASE WHEN b.bin >= t.thr THEN b.n ELSE 0 END) AS w1,
+             sum(CASE WHEN b.bin >= t.thr THEN b.s ELSE 0 END) AS s1
+      FROM t CROSS JOIN b GROUP BY t.thr
+    ), scoredt AS (
+      SELECT thr, w0, w1,
+             w0 * w1 * pow(s0 * 1.0 / w0 - s1 * 1.0 / w1, 2) AS between_var
+      FROM split WHERE w0 > 0 AND w1 > 0
+    )
+    SELECT CAST(thr AS BIGINT) AS best_bin,
+           CAST(thr * 50000 AS BIGINT) AS threshold_score,
+           CAST(w0 AS BIGINT) AS n_below, CAST(w1 AS BIGINT) AS n_above,
+           round(between_var / 1e12, 4) AS between_var_scaled
+    FROM scoredt ORDER BY between_var DESC, thr LIMIT 1
+    """,
+)
+def k_threshold_otsu(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Otsu's method on the quality-score histogram: pick the gate
+    threshold that MAXIMIZES between-class variance — the unsupervised
+    complement to k_threshold_youden (which needs labels). When a corpus
+    has a bimodal quality distribution (clean prose vs boilerplate), Otsu
+    finds the valley automatically; this registers the argmax bin, the
+    resulting score cut, and the populations it separates.
+
+    Scale shape: one 20-bin aggregate of the scorer's integer-quantized
+    output (map-side combined), a 19-row threshold spine, and constant-
+    size arithmetic — the scan is the only data-sized work. Exact integer
+    (n, Σscore) per bin; the variance is evaluated from the same sums in
+    both engines.
+    """
+    from data_service_spark.registry import QUERIES
+
+    scored = QUERIES["k_quality_logreg"](spark, sf_dir).select("score_q")
+    b = scored.groupBy(
+        F.least(F.floor(F.col("score_q") / 50000), F.lit(19))
+        .cast("long")
+        .alias("bin")
+    ).agg(F.count(F.lit(1)).alias("n"), F.sum("score_q").alias("s"))
+    t = spark.range(1, 20).select(F.col("id").alias("thr"))
+    split = (
+        t.crossJoin(F.broadcast(b))
+        .groupBy("thr")
+        .agg(
+            F.sum(F.when(F.col("bin") < F.col("thr"), F.col("n")).otherwise(0)).alias("w0"),
+            F.sum(F.when(F.col("bin") < F.col("thr"), F.col("s")).otherwise(0)).alias("s0"),
+            F.sum(F.when(F.col("bin") >= F.col("thr"), F.col("n")).otherwise(0)).alias("w1"),
+            F.sum(F.when(F.col("bin") >= F.col("thr"), F.col("s")).otherwise(0)).alias("s1"),
+        )
+        .filter((F.col("w0") > 0) & (F.col("w1") > 0))
+    )
+    bv = (
+        F.col("w0")
+        * F.col("w1")
+        * F.pow(
+            F.col("s0") * 1.0 / F.col("w0") - F.col("s1") * 1.0 / F.col("w1"),
+            2,
+        )
+    )
+    return (
+        split.withColumn("between_var", bv)
+        .orderBy(F.col("between_var").desc(), "thr")
+        .limit(1)
+        .select(
+            F.col("thr").cast("long").alias("best_bin"),
+            (F.col("thr") * 50000).cast("long").alias("threshold_score"),
+            F.col("w0").cast("long").alias("n_below"),
+            F.col("w1").cast("long").alias("n_above"),
+            F.round(F.col("between_var") / 1e12, 4).alias(
+                "between_var_scaled"
+            ),
+        )
+    )
