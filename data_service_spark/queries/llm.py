@@ -3075,3 +3075,52 @@ def k_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source_1", "source_2")
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared_families"))
     )
+
+
+@register(
+    "k_cross_lingual_dups",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    ed AS (
+      SELECT a.vec_id AS id1, b.vec_id AS id2,
+             round(list_inner_product(a.v, b.v), 4) AS sim
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      WHERE list_inner_product(a.v, b.v) >= 0.4
+    )
+    SELECT ed.id1 AS doc_id_1, d1.lang AS lang_1,
+           ed.id2 AS doc_id_2, d2.lang AS lang_2, ed.sim
+    FROM ed JOIN documents d1 ON ed.id1 = d1.doc_id
+            JOIN documents d2 ON ed.id2 = d2.doc_id
+    WHERE d1.lang <> d2.lang
+    """,
+)
+def k_cross_lingual_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-LINGUAL near-duplicate candidates: high-cosine embedding
+    pairs whose documents carry DIFFERENT language tags — the pairs no
+    text-hash or shingle method can ever catch (translations share no
+    surface form), and exactly what multilingual corpora double-count.
+    These are also the raw material for mined parallel data (bitext).
+
+    Embedding pairs come from the blocked-GEMM ``sim_pairs`` finder
+    (threshold 0.4); the language decoration is two broadcast joins
+    against the documents dimension. At 100 TB the pair mining is
+    LSH-bucketed (k_sim_ann_sql) and this language filter composes
+    unchanged on the candidates.
+    """
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    ed = sim_pairs(spark, sf_dir, 0.4)
+    d1 = d.select(F.col("doc_id").alias("vec_id_1"), F.col("lang").alias("lang_1"))
+    d2 = d.select(F.col("doc_id").alias("vec_id_2"), F.col("lang").alias("lang_2"))
+    return (
+        ed.join(F.broadcast(d1), "vec_id_1")
+        .join(F.broadcast(d2), "vec_id_2")
+        .filter(F.col("lang_1") != F.col("lang_2"))
+        .select(
+            F.col("vec_id_1").alias("doc_id_1"),
+            "lang_1",
+            F.col("vec_id_2").alias("doc_id_2"),
+            "lang_2",
+            "sim",
+        )
+    )
