@@ -1677,3 +1677,118 @@ def k_threshold_otsu(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ------------------------------------------------------ CUPED adjustment ----
+
+
+@register(
+    "k_ab_cuped",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(floor((min(epoch_us(ts)) + max(epoch_us(ts))) / 2.0)
+                  AS BIGINT) AS mid
+      FROM events
+    ), per AS (
+      SELECT user_id,
+             ('0x' || substr(md5('cuped:' || user_id::VARCHAR), 1, 8))
+               ::BIGINT % 2 AS cohort,
+             sum(CASE WHEN epoch_us(ts) < (SELECT mid FROM b)
+                 THEN value ELSE 0 END) AS pre,
+             sum(CASE WHEN epoch_us(ts) >= (SELECT mid FROM b)
+                 THEN value ELSE 0 END) AS post
+      FROM events GROUP BY 1, 2
+    ), g AS (
+      SELECT count(*) AS n, sum(pre) AS sx, sum(post) AS sy,
+             sum(pre * post) AS sxy, sum(pre * pre) AS sxx
+      FROM per
+    ), t AS (
+      SELECT (sxy - sx * sy / n) / nullif(sxx - sx * sx / n, 0) AS theta,
+             sx / n AS mpre
+      FROM g
+    )
+    SELECT CAST(cohort AS BIGINT) AS cohort,
+           CAST(count(*) AS BIGINT) AS n_users,
+           round(avg(post), 4) AS mean_post,
+           round(avg(post - (SELECT theta FROM t)
+                         * (pre - (SELECT mpre FROM t))), 4) AS adj_mean,
+           round((SELECT theta FROM t), 4) AS theta
+    FROM per GROUP BY cohort
+    """,
+)
+def k_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction for an A/B readout (Deng et al. 2013):
+    per-user PRE-period activity (first half of the event range) is the
+    covariate; the post-period metric is adjusted by θ·(pre − mean_pre)
+    with θ = cov(pre, post)/var(pre) pooled across cohorts — the industry-
+    standard trick that shrinks experiment confidence intervals 30-50%
+    without touching the treatment. Cohorts are deterministic md5 user
+    buckets (the k_ab_ztest convention).
+
+    One user-level conditional aggregate (the only data-sized shuffle),
+    one 1-row moment reduce, and a 2-row cohort rollup with the broadcast
+    scalar θ — the same shape at 100 TB.
+    """
+    e = load(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    b = e.agg(
+        F.floor((F.min(us) + F.max(us)) / 2.0).cast("long").alias("mid")
+    )
+    per = (
+        e.crossJoin(F.broadcast(b))
+        .groupBy(
+            "user_id",
+            F.expr(
+                "CAST(conv(substr(md5(concat('cuped:',"
+                " CAST(user_id AS STRING))), 1, 8), 16, 10) AS BIGINT) % 2"
+            ).alias("cohort"),
+        )
+        .agg(
+            F.sum(
+                F.when(us < F.col("mid"), F.col("value")).otherwise(0.0)
+            ).alias("pre"),
+            F.sum(
+                F.when(us >= F.col("mid"), F.col("value")).otherwise(0.0)
+            ).alias("post"),
+        )
+    )
+    g = per.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("pre").alias("sx"),
+        F.sum("post").alias("sy"),
+        F.sum(F.col("pre") * F.col("post")).alias("sxy"),
+        F.sum(F.col("pre") * F.col("pre")).alias("sxx"),
+    )
+    t = g.select(
+        (
+            (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n"))
+            / F.nullif(
+                F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"),
+                F.lit(0.0),
+            )
+        ).alias("theta"),
+        (F.col("sx") / F.col("n")).alias("mpre"),
+    )
+    return (
+        per.crossJoin(F.broadcast(t))
+        .groupBy("cohort")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.round(F.avg("post"), 4).alias("mean_post"),
+            F.round(
+                F.avg(
+                    F.col("post")
+                    - F.col("theta") * (F.col("pre") - F.col("mpre"))
+                ),
+                4,
+            ).alias("adj_mean"),
+            F.round(F.first("theta"), 4).alias("theta"),
+        )
+        .select(
+            F.col("cohort").cast("long").alias("cohort"),
+            "n_users",
+            "mean_post",
+            "adj_mean",
+            "theta",
+        )
+    )

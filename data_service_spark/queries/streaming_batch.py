@@ -1191,3 +1191,75 @@ def k_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "e1", "e2", "e3")
         .limit(10)
     )
+
+
+@register(
+    "k_event_pattern_negation",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_id, event_type, ts,
+             max(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS last_view_us,
+             max(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS last_signup_us
+      FROM events
+    )
+    SELECT user_id, event_id AS purchase_event_id,
+           CAST(last_view_us AS BIGINT) AS view_us,
+           CAST(epoch_us(ts) AS BIGINT) AS purchase_us
+    FROM o
+    WHERE event_type = 'purchase' AND last_view_us IS NOT NULL
+      AND (last_signup_us IS NULL OR last_signup_us < last_view_us)
+    """,
+)
+def k_event_pattern_negation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complex-event pattern WITH NEGATION: purchases preceded by a view
+    with NO signup in between (view → ¬signup → purchase) — the CEP shape
+    (Flink MATCH_RECOGNIZE's NOT pattern) that plain funnels can't
+    express, here compiled to two running-max windows over the SAME
+    user-keyed exchange: the last-view and last-signup timestamps before
+    each event, with the negation as a comparison of the two (a signup
+    between the view and the purchase iff last_signup > last_view).
+    Exact integer microseconds; linear per partition, one shuffle total.
+    """
+    from pyspark.sql.window import Window
+
+    e = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    o = e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        us.alias("ev_us"),
+        F.max(F.when(F.col("event_type") == "view", us)).over(w).alias(
+            "last_view_us"
+        ),
+        F.max(F.when(F.col("event_type") == "signup", us)).over(w).alias(
+            "last_signup_us"
+        ),
+    )
+    return (
+        o.filter(
+            (F.col("event_type") == "purchase")
+            & F.col("last_view_us").isNotNull()
+            & (
+                F.col("last_signup_us").isNull()
+                | (F.col("last_signup_us") < F.col("last_view_us"))
+            )
+        )
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_event_id"),
+            F.col("last_view_us").cast("long").alias("view_us"),
+            F.col("ev_us").cast("long").alias("purchase_us"),
+        )
+    )
