@@ -1683,3 +1683,42 @@ def d_agg_kmv_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_agree") == F.col("k_m")).alias("merge_equals_direct"),
         )
     )
+
+
+@register(
+    "d_agg_percentile_disc",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(quantile_disc(o_totalprice, 0.25) AS DOUBLE) AS p25,
+           CAST(quantile_disc(o_totalprice, 0.50) AS DOUBLE) AS p50,
+           CAST(quantile_disc(o_totalprice, 0.75) AS DOUBLE) AS p75,
+           CAST(quantile_disc(o_totalprice, 0.99) AS DOUBLE) AS p99
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def d_agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISCRETE percentiles (SQL:2023 ``percentile_disc WITHIN GROUP``):
+    the quantile that returns an ACTUAL data value instead of an
+    interpolated midpoint — the right choice for skewed money columns
+    (an interpolated p99 can be a price no order ever had) and the only
+    quantile that is bit-exact cross-engine with zero rounding ceremony
+    (both engines pick the same stored double). Complements
+    d_agg_percentile (continuous) and d_agg_approx_quantile (sketch).
+    """
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               count(*) AS n,
+               percentile_disc(0.25) WITHIN GROUP (ORDER BY o_totalprice)
+                 AS p25,
+               percentile_disc(0.50) WITHIN GROUP (ORDER BY o_totalprice)
+                 AS p50,
+               percentile_disc(0.75) WITHIN GROUP (ORDER BY o_totalprice)
+                 AS p75,
+               percentile_disc(0.99) WITHIN GROUP (ORDER BY o_totalprice)
+                 AS p99
+        FROM orders GROUP BY o_orderpriority
+        """
+    )
