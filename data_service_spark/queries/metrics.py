@@ -1199,7 +1199,8 @@ def k_eval_mrr_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
                     1, 1)::INT AS digit
       FROM orders
-    ), c AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
+    ), c AS (SELECT digit, count(*) AS n FROM d
+             WHERE digit >= 1 GROUP BY digit),
     tot AS (SELECT sum(n) AS total FROM c)
     SELECT digit, CAST(n AS BIGINT) AS n,
            round(n * 1.0 / total, 6) AS obs_freq,
@@ -1223,7 +1224,11 @@ def k_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("digit")
     )
-    c = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    c = (
+        d.filter(F.col("digit") >= 1)  # sub-1 values would yield digit 0
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
     tot = c.agg(F.sum("n").alias("total"))
     return c.crossJoin(F.broadcast(tot)).select(
         "digit",
@@ -1474,8 +1479,8 @@ def k_rank_rbo(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(rev_cents - lag(rev_cents) OVER (ORDER BY day) AS BIGINT)
              AS delta_cents,
            CAST(floor((rev_cents - lag(rev_cents) OVER (ORDER BY day))
-                * 10000.0 / lag(rev_cents) OVER (ORDER BY day)) AS BIGINT)
-             AS growth_bp
+                * 10000.0 / nullif(lag(rev_cents) OVER (ORDER BY day), 0))
+                AS BIGINT) AS growth_bp
     FROM daily
     """,
 )
@@ -1503,7 +1508,11 @@ def k_daily_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rev_cents").cast("long").alias("rev_cents"),
         F.col("n_orders").cast("long").alias("n_orders"),
         (F.col("rev_cents") - prev).cast("long").alias("delta_cents"),
-        F.floor((F.col("rev_cents") - prev) * 10000.0 / prev)
+        F.floor(
+            (F.col("rev_cents") - prev)
+            * 10000.0
+            / F.nullif(prev, F.lit(0))
+        )
         .cast("long")
         .alias("growth_bp"),
     )
