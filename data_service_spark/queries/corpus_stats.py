@@ -593,7 +593,7 @@ def k_chi2_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(n_distinct AS BIGINT) AS n_distinct,
            CAST(n_total AS BIGINT) AS n_total,
            CAST(n_top AS BIGINT) AS n_top,
-           CAST(floor(n_top * 1000000.0 / n_total) AS BIGINT)
+           CAST(floor(n_top * 1000000.0 / nullif(n_total, 0)) AS BIGINT)
              AS coverage_ppm
     FROM s
     """,
@@ -636,7 +636,9 @@ def k_text_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_distinct").cast("long").alias("n_distinct"),
         F.col("n_total").cast("long").alias("n_total"),
         F.col("n_top").cast("long").alias("n_top"),
-        F.floor(F.col("n_top") * 1000000.0 / F.col("n_total"))
+        F.floor(
+            F.col("n_top") * 1000000.0 / F.nullif("n_total", F.lit(0))
+        )
         .cast("long")
         .alias("coverage_ppm"),
     )

@@ -1288,7 +1288,8 @@ def k_truncation_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(d.n_chars) AS BIGINT) AS n_chars,
            CAST(floor(sum(d.n_units) * 1000000.0 / count(*)) AS BIGINT)
              AS fertility_ppm,
-           CAST(floor(sum(d.n_chars) * 1000000.0 / sum(d.n_units)) AS BIGINT)
+           CAST(floor(sum(d.n_chars) * 1000000.0
+                      / nullif(sum(d.n_units), 0)) AS BIGINT)
              AS chars_per_unit_ppm
     FROM tok JOIN dict d USING (word)
     GROUP BY lang
@@ -1333,7 +1334,9 @@ def k_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.sum("n_units") * 1000000.0 / F.count(F.lit(1)))
         .cast("long")
         .alias("fertility_ppm"),
-        F.floor(F.sum("n_chars") * 1000000.0 / F.sum("n_units"))
+        F.floor(
+            F.sum("n_chars") * 1000000.0 / F.nullif(F.sum("n_units"), F.lit(0))
+        )
         .cast("long")
         .alias("chars_per_unit_ppm"),
     )
