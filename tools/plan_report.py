@@ -20,6 +20,18 @@ SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
 # key → (what to look for, why it matters at 100 TB)
 SHOWCASE = {
+    "c_join_spatial_grid": (
+        "neighborhood explode -> hash join on the (clat, clon) cell id -> haversine only on co-cell rows",
+        "a radius join that never nests loops: candidate cost tracks grid-cell occupancy, the geohash pattern on plain Spark",
+    ),
+    "d_agg_kmv_sketch": (
+        "hash projection -> TakeOrderedAndProject(k=256) -> one-row estimate",
+        "an approximate distinct sketch that is fully value-checkable cross-engine because the hash is deterministic",
+    ),
+    "k_event_pattern_negation": (
+        "two conditional running-max windows over ONE user-keyed exchange, negation as a column compare",
+        "MATCH_RECOGNIZE-style NOT patterns compile to linear window algebra - no CEP engine needed",
+    ),
     "e_win_range_frame_linear": (
         "mass groupBy -> per-(status, chunk) Window -> tiny carry Window -> BroadcastHashJoin of offsets",
         "the RANGE-frame band sum decomposed as a distributed integer prefix sum: parallelism scales with the value range, not the 3-value partition key",
