@@ -1722,3 +1722,58 @@ def d_agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders GROUP BY o_orderpriority
         """
     )
+
+
+@register(
+    "k_neyman_allocation",
+    oracle="""
+    WITH per AS (
+      SELECT source, count(*) AS n_h,
+             sum(n_chars) AS sx, sum(n_chars * n_chars) AS sxx
+      FROM documents GROUP BY source
+    ), s AS (
+      SELECT source, n_h,
+             sqrt((sxx - sx * 1.0 * sx / n_h) / (n_h - 1)) AS s_h
+      FROM per WHERE n_h > 1
+    ), tot AS (SELECT sum(n_h * s_h) AS denom FROM s)
+    SELECT source, CAST(n_h AS BIGINT) AS n_h, round(s_h, 4) AS s_h,
+           CAST(floor(100.0 * n_h * s_h / denom) AS BIGINT) AS alloc
+    FROM s CROSS JOIN tot
+    """,
+)
+def k_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman allocation for stratified sampling: distribute a 100-doc
+    sample budget across sources proportionally to N_h·S_h (stratum size
+    × stratum std-dev of doc length) — the survey-sampling optimum that
+    beats proportional allocation whenever strata differ in variance
+    (noisy crawl dumps get more probes than uniform corpora). This is
+    the design step BEFORE k_sample_stratified draws the rows.
+
+    Per-stratum (n, Σx, Σx²) partials are the only corpus-sized work
+    (exact integers — n_chars is int — so both engines derive the same
+    stddev double from the same sums); everything after is an 8-row
+    table and one broadcast total.
+    """
+    d = load(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_h"),
+        F.sum("n_chars").alias("sx"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).alias("sxx"),
+    )
+    s = per.filter(F.col("n_h") > 1).select(
+        "source",
+        "n_h",
+        F.sqrt(
+            (F.col("sxx") - F.col("sx") * 1.0 * F.col("sx") / F.col("n_h"))
+            / (F.col("n_h") - 1)
+        ).alias("s_h"),
+    )
+    tot = s.agg(F.sum(F.col("n_h") * F.col("s_h")).alias("denom"))
+    return s.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.col("n_h").cast("long").alias("n_h"),
+        F.round("s_h", 4).alias("s_h"),
+        F.floor(100.0 * F.col("n_h") * F.col("s_h") / F.col("denom"))
+        .cast("long")
+        .alias("alloc"),
+    )
