@@ -1801,3 +1801,68 @@ def k_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
             "theta",
         )
     )
+
+
+@register(
+    "k_pareto_skyline",
+    oracle=f"""
+    WITH scored0 AS ({_REG_ORACLES["k_quality_logreg"]}),
+    pts AS (
+      SELECT s.doc_id, s.score_q, d.n_chars
+      FROM scored0 s JOIN documents d USING (doc_id)
+    )
+    SELECT p.doc_id, p.score_q, CAST(p.n_chars AS BIGINT) AS n_chars
+    FROM pts p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM pts o
+      WHERE o.score_q >= p.score_q AND o.n_chars >= p.n_chars
+        AND (o.score_q > p.score_q OR o.n_chars > p.n_chars)
+    )
+    """,
+)
+def k_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SKYLINE / Pareto front over (quality score, length): documents not
+    dominated on both objectives — the operator behind "give me the best
+    quality-per-length trade-offs" data selection (no engine ships
+    SKYLINE; this is the standard rewrite). Ties survive: equal points
+    dominate nobody.
+
+    Scale decomposition instead of the textbook O(n²) NOT-EXISTS: group
+    to one (score → max chars) row per DISTINCT score (vocabulary-sized),
+    one descending running-max window over that table, keep scores whose
+    max-chars beats every strictly-higher score's, then join back to
+    recover the documents on the front. The fact table is touched by two
+    hash aggregates and one semi-join — never a quadratic pair scan
+    (the oracle states the naive dominance form; both agree exactly).
+    Skyline is distributive (skyline(∪Sᵢ) = skyline(∪skyline(Sᵢ))), so
+    at 100 TB the same algebra runs per partition first.
+    """
+    from data_service_spark.registry import QUERIES
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    pts = (
+        QUERIES["k_quality_logreg"](spark, sf_dir)
+        .select("doc_id", "score_q")
+        .join(d, "doc_id")
+    )
+    g = pts.groupBy("score_q").agg(F.max("n_chars").alias("mc"))
+    w = (
+        Window.orderBy(F.col("score_q").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    front_scores = g.select(
+        "score_q",
+        "mc",
+        F.max("mc").over(w).alias("best_above"),
+    ).filter(
+        F.col("best_above").isNull() | (F.col("mc") > F.col("best_above"))
+    )
+    return (
+        pts.join(
+            F.broadcast(front_scores.select("score_q", "mc")), "score_q"
+        )
+        .filter(F.col("n_chars") == F.col("mc"))
+        .select(
+            "doc_id", "score_q", F.col("n_chars").cast("long").alias("n_chars")
+        )
+    )
