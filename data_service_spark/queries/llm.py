@@ -3176,3 +3176,72 @@ def k_colbert_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select("vec_id", F.round("score", 4).alias("maxsim"))
     )
+
+
+@register(
+    "k_dedup_jaccard_histogram",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM documents
+      WHERE len(string_split(text, ' ')) >= 5
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, len(words) - 4),
+                           i -> array_to_string(words[i:i+4], ' ')))
+               AS shingles
+      FROM w
+    ), ex AS (SELECT doc_id, unnest(shingles) AS sh FROM sh),
+    sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+    inter AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_common
+      FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), j AS (
+      SELECT i.n_common * 1.0
+               / (s1.n + s2.n - i.n_common) AS jacc
+      FROM inter i JOIN sizes s1 ON i.d1 = s1.doc_id
+                   JOIN sizes s2 ON i.d2 = s2.doc_id
+    )
+    SELECT CAST(least(floor(jacc * 10), 9) AS BIGINT) AS jacc_decile,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM j WHERE jacc >= 0.1 GROUP BY 1
+    """,
+)
+def k_dedup_jaccard_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard-similarity histogram of all shingle-sharing pairs (deciles
+    from 0.1 up): the THRESHOLD-TUNING curve for the dedup stack — where
+    the pair mass sits decides τ for k_dedup_near (too low floods the CC
+    clustering, too high leaks duplicates), and a bimodal histogram is
+    the signature of a real near-dup population vs background n-gram
+    collisions.
+
+    Reuses the session-memoized exploded shingle hashes; pairs form only
+    through the shingle equi-join (docs sharing ≥1 shingle — never an
+    all-pairs scan) and collapse immediately to a 9-row histogram.
+    """
+    ex = _exploded_shingle_hashes(spark, sf_dir)
+    a = ex.select(
+        F.col("doc_id").alias("d1"), F.col("n").alias("n1"), "sh"
+    )
+    b = ex.select(
+        F.col("doc_id").alias("d2"), F.col("n").alias("n2"), "sh"
+    )
+    inter = (
+        a.join(b, ["sh"])
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2", "n1", "n2")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jacc = F.col("n_common") * 1.0 / (
+        F.col("n1") + F.col("n2") - F.col("n_common")
+    )
+    return (
+        inter.select(jacc.alias("jacc"))
+        .filter(F.col("jacc") >= 0.1)
+        .groupBy(
+            F.least(F.floor(F.col("jacc") * 10), F.lit(9))
+            .cast("long")
+            .alias("jacc_decile")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
