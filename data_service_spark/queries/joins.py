@@ -1306,3 +1306,101 @@ def c_join_existence_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_mktsegment",
         F.col("uk").isNotNull().alias("has_urgent"),
     )
+
+
+@register(
+    "c_join_er_blocking",
+    oracle="""
+    WITH c AS (
+      SELECT c_custkey, c_nationkey, c_mktsegment, c_acctbal,
+             CAST(floor(c_acctbal / 50) AS BIGINT) AS band
+      FROM customer
+    ), b1 AS (
+      SELECT a.c_custkey AS k1, b.c_custkey AS k2
+      FROM c a JOIN c b
+        ON a.c_nationkey = b.c_nationkey AND a.band = b.band
+       AND a.c_custkey < b.c_custkey
+    ), b2 AS (
+      SELECT a.c_custkey AS k1, b.c_custkey AS k2
+      FROM c a JOIN c b
+        ON a.c_mktsegment = b.c_mktsegment AND a.band = b.band
+       AND a.c_custkey < b.c_custkey
+    ), cand AS (
+      SELECT k1, k2,
+             max(src = 1) AS found_b1, max(src = 2) AS found_b2
+      FROM (SELECT k1, k2, 1 AS src FROM b1
+            UNION ALL SELECT k1, k2, 2 AS src FROM b2)
+      GROUP BY k1, k2
+    )
+    SELECT cand.k1 AS custkey_1, cand.k2 AS custkey_2,
+           found_b1, found_b2,
+           round(abs(x.c_acctbal - y.c_acctbal), 2) AS bal_diff
+    FROM cand JOIN c x ON cand.k1 = x.c_custkey
+              JOIN c y ON cand.k2 = y.c_custkey
+    WHERE abs(x.c_acctbal - y.c_acctbal) < 25
+    """,
+)
+def c_join_er_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution candidate generation with MULTIPLE BLOCKING KEYS:
+    two independent blockers ((nation, balance-band) and (segment,
+    balance-band)) each produce equi-join candidate pairs; the union is
+    deduped with per-blocker provenance flags, and only then does the
+    expensive exact comparator (|balance diff| < 25) run. This is the
+    standard ER recall pattern — one blocker misses pairs that disagree on
+    its key, so production matchers union several cheap blockers and
+    measure each one's contribution (the found_b1/found_b2 flags ARE that
+    measurement).
+
+    Every blocker is an equi-join whose cost tracks block occupancy
+    (never customers²); the dedup is a pair-key groupBy; the comparator
+    touches only surviving candidates. Same scale algebra as the LSH band
+    miners, on relational keys.
+    """
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.floor(F.col("c_acctbal") / 50).cast("long").alias("band"),
+    )
+
+    def pairs(key_col, src):
+        a = c.select(
+            F.col(key_col).alias("bk"),
+            F.col("band").alias("bb"),
+            F.col("c_custkey").alias("k1"),
+        )
+        b = c.select(
+            F.col(key_col).alias("bk"),
+            F.col("band").alias("bb"),
+            F.col("c_custkey").alias("k2"),
+        )
+        return (
+            a.join(b, ["bk", "bb"])
+            .filter(F.col("k1") < F.col("k2"))
+            .select("k1", "k2", F.lit(src).alias("src"))
+        )
+
+    cand = (
+        pairs("c_nationkey", 1)
+        .unionByName(pairs("c_mktsegment", 2))
+        .groupBy("k1", "k2")
+        .agg(
+            F.max(F.col("src") == 1).alias("found_b1"),
+            F.max(F.col("src") == 2).alias("found_b2"),
+        )
+    )
+    x = c.select(F.col("c_custkey").alias("k1"), F.col("c_acctbal").alias("bal1"))
+    y = c.select(F.col("c_custkey").alias("k2"), F.col("c_acctbal").alias("bal2"))
+    return (
+        cand.join(x, "k1")
+        .join(y, "k2")
+        .filter(F.abs(F.col("bal1") - F.col("bal2")) < 25)
+        .select(
+            F.col("k1").alias("custkey_1"),
+            F.col("k2").alias("custkey_2"),
+            "found_b1",
+            "found_b2",
+            F.round(F.abs(F.col("bal1") - F.col("bal2")), 2).alias("bal_diff"),
+        )
+    )
