@@ -1866,3 +1866,62 @@ def k_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "score_q", F.col("n_chars").cast("long").alias("n_chars")
         )
     )
+
+
+# ------------------------------------------- seasonal-naive backtest ----
+
+
+@register(
+    "k_forecast_snaive",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev
+      FROM orders GROUP BY 1
+    ), f AS (
+      SELECT day, rev,
+             lag(rev, 7) OVER (ORDER BY day) AS forecast
+      FROM daily
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(abs(rev - forecast)) AS BIGINT) AS sum_abs_err_cents,
+           round(avg(abs(rev - forecast) * 1.0 / rev), 6) AS mape,
+           round(avg(2.0 * abs(rev - forecast) / (rev + forecast)), 6)
+             AS smape
+    FROM f WHERE forecast IS NOT NULL
+    """,
+)
+def k_forecast_snaive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast BACKTEST: predict each day's revenue with
+    the value 7 days of data earlier (the strongest cheap baseline for
+    weekly-seasonal series) and score it with MAPE and sMAPE — the
+    benchmark any real forecasting model must beat before it earns
+    compute, and the health metric that flags regime changes when it
+    suddenly degrades. Exact integer cents for levels and errors; only
+    the two final score ratios are floats (identical arithmetic trees).
+
+    Scale: the lag window runs on the DAILY spine (rows = days, not
+    orders); the only data-sized work is the map-side-combined daily
+    aggregate. Note lag(7) is by ROW over present days — the spine is
+    dense here; a gappy calendar would first run i_gap_fill.
+    """
+    o = load(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev")
+    )
+    f = daily.select(
+        "day",
+        "rev",
+        F.lag("rev", 7).over(Window.orderBy("day")).alias("forecast"),
+    ).filter(F.col("forecast").isNotNull())
+    err = F.abs(F.col("rev") - F.col("forecast"))
+    return f.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum(err).cast("long").alias("sum_abs_err_cents"),
+        F.round(F.avg(err * 1.0 / F.col("rev")), 6).alias("mape"),
+        F.round(
+            F.avg(2.0 * err / (F.col("rev") + F.col("forecast"))), 6
+        ).alias("smape"),
+    )
