@@ -1010,3 +1010,79 @@ def e_win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             "distinct_types_so_far"
         ),
     )
+
+
+@register(
+    "k_markov_stationary",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ), t AS (
+      SELECT prev_type, event_type AS next_type, count(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, next_type
+    ), p AS (
+      SELECT prev_type, next_type,
+             n * 1.0 / sum(n) OVER (PARTITION BY prev_type) AS pr
+      FROM t
+    ), states AS (SELECT DISTINCT prev_type AS st FROM t),
+    v0 AS (
+      SELECT st, 1.0 / (SELECT count(*) FROM states) AS v FROM states
+    ), v1 AS (
+      SELECT p.next_type AS st, sum(v0.v * p.pr) AS v
+      FROM p JOIN v0 ON p.prev_type = v0.st GROUP BY 1
+    ), v2 AS (
+      SELECT p.next_type AS st, sum(v1.v * p.pr) AS v
+      FROM p JOIN v1 ON p.prev_type = v1.st GROUP BY 1
+    ), v3 AS (
+      SELECT p.next_type AS st, sum(v2.v * p.pr) AS v
+      FROM p JOIN v2 ON p.prev_type = v2.st GROUP BY 1
+    )
+    SELECT st AS event_type, round(v, 6) AS stationary_p
+    FROM v3
+    """,
+)
+def k_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the behavior Markov chain (three
+    unrolled power iterations from uniform — the k_graph_pagerank recipe
+    applied to k_event_transitions' matrix): the long-run share of each
+    event type if users keep behaving like this, i.e. the equilibrium the
+    funnel drifts toward. Divergence between this and today's observed
+    event mix is a leading indicator of mix shift.
+
+    The chain matrix is E×E (event-type cardinality — single digits), so
+    every iteration is a broadcast join over a handful of rows; the only
+    data-sized work is the lag window + transition count that
+    k_event_transitions already defines. Fixed iteration count keeps both
+    engines bit-comparable (no fixpoint nondeterminism).
+    """
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    t = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wp = Window.partitionBy("prev_type")
+    p = t.select(
+        "prev_type",
+        "next_type",
+        (F.col("n") * 1.0 / F.sum("n").over(wp)).alias("pr"),
+    ).localCheckpoint()
+    states = p.select(F.col("prev_type").alias("st")).distinct()
+    n_states = states.count()
+    v = states.select("st", F.lit(1.0 / n_states).alias("v"))
+    for _ in range(3):
+        v = (
+            p.join(F.broadcast(v), p.prev_type == v.st)
+            .groupBy(F.col("next_type").alias("st"))
+            .agg(F.sum(F.col("v") * F.col("pr")).alias("v"))
+        )
+    return v.select(
+        F.col("st").alias("event_type"),
+        F.round("v", 6).alias("stationary_p"),
+    )
