@@ -3245,3 +3245,96 @@ def k_dedup_jaccard_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
     )
+
+
+@register(
+    "k_sim_tfidf_pairs",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2
+    ), df AS (
+      SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1
+    ), n AS (SELECT count(*) AS n_docs FROM documents),
+    w AS (
+      SELECT tf.doc_id, tf.term,
+             tf.tf * ln(n.n_docs * 1.0 / df.df) AS wt
+      FROM tf JOIN df USING (term) CROSS JOIN n
+      WHERE df.df >= 3 AND df.df <= n.n_docs / 10
+    ), nrm AS (
+      SELECT doc_id, sqrt(sum(wt * wt)) AS nv FROM w GROUP BY doc_id
+    ), dots AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, sum(a.wt * b.wt) AS dp
+      FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), cos AS (
+      SELECT d1, d2, dp / (x.nv * y.nv) AS c
+      FROM dots JOIN nrm x ON d1 = x.doc_id JOIN nrm y ON d2 = y.doc_id
+    )
+    SELECT d1 AS doc_id_1, d2 AS doc_id_2, round(c, 4) AS cosine
+    FROM cos ORDER BY round(c, 6) DESC, d1, d2 LIMIT 50
+    """,
+)
+def k_sim_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARSE lexical similarity: top-50 document pairs by TF-IDF cosine,
+    computed as an INVERTED-INDEX join — the lexical complement to the
+    dense-embedding pair miners (catches shared rare vocabulary that
+    embeddings smooth away, misses paraphrase that they catch; production
+    dedup runs both). Stopword-like terms (df > N/10) and hapax noise
+    (df < 3) are pruned BEFORE the join — the pruning that bounds an
+    inverted-index self-join's fan-out at 100 TB (cost per term ∝ df², so
+    capping df caps the join).
+
+    Pipeline: per-(doc, term) TF-IDF weights → per-doc norms (one
+    aggregate) → term-keyed pair join summing weight products → top-50
+    via TakeOrderedAndProject. Exact integer tf/df feed identical float
+    trees on both engines.
+    """
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfc = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    w = (
+        tf.join(dfc, "term")
+        .crossJoin(F.broadcast(n))
+        .filter(
+            (F.col("df") >= 3) & (F.col("df") <= F.col("n_docs") / 10)
+        )
+        .select(
+            "doc_id",
+            "term",
+            (F.col("tf") * F.log(F.col("n_docs") * 1.0 / F.col("df"))).alias(
+                "wt"
+            ),
+        )
+        .localCheckpoint()
+    )
+    nrm = w.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("wt") * F.col("wt"))).alias("nv")
+    )
+    a = w.select(F.col("doc_id").alias("d1"), "term", F.col("wt").alias("w1"))
+    b = w.select(F.col("doc_id").alias("d2"), "term", F.col("wt").alias("w2"))
+    dots = (
+        a.join(b, "term")
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.sum(F.col("w1") * F.col("w2")).alias("dp"))
+    )
+    x = nrm.select(F.col("doc_id").alias("d1"), F.col("nv").alias("n1"))
+    y = nrm.select(F.col("doc_id").alias("d2"), F.col("nv").alias("n2"))
+    return (
+        dots.join(x, "d1")
+        .join(y, "d2")
+        .select(
+            F.col("d1").alias("doc_id_1"),
+            F.col("d2").alias("doc_id_2"),
+            (F.col("dp") / (F.col("n1") * F.col("n2"))).alias("c"),
+        )
+        .orderBy(F.round("c", 6).desc(), "doc_id_1", "doc_id_2")
+        .limit(50)
+        .select(
+            "doc_id_1", "doc_id_2", F.round("c", 4).alias("cosine")
+        )
+    )

@@ -1263,3 +1263,64 @@ def k_event_pattern_negation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ev_us").cast("long").alias("purchase_us"),
         )
     )
+
+
+@register(
+    "k_state_sizing",
+    oracle="""
+    WITH kb AS (
+      SELECT DISTINCT user_id, event_type,
+             CAST(floor(epoch_us(ts) / 600000000.0) AS BIGINT) AS bkt
+      FROM events
+    ), cover AS (
+      SELECT DISTINCT user_id, event_type, kb.bkt + o.o AS b
+      FROM kb, unnest(generate_series(0, 5)) AS o(o)
+    ), per AS (
+      SELECT b, count(*) AS state_rows FROM cover GROUP BY b
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(max(state_rows) AS BIGINT) AS max_state_rows,
+           CAST(floor(avg(state_rows)) AS BIGINT) AS avg_state_rows
+    FROM per
+    """,
+)
+def k_state_sizing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming STATE-SIZE planner for a keyed stateful op (the
+    i_dedup_keys key = (user, event_type)) under a 60-minute watermark:
+    per 10-minute grid bucket, how many keys would be live in the state
+    store (any event within the trailing 6 buckets), reported as
+    max/avg/bucket-count — the capacity number that decides executor
+    memory and RocksDB spill BEFORE the query ships. Run it on history,
+    size the cluster, then start the stream.
+
+    The sliding-horizon distinct is computed WITHOUT a range join: each
+    (key, bucket) occurrence explodes to the 6 buckets it keeps the key
+    alive in, deduped, then one count per bucket — linear in events, the
+    same coverage-explode trick as the spatial grid join. Exact integer
+    microsecond bucketing on both engines.
+    """
+    e = load(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    kb = e.select(
+        "user_id",
+        "event_type",
+        F.floor(us / 600000000.0).cast("long").alias("bkt"),
+    ).distinct()
+    cover = (
+        kb.select(
+            "user_id",
+            "event_type",
+            F.explode(F.sequence(F.lit(0), F.lit(5))).alias("o"),
+            "bkt",
+        )
+        .select(
+            "user_id", "event_type", (F.col("bkt") + F.col("o")).alias("b")
+        )
+        .distinct()
+    )
+    per = cover.groupBy("b").agg(F.count(F.lit(1)).alias("state_rows"))
+    return per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.max("state_rows").cast("long").alias("max_state_rows"),
+        F.floor(F.avg("state_rows")).cast("long").alias("avg_state_rows"),
+    )
