@@ -1777,3 +1777,71 @@ def k_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("alloc"),
     )
+
+
+@register(
+    "k_design_effect",
+    oracle="""
+    WITH per AS (
+      SELECT source, count(*) AS m, sum(n_chars) AS sx,
+             sum(n_chars * 1.0 * n_chars) AS sxx
+      FROM documents GROUP BY source
+    ), g AS (
+      SELECT count(*) AS k, sum(m) AS n, sum(sx) AS tx, sum(sxx) AS txx,
+             sum(sx * sx * 1.0 / m) AS ssb_part
+      FROM per
+    ), anova AS (
+      SELECT k, n,
+             (ssb_part - tx * tx / n) / (k - 1) AS msb,
+             (txx - ssb_part) / (n - k) AS msw,
+             n * 1.0 / k AS m_bar
+      FROM g
+    )
+    SELECT CAST(k AS BIGINT) AS n_sources, CAST(n AS BIGINT) AS n_docs,
+           round((msb - msw) / (msb + (m_bar - 1) * msw), 6) AS icc,
+           round(1 + (m_bar - 1)
+                 * ((msb - msw) / (msb + (m_bar - 1) * msw)), 4) AS deff
+    FROM anova
+    """,
+)
+def k_design_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Design effect of sampling BY SOURCE (cluster sampling): the ANOVA
+    intraclass correlation of doc length within sources and Kish's
+    DEFF = 1 + (m̄−1)·ρ — how much larger a source-clustered sample must
+    be to match simple random sampling's precision. ρ near 0 means
+    sources are internally diverse (cluster sampling is cheap); high ρ
+    means docs within a source are clones and per-source quotas buy
+    little information — the quantitative backing for k_neyman_allocation
+    and the jackknife's source-level grouping.
+
+    One per-source (n, Σx, Σx²) aggregate — exact integer sums — then
+    closed-form one-way ANOVA on a one-row frame; identical float trees
+    both engines.
+    """
+    d = load(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("n_chars").alias("sx"),
+        F.sum(F.col("n_chars") * 1.0 * F.col("n_chars")).alias("sxx"),
+    )
+    g = per.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("m").alias("n"),
+        F.sum("sx").alias("tx"),
+        F.sum("sxx").alias("txx"),
+        F.sum(F.col("sx") * F.col("sx") * 1.0 / F.col("m")).alias(
+            "ssb_part"
+        ),
+    )
+    msb = (F.col("ssb_part") - F.col("tx") * F.col("tx") / F.col("n")) / (
+        F.col("k") - 1
+    )
+    msw = (F.col("txx") - F.col("ssb_part")) / (F.col("n") - F.col("k"))
+    m_bar = F.col("n") * 1.0 / F.col("k")
+    icc = (msb - msw) / (msb + (m_bar - 1) * msw)
+    return g.select(
+        F.col("k").cast("long").alias("n_sources"),
+        F.col("n").cast("long").alias("n_docs"),
+        F.round(icc, 6).alias("icc"),
+        F.round(1 + (m_bar - 1) * icc, 4).alias("deff"),
+    )
