@@ -1086,3 +1086,65 @@ def k_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("st").alias("event_type"),
         F.round("v", 6).alias("stationary_p"),
     )
+
+
+@register(
+    "e_win_hampel_repair",
+    oracle="""
+    WITH r AS (
+      SELECT event_id, user_id, value,
+             quantile_cont(value, 0.5) OVER w AS med,
+             quantile_cont(value, 0.75) OVER w
+               - quantile_cont(value, 0.25) OVER w AS iqr
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, user_id, round(value, 4) AS value,
+           abs(value - med) > 1.5 * iqr AS is_outlier,
+           round(CASE WHEN abs(value - med) > 1.5 * iqr
+                 THEN med ELSE value END, 4) AS repaired
+    FROM r
+    """,
+)
+def e_win_hampel_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hampel-style rolling outlier REPAIR: each value is screened against
+    its trailing 7-event robust window (|x − median| > 1.5·IQR) and
+    outliers are replaced by the window median — the despiking filter a
+    metrics pipeline runs before feeding dashboards or anomaly baselines
+    (unlike z-score screens, the robust window is immune to the outlier
+    contaminating its own threshold). Emits the flag AND the repaired
+    series.
+
+    One keyed window sort per user, frames bounded at 7 rows — the same
+    exact-percentile-over-frame contract as e_win_rolling_median
+    (Spark `percentile` ≡ DuckDB `quantile_cont`), embarrassingly
+    parallel across users.
+    """
+    e = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    med = F.expr("percentile(value, 0.5)").over(w)
+    iqr = F.expr("percentile(value, 0.75)").over(w) - F.expr(
+        "percentile(value, 0.25)"
+    ).over(w)
+    r = e.select(
+        "event_id",
+        "user_id",
+        "value",
+        med.alias("med"),
+        iqr.alias("iqr"),
+    )
+    is_out = F.abs(F.col("value") - F.col("med")) > 1.5 * F.col("iqr")
+    return r.select(
+        "event_id",
+        "user_id",
+        F.round("value", 4).alias("value"),
+        is_out.alias("is_outlier"),
+        F.round(
+            F.when(is_out, F.col("med")).otherwise(F.col("value")), 4
+        ).alias("repaired"),
+    )
