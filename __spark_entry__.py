@@ -82,7 +82,7 @@ PRIORITY = [
     "k_cross_lingual_dups", "k_event_pattern_negation", "k_ab_cuped",
     "d_agg_percentile_disc", "k_colbert_maxsim", "k_neyman_allocation",
     "k_pareto_skyline", "k_dedup_jaccard_histogram", "c_join_er_blocking", "k_forecast_snaive", "k_markov_stationary", "k_sim_tfidf_pairs", "k_state_sizing",
-    "k_design_effect", "e_win_hampel_repair",
+    "k_design_effect", "e_win_hampel_repair", "k_eval_lift_curve",
     # remaining never-recorded core, next rounds' window
     "e_win_ignore_nulls", "e_win_pareto", "e_win_ewma", "e_win_nth_value",
     "g_union_byname", "g_except_all", "g_intersect_all",

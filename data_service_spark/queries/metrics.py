@@ -1925,3 +1925,89 @@ def k_forecast_snaive(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.avg(2.0 * err / (F.col("rev") + F.col("forecast"))), 6
         ).alias("smape"),
     )
+
+
+# ----------------------------------------------------- lift/gain curve ----
+
+
+@register(
+    "k_eval_lift_curve",
+    oracle=f"""
+    WITH scored AS ({_REG_ORACLES.get("k_quality_logreg", "SELECT 1")}),
+    lab AS (
+      SELECT s.score_q,
+             CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM scored s JOIN documents d USING (doc_id)
+    ), bands AS (
+      SELECT least(CAST(floor(score_q / 100000) AS BIGINT), 9) AS band,
+             count(*) AS n, sum(y) AS n_pos
+      FROM lab GROUP BY 1
+    ), g AS (SELECT sum(n) AS nt, sum(n_pos) AS pt FROM bands),
+    cum AS (
+      SELECT band, n, n_pos,
+             sum(n) OVER (ORDER BY band DESC
+                          ROWS UNBOUNDED PRECEDING) AS cn,
+             sum(n_pos) OVER (ORDER BY band DESC
+                              ROWS UNBOUNDED PRECEDING) AS cp
+      FROM bands
+    )
+    SELECT band, CAST(n AS BIGINT) AS n, CAST(n_pos AS BIGINT) AS n_pos,
+           round(cp * 1.0 / cn, 6) AS cum_precision,
+           round((cp * 1.0 / cn) / (g.pt * 1.0 / g.nt), 4) AS lift,
+           round(cp * 1.0 / g.pt, 6) AS recall_captured
+    FROM cum CROSS JOIN g
+    """,
+)
+def k_eval_lift_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative lift/gain curve of the quality scorer against the
+    ``lang='en'`` label, by descending score band: at every score cut,
+    the precision of everything above it, the LIFT over the base rate,
+    and the share of all positives captured — the business-facing
+    complement to AUC (answers "if I gate at this score, what do I keep
+    and what do I lose?"; k_threshold_otsu/youden pick the cut, this
+    shows the whole trade-off table).
+
+    One 10-band aggregate of the scorer's integer-quantized output, a
+    1-row total, and a 10-row cumulative window — the scan is the only
+    data-sized work; exact integer counts feed the three final ratios.
+    """
+    d = load(spark, sf_dir, "documents")
+    from data_service_spark.registry import QUERIES
+
+    scored = QUERIES["k_quality_logreg"](spark, sf_dir).select(
+        "doc_id", "score_q"
+    )
+    lab = scored.join(d.select("doc_id", "lang"), "doc_id").select(
+        "score_q",
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    bands = lab.groupBy(
+        F.least(F.floor(F.col("score_q") / 100000), F.lit(9))
+        .cast("long")
+        .alias("band")
+    ).agg(F.count(F.lit(1)).alias("n"), F.sum("y").alias("n_pos"))
+    g = bands.agg(F.sum("n").alias("nt"), F.sum("n_pos").alias("pt"))
+    w = Window.orderBy(F.col("band").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = bands.select(
+        "band",
+        "n",
+        "n_pos",
+        F.sum("n").over(w).alias("cn"),
+        F.sum("n_pos").over(w).alias("cp"),
+    )
+    return cum.crossJoin(F.broadcast(g)).select(
+        "band",
+        F.col("n").cast("long").alias("n"),
+        F.col("n_pos").cast("long").alias("n_pos"),
+        F.round(F.col("cp") * 1.0 / F.col("cn"), 6).alias("cum_precision"),
+        F.round(
+            (F.col("cp") * 1.0 / F.col("cn"))
+            / (F.col("pt") * 1.0 / F.col("nt")),
+            4,
+        ).alias("lift"),
+        F.round(F.col("cp") * 1.0 / F.col("pt"), 6).alias(
+            "recall_captured"
+        ),
+    )

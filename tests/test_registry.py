@@ -128,7 +128,7 @@ k_event_pattern_negation k_ab_cuped d_agg_percentile_disc
 k_colbert_maxsim k_neyman_allocation k_pareto_skyline
 k_dedup_jaccard_histogram c_join_er_blocking k_forecast_snaive
 k_markov_stationary k_sim_tfidf_pairs k_state_sizing k_design_effect
-e_win_hampel_repair
+e_win_hampel_repair k_eval_lift_curve
 """.split()
 
 
