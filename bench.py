@@ -113,13 +113,14 @@ def main() -> None:
 
     # Steady-state pass: single-shot numbers on a 32-thread shared host
     # carry ambient-contention outliers (BASELINE.md documents 5× key-level
-    # swings between identical runs). Re-time every key that read > 3 s and
+    # swings between identical runs). Re-time every key that read > 2 s and
     # report min(first, second) as the key's cost; the cold first-pass
     # numbers stay in bench_full.json under "cold_outliers" so nothing is
-    # hidden.
+    # hidden. (Threshold was 3 s through r03; q_tpch_q05's 2.98 s ambient
+    # spike slid just under it and was recorded cold — r03 verdict item #5.)
     cold_outliers: dict[str, float] = {}
     for key, t in sorted(timings.items(), key=lambda kv: -kv[1]):
-        if t <= 3.0:
+        if t <= 2.0:
             break
         t0 = time.perf_counter()
         try:

@@ -156,7 +156,13 @@ def _read_header(buf: io.BytesIO):
         count = _read_long(buf)
         if count == 0:
             break
-        for _ in range(abs(count)):
+        if count < 0:
+            # Spec: a negative block count means abs(count) entries preceded
+            # by a long giving the block's size in bytes — consume the size
+            # so files from other writers parse.
+            _read_long(buf)
+            count = -count
+        for _ in range(count):
             k = _read_value(buf, "string")
             meta[k] = _read_value(buf, "bytes")
     sync = buf.read(16)
@@ -173,6 +179,11 @@ def read_ocf(path: str):
     field_types = [fld["type"] for fld in schema["fields"]]
     while buf.tell() < len(buf.getbuffer()):
         n = _read_long(buf)
+        if n < 0:
+            # OCF data-block counts are non-negative per spec; a negative
+            # here means an encoding we don't implement — say so instead of
+            # surfacing a sync-marker mismatch downstream.
+            raise ValueError(f"unsupported OCF block count {n} in {path}")
         _read_long(buf)  # block byte size (unused: codec null)
         for _ in range(n):
             yield tuple(_read_value(buf, t) for t in field_types)
@@ -245,9 +256,10 @@ def register_avro_source(spark) -> None:
         n: int
 
     class AvroWriter(DataSourceWriter):
-        def __init__(self, options, schema):
+        def __init__(self, options, schema, overwrite):
             self.path = options["path"]
             self.avro_schema = spark_schema_to_avro(schema)
+            self.overwrite = overwrite
 
         def write(self, rows):
             os.makedirs(self.path, exist_ok=True)
@@ -258,8 +270,17 @@ def register_avro_source(spark) -> None:
             return AvroCommit(fn, n)
 
         def commit(self, messages):
+            new = {os.path.basename(m.file) for m in messages}
+            if self.overwrite:
+                # Honor mode('overwrite'): tasks write uniquely-named files,
+                # so the single driver-side commit removes any stale .avro
+                # parts a previous write left behind — otherwise a re-read
+                # (and the manifest row count) would mix old and new data.
+                for f in os.listdir(self.path):
+                    if f.endswith(".avro") and f not in new:
+                        os.remove(os.path.join(self.path, f))
             manifest = {
-                "files": sorted(os.path.basename(m.file) for m in messages),
+                "files": sorted(new),
                 "rows": sum(m.n for m in messages),
             }
             with open(os.path.join(self.path, "_manifest.json"), "w") as f:
@@ -301,6 +322,8 @@ def register_avro_source(spark) -> None:
             files = sorted(
                 f for f in os.listdir(path) if f.endswith(".avro")
             )
+            if not files:
+                raise ValueError(f"no .avro files under {path}")
             return avro_schema_to_ddl(
                 read_ocf_schema(os.path.join(path, files[0]))
             )
@@ -309,6 +332,6 @@ def register_avro_source(spark) -> None:
             return AvroReader(self.options)
 
         def writer(self, schema, overwrite: bool):
-            return AvroWriter(self.options, schema)
+            return AvroWriter(self.options, schema, overwrite)
 
     spark.dataSource.register(AvroSource)

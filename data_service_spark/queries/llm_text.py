@@ -155,7 +155,8 @@ def _hits(col_words: str, words: tuple[str, ...], filter_fn: str,
                 WHEN h_es >= h_fr AND h_es >= h_zh THEN 'es'
                 WHEN h_fr >= h_zh THEN 'fr'
                 ELSE 'zh' END AS pred_lang,
-           round((h_en + h_de + h_es + h_fr + h_zh) * 1.0 / n_tok, 4) AS marker_ratio
+           CAST(round((h_en + h_de + h_es + h_fr + h_zh) * 1.0 / n_tok, 4)
+             AS DOUBLE) AS marker_ratio
     FROM scored
     """,
 )
@@ -182,7 +183,8 @@ def k_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
                     WHEN h_es >= h_fr AND h_es >= h_zh THEN 'es'
                     WHEN h_fr >= h_zh THEN 'fr'
                     ELSE 'zh' END AS pred_lang,
-               round((h_en + h_de + h_es + h_fr + h_zh) * 1.0 / n_tok, 4) AS marker_ratio
+               CAST(round((h_en + h_de + h_es + h_fr + h_zh) * 1.0 / n_tok, 4)
+                 AS DOUBLE) AS marker_ratio
         FROM scored
         """
     )

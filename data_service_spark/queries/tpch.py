@@ -219,9 +219,13 @@ _suite(
     -- engines. A final round(...,2) is a landmine: the exact sum can be a
     -- true decimal .xx5, which Spark (shortest-repr HALF_UP) and DuckDB
     -- (HALF_EVEN) round to DIFFERENT cents — hit at sf0.001.
+    -- The quotient MUST be cast to DOUBLE: Spark types `/ 10000.0` as
+    -- decimal(28,7) while DuckDB returns DOUBLE, and the driver's
+    -- value-hash distinguishes Decimal('x.0328000') from x.0328 even when
+    -- numerically equal (the one r03 driver failure, CORRECTNESS_r03).
     SELECT nation, o_year,
-           CAST(sum(CAST(round(amount * 10000, 0) AS BIGINT)) AS BIGINT)
-             / 10000.0 AS sum_profit
+           CAST(CAST(sum(CAST(round(amount * 10000, 0) AS BIGINT)) AS BIGINT)
+             / 10000.0 AS DOUBLE) AS sum_profit
     FROM (
       SELECT n_name AS nation, EXTRACT(YEAR FROM o_orderdate) AS o_year,
              l_extendedprice * (1 - l_discount)

@@ -268,15 +268,19 @@ def cdc_stream(events: DataFrame) -> DataFrame:
             last_ts, last_eid, last_op, last_val = -1, -1, "U", 0.0
         chunks = [pdf for pdf in pdfs if len(pdf)]
         if chunks:
-            batch = pd.concat(chunks, ignore_index=True).sort_values(
-                ["ts", "event_id"]
+            # Last-writer-wins is a max-fold: only the batch's (ts, event_id)
+            # maximum can survive, so sort vectorized and test the single
+            # winning row against the state cursor — no per-row Python.
+            batch = pd.concat(chunks, ignore_index=True)
+            batch["_ts_us"] = (
+                batch["ts"].to_numpy("datetime64[ns]").astype("int64") // 1000
             )
-            for _, row in batch.iterrows():
-                ts_us = row["ts"].value // 1000
-                if (ts_us, row["event_id"]) >= (last_ts, last_eid):
-                    last_ts, last_eid = ts_us, int(row["event_id"])
-                    last_op = "D" if row["event_type"] == "error" else "U"
-                    last_val = float(row["value"])
+            top = batch.sort_values(["_ts_us", "event_id"]).iloc[-1]
+            ts_us, eid = int(top["_ts_us"]), int(top["event_id"])
+            if (ts_us, eid) >= (last_ts, last_eid):
+                last_ts, last_eid = ts_us, eid
+                last_op = "D" if top["event_type"] == "error" else "U"
+                last_val = float(top["value"])
         state.update((last_ts, last_eid, last_op, last_val))
         yield pd.DataFrame(
             {

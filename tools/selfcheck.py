@@ -32,6 +32,10 @@ from data_service_spark.registry import ORACLES, QUERIES, load_all  # noqa: E402
 from data_service_spark.session import get_spark  # noqa: E402
 
 
+class DecimalOutputError(ValueError):
+    """A query emitted a Decimal-typed cell — a driver value-hash risk."""
+
+
 def canon_cell(v) -> str:
     """Canonical string for a cell so Spark/DuckDB values can be compared."""
     if v is None:
@@ -43,7 +47,15 @@ def canon_cell(v) -> str:
             return repr(float(v))
         return repr(v)
     if isinstance(v, Decimal):
-        return canon_cell(float(v))
+        # The driver's value-hash distinguishes Decimal('x.0328000') from
+        # the float x.0328 even when numerically equal (the one r03 driver
+        # failure, q_tpch_q09). Collapsing Decimal -> float here would hide
+        # that bug class, so fail loudly: oracled queries must CAST decimal
+        # outputs to DOUBLE/BIGINT on both sides.
+        raise DecimalOutputError(
+            f"Decimal cell {v!r} — driver-hash risk; CAST the column to "
+            "DOUBLE (or BIGINT) in both the Spark query and the oracle SQL"
+        )
     if isinstance(v, bool):
         return str(v)
     if isinstance(v, int):
