@@ -65,6 +65,11 @@ PRIORITY = [
     "d_agg_percentile_disc", "k_colbert_maxsim", "k_neyman_allocation",
     "k_pareto_skyline", "k_dedup_jaccard_histogram", "c_join_er_blocking", "k_forecast_snaive", "k_markov_stationary", "k_sim_tfidf_pairs", "k_state_sizing",
     "k_design_effect", "e_win_hampel_repair", "k_eval_lift_curve",
+    # round-4 additions
+    "d_agg_linear_counting", "d_agg_bloom_audit",
+    "d_agg_minhash_jaccard_est", "a_sink_xml",
+    "k_kruskal_wallis", "k_cohens_d", "k_brown_forsythe", "k_eval_mcnemar",
+    "k_bootstrap_src_ci", "k_permutation_ab",
     # remaining never-recorded core, next rounds' window
     "e_win_ignore_nulls", "e_win_pareto", "e_win_ewma", "e_win_nth_value",
     "g_union_byname", "g_except_all", "g_intersect_all",

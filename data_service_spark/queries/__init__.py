@@ -20,4 +20,6 @@ from data_service_spark.queries import (  # noqa: F401
     metrics,
     corpus_stats,
     monitoring,
+    sketches,
+    inference,
 )

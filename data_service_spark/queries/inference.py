@@ -1,0 +1,317 @@
+"""§2.K extensions — statistical inference over pipeline metrics (round 4).
+
+A data-curation decision ("arm B converts better", "these two gates
+disagree", "this corpus metric has error bars") needs a significance story,
+not just a point estimate. These operators add the classical
+distribution-free tests that ARE cross-engine exact — rank statistics,
+discordant-pair counts, and deterministic-hash resampling — next to the
+existing z/CUPED/SPRT suite (`k_ab_ztest`, `k_ab_cuped`, `k_ab_sprt`).
+No erf/normal-CDF anywhere: Spark 4.1.2 and DuckDB 1.0 both lack erf, so
+each key reports the test STATISTIC against its standard critical values
+(documented per key) rather than a p-value — except the permutation and
+bootstrap keys, whose p/CI come from deterministic md5 resampling and are
+therefore exact rationals both engines agree on.
+
+Determinism contract: rank sums and discordant counts are integers;
+midranks are exact .5 multiples; resample assignments are md5-derived
+(Spark ``conv(hex,16,10)``, DuckDB ``('0x'||hex)::BIGINT``); floats appear
+only in final divisions, rounded at 6dp with the ``+ 0.0`` signed-zero
+guard (SURVEY §7.4).
+
+Scale shape: every key reduces to one or two grouped aggregations over the
+fact table plus arithmetic on a handful of rows; the resampling keys
+materialize B×|groups| rows (bounded by design, never B×N).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from data_service_spark.io import load
+from data_service_spark.registry import register
+
+_B = 200  # resample count for bootstrap/permutation
+
+
+def _body_kruskal() -> str:
+    return """
+    WITH ranked AS (
+      SELECT event_type,
+             rank() OVER (ORDER BY value)
+               + (count(*) OVER (PARTITION BY value) - 1) / 2.0 AS midrank,
+             value
+      FROM events
+    ), grp AS (
+      SELECT event_type, sum(midrank) AS r_sum,
+             count(*) AS n_i
+      FROM ranked GROUP BY event_type
+    ), ties AS (
+      SELECT sum(t * t * t - t) AS tie_mass
+      FROM (SELECT count(*) AS t FROM events GROUP BY value HAVING count(*) > 1) g
+    ), tot AS (
+      SELECT sum(n_i) AS n, count(*) AS k,
+             sum(r_sum * r_sum / n_i) AS rr
+      FROM grp
+    )
+    SELECT CAST(n AS BIGINT) AS n_total,
+           CAST(k AS BIGINT) AS n_groups,
+           CAST(round(12.0 / (n * (n + 1)) * rr - 3 * (n + 1), 6) + 0.0
+             AS DOUBLE) AS h_stat,
+           CAST(round((12.0 / (n * (n + 1)) * rr - 3 * (n + 1))
+                 / (1.0 - coalesce(tie_mass, 0) * 1.0
+                          / (n * n * n - n)), 6) + 0.0 AS DOUBLE)
+             AS h_stat_tie_adj
+    FROM tot, ties
+    """
+
+
+@register("k_kruskal_wallis", oracle=_body_kruskal())
+def k_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal–Wallis one-way rank test: do the five event types draw their
+    ``value`` from the same distribution? H = 12/(N(N+1))·ΣR²ᵢ/nᵢ − 3(N+1)
+    with the standard tie adjustment — distribution-free (no normality
+    assumption a raw ANOVA needs), and exactly cross-engine reproducible
+    because midrank sums are exact half-integer arithmetic. Compare H to
+    χ²(k−1): 9.49 at α=.05 for k=5.
+
+    Scale shape: one global rank window (single sort-shuffle, the honest
+    cost of a rank test) then a 5-row aggregate."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_body_kruskal())
+
+
+def _body_cohens_d() -> str:
+    return """
+    WITH s AS (
+      SELECT count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n1,
+             count(CASE WHEN event_type = 'view' THEN 1 END) AS n2,
+             avg(CASE WHEN event_type = 'purchase' THEN value END) AS m1,
+             avg(CASE WHEN event_type = 'view' THEN value END) AS m2,
+             var_samp(CASE WHEN event_type = 'purchase' THEN value END) AS v1,
+             var_samp(CASE WHEN event_type = 'view' THEN value END) AS v2
+      FROM events
+      WHERE event_type IN ('purchase', 'view')
+    )
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           round(m1 - m2, 6) + 0.0 AS mean_diff,
+           round(sqrt(((n1 - 1) * v1 + (n2 - 1) * v2) / (n1 + n2 - 2)), 6)
+             + 0.0 AS pooled_sd,
+           round((m1 - m2)
+                 / sqrt(((n1 - 1) * v1 + (n2 - 1) * v2) / (n1 + n2 - 2)), 6)
+             + 0.0 AS cohens_d
+    FROM s
+    """
+
+
+@register("k_cohens_d", oracle=_body_cohens_d())
+def k_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d effect size between the purchase and view value
+    distributions (pooled-SD standardized mean difference) — the number
+    that belongs next to any significance claim: a z-test on 100 TB of
+    events will call a 0.001σ difference "significant", and d is what says
+    it doesn't matter. |d| ≥ 0.2/0.5/0.8 read as small/medium/large.
+
+    Scale shape: single conditional aggregate, map-side partials."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_body_cohens_d())
+
+
+def _body_brown_forsythe(median_fn: str) -> str:
+    return f"""
+    WITH med AS (
+      SELECT event_type, round({median_fn}, 6) AS med
+      FROM events GROUP BY event_type
+    ), z AS (
+      SELECT e.event_type, abs(e.value - m.med) AS z
+      FROM events e JOIN med m ON e.event_type = m.event_type
+    ), grp AS (
+      SELECT event_type, count(*) AS n_i, avg(z) AS zbar_i,
+             sum(z * z) AS zsq_i, sum(z) AS zs_i
+      FROM z GROUP BY event_type
+    ), tot AS (
+      SELECT sum(n_i) AS n, count(*) AS k,
+             sum(zs_i) / sum(n_i) AS zbar,
+             sum(zsq_i - zs_i * zs_i / n_i) AS ss_within
+      FROM grp
+    )
+    SELECT CAST(k - 1 AS BIGINT) AS df1,
+           CAST(n - k AS BIGINT) AS df2,
+           round(((SELECT sum(n_i * (zbar_i - zbar) * (zbar_i - zbar))
+                   FROM grp, tot) / (k - 1))
+                 / (ss_within / (n - k)), 6) + 0.0 AS f_stat
+    FROM tot
+    """
+
+
+@register(
+    "k_brown_forsythe",
+    oracle=_body_brown_forsythe("quantile_cont(value, 0.5)"),
+)
+def k_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown–Forsythe variance-homogeneity test across event types: one-way
+    ANOVA F on |value − group median| — the robust Levene variant (median
+    center ⇒ valid under heavy tails, which event values have). Group
+    medians are pinned at 6dp before the deviation (SURVEY §7.4: derived
+    statistics over interpolated percentiles re-round before reuse).
+    Compare F to F(k−1, N−k) ≈ 2.37 at α=.05 for k=5, large N.
+
+    Scale shape: a median per group (percentile agg), one broadcast join
+    of 5 medians back onto the fact, one grouped aggregate."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_body_brown_forsythe("percentile(value, 0.5)"))
+
+
+def _body_mcnemar() -> str:
+    return """
+    WITH preds AS (
+      SELECT (lang = 'en') AS truth,
+             (' ' || text || ' ' LIKE '% the %') AS pred_a,
+             (' ' || text || ' ' LIKE '% and %') AS pred_b
+      FROM documents
+    ), pairs AS (
+      SELECT count(*) AS n_docs,
+             sum(CASE WHEN pred_a = truth AND pred_b <> truth
+                      THEN 1 ELSE 0 END) AS b_discordant,
+             sum(CASE WHEN pred_a <> truth AND pred_b = truth
+                      THEN 1 ELSE 0 END) AS c_discordant
+      FROM preds
+    )
+    SELECT CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(b_discordant AS BIGINT) AS b_discordant,
+           CAST(c_discordant AS BIGINT) AS c_discordant,
+           CAST(round((abs(b_discordant - c_discordant) - 1)
+                 * (abs(b_discordant - c_discordant) - 1) * 1.0
+                 / nullif(b_discordant + c_discordant, 0), 6) + 0.0
+             AS DOUBLE) AS mcnemar_stat
+    FROM pairs
+    """
+
+
+@register("k_eval_mcnemar", oracle=_body_mcnemar())
+def k_eval_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's paired test between two cheap English detectors ('the'
+    marker vs 'and' marker) against the ground-truth label: on PAIRED
+    predictions only the discordant cells carry information, so the
+    statistic is (|b−c|−1)²/(b+c) (continuity-corrected) over two integer
+    counts — the right way to compare two classifiers evaluated on the
+    same corpus (a two-proportion z-test overstates significance by
+    ignoring the pairing). Compare to χ²(1): 3.84 at α=.05.
+
+    Scale shape: one projection + one global conditional aggregate."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_body_mcnemar())
+
+
+def _body_bootstrap(hash_to_long: str) -> str:
+    # hash_to_long formats one {h} placeholder containing the md5 argument.
+    h = hash_to_long.format(
+        h="'bs:' || CAST(b.b AS STRING) || ':' || CAST(d.idx AS STRING)"
+    )
+    return f"""
+    WITH per_source AS (
+      SELECT source, avg(n_chars) AS m_s,
+             row_number() OVER (ORDER BY source) - 1 AS idx
+      FROM documents GROUP BY source
+    ), n AS (
+      SELECT count(*) AS n_src FROM per_source
+    ), draws AS (
+      SELECT b.b, {h} % n.n_src AS pick
+      FROM (SELECT explode(sequence(0, {_B - 1})) AS b) b
+      CROSS JOIN per_source d CROSS JOIN n
+    ), boot AS (
+      SELECT d.b, avg(p.m_s) AS boot_mean
+      FROM draws d JOIN per_source p ON d.pick = p.idx
+      GROUP BY d.b
+    ), ordered AS (
+      SELECT boot_mean, row_number() OVER (ORDER BY boot_mean) AS rn
+      FROM boot
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM per_source) AS n_sources,
+           (SELECT round(avg(m_s), 6) + 0.0 FROM per_source) AS point_mean,
+           round(min(CASE WHEN rn = {int(_B * 0.025)} THEN boot_mean END), 6)
+             + 0.0 AS ci_lo,
+           round(min(CASE WHEN rn = {_B - int(_B * 0.025) + 1}
+                     THEN boot_mean END), 6) + 0.0 AS ci_hi
+    FROM ordered
+    """
+
+
+_SPARK_HASH = "CAST(conv(substr(md5({h}), 1, 8), 16, 10) AS BIGINT)"
+_DUCK_HASH = "('0x' || substr(md5({h}), 1, 8))::BIGINT"
+
+
+@register(
+    "k_bootstrap_src_ci",
+    oracle=_body_bootstrap(_DUCK_HASH).replace(
+        "(SELECT explode(sequence(0, 199)) AS b)", "(SELECT b FROM range(200) t(b))"
+    ),
+)
+def k_bootstrap_src_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster bootstrap CI for mean document length: resample SOURCES with
+    replacement (B=200, md5-deterministic draws) because documents within a
+    crawl are correlated — a per-doc bootstrap would understate the CI the
+    same way a per-doc SE does (see ``k_jackknife_se``, the analytic twin).
+    CI bounds are exact order statistics (5th/196th of 200), no
+    interpolation to disagree on.
+
+    Scale shape: the corpus reduces to one row per source first, so the
+    B×n_src resample table is bounded by design and never touches N."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_body_bootstrap(_SPARK_HASH))
+
+
+def _body_permutation(hash_to_long: str) -> str:
+    h = hash_to_long.format(
+        h="'perm:' || CAST(b.b AS STRING) || ':' || CAST(u.user_id AS STRING)"
+    )
+    return f"""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(user_id % 2 AS INT) AS arm,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS purchases
+      FROM events GROUP BY user_id
+    ), obs AS (
+      SELECT avg(CASE WHEN arm = 1 THEN CAST(purchases AS DOUBLE) END)
+             - avg(CASE WHEN arm = 0 THEN CAST(purchases AS DOUBLE) END) AS diff
+      FROM per_user
+    ), perm AS (
+      SELECT b.b,
+             avg(CASE WHEN {h} % 2 = 1 THEN CAST(u.purchases AS DOUBLE) END)
+             - avg(CASE WHEN {h} % 2 = 0 THEN CAST(u.purchases AS DOUBLE) END)
+               AS diff_b
+      FROM (SELECT explode(sequence(0, {_B - 1})) AS b) b
+      CROSS JOIN per_user u
+      GROUP BY b.b
+    )
+    SELECT CAST(round((SELECT diff FROM obs), 6) + 0.0 AS DOUBLE) AS obs_diff,
+           CAST({_B} AS BIGINT) AS n_perms,
+           CAST(sum(CASE WHEN abs(diff_b) >= abs((SELECT diff FROM obs))
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme,
+           CAST(round((1.0 + sum(CASE WHEN abs(diff_b)
+                                      >= abs((SELECT diff FROM obs))
+                            THEN 1 ELSE 0 END)) / ({_B} + 1), 6) + 0.0
+             AS DOUBLE) AS p_value
+    FROM perm
+    """
+
+
+@register(
+    "k_permutation_ab",
+    oracle=_body_permutation(_DUCK_HASH).replace(
+        "(SELECT explode(sequence(0, 199)) AS b)", "(SELECT b FROM range(200) t(b))"
+    ),
+)
+def k_permutation_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permutation test for the A/B purchase-rate difference (odd vs even
+    user arms): B=200 md5-deterministic relabelings of USERS (the
+    randomization unit — relabeling events would break within-user
+    correlation), p = (1 + #{|diff_b| ≥ |obs|})/(B+1), the add-one form
+    that never reports p=0. Exact finite-sample inference with no normal
+    approximation — the honest check on ``k_ab_ztest`` when per-user
+    counts are skewed.
+
+    Scale shape: events reduce to one row per user first; the B×n_users
+    relabel table is a single grouped aggregate over B groups."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_body_permutation(_SPARK_HASH))

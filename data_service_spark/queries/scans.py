@@ -150,6 +150,25 @@ def a_sink_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.orc(path)
 
 
+@register("a_sink_xml", oracle="SELECT * FROM region")
+def a_sink_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML roundtrip of ``region`` via Spark 4's BUILT-IN xml format (the
+    databricks spark-xml lineage, in-core since 4.0) — the
+    semi-structured-feed format of the multi-source surface. The read pins
+    the writer's schema explicitly instead of trusting inference, the
+    production contract for typed ingestion (inference would widen
+    r_regionkey and misorder columns on sparse samples)."""
+    path = _tmpdir("region_xml")
+    region = load(spark, sf_dir, "region")
+    region.write.mode("overwrite").format("xml").option("rowTag", "region").save(path)
+    return (
+        spark.read.format("xml")
+        .option("rowTag", "region")
+        .schema(region.schema)
+        .load(path)
+    )
+
+
 @register(
     "a_source_python_ds",
     oracle="""

@@ -2425,3 +2425,59 @@ def test_reciprocal_nn_is_a_matching(spark, sf_dir):
         assert r.vec_id_1 not in seen and r.vec_id_2 not in seen
         seen.add(r.vec_id_1)
         seen.add(r.vec_id_2)
+
+
+def test_sketch_estimates_track_ground_truth(spark, sf_dir):
+    """The three deterministic-hash sketches carry their own exact ground
+    truth — assert the approximation actually approximates: LC within 5%
+    on a 3% load factor, Bloom observed FPR within a few x of theory, and
+    MinHash k=64 estimates within ~3/sqrt(64) of exact Jaccard."""
+    from data_service_spark.registry import QUERIES
+
+    lc = QUERIES["d_agg_linear_counting"](spark, sf_dir).first()
+    assert lc.occupied_buckets <= lc.exact_distinct
+    assert lc.rel_err_bp < 500
+
+    bf = QUERIES["d_agg_bloom_audit"](spark, sf_dir).first()
+    assert bf.n_members + bf.n_probes > 0
+    assert bf.false_positives <= bf.n_probes
+    # sf0.001 has ~200 parts -> theory ~0bp; allow absolute slack of 100bp
+    assert bf.observed_fpr_bp <= bf.theoretical_fpr_bp * 4 + 100
+
+    mh = QUERIES["d_agg_minhash_jaccard_est"](spark, sf_dir).collect()
+    assert len(mh) == 10  # 5 choose 2 event-type pairs
+    for r in mh:
+        assert abs(r.est_jaccard_bp - r.exact_jaccard_bp) <= 3750
+
+
+def test_inference_stats_hand_checked(spark, sf_dir):
+    """Statistics keys produce internally-consistent values: McNemar's
+    statistic recomputes from its own discordant counts, the bootstrap CI
+    brackets the point estimate, and the permutation p-value is the
+    add-one rational of its own extreme count."""
+    from data_service_spark.registry import QUERIES
+
+    mc = QUERIES["k_eval_mcnemar"](spark, sf_dir).first()
+    b, c = mc.b_discordant, mc.c_discordant
+    if b + c:
+        assert abs(mc.mcnemar_stat - (abs(b - c) - 1) ** 2 / (b + c)) < 1e-6
+
+    bs = QUERIES["k_bootstrap_src_ci"](spark, sf_dir).first()
+    assert bs.ci_lo <= bs.point_mean <= bs.ci_hi
+
+    pm = QUERIES["k_permutation_ab"](spark, sf_dir).first()
+    assert abs(pm.p_value - (1 + pm.n_extreme) / (pm.n_perms + 1)) < 1e-6
+    assert 0 < pm.p_value <= 1
+
+    kw = QUERIES["k_kruskal_wallis"](spark, sf_dir).first()
+    assert kw.n_groups == 5
+    assert kw.h_stat >= 0
+    # tie adjustment can only grow H
+    assert kw.h_stat_tie_adj >= kw.h_stat - 1e-9
+
+    bfs = QUERIES["k_brown_forsythe"](spark, sf_dir).first()
+    assert bfs.df1 == 4 and bfs.f_stat >= 0
+
+    cd = QUERIES["k_cohens_d"](spark, sf_dir).first()
+    if cd.pooled_sd:
+        assert abs(cd.cohens_d - cd.mean_diff / cd.pooled_sd) < 1e-4

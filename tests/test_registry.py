@@ -131,6 +131,9 @@ k_colbert_maxsim k_neyman_allocation k_pareto_skyline
 k_dedup_jaccard_histogram c_join_er_blocking k_forecast_snaive
 k_markov_stationary k_sim_tfidf_pairs k_state_sizing k_design_effect
 e_win_hampel_repair k_eval_lift_curve
+d_agg_linear_counting d_agg_bloom_audit d_agg_minhash_jaccard_est a_sink_xml
+k_kruskal_wallis k_cohens_d k_brown_forsythe k_eval_mcnemar
+k_bootstrap_src_ci k_permutation_ab
 """.split()
 
 
