@@ -242,3 +242,343 @@ def k_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(gap_us, 0.99)") / 1e6, 2).alias("p99_s"),
         F.round(F.avg("gap_us") / 1e6, 2).alias("mean_s"),
     )
+
+
+# ----------------------------------------------- Theil–Sen robust slope ----
+
+
+@register(
+    "k_theil_sen",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(date_diff('day', DATE '2024-01-01',
+                            CAST(date_trunc('day', ts) AS DATE)) AS BIGINT)
+               AS d,
+             count(*) AS n
+      FROM events GROUP BY 1, 2
+    ), slopes AS (
+      SELECT a.event_type,
+             (b.n - a.n) * 1.0 / (b.d - a.d) AS slope
+      FROM daily a JOIN daily b
+        ON a.event_type = b.event_type AND a.d < b.d
+    ), ranked AS (
+      SELECT event_type, slope,
+             row_number() OVER (PARTITION BY event_type ORDER BY slope) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS cnt
+      FROM slopes
+    )
+    SELECT event_type,
+           (SELECT CAST(count(*) AS BIGINT) FROM daily dd
+            WHERE dd.event_type = ranked.event_type) AS n_days,
+           CAST(max(cnt) AS BIGINT) AS n_pairs,
+           CAST(round(min(CASE WHEN rn = (cnt + 1) / 2 THEN slope END), 6)
+             + 0.0 AS DOUBLE) AS ts_slope
+    FROM ranked GROUP BY event_type
+    """,
+)
+def k_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend slope per event type: the LOWER MEDIAN of all
+    pairwise day-count slopes — a 29.3%-breakdown trend estimate that one
+    outage day cannot bend, unlike the least-squares slope it sits next to
+    (the `k_daily_growth` / `k_forecast_snaive` family). Lower median
+    (rank ⌈n/2⌉) instead of the interpolated median so the answer is one
+    actual slope value both engines pick identically; slopes are exact
+    int/int divisions.
+
+    Scale shape: the corpus reduces to a ~30-row daily spine per type
+    FIRST, so the O(days²) pair join is over a dimension-sized table by
+    construction — the classic guard for quadratic statistics.
+    """
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.date_trunc("day", "ts").cast("date"),
+                   F.lit("2024-01-01").cast("date")).cast("long").alias("d"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    a, b = daily.alias("a"), daily.alias("b")
+    slopes = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.d") < F.col("b.d")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        ((F.col("b.n") - F.col("a.n")) * 1.0 / (F.col("b.d") - F.col("a.d")))
+        .alias("slope"),
+    )
+    w = Window.partitionBy("event_type")
+    ranked = slopes.select(
+        "event_type",
+        "slope",
+        F.row_number().over(w.orderBy("slope")).alias("rn"),
+        F.count(F.lit(1)).over(w).alias("cnt"),
+    )
+    n_days = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days")
+    )
+    med = ranked.groupBy("event_type").agg(
+        F.max("cnt").cast("long").alias("n_pairs"),
+        (
+            F.round(
+                F.min(
+                    F.when(
+                        F.col("rn") == (F.col("cnt") + 1).cast("long") / 2,
+                        F.col("slope"),
+                    ).cast("double")
+                ),
+                6,
+            )
+            + 0.0
+        ).cast("double").alias("ts_slope"),
+    )
+    return n_days.join(med, "event_type").select(
+        "event_type", "n_days", "n_pairs", "ts_slope"
+    )
+
+
+# -------------------------------------------------- Bollinger monitor ----
+
+
+@register(
+    "e_win_bollinger",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             sum(CAST(round(value * 10000) AS BIGINT)) AS cents
+      FROM events GROUP BY 1, 2
+    ), win AS (
+      SELECT event_type, day, cents,
+             sum(cents) OVER w AS s1,
+             sum(cents * cents) OVER w AS s2,
+             count(*) OVER w AS n
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, day, CAST(cents AS BIGINT) AS cents,
+           CAST(floor(s1 * 10.0 / n) AS BIGINT) AS mean7_tenths,
+           CAST(floor(sqrt((s2 - s1 * 1.0 * s1 / n) / (n - 1)) * 10.0)
+             AS BIGINT) AS sd7_tenths,
+           (n >= 7 AND abs(cents - s1 * 1.0 / n)
+              > 2.0 * sqrt((s2 - s1 * 1.0 * s1 / n) / (n - 1))) AS breach
+    FROM win WHERE n > 1
+    """,
+)
+def e_win_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger-band volume monitor: per event type, the trailing-7-day
+    mean ± 2σ envelope over daily value mass, with a breach flag once the
+    window is full — the rolling two-sided control chart between the
+    global z-score (`k_anomaly_zscore`) and the robust Hampel repair
+    (`e_win_hampel_repair`). All window sums run over exact integer
+    ten-thousandths (never floats), so the rolling moments are identical
+    under any accumulation order — the e_win_vwap lesson; outputs are
+    floor-quantized tenths.
+
+    Scale shape: one map-side daily rollup, then windows over the
+    |types|×|days| spine — corpus rows cross one shuffle.
+    """
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+    ).agg(F.sum(F.round(F.col("value") * 10000).cast("long")).alias("cents"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-6, 0)
+    )
+    win = daily.select(
+        "event_type",
+        "day",
+        "cents",
+        F.sum("cents").over(w).alias("s1"),
+        F.sum(F.col("cents") * F.col("cents")).over(w).alias("s2"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    ).filter("n > 1")
+    sd = F.sqrt(
+        (F.col("s2") - F.col("s1") * 1.0 * F.col("s1") / F.col("n"))
+        / (F.col("n") - 1)
+    )
+    mean = F.col("s1") * 1.0 / F.col("n")
+    return win.select(
+        "event_type",
+        "day",
+        F.col("cents").cast("long"),
+        F.floor(F.col("s1") * 10.0 / F.col("n")).cast("long").alias(
+            "mean7_tenths"
+        ),
+        F.floor(sd * 10.0).cast("long").alias("sd7_tenths"),
+        (
+            (F.col("n") >= 7)
+            & (F.abs(F.col("cents") - mean) > 2.0 * sd)
+        ).alias("breach"),
+    )
+
+
+# ------------------------------------------------- seasonal strength ----
+
+
+@register(
+    "k_seasonal_strength",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             (dayofweek(CAST(date_trunc('day', ts) AS DATE)) + 7) % 7 AS dow,
+             count(*) AS y
+      FROM events GROUP BY 1, 2, 3
+    ), comp AS (
+      SELECT event_type, day, y,
+             avg(y * 1.0) OVER (PARTITION BY event_type, dow) AS s_dow,
+             avg(y * 1.0) OVER (PARTITION BY event_type) AS mu
+      FROM daily
+    ), q AS (
+      SELECT event_type,
+             CAST(round((y - mu) * 1000000) AS BIGINT) AS dev,
+             CAST(round((y - s_dow) * 1000000) AS BIGINT) AS resid
+      FROM comp
+    )
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+           CAST(floor(greatest(0.0,
+                 1.0 - (sum(resid * 1.0 * resid)
+                        - sum(resid) * 1.0 * sum(resid) / count(*))
+                       / nullif(sum(dev * 1.0 * dev)
+                        - sum(dev) * 1.0 * sum(dev) / count(*), 0.0))
+               * 10000) AS BIGINT) AS seasonal_strength_bp
+    FROM q GROUP BY event_type
+    """,
+)
+def k_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-strength score per event type (Hyndman's FeatuRes measure,
+    additive weekly form): 1 − Var(y − s_dow)/Var(y − μ), where s_dow is
+    the day-of-week mean level — ≈0 for a flat feed, →1 when the weekly
+    cycle explains the variance. Tells the monitors whether to baseline
+    on a weekly profile (`k_seasonal_dow`) or a flat mean
+    (`k_anomaly_zscore`). Deviations are quantized to exact integer
+    micro-units BEFORE the variance power sums, so accumulation order
+    cannot flip a bit; dow is pinned Sunday=0 on both engines.
+
+    Scale shape: daily rollup → per-type windows over a 30-row spine →
+    5-row aggregate.
+    """
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+        ((F.dayofweek(F.date_trunc("day", "ts").cast("date")) - 1) % 7).alias(
+            "dow"
+        ),
+    ).agg(F.count(F.lit(1)).alias("y"))
+    comp = daily.select(
+        "event_type",
+        "day",
+        "y",
+        F.avg(F.col("y") * 1.0)
+        .over(Window.partitionBy("event_type", "dow"))
+        .alias("s_dow"),
+        F.avg(F.col("y") * 1.0)
+        .over(Window.partitionBy("event_type"))
+        .alias("mu"),
+    )
+    q = comp.select(
+        "event_type",
+        F.round((F.col("y") - F.col("mu")) * 1000000).cast("long").alias("dev"),
+        F.round((F.col("y") - F.col("s_dow")) * 1000000)
+        .cast("long")
+        .alias("resid"),
+    )
+    n = F.count(F.lit(1))
+    ss_resid = F.sum(F.col("resid") * 1.0 * F.col("resid")) - F.sum(
+        "resid"
+    ) * 1.0 * F.sum("resid") / n
+    ss_dev = F.sum(F.col("dev") * 1.0 * F.col("dev")) - F.sum(
+        "dev"
+    ) * 1.0 * F.sum("dev") / n
+    return q.groupBy("event_type").agg(
+        n.cast("long").alias("n_days"),
+        F.floor(
+            F.greatest(F.lit(0.0), 1.0 - ss_resid / F.nullif(ss_dev, F.lit(0.0)))
+            * 10000
+        )
+        .cast("long")
+        .alias("seasonal_strength_bp"),
+    )
+
+
+# ------------------------------------------------------- 14-day RSI ----
+
+
+@register(
+    "e_win_rsi",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             sum(CAST(round(value * 10000) AS BIGINT)) AS cents
+      FROM events GROUP BY 1, 2
+    ), delta AS (
+      SELECT event_type, day, cents,
+             cents - lag(cents) OVER (PARTITION BY event_type ORDER BY day)
+               AS d
+      FROM daily
+    ), win AS (
+      SELECT event_type, day,
+             sum(CASE WHEN d > 0 THEN d ELSE 0 END) OVER w AS gain,
+             sum(CASE WHEN d < 0 THEN -d ELSE 0 END) OVER w AS loss,
+             count(d) OVER w AS n
+      FROM delta
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, day,
+           CAST(gain AS BIGINT) AS gain14, CAST(loss AS BIGINT) AS loss14,
+           CAST(floor(10000.0 * gain / nullif(gain + loss, 0)) AS BIGINT)
+             AS rsi_bp
+    FROM win WHERE n >= 14
+    """,
+)
+def e_win_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """14-day RSI (Wilder's relative-strength index, simple-average form,
+    as RSI = 100·gain/(gain+loss)) over daily value mass per event type —
+    the bounded momentum oscillator ops dashboards read for
+    overheating/cooling feeds (>70 / <30 in conventional units; here exact
+    basis points of the [0,100] scale /100). Gains and losses accumulate
+    as exact integer ten-thousandths; emitted only once 14 deltas exist
+    (Wilder's warm-up rule), so every row is a full window.
+
+    Scale shape: daily rollup map-side, lag + 14-row window over the
+    dimension-sized spine.
+    """
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+    ).agg(F.sum(F.round(F.col("value") * 10000).cast("long")).alias("cents"))
+    wl = Window.partitionBy("event_type").orderBy("day")
+    delta = daily.select(
+        "event_type",
+        "day",
+        (F.col("cents") - F.lag("cents").over(wl)).alias("d"),
+    )
+    w14 = wl.rowsBetween(-13, 0)
+    win = delta.select(
+        "event_type",
+        "day",
+        F.sum(F.when(F.col("d") > 0, F.col("d")).otherwise(0)).over(w14).alias(
+            "gain"
+        ),
+        F.sum(F.when(F.col("d") < 0, -F.col("d")).otherwise(0))
+        .over(w14)
+        .alias("loss"),
+        F.count("d").over(w14).alias("n"),
+    ).filter("n >= 14")
+    return win.select(
+        "event_type",
+        "day",
+        F.col("gain").cast("long").alias("gain14"),
+        F.col("loss").cast("long").alias("loss14"),
+        F.floor(
+            10000.0 * F.col("gain") / F.nullif(F.col("gain") + F.col("loss"),
+                                               F.lit(0))
+        )
+        .cast("long")
+        .alias("rsi_bp"),
+    )

@@ -2481,3 +2481,32 @@ def test_inference_stats_hand_checked(spark, sf_dir):
     cd = QUERIES["k_cohens_d"](spark, sf_dir).first()
     if cd.pooled_sd:
         assert abs(cd.cohens_d - cd.mean_diff / cd.pooled_sd) < 1e-4
+
+
+def test_timeseries_monitors_hand_checked(spark, sf_dir):
+    """Time-series keys recompute from their own outputs: RSI is the
+    gain/(gain+loss) ratio of its emitted integer sums, Bollinger breach
+    days are a small minority, Theil-Sen medians lie within each type's
+    slope range, and seasonal strength is a valid [0,10000] bp value."""
+    from data_service_spark.registry import QUERIES
+
+    rsi = QUERIES["e_win_rsi"](spark, sf_dir).collect()
+    assert rsi, "warm-up gate should still leave rows on a 30-day corpus"
+    for r in rsi:
+        tot = r.gain14 + r.loss14
+        if tot:
+            assert r.rsi_bp == (10000 * r.gain14) // tot
+        assert 0 <= r.rsi_bp <= 10000
+
+    bb = QUERIES["e_win_bollinger"](spark, sf_dir).toPandas()
+    full = bb[bb.sd7_tenths.notna()]
+    assert 0 <= full.breach.mean() < 0.5
+
+    ts = QUERIES["k_theil_sen"](spark, sf_dir).collect()
+    assert {r.event_type for r in ts} >= {"view", "purchase"}
+    for r in ts:
+        assert r.n_pairs == r.n_days * (r.n_days - 1) // 2
+
+    ss = QUERIES["k_seasonal_strength"](spark, sf_dir).collect()
+    for r in ss:
+        assert 0 <= r.seasonal_strength_bp <= 10000
