@@ -71,6 +71,8 @@ PRIORITY = [
     "k_kruskal_wallis", "k_cohens_d", "k_brown_forsythe", "k_eval_mcnemar",
     "k_bootstrap_src_ci", "k_permutation_ab",
     "k_theil_sen", "e_win_bollinger", "k_seasonal_strength", "e_win_rsi",
+    "k_mix_waterfill", "k_degree_distribution", "i_stream_union",
+    "q_sql_hints", "q_distribute_by",
     # remaining never-recorded core, next rounds' window
     "e_win_ignore_nulls", "e_win_pareto", "e_win_ewma", "e_win_nth_value",
     "g_union_byname", "g_except_all", "g_intersect_all",

@@ -2011,3 +2011,65 @@ def k_eval_lift_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall_captured"
         ),
     )
+
+
+# --------------------------------------------- degree distribution ----
+
+
+@register(
+    "k_degree_distribution",
+    oracle="""
+    WITH deg AS (
+      SELECT c.c_custkey, count(o.o_orderkey) AS deg
+      FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey
+    ), hist AS (
+      SELECT deg, count(*) AS n_customers FROM deg GROUP BY deg
+    )
+    SELECT CAST(deg AS BIGINT) AS deg,
+           CAST(n_customers AS BIGINT) AS n_customers,
+           CAST(floor(sum(n_customers) OVER (ORDER BY deg) * 10000.0
+                      / sum(n_customers) OVER ()) AS BIGINT) AS cum_frac_bp
+    FROM hist
+    """,
+)
+def k_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the customer–order bipartite graph: how many
+    customers placed exactly d orders, INCLUDING the zero-degree nodes a
+    plain groupBy(orders) silently drops (LEFT join from the node table —
+    the same isolated-node discipline as ``k_fk_orphans``), plus the
+    cumulative fraction in bp. The first chart read before any graph
+    algorithm (PageRank, k-core budgeting, hub capping in
+    ``k_hubness_audit``) — whether the graph is hub-dominated decides
+    whether per-key state fits an executor.
+
+    Scale shape: degree = one grouped count (map-side partials); the
+    histogram and its cumulative window run over the ~|distinct degrees|
+    spine.
+    """
+    from pyspark.sql.window import Window
+
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    deg = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("deg"))
+    )
+    hist = deg.groupBy("deg").agg(F.count(F.lit(1)).alias("n_customers"))
+    w = Window.orderBy("deg")
+    return hist.select(
+        F.col("deg").cast("long"),
+        F.col("n_customers").cast("long"),
+        F.floor(
+            F.sum("n_customers").over(w)
+            * 10000.0
+            / F.sum("n_customers").over(
+                Window.orderBy("deg").rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            )
+        )
+        .cast("long")
+        .alias("cum_frac_bp"),
+    )

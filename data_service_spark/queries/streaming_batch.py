@@ -1324,3 +1324,47 @@ def k_state_sizing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("state_rows").cast("long").alias("max_state_rows"),
         F.floor(F.avg("state_rows")).cast("long").alias("avg_state_rows"),
     )
+
+
+# ------------------------------------------------------ stream union ----
+
+
+def union_hourly_counts(clicks: DataFrame, views: DataFrame) -> DataFrame:
+    """Union of two event streams → tumbling hourly counts per type
+    (shared by the batch twin and the streaming pytest).
+
+    Structured Streaming unions stream-stream with no state of its own —
+    the union is a routing concept; only the downstream window carries
+    state, with ONE watermark across both legs (the min of the inputs'),
+    so a lagging leg holds results exactly as correctness demands.
+    """
+    unioned = clicks.unionByName(views)
+    return (
+        unioned.groupBy(
+            F.window("ts", "1 hour").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("win_start"),
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+        )
+    )
+
+
+@register(
+    "i_stream_union",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS win_start, event_type,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events
+    WHERE event_type IN ('click', 'view')
+    GROUP BY 1, 2
+    """,
+)
+def i_stream_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return union_hourly_counts(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "view"),
+    )

@@ -701,3 +701,61 @@ def q_ctas_insert(spark: "SparkSession", sf_dir: str) -> "DataFrame":
         FROM dss_ctas_nation GROUP BY n_regionkey
         """
     )
+
+
+@register(
+    "q_sql_hints",
+    oracle="""
+    SELECT n_name, count(*) AS n_customers, CAST(sum(CAST(round(
+             c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def q_sql_hints(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """SQL optimizer hints through the service path: ``/*+ BROADCAST(n) */``
+    pins the dimension build side the way a production query hand-tunes a
+    stubborn plan (REPARTITION / MERGE / SHUFFLE_HASH ride the same
+    syntax). The hint must not change RESULTS — the oracle is the plain
+    join — and tests/test_plans.py pins that the hinted plan actually
+    broadcasts. At 100 TB hints are the escape hatch when stats mislead
+    the CBO; results staying hint-invariant is the correctness contract.
+    """
+    load(spark, sf_dir, "customer").createOrReplaceTempView("dss_hint_c")
+    load(spark, sf_dir, "nation").createOrReplaceTempView("dss_hint_n")
+    return spark.sql(
+        """
+        SELECT /*+ BROADCAST(n) */ n_name, count(*) AS n_customers,
+               CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+                 AS bal_cents
+        FROM dss_hint_c c JOIN dss_hint_n n ON c_nationkey = n_nationkey
+        GROUP BY n_name
+        """
+    )
+
+
+@register(
+    "q_distribute_by",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_returnflag,
+           CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents
+    FROM lineitem WHERE l_quantity >= 48
+    """,
+)
+def q_distribute_by(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """``DISTRIBUTE BY`` + ``SORT BY`` through SQL — the physical-layout
+    clause ETL writers use to control file clustering (co-locate rows by
+    key per partition, sort within): the result SET is identical to the
+    plain filter (the oracle), only the row placement changes; a
+    partition-local sort never triggers the global-sort shuffle ORDER BY
+    would. The write-side twin is ``a_sink_sorted_layout``.
+    """
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("dss_dist_li")
+    return spark.sql(
+        """
+        SELECT l_orderkey, l_linenumber, l_returnflag,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents
+        FROM dss_dist_li WHERE l_quantity >= 48
+        DISTRIBUTE BY l_returnflag SORT BY l_returnflag, l_orderkey
+        """
+    )

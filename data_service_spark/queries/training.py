@@ -2878,3 +2878,112 @@ def k_prompt_dedup_sft(spark: SparkSession, sf_dir: str) -> DataFrame:
             "conflicting",
         )
     )
+
+
+# -------------------------------------------------- mix water-filling ----
+
+
+@register(
+    "k_mix_waterfill",
+    oracle="""
+    WITH src AS (
+      SELECT source,
+             CAST(sum(len(string_split(text, chr(32)))) AS BIGINT) AS avail
+      FROM documents GROUP BY source
+    ), budget AS (
+      SELECT CAST(floor(sum(avail) * 0.9) AS BIGINT) AS t FROM src
+    ), sorted AS (
+      SELECT source, avail,
+             row_number() OVER (ORDER BY avail, source) AS i,
+             sum(avail) OVER (ORDER BY avail, source) AS cum,
+             count(*) OVER () AS n
+      FROM src
+    ), sat AS (
+      SELECT coalesce(max(CASE WHEN avail * (n - i + 1) <= t - (cum - avail)
+                          THEN i END), 0) AS m
+      FROM sorted CROSS JOIN budget
+    ), lvl AS (
+      SELECT m,
+             CAST(floor((t - coalesce((SELECT cum FROM sorted WHERE i = m), 0))
+                        * 1.0 / (n - m)) AS BIGINT) AS level
+      FROM sat CROSS JOIN budget
+      CROSS JOIN (SELECT max(n) AS n FROM sorted) nn
+    )
+    SELECT s.source, s.avail AS avail_tokens,
+           CAST(CASE WHEN s.i <= l.m THEN s.avail ELSE l.level END AS BIGINT)
+             AS alloc_tokens,
+           (s.i <= l.m) AS saturated,
+           l.level AS water_level
+    FROM sorted s CROSS JOIN lvl l
+    """,
+)
+def k_mix_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix WATER-FILLING: allocate a token budget (90% of the
+    corpus here) across sources targeting EQUAL per-source token counts —
+    sources smaller than the water level contribute everything they have
+    (saturated), the rest are capped at the common level
+    L = (T − Σ_saturated avail)/(n − m). The exact waterfill is solved in
+    ONE pass of window functions over the sorted source spine (m = max i
+    with availᵢ·(n−i+1) ≤ T − cum_{i−1}, the standard sorted-prefix
+    characterization) instead of the iterative redistribute loop — the
+    allocation step between `k_mix_report` (what the mix is) and
+    `k_budget_select` (which docs make the cut).
+
+    Scale shape: the corpus reduces map-side to one row per source; the
+    waterfill itself is window algebra over that dimension table.
+    """
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents")
+    src = docs.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("avail")
+    )
+    budget = src.agg(
+        F.floor(F.sum("avail") * 0.9).cast("long").alias("t")
+    )
+    w = Window.orderBy("avail", "source")
+    sorted_ = src.select(
+        "source",
+        "avail",
+        F.row_number().over(w).alias("i"),
+        F.sum("avail").over(w).alias("cum"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    ).crossJoin(F.broadcast(budget))
+    sat = sorted_.agg(
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.col("avail") * (F.col("n") - F.col("i") + 1)
+                    <= F.col("t") - (F.col("cum") - F.col("avail")),
+                    F.col("i"),
+                )
+            ),
+            F.lit(0),
+        ).alias("m"),
+        F.max("n").alias("n"),
+        F.max("t").alias("t"),
+    )
+    cum_m = sorted_.select("i", F.col("cum").alias("cum_m"))
+    lvl = (
+        sat.join(cum_m, sat.m == cum_m.i, "left")
+        .select(
+            "m",
+            F.floor(
+                (F.col("t") - F.coalesce(F.col("cum_m"), F.lit(0)))
+                * 1.0
+                / (F.col("n") - F.col("m"))
+            )
+            .cast("long")
+            .alias("level"),
+        )
+    )
+    return sorted_.crossJoin(F.broadcast(lvl)).select(
+        "source",
+        F.col("avail").alias("avail_tokens"),
+        F.when(F.col("i") <= F.col("m"), F.col("avail"))
+        .otherwise(F.col("level"))
+        .cast("long")
+        .alias("alloc_tokens"),
+        (F.col("i") <= F.col("m")).alias("saturated"),
+        F.col("level").alias("water_level"),
+    )

@@ -442,3 +442,28 @@ def test_skew_detect_never_sorts_the_fact_table(spark, sf_dir):
     # key-count table, not a global sort of orders.
     plan = plan_of(QUERIES["d_agg_skew_detect"](spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_sql_hint_broadcasts_dimension(spark, sf_dir):
+    # /*+ BROADCAST(n) */ must produce a BroadcastHashJoin regardless of
+    # stats — the hint's whole purpose.
+    plan = plan_of(QUERIES["q_sql_hints"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_distribute_by_is_partition_local_sort(spark, sf_dir):
+    # DISTRIBUTE BY + SORT BY must hash-exchange then sort WITHIN
+    # partitions (global=false) — never the global-sort rangepartitioning
+    # an ORDER BY would emit.
+    plan = plan_of(QUERIES["q_distribute_by"](spark, sf_dir), "simple")
+    assert "rangepartitioning" not in plan
+    assert "hashpartitioning" in plan
+
+
+def test_waterfill_reduces_before_windowing(spark, sf_dir):
+    # The waterfill windows run over the per-source spine: the only
+    # data-sized operation is the map-side token aggregate, so the plan
+    # must contain partial aggregation below the window's exchange.
+    plan = plan_of(QUERIES["k_mix_waterfill"](spark, sf_dir), "simple")
+    assert "Window" in plan
+    assert "partial" in plan.lower() or "HashAggregate" in plan

@@ -135,6 +135,8 @@ d_agg_linear_counting d_agg_bloom_audit d_agg_minhash_jaccard_est a_sink_xml
 k_kruskal_wallis k_cohens_d k_brown_forsythe k_eval_mcnemar
 k_bootstrap_src_ci k_permutation_ab
 k_theil_sen e_win_bollinger k_seasonal_strength e_win_rsi
+k_mix_waterfill k_degree_distribution i_stream_union q_sql_hints
+q_distribute_by
 """.split()
 
 

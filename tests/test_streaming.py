@@ -617,3 +617,22 @@ def test_streaming_progress_exposes_state_metrics(spark, tmp_path):
     ops = last["stateOperators"]
     assert ops and ops[0]["numRowsUpdated"] >= 1
     assert ops[0]["numRowsTotal"] >= 1
+
+
+def test_stream_union_matches_batch(spark, sf_dir, events_dir):
+    """i_stream_union: two filtered legs of the same source unioned then
+    window-aggregated converge to the batch twin (union carries no state;
+    the downstream window holds the single watermark)."""
+    from data_service_spark.queries.streaming_batch import union_hourly_counts
+
+    src = read_event_stream(spark, events_dir)
+    sdf = union_hourly_counts(
+        src.filter("event_type = 'click'"),
+        src.filter("event_type = 'view'"),
+    )
+    batches = drain_available_now(sdf, output_mode="complete")
+    ev = load(spark, sf_dir, "events")
+    expected = union_hourly_counts(
+        ev.filter("event_type = 'click'"), ev.filter("event_type = 'view'")
+    ).toPandas()
+    assert_frames_match(batches[-1], expected, ["win_start", "event_type"])
