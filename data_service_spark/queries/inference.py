@@ -315,3 +315,49 @@ def k_permutation_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
     relabel table is a single grouped aggregate over B groups."""
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_body_permutation(_SPARK_HASH))
+
+
+def _body_welch() -> str:
+    return """
+    WITH q AS (
+      SELECT event_type, CAST(round(value * 10000) AS BIGINT) AS cents
+      FROM events WHERE event_type IN ('purchase', 'view')
+    ), s AS (
+      SELECT count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n1,
+             count(CASE WHEN event_type = 'view' THEN 1 END) AS n2,
+             sum(CASE WHEN event_type = 'purchase' THEN cents END) AS s1,
+             sum(CASE WHEN event_type = 'view' THEN cents END) AS s2,
+             sum(CASE WHEN event_type = 'purchase'
+                 THEN cents * cents END) AS q1,
+             sum(CASE WHEN event_type = 'view' THEN cents * cents END) AS q2
+      FROM q
+    ), v AS (
+      SELECT n1, n2,
+             (s1 * 1.0 / n1 - s2 * 1.0 / n2) AS md,
+             (q1 - s1 * 1.0 * s1 / n1) / (n1 - 1) / n1 AS se1,
+             (q2 - s2 * 1.0 * s2 / n2) / (n2 - 1) / n2 AS se2
+      FROM s
+    )
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           CAST(round(md / 10000.0, 6) + 0.0 AS DOUBLE) AS mean_diff,
+           CAST(round(md / sqrt(se1 + se2), 6) + 0.0 AS DOUBLE) AS t_stat,
+           CAST(round((se1 + se2) * (se1 + se2)
+                 / (se1 * se1 / (n1 - 1) + se2 * se2 / (n2 - 1)), 2) + 0.0
+             AS DOUBLE) AS df_welch
+    FROM v
+    """
+
+
+@register("k_welch_t", oracle=_body_welch())
+def k_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t statistic for purchase vs view values,
+    with the Welch–Satterthwaite degrees of freedom — the default
+    two-sample test (pooled-variance Student's t silently assumes equal
+    variances; Welch never does worse). All moments accumulate as exact
+    integer ten-thousandths so the statistic is identical under any
+    partial-aggregation order; |t| ≥ 1.96 rejects at α=.05 for these df.
+    The effect-size companion is ``k_cohens_d``.
+
+    Scale shape: one conditional aggregate, map-side partials."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_body_welch())

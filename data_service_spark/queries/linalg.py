@@ -478,3 +478,73 @@ def k_embed_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_off_unit"),
     )
+
+
+# ------------------------------------------------- whitening audit ----
+
+
+@register(
+    "k_embed_standardize",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), cell AS (
+      SELECT d.dim, CAST(round(e.v[d.dim] * 1000000) AS BIGINT) AS x
+      FROM e CROSS JOIN range(1, 65) d(dim)
+    ), mom AS (
+      SELECT dim, count(*) AS n, sum(x) AS s1, sum(x * x) AS s2,
+             max(abs(x)) AS mx
+      FROM cell GROUP BY dim
+    )
+    SELECT CAST(dim AS BIGINT) AS dim, CAST(n AS BIGINT) AS n,
+           CAST(floor(s1 * 1.0 / n) AS BIGINT) AS mean_micro,
+           CAST(floor(sqrt((s2 - s1 * 1.0 * s1 / n) / (n - 1))) AS BIGINT)
+             AS sd_micro,
+           CAST(floor(abs(mx - s1 * 1.0 / n)
+                      / sqrt((s2 - s1 * 1.0 * s1 / n) / (n - 1)) * 100)
+             AS BIGINT) AS max_absz_centi
+    FROM mom
+    """,
+)
+def k_embed_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-DIMENSION whitening audit of the embedding matrix: mean, SD and
+    the worst standardized deviation per coordinate — the diagnostic run
+    before cosine/L2 retrieval to catch un-centered or scale-skewed
+    dimensions (one hot dimension dominates every distance; the fix is
+    (x−μ)/σ per column, whose parameters are exactly these two numbers).
+    Per-vector norms are ``k_embed_norm_audit``'s view; this is the
+    transposed, per-column one. Cell values quantize to integer micros
+    before the power sums, so the moments are accumulation-order-proof.
+
+    Scale shape: the explode is 64 rows per vector but aggregates
+    map-side to 64 groups — the shuffle carries 64×partials, independent
+    of N (same contract as the Gram reduce above).
+    """
+    emb = _emb(spark, sf_dir)
+    dims = F.explode(F.sequence(F.lit(1), F.lit(64))).alias("dim")
+    cell = emb.select("v", dims).select(
+        "dim",
+        F.round(F.element_at("v", F.col("dim")) * 1000000)
+        .cast("long")
+        .alias("x"),
+    )
+    mom = cell.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).alias("s2"),
+        F.max(F.abs("x")).alias("mx"),
+    )
+    mean = F.col("s1") * 1.0 / F.col("n")
+    sd = F.sqrt(
+        (F.col("s2") - F.col("s1") * 1.0 * F.col("s1") / F.col("n"))
+        / (F.col("n") - 1)
+    )
+    return mom.select(
+        F.col("dim").cast("long"),
+        F.col("n").cast("long"),
+        F.floor(mean).cast("long").alias("mean_micro"),
+        F.floor(sd).cast("long").alias("sd_micro"),
+        F.floor(F.abs(F.col("mx") - mean) / sd * 100)
+        .cast("long")
+        .alias("max_absz_centi"),
+    )

@@ -1449,3 +1449,147 @@ def k_blocklist_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         bp.alias("hit_bp"),
         (bp >= 100).alias("blocked"),
     )
+
+
+# ------------------------------------------------------- Heaps' law ----
+
+
+@register(
+    "k_heaps_law",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, chr(32))) AS w
+      FROM documents
+    ), doc_toks AS (
+      SELECT doc_id, count(*) AS n_toks FROM toks GROUP BY doc_id
+    ), firsts AS (
+      SELECT w, min(doc_id) AS first_doc FROM toks GROUP BY w
+    ), per_doc AS (
+      SELECT d.doc_id, d.n_toks,
+             coalesce(f.n_new, 0) AS n_new
+      FROM doc_toks d
+      LEFT JOIN (SELECT first_doc, count(*) AS n_new
+                 FROM firsts GROUP BY first_doc) f
+        ON f.first_doc = d.doc_id
+    ), cum AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY doc_id) AS docs_seen,
+             sum(n_toks) OVER (ORDER BY doc_id) AS tokens_seen,
+             sum(n_new) OVER (ORDER BY doc_id) AS vocab_size,
+             ntile(10) OVER (ORDER BY doc_id) AS decile
+      FROM per_doc
+    ), checkpoints AS (
+      SELECT decile, max(docs_seen) AS docs_seen
+      FROM cum GROUP BY decile
+    )
+    SELECT CAST(c.decile AS BIGINT) AS decile,
+           CAST(c.docs_seen AS BIGINT) AS docs_seen,
+           CAST(u.tokens_seen AS BIGINT) AS tokens_seen,
+           CAST(u.vocab_size AS BIGINT) AS vocab_size,
+           CAST(round(ln(u.vocab_size) / ln(u.tokens_seen), 6) + 0.0
+             AS DOUBLE) AS beta_local
+    FROM checkpoints c JOIN cum u ON u.docs_seen = c.docs_seen
+    """,
+)
+def k_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth curve: cumulative distinct-word count
+    vs cumulative token count at ten corpus-order checkpoints, with the
+    local Heaps exponent β = ln V / ln N (≈0.4–0.6 for natural text; a β
+    collapsing toward 0 means the crawl has stopped finding new language —
+    the acquisition-loop stop signal, the corpus-level integral of
+    ``k_text_novelty``'s per-doc derivative). First occurrences are
+    attributed by min doc_id, the deterministic ingest-order stand-in.
+
+    Scale shape: one token explode → two grouped counts (both map-side
+    combinable) → windows over the |docs| spine; no quadratic anything.
+    """
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    )
+    doc_toks = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_toks"))
+    news = (
+        toks.groupBy("w")
+        .agg(F.min("doc_id").alias("first_doc"))
+        .groupBy("first_doc")
+        .agg(F.count(F.lit(1)).alias("n_new"))
+    )
+    per_doc = doc_toks.join(
+        news, doc_toks.doc_id == news.first_doc, "left"
+    ).select(
+        "doc_id", "n_toks", F.coalesce("n_new", F.lit(0)).alias("n_new")
+    )
+    w = Window.orderBy("doc_id")
+    cum = per_doc.select(
+        F.row_number().over(w).alias("docs_seen"),
+        F.sum("n_toks").over(w).alias("tokens_seen"),
+        F.sum("n_new").over(w).alias("vocab_size"),
+        F.ntile(10).over(w).alias("decile"),
+    )
+    checkpoints = cum.groupBy(F.col("decile").alias("ckpt_decile")).agg(
+        F.max("docs_seen").alias("docs_seen")
+    )
+    return checkpoints.join(cum, "docs_seen").select(
+        F.col("ckpt_decile").cast("long").alias("decile"),
+        F.col("docs_seen").cast("long"),
+        F.col("tokens_seen").cast("long"),
+        F.col("vocab_size").cast("long"),
+        (
+            F.round(F.log(F.col("vocab_size")) / F.log(F.col("tokens_seen")), 6)
+            + 0.0
+        ).cast("double").alias("beta_local"),
+    )
+
+
+# --------------------------------------------------- type-token ratio ----
+
+
+@register(
+    "k_text_ttr",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang,
+             len(string_split(text, chr(32))) AS n_tokens,
+             len(list_distinct(string_split(text, chr(32)))) AS n_types
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_types AS BIGINT) AS n_types,
+           CAST(floor(n_types * 10000.0 / n_tokens) AS BIGINT) AS ttr_bp,
+           CAST(floor(n_types * 1000.0 / sqrt(n_tokens)) AS BIGINT)
+             AS guiraud_milli
+    FROM t
+    """,
+)
+def k_text_ttr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-diversity gate inputs per document: type-token ratio (bp)
+    and Guiraud's root-TTR (types/√tokens, the length-corrected variant —
+    plain TTR shrinks mechanically with length, so a fixed TTR cut would
+    systematically kill long documents). Low diversity = templated or
+    looping text, the lexical cousin of the compression-ratio gate
+    (``k_text_compressibility``) but exactly oracle-checkable.
+
+    Scale shape: pure per-row projection over array functions — no
+    shuffle, whole-stage codegen end to end.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_types"),
+        F.floor(
+            F.size(F.array_distinct(toks)) * 10000.0 / F.size(toks)
+        )
+        .cast("long")
+        .alias("ttr_bp"),
+        F.floor(
+            F.size(F.array_distinct(toks)) * 1000.0 / F.sqrt(F.size(toks))
+        )
+        .cast("long")
+        .alias("guiraud_milli"),
+    )

@@ -2510,3 +2510,33 @@ def test_timeseries_monitors_hand_checked(spark, sf_dir):
     ss = QUERIES["k_seasonal_strength"](spark, sf_dir).collect()
     for r in ss:
         assert 0 <= r.seasonal_strength_bp <= 10000
+
+
+def test_heaps_and_ttr_consistency(spark, sf_dir):
+    """Heaps checkpoints are monotone in docs/tokens/vocab and the final
+    vocab equals the corpus distinct-word count; TTR fields recompute."""
+    from pyspark.sql import functions as F2
+
+    from data_service_spark.io import load
+    from data_service_spark.registry import QUERIES
+
+    hp = sorted(
+        QUERIES["k_heaps_law"](spark, sf_dir).collect(), key=lambda r: r.decile
+    )
+    assert [r.decile for r in hp] == list(range(1, 11))
+    for a, b in zip(hp, hp[1:]):
+        assert a.docs_seen < b.docs_seen
+        assert a.tokens_seen < b.tokens_seen
+        assert a.vocab_size <= b.vocab_size
+    docs = load(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F2.explode(F2.split("text", " ")).alias("w"))
+        .distinct()
+        .count()
+    )
+    assert hp[-1].vocab_size == vocab
+
+    ttr = QUERIES["k_text_ttr"](spark, sf_dir).collect()
+    for r in ttr[:50]:
+        assert r.n_types <= r.n_tokens
+        assert r.ttr_bp == r.n_types * 10000 // r.n_tokens

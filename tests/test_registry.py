@@ -137,6 +137,7 @@ k_bootstrap_src_ci k_permutation_ab
 k_theil_sen e_win_bollinger k_seasonal_strength e_win_rsi
 k_mix_waterfill k_degree_distribution i_stream_union q_sql_hints
 q_distribute_by
+k_heaps_law k_text_ttr k_welch_t k_embed_standardize
 """.split()
 
 
