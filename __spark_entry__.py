@@ -74,6 +74,7 @@ PRIORITY = [
     "k_mix_waterfill", "k_degree_distribution", "i_stream_union",
     "q_sql_hints", "q_distribute_by",
     "k_heaps_law", "k_text_ttr", "k_welch_t", "k_embed_standardize",
+    "k_filter_funnel", "k_position_bias",
     # remaining never-recorded core, next rounds' window
     "e_win_ignore_nulls", "e_win_pareto", "e_win_ewma", "e_win_nth_value",
     "g_union_byname", "g_except_all", "g_intersect_all",

@@ -1593,3 +1593,163 @@ def k_text_ttr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("guiraud_milli"),
     )
+
+
+# ------------------------------------------------------ filter funnel ----
+
+
+_FF_GATES = """
+      SELECT doc_id,
+             (n_tok BETWEEN 10 AND 1000) AS g_len,
+             (h_mark > 0) AS g_lang,
+             (n_typ * 10 >= n_tok * 3) AS g_ttr,
+             (top_tok * 5 <= n_tok) AS g_repeat
+"""
+
+
+def _ff_body(split_fn: str, filter_fn: str, len_fn: str, aggfn: str) -> str:
+    # per-doc gate inputs computed with engine-local array functions; the
+    # gate predicates above are pure integer comparisons shared verbatim.
+    return f"""
+    WITH feats AS (
+      SELECT doc_id,
+             {len_fn}({split_fn}) AS n_tok,
+             {len_fn}({aggfn}({split_fn})) AS n_typ,
+             {len_fn}({filter_fn}({split_fn},
+               w -> w IN ('the','a','of','and','der','die','das','und',
+                          'el','los','las','y','le','les','des','et')))
+               AS h_mark,
+             (SELECT max(c) FROM (
+                SELECT count(*) AS c FROM (
+                  SELECT unnest({split_fn}) AS w2) GROUP BY w2) t)
+               AS top_tok
+      FROM documents
+    ), gates AS (
+      {_FF_GATES}
+      FROM feats
+    ), per_gate AS (
+      SELECT 'len' AS gate,
+             sum(CASE WHEN NOT g_len THEN 1 ELSE 0 END) AS n_fail,
+             sum(CASE WHEN NOT g_len AND g_lang AND g_ttr AND g_repeat
+                 THEN 1 ELSE 0 END) AS n_fail_unique FROM gates
+      UNION ALL
+      SELECT 'lang',
+             sum(CASE WHEN NOT g_lang THEN 1 ELSE 0 END),
+             sum(CASE WHEN NOT g_lang AND g_len AND g_ttr AND g_repeat
+                 THEN 1 ELSE 0 END) FROM gates
+      UNION ALL
+      SELECT 'ttr',
+             sum(CASE WHEN NOT g_ttr THEN 1 ELSE 0 END),
+             sum(CASE WHEN NOT g_ttr AND g_len AND g_lang AND g_repeat
+                 THEN 1 ELSE 0 END) FROM gates
+      UNION ALL
+      SELECT 'repeat',
+             sum(CASE WHEN NOT g_repeat THEN 1 ELSE 0 END),
+             sum(CASE WHEN NOT g_repeat AND g_len AND g_lang AND g_ttr
+                 THEN 1 ELSE 0 END) FROM gates
+    ), tot AS (
+      SELECT count(*) AS n_docs,
+             sum(CASE WHEN g_len AND g_lang AND g_ttr AND g_repeat
+                 THEN 1 ELSE 0 END) AS n_keep
+      FROM gates
+    )
+    SELECT p.gate, CAST(p.n_fail AS BIGINT) AS n_fail,
+           CAST(p.n_fail_unique AS BIGINT) AS n_fail_unique,
+           CAST(t.n_docs AS BIGINT) AS n_docs,
+           CAST(t.n_keep AS BIGINT) AS n_keep
+    FROM per_gate p CROSS JOIN tot t
+    """
+
+
+@register(
+    "k_filter_funnel",
+    oracle=_ff_body(
+        "string_split(text, chr(32))", "list_filter", "len", "list_distinct"
+    ),
+)
+def k_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-gate FUNNEL report: a FineWeb-style filter stack (length,
+    language-marker, lexical-diversity, repetition gates) audited per
+    gate with total attrition AND unique attrition — docs only THIS gate
+    kills. Unique attrition is the number that matters when tuning: a
+    gate whose failures are all caught elsewhere is free to tighten; one
+    with large unique attrition is the binding constraint. Gate
+    predicates are pure integer comparisons (n_typ·10 ≥ n_tok·3, not a
+    float ratio), so the counts are exact in any engine.
+
+    Scale shape: one projection computes all gate features in a single
+    pass; the funnel is a 4-row aggregate — no per-gate rescans.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    feats = docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tok"),
+        F.size(F.array_distinct(toks)).alias("n_typ"),
+        F.size(
+            F.filter(
+                toks,
+                lambda w: w.isin(
+                    "the", "a", "of", "and", "der", "die", "das", "und",
+                    "el", "los", "las", "y", "le", "les", "des", "et",
+                ),
+            )
+        ).alias("h_mark"),
+        F.array_max(
+            F.transform(
+                F.map_values(
+                    F.aggregate(
+                        toks,
+                        F.create_map().cast("map<string,int>"),
+                        lambda acc, w: F.map_concat(
+                            F.map_filter(acc, lambda k, v: k != w),
+                            F.create_map(
+                                w,
+                                F.coalesce(F.element_at(acc, w), F.lit(0)) + 1,
+                            ),
+                        ),
+                    )
+                ),
+                lambda v: v,
+            )
+        ).alias("top_tok"),
+    )
+    feats.createOrReplaceTempView("dss_ff_feats")
+    return spark.sql(
+        f"""
+    WITH gates AS (
+      {_FF_GATES}
+      FROM dss_ff_feats
+    ), per_gate AS (
+      SELECT 'len' AS gate,
+             sum(CASE WHEN NOT g_len THEN 1 ELSE 0 END) AS n_fail,
+             sum(CASE WHEN NOT g_len AND g_lang AND g_ttr AND g_repeat
+                 THEN 1 ELSE 0 END) AS n_fail_unique FROM gates
+      UNION ALL
+      SELECT 'lang',
+             sum(CASE WHEN NOT g_lang THEN 1 ELSE 0 END),
+             sum(CASE WHEN NOT g_lang AND g_len AND g_ttr AND g_repeat
+                 THEN 1 ELSE 0 END) FROM gates
+      UNION ALL
+      SELECT 'ttr',
+             sum(CASE WHEN NOT g_ttr THEN 1 ELSE 0 END),
+             sum(CASE WHEN NOT g_ttr AND g_len AND g_lang AND g_repeat
+                 THEN 1 ELSE 0 END) FROM gates
+      UNION ALL
+      SELECT 'repeat',
+             sum(CASE WHEN NOT g_repeat THEN 1 ELSE 0 END),
+             sum(CASE WHEN NOT g_repeat AND g_len AND g_lang AND g_ttr
+                 THEN 1 ELSE 0 END) FROM gates
+    ), tot AS (
+      SELECT count(*) AS n_docs,
+             sum(CASE WHEN g_len AND g_lang AND g_ttr AND g_repeat
+                 THEN 1 ELSE 0 END) AS n_keep
+      FROM gates
+    )
+    SELECT p.gate, CAST(p.n_fail AS BIGINT) AS n_fail,
+           CAST(p.n_fail_unique AS BIGINT) AS n_fail_unique,
+           CAST(t.n_docs AS BIGINT) AS n_docs,
+           CAST(t.n_keep AS BIGINT) AS n_keep
+    FROM per_gate p CROSS JOIN tot t
+    """
+    )

@@ -2073,3 +2073,76 @@ def k_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("cum_frac_bp"),
     )
+
+
+# ----------------------------------------------------- position bias ----
+
+
+@register(
+    "k_position_bias",
+    oracle="""
+    WITH pos AS (
+      SELECT event_type,
+             row_number() OVER (
+               PARTITION BY user_id, CAST(date_trunc('day', ts) AS DATE)
+               ORDER BY ts, event_id) AS position
+      FROM events
+    ), per_pos AS (
+      SELECT position, count(*) AS n_events,
+             sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_clicks
+      FROM pos WHERE position <= 10
+      GROUP BY position
+    ), base AS (
+      SELECT n_clicks * 1.0 / n_events AS ctr1 FROM per_pos WHERE position = 1
+    )
+    SELECT CAST(position AS BIGINT) AS position,
+           CAST(n_events AS BIGINT) AS n_events,
+           CAST(n_clicks AS BIGINT) AS n_clicks,
+           CAST(floor(n_clicks * 10000.0 / n_events) AS BIGINT) AS ctr_bp,
+           CAST(floor((n_clicks * 1.0 / n_events) / ctr1 * 10000)
+             AS BIGINT) AS rel_to_pos1_bp
+    FROM per_pos CROSS JOIN base
+    """,
+)
+def k_position_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-bias curve: click rate by within-(user, day) event position
+    (1–10), normalized to position 1 — the examination-bias profile that
+    click-model training (COEC, position-weighted CTR) divides out before
+    clicks become relevance labels; without it, whatever sits first looks
+    best forever. Position is the deterministic (ts, event_id) sequence
+    number.
+
+    Scale shape: one window over (user, day) partitions — the natural
+    partitioning key, thousands of small groups, no skew — then a 10-row
+    aggregate.
+    """
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy(
+        "user_id", F.date_trunc("day", "ts").cast("date")
+    ).orderBy("ts", "event_id")
+    pos = ev.select(
+        "event_type", F.row_number().over(w).alias("position")
+    ).filter("position <= 10")
+    per_pos = pos.groupBy("position").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum((F.col("event_type") == "click").cast("long")).alias("n_clicks"),
+    )
+    base = per_pos.filter("position = 1").select(
+        (F.col("n_clicks") * 1.0 / F.col("n_events")).alias("ctr1")
+    )
+    return per_pos.crossJoin(F.broadcast(base)).select(
+        F.col("position").cast("long"),
+        F.col("n_events").cast("long"),
+        F.col("n_clicks").cast("long"),
+        F.floor(F.col("n_clicks") * 10000.0 / F.col("n_events"))
+        .cast("long")
+        .alias("ctr_bp"),
+        F.floor(
+            (F.col("n_clicks") * 1.0 / F.col("n_events")) / F.col("ctr1")
+            * 10000
+        )
+        .cast("long")
+        .alias("rel_to_pos1_bp"),
+    )

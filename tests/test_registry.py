@@ -138,6 +138,7 @@ k_theil_sen e_win_bollinger k_seasonal_strength e_win_rsi
 k_mix_waterfill k_degree_distribution i_stream_union q_sql_hints
 q_distribute_by
 k_heaps_law k_text_ttr k_welch_t k_embed_standardize
+k_filter_funnel k_position_bias
 """.split()
 
 
