@@ -361,3 +361,145 @@ def k_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one conditional aggregate, map-side partials."""
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_body_welch())
+
+
+def _body_mann_whitney() -> str:
+    return """
+    WITH lab AS (
+      SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g, value
+      FROM events WHERE event_type IN ('purchase', 'click')
+    ), grp AS (
+      SELECT value, count(*) AS t, sum(g) AS t1 FROM lab GROUP BY value
+    ), ordered AS (
+      SELECT t, t1,
+             coalesce(sum(t) OVER (ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+      FROM grp
+    ), s AS (
+      SELECT sum(t1 * (2 * cum_before + t + 1)) AS r1x2,
+             sum(t1) AS n1, sum(t - t1) AS n2,
+             sum(CASE WHEN t > 1 THEN t * t * t - t ELSE 0 END) AS tie_mass
+      FROM ordered
+    )
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           CAST(r1x2 - n1 * (n1 + 1) AS BIGINT) AS u1_x2,
+           CAST(round(
+             (r1x2 - n1 * (n1 + 1) - n1 * n2)
+             / (2 * sqrt(CAST(n1 AS DOUBLE) * n2
+                 * ((CAST(n1 + n2 AS DOUBLE) * (n1 + n2) * (n1 + n2)
+                     - (n1 + n2)) - tie_mass)
+                 / (12 * CAST(n1 + n2 AS DOUBLE) * (n1 + n2 - 1)))),
+             6) + 0.0 AS DOUBLE) AS z_stat
+    FROM s
+    """
+
+
+@register("k_mann_whitney", oracle=_body_mann_whitney())
+def k_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U for purchase vs click values — the two-sample
+    companion of ``k_kruskal_wallis`` and the distribution-free sibling of
+    ``k_welch_t``: does one arm's metric stochastically dominate the
+    other's, with no normality assumption. The tie-averaged rank sum is
+    accumulated per DISTINCT value in doubled units (2·R₁ =
+    Σ t₁·(2·cum_before + t + 1)), so every intermediate is an exact
+    integer; U and the tie-corrected normal-approximation z fall out of
+    one final division. |z| ≥ 1.96 rejects at α=.05.
+
+    Scale shape: groupBy(value) collapses the fact table to its distinct
+    values map-side, one ordered window over that (small) spine, then a
+    1-row reduce — the same shape as ``k_eval_auc``'s rank-sum identity."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_body_mann_whitney())
+
+
+def _body_mann_kendall() -> str:
+    return """
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+             sum(CAST(round(value * 10000, 0) AS BIGINT)) AS v
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ), pairs AS (
+      SELECT sign(b.v - a.v) AS s FROM daily a JOIN daily b ON a.d < b.d
+    ), tie AS (
+      SELECT coalesce(sum(t * (t - 1) * (2 * t + 5)), 0) AS tie_mass
+      FROM (SELECT count(*) AS t FROM daily GROUP BY v
+            HAVING count(*) > 1) g
+    ), agg AS (
+      SELECT CAST(sum(s) AS BIGINT) AS s_stat,
+             (SELECT count(*) FROM daily) AS n,
+             (SELECT tie_mass FROM tie) AS tie_mass
+      FROM pairs
+    )
+    SELECT CAST(n AS BIGINT) AS n_days, s_stat,
+           CAST(round(
+             (s_stat - sign(s_stat))
+             / sqrt((CAST(n AS DOUBLE) * (n - 1) * (2 * n + 5) - tie_mass)
+                    / 18),
+             6) + 0.0 AS DOUBLE) AS z_stat
+    FROM agg
+    """
+
+
+@register("k_mann_kendall", oracle=_body_mann_kendall())
+def k_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Kendall monotonic-trend test on the daily purchase-revenue
+    series — the hypothesis-test companion of ``k_theil_sen``'s slope
+    estimate: S = Σ_{i<j} sign(xⱼ − xᵢ) with the tie-corrected variance
+    n(n−1)(2n+5)/18 and the standard ±1 continuity correction. Values are
+    quantized to exact integer ten-thousandths BEFORE the sign, so every
+    pairwise comparison is integer-exact cross-engine. |z| ≥ 1.96 reads as
+    a significant trend at α=.05.
+
+    Scale shape: the fact table reduces map-side to one row per day; the
+    O(days²) pair join runs over that dimension-sized spine (the
+    ``k_theil_sen`` pattern), never the fact table."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_body_mann_kendall())
+
+
+def _body_runs_test() -> str:
+    return """
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS d, count(*) AS n_ev
+      FROM events GROUP BY 1
+    ), diffs AS (
+      SELECT d, n_ev - lag(n_ev) OVER (ORDER BY d) AS delta FROM daily
+    ), signs AS (
+      SELECT d, CASE WHEN delta > 0 THEN 1 ELSE -1 END AS s
+      FROM diffs WHERE delta IS NOT NULL AND delta <> 0
+    ), runs AS (
+      SELECT sum(CASE WHEN lag_s IS NULL OR s <> lag_s THEN 1 ELSE 0 END)
+               AS r,
+             sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS n_pos,
+             sum(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS n_neg
+      FROM (SELECT s, lag(s) OVER (ORDER BY d) AS lag_s FROM signs) t
+    )
+    SELECT CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
+           CAST(r AS BIGINT) AS n_runs,
+           CAST(round(
+             (r - (1 + 2 * CAST(n_pos AS DOUBLE) * n_neg
+                       / (n_pos + n_neg)))
+             / sqrt(2 * CAST(n_pos AS DOUBLE) * n_neg
+                    * (2 * CAST(n_pos AS DOUBLE) * n_neg - n_pos - n_neg)
+                    / (CAST(n_pos + n_neg AS DOUBLE)
+                       * (n_pos + n_neg) * (n_pos + n_neg - 1))),
+             6) + 0.0 AS DOUBLE) AS z_stat
+    FROM runs
+    """
+
+
+@register("k_runs_test", oracle=_body_runs_test())
+def k_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz runs test on the signs of day-over-day changes in
+    daily event volume — the randomness check a monitoring stack runs
+    before trusting control-chart limits: too FEW runs means the series is
+    trending/sticky (autocorrelated residuals), too MANY means oscillation.
+    Zero deltas drop (standard treatment); run count, n₊, n₋ are exact
+    integers, and z = (R − μ)/σ with μ = 1 + 2n₊n₋/N is one final double
+    expression over them. |z| ≥ 1.96 rejects randomness at α=.05.
+
+    Scale shape: map-side reduce to the day spine, one tiny ordered window
+    (lag over ~hundreds of rows), 1-row output."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_body_runs_test())

@@ -2540,3 +2540,52 @@ def test_heaps_and_ttr_consistency(spark, sf_dir):
     for r in ttr[:50]:
         assert r.n_types <= r.n_tokens
         assert r.ttr_bp == r.n_types * 10000 // r.n_tokens
+
+
+def test_rank_tests_match_pandas_recompute(spark, sf_dir):
+    """k_mann_whitney / k_mann_kendall / k_runs_test reproduce a from-
+    scratch pandas computation of the same statistics (tie-aware midranks,
+    integer-quantized pairwise signs, run counting)."""
+    import math
+
+    from data_service_spark.registry import QUERIES
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+
+    # --- Mann–Whitney U: purchase vs click on value -------------------
+    mw = QUERIES["k_mann_whitney"](spark, sf_dir).first()
+    two = ev[ev.event_type.isin(["purchase", "click"])]
+    ranks = two.value.rank(method="average")
+    r1 = ranks[two.event_type == "purchase"].sum()
+    n1 = int((two.event_type == "purchase").sum())
+    n2 = int((two.event_type == "click").sum())
+    u1 = r1 - n1 * (n1 + 1) / 2
+    assert mw.n1 == n1 and mw.n2 == n2
+    assert mw.u1_x2 == round(2 * u1)
+    n = n1 + n2
+    tie_mass = sum(t**3 - t for t in two.value.value_counts() if t > 1)
+    sigma = math.sqrt(n1 * n2 * ((n**3 - n) - tie_mass) / (12 * n * (n - 1)))
+    assert abs(mw.z_stat - (u1 - n1 * n2 / 2) / sigma) < 1e-4
+
+    # --- Mann–Kendall on daily purchase revenue -----------------------
+    mk = QUERIES["k_mann_kendall"](spark, sf_dir).first()
+    p = ev[ev.event_type == "purchase"].copy()
+    p["d"] = p.ts.dt.floor("D")
+    p["q"] = (p.value * 10000).round().astype("int64")
+    daily = p.groupby("d").q.sum().sort_index()
+    vals = daily.to_list()
+    s = sum(
+        (vals[j] > vals[i]) - (vals[j] < vals[i])
+        for i in range(len(vals))
+        for j in range(i + 1, len(vals))
+    )
+    assert mk.n_days == len(vals) and mk.s_stat == s
+
+    # --- runs test on daily-count change signs ------------------------
+    rt = QUERIES["k_runs_test"](spark, sf_dir).first()
+    cnt = ev.groupby(ev.ts.dt.floor("D")).size().sort_index()
+    deltas = cnt.diff().dropna()
+    signs = [1 if d > 0 else -1 for d in deltas if d != 0]
+    runs = 1 + sum(a != b for a, b in zip(signs, signs[1:]))
+    assert rt.n_pos == signs.count(1) and rt.n_neg == signs.count(-1)
+    assert rt.n_runs == runs

@@ -139,6 +139,7 @@ k_mix_waterfill k_degree_distribution i_stream_union q_sql_hints
 q_distribute_by
 k_heaps_law k_text_ttr k_welch_t k_embed_standardize
 k_filter_funnel k_position_bias
+k_mann_whitney k_mann_kendall k_runs_test
 """.split()
 
 
