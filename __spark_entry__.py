@@ -76,6 +76,7 @@ PRIORITY = [
     "k_heaps_law", "k_text_ttr", "k_welch_t", "k_embed_standardize",
     "k_filter_funnel", "k_position_bias",
     "k_mann_whitney", "k_mann_kendall", "k_runs_test",
+    "k_friedman_test", "k_cronbach_alpha", "k_cochran_q",
     # remaining never-recorded core, next rounds' window
     "e_win_ignore_nulls", "e_win_pareto", "e_win_ewma", "e_win_nth_value",
     "g_union_byname", "g_except_all", "g_intersect_all",

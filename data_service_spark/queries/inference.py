@@ -503,3 +503,140 @@ def k_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     (lag over ~hundreds of rows), 1-row output."""
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_body_runs_test())
+
+
+def _body_friedman() -> str:
+    return """
+    WITH cell AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS d, event_type,
+             sum(CAST(round(value * 10000, 0) AS BIGINT)) AS v
+      FROM events GROUP BY 1, 2
+    ), k AS (SELECT count(DISTINCT event_type) AS k FROM cell),
+    complete AS (
+      SELECT d FROM cell GROUP BY d
+      HAVING count(*) = (SELECT k FROM k)
+    ), ranked AS (
+      SELECT c.event_type,
+             rank() OVER (PARTITION BY c.d ORDER BY c.v)
+               + (count(*) OVER (PARTITION BY c.d, c.v) - 1) / 2.0
+               AS midrank
+      FROM cell c JOIN complete USING (d)
+    ), rj AS (
+      SELECT event_type, sum(midrank) AS r_j, count(*) AS n
+      FROM ranked GROUP BY event_type
+    ), tot AS (
+      SELECT count(*) AS k, max(n) AS n, sum(r_j * r_j) AS rr FROM rj
+    )
+    SELECT CAST(n AS BIGINT) AS n_blocks, CAST(k AS BIGINT) AS k_treatments,
+           CAST(round(12.0 / (CAST(n AS DOUBLE) * k * (k + 1)) * rr
+                      - 3 * n * (k + 1), 6) + 0.0 AS DOUBLE) AS chi2_stat
+    FROM tot
+    """
+
+
+@register("k_friedman_test", oracle=_body_friedman())
+def k_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman rank test: blocks = days, treatments = event types, value =
+    the day's integer-quantized revenue per type — do the k event types
+    keep the same within-day ordering, controlling for day-to-day level
+    shifts a Kruskal–Wallis would confound? Only complete blocks (days
+    where all k types occur) enter, per the test's definition. Midranks
+    are exact half-integers over integer ten-thousandths, so both engines
+    produce identical rank sums; χ²_F = 12/(nk(k+1))·ΣR²ⱼ − 3n(k+1) against
+    χ²(k−1) ≈ 9.49 at α=.05 for k=5.
+
+    Scale shape: map-side reduce to the (day × type) grid, per-day rank
+    windows over k-row partitions, then a k-row aggregate."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_body_friedman())
+
+
+def _body_cronbach() -> str:
+    return """
+    WITH cell AS (
+      SELECT user_id, event_type, count(*) AS x
+      FROM events GROUP BY 1, 2
+    ), n AS (SELECT count(DISTINCT user_id) AS n FROM cell),
+    item AS (
+      SELECT event_type, sum(x) AS s, sum(x * x) AS q FROM cell GROUP BY 1
+    ), item_var AS (
+      -- zero-filled sample variance per item: absent (user,item) cells
+      -- contribute 0 to both Σx and Σx², so only n enters the fill
+      SELECT count(*) AS k,
+             sum((CAST(n AS DOUBLE) * q - CAST(s AS DOUBLE) * s)
+                 / (CAST(n AS DOUBLE) * (n - 1))) AS sum_item_var
+      FROM item, n
+    ), person AS (
+      SELECT user_id, sum(x) AS r FROM cell GROUP BY 1
+    ), total_var AS (
+      SELECT (CAST(max(n.n) AS DOUBLE) * sum(r * r)
+              - CAST(sum(r) AS DOUBLE) * sum(r))
+             / (CAST(max(n.n) AS DOUBLE) * (max(n.n) - 1)) AS var_total
+      FROM person, n
+    )
+    SELECT CAST((SELECT n FROM n) AS BIGINT) AS n_users,
+           CAST(k AS BIGINT) AS k_items,
+           CAST(round(sum_item_var, 6) + 0.0 AS DOUBLE) AS sum_item_var,
+           CAST(round(var_total, 6) + 0.0 AS DOUBLE) AS var_total,
+           CAST(round(CAST(k AS DOUBLE) / (k - 1)
+                      * (1 - sum_item_var / var_total), 6) + 0.0
+             AS DOUBLE) AS cronbach_alpha
+    FROM item_var, total_var
+    """
+
+
+@register("k_cronbach_alpha", oracle=_body_cronbach())
+def k_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cronbach's alpha over the user × event-type count matrix: do the k
+    per-type activity counts move together across users (one underlying
+    "engagement" trait), the internal-consistency check run before
+    collapsing k behavioral signals into one score feature. All variances
+    come from integer count power sums (Σx, Σx², zero-filled absent cells
+    cost nothing), so the statistic is order-proof; α ≥ 0.7 reads as
+    acceptable consistency.
+
+    Scale shape: one (user,type) groupBy, then k-row and user-spine
+    reduces — shuffle keyed on the natural user key."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_body_cronbach())
+
+
+def _body_cochran_q() -> str:
+    return """
+    WITH cnt AS (
+      SELECT user_id, event_type, count(*) AS c FROM events GROUP BY 1, 2
+    ), cell AS (
+      SELECT user_id, event_type FROM cnt WHERE c >= 14
+    ), k AS (SELECT count(DISTINCT event_type) AS k FROM cnt),
+    col AS (SELECT event_type, count(*) AS c FROM cell GROUP BY 1),
+    row_t AS (SELECT user_id, count(*) AS r FROM cell GROUP BY 1),
+    s AS (
+      SELECT (SELECT max(k) FROM k) AS k,
+             (SELECT sum(c * c) FROM col) AS cc,
+             sum(r) AS n, sum(r * r) AS rr
+      FROM row_t
+    )
+    SELECT CAST(k AS BIGINT) AS k_treatments,
+           CAST(n AS BIGINT) AS n_successes,
+           CAST(round((k - 1) * (CAST(k AS DOUBLE) * cc - CAST(n AS DOUBLE) * n)
+                      / nullif(CAST(k AS DOUBLE) * n - rr, 0), 6) + 0.0
+             AS DOUBLE) AS q_stat
+    FROM s
+    """
+
+
+@register("k_cochran_q", oracle=_body_cochran_q())
+def k_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q on the binary user × event-type matrix "is this user a
+    HEAVY user of this type" (≥14 events — the corpus per-cell median, so
+    prevalence ≈ ½ with real per-user variation): are the k types equally
+    likely to be heavy across the SAME users — the matched-binary k-sample
+    test (McNemar's k-way generalization; ``k_eval_mcnemar`` is the k=2
+    case). Q = (k−1)(kΣC²ⱼ − N²)/(kN − ΣR²ᵢ) from pure integer row/column
+    totals; compare to χ²(k−1); NULL when every row is constant (zero
+    denominator — no within-user contrast to test). All-zero rows
+    contribute nothing to either side, per the test's convention.
+
+    Scale shape: one (user,type) groupBy then two spine-sized reduces."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_body_cochran_q())

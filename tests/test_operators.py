@@ -2589,3 +2589,51 @@ def test_rank_tests_match_pandas_recompute(spark, sf_dir):
     runs = 1 + sum(a != b for a, b in zip(signs, signs[1:]))
     assert rt.n_pos == signs.count(1) and rt.n_neg == signs.count(-1)
     assert rt.n_runs == runs
+
+
+def test_blocked_design_tests_match_pandas_recompute(spark, sf_dir):
+    """Friedman, Cronbach's alpha, and Cochran's Q reproduce a pandas
+    recompute over the same (user/day x event_type) matrices."""
+    from data_service_spark.registry import QUERIES
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    ev["q"] = (ev.value * 10000).round().astype("int64")
+    ev["d"] = ev.ts.dt.floor("D")
+
+    # --- Friedman over complete day blocks -----------------------------
+    fr = QUERIES["k_friedman_test"](spark, sf_dir).first()
+    grid = ev.pivot_table(
+        index="d", columns="event_type", values="q", aggfunc="sum"
+    ).dropna()
+    k = grid.shape[1]
+    ranks = grid.rank(axis=1, method="average")
+    rj = ranks.sum(axis=0)
+    n = len(grid)
+    chi2 = 12 / (n * k * (k + 1)) * (rj**2).sum() - 3 * n * (k + 1)
+    assert fr.n_blocks == n and fr.k_treatments == k
+    assert abs(fr.chi2_stat - chi2) < 1e-4
+
+    # --- Cronbach's alpha over user x type counts ----------------------
+    ca = QUERIES["k_cronbach_alpha"](spark, sf_dir).first()
+    mat = ev.pivot_table(
+        index="user_id", columns="event_type", values="event_id",
+        aggfunc="count", fill_value=0,
+    )
+    alpha = (
+        k / (k - 1)
+        * (1 - mat.var(axis=0, ddof=1).sum() / mat.sum(axis=1).var(ddof=1))
+    )
+    assert ca.n_users == mat.shape[0] and ca.k_items == k
+    assert abs(ca.cronbach_alpha - alpha) < 1e-4
+
+    # --- Cochran's Q on the heavy-user incidence matrix ----------------
+    cq = QUERIES["k_cochran_q"](spark, sf_dir).first()
+    x = (mat >= 14).astype(int)
+    cj, ri, nn = x.sum(axis=0), x.sum(axis=1), int(x.values.sum())
+    denom = k * nn - int((ri**2).sum())
+    assert cq.k_treatments == k and cq.n_successes == nn
+    if denom:
+        q = (k - 1) * (k * int((cj**2).sum()) - nn * nn) / denom
+        assert abs(cq.q_stat - q) < 1e-4
+    else:
+        assert cq.q_stat is None

@@ -140,6 +140,7 @@ q_distribute_by
 k_heaps_law k_text_ttr k_welch_t k_embed_standardize
 k_filter_funnel k_position_bias
 k_mann_whitney k_mann_kendall k_runs_test
+k_friedman_test k_cronbach_alpha k_cochran_q
 """.split()
 
 
