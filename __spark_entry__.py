@@ -77,6 +77,7 @@ PRIORITY = [
     "k_filter_funnel", "k_position_bias",
     "k_mann_whitney", "k_mann_kendall", "k_runs_test",
     "k_friedman_test", "k_cronbach_alpha", "k_cochran_q",
+    "k_embed_mmd", "k_graph_hits", "k_quantile_normalize",
     # remaining never-recorded core, next rounds' window
     "e_win_ignore_nulls", "e_win_pareto", "e_win_ewma", "e_win_nth_value",
     "g_union_byname", "g_except_all", "g_intersect_all",

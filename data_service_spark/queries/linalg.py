@@ -548,3 +548,87 @@ def k_embed_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("max_absz_centi"),
     )
+
+
+# ------------------------------------------------- group MMD audit ----
+
+
+@register(
+    "k_embed_mmd",
+    oracle="""
+    WITH e AS (
+      SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), cell AS (
+      SELECT label, d.dim, CAST(round(e.v[d.dim] * 1000000) AS BIGINT) AS x
+      FROM e CROSS JOIN range(1, 65) d(dim)
+    ), g AS (
+      SELECT label, dim, count(*) AS n, sum(x) AS s FROM cell GROUP BY 1, 2
+    ), md AS (
+      SELECT a.label AS label_a, b.label AS label_b,
+             a.n AS n_a, b.n AS n_b,
+             CAST(floor(a.s * 1.0 / a.n - b.s * 1.0 / b.n) AS BIGINT) AS md
+      FROM g a JOIN g b ON a.dim = b.dim AND a.label < b.label
+    )
+    SELECT CAST(label_a AS BIGINT) AS label_a,
+           CAST(label_b AS BIGINT) AS label_b,
+           CAST(max(n_a) AS BIGINT) AS n_a, CAST(max(n_b) AS BIGINT) AS n_b,
+           CAST(sum(md * md) AS BIGINT) AS mmd2_micro2
+    FROM md GROUP BY label_a, label_b
+    """,
+)
+def k_embed_mmd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-kernel maximum-mean-discrepancy audit between every pair of
+    embedding label groups: MMD² = ‖μ_a − μ_b‖², the two-sample test
+    statistic for "do these two slices live in the same region of
+    embedding space" — the distribution-shift check run before mixing a
+    new source into training or trusting a classifier across domains
+    (near-zero → indistinguishable means; large → covariate shift).
+    Coordinates quantize to integer micros, per-dim mean differences
+    floor-quantize to integer micros, and MMD² is an exact BIGINT sum of
+    their squares — order-proof under any partial-aggregation schedule.
+
+    Scale shape: the 64×|labels| moment table is a map-side reduce
+    (shuffle independent of N, the ``k_embed_standardize`` contract);
+    the pair join runs over that tiny spine, never the vectors.
+    """
+    emb = _emb(spark, sf_dir)
+    dims = F.explode(F.sequence(F.lit(1), F.lit(64))).alias("dim")
+    g = (
+        emb.select("label", "v", dims)
+        .select(
+            "label",
+            "dim",
+            F.round(F.element_at("v", F.col("dim")) * 1000000)
+            .cast("long")
+            .alias("x"),
+        )
+        .groupBy("label", "dim")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("x").alias("s"))
+    )
+    a = g.select(
+        F.col("label").alias("label_a"), "dim",
+        F.col("n").alias("n_a"), F.col("s").alias("s_a"),
+    )
+    b = g.select(
+        F.col("label").alias("label_b"), F.col("dim").alias("dim_b"),
+        F.col("n").alias("n_b"), F.col("s").alias("s_b"),
+    )
+    md = (
+        a.join(b, (a.dim == b.dim_b) & (a.label_a < b.label_b))
+        .select(
+            "label_a", "label_b", "n_a", "n_b",
+            F.floor(
+                F.col("s_a") * 1.0 / F.col("n_a")
+                - F.col("s_b") * 1.0 / F.col("n_b")
+            ).cast("long").alias("md"),
+        )
+    )
+    return md.groupBy("label_a", "label_b").agg(
+        F.max("n_a").cast("long").alias("n_a"),
+        F.max("n_b").cast("long").alias("n_b"),
+        F.sum(F.col("md") * F.col("md")).cast("long").alias("mmd2_micro2"),
+    ).select(
+        F.col("label_a").cast("long"),
+        F.col("label_b").cast("long"),
+        "n_a", "n_b", "mmd2_micro2",
+    )

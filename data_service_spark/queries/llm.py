@@ -3338,3 +3338,96 @@ def k_sim_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id_1", "doc_id_2", F.round("c", 4).alias("cosine")
         )
     )
+
+
+@register(
+    "k_graph_hits",
+    oracle="""
+    WITH e0 AS (
+      SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    a1 AS (SELECT dst AS s, count(*) AS deg FROM e0 GROUP BY 1),
+    a1q AS (
+      SELECT s, CAST(floor(CAST(deg AS DOUBLE) * 1000000
+                           / (SELECT max(deg) FROM a1)) AS BIGINT) AS a
+      FROM a1
+    ),
+    h1 AS (
+      SELECT e.src AS c, sum(q.a) AS h
+      FROM e0 e JOIN a1q q ON e.dst = q.s GROUP BY 1
+    ),
+    h1q AS (
+      SELECT c, CAST(floor(CAST(h AS DOUBLE) * 1000000
+                           / (SELECT max(h) FROM h1)) AS BIGINT) AS h
+      FROM h1
+    ),
+    a2 AS (
+      SELECT e.dst AS s, sum(q.h) AS a
+      FROM e0 e JOIN h1q q ON e.src = q.c GROUP BY 1
+    )
+    SELECT CAST((s - 1) / 2 AS BIGINT) AS suppkey,
+           CAST(floor(CAST(a AS DOUBLE) * 1000000
+                      / (SELECT max(a) FROM a2)) AS BIGINT) AS auth_ppm
+    FROM a2
+    ORDER BY auth_ppm DESC, suppkey LIMIT 20
+    """,
+)
+def k_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs-and-authorities (one full unrolled iteration with
+    max-normalization: auth₀=degree → hub₁ → auth₂) over the same
+    customer↔supplier bipartite graph as ``k_graph_pagerank`` — the
+    directional twin: PageRank scores global reachability, HITS separates
+    "big buyers" (hubs) from "widely-bought-from suppliers" (authorities),
+    the supplier-importance signal when the two roles must not blur.
+    Every normalization floor-quantizes to integer parts-per-million
+    BEFORE the next propagation, so each propagation is an exact BIGINT
+    sum — the whole fixed-point prefix is bit-identical cross-engine (the
+    ``k_markov_stationary`` determinism trick applied to a bipartite
+    spectral method). Top-20 authorities, total-ordered.
+
+    Scale shape: the edge list builds once (orders broadcasts into
+    lineitem); each half-iteration is one hash aggregate keyed by the
+    receiving side with the (tiny) score vector broadcast — identical
+    shuffle budget to one PageRank iteration.
+    """
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e0 = (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _norm(df: DataFrame, key: str, val: str) -> DataFrame:
+        mx = df.agg(F.max(val).alias("mx"))
+        return df.crossJoin(F.broadcast(mx)).select(
+            key,
+            F.floor(F.col(val).cast("double") * 1000000 / F.col("mx"))
+            .cast("long")
+            .alias(val),
+        )
+
+    a1 = _norm(e0.groupBy("dst").agg(F.count(F.lit(1)).alias("a")), "dst", "a")
+    h1 = _norm(
+        e0.join(F.broadcast(a1), "dst").groupBy("src").agg(F.sum("a").alias("h")),
+        "src",
+        "h",
+    )
+    a2 = _norm(
+        e0.join(F.broadcast(h1), "src").groupBy("dst").agg(F.sum("h").alias("a")),
+        "dst",
+        "a",
+    )
+    return (
+        a2.select(
+            ((F.col("dst") - 1) / 2).cast("long").alias("suppkey"),
+            F.col("a").alias("auth_ppm"),
+        )
+        .orderBy(F.desc("auth_ppm"), "suppkey")
+        .limit(20)
+    )

@@ -1753,3 +1753,50 @@ def k_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM per_gate p CROSS JOIN tot t
     """
     )
+
+
+def _body_quantile_normalize() -> str:
+    return """
+    WITH src AS (
+      SELECT doc_id, source, n_chars,
+             rank() OVER (PARTITION BY source ORDER BY n_chars, doc_id) - 1
+               AS rk,
+             count(*) OVER (PARTITION BY source) - 1 AS den,
+             count(*) OVER () AS n
+      FROM documents
+    ), pooled AS (
+      SELECT n_chars AS v,
+             row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS pos
+      FROM documents
+    ), tgt AS (
+      SELECT doc_id, source, n_chars,
+             CASE WHEN den = 0 THEN 0
+                  ELSE CAST(floor(CAST(rk AS DOUBLE) * (n - 1) / den)
+                            AS BIGINT) END AS pos
+      FROM src
+    )
+    SELECT t.doc_id, t.source, CAST(t.n_chars AS BIGINT) AS n_chars,
+           CAST(p.v AS BIGINT) AS qnorm_n_chars
+    FROM tgt t JOIN pooled p ON t.pos = p.pos
+    """
+
+
+@register("k_quantile_normalize", oracle=_body_quantile_normalize())
+def k_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization of the per-source document-length
+    distributions onto the pooled corpus distribution: each doc's length
+    is replaced by the pooled value at the same quantile position — the
+    cross-source calibration step that makes a length-based quality gate
+    mean the same thing for a source of tweets and a source of books
+    (same trick expression-array normalization uses). Position mapping is
+    pure integer arithmetic (rank·(N−1)/den floor-quantized), so the
+    mapped values are exact and the operator is an equi-join, not an
+    interpolation.
+
+    Scale shape: per-source rank windows shard on the source key; the
+    pooled reference is ONE global row_number (a range-partitioned sort —
+    the honest cost of building the reference distribution, done once and
+    reusable); the mapping itself is an equi-join on position.
+    """
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_body_quantile_normalize())

@@ -2637,3 +2637,33 @@ def test_blocked_design_tests_match_pandas_recompute(spark, sf_dir):
         assert abs(cq.q_stat - q) < 1e-4
     else:
         assert cq.q_stat is None
+
+
+def test_embed_mmd_quantile_norm_hits_properties(spark, sf_dir):
+    """MMD is symmetric-complete over label pairs and zero iff self;
+    quantile normalization preserves within-source rank order and maps the
+    per-source max to (near) the pooled max; HITS scores are normalized
+    ppm with the top authority at exactly 1e6."""
+    from data_service_spark.registry import QUERIES
+
+    mmd = QUERIES["k_embed_mmd"](spark, sf_dir).collect()
+    labels = sorted({r.label_a for r in mmd} | {r.label_b for r in mmd})
+    k = len(labels)
+    assert len(mmd) == k * (k - 1) // 2
+    assert all(r.mmd2_micro2 >= 0 and r.label_a < r.label_b for r in mmd)
+
+    qn = QUERIES["k_quantile_normalize"](spark, sf_dir).toPandas()
+    pooled_max = qn.n_chars.max()
+    for _, g in qn.groupby("source"):
+        g = g.sort_values(["n_chars", "doc_id"])
+        assert g.qnorm_n_chars.is_monotonic_increasing
+        assert g.qnorm_n_chars.iloc[-1] == pooled_max
+    # the mapped multiset is drawn from pooled values only
+    assert set(qn.qnorm_n_chars) <= set(qn.n_chars)
+
+    hits = QUERIES["k_graph_hits"](spark, sf_dir).collect()
+    assert hits[0].auth_ppm == 1000000
+    assert all(0 <= r.auth_ppm <= 1000000 for r in hits)
+    assert [
+        (-r.auth_ppm, r.suppkey) for r in hits
+    ] == sorted((-r.auth_ppm, r.suppkey) for r in hits)

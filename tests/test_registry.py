@@ -141,6 +141,7 @@ k_heaps_law k_text_ttr k_welch_t k_embed_standardize
 k_filter_funnel k_position_bias
 k_mann_whitney k_mann_kendall k_runs_test
 k_friedman_test k_cronbach_alpha k_cochran_q
+k_embed_mmd k_graph_hits k_quantile_normalize
 """.split()
 
 
