@@ -582,3 +582,55 @@ def e_win_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("rsi_bp"),
     )
+
+
+# ------------------------------------------------ Page–Hinkley drift ----
+
+
+def _body_page_hinkley() -> str:
+    return """
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+             sum(CAST(round(value * 10000, 0) AS BIGINT)) AS s,
+             count(*) AS c
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ), seq AS (
+      SELECT d, CAST(floor(s * 1.0 / c) AS BIGINT) AS md,
+             row_number() OVER (ORDER BY d) AS t
+      FROM daily
+    ), dev AS (
+      SELECT d, md, t,
+             md - CAST(floor(sum(md) OVER (ORDER BY t) * 1.0 / t)
+                       AS BIGINT) AS dv
+      FROM seq
+    ), m AS (
+      SELECT d, md, t, sum(dv) OVER (ORDER BY t) AS m_t FROM dev
+    )
+    SELECT d, md AS mean_quanta,
+           CAST(m_t AS BIGINT) AS m_t,
+           CAST(max(m_t) OVER (ORDER BY t) - m_t AS BIGINT) AS ph_dec,
+           CAST(m_t - min(m_t) OVER (ORDER BY t) AS BIGINT) AS ph_inc,
+           (max(m_t) OVER (ORDER BY t) - m_t > 200000) AS alarm_dec,
+           (m_t - min(m_t) OVER (ORDER BY t) > 200000) AS alarm_inc
+    FROM m
+    """
+
+
+@register("k_page_hinkley", oracle=_body_page_hinkley())
+def k_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page–Hinkley drift detector on the daily purchase-mean series: the
+    sequential change-point monitor production pipelines run on a metric
+    stream (the CUSUM family; ``k_changepoint_cusum`` is the offline
+    retrospective twin). m_t accumulates deviations from the running mean;
+    PH⁻ = max m − m_t alarms on mean DECREASE, PH⁺ = m_t − min m on
+    increase, threshold λ = 20 value-units. Every term floor-quantizes to
+    integer ten-thousandths before accumulation (daily mean, then the
+    running-mean deviation), so all cumulative sums and extrema are exact
+    BIGINT — no float accumulation anywhere.
+
+    Scale shape: the fact table reduces map-side to the day spine; all
+    windows run over that spine (hundreds of rows) in one task. At
+    production scale this runs incrementally: the streaming twin keeps
+    (t, Σmd, m_t, max m, min m) as O(1) state per metric."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_body_page_hinkley())

@@ -759,3 +759,63 @@ def q_distribute_by(spark: "SparkSession", sf_dir: str) -> "DataFrame":
         DISTRIBUTE BY l_returnflag SORT BY l_returnflag, l_orderkey
         """
     )
+
+
+def _body_window_named() -> str:
+    return """
+    SELECT o_custkey, o_orderkey,
+           CAST(rank() OVER w AS BIGINT) AS rk,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER wrun
+             AS BIGINT) AS run_cents,
+           CAST(count(*) OVER w2 AS BIGINT) AS n_in_status
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+           wrun AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           w2 AS (PARTITION BY o_orderstatus)
+    """
+
+
+@register("q_window_named", oracle=_body_window_named())
+def q_window_named(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Named ``WINDOW`` clause (SQL:2003 feature both dialects share):
+    window definitions declared once and referenced by name from several
+    functions — the define-once surface a SQL service exposes so analysts
+    don't repeat (and typo-fork) frame specs. (Spark 4 parses multiple
+    named windows but not DuckDB's ``OVER (w ROWS ...)`` frame-refinement
+    shorthand — probed; the frame lives in the named definition instead.)
+    The optimizer collapses same-spec functions into one Window physical
+    node — identical plan to the inline form.
+
+    Scale shape: two window specs → two exchanges, each on a real key
+    (o_custkey / o_orderstatus); money runs as integer cents."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_body_window_named())
+
+
+def _body_values_inline() -> str:
+    return """
+    SELECT t.tier, CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM orders
+    JOIN (VALUES ('1-URGENT', 'rush'), ('2-HIGH', 'rush'),
+                 ('3-MEDIUM', 'standard'), ('4-NOT SPECIFIED', 'standard'),
+                 ('5-LOW', 'deferred')) AS t(pri, tier)
+      ON o_orderpriority = t.pri
+    GROUP BY t.tier
+    """
+
+
+@register("q_values_inline", oracle=_body_values_inline())
+def q_values_inline(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Inline ``VALUES`` derived table as a join dimension — the literal
+    lookup-table surface (priority → tier rollup here) analysts reach for
+    before anyone materializes a dim table. The VALUES relation is a
+    LocalRelation: Catalyst broadcast-joins it (or constant-folds it to a
+    CASE) with zero scans — the plan cost is one pass over orders.
+
+    Scale shape: broadcast hash join against a 5-row local relation +
+    one 3-row hash aggregate; integer-cents money."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_body_values_inline())

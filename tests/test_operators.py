@@ -2667,3 +2667,41 @@ def test_embed_mmd_quantile_norm_hits_properties(spark, sf_dir):
     assert [
         (-r.auth_ppm, r.suppkey) for r in hits
     ] == sorted((-r.auth_ppm, r.suppkey) for r in hits)
+
+
+def test_sql_surface_and_page_hinkley(spark, sf_dir):
+    """q_window_named matches its inline-window equivalent; q_values_inline
+    tiers partition all orders; Page-Hinkley stats recompute from their own
+    m_t column and alarms fire exactly above threshold."""
+    from data_service_spark.io import load
+    from data_service_spark.registry import QUERIES
+
+    wn = QUERIES["q_window_named"](spark, sf_dir)
+    o = load(spark, sf_dir, "orders")
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    inline = o.select(
+        "o_custkey", "o_orderkey",
+        F.rank().over(w).cast("long").alias("rk"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("long").alias("run_cents"),
+        F.count(F.lit(1)).over(W.partitionBy("o_orderstatus"))
+        .cast("long").alias("n_in_status"),
+    )
+    assert wn.exceptAll(inline).count() == 0 and inline.exceptAll(wn).count() == 0
+
+    vi = QUERIES["q_values_inline"](spark, sf_dir).collect()
+    assert {r.tier for r in vi} == {"rush", "standard", "deferred"}
+    assert sum(r.n_orders for r in vi) == o.count()
+
+    ph = sorted(
+        QUERIES["k_page_hinkley"](spark, sf_dir).collect(), key=lambda r: r.d
+    )
+    run_max = run_min = ph[0].m_t
+    for r in ph:
+        run_max, run_min = max(run_max, r.m_t), min(run_min, r.m_t)
+        assert r.ph_dec == run_max - r.m_t and r.ph_inc == r.m_t - run_min
+        assert r.alarm_dec == (r.ph_dec > 200000)
+        assert r.alarm_inc == (r.ph_inc > 200000)

@@ -142,6 +142,7 @@ k_filter_funnel k_position_bias
 k_mann_whitney k_mann_kendall k_runs_test
 k_friedman_test k_cronbach_alpha k_cochran_q
 k_embed_mmd k_graph_hits k_quantile_normalize
+q_window_named q_values_inline k_page_hinkley
 """.split()
 
 
