@@ -79,6 +79,7 @@ PRIORITY = [
     "k_friedman_test", "k_cronbach_alpha", "k_cochran_q",
     "k_embed_mmd", "k_graph_hits", "k_quantile_normalize",
     "q_window_named", "q_values_inline", "k_page_hinkley",
+    "k_calibration_isotonic", "k_eval_avg_precision", "a_scan_json_corrupt",
     # remaining never-recorded core, next rounds' window
     "e_win_ignore_nulls", "e_win_pareto", "e_win_ewma", "e_win_nth_value",
     "g_union_byname", "g_except_all", "g_intersect_all",

@@ -2146,3 +2146,189 @@ def k_position_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("rel_to_pos1_bp"),
     )
+
+
+# ------------------------------------------- isotonic calibration ----
+
+
+@register(
+    "k_calibration_isotonic",
+    oracle=f"""
+    WITH scored AS ({_REG_ORACLES.get("k_quality_logreg", "SELECT 1")}),
+    lab AS (
+      SELECT least(CAST(floor(s.score_q / 50000.0) AS BIGINT), 19) AS bin,
+             CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM scored s JOIN documents d USING (doc_id)
+    ), b AS (
+      SELECT bin, count(*) AS c, sum(y) AS s FROM lab GROUP BY bin
+    ), pre AS (
+      SELECT bin, sum(c) OVER (ORDER BY bin) AS cc,
+             sum(s) OVER (ORDER BY bin) AS cs
+      FROM b
+      UNION ALL SELECT -1, 0, 0
+    ), grid AS (
+      SELECT t.bin AS t, pi.bin AS im1,
+             CAST(pj.cs - pi.cs AS DOUBLE) / (pj.cc - pi.cc) AS m
+      FROM b t
+      JOIN pre pi ON pi.bin <= t.bin - 1
+      JOIN pre pj ON pj.bin >= t.bin
+    ), inner_min AS (
+      SELECT t, im1, min(m) AS mn FROM grid GROUP BY t, im1
+    ), fit AS (
+      SELECT t AS bin, max(mn) AS f FROM inner_min GROUP BY t
+    )
+    SELECT b.bin, CAST(b.c AS BIGINT) AS n,
+           CAST(floor(CAST(b.s AS DOUBLE) * 1000000 / b.c) AS BIGINT)
+             AS raw_ppm,
+           CAST(floor(f.f * 1000000) AS BIGINT) AS iso_ppm
+    FROM b JOIN fit f ON b.bin = f.bin
+    """,
+)
+def k_calibration_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (PAVA) calibration of the quality classifier over 20 score
+    vigintiles: the monotone-nondecreasing fit of observed positive rate
+    vs score bin, computed through the pool-adjacent-violators MINIMAX
+    identity ŷ_t = max_{i≤t} min_{j≥t} mean(y_i..y_j) — no iterative
+    pooling, so the whole fit is one closed-form query (the repair step
+    ``k_eval_calibration``'s reliability diagram motivates). Segment means
+    are double divisions of exact integer prefix sums; min/max selection
+    over them is rounding-monotonic, so both engines select identical
+    values, floor-quantized to ppm.
+
+    Scale shape: the corpus reduces map-side to 20 (bin,count,pos) rows;
+    the O(bins³)=8000-row minimax grid is driver-trivial but stays fully
+    distributed as two grouped reductions over a broadcast spine.
+    """
+    d = load(spark, sf_dir, "documents")
+    from data_service_spark.registry import QUERIES
+
+    scored = QUERIES["k_quality_logreg"](spark, sf_dir).select(
+        "doc_id", "score_q"
+    )
+    lab = scored.join(d.select("doc_id", "lang"), "doc_id").select(
+        F.least(F.floor(F.col("score_q") / 50000.0).cast("long"), F.lit(19))
+        .alias("bin"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    b = lab.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("c"), F.sum("y").alias("s")
+    )
+    wb = Window.orderBy("bin")
+    pre = b.select(
+        "bin",
+        F.sum("c").over(wb).alias("cc"),
+        F.sum("s").over(wb).alias("cs"),
+    ).unionAll(
+        b.sparkSession.createDataFrame([(-1, 0, 0)], "bin long, cc long, cs long")
+    )
+    pi = pre.select(
+        F.col("bin").alias("im1"), F.col("cc").alias("cc_i"),
+        F.col("cs").alias("cs_i"),
+    )
+    pj = pre.select(
+        F.col("bin").alias("j"), F.col("cc").alias("cc_j"),
+        F.col("cs").alias("cs_j"),
+    )
+    t = b.select(F.col("bin").alias("t"))
+    grid = (
+        t.join(F.broadcast(pi), F.col("im1") <= F.col("t") - 1)
+        .join(F.broadcast(pj), F.col("j") >= F.col("t"))
+        .select(
+            "t", "im1",
+            ((F.col("cs_j") - F.col("cs_i")).cast("double")
+             / (F.col("cc_j") - F.col("cc_i"))).alias("m"),
+        )
+    )
+    fit = (
+        grid.groupBy("t", "im1")
+        .agg(F.min("m").alias("mn"))
+        .groupBy("t")
+        .agg(F.max("mn").alias("f"))
+    )
+    return b.join(fit, b.bin == fit.t).select(
+        "bin",
+        F.col("c").cast("long").alias("n"),
+        F.floor(F.col("s").cast("double") * 1000000 / F.col("c"))
+        .cast("long")
+        .alias("raw_ppm"),
+        F.floor(F.col("f") * 1000000).cast("long").alias("iso_ppm"),
+    )
+
+
+# --------------------------------------------- PR average precision ----
+
+
+@register(
+    "k_eval_avg_precision",
+    oracle=f"""
+    WITH scored AS ({_REG_ORACLES.get("k_quality_logreg", "SELECT 1")}),
+    lab AS (
+      SELECT s.score_q, CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM scored s JOIN documents d USING (doc_id)
+    ), g AS (
+      SELECT score_q, count(*) AS c, sum(y) AS p FROM lab GROUP BY score_q
+    ), cum AS (
+      SELECT c, p,
+             sum(c) OVER (ORDER BY score_q DESC) AS n_g,
+             sum(p) OVER (ORDER BY score_q DESC) AS tp_g
+      FROM g
+    ), tot AS (SELECT sum(p) AS n_pos, sum(c) AS n FROM g)
+    SELECT CAST((SELECT n_pos FROM tot) AS BIGINT) AS n_pos,
+           CAST((SELECT n FROM tot) AS BIGINT) AS n_total,
+           CAST(floor(CAST(sum(p * CAST(floor(CAST(tp_g AS DOUBLE) * 1000000
+                                              / n_g) AS BIGINT)) AS DOUBLE)
+                      / (SELECT n_pos FROM tot)) AS BIGINT) AS ap_ppm
+    FROM cum WHERE p > 0
+    """,
+)
+def k_eval_avg_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision (area under the precision-recall curve, step
+    interpolation) of the quality classifier against the ``lang='en'``
+    label — the ranking metric that matters when positives are rare and
+    ROC AUC (``k_eval_auc``) flatters: AP = Σ_g ΔR_g·P_g over distinct
+    score thresholds. Precision at each threshold floor-quantizes to
+    integer ppm BEFORE the recall-weighted sum, so the whole statistic is
+    exact BIGINT arithmetic with two boundary-safe floors — identical
+    under any aggregation order.
+
+    Scale shape: groupBy(score) collapses the corpus to its distinct
+    quantized scores map-side; one ordered window over that spine and a
+    1-row reduce — the ``k_eval_auc`` rank-sum shape on the PR side.
+    """
+    d = load(spark, sf_dir, "documents")
+    from data_service_spark.registry import QUERIES
+
+    scored = QUERIES["k_quality_logreg"](spark, sf_dir).select(
+        "doc_id", "score_q"
+    )
+    lab = scored.join(d.select("doc_id", "lang"), "doc_id").select(
+        "score_q", F.when(F.col("lang") == "en", 1).otherwise(0).alias("y")
+    )
+    g = lab.groupBy("score_q").agg(
+        F.count(F.lit(1)).alias("c"), F.sum("y").alias("p")
+    )
+    wc = Window.orderBy(F.desc("score_q"))
+    cum = g.select(
+        "c", "p",
+        F.sum("c").over(wc).alias("n_g"),
+        F.sum("p").over(wc).alias("tp_g"),
+    )
+    tot = g.agg(
+        F.sum("p").alias("n_pos"), F.sum("c").alias("n_total")
+    )
+    terms = cum.filter("p > 0").select(
+        (F.col("p")
+         * F.floor(F.col("tp_g").cast("double") * 1000000 / F.col("n_g"))
+         .cast("long")).alias("term")
+    )
+    return (
+        terms.agg(F.sum("term").alias("st"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("n_pos").cast("long"),
+            F.col("n_total").cast("long"),
+            F.floor(F.col("st").cast("double") / F.col("n_pos"))
+            .cast("long")
+            .alias("ap_ppm"),
+        )
+    )

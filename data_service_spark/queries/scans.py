@@ -960,3 +960,66 @@ def a_scan_glob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "*.parquet")
         .parquet(f"{path}/region_0", f"{path}/region_2")
     )
+
+
+@register(
+    "a_scan_json_corrupt",
+    oracle="""
+    SELECT CAST(n_nationkey AS INT) AS n_nationkey, n_name,
+           CAST(n_regionkey AS INT) AS n_regionkey,
+           CAST(2 AS BIGINT) AS n_corrupt
+    FROM nation
+    """,
+)
+def a_scan_json_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE JSON-lines ingest with corrupt-record accounting: a
+    JSONL file carrying two malformed lines (truncated object, bare
+    garbage) is read with an explicit schema + ``_corrupt_record``; good
+    rows flow through typed, bad lines land in the quarantine column and
+    are COUNTED, not dropped silently — the ingest contract a lake
+    pipeline needs (the CSV twin is ``a_source_csv_malformed``). Spark
+    requires materializing the parsed frame before predicating on the
+    internal corrupt column (documented limitation) — hence the cache.
+
+    Scale shape: line-splittable JSONL scan; the corrupt-count reduce is
+    a map-side partial, and the cached frame is scan-sized (fine here;
+    at 100 TB you'd land the quarantine column to a sink instead of
+    caching).
+    """
+    import json as _json
+
+    nat = load(spark, sf_dir, "nation").orderBy("n_nationkey").collect()
+    path = _tmpdir("nation_jsonl")
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "part-0.json"), "w") as fh:
+        for r in nat:
+            fh.write(
+                _json.dumps(
+                    {
+                        "n_nationkey": r.n_nationkey,
+                        "n_name": r.n_name,
+                        "n_regionkey": r.n_regionkey,
+                    }
+                )
+                + "\n"
+            )
+        fh.write('{"n_nationkey": 99, "n_name": "TRUNC"\n')
+        fh.write("not json at all\n")
+    parsed = (
+        spark.read.schema(
+            "n_nationkey INT, n_name STRING, n_regionkey INT, "
+            "_corrupt_record STRING"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+        .cache()
+    )
+    bad = parsed.filter(F.col("_corrupt_record").isNotNull()).agg(
+        F.count(F.lit(1)).alias("n_corrupt")
+    )
+    return (
+        parsed.filter(F.col("_corrupt_record").isNull())
+        .drop("_corrupt_record")
+        .crossJoin(F.broadcast(bad))
+    )

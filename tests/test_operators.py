@@ -2705,3 +2705,46 @@ def test_sql_surface_and_page_hinkley(spark, sf_dir):
         assert r.ph_dec == run_max - r.m_t and r.ph_inc == r.m_t - run_min
         assert r.alarm_dec == (r.ph_dec > 200000)
         assert r.alarm_inc == (r.ph_inc > 200000)
+
+
+def test_isotonic_avg_precision_json_corrupt(spark, sf_dir):
+    """Isotonic fit is monotone nondecreasing and a projection (between
+    running min/max of raw rates); AP recomputes from a sklearn-style
+    pandas pass; corrupt-JSON scan counts exactly the 2 injected lines."""
+    import numpy as np
+
+    from data_service_spark.registry import QUERIES
+
+    iso = sorted(
+        QUERIES["k_calibration_isotonic"](spark, sf_dir).collect(),
+        key=lambda r: r.bin,
+    )
+    fits = [r.iso_ppm for r in iso]
+    assert fits == sorted(fits)
+    # PAVA preserves the total positive mass: sum(n*fit) == sum(n*raw)
+    # up to ppm-floor slack per bin
+    tot_fit = sum(r.n * r.iso_ppm for r in iso)
+    tot_raw = sum(r.n * r.raw_ppm for r in iso)
+    assert abs(tot_fit - tot_raw) <= sum(r.n for r in iso)
+
+    ap = QUERIES["k_eval_avg_precision"](spark, sf_dir).first()
+    lg = QUERIES["k_quality_logreg"](spark, sf_dir).toPandas()
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")[["doc_id", "lang"]]
+    m = lg.merge(docs, on="doc_id")
+    m["y"] = (m.lang == "en").astype(int)
+    g = (
+        m.groupby("score_q")
+        .agg(c=("y", "size"), p=("y", "sum"))
+        .sort_index(ascending=False)
+    )
+    tp = g.p.cumsum()
+    ng = g.c.cumsum()
+    prec_ppm = np.floor(tp * 1_000_000 / ng).astype("int64")
+    expect = int((g.p * prec_ppm).sum() // g.p.sum())
+    assert ap.ap_ppm == expect and ap.n_pos == int(g.p.sum())
+
+    jc = QUERIES["a_scan_json_corrupt"](spark, sf_dir)
+    rows = jc.collect()
+    assert all(r.n_corrupt == 2 for r in rows)
+    nat = pd.read_parquet(f"{sf_dir}/nation.parquet")
+    assert {r.n_nationkey for r in rows} == set(nat.n_nationkey)

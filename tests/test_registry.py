@@ -143,6 +143,7 @@ k_mann_whitney k_mann_kendall k_runs_test
 k_friedman_test k_cronbach_alpha k_cochran_q
 k_embed_mmd k_graph_hits k_quantile_normalize
 q_window_named q_values_inline k_page_hinkley
+k_calibration_isotonic k_eval_avg_precision a_scan_json_corrupt
 """.split()
 
 
