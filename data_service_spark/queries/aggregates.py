@@ -1845,3 +1845,53 @@ def k_design_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(icc, 6).alias("icc"),
         F.round(1 + (m_bar - 1) * icc, 4).alias("deff"),
     )
+
+
+# ------------------------------------------- exact counting median ----
+
+
+def _body_median_counting() -> str:
+    return """
+    WITH q AS (
+      SELECT l_returnflag AS grp,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+      FROM lineitem
+    ), freq AS (
+      SELECT grp, v, count(*) AS c FROM q GROUP BY grp, v
+    ), spine AS (
+      SELECT grp, v, sum(c) OVER (PARTITION BY grp ORDER BY v) AS cum,
+             sum(c) OVER (PARTITION BY grp) AS n
+      FROM freq
+    )
+    SELECT grp, CAST(max(n) AS BIGINT) AS n,
+           CAST(min(CASE WHEN cum * 2 >= n THEN v END) AS BIGINT)
+             AS median_lo_cents,
+           CAST(min(CASE WHEN cum * 2 >= n + 1 THEN v END) AS BIGINT)
+             AS median_hi_cents,
+           CAST(min(CASE WHEN cum * 2 >= n THEN v END)
+                + min(CASE WHEN cum * 2 >= n + 1 THEN v END) AS BIGINT)
+             AS median_x2_cents
+    FROM spine GROUP BY grp
+    """
+
+
+@register("d_agg_median_counting", oracle=_body_median_counting())
+def d_agg_median_counting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-group median without a global sort: prices quantize to
+    integer cents, collapse to a (group, value, count) frequency spine
+    map-side, and the median is the smallest value whose cumulative count
+    crosses half — lower/upper order statistics selected by conditional
+    min, even-N midpoint returned as the exact integer lo+hi (no .5
+    float). This is the scale path for exact medians on low-cardinality
+    domains (prices, lengths, latencies): the shuffle carries distinct
+    values per group, not rows — ``d_agg_percentile``'s interpolated
+    built-in is the general-domain alternative, ``d_agg_approx_quantile``
+    the sketch.
+
+    Position identities: lower median position ⌈N/2⌉ ⇔ 2·cum ≥ N; upper
+    position ⌊N/2⌋+1 ⇔ 2·cum ≥ N+2 — pure integer comparisons.
+
+    Scale shape: one partial+final count aggregate (shuffle ∝ distinct
+    values), per-group spine windows partitioned on the group key."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_body_median_counting())

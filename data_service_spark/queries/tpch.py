@@ -819,3 +819,88 @@ def q_values_inline(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     one 3-row hash aggregate; integer-cents money."""
     load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_body_values_inline())
+
+
+@register(
+    "q_pivot_sql",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(coalesce(sum(CASE WHEN o_orderpriority = '1-URGENT'
+                 THEN CAST(round(o_totalprice * 100) AS BIGINT) END), 0)
+             AS BIGINT) AS urgent_cents,
+           CAST(coalesce(sum(CASE WHEN o_orderpriority = '2-HIGH'
+                 THEN CAST(round(o_totalprice * 100) AS BIGINT) END), 0)
+             AS BIGINT) AS high_cents,
+           CAST(coalesce(sum(CASE WHEN o_orderpriority = '5-LOW'
+                 THEN CAST(round(o_totalprice * 100) AS BIGINT) END), 0)
+             AS BIGINT) AS low_cents
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_pivot_sql(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """SQL ``PIVOT`` clause (Spark's FROM-clause pivot syntax): revenue by
+    order status × priority rotated into columns — the report-shaping
+    surface analysts use instead of hand-writing CASE aggregates. The
+    DuckDB oracle IS the hand-written CASE form (DuckDB's PIVOT grammar
+    differs), which also documents the rewrite Catalyst performs: a pivot
+    is exactly one hash aggregate with conditional partials — same plan,
+    same single shuffle, no row explosion. ``d_agg_pivot`` is the
+    DataFrame-API twin; this pins the SQL-text surface.
+
+    Scale shape: one partial+final hash aggregate on o_orderstatus."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, coalesce(urgent_cents, 0) AS urgent_cents,
+               coalesce(high_cents, 0) AS high_cents,
+               coalesce(low_cents, 0) AS low_cents
+        FROM (SELECT o_orderstatus, o_orderpriority,
+                     CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+              FROM orders)
+        PIVOT (sum(cents) FOR o_orderpriority
+               IN ('1-URGENT' AS urgent_cents, '2-HIGH' AS high_cents,
+                   '5-LOW' AS low_cents))
+        """
+    )
+
+
+@register(
+    "q_lateral_view",
+    oracle="""
+    WITH ex AS (
+      SELECT o_orderkey, unnest([
+        CAST(round(o_totalprice * 100) AS BIGINT),
+        CAST(round(o_totalprice * 100) AS BIGINT) / 2,
+        CAST(round(o_totalprice * 100) AS BIGINT) / 4
+      ]) AS installment_cents,
+      unnest([1, 2, 3]) AS installment_no
+      FROM orders WHERE o_orderpriority = '1-URGENT'
+    )
+    SELECT o_orderkey, CAST(installment_no AS INT) AS installment_no,
+           CAST(floor(installment_cents) AS BIGINT) AS installment_cents
+    FROM ex
+    """,
+)
+def q_lateral_view(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """``LATERAL VIEW posexplode`` (the HiveQL-compatible explode surface
+    Spark keeps alongside ANSI ``, LATERAL``): each urgent order fans out
+    into a 3-row installment schedule computed from a generated array —
+    the SQL-text twin of ``h_explode``'s DataFrame generator. The DuckDB
+    oracle uses parallel ``unnest`` columns (its positional-explode
+    idiom) — two grammars, one generator semantics, and in both engines
+    the generator runs scan-side with no shuffle at all.
+
+    Scale shape: narrow map-side fan-out (3× on a filtered slice),
+    pipelined into the scan — zero exchanges."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, CAST(pos + 1 AS INT) AS installment_no,
+               CAST(floor(part) AS BIGINT) AS installment_cents
+        FROM (SELECT o_orderkey,
+                     CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+              FROM orders WHERE o_orderpriority = '1-URGENT') o
+        LATERAL VIEW posexplode(array(
+          CAST(cents AS DOUBLE), cents / 2, cents / 4)) ex AS pos, part
+        """
+    )

@@ -2748,3 +2748,41 @@ def test_isotonic_avg_precision_json_corrupt(spark, sf_dir):
     assert all(r.n_corrupt == 2 for r in rows)
     nat = pd.read_parquet(f"{sf_dir}/nation.parquet")
     assert {r.n_nationkey for r in rows} == set(nat.n_nationkey)
+
+
+def test_pivot_lateral_median_counting(spark, sf_dir):
+    """PIVOT equals its groupBy().pivot() DataFrame twin; LATERAL VIEW
+    fan-out is exactly 3x the filtered base; counting median equals
+    pandas' exact median of quantized cents per group."""
+    from data_service_spark.io import load
+    from data_service_spark.registry import QUERIES
+
+    pv = {r.o_orderstatus: r for r in QUERIES["q_pivot_sql"](spark, sf_dir).collect()}
+    o = load(spark, sf_dir, "orders")
+    df_twin = (
+        o.select(
+            "o_orderstatus", "o_orderpriority",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("o_orderstatus")
+        .pivot("o_orderpriority", ["1-URGENT", "2-HIGH", "5-LOW"])
+        .sum("cents")
+    )
+    for r in df_twin.collect():
+        assert pv[r.o_orderstatus].urgent_cents == (r["1-URGENT"] or 0)
+        assert pv[r.o_orderstatus].high_cents == (r["2-HIGH"] or 0)
+
+    lv = QUERIES["q_lateral_view"](spark, sf_dir)
+    n_urgent = o.filter("o_orderpriority = '1-URGENT'").count()
+    assert lv.count() == 3 * n_urgent
+
+    med = {r.grp: r for r in QUERIES["d_agg_median_counting"](spark, sf_dir).collect()}
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    li["cents"] = (li.l_extendedprice * 100).round().astype("int64")
+    for grp, g in li.groupby("l_returnflag"):
+        s = g.cents.sort_values().reset_index(drop=True)
+        n = len(s)
+        lo, hi = s[(n - 1) // 2], s[n // 2]
+        r = med[grp]
+        assert (r.n, r.median_lo_cents, r.median_hi_cents) == (n, lo, hi)
+        assert r.median_x2_cents == lo + hi
