@@ -81,6 +81,7 @@ PRIORITY = [
     "q_window_named", "q_values_inline", "k_page_hinkley",
     "k_calibration_isotonic", "k_eval_avg_precision", "a_scan_json_corrupt",
     "q_pivot_sql", "q_lateral_view", "d_agg_median_counting",
+    "i_idempotent_sink",
     # remaining never-recorded core, next rounds' window
     "e_win_ignore_nulls", "e_win_pareto", "e_win_ewma", "e_win_nth_value",
     "g_union_byname", "g_except_all", "g_intersect_all",

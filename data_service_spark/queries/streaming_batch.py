@@ -1368,3 +1368,69 @@ def i_stream_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("event_type") == "click"),
         ev.filter(F.col("event_type") == "view"),
     )
+
+
+@register(
+    "i_idempotent_sink",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           CAST(round(value * 10000) AS BIGINT) AS value_q
+    FROM events
+    """,
+)
+def i_idempotent_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once streaming delivery over an at-least-once channel: the
+    events stream drains through ``IdempotentBatchSink`` (foreachBatch +
+    rename-publish + per-epoch commit marker — streaming.py), then the
+    FIRST epoch is deliberately REPLAYED (the failure mode foreachBatch
+    contracts warn about) before reading the sink back. The returned table
+    must contain every event exactly once — which is precisely what the
+    oracle asserts, so the driver's hash check IS the exactly-once proof,
+    not just a smoke test. ``i_upsert_sink`` converges by overwrite;
+    this sink converges by transactional append.
+
+    Scale shape: per-epoch parquet appends with one atomic rename + one
+    marker create each — the Delta txnAppId/txnVersion pattern on raw
+    files; no global state, readers see only published epochs."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from data_service_spark.streaming import (
+        IdempotentBatchSink,
+        read_event_stream,
+    )
+
+    base = os.path.join(
+        tempfile.gettempdir(), "data_service_spark_sinks", "idempotent"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base, exist_ok=True)
+    # stream from a copy of the events parquet (a file-source dir we own)
+    src = os.path.join(base, "src")
+    os.makedirs(src)
+    for i, f in enumerate(
+        sorted(glob.glob(os.path.join(sf_dir, "events.parquet")))
+    ):
+        os.symlink(f, os.path.join(src, f"part-{i}.parquet"))
+    sink = IdempotentBatchSink(os.path.join(base, "sink"))
+    projected = read_event_stream(spark, src).select(
+        "event_id", "user_id", "event_type",
+        F.round(F.col("value") * 10000).cast("long").alias("value_q"),
+    )
+    q = (
+        projected.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # simulate the at-least-once replay: re-deliver epoch 0's data
+    first_epoch = min(sink.committed())
+    replay = spark.read.parquet(
+        os.path.join(sink.data_dir, f"epoch={first_epoch}")
+    )
+    sink(replay, first_epoch)  # must no-op — already committed
+    return sink.read(spark)

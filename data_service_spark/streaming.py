@@ -22,6 +22,8 @@ unchanged (same per-key scalar state, same update-mode emissions).
 
 from __future__ import annotations
 
+import os
+import shutil
 from collections.abc import Iterator
 from typing import Any
 
@@ -299,3 +301,61 @@ def cdc_stream(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+class IdempotentBatchSink:
+    """Exactly-once ``foreachBatch`` sink over an at-least-once channel.
+
+    Structured Streaming guarantees each epoch's DATA is deterministic on
+    replay, but ``foreachBatch`` itself is at-least-once: after a failure
+    between user-code success and checkpoint commit, the same epoch runs
+    again. The standard fix (Spark docs' "idempotent sink" contract) is a
+    transactional commit keyed by ``(queryId-scoped) epoch_id``:
+
+    1. write the batch under a scratch name,
+    2. atomically publish it (rename) as ``epoch=<id>``,
+    3. record the epoch in a manifest; a replayed epoch short-circuits.
+
+    The manifest lives on the sink's own storage (here a directory of
+    empty marker files — one atomic create per epoch), so recovery after a
+    process crash sees exactly the committed epochs. Readers union the
+    published epoch directories; a half-written scratch dir is invisible.
+
+    At 100 TB this is the Delta/Iceberg ``txnAppId``/``txnVersion``
+    pattern; on raw parquet it is exactly this rename-plus-manifest
+    protocol, one marker per micro-batch.
+    """
+
+    def __init__(self, path: str):
+        self.path = path
+        self.data_dir = os.path.join(path, "data")
+        self.manifest_dir = os.path.join(path, "_committed")
+        os.makedirs(self.data_dir, exist_ok=True)
+        os.makedirs(self.manifest_dir, exist_ok=True)
+
+    def _marker(self, epoch_id: int) -> str:
+        return os.path.join(self.manifest_dir, f"epoch-{epoch_id}")
+
+    def committed(self) -> set[int]:
+        return {
+            int(f.split("-", 1)[1]) for f in os.listdir(self.manifest_dir)
+        }
+
+    def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+        if os.path.exists(self._marker(epoch_id)):
+            return  # replayed epoch after a commit — exactly-once no-op
+        scratch = os.path.join(self.data_dir, f".tmp-epoch-{epoch_id}")
+        final = os.path.join(self.data_dir, f"epoch={epoch_id}")
+        batch_df.write.mode("overwrite").parquet(scratch)
+        if os.path.exists(final):  # crash between rename and marker
+            shutil.rmtree(final)
+        os.rename(scratch, final)
+        with open(self._marker(epoch_id), "x") as fh:
+            fh.write("")
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        epochs = sorted(self.committed())
+        paths = [
+            os.path.join(self.data_dir, f"epoch={e}") for e in epochs
+        ]
+        return spark.read.parquet(*paths)

@@ -145,6 +145,7 @@ k_embed_mmd k_graph_hits k_quantile_normalize
 q_window_named q_values_inline k_page_hinkley
 k_calibration_isotonic k_eval_avg_precision a_scan_json_corrupt
 q_pivot_sql q_lateral_view d_agg_median_counting
+i_idempotent_sink
 """.split()
 
 

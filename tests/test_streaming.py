@@ -636,3 +636,34 @@ def test_stream_union_matches_batch(spark, sf_dir, events_dir):
         ev.filter("event_type = 'click'"), ev.filter("event_type = 'view'")
     ).toPandas()
     assert_frames_match(batches[-1], expected, ["win_start", "event_type"])
+
+
+def test_idempotent_sink_survives_replay_and_restart(spark, tmp_path):
+    # IdempotentBatchSink: replayed epochs no-op (even with corrupted
+    # payloads), a fresh instance over the same path recovers the manifest,
+    # and half-written scratch dirs stay invisible to readers.
+    from data_service_spark.streaming import IdempotentBatchSink
+
+    sink = IdempotentBatchSink(str(tmp_path / "sink"))
+    b0 = spark.range(5).selectExpr("id", "id * 2 AS v")
+    b1 = spark.range(5, 8).selectExpr("id", "id * 2 AS v")
+    sink(b0, 0)
+    sink(b1, 1)
+    assert sink.committed() == {0, 1}
+    assert sink.read(spark).count() == 8
+
+    # at-least-once replay with DIFFERENT (corrupt) data: must be ignored
+    evil = spark.range(100, 200).selectExpr("id", "id AS v")
+    sink(evil, 0)
+    assert sink.read(spark).count() == 8
+
+    # crash recovery: a new instance on the same path sees the manifest
+    sink2 = IdempotentBatchSink(str(tmp_path / "sink"))
+    assert sink2.committed() == {0, 1}
+    sink2(evil, 1)  # replay against the recovered manifest: still a no-op
+    assert sink2.read(spark).count() == 8
+
+    # a new epoch still lands
+    sink2(spark.range(8, 10).selectExpr("id", "id * 2 AS v"), 2)
+    got = sorted(r.id for r in sink2.read(spark).collect())
+    assert got == list(range(10))
