@@ -82,6 +82,7 @@ PRIORITY = [
     "k_calibration_isotonic", "k_eval_avg_precision", "a_scan_json_corrupt",
     "q_pivot_sql", "q_lateral_view", "d_agg_median_counting",
     "i_idempotent_sink",
+    "c_join_asof_tolerance", "k_srm_check", "k_importance_ess",
     # remaining never-recorded core, next rounds' window
     "e_win_ignore_nulls", "e_win_pareto", "e_win_ewma", "e_win_nth_value",
     "g_union_byname", "g_except_all", "g_intersect_all",

@@ -640,3 +640,38 @@ def k_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one (user,type) groupBy then two spine-sized reduces."""
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_body_cochran_q())
+
+
+def _body_srm(hash_to_long: str) -> str:
+    h = hash_to_long.format(h="'assign:' || CAST(user_id AS STRING)")
+    return f"""
+    WITH arms AS (
+      SELECT CAST({h} % 2 AS INT) AS arm
+      FROM (SELECT DISTINCT user_id FROM events) u
+    ), s AS (
+      SELECT sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n0,
+             sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n1
+      FROM arms
+    )
+    SELECT CAST(n0 AS BIGINT) AS n_arm0, CAST(n1 AS BIGINT) AS n_arm1,
+           CAST(round(CAST((n0 - n1) * (n0 - n1) AS DOUBLE) / (n0 + n1), 6)
+                + 0.0 AS DOUBLE) AS srm_chi2,
+           (CAST((n0 - n1) * (n0 - n1) AS DOUBLE) / (n0 + n1) > 3.84)
+             AS srm_alarm
+    FROM s
+    """
+
+
+@register("k_srm_check", oracle=_body_srm(_DUCK_HASH))
+def k_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guardrail for the deterministic-hash A/B
+    assignment the resampling keys use: users split 50/50 by salted md5
+    parity; χ² = (n₀−n₁)²/N against χ²(1)=3.84 — the FIRST check any
+    experiment readout must pass, because a biased assignment invalidates
+    every downstream test no matter how significant (Fabijan et al.'s
+    diagnosis taxonomy). Counts are exact integers; the statistic is one
+    final division.
+
+    Scale shape: distinct-user spine, map-side conditional count."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_body_srm(_SPARK_HASH))

@@ -1404,3 +1404,65 @@ def c_join_er_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.abs(F.col("bal1") - F.col("bal2")), 2).alias("bal_diff"),
         )
     )
+
+
+@register(
+    "c_join_asof_tolerance",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.ts,
+           CASE WHEN o.o_orderdate IS NOT NULL
+                 AND date_diff('microsecond', o.o_orderdate, e.ts)
+                     <= 604800000000
+                THEN o.o_orderdate END AS recent_order_date
+    FROM events e
+    ASOF LEFT JOIN orders o
+      ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """,
+)
+def c_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a staleness tolerance (pandas ``merge_asof``'s
+    ``tolerance=`` semantics): each event gets the customer's most recent
+    order — but only if it is at most 7 days old, else NULL. The
+    distinction matters for feature joins: an unbounded as-of silently
+    feeds arbitrarily stale state into a model ("last order" from two
+    years ago), while the tolerance turns staleness into an explicit
+    missing value. Same union-then-window idiom as ``c_join_asof`` (one
+    shuffle on the key, O(n+m)); the tolerance is a post-predicate on the
+    carried timestamp, diffed in exact integer MICROSECONDS (SURVEY §7.4's
+    NTZ-safe convention — no boundary-crossing ambiguity).
+
+    Scale note: tolerance also BOUNDS streaming state — the stream twin
+    can expire carried orders older than 7 days, which the unbounded
+    as-of cannot.
+    """
+    e = load(spark, sf_dir, "events").select(
+        F.col("user_id").alias("k"),
+        F.col("ts").alias("t"),
+        "event_id",
+        F.lit(1).alias("side"),
+    )
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(0).alias("side"),
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy("t", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = e.unionByName(o).withColumn(
+        "last_order_date",
+        F.max(F.when(F.col("side") == 0, F.col("t"))).over(w),
+    )
+    return carried.filter(F.col("side") == 1).select(
+        "event_id",
+        F.col("k").alias("user_id"),
+        F.col("t").alias("ts"),
+        F.when(
+            F.expr("timestampdiff(MICROSECOND, last_order_date, t)")
+            <= 604800000000,
+            F.col("last_order_date"),
+        ).alias("recent_order_date"),
+    )

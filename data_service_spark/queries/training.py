@@ -2987,3 +2987,61 @@ def k_mix_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("i") <= F.col("m")).alias("saturated"),
         F.col("level").alias("water_level"),
     )
+
+
+# ------------------------------------- importance-weight ESS audit ----
+
+
+def _body_importance_ess() -> str:
+    return """
+    WITH cell AS (
+      SELECT source, lang, count(*) AS c_sl FROM documents GROUP BY 1, 2
+    ), lang_tot AS (
+      SELECT lang, sum(c_sl) AS c_l FROM cell GROUP BY 1
+    ), n AS (SELECT sum(c_sl) AS n FROM cell),
+    src_tot AS (
+      SELECT source, sum(c_sl) AS n_s FROM cell GROUP BY 1
+    ), w AS (
+      SELECT c.source, c.c_sl,
+             least(CAST(floor(CAST(l.c_l AS DOUBLE) * s.n_s * 100
+                              / (CAST(n.n AS DOUBLE) * c.c_sl))
+                        AS BIGINT), 1000) AS w_c
+      FROM cell c
+      JOIN lang_tot l ON c.lang = l.lang
+      JOIN src_tot s ON c.source = s.source
+      CROSS JOIN n
+    ), agg AS (
+      SELECT source, sum(c_sl) AS n_docs,
+             sum(c_sl * w_c) AS sw, sum(c_sl * w_c * w_c) AS sq
+      FROM w GROUP BY source
+    )
+    SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(round(CAST(sw AS DOUBLE) / 100, 2) + 0.0 AS DOUBLE)
+             AS sum_w,
+           CAST(round(CAST(sw AS DOUBLE) * sw / sq, 4) + 0.0
+             AS DOUBLE) AS ess,
+           CAST(round(CAST(sw AS DOUBLE) * sw / sq / n_docs, 6) + 0.0
+             AS DOUBLE) AS ess_ratio
+    FROM agg
+    """
+
+
+@register("k_importance_ess", oracle=_body_importance_ess())
+def k_importance_ess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective-sample-size audit of importance reweighting: give every
+    doc the weight that re-balances its source's language mix to the
+    global mix (clipped at 10, the standard variance guard), then report
+    Kish ESS = (Σw)²/Σw² per source — the number that says how many
+    EFFECTIVE documents survive the reweighting (ess_ratio ≪ 1 means the
+    weights are dominated by a few heavy docs and the resample will be
+    noisy; the companion of ``k_dsir_weights``' weight computation and
+    ``k_design_effect``'s cluster-side deff). Weights floor-quantize to
+    integer centi-units, the two power sums are exact BIGINTs, and every
+    output is a deterministic function of those integers — identical
+    doubles cross-engine by construction.
+
+    Scale shape: the corpus reduces map-side to the (source × lang) grid;
+    everything downstream runs on that spine. Per-doc weights never
+    materialize — the cell counts carry them analytically."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_body_importance_ess())

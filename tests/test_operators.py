@@ -2786,3 +2786,40 @@ def test_pivot_lateral_median_counting(spark, sf_dir):
         r = med[grp]
         assert (r.n, r.median_lo_cents, r.median_hi_cents) == (n, lo, hi)
         assert r.median_x2_cents == lo + hi
+
+
+def test_asof_tolerance_srm_ess(spark, sf_dir):
+    """Tolerance as-of equals the unbounded as-of with stale matches
+    nulled; SRM counts partition the user universe; ESS obeys 1 <= ESS <=
+    n and equals n when all weights are equal (single-lang source case
+    checked analytically via the clip)."""
+    from data_service_spark.registry import QUERIES
+
+    tol = QUERIES["c_join_asof_tolerance"](spark, sf_dir)
+    base = QUERIES["c_join_asof"](spark, sf_dir)
+    j = base.select(
+        "event_id", F.col("last_order_date").alias("unbounded")
+    ).join(tol.select("event_id", "ts", "recent_order_date"), "event_id")
+    # wherever tolerance kept a match it must equal the unbounded match
+    kept = j.filter(F.col("recent_order_date").isNotNull())
+    assert kept.filter(
+        F.col("recent_order_date") != F.col("unbounded")
+    ).count() == 0
+    # wherever it nulled, the unbounded match was absent or older than 7d
+    nulled = j.filter(
+        F.col("recent_order_date").isNull() & F.col("unbounded").isNotNull()
+    )
+    assert nulled.filter(
+        F.expr("timestampdiff(MICROSECOND, unbounded, ts)") <= 604800000000
+    ).count() == 0
+
+    srm = QUERIES["k_srm_check"](spark, sf_dir).first()
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    assert srm.n_arm0 + srm.n_arm1 == ev.user_id.nunique()
+    expect = (srm.n_arm0 - srm.n_arm1) ** 2 / (srm.n_arm0 + srm.n_arm1)
+    assert abs(srm.srm_chi2 - expect) < 1e-6
+    assert srm.srm_alarm == (expect > 3.84)
+
+    for r in QUERIES["k_importance_ess"](spark, sf_dir).collect():
+        assert 1.0 <= r.ess <= r.n_docs + 1e-9
+        assert abs(r.ess_ratio - r.ess / r.n_docs) < 1e-4
