@@ -675,3 +675,141 @@ def k_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: distinct-user spine, map-side conditional count."""
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_body_srm(_SPARK_HASH))
+
+
+def _body_fdr_bh(hash_to_long: str) -> str:
+    ha = hash_to_long.format(h="'assign:' || CAST(user_id AS STRING)")
+    hp = hash_to_long.format(
+        h="'perm:' || CAST(b.b AS STRING) || ':' || CAST(u.user_id AS STRING)"
+    )
+    return f"""
+    WITH per_cell AS (
+      SELECT user_id, event_type, count(*) AS x
+      FROM events GROUP BY 1, 2
+    ), users AS (SELECT DISTINCT user_id FROM per_cell),
+    arms AS (
+      SELECT user_id, CAST({ha} % 2 AS INT) AS arm FROM users
+    ), n_arm AS (
+      SELECT sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n1,
+             sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n0
+      FROM arms
+    ), obs AS (
+      SELECT c.event_type,
+             CAST(sum(CASE WHEN a.arm = 1 THEN c.x ELSE 0 END) AS DOUBLE)
+               / max(n.n1)
+             - CAST(sum(CASE WHEN a.arm = 0 THEN c.x ELSE 0 END) AS DOUBLE)
+               / max(n.n0) AS d
+      FROM per_cell c JOIN arms a USING (user_id) CROSS JOIN n_arm n
+      GROUP BY c.event_type
+    ), perm AS (
+      SELECT c.event_type, b.b,
+             CAST(sum(CASE WHEN {hp} % 2 = 1 THEN c.x ELSE 0 END) AS DOUBLE)
+               / sum(CASE WHEN {hp} % 2 = 1 THEN 1 ELSE 0 END)
+             - CAST(sum(CASE WHEN {hp} % 2 = 0 THEN c.x ELSE 0 END) AS DOUBLE)
+               / sum(CASE WHEN {hp} % 2 = 0 THEN 1 ELSE 0 END) AS d_b
+      FROM per_cell c
+      JOIN users u USING (user_id)
+      CROSS JOIN (SELECT explode(sequence(0, {_B - 1})) AS b) b
+      GROUP BY c.event_type, b.b
+    ), pvals AS (
+      SELECT o.event_type,
+             1 + sum(CASE WHEN abs(p.d_b) >= abs(o.d) THEN 1 ELSE 0 END)
+               AS p_num
+      FROM obs o JOIN perm p USING (event_type)
+      GROUP BY o.event_type
+    ), ranked AS (
+      SELECT event_type, p_num,
+             row_number() OVER (ORDER BY p_num, event_type) AS r,
+             count(*) OVER () AS m
+      FROM pvals
+    ), cutoff AS (
+      SELECT coalesce(max(CASE WHEN 20 * p_num * m <= r * {_B + 1}
+                                THEN r END), 0) AS r_max
+      FROM ranked
+    )
+    SELECT rk.event_type, CAST(rk.p_num AS BIGINT) AS p_num,
+           CAST({_B + 1} AS BIGINT) AS p_den,
+           CAST(rk.r AS BIGINT) AS p_rank,
+           (rk.r <= c.r_max) AS significant
+    FROM ranked rk CROSS JOIN cutoff c
+    """
+
+
+@register(
+    "k_fdr_bh",
+    oracle=_body_fdr_bh(_DUCK_HASH).replace(
+        "(SELECT explode(sequence(0, 199)) AS b)",
+        "(SELECT b FROM range(200) t(b))",
+    ),
+)
+def k_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini–Hochberg FDR control over a FAMILY of exact permutation
+    tests: one md5-permutation p-value per event type (does the hash-
+    assigned arm shift this type's per-user count?), then the BH step-up —
+    keep every hypothesis ranked at or below the largest r with
+    p_(r) ≤ α·r/m (α=.05) — evaluated as the pure integer comparison
+    20·p_num·m ≤ r·(B+1), so the whole multiple-testing decision is
+    exact rational arithmetic (the correction every dashboard that tests
+    5 metrics per release needs and almost none applies; the single-test
+    sibling is ``k_permutation_ab``).
+
+    Scale shape: the only corpus-sized work is the (user,type) reduce;
+    permutation diffs aggregate B×|users|×k CELL rows (never B×N events)
+    in one grouped pass; the BH step-up runs on an m-row spine."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_body_fdr_bh(_SPARK_HASH))
+
+
+def _body_power_mde(hash_to_long: str) -> str:
+    ha = hash_to_long.format(h="'assign:' || CAST(user_id AS STRING)")
+    return f"""
+    WITH per_user AS (
+      SELECT user_id,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS x
+      FROM events GROUP BY user_id
+    ), armed AS (
+      SELECT CAST({ha} % 2 AS INT) AS arm, x FROM per_user
+    ), s AS (
+      SELECT sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n0,
+             sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n1,
+             sum(CASE WHEN arm = 0 THEN x ELSE 0 END) AS s0,
+             sum(CASE WHEN arm = 1 THEN x ELSE 0 END) AS s1,
+             sum(CASE WHEN arm = 0 THEN x * x ELSE 0 END) AS q0,
+             sum(CASE WHEN arm = 1 THEN x * x ELSE 0 END) AS q1
+      FROM armed
+    ), v AS (
+      SELECT n0, n1, s0, s1,
+             (CAST(q0 AS DOUBLE) - CAST(s0 AS DOUBLE) * s0 / n0) / (n0 - 1)
+               AS v0,
+             (CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1) / (n1 - 1)
+               AS v1
+      FROM s
+    )
+    SELECT CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+           CAST(round(CAST(s0 AS DOUBLE) / n0, 6) + 0.0 AS DOUBLE)
+             AS mean_ctrl,
+           CAST(round(sqrt(v0 / n0 + v1 / n1), 6) + 0.0 AS DOUBLE) AS se,
+           CAST(round(2.801585 * sqrt(v0 / n0 + v1 / n1), 6) + 0.0
+             AS DOUBLE) AS mde_abs,
+           CAST(floor(2.801585 * sqrt(v0 / n0 + v1 / n1)
+                      / (CAST(s0 AS DOUBLE) / n0) * 10000) AS BIGINT)
+             AS mde_rel_bp
+    FROM v
+    """
+
+
+@register("k_power_mde", oracle=_body_power_mde(_DUCK_HASH))
+def k_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum detectable effect at 80% power / α=.05 two-sided for the
+    purchase-count metric under the md5 hash assignment: MDE =
+    (z_{.975}+z_{.80})·SE = 2.801585·√(v₀/n₀+v₁/n₁) — the experiment-
+    DESIGN number that belongs in front of every test in this module: if
+    the effect you care about is smaller than the MDE, don't run the
+    experiment, size it up. Per-user counts are integers, both variances
+    come from exact power sums, and the z-constant is a shared literal —
+    every output is a deterministic function of identical integers.
+
+    Scale shape: one per-user reduce then a single conditional aggregate
+    (map-side partials); 1-row output."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_body_power_mde(_SPARK_HASH))

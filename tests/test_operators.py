@@ -2823,3 +2823,41 @@ def test_asof_tolerance_srm_ess(spark, sf_dir):
     for r in QUERIES["k_importance_ess"](spark, sf_dir).collect():
         assert 1.0 <= r.ess <= r.n_docs + 1e-9
         assert abs(r.ess_ratio - r.ess / r.n_docs) < 1e-4
+
+
+def test_fdr_bh_and_power_mde(spark, sf_dir):
+    """BH decisions reproduce from the reported exact p-value rationals;
+    the MDE recomputes from a pandas two-arm variance pass."""
+    import hashlib
+    import math
+
+    from data_service_spark.registry import QUERIES
+
+    rows = sorted(
+        QUERIES["k_fdr_bh"](spark, sf_dir).collect(), key=lambda r: r.p_rank
+    )
+    m = len(rows)
+    r_max = max(
+        (r.p_rank for r in rows if 20 * r.p_num * m <= r.p_rank * r.p_den),
+        default=0,
+    )
+    for r in rows:
+        assert r.significant == (r.p_rank <= r_max)
+        assert 1 <= r.p_num <= r.p_den
+
+    pm = QUERIES["k_power_mde"](spark, sf_dir).first()
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    pu = (
+        ev.assign(is_p=(ev.event_type == "purchase").astype(int))
+        .groupby("user_id")
+        .is_p.sum()
+    )
+    arm = pu.index.map(
+        lambda u: int(hashlib.md5(f"assign:{u}".encode()).hexdigest()[:8], 16)
+        % 2
+    )
+    x0, x1 = pu[arm == 0], pu[arm == 1]
+    se = math.sqrt(x0.var(ddof=1) / len(x0) + x1.var(ddof=1) / len(x1))
+    assert (pm.n0, pm.n1) == (len(x0), len(x1))
+    assert abs(pm.se - se) < 1e-5
+    assert abs(pm.mde_abs - 2.801585 * se) < 1e-4

@@ -147,6 +147,7 @@ k_calibration_isotonic k_eval_avg_precision a_scan_json_corrupt
 q_pivot_sql q_lateral_view d_agg_median_counting
 i_idempotent_sink
 c_join_asof_tolerance k_srm_check k_importance_ess
+k_fdr_bh k_power_mde
 """.split()
 
 
