@@ -20,6 +20,22 @@ SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
 # key → (what to look for, why it matters at 100 TB)
 SHOWCASE = {
+    "d_agg_median_counting": (
+        "frequency groupBy (shuffle carries distinct cents, not rows) -> per-group spine Window -> conditional-min agg",
+        "an EXACT median whose shuffle is value-cardinality-sized: no global sort, no sketch error - the 100 TB shape for bounded domains",
+    ),
+    "k_quantile_normalize": (
+        "per-source rank Windows (sharded on source) + ONE global row_number reference sort -> position equi-join",
+        "cross-source distribution alignment as pure integer rank mapping: the reference build is the only global sort and it is reusable",
+    ),
+    "k_graph_hits": (
+        "edge build with broadcast orders -> per-half-iteration hash agg with the ppm-quantized score vector broadcast",
+        "a spectral method whose fixed-point prefix is bit-identical cross-engine: floor-quantize to integers BEFORE each propagation",
+    ),
+    "c_join_asof_tolerance": (
+        "union-then-window carry (ONE exchange on the key) -> microsecond staleness predicate",
+        "tolerance turns staleness into an explicit NULL and bounds streaming state - same single-shuffle plan as the unbounded as-of",
+    ),
     "c_join_spatial_grid": (
         "neighborhood explode -> hash join on the (clat, clon) cell id -> haversine only on co-cell rows",
         "a radius join that never nests loops: candidate cost tracks grid-cell occupancy, the geohash pattern on plain Spark",
