@@ -2332,3 +2332,148 @@ def k_eval_avg_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("ap_ppm"),
         )
     )
+
+
+# ------------------------------------- capture-recapture dup audit ----
+
+
+@register(
+    "k_capture_recapture",
+    oracle=f"""
+    WITH mh AS ({_REG_ORACLES.get("k_dedup_minhash_sql", "SELECT 1")}),
+    sh AS ({_REG_ORACLES.get("k_dedup_simhash", "SELECT 1")}),
+    a AS (SELECT DISTINCT doc_id_1, doc_id_2 FROM mh),
+    b AS (SELECT DISTINCT doc_id_1, doc_id_2 FROM sh),
+    s AS (
+      SELECT (SELECT count(*) FROM a) AS n1,
+             (SELECT count(*) FROM b) AS n2,
+             (SELECT count(*) FROM a JOIN b USING (doc_id_1, doc_id_2))
+               AS m
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_minhash, CAST(n2 AS BIGINT) AS n_simhash,
+           CAST(m AS BIGINT) AS n_both,
+           CAST(floor(CAST((n1 + 1) * (n2 + 1) AS DOUBLE) / (m + 1))
+             AS BIGINT) - 1 AS chapman_est,
+           CAST(floor(CAST(m AS DOUBLE) * 10000 / n2) AS BIGINT)
+             AS minhash_coverage_bp
+    FROM s
+    """,
+)
+def k_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capture–recapture estimate of the TRUE near-duplicate pair count
+    from two mechanistically independent miners: MinHash-LSH
+    (shingle-Jaccard capture) and SimHash banding (bit-fingerprint
+    recapture). Chapman's estimator N̂ = (n₁+1)(n₂+1)/(m+1) − 1 turns
+    their overlap into an estimate of the pairs BOTH methods missed — the
+    ecology trick (Lincoln–Petersen) applied to dedup coverage, answering
+    the question recall-vs-ground-truth (``k_eval_dedup_recall``) cannot
+    at 100 TB, where no exhaustive ground truth exists. Integer division
+    floors both engines identically (n₁,n₂,m exact counts).
+
+    Scale shape: composes the two banded pipelines (each linear in
+    bucket occupancy); the audit itself joins two pair lists — spine
+    work."""
+    from data_service_spark.registry import QUERIES
+
+    a = (
+        QUERIES["k_dedup_minhash_sql"](spark, sf_dir)
+        .select("doc_id_1", "doc_id_2")
+        .distinct()
+        .localCheckpoint()
+    )
+    b = (
+        QUERIES["k_dedup_simhash"](spark, sf_dir)
+        .select("doc_id_1", "doc_id_2")
+        .distinct()
+        .localCheckpoint()
+    )
+    s = (
+        a.agg(F.count(F.lit(1)).alias("n1"))
+        .crossJoin(b.agg(F.count(F.lit(1)).alias("n2")))
+        .crossJoin(
+            a.join(b, ["doc_id_1", "doc_id_2"]).agg(
+                F.count(F.lit(1)).alias("m")
+            )
+        )
+    )
+    return s.select(
+        F.col("n1").cast("long").alias("n_minhash"),
+        F.col("n2").cast("long").alias("n_simhash"),
+        F.col("m").cast("long").alias("n_both"),
+        F.floor(
+            ((F.col("n1") + 1) * (F.col("n2") + 1)).cast("double")
+            / (F.col("m") + 1)
+        ).cast("long").alias("_tmp"),
+        F.floor(F.col("m").cast("double") * 10000 / F.col("n2"))
+        .cast("long")
+        .alias("minhash_coverage_bp"),
+    ).select(
+        "n_minhash", "n_simhash", "n_both",
+        (F.col("_tmp") - 1).alias("chapman_est"),
+        "minhash_coverage_bp",
+    )
+
+
+# --------------------------------------- decision-stump split find ----
+
+
+def _body_best_split() -> str:
+    return """
+    WITH lab AS (
+      SELECT n_chars AS v, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM documents
+    ), g AS (
+      SELECT v, count(*) AS c, sum(y) AS a FROM lab GROUP BY v
+    ), spine AS (
+      SELECT v,
+             sum(c) OVER (ORDER BY v) AS nl,
+             sum(a) OVER (ORDER BY v) AS al,
+             sum(c) OVER () AS n,
+             sum(a) OVER () AS atot
+      FROM g
+    ), cand AS (
+      SELECT v, nl, al, n, atot,
+             (nl - (CAST(al AS DOUBLE) * al
+                    + CAST(nl - al AS DOUBLE) * (nl - al)) / nl)
+             + ((n - nl) - (CAST(atot - al AS DOUBLE) * (atot - al)
+                            + CAST((n - nl) - (atot - al) AS DOUBLE)
+                              * ((n - nl) - (atot - al))) / (n - nl))
+               AS w_impurity
+      FROM spine WHERE nl < n
+    ), best AS (
+      SELECT * FROM (
+        SELECT v, nl, al, n, atot, w_impurity,
+               row_number() OVER (ORDER BY w_impurity, v) AS rn
+        FROM cand
+      ) r WHERE rn = 1
+    )
+    SELECT CAST(v AS BIGINT) AS split_at, CAST(nl AS BIGINT) AS n_left,
+           CAST(al AS BIGINT) AS pos_left,
+           CAST(floor((1 - (CAST(atot AS DOUBLE) * atot
+                            + CAST(n - atot AS DOUBLE) * (n - atot))
+                           / (CAST(n AS DOUBLE) * n)) * 10000) AS BIGINT)
+             AS gini_before_bp,
+           CAST(floor(w_impurity / n * 10000) AS BIGINT) AS gini_after_bp
+    FROM best
+    """
+
+
+@register("k_best_split_stump", oracle=_body_best_split())
+def k_best_split_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-stump learner: the single threshold on document length
+    that best separates ``lang='en'`` by weighted Gini impurity — the
+    distributed primitive under every tree/GBDT feature-split and, in a
+    curation stack, the "is this feature a usable gate on its own" probe
+    (compare gini_after to gini_before: no drop ⇒ length can't gate
+    language). The candidate scan is the classic histogram method: one
+    frequency spine with cumulative (count, positives), every threshold
+    scored from the prefix sums in one pass — never a per-threshold
+    re-scan. Impurity doubles are identical cross-engine (exact integer
+    inputs, shared expression), selection is rounding-monotonic, outputs
+    floor-quantize to basis points.
+
+    Scale shape: map-side reduce to distinct feature values, one ordered
+    window over that spine, one row out — the XGBoost approx-split shape
+    with exact (not quantile-sketch) candidates."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_body_best_split())

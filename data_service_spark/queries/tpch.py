@@ -904,3 +904,32 @@ def q_lateral_view(spark: "SparkSession", sf_dir: str) -> "DataFrame":
           CAST(cents AS DOUBLE), cents / 2, cents / 4)) ex AS pos, part
         """
     )
+
+
+def _body_filter_clause() -> str:
+    return """
+    SELECT o_orderstatus,
+           count(*) AS n_orders,
+           count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,
+           CAST(coalesce(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                FILTER (WHERE o_orderdate >= TIMESTAMP '1996-01-01'), 0)
+             AS BIGINT) AS cents_since_96,
+           CAST(coalesce(min(o_orderkey)
+                FILTER (WHERE o_orderpriority = '5-LOW'), -1) AS BIGINT)
+             AS first_low_key
+    FROM orders GROUP BY o_orderstatus
+    """
+
+
+@register("q_filter_clause", oracle=_body_filter_clause())
+def q_filter_clause(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """ANSI aggregate ``FILTER (WHERE ...)`` clause (both dialects parse
+    it natively): several differently-filtered aggregates in ONE pass over
+    the fact table — the surface that replaces self-join-per-condition
+    anti-patterns. Catalyst rewrites each FILTER into a conditional
+    partial, so the plan stays one partial+final hash aggregate; absent
+    groups coalesce to explicit sentinels.
+
+    Scale shape: single aggregate, map-side partials, no extra scans."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_body_filter_clause())

@@ -2861,3 +2861,43 @@ def test_fdr_bh_and_power_mde(spark, sf_dir):
     assert (pm.n0, pm.n1) == (len(x0), len(x1))
     assert abs(pm.se - se) < 1e-5
     assert abs(pm.mde_abs - 2.801585 * se) < 1e-4
+
+
+def test_capture_recapture_split_filter_clause(spark, sf_dir):
+    """Chapman estimate recomputes from its own counts and bounds below by
+    the union; stump split beats (or ties) every decile threshold on a
+    pandas recompute; FILTER clause equals per-condition pandas sums."""
+    from data_service_spark.registry import QUERIES
+
+    cr = QUERIES["k_capture_recapture"](spark, sf_dir).first()
+    assert cr.n_both <= min(cr.n_minhash, cr.n_simhash)
+    chapman = (cr.n_minhash + 1) * (cr.n_simhash + 1) // (cr.n_both + 1) - 1
+    assert cr.chapman_est == chapman
+    assert chapman >= cr.n_minhash + cr.n_simhash - cr.n_both  # >= union
+
+    st = QUERIES["k_best_split_stump"](spark, sf_dir).first()
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    y = (docs.lang == "en").astype(int)
+    v = docs.n_chars
+
+    def w_imp(thr):
+        l, r = y[v <= thr], y[v > thr]
+        if len(l) == 0 or len(r) == 0:
+            return float("inf")
+        gl = 1 - ((l.sum() / len(l)) ** 2 + (1 - l.sum() / len(l)) ** 2)
+        gr = 1 - ((r.sum() / len(r)) ** 2 + (1 - r.sum() / len(r)) ** 2)
+        return len(l) * gl + len(r) * gr
+
+    best_w = w_imp(st.split_at)
+    for q in range(1, 10):
+        assert best_w <= w_imp(v.quantile(q / 10)) + 1e-9
+    assert st.gini_after_bp <= st.gini_before_bp
+
+    fc = {r.o_orderstatus: r for r in QUERIES["q_filter_clause"](spark, sf_dir).collect()}
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    for status, g in o.groupby("o_orderstatus"):
+        r = fc[status]
+        assert r.n_orders == len(g)
+        assert r.n_urgent == (g.o_orderpriority == "1-URGENT").sum()
+        low = g[g.o_orderpriority == "5-LOW"].o_orderkey
+        assert r.first_low_key == (low.min() if len(low) else -1)

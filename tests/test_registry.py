@@ -148,6 +148,7 @@ q_pivot_sql q_lateral_view d_agg_median_counting
 i_idempotent_sink
 c_join_asof_tolerance k_srm_check k_importance_ess
 k_fdr_bh k_power_mde
+k_capture_recapture k_best_split_stump q_filter_clause
 """.split()
 
 
