@@ -634,3 +634,134 @@ def k_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
     (t, Σmd, m_t, max m, min m) as O(1) state per metric."""
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_body_page_hinkley())
+
+
+# ------------------------------------------- rolling correlation ----
+
+
+@register(
+    "e_win_rolling_corr",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+             sum(CASE WHEN event_type = 'purchase'
+                 THEN CAST(round(value * 100, 0) AS BIGINT) END) AS x,
+             sum(CASE WHEN event_type = 'click'
+                 THEN CAST(round(value * 100, 0) AS BIGINT) END) AS y
+      FROM events WHERE event_type IN ('purchase', 'click')
+      GROUP BY 1
+    ), w AS (
+      SELECT d,
+             count(*) OVER win AS n,
+             sum(x) OVER win AS sx, sum(y) OVER win AS sy,
+             sum(x * y) OVER win AS sxy,
+             sum(x * x) OVER win AS sxx, sum(y * y) OVER win AS syy
+      FROM daily
+      WINDOW win AS (ORDER BY d ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    )
+    SELECT d, CAST(n AS BIGINT) AS n,
+           CAST(round(
+             (n * sxy - sx * sy)
+             / nullif(sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                      * sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 0),
+             6) + 0.0 AS DOUBLE) AS corr_14d
+    FROM w WHERE n >= 14
+    """,
+)
+def e_win_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """14-day rolling Pearson correlation between daily purchase and click
+    revenue — the co-movement monitor that flags when two metrics that
+    normally track each other decouple (instrumentation break, funnel
+    shift) before either one's own control chart fires. Both series
+    quantize to integer cents (coarse enough that 14-day power sums
+    stay inside BIGINT at sf1); all five windowed power sums
+    (Σx, Σy, Σxy, Σx², Σy²) are exact BIGINTs, so the correlation is one
+    final expression over identical integers in both engines — the
+    bivariate extension of the ``e_win_bollinger`` order-proof-moment
+    pattern. NULL where a window has zero variance.
+
+    Scale shape: map-side reduce to the day spine; one 14-row window
+    over hundreds of rows."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        """
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+             sum(CASE WHEN event_type = 'purchase'
+                 THEN CAST(round(value * 100, 0) AS BIGINT) END) AS x,
+             sum(CASE WHEN event_type = 'click'
+                 THEN CAST(round(value * 100, 0) AS BIGINT) END) AS y
+      FROM events WHERE event_type IN ('purchase', 'click')
+      GROUP BY 1
+    ), w AS (
+      SELECT d,
+             count(*) OVER win AS n,
+             sum(x) OVER win AS sx, sum(y) OVER win AS sy,
+             sum(x * y) OVER win AS sxy,
+             sum(x * x) OVER win AS sxx, sum(y * y) OVER win AS syy
+      FROM daily
+      WINDOW win AS (ORDER BY d ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    )
+    SELECT d, CAST(n AS BIGINT) AS n,
+           CAST(round(
+             (n * sxy - sx * sy)
+             / nullif(sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                      * sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 0),
+             6) + 0.0 AS DOUBLE) AS corr_14d
+    FROM w WHERE n >= 14
+    """
+    )
+
+
+def _body_lag_ccf() -> str:
+    return """
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+             sum(CASE WHEN event_type = 'purchase'
+                 THEN CAST(round(value * 100, 0) AS BIGINT) END) AS x,
+             sum(CASE WHEN event_type = 'click'
+                 THEN CAST(round(value * 100, 0) AS BIGINT) END) AS y
+      FROM events WHERE event_type IN ('purchase', 'click')
+      GROUP BY 1
+    ), pairs AS (
+      SELECT l.lag, a.x, b.y
+      FROM (SELECT explode(sequence(-7, 7)) AS lag) l
+      JOIN daily a ON true
+      JOIN daily b ON b.d = a.d + l.lag
+    ), g AS (
+      SELECT lag, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+      FROM pairs GROUP BY lag
+    )
+    SELECT CAST(lag AS INT) AS lag, CAST(n AS BIGINT) AS n_days,
+           CAST(round(
+             (n * sxy - sx * sy)
+             / nullif(sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                      * sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 0),
+             6) + 0.0 AS DOUBLE) AS ccf
+    FROM g
+    """
+
+
+@register(
+    "k_lag_corr_ccf",
+    oracle=_body_lag_ccf().replace(
+        "(SELECT explode(sequence(-7, 7)) AS lag)",
+        "(SELECT CAST(b - 7 AS INT) AS lag FROM range(15) t(b))",
+    ),
+)
+def k_lag_corr_ccf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation function between daily purchase and click revenue
+    at lags −7..+7 days: the lead–lag discovery tool (does click volume
+    LEAD purchases, and by how many days?) that turns "the metrics look
+    related" into an actionable offset for forecasting features and
+    incident root-causing. Same integer power-sum determinism as
+    ``e_win_rolling_corr``; the lag alignment is a calendar-date equi-join
+    (b.d = a.d + lag), so gaps in the day spine self-exclude instead of
+    silently shifting the series (the row-number-alignment bug this
+    formulation avoids).
+
+    Scale shape: everything after the map-side day reduce runs on a
+    15×|days| spine — dimension-sized."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_body_lag_ccf())

@@ -2901,3 +2901,35 @@ def test_capture_recapture_split_filter_clause(spark, sf_dir):
         assert r.n_urgent == (g.o_orderpriority == "1-URGENT").sum()
         low = g[g.o_orderpriority == "5-LOW"].o_orderkey
         assert r.first_low_key == (low.min() if len(low) else -1)
+
+
+def test_rolling_corr_and_ccf_match_pandas(spark, sf_dir):
+    """Rolling correlation and CCF reproduce pandas' rolling().corr() and
+    shifted-series correlation on the cents-quantized daily frames."""
+    from data_service_spark.registry import QUERIES
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    ev["c"] = (ev.value * 100).round().astype("int64")
+    ev["d"] = ev.ts.dt.floor("D")
+    piv = (
+        ev[ev.event_type.isin(["purchase", "click"])]
+        .pivot_table(index="d", columns="event_type", values="c", aggfunc="sum")
+        .sort_index()
+    )
+
+    rc = {r.d: r.corr_14d for r in QUERIES["e_win_rolling_corr"](spark, sf_dir).collect()}
+    roll = piv.purchase.rolling(14).corr(piv.click)
+    for d, c in rc.items():
+        expect = roll[pd.Timestamp(d)]
+        assert abs(c - expect) < 1e-4
+
+    ccf = {r.lag: r.ccf for r in QUERIES["k_lag_corr_ccf"](spark, sf_dir).collect()}
+    assert set(ccf) == set(range(-7, 8))
+    for lag in (-3, 0, 5):
+        x = piv.purchase
+        y = piv.click.copy()
+        y.index = y.index - pd.Timedelta(days=lag)
+        j = pd.concat([x, y], axis=1, join="inner").dropna()
+        expect = j.iloc[:, 0].corr(j.iloc[:, 1])
+        assert abs(ccf[lag] - expect) < 1e-4
+    assert abs(ccf[0] - piv.purchase.corr(piv.click)) < 1e-4

@@ -149,6 +149,7 @@ i_idempotent_sink
 c_join_asof_tolerance k_srm_check k_importance_ess
 k_fdr_bh k_power_mde
 k_capture_recapture k_best_split_stump q_filter_clause
+e_win_rolling_corr k_lag_corr_ccf
 """.split()
 
 
