@@ -519,3 +519,65 @@ def j_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_group,
         "event_type string, n long, vmin double, vmax double, vrange double",
     )
+
+
+@register(
+    "j_udf_iterator",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(text) * 2 + 7 AS BIGINT) AS scored
+    FROM documents
+    """,
+)
+def j_udf_iterator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Iterator[pd.Series] -> Iterator[pd.Series] pandas UDF: the
+    # model-amortization shape. The expensive initialization (here a stand-in
+    # "model" tuple; in production a tokenizer/ONNX session/embedding model)
+    # runs ONCE PER PYTHON WORKER, then every Arrow batch reuses it — the
+    # difference between loading a 2 GB model per batch and per executor,
+    # i.e. the only viable way to run model inference UDFs at 100 TB.
+    def scorer(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        weight, bias = 2, 7  # <- init cost paid once per worker
+        for s in batches:
+            yield s.str.len() * weight + bias
+
+    score = F.pandas_udf(scorer, "long")
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", score("text").alias("scored"))
+
+
+@register(
+    "j_pandas_udaf_window",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           round(avg(o_totalprice) OVER
+                 (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4)
+             AS roll_avg
+    FROM orders
+    """,
+)
+def j_pandas_udaf_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Grouped-agg pandas UDF evaluated OVER a bounded window frame — the
+    # third place a UDAF can run (after groupBy().agg and SQL agg): Spark
+    # slices the frame per row and ships each slice through Arrow. Kept on a
+    # 3-row frame so the Arrow amplification stays visible-but-bounded; the
+    # built-in avg twin is what production uses (and what the oracle hashes)
+    # — this key pins the UDAF-in-window plumbing.
+    from pyspark.sql.window import Window
+
+    @F.pandas_udf("double")
+    def pmean(v: pd.Series) -> float:
+        return float(v.mean())
+
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(pmean("o_totalprice").over(w), 4).alias("roll_avg"),
+    )

@@ -2933,3 +2933,34 @@ def test_rolling_corr_and_ccf_match_pandas(spark, sf_dir):
         expect = j.iloc[:, 0].corr(j.iloc[:, 1])
         assert abs(ccf[lag] - expect) < 1e-4
     assert abs(ccf[0] - piv.purchase.corr(piv.click)) < 1e-4
+
+
+def test_udf_iterator_and_window_udaf(spark, sf_dir):
+    """Iterator UDF output equals the closed-form length transform; the
+    window UDAF equals the built-in rolling mean on every row."""
+    from data_service_spark.registry import QUERIES
+    from pyspark.sql.window import Window as W
+
+    it = QUERIES["j_udf_iterator"](spark, sf_dir)
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    got = {r.doc_id: r.scored for r in it.collect()}
+    for _, row in docs.head(100).iterrows():
+        assert got[row.doc_id] == len(row.text) * 2 + 7
+
+    uw = QUERIES["j_pandas_udaf_window"](spark, sf_dir)
+    from data_service_spark.io import load
+
+    o = load(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, W.currentRow)
+    )
+    twin = o.select(
+        "o_orderkey",
+        F.round(F.avg("o_totalprice").over(w), 4).alias("roll_avg"),
+    )
+    j = uw.select("o_orderkey", F.col("roll_avg").alias("a")).join(
+        twin.select("o_orderkey", F.col("roll_avg").alias("b")), "o_orderkey"
+    )
+    assert j.filter(F.abs(F.col("a") - F.col("b")) > 1e-9).count() == 0
