@@ -87,6 +87,7 @@ PRIORITY = [
     "k_capture_recapture", "k_best_split_stump", "q_filter_clause",
     "e_win_rolling_corr", "k_lag_corr_ccf",
     "j_udf_iterator", "j_pandas_udaf_window",
+    "k_dedup_token_savings", "k_code_detect",
     # remaining never-recorded core, next rounds' window
     "e_win_ignore_nulls", "e_win_pareto", "e_win_ewma", "e_win_nth_value",
     "g_union_byname", "g_except_all", "g_intersect_all",

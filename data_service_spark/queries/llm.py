@@ -3431,3 +3431,73 @@ def k_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("auth_ppm"), "suppkey")
         .limit(20)
     )
+
+
+@register(
+    "k_dedup_token_savings",
+    oracle=f"""
+    WITH labels AS ({_ORACLES["k_dedup_clusters"]}),
+    toks AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      FROM documents
+    )
+    SELECT t.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(t.n_tok) AS BIGINT) AS tokens_before,
+           CAST(sum(CASE WHEN l.doc_id = l.cluster_id THEN t.n_tok
+                         ELSE 0 END) AS BIGINT) AS tokens_after,
+           CAST(floor(sum(CASE WHEN l.doc_id <> l.cluster_id THEN t.n_tok
+                               ELSE 0 END) * 10000.0 / sum(t.n_tok))
+             AS BIGINT) AS savings_bp
+    FROM toks t JOIN labels l USING (doc_id)
+    GROUP BY t.source
+    """,
+)
+def k_dedup_token_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-level cost accounting of near-dup removal, per source: tokens
+    before vs after keeping one representative (min doc_id) per connected
+    dup cluster — the number that justifies (or kills) a dedup stage in a
+    training-budget review, because doc-level drop counts hide that dups
+    concentrate in long boilerplate docs. Composes the registered CC
+    labels (``k_dedup_clusters``) with whitespace token counts; the
+    savings ratio floor-quantizes to basis points.
+
+    Scale shape: the CC labels are spine-sized (they memoize across keys
+    in-session); one broadcast-joined pass over the corpus, grouped by
+    source."""
+    from data_service_spark.registry import QUERIES
+
+    labels = QUERIES["k_dedup_clusters"](spark, sf_dir)
+    d = load_parallel(spark, sf_dir, "documents", "doc_id")
+    toks = d.select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+    )
+    kept = F.col("doc_id") == F.col("cluster_id")
+    return (
+        toks.join(F.broadcast(labels), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("tokens_before"),
+            F.sum(F.when(kept, F.col("n_tok")).otherwise(0)).alias(
+                "tokens_after"
+            ),
+            F.floor(
+                F.sum(F.when(~kept, F.col("n_tok")).otherwise(0))
+                * 10000.0
+                / F.sum("n_tok")
+            )
+            .cast("long")
+            .alias("savings_bp"),
+        )
+        .select(
+            "source",
+            F.col("n_docs").cast("long"),
+            F.col("tokens_before").cast("long"),
+            F.col("tokens_after").cast("long"),
+            "savings_bp",
+        )
+    )

@@ -1800,3 +1800,46 @@ def k_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_body_quantile_normalize())
+
+
+def _body_code_detect() -> str:
+    return """
+    WITH feat AS (
+      SELECT doc_id, source,
+             length(text) AS n,
+             length(text) - length(replace(text, '{', '')) AS braces,
+             length(text) - length(replace(text, ';', '')) AS semis,
+             length(text) - length(replace(text, '=', '')) AS eqs,
+             length(text) - length(replace(text, '(', '')) AS parens
+      FROM documents
+    ), scored AS (
+      SELECT doc_id, source, n,
+             CAST(braces + semis AS BIGINT) AS hard_markers,
+             CAST(eqs + parens AS BIGINT) AS soft_markers,
+             (braces + semis) * 2 + (eqs + parens) AS score_num
+      FROM feat
+    )
+    SELECT doc_id, source,
+           hard_markers, soft_markers,
+           CAST(floor(score_num * 10000.0 / n) AS BIGINT) AS code_score_bp,
+           (score_num * 1000 >= n * 5) AS looks_like_code
+    FROM scored
+    """
+
+
+@register("k_code_detect", oracle=_body_code_detect())
+def k_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose heuristic gate: marker-character densities (braces +
+    semicolons weighted 2×, equals + parens 1×) per character, the
+    integer-exact cousin of linguistic heuristics like ``k_text_langid``
+    — a training-data mixer routes code and prose to different pipelines
+    (different dedup thresholds, different quality gates), and this is
+    the routing predicate when no file extension exists. The decision
+    threshold (score ≥ 0.5% of characters) is evaluated as the pure
+    integer cross-product score·1000 ≥ n·5 — no division anywhere near
+    the boolean.
+
+    Scale shape: pure scan-side projection (length/replace stay in
+    codegen), zero shuffles."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_body_code_detect())

@@ -2964,3 +2964,31 @@ def test_udf_iterator_and_window_udaf(spark, sf_dir):
         twin.select("o_orderkey", F.col("roll_avg").alias("b")), "o_orderkey"
     )
     assert j.filter(F.abs(F.col("a") - F.col("b")) > 1e-9).count() == 0
+
+
+def test_token_savings_and_code_detect(spark, sf_dir):
+    """Token savings reconcile with k_dedup_apply doc counts and global
+    token totals; code detector recomputes from raw character counts."""
+    from data_service_spark.registry import QUERIES
+
+    sav = QUERIES["k_dedup_token_savings"](spark, sf_dir).collect()
+    app = QUERIES["k_dedup_apply"](spark, sf_dir).first()
+    assert sum(r.n_docs for r in sav) == app.n_docs
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    total_tok = int(docs.text.str.split(" ").str.len().sum())
+    assert sum(r.tokens_before for r in sav) == total_tok
+    for r in sav:
+        assert 0 <= r.tokens_after <= r.tokens_before
+        expect_bp = (r.tokens_before - r.tokens_after) * 10000 // r.tokens_before
+        assert r.savings_bp == expect_bp
+
+    cd = QUERIES["k_code_detect"](spark, sf_dir).toPandas().set_index("doc_id")
+    for _, row in docs.head(50).iterrows():
+        t = row.text
+        hard = t.count("{") + t.count(";")
+        soft = t.count("=") + t.count("(")
+        r = cd.loc[row.doc_id]
+        assert (r.hard_markers, r.soft_markers) == (hard, soft)
+        score = hard * 2 + soft
+        assert r.code_score_bp == score * 10000 // len(t)
+        assert r.looks_like_code == (score * 1000 >= len(t) * 5)
