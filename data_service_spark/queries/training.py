@@ -3045,3 +3045,74 @@ def k_importance_ess(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialize — the cell counts carry them analytically."""
     load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_body_importance_ess())
+
+
+# ----------------------------------------------- raking / IPF weights ----
+
+
+def _body_raking() -> str:
+    # Integer-exact IPF: weights live in ppm; every rescale is one BIGINT
+    # multiply followed by exact integer division (Spark `DIV`; the oracle
+    # swaps in DuckDB's `//`). Positive operands throughout, so both
+    # operators agree (floor division).
+    return """
+    WITH cell AS (
+      SELECT source, lang, count(*) AS c FROM documents GROUP BY 1, 2
+    ), tot AS (
+      SELECT sum(c) AS n, count(DISTINCT source) AS n_src FROM cell
+    ), col_t AS (
+      SELECT lang, sum(c) AS c_l FROM cell GROUP BY 1
+    ), w0 AS (
+      SELECT source, lang, c, CAST(1000000 AS BIGINT) AS w FROM cell
+    ), r1 AS (
+      SELECT w0.source, w0.lang, w0.c,
+             (w0.w * t.n * 1000000)
+               DIV (sum(w0.c * w0.w) OVER (PARTITION BY w0.source)
+                    * t.n_src) AS w
+      FROM w0 CROSS JOIN tot t
+    ), c1 AS (
+      SELECT r1.source, r1.lang, r1.c,
+             (r1.w * ct.c_l * 1000000)
+               DIV (sum(r1.c * r1.w) OVER (PARTITION BY r1.lang)) AS w
+      FROM r1 JOIN col_t ct ON r1.lang = ct.lang
+    ), r2 AS (
+      SELECT c1.source, c1.lang, c1.c,
+             (c1.w * t.n * 1000000)
+               DIV (sum(c1.c * c1.w) OVER (PARTITION BY c1.source)
+                    * t.n_src) AS w
+      FROM c1 CROSS JOIN tot t
+    ), c2 AS (
+      SELECT r2.source, r2.lang, r2.c,
+             (r2.w * ct.c_l * 1000000)
+               DIV (sum(r2.c * r2.w) OVER (PARTITION BY r2.lang)) AS w
+      FROM r2 JOIN col_t ct ON r2.lang = ct.lang
+    )
+    SELECT c2.source, c2.lang, CAST(c2.c AS BIGINT) AS n_docs,
+           CAST(c2.w AS BIGINT) AS w_ppm,
+           CAST((sum(c2.c * c2.w) OVER (PARTITION BY c2.source) * t.n_src)
+                DIV t.n DIV 10000 AS BIGINT) AS row_mass_vs_target_pct
+    FROM c2 CROSS JOIN tot t
+    """
+
+
+@register(
+    "k_raking_ipf",
+    oracle=_body_raking().replace(" DIV ", " // "),
+)
+def k_raking_ipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raking (iterative proportional fitting) of per-(source,lang) sample
+    weights to two simultaneous margins: uniform SOURCE shares (every
+    crawl contributes equally) while PRESERVING the global language mix —
+    the survey-statistics workhorse (Deming–Stephan) that a data mixer
+    uses when two marginal targets must hold at once and per-cell targets
+    don't exist. Two full row→column rounds unrolled; weights live in
+    integer ppm and every rescale is BIGINT multiply + exact integer
+    floor-division, so the entire fixed-point prefix is bit-identical
+    cross-engine (the ``k_graph_hits`` determinism pattern applied to
+    IPF). ``row_mass_vs_target_pct`` exposes convergence (→100).
+
+    Scale shape: the corpus reduces map-side to the (source×lang) grid;
+    each IPF half-round is one partitioned window over that spine —
+    shuffle size independent of N."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_body_raking())

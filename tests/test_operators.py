@@ -2992,3 +2992,37 @@ def test_token_savings_and_code_detect(spark, sf_dir):
         score = hard * 2 + soft
         assert r.code_score_bp == score * 10000 // len(t)
         assert r.looks_like_code == (score * 1000 >= len(t) * 5)
+
+
+def test_raking_ipf_converges_margins(spark, sf_dir):
+    """After two IPF rounds the column (lang) margins match the global
+    lang counts exactly-ish (last step scaled columns) and the row
+    margins are near the uniform target; weights are positive."""
+    from data_service_spark.registry import QUERIES
+
+    rows = QUERIES["k_raking_ipf"](spark, sf_dir).collect()
+    assert all(r.w_ppm > 0 for r in rows)
+    n = sum(r.n_docs for r in rows)
+    n_src = len({r.source for r in rows})
+
+    # column margins: last IPF step rescaled langs, so weighted lang mass
+    # should equal the raw lang count to within integer-floor slack
+    by_lang: dict = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, [0, 0])
+        by_lang[r.lang][0] += r.n_docs
+        by_lang[r.lang][1] += r.n_docs * r.w_ppm
+    for lang, (c_l, mass) in by_lang.items():
+        assert abs(mass / 1e6 - c_l) / c_l < 0.01
+
+    # row margins: one step older, but should be within 25% of uniform
+    # (raking converges geometrically; exact equality is the fixpoint)
+    by_src: dict = {}
+    for r in rows:
+        by_src[r.source] = by_src.get(r.source, 0) + r.n_docs * r.w_ppm
+    target = n / n_src
+    for src_mass in by_src.values():
+        assert abs(src_mass / 1e6 - target) / target < 0.25
+        # and the reported diagnostic is consistent
+    for r in rows:
+        assert 10 <= r.row_mass_vs_target_pct <= 1000
