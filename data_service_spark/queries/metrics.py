@@ -2477,3 +2477,94 @@ def k_best_split_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
     with exact (not quantile-sketch) candidates."""
     load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_body_best_split())
+
+
+# ------------------------------------- Markov removal attribution ----
+
+
+def _body_markov_attribution() -> str:
+    prop = """
+    v{b} AS (
+      SELECT v.ch, e.dst AS state,
+             CAST(sum(v.v * e.ppm) DIV 1000000 AS BIGINT) AS v
+      FROM v{a} v JOIN pch e ON v.ch = e.ch AND v.state = e.src
+      GROUP BY v.ch, e.dst
+    )"""
+    steps = ",".join(prop.format(a=i, b=i + 1) for i in range(6))
+    return f"""
+    WITH ordered AS (
+      SELECT user_id, event_id, event_type,
+             lead(event_type) OVER w AS nxt,
+             row_number() OVER w AS rn,
+             min(CASE WHEN event_type = 'purchase' THEN event_id END)
+               OVER (PARTITION BY user_id,
+                     CAST(date_trunc('day', ts) AS DATE)) AS p_eid
+      FROM events
+      WINDOW w AS (PARTITION BY user_id,
+                   CAST(date_trunc('day', ts) AS DATE) ORDER BY event_id)
+    ), trans AS (
+      SELECT event_type AS src,
+             CASE WHEN nxt IS NULL THEN 'end' ELSE nxt END AS dst
+      FROM ordered
+      WHERE event_type <> 'purchase'
+        AND (p_eid IS NULL OR event_id < p_eid)
+    ), cnt AS (
+      SELECT src, dst, count(*) AS n FROM trans GROUP BY 1, 2
+    ), p AS (
+      SELECT src, dst,
+             CAST(n AS BIGINT) * 1000000
+               DIV sum(n) OVER (PARTITION BY src) AS ppm
+      FROM cnt
+    ), chans AS (
+      SELECT ch FROM (VALUES ('(full)'), ('view'), ('click'),
+                             ('signup'), ('error')) AS t(ch)
+    ), pch AS (
+      SELECT c.ch, p.src, p.dst, p.ppm
+      FROM chans c JOIN p
+        ON (c.ch = '(full)' OR (p.src <> c.ch AND p.dst <> c.ch))
+      UNION ALL
+      SELECT ch, 'purchase', 'purchase', CAST(1000000 AS BIGINT) FROM chans
+    ), starts AS (
+      SELECT event_type AS state, count(*) AS n0
+      FROM ordered WHERE rn = 1 GROUP BY 1
+    ), tot AS (SELECT sum(n0) AS n_sess FROM starts),
+    v0 AS (
+      SELECT c.ch, s.state, CAST(s.n0 AS BIGINT) * 1000000 AS v
+      FROM chans c JOIN starts s ON c.ch = '(full)' OR s.state <> c.ch
+    ),{steps},
+    final AS (
+      SELECT ch, v FROM v6 WHERE state = 'purchase'
+    ), fullrow AS (
+      SELECT v AS v_full FROM final WHERE ch = '(full)'
+    )
+    SELECT f.ch AS channel,
+           CAST(t.n_sess AS BIGINT) AS n_sessions,
+           CAST(f.v DIV t.n_sess AS BIGINT) AS conv_ppm,
+           CAST(((fr.v_full - f.v) * 10000) DIV fr.v_full AS BIGINT)
+             AS removal_effect_bp
+    FROM final f CROSS JOIN tot t CROSS JOIN fullrow fr
+    """
+
+
+@register(
+    "k_attribution_markov",
+    oracle=_body_markov_attribution().replace(" DIV ", " // "),
+)
+def k_attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov removal-effect attribution (Anderl et al.): model each
+    (user, day) session as a first-order chain over event types truncated
+    at first purchase, then ask, per channel, how much conversion mass
+    disappears when that channel's state is DELETED (its mass falls to
+    the null sink, no renormalization — the standard removal-effect
+    definition that last-touch attribution (``k_attribution_last_touch``)
+    cannot answer because it ignores assist paths). Six propagation steps
+    unrolled; transition probabilities floor-quantize to integer ppm and
+    every propagation is BIGINT multiply + exact integer division, so all
+    five scenarios (full + 4 removals) are bit-identical cross-engine.
+    Purchase is made explicitly absorbing via a unit self-loop.
+
+    Scale shape: sessions reduce map-side to a 6×7 transition-count grid;
+    the five-scenario propagation runs entirely on that spine (≤ 245
+    rows) — shuffle size independent of N."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_body_markov_attribution())

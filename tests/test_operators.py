@@ -3026,3 +3026,50 @@ def test_raking_ipf_converges_margins(spark, sf_dir):
         # and the reported diagnostic is consistent
     for r in rows:
         assert 10 <= r.row_mass_vs_target_pct <= 1000
+
+
+def test_markov_attribution_properties(spark, sf_dir):
+    """Removal can only reduce conversion; the full scenario has zero
+    removal effect; conversion mass also reconciles against a pure-pandas
+    finite-horizon chain propagation."""
+    import numpy as np
+
+    from data_service_spark.registry import QUERIES
+
+    rows = {r.channel: r for r in QUERIES["k_attribution_markov"](spark, sf_dir).collect()}
+    full = rows["(full)"]
+    assert full.removal_effect_bp == 0
+    for ch, r in rows.items():
+        if ch == "(full)":
+            continue
+        assert r.conv_ppm <= full.conv_ppm
+        assert 0 <= r.removal_effect_bp <= 10000
+
+    # pandas recompute of the FULL scenario (float, no ppm quantization):
+    # must agree to ~0.5% of conversion mass
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet").sort_values("event_id")
+    ev["d"] = ev.ts.dt.floor("D")
+    states = ["view", "click", "signup", "error", "purchase", "end"]
+    idx = {s: i for i, s in enumerate(states)}
+    T = np.zeros((len(states), len(states)))
+    starts = np.zeros(len(states))
+    n_sess = 0
+    for _, g in ev.groupby(["user_id", "d"]):
+        seq = list(g.event_type)
+        if "purchase" in seq:
+            seq = seq[: seq.index("purchase") + 1]
+        n_sess += 1
+        starts[idx[seq[0]]] += 1
+        for a, b in zip(seq, seq[1:]):
+            T[idx[a], idx[b]] += 1
+        if seq[-1] != "purchase":
+            T[idx[seq[-1]], idx["end"]] += 1
+    P = np.divide(T, T.sum(1, keepdims=True), where=T.sum(1, keepdims=True) > 0)
+    P[idx["purchase"], :] = 0
+    P[idx["purchase"], idx["purchase"]] = 1
+    v = starts.copy()
+    for _ in range(6):
+        v = v @ P
+    expect_ppm = v[idx["purchase"]] / n_sess * 1e6
+    assert rows["(full)"].n_sessions == n_sess
+    assert abs(rows["(full)"].conv_ppm - expect_ppm) < 5000

@@ -152,7 +152,7 @@ k_capture_recapture k_best_split_stump q_filter_clause
 e_win_rolling_corr k_lag_corr_ccf
 j_udf_iterator j_pandas_udaf_window
 k_dedup_token_savings k_code_detect
-k_raking_ipf
+k_raking_ipf k_attribution_markov
 """.split()
 
 
