@@ -813,3 +813,116 @@ def k_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
     (map-side partials); 1-row output."""
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_body_power_mde(_SPARK_HASH))
+
+
+def _body_did(hash_to_long: str) -> str:
+    ha = hash_to_long.format(h="'assign:' || CAST(user_id AS STRING)")
+    return f"""
+    WITH base AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS d,
+             CAST(round(value * 100, 0) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ), lim AS (SELECT min(d) AS d0 FROM base),
+    cell AS (
+      SELECT CAST({ha} % 2 AS INT) AS arm,
+             CASE WHEN b.d >= l.d0 + 15 THEN 1 ELSE 0 END AS post,
+             sum(b.cents) AS s, count(*) AS n
+      FROM base b CROSS JOIN lim l
+      GROUP BY 1, 2
+    ), m AS (
+      SELECT max(CASE WHEN arm = 1 AND post = 1
+                      THEN CAST(s AS DOUBLE) / n END) AS t_post,
+             max(CASE WHEN arm = 1 AND post = 0
+                      THEN CAST(s AS DOUBLE) / n END) AS t_pre,
+             max(CASE WHEN arm = 0 AND post = 1
+                      THEN CAST(s AS DOUBLE) / n END) AS c_post,
+             max(CASE WHEN arm = 0 AND post = 0
+                      THEN CAST(s AS DOUBLE) / n END) AS c_pre,
+             sum(n) AS n_events
+      FROM cell
+    )
+    SELECT CAST(n_events AS BIGINT) AS n_events,
+           CAST(round((t_post - t_pre) / 100, 6) + 0.0 AS DOUBLE)
+             AS treated_delta,
+           CAST(round((c_post - c_pre) / 100, 6) + 0.0 AS DOUBLE)
+             AS control_delta,
+           CAST(round(((t_post - t_pre) - (c_post - c_pre)) / 100, 6) + 0.0
+             AS DOUBLE) AS did
+    FROM m
+    """
+
+
+@register("k_did_estimator", oracle=_body_did(_DUCK_HASH))
+def k_did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences on mean purchase value: md5-hash arms ×
+    pre/post periods (split 15 days after the first observed day), DiD =
+    (T_post−T_pre) − (C_post−C_pre) — the design that nets out both the
+    stable arm difference AND the common time trend, which a naive
+    post-only comparison confounds. Every cell mean is a double division
+    of exact integer cent sums, so the estimate is deterministic
+    cross-engine. Under the null (hash assignment is random) DiD ≈ 0 —
+    this key doubles as an A/A validity probe of the period split.
+
+    Scale shape: one 4-cell conditional aggregate with map-side partials;
+    the period boundary is one broadcast scalar."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_body_did(_SPARK_HASH))
+
+
+def _body_propensity_strata() -> str:
+    return """
+    WITH per_user AS (
+      SELECT user_id, count(*) AS activity,
+             sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+               AS clicks,
+             sum(CASE WHEN event_type = 'purchase'
+                 THEN CAST(round(value * 100, 0) AS BIGINT) ELSE 0 END)
+               AS purchase_cents
+      FROM events GROUP BY user_id
+    ), strat AS (
+      SELECT user_id,
+             ntile(5) OVER (ORDER BY activity, user_id) AS stratum,
+             CASE WHEN clicks >= 14 THEN 1 ELSE 0 END AS treated,
+             purchase_cents
+      FROM per_user
+    ), cell AS (
+      SELECT stratum,
+             sum(CASE WHEN treated = 1 THEN 1 ELSE 0 END) AS n_t,
+             sum(CASE WHEN treated = 0 THEN 1 ELSE 0 END) AS n_c,
+             sum(CASE WHEN treated = 1 THEN purchase_cents ELSE 0 END) AS s_t,
+             sum(CASE WHEN treated = 0 THEN purchase_cents ELSE 0 END) AS s_c,
+             count(*) AS n_s
+      FROM strat GROUP BY stratum
+    ), ok AS (
+      SELECT *, CAST(s_t AS DOUBLE) / n_t - CAST(s_c AS DOUBLE) / n_c
+               AS diff_c
+      FROM cell WHERE n_t > 0 AND n_c > 0
+    )
+    SELECT CAST(stratum AS INT) AS stratum,
+           CAST(n_t AS BIGINT) AS n_treated,
+           CAST(n_c AS BIGINT) AS n_control,
+           CAST(round(diff_c / 100, 4) + 0.0 AS DOUBLE) AS stratum_diff,
+           CAST(round(sum(diff_c * n_s) OVER () / sum(n_s) OVER () / 100, 4)
+                + 0.0 AS DOUBLE) AS ate_stratified
+    FROM ok
+    """
+
+
+@register("k_propensity_strata", oracle=_body_propensity_strata())
+def k_propensity_strata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified (sub-classification) treatment-effect estimate for an
+    OBSERVATIONAL contrast: does heavy clicking (≥14 clicks) associate
+    with higher purchase spend once overall activity is controlled for?
+    Users stratify into activity quintiles (the one-dimensional
+    propensity proxy — Cochran's classic 5-subclass design removes ~90%
+    of confounder bias); within each stratum treated/control spend means
+    difference, and the ATE pools strata by size. Deterministic ntile
+    (activity, user_id tiebreak), integer cent sums, double divisions —
+    exact cross-engine. The honest contrast with ``k_did_estimator``:
+    no randomization here, so this estimates association under
+    selection-on-observables.
+
+    Scale shape: per-user reduce, one ntile window over the user spine,
+    5-row aggregate."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_body_propensity_strata())

