@@ -102,7 +102,10 @@ def test_no_accidental_cartesian_products(spark, sf_dir):
     is semantically a cross join. (BroadcastNestedLoopJoin with a broadcast
     small side is acceptable for theta joins; an unbroadcast cartesian of
     two big sides is never acceptable at 100 TB.)"""
-    intentionally_cross = {"c_join_cross"}
+    # k_attribution_markov's scenario build is a theta-join of the 5-row
+    # channel spine against the <=49-row transition grid — an intentional
+    # tiny cross, never data-sized.
+    intentionally_cross = {"c_join_cross", "k_attribution_markov"}
     sinks = {k for k in QUERIES if k.startswith("a_sink")}  # these write
     bad = []
     for key in sorted(QUERIES):
@@ -467,3 +470,54 @@ def test_waterfill_reduces_before_windowing(spark, sf_dir):
     plan = plan_of(QUERIES["k_mix_waterfill"](spark, sf_dir), "simple")
     assert "Window" in plan
     assert "partial" in plan.lower() or "HashAggregate" in plan
+
+
+def test_median_counting_has_no_global_sort(spark, sf_dir):
+    # The exact counting median must never global-sort the fact table:
+    # its shuffle is the frequency aggregate; windows run per group key.
+    plan = plan_of(QUERIES["d_agg_median_counting"](spark, sf_dir), "simple")
+    assert "HashAggregate" in plan
+    import re
+
+    # no range-partitioned exchange (the global-sort signature)
+    assert not re.search(r"Exchange rangepartitioning", plan)
+
+
+def test_quantile_normalize_maps_via_equi_join(spark, sf_dir):
+    # The mapping itself must be an equi-join on position, never a
+    # nested-loop range join.
+    plan = plan_of(QUERIES["k_quantile_normalize"](spark, sf_dir), "simple")
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
+        "BroadcastHashJoin" in plan
+    )
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_hits_broadcasts_score_vector(spark, sf_dir):
+    # Each HITS half-iteration joins the (tiny) score vector by broadcast;
+    # the 2|E| edge list must never shuffle for the join.
+    plan = plan_of(QUERIES["k_graph_hits"](spark, sf_dir), "simple")
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_asof_tolerance_single_key_exchange(spark, sf_dir):
+    # Union-then-window as-of: exactly one hashpartitioning exchange on
+    # the user key — the tolerance predicate must not add a join.
+    plan = plan_of(QUERIES["c_join_asof_tolerance"](spark, sf_dir), "simple")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+
+
+def test_attribution_markov_reduces_before_propagation(spark, sf_dir):
+    # All five scenarios propagate over the transition-count spine; the
+    # only corpus-sized work is the windowed session pass.
+    plan = plan_of(QUERIES["k_attribution_markov"](spark, sf_dir), "simple")
+    assert "HashAggregate" in plan and "Window" in plan
+
+
+def test_filter_clause_is_single_aggregate(spark, sf_dir):
+    # FILTER (WHERE ...) compiles to conditional partials inside ONE
+    # aggregate pair — no extra scan or join per condition.
+    plan = plan_of(QUERIES["q_filter_clause"](spark, sf_dir), "simple")
+    assert plan.count("Scan") == 1
+    assert "Join" not in plan
