@@ -89,7 +89,7 @@ PRIORITY = [
     "j_udf_iterator", "j_pandas_udaf_window",
     "k_dedup_token_savings", "k_code_detect",
     "k_raking_ipf", "k_attribution_markov",
-    "k_did_estimator", "k_propensity_strata",
+    "k_did_estimator", "k_propensity_strata", "k_text_kn_bigram",
     # remaining never-recorded core, next rounds' window
     "e_win_ignore_nulls", "e_win_pareto", "e_win_ewma", "e_win_nth_value",
     "g_union_byname", "g_except_all", "g_intersect_all",

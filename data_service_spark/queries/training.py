@@ -3116,3 +3116,75 @@ def k_raking_ipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle size independent of N."""
     load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_body_raking())
+
+
+# ------------------------------------------- Kneser-Ney bigram LM ----
+
+_KN_CORE = """
+    bgc AS (SELECT w1, w2, count(*) AS c_vw FROM bg GROUP BY 1, 2),
+    ctx AS (SELECT w1, sum(c_vw) AS c_v, count(*) AS n1_fwd
+            FROM bgc GROUP BY 1),
+    cont AS (SELECT w2, count(*) AS n1_back FROM bgc GROUP BY 1),
+    btypes AS (SELECT count(*) AS b FROM bgc),
+    scored AS (
+      SELECT bgc.w1, bgc.w2, bgc.c_vw,
+             greatest(bgc.c_vw - 0.75, 0) / ctx.c_v
+             + (0.75 * ctx.n1_fwd / ctx.c_v)
+               * (CAST(cont.n1_back AS DOUBLE) / bt.b) AS pkn
+      FROM bgc JOIN ctx USING (w1) JOIN cont USING (w2) CROSS JOIN btypes bt
+    )
+    SELECT w1, w2, CAST(c_vw AS BIGINT) AS c_vw,
+           CAST(round(pkn, 6) + 0.0 AS DOUBLE) AS p_kn
+    FROM scored
+    ORDER BY c_vw DESC, w1, w2 LIMIT 20
+"""
+
+
+@register(
+    "k_text_kn_bigram",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM documents
+      WHERE len(string_split(text, ' ')) >= 2
+    ), bgx AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(words) - 1),
+               i -> {{'w1': words[i], 'w2': words[i + 1]}})) AS p
+      FROM w
+    ), bg AS (SELECT p.w1 AS w1, p.w2 AS w2 FROM bgx),
+    {_KN_CORE}
+    """,
+)
+def k_text_kn_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser–Ney bigram probabilities (single discount
+    d=0.75): P(w|v) = max(c(vw)−d,0)/c(v) + d·N₁₊(v·)/c(v) · N₁₊(·w)/B —
+    the smoothing that made n-gram LMs competitive (Kneser & Ney 1995;
+    Chen & Goodman's winner), and the upgrade over this module's add-one
+    baseline (``k_text_bigram_logprob``): continuation counts model how
+    PROMISCUOUS a word's contexts are, so "Francisco" (frequent, one
+    context) stops leaking probability into novel bigrams. d = 3/4 is
+    dyadic, every count is an exact integer, and both engines evaluate the
+    identical three-term expression — deterministic without quantization.
+    Top-20 bigrams by count, total-ordered.
+
+    Scale shape: three n-gram-keyed hash aggregates over the bigram
+    stream (the posting-list family — no UDFs, no n² anywhere); the
+    scored join is keyed by bigram parts, continuation/type tables
+    broadcast."""
+    load_parallel(spark, sf_dir, "documents", "doc_id").createOrReplaceTempView(
+        "dss_docs_kn"
+    )
+    return spark.sql(
+        f"""
+    WITH w AS (
+      SELECT doc_id, split(text, ' ') AS words FROM dss_docs_kn
+      WHERE size(split(text, ' ')) >= 2
+    ), bg AS (
+      SELECT p.w1, p.w2 FROM w
+      LATERAL VIEW explode(transform(sequence(1, size(words) - 1),
+        i -> struct(element_at(words, i) AS w1,
+                    element_at(words, i + 1) AS w2))) ex AS p
+    ),
+    {_KN_CORE}
+    """
+    )

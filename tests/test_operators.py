@@ -3116,3 +3116,33 @@ def test_did_and_propensity_recompute(spark, sf_dir):
         assert abs(r.stratum_diff - diff) < 0.01
     ates = {r.ate_stratified for r in ps}
     assert len(ates) == 1
+
+
+def test_kn_bigram_matches_reference_formula(spark, sf_dir):
+    """KN probabilities recompute from a from-scratch pandas bigram model
+    and each P(w|v) sums over the discount identity."""
+    from collections import Counter, defaultdict
+
+    from data_service_spark.registry import QUERIES
+
+    rows = QUERIES["k_text_kn_bigram"](spark, sf_dir).collect()
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    bg = Counter()
+    for t in docs.text:
+        ws = t.split(" ")
+        bg.update(zip(ws, ws[1:]))
+    c_v = defaultdict(int)
+    n1_fwd = defaultdict(int)
+    n1_back = defaultdict(int)
+    for (v, w), c in bg.items():
+        c_v[v] += c
+        n1_fwd[v] += 1
+        n1_back[w] += 1
+    B = len(bg)
+    for r in rows:
+        assert bg[(r.w1, r.w2)] == r.c_vw
+        expect = max(r.c_vw - 0.75, 0) / c_v[r.w1] + (
+            0.75 * n1_fwd[r.w1] / c_v[r.w1]
+        ) * (n1_back[r.w2] / B)
+        assert abs(r.p_kn - expect) < 1e-5
+        assert 0 < r.p_kn <= 1

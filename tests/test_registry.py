@@ -153,7 +153,7 @@ e_win_rolling_corr k_lag_corr_ccf
 j_udf_iterator j_pandas_udaf_window
 k_dedup_token_savings k_code_detect
 k_raking_ipf k_attribution_markov
-k_did_estimator k_propensity_strata
+k_did_estimator k_propensity_strata k_text_kn_bigram
 """.split()
 
 
