@@ -699,3 +699,56 @@ def k_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("fk_grade"),
     )
+
+
+# ------------------------------------- contingency independence chi2 ----
+
+
+def _body_contingency_chi2() -> str:
+    return """
+    WITH cell AS (
+      SELECT source, lang, count(*) AS o FROM documents GROUP BY 1, 2
+    ), rowm AS (SELECT source, sum(o) AS r FROM cell GROUP BY 1),
+    colm AS (SELECT lang, sum(o) AS c FROM cell GROUP BY 1),
+    n AS (SELECT sum(o) AS n FROM cell),
+    full_grid AS (
+      SELECT rm.source, cm.lang, rm.r, cm.c,
+             coalesce(ce.o, 0) AS o
+      FROM rowm rm CROSS JOIN colm cm
+      LEFT JOIN cell ce ON rm.source = ce.source AND cm.lang = ce.lang
+    ), parts AS (
+      SELECT source, lang, o, r, c,
+             (CAST(o AS DOUBLE) * n.n - CAST(r AS DOUBLE) * c)
+               * (CAST(o AS DOUBLE) * n.n - CAST(r AS DOUBLE) * c)
+               / (CAST(r AS DOUBLE) * c * n.n) AS term
+      FROM full_grid CROSS JOIN n
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_cells,
+           CAST((SELECT count(*) FROM rowm) - 1 AS BIGINT)
+             * CAST((SELECT count(*) FROM colm) - 1 AS BIGINT) AS dof,
+           CAST(round(sum(round(term, 8)), 4) + 0.0 AS DOUBLE) AS chi2,
+           CAST(round(sqrt(sum(round(term, 8))
+                 / ((SELECT n FROM n)
+                    * least((SELECT count(*) FROM rowm) - 1,
+                            (SELECT count(*) FROM colm) - 1))), 6) + 0.0
+             AS DOUBLE) AS cramers_v
+    FROM parts
+    """
+
+
+@register("k_contingency_chi2", oracle=_body_contingency_chi2())
+def k_contingency_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full source × language contingency-table independence test: χ² =
+    ΣΣ(o−e)²/e over the complete grid (zero-filled absent cells — they
+    still carry expectation mass) with Cramér's V as the effect size —
+    the corpus-heterogeneity summary that says whether sources differ in
+    language mix AT ALL before per-term drilldowns (``k_chi2_terms``) or
+    reweighting (``k_raking_ipf``) are worth running. Terms compute as
+    the integer-exact cross-product form (oN−rc)²/(rcN) and pin at 8dp
+    before the sum so partial-aggregation order cannot shift the 4dp
+    output.
+
+    Scale shape: map-side reduce to the grid, margins broadcast, one
+    grid-sized reduce."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_body_contingency_chi2())

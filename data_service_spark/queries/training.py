@@ -3188,3 +3188,56 @@ def k_text_kn_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     {_KN_CORE}
     """
     )
+
+
+# --------------------------------------- temporal split leakage audit ----
+
+
+def _body_temporal_split() -> str:
+    return """
+    WITH lim AS (
+      SELECT min(CAST(date_trunc('day', ts) AS DATE)) + 21 AS cut
+      FROM events
+    ), tagged AS (
+      SELECT user_id, event_id,
+             CASE WHEN CAST(date_trunc('day', ts) AS DATE) < l.cut
+                  THEN 0 ELSE 1 END AS is_test
+      FROM events CROSS JOIN lim l
+    ), per_user AS (
+      SELECT user_id,
+             sum(CASE WHEN is_test = 0 THEN 1 ELSE 0 END) AS n_train,
+             sum(CASE WHEN is_test = 1 THEN 1 ELSE 0 END) AS n_test
+      FROM tagged GROUP BY user_id
+    )
+    SELECT CAST(sum(n_train) AS BIGINT) AS train_events,
+           CAST(sum(n_test) AS BIGINT) AS test_events,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(CASE WHEN n_train > 0 AND n_test > 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS warm_users,
+           CAST(sum(CASE WHEN n_train = 0 AND n_test > 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS cold_users,
+           CAST(floor(sum(CASE WHEN n_train = 0 AND n_test > 0
+                          THEN 1 ELSE 0 END) * 10000.0
+                      / nullif(sum(CASE WHEN n_test > 0
+                                   THEN 1 ELSE 0 END), 0)) AS BIGINT)
+             AS cold_user_bp
+    FROM per_user
+    """
+
+
+@register("k_temporal_split_audit", oracle=_body_temporal_split())
+def k_temporal_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal train/test split audit (cut = first day + 21): event and
+    user counts per side, warm vs COLD-START test users (no training
+    history — the rows where a behavioral model silently degrades to a
+    prior), and the cold rate in basis points. Temporal splits are the
+    only honest evaluation for forecasting/recommendation — a random
+    split leaks the future into training — and this audit is the
+    accompanying leakage/coverage readout: by construction no event
+    crosses the cut, so the leakage channel left is user overlap, which
+    is exactly what warm/cold decomposes. All counts exact integers.
+
+    Scale shape: one per-user conditional reduce; the cut is a broadcast
+    scalar."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_body_temporal_split())

@@ -3146,3 +3146,37 @@ def test_kn_bigram_matches_reference_formula(spark, sf_dir):
         ) * (n1_back[r.w2] / B)
         assert abs(r.p_kn - expect) < 1e-5
         assert 0 < r.p_kn <= 1
+
+
+def test_temporal_split_and_contingency(spark, sf_dir):
+    """Split audit reconciles against pandas day-cut; chi2 matches
+    scipy-free pandas contingency recompute."""
+    from data_service_spark.registry import QUERIES
+
+    ts = QUERIES["k_temporal_split_audit"](spark, sf_dir).first()
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    cut = ev.ts.dt.floor("D").min() + pd.Timedelta(days=21)
+    is_test = ev.ts.dt.floor("D") >= cut
+    assert ts.train_events == int((~is_test).sum())
+    assert ts.test_events == int(is_test.sum())
+    tr_u = set(ev[~is_test].user_id)
+    te_u = set(ev[is_test].user_id)
+    assert ts.warm_users == len(tr_u & te_u)
+    assert ts.cold_users == len(te_u - tr_u)
+
+    ct = QUERIES["k_contingency_chi2"](spark, sf_dir).first()
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    tab = docs.pivot_table(
+        index="source", columns="lang", values="doc_id",
+        aggfunc="count", fill_value=0,
+    )
+    n = tab.values.sum()
+    e = tab.sum(1).values[:, None] * tab.sum(0).values[None, :] / n
+    chi2 = (((tab.values - e) ** 2) / e).sum()
+    assert ct.n_cells == tab.size
+    assert ct.dof == (tab.shape[0] - 1) * (tab.shape[1] - 1)
+    assert abs(ct.chi2 - chi2) < 0.01
+    import math
+
+    v = math.sqrt(chi2 / (n * min(tab.shape[0] - 1, tab.shape[1] - 1)))
+    assert abs(ct.cramers_v - v) < 1e-4
