@@ -765,3 +765,60 @@ def k_lag_corr_ccf(spark: SparkSession, sf_dir: str) -> DataFrame:
     15×|days| spine — dimension-sized."""
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_body_lag_ccf())
+
+
+# ------------------------------------- classical seasonal decompose ----
+
+
+def _body_seasonal_decompose() -> str:
+    return """
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+             sum(CAST(round(value * 100, 0) AS BIGINT)) AS v
+      FROM events GROUP BY 1
+    ), tr AS (
+      SELECT d, v,
+             CAST(extract(dayofweek_iso FROM d) AS INT) AS dow,
+             count(*) OVER win AS n7,
+             CAST(floor(sum(v) OVER win * 1.0 / 7) AS BIGINT) AS trend
+      FROM daily
+      WINDOW win AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ), det AS (
+      SELECT d, v, dow, trend, v - trend AS detrended
+      FROM tr WHERE n7 = 7
+    ), seas AS (
+      SELECT dow,
+             CAST(floor(sum(detrended) * 1.0 / count(*)) AS BIGINT)
+               AS seasonal
+      FROM det GROUP BY dow
+    )
+    SELECT det.d, CAST(det.v AS BIGINT) AS v_cents,
+           det.trend AS trend_cents,
+           s.seasonal AS seasonal_cents,
+           CAST(det.v - det.trend - s.seasonal AS BIGINT) AS residual_cents
+    FROM det JOIN seas s ON det.dow = s.dow
+    """
+
+
+@register(
+    "k_seasonal_decompose",
+    oracle=_body_seasonal_decompose().replace(
+        "extract(dayofweek_iso FROM d)", "extract(isodow FROM d)"
+    ),
+)
+def k_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of daily revenue:
+    trend = centered 7-day moving average (full windows only), seasonal =
+    per-ISO-weekday mean of the detrended series, residual = the rest —
+    the decomposition behind every "is this dip weekday effect or real"
+    triage, and the model ``k_forecast_snaive``'s seasonal-naive baseline
+    implicitly assumes. Values are integer cents; trend and seasonal
+    floor-quantize (exact-integer window sums ÷ constants), so all three
+    components are exact BIGINTs that sum back to v up to the published
+    floors. ISO weekday aligns the engines (Spark ``dayofweek_iso`` =
+    DuckDB ``isodow`` — probed; the non-ISO specifiers disagree by one).
+
+    Scale shape: map-side day reduce, one 7-row window + one 7-group
+    reduce over the day spine."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_body_seasonal_decompose())

@@ -3180,3 +3180,33 @@ def test_temporal_split_and_contingency(spark, sf_dir):
 
     v = math.sqrt(chi2 / (n * min(tab.shape[0] - 1, tab.shape[1] - 1)))
     assert abs(ct.cramers_v - v) < 1e-4
+
+
+def test_seasonal_decompose_components_reconcile(spark, sf_dir):
+    """Components sum back to the observation exactly; trend equals the
+    pandas centered rolling mean (floored); seasonal is constant per ISO
+    weekday."""
+    from data_service_spark.registry import QUERIES
+
+    rows = sorted(
+        QUERIES["k_seasonal_decompose"](spark, sf_dir).collect(),
+        key=lambda r: r.d,
+    )
+    for r in rows:
+        assert r.v_cents == r.trend_cents + r.seasonal_cents + r.residual_cents
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    daily = (
+        ev.assign(c=(ev.value * 100).round().astype("int64"))
+        .groupby(ev.ts.dt.floor("D"))
+        .c.sum()
+        .sort_index()
+    )
+    trend = daily.rolling(7, center=True).sum().dropna() // 7
+    got_trend = {pd.Timestamp(r.d): r.trend_cents for r in rows}
+    assert got_trend == trend.astype("int64").to_dict()
+    by_dow: dict = {}
+    for r in rows:
+        dow = pd.Timestamp(r.d).isoweekday()
+        by_dow.setdefault(dow, set()).add(r.seasonal_cents)
+    assert all(len(v) == 1 for v in by_dow.values())
