@@ -29,6 +29,7 @@ from typing import Any
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 EVENTS_DDL = (
@@ -359,3 +360,79 @@ class IdempotentBatchSink:
             os.path.join(self.data_dir, f"epoch={e}") for e in epochs
         ]
         return spark.read.parquet(*paths)
+
+
+def page_hinkley_stream(events: DataFrame) -> DataFrame:
+    """Streaming twin of ``k_page_hinkley``: the sequential drift monitor
+    as ``applyInPandasWithState`` with O(1) state per metric —
+    (t, cum_md, m_t, max_m, min_m), five BIGINTs regardless of history
+    length, exactly the state the batch key's docstring promises.
+
+    Contract: upstream must deliver DAY-COMPLETE micro-batches in day
+    order (the natural shape when fed from a daily-rollup topic or a
+    date-partitioned file drop) — PH is a per-day recurrence, so a day
+    split across batches would fold twice. Each batch reduces to its
+    daily floor-quantized means (same integer ten-thousandths as the
+    batch twin), folds them through the recurrence in day order, and
+    emits one row per new day.
+    """
+
+    def update(
+        key: tuple[str],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (metric,) = key
+        if state.exists:
+            t, cum_md, m_t, max_m, min_m = state.get
+        else:
+            t, cum_md, m_t, max_m, min_m = 0, 0, 0, None, None
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        out: list[dict] = []
+        if chunks:
+            batch = pd.concat(chunks, ignore_index=True)
+            batch["q"] = (batch["value"] * 10000).round().astype("int64")
+            daily = (
+                batch.groupby(batch["ts"].dt.floor("D"))
+                .agg(s=("q", "sum"), c=("q", "size"))
+                .sort_index()
+            )
+            for d, row in daily.iterrows():
+                md = int(row.s) // int(row.c) if row.s >= 0 else -(
+                    (-int(row.s) + int(row.c) - 1) // int(row.c)
+                )  # floor division toward -inf, matching SQL floor()
+                t += 1
+                cum_md += md
+                dv = md - cum_md // t
+                m_t += dv
+                max_m = m_t if max_m is None else max(max_m, m_t)
+                min_m = m_t if min_m is None else min(min_m, m_t)
+                out.append(
+                    {
+                        "metric": metric,
+                        "d": d.date(),
+                        "mean_quanta": md,
+                        "m_t": m_t,
+                        "ph_dec": max_m - m_t,
+                        "ph_inc": m_t - min_m,
+                    }
+                )
+        state.update((t, cum_md, m_t, max_m, min_m))
+        if out:
+            yield pd.DataFrame(out)
+
+    keyed = events.filter("event_type = 'purchase'").withColumn(
+        "metric", F.lit("purchase_mean")
+    )
+    return keyed.groupBy("metric").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "metric string, d date, mean_quanta long, m_t long, "
+            "ph_dec long, ph_inc long"
+        ),
+        stateStructType=(
+            "t long, cum_md long, m_t long, max_m long, min_m long"
+        ),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

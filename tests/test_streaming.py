@@ -667,3 +667,42 @@ def test_idempotent_sink_survives_replay_and_restart(spark, tmp_path):
     sink2(spark.range(8, 10).selectExpr("id", "id * 2 AS v"), 2)
     got = sorted(r.id for r in sink2.read(spark).collect())
     assert got == list(range(10))
+
+
+def test_page_hinkley_stream_matches_batch(spark, sf_dir, tmp_path):
+    # page_hinkley_stream: O(1)-state sequential drift monitor fed
+    # day-complete batches must reproduce the batch key's m_t/ph columns
+    # day for day.
+    from data_service_spark.registry import QUERIES
+    from data_service_spark.streaming import (
+        page_hinkley_stream,
+        read_event_stream,
+    )
+
+    # split the corpus into one parquet file per day, mtime-ordered
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    ev = ev[ev.event_type == "purchase"].sort_values("event_id")
+    src = tmp_path / "days"
+    os.makedirs(src)
+    for i, (d, g) in enumerate(sorted(ev.groupby(ev.ts.dt.floor("D")))):
+        p = src / f"day-{i:03d}.parquet"
+        g.to_parquet(p)
+        mt = 1_700_000_000 + i
+        os.utime(p, (mt, mt))
+
+    sdf = page_hinkley_stream(
+        read_event_stream(spark, str(src), one_file_per_batch=True)
+    )
+    batches = drain_available_now(sdf, output_mode="append")
+    got = pd.concat([b for b in batches if len(b)], ignore_index=True)
+    got = got.sort_values("d").reset_index(drop=True)
+
+    expected = (
+        QUERIES["k_page_hinkley"](spark, sf_dir)
+        .toPandas()
+        .sort_values("d")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(expected)
+    for col in ["mean_quanta", "m_t", "ph_dec", "ph_inc"]:
+        assert got[col].tolist() == expected[col].tolist(), col
