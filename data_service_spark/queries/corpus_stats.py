@@ -752,3 +752,51 @@ def k_contingency_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid-sized reduce."""
     load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_body_contingency_chi2())
+
+
+# --------------------------------------------- Kendall rank stability ----
+
+
+def _body_kendall() -> str:
+    return """
+    WITH m AS (
+      SELECT source, count(*) AS n_docs,
+             sum(n_chars) AS tot_chars
+      FROM documents GROUP BY source
+    ), pairs AS (
+      SELECT CASE WHEN (a.n_docs - b.n_docs) * (a.tot_chars - b.tot_chars) > 0
+                  THEN 1 ELSE 0 END AS conc,
+             CASE WHEN (a.n_docs - b.n_docs) * (a.tot_chars - b.tot_chars) < 0
+                  THEN 1 ELSE 0 END AS disc,
+             CASE WHEN a.n_docs = b.n_docs THEN 1 ELSE 0 END AS tie_x,
+             CASE WHEN a.tot_chars = b.tot_chars THEN 1 ELSE 0 END AS tie_y
+      FROM m a JOIN m b ON a.source < b.source
+    ), s AS (
+      SELECT sum(conc) AS c, sum(disc) AS d,
+             sum(tie_x) AS tx, sum(tie_y) AS ty, count(*) AS n_pairs
+      FROM pairs
+    )
+    SELECT CAST(n_pairs AS BIGINT) AS n_pairs,
+           CAST(c AS BIGINT) AS concordant, CAST(d AS BIGINT) AS discordant,
+           CAST(round(
+             (c - d) / nullif(sqrt(CAST(n_pairs - tx AS DOUBLE))
+                              * sqrt(CAST(n_pairs - ty AS DOUBLE)), 0),
+             6) + 0.0 AS DOUBLE) AS kendall_tau_b
+    FROM s
+    """
+
+
+@register("k_rank_kendall", oracle=_body_kendall())
+def k_rank_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall τ-b between two source rankings — by document count vs by
+    total character mass: do "many docs" and "much text" order the
+    sources the same way? τ-b is the tie-corrected concordant-discordant
+    statistic (the companion of ``k_rank_spearman``'s rho and
+    ``k_rank_rbo``'s top-weighted overlap; τ is the one with the clean
+    probabilistic reading P(agree)−P(disagree)). Pure integer pair
+    counts over the source spine, one final division.
+
+    Scale shape: map-side reduce to the source spine; the O(sources²)
+    pair join runs on that dimension, never on documents."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_body_kendall())

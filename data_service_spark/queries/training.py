@@ -3241,3 +3241,78 @@ def k_temporal_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalar."""
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_body_temporal_split())
+
+
+# ------------------------------------------ consistent-hash sharding ----
+
+
+def _body_consistent_ring(hash_to_long: str, n_a: int, n_b: int) -> str:
+    # Rendezvous (highest-random-weight) hashing: doc d goes to the shard
+    # maximizing h(shard, d). Adding a shard moves ONLY the keys whose new
+    # shard wins — expected 1/(n+1) of them, the elastic-resharding
+    # guarantee a modulo scheme lacks (mod N reshuffles ~everything).
+    h = hash_to_long.format(
+        h="'ring:' || CAST(s.shard AS STRING) || ':' || CAST(d.doc_id AS STRING)"
+    )
+    return f"""
+    WITH docs AS (SELECT doc_id FROM documents),
+    ring_a AS (
+      SELECT d.doc_id, s.shard,
+             row_number() OVER (PARTITION BY d.doc_id
+                                ORDER BY {h} DESC, s.shard) AS rn
+      FROM docs d CROSS JOIN (SELECT explode(sequence(0, {n_a - 1})) AS shard) s
+    ), ring_b AS (
+      SELECT d.doc_id, s.shard,
+             row_number() OVER (PARTITION BY d.doc_id
+                                ORDER BY {h} DESC, s.shard) AS rn
+      FROM docs d CROSS JOIN (SELECT explode(sequence(0, {n_b - 1})) AS shard) s
+    ), a AS (SELECT doc_id, shard FROM ring_a WHERE rn = 1),
+    b AS (SELECT doc_id, shard FROM ring_b WHERE rn = 1),
+    moved AS (
+      SELECT count(*) AS n_docs,
+             sum(CASE WHEN a.shard <> b.shard THEN 1 ELSE 0 END) AS n_moved
+      FROM a JOIN b USING (doc_id)
+    ), loads AS (
+      SELECT shard, count(*) AS load FROM a GROUP BY shard
+    )
+    SELECT CAST(l.shard AS INT) AS shard, CAST(l.load AS BIGINT) AS load,
+           CAST(m.n_docs AS BIGINT) AS n_docs,
+           CAST(m.n_moved AS BIGINT) AS moved_on_grow,
+           CAST(floor(CAST(m.n_moved AS DOUBLE) * 10000 / m.n_docs)
+             AS BIGINT) AS churn_bp
+    FROM loads l CROSS JOIN moved m
+    """
+
+
+@register(
+    "k_consistent_hash_ring",
+    oracle=_body_consistent_ring(
+        "('0x' || substr(md5({h}), 1, 8))::BIGINT", 8, 9
+    ).replace(
+        "(SELECT explode(sequence(0, 7)) AS shard)",
+        "(SELECT CAST(b AS INT) AS shard FROM range(8) t(b))",
+    ).replace(
+        "(SELECT explode(sequence(0, 8)) AS shard)",
+        "(SELECT CAST(b AS INT) AS shard FROM range(9) t(b))",
+    ),
+)
+def k_consistent_hash_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous (highest-random-weight) consistent sharding of the
+    corpus across 8 shards, with the elastic-resharding churn audit: when
+    a 9th shard joins, ONLY the keys whose new shard wins the rendezvous
+    move — expected 1/9 (~1111 bp) of the corpus, vs ~8/9 for modulo
+    sharding. This is how a 100 TB embedding/doc store grows capacity
+    without a full reshuffle (the Cassandra/Dynamo trick expressed
+    relationally). All weights are deterministic md5 integers; the argmax
+    per doc is a row_number with a total-order tiebreak.
+
+    Scale shape: the ring evaluation is a scan-side 8× (9×) fan-out +
+    per-doc argmax window partitioned by doc_id (map-local after the
+    fan-out, no data-sized shuffle beyond the window's own key exchange);
+    loads and churn are spine reduces."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        _body_consistent_ring(
+            "CAST(conv(substr(md5({h}), 1, 8), 16, 10) AS BIGINT)", 8, 9
+        )
+    )

@@ -3210,3 +3210,35 @@ def test_seasonal_decompose_components_reconcile(spark, sf_dir):
         dow = pd.Timestamp(r.d).isoweekday()
         by_dow.setdefault(dow, set()).add(r.seasonal_cents)
     assert all(len(v) == 1 for v in by_dow.values())
+
+
+def test_kendall_and_consistent_ring(spark, sf_dir):
+    """tau-b recomputes from a pandas pair scan; rendezvous churn is near
+    1/9 and every doc keeps its shard unless the new shard wins."""
+    from data_service_spark.registry import QUERIES
+
+    kt = QUERIES["k_rank_kendall"](spark, sf_dir).first()
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    m = docs.groupby("source").agg(
+        n=("doc_id", "size"), chars=("n_chars", "sum")
+    )
+    srcs = sorted(m.index)
+    c = d = 0
+    for i in range(len(srcs)):
+        for j in range(i + 1, len(srcs)):
+            p = (m.n[srcs[i]] - m.n[srcs[j]]) * (
+                m.chars[srcs[i]] - m.chars[srcs[j]]
+            )
+            c += p > 0
+            d += p < 0
+    assert (kt.concordant, kt.discordant) == (c, d)
+    assert kt.n_pairs == len(srcs) * (len(srcs) - 1) // 2
+
+    ring = QUERIES["k_consistent_hash_ring"](spark, sf_dir).collect()
+    n_docs = ring[0].n_docs
+    assert sum(r.load for r in ring) == n_docs
+    # churn concentrated near the theoretical 1/9 ~ 1111 bp
+    assert 300 <= ring[0].churn_bp <= 2500
+    # loads roughly balanced: no shard more than 2.5x the fair share
+    fair = n_docs / 8
+    assert all(r.load < 2.5 * fair for r in ring)
