@@ -926,3 +926,51 @@ def k_propensity_strata(spark: SparkSession, sf_dir: str) -> DataFrame:
     5-row aggregate."""
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_body_propensity_strata())
+
+
+def _body_bucket_independence(hash_to_long: str) -> str:
+    h1 = hash_to_long.format(h="'assign:' || CAST(user_id AS STRING)")
+    h2 = hash_to_long.format(h="'exp2:' || CAST(user_id AS STRING)")
+    return f"""
+    WITH arms AS (
+      SELECT CAST({h1} % 2 AS INT) AS arm1,
+             CAST({h2} % 2 AS INT) AS arm2
+      FROM (SELECT DISTINCT user_id FROM events) u
+    ), cell AS (
+      SELECT arm1, arm2, count(*) AS o FROM arms GROUP BY 1, 2
+    ), s AS (
+      SELECT sum(CASE WHEN arm1 = 0 AND arm2 = 0 THEN o ELSE 0 END) AS a,
+             sum(CASE WHEN arm1 = 0 AND arm2 = 1 THEN o ELSE 0 END) AS b,
+             sum(CASE WHEN arm1 = 1 AND arm2 = 0 THEN o ELSE 0 END) AS c,
+             sum(CASE WHEN arm1 = 1 AND arm2 = 1 THEN o ELSE 0 END) AS d,
+             sum(o) AS n
+      FROM cell
+    )
+    SELECT CAST(a AS BIGINT) AS n00, CAST(b AS BIGINT) AS n01,
+           CAST(c AS BIGINT) AS n10, CAST(d AS BIGINT) AS n11,
+           CAST(round(CAST(n AS DOUBLE)
+                 * (CAST(a AS DOUBLE) * d - CAST(b AS DOUBLE) * c)
+                 * (CAST(a AS DOUBLE) * d - CAST(b AS DOUBLE) * c)
+                 / (CAST(a + b AS DOUBLE) * (c + d) * (a + c) * (b + d)),
+                 6) + 0.0 AS DOUBLE) AS chi2_indep,
+           CAST(round((CAST(a AS DOUBLE) * d - CAST(b AS DOUBLE) * c)
+                 / sqrt(CAST(a + b AS DOUBLE) * (c + d) * (a + c) * (b + d)),
+                 6) + 0.0 AS DOUBLE) AS phi
+    FROM s
+    """
+
+
+@register("k_bucket_independence", oracle=_body_bucket_independence(_DUCK_HASH))
+def k_bucket_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-reuse carryover audit: are the arm assignments of two
+    experiments (different salts over the same user universe) statistically
+    independent? χ² of the 2×2 assignment cross-tab + the φ coefficient —
+    the check that catches salt collisions / copied bucket configs, where
+    experiment 2 inherits experiment 1's treatment effects as hidden bias
+    (the overlapping-experiment problem every layered A/B platform
+    guards). Exact integer cell counts, two final divisions; χ² ≤ 3.84
+    and φ ≈ 0 certify independence.
+
+    Scale shape: distinct-user spine, one 4-cell conditional reduce."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_body_bucket_independence(_SPARK_HASH))

@@ -2568,3 +2568,80 @@ def k_attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows) — shuffle size independent of N."""
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_body_markov_attribution())
+
+
+@register(
+    "k_eval_ece",
+    oracle=f"""
+    WITH scored AS ({_REG_ORACLES.get("k_quality_logreg", "SELECT 1")}),
+    lab AS (
+      SELECT least(CAST(floor(s.score_q / 100000.0) AS BIGINT), 9) AS bin,
+             s.score_q AS sq,
+             CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM scored s JOIN documents d USING (doc_id)
+    ), b AS (
+      SELECT bin, count(*) AS n, sum(sq) AS ssq, sum(y) AS sy
+      FROM lab GROUP BY bin
+    ), t AS (SELECT sum(n) AS n_tot FROM b)
+    SELECT CAST((SELECT n_tot FROM t) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_bins,
+           CAST(round(sum(CAST(n AS DOUBLE)
+                 * abs(CAST(ssq AS DOUBLE) / n / 1000000
+                       - CAST(sy AS DOUBLE) / n))
+                 / (SELECT n_tot FROM t), 6) + 0.0 AS DOUBLE) AS ece,
+           CAST(round(max(abs(CAST(ssq AS DOUBLE) / n / 1000000
+                              - CAST(sy AS DOUBLE) / n)), 6) + 0.0
+             AS DOUBLE) AS mce
+    FROM b
+    """,
+)
+def k_eval_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected calibration error of the quality classifier: the
+    bin-size-weighted mean |confidence − accuracy| over 10 prediction
+    deciles, plus MCE (the worst bin) — the SCALARS that summarize
+    ``k_eval_calibration``'s reliability diagram for a dashboard or a
+    regression gate (Guo et al. 2017's metric). Bin sums are exact
+    integers (score_q is integer-quantized), each bin's gap is one double
+    expression over them, and the weighted sum runs over ten rows — no
+    accumulation-order exposure.
+
+    Scale shape: one 10-group map-side aggregate, 1-row output."""
+    d = load(spark, sf_dir, "documents")
+    from data_service_spark.registry import QUERIES
+
+    scored = QUERIES["k_quality_logreg"](spark, sf_dir).select(
+        "doc_id", "score_q"
+    )
+    lab = scored.join(d.select("doc_id", "lang"), "doc_id").select(
+        F.least(F.floor(F.col("score_q") / 100000.0).cast("long"), F.lit(9))
+        .alias("bin"),
+        F.col("score_q").alias("sq"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    b = lab.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("sq").alias("ssq"),
+        F.sum("y").alias("sy"),
+    )
+    gap = F.abs(
+        F.col("ssq").cast("double") / F.col("n") / 1000000
+        - F.col("sy").cast("double") / F.col("n")
+    )
+    t = b.agg(F.sum("n").alias("n_tot"))
+    return (
+        b.agg(
+            F.count(F.lit(1)).alias("n_bins"),
+            F.sum(F.col("n").cast("double") * gap).alias("wsum"),
+            F.max(gap).alias("mce_raw"),
+        )
+        .crossJoin(F.broadcast(t))
+        .select(
+            F.col("n_tot").cast("long").alias("n_docs"),
+            F.col("n_bins").cast("long"),
+            (F.round(F.col("wsum") / F.col("n_tot"), 6) + F.lit(0.0)).alias(
+                "ece"
+            ),
+            (F.round(F.col("mce_raw"), 6) + F.lit(0.0)).alias("mce"),
+        )
+        .select("n_docs", "n_bins", "ece", "mce")
+    )

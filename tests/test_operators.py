@@ -3242,3 +3242,30 @@ def test_kendall_and_consistent_ring(spark, sf_dir):
     # loads roughly balanced: no shard more than 2.5x the fair share
     fair = n_docs / 8
     assert all(r.load < 2.5 * fair for r in ring)
+
+
+def test_bucket_independence_and_ece(spark, sf_dir):
+    """Cross-tab cells partition the user universe and chi2/phi recompute;
+    ECE equals the bin-weighted mean gap of the calibration diagram."""
+    from data_service_spark.registry import QUERIES
+
+    bi = QUERIES["k_bucket_independence"](spark, sf_dir).first()
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    assert bi.n00 + bi.n01 + bi.n10 + bi.n11 == ev.user_id.nunique()
+    a, b, c, d = bi.n00, bi.n01, bi.n10, bi.n11
+    n = a + b + c + d
+    num = a * d - b * c
+    den = (a + b) * (c + d) * (a + c) * (b + d)
+    assert abs(bi.chi2_indep - n * num * num / den) < 1e-4
+    assert abs(bi.phi - num / den**0.5) < 1e-5
+
+    ece = QUERIES["k_eval_ece"](spark, sf_dir).first()
+    cal = QUERIES["k_eval_calibration"](spark, sf_dir).collect()
+    n_tot = sum(r.n for r in cal)
+    # recompute from the SAME bins: ECE is the n-weighted mean gap, MCE
+    # the max, over unrounded per-bin means — allow 4dp slack from the
+    # diagram's own rounding
+    approx_ece = sum(r.n * r.gap for r in cal) / n_tot
+    assert abs(ece.ece - approx_ece) < 5e-4
+    assert ece.mce + 5e-4 >= max(r.gap for r in cal)
+    assert ece.n_docs == n_tot

@@ -156,6 +156,7 @@ k_raking_ipf k_attribution_markov
 k_did_estimator k_propensity_strata k_text_kn_bigram
 k_temporal_split_audit k_contingency_chi2 k_seasonal_decompose
 k_rank_kendall k_consistent_hash_ring
+k_bucket_independence k_eval_ece
 """.split()
 
 
