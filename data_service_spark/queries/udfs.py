@@ -554,16 +554,17 @@ def j_udf_iterator(spark: SparkSession, sf_dir: str) -> DataFrame:
                  (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4)
              AS roll_avg
-    FROM orders
+    FROM orders WHERE o_custkey % 20 = 0
     """,
 )
 def j_pandas_udaf_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Grouped-agg pandas UDF evaluated OVER a bounded window frame — the
     # third place a UDAF can run (after groupBy().agg and SQL agg): Spark
-    # slices the frame per row and ships each slice through Arrow. Kept on a
-    # 3-row frame so the Arrow amplification stays visible-but-bounded; the
-    # built-in avg twin is what production uses (and what the oracle hashes)
-    # — this key pins the UDAF-in-window plumbing.
+    # slices the frame PER ROW and ships each slice through Arrow — a
+    # deliberate anti-pattern surface (one Arrow batch per output row). The
+    # input is capped to a deterministic 5% customer slice so the plumbing
+    # is pinned without paying the per-row Arrow tax on the full table; the
+    # built-in avg twin is what production uses (and what the oracle hashes).
     from pyspark.sql.window import Window
 
     @F.pandas_udf("double")
@@ -575,7 +576,7 @@ def j_pandas_udaf_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("o_orderdate", "o_orderkey")
         .rowsBetween(-2, Window.currentRow)
     )
-    o = load(spark, sf_dir, "orders")
+    o = load(spark, sf_dir, "orders").filter("o_custkey % 20 = 0")
     return o.select(
         "o_orderkey",
         "o_custkey",
