@@ -800,3 +800,92 @@ def k_rank_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair join runs on that dimension, never on documents."""
     load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_body_kendall())
+
+
+# ----------------------------------------------- DAU/MAU stickiness ----
+
+
+def _body_dau_mau() -> str:
+    return """
+    WITH dau AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+             CAST(date_trunc('month', ts) AS DATE) AS m,
+             count(DISTINCT user_id) AS dau
+      FROM events GROUP BY 1, 2
+    ), mau AS (
+      SELECT CAST(date_trunc('month', ts) AS DATE) AS m,
+             count(DISTINCT user_id) AS mau
+      FROM events GROUP BY 1
+    )
+    SELECT d.m AS month, CAST(count(*) AS BIGINT) AS n_days,
+           CAST(mau.mau AS BIGINT) AS mau,
+           CAST(floor(avg(d.dau * 1.0)) AS BIGINT) AS avg_dau,
+           CAST(floor(sum(d.dau) * 10000.0 / (count(*) * mau.mau))
+             AS BIGINT) AS stickiness_bp
+    FROM dau d JOIN mau ON d.m = mau.m
+    GROUP BY d.m, mau.mau
+    """
+
+
+@register("k_dau_mau", oracle=_body_dau_mau())
+def k_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness per month: mean daily active users over monthly
+    active users — the engagement-frequency ratio every product dashboard
+    leads with (stickiness 100% = every monthly user active every day).
+    Distinct counts are exact; the ratio floor-quantizes to basis points
+    from pure integer sums (Σdau·10⁴/(days·mau)).
+
+    Scale shape: two distinct aggregates (the honest cost of exact
+    distincts — the sketch path is ``d_agg_hll_sketch``), then a
+    month-spine reduce."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_body_dau_mau())
+
+
+# ------------------------------------------- ABC revenue classes ----
+
+
+def _body_abc() -> str:
+    return """
+    WITH rev AS (
+      SELECT l_partkey,
+             sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cents
+      FROM lineitem GROUP BY l_partkey
+    ), ranked AS (
+      SELECT l_partkey, cents,
+             sum(cents) OVER (ORDER BY cents DESC, l_partkey) AS cum,
+             sum(cents) OVER () AS tot
+      FROM rev
+    ), classed AS (
+      SELECT l_partkey, cents,
+             CASE WHEN cum * 100 <= tot * 80 THEN 'A'
+                  WHEN cum * 100 <= tot * 95 THEN 'B'
+                  ELSE 'C' END AS abc
+      FROM ranked
+    )
+    SELECT abc, CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(cents) AS BIGINT) AS revenue_cents,
+           CAST(floor(count(*) * 10000.0
+                      / sum(count(*)) OVER ()) AS BIGINT) AS part_share_bp,
+           CAST(floor(sum(cents) * 10000.0
+                      / sum(sum(cents)) OVER ()) AS BIGINT)
+             AS revenue_share_bp
+    FROM classed GROUP BY abc
+    """
+
+
+@register("k_abc_classification", oracle=_body_abc())
+def k_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) classification of parts by revenue: A = parts covering
+    the first 80% of cumulative revenue, B = next 15%, C = tail — the
+    inventory-control cut (and, in a data pipeline, the "which entities
+    deserve expensive treatment" triage; ``e_win_pareto``'s top-80 flag is
+    the per-row view, this is the partitioned ledger). Class boundaries
+    are integer cross-products (cum·100 ≤ tot·80 — no division), revenue
+    is exact cents, ordering is total (cents DESC, partkey).
+
+    Scale shape: one part-keyed reduce, one ordered window over the part
+    spine (range-partitioned sort of dimension-sized data), 3-row
+    output."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_body_abc())
