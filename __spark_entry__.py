@@ -93,6 +93,7 @@ PRIORITY = [
     "k_temporal_split_audit", "k_contingency_chi2", "k_seasonal_decompose",
     "k_rank_kendall", "k_consistent_hash_ring",
     "k_bucket_independence", "k_eval_ece",
+    "k_dau_mau", "k_abc_classification",
     # remaining never-recorded core, next rounds' window
     "e_win_ignore_nulls", "e_win_pareto", "e_win_ewma", "e_win_nth_value",
     "g_union_byname", "g_except_all", "g_intersect_all",

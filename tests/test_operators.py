@@ -3269,3 +3269,30 @@ def test_bucket_independence_and_ece(spark, sf_dir):
     assert abs(ece.ece - approx_ece) < 5e-4
     assert ece.mce + 5e-4 >= max(r.gap for r in cal)
     assert ece.n_docs == n_tot
+
+
+def test_dau_mau_and_abc(spark, sf_dir):
+    """Stickiness reconciles with pandas distinct counts; ABC classes
+    partition parts and revenue shares follow A >= B >= C ordering."""
+    from data_service_spark.registry import QUERIES
+
+    dm = {r.month: r for r in QUERIES["k_dau_mau"](spark, sf_dir).collect()}
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    ev["d"] = ev.ts.dt.floor("D")
+    ev["m"] = ev.ts.dt.to_period("M").dt.start_time
+    for m, g in ev.groupby("m"):
+        r = dm[m.date()]
+        assert r.mau == g.user_id.nunique()
+        dau = g.groupby("d").user_id.nunique()
+        assert r.n_days == len(dau)
+        assert r.stickiness_bp == int(dau.sum()) * 10000 // (len(dau) * r.mau)
+
+    abc = {r.abc: r for r in QUERIES["k_abc_classification"](spark, sf_dir).collect()}
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    assert sum(r.n_parts for r in abc.values()) == li.l_partkey.nunique()
+    tot_bp = sum(r.revenue_share_bp for r in abc.values())
+    assert 9997 <= tot_bp <= 10000  # floor slack
+    if "A" in abc and "C" in abc:
+        # A: few parts, most revenue; C: many parts, little revenue
+        assert abc["A"].revenue_share_bp > abc["C"].revenue_share_bp
+        assert abc["A"].revenue_cents > abc["C"].revenue_cents

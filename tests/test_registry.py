@@ -157,6 +157,7 @@ k_did_estimator k_propensity_strata k_text_kn_bigram
 k_temporal_split_audit k_contingency_chi2 k_seasonal_decompose
 k_rank_kendall k_consistent_hash_ring
 k_bucket_independence k_eval_ece
+k_dau_mau k_abc_classification
 """.split()
 
 
