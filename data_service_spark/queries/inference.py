@@ -974,3 +974,75 @@ def k_bucket_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: distinct-user spine, one 4-cell conditional reduce."""
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_body_bucket_independence(_SPARK_HASH))
+
+
+def _body_group_sequential(hash_to_long: str) -> str:
+    ha = hash_to_long.format(h="'assign:' || CAST(user_id AS STRING)")
+    return f"""
+    WITH base AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS d,
+             CAST(round(value * 10000, 0) AS BIGINT) AS q
+      FROM events WHERE event_type = 'purchase'
+    ), lim AS (SELECT min(d) AS d0 FROM base),
+    looks AS (
+      SELECT b.user_id, b.q, CAST({ha} % 2 AS INT) AS arm,
+             1 + CASE WHEN b.d >= l.d0 + 6 THEN 1 ELSE 0 END
+               + CASE WHEN b.d >= l.d0 + 12 THEN 1 ELSE 0 END
+               + CASE WHEN b.d >= l.d0 + 18 THEN 1 ELSE 0 END
+               + CASE WHEN b.d >= l.d0 + 24 THEN 1 ELSE 0 END AS phase
+      FROM base b CROSS JOIN lim l
+    ), cum AS (
+      SELECT lk.look, l.arm,
+             sum(l.q) AS s, count(*) AS n, sum(l.q * l.q) AS ss
+      FROM looks l
+      JOIN (SELECT explode(sequence(1, 5)) AS look) lk
+        ON l.phase <= lk.look
+      GROUP BY lk.look, l.arm
+    ), wide AS (
+      SELECT look,
+             max(CASE WHEN arm = 1 THEN s END) AS s1,
+             max(CASE WHEN arm = 1 THEN n END) AS n1,
+             max(CASE WHEN arm = 1 THEN ss END) AS ss1,
+             max(CASE WHEN arm = 0 THEN s END) AS s0,
+             max(CASE WHEN arm = 0 THEN n END) AS n0,
+             max(CASE WHEN arm = 0 THEN ss END) AS ss0
+      FROM cum GROUP BY look
+    ), z AS (
+      SELECT look, n1, n0,
+             (CAST(s1 AS DOUBLE) / n1 - CAST(s0 AS DOUBLE) / n0)
+             / sqrt((CAST(ss1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1)
+                      / (n1 - 1) / n1
+                    + (CAST(ss0 AS DOUBLE) - CAST(s0 AS DOUBLE) * s0 / n0)
+                      / (n0 - 1) / n0) AS z_look
+      FROM wide
+    )
+    SELECT CAST(look AS INT) AS look,
+           CAST(n1 + n0 AS BIGINT) AS n_cum,
+           CAST(round(z_look, 6) + 0.0 AS DOUBLE) AS z_look,
+           (abs(z_look) > 2.413) AS crosses_pocock
+    FROM z
+    """
+
+
+@register(
+    "k_group_sequential",
+    oracle=_body_group_sequential(_DUCK_HASH).replace(
+        "(SELECT explode(sequence(1, 5)) AS look)",
+        "(SELECT CAST(b + 1 AS INT) AS look FROM range(5) t(b))",
+    ),
+)
+def k_group_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-sequential A/B monitoring with Pocock boundaries: five interim
+    looks (6-day phases), cumulative two-sample z at each, compared to the
+    constant Pocock critical value 2.413 (K=5, α=.05 overall) — the
+    peeking-safe alternative to eyeballing a dashboard z-test daily, which
+    inflates false positives several-fold (the companion of ``k_ab_sprt``:
+    SPRT is fully-sequential, this is the scheduled-looks design). All
+    cumulative moments are exact integer power sums; each look's z is a
+    deterministic double expression over them.
+
+    Scale shape: one (look×arm) conditional aggregate via a 5-row
+    broadcast expansion of per-phase partials — the fact table is read
+    once."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_body_group_sequential(_SPARK_HASH))

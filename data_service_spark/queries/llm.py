@@ -3501,3 +3501,108 @@ def k_dedup_token_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
             "savings_bp",
         )
     )
+
+
+@register(
+    "k_graph_modularity",
+    oracle="""
+    WITH e0 AS (
+      SELECT DISTINCT o_custkey AS c, l_suppkey AS s,
+             CAST(o_custkey % 5 AS INT) AS comm_c,
+             CAST(l_suppkey % 5 AS INT) AS comm_s
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ), m AS (SELECT count(*) AS m FROM e0),
+    intra AS (
+      SELECT comm_c AS comm, count(*) AS e_in
+      FROM e0 WHERE comm_c = comm_s GROUP BY 1
+    ), degmass AS (
+      SELECT comm, sum(cnt) AS mass FROM (
+        SELECT comm_c AS comm, count(*) AS cnt FROM e0 GROUP BY 1
+        UNION ALL
+        SELECT comm_s AS comm, count(*) AS cnt FROM e0 GROUP BY 1
+      ) t GROUP BY comm
+    )
+    SELECT CAST(d.comm AS INT) AS community,
+           CAST(coalesce(i.e_in, 0) AS BIGINT) AS intra_edges,
+           CAST(d.mass AS BIGINT) AS degree_mass,
+           CAST(round(CAST(coalesce(i.e_in, 0) AS DOUBLE) / mm.m
+                      - (CAST(d.mass AS DOUBLE) / (2 * mm.m))
+                        * (CAST(d.mass AS DOUBLE) / (2 * mm.m)), 6) + 0.0
+             AS DOUBLE) AS q_contrib,
+           CAST(round(sum(CAST(coalesce(i.e_in, 0) AS DOUBLE) / mm.m
+                      - (CAST(d.mass AS DOUBLE) / (2 * mm.m))
+                        * (CAST(d.mass AS DOUBLE) / (2 * mm.m)))
+                      OVER (), 6) + 0.0 AS DOUBLE) AS modularity
+    FROM degmass d LEFT JOIN intra i ON d.comm = i.comm
+    CROSS JOIN m mm
+    """,
+)
+def k_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of a candidate community assignment (key mod 5 —
+    a deliberately arbitrary partition, so Q ≈ 0 is the expected null
+    readout) on the customer↔supplier transaction graph: Q = Σ_c (e_c/m −
+    (d_c/2m)²), the objective Louvain/Leiden maximize and the first
+    number to check before believing any clustering of an entity graph
+    (``k_dedup_clusters``' CC labels, a co-purchase segmentation). Per-
+    community contributions + the global Q; all inputs are exact integer
+    edge/degree counts, Q is a ten-row sum of identical doubles.
+
+    Scale shape: one distinct-edge reduce (the only corpus-sized work),
+    then community-spine aggregates."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e0 = (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("c"),
+            F.col("l_suppkey").alias("s"),
+            (F.col("o_custkey") % 5).cast("int").alias("comm_c"),
+            (F.col("l_suppkey") % 5).cast("int").alias("comm_s"),
+        )
+        .distinct()
+    )
+    m = e0.agg(F.count(F.lit(1)).alias("m"))
+    intra = (
+        e0.filter(F.col("comm_c") == F.col("comm_s"))
+        .groupBy(F.col("comm_c").alias("comm"))
+        .agg(F.count(F.lit(1)).alias("e_in"))
+    )
+    degmass = (
+        e0.groupBy(F.col("comm_c").alias("comm"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .unionAll(
+            e0.groupBy(F.col("comm_s").alias("comm")).agg(
+                F.count(F.lit(1)).alias("cnt")
+            )
+        )
+        .groupBy("comm")
+        .agg(F.sum("cnt").alias("mass"))
+    )
+    from pyspark.sql.window import Window
+
+    j = (
+        degmass.join(intra, "comm", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            F.col("comm").cast("int").alias("community"),
+            F.coalesce(F.col("e_in"), F.lit(0)).cast("long").alias(
+                "intra_edges"
+            ),
+            F.col("mass").cast("long").alias("degree_mass"),
+            (
+                F.coalesce(F.col("e_in"), F.lit(0)).cast("double")
+                / F.col("m")
+                - (F.col("mass").cast("double") / (2 * F.col("m")))
+                * (F.col("mass").cast("double") / (2 * F.col("m")))
+            ).alias("qc"),
+        )
+    )
+    return j.select(
+        "community",
+        "intra_edges",
+        "degree_mass",
+        (F.round(F.col("qc"), 6) + F.lit(0.0)).alias("q_contrib"),
+        (F.round(F.sum("qc").over(Window.partitionBy()), 6) + F.lit(0.0)).alias(
+            "modularity"
+        ),
+    )

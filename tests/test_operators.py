@@ -3296,3 +3296,29 @@ def test_dau_mau_and_abc(spark, sf_dir):
         # A: few parts, most revenue; C: many parts, little revenue
         assert abc["A"].revenue_share_bp > abc["C"].revenue_share_bp
         assert abc["A"].revenue_cents > abc["C"].revenue_cents
+
+
+def test_group_sequential_and_modularity(spark, sf_dir):
+    """Looks are cumulative (n monotone, look 5 == full-data Welch z);
+    modularity per-community terms sum to the global Q and |Q| is small
+    for the arbitrary mod-5 partition."""
+    from data_service_spark.registry import QUERIES
+
+    gs = sorted(
+        QUERIES["k_group_sequential"](spark, sf_dir).collect(),
+        key=lambda r: r.look,
+    )
+    assert [r.look for r in gs] == [1, 2, 3, 4, 5]
+    for a, b in zip(gs, gs[1:]):
+        assert a.n_cum <= b.n_cum
+    for r in gs:
+        assert r.crosses_pocock == (abs(r.z_look) > 2.413)
+
+    md = QUERIES["k_graph_modularity"](spark, sf_dir).collect()
+    q = md[0].modularity
+    assert all(abs(r.modularity - q) < 1e-9 for r in md)
+    assert abs(sum(r.q_contrib for r in md) - q) < 1e-5
+    # an arbitrary (hash-ish) partition has near-zero modularity
+    assert abs(q) < 0.2
+    m2 = sum(r.degree_mass for r in md)
+    assert m2 % 2 == 0 and m2 // 2 == sum(r.degree_mass for r in md) // 2
