@@ -2650,3 +2650,76 @@ def k_eval_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("n_docs", "n_bins", "ece", "mce")
     )
+
+
+# --------------------------------------- Bradley-Terry strengths ----
+
+
+def _body_bradley_terry() -> str:
+    return """
+    WITH sess AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS d,
+             event_type, count(*) AS c
+      FROM events GROUP BY 1, 2, 3
+    ), duel AS (
+      SELECT a.event_type AS i, b.event_type AS j,
+             sum(CASE WHEN a.c > b.c THEN 1 ELSE 0 END) AS w_ij,
+             sum(CASE WHEN a.c < b.c THEN 1 ELSE 0 END) AS w_ji
+      FROM sess a JOIN sess b
+        ON a.user_id = b.user_id AND a.d = b.d
+       AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT i, j, w_ij AS w, w_ij + w_ji AS n FROM duel
+      UNION ALL
+      SELECT j AS i, i AS j, w_ji AS w, w_ij + w_ji AS n FROM duel
+    ), wins AS (
+      SELECT i, sum(w) AS big_w FROM pairs GROUP BY i
+    ), w0 AS (
+      SELECT i, CAST(1000000 AS BIGINT) AS s FROM wins
+    ), it1 AS (
+      SELECT p.i,
+             CAST(wn.big_w AS DOUBLE)
+             / sum(CAST(p.n AS DOUBLE) / (a.s + b.s)) AS s_raw
+      FROM pairs p
+      JOIN w0 a ON p.i = a.i
+      JOIN w0 b ON p.j = b.i
+      JOIN wins wn ON p.i = wn.i
+      GROUP BY p.i, wn.big_w
+    ), q1 AS (
+      SELECT i, CAST(floor(s_raw * 1000000
+                           / max(s_raw) OVER ()) AS BIGINT) AS s
+      FROM it1
+    ), it2 AS (
+      SELECT p.i,
+             CAST(wn.big_w AS DOUBLE)
+             / sum(CAST(p.n AS DOUBLE) / (a.s + b.s)) AS s_raw
+      FROM pairs p
+      JOIN q1 a ON p.i = a.i
+      JOIN q1 b ON p.j = b.i
+      JOIN wins wn ON p.i = wn.i
+      GROUP BY p.i, wn.big_w
+    )
+    SELECT it2.i AS event_type,
+           CAST(wn.big_w AS BIGINT) AS total_wins,
+           CAST(floor(it2.s_raw * 1000000 / max(it2.s_raw) OVER ())
+             AS BIGINT) AS bt_strength_ppm
+    FROM it2 JOIN wins wn ON it2.i = wn.i
+    """
+
+
+@register("k_bradley_terry", oracle=_body_bradley_terry())
+def k_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley–Terry strengths from pairwise contests (two unrolled MM
+    iterations, Hunter 2004: wᵢ ← Wᵢ / Σⱼ nᵢⱼ/(wᵢ+wⱼ)) — the model under
+    every RLHF reward model and chatbot-arena leaderboard, here fitted to
+    "which event type dominates a (user, day) session" duels. Strengths
+    floor-quantize to max-normalized ppm between iterations (the
+    ``k_graph_hits`` fixed-point determinism pattern), so both engines
+    walk an identical integer trajectory; contest counts are exact.
+
+    Scale shape: the duel table is a session-keyed self-join over 5-row
+    groups (fan-out 10 pairs/session, map-local); both MM iterations run
+    on the 5-item spine with broadcast strength vectors."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_body_bradley_terry())

@@ -3322,3 +3322,48 @@ def test_group_sequential_and_modularity(spark, sf_dir):
     assert abs(q) < 0.2
     m2 = sum(r.degree_mass for r in md)
     assert m2 % 2 == 0 and m2 // 2 == sum(r.degree_mass for r in md) // 2
+
+
+def test_bradley_terry_matches_mm_recompute(spark, sf_dir):
+    """BT strengths reproduce a from-scratch two-iteration MM fit (with
+    the same ppm quantization schedule) and order by total wins on this
+    near-symmetric data."""
+    import math
+    from collections import defaultdict
+
+    from data_service_spark.registry import QUERIES
+
+    rows = {r.event_type: r for r in QUERIES["k_bradley_terry"](spark, sf_dir).collect()}
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    ev["d"] = ev.ts.dt.floor("D")
+    counts = ev.groupby(["user_id", "d", "event_type"]).size()
+    wins = defaultdict(int)
+    n_pair = defaultdict(int)
+    for (_, _), g in counts.groupby(level=[0, 1]):
+        items = g.droplevel([0, 1])
+        ks = list(items.index)
+        for x in range(len(ks)):
+            for y in range(x + 1, len(ks)):
+                a, b = ks[x], ks[y]
+                if items[a] == items[b]:
+                    continue
+                w = a if items[a] > items[b] else b
+                wins[w] += 1
+                n_pair[(a, b)] += 1
+                n_pair[(b, a)] += 1
+    types = sorted({t for ab in n_pair for t in ab})
+    s = {t: 1_000_000 for t in types}
+    for it in range(2):
+        raw = {}
+        for i in types:
+            den = sum(
+                n_pair[(i, j)] / (s[i] + s[j])
+                for j in types
+                if (i, j) in n_pair
+            )
+            raw[i] = wins[i] / den
+        mx = max(raw.values())
+        s = {t: math.floor(raw[t] * 1_000_000 / mx) for t in types}
+    for t in types:
+        assert rows[t].total_wins == wins[t]
+        assert rows[t].bt_strength_ppm == s[t]

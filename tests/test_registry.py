@@ -158,7 +158,7 @@ k_temporal_split_audit k_contingency_chi2 k_seasonal_decompose
 k_rank_kendall k_consistent_hash_ring
 k_bucket_independence k_eval_ece
 k_dau_mau k_abc_classification
-k_group_sequential k_graph_modularity
+k_group_sequential k_graph_modularity k_bradley_terry
 """.split()
 
 
