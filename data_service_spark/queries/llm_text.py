@@ -1843,3 +1843,58 @@ def k_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     codegen), zero shuffles."""
     load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_body_code_detect())
+
+
+def _body_ocr_gate(tok_src: str, regex_fn: str) -> str:
+    # tok_src: engine-specific token stream CTE; regex_fn('x', 'pat')
+    return f"""
+    WITH toks AS ({tok_src}),
+    feat AS (
+      SELECT doc_id, source, count(*) AS n_tok,
+             sum(CASE WHEN length(tok) = 1 THEN 1 ELSE 0 END) AS singles,
+             sum(CASE WHEN {regex_fn.format(col="tok", pat="'[a-zA-Z][0-9]|[0-9][a-zA-Z]'")}
+                 THEN 1 ELSE 0 END) AS alnum_mixed,
+             sum(CASE WHEN {regex_fn.format(col="tok", pat="'-$'")}
+                 THEN 1 ELSE 0 END) AS hyphen_breaks
+      FROM toks GROUP BY doc_id, source
+    )
+    SELECT doc_id, source, CAST(n_tok AS BIGINT) AS n_tok,
+           CAST(singles AS BIGINT) AS single_char_toks,
+           CAST(alnum_mixed AS BIGINT) AS alnum_mixed_toks,
+           CAST(hyphen_breaks AS BIGINT) AS hyphen_break_toks,
+           CAST(floor((singles * 2 + alnum_mixed * 3 + hyphen_breaks * 5)
+                      * 10000.0 / n_tok) AS BIGINT) AS ocr_risk_bp,
+           ((singles * 2 + alnum_mixed * 3 + hyphen_breaks * 5) * 100
+             >= n_tok * 3) AS flagged
+    FROM feat
+    """
+
+
+@register(
+    "k_ocr_artifact_gate",
+    oracle=_body_ocr_gate(
+        "SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok"
+        " FROM documents",
+        "regexp_matches({col}, {pat})",
+    ),
+)
+def k_ocr_artifact_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OCR-artifact gate: token-level symptoms of scanned-document text —
+    single-character tokens (broken kerning), letter/digit-mixed tokens
+    (l→1, O→0 confusions), and trailing-hyphen tokens (un-rejoined line
+    breaks) — weighted into a risk score, the gate a book/PDF corpus runs
+    BEFORE the generic quality score (``k_text_quality``), because OCR
+    noise degrades dedup shingles and tokenizer fertility before it shows
+    up as low quality. The flag threshold (weighted score ≥ 3% of tokens)
+    is an integer cross-product, division-free.
+
+    Scale shape: scan-side explode + per-doc reduce (map-side partials);
+    regexes stay in codegen — no UDFs."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        _body_ocr_gate(
+            "SELECT doc_id, source, explode(split(text, ' ')) AS tok"
+            " FROM documents",
+            "{col} RLIKE {pat}",
+        )
+    )

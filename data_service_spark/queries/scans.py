@@ -1023,3 +1023,54 @@ def a_scan_json_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("_corrupt_record")
         .crossJoin(F.broadcast(bad))
     )
+
+
+@register(
+    "a_sink_parquet_codecs",
+    oracle="""
+    SELECT codec, CAST(n AS BIGINT) AS n_rows,
+           CAST(k AS BIGINT) AS n_distinct_keys
+    FROM (SELECT count(*) AS n, count(DISTINCT n_nationkey) AS k
+          FROM nation) s
+    CROSS JOIN (VALUES ('snappy'), ('gzip'), ('zstd')) AS c(codec)
+    """,
+)
+def a_sink_parquet_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet compression-codec surface: the same table written and read
+    back under snappy (the latency default), gzip (legacy interop), and
+    zstd (the modern size/speed winner and the right 100 TB default) —
+    the knob that moves multi-TB storage bills more than most query
+    tuning. Each roundtrip must preserve row count and key cardinality
+    exactly (what the oracle pins); file sizes are environment-dependent
+    and deliberately not part of the contract.
+
+    Scale shape: three tiny write+scan roundtrips; codec choice is a
+    write-conf, not a plan change."""
+    import os
+
+    out = []
+    nation = load(spark, sf_dir, "nation")
+    for codec, marker in [("snappy", "snappy"), ("gzip", ".gz."),
+                          ("zstd", "zstd")]:
+        path = _tmpdir(f"nation_codec_{codec}")
+        nation.write.mode("overwrite").option("compression", codec).parquet(
+            path
+        )
+        assert any(
+            marker in f for f in os.listdir(path) if f.endswith(".parquet")
+        ), f"{codec} codec not reflected in file names"
+        back = spark.read.parquet(path)
+        out.append(
+            back.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.countDistinct("n_nationkey").alias("n_distinct_keys"),
+            ).select(F.lit(codec).alias("codec"), "n_rows", "n_distinct_keys")
+        )
+    res = out[0]
+    for df in out[1:]:
+        res = res.unionAll(df)
+    return res.select(
+        "codec",
+        F.col("n_rows").cast("long"),
+        F.col("n_distinct_keys").cast("long"),
+    )

@@ -3367,3 +3367,34 @@ def test_bradley_terry_matches_mm_recompute(spark, sf_dir):
     for t in types:
         assert rows[t].total_wins == wins[t]
         assert rows[t].bt_strength_ppm == s[t]
+
+
+def test_codecs_and_ocr_gate(spark, sf_dir):
+    """All three codecs roundtrip identical counts; OCR gate recomputes
+    from raw token scans on a sample."""
+    import re
+
+    from data_service_spark.registry import QUERIES
+
+    cod = QUERIES["a_sink_parquet_codecs"](spark, sf_dir).collect()
+    nat = pd.read_parquet(f"{sf_dir}/nation.parquet")
+    assert {r.codec for r in cod} == {"snappy", "gzip", "zstd"}
+    for r in cod:
+        assert r.n_rows == len(nat)
+        assert r.n_distinct_keys == nat.n_nationkey.nunique()
+
+    ocr = QUERIES["k_ocr_artifact_gate"](spark, sf_dir).toPandas().set_index("doc_id")
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    mixed_re = re.compile(r"[a-zA-Z][0-9]|[0-9][a-zA-Z]")
+    for _, row in docs.head(40).iterrows():
+        toks = row.text.split(" ")
+        singles = sum(len(t) == 1 for t in toks)
+        mixed = sum(bool(mixed_re.search(t)) for t in toks)
+        hyph = sum(t.endswith("-") for t in toks)
+        r = ocr.loc[row.doc_id]
+        assert (r.single_char_toks, r.alnum_mixed_toks, r.hyphen_break_toks) == (
+            singles, mixed, hyph,
+        )
+        score = singles * 2 + mixed * 3 + hyph * 5
+        assert r.ocr_risk_bp == score * 10000 // len(toks)
+        assert r.flagged == (score * 100 >= len(toks) * 3)

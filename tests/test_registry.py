@@ -159,6 +159,7 @@ k_rank_kendall k_consistent_hash_ring
 k_bucket_independence k_eval_ece
 k_dau_mau k_abc_classification
 k_group_sequential k_graph_modularity k_bradley_terry
+a_sink_parquet_codecs k_ocr_artifact_gate
 """.split()
 
 
