@@ -96,6 +96,7 @@ PRIORITY = [
     "k_dau_mau", "k_abc_classification",
     "k_group_sequential", "k_graph_modularity", "k_bradley_terry",
     "a_sink_parquet_codecs", "k_ocr_artifact_gate",
+    "e_win_dow_anomaly", "f_top_p_mass",
     # remaining never-recorded core, next rounds' window
     "e_win_ignore_nulls", "e_win_pareto", "e_win_ewma", "e_win_nth_value",
     "g_union_byname", "g_except_all", "g_intersect_all",

@@ -822,3 +822,57 @@ def k_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     reduce over the day spine."""
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_body_seasonal_decompose())
+
+
+# ------------------------------------------- same-weekday anomaly ----
+
+
+def _body_dow_anomaly() -> str:
+    return """
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+             CAST(extract(dayofweek_iso FROM
+                          CAST(date_trunc('day', ts) AS DATE)) AS INT)
+               AS dow,
+             sum(CAST(round(value * 100, 0) AS BIGINT)) AS v
+      FROM events GROUP BY 1, 2
+    ), base AS (
+      SELECT d, dow, v,
+             count(*) OVER w AS n,
+             sum(v) OVER w AS s1,
+             sum(v * v) OVER w AS s2
+      FROM daily
+      WINDOW w AS (PARTITION BY dow ORDER BY d
+                   ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT d, dow, CAST(v AS BIGINT) AS v_cents,
+           CAST(n AS BIGINT) AS n_baseline,
+           CAST(round(
+             (v - CAST(s1 AS DOUBLE) / n)
+             / nullif(sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n)
+                           / (n - 1)), 0),
+             6) + 0.0 AS DOUBLE) AS dow_zscore
+    FROM base WHERE n >= 3
+    """
+
+
+@register(
+    "e_win_dow_anomaly",
+    oracle=_body_dow_anomaly().replace(
+        "extract(dayofweek_iso FROM", "extract(isodow FROM"
+    ),
+)
+def e_win_dow_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same-weekday anomaly score: each day's revenue standardized against
+    the TRAILING 4 occurrences of the same ISO weekday — the seasonality-
+    aware control chart (a raw rolling z (``e_win_zscore_rolling``) flags
+    every Sunday as an anomaly on a weekday-cyclic metric; comparing
+    Sundays to Sundays removes exactly that). Cents-integer window power
+    sums (the order-proof-moment pattern), strictly-past frame (4..1
+    PRECEDING — no self-inclusion leak), NULL where the baseline has zero
+    variance.
+
+    Scale shape: day-spine reduce + one window partitioned by weekday
+    (7 shards over the spine)."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_body_dow_anomaly())

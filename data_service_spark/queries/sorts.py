@@ -127,3 +127,49 @@ def f_keyset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("o_totalprice", "o_orderkey", "o_orderstatus")
     )
+
+
+def _body_top_p_mass() -> str:
+    return """
+    WITH rev AS (
+      SELECT n.n_name, s.s_suppkey,
+             sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS cents
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      GROUP BY 1, 2
+    ), cums AS (
+      SELECT n_name, s_suppkey, cents,
+             sum(cents) OVER (PARTITION BY n_name
+                              ORDER BY cents DESC, s_suppkey) AS cum,
+             sum(cents) OVER (PARTITION BY n_name) AS tot
+      FROM rev
+    ), ranked AS (
+      SELECT n_name, s_suppkey, cents, cum, tot,
+             lag(cum) OVER (PARTITION BY n_name
+                            ORDER BY cents DESC, s_suppkey) AS prev_cum
+      FROM cums
+    )
+    SELECT n_name, s_suppkey, CAST(cents AS BIGINT) AS cents,
+           CAST(floor(cum * 10000.0 / tot) AS BIGINT) AS cum_share_bp
+    FROM ranked
+    WHERE coalesce(prev_cum, 0) * 10 < tot * 9
+    """
+
+
+@register("f_top_p_mass", oracle=_body_top_p_mass())
+def f_top_p_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-p (nucleus) selection per group: the SMALLEST revenue-ordered
+    prefix of suppliers covering ≥90% of each nation's revenue — nucleus
+    sampling's selection rule applied to entity triage (keep a supplier
+    iff the mass BEFORE it is still under the threshold, so the element
+    that crosses 90% is included and nothing after it — exactly top-p's
+    boundary convention, unlike ``e_win_pareto``'s fixed top-80 flag).
+    The cut is the integer cross-product prev_cum·10 < tot·9 —
+    division-free; ordering is total (cents DESC, suppkey).
+
+    Scale shape: one grouped reduce, per-nation ordered windows over the
+    supplier spine."""
+    for t in ["lineitem", "supplier", "nation"]:
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_body_top_p_mass())

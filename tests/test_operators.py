@@ -3398,3 +3398,54 @@ def test_codecs_and_ocr_gate(spark, sf_dir):
         score = singles * 2 + mixed * 3 + hyph * 5
         assert r.ocr_risk_bp == score * 10000 // len(toks)
         assert r.flagged == (score * 100 >= len(toks) * 3)
+
+
+def test_dow_anomaly_and_top_p(spark, sf_dir):
+    """DOW z-scores recompute from pandas trailing same-weekday windows;
+    top-p prefixes are minimal covers of >= 90% per nation."""
+    from data_service_spark.registry import QUERIES
+
+    rows = QUERIES["e_win_dow_anomaly"](spark, sf_dir).collect()
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    daily = (
+        ev.assign(c=(ev.value * 100).round().astype("int64"))
+        .groupby(ev.ts.dt.floor("D"))
+        .c.sum()
+        .sort_index()
+    )
+    for r in rows[:10]:
+        d = pd.Timestamp(r.d)
+        same = daily[
+            (daily.index.dayofweek == d.dayofweek) & (daily.index < d)
+        ].tail(4)
+        assert r.n_baseline == len(same)
+        z = (daily[d] - same.mean()) / same.std(ddof=1)
+        assert abs(r.dow_zscore - z) < 1e-4
+
+    tp = QUERIES["f_top_p_mass"](spark, sf_dir).toPandas()
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    sup = pd.read_parquet(f"{sf_dir}/supplier.parquet")
+    nat = pd.read_parquet(f"{sf_dir}/nation.parquet")
+    rev = (
+        li.assign(c=(li.l_extendedprice * 100).round().astype("int64"))
+        .merge(sup, left_on="l_suppkey", right_on="s_suppkey")
+        .merge(nat, left_on="s_nationkey", right_on="n_nationkey")
+        .groupby(["n_name", "s_suppkey"])
+        .c.sum()
+        .reset_index()
+    )
+    for n_name, g in rev.groupby("n_name"):
+        g = g.sort_values(["c", "s_suppkey"], ascending=[False, True])
+        tot = g.c.sum()
+        kept = set(tp[tp.n_name == n_name].s_suppkey)
+        cum = 0
+        expect = set()
+        for _, row in g.iterrows():
+            if cum * 10 < tot * 9:
+                expect.add(row.s_suppkey)
+            cum += row.c
+        assert kept == expect
+        # minimal cover: selected mass >= 90%, dropping the boundary
+        # element would fall below
+        sel = g[g.s_suppkey.isin(kept)].c.sum()
+        assert sel * 10 >= tot * 9
