@@ -33,91 +33,90 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness pass is BOUNDED (~50 keys) and records the
-# FIRST entries of queries() in insertion order. Rounds 1-3 recorded 150
+# FIRST entries of queries() in insertion order. Rounds 1-4 recorded 199
 # distinct keys (r01: alphabetical a/b/c/d; r02: the k_ flagships; r03:
-# the e/f/g/h/i/j/q core). Round 4 re-queues the one r03 failure
-# (q_tpch_q09, decimal-vs-double — now fixed with CAST AS DOUBLE) at the
-# head for a green re-record, then the four tier-2 keys the 50-key window
-# displaced, then the round-3 additions the driver has never seen —
-# cumulative judged coverage grows ~50 keys per round.
+# the e/f/g/h/i/j/q core head; r04: the q09 re-record + round-3/4
+# additions). Round 5 rotates the full never-recorded set to the head --
+# the e/g/h/i/j surface keys, the 16 never-recorded TPC-H queries, the
+# a/c/d core stragglers -- then the r04-window overflow, then every other
+# never-recorded key in registry order. Driver-recorded keys queue last
+# (registry order), so each round's ~50-key window is all first-time keys
+# until the full 498 are confirmed (~r10).
 PRIORITY = [
-    # the r03 hash failure, fixed — must re-record green (VERDICT item #1)
-    "q_tpch_q09",
-    # tier-2 core displaced past r03's 50-key cut, plus the langid twin
-    # of the q09 decimal bug (never driver-recorded, fixed this round)
-    "j_sql_udf", "q_tpch_q01", "q_tpch_q05", "q_pipe_sql", "k_text_langid",
-    # round-3 additions (judge items 3-6: sharded packing, linear range
-    # frame, persistent catalog, avro, kafka-shaped wrapper)
-    "k_pack_sequences_sharded", "e_win_range_frame_linear",
-    "a_sink_hive_table", "a_sink_avro", "a_source_kafka_shaped",
-    "k_eval_mrr_labels", "k_benford_digits", "q_group_by_all", "h_listagg",
-    "k_seasonal_dow", "k_eval_map_labels", "k_text_ngram_coverage",
-    "k_dedup_prefix", "k_budget_select", "k_text_readability",
-    "k_sim_reciprocal_nn", "k_dup_cross_source", "k_tokenizer_fertility",
-    "q_ctas_insert", "k_boilerplate_phrases",
-    "k_chat_template_render", "k_span_mask_mlm", "c_join_spatial_grid",
-    "d_agg_skew_detect", "k_embed_norm_audit", "k_rank_rbo",
-    "k_daily_growth", "k_hubness_audit", "k_blocklist_gate",
-    "k_source_overlap_matrix", "k_prompt_dedup_sft", "d_agg_wilson_ci",
-    "e_win_running_distinct", "d_agg_kmv_sketch", "c_join_existence_flag",
-    "k_rfm_segments", "k_threshold_otsu", "d_agg_kmv_union",
-    "k_cross_lingual_dups", "k_event_pattern_negation", "k_ab_cuped",
-    "d_agg_percentile_disc", "k_colbert_maxsim", "k_neyman_allocation",
-    "k_pareto_skyline", "k_dedup_jaccard_histogram", "c_join_er_blocking", "k_forecast_snaive", "k_markov_stationary", "k_sim_tfidf_pairs", "k_state_sizing",
-    "k_design_effect", "e_win_hampel_repair", "k_eval_lift_curve",
-    # round-4 additions
-    "d_agg_linear_counting", "d_agg_bloom_audit",
-    "d_agg_minhash_jaccard_est", "a_sink_xml",
-    "k_kruskal_wallis", "k_cohens_d", "k_brown_forsythe", "k_eval_mcnemar",
-    "k_bootstrap_src_ci", "k_permutation_ab",
-    "k_theil_sen", "e_win_bollinger", "k_seasonal_strength", "e_win_rsi",
-    "k_mix_waterfill", "k_degree_distribution", "i_stream_union",
-    "q_sql_hints", "q_distribute_by",
-    "k_heaps_law", "k_text_ttr", "k_welch_t", "k_embed_standardize",
-    "k_filter_funnel", "k_position_bias",
-    "k_mann_whitney", "k_mann_kendall", "k_runs_test",
-    "k_friedman_test", "k_cronbach_alpha", "k_cochran_q",
-    "k_embed_mmd", "k_graph_hits", "k_quantile_normalize",
-    "q_window_named", "q_values_inline", "k_page_hinkley",
-    "k_calibration_isotonic", "k_eval_avg_precision", "a_scan_json_corrupt",
-    "q_pivot_sql", "q_lateral_view", "d_agg_median_counting",
-    "i_idempotent_sink",
-    "c_join_asof_tolerance", "k_srm_check", "k_importance_ess",
-    "k_fdr_bh", "k_power_mde",
-    "k_capture_recapture", "k_best_split_stump", "q_filter_clause",
-    "e_win_rolling_corr", "k_lag_corr_ccf",
-    "j_udf_iterator", "j_pandas_udaf_window",
-    "k_dedup_token_savings", "k_code_detect",
-    "k_raking_ipf", "k_attribution_markov",
-    "k_did_estimator", "k_propensity_strata", "k_text_kn_bigram",
-    "k_temporal_split_audit", "k_contingency_chi2", "k_seasonal_decompose",
-    "k_rank_kendall", "k_consistent_hash_ring",
-    "k_bucket_independence", "k_eval_ece",
-    "k_dau_mau", "k_abc_classification",
-    "k_group_sequential", "k_graph_modularity", "k_bradley_terry",
-    "a_sink_parquet_codecs", "k_ocr_artifact_gate",
-    "e_win_dow_anomaly", "f_top_p_mass",
-    # remaining never-recorded core, next rounds' window
     "e_win_ignore_nulls", "e_win_pareto", "e_win_ewma", "e_win_nth_value",
-    "g_union_byname", "g_except_all", "g_intersect_all",
-    "h_bitwise", "h_trig_funcs", "h_nested_struct_array", "h_try_funcs",
-    "h_hash_funcs", "h_xml_roundtrip", "h_collation", "h_mask_funcs",
-    "h_explode_outer", "h_aes_roundtrip", "h_str_distance",
-    "h_map_higher_order", "h_interval_funcs", "h_url_funcs",
-    "h_json_build", "h_format_funcs",
-    "i_window_chain", "i_gap_fill", "i_stateful_sessions",
-    "i_stream_static", "i_upsert_sink", "i_stream_outer_join",
-    "i_stream_file_sink", "i_state_reader",
-    "j_pandas_on_spark", "j_udtf_analyze", "j_udf_arrow",
-    "j_apply_in_arrow", "j_map_in_arrow",
-    "q_tpch_q02", "q_tpch_q04", "q_tpch_q07", "q_tpch_q12", "q_tpch_q13",
-    "q_tpch_q15", "q_tpch_q16", "q_tpch_q17", "q_tpch_q19", "q_tpch_q22",
-    "q_tpch_q11", "q_tpch_q20", "q_param_sql", "q_execute_immediate",
-    "q_sql_script",
-    "a_source_jdbc", "a_source_binaryfile", "a_scan_metadata",
-    "a_observe_metrics", "c_join_dpp", "c_join_lateral", "d_agg_mode_det",
-    "c_join_bloom", "d_agg_bitmap", "a_cbo_stats",
-    "k_embed_gram", "k_hard_negatives", "k_class_weights",
+    "g_union_byname", "g_except_all", "g_intersect_all", "h_bitwise", "h_trig_funcs",
+    "h_nested_struct_array", "h_try_funcs", "h_hash_funcs", "h_xml_roundtrip",
+    "h_collation", "h_mask_funcs", "h_explode_outer", "h_aes_roundtrip",
+    "h_str_distance", "h_map_higher_order", "h_interval_funcs", "h_url_funcs",
+    "h_json_build", "h_format_funcs", "i_window_chain", "i_gap_fill", "i_stateful_sessions",
+    "i_stream_static", "i_upsert_sink", "i_stream_outer_join", "i_stream_file_sink",
+    "i_state_reader", "j_pandas_on_spark", "j_udtf_analyze", "j_udf_arrow",
+    "j_apply_in_arrow", "j_map_in_arrow", "q_tpch_q02", "q_tpch_q04", "q_tpch_q07",
+    "q_tpch_q12", "q_tpch_q13", "q_tpch_q15", "q_tpch_q16", "q_tpch_q17",
+    "q_tpch_q19", "q_tpch_q22", "q_tpch_q11", "q_tpch_q20", "q_param_sql",
+    "q_execute_immediate", "q_sql_script", "a_source_jdbc", "a_source_binaryfile",
+    "a_scan_metadata", "a_observe_metrics", "c_join_dpp", "c_join_lateral",
+    "d_agg_mode_det", "c_join_bloom", "d_agg_bitmap", "a_cbo_stats", "k_embed_gram",
+    "k_hard_negatives", "k_class_weights", "k_pareto_skyline", "k_dedup_jaccard_histogram",
+    "c_join_er_blocking", "k_forecast_snaive", "k_markov_stationary", "k_sim_tfidf_pairs",
+    "k_state_sizing", "k_design_effect", "e_win_hampel_repair", "k_eval_lift_curve",
+    "d_agg_linear_counting", "d_agg_bloom_audit", "d_agg_minhash_jaccard_est",
+    "a_sink_xml", "k_kruskal_wallis", "k_cohens_d", "k_brown_forsythe", "k_eval_mcnemar",
+    "k_bootstrap_src_ci", "k_permutation_ab", "k_theil_sen", "e_win_bollinger",
+    "k_seasonal_strength", "e_win_rsi", "k_mix_waterfill", "k_degree_distribution",
+    "i_stream_union", "q_sql_hints", "q_distribute_by", "k_heaps_law", "k_text_ttr",
+    "k_welch_t", "k_embed_standardize", "k_filter_funnel", "k_position_bias",
+    "k_mann_whitney", "k_mann_kendall", "k_runs_test", "k_friedman_test",
+    "k_cronbach_alpha", "k_cochran_q", "k_embed_mmd", "k_graph_hits", "k_quantile_normalize",
+    "q_window_named", "q_values_inline", "k_page_hinkley", "k_calibration_isotonic",
+    "k_eval_avg_precision", "a_scan_json_corrupt", "q_pivot_sql", "q_lateral_view",
+    "d_agg_median_counting", "i_idempotent_sink", "c_join_asof_tolerance",
+    "k_srm_check", "k_importance_ess", "k_fdr_bh", "k_power_mde", "k_capture_recapture",
+    "k_best_split_stump", "q_filter_clause", "e_win_rolling_corr", "k_lag_corr_ccf",
+    "j_udf_iterator", "j_pandas_udaf_window", "k_dedup_token_savings", "k_code_detect",
+    "k_raking_ipf", "k_attribution_markov", "k_did_estimator", "k_propensity_strata",
+    "k_text_kn_bigram", "k_temporal_split_audit", "k_contingency_chi2", "k_seasonal_decompose",
+    "k_rank_kendall", "k_consistent_hash_ring", "k_bucket_independence",
+    "k_eval_ece", "k_dau_mau", "k_abc_classification", "k_group_sequential",
+    "k_graph_modularity", "k_bradley_terry", "a_sink_parquet_codecs", "k_ocr_artifact_gate",
+    "e_win_dow_anomaly", "f_top_p_mass", "a_scan_text", "a_sink_compact",
+    "a_source_csv_malformed", "a_sink_partition_overwrite", "a_scan_schema_merge",
+    "a_source_python_stream", "a_sink_sorted_layout", "a_cache_reuse", "a_source_python_ds_pushdown",
+    "a_sink_python_ds", "a_sink_zorder", "a_scan_glob", "b_filter_in_subquery",
+    "b_lateral_alias", "c_join_band_bucketed", "c_merge_scd1", "c_join_null_safe",
+    "c_join_overlap", "c_merge_cdc", "c_join_asof_nearest", "c_join_pit",
+    "c_join_cardinality_est", "d_agg_bool", "d_agg_histogram", "d_agg_unpivot",
+    "d_agg_approx_quantile", "d_agg_hll_sketch", "d_agg_freq_items", "d_agg_grouping_id",
+    "d_transpose", "d_agg_group_by_all", "d_agg_listagg", "d_agg_regression",
+    "d_agg_crosstab", "d_agg_approx_top_k", "d_agg_moments", "d_agg_corr_matrix",
+    "d_agg_histogram_equiheight", "d_agg_weighted_median", "e_win_reset_sum",
+    "e_win_zscore_rolling", "e_win_vwap", "e_win_drawdown", "k_conversion_lag",
+    "k_survival_km", "k_cohort_ltv", "k_autocorr_daily", "k_peak_concurrency",
+    "k_event_paths", "k_dedup_containment", "k_sim_threshold", "k_sim_ann",
+    "k_cluster_assign", "k_text_tokens", "k_text_stats", "k_multimodal_join",
+    "k_dedup_minhash", "k_cluster_iterate", "k_dedup_clusters", "k_cluster_silhouette",
+    "k_text_keywords", "k_eval_dedup_recall", "k_graph_triangles", "k_anonymize_kanon",
+    "k_incremental_agg", "k_expectations", "k_dedup_apply", "k_dataset_card",
+    "k_vocab_coverage", "k_negatives_random", "k_sim_pq", "k_sim_pq_rerank",
+    "k_rag_mmr", "k_anonymize_ldiv", "k_dedup_incremental", "k_sim_matryoshka",
+    "k_dup_family_sizes", "k_dedup_canonical_best", "k_sim_hamming", "k_text_quality",
+    "k_text_fingerprint", "k_text_token_count", "k_multimodal_decode", "k_multimodal_framesample",
+    "k_multimodal_resize", "k_text_ngram_chars", "k_multimodal_dedup", "k_bpe_first_merge",
+    "k_text_normalize", "k_text_bm25", "k_bpe_apply", "k_text_compressibility",
+    "k_query_expansion_prf", "k_truncation_loss", "k_text_repetition", "k_profile_table",
+    "k_text_unigram_logprob", "k_embed_quantize", "k_mix_report", "k_dedup_segments",
+    "k_curriculum", "k_sft_records", "k_winsorize_embed", "k_sample_weighted",
+    "k_quality_logreg", "k_dsir_weights", "k_shard_balance", "k_text_bigram_logprob",
+    "k_source_divergence", "k_retention_cohorts", "k_anomaly_zscore", "k_batch_padding_waste",
+    "k_active_margin", "k_embed_drift", "k_group_kfold", "k_learning_curve",
+    "k_dataset_diff", "k_shard_plan", "k_sample_balanced", "k_fk_orphans",
+    "k_target_encoding", "k_embed_pca_project", "k_embed_outliers", "k_label_noise_knn",
+    "k_eval_regression", "k_eval_ks_test", "k_ab_sprt", "k_eval_brier", "k_rank_spearman",
+    "k_jackknife_se", "k_eval_interleave", "k_threshold_sweep", "k_threshold_youden",
+    "k_eval_langid_confusion", "k_eval_kappa", "k_text_burstiness", "k_text_hashing_trick",
+    "k_graph_jaccard", "k_tail_hill", "k_gini_sources", "k_assoc_rules",
+    "k_chi2_terms", "k_changepoint_cusum", "k_anomaly_mad", "k_trimmed_mean",
+    "k_interarrival",
 ]
 
 

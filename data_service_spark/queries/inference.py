@@ -701,15 +701,23 @@ def _body_fdr_bh(hash_to_long: str) -> str:
                / max(n.n0) AS d
       FROM per_cell c JOIN arms a USING (user_id) CROSS JOIN n_arm n
       GROUP BY c.event_type
+    ), perm_n AS (
+      SELECT b.b,
+             sum(CASE WHEN {hp} % 2 = 1 THEN 1 ELSE 0 END) AS n1b,
+             sum(CASE WHEN {hp} % 2 = 0 THEN 1 ELSE 0 END) AS n0b
+      FROM users u
+      CROSS JOIN (SELECT explode(sequence(0, {_B - 1})) AS b) b
+      GROUP BY b.b
     ), perm AS (
       SELECT c.event_type, b.b,
              CAST(sum(CASE WHEN {hp} % 2 = 1 THEN c.x ELSE 0 END) AS DOUBLE)
-               / sum(CASE WHEN {hp} % 2 = 1 THEN 1 ELSE 0 END)
+               / max(pn.n1b)
              - CAST(sum(CASE WHEN {hp} % 2 = 0 THEN c.x ELSE 0 END) AS DOUBLE)
-               / sum(CASE WHEN {hp} % 2 = 0 THEN 1 ELSE 0 END) AS d_b
+               / max(pn.n0b) AS d_b
       FROM per_cell c
       JOIN users u USING (user_id)
       CROSS JOIN (SELECT explode(sequence(0, {_B - 1})) AS b) b
+      JOIN perm_n pn ON pn.b = b.b
       GROUP BY c.event_type, b.b
     ), pvals AS (
       SELECT o.event_type,
@@ -752,6 +760,12 @@ def k_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact rational arithmetic (the correction every dashboard that tests
     5 metrics per release needs and almost none applies; the single-test
     sibling is ``k_permutation_ab``).
+
+    Each permuted replicate divides by the per-parity USER count over the
+    FULL user spine (``perm_n``) — the same zero-filled denominator the
+    observed statistic uses — so the permutation distribution is of the
+    SAME statistic even when some users lack events of a type (ADVICE
+    r04: the old per-cell denominator biased p-values on sparse inputs).
 
     Scale shape: the only corpus-sized work is the (user,type) reduce;
     permutation diffs aggregate B×|users|×k CELL rows (never B×N events)

@@ -272,7 +272,8 @@ def k_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
            (SELECT CAST(count(*) AS BIGINT) FROM daily dd
             WHERE dd.event_type = ranked.event_type) AS n_days,
            CAST(max(cnt) AS BIGINT) AS n_pairs,
-           CAST(round(min(CASE WHEN rn = (cnt + 1) / 2 THEN slope END), 6)
+           CAST(round(min(CASE WHEN rn = CAST(floor((cnt + 1) / 2) AS BIGINT)
+                          THEN slope END), 6)
              + 0.0 AS DOUBLE) AS ts_slope
     FROM ranked GROUP BY event_type
     """,
@@ -282,9 +283,11 @@ def k_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairwise day-count slopes — a 29.3%-breakdown trend estimate that one
     outage day cannot bend, unlike the least-squares slope it sits next to
     (the `k_daily_growth` / `k_forecast_snaive` family). Lower median
-    (rank ⌈n/2⌉) instead of the interpolated median so the answer is one
-    actual slope value both engines pick identically; slopes are exact
-    int/int divisions.
+    (rank ⌈n/2⌉ = floor((n+1)/2), computed with integer arithmetic so an
+    EVEN pair count still matches a rank — float (n+1)/2 silently matched
+    nothing for even n, ADVICE r04) instead of the interpolated median so
+    the answer is one actual slope value both engines pick identically;
+    slopes are exact int/int divisions.
 
     Scale shape: the corpus reduces to a ~30-row daily spine per type
     FIRST, so the O(days²) pair join is over a dimension-sized table by
@@ -322,7 +325,8 @@ def k_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.min(
                     F.when(
-                        F.col("rn") == (F.col("cnt") + 1).cast("long") / 2,
+                        F.col("rn")
+                        == F.floor((F.col("cnt") + 1) / 2).cast("long"),
                         F.col("slope"),
                     ).cast("double")
                 ),

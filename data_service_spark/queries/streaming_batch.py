@@ -1428,9 +1428,13 @@ def i_idempotent_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     # simulate the at-least-once replay: re-deliver epoch 0's data
-    first_epoch = min(sink.committed())
-    replay = spark.read.parquet(
-        os.path.join(sink.data_dir, f"epoch={first_epoch}")
-    )
-    sink(replay, first_epoch)  # must no-op — already committed
+    # (guarded: an empty source commits no epochs, and sink.read raises a
+    # descriptive FileNotFoundError in that case rather than ValueError)
+    committed = sink.committed()
+    if committed:
+        first_epoch = min(committed)
+        replay = spark.read.parquet(
+            os.path.join(sink.data_dir, f"epoch={first_epoch}")
+        )
+        sink(replay, first_epoch)  # must no-op — already committed
     return sink.read(spark)

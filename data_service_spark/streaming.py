@@ -356,6 +356,12 @@ class IdempotentBatchSink:
 
     def read(self, spark: SparkSession) -> DataFrame:
         epochs = sorted(self.committed())
+        if not epochs:
+            raise FileNotFoundError(
+                f"no committed epochs under {self.path!r}: the manifest "
+                f"({self.manifest_dir!r}) is empty — either the stream has "
+                "not committed a micro-batch yet or the sink path is wrong"
+            )
         paths = [
             os.path.join(self.data_dir, f"epoch={e}") for e in epochs
         ]

@@ -2506,10 +2506,42 @@ def test_timeseries_monitors_hand_checked(spark, sf_dir):
     assert {r.event_type for r in ts} >= {"view", "purchase"}
     for r in ts:
         assert r.n_pairs == r.n_days * (r.n_days - 1) // 2
+        # lower median must resolve for odd AND even pair counts
+        assert r.ts_slope is not None
 
     ss = QUERIES["k_seasonal_strength"](spark, sf_dir).collect()
     for r in ss:
         assert 0 <= r.seasonal_strength_bp <= 10000
+
+
+def test_theil_sen_even_pair_count(spark, tmp_path):
+    """Regression for ADVICE r04: with an EVEN number of pairwise slopes
+    the lower-median rank must still match (float (cnt+1)/2 matched no
+    row_number, silently NULLing ts_slope). 4 days -> C(4,2)=6 pairs."""
+    import datetime as dt
+
+    from data_service_spark.registry import QUERIES
+
+    day_counts = {0: 10, 1: 13, 2: 11, 3: 20}
+    rows = []
+    eid = 0
+    for d, n in day_counts.items():
+        ts = dt.datetime(2024, 1, 1 + d, 12, 0, 0)
+        for _ in range(n):
+            rows.append((eid, ts, eid % 7, "view", 1.0, "{}"))
+            eid += 1
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    got = QUERIES["k_theil_sen"](spark, str(tmp_path)).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r.n_days == 4 and r.n_pairs == 6
+    # slopes sorted: -2, 0.5, 3, 10/3, 3.5, 9 -> lower median (rank 3) = 3
+    assert r.ts_slope == 3.0
 
 
 def test_heaps_and_ttr_consistency(spark, sf_dir):

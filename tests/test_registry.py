@@ -261,6 +261,34 @@ def test_no_decimal_output_on_oracled_keys(spark, sf_dir):
     assert not offenders, offenders
 
 
+def test_registry_totals_match_prose():
+    """The prose totals drift behind the code every round (r04 verdict
+    item: SURVEY said 120, README said 411, BASELINE said 489 while the
+    registry held 498). Pin the two living documents' counts to the
+    registry so totals are generated facts, not typed ones."""
+    import re
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    with open(os.path.join(root, "SURVEY.md")) as fh:
+        survey = fh.read()
+    m = re.search(
+        r"Inventory totals: (\d+) registered keys — (\d+) SQL-oracle, "
+        r"(\d+) rows-only",
+        survey,
+    )
+    assert m, "SURVEY.md inventory-totals line missing or reworded"
+    assert (int(m.group(1)), int(m.group(2)), int(m.group(3))) == (
+        len(QUERIES),
+        len(ORACLES),
+        len(QUERIES) - len(ORACLES),
+    )
+    with open(os.path.join(root, "README.md")) as fh:
+        readme = fh.read()
+    m = re.search(r"the (\d+)-key operator inventory", readme)
+    assert m, "README.md key-count line missing or reworded"
+    assert int(m.group(1)) == len(QUERIES)
+
+
 def test_priority_keys_all_exist():
     # _ordered() silently drops unknown PRIORITY keys — pin them instead so
     # a rename can't quietly shrink the driver's recorded-verdict sample.

@@ -668,6 +668,14 @@ def test_idempotent_sink_survives_replay_and_restart(spark, tmp_path):
     got = sorted(r.id for r in sink2.read(spark).collect())
     assert got == list(range(10))
 
+    # empty manifest: read() raises a descriptive error, not an opaque
+    # parquet/ValueError (ADVICE r04)
+    import pytest as _pytest
+
+    empty = IdempotentBatchSink(str(tmp_path / "never_committed"))
+    with _pytest.raises(FileNotFoundError, match="no committed epochs"):
+        empty.read(spark)
+
 
 def test_page_hinkley_stream_matches_batch(spark, sf_dir, tmp_path):
     # page_hinkley_stream: O(1)-state sequential drift monitor fed
