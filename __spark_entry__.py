@@ -57,7 +57,8 @@ PRIORITY = [
     "q_execute_immediate", "q_sql_script", "a_source_jdbc", "a_source_binaryfile",
     "a_scan_metadata", "a_observe_metrics", "c_join_dpp", "c_join_lateral",
     "d_agg_mode_det", "c_join_bloom", "d_agg_bitmap", "a_cbo_stats", "k_embed_gram",
-    "k_hard_negatives", "k_class_weights", "k_pareto_skyline", "k_dedup_jaccard_histogram",
+    "k_hard_negatives", "k_class_weights", "k_tokenizer_vocab_export",
+    "k_pareto_skyline", "k_dedup_jaccard_histogram",
     "c_join_er_blocking", "k_forecast_snaive", "k_markov_stationary", "k_sim_tfidf_pairs",
     "k_state_sizing", "k_design_effect", "e_win_hampel_repair", "k_eval_lift_curve",
     "d_agg_linear_counting", "d_agg_bloom_audit", "d_agg_minhash_jaccard_est",

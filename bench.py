@@ -134,6 +134,51 @@ def main() -> None:
             cold_outliers[key] = t
             timings[key] = second
 
+    # Cross-round variance guard (r04 verdict item #6): ambient contention
+    # on this shared 32-thread host produced false "regressions"
+    # (q_tpch_q05 2.98 s in r03, did not reproduce in r04) that consumed a
+    # verdict item each round. Persist per-key steady-state history in
+    # bench_history.json; any key whose timing moved >1.5× in either
+    # direction vs the last recorded run (and is ≥0.5 s absolute — ratio
+    # noise on centisecond keys is meaningless) is re-timed twice more and
+    # reports the MEDIAN of its three same-run measurements. The raw runs
+    # stay visible in bench_full.json under "variance_retimed".
+    hist_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_history.json"
+    )
+    try:
+        with open(hist_path) as fh:
+            history: dict[str, list[float]] = json.load(fh)
+    except (OSError, ValueError):
+        history = {}
+    variance_retimed: dict[str, dict] = {}
+    for key, t in list(timings.items()):
+        prev = history.get(key)
+        if not prev:
+            continue
+        last = prev[-1]
+        if max(t, last) < 0.5 or (t <= last * 1.5 and last <= t * 1.5):
+            continue
+        runs = [t]
+        for _ in range(2):
+            t0 = time.perf_counter()
+            try:
+                QUERIES[key](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            except Exception:
+                break
+            runs.append(round(time.perf_counter() - t0, 3))
+        if len(runs) == 3:
+            med = sorted(runs)[1]
+            variance_retimed[key] = {"runs": runs, "prev_round": last}
+            timings[key] = med
+    for key, t in timings.items():
+        history.setdefault(key, []).append(t)
+        history[key] = history[key][-5:]
+    with open(hist_path, "w") as fh:
+        json.dump(history, fh, indent=0, sort_keys=True)
+
     total = round(sum(timings.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     full = {
@@ -144,6 +189,7 @@ def main() -> None:
         "n_queries": len(timings),
         "sf": sf_val,
         **({"cold_outliers": cold_outliers} if cold_outliers else {}),
+        **({"variance_retimed": variance_retimed} if variance_retimed else {}),
         **({"failures": failures} if failures else {}),
     }
     with open(
@@ -195,7 +241,10 @@ def main() -> None:
         "q_tpch_q05",
     ]
     line = dict(full)
+    line.pop("variance_retimed", None)
     line["queries"] = {k: timings[k] for k in headline if k in timings}
+    if variance_retimed:
+        line["n_retimed"] = len(variance_retimed)
     if failures:
         line["failures"] = {k: v[:60] for k, v in list(failures.items())[:5]}
     out = json.dumps(line, separators=(",", ":"))

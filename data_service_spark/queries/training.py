@@ -3316,3 +3316,92 @@ def k_consistent_hash_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(conv(substr(md5({h}), 1, 8), 16, 10) AS BIGINT)", 8, 9
         )
     )
+
+
+@register(
+    "k_tokenizer_vocab_export",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+      FROM documents
+    ), nonempty AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+    counts AS (
+      SELECT token, count(*) AS freq, count(DISTINCT doc_id) AS doc_freq
+      FROM nonempty GROUP BY token
+    ), total AS (SELECT sum(freq) AS tot FROM counts),
+    ranked AS (
+      SELECT token, freq, doc_freq,
+             row_number() OVER (ORDER BY freq DESC, token) AS rk,
+             sum(freq) OVER (ORDER BY freq DESC, token
+                             ROWS UNBOUNDED PRECEDING) AS cum
+      FROM counts WHERE freq >= 2
+    ), vocab AS (
+      SELECT CAST(rk + 3 AS BIGINT) AS token_id, token,
+             CAST(freq AS BIGINT) AS freq,
+             CAST(doc_freq AS BIGINT) AS doc_freq,
+             CAST(floor(cum * 1000000 / t.tot) AS BIGINT) AS cum_ppm
+      FROM ranked CROSS JOIN total t WHERE rk <= 200
+    ), specials AS (
+      SELECT * FROM (VALUES
+        (CAST(0 AS BIGINT), '[PAD]', CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+         CAST(0 AS BIGINT)),
+        (CAST(1 AS BIGINT), '[UNK]', CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+         CAST(0 AS BIGINT)),
+        (CAST(2 AS BIGINT), '[BOS]', CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+         CAST(0 AS BIGINT)),
+        (CAST(3 AS BIGINT), '[EOS]', CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+         CAST(0 AS BIGINT))
+      ) v(token_id, token, freq, doc_freq, cum_ppm)
+    )
+    SELECT * FROM specials UNION ALL SELECT * FROM vocab
+    """,
+)
+def k_tokenizer_vocab_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer-vocab artifact a curation run exports for the trainer:
+    4 special tokens ([PAD]/[UNK]/[BOS]/[EOS] at ids 0–3) followed by the
+    top-200 corpus tokens (lowercased whitespace tokens, min_count 2) with
+    contiguous ids assigned by the deterministic (freq DESC, token) total
+    order — the id assignment every run must reproduce bit-identically or
+    checkpoints stop being comparable. Each row carries freq, doc_freq and
+    the cumulative corpus coverage in ppm (integer floor over exact BIGINT
+    running sums, so the coverage column is order-proof cross-engine); the
+    coverage tail is what decides whether 200 ids are enough
+    (``k_vocab_coverage`` is the evaluation-side twin).
+
+    Scale shape: one corpus-sized explode feeds a partial-aggregated
+    (token) reduce; everything after runs on the ≤|vocab| dictionary
+    spine — the ranking window is dictionary-sized, never corpus-sized.
+    """
+    from pyspark.sql.window import Window
+
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    counts = tok.groupBy("token").agg(
+        F.count(F.lit(1)).alias("freq"),
+        F.countDistinct("doc_id").alias("doc_freq"),
+    )
+    total = counts.agg(F.sum("freq").alias("tot"))
+    w = Window.orderBy(F.col("freq").desc(), F.col("token"))
+    ranked = (
+        counts.filter(F.col("freq") >= 2)
+        .withColumn("rk", F.row_number().over(w))
+        .withColumn("cum", F.sum("freq").over(w.rowsBetween(
+            Window.unboundedPreceding, Window.currentRow)))
+        .filter(F.col("rk") <= 200)
+    )
+    vocab = ranked.crossJoin(F.broadcast(total)).select(
+        (F.col("rk") + 3).cast("long").alias("token_id"),
+        "token",
+        F.col("freq").cast("long").alias("freq"),
+        F.col("doc_freq").cast("long").alias("doc_freq"),
+        F.floor(F.col("cum") * 1000000 / F.col("tot"))
+        .cast("long").alias("cum_ppm"),
+    )
+    specials = spark.createDataFrame(
+        [(0, "[PAD]", 0, 0, 0), (1, "[UNK]", 0, 0, 0),
+         (2, "[BOS]", 0, 0, 0), (3, "[EOS]", 0, 0, 0)],
+        "token_id long, token string, freq long, doc_freq long, cum_ppm long",
+    )
+    return specials.unionByName(vocab)

@@ -5,7 +5,8 @@ multi-source SQL service. The PySpark-native equivalent is one long-lived
 SparkSession behind a thin HTTP app:
 
     POST /sql     {"sql": "...", "limit": 1000}  → {"columns": [...], "rows": [[...]]}
-    POST /explain {"sql": "..."}                 → {"plan": "..."}  (formatted physical plan)
+    POST /explain {"sql": "..."} | {"query": "<registry key>"}
+                                                 → {"plan": "..."}  (formatted physical plan)
     GET  /tables                                 → {"tables": [...]}
     GET  /health                                 → {"status": "ok"}
 
@@ -30,7 +31,7 @@ from decimal import Decimal
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Any
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
 
 from data_service_spark.io import TABLES, register_temp_views
 
@@ -179,12 +180,29 @@ class SqlEngine:
     def explain(self, sql_text: str) -> dict[str, Any]:
         """Formatted physical plan without executing — the ops surface for
         checking pushdown/broadcast/shuffle shape before running at scale."""
+        return self._explain_df(self.spark.sql(sql_text))
+
+    def explain_query(self, key: str) -> dict[str, Any]:
+        """Formatted physical plan of a REGISTERED query key (including the
+        streaming batch twins) without executing — `/explain {"query": k}`;
+        plan-before-run for the whole curated surface, not just raw SQL."""
+        from data_service_spark.registry import QUERIES, load_all
+
+        load_all()
+        if self.sf_dir is None:
+            raise PermissionError("service started without a corpus dir")
+        if key not in QUERIES:
+            raise KeyError(key)
+        return {"key": key, **self._explain_df(QUERIES[key](self.spark, self.sf_dir))}
+
+    @staticmethod
+    def _explain_df(df: DataFrame) -> dict[str, Any]:
         import contextlib
         import io as _io
 
         buf = _io.StringIO()
         with contextlib.redirect_stdout(buf):
-            self.spark.sql(sql_text).explain("formatted")
+            df.explain("formatted")
         return {"plan": buf.getvalue()}
 
     # First keyword of statements the /sql endpoint will run. Everything
@@ -291,7 +309,10 @@ def make_handler(engine: SqlEngine) -> type[BaseHTTPRequestHandler]:
                 n = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(n) or b"{}")
                 if self.path == "/explain":
-                    result = engine.explain(req["sql"])
+                    if "query" in req:
+                        result = engine.explain_query(req["query"])
+                    else:
+                        result = engine.explain(req["sql"])
                 elif self.path == "/query":
                     result = engine.run_query(req["key"], req.get("limit", 1000))
                 elif self.path == "/stream/start":

@@ -3481,3 +3481,37 @@ def test_dow_anomaly_and_top_p(spark, sf_dir):
         # element would fall below
         sel = g[g.s_suppkey.isin(kept)].c.sum()
         assert sel * 10 >= tot * 9
+
+
+def test_sim_pairs_grid_matches_broadcast(spark):
+    """The grid regime must be value-identical to the broadcast-GEMM
+    regime (same inner loop, same 4dp rounding) — checked at sf0.1, the
+    largest local corpus (2000 vectors, ~2M dot products), at both
+    thresholds the registry uses."""
+    from data_service_spark.queries.llm import sim_pairs, sim_pairs_grid
+
+    sf = "/root/testdata/sf0.1"
+    for thr in (0.4, 0.3):
+        want = {
+            (r.vec_id_1, r.vec_id_2): r.sim
+            for r in sim_pairs(spark, sf, thr).collect()
+        }
+        got = {
+            (r.vec_id_1, r.vec_id_2): r.sim
+            for r in sim_pairs_grid(spark, sf, thr, blocks=8).collect()
+        }
+        assert got == want
+        assert len(got) > 0
+
+
+def test_sim_pairs_dispatches_on_corpus_size(monkeypatch, spark):
+    """sim_pairs flips to the grid regime above SIM_PAIRS_GRID_MIN_ROWS."""
+    from data_service_spark.queries import llm
+
+    calls = []
+    monkeypatch.setattr(
+        llm, "sim_pairs_grid", lambda *a, **k: calls.append(a)
+    )
+    monkeypatch.setattr(llm, "_corpus_rows", lambda sf_dir: 10**9)
+    llm.sim_pairs(spark, "/root/testdata/sf0.01", 0.4)
+    assert len(calls) == 1

@@ -521,3 +521,19 @@ def test_filter_clause_is_single_aggregate(spark, sf_dir):
     plan = plan_of(QUERIES["q_filter_clause"](spark, sf_dir), "simple")
     assert plan.count("Scan") == 1
     assert "Join" not in plan
+
+
+def test_sim_pairs_grid_no_broadcast_no_collect(spark, sf_dir):
+    """The B×B-grid regime of sim_pairs must keep BOTH sides distributed:
+    no BroadcastExchange (the broadcast-corpus regime's signature), no
+    single-row collect_list corpus aggregate — just the grid shuffle into
+    FlatMapGroupsInPandas (r04 verdict item #7: the 100 TB flip must
+    exist in code and be plan-pinned)."""
+    from data_service_spark.queries.llm import sim_pairs_grid
+
+    plan = plan_of(sim_pairs_grid(spark, sf_dir, 0.4))
+    assert "FlatMapGroupsInPandas" in plan
+    assert "BroadcastExchange" not in plan
+    assert "CollectLimit" not in plan
+    # the broadcast regime's global corpus aggregate is absent
+    assert "collect_list" not in plan

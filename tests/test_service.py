@@ -211,3 +211,49 @@ def test_metrics_endpoint(service):
     assert body["n_query_keys"] >= 343
     assert body["n_tables"] >= 10
     assert isinstance(body["active_job_ids"], list)
+
+
+def test_concurrent_sql_requests(service):
+    """Two simultaneous POST /sql must both succeed with correct results:
+    ThreadingHTTPServer handles each request on its own thread and Spark
+    actions are thread-safe on a shared session (scheduler pools multiplex
+    jobs). r04 verdict optional close-out."""
+    import threading
+
+    results: dict[str, dict | Exception] = {}
+
+    def run(name: str, sql: str) -> None:
+        try:
+            results[name] = call(service, "/sql", {"sql": sql})
+        except Exception as exc:  # surface in main thread
+            results[name] = exc
+
+    t1 = threading.Thread(
+        target=run,
+        args=("agg", "SELECT count(*) AS n, sum(l_quantity) AS q FROM lineitem"),
+    )
+    t2 = threading.Thread(
+        target=run,
+        args=(
+            "join",
+            "SELECT n_name, count(*) AS n FROM customer "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "GROUP BY n_name ORDER BY n DESC, n_name LIMIT 5",
+        ),
+    )
+    t1.start(); t2.start(); t1.join(timeout=120); t2.join(timeout=120)
+    assert not isinstance(results.get("agg"), Exception), results.get("agg")
+    assert not isinstance(results.get("join"), Exception), results.get("join")
+    assert results["agg"]["row_count"] == 1
+    assert results["agg"]["rows"][0][0] > 0
+    assert results["join"]["row_count"] == 5
+
+
+def test_explain_streaming_query_roundtrip(service):
+    """/explain on a registered STREAMING batch-twin key returns a plan
+    string mentioning the aggregate shape (r04 verdict optional
+    close-out: the streaming lifecycle is explainable over HTTP)."""
+    out = call(service, "/explain", {"query": "i_tumbling"})
+    plan = out.get("plan", "")
+    assert plan, out
+    assert "Aggregate" in plan or "HashAggregate" in plan
