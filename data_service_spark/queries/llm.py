@@ -2626,6 +2626,61 @@ def k_anonymize_ldiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _body_tclose() -> str:
+    return """
+    WITH quasi AS (
+      SELECT n.n_name AS nation, c_mktsegment AS segment,
+             CAST(floor(c_acctbal / 2000) AS BIGINT) AS s
+      FROM customer JOIN nation n ON c_nationkey = n.n_nationkey
+    ), cls AS (
+      SELECT nation, segment, count(*) AS n_c FROM quasi GROUP BY 1, 2
+    ), sens AS (SELECT s, count(*) AS n_s FROM quasi GROUP BY 1),
+    tot AS (SELECT count(*) AS n FROM quasi),
+    cells AS (
+      SELECT nation, segment, s, count(*) AS n_cs FROM quasi GROUP BY 1, 2, 3
+    ), grid AS (
+      SELECT c.nation, c.segment, c.n_c, se.s, se.n_s,
+             coalesce(ce.n_cs, 0) AS n_cs
+      FROM cls c CROSS JOIN sens se
+      LEFT JOIN cells ce
+        ON ce.nation = c.nation AND ce.segment = c.segment AND ce.s = se.s
+    ), d AS (
+      SELECT g.nation, g.segment, max(g.n_c) AS n_c,
+             sum(abs(g.n_cs * t.n - g.n_s * g.n_c)) AS s_abs, max(t.n) AS n
+      FROM grid g CROSS JOIN tot t GROUP BY g.nation, g.segment
+    )
+    SELECT nation, segment, CAST(n_c AS BIGINT) AS n_class,
+           CAST(floor(s_abs * 1000000 / (2 * n_c * n)) AS BIGINT) AS tvd_ppm,
+           (5 * s_abs <= 2 * n_c * n) AS t_ok
+    FROM d
+    """
+
+
+@register("k_anonymize_tclose", oracle=_body_tclose())
+def k_anonymize_tclose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian 2007), the third leg
+    of the release-privacy trio after ``k_anonymize_kanon`` (group size)
+    and ``k_anonymize_ldiv`` (distinct sensitive values): a class can be
+    large AND diverse yet still leak if its sensitive-value DISTRIBUTION
+    diverges from the corpus — e.g. a (nation, segment) class where 90%
+    sit in the top balance band reveals wealth the moment membership is
+    known. Per class: total-variation distance between the class's
+    balance-band distribution and the global one, zero cells included.
+
+    TVD is computed in exact integers — Σ|n_cs·N − n_s·n_c| over the
+    class×band grid, one final division into floor-ppm, and the t≤0.2
+    release flag as the pure cross-multiplied compare 5·S ≤ 2·n_c·N —
+    so the audit is bit-identical cross-engine (the order-proof-moment
+    convention). Scale shape: one corpus reduce to (class, band) cells,
+    then everything runs on the |classes|×|bands| grid spine (≤ a few
+    hundred rows at any corpus size); the grid CROSS JOIN is spine×spine,
+    never data-sized.
+    """
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    return spark.sql(_body_tclose())
+
+
 @register(
     "k_dedup_incremental",
     oracle="""
