@@ -58,6 +58,7 @@ PRIORITY = [
     "a_scan_metadata", "a_observe_metrics", "c_join_dpp", "c_join_lateral",
     "d_agg_mode_det", "c_join_bloom", "d_agg_bitmap", "a_cbo_stats", "k_embed_gram",
     "k_hard_negatives", "k_class_weights", "k_tokenizer_vocab_export",
+    "k_anonymize_tclose", "k_ivf_balance", "k_conformal_interval",
     "k_pareto_skyline", "k_dedup_jaccard_histogram",
     "c_join_er_blocking", "k_forecast_snaive", "k_markov_stationary", "k_sim_tfidf_pairs",
     "k_state_sizing", "k_design_effect", "e_win_hampel_repair", "k_eval_lift_curve",

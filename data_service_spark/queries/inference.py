@@ -1060,3 +1060,77 @@ def k_group_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
     once."""
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_body_group_sequential(_SPARK_HASH))
+
+
+def _body_conformal(hash_to_long: str) -> str:
+    h = hash_to_long.format(h="'conf:' || CAST(user_id AS STRING)")
+    return f"""
+    WITH armed AS (
+      SELECT event_type, value, event_id,
+             CAST({h} % 2 AS INT) AS part
+      FROM events
+    ), center AS (
+      SELECT event_type, value AS m
+      FROM (
+        SELECT event_type, value,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY value, event_id) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS cnt
+        FROM armed WHERE part = 0
+      ) r
+      WHERE rn = CAST(floor((cnt + 1) / 2) AS BIGINT)
+    ), scored AS (
+      SELECT a.event_type, abs(a.value - c.m) AS score, a.event_id
+      FROM armed a JOIN center c USING (event_type)
+      WHERE a.part = 1
+    ), ranked AS (
+      SELECT event_type, score,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY score, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n_cal
+      FROM scored
+    ), qhat AS (
+      SELECT event_type, max(n_cal) AS n_cal,
+             min(CASE WHEN rn = CAST(least(
+                    floor(((n_cal + 1) * 9 + 9) / 10), n_cal) AS BIGINT)
+                 THEN score END) AS q
+      FROM ranked GROUP BY event_type
+    ), cov AS (
+      SELECT s.event_type,
+             sum(CASE WHEN s.score <= q.q THEN 1 ELSE 0 END) AS n_in
+      FROM scored s JOIN qhat q USING (event_type)
+      GROUP BY s.event_type
+    )
+    SELECT q.event_type,
+           (SELECT CAST(count(*) AS BIGINT) FROM armed a
+            WHERE a.part = 0 AND a.event_type = q.event_type) AS n_train,
+           CAST(q.n_cal AS BIGINT) AS n_cal,
+           CAST(round(c.m, 6) + 0.0 AS DOUBLE) AS center,
+           CAST(round(q.q, 6) + 0.0 AS DOUBLE) AS qhat,
+           CAST(floor(cov.n_in * 1000000 / q.n_cal) AS BIGINT)
+             AS coverage_ppm
+    FROM qhat q JOIN center c USING (event_type)
+    JOIN cov USING (event_type)
+    """
+
+
+@register("k_conformal_interval", oracle=_body_conformal(_DUCK_HASH))
+def k_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction interval (Vovk's distribution-free
+    coverage guarantee, the Papadopoulos et al. 2002 inductive split) for
+    the per-event value: the md5-parity TRAIN split fits the predictor
+    (here the lower-median center — one actual value, rank-selected with
+    the ``k_theil_sen`` integer-rank convention), the CALIBRATION split
+    ranks absolute residuals, and q̂ is the ⌈(n+1)·0.9⌉-th smallest score
+    — so [center−q̂, center+q̂] covers ≥90% of future draws with NO
+    distributional assumption. The empirical calibration coverage ships
+    as exact floor-ppm; by construction it lands at or just above
+    900000, which is the self-check a conformal deployment monitors.
+
+    Everything is rank statistics on actual data values (no means of
+    doubles), so both engines select bit-identical numbers; the quantile
+    index uses pure integer arithmetic (ceil via (a+b-1)/b floor form,
+    clamped to n_cal). Scale shape: two window passes partitioned by
+    event_type plus spine-sized joins — corpus-sized work is one scan."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_body_conformal(_SPARK_HASH))

@@ -2174,6 +2174,72 @@ def k_eval_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "k_ivf_balance",
+    oracle=f"""
+    WITH assign AS ({_ORACLES["k_cluster_assign"]}),
+    cent AS (SELECT vec_id AS cluster_id FROM embeddings WHERE vec_id < 10),
+    tot AS (SELECT count(*) AS n, (SELECT count(*) FROM cent) AS k
+            FROM assign),
+    cells AS (SELECT cluster_id, count(*) AS n_vecs FROM assign GROUP BY 1)
+    SELECT c.cluster_id,
+           CAST(coalesce(ce.n_vecs, 0) AS BIGINT) AS n_vecs,
+           CAST(floor(coalesce(ce.n_vecs, 0) * 1000000 / t.n) AS BIGINT)
+             AS share_ppm,
+           CAST(floor(coalesce(ce.n_vecs, 0) * t.k * 1000000 / t.n)
+             AS BIGINT) AS load_x_mean_ppm,
+           (coalesce(ce.n_vecs, 0) * t.k > 2 * t.n) AS hot,
+           (coalesce(ce.n_vecs, 0) = 0) AS empty_cell
+    FROM cent c LEFT JOIN cells ce USING (cluster_id) CROSS JOIN tot t
+    """,
+)
+def k_ivf_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index health audit: per inverted-list cell (the nearest-centroid
+    assignment ``k_cluster_assign`` that ``k_sim_ivf`` probes), the list
+    size, corpus share, and load-vs-mean ratio — plus the two alarm flags
+    an ANN operator pages on: HOT cells (>2× the mean list, so probing
+    them dominates query latency and recall tuning lies) and EMPTY cells
+    (wasted centroids — the clustering collapsed). This is the audit that
+    decides when an IVF index needs re-training as the corpus drifts; the
+    capacity-planning twin of the quality-side ``k_eval_cluster_purity``.
+
+    All ratios are exact-integer floor-ppm over BIGINT counts (order-proof
+    cross-engine). Scale shape: composes the session-memoized assignment
+    (one corpus reduce to (cluster) counts); the audit itself runs on the
+    k-row centroid spine — zero cells come from the spine's left join, so
+    a collapsed centroid cannot hide.
+    """
+    assign = k_cluster_assign(spark, sf_dir).select("cluster_id")
+    cent = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 10)
+        .select(F.col("vec_id").alias("cluster_id"))
+    )
+    cells = assign.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_vecs")
+    )
+    tot = assign.agg(F.count(F.lit(1)).alias("n")).crossJoin(
+        cent.agg(F.count(F.lit(1)).alias("k"))
+    )
+    nv = F.coalesce(F.col("n_vecs"), F.lit(0))
+    return (
+        cent.join(cells, "cluster_id", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "cluster_id",
+            nv.cast("long").alias("n_vecs"),
+            F.floor(nv * 1000000 / F.col("n")).cast("long").alias(
+                "share_ppm"
+            ),
+            F.floor(nv * F.col("k") * 1000000 / F.col("n"))
+            .cast("long")
+            .alias("load_x_mean_ppm"),
+            (nv * F.col("k") > 2 * F.col("n")).alias("hot"),
+            (nv == 0).alias("empty_cell"),
+        )
+    )
+
+
+@register(
     "k_negatives_random",
     oracle="""
     WITH pairs AS (

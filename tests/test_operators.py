@@ -3515,3 +3515,43 @@ def test_sim_pairs_dispatches_on_corpus_size(monkeypatch, spark):
     monkeypatch.setattr(llm, "_corpus_rows", lambda sf_dir: 10**9)
     llm.sim_pairs(spark, "/root/testdata/sf0.01", 0.4)
     assert len(calls) == 1
+
+
+def test_privacy_index_conformal_batch(spark, sf_dir):
+    """Round-5 additions: t-closeness audit recomputes from raw counts;
+    IVF balance shares telescope to ~1e6 ppm with consistent flags;
+    conformal calibration coverage is >=90% by construction."""
+    from data_service_spark.io import load
+    from data_service_spark.registry import QUERIES
+
+    tc = QUERIES["k_anonymize_tclose"](spark, sf_dir).collect()
+    assert len(tc) > 0
+    for r in tc:
+        assert 0 <= r.tvd_ppm <= 1000000
+        # flag consistency: t_ok <=> tvd <= 0.2 (ppm floor can sit exactly
+        # at the boundary, so compare via the ppm value)
+        assert r.t_ok == (r.tvd_ppm <= 200000) or abs(r.tvd_ppm - 200000) < 2
+    # class sizes sum to the customer count
+    n_cust = load(spark, sf_dir, "customer").count()
+    assert sum(r.n_class for r in tc) == n_cust
+
+    iv = QUERIES["k_ivf_balance"](spark, sf_dir).collect()
+    assert len(iv) == 10
+    total = sum(r.n_vecs for r in iv)
+    assert total == load(spark, sf_dir, "embeddings").count()
+    assert 1000000 - 10 <= sum(r.share_ppm for r in iv) <= 1000000
+    for r in iv:
+        assert r.empty_cell == (r.n_vecs == 0)
+        assert r.hot == (r.n_vecs * 10 > 2 * total)
+
+    cf = QUERIES["k_conformal_interval"](spark, sf_dir).collect()
+    assert len(cf) == 5
+    for r in cf:
+        assert r.n_train > 0 and r.n_cal > 0
+        assert r.qhat >= 0
+        # split-conformal guarantee: calibration coverage >= 90% (the
+        # q-hat rank is ceil((n+1)*0.9) clamped to n, so coverage can
+        # only fall short when n_cal < 10)
+        if r.n_cal >= 10:
+            assert r.coverage_ppm >= 900000
+        assert r.coverage_ppm <= 1000000
