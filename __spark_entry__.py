@@ -59,6 +59,7 @@ PRIORITY = [
     "d_agg_mode_det", "c_join_bloom", "d_agg_bitmap", "a_cbo_stats", "k_embed_gram",
     "k_hard_negatives", "k_class_weights", "k_tokenizer_vocab_export",
     "k_anonymize_tclose", "k_ivf_balance", "k_conformal_interval",
+    "k_text_winnowing", "k_graph_kcore",
     "k_pareto_skyline", "k_dedup_jaccard_histogram",
     "c_join_er_blocking", "k_forecast_snaive", "k_markov_stationary", "k_sim_tfidf_pairs",
     "k_state_sizing", "k_design_effect", "e_win_hampel_repair", "k_eval_lift_curve",

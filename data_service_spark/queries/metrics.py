@@ -2723,3 +2723,88 @@ def k_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the 5-item spine with broadcast strength vectors."""
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_body_bradley_terry())
+
+
+def _body_kcore() -> str:
+    return """
+    WITH e0 AS (
+      SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    dc0 AS (SELECT c, count(*) AS d FROM e0 GROUP BY c),
+    ds0 AS (SELECT s, count(*) AS d FROM e0 GROUP BY s),
+    e1 AS (
+      SELECT e.c, e.s FROM e0 e
+      JOIN dc0 ON dc0.c = e.c AND dc0.d >= 3
+      JOIN ds0 ON ds0.s = e.s AND ds0.d >= 3
+    ),
+    dc1 AS (SELECT c, count(*) AS d FROM e1 GROUP BY c),
+    ds1 AS (SELECT s, count(*) AS d FROM e1 GROUP BY s),
+    e2 AS (
+      SELECT e.c, e.s FROM e1 e
+      JOIN dc1 ON dc1.c = e.c AND dc1.d >= 3
+      JOIN ds1 ON ds1.s = e.s AND ds1.d >= 3
+    ),
+    dc2 AS (SELECT c, count(*) AS d FROM e2 GROUP BY c),
+    ds2 AS (SELECT s, count(*) AS d FROM e2 GROUP BY s),
+    e3 AS (
+      SELECT e.c, e.s FROM e2 e
+      JOIN dc2 ON dc2.c = e.c AND dc2.d >= 3
+      JOIN ds2 ON ds2.s = e.s AND ds2.d >= 3
+    ),
+    nodes AS (
+      SELECT 'c' AS side, c AS node_id FROM e0 GROUP BY c
+      UNION ALL
+      SELECT 's' AS side, s AS node_id FROM e0 GROUP BY s
+    ),
+    present AS (
+      SELECT n.side, n.node_id,
+             CASE WHEN n.side = 'c' THEN dc0.d ELSE ds0.d END AS deg0,
+             CASE WHEN n.side = 'c'
+                  THEN (SELECT count(*) FROM e1 WHERE e1.c = n.node_id)
+                  ELSE (SELECT count(*) FROM e1 WHERE e1.s = n.node_id)
+             END AS deg1,
+             CASE WHEN n.side = 'c'
+                  THEN (SELECT count(*) FROM e3 WHERE e3.c = n.node_id)
+                  ELSE (SELECT count(*) FROM e3 WHERE e3.s = n.node_id)
+             END AS deg3
+      FROM nodes n
+      LEFT JOIN dc0 ON n.side = 'c' AND dc0.c = n.node_id
+      LEFT JOIN ds0 ON n.side = 's' AND ds0.s = n.node_id
+    )
+    SELECT side, CAST(node_id AS BIGINT) AS node_id,
+           CAST(deg0 AS BIGINT) AS deg0,
+           CAST(deg3 AS BIGINT) AS deg_core,
+           (deg3 >= 3) AS in_3core,
+           CAST(CASE WHEN deg0 < 3 THEN 1
+                     WHEN deg1 < 3 THEN 2
+                     WHEN deg3 < 3 THEN 3
+                     ELSE 0 END AS INT) AS peel_round
+    FROM present
+    """
+
+
+@register("k_graph_kcore", oracle=_body_kcore())
+def k_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core decomposition of the bipartite customer↔supplier transaction
+    graph by iterative peeling (Matula–Beck / Batagelj–Zaveršnik): drop
+    every node with degree < 3, recount, repeat — three unrolled rounds,
+    the standard dense-substructure filter that separates the engaged
+    trading core from one-off edges before any community/embedding step
+    (``k_graph_modularity`` scores partitions of the SAME graph;
+    ``k_degree_distribution`` is its first-round histogram). Per node:
+    initial degree, post-peel degree, core membership, and which round
+    (1–3, 0 = survived) removed it — the lineage a graph-cleaning audit
+    reports. All quantities are exact integer degrees.
+
+    Scale shape: each peel round is one edge-keyed groupBy + one
+    semi-join of the edge list against surviving nodes — the standard
+    distributed k-core shape (rounds shrink monotonically; a fixpoint
+    loop would checkpoint each round exactly like ``k_dedup_clusters``'
+    CC iteration; 3 unrolled rounds keep the plan static and
+    oracle-expressible). No per-node subqueries survive in the Spark
+    plan: Catalyst decorrelates them into the same degree aggregates
+    the CTEs already compute."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_body_kcore())

@@ -3555,3 +3555,32 @@ def test_privacy_index_conformal_batch(spark, sf_dir):
         if r.n_cal >= 10:
             assert r.coverage_ppm >= 900000
         assert r.coverage_ppm <= 1000000
+
+
+def test_winnowing_and_kcore(spark, sf_dir):
+    """Winnowing density sits near the theoretical 2/(w+1)=0.4 and the
+    fingerprint set is a subset of windows; k-core flags are internally
+    consistent with the peel semantics."""
+    from data_service_spark.registry import QUERIES
+
+    wn = QUERIES["k_text_winnowing"](spark, sf_dir).collect()
+    assert len(wn) > 0
+    dens = [r.density_ppm for r in wn]
+    for r in wn:
+        assert 1 <= r.n_fingerprints <= r.n_windows
+        assert r.n_windows == r.n_grams - 3
+    # average density within a loose band around 2/(w+1)
+    avg = sum(dens) / len(dens)
+    assert 250000 < avg < 600000
+
+    kc = QUERIES["k_graph_kcore"](spark, sf_dir).collect()
+    assert len(kc) > 0
+    assert {r.side for r in kc} == {"c", "s"}
+    for r in kc:
+        assert r.in_3core == (r.deg_core >= 3)
+        if r.peel_round == 1:
+            assert r.deg0 < 3
+        if r.peel_round == 0:
+            assert r.deg0 >= 3 and r.in_3core
+    # the 3-core is a subgraph: core degrees never exceed initial degrees
+    assert all(r.deg_core <= r.deg0 for r in kc)

@@ -162,7 +162,7 @@ k_group_sequential k_graph_modularity k_bradley_terry
 a_sink_parquet_codecs k_ocr_artifact_gate
 e_win_dow_anomaly f_top_p_mass
 k_tokenizer_vocab_export k_anonymize_tclose k_ivf_balance
-k_conformal_interval
+k_conformal_interval k_text_winnowing k_graph_kcore
 """.split()
 
 
