@@ -20,6 +20,22 @@ SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
 # key → (what to look for, why it matters at 100 TB)
 SHOWCASE = {
+    "k_text_winnowing": (
+        "staged map-only array algebra: k-gram md5 array ONCE -> winnowed min-set ONCE -> scalar projections; zero shuffle",
+        "MOSS fingerprint selection at scan site; staging matters because interpreted array lambdas get no codegen CSE (inlining re-hashed the doc 5x)",
+    ),
+    "k_conformal_interval": (
+        "md5-parity split -> two event_type-keyed rank Windows -> spine joins",
+        "distribution-free 90% intervals from pure rank statistics: every selected number is an actual data value both engines pick identically",
+    ),
+    "k_anonymize_tclose": (
+        "corpus reduce to (class, band) cells -> class-by-band grid spine cross join -> integer TVD",
+        "a privacy release gate in exact integer arithmetic: sum|n_cs*N - n_s*n_c| with zero cells from the spine, floor-ppm at the end",
+    ),
+    "k_graph_kcore": (
+        "per-round degree groupBy + semi-join against surviving nodes, three unrolled rounds",
+        "the distributed k-core shape: rounds shrink monotonically; the fixpoint variant checkpoints per round like the CC iteration",
+    ),
     "d_agg_median_counting": (
         "frequency groupBy (shuffle carries distinct cents, not rows) -> per-group spine Window -> conditional-min agg",
         "an EXACT median whose shuffle is value-cardinality-sized: no global sort, no sketch error - the 100 TB shape for bounded domains",
