@@ -889,3 +889,61 @@ def k_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     output."""
     load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(_body_abc())
+
+
+def _body_eb_shrinkage() -> str:
+    return """
+    WITH per_source AS (
+      SELECT source, count(*) AS n_s,
+             sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS k_s
+      FROM documents GROUP BY source
+    ), q AS (
+      SELECT source, n_s, k_s,
+             CAST(floor(k_s * 1000000 / n_s) AS BIGINT) AS raw_ppm
+      FROM per_source
+    ), mom AS (
+      SELECT count(*) AS g, sum(raw_ppm) AS s1,
+             sum(raw_ppm * raw_ppm) AS s2
+      FROM q
+    ), ab AS (
+      SELECT g, s1, s2,
+             CAST(s1 AS DOUBLE) / g / 1000000 AS m,
+             (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / g)
+               / (g - 1) / 1000000.0 / 1000000.0 AS v
+      FROM mom
+    ), prior AS (
+      SELECT m, v,
+             CASE WHEN v > 0 AND m * (1.0 - m) / v - 1.0 > 0
+                  THEN m * (1.0 - m) / v - 1.0 ELSE 0.0 END AS prior_n
+      FROM ab
+    )
+    SELECT q.source, CAST(q.n_s AS BIGINT) AS n_docs,
+           CAST(q.k_s AS BIGINT) AS k_en, q.raw_ppm,
+           CAST(floor(p.prior_n * p.m * 1000000) AS BIGINT) AS alpha_q,
+           CAST(floor(p.prior_n * (1.0 - p.m) * 1000000) AS BIGINT)
+             AS beta_q,
+           CAST(floor((q.k_s + p.prior_n * p.m)
+                      / (q.n_s + p.prior_n) * 1000000) AS BIGINT)
+             AS shrunk_ppm
+    FROM q CROSS JOIN prior p
+    """
+
+
+@register("k_eb_shrinkage", oracle=_body_eb_shrinkage())
+def k_eb_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes beta-binomial shrinkage of per-source English rates
+    (method-of-moments prior: α+β = m(1−m)/v − 1 over the source-level
+    rates, then posterior-mean (k_s+α)/(n_s+α+β)) — the estimator that
+    stops a 30-doc source's noisy 40% rate from outranking a 3000-doc
+    source's solid 35% in any per-source league table or mixing decision
+    (the James–Stein fix every per-segment dashboard needs). Degenerate
+    guard: when between-source variance is at or below binomial noise
+    (prior_n ≤ 0) the prior collapses to flat and shrunk = raw.
+
+    Determinism: raw rates floor-quantize to exact ppm integers FIRST,
+    the moment sums are BIGINT power sums over those integers (r04
+    order-proof-moment convention), and only the final prior/posterior
+    arithmetic is floating, emitted floor-ppm. Scale shape: one
+    source-keyed reduce, then all arithmetic on the source spine."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_body_eb_shrinkage())

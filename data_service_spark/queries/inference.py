@@ -677,7 +677,10 @@ def k_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_body_srm(_SPARK_HASH))
 
 
-def _body_fdr_bh(hash_to_long: str) -> str:
+def _perm_pvals_prefix(hash_to_long: str) -> str:
+    """Shared WITH-prefix ending in the ``pvals`` CTE (one exact
+    md5-permutation p-value per event type) — consumed by the BH step-up
+    (``k_fdr_bh``, FDR) and the Holm step-down (``k_fwer_holm``, FWER)."""
     ha = hash_to_long.format(h="'assign:' || CAST(user_id AS STRING)")
     hp = hash_to_long.format(
         h="'perm:' || CAST(b.b AS STRING) || ':' || CAST(u.user_id AS STRING)"
@@ -725,7 +728,11 @@ def _body_fdr_bh(hash_to_long: str) -> str:
                AS p_num
       FROM obs o JOIN perm p USING (event_type)
       GROUP BY o.event_type
-    ), ranked AS (
+    )"""
+
+
+def _body_fdr_bh(hash_to_long: str) -> str:
+    return _perm_pvals_prefix(hash_to_long) + f""", ranked AS (
       SELECT event_type, p_num,
              row_number() OVER (ORDER BY p_num, event_type) AS r,
              count(*) OVER () AS m
@@ -1134,3 +1141,55 @@ def k_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     event_type plus spine-sized joins — corpus-sized work is one scan."""
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_body_conformal(_SPARK_HASH))
+
+
+def _body_holm(hash_to_long: str) -> str:
+    return _perm_pvals_prefix(hash_to_long) + f""", ranked AS (
+      SELECT event_type, p_num,
+             row_number() OVER (ORDER BY p_num, event_type) AS r,
+             count(*) OVER () AS m
+      FROM pvals
+    ), flagged AS (
+      SELECT event_type, p_num, r, m,
+             CASE WHEN 20 * p_num * (m - r + 1) <= {_B + 1}
+                  THEN 1 ELSE 0 END AS pass_i
+      FROM ranked
+    ), cut AS (
+      SELECT coalesce(min(CASE WHEN pass_i = 0 THEN r END),
+                      max(m) + 1) AS first_fail
+      FROM flagged
+    )
+    SELECT f.event_type, CAST(f.p_num AS BIGINT) AS p_num,
+           CAST({_B + 1} AS BIGINT) AS p_den,
+           CAST(f.r AS BIGINT) AS p_rank,
+           CAST(f.m - f.r + 1 AS BIGINT) AS holm_divisor,
+           (f.r < c.first_fail) AS significant
+    FROM flagged f CROSS JOIN cut c
+    """
+
+
+@register(
+    "k_fwer_holm",
+    oracle=_body_holm(_DUCK_HASH).replace(
+        "(SELECT explode(sequence(0, 199)) AS b)",
+        "(SELECT b FROM range(200) t(b))",
+    ),
+)
+def k_fwer_holm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holm–Bonferroni step-DOWN over the same exact-permutation p-value
+    family as ``k_fdr_bh`` (shared ``_perm_pvals_prefix`` CTEs — the two
+    corrections are hash-checked against the SAME p-values): reject
+    hypotheses in increasing-p order while p_(i) ≤ α/(m−i+1), stop at the
+    first failure — uniformly more powerful than plain Bonferroni while
+    controlling FWER (the stricter guarantee a launch/no-launch decision
+    wants, vs BH's FDR for exploratory triage; run both, read the one
+    matching the decision's cost). The step-down gate is the pure integer
+    comparison 20·p_num·(m−i+1) ≤ B+1 and the stop-at-first-failure is a
+    min over the failing ranks — exact rational arithmetic end to end,
+    no erf anywhere (Spark 4.1.2 and DuckDB 1.0 both lack it).
+
+    Scale shape: identical to ``k_fdr_bh`` — the only corpus-sized work
+    is the (user,type) reduce; permutation replicates aggregate B×cells
+    rows; the step-down runs on an m-row spine."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_body_holm(_SPARK_HASH))

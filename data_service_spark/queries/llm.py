@@ -3831,3 +3831,55 @@ def k_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "modularity"
         ),
     )
+
+
+_SPARK_HASH_LLM = "CAST(conv(substr(md5({h}), 1, 8), 16, 10) AS BIGINT)"
+_DUCK_HASH_LLM = "('0x' || substr(md5({h}), 1, 8))::BIGINT"
+
+
+def _body_dp_counts(hash_to_long: str) -> str:
+    h = hash_to_long.format(h="'dp:' || event_type")
+    return f"""
+    WITH counts AS (
+      SELECT event_type, count(*) AS n FROM events GROUP BY event_type
+    ), noise AS (
+      SELECT event_type, n,
+             ({h} % 4294967296 + 0.5) / 4294967296.0 AS u
+      FROM counts
+    ), lap AS (
+      SELECT event_type, n,
+             CAST(floor(
+               (CASE WHEN u < 0.5 THEN 1.0 ELSE -1.0 END)
+               * ln(1.0 - 2.0 * abs(u - 0.5)) * 1000000
+             ) AS BIGINT) AS noise_q
+      FROM noise
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_true,
+           noise_q,
+           CAST(n + CAST(floor(noise_q / 1000000.0) AS BIGINT) AS BIGINT)
+             AS n_released,
+           CAST(1000000 AS BIGINT) AS epsilon_ppm
+    FROM lap
+    """
+
+
+@register("k_dp_noised_counts", oracle=_body_dp_counts(_DUCK_HASH_LLM))
+def k_dp_noised_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differential-privacy release PLUMBING for per-type counts: Laplace
+    mechanism at ε=1 (sensitivity 1 for a count query), noise drawn by
+    inverse-CDF — sign(½−u)·ln(1−2|u−½|)·(1/ε) — from a salted-md5
+    uniform. NOT a private release: seeded deterministic noise has zero
+    privacy (and n_true ships alongside, which a real release never
+    does); the deterministic draw is the oracle-checkable stand-in that
+    pins the mechanism's shape — per-query sensitivity, ε accounting
+    column, noise quantization, post-processing floor — exactly the way
+    the multimodal keys pin decode plumbing with deterministic fakes.
+    Swap the hash-uniform for a CSPRNG draw and drop n_true to make it a
+    real ε-DP release; every other column survives unchanged.
+
+    Noise is floor-quantized to an exact 1e-6 integer before the release
+    arithmetic, so both engines agree bit-for-bit (ln last-ulp divergence
+    cannot reach the released integer). Scale shape: one map-side count
+    reduce; noise is spine-sized arithmetic."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_body_dp_counts(_SPARK_HASH_LLM))

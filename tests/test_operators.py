@@ -3584,3 +3584,35 @@ def test_winnowing_and_kcore(spark, sf_dir):
             assert r.deg0 >= 3 and r.in_3core
     # the 3-core is a subgraph: core degrees never exceed initial degrees
     assert all(r.deg_core <= r.deg0 for r in kc)
+
+
+def test_holm_dp_shrinkage_batch(spark, sf_dir):
+    """Holm is never more permissive than BH on the same p-values; DP
+    release arithmetic recomputes from the quantized noise; EB shrinkage
+    pulls every source toward the prior mean without leaving [raw, m]."""
+    from data_service_spark.registry import QUERIES
+
+    bh = {r.event_type: r for r in QUERIES["k_fdr_bh"](spark, sf_dir).collect()}
+    hm = {r.event_type: r for r in QUERIES["k_fwer_holm"](spark, sf_dir).collect()}
+    assert set(bh) == set(hm)
+    for t in hm:
+        # identical p-values (shared CTE prefix) and ranks
+        assert hm[t].p_num == bh[t].p_num and hm[t].p_rank == bh[t].p_rank
+        # FWER control is stricter: Holm rejections are a subset of BH's
+        assert not (hm[t].significant and not bh[t].significant)
+
+    dp = QUERIES["k_dp_noised_counts"](spark, sf_dir).collect()
+    assert len(dp) == 5
+    for r in dp:
+        assert r.n_released == r.n_true + (r.noise_q // 1000000 if r.noise_q >= 0
+                                           else -((-r.noise_q + 999999) // 1000000))
+        assert abs(r.noise_q) < 25_000_000  # |Laplace(1)| < 25 at these u
+
+    eb = QUERIES["k_eb_shrinkage"](spark, sf_dir).collect()
+    assert len(eb) > 1
+    # shrunk rates lie between the raw rate and the prior mean
+    m_ppm = sum(r.raw_ppm for r in eb) / len(eb)
+    for r in eb:
+        lo, hi = sorted((r.raw_ppm, m_ppm))
+        assert lo - 2 <= r.shrunk_ppm <= hi + 2
+        assert r.alpha_q >= 0 and r.beta_q >= 0

@@ -163,6 +163,7 @@ a_sink_parquet_codecs k_ocr_artifact_gate
 e_win_dow_anomaly f_top_p_mass
 k_tokenizer_vocab_export k_anonymize_tclose k_ivf_balance
 k_conformal_interval k_text_winnowing k_graph_kcore
+k_fwer_holm k_dp_noised_counts k_eb_shrinkage
 """.split()
 
 
