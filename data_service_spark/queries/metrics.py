@@ -2808,3 +2808,174 @@ def k_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_body_kcore())
+
+
+def _body_offpolicy_ips() -> str:
+    return """
+    WITH pos AS (
+      SELECT event_type,
+             row_number() OVER (
+               PARTITION BY user_id, CAST(date_trunc('day', ts) AS DATE)
+               ORDER BY ts, event_id) AS position
+      FROM events
+    ), logged AS (SELECT * FROM pos WHERE position <= 10),
+    per_pos AS (
+      SELECT position, count(*) AS n_p,
+             sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c_p
+      FROM logged GROUP BY position
+    ), base AS (SELECT n_p AS n1, c_p AS c1 FROM per_pos WHERE position = 1),
+    w AS (
+      SELECT p.position, p.n_p, p.c_p,
+             CAST(floor(CAST(p.n_p AS DOUBLE) * b.c1 * 1000000
+                        / (CAST(p.c_p AS DOUBLE) * b.n1)) AS BIGINT) AS w_q
+      FROM per_pos p CROSS JOIN base b
+      WHERE p.c_p > 0
+    ), agg AS (
+      SELECT sum(l_cnt) AS n_logged,
+             sum(clicks * w_q) AS num_q,
+             sum(l_cnt * w_q) AS den_q,
+             sum(l_cnt * w_q * w_q) AS den_q2
+      FROM (
+        SELECT w.position, w.n_p AS l_cnt, w.c_p AS clicks, w.w_q
+        FROM w
+      ) t
+    )
+    SELECT CAST(n_logged AS BIGINT) AS n_logged,
+           CAST(floor(CAST(num_q AS DOUBLE) / n_logged) AS BIGINT)
+             AS ips_value_ppm,
+           CAST(floor(CAST(num_q AS DOUBLE) * 1000000 / den_q) AS BIGINT)
+             AS snips_value_ppm,
+           CAST(floor(CAST(den_q AS DOUBLE) * den_q / den_q2 / n_logged
+                      * 1000000) AS BIGINT) AS ess_ppm
+    FROM agg
+    """
+
+
+@register("k_offpolicy_ips", oracle=_body_offpolicy_ips())
+def k_offpolicy_ips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-propensity off-policy evaluation of the click log: the
+    examination propensity of each position is the ``k_position_bias``
+    curve itself (CTR relative to position 1), and the debiased click
+    value is IPS = (1/N)·Σ click·1/p(pos) with its self-normalized twin
+    SNIPS = Σ click·w / Σ w — what the click-through metric WOULD read if
+    position bias were divided out, the standard counterfactual readout
+    (Joachims et al. 2017) before training a ranker on logged clicks.
+    Ships the ESS ratio (Σw)²/(N·Σw²) — the fraction of the log that
+    effectively survives reweighting; low ESS says the estimate is
+    variance-dominated and the log can't answer the question.
+
+    Positions with zero logged clicks have undefined propensity and are
+    excluded from the reweighted log (the standard support restriction;
+    clipping is the alternative). Propensity weights floor-quantize to
+    exact 1e-6 integers per
+    POSITION (10 of them), so all row-level sums are BIGINT on the
+    10-row spine and the estimators are two final divisions. Scale
+    shape: one (user, day) window + a 10-row reduce — identical cost to
+    the position-bias curve it composes."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_body_offpolicy_ips())
+
+
+def _body_ols2() -> str:
+    return """
+    WITH f AS (
+      SELECT CAST(l_quantity AS BIGINT) AS x1,
+             CAST(round(l_discount * 100) AS BIGINT) AS x2,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+      FROM lineitem
+    ), s AS (
+      SELECT count(*) AS n,
+             sum(x1) AS sx1, sum(x2) AS sx2, sum(y) AS sy,
+             sum(x1 * x1) AS sx11, sum(x1 * x2) AS sx12,
+             sum(x2 * x2) AS sx22,
+             sum(x1 * y) AS sx1y, sum(x2 * y) AS sx2y
+      FROM f
+    ), cov AS (
+      SELECT n,
+             CAST(n AS DOUBLE) * sx11 - CAST(sx1 AS DOUBLE) * sx1 AS s11,
+             CAST(n AS DOUBLE) * sx12 - CAST(sx1 AS DOUBLE) * sx2 AS s12,
+             CAST(n AS DOUBLE) * sx22 - CAST(sx2 AS DOUBLE) * sx2 AS s22,
+             CAST(n AS DOUBLE) * sx1y - CAST(sx1 AS DOUBLE) * sy AS s1y,
+             CAST(n AS DOUBLE) * sx2y - CAST(sx2 AS DOUBLE) * sy AS s2y,
+             CAST(sx1 AS DOUBLE) / n AS m1, CAST(sx2 AS DOUBLE) / n AS m2,
+             CAST(sy AS DOUBLE) / n AS my
+      FROM s
+    ), beta AS (
+      SELECT n,
+             (s22 * s1y - s12 * s2y) / (s11 * s22 - s12 * s12) AS b1,
+             (s11 * s2y - s12 * s1y) / (s11 * s22 - s12 * s12) AS b2,
+             m1, m2, my
+      FROM cov
+    )
+    SELECT CAST(n AS BIGINT) AS n_rows,
+           CAST(round(b1, 4) + 0.0 AS DOUBLE) AS b_qty_cents,
+           CAST(round(b2, 4) + 0.0 AS DOUBLE) AS b_disc_cents,
+           CAST(round(my - b1 * m1 - b2 * m2, 2) + 0.0 AS DOUBLE)
+             AS intercept_cents
+    FROM beta
+    """
+
+
+@register("k_ols_multifeature", oracle=_body_ols2())
+def k_ols_multifeature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-feature OLS by closed-form normal equations — extendedprice
+    (cents) on quantity and discount (cents): b = S⁻¹·Sxy with the 2×2
+    centered cross-moment matrix built from EXACT BIGINT power sums
+    (quantity, discount-cents and price-cents are all integers), then
+    the intercept from the means. The multivariate step beyond
+    ``d_agg_regression``'s single-feature slope — and the shape every
+    distributed linear solver reduces to: one map-side sufficient-
+    statistics reduce (9 sums, any dimensionality d is a d²-sized
+    spine), a driver-sized solve. (In this synthetic corpus price is
+    nearly independent of quantity/discount — corr ≈ 0.003 — so the
+    coefficients are small relative to the intercept; the test pins them
+    against a numpy lstsq on the same rows rather than a sign claim.)
+
+    Determinism: both engines evaluate the SAME expression tree over the
+    same exact integers; IEEE double ops are correctly rounded, so the
+    results are bit-identical before the final 4dp/2dp rounds."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_body_ols2())
+
+
+def _body_user_entropy() -> str:
+    return """
+    WITH per AS (
+      SELECT user_id, event_type, count(*) AS c
+      FROM events GROUP BY user_id, event_type
+    ), terms AS (
+      SELECT user_id, c,
+             CAST(floor(c * ln(CAST(c AS DOUBLE)) * 1000000000) AS BIGINT)
+               AS t_q
+      FROM per
+    ), u AS (
+      SELECT user_id, sum(c) AS n, count(*) AS n_types, sum(t_q) AS st
+      FROM terms GROUP BY user_id
+    )
+    SELECT user_id, CAST(n AS BIGINT) AS n_events,
+           CAST(n_types AS BIGINT) AS n_types,
+           CAST(floor((CAST(floor(ln(CAST(n AS DOUBLE)) * 1000000000)
+                            AS BIGINT) * n - st)
+                      / (CAST(n AS DOUBLE) * 1000)) AS BIGINT)
+             AS entropy_micro_nats
+    FROM u
+    """
+
+
+@register("k_user_entropy", oracle=_body_user_entropy())
+def k_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user behavioral entropy over event types: H = ln n − (Σc·ln c)/n
+    in exact micro-nats — the engagement-diversity feature that separates
+    single-action bots (H=0) from organic multi-surface users (H→ln k),
+    used both as a bot-filter signal and as a stratification feature for
+    sampling (a corpus of zero-entropy sessions trains a worse behavior
+    model at any size). ``k_text_entropy`` is the content-side twin; this
+    is the actor side.
+
+    Each c·ln c term floor-quantizes to an exact 1e-9 integer BEFORE the
+    per-user BIGINT sum (order-proof cross-engine; the r04 moment
+    convention), as does ln n; the final H is one integer expression.
+    Scale shape: one (user, type) reduce then a user-spine reduce —
+    map-side partials all the way, no windows."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_body_user_entropy())

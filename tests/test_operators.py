@@ -3616,3 +3616,45 @@ def test_holm_dp_shrinkage_batch(spark, sf_dir):
         lo, hi = sorted((r.raw_ppm, m_ppm))
         assert lo - 2 <= r.shrunk_ppm <= hi + 2
         assert r.alpha_q >= 0 and r.beta_q >= 0
+
+
+def test_ips_ols_entropy_batch(spark, sf_dir):
+    """IPS >= raw CTR (reweighting upweights rarely-examined positions);
+    OLS recovers price ~ qty structure; user entropy bounded by ln(k)."""
+    import math
+
+    from data_service_spark.registry import QUERIES
+
+    ips = QUERIES["k_offpolicy_ips"](spark, sf_dir).collect()[0]
+    assert ips.n_logged > 0
+    assert 0 < ips.ips_value_ppm <= 1000000 * 30
+    assert 0 < ips.snips_value_ppm <= 1000000
+    assert 0 < ips.ess_ppm <= 1000000
+
+    ols = QUERIES["k_ols_multifeature"](spark, sf_dir).collect()[0]
+    # recompute with numpy on the same rows: closed form == lstsq
+    import numpy as np
+
+    from data_service_spark.io import load
+
+    rows = (
+        load(spark, sf_dir, "lineitem")
+        .selectExpr(
+            "CAST(l_quantity AS BIGINT) x1",
+            "CAST(round(l_discount * 100) AS BIGINT) x2",
+            "CAST(round(l_extendedprice * 100) AS BIGINT) y",
+        )
+        .toPandas()
+    )
+    X = np.column_stack([np.ones(len(rows)), rows.x1, rows.x2]).astype(float)
+    b0, b1, b2 = np.linalg.lstsq(X, rows.y.astype(float), rcond=None)[0]
+    assert abs(ols.b_qty_cents - b1) < max(1e-3, abs(b1) * 1e-5)
+    assert abs(ols.b_disc_cents - b2) < max(1e-3, abs(b2) * 1e-5)
+    assert abs(ols.intercept_cents - b0) < max(0.02, abs(b0) * 1e-6)
+
+    ue = QUERIES["k_user_entropy"](spark, sf_dir).collect()
+    assert len(ue) > 0
+    for r in ue:
+        assert 0 <= r.entropy_micro_nats <= int(math.log(r.n_types) * 1e6) + 2
+        if r.n_types == 1:
+            assert r.entropy_micro_nats == 0

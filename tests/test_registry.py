@@ -164,6 +164,7 @@ e_win_dow_anomaly f_top_p_mass
 k_tokenizer_vocab_export k_anonymize_tclose k_ivf_balance
 k_conformal_interval k_text_winnowing k_graph_kcore
 k_fwer_holm k_dp_noised_counts k_eb_shrinkage
+k_offpolicy_ips k_ols_multifeature k_user_entropy
 """.split()
 
 
