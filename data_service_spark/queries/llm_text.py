@@ -1981,3 +1981,240 @@ def k_text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("density_ppm"),
         F.array_min("fps").alias("fp_head"),
     )
+
+
+@register(
+    "k_dedup_lines",
+    oracle="""
+    WITH lines AS (
+      SELECT doc_id, trim(l) AS line
+      FROM (SELECT doc_id, unnest(string_split(text, '. ')) AS l
+            FROM documents) t
+      WHERE trim(l) <> ''
+    ), hashed AS (
+      SELECT doc_id, md5(lower(line)) AS h FROM lines
+    ), df AS (
+      SELECT h, count(DISTINCT doc_id) AS n_docs_with FROM hashed GROUP BY h
+    ), per_doc AS (
+      SELECT ha.doc_id, count(*) AS n_lines,
+             sum(CASE WHEN df.n_docs_with > 1 THEN 1 ELSE 0 END)
+               AS n_shared_lines
+      FROM hashed ha JOIN df USING (h)
+      GROUP BY ha.doc_id
+    )
+    SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+           CAST(n_shared_lines AS BIGINT) AS n_shared_lines,
+           CAST(floor(n_shared_lines * 1000000 / n_lines) AS BIGINT)
+             AS shared_ppm,
+           (n_shared_lines * 2 > n_lines) AS mostly_boilerplate
+    FROM per_doc
+    """,
+)
+def k_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level dedup census — the C4 cleaning op (Raffel et al. 2020
+    deduplicated at the three-sentence/line granularity, not the
+    document): split on sentence boundaries, hash each normalized line,
+    and per document count how many of its lines also occur in OTHER
+    documents — the boilerplate fraction (navbars, footers, license
+    headers) that document-level dedup (``k_dedup_exact``) and span
+    dedup (``k_dedup_spans``, char-shingle) both miss at this
+    granularity. Docs whose shared fraction exceeds ½ get the
+    ``mostly_boilerplate`` drop flag; ``k_boilerplate_phrases`` is the
+    editor-facing census of WHICH phrases, this is the per-doc decision.
+
+    Scale shape: one explode → (hash) reduce for the cross-doc line
+    index (the partial-agg dictionary shuffle), one hash-keyed join
+    back, one doc-spine reduce. At 100 TB the line index is exactly the
+    persisted bucketed hash index the incremental dedup key documents.
+    """
+    d = load_parallel(spark, sf_dir, "documents", "doc_id")
+    lines = (
+        d.select(
+            "doc_id",
+            F.explode(F.split("text", "\\. ")).alias("l"),
+        )
+        .select("doc_id", F.trim("l").alias("line"))
+        .filter(F.col("line") != "")
+    )
+    hashed = lines.select("doc_id", F.md5(F.lower("line")).alias("h"))
+    df_ = hashed.groupBy("h").agg(
+        F.countDistinct("doc_id").alias("n_docs_with")
+    )
+    per_doc = (
+        hashed.join(df_, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(
+                F.when(F.col("n_docs_with") > 1, 1).otherwise(0)
+            ).alias("n_shared_lines"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        F.col("n_lines").cast("long"),
+        F.col("n_shared_lines").cast("long"),
+        F.floor(F.col("n_shared_lines") * 1000000 / F.col("n_lines"))
+        .cast("long")
+        .alias("shared_ppm"),
+        (F.col("n_shared_lines") * 2 > F.col("n_lines")).alias(
+            "mostly_boilerplate"
+        ),
+    )
+
+
+@register(
+    "k_loop_detect",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS ws,
+             len(string_split(text, ' ')) AS n
+      FROM documents
+    ), per AS (
+      SELECT doc_id, n,
+             CASE
+               WHEN n >= 2 AND ws[n:n] = ws[n-1:n-1] THEN 1
+               WHEN n >= 4 AND ws[n-1:n] = ws[n-3:n-2] THEN 2
+               WHEN n >= 6 AND ws[n-2:n] = ws[n-5:n-3] THEN 3
+               WHEN n >= 8 AND ws[n-3:n] = ws[n-7:n-4] THEN 4
+               WHEN n >= 10 AND ws[n-4:n] = ws[n-9:n-5] THEN 5
+               ELSE 0
+             END AS loop_period
+      FROM w
+    )
+    SELECT doc_id, CAST(n AS BIGINT) AS n_words,
+           CAST(loop_period AS INT) AS loop_period,
+           (loop_period > 0) AS tail_looped
+    FROM per
+    """,
+)
+def k_loop_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generation-loop detector: does the document END in an immediately
+    repeated block — the degenerate-decoding signature ("the the", "of
+    the of the") that plagues greedy/low-temperature model output and
+    poisons training data with probability mass on repetition. Checks
+    tail periods 1–5: period p fires when the last p words equal the p
+    words before them; the SMALLEST period is reported (a p-periodic
+    tail also matches 2p — first-match order makes the answer the
+    minimal period). ``k_text_repetition`` scores global n-gram
+    repetitiveness; this is the targeted tail-loop gate an output
+    filter runs first because it's O(1) per doc.
+
+    Scale shape: pure map-side array-slice compares at scan site — no
+    explode, no shuffle, no UDF; the whole gate is a CASE expression.
+    """
+    d = load(spark, sf_dir, "documents")
+    # Spark slice(ws, start, len) is 1-based; DuckDB ws[a:b] inclusive.
+    per = d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n"),
+        F.expr(
+            """
+            CASE
+              WHEN size(split(text, ' ')) >= 2
+                   AND slice(split(text, ' '), size(split(text, ' ')), 1)
+                     = slice(split(text, ' '), size(split(text, ' ')) - 1, 1)
+              THEN 1
+              WHEN size(split(text, ' ')) >= 4
+                   AND slice(split(text, ' '), size(split(text, ' ')) - 1, 2)
+                     = slice(split(text, ' '), size(split(text, ' ')) - 3, 2)
+              THEN 2
+              WHEN size(split(text, ' ')) >= 6
+                   AND slice(split(text, ' '), size(split(text, ' ')) - 2, 3)
+                     = slice(split(text, ' '), size(split(text, ' ')) - 5, 3)
+              THEN 3
+              WHEN size(split(text, ' ')) >= 8
+                   AND slice(split(text, ' '), size(split(text, ' ')) - 3, 4)
+                     = slice(split(text, ' '), size(split(text, ' ')) - 7, 4)
+              THEN 4
+              WHEN size(split(text, ' ')) >= 10
+                   AND slice(split(text, ' '), size(split(text, ' ')) - 4, 5)
+                     = slice(split(text, ' '), size(split(text, ' ')) - 9, 5)
+              THEN 5
+              ELSE 0
+            END
+            """
+        ).cast("int").alias("loop_period"),
+    )
+    return per.select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_words"),
+        "loop_period",
+        (F.col("loop_period") > 0).alias("tail_looped"),
+    )
+
+
+_IMPERATIVES = (
+    "write explain describe list summarize give create make find show"
+).split()
+
+
+@register(
+    "k_instruction_mine",
+    oracle=f"""
+    WITH sig AS (
+      SELECT source,
+             CASE WHEN list_contains({list(_IMPERATIVES)!r},
+                    lower(string_split(trim(text), ' ')[1]))
+                  THEN 1 ELSE 0 END AS s_imperative,
+             CASE WHEN text LIKE '%?%' THEN 1 ELSE 0 END AS s_question,
+             CASE WHEN regexp_matches(text, '[0-9]+\\.')
+                  THEN 1 ELSE 0 END AS s_numbered,
+             CASE WHEN len(string_split(text, ' ')) BETWEEN 5 AND 200
+                  THEN 1 ELSE 0 END AS s_length
+      FROM documents
+    ), scored AS (
+      SELECT source,
+             s_imperative + s_question + s_numbered + s_length AS score
+      FROM sig
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN score >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_instructionish,
+           CAST(floor(sum(CASE WHEN score >= 2 THEN 1 ELSE 0 END)
+                      * 1000000 / count(*)) AS BIGINT) AS instruction_ppm,
+           CAST(sum(score) AS BIGINT) AS score_mass
+    FROM scored GROUP BY source
+    """,
+)
+def k_instruction_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Instruction-likeness census per source — the cheap first-pass miner
+    an SFT-data pipeline runs over a web corpus before paying for a
+    classifier: stack of scan-side signals (imperative first word,
+    question mark, numbered-list pattern, instruction-typical length
+    5–200 words), score ≥ 2 of 4 flags a doc as instruction-shaped.
+    Per-source yield in floor-ppm tells WHERE to aim the expensive
+    classifier (``k_quality_logreg`` is the trained sibling;
+    ``k_sft_records``/``k_chat_template_render`` consume what this
+    finds). Signals are deliberately high-recall/low-precision — the
+    census is a routing decision, not a label.
+
+    Scale shape: pure scan-side boolean projections (regex + first-token
+    compare in codegen, no UDF) into one source-keyed reduce."""
+    d = load(spark, sf_dir, "documents")
+    first_word = F.lower(
+        F.element_at(F.split(F.trim(F.col("text")), " "), 1)
+    )
+    score = (
+        F.when(first_word.isin(*_IMPERATIVES), 1).otherwise(0)
+        + F.when(F.col("text").contains("?"), 1).otherwise(0)
+        + F.when(F.col("text").rlike("[0-9]+\\."), 1).otherwise(0)
+        + F.when(
+            F.size(F.split("text", " ")).between(5, 200), 1
+        ).otherwise(0)
+    )
+    scored = d.select("source", score.alias("score"))
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("score") >= 2, 1).otherwise(0))
+        .cast("long")
+        .alias("n_instructionish"),
+        F.floor(
+            F.sum(F.when(F.col("score") >= 2, 1).otherwise(0))
+            * 1000000
+            / F.count(F.lit(1))
+        )
+        .cast("long")
+        .alias("instruction_ppm"),
+        F.sum("score").cast("long").alias("score_mass"),
+    )

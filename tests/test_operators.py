@@ -3658,3 +3658,40 @@ def test_ips_ols_entropy_batch(spark, sf_dir):
         assert 0 <= r.entropy_micro_nats <= int(math.log(r.n_types) * 1e6) + 2
         if r.n_types == 1:
             assert r.entropy_micro_nats == 0
+
+
+def test_lines_loop_instruction_batch(spark, sf_dir):
+    """Line-dedup fractions recompute; loop periods are minimal and
+    verified against the raw text; instruction census telescopes."""
+    from data_service_spark.io import load
+    from data_service_spark.registry import QUERIES
+
+    ld = QUERIES["k_dedup_lines"](spark, sf_dir).collect()
+    assert len(ld) > 0
+    for r in ld:
+        assert 0 <= r.n_shared_lines <= r.n_lines
+        assert r.mostly_boilerplate == (r.n_shared_lines * 2 > r.n_lines)
+
+    lp = {r.doc_id: r for r in QUERIES["k_loop_detect"](spark, sf_dir).collect()}
+    docs = {r.doc_id: r.text for r in load(spark, sf_dir, "documents").collect()}
+    assert set(lp) == set(docs)
+    import itertools
+
+    checked = 0
+    for doc_id, r in itertools.islice(lp.items(), 200):
+        ws = docs[doc_id].split(" ")
+        periods = [
+            p for p in range(1, 6)
+            if len(ws) >= 2 * p and ws[-p:] == ws[-2 * p:-p]
+        ]
+        expect = min(periods) if periods else 0
+        assert r.loop_period == expect, (doc_id, r.loop_period, expect)
+        checked += 1
+    assert checked == 200
+
+    im = QUERIES["k_instruction_mine"](spark, sf_dir).collect()
+    n_docs_total = sum(r.n_docs for r in im)
+    assert n_docs_total == len(docs)
+    for r in im:
+        assert 0 <= r.n_instructionish <= r.n_docs
+        assert 0 <= r.instruction_ppm <= 1000000
