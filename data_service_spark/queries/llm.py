@@ -3883,3 +3883,223 @@ def k_dp_noised_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     reduce; noise is spine-sized arithmetic."""
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_body_dp_counts(_SPARK_HASH_LLM))
+
+
+@register(
+    "k_dup_weighted_sampling",
+    oracle=f"""
+    WITH labels AS ({{DEDUP_CLUSTERS}}),
+    sized AS (
+      SELECT l.doc_id, l.cluster_id,
+             count(*) OVER (PARTITION BY l.cluster_id) AS cluster_size
+      FROM labels l
+    ), weighted AS (
+      SELECT s.doc_id, d.source, s.cluster_size,
+             CAST(floor(1000000 / s.cluster_size) AS BIGINT) AS weight_ppm
+      FROM sized s JOIN documents d USING (doc_id)
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(weight_ppm) AS BIGINT) AS eff_mass_ppm,
+           CAST(floor(sum(weight_ppm) / count(*)) AS BIGINT)
+             AS mean_weight_ppm,
+           CAST(sum(CASE WHEN cluster_size > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_in_dup_families
+    FROM weighted GROUP BY source
+    """.replace("{DEDUP_CLUSTERS}", _ORACLES["k_dedup_clusters"]),
+)
+def k_dup_weighted_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication-corrected sampling weights: every document gets weight
+    1/|its duplicate family| (the connected-component clusters of
+    ``k_dedup_clusters``), so a passage that survived crawling 40 times
+    contributes ONE document's worth of probability mass instead of 40 —
+    the soft alternative to hard dedup-dropping that Lee et al. 2022
+    motivate (duplicates distort both the training distribution and any
+    per-source league table computed from raw counts). Per source: raw
+    count, effective (weight-summed) mass, mean weight, and how many
+    docs sit inside multi-doc families — the gap between n_docs and
+    eff_mass is exactly the duplication inflation the raw count lies by.
+
+    Weights are exact floor-ppm integers (1e6/size), so all sums are
+    BIGINT. Scale shape: composes the session-memoized CC labels (pays
+    the clustering once per session); one family-size window over the
+    label spine, one broadcast-joinable doc→source lookup, one
+    source-spine reduce."""
+    labels = k_dedup_clusters(spark, sf_dir)
+    w = Window.partitionBy("cluster_id")
+    sized = labels.select(
+        "doc_id", "cluster_id", F.count(F.lit(1)).over(w).alias("cluster_size")
+    )
+    d = load(spark, sf_dir, "documents").select("doc_id", "source")
+    weighted = sized.join(d, "doc_id").select(
+        "source",
+        "cluster_size",
+        F.floor(1000000 / F.col("cluster_size")).cast("long").alias(
+            "weight_ppm"
+        ),
+    )
+    return weighted.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("weight_ppm").cast("long").alias("eff_mass_ppm"),
+        F.floor(F.sum("weight_ppm") / F.count(F.lit(1)))
+        .cast("long")
+        .alias("mean_weight_ppm"),
+        F.sum(F.when(F.col("cluster_size") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_in_dup_families"),
+    )
+
+
+@register(
+    "k_ivf_probe_sweep",
+    oracle=f"""
+    WITH assign AS ({{ASSIGN}}),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    probes AS (SELECT vec_id AS pid, v AS pv FROM e
+               WHERE vec_id >= 10 AND vec_id < 20),
+    cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 10),
+    pc AS (
+      SELECT p.pid, c.cid,
+             row_number() OVER (PARTITION BY p.pid
+               ORDER BY round(list_inner_product(p.pv, c.cv), 6) DESC,
+                        c.cid) AS crk
+      FROM probes p CROSS JOIN cent c
+    ),
+    truth AS (
+      SELECT pid, vec_id FROM (
+        SELECT p.pid, e.vec_id,
+               row_number() OVER (PARTITION BY p.pid
+                 ORDER BY round(list_inner_product(p.pv, e.v), 6) DESC,
+                          e.vec_id) AS rn
+        FROM probes p CROSS JOIN e WHERE e.vec_id <> p.pid
+      ) t WHERE rn <= 5
+    ),
+    nps AS (SELECT unnest([1, 2, 3]) AS nprobe),
+    cand AS (
+      SELECT n.nprobe, pc.pid, a.vec_id
+      FROM nps n
+      JOIN pc ON pc.crk <= n.nprobe
+      JOIN assign a ON a.cluster_id = pc.cid
+      WHERE a.vec_id <> pc.pid
+    ),
+    scored AS (
+      SELECT c.nprobe, c.pid, c.vec_id,
+             row_number() OVER (PARTITION BY c.nprobe, c.pid
+               ORDER BY round(list_inner_product(p.pv, e.v), 6) DESC,
+                        c.vec_id) AS rn
+      FROM cand c
+      JOIN probes p ON p.pid = c.pid
+      JOIN e ON e.vec_id = c.vec_id
+    ),
+    hits AS (
+      SELECT s.nprobe, count(*) AS n_hit
+      FROM scored s JOIN truth t
+        ON t.pid = s.pid AND t.vec_id = s.vec_id
+      WHERE s.rn <= 5
+      GROUP BY s.nprobe
+    ),
+    cstats AS (
+      SELECT nprobe, count(*) AS n_cand, count(DISTINCT pid) AS n_p
+      FROM cand GROUP BY nprobe
+    )
+    SELECT CAST(c.nprobe AS INT) AS nprobe,
+           CAST(c.n_p AS BIGINT) AS n_probes,
+           CAST(floor(c.n_cand / c.n_p) AS BIGINT) AS mean_candidates,
+           CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hits,
+           CAST(floor(coalesce(h.n_hit, 0) * 1000000 / (5 * c.n_p))
+             AS BIGINT) AS recall_ppm
+    FROM cstats c LEFT JOIN hits h ON h.nprobe = c.nprobe
+    """.replace("{ASSIGN}", _ORACLES["k_cluster_assign"]),
+)
+def k_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF recall-vs-probes tuning curve: for 10 held-out query vectors,
+    recall@5 of the IVF index (``k_cluster_assign`` cells, exact
+    re-scoring inside the probed cells) against the exact brute-force
+    top-5, at nprobe ∈ {1,2,3} — the accuracy/cost frontier every ANN
+    deployment tunes (more probes ⇒ more candidates scanned ⇒ higher
+    recall; the candidate count column IS the cost axis). Completes the
+    ANN-ops panel: ``k_ivf_balance`` audits the index shape,
+    ``k_eval_ann_recall`` scores the LSH family, this sweeps the IVF
+    operating point.
+
+    All rankings pin on 6dp-rounded sims with id tiebreaks (the
+    ``k_sim_topk`` convention), so both engines select identical top-5
+    sets and the recall is exact integer arithmetic. Scale shape: the
+    centroid table and probe set are broadcast; candidates form by
+    cell-id equi-join against the memoized assignment (corpus touched
+    once); ground truth is the only corpus×probes product and is the
+    evaluation's honest cost, not the serving path's."""
+    emb = _emb(spark, sf_dir)
+    probes = emb.filter(
+        (F.col("vec_id") >= 10) & (F.col("vec_id") < 20)
+    ).select(F.col("vec_id").alias("pid"), F.col("v").alias("pv"))
+    cent = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    pc_w = Window.partitionBy("pid").orderBy(
+        F.round(F.col("csim"), 6).desc(), F.col("cid")
+    )
+    pc = (
+        probes.crossJoin(F.broadcast(cent))
+        .select("pid", "pv", "cid", dot(F.col("pv"), F.col("cv")).alias("csim"))
+        .withColumn("crk", F.row_number().over(pc_w))
+        .select("pid", "cid", "crk")
+    )
+    t_w = Window.partitionBy("pid").orderBy(
+        F.round(F.col("sim"), 6).desc(), F.col("vec_id")
+    )
+    truth = (
+        emb.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("pid"))
+        .select("pid", "vec_id", dot(F.col("pv"), F.col("v")).alias("sim"))
+        .withColumn("rn", F.row_number().over(t_w))
+        .filter(F.col("rn") <= 5)
+        .select("pid", "vec_id")
+    )
+    assign = k_cluster_assign(spark, sf_dir).select("vec_id", "cluster_id")
+    nps = spark.range(1, 4).select(F.col("id").cast("int").alias("nprobe"))
+    cand = (
+        nps.crossJoin(pc)
+        .filter(F.col("crk") <= F.col("nprobe"))
+        .join(assign, F.col("cluster_id") == F.col("cid"))
+        .filter(F.col("vec_id") != F.col("pid"))
+        .select("nprobe", "pid", "vec_id")
+    )
+    s_w = Window.partitionBy("nprobe", "pid").orderBy(
+        F.round(F.col("sim"), 6).desc(), F.col("vec_id")
+    )
+    scored = (
+        cand.join(F.broadcast(probes), "pid")
+        .join(emb.select("vec_id", "v"), "vec_id")
+        .select(
+            "nprobe", "pid", "vec_id",
+            dot(F.col("pv"), F.col("v")).alias("sim"),
+        )
+        .withColumn("rn", F.row_number().over(s_w))
+    )
+    hits = (
+        scored.filter(F.col("rn") <= 5)
+        .join(truth, ["pid", "vec_id"])
+        .groupBy("nprobe")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    cstats = cand.groupBy("nprobe").agg(
+        F.count(F.lit(1)).alias("n_cand"),
+        F.countDistinct("pid").alias("n_p"),
+    )
+    return (
+        cstats.join(hits, "nprobe", "left")
+        .select(
+            F.col("nprobe").cast("int"),
+            F.col("n_p").cast("long").alias("n_probes"),
+            F.floor(F.col("n_cand") / F.col("n_p")).cast("long").alias(
+                "mean_candidates"
+            ),
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_hits"),
+            F.floor(
+                F.coalesce(F.col("n_hit"), F.lit(0)) * 1000000
+                / (5 * F.col("n_p"))
+            )
+            .cast("long")
+            .alias("recall_ppm"),
+        )
+    )

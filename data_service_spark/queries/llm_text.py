@@ -1680,9 +1680,21 @@ def k_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one projection computes all gate features in a single
     pass; the funnel is a 4-row aggregate — no per-gate rescans.
     """
+    feats = _ff_feats_df(spark, sf_dir)
+    feats.createOrReplaceTempView("dss_ff_feats")
+    return spark.sql(
+        _FF_SPARK_TAIL
+    )
+
+
+def _ff_feats_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass per-doc gate features (token count, type count,
+    language-marker hits, top-token count) — shared by the funnel audit
+    (``k_filter_funnel``) and the cascade scheduler
+    (``k_gate_cascade_order``)."""
     docs = load(spark, sf_dir, "documents")
     toks = F.split("text", " ")
-    feats = docs.select(
+    return docs.select(
         "doc_id",
         F.size(toks).alias("n_tok"),
         F.size(F.array_distinct(toks)).alias("n_typ"),
@@ -1714,9 +1726,9 @@ def k_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("top_tok"),
     )
-    feats.createOrReplaceTempView("dss_ff_feats")
-    return spark.sql(
-        f"""
+
+
+_FF_SPARK_TAIL = f"""
     WITH gates AS (
       {_FF_GATES}
       FROM dss_ff_feats
@@ -1752,7 +1764,6 @@ def k_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(t.n_keep AS BIGINT) AS n_keep
     FROM per_gate p CROSS JOIN tot t
     """
-    )
 
 
 def _body_quantile_normalize() -> str:
@@ -2218,3 +2229,109 @@ def k_instruction_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("instruction_ppm"),
         F.sum("score").cast("long").alias("score_mass"),
     )
+
+
+_CASCADE_COSTS = "('len', 1), ('lang', 3), ('ttr', 5), ('repeat', 8)"
+
+
+def _cascade_tail(with_prefix: str, feats_src: str) -> str:
+    """Scheduling SQL from the gates CTE onward — shared verbatim by the
+    Spark side (feats as a temp view) and the DuckDB oracle (feats as a
+    CTE in ``with_prefix``)."""
+    return f"""
+    {with_prefix} gates AS (
+      {_FF_GATES}
+      FROM {feats_src}
+    ), per_gate AS (
+      SELECT 'len' AS gate,
+             sum(CASE WHEN NOT g_len THEN 1 ELSE 0 END) AS n_fail
+      FROM gates
+      UNION ALL
+      SELECT 'lang', sum(CASE WHEN NOT g_lang THEN 1 ELSE 0 END) FROM gates
+      UNION ALL
+      SELECT 'ttr', sum(CASE WHEN NOT g_ttr THEN 1 ELSE 0 END) FROM gates
+      UNION ALL
+      SELECT 'repeat', sum(CASE WHEN NOT g_repeat THEN 1 ELSE 0 END)
+      FROM gates
+    ), tot AS (SELECT count(*) AS n FROM gates),
+    costed AS (
+      SELECT p.gate, c.cost, p.n_fail
+      FROM per_gate p
+      JOIN (SELECT * FROM (VALUES {_CASCADE_COSTS}) v(gate, cost)) c
+        ON c.gate = p.gate
+    ), ranked AS (
+      SELECT gate, cost, n_fail,
+             row_number() OVER (
+               ORDER BY n_fail * (120 / cost) DESC, gate) AS cascade_rank
+      FROM costed
+    ), piv AS (
+      SELECT max(CASE WHEN cascade_rank = 1 THEN n_fail END) AS f1,
+             max(CASE WHEN cascade_rank = 2 THEN n_fail END) AS f2,
+             max(CASE WHEN cascade_rank = 3 THEN n_fail END) AS f3
+      FROM ranked
+    ), reach AS (
+      SELECT r.gate, r.cost, r.n_fail, r.cascade_rank,
+             CAST(floor(CASE r.cascade_rank
+               WHEN 1 THEN 1000000.0
+               WHEN 2 THEN (CAST(t.n - p.f1 AS DOUBLE) / t.n) * 1000000
+               WHEN 3 THEN (CAST(t.n - p.f1 AS DOUBLE) / t.n)
+                         * (CAST(t.n - p.f2 AS DOUBLE) / t.n) * 1000000
+               ELSE (CAST(t.n - p.f1 AS DOUBLE) / t.n)
+                  * (CAST(t.n - p.f2 AS DOUBLE) / t.n)
+                  * (CAST(t.n - p.f3 AS DOUBLE) / t.n) * 1000000
+             END) AS BIGINT) AS reach_ppm
+      FROM ranked r CROSS JOIN piv p CROSS JOIN tot t
+    )
+    SELECT gate, CAST(cost AS INT) AS cost,
+           CAST(n_fail AS BIGINT) AS n_fail,
+           CAST(cascade_rank AS INT) AS cascade_rank,
+           reach_ppm,
+           CAST(cost * reach_ppm AS BIGINT) AS exp_cost_contrib_ppm,
+           CAST(sum(cost * reach_ppm) OVER () AS BIGINT)
+             AS exp_cost_total_ppm
+    FROM reach
+    """
+
+
+def _duck_ff_feats() -> str:
+    split_fn = "string_split(text, chr(32))"
+    return f"""feats AS (
+      SELECT doc_id,
+             len({split_fn}) AS n_tok,
+             len(list_distinct({split_fn})) AS n_typ,
+             len(list_filter({split_fn},
+               w -> w IN ('the','a','of','and','der','die','das','und',
+                          'el','los','las','y','le','les','des','et')))
+               AS h_mark,
+             (SELECT max(c) FROM (
+                SELECT count(*) AS c FROM (
+                  SELECT unnest({split_fn}) AS w2) GROUP BY w2) t)
+               AS top_tok
+      FROM documents
+    ),"""
+
+
+@register(
+    "k_gate_cascade_order",
+    oracle=_cascade_tail("WITH " + _duck_ff_feats(), "feats"),
+)
+def k_gate_cascade_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cost-aware ordering of the quality-gate cascade (the Viola-Jones
+    cascade principle applied to a FineWeb-style filter stack): given
+    each gate's empirical rejection count and its evaluation cost
+    (documented feature-cost units: length 1, language-marker 3,
+    lexical-diversity 5, repetition 8), greedily order by
+    rejections-per-cost -- exact integer sort key n_fail*(120/cost),
+    120 = lcm of the costs -- and report each stage's reach probability
+    (independence approximation over the measured marginal rates) and
+    expected per-doc cost contribution. The total is the number a
+    100 TB curation run minimizes: running the 8-unit repetition gate
+    first wastes 8 units on every doc the 1-unit length gate would have
+    killed. ``k_filter_funnel`` measures the gates; this key schedules
+    them. Reuses the funnel's feats projection verbatim (shared
+    ``_ff_feats_df``).
+
+    Scale shape: same single-pass gate features as the funnel, then all
+    scheduling arithmetic on the 4-row gate spine."""
+    _ff_feats_df(spark, sf_dir).createOrReplaceTempView("dss_cascade_feats")
+    return spark.sql(_cascade_tail("WITH", "dss_cascade_feats"))

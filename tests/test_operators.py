@@ -3695,3 +3695,42 @@ def test_lines_loop_instruction_batch(spark, sf_dir):
     for r in im:
         assert 0 <= r.n_instructionish <= r.n_docs
         assert 0 <= r.instruction_ppm <= 1000000
+
+
+def test_cascade_dupweight_ivfsweep_batch(spark, sf_dir):
+    """Cascade ordering is the greedy rejections-per-cost order and reach
+    is non-increasing; dup weights telescope source masses; IVF recall
+    is monotone in nprobe and candidates grow with probes."""
+    from data_service_spark.registry import QUERIES
+
+    ca = sorted(
+        QUERIES["k_gate_cascade_order"](spark, sf_dir).collect(),
+        key=lambda r: r.cascade_rank,
+    )
+    assert [r.cascade_rank for r in ca] == [1, 2, 3, 4]
+    keys = [r.n_fail * (120 // r.cost) for r in ca]
+    assert keys == sorted(keys, reverse=True) or len(set(keys)) < 4
+    reaches = [r.reach_ppm for r in ca]
+    assert reaches[0] == 1000000
+    assert all(a >= b for a, b in zip(reaches, reaches[1:]))
+    assert ca[0].exp_cost_total_ppm == sum(r.exp_cost_contrib_ppm for r in ca)
+
+    dw = QUERIES["k_dup_weighted_sampling"](spark, sf_dir).collect()
+    for r in dw:
+        assert 0 < r.eff_mass_ppm <= r.n_docs * 1000000
+        assert r.n_in_dup_families <= r.n_docs
+        # effective mass < raw mass exactly when dup families exist
+        assert (r.eff_mass_ppm < r.n_docs * 1000000) == (
+            r.n_in_dup_families > 0
+        )
+
+    iv = sorted(
+        QUERIES["k_ivf_probe_sweep"](spark, sf_dir).collect(),
+        key=lambda r: r.nprobe,
+    )
+    assert [r.nprobe for r in iv] == [1, 2, 3]
+    recalls = [r.recall_ppm for r in iv]
+    cands = [r.mean_candidates for r in iv]
+    assert all(a <= b for a, b in zip(recalls, recalls[1:]))
+    assert all(a <= b for a, b in zip(cands, cands[1:]))
+    assert all(0 <= r <= 1000000 for r in recalls)
