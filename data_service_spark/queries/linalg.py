@@ -632,3 +632,83 @@ def k_embed_mmd(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label_b").cast("long"),
         "n_a", "n_b", "mmd2_micro2",
     )
+
+
+@register(
+    "k_embed_isotropy",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(floor(x * 1000000) AS BIGINT)) AS q
+      FROM embeddings
+    ), dims AS (
+      SELECT i, sum(q[i]) AS s_i
+      FROM e CROSS JOIN generate_series(1, 64) t(i)
+      GROUP BY i
+    ), ssq AS (SELECT sum(s_i * s_i) AS norm2_sum FROM dims),
+    vn AS (
+      SELECT sum(list_sum(list_transform(q, x -> x * x))) AS sum_norm2,
+             count(*) AS n
+      FROM e
+    )
+    SELECT CAST(vn.n AS BIGINT) AS n_vecs, CAST(64 AS INT) AS dim,
+           CAST(floor((CAST(ssq.norm2_sum AS DOUBLE) - vn.sum_norm2)
+                      / (CAST(vn.n AS DOUBLE) * (vn.n - 1)) / 1000000)
+             AS BIGINT) AS mean_pairwise_cos_ppm,
+           CAST(floor(sqrt(CAST(ssq.norm2_sum AS DOUBLE)) / vn.n)
+             AS BIGINT) AS mean_vector_norm_micro
+    FROM ssq CROSS JOIN vn
+    """,
+)
+def k_embed_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding isotropy audit (Mu & Viswanath 2018 "All-but-the-top"):
+    the mean pairwise cosine across ALL vector pairs and the norm of the
+    mean vector — computed WITHOUT a pair join via the telescoping
+    identity Σ_{i≠j} vᵢ·vⱼ = ‖Σv‖² − Σ‖v‖², so the O(n²) statistic costs
+    one pass. A large mean cosine / mean-vector norm means the space has
+    a dominant common direction: cosine similarities are inflated
+    everywhere, and ANN/dedup thresholds tuned on it drift — the audit
+    to run BEFORE ``k_sim_*`` thresholds are trusted, and the signal
+    that the mean-centering step of ``k_embed_standardize`` is needed.
+
+    Components floor-quantize to exact 1e-6 integers, so the per-dim
+    sums and both norm aggregates are BIGINT (order-proof); only the
+    two final ratios are floating. Scale shape: one explode over the
+    64-dim spine (map-side partial sums) + one per-vector array fold —
+    no pair join, no shuffle beyond the 64-row reduce."""
+    e = _emb(spark, sf_dir).select(
+        "vec_id",
+        F.expr(
+            "transform(v, x -> CAST(floor(x * 1000000) AS BIGINT))"
+        ).alias("q"),
+    )
+    dims = (
+        e.select(
+            F.explode(F.sequence(F.lit(1), F.lit(64))).alias("i"), "q"
+        )
+        .select("i", F.expr("q[i - 1]").alias("qi"))
+        .groupBy("i")
+        .agg(F.sum("qi").alias("s_i"))
+    )
+    ssq = dims.agg(F.sum(F.col("s_i") * F.col("s_i")).alias("norm2_sum"))
+    vn = e.agg(
+        F.sum(
+            F.expr("aggregate(q, CAST(0 AS BIGINT), (a, x) -> a + x * x)")
+        ).alias("sum_norm2"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return ssq.crossJoin(vn).select(
+        F.col("n").cast("long").alias("n_vecs"),
+        F.lit(64).cast("int").alias("dim"),
+        F.floor(
+            (F.col("norm2_sum").cast("double") - F.col("sum_norm2"))
+            / (F.col("n").cast("double") * (F.col("n") - 1))
+            / 1000000
+        )
+        .cast("long")
+        .alias("mean_pairwise_cos_ppm"),
+        F.floor(F.sqrt(F.col("norm2_sum").cast("double")) / F.col("n"))
+        .cast("long")
+        .alias("mean_vector_norm_micro"),
+    )

