@@ -1732,37 +1732,37 @@ _FF_SPARK_TAIL = f"""
     WITH gates AS (
       {_FF_GATES}
       FROM dss_ff_feats
-    ), per_gate AS (
-      SELECT 'len' AS gate,
-             sum(CASE WHEN NOT g_len THEN 1 ELSE 0 END) AS n_fail,
-             sum(CASE WHEN NOT g_len AND g_lang AND g_ttr AND g_repeat
-                 THEN 1 ELSE 0 END) AS n_fail_unique FROM gates
-      UNION ALL
-      SELECT 'lang',
-             sum(CASE WHEN NOT g_lang THEN 1 ELSE 0 END),
-             sum(CASE WHEN NOT g_lang AND g_len AND g_ttr AND g_repeat
-                 THEN 1 ELSE 0 END) FROM gates
-      UNION ALL
-      SELECT 'ttr',
-             sum(CASE WHEN NOT g_ttr THEN 1 ELSE 0 END),
-             sum(CASE WHEN NOT g_ttr AND g_len AND g_lang AND g_repeat
-                 THEN 1 ELSE 0 END) FROM gates
-      UNION ALL
-      SELECT 'repeat',
-             sum(CASE WHEN NOT g_repeat THEN 1 ELSE 0 END),
-             sum(CASE WHEN NOT g_repeat AND g_len AND g_lang AND g_ttr
-                 THEN 1 ELSE 0 END) FROM gates
-    ), tot AS (
+    ), agg AS (
       SELECT count(*) AS n_docs,
              sum(CASE WHEN g_len AND g_lang AND g_ttr AND g_repeat
-                 THEN 1 ELSE 0 END) AS n_keep
+                 THEN 1 ELSE 0 END) AS n_keep,
+             sum(CASE WHEN NOT g_len THEN 1 ELSE 0 END) AS f_len,
+             sum(CASE WHEN NOT g_lang THEN 1 ELSE 0 END) AS f_lang,
+             sum(CASE WHEN NOT g_ttr THEN 1 ELSE 0 END) AS f_ttr,
+             sum(CASE WHEN NOT g_repeat THEN 1 ELSE 0 END) AS f_repeat,
+             sum(CASE WHEN NOT g_len AND g_lang AND g_ttr AND g_repeat
+                 THEN 1 ELSE 0 END) AS u_len,
+             sum(CASE WHEN NOT g_lang AND g_len AND g_ttr AND g_repeat
+                 THEN 1 ELSE 0 END) AS u_lang,
+             sum(CASE WHEN NOT g_ttr AND g_len AND g_lang AND g_repeat
+                 THEN 1 ELSE 0 END) AS u_ttr,
+             sum(CASE WHEN NOT g_repeat AND g_len AND g_lang AND g_ttr
+                 THEN 1 ELSE 0 END) AS u_repeat
       FROM gates
     )
-    SELECT p.gate, CAST(p.n_fail AS BIGINT) AS n_fail,
-           CAST(p.n_fail_unique AS BIGINT) AS n_fail_unique,
-           CAST(t.n_docs AS BIGINT) AS n_docs,
-           CAST(t.n_keep AS BIGINT) AS n_keep
-    FROM per_gate p CROSS JOIN tot t
+    SELECT gate, CAST(n_fail AS BIGINT) AS n_fail,
+           CAST(n_fail_unique AS BIGINT) AS n_fail_unique,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_keep AS BIGINT) AS n_keep
+    FROM (
+      SELECT stack(4, 'len', f_len, u_len,
+                      'lang', f_lang, u_lang,
+                      'ttr', f_ttr, u_ttr,
+                      'repeat', f_repeat, u_repeat)
+               AS (gate, n_fail, n_fail_unique),
+             n_docs, n_keep
+      FROM agg
+    )
     """
 
 
@@ -2234,29 +2234,52 @@ def k_instruction_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CASCADE_COSTS = "('len', 1), ('lang', 3), ('ttr', 5), ('repeat', 8)"
 
 
-def _cascade_tail(with_prefix: str, feats_src: str) -> str:
-    """Scheduling SQL from the gates CTE onward — shared verbatim by the
-    Spark side (feats as a temp view) and the DuckDB oracle (feats as a
-    CTE in ``with_prefix``)."""
+_CASCADE_STACK_SPARK = """SELECT gate, n_fail, n
+      FROM (SELECT stack(4, 'len', f_len, 'lang', f_lang,
+                            'ttr', f_ttr, 'repeat', f_repeat)
+                     AS (gate, n_fail), n FROM agg)"""
+
+# DuckDB unpivots the SAME one-row aggregate with UNION branches — each
+# branch reads the 1-row agg, not the corpus (and DuckDB materializes
+# multiply-referenced CTEs anyway; Spark would inline them per branch,
+# which is why its side uses stack()).
+_CASCADE_STACK_DUCK = """SELECT 'len' AS gate, f_len AS n_fail, n FROM agg
+      UNION ALL SELECT 'lang', f_lang, n FROM agg
+      UNION ALL SELECT 'ttr', f_ttr, n FROM agg
+      UNION ALL SELECT 'repeat', f_repeat, n FROM agg"""
+
+
+def _cascade_pergate(with_prefix: str, feats_src: str,
+                     per_gate_unroll: str) -> str:
+    """Gate rejection counts as a 4-row (gate, n_fail, n) table from ONE
+    corpus aggregate — Spark unpivots with stack(), DuckDB with UNION
+    branches over the 1-row agg."""
     return f"""
     {with_prefix} gates AS (
       {_FF_GATES}
       FROM {feats_src}
-    ), per_gate AS (
-      SELECT 'len' AS gate,
-             sum(CASE WHEN NOT g_len THEN 1 ELSE 0 END) AS n_fail
+    ), agg AS (
+      SELECT count(*) AS n,
+             sum(CASE WHEN NOT g_len THEN 1 ELSE 0 END) AS f_len,
+             sum(CASE WHEN NOT g_lang THEN 1 ELSE 0 END) AS f_lang,
+             sum(CASE WHEN NOT g_ttr THEN 1 ELSE 0 END) AS f_ttr,
+             sum(CASE WHEN NOT g_repeat THEN 1 ELSE 0 END) AS f_repeat
       FROM gates
-      UNION ALL
-      SELECT 'lang', sum(CASE WHEN NOT g_lang THEN 1 ELSE 0 END) FROM gates
-      UNION ALL
-      SELECT 'ttr', sum(CASE WHEN NOT g_ttr THEN 1 ELSE 0 END) FROM gates
-      UNION ALL
-      SELECT 'repeat', sum(CASE WHEN NOT g_repeat THEN 1 ELSE 0 END)
-      FROM gates
-    ), tot AS (SELECT count(*) AS n FROM gates),
+    )
+    {per_gate_unroll}
+    """
+
+
+def _cascade_sched(per_gate_src: str) -> str:
+    """Scheduling SQL over the 4-row per-gate table — shared verbatim by
+    the Spark side (per-gate table localCheckpointed, so the corpus is
+    scanned exactly once regardless of how many times the scheduler
+    references the spine) and the DuckDB oracle (per-gate as a CTE)."""
+    return f"""
+    WITH tot AS (SELECT max(n) AS n FROM {per_gate_src}),
     costed AS (
       SELECT p.gate, c.cost, p.n_fail
-      FROM per_gate p
+      FROM {per_gate_src} p
       JOIN (SELECT * FROM (VALUES {_CASCADE_COSTS}) v(gate, cost)) c
         ON c.gate = p.gate
     ), ranked AS (
@@ -2313,7 +2336,10 @@ def _duck_ff_feats() -> str:
 
 @register(
     "k_gate_cascade_order",
-    oracle=_cascade_tail("WITH " + _duck_ff_feats(), "feats"),
+    oracle=_cascade_pergate("WITH " + _duck_ff_feats(), "feats",
+                            ", per_gate AS (" + _CASCADE_STACK_DUCK + ")")
+    .rstrip()
+    + _cascade_sched("per_gate").replace("WITH tot", ", tot", 1),
 )
 def k_gate_cascade_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cost-aware ordering of the quality-gate cascade (the Viola-Jones
@@ -2334,4 +2360,8 @@ def k_gate_cascade_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: same single-pass gate features as the funnel, then all
     scheduling arithmetic on the 4-row gate spine."""
     _ff_feats_df(spark, sf_dir).createOrReplaceTempView("dss_cascade_feats")
-    return spark.sql(_cascade_tail("WITH", "dss_cascade_feats"))
+    per_gate = spark.sql(
+        _cascade_pergate("WITH", "dss_cascade_feats", _CASCADE_STACK_SPARK)
+    ).localCheckpoint()
+    per_gate.createOrReplaceTempView("dss_cascade_pergate")
+    return spark.sql(_cascade_sched("dss_cascade_pergate"))

@@ -537,3 +537,47 @@ def test_sim_pairs_grid_no_broadcast_no_collect(spark, sf_dir):
     assert "CollectLimit" not in plan
     # the broadcast regime's global corpus aggregate is absent
     assert "collect_list" not in plan
+
+
+def test_isotropy_has_no_pair_join(spark, sf_dir):
+    """k_embed_isotropy's docstring claims the O(n²) statistic without a
+    pair join — the plan must contain no join at all beyond the final
+    1-row cross of two aggregates (no BroadcastNestedLoopJoin over the
+    corpus, no SortMergeJoin)."""
+    plan = plan_of(QUERIES["k_embed_isotropy"](spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    # the only join is the 1-row x 1-row cross of the two aggregates
+    # (formatted plans list each node twice: tree line + detail line)
+    assert plan.count("NestedLoopJoin") <= 4
+
+
+def test_winnowing_is_map_only(spark, sf_dir):
+    """k_text_winnowing claims map-only selection: no Exchange beyond the
+    load_parallel repartition, no Generate/explode, no Python UDF."""
+    plan = plan_of(QUERIES["k_text_winnowing"](spark, sf_dir))
+    assert "Generate" not in plan  # no explode
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # exactly one exchange (tree + detail line): the single-row-group
+    # repartition from load_parallel
+    assert plan.count("Exchange") <= 2
+
+
+def test_loop_detect_no_shuffle(spark, sf_dir):
+    """k_loop_detect is a pure scan-side CASE projection — zero exchanges,
+    zero joins."""
+    plan = plan_of(QUERIES["k_loop_detect"](spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_cascade_single_feature_pass(spark, sf_dir):
+    """k_gate_cascade_order computes all four gate features in one scan of
+    documents (shared _ff_feats_df) — the documents parquet appears in
+    the plan at most twice (Spark may re-list for reuse, but a per-gate
+    rescan would show four scans)."""
+    plan = plan_of(QUERIES["k_gate_cascade_order"](spark, sf_dir))
+    # one scan in the tree + one in the detail section; the pre-fix shape
+    # (UNION ALL per gate over an inlined CTE) showed 9
+    assert plan.count("documents.parquet") <= 2
+    plan_f = plan_of(QUERIES["k_filter_funnel"](spark, sf_dir))
+    assert plan_f.count("documents.parquet") <= 2
