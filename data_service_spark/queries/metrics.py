@@ -3098,3 +3098,90 @@ def k_eval_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("k").cast("int"), "n_queries", "n_hits",
         "micro_recall_ppm", "macro_recall_ppm",
     )
+
+
+def _body_rank_rbp() -> str:
+    return """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+               FROM embeddings),
+    q AS (SELECT vec_id AS qid, v AS qv, label AS ql FROM e
+          WHERE vec_id < 20),
+    ranked AS (
+      SELECT q.qid,
+             CASE WHEN e.label = q.ql THEN 1 ELSE 0 END AS rel,
+             row_number() OVER (PARTITION BY q.qid
+               ORDER BY round(list_inner_product(e.v, q.qv), 6) DESC,
+                        e.vec_id) AS rn
+      FROM e CROSS JOIN q WHERE e.vec_id <> q.qid
+    ),
+    weighted AS (
+      SELECT qid,
+             sum(rel * CAST(floor(0.2 * power(0.8, rn - 1) * 1000000000)
+                            AS BIGINT)) AS rbp_q
+      FROM ranked WHERE rn <= 10 GROUP BY qid
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(floor(sum(rbp_q) / (count(*) * 1000.0)) AS BIGINT)
+             AS rbp_micro,
+           CAST(min(rbp_q) / 1000 AS BIGINT) AS rbp_min_micro,
+           CAST(max(rbp_q) / 1000 AS BIGINT) AS rbp_max_micro
+    FROM weighted
+    """
+
+
+@register("k_rank_rbp", oracle=_body_rank_rbp())
+def k_rank_rbp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased precision (Moffat & Zobel 2008) at persistence p=0.8
+    over the 20 label-relevance probes: RBP = (1−p)·Σ p^(i−1)·relᵢ —
+    the retrieval metric with an explicit USER MODEL (a reader who
+    continues to the next result with probability p), which makes it
+    top-weighted like MRR but mass-preserving like MAP and, unlike
+    NDCG, comparable across queries with different relevant-set sizes.
+    Truncation at rank 10 makes the reported value a LOWER bound with
+    residual p¹⁰ ≈ 0.107 — the uncertainty RBP is designed to expose.
+    Completes the rank-metric panel (MRR/MAP/NDCG/RBO).
+
+    Each geometric weight floor-quantizes to an exact 1e-9 integer
+    before the per-query BIGINT sum, so the mean/min/max are exact
+    integer micro-units. Scale shape: the 20-probe broadcast crossJoin
+    + per-query rank window, then a 20-row spine reduce."""
+    from pyspark.sql.window import Window as W
+
+    from data_service_spark.queries.llm import _emb, dot
+
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("label").alias("ql"),
+    )
+    w = W.partitionBy("qid").orderBy(
+        F.round(F.col("sim"), 6).desc(), F.col("vec_id")
+    )
+    ranked = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid", "vec_id",
+            F.when(F.col("label") == F.col("ql"), 1).otherwise(0).alias("rel"),
+            dot(F.col("v"), F.col("qv")).alias("sim"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+    )
+    weighted = ranked.groupBy("qid").agg(
+        F.sum(
+            F.col("rel")
+            * F.floor(
+                F.lit(0.2) * F.pow(F.lit(0.8), F.col("rn") - 1) * 1000000000
+            ).cast("long")
+        ).alias("rbp_q")
+    )
+    return weighted.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.floor(F.sum("rbp_q") / (F.count(F.lit(1)) * 1000.0))
+        .cast("long")
+        .alias("rbp_micro"),
+        (F.min("rbp_q") / 1000).cast("long").alias("rbp_min_micro"),
+        (F.max("rbp_q") / 1000).cast("long").alias("rbp_max_micro"),
+    )

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from data_service_spark.io import load
 from data_service_spark.registry import register
@@ -1438,3 +1439,54 @@ def i_idempotent_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         sink(replay, first_epoch)  # must no-op — already committed
     return sink.read(spark)
+
+
+def type_counts(events: DataFrame) -> DataFrame:
+    """Global per-type counters (shared with the streaming twin in
+    tests/test_streaming.py — the complete-output-mode running-aggregate
+    shape, no window column)."""
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 10000).cast("long")).alias(
+            "value_cents4"
+        ),
+    )
+
+
+@register(
+    "i_stream_topk",
+    oracle="""
+    WITH counts AS (
+      SELECT event_type, count(*) AS n,
+             CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT)
+               AS value_cents4
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n, value_cents4,
+           CAST(row_number() OVER (ORDER BY n DESC, event_type) AS INT)
+             AS rnk
+    FROM counts QUALIFY rnk <= 3
+    """,
+)
+def i_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming leaderboard: top-3 event types by running count — the
+    complete-output-mode dashboard query (a windowless global aggregate
+    is exactly what Structured Streaming maintains as running state; the
+    RANKING happens outside the stream because window functions are
+    unsupported on streaming DataFrames — the standard pattern is
+    complete-mode counts into a sink, rank at read time, which is what
+    the ``/stream/start`` service route + ``/sql`` over its memory sink
+    do). The batch twin here is the exact fixpoint of that stream after
+    the backlog drains; tests/test_streaming.py proves the equivalence
+    by draining the shared ``type_counts`` aggregation with
+    availableNow. Value mass is summed in exact 1e-4 cents.
+
+    Scale shape: one partial-aggregated groupBy on a 5-key spine; the
+    rank is a 5-row window."""
+    counts = type_counts(load(spark, sf_dir, "events"))
+    w = Window.orderBy(F.col("n").desc(), F.col("event_type"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 3)
+        .select("event_type", F.col("n").cast("long"), "value_cents4", "rnk")
+    )

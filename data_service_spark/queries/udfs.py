@@ -582,3 +582,65 @@ def j_pandas_udaf_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         F.round(pmean("o_totalprice").over(w), 4).alias("roll_avg"),
     )
+
+
+@register(
+    "j_udtf_table_arg",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT)
+             AS value_cents4,
+           CAST(min(event_id) AS BIGINT) AS first_event_id
+    FROM events GROUP BY event_type
+    """,
+)
+def j_udtf_table_arg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF with a TABLE argument and PARTITION BY (Spark 4.x
+    table-function calling convention, SPARK-44503): the function
+    receives each ``event_type`` partition as a row stream, folds state
+    across ``eval`` calls, and emits one summary row from
+    ``terminate()`` — the UDTF-side equivalent of
+    ``applyInPandas``-grouped processing, and the surface a SQL-first
+    user reaches for windowless custom aggregation
+    (``SELECT * FROM f(TABLE(t) PARTITION BY k)``). State is integer
+    (counts + 1e-4-cent value mass), so the summary hash-matches the
+    plain GROUP BY oracle exactly.
+
+    Scale shape: the TABLE argument hash-partitions on the PARTITION BY
+    key exactly like a groupBy — one shuffle, per-partition Python
+    state, Arrow row transport."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType=(
+        "event_type string, n long, value_cents4 long, first_event_id long"
+    ))
+    class TypeSummary:
+        def __init__(self) -> None:
+            self._key = None
+            self._n = 0
+            self._cents = 0
+            self._first = None
+
+        def eval(self, row) -> None:
+            self._key = row["event_type"]
+            self._n += 1
+            self._cents += int(round(row["value"] * 10000))
+            eid = row["event_id"]
+            if self._first is None or eid < self._first:
+                self._first = eid
+
+        def terminate(self):
+            if self._key is not None:
+                yield self._key, self._n, self._cents, self._first
+
+    spark.udtf.register("dss_type_summary", TypeSummary)
+    load(spark, sf_dir, "events").createOrReplaceTempView("dss_events_udtf")
+    return spark.sql(
+        """
+        SELECT * FROM dss_type_summary(
+          TABLE(SELECT event_type, event_id, value FROM dss_events_udtf)
+          PARTITION BY event_type
+        )
+        """
+    )

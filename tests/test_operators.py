@@ -3775,3 +3775,30 @@ def test_isotropy_recall_entropy_batch(spark, sf_dir):
     assert er.n_bigrams > 0 and er.n_distinct_bigrams > 0
     assert 0 <= er.h_cond_micro_nats
     assert abs(er.branching_ppl - math.exp(er.h_cond_micro_nats / 1e6)) < 1e-3
+
+
+def test_topk_udtf_rbp_batch(spark, sf_dir):
+    """i_stream_topk matches a direct recount; UDTF-with-TABLE summary
+    equals groupBy; RBP bounded by the geometric series mass."""
+    from data_service_spark.io import load
+    from data_service_spark.registry import QUERIES
+
+    tk = QUERIES["i_stream_topk"](spark, sf_dir).collect()
+    assert [r.rnk for r in sorted(tk, key=lambda r: r.rnk)] == [1, 2, 3]
+    counts = {
+        r.event_type: r.cnt
+        for r in load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(__import__("pyspark.sql.functions", fromlist=["F"]).count("*").alias("cnt"))
+        .collect()
+    }
+    top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    assert [(r.event_type, r.n) for r in sorted(tk, key=lambda r: r.rnk)] == top
+
+    ut = {r.event_type: r for r in QUERIES["j_udtf_table_arg"](spark, sf_dir).collect()}
+    assert {t: r.n for t, r in ut.items()} == counts
+
+    rbp = QUERIES["k_rank_rbp"](spark, sf_dir).collect()[0]
+    # (1-p) sum p^(i-1) over 10 ranks = 1 - p^10 ~ 0.8926 upper bound
+    assert 0 <= rbp.rbp_min_micro <= rbp.rbp_micro <= rbp.rbp_max_micro
+    assert rbp.rbp_max_micro <= 892626

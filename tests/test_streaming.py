@@ -714,3 +714,43 @@ def test_page_hinkley_stream_matches_batch(spark, sf_dir, tmp_path):
     assert len(got) == len(expected)
     for col in ["mean_quanta", "m_t", "ph_dec", "ph_inc"]:
         assert got[col].tolist() == expected[col].tolist(), col
+
+
+def test_stream_topk_counts_match_batch(spark, sf_dir, tmp_path):
+    """The i_stream_topk leaderboard is the fixpoint of a complete-mode
+    streaming run of the shared type_counts aggregation: drain the events
+    stream with availableNow, rank the final batch pandas-side, compare
+    to the registered batch key."""
+    import glob
+    import os
+
+    from data_service_spark.io import load
+    from data_service_spark.queries.streaming_batch import type_counts
+    from data_service_spark.registry import QUERIES
+    from data_service_spark.streaming import (
+        drain_available_now,
+        read_event_stream,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, f in enumerate(
+        sorted(glob.glob(os.path.join(sf_dir, "events.parquet")))
+    ):
+        os.symlink(f, src / f"part-{i}.parquet")
+    sdf = type_counts(read_event_stream(spark, str(src)))
+    batches = drain_available_now(sdf, output_mode="complete")
+    final = batches[-1].sort_values(
+        ["n", "event_type"], ascending=[False, True]
+    ).reset_index(drop=True)
+    final["rnk"] = range(1, len(final) + 1)
+    top3 = final[final.rnk <= 3]
+    got = {
+        (r.event_type, r.n, r.value_cents4, r.rnk)
+        for r in QUERIES["i_stream_topk"](spark, sf_dir).collect()
+    }
+    want = {
+        (r.event_type, int(r.n), int(r.value_cents4), int(r.rnk))
+        for r in top3.itertuples()
+    }
+    assert got == want
