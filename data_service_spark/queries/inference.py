@@ -1193,3 +1193,78 @@ def k_fwer_holm(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows; the step-down runs on an m-row spine."""
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_body_holm(_SPARK_HASH))
+
+
+def _body_qini(hash_to_long: str) -> str:
+    h = hash_to_long.format(h="'assign:' || CAST(user_id AS STRING)")
+    return f"""
+    WITH per_user AS (
+      SELECT user_id,
+             sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS views,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS converted
+      FROM events GROUP BY user_id
+    ), armed AS (
+      SELECT user_id, views, converted,
+             CAST({h} % 2 AS INT) AS arm
+      FROM per_user
+    ), ranked AS (
+      SELECT *, row_number() OVER (ORDER BY views DESC, user_id) AS rn,
+             count(*) OVER () AS n
+      FROM armed
+    ), deciles AS (
+      SELECT CAST(d.d AS INT) AS decile, r.arm, r.converted
+      FROM ranked r
+      JOIN (SELECT unnest(generate_series(1, 10)) AS d) d
+        ON r.rn * 10 <= r.n * d.d
+    ), agg AS (
+      SELECT decile,
+             sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n_t,
+             sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n_c,
+             sum(CASE WHEN arm = 1 THEN converted ELSE 0 END) AS conv_t,
+             sum(CASE WHEN arm = 0 THEN converted ELSE 0 END) AS conv_c
+      FROM deciles GROUP BY decile
+    )
+    SELECT decile, CAST(n_t AS BIGINT) AS n_t, CAST(n_c AS BIGINT) AS n_c,
+           CAST(conv_t AS BIGINT) AS conv_t, CAST(conv_c AS BIGINT) AS conv_c,
+           CAST(floor((CAST(conv_t AS DOUBLE)
+                       - CAST(conv_c AS DOUBLE) * n_t / n_c) * 1000)
+             AS BIGINT) AS qini_milli
+    FROM agg
+    """
+
+
+@register(
+    "k_uplift_qini",
+    oracle=_body_qini(_DUCK_HASH).replace(
+        "(SELECT unnest(generate_series(1, 10)) AS d)",
+        "(SELECT d FROM range(1, 11) t(d))",
+    ),
+)
+def k_uplift_qini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qini curve for uplift targeting (Radcliffe 2007): rank users by a
+    deterministic targeting score (pre-period view engagement), then at
+    each decile of the ranking report cumulative incremental conversions
+    Qini(k) = conv_T(k) − conv_C(k)·N_T(k)/N_C(k) under the md5-parity
+    arm assignment — the experimentation-side answer to "whom should the
+    treatment target": a score with real uplift signal bends the curve
+    above the diagonal; a useless one tracks it. The area between IS the
+    Qini coefficient; the per-decile table is what a targeting policy
+    review reads. Completes the causal panel (``k_ab_ztest``/CUPED
+    estimate the average effect, ``k_did_estimator``/
+    ``k_propensity_strata`` de-bias it, this HETEROGENEITY view decides
+    where it concentrates).
+
+    Counts are exact integers; the control-scaling term is one final
+    double (same expression both engines), emitted floor-milli. The
+    cumulative deciles materialize as a 10-way spine join (each user row
+    feeds every decile at or above its rank decile — a 10× fan-out of
+    the user spine, not the event table). Scale shape: one (user)
+    reduce, one rank window over the user spine, spine-sized joins."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        _body_qini(_SPARK_HASH).replace(
+            "(SELECT unnest(generate_series(1, 10)) AS d)",
+            "(SELECT explode(sequence(1, 10)) AS d)",
+        )
+    )

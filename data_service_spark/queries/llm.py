@@ -4103,3 +4103,223 @@ def k_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("recall_ppm"),
         )
     )
+
+
+def _lsh_bucket_cte_duck() -> str:
+    """Sign-RP bucket assignment (the k_sim_ann_sql prefix, DuckDB form)."""
+    return """
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    dims AS (SELECT unnest(generate_series(0, 63)) AS d),
+    ps AS (SELECT unnest(generate_series(0, 5)) AS p),
+    planes AS (
+      SELECT ps.p, dims.d,
+             CASE WHEN substr(md5(CAST(ps.p AS VARCHAR) || ':'
+                                  || CAST(dims.d AS VARCHAR)), 1, 1)
+                       IN ('0','2','4','6','8','a','c','e')
+                  THEN 1.0 ELSE -1.0 END AS w
+      FROM ps CROSS JOIN dims
+    ),
+    ex AS (SELECT vec_id, dims.d AS d, v[dims.d + 1] AS x
+           FROM e CROSS JOIN dims),
+    proj AS (
+      SELECT vec_id, p, sum(x * w) AS s
+      FROM ex JOIN planes USING (d) GROUP BY vec_id, p
+    ),
+    buck AS (
+      SELECT vec_id,
+             string_agg(CASE WHEN round(s, 9) >= 0 THEN '1' ELSE '0' END,
+                        '' ORDER BY p) AS bucket
+      FROM proj GROUP BY vec_id
+    )"""
+
+
+@register(
+    "k_lsh_multiprobe",
+    oracle=f"""
+    WITH {_lsh_bucket_cte_duck()},
+    probes AS (SELECT vec_id AS pid, bucket FROM buck WHERE vec_id < 10),
+    flips AS (
+      SELECT p.pid, t.i AS flip,
+             CASE WHEN t.i = 0 THEN p.bucket
+                  ELSE substr(p.bucket, 1, t.i - 1)
+                       || (CASE substr(p.bucket, t.i, 1)
+                           WHEN '1' THEN '0' ELSE '1' END)
+                       || substr(p.bucket, t.i + 1, 6 - t.i)
+             END AS probe_bucket
+      FROM probes p CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS i) t
+    ),
+    strategies AS (SELECT unnest([1, 7]) AS n_probe),
+    cand AS (
+      SELECT DISTINCT s.n_probe, f.pid, b.vec_id
+      FROM strategies s
+      JOIN flips f ON (s.n_probe = 7 OR f.flip = 0)
+      JOIN buck b ON b.bucket = f.probe_bucket
+      WHERE b.vec_id <> f.pid
+    ),
+    truth AS (
+      SELECT pid, vec_id FROM (
+        SELECT p.pid, e2.vec_id,
+               row_number() OVER (PARTITION BY p.pid
+                 ORDER BY round(list_inner_product(e2.v, pe.v), 6) DESC,
+                          e2.vec_id) AS rn
+        FROM probes p
+        JOIN e pe ON pe.vec_id = p.pid
+        CROSS JOIN e e2 WHERE e2.vec_id <> p.pid
+      ) t WHERE rn <= 3
+    ),
+    scored AS (
+      SELECT c.n_probe, c.pid, c.vec_id,
+             row_number() OVER (PARTITION BY c.n_probe, c.pid
+               ORDER BY round(list_inner_product(ce.v, pe.v), 6) DESC,
+                        c.vec_id) AS rn
+      FROM cand c
+      JOIN e pe ON pe.vec_id = c.pid
+      JOIN e ce ON ce.vec_id = c.vec_id
+    ),
+    hits AS (
+      SELECT s.n_probe, count(*) AS n_hit
+      FROM scored s JOIN truth t ON t.pid = s.pid AND t.vec_id = s.vec_id
+      WHERE s.rn <= 3 GROUP BY s.n_probe
+    ),
+    cstats AS (
+      SELECT n_probe, count(*) AS n_cand, count(DISTINCT pid) AS n_p
+      FROM cand GROUP BY n_probe
+    )
+    SELECT CAST(c.n_probe AS INT) AS n_probe,
+           CAST(c.n_p AS BIGINT) AS n_probes_with_cand,
+           CAST(floor(c.n_cand / c.n_p) AS BIGINT) AS mean_candidates,
+           CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hits,
+           CAST(floor(coalesce(h.n_hit, 0) * 1000000 / 30) AS BIGINT)
+             AS recall_ppm
+    FROM cstats c LEFT JOIN hits h ON h.n_probe = c.n_probe
+    """,
+)
+def k_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH (Lv et al. 2007): beyond a vector's own sign-RP
+    bucket, also probe the 6 buckets at Hamming distance 1 (one flipped
+    hyperplane bit) — the standard trick that buys LSH recall WITHOUT
+    more hash tables (memory-free, query-time-only). Reports the two
+    operating points n_probe ∈ {1, 7}: candidate volume (the cost axis)
+    and recall@3 against the exact brute-force top-3 — the
+    query-time/recall frontier that pairs with ``k_ivf_probe_sweep``
+    (IVF's probe sweep) and ``k_sim_ann_sql`` (the single-probe base).
+
+    Buckets reuse the deterministic md5-derived hyperplanes (projections
+    rounded 9dp before the sign test), rankings pin on 6dp+id — so both
+    engines form identical candidate sets and the recall is exact
+    integer arithmetic over a fixed 30-pair truth. Scale shape: bucket
+    assignment is the linear sign-RP pipeline; flipped probes are a
+    7-row fan-out of the 10-probe spine; candidates form by bucket
+    equi-join (cost tracks bucket occupancy ×7, never corpus²)."""
+    P = 6
+    emb = load_parallel(spark, sf_dir, "embeddings", "vec_id").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    dims = spark.range(64).select(F.col("id").cast("int").alias("d"))
+    planes = (
+        spark.range(P)
+        .select(F.col("id").cast("int").alias("p"))
+        .crossJoin(dims)
+        .select(
+            "p", "d",
+            F.expr(
+                "CASE WHEN substr(md5(concat(cast(p AS string), ':',"
+                " cast(d AS string))), 1, 1)"
+                " IN ('0','2','4','6','8','a','c','e')"
+                " THEN 1.0D ELSE -1.0D END"
+            ).alias("w"),
+        )
+    )
+    ex = emb.select("vec_id", F.posexplode("v").alias("d", "x"))
+    proj = (
+        ex.join(F.broadcast(planes), "d")
+        .groupBy("vec_id", "p")
+        .agg(F.sum(F.col("x") * F.col("w")).alias("s"))
+    )
+    buck = proj.groupBy("vec_id").agg(
+        F.expr(
+            "concat_ws('', transform(array_sort(collect_list(struct(p,"
+            " CASE WHEN round(s, 9) >= 0 THEN '1' ELSE '0' END AS b))),"
+            " t -> t.b))"
+        ).alias("bucket")
+    ).localCheckpoint()
+    probes = buck.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("pid"), "bucket"
+    )
+    flips = probes.crossJoin(
+        F.broadcast(
+            spark.range(0, 7).select(F.col("id").cast("int").alias("flip"))
+        )
+    ).select(
+        "pid", "flip",
+        F.expr(
+            "CASE WHEN flip = 0 THEN bucket"
+            " ELSE concat(substr(bucket, 1, flip - 1),"
+            "      CASE substr(bucket, flip, 1) WHEN '1' THEN '0'"
+            "           ELSE '1' END,"
+            "      substr(bucket, flip + 1, 6 - flip)) END"
+        ).alias("probe_bucket"),
+    )
+    strategies = spark.createDataFrame([(1,), (7,)], "n_probe int")
+    cand = (
+        flips.crossJoin(F.broadcast(strategies))
+        .filter((F.col("n_probe") == 7) | (F.col("flip") == 0))
+        .join(
+            buck.select("vec_id", F.col("bucket").alias("probe_bucket")),
+            "probe_bucket",
+        )
+        .filter(F.col("vec_id") != F.col("pid"))
+        .select("n_probe", "pid", "vec_id")
+        .distinct()
+    )
+    pv = _emb(spark, sf_dir).select(
+        F.col("vec_id").alias("pid"), F.col("v").alias("pv")
+    ).filter(F.col("pid") < 10)
+    ev = _emb(spark, sf_dir).select("vec_id", "v")
+    t_w = Window.partitionBy("pid").orderBy(
+        F.round(F.col("sim"), 6).desc(), F.col("vec_id")
+    )
+    truth = (
+        ev.crossJoin(F.broadcast(pv))
+        .filter(F.col("vec_id") != F.col("pid"))
+        .select("pid", "vec_id", dot(F.col("v"), F.col("pv")).alias("sim"))
+        .withColumn("rn", F.row_number().over(t_w))
+        .filter(F.col("rn") <= 3)
+        .select("pid", "vec_id")
+    )
+    s_w = Window.partitionBy("n_probe", "pid").orderBy(
+        F.round(F.col("sim"), 6).desc(), F.col("vec_id")
+    )
+    scored = (
+        cand.join(F.broadcast(pv), "pid")
+        .join(ev, "vec_id")
+        .select(
+            "n_probe", "pid", "vec_id",
+            dot(F.col("v"), F.col("pv")).alias("sim"),
+        )
+        .withColumn("rn", F.row_number().over(s_w))
+    )
+    hits = (
+        scored.filter(F.col("rn") <= 3)
+        .join(truth, ["pid", "vec_id"])
+        .groupBy("n_probe")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    cstats = cand.groupBy("n_probe").agg(
+        F.count(F.lit(1)).alias("n_cand"),
+        F.countDistinct("pid").alias("n_p"),
+    )
+    return (
+        cstats.join(hits, "n_probe", "left")
+        .select(
+            F.col("n_probe").cast("int"),
+            F.col("n_p").cast("long").alias("n_probes_with_cand"),
+            F.floor(F.col("n_cand") / F.col("n_p")).cast("long").alias(
+                "mean_candidates"
+            ),
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_hits"),
+            F.floor(
+                F.coalesce(F.col("n_hit"), F.lit(0)) * 1000000 / 30
+            ).cast("long").alias("recall_ppm"),
+        )
+    )

@@ -3802,3 +3802,31 @@ def test_topk_udtf_rbp_batch(spark, sf_dir):
     # (1-p) sum p^(i-1) over 10 ranks = 1 - p^10 ~ 0.8926 upper bound
     assert 0 <= rbp.rbp_min_micro <= rbp.rbp_micro <= rbp.rbp_max_micro
     assert rbp.rbp_max_micro <= 892626
+
+
+def test_multiprobe_qini_batch(spark, sf_dir):
+    """Multiprobe dominates single-probe in both recall and candidates;
+    Qini deciles telescope to the full population."""
+    from data_service_spark.io import load
+    from data_service_spark.registry import QUERIES
+
+    mp = {r.n_probe: r for r in QUERIES["k_lsh_multiprobe"](spark, sf_dir).collect()}
+    assert set(mp) == {1, 7}
+    assert mp[7].mean_candidates >= mp[1].mean_candidates
+    assert mp[7].recall_ppm >= mp[1].recall_ppm
+    assert 0 <= mp[7].recall_ppm <= 1000000
+
+    qn = sorted(QUERIES["k_uplift_qini"](spark, sf_dir).collect(),
+                key=lambda r: r.decile)
+    assert [r.decile for r in qn] == list(range(1, 11))
+    # cumulative: counts non-decreasing, final decile covers all users
+    for a, b in zip(qn, qn[1:]):
+        assert a.n_t <= b.n_t and a.n_c <= b.n_c
+        assert a.conv_t <= b.conv_t and a.conv_c <= b.conv_c
+    n_users = load(spark, sf_dir, "events").select("user_id").distinct().count()
+    assert qn[-1].n_t + qn[-1].n_c == n_users
+    # qini recomputes from the counts
+    for r in qn:
+        import math
+        expect = math.floor((r.conv_t - r.conv_c * r.n_t / r.n_c) * 1000)
+        assert r.qini_milli == expect
