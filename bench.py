@@ -239,6 +239,10 @@ def main() -> None:
         "k_hard_negatives",
         "q_tpch_q01",
         "q_tpch_q05",
+        # round-5 flagships
+        "k_text_winnowing",
+        "k_dedup_lines",
+        "k_ivf_probe_sweep",
     ]
     line = dict(full)
     line.pop("variance_retimed", None)

@@ -4323,3 +4323,171 @@ def k_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("recall_ppm"),
         )
     )
+
+
+@register(
+    "k_dedup_bands_sweep",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM documents
+      WHERE len(string_split(text, ' ')) >= 5
+    ), sh0 AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, len(words) - 4),
+                           i -> array_to_string(words[i:i+4], ' ')))
+               AS shingles
+      FROM w
+    ), ex AS (SELECT doc_id, unnest(shingles) AS sh FROM sh0),
+    hx AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(sh), 1, 15))::BIGINT AS ha,
+             ('0x' || substr(md5(sh), 17, 14))::BIGINT AS hb
+      FROM ex
+    ),
+    mh AS (
+      SELECT hx.doc_id, hs.h AS h, min(ha + hs.h * hb) AS mh
+      FROM hx CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS h) hs
+      GROUP BY hx.doc_id, hs.h
+    ),
+    cfgs AS (SELECT unnest([2, 3, 6]) AS rows_per_band),
+    bands AS (
+      SELECT c.rows_per_band, m.doc_id,
+             m.h // c.rows_per_band AS band_id,
+             string_agg(CAST(m.mh AS VARCHAR), ',' ORDER BY m.h) AS bkey
+      FROM mh m CROSS JOIN cfgs c
+      GROUP BY c.rows_per_band, m.doc_id, m.h // c.rows_per_band
+    ),
+    cand AS (
+      SELECT DISTINCT a.rows_per_band,
+             a.doc_id AS doc_id_1, b.doc_id AS doc_id_2
+      FROM bands a JOIN bands b
+        ON a.rows_per_band = b.rows_per_band
+       AND a.band_id = b.band_id AND a.bkey = b.bkey
+       AND a.doc_id < b.doc_id
+    ),
+    truth AS (
+      SELECT doc_id_1, doc_id_2 FROM ({{NEAR}})
+    ),
+    stats AS (
+      SELECT c.rows_per_band, count(*) AS n_cand,
+             sum(CASE WHEN t.doc_id_1 IS NOT NULL THEN 1 ELSE 0 END)
+               AS n_found
+      FROM cand c
+      LEFT JOIN truth t
+        ON t.doc_id_1 = c.doc_id_1 AND t.doc_id_2 = c.doc_id_2
+      GROUP BY c.rows_per_band
+    ), nt AS (SELECT count(*) AS n_truth FROM truth)
+    SELECT CAST(12 / s.rows_per_band AS INT) AS n_bands,
+           CAST(s.rows_per_band AS INT) AS rows_per_band,
+           CAST(s.n_cand AS BIGINT) AS n_candidates,
+           CAST(nt.n_truth AS BIGINT) AS n_true_pairs,
+           CAST(s.n_found AS BIGINT) AS n_found,
+           CAST(floor(s.n_found * 1000000 / nt.n_truth) AS BIGINT)
+             AS recall_ppm,
+           CAST(floor(s.n_found * 1000000 / s.n_cand) AS BIGINT)
+             AS precision_ppm
+    FROM stats s CROSS JOIN nt
+    """.replace("{NEAR}", _ORACLES["k_dedup_near"]),
+)
+def k_dedup_bands_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash banding-parameter sweep: the SAME 12-hash signatures banded
+    three ways — 6 bands × 2 rows (high recall, many candidates), 4 × 3
+    (the production setting ``k_dedup_minhash_sql`` ships), 2 × 6 (high
+    precision, recall risk) — each scored for candidate volume, pair
+    recall and candidate precision against the exact Jaccard ≥ 0.6 truth
+    (``k_dedup_near``). This is the S-curve trade made OPERATIONAL: the
+    theory key (``k_eval_lsh_calibration``) plots 1−(1−s^r)^b; this key
+    measures where each (b, r) actually lands on THIS corpus — the table
+    a dedup owner reads before re-banding a 100 TB index. Completes the
+    operating-curve trio (IVF probes, LSH multiprobe, MinHash bands).
+
+    Signatures are the deterministic Carter–Wegman md5 family (shared
+    with the production key), so both engines band identically and all
+    metrics are exact integer counts in floor-ppm. Scale shape: ONE
+    signature build (the |docs|×12 reduce), a 3-config fan-out of the
+    signature spine, candidate equi-joins per config whose cost tracks
+    bucket occupancy; the exact-truth join is the evaluation's cost, not
+    the index's."""
+    H = 12
+    d = load_parallel(spark, sf_dir, "documents", "doc_id")
+    sh = (
+        d.withColumn("words", F.split("text", " "))
+        .filter(F.size("words") >= 5)
+        .withColumn("shingles", F.expr(_SHINGLES))
+        .select("doc_id", "shingles")
+        .localCheckpoint()
+    )
+    ex = sh.select("doc_id", F.explode("shingles").alias("sh"))
+    hx = ex.select(
+        "doc_id",
+        F.expr(
+            "cast(conv(substr(md5(sh), 1, 15), 16, 10) AS bigint)"
+        ).alias("ha"),
+        F.expr(
+            "cast(conv(substr(md5(sh), 17, 14), 16, 10) AS bigint)"
+        ).alias("hb"),
+    )
+    longh = hx.select(
+        "doc_id", "ha", "hb",
+        F.explode(F.sequence(F.lit(0), F.lit(H - 1))).alias("h"),
+    )
+    mh = (
+        longh.groupBy("doc_id", "h")
+        .agg(F.min(F.col("ha") + F.col("h") * F.col("hb")).alias("mh"))
+        .localCheckpoint()
+    )
+    cfgs = spark.createDataFrame([(2,), (3,), (6,)], "rows_per_band int")
+    bands = (
+        mh.crossJoin(F.broadcast(cfgs))
+        .groupBy(
+            "rows_per_band",
+            "doc_id",
+            F.expr("h div rows_per_band").alias("band_id"),
+        )
+        .agg(
+            F.expr(
+                "array_join(transform(array_sort(collect_list(struct(h, mh))),"
+                " s -> cast(s.mh AS string)), ',')"
+            ).alias("bkey")
+        )
+    )
+    a = bands.select(
+        "rows_per_band", "band_id", "bkey", F.col("doc_id").alias("doc_id_1")
+    )
+    b = bands.select(
+        "rows_per_band", "band_id", "bkey", F.col("doc_id").alias("doc_id_2")
+    )
+    cand = (
+        a.join(b, ["rows_per_band", "band_id", "bkey"])
+        .filter(F.col("doc_id_1") < F.col("doc_id_2"))
+        .select("rows_per_band", "doc_id_1", "doc_id_2")
+        .distinct()
+    )
+    truth = (
+        k_dedup_near(spark, sf_dir)
+        .select("doc_id_1", "doc_id_2")
+        .withColumn("is_true", F.lit(1))
+        .localCheckpoint()
+    )
+    stats = (
+        cand.join(truth, ["doc_id_1", "doc_id_2"], "left")
+        .groupBy("rows_per_band")
+        .agg(
+            F.count(F.lit(1)).alias("n_cand"),
+            F.sum(F.coalesce(F.col("is_true"), F.lit(0))).alias("n_found"),
+        )
+    )
+    nt = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    return stats.crossJoin(F.broadcast(nt)).select(
+        (F.lit(12) / F.col("rows_per_band")).cast("int").alias("n_bands"),
+        F.col("rows_per_band").cast("int"),
+        F.col("n_cand").cast("long").alias("n_candidates"),
+        F.col("n_truth").cast("long").alias("n_true_pairs"),
+        F.col("n_found").cast("long").alias("n_found"),
+        F.floor(F.col("n_found") * 1000000 / F.col("n_truth"))
+        .cast("long")
+        .alias("recall_ppm"),
+        F.floor(F.col("n_found") * 1000000 / F.col("n_cand"))
+        .cast("long")
+        .alias("precision_ppm"),
+    )

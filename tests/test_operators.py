@@ -3830,3 +3830,25 @@ def test_multiprobe_qini_batch(spark, sf_dir):
         import math
         expect = math.floor((r.conv_t - r.conv_c * r.n_t / r.n_c) * 1000)
         assert r.qini_milli == expect
+
+
+def test_bands_sweep_monotone(spark, sf_dir):
+    """More rows per band (fewer bands) can only shrink the candidate set
+    (a shared longer band implies the shared shorter prefix bands), so
+    candidates and recall are non-increasing in rows_per_band while
+    precision is non-decreasing."""
+    from data_service_spark.registry import QUERIES
+
+    rows = sorted(
+        QUERIES["k_dedup_bands_sweep"](spark, sf_dir).collect(),
+        key=lambda r: r.rows_per_band,
+    )
+    assert [r.rows_per_band for r in rows] == [2, 3, 6]
+    assert [r.n_bands for r in rows] == [6, 4, 2]
+    cands = [r.n_candidates for r in rows]
+    recalls = [r.recall_ppm for r in rows]
+    precs = [r.precision_ppm for r in rows]
+    assert all(a >= b for a, b in zip(cands, cands[1:]))
+    assert all(a >= b for a, b in zip(recalls, recalls[1:]))
+    assert all(a <= b for a, b in zip(precs, precs[1:]))
+    assert all(r.n_true_pairs == rows[0].n_true_pairs for r in rows)

@@ -169,7 +169,7 @@ k_dedup_lines k_loop_detect k_instruction_mine
 k_gate_cascade_order k_dup_weighted_sampling k_ivf_probe_sweep
 k_embed_isotropy k_eval_recall_curve k_ngram_entropy_rate
 i_stream_topk j_udtf_table_arg k_rank_rbp
-k_lsh_multiprobe k_uplift_qini
+k_lsh_multiprobe k_uplift_qini k_dedup_bands_sweep
 """.split()
 
 
