@@ -947,3 +947,61 @@ def k_eb_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     source-keyed reduce, then all arithmetic on the source spine."""
     load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_body_eb_shrinkage())
+
+
+def _body_woe() -> str:
+    return """
+    WITH base AS (
+      SELECT doc_id, n_chars,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+      FROM documents
+    ), ranked AS (
+      SELECT *, row_number() OVER (ORDER BY n_chars, doc_id) AS rn,
+             count(*) OVER () AS n
+      FROM base
+    ), binned AS (
+      SELECT CAST(floor((rn - 1) * 10 / n) AS INT) + 1 AS bin, pos
+      FROM ranked
+    ), tot AS (
+      SELECT sum(pos) AS n_pos_all,
+             count(*) - sum(pos) AS n_neg_all
+      FROM binned
+    ), agg AS (
+      SELECT bin, count(*) AS n_bin, sum(pos) AS n_pos,
+             count(*) - sum(pos) AS n_neg
+      FROM binned GROUP BY bin
+    )
+    SELECT a.bin, CAST(a.n_bin AS BIGINT) AS n_bin,
+           CAST(a.n_pos AS BIGINT) AS n_pos,
+           CAST(floor(a.n_pos * 1000000 / a.n_bin) AS BIGINT)
+             AS pos_rate_ppm,
+           CAST(floor(ln((CAST(a.n_pos AS DOUBLE) * t.n_neg_all)
+                         / (CAST(a.n_neg AS DOUBLE) * t.n_pos_all))
+                      * 1000000) AS BIGINT) AS woe_micro,
+           CAST(floor((CAST(a.n_pos AS DOUBLE) / t.n_pos_all
+                       - CAST(a.n_neg AS DOUBLE) / t.n_neg_all)
+                      * ln((CAST(a.n_pos AS DOUBLE) * t.n_neg_all)
+                           / (CAST(a.n_neg AS DOUBLE) * t.n_pos_all))
+                      * 1000000) AS BIGINT) AS iv_contrib_micro
+    FROM agg a CROSS JOIN tot t
+    WHERE a.n_pos > 0 AND a.n_neg > 0
+    """
+
+
+@register("k_feature_woe", oracle=_body_woe())
+def k_feature_woe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence binning of document length against the en/non-en
+    target: rank-exact deciles (floor((rn−1)·10/n), no interpolation),
+    per-bin WoE = ln(pos-share/neg-share) and its Information-Value
+    contribution — the credit-scoring-standard monotone-feature audit
+    that says whether length carries target signal at all (Σ IV < 0.02:
+    useless; > 0.3: strong) and HOW it bends, before anyone fits the
+    logistic gate (``k_quality_logreg``) on it. Bins with a zero class
+    are excluded (WoE undefined there), stated in the contract.
+
+    Counts and shares are exact integers/rationals; the two ln terms
+    are identical expression trees both engines floor-quantize at 1e-6.
+    Scale shape: one rank window over the doc spine, a 10-bin reduce,
+    spine arithmetic."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_body_woe())

@@ -712,3 +712,152 @@ def k_embed_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("mean_vector_norm_micro"),
     )
+
+
+@register(
+    "k_outlier_lof",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    pairs AS (
+      SELECT a.vec_id AS p, b.vec_id AS o,
+             CAST(floor((1.0 - list_inner_product(a.v, b.v))
+                        * 1000000) AS BIGINT) AS dq
+      FROM e a JOIN e b ON a.vec_id <> b.vec_id
+    ),
+    knn AS (
+      SELECT p, o, dq,
+             row_number() OVER (PARTITION BY p ORDER BY dq, o) AS rn
+      FROM pairs
+    ),
+    kdist AS (SELECT p AS node, max(dq) AS kd FROM knn
+              WHERE rn <= 5 GROUP BY p),
+    reach AS (
+      SELECT k.p, k.o, greatest(kd_o.kd, k.dq) AS rdist
+      FROM knn k JOIN kdist kd_o ON kd_o.node = k.o
+      WHERE k.rn <= 5
+    ),
+    sreach AS (SELECT p, sum(rdist) AS sr FROM reach GROUP BY p),
+    lof AS (
+      SELECT r.p,
+             sum(CAST(sp.sr AS DOUBLE) / so.sr) / 5 AS lof_raw
+      FROM reach r
+      JOIN sreach sp ON sp.p = r.p
+      JOIN sreach so ON so.p = r.o
+      GROUP BY r.p
+    ),
+    ranked AS (
+      SELECT p AS vec_id,
+             CAST(floor(lof_raw * 1000000) AS BIGINT) AS lof_ppm,
+             row_number() OVER (ORDER BY round(lof_raw, 6) DESC, p) AS rnk
+      FROM lof
+    )
+    SELECT CAST(vec_id AS BIGINT) AS vec_id, lof_ppm,
+           CAST(rnk AS INT) AS rnk
+    FROM ranked WHERE rnk <= 20
+    """,
+)
+def k_outlier_lof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local Outlier Factor (Breunig et al. 2000) at k=5 over cosine
+    distance — the DENSITY-RELATIVE outlier score that catches points
+    isolated from their local neighborhood even when global statistics
+    look normal (``k_embed_outliers``' centroid distance misses outliers
+    near a dense cluster's edge; LOF ≈ 1 means "as dense as my
+    neighbors", ≫ 1 means isolated). Top-20 by score — the triage queue
+    an embedding-QA pass reviews.
+
+    Determinism: raw GEMM distances floor-quantize to 1e-6 integers
+    engine-side FIRST, so
+    k-distances, reachability distances and their sums are exact BIGINT;
+    only the final lrd ratios are doubles over identical expression
+    trees, output floor-ppm with 6dp+id rank tiebreaks. Scale shape:
+    the all-pairs kNN here is the evaluation anchor (n=2000); at corpus
+    scale the kNN comes from the registered ANN family (IVF cells / LSH
+    buckets) and the LOF algebra downstream is unchanged — it only ever
+    touches the |n|×k reach table."""
+    import numpy as np
+    import pandas as pd
+
+    emb = _emb(spark, sf_dir).select("vec_id", "v")
+    # Blocked-GEMM kNN extraction (the sim_pairs physical strategy): a
+    # per-pair interpreted dot() over n^2 rows ran 36.7 s at sf0.1; one
+    # BLAS GEMM per row-block with the corpus broadcast runs ~4 s. Each
+    # block emits a top-32 SUPERSET per point by raw distance; the exact
+    # (dq, o) ranking happens engine-side on floor-quantized integers, so
+    # the superset only needs to contain the true quantized top-5 (32 >>
+    # 5 absorbs any 1e-6-grid tie reordering).
+    vec = F.struct("vec_id", "v")
+    blocks = (
+        emb.withColumn("blk", F.pmod("vec_id", F.lit(32)))
+        .groupBy("blk")
+        .agg(F.collect_list(vec).alias("ablock"))
+    )
+    corpus = emb.agg(F.collect_list(vec).alias("corpus"))
+
+    def knn_gemm(batches):
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                aids = np.fromiter(
+                    (r["vec_id"] for r in row["ablock"]), np.int64
+                )
+                amat = np.vstack([np.asarray(r["v"]) for r in row["ablock"]])
+                cids = np.fromiter(
+                    (r["vec_id"] for r in row["corpus"]), np.int64
+                )
+                cmat = np.vstack([np.asarray(r["v"]) for r in row["corpus"]])
+                d = 1.0 - amat @ cmat.T
+                d[aids[:, None] == cids[None, :]] = np.inf  # mask self
+                top = np.argpartition(d, 32, axis=1)[:, :32]
+                rows = np.repeat(aids, 32)
+                cols = cids[top.ravel()]
+                yield pd.DataFrame(
+                    {
+                        "p": rows,
+                        "o": cols,
+                        "d_raw": d[
+                            np.repeat(np.arange(len(aids)), 32), top.ravel()
+                        ],
+                    }
+                )
+
+    cand = blocks.crossJoin(F.broadcast(corpus)).mapInPandas(
+        knn_gemm, "p long, o long, d_raw double"
+    )
+    pairs = cand.select(
+        "p", "o", F.floor(F.col("d_raw") * 1000000).cast("long").alias("dq")
+    )
+    w = Window.partitionBy("p").orderBy("dq", "o")
+    knn = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .localCheckpoint()
+    )
+    kdist = knn.groupBy("p").agg(F.max("dq").alias("kd")).select(
+        F.col("p").alias("node"), "kd"
+    )
+    reach = knn.join(
+        kdist, knn.o == kdist.node
+    ).select("p", "o", F.greatest("kd", "dq").alias("rdist"))
+    sreach = reach.groupBy("p").agg(F.sum("rdist").alias("sr"))
+    sp = sreach.select(F.col("p").alias("pp"), F.col("sr").alias("sr_p"))
+    so = sreach.select(F.col("p").alias("oo"), F.col("sr").alias("sr_o"))
+    lof = (
+        reach.join(sp, reach.p == sp.pp)
+        .join(so, reach.o == so.oo)
+        .groupBy("p")
+        .agg(
+            (F.sum(F.col("sr_p").cast("double") / F.col("sr_o")) / 5).alias(
+                "lof_raw"
+            )
+        )
+    )
+    rw = Window.orderBy(F.round(F.col("lof_raw"), 6).desc(), F.col("p"))
+    return (
+        lof.withColumn("rnk", F.row_number().over(rw))
+        .filter(F.col("rnk") <= 20)
+        .select(
+            F.col("p").cast("long").alias("vec_id"),
+            F.floor(F.col("lof_raw") * 1000000).cast("long").alias("lof_ppm"),
+            F.col("rnk").cast("int"),
+        )
+    )

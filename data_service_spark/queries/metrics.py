@@ -3260,3 +3260,63 @@ def k_rank_rbp(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.min("rbp_q") / 1000).cast("long").alias("rbp_min_micro"),
         (F.max("rbp_q") / 1000).cast("long").alias("rbp_max_micro"),
     )
+
+
+def _body_knee(threshold_spine: str) -> str:
+    return f"""
+    WITH scored AS ({{LOGREG}}),
+    tot AS (SELECT count(*) AS n FROM scored),
+    thr AS ({threshold_spine}),
+    curve AS (
+      SELECT t.i,
+             (SELECT count(*) FROM scored s WHERE s.score_q >= t.i * 50000)
+               AS kept
+      FROM thr t
+    ),
+    sc AS (
+      SELECT c.i, c.kept, t.n,
+             20 * c.kept - t.n * c.i AS knee_score
+      FROM curve c CROSS JOIN tot t
+    ), mx AS (SELECT max(knee_score) AS m FROM sc)
+    SELECT CAST(sc.i AS INT) AS step,
+           CAST(sc.i * 50000 AS BIGINT) AS thr_q,
+           CAST(sc.kept AS BIGINT) AS docs_kept,
+           CAST(floor(sc.kept * 1000000 / sc.n) AS BIGINT) AS keep_ppm,
+           CAST(sc.knee_score AS BIGINT) AS knee_score,
+           (sc.knee_score = mx.m) AS is_knee
+    FROM sc CROSS JOIN mx
+    """
+
+
+@register(
+    "k_threshold_knee",
+    oracle=_body_knee("SELECT i FROM range(0, 21) t(i)").replace(
+        "{LOGREG}", _REG_ORACLES["k_quality_logreg"]
+    ),
+)
+def k_threshold_knee(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kneedle-style knee detection (Satopaa et al. 2011) on the quality-
+    gate retention curve: sweep the logreg score threshold over 21 even
+    steps, normalize both axes, and the knee is the point of maximum
+    vertical distance ABOVE the diagonal — computed as the exact integer
+    cross-product 20·kept_i − n·i (x-normalization ×20, y ×n), so the
+    argmax needs no floats at all. The knee is the principled default
+    operating point — keep the docs above the curve's bend — instead of
+    the hand-picked grid ``k_threshold_sweep`` reports; the
+    Youden/Otsu/top-p keys pick thresholds for OTHER objectives
+    (label separation / bimodality / probability mass), this one for
+    retention-curve curvature when no labels exist.
+
+    Scale shape: the score column comes from the registered zero-shuffle
+    logreg projection; the 21-point curve is a threshold-spine
+    conditional count (one pass via the spine join), everything after is
+    21-row arithmetic."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    from data_service_spark.queries.training import k_quality_logreg
+
+    k_quality_logreg(spark, sf_dir).select("doc_id", "score_q")\
+        .createOrReplaceTempView("dss_knee_scored")
+    body = _body_knee("SELECT explode(sequence(0, 20)) AS i").replace(
+        "{LOGREG}", "SELECT * FROM dss_knee_scored"
+    )
+    return spark.sql(body)

@@ -3852,3 +3852,36 @@ def test_bands_sweep_monotone(spark, sf_dir):
     assert all(a >= b for a, b in zip(recalls, recalls[1:]))
     assert all(a <= b for a, b in zip(precs, precs[1:]))
     assert all(r.n_true_pairs == rows[0].n_true_pairs for r in rows)
+
+
+def test_lof_woe_knee_batch(spark, sf_dir):
+    """LOF scores exceed 1 for flagged outliers and ranks are dense;
+    WoE IV contributions are non-negative and rates recompute; the knee
+    flag marks exactly the integer-argmax point(s) of the curve."""
+    from data_service_spark.registry import QUERIES
+
+    lof = sorted(
+        QUERIES["k_outlier_lof"](spark, sf_dir).collect(), key=lambda r: r.rnk
+    )
+    assert [r.rnk for r in lof] == list(range(1, 21))
+    scores = [r.lof_ppm for r in lof]
+    assert all(a >= b for a, b in zip(scores, scores[1:]))
+    assert scores[0] >= 1000000  # the top outlier is less dense than peers
+
+    woe = QUERIES["k_feature_woe"](spark, sf_dir).collect()
+    assert 1 <= len(woe) <= 10
+    for r in woe:
+        assert 0 < r.pos_rate_ppm < 1000000
+        assert r.iv_contrib_micro >= -1  # (p-n)*ln(p/n) >= 0, floor slack
+
+    kn = sorted(
+        QUERIES["k_threshold_knee"](spark, sf_dir).collect(),
+        key=lambda r: r.step,
+    )
+    assert [r.step for r in kn] == list(range(0, 21))
+    mx = max(r.knee_score for r in kn)
+    for r in kn:
+        assert r.is_knee == (r.knee_score == mx)
+    # retention monotonically falls with the threshold
+    kept = [r.docs_kept for r in kn]
+    assert all(a >= b for a, b in zip(kept, kept[1:]))

@@ -170,6 +170,7 @@ k_gate_cascade_order k_dup_weighted_sampling k_ivf_probe_sweep
 k_embed_isotropy k_eval_recall_curve k_ngram_entropy_rate
 i_stream_topk j_udtf_table_arg k_rank_rbp
 k_lsh_multiprobe k_uplift_qini k_dedup_bands_sweep
+k_outlier_lof k_feature_woe k_threshold_knee
 """.split()
 
 
