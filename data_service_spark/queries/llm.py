@@ -4491,3 +4491,87 @@ def k_dedup_bands_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("precision_ppm"),
     )
+
+
+@register(
+    "k_reid_risk",
+    oracle="""
+    WITH quasi AS (
+      SELECT c_custkey, n.n_name AS nation, c_mktsegment AS segment,
+             CAST(floor(c_acctbal / 2000) AS BIGINT) AS bal_band
+      FROM customer JOIN nation n ON c_nationkey = n.n_nationkey
+    ), sized AS (
+      SELECT count(*) OVER (PARTITION BY nation, segment, bal_band)
+               AS class_size
+      FROM quasi
+    ), tot AS (SELECT count(*) AS n FROM sized)
+    SELECT CAST(t.n AS BIGINT) AS n_records,
+           CAST(sum(CASE WHEN class_size = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unique,
+           CAST(sum(CASE WHEN class_size <= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_le_2,
+           CAST(sum(CASE WHEN class_size <= 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_le_5,
+           CAST(floor(sum(CASE WHEN class_size = 1 THEN 1 ELSE 0 END)
+                      * 1000000 / t.n) AS BIGINT) AS unique_ppm,
+           CAST(floor(sum(1000000000 // class_size) / (t.n * 1000.0))
+             AS BIGINT) AS expected_reid_ppm
+    FROM sized CROSS JOIN tot t GROUP BY t.n
+    """,
+)
+def k_reid_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-identification risk census over the release quasi-identifiers
+    (the k-anonymity trio's RISK summary): how many records are UNIQUE
+    on (nation, segment, balance-band) — the journalist-risk numerator —
+    plus the ≤2 / ≤5 tails and the expected-match "prosecutor risk"
+    E[1/class-size] (the probability a random matching attempt pins the
+    right person, Σ 1/size over records / N). ``k_anonymize_kanon``
+    suppresses, ``k_anonymize_ldiv``/``_tclose`` audit distributions;
+    this key is the single number a privacy review quotes first.
+
+    Counts are exact; each 1/size reciprocal floor-quantizes to an
+    exact 1e-9 integer BEFORE the BIGINT sum (order-proof — a double
+    reciprocal sum would differ in the last ulp between DuckDB's
+    segment-tree and Spark's sequential fold), with one final division
+    into floor-ppm. Scale shape: one window over the QI partition (the
+    kanon shape), one global reduce."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    quasi = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).select(
+        F.col("n_name").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+        F.floor(F.col("c_acctbal") / 2000).cast("long").alias("bal_band"),
+    )
+    w = Window.partitionBy("nation", "segment", "bal_band")
+    sized = quasi.select(F.count(F.lit(1)).over(w).alias("class_size"))
+    tot = sized.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        sized.crossJoin(F.broadcast(tot))
+        .groupBy("n")
+        .agg(
+            F.sum(F.when(F.col("class_size") == 1, 1).otherwise(0)).alias(
+                "u1"
+            ),
+            F.sum(F.when(F.col("class_size") <= 2, 1).otherwise(0)).alias(
+                "u2"
+            ),
+            F.sum(F.when(F.col("class_size") <= 5, 1).otherwise(0)).alias(
+                "u5"
+            ),
+            F.sum(
+                F.floor(F.lit(1000000000) / F.col("class_size"))
+            ).alias("er"),
+        )
+        .select(
+            F.col("n").cast("long").alias("n_records"),
+            F.col("u1").cast("long").alias("n_unique"),
+            F.col("u2").cast("long").alias("n_le_2"),
+            F.col("u5").cast("long").alias("n_le_5"),
+            F.floor(F.col("u1") * 1000000 / F.col("n"))
+            .cast("long")
+            .alias("unique_ppm"),
+            F.floor(F.col("er") / (F.col("n") * 1000.0))
+            .cast("long")
+            .alias("expected_reid_ppm"),
+        )
+    )

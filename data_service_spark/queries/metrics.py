@@ -3320,3 +3320,81 @@ def k_threshold_knee(spark: SparkSession, sf_dir: str) -> DataFrame:
         "{LOGREG}", "SELECT * FROM dss_knee_scored"
     )
     return spark.sql(body)
+
+
+def _body_shapley() -> str:
+    pop = ("((m % 2) + (CAST(floor(m / 2) AS INT) % 2)"
+           " + (CAST(floor(m / 4) AS INT) % 2))")
+    return f"""
+    WITH fp AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS pts
+      FROM events GROUP BY user_id
+    ), tc AS (
+      SELECT e.user_id,
+             max(CASE WHEN e.event_type = 'view'
+                      AND (fp.pts IS NULL OR e.ts < fp.pts)
+                 THEN 1 ELSE 0 END) AS has_v,
+             max(CASE WHEN e.event_type = 'click'
+                      AND (fp.pts IS NULL OR e.ts < fp.pts)
+                 THEN 1 ELSE 0 END) AS has_c,
+             max(CASE WHEN e.event_type = 'signup'
+                      AND (fp.pts IS NULL OR e.ts < fp.pts)
+                 THEN 1 ELSE 0 END) AS has_s,
+             max(CASE WHEN fp.pts IS NOT NULL THEN 1 ELSE 0 END) AS conv
+      FROM events e JOIN fp ON fp.user_id = e.user_id
+      GROUP BY e.user_id
+    ), subsets AS (
+      SELECT has_v + 2 * has_c + 4 * has_s AS m,
+             count(*) AS n_u, sum(conv) AS n_conv
+      FROM tc GROUP BY 1
+    ), grid AS (
+      SELECT m FROM (VALUES (0), (1), (2), (3), (4), (5), (6), (7)) g(m)
+    ), rates AS (
+      SELECT g.m, coalesce(s.n_u, 0) AS n_u,
+             coalesce(s.n_conv, 0) AS n_conv,
+             CASE WHEN coalesce(s.n_u, 0) = 0 THEN 0.0
+                  ELSE CAST(s.n_conv AS DOUBLE) / s.n_u END AS v
+      FROM grid g LEFT JOIN subsets s ON s.m = g.m
+    ), channels AS (
+      SELECT * FROM (VALUES ('view', 1), ('click', 2), ('signup', 4))
+        c(channel, bit)
+    ), terms AS (
+      SELECT c.channel,
+             sum((CASE {pop.replace('m', 'r0.m')}
+                    WHEN 0 THEN 2 WHEN 1 THEN 1 WHEN 2 THEN 2 END)
+                 * (r1.v - r0.v)) / 6 AS phi
+      FROM channels c
+      JOIN rates r0 ON (CAST(floor(r0.m / c.bit) AS INT) % 2) = 0
+      JOIN rates r1 ON r1.m = r0.m + c.bit
+      GROUP BY c.channel
+    )
+    SELECT t.channel,
+           CAST(floor(t.phi * 1000000) AS BIGINT) AS phi_micro,
+           (SELECT CAST(r.n_u AS BIGINT) FROM rates r
+            WHERE r.m = c2.bit) AS n_exactly_single,
+           (SELECT CAST(floor(r.v * 1000000) AS BIGINT) FROM rates r
+            WHERE r.m = c2.bit) AS v_single_ppm
+    FROM terms t JOIN channels c2 ON c2.channel = t.channel
+    """
+
+
+@register("k_attribution_shapley", oracle=_body_shapley())
+def k_attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Shapley-value attribution over the three pre-purchase
+    touch channels (view/click/signup): the characteristic function is
+    the conversion rate of users whose touch SET is exactly S (the 8
+    coalitions), and φ_channel = Σ_S |S|!(2−|S|)!/3! · [v(S∪i) − v(S)]
+    with the exact weights {2,1,2}/6 — the fair-division completion of
+    the attribution trio (``k_attribution_last_touch`` is positional,
+    ``k_attribution_markov`` is removal-effect; Shapley is the
+    axiomatic one every marketing-mix review asks for, exact here
+    because 3 channels ⇒ 8 coalitions, no sampling). Undefined
+    coalitions (no users) carry v=0, stated in the contract.
+
+    All coalition counts are integers; rates and the 12-term weighted
+    sum are identical expression trees both engines floor-quantize at
+    1e-6. Scale shape: one (user) reduce to touch sets, an 8-row
+    coalition spine, 12-term arithmetic — corpus touched once."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_body_shapley())

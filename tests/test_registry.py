@@ -171,6 +171,7 @@ k_embed_isotropy k_eval_recall_curve k_ngram_entropy_rate
 i_stream_topk j_udtf_table_arg k_rank_rbp
 k_lsh_multiprobe k_uplift_qini k_dedup_bands_sweep
 k_outlier_lof k_feature_woe k_threshold_knee
+k_reid_risk k_attribution_shapley
 """.split()
 
 
