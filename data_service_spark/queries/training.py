@@ -3482,3 +3482,179 @@ def k_ngram_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM terms
     """
     )
+
+
+@register(
+    "k_pref_length_bias",
+    oracle=f"""
+    WITH scored AS ({{LOGREG}}),
+    j AS (
+      SELECT d.doc_id, d.lang, d.source, d.n_chars, s.score_q
+      FROM documents d JOIN scored s USING (doc_id)
+    ), ranked AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY lang, source
+                                ORDER BY score_q DESC, doc_id) AS rb,
+             row_number() OVER (PARTITION BY lang, source
+                                ORDER BY score_q ASC, doc_id DESC) AS rw
+      FROM j
+    ), pairs AS (
+      SELECT lang, source,
+             max(CASE WHEN rb = 1 THEN n_chars END) AS len_chosen,
+             max(CASE WHEN rw = 1 THEN n_chars END) AS len_rejected
+      FROM ranked GROUP BY lang, source HAVING count(*) >= 2
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(CASE WHEN len_chosen > len_rejected THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_chosen_longer,
+           CAST(floor(sum(CASE WHEN len_chosen > len_rejected
+                          THEN 1 ELSE 0 END) * 1000000 / count(*))
+             AS BIGINT) AS chosen_longer_ppm,
+           CAST(sum(len_chosen - len_rejected) AS BIGINT)
+             AS total_len_gap,
+           CAST(floor(CAST(sum(len_chosen - len_rejected) AS DOUBLE)
+                      / count(*)) AS BIGINT) AS mean_len_gap
+    FROM pairs
+    """.replace("{LOGREG}", _REG_ORACLES["k_quality_logreg"]),
+)
+def k_pref_length_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbosity-bias audit for preference data: build (chosen, rejected)
+    pairs per candidate group using the QUALITY-CLASSIFIER score (not
+    length), then measure how often the chosen member is ALSO the longer
+    one and the mean length gap — the confound check every RLHF/DPO
+    dataset needs before training, because a judge (human or model) that
+    systematically prefers longer responses teaches the policy verbosity,
+    not quality (the Saito et al./AlpacaEval length-bias finding made
+    into a pipeline gate; chosen_longer_ppm ≈ 500000 means unconfounded).
+    ``k_dpo_pairs`` assembles pairs BY length-proxy; this key audits a
+    score-based assembly AGAINST length.
+
+    Counts and length gaps are exact integers; the two windows share one
+    group-key exchange. Scale shape: the scorer is the registered
+    zero-shuffle projection; everything after runs on the group spine."""
+    from data_service_spark.queries.training import k_quality_logreg
+
+    scored = k_quality_logreg(spark, sf_dir).select("doc_id", "score_q")
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    j = d.join(scored, "doc_id")
+    from pyspark.sql.window import Window as W
+
+    wb = W.partitionBy("lang", "source").orderBy(
+        F.col("score_q").desc(), F.col("doc_id")
+    )
+    ww = W.partitionBy("lang", "source").orderBy(
+        F.col("score_q").asc(), F.col("doc_id").desc()
+    )
+    ranked = j.select(
+        "lang", "source", "n_chars",
+        F.row_number().over(wb).alias("rb"),
+        F.row_number().over(ww).alias("rw"),
+        F.count(F.lit(1)).over(W.partitionBy("lang", "source")).alias("gn"),
+    )
+    pairs = (
+        ranked.filter(F.col("gn") >= 2)
+        .groupBy("lang", "source")
+        .agg(
+            F.max(F.when(F.col("rb") == 1, F.col("n_chars"))).alias(
+                "len_chosen"
+            ),
+            F.max(F.when(F.col("rw") == 1, F.col("n_chars"))).alias(
+                "len_rejected"
+            ),
+        )
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(
+            F.when(F.col("len_chosen") > F.col("len_rejected"), 1).otherwise(0)
+        ).cast("long").alias("n_chosen_longer"),
+        F.floor(
+            F.sum(
+                F.when(
+                    F.col("len_chosen") > F.col("len_rejected"), 1
+                ).otherwise(0)
+            )
+            * 1000000
+            / F.count(F.lit(1))
+        ).cast("long").alias("chosen_longer_ppm"),
+        F.sum(F.col("len_chosen") - F.col("len_rejected"))
+        .cast("long")
+        .alias("total_len_gap"),
+        F.floor(
+            F.sum(F.col("len_chosen") - F.col("len_rejected")).cast("double")
+            / F.count(F.lit(1))
+        ).cast("long").alias("mean_len_gap"),
+    )
+
+
+def _body_shuffle_quality(hash_expr: str) -> str:
+    return f"""
+    WITH docs AS (
+      SELECT doc_id, source, {hash_expr} AS shuf_key FROM documents
+    ), shuffled AS (
+      SELECT source,
+             lag(source) OVER (ORDER BY shuf_key, doc_id) AS prev_source
+      FROM docs
+    ), by_source AS (
+      SELECT source,
+             lag(source) OVER (ORDER BY source, doc_id) AS prev_source
+      FROM docs
+    ), src_sizes AS (
+      SELECT source, count(*) AS n_s FROM docs GROUP BY source
+    ), tot AS (SELECT count(*) AS n FROM docs),
+    expected AS (
+      SELECT CAST(sum(n_s * (n_s - 1)) AS DOUBLE)
+             / (max(t.n) * (max(t.n) - 1)) AS p_same
+      FROM src_sizes CROSS JOIN tot t
+    )
+    SELECT (SELECT CAST(n AS BIGINT) FROM tot) AS n_docs,
+           CAST((SELECT sum(CASE WHEN source = prev_source THEN 1 ELSE 0 END)
+                 FROM shuffled WHERE prev_source IS NOT NULL) AS BIGINT)
+             AS shuffled_adj_same,
+           CAST(floor((SELECT sum(CASE WHEN source = prev_source
+                                  THEN 1 ELSE 0 END)
+                       FROM shuffled WHERE prev_source IS NOT NULL)
+                      * 1000000.0
+                      / ((SELECT n FROM tot) - 1)) AS BIGINT)
+             AS shuffled_adj_same_ppm,
+           CAST(floor((SELECT sum(CASE WHEN source = prev_source
+                                  THEN 1 ELSE 0 END)
+                       FROM by_source WHERE prev_source IS NOT NULL)
+                      * 1000000.0
+                      / ((SELECT n FROM tot) - 1)) AS BIGINT)
+             AS sorted_adj_same_ppm,
+           CAST(floor((SELECT p_same FROM expected) * 1000000) AS BIGINT)
+             AS expected_random_ppm
+    """
+
+
+@register(
+    "k_shuffle_quality",
+    oracle=_body_shuffle_quality(
+        "md5('ep1:' || CAST(doc_id AS VARCHAR))"
+    ),
+)
+def k_shuffle_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-shuffle quality audit: order the corpus by a deterministic
+    salted-hash permutation (the rerun-stable shuffle a training run
+    uses) and measure the adjacent-pair same-source rate against (a) the
+    pathological source-sorted order (≈ 1) and (b) the exact
+    random-permutation expectation Σ n_s(n_s−1)/(N(N−1)) — a shuffled
+    rate near (b) means batches mix sources as intended; a rate drifting
+    toward (a) means the shuffle key correlates with source and training
+    sees source-homogeneous batches (the gradient-noise pathology shard
+    shuffling exists to prevent). The hash-permutation trick is the same
+    rerun-stable machinery as ``k_sample_weighted``/``k_mix_epochs``;
+    this key is its QUALITY CONTROL.
+
+    Counts are exact integers over two total-order lag windows; the
+    expectation is one exact rational floored at ppm. Scale shape: the
+    two global sorts are the audit's honest cost (run at shard
+    granularity in production — same statistic over shard-local
+    windows); everything else is spine arithmetic."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        _body_shuffle_quality("md5(concat('ep1:', CAST(doc_id AS STRING)))")
+    )

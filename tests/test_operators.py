@@ -3904,3 +3904,23 @@ def test_reid_shapley_batch(spark, sf_dir):
     # coalition rates in [0,1], so the sum is bounded by 1e6 micro-units
     total = sum(r.phi_micro for r in sh)
     assert -1000000 <= total <= 1000000
+
+
+def test_pref_bias_shuffle_batch(spark, sf_dir):
+    """Preference-pair audit counts are internally consistent; shuffle
+    quality sits near the random expectation and far from sorted."""
+    from data_service_spark.registry import QUERIES
+
+    pb = QUERIES["k_pref_length_bias"](spark, sf_dir).collect()[0]
+    assert 0 < pb.n_pairs
+    assert 0 <= pb.n_chosen_longer <= pb.n_pairs
+    assert pb.chosen_longer_ppm == pb.n_chosen_longer * 1000000 // pb.n_pairs
+
+    sq = QUERIES["k_shuffle_quality"](spark, sf_dir).collect()[0]
+    assert sq.n_docs > 0
+    assert 0 <= sq.shuffled_adj_same_ppm <= 1000000
+    # hash order mixes sources: within 5x of the random expectation and
+    # well below the sorted order's near-1 rate
+    assert sq.shuffled_adj_same_ppm < sq.sorted_adj_same_ppm
+    assert sq.shuffled_adj_same_ppm < 5 * sq.expected_random_ppm + 10000
+    assert sq.sorted_adj_same_ppm > 900000
