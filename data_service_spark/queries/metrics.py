@@ -3068,7 +3068,7 @@ def _body_recall_curve() -> str:
       GROUP BY q.qid
     ),
     ranked AS (
-      SELECT q.qid, q.ql, e.label,
+      SELECT q.qid, q.ql, q.qidx, e.label,
              row_number() OVER (PARTITION BY q.qid
                ORDER BY round(list_inner_product(e.v, q.qv), 6) DESC,
                         e.vec_id) AS rn
@@ -3398,3 +3398,110 @@ def k_attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
     coalition spine, 12-term arithmetic — corpus touched once."""
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_body_shapley())
+
+
+def _body_ranker_delta(hash_to_long: str, seq_fn: str,
+                       dot_full: str, dot_trunc: str,
+                       arr_cast: str = "CAST(embedding AS DOUBLE[])") -> str:
+    h = hash_to_long.format(
+        h="'boot:' || CAST(b.b AS STRING) || ':' || CAST(i.i AS STRING)"
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, {arr_cast} AS v, label
+               FROM embeddings),
+    q AS (SELECT vec_id AS qid, v AS qv, label AS ql,
+                 row_number() OVER (ORDER BY vec_id) - 1 AS qidx
+          FROM e WHERE vec_id < 20),
+    ranked AS (
+      SELECT q.qid, q.ql, q.qidx, e.label,
+             row_number() OVER (PARTITION BY q.qid
+               ORDER BY round({dot_full}, 6) DESC,
+                        e.vec_id) AS rn_full,
+             row_number() OVER (PARTITION BY q.qid
+               ORDER BY round({dot_trunc}, 6)
+                        DESC, e.vec_id) AS rn_trunc
+      FROM e CROSS JOIN q WHERE e.vec_id <> q.qid
+    ),
+    rr AS (
+      SELECT qid, max(qidx) AS qidx,
+             coalesce(CAST(floor(1000000.0 / min(CASE WHEN label = ql
+                            AND rn_full <= 10 THEN rn_full END)) AS BIGINT),
+                      0) AS rr_a,
+             coalesce(CAST(floor(1000000.0 / min(CASE WHEN label = ql
+                            AND rn_trunc <= 10 THEN rn_trunc END)) AS BIGINT),
+                      0) AS rr_b
+      FROM ranked GROUP BY qid
+    ),
+    obs AS (
+      SELECT CAST(floor(CAST(sum(rr_a - rr_b) AS DOUBLE) / count(*))
+             AS BIGINT) AS delta_obs
+      FROM rr
+    ),
+    draws AS (
+      SELECT b.b, {h} % 20 AS pick
+      FROM (SELECT {seq_fn.format(lo=0, hi=199)} AS b) b
+      CROSS JOIN (SELECT {seq_fn.format(lo=0, hi=19)} AS i) i
+    ),
+    boot AS (
+      SELECT d.b,
+             CAST(floor(CAST(sum(r.rr_a - r.rr_b) AS DOUBLE) / count(*))
+               AS BIGINT) AS delta_b
+      FROM draws d JOIN rr r ON r.qidx = d.pick
+      GROUP BY d.b
+    ),
+    ordered AS (
+      SELECT delta_b, row_number() OVER (ORDER BY delta_b, b) AS r
+      FROM boot
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM rr) AS n_queries,
+           (SELECT delta_obs FROM obs) AS delta_mrr_micro,
+           (SELECT delta_b FROM ordered WHERE r = 5) AS ci_lo_micro,
+           (SELECT delta_b FROM ordered WHERE r = 195) AS ci_hi_micro,
+           ((SELECT delta_b FROM ordered WHERE r = 5) > 0
+            OR (SELECT delta_b FROM ordered WHERE r = 195) < 0)
+             AS significant
+    """
+
+
+@register(
+    "k_eval_ranker_delta",
+    oracle=_body_ranker_delta(
+        "('0x' || substr(md5({h}), 1, 8))::BIGINT",
+        "unnest(generate_series({lo}, {hi}))",
+        "list_inner_product(e.v, q.qv)",
+        "list_inner_product(e.v[1:16], q.qv[1:16])",
+    ),
+)
+def k_eval_ranker_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paired-bootstrap significance for a ranker comparison — full-dim
+    cosine retrieval (A) vs 16-dim Matryoshka-truncated retrieval (B),
+    scored by per-query reciprocal rank@10 under label relevance:
+    ΔMRR = mean(rrᴬ − rrᴮ) with a B=200 deterministic-md5 paired
+    bootstrap over the 20 queries, 95% CI from the 5th/195th order
+    statistics, and the significance call (CI excludes 0) — the test
+    every "ranker B is cheaper and just as good" claim needs before the
+    4× memory cut ships (``k_sim_matryoshka`` measures the rank
+    agreement; this key decides whether the quality delta is real or
+    query noise). Per-query reciprocal ranks are exact floor-micro
+    integers from the set {1e6/k}, so replicate means are integer sums
+    with one final division, and the order-statistic CI selects actual
+    replicate values — cross-engine exact end to end.
+
+    Scale shape: the probe broadcast + one corpus stream for BOTH
+    rankings (two windows over the same scored join); the bootstrap is
+    a 200×20 spine join — never corpus-sized."""
+    load(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
+
+    def spark_dot(a: str, b: str) -> str:
+        return (f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D,"
+                " (acc, x) -> acc + x)")
+
+    return spark.sql(
+        _body_ranker_delta(
+            "CAST(conv(substr(md5({h}), 1, 8), 16, 10) AS BIGINT)",
+            "explode(sequence({lo}, {hi}))",
+            spark_dot("e.v", "q.qv"),
+            spark_dot("slice(e.v, 1, 16)", "slice(q.qv, 1, 16)"),
+            arr_cast="CAST(embedding AS ARRAY<DOUBLE>)",
+        )
+    )

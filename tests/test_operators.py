@@ -3924,3 +3924,16 @@ def test_pref_bias_shuffle_batch(spark, sf_dir):
     assert sq.shuffled_adj_same_ppm < sq.sorted_adj_same_ppm
     assert sq.shuffled_adj_same_ppm < 5 * sq.expected_random_ppm + 10000
     assert sq.sorted_adj_same_ppm > 900000
+
+
+def test_ranker_delta_ci(spark, sf_dir):
+    """The bootstrap CI brackets are ordered and the significance call
+    matches the CI-excludes-zero rule."""
+    from data_service_spark.registry import QUERIES
+
+    rd = QUERIES["k_eval_ranker_delta"](spark, sf_dir).collect()[0]
+    assert rd.n_queries == 20
+    assert rd.ci_lo_micro <= rd.ci_hi_micro
+    assert rd.significant == (rd.ci_lo_micro > 0 or rd.ci_hi_micro < 0)
+    # delta magnitudes are bounded by the max possible MRR of 1e6 micro
+    assert -1000000 <= rd.delta_mrr_micro <= 1000000

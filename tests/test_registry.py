@@ -172,7 +172,7 @@ i_stream_topk j_udtf_table_arg k_rank_rbp
 k_lsh_multiprobe k_uplift_qini k_dedup_bands_sweep
 k_outlier_lof k_feature_woe k_threshold_knee
 k_reid_risk k_attribution_shapley
-k_pref_length_bias k_shuffle_quality
+k_pref_length_bias k_shuffle_quality k_eval_ranker_delta
 """.split()
 
 
