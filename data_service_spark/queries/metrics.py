@@ -3068,7 +3068,7 @@ def _body_recall_curve() -> str:
       GROUP BY q.qid
     ),
     ranked AS (
-      SELECT q.qid, q.ql, q.qidx, e.label,
+      SELECT q.qid, q.ql, e.label,
              row_number() OVER (PARTITION BY q.qid
                ORDER BY round(list_inner_product(e.v, q.qv), 6) DESC,
                         e.vec_id) AS rn
