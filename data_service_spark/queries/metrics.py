@@ -3505,3 +3505,133 @@ def k_eval_ranker_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             arr_cast="CAST(embedding AS ARRAY<DOUBLE>)",
         )
     )
+
+
+def _body_pass_at_k(seq_fn: str) -> str:
+    return f"""
+    WITH per_problem AS (
+      SELECT user_id AS problem_id, count(*) AS n,
+             sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c
+      FROM events GROUP BY user_id HAVING count(*) >= 10
+    ), ks AS (SELECT {seq_fn} AS k),
+    factors AS (
+      SELECT p.problem_id, ks.k, p.n, p.c, i.i
+      FROM per_problem p CROSS JOIN ks
+      CROSS JOIN (SELECT {seq_fn.replace('(1, 5)', '(0, 4)')} AS i) i
+      WHERE i.i < ks.k
+    ), prob AS (
+      -- ln factors are neutralized (ln 1 = 0) wherever n-c-i <= 0: the
+      -- aggregate evaluates regardless of which CASE branch wins, so an
+      -- invalid factor must not poison the sum the valid branch ignores.
+      SELECT problem_id, k, max(n) AS n, max(c) AS c,
+             1.0 - exp(sum(ln(
+               CASE WHEN n - c - i > 0
+                    THEN CAST(n - c - i AS DOUBLE) / (n - i)
+                    ELSE 1.0 END))) AS pass_raw
+      FROM factors
+      GROUP BY problem_id, k
+    ), fixed AS (
+      SELECT problem_id, k, n, c,
+             CASE WHEN c = 0 THEN 0.0
+                  WHEN n - c < k THEN 1.0
+                  ELSE pass_raw END AS pass_k
+      FROM prob
+    )
+    SELECT CAST(k AS INT) AS k,
+           CAST(count(*) AS BIGINT) AS n_problems,
+           CAST(floor(sum(CAST(floor(pass_k * 1000000) AS BIGINT))
+                      / count(*)) AS BIGINT) AS mean_pass_ppm
+    FROM fixed GROUP BY k
+    """
+
+
+@register(
+    "k_eval_pass_at_k",
+    oracle=_body_pass_at_k("unnest(generate_series(1, 5))").replace(
+        "unnest(generate_series(0, 4))", "unnest(generate_series(0, 4))"
+    ),
+)
+def k_eval_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pass@k (Chen et al. 2021, the HumanEval estimator) for k ∈ 1..5
+    over per-"problem" sample sets (users as problems, clicks as passing
+    samples): the unbiased 1 − C(n−c,k)/C(n,k), evaluated as the product
+    Π_{i<k}(n−c−i)/(n−i) in log space — NOT the naive 1−(1−c/n)^k, which
+    overestimates whenever samples are correlated within a problem. The
+    estimator every code/agent eval reports; mean over problems in
+    floor-ppm (each problem's pass@k floor-quantized before the integer
+    mean, so the aggregate is order-proof).
+
+    Degenerate guards: c = 0 → 0; n − c < k → 1 (the product would hit
+    a zero factor). Both the log-product and guards are identical
+    expression trees cross-engine. Scale shape: one (problem) reduce,
+    then a problems × 5k spine — never event-sized fan-out."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        _body_pass_at_k("explode(sequence(1, 5))").replace(
+            "unnest(generate_series(0, 4))", "explode(sequence(0, 4))"
+        )
+    )
+
+
+def _body_fleiss() -> str:
+    return """
+    WITH rated AS (
+      SELECT doc_id,
+             (CASE WHEN ' ' || text || ' ' LIKE '% the %'
+                   THEN 1 ELSE 0 END)
+             + (CASE WHEN ' ' || text || ' ' LIKE '% and %'
+                     THEN 1 ELSE 0 END)
+             + (CASE WHEN ' ' || text || ' ' LIKE '% of %'
+                     THEN 1 ELSE 0 END) AS n_en_votes
+      FROM documents
+    ), counts AS (
+      SELECT doc_id, n_en_votes AS n_1, 3 - n_en_votes AS n_0 FROM rated
+    ), per_item AS (
+      SELECT doc_id,
+             (n_1 * n_1 + n_0 * n_0 - 3) AS agree_num
+      FROM counts
+    ), tot AS (
+      SELECT count(*) AS n_items,
+             sum(agree_num) AS sum_agree,
+             sum(n_1) AS tot_1, sum(n_0) AS tot_0
+      FROM per_item JOIN counts USING (doc_id)
+    )
+    SELECT CAST(n_items AS BIGINT) AS n_items,
+           CAST(3 AS INT) AS n_raters,
+           CAST(floor(CAST(sum_agree AS DOUBLE)
+                      / (n_items * 6) * 1000000) AS BIGINT)
+             AS p_bar_ppm,
+           CAST(floor((CAST(tot_1 AS DOUBLE) * tot_1 + CAST(tot_0 AS DOUBLE)
+                       * tot_0) / (9.0 * n_items * n_items) * 1000000)
+             AS BIGINT) AS p_e_ppm,
+           CAST(floor(
+             (CAST(sum_agree AS DOUBLE) / (n_items * 6)
+              - (CAST(tot_1 AS DOUBLE) * tot_1
+                 + CAST(tot_0 AS DOUBLE) * tot_0)
+                / (9.0 * n_items * n_items))
+             / (1.0 - (CAST(tot_1 AS DOUBLE) * tot_1
+                       + CAST(tot_0 AS DOUBLE) * tot_0)
+                      / (9.0 * n_items * n_items)) * 1000000)
+             AS BIGINT) AS fleiss_kappa_micro
+    FROM tot
+    """
+
+
+@register("k_fleiss_kappa", oracle=_body_fleiss())
+def k_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' κ for THREE raters — the multi-rater generalization that
+    completes the agreement panel (``k_eval_kappa`` is the two-rater
+    Cohen's κ): three deterministic heuristic "annotators" each vote
+    en/not-en on every document (the/and/of marker tests — deliberately
+    correlated-but-imperfect, like real annotators), and κ = (P̄ −
+    P̄ₑ)/(1 − P̄ₑ) from the per-item pairwise-agreement counts
+    Σᵢ(nᵢ₁² + nᵢ₀² − r)/(r(r−1)) and the marginal chance agreement.
+    The number every labeling pipeline reports before treating majority
+    vote as ground truth; κ < 0.4 means the annotation spec, not the
+    model, is the problem.
+
+    All counts are exact integers; the three ratio/κ expressions are
+    identical trees floored at 1e-6. Scale shape: three scan-side LIKE
+    projections into one doc reduce — one pass, spine arithmetic."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_body_fleiss())

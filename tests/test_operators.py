@@ -3937,3 +3937,46 @@ def test_ranker_delta_ci(spark, sf_dir):
     assert rd.significant == (rd.ci_lo_micro > 0 or rd.ci_hi_micro < 0)
     # delta magnitudes are bounded by the max possible MRR of 1e6 micro
     assert -1000000 <= rd.delta_mrr_micro <= 1000000
+
+
+def test_pass_at_k_and_fleiss(spark, sf_dir):
+    """pass@k is monotone in k, bounded, and recomputes for a sample of
+    problems; Fleiss components bound kappa."""
+    import math
+
+    from data_service_spark.io import load
+    from data_service_spark.registry import QUERIES
+
+    pk = sorted(
+        QUERIES["k_eval_pass_at_k"](spark, sf_dir).collect(),
+        key=lambda r: r.k,
+    )
+    assert [r.k for r in pk] == [1, 2, 3, 4, 5]
+    means = [r.mean_pass_ppm for r in pk]
+    assert all(a <= b for a, b in zip(means, means[1:]))
+    assert all(0 <= m <= 1000000 for m in means)
+    # recompute k=1 exactly: mean over problems of c/n
+    rows = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            __import__("pyspark.sql.functions", fromlist=["F"]).count("*").alias("n"),
+            __import__("pyspark.sql.functions", fromlist=["F"]).sum(
+                __import__("pyspark.sql.functions", fromlist=["F"]).expr(
+                    "CASE WHEN event_type = 'click' THEN 1 ELSE 0 END"
+                )
+            ).alias("c"),
+        )
+        .filter("n >= 10")
+        .collect()
+    )
+    expect1 = sum(math.floor(r.c / r.n * 1e6) for r in rows) // len(rows)
+    assert pk[0].mean_pass_ppm == expect1
+
+    fl = QUERIES["k_fleiss_kappa"](spark, sf_dir).collect()[0]
+    assert fl.n_raters == 3
+    assert 0 <= fl.p_bar_ppm <= 1000000
+    assert 0 <= fl.p_e_ppm < 1000000
+    # kappa = (pbar - pe)/(1 - pe) in micro, within floor slack
+    approx = (fl.p_bar_ppm - fl.p_e_ppm) * 1000000 // (1000000 - fl.p_e_ppm)
+    assert abs(fl.fleiss_kappa_micro - approx) <= 5
