@@ -70,7 +70,7 @@ PRIORITY = [
     "k_outlier_lof", "k_feature_woe", "k_threshold_knee",
     "k_reid_risk", "k_attribution_shapley",
     "k_pref_length_bias", "k_shuffle_quality", "k_eval_ranker_delta",
-    "k_eval_pass_at_k", "k_fleiss_kappa",
+    "k_eval_pass_at_k", "k_fleiss_kappa", "q_tpch_refresh",
     "k_pareto_skyline", "k_dedup_jaccard_histogram",
     "c_join_er_blocking", "k_forecast_snaive", "k_markov_stationary", "k_sim_tfidf_pairs",
     "k_state_sizing", "k_design_effect", "e_win_hampel_repair", "k_eval_lift_curve",

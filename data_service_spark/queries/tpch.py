@@ -933,3 +933,133 @@ def q_filter_clause(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     Scale shape: single aggregate, map-side partials, no extra scans."""
     load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_body_filter_clause())
+
+
+@register(
+    "q_tpch_refresh",
+    oracle="""
+    WITH base AS (SELECT o_orderkey, o_orderdate, o_totalprice FROM orders),
+    mx AS (SELECT max(o_orderkey) AS mk FROM base),
+    rf1 AS (
+      SELECT b.o_orderkey + mx.mk AS o_orderkey,
+             b.o_orderdate,
+             b.o_totalprice
+      FROM base b CROSS JOIN mx
+      WHERE b.o_orderkey % 1000 < 1
+    ),
+    rf2_keys AS (
+      SELECT o_orderkey FROM (
+        SELECT o_orderkey,
+               row_number() OVER (ORDER BY o_orderdate, o_orderkey) AS rn,
+               count(*) OVER () AS n
+        FROM base
+      ) t WHERE rn * 1000 <= n
+    ),
+    refreshed AS (
+      SELECT * FROM base
+      WHERE o_orderkey NOT IN (SELECT o_orderkey FROM rf2_keys)
+      UNION ALL
+      SELECT * FROM rf1
+    ),
+    a AS (
+      SELECT count(*) AS n0,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents0
+      FROM base
+    ), b2 AS (
+      SELECT count(*) AS n1,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents1
+      FROM refreshed
+    )
+    SELECT CAST(a.n0 AS BIGINT) AS n_before,
+           CAST(b2.n1 AS BIGINT) AS n_after,
+           CAST((SELECT count(*) FROM rf1) AS BIGINT) AS n_inserted,
+           CAST((SELECT count(*) FROM rf2_keys) AS BIGINT) AS n_deleted,
+           CAST(a.cents0 AS BIGINT) AS cents_before,
+           CAST(b2.cents1 AS BIGINT) AS cents_after
+    FROM a CROSS JOIN b2
+    """,
+)
+def q_tpch_refresh(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """TPC-H refresh-function pair (RF1/RF2) against a managed catalog
+    copy of ``orders`` — the ACID-ish maintenance surface the 22 SELECT
+    queries leave untested: RF1 INSERTs a deterministic 0.1% batch of
+    new orders (re-keyed past max(o_orderkey) — the sequential-key
+    append pattern), RF2 DELETEs the 0.1% oldest orders (rewritten as
+    an anti-join rewrite into a v2 table + swap — how an
+    immutable-file lakehouse expresses row deletes without Delta/Iceberg
+    row-level ops; plain parquet cannot INSERT OVERWRITE from itself). Returns the before/after row and exact-cents
+    totals plus both batch sizes, so the driver hash proves BOTH
+    mutations landed with no collateral rows.
+
+    Scale shape: RF1 is a filtered scan append; RF2's delete compiles to
+    one broadcast anti-join rewrite of the partition files — at 100 TB
+    the same statements run against a Delta/Iceberg table and become
+    metadata-only ops; the audit query is spine arithmetic."""
+    import os as _os
+    import shutil
+    from urllib.parse import urlparse
+
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_src")
+    spark.sql("DROP TABLE IF EXISTS dss_rf_orders")
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    shutil.rmtree(_os.path.join(wh, "dss_rf_orders"), ignore_errors=True)
+    spark.sql(
+        "CREATE TABLE dss_rf_orders USING parquet AS "
+        "SELECT o_orderkey, o_orderdate, o_totalprice FROM orders_src"
+    )
+    before = spark.sql(
+        "SELECT count(*) AS n0, sum(CAST(round(o_totalprice * 100) AS"
+        " BIGINT)) AS cents0 FROM dss_rf_orders"
+    ).collect()[0]
+    # RF1: deterministic 0.1% insert batch, re-keyed past max(o_orderkey)
+    spark.sql(
+        """
+        INSERT INTO dss_rf_orders
+        SELECT o_orderkey + (SELECT max(o_orderkey) FROM orders_src),
+               o_orderdate, o_totalprice
+        FROM orders_src WHERE o_orderkey % 1000 < 1
+        """
+    )
+    # RF2: delete the 0.1% oldest via anti-join overwrite (no row-level
+    # delete on plain parquet) — re-derive delete keys from the SOURCE so
+    # the RF1 rows cannot be selected
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY VIEW dss_rf2_keys AS
+        SELECT o_orderkey FROM (
+          SELECT o_orderkey,
+                 row_number() OVER (ORDER BY o_orderdate, o_orderkey) AS rn,
+                 count(*) OVER () AS n
+          FROM orders_src
+        ) t WHERE rn * 1000 <= n
+        """
+    )
+    # parquet tables cannot INSERT OVERWRITE from themselves (Spark reads
+    # and writes the same files); the lakehouse pattern is write-new +
+    # swap — materialize survivors as the v2 table and audit from it.
+    spark.sql("DROP TABLE IF EXISTS dss_rf_orders_v2")
+    import shutil as _sh
+    _sh.rmtree(_os.path.join(wh, "dss_rf_orders_v2"), ignore_errors=True)
+    spark.sql(
+        """
+        CREATE TABLE dss_rf_orders_v2 USING parquet AS
+        SELECT * FROM dss_rf_orders
+        WHERE o_orderkey NOT IN (SELECT o_orderkey FROM dss_rf2_keys)
+        """
+    )
+    n_ins = spark.sql(
+        "SELECT count(*) AS c FROM orders_src WHERE o_orderkey % 1000 < 1"
+    ).collect()[0].c
+    n_del = spark.sql("SELECT count(*) AS c FROM dss_rf2_keys").collect()[0].c
+    return spark.sql(
+        f"""
+        SELECT CAST({before.n0} AS BIGINT) AS n_before,
+               CAST(count(*) AS BIGINT) AS n_after,
+               CAST({n_ins} AS BIGINT) AS n_inserted,
+               CAST({n_del} AS BIGINT) AS n_deleted,
+               CAST({before.cents0} AS BIGINT) AS cents_before,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                 AS BIGINT) AS cents_after
+        FROM dss_rf_orders_v2
+        """
+    )

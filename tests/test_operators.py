@@ -3980,3 +3980,13 @@ def test_pass_at_k_and_fleiss(spark, sf_dir):
     # kappa = (pbar - pe)/(1 - pe) in micro, within floor slack
     approx = (fl.p_bar_ppm - fl.p_e_ppm) * 1000000 // (1000000 - fl.p_e_ppm)
     assert abs(fl.fleiss_kappa_micro - approx) <= 5
+
+
+def test_tpch_refresh_accounting(spark, sf_dir):
+    """RF1/RF2 row accounting telescopes exactly."""
+    from data_service_spark.registry import QUERIES
+
+    r = QUERIES["q_tpch_refresh"](spark, sf_dir).collect()[0]
+    assert r.n_after == r.n_before + r.n_inserted - r.n_deleted
+    assert r.n_inserted > 0 and r.n_deleted > 0
+    assert r.cents_after != r.cents_before

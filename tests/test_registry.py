@@ -173,7 +173,7 @@ k_lsh_multiprobe k_uplift_qini k_dedup_bands_sweep
 k_outlier_lof k_feature_woe k_threshold_knee
 k_reid_risk k_attribution_shapley
 k_pref_length_bias k_shuffle_quality k_eval_ranker_delta
-k_eval_pass_at_k k_fleiss_kappa
+k_eval_pass_at_k k_fleiss_kappa q_tpch_refresh
 """.split()
 
 
