@@ -1227,9 +1227,13 @@ def _body_qini(hash_to_long: str) -> str:
     )
     SELECT decile, CAST(n_t AS BIGINT) AS n_t, CAST(n_c AS BIGINT) AS n_c,
            CAST(conv_t AS BIGINT) AS conv_t, CAST(conv_c AS BIGINT) AS conv_c,
-           CAST(floor((CAST(conv_t AS DOUBLE)
-                       - CAST(conv_c AS DOUBLE) * n_t / n_c) * 1000)
-             AS BIGINT) AS qini_milli
+           -- guard n_c = 0 (a decile whose users all hashed to treatment):
+           -- emit NULL rather than engine-divergent div-by-zero behavior,
+           -- mirroring the zero-class exclusions in k_feature_woe
+           CAST(CASE WHEN n_c = 0 THEN NULL
+                ELSE floor((CAST(conv_t AS DOUBLE)
+                            - CAST(conv_c AS DOUBLE) * n_t / n_c) * 1000)
+                END AS BIGINT) AS qini_milli
     FROM agg
     """
 

@@ -343,6 +343,7 @@ def c_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "c_join_bucketed",
+    effects="catalog-write: dss_orders_bkt, dss_customer_bkt",
     oracle="""
     SELECT o_orderkey, o_custkey, c_name, o_totalprice
     FROM orders JOIN customer ON o_custkey = c_custkey

@@ -26,7 +26,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from data_service_spark.queries.llm import _emb, dot
+from data_service_spark.queries.llm import (
+    SIM_PAIRS_GRID_MIN_ROWS,
+    _corpus_rows,
+    _emb,
+    dot,
+)
 from data_service_spark.registry import register
 
 # ------------------------------------------------------------ gram / PCA ----
@@ -643,20 +648,22 @@ def k_embed_mmd(spark: SparkSession, sf_dir: str) -> DataFrame:
                             x -> CAST(floor(x * 1000000) AS BIGINT)) AS q
       FROM embeddings
     ), dims AS (
-      SELECT i, sum(q[i]) AS s_i
+      SELECT i,
+             CAST(floor(CAST(sum(q[i]) AS DOUBLE) / 1000) AS BIGINT) AS s3_i
       FROM e CROSS JOIN generate_series(1, 64) t(i)
       GROUP BY i
-    ), ssq AS (SELECT sum(s_i * s_i) AS norm2_sum FROM dims),
+    ), ssq AS (SELECT sum(s3_i * s3_i) AS norm2_sum3 FROM dims),
     vn AS (
       SELECT sum(list_sum(list_transform(q, x -> x * x))) AS sum_norm2,
              count(*) AS n
       FROM e
     )
     SELECT CAST(vn.n AS BIGINT) AS n_vecs, CAST(64 AS INT) AS dim,
-           CAST(floor((CAST(ssq.norm2_sum AS DOUBLE) - vn.sum_norm2)
+           CAST(floor((CAST(ssq.norm2_sum3 AS DOUBLE) * 1000000
+                       - CAST(vn.sum_norm2 AS DOUBLE))
                       / (CAST(vn.n AS DOUBLE) * (vn.n - 1)) / 1000000)
              AS BIGINT) AS mean_pairwise_cos_ppm,
-           CAST(floor(sqrt(CAST(ssq.norm2_sum AS DOUBLE)) / vn.n)
+           CAST(floor(sqrt(CAST(ssq.norm2_sum3 AS DOUBLE)) * 1000 / vn.n)
              AS BIGINT) AS mean_vector_norm_micro
     FROM ssq CROSS JOIN vn
     """,
@@ -674,9 +681,18 @@ def k_embed_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Components floor-quantize to exact 1e-6 integers, so the per-dim
     sums and both norm aggregates are BIGINT (order-proof); only the
-    two final ratios are floating. Scale shape: one explode over the
-    64-dim spine (map-side partial sums) + one per-vector array fold —
-    no pair join, no shuffle beyond the 64-row reduce."""
+    two final ratios are floating (ONE scalar expression on identical
+    BIGINT inputs — no accumulation, so bit-identical cross-engine).
+    Overflow bound: the per-dim sums re-quantize to a 1e-3 grid BEFORE
+    squaring (s3_i = floor(s_i/1000)), so Σ s3_i² ≤ 64·(n·1000)² stays
+    inside int64 for corpora to ~380k vectors even in the worst case of
+    a fully-aligned corpus (mean cos = 1.0) — squaring the raw 1e-6
+    sums would wrap silently past ~10-20k vectors (non-ANSI Spark)
+    while DuckDB errors. ``sum_norm2`` (Σ‖v‖² at 1e-12) bounds at
+    ~140k unit vectors; beyond that, drop to a 1e-4 component grid.
+    Scale shape: one explode over the 64-dim spine (map-side partial
+    sums) + one per-vector array fold — no pair join, no shuffle
+    beyond the 64-row reduce."""
     e = _emb(spark, sf_dir).select(
         "vec_id",
         F.expr(
@@ -689,9 +705,13 @@ def k_embed_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("i", F.expr("q[i - 1]").alias("qi"))
         .groupBy("i")
-        .agg(F.sum("qi").alias("s_i"))
+        .agg(
+            F.floor(F.sum("qi").cast("double") / 1000)
+            .cast("long")
+            .alias("s3_i")
+        )
     )
-    ssq = dims.agg(F.sum(F.col("s_i") * F.col("s_i")).alias("norm2_sum"))
+    ssq = dims.agg(F.sum(F.col("s3_i") * F.col("s3_i")).alias("norm2_sum3"))
     vn = e.agg(
         F.sum(
             F.expr("aggregate(q, CAST(0 AS BIGINT), (a, x) -> a + x * x)")
@@ -702,15 +722,132 @@ def k_embed_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n_vecs"),
         F.lit(64).cast("int").alias("dim"),
         F.floor(
-            (F.col("norm2_sum").cast("double") - F.col("sum_norm2"))
+            (
+                F.col("norm2_sum3").cast("double") * 1000000
+                - F.col("sum_norm2").cast("double")
+            )
             / (F.col("n").cast("double") * (F.col("n") - 1))
             / 1000000
         )
         .cast("long")
         .alias("mean_pairwise_cos_ppm"),
-        F.floor(F.sqrt(F.col("norm2_sum").cast("double")) / F.col("n"))
+        F.floor(
+            F.sqrt(F.col("norm2_sum3").cast("double")) * 1000 / F.col("n")
+        )
         .cast("long")
         .alias("mean_vector_norm_micro"),
+    )
+
+
+def _knn_tie_complete(aids, amat, cids, cmat, k):
+    """One GEMM block of the LOF kNN: cosine distances quantized to the
+    1e-6 grid IN the kernel, returning (p, o, dq) for every candidate
+    with dq ≤ the k-th smallest dq of its row — tie-COMPLETE on the
+    quantized grid, so the engine-side (dq, o) ranking can never lose a
+    true top-k member to arbitrary float tie-breaking (ADVICE r05). Self
+    pairs are excluded outright."""
+    import numpy as np
+    import pandas as pd
+
+    d = 1.0 - amat @ cmat.T
+    self_mask = aids[:, None] == cids[None, :]
+    dq = np.floor(d * 1e6).astype(np.int64)
+    dq[self_mask] = np.int64(2) ** 62  # never selected, never emitted
+    kk = min(k - 1, dq.shape[1] - 1)
+    kth = np.partition(dq, kk, axis=1)[:, kk]
+    mask = (dq <= kth[:, None]) & ~self_mask
+    i, j = np.where(mask)
+    return pd.DataFrame({"p": aids[i], "o": cids[j], "dq": dq[i, j]})
+
+
+def _lof_knn_broadcast(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
+    """Broadcast-corpus regime of the LOF kNN (the sim_pairs physical
+    strategy): one BLAS GEMM per row-block against the broadcast corpus,
+    emitting the tie-complete per-point candidate superset."""
+    import numpy as np
+    import pandas as pd  # noqa: F401 — Arrow batch schema
+
+    emb = _emb(spark, sf_dir).select("vec_id", "v")
+    vec = F.struct("vec_id", "v")
+    blocks = (
+        emb.withColumn("blk", F.pmod("vec_id", F.lit(32)))
+        .groupBy("blk")
+        .agg(F.collect_list(vec).alias("ablock"))
+    )
+    corpus = emb.agg(F.collect_list(vec).alias("corpus"))
+
+    def knn_gemm(batches):
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                aids = np.fromiter(
+                    (r["vec_id"] for r in row["ablock"]), np.int64
+                )
+                amat = np.vstack([np.asarray(r["v"]) for r in row["ablock"]])
+                cids = np.fromiter(
+                    (r["vec_id"] for r in row["corpus"]), np.int64
+                )
+                cmat = np.vstack([np.asarray(r["v"]) for r in row["corpus"]])
+                yield _knn_tie_complete(aids, amat, cids, cmat, k)
+
+    return blocks.crossJoin(F.broadcast(corpus)).mapInPandas(
+        knn_gemm, "p long, o long, dq long"
+    )
+
+
+def lof_knn_grid(
+    spark: SparkSession, sf_dir: str, k: int, blocks: int = 8
+) -> DataFrame:
+    """The 100 TB regime of the LOF kNN: a FULL B×B block grid (kNN needs
+    every point to see the whole corpus, so unlike ``sim_pairs_grid``
+    there is no triangular halving) where NEITHER side is broadcast,
+    collected, or aggregated to a single row. A-role rows of block b
+    replicate across the cell row (b, 0..B-1); C-role rows across the
+    cell column (0..B-1, b); each cell runs the same tie-complete GEMM
+    kernel on ~2n/B vectors. The union of per-cell tie-complete top-k
+    supersets contains the global (dq, o) top-k — per-task memory is
+    O(n/B·d) regardless of corpus size, and the only shuffle is the grid
+    partitioning."""
+    import numpy as np
+    import pandas as pd
+
+    emb = _emb(spark, sf_dir).select("vec_id", "v")
+    blocked = emb.withColumn("blk", F.pmod("vec_id", F.lit(blocks)))
+    a_rep = blocked.select(
+        F.col("blk").alias("bi"),
+        F.explode(F.sequence(F.lit(0), F.lit(blocks - 1))).alias("bj"),
+        F.lit("a").alias("role"),
+        "vec_id",
+        "v",
+    )
+    c_rep = blocked.select(
+        F.explode(F.sequence(F.lit(0), F.lit(blocks - 1))).alias("bi"),
+        F.col("blk").alias("bj"),
+        F.lit("c").alias("role"),
+        "vec_id",
+        "v",
+    )
+
+    def knn_cell(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        a = pdf[pdf["role"] == "a"]
+        c = pdf[pdf["role"] == "c"]
+        if a.empty or c.empty:
+            return pd.DataFrame(
+                {
+                    "p": pd.Series(dtype="int64"),
+                    "o": pd.Series(dtype="int64"),
+                    "dq": pd.Series(dtype="int64"),
+                }
+            )
+        aids = a["vec_id"].to_numpy(dtype=np.int64)
+        cids = c["vec_id"].to_numpy(dtype=np.int64)
+        amat = np.vstack([np.asarray(x) for x in a["v"]])
+        cmat = np.vstack([np.asarray(x) for x in c["v"]])
+        return _knn_tie_complete(aids, amat, cids, cmat, k)
+
+    return (
+        a_rep.unionByName(c_rep)
+        .groupBy("bi", "bj")
+        .applyInPandas(knn_cell, "p long, o long, dq long")
     )
 
 
@@ -766,66 +903,33 @@ def k_outlier_lof(spark: SparkSession, sf_dir: str) -> DataFrame:
     neighbors", ≫ 1 means isolated). Top-20 by score — the triage queue
     an embedding-QA pass reviews.
 
-    Determinism: raw GEMM distances floor-quantize to 1e-6 integers
-    engine-side FIRST, so
-    k-distances, reachability distances and their sums are exact BIGINT;
-    only the final lrd ratios are doubles over identical expression
-    trees, output floor-ppm with 6dp+id rank tiebreaks. Scale shape:
-    the all-pairs kNN here is the evaluation anchor (n=2000); at corpus
-    scale the kNN comes from the registered ANN family (IVF cells / LSH
-    buckets) and the LOF algebra downstream is unchanged — it only ever
-    touches the |n|×k reach table."""
-    import numpy as np
-    import pandas as pd
+    Determinism: GEMM distances floor-quantize to 1e-6 integers INSIDE
+    the kernel, and each block emits the TIE-COMPLETE candidate set —
+    every neighbor whose quantized distance dq ≤ the k-th smallest dq
+    (not a fixed top-32 by raw float, whose arbitrary tie selection at
+    the 1e-6 boundary could drop the candidate the (dq, id) ranking
+    keeps — e.g. exact-duplicate vectors). The engine-side (dq, o)
+    row_number is therefore provably the oracle's top-5. k-distances,
+    reachability distances and their sums are exact BIGINT; only the
+    final lrd ratios are doubles over identical expression trees,
+    output floor-ppm with 6dp+id rank tiebreaks.
 
-    emb = _emb(spark, sf_dir).select("vec_id", "v")
-    # Blocked-GEMM kNN extraction (the sim_pairs physical strategy): a
-    # per-pair interpreted dot() over n^2 rows ran 36.7 s at sf0.1; one
-    # BLAS GEMM per row-block with the corpus broadcast runs ~4 s. Each
-    # block emits a top-32 SUPERSET per point by raw distance; the exact
-    # (dq, o) ranking happens engine-side on floor-quantized integers, so
-    # the superset only needs to contain the true quantized top-5 (32 >>
-    # 5 absorbs any 1e-6-grid tie reordering).
-    vec = F.struct("vec_id", "v")
-    blocks = (
-        emb.withColumn("blk", F.pmod("vec_id", F.lit(32)))
-        .groupBy("blk")
-        .agg(F.collect_list(vec).alias("ablock"))
-    )
-    corpus = emb.agg(F.collect_list(vec).alias("corpus"))
-
-    def knn_gemm(batches):
-        for pdf in batches:
-            for _, row in pdf.iterrows():
-                aids = np.fromiter(
-                    (r["vec_id"] for r in row["ablock"]), np.int64
-                )
-                amat = np.vstack([np.asarray(r["v"]) for r in row["ablock"]])
-                cids = np.fromiter(
-                    (r["vec_id"] for r in row["corpus"]), np.int64
-                )
-                cmat = np.vstack([np.asarray(r["v"]) for r in row["corpus"]])
-                d = 1.0 - amat @ cmat.T
-                d[aids[:, None] == cids[None, :]] = np.inf  # mask self
-                top = np.argpartition(d, 32, axis=1)[:, :32]
-                rows = np.repeat(aids, 32)
-                cols = cids[top.ravel()]
-                yield pd.DataFrame(
-                    {
-                        "p": rows,
-                        "o": cols,
-                        "d_raw": d[
-                            np.repeat(np.arange(len(aids)), 32), top.ravel()
-                        ],
-                    }
-                )
-
-    cand = blocks.crossJoin(F.broadcast(corpus)).mapInPandas(
-        knn_gemm, "p long, o long, d_raw double"
-    )
-    pairs = cand.select(
-        "p", "o", F.floor(F.col("d_raw") * 1000000).cast("long").alias("dq")
-    )
+    Scale shape: like ``sim_pairs``, the kNN extraction dispatches on
+    corpus size (parquet-footer row count): below
+    ``SIM_PAIRS_GRID_MIN_ROWS`` one BLAS GEMM per row-block with the
+    corpus broadcast (a per-pair interpreted dot() was 36.7 s at sf0.1;
+    this runs ~4 s); above it, ``lof_knn_grid`` — a full B×B block grid
+    where NEITHER side is broadcast or collected, per-task memory
+    O(n/B·d), per-cell tie-complete top-k supersets unioned across the
+    row of cells (plan-pinned by
+    tests/test_plans.py::test_lof_grid_no_broadcast_no_collect). At
+    even larger scale the kNN comes from the registered ANN family
+    (IVF cells / LSH buckets); the LOF algebra downstream is unchanged
+    — it only ever touches the |n|×k reach table."""
+    if _corpus_rows(sf_dir) > SIM_PAIRS_GRID_MIN_ROWS:
+        pairs = lof_knn_grid(spark, sf_dir, k=5)
+    else:
+        pairs = _lof_knn_broadcast(spark, sf_dir, k=5)
     w = Window.partitionBy("p").orderBy("dq", "o")
     knn = (
         pairs.withColumn("rn", F.row_number().over(w))

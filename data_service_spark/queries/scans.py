@@ -186,7 +186,7 @@ def a_source_python_ds(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.format("dss_synth").option("n", 1000).option("parts", 8).load()
 
 
-@register("a_sink_table", oracle="SELECT * FROM nation")
+@register("a_sink_table", oracle="SELECT * FROM nation", effects="catalog-write: dss_nation_managed")
 def a_sink_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Managed-table roundtrip through the session catalog (saveAsTable →
     spark.table). Locally this is the spark-warehouse dir; on a cluster the
@@ -212,7 +212,7 @@ def a_sink_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 _HIVE_HANDOFF_CACHE: dict[tuple[int, str], str] = {}
 
 
-@register("a_sink_hive_table", oracle="SELECT * FROM region")
+@register("a_sink_hive_table", oracle="SELECT * FROM region", effects="hive-metastore-write: child-JVM Derby roundtrip")
 def a_sink_hive_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Persistent Hive-metastore catalog roundtrip: ``enableHiveSupport()``
     + local Derby metastore, ``saveAsTable`` → ``ANALYZE TABLE`` (stats
@@ -715,6 +715,7 @@ def a_sink_sorted_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "a_cbo_stats",
+    effects="catalog-write: dss_nation_stats",
     oracle="""
     SELECT n_name, CAST(count(*) AS BIGINT) AS n_customers,
            round(sum(c_acctbal), 2) AS sum_bal

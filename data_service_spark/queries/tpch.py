@@ -662,6 +662,7 @@ def q_group_by_all(spark: "SparkSession", sf_dir: str) -> "DataFrame":
 
 @register(
     "q_ctas_insert",
+    effects="catalog-write: dss_ctas_nation",
     oracle="""
     SELECT n_regionkey,
            CAST(2 * count(*) AS BIGINT) AS n_nations,
@@ -937,6 +938,7 @@ def q_filter_clause(spark: "SparkSession", sf_dir: str) -> "DataFrame":
 
 @register(
     "q_tpch_refresh",
+    effects="catalog-write: dss_rf_orders*",
     oracle="""
     WITH base AS (SELECT o_orderkey, o_orderdate, o_totalprice FROM orders),
     mx AS (SELECT max(o_orderkey) AS mk FROM base),
@@ -994,72 +996,82 @@ def q_tpch_refresh(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     Scale shape: RF1 is a filtered scan append; RF2's delete compiles to
     one broadcast anti-join rewrite of the partition files — at 100 TB
     the same statements run against a Delta/Iceberg table and become
-    metadata-only ops; the audit query is spine arithmetic."""
-    import os as _os
-    import shutil
-    from urllib.parse import urlparse
+    metadata-only ops; the audit query is spine arithmetic.
 
-    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_src")
-    spark.sql("DROP TABLE IF EXISTS dss_rf_orders")
-    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-    shutil.rmtree(_os.path.join(wh, "dss_rf_orders"), ignore_errors=True)
-    spark.sql(
-        "CREATE TABLE dss_rf_orders USING parquet AS "
-        "SELECT o_orderkey, o_orderdate, o_totalprice FROM orders_src"
-    )
-    before = spark.sql(
-        "SELECT count(*) AS n0, sum(CAST(round(o_totalprice * 100) AS"
-        " BIGINT)) AS cents0 FROM dss_rf_orders"
-    ).collect()[0]
-    # RF1: deterministic 0.1% insert batch, re-keyed past max(o_orderkey)
-    spark.sql(
-        """
-        INSERT INTO dss_rf_orders
-        SELECT o_orderkey + (SELECT max(o_orderkey) FROM orders_src),
-               o_orderdate, o_totalprice
-        FROM orders_src WHERE o_orderkey % 1000 < 1
-        """
-    )
-    # RF2: delete the 0.1% oldest via anti-join overwrite (no row-level
-    # delete on plain parquet) — re-derive delete keys from the SOURCE so
-    # the RF1 rows cannot be selected
-    spark.sql(
-        """
-        CREATE OR REPLACE TEMPORARY VIEW dss_rf2_keys AS
-        SELECT o_orderkey FROM (
-          SELECT o_orderkey,
-                 row_number() OVER (ORDER BY o_orderdate, o_orderkey) AS rn,
-                 count(*) OVER () AS n
-          FROM orders_src
-        ) t WHERE rn * 1000 <= n
-        """
-    )
-    # parquet tables cannot INSERT OVERWRITE from themselves (Spark reads
-    # and writes the same files); the lakehouse pattern is write-new +
-    # swap — materialize survivors as the v2 table and audit from it.
-    spark.sql("DROP TABLE IF EXISTS dss_rf_orders_v2")
-    import shutil as _sh
-    _sh.rmtree(_os.path.join(wh, "dss_rf_orders_v2"), ignore_errors=True)
-    spark.sql(
-        """
-        CREATE TABLE dss_rf_orders_v2 USING parquet AS
-        SELECT * FROM dss_rf_orders
-        WHERE o_orderkey NOT IN (SELECT o_orderkey FROM dss_rf2_keys)
-        """
-    )
-    n_ins = spark.sql(
-        "SELECT count(*) AS c FROM orders_src WHERE o_orderkey % 1000 < 1"
-    ).collect()[0].c
-    n_del = spark.sql("SELECT count(*) AS c FROM dss_rf2_keys").collect()[0].c
-    return spark.sql(
-        f"""
-        SELECT CAST({before.n0} AS BIGINT) AS n_before,
-               CAST(count(*) AS BIGINT) AS n_after,
-               CAST({n_ins} AS BIGINT) AS n_inserted,
-               CAST({n_del} AS BIGINT) AS n_deleted,
-               CAST({before.cents0} AS BIGINT) AS cents_before,
-               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
-                 AS BIGINT) AS cents_after
-        FROM dss_rf_orders_v2
-        """
-    )
+    Concurrency-safe: every catalog object is suffixed with a
+    per-invocation uuid (two simultaneous /query or bench invocations
+    cannot race on shared table names), the 1-row audit result is
+    localCheckpointed so the managed tables can be dropped before
+    returning — DROP TABLE on the managed parquet tables is the only
+    filesystem cleanup (no rmtree on config-derived paths)."""
+    import uuid as _uuid
+
+    sfx = _uuid.uuid4().hex[:12]
+    src = f"dss_rf_src_{sfx}"
+    t1 = f"dss_rf_orders_{sfx}"
+    t2 = f"dss_rf_orders_v2_{sfx}"
+    rf2 = f"dss_rf2_keys_{sfx}"
+    load(spark, sf_dir, "orders").createOrReplaceTempView(src)
+    try:
+        spark.sql(
+            f"CREATE TABLE {t1} USING parquet AS "
+            f"SELECT o_orderkey, o_orderdate, o_totalprice FROM {src}"
+        )
+        before = spark.sql(
+            "SELECT count(*) AS n0, sum(CAST(round(o_totalprice * 100) AS"
+            f" BIGINT)) AS cents0 FROM {t1}"
+        ).collect()[0]
+        # RF1: deterministic 0.1% insert batch, re-keyed past max(o_orderkey)
+        spark.sql(
+            f"""
+            INSERT INTO {t1}
+            SELECT o_orderkey + (SELECT max(o_orderkey) FROM {src}),
+                   o_orderdate, o_totalprice
+            FROM {src} WHERE o_orderkey % 1000 < 1
+            """
+        )
+        # RF2: delete the 0.1% oldest via anti-join overwrite (no row-level
+        # delete on plain parquet) — re-derive delete keys from the SOURCE so
+        # the RF1 rows cannot be selected
+        spark.sql(
+            f"""
+            CREATE OR REPLACE TEMPORARY VIEW {rf2} AS
+            SELECT o_orderkey FROM (
+              SELECT o_orderkey,
+                     row_number() OVER (ORDER BY o_orderdate, o_orderkey) AS rn,
+                     count(*) OVER () AS n
+              FROM {src}
+            ) t WHERE rn * 1000 <= n
+            """
+        )
+        # parquet tables cannot INSERT OVERWRITE from themselves (Spark reads
+        # and writes the same files); the lakehouse pattern is write-new +
+        # swap — materialize survivors as the v2 table and audit from it.
+        spark.sql(
+            f"""
+            CREATE TABLE {t2} USING parquet AS
+            SELECT * FROM {t1}
+            WHERE o_orderkey NOT IN (SELECT o_orderkey FROM {rf2})
+            """
+        )
+        n_ins = spark.sql(
+            f"SELECT count(*) AS c FROM {src} WHERE o_orderkey % 1000 < 1"
+        ).collect()[0].c
+        n_del = spark.sql(f"SELECT count(*) AS c FROM {rf2}").collect()[0].c
+        return spark.sql(
+            f"""
+            SELECT CAST({before.n0} AS BIGINT) AS n_before,
+                   CAST(count(*) AS BIGINT) AS n_after,
+                   CAST({n_ins} AS BIGINT) AS n_inserted,
+                   CAST({n_del} AS BIGINT) AS n_deleted,
+                   CAST({before.cents0} AS BIGINT) AS cents_before,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                     AS BIGINT) AS cents_after
+            FROM {t2}
+            """
+        ).localCheckpoint()
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t2}")
+        spark.sql(f"DROP TABLE IF EXISTS {t1}")
+        spark.catalog.dropTempView(rf2)
+        spark.catalog.dropTempView(src)

@@ -23,13 +23,22 @@ QueryFn = Callable[["SparkSession", str], "DataFrame"]
 
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
+# Keys whose BUILDER mutates shared catalog/warehouse state (DROP/CREATE
+# TABLE, saveAsTable, INSERT) while constructing the DataFrame. The service
+# refuses these on plan-only endpoints (/explain {"query": k}) because
+# "explain" must never mutate; everything else may still run Spark jobs
+# during build (localCheckpoint, stream twins) but leaves no shared state.
+EFFECTFUL: dict[str, str] = {}
 
 
-def register(key: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+def register(
+    key: str, oracle: str | None = None, effects: str | None = None
+) -> Callable[[QueryFn], QueryFn]:
     """Register a query under ``key``; ``oracle`` is the DuckDB twin SQL.
 
     Keys with ``oracle=None`` get the driver's weaker rows-only check
-    (SURVEY.md §2: ``d_agg_approx``, ``k_sim_ann``).
+    (SURVEY.md §2: ``d_agg_approx``, ``k_sim_ann``). ``effects`` marks
+    builders that mutate shared catalog/warehouse state (see EFFECTFUL).
     """
 
     def deco(fn: QueryFn) -> QueryFn:
@@ -38,6 +47,8 @@ def register(key: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn
         QUERIES[key] = fn
         if oracle is not None:
             ORACLES[key] = oracle.strip()
+        if effects is not None:
+            EFFECTFUL[key] = effects
         return fn
 
     return deco

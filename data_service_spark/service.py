@@ -184,15 +184,27 @@ class SqlEngine:
 
     def explain_query(self, key: str) -> dict[str, Any]:
         """Formatted physical plan of a REGISTERED query key (including the
-        streaming batch twins) without executing — `/explain {"query": k}`;
-        plan-before-run for the whole curated surface, not just raw SQL."""
-        from data_service_spark.registry import QUERIES, load_all
+        streaming batch twins) — `/explain {"query": k}`; plan-before-run
+        for the whole curated surface, not just raw SQL.
+
+        Building a key's DataFrame runs its builder body, so plan
+        extraction may execute that key's SETUP work (localCheckpoint,
+        stream twins, temp writes). What it must never do is mutate shared
+        catalog/warehouse state: keys registered with ``effects`` (DROP/
+        CREATE TABLE, saveAsTable, INSERT — e.g. ``q_tpch_refresh``) are
+        refused here and must be run via /query instead."""
+        from data_service_spark.registry import EFFECTFUL, QUERIES, load_all
 
         load_all()
         if self.sf_dir is None:
             raise PermissionError("service started without a corpus dir")
         if key not in QUERIES:
             raise KeyError(key)
+        if key in EFFECTFUL:
+            raise PermissionError(
+                f"refusing to explain {key!r}: building its plan mutates "
+                f"shared state ({EFFECTFUL[key]}); run it via /query"
+            )
         return {"key": key, **self._explain_df(QUERIES[key](self.spark, self.sf_dir))}
 
     @staticmethod

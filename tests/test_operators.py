@@ -3990,3 +3990,69 @@ def test_tpch_refresh_accounting(spark, sf_dir):
     assert r.n_after == r.n_before + r.n_inserted - r.n_deleted
     assert r.n_inserted > 0 and r.n_deleted > 0
     assert r.cents_after != r.cents_before
+
+
+def test_lof_knn_grid_matches_broadcast(spark):
+    """The LOF kNN grid regime must yield the same engine-side (dq, o)
+    top-5 per point as the broadcast-GEMM regime (shared tie-complete
+    kernel) — checked at sf0.1, the largest local corpus."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from data_service_spark.queries.linalg import (
+        _lof_knn_broadcast,
+        lof_knn_grid,
+    )
+
+    sf = "/root/testdata/sf0.1"
+
+    def top5(df):
+        w = Window.partitionBy("p").orderBy("dq", "o")
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 5)
+            .select("p", "o", "dq")
+        )
+
+    want = set(map(tuple, top5(_lof_knn_broadcast(spark, sf, 5)).collect()))
+    got = set(map(tuple, top5(lof_knn_grid(spark, sf, 5, blocks=8)).collect()))
+    assert got == want
+    assert len(got) > 0
+
+
+def test_lof_dispatches_on_corpus_size(monkeypatch, spark):
+    """k_outlier_lof's kNN flips to the grid regime above
+    SIM_PAIRS_GRID_MIN_ROWS (r05 verdict item #4 — the last
+    broadcast-regime GEMM site now dispatches by data size)."""
+    from data_service_spark.queries import linalg
+
+    calls = []
+    monkeypatch.setattr(
+        linalg, "lof_knn_grid", lambda *a, **k: calls.append(a) or
+        linalg._lof_knn_broadcast(spark, "/root/testdata/sf0.01", 5)
+    )
+    monkeypatch.setattr(linalg, "_corpus_rows", lambda sf_dir: 10**9)
+    linalg.k_outlier_lof(spark, "/root/testdata/sf0.01")
+    assert len(calls) == 1
+
+
+def test_knn_tie_complete_keeps_grid_ties():
+    """The tie-complete kernel must keep EVERY candidate at the k-th
+    quantized distance — the exact-duplicate scenario (ADVICE r05) where
+    a raw-float top-32 argpartition could drop the id the (dq, o)
+    ranking keeps."""
+    import numpy as np
+
+    from data_service_spark.queries.linalg import _knn_tie_complete
+
+    # 40 candidates, ALL identical to the probe (dq == -1 for every
+    # non-self pair after floor(-eps)); k=5 must return all 39 ties.
+    v = np.ones(4) / 2.0
+    aids = np.array([0], dtype=np.int64)
+    cids = np.arange(40, dtype=np.int64)
+    amat = v[None, :]
+    cmat = np.tile(v, (40, 1))
+    out = _knn_tie_complete(aids, amat, cids, cmat, 5)
+    assert len(out) == 39  # every tie kept, self excluded
+    assert set(out["o"]) == set(range(1, 40))
+    assert out["dq"].nunique() == 1

@@ -581,3 +581,18 @@ def test_cascade_single_feature_pass(spark, sf_dir):
     assert plan.count("documents.parquet") <= 2
     plan_f = plan_of(QUERIES["k_filter_funnel"](spark, sf_dir))
     assert plan_f.count("documents.parquet") <= 2
+
+
+def test_lof_grid_no_broadcast_no_collect(spark, sf_dir):
+    """The B×B-grid regime of the LOF kNN must keep BOTH sides
+    distributed: no BroadcastExchange, no single-row collect_list corpus
+    aggregate — just the grid shuffle into FlatMapGroupsInPandas (r05
+    verdict item #4: the last GEMM site's 100 TB flip, plan-pinned like
+    sim_pairs_grid)."""
+    from data_service_spark.queries.linalg import lof_knn_grid
+
+    plan = plan_of(lof_knn_grid(spark, sf_dir, 5))
+    assert "FlatMapGroupsInPandas" in plan
+    assert "BroadcastExchange" not in plan
+    assert "CollectLimit" not in plan
+    assert "collect_list" not in plan

@@ -257,3 +257,29 @@ def test_explain_streaming_query_roundtrip(service):
     plan = out.get("plan", "")
     assert plan, out
     assert "Aggregate" in plan or "HashAggregate" in plan
+
+
+def test_explain_refuses_catalog_mutating_keys(service):
+    """/explain {"query": k} must never mutate shared state: keys whose
+    BUILDER writes the catalog (q_tpch_refresh's CTAS/INSERT,
+    a_sink_table's saveAsTable, ...) are registered with ``effects`` and
+    refused with 403 (ADVICE r05 medium: a plan request must not DROP /
+    CREATE warehouse tables)."""
+    import urllib.error
+
+    from data_service_spark.registry import EFFECTFUL, load_all
+
+    load_all()
+    assert "q_tpch_refresh" in EFFECTFUL
+    assert "a_sink_table" in EFFECTFUL
+    for key in ("q_tpch_refresh", "a_sink_table"):
+        try:
+            call(service, "/explain", {"query": key})
+            raise AssertionError(f"/explain accepted effectful key {key}")
+        except urllib.error.HTTPError as exc:
+            assert exc.code == 403
+            body = json.loads(exc.read())
+            assert "mutates" in body["error"]
+    # side-effect-free keys still explain fine
+    out = call(service, "/explain", {"query": "b_filter_simple"})
+    assert "Physical Plan" in out.get("plan", "") or out.get("plan")
