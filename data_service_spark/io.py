@@ -87,3 +87,36 @@ def register_temp_views(spark: SparkSession, sf_dir: str) -> None:
     """Expose all corpus tables as temp views for ``spark.sql`` entry points."""
     for t in TABLES:
         load(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+# Per-key batches of uuid-suffixed managed-table names created by builders
+# that write the session catalog (see registry.EFFECTFUL). Keeping the last
+# few batches alive (instead of dropping the previous batch eagerly) leaves
+# a window for concurrent invocations of the same key that are still
+# consuming their result before the names age out of the GC ring.
+_TABLE_GC: dict[str, list[list[str]]] = {}
+_TABLE_GC_KEEP = 4
+
+
+def fresh_tables(spark: SparkSession, key: str, *basenames: str) -> list[str]:
+    """Per-invocation uuid-suffixed catalog table names for effectful
+    builders — two concurrent invocations (service /query threads, the
+    bench re-time loop) can never race on a shared table name the way the
+    fixed ``dss_*`` names could. Older batches beyond the last
+    ``_TABLE_GC_KEEP`` are dropped here (self-GC), so repeated calls do
+    not leak warehouse space; DROP TABLE on a managed table removes its
+    directory, so no rmtree on config-derived paths is needed (the uuid
+    name also cannot collide with a leftover dir from a crashed run —
+    the reason the old fixed-name preamble had to rmtree at all)."""
+    import uuid
+
+    names = [f"{b}_{uuid.uuid4().hex[:12]}" for b in basenames]
+    batches = _TABLE_GC.setdefault(key, [])
+    batches.append(names)
+    while len(batches) > _TABLE_GC_KEEP:
+        for tbl in batches.pop(0):
+            try:
+                spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+            except Exception:  # noqa: BLE001 — GC must never sink a query
+                pass
+    return names

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from data_service_spark.io import load
+from data_service_spark.io import fresh_tables, load
 from data_service_spark.registry import register
 
 
@@ -343,7 +343,7 @@ def c_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "c_join_bucketed",
-    effects="catalog-write: dss_orders_bkt, dss_customer_bkt",
+    effects="catalog-write: dss_orders_bkt_*, dss_customer_bkt_*",
     oracle="""
     SELECT o_orderkey, o_custkey, c_name, o_totalprice
     FROM orders JOIN customer ON o_custkey = c_custkey
@@ -357,23 +357,20 @@ def c_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     This is the storage-level answer to repeated fact⋈dim joins at 100 TB:
     pay the shuffle once at write time, never at read time. Bucket counts
-    must match (or divide) across tables; 8 here.
+    must match (or divide) across tables; 8 here. Concurrency-safe via
+    uuid-suffixed table names (``io.fresh_tables``) — the result must
+    stay a live scan of the bucketed tables (the no-exchange plan test),
+    so cleanup is the helper's deferred GC, not an eager drop.
     """
-    import shutil
-    from urllib.parse import urlparse
-
-    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-    for tbl, src, key in (
-        ("dss_orders_bkt", "orders", "o_custkey"),
-        ("dss_customer_bkt", "customer", "c_custkey"),
-    ):
-        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
-        shutil.rmtree(os.path.join(wh, tbl), ignore_errors=True)
+    t_ord, t_cust = fresh_tables(
+        spark, "c_join_bucketed", "dss_orders_bkt", "dss_customer_bkt"
+    )
+    for tbl, src, key in ((t_ord, "orders", "o_custkey"), (t_cust, "customer", "c_custkey")):
         load(spark, sf_dir, src).write.bucketBy(8, key).sortBy(
             key
-        ).mode("overwrite").saveAsTable(tbl)
-    o = spark.table("dss_orders_bkt").filter(F.col("o_totalprice") > 300000)
-    c = spark.table("dss_customer_bkt")
+        ).saveAsTable(tbl)
+    o = spark.table(t_ord).filter(F.col("o_totalprice") > 300000)
+    c = spark.table(t_cust)
     return o.join(c, o.o_custkey == c.c_custkey).select(
         "o_orderkey", "o_custkey", "c_name", "o_totalprice"
     )

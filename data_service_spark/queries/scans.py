@@ -15,7 +15,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from data_service_spark.io import load
+from data_service_spark.io import fresh_tables, load
 from data_service_spark.registry import register
 
 
@@ -186,27 +186,21 @@ def a_source_python_ds(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.format("dss_synth").option("n", 1000).option("parts", 8).load()
 
 
-@register("a_sink_table", oracle="SELECT * FROM nation", effects="catalog-write: dss_nation_managed")
+@register("a_sink_table", oracle="SELECT * FROM nation", effects="catalog-write: dss_nation_managed_*")
 def a_sink_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Managed-table roundtrip through the session catalog (saveAsTable →
     spark.table). Locally this is the spark-warehouse dir; on a cluster the
     same two lines target Hive/Unity/Glue via the configured catalog.
 
-    The default in-memory catalog forgets tables between sessions while the
-    warehouse directory persists, so a leftover location from a previous
-    process would fail the write — clear both sides first (a purely local
-    concern; a persistent metastore makes mode("overwrite") sufficient).
+    Concurrency-safe: the table name is uuid-suffixed per invocation
+    (``io.fresh_tables``) so simultaneous /query or bench calls never
+    race on a shared name, and a fresh name cannot collide with a
+    leftover warehouse dir from a crashed run — which removes the old
+    DROP + rmtree preamble entirely.
     """
-    import shutil
-    from urllib.parse import urlparse
-
-    spark.sql("DROP TABLE IF EXISTS dss_nation_managed")
-    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-    shutil.rmtree(os.path.join(wh, "dss_nation_managed"), ignore_errors=True)
-    load(spark, sf_dir, "nation").write.mode("overwrite").saveAsTable(
-        "dss_nation_managed"
-    )
-    return spark.table("dss_nation_managed")
+    (tbl,) = fresh_tables(spark, "a_sink_table", "dss_nation_managed")
+    load(spark, sf_dir, "nation").write.saveAsTable(tbl)
+    return spark.table(tbl)
 
 
 _HIVE_HANDOFF_CACHE: dict[tuple[int, str], str] = {}
@@ -715,7 +709,7 @@ def a_sink_sorted_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "a_cbo_stats",
-    effects="catalog-write: dss_nation_stats",
+    effects="catalog-write: dss_nation_stats_*",
     oracle="""
     SELECT n_name, CAST(count(*) AS BIGINT) AS n_customers,
            round(sum(c_acctbal), 2) AS sum_bal
@@ -732,21 +726,13 @@ def a_cbo_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     working once tables are views or unpruned partitions. The test asserts
     rowCount lands in the catalog and that the stats-costed plan still
     broadcasts the dimension (tests/test_plans.py::test_cbo_stats).
+    Concurrency-safe via uuid-suffixed table names (``io.fresh_tables``).
     """
-    import shutil
-    from urllib.parse import urlparse
-
-    spark.sql("DROP TABLE IF EXISTS dss_nation_stats")
-    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-    shutil.rmtree(os.path.join(wh, "dss_nation_stats"), ignore_errors=True)
-    load(spark, sf_dir, "nation").write.mode("overwrite").saveAsTable(
-        "dss_nation_stats"
-    )
-    spark.sql(
-        "ANALYZE TABLE dss_nation_stats COMPUTE STATISTICS FOR ALL COLUMNS"
-    )
+    (tbl,) = fresh_tables(spark, "a_cbo_stats", "dss_nation_stats")
+    load(spark, sf_dir, "nation").write.saveAsTable(tbl)
+    spark.sql(f"ANALYZE TABLE {tbl} COMPUTE STATISTICS FOR ALL COLUMNS")
     c = load(spark, sf_dir, "customer")
-    n = spark.table("dss_nation_stats")
+    n = spark.table(tbl)
     return (
         c.join(n, c.c_nationkey == n.n_nationkey)
         .groupBy("n_name")

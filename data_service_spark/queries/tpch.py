@@ -36,7 +36,7 @@ from __future__ import annotations
 
 from typing import TYPE_CHECKING
 
-from data_service_spark.io import load
+from data_service_spark.io import fresh_tables, load
 from data_service_spark.registry import register
 
 if TYPE_CHECKING:
@@ -662,7 +662,7 @@ def q_group_by_all(spark: "SparkSession", sf_dir: str) -> "DataFrame":
 
 @register(
     "q_ctas_insert",
-    effects="catalog-write: dss_ctas_nation",
+    effects="catalog-write: dss_ctas_nation_*",
     oracle="""
     SELECT n_regionkey,
            CAST(2 * count(*) AS BIGINT) AS n_nations,
@@ -677,29 +677,25 @@ def q_ctas_insert(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     resolution in one roundtrip (the doubled key_sum proves the INSERT
     appended rather than replaced). On a cluster the same statements hit
     the persistent catalog (a_sink_hive_table's territory); the oracle
-    states the doubled aggregate directly.
+    states the doubled aggregate directly. Concurrency-safe via
+    uuid-suffixed names (``io.fresh_tables``); the temp view is suffixed
+    too so two threads cannot swap each other's source view.
     """
-    import os as _os
-    import shutil
-    from urllib.parse import urlparse
-
-    load(spark, sf_dir, "nation").createOrReplaceTempView("nation_src")
-    spark.sql("DROP TABLE IF EXISTS dss_ctas_nation")
-    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-    shutil.rmtree(_os.path.join(wh, "dss_ctas_nation"), ignore_errors=True)
+    (tbl,) = fresh_tables(spark, "q_ctas_insert", "dss_ctas_nation")
+    src = f"nation_src_{tbl.rsplit('_', 1)[1]}"
+    load(spark, sf_dir, "nation").createOrReplaceTempView(src)
     spark.sql(
-        "CREATE TABLE dss_ctas_nation USING parquet AS "
-        "SELECT n_nationkey, n_regionkey FROM nation_src"
+        f"CREATE TABLE {tbl} USING parquet AS "
+        f"SELECT n_nationkey, n_regionkey FROM {src}"
     )
     spark.sql(
-        "INSERT INTO dss_ctas_nation "
-        "SELECT n_nationkey, n_regionkey FROM nation_src"
+        f"INSERT INTO {tbl} SELECT n_nationkey, n_regionkey FROM {src}"
     )
     return spark.sql(
-        """
+        f"""
         SELECT n_regionkey, count(*) AS n_nations,
                sum(n_nationkey) AS key_sum
-        FROM dss_ctas_nation GROUP BY n_regionkey
+        FROM {tbl} GROUP BY n_regionkey
         """
     )
 

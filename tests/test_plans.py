@@ -218,7 +218,12 @@ def test_cbo_stats_land_in_catalog(spark, sf_dir):
     QUERIES["a_cbo_stats"](spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
-    ext = spark.sql("DESCRIBE TABLE EXTENDED dss_nation_stats").collect()
+    # table names are uuid-suffixed per invocation now — the GC ring in
+    # io records the newest batch last
+    from data_service_spark.io import _TABLE_GC
+
+    tbl = _TABLE_GC["a_cbo_stats"][-1][0]
+    ext = spark.sql(f"DESCRIBE TABLE EXTENDED {tbl}").collect()
     stats = [r.data_type for r in ext if r.col_name == "Statistics"]
     assert stats and "rows" in stats[0], ext
     # The stats-costed plan still broadcasts the dimension side.

@@ -197,3 +197,25 @@ def test_kafka_shaped_wrapper_contract(spark, sf_dir):
         assert sorted(offs) == list(range(len(offs)))
     payload = json.loads(bytes(rows[0].value).decode())
     assert {"event_id", "event_type", "user_id", "ts_us"} <= set(payload)
+
+
+def test_fresh_tables_gc_ring(spark):
+    """io.fresh_tables: uuid-suffixed per-invocation names, and batches
+    older than the keep-window are dropped from the catalog (no warehouse
+    leak) while the newest batches stay live for in-flight consumers."""
+    from data_service_spark.io import _TABLE_GC, _TABLE_GC_KEEP, fresh_tables
+
+    _TABLE_GC.pop("gc_probe", None)
+    created = []
+    for _ in range(_TABLE_GC_KEEP + 2):
+        (tbl,) = fresh_tables(spark, "gc_probe", "dss_gc_probe")
+        spark.sql(f"CREATE TABLE {tbl} USING parquet AS SELECT 1 AS x")
+        created.append(tbl)
+    assert len(set(created)) == len(created)  # never a name collision
+    live = {t.name for t in spark.catalog.listTables()
+            if t.name.startswith("dss_gc_probe")}
+    assert live == set(created[-_TABLE_GC_KEEP:])
+    # cleanup
+    for t in live:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    _TABLE_GC.pop("gc_probe", None)
