@@ -20,10 +20,13 @@ from data_service_spark.registry import register
 
 
 def _tmpdir(tag: str) -> str:
-    """Stable-per-process scratch dir for sink roundtrips."""
+    """Stable-per-process scratch dir for sink roundtrips. The pid suffix
+    makes every sink path process-private, so a concurrently-running
+    second session (driver verify + builder bench on the same host) can
+    never overwrite a path this process is mid-read on."""
     base = os.path.join(tempfile.gettempdir(), "data_service_spark_sinks")
     os.makedirs(base, exist_ok=True)
-    return os.path.join(base, tag)
+    return os.path.join(base, f"{tag}_p{os.getpid()}")
 
 
 @register("a_scan_parquet", oracle="SELECT * FROM lineitem")

@@ -1404,7 +1404,9 @@ def i_idempotent_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     base = os.path.join(
-        tempfile.gettempdir(), "data_service_spark_sinks", "idempotent"
+        tempfile.gettempdir(),
+        "data_service_spark_sinks",
+        f"idempotent_p{os.getpid()}",
     )
     shutil.rmtree(base, ignore_errors=True)
     os.makedirs(base, exist_ok=True)
