@@ -601,3 +601,36 @@ def test_lof_grid_no_broadcast_no_collect(spark, sf_dir):
     assert "BroadcastExchange" not in plan
     assert "CollectLimit" not in plan
     assert "collect_list" not in plan
+
+
+def test_pagerank_broadcasts_ranks_over_checkpointed_edges(spark, sf_dir):
+    """k_graph_pagerank's scale claims (r05 judge plan audit): the rank
+    vector joins the edge list via broadcast-hash (never a sort-merge
+    shuffle of the edges per iteration), and the edge list itself is
+    localCheckpointed once (ExistingRDD scan) instead of being re-derived
+    from the corpus in every unrolled iteration."""
+    plan = plan_of(QUERIES["k_graph_pagerank"](spark, sf_dir), "simple")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "ExistingRDD" in plan
+
+
+def test_kcore_peels_from_checkpoints_no_cartesian(spark, sf_dir):
+    """k_graph_kcore materializes each peel round (ExistingRDD) so the
+    final plan joins the LAST round's survivor sets instead of an
+    exponentially-inlined CTE chain, and no peel step degenerates into a
+    cartesian product."""
+    plan = plan_of(QUERIES["k_graph_kcore"](spark, sf_dir), "simple")
+    assert "ExistingRDD" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bands_sweep_single_signature_build(spark, sf_dir):
+    """k_dedup_bands_sweep's ONE-signature-build claim: the three banding
+    configs fan out from a checkpointed signature table (ExistingRDD) —
+    re-deriving shingle minhashes per config would show three parquet
+    scans of documents instead — and no config pairing is a cartesian."""
+    plan = plan_of(QUERIES["k_dedup_bands_sweep"](spark, sf_dir), "simple")
+    assert "ExistingRDD" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Scan parquet") <= 2  # truth join may rescan docs once
