@@ -283,3 +283,35 @@ def test_explain_refuses_catalog_mutating_keys(service):
     # side-effect-free keys still explain fine
     out = call(service, "/explain", {"query": "b_filter_simple"})
     assert "Physical Plan" in out.get("plan", "") or out.get("plan")
+
+
+def test_concurrent_effectful_query_requests(service):
+    """Two catalog-writing keys running simultaneously over /query must
+    both succeed — the uuid-suffixed per-invocation table names mean
+    neither can DROP or overwrite the other's tables mid-flight (the
+    race the old fixed dss_* names allowed)."""
+    import threading
+
+    results: dict[str, object] = {}
+
+    def run(name: str, key: str) -> None:
+        try:
+            results[name] = call(service, "/query", {"key": key})
+        except Exception as exc:  # noqa: BLE001 — assert below
+            results[name] = exc
+
+    threads = [
+        threading.Thread(target=run, args=(f"{key}-{i}", key))
+        for i, key in enumerate(
+            ("q_ctas_insert", "a_sink_table", "q_ctas_insert")
+        )
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=180)
+    for name, out in results.items():
+        assert not isinstance(out, Exception), (name, out)
+    assert results["q_ctas_insert-0"]["row_count"] == 5
+    assert results["a_sink_table-1"]["row_count"] == 25
+    assert results["q_ctas_insert-2"]["row_count"] == 5
