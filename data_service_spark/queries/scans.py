@@ -20,13 +20,21 @@ from data_service_spark.registry import register
 
 
 def _tmpdir(tag: str) -> str:
-    """Stable-per-process scratch dir for sink roundtrips. The pid suffix
-    makes every sink path process-private, so a concurrently-running
+    """Stable-per-process scratch dir for sink roundtrips. The per-pid
+    root makes every sink path process-private, so a concurrently-running
     second session (driver verify + builder bench on the same host) can
-    never overwrite a path this process is mid-read on."""
-    base = os.path.join(tempfile.gettempdir(), "data_service_spark_sinks")
-    os.makedirs(base, exist_ok=True)
-    return os.path.join(base, f"{tag}_p{os.getpid()}")
+    never overwrite a path this process is mid-read on; the root is
+    removed atexit so repeated sessions don't accumulate litter."""
+    base = os.path.join(
+        tempfile.gettempdir(), "data_service_spark_sinks", f"p{os.getpid()}"
+    )
+    if not os.path.isdir(base):
+        import atexit
+        import shutil
+
+        os.makedirs(base, exist_ok=True)
+        atexit.register(shutil.rmtree, base, ignore_errors=True)
+    return os.path.join(base, tag)
 
 
 @register("a_scan_parquet", oracle="SELECT * FROM lineitem")

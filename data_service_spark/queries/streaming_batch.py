@@ -1403,11 +1403,9 @@ def i_idempotent_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_event_stream,
     )
 
-    base = os.path.join(
-        tempfile.gettempdir(),
-        "data_service_spark_sinks",
-        f"idempotent_p{os.getpid()}",
-    )
+    from data_service_spark.queries.scans import _tmpdir
+
+    base = _tmpdir("idempotent")
     shutil.rmtree(base, ignore_errors=True)
     os.makedirs(base, exist_ok=True)
     # stream from a copy of the events parquet (a file-source dir we own)

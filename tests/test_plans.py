@@ -247,13 +247,10 @@ def test_zorder_files_cluster_both_dims(spark, sf_dir):
         "overwrite"
     ).save()
     import os
-    import tempfile
 
-    path = os.path.join(
-        tempfile.gettempdir(),
-        "data_service_spark_sinks",
-        f"orders_zorder_{os.getpid()}",
-    )
+    from data_service_spark.queries.scans import _tmpdir
+
+    path = _tmpdir(f"orders_zorder_{os.getpid()}")
     from pyspark.sql import functions as F
 
     per_file = (
