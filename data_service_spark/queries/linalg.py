@@ -688,8 +688,9 @@ def k_embed_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     inside int64 for corpora to ~380k vectors even in the worst case of
     a fully-aligned corpus (mean cos = 1.0) — squaring the raw 1e-6
     sums would wrap silently past ~10-20k vectors (non-ANSI Spark)
-    while DuckDB errors. ``sum_norm2`` (Σ‖v‖² at 1e-12) bounds at
-    ~140k unit vectors; beyond that, drop to a 1e-4 component grid.
+    while DuckDB errors. ``sum_norm2`` (Σ‖v‖² at 1e-12, = n·1e12 for
+    unit vectors) bounds at ~9M vectors; beyond that, drop its
+    accumulation to a 1e-4 component grid.
     Scale shape: one explode over the 64-dim spine (map-side partial
     sums) + one per-vector array fold — no pair join, no shuffle
     beyond the 64-row reduce."""
