@@ -445,10 +445,14 @@ def k_text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     in for an eval suite) — the decontamination gate run before training.
 
     The benchmark gram set is tiny relative to the corpus, so the membership
-    probe is a BROADCAST semi-join against the exploded candidate grams: the
-    100 TB side streams once, never shuffles. Grams join as xxhash64 ints
-    (same trick as the dedup miners); the hit count re-aggregates per doc on
-    the already-partitioned doc_id key.
+    probe is a BROADCAST left join against the exploded candidate grams: the
+    100 TB side streams once, never shuffles, and ONE doc_id aggregate
+    counts grams and hits together (a size(words) >= 8 doc always has ≥ 1
+    gram, so no candidate is lost to the explode). Grams join as xxhash64
+    ints (same trick as the dedup miners). The single-explode shape also
+    evaluates the interpreted shingle lambda exactly once per candidate —
+    the previous two-branch form (hits from the explode, n_grams from the
+    grams array) recomputed it for the final join (2.3 → 1.0 s at sf0.1).
     """
     d = load_parallel(spark, sf_dir, "documents", "doc_id")
     grams8 = (
@@ -461,24 +465,25 @@ def k_text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode(F.expr(grams8)).alias("g"))
         .distinct()
     )
-    cand = (
+    ex = (
         with_grams.filter((F.col("doc_id") >= 10) & (F.size("words") >= 8))
-        .select("doc_id", F.expr(grams8).alias("grams"))
+        .select("doc_id", F.explode(F.expr(grams8)).alias("g"))
     )
-    ex = cand.select("doc_id", F.explode("grams").alias("g"))
-    hits = (
-        ex.join(F.broadcast(bench), "g")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_hit"))
+    marked = ex.join(
+        F.broadcast(bench.withColumn("hit", F.lit(1))), "g", "left"
     )
     return (
-        cand.join(hits, "doc_id", "left")
+        marked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_grams"),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_hit"),
+        )
         .select(
             "doc_id",
-            F.size("grams").alias("n_grams"),
-            F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+            "n_grams",
+            "n_hit",
             F.round(
-                F.coalesce("n_hit", F.lit(0)) * F.lit(1.0) / F.size("grams"), 4
+                F.col("n_hit") * F.lit(1.0) / F.col("n_grams"), 4
             ).alias("contam_ratio"),
         )
     )
