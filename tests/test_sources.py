@@ -219,3 +219,41 @@ def test_fresh_tables_gc_ring(spark):
     for t in live:
         spark.sql(f"DROP TABLE IF EXISTS {t}")
     _TABLE_GC.pop("gc_probe", None)
+
+
+def test_fresh_tables_orphan_sweep_and_exit_drop(spark, tmp_path):
+    """The cross-process leak controls around fresh_tables: (1) the
+    age-gated orphan sweep removes ONLY hour-old uuid-pattern dirs that
+    are not in the catalog — fresh dirs, non-matching names, and live
+    tables survive; (2) the atexit hook drops every ring-resident table
+    so a cleanly-exiting process strands nothing."""
+    import os
+    import time
+
+    from data_service_spark import io as dio
+
+    wh = spark.conf.get("spark.sql.warehouse.dir", "").removeprefix("file:")
+    old = os.path.join(wh, "dss_orphan_probe_abcdef012345")
+    young = os.path.join(wh, "dss_orphan_probe_fedcba543210")
+    unmatched = os.path.join(wh, "keepme_not_a_uuid_table")
+    for d in (old, young, unmatched):
+        os.makedirs(d, exist_ok=True)
+    hour_ago = time.time() - dio._ORPHAN_MIN_AGE_S - 60
+    os.utime(old, (hour_ago, hour_ago))
+    dio._sweep_orphan_tables(spark)
+    assert not os.path.exists(old), "hour-old orphan must be swept"
+    assert os.path.exists(young), "young dir may be a live concurrent table"
+    assert os.path.exists(unmatched), "non-uuid names are never touched"
+
+    dio._TABLE_GC.pop("exit_probe", None)
+    (tbl,) = dio.fresh_tables(spark, "exit_probe", "dss_exit_probe")
+    spark.sql(f"CREATE TABLE {tbl} USING parquet AS SELECT 1 AS x")
+    assert spark.catalog.tableExists(tbl)
+    dio._drop_gc_tables_at_exit()
+    assert not spark.catalog.tableExists(tbl)
+    assert not os.path.exists(os.path.join(wh, tbl))
+
+    # cleanup
+    for d in (young, unmatched):
+        os.rmdir(d)
+    dio._TABLE_GC.pop("exit_probe", None)
