@@ -2655,16 +2655,19 @@ def k_eval_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------- Bradley-Terry strengths ----
 
 
+# Nested WITH keeps the sess aggregate SINGLE in the DuckDB oracle (it
+# materializes multi-referenced CTEs, so the self-join reads one pass);
+# Spark runs this fragment standalone once and checkpoints the result.
 _BT_DUEL_SQL = """
+      WITH sess AS (
+        SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS d,
+               event_type, count(*) AS c
+        FROM events GROUP BY 1, 2, 3
+      )
       SELECT a.event_type AS i, b.event_type AS j,
              sum(CASE WHEN a.c > b.c THEN 1 ELSE 0 END) AS w_ij,
              sum(CASE WHEN a.c < b.c THEN 1 ELSE 0 END) AS w_ji
-      FROM (SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS d,
-                   event_type, count(*) AS c
-            FROM events GROUP BY 1, 2, 3) a
-      JOIN (SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS d,
-                   event_type, count(*) AS c
-            FROM events GROUP BY 1, 2, 3) b
+      FROM sess a JOIN sess b
         ON a.user_id = b.user_id AND a.d = b.d
        AND a.event_type < b.event_type
       GROUP BY 1, 2
@@ -2734,11 +2737,19 @@ def k_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-reference CTE inlining otherwise recomputes the events self-join
     ~6× (measured 2.8 → 1.7 s at sf0.1); the DuckDB oracle keeps the
     single WITH-chain because it materializes multi-referenced CTEs."""
+    import uuid
+
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
-    spark.sql(_BT_DUEL_SQL).localCheckpoint().createOrReplaceTempView(
-        "dss_bt_duel"
-    )
-    return spark.sql(_bt_fit_sql("SELECT * FROM dss_bt_duel"))
+    # uuid-suffixed view: two concurrent invocations must not swap each
+    # other's checkpoint (the registry-wide convention from q_ctas_insert);
+    # spark.sql resolves the view at analysis time, so dropping it after
+    # building the fit DataFrame is safe for the returned lazy plan.
+    view = f"dss_bt_duel_{uuid.uuid4().hex[:12]}"
+    spark.sql(_BT_DUEL_SQL).localCheckpoint().createOrReplaceTempView(view)
+    try:
+        return spark.sql(_bt_fit_sql(f"SELECT * FROM {view}"))
+    finally:
+        spark.catalog.dropTempView(view)
 
 
 def _body_kcore() -> str:

@@ -684,20 +684,25 @@ def q_ctas_insert(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     (tbl,) = fresh_tables(spark, "q_ctas_insert", "dss_ctas_nation")
     src = f"nation_src_{tbl.rsplit('_', 1)[1]}"
     load(spark, sf_dir, "nation").createOrReplaceTempView(src)
-    spark.sql(
-        f"CREATE TABLE {tbl} USING parquet AS "
-        f"SELECT n_nationkey, n_regionkey FROM {src}"
-    )
-    spark.sql(
-        f"INSERT INTO {tbl} SELECT n_nationkey, n_regionkey FROM {src}"
-    )
-    return spark.sql(
-        f"""
-        SELECT n_regionkey, count(*) AS n_nations,
-               sum(n_nationkey) AS key_sum
-        FROM {tbl} GROUP BY n_regionkey
-        """
-    )
+    try:
+        spark.sql(
+            f"CREATE TABLE {tbl} USING parquet AS "
+            f"SELECT n_nationkey, n_regionkey FROM {src}"
+        )
+        spark.sql(
+            f"INSERT INTO {tbl} SELECT n_nationkey, n_regionkey FROM {src}"
+        )
+        return spark.sql(
+            f"""
+            SELECT n_regionkey, count(*) AS n_nations,
+                   sum(n_nationkey) AS key_sum
+            FROM {tbl} GROUP BY n_regionkey
+            """
+        )
+    finally:
+        # the view resolved at analysis time; dropping it keeps repeated
+        # invocations from accumulating per-uuid views in the catalog
+        spark.catalog.dropTempView(src)
 
 
 @register(
@@ -1002,6 +1007,9 @@ def q_tpch_refresh(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     filesystem cleanup (no rmtree on config-derived paths)."""
     import uuid as _uuid
 
+    from data_service_spark.io import sweep_orphans_once
+
+    sweep_orphans_once(spark)  # reclaim a crashed predecessor's dss_rf_* dirs
     sfx = _uuid.uuid4().hex[:12]
     src = f"dss_rf_src_{sfx}"
     t1 = f"dss_rf_orders_{sfx}"
