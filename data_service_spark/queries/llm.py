@@ -1229,6 +1229,67 @@ def k_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# A rank vector of doubles keyed by packed-long node ids is ~16 B/row;
+# past this many nodes (~80 MB serialized) broadcasting it every
+# iteration stops being the cheap side and the iteration flips to the
+# pre-partitioned shuffle regime below.
+PAGERANK_BROADCAST_MAX_NODES = 5_000_000
+
+
+def pagerank_ranks(
+    spark: SparkSession, edges: DataFrame, partitioned: bool | None = None
+) -> tuple[DataFrame, int]:
+    """Three damped PageRank iterations over an (src, dst) edge list in
+    packed-long ids, returning (ranks, n_nodes). Two physical regimes,
+    same algebra — dispatch on node count like ``sim_pairs``:
+
+    - broadcast (n_nodes ≤ ``PAGERANK_BROADCAST_MAX_NODES``): the edge
+      list with 1/deg weights localCheckpoints once and every iteration
+      broadcasts the rank vector — the 2|E|-row side never re-shuffles.
+    - partitioned (above the threshold, or forced via ``partitioned=``):
+      the weighted edge list pre-partitions on src BEFORE its checkpoint
+      (LogicalRDD keeps the partitioning, so no iteration re-exchanges
+      it) and each iteration's groupBy(dst) leaves the new rank vector
+      hash-partitioned on the next join key — exactly ONE exchange per
+      iteration, nothing broadcast, nothing collected.
+    """
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    ewd = edges.join(deg, "src").select(
+        "src", "dst", (F.lit(1.0) / F.col("d")).alias("inv")
+    )
+    if partitioned:
+        ewd = ewd.repartition(F.col("src"))
+    # Checkpoint the weighted edge list FIRST — the degree join happens
+    # once, and the node spine + count below derive from the pinned RDD
+    # instead of re-running the edge build.
+    ewd = ewd.localCheckpoint()
+    nodes = ewd.select(F.col("src").alias("node")).distinct()
+    # One driver-side scalar (node count) — O(1) result, not a collect of
+    # data rows; both init and the damping term need it as a literal.
+    n_nodes = nodes.count()
+    if partitioned is None:
+        partitioned = n_nodes > PAGERANK_BROADCAST_MAX_NODES
+        if partitioned:
+            # rank vector too big to broadcast: re-pin the edge list in
+            # its pre-partitioned layout (one extra pass, paid once)
+            ewd = ewd.repartition(F.col("src")).localCheckpoint()
+    ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("r"))
+    for _ in range(3):
+        contrib = ewd.join(
+            ranks if partitioned else F.broadcast(ranks),
+            ewd.src == ranks.node,
+        )
+        ranks = (
+            contrib.groupBy("dst")
+            .agg(F.sum(F.col("r") * F.col("inv")).alias("s"))
+            .select(
+                F.col("dst").alias("node"),
+                (F.lit(0.15 / n_nodes) + F.lit(0.85) * F.col("s")).alias("r"),
+            )
+        )
+    return ranks, n_nodes
+
+
 @register(
     "k_graph_pagerank",
     oracle="""
@@ -1290,10 +1351,16 @@ def k_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders broadcasts into the edge build (no lineitem shuffle); the
     weighted edge list checkpoints ONCE and every iteration broadcasts
     the rank vector (|nodes| ≪ |edges|, the defining ratio of a
-    transaction graph) so the 2|E|-row edge list never re-shuffles. At
-    a scale where ranks outgrow the broadcast threshold, flip the
-    iteration join to shuffle-on-src with the edge list pre-partitioned
-    by src — same algebra, one exchange per iteration.
+    transaction graph) so the 2|E|-row edge list never re-shuffles.
+    Above ``PAGERANK_BROADCAST_MAX_NODES`` the rank vector outgrows a
+    sane broadcast and the iteration DISPATCHES (in code, like
+    ``sim_pairs``' grid regime) to ``pagerank_ranks(partitioned=True)``:
+    the edge list pre-partitions on src before its checkpoint and each
+    iteration's groupBy leaves ranks hash-partitioned on the join key,
+    so every iteration costs exactly ONE exchange and nothing
+    broadcasts (plan-pinned by
+    tests/test_plans.py::test_pagerank_partitioned_no_broadcast; value
+    identity vs the broadcast regime pinned in test_operators.py).
     """
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
@@ -1308,33 +1375,7 @@ def k_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = e0.unionAll(
         e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-    # One checkpointed weighted edge list (src, dst, 1/deg) — the degree
-    # join happens once, not once per iteration; each iteration is then a
-    # single broadcast join + hash aggregate over the pinned RDD.
-    ewd = (
-        edges.join(deg, "src")
-        .select("src", "dst", (F.lit(1.0) / F.col("d")).alias("inv"))
-        .localCheckpoint()
-    )
-    # One driver-side scalar (node count) — O(1) result, not a collect of
-    # data rows; both init and the damping term need it as a literal.
-    n_nodes = ewd.select("src").distinct().count()
-    ranks = (
-        ewd.select(F.col("src").alias("node"))
-        .distinct()
-        .select("node", F.lit(1.0 / n_nodes).alias("r"))
-    )
-    for _ in range(3):
-        ranks = (
-            ewd.join(F.broadcast(ranks), ewd.src == ranks.node)
-            .groupBy("dst")
-            .agg(F.sum(F.col("r") * F.col("inv")).alias("s"))
-            .select(
-                F.col("dst").alias("node"),
-                (F.lit(0.15 / n_nodes) + F.lit(0.85) * F.col("s")).alias("r"),
-            )
-        )
+    ranks, n_nodes = pagerank_ranks(spark, edges)
     half = (F.col("node") / 2).cast("long").cast("string")
     half_s = ((F.col("node") - 1) / 2).cast("long").cast("string")
     return ranks.select(

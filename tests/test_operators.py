@@ -3517,6 +3517,39 @@ def test_sim_pairs_dispatches_on_corpus_size(monkeypatch, spark):
     assert len(calls) == 1
 
 
+def test_pagerank_partitioned_matches_broadcast(spark, sf_dir):
+    """The partitioned PageRank regime must agree with the broadcast
+    regime — same algebra, different physical joins. Double sums may
+    associate differently across the two layouts, so agreement is to
+    1e-9 on the raw ranks (the registered output rounds at 6dp of
+    r*1000, three orders of magnitude coarser)."""
+    from pyspark.sql import functions as F
+
+    from data_service_spark.io import load
+    from data_service_spark.queries.llm import pagerank_ranks
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e0 = (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = e0.unionAll(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    bc, n_bc = pagerank_ranks(spark, edges, partitioned=False)
+    pt, n_pt = pagerank_ranks(spark, edges, partitioned=True)
+    assert n_bc == n_pt
+    want = {r.node: r.r for r in bc.collect()}
+    got = {r.node: r.r for r in pt.collect()}
+    assert set(want) == set(got) and len(want) == n_bc
+    assert max(abs(want[k] - got[k]) for k in want) < 1e-9
+
+
 def test_privacy_index_conformal_batch(spark, sf_dir):
     """Round-5 additions: t-closeness audit recomputes from raw counts;
     IVF balance shares telescope to ~1e6 ppm with consistent flags;

@@ -612,6 +612,36 @@ def test_pagerank_broadcasts_ranks_over_checkpointed_edges(spark, sf_dir):
     assert "ExistingRDD" in plan
 
 
+def test_pagerank_partitioned_no_broadcast(spark, sf_dir):
+    """The partitioned PageRank regime (ranks outgrow broadcast): the
+    edge list pre-partitions on src before its checkpoint and the
+    iteration join must not broadcast either side — the scale flip is
+    code with a pinned plan, not a docstring (the sim_pairs precedent)."""
+    from pyspark.sql import functions as F
+
+    from data_service_spark.io import load
+    from data_service_spark.queries.llm import pagerank_ranks
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e0 = (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = e0.unionAll(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    ranks, n = pagerank_ranks(spark, edges, partitioned=True)
+    plan = plan_of(ranks, "simple")
+    assert "BroadcastHashJoin" not in plan
+    assert "ExistingRDD" in plan  # pre-partitioned checkpointed edge list
+    assert n > 0
+
+
 def test_kcore_peels_from_checkpoints_no_cartesian(spark, sf_dir):
     """k_graph_kcore materializes each peel round (ExistingRDD) so the
     final plan joins the LAST round's survivor sets instead of an
