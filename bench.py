@@ -97,11 +97,19 @@ def main() -> None:
         (F.col("id") % 7).alias("k"), F.col("id").alias("v")
     )
     warm_w = Window.partitionBy("k").orderBy("v")
+    # rangeBetween compiles a different window-exec path than the row
+    # frame; without it the first RANGE-frame key pays the JIT
+    # (e_win_range_frame read 3.9 s cold vs 2.8 s steady in BENCH_r06).
+    warm_r = Window.partitionBy("k").orderBy("v").rangeBetween(-5, 5)
     (
         warm.groupBy("k")
         .agg(F.sum("v").alias("s"))
         .join(warm, "k")
-        .select("k", "v", "s", F.row_number().over(warm_w).alias("rn"))
+        .select(
+            "k", "v", "s",
+            F.row_number().over(warm_w).alias("rn"),
+            F.sum("v").over(warm_r).alias("rsum"),
+        )
         .orderBy("k", "rn")
         .limit(100)
     ).write.format("noop").mode("overwrite").save()
