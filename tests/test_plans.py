@@ -612,6 +612,29 @@ def test_pagerank_broadcasts_ranks_over_checkpointed_edges(spark, sf_dir):
     assert "ExistingRDD" in plan
 
 
+def test_contamination_single_candidate_scan(spark, sf_dir):
+    """k_text_contamination evaluates the candidate shingle lambda ONCE:
+    one candidate-side scan of documents feeding a broadcast LEFT join
+    and a single doc_id aggregate (the round-6 restructure — the old
+    branch-and-rejoin shape re-scanned candidates and re-ran the lambda
+    for the final join). The bench side scans once more (doc_id < 10,
+    pruned)."""
+    plan = plan_of(QUERIES["k_text_contamination"](spark, sf_dir), "simple")
+    assert plan.count("Scan parquet") <= 2  # one candidate + one bench scan
+    assert "BroadcastHashJoin" in plan and "LeftOuter" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_bradley_terry_fits_from_checkpoint(spark, sf_dir):
+    """k_bradley_terry's MM iterations read the checkpointed duel spine
+    (ExistingRDD), never re-running the events self-join per pairs
+    reference — the measured 2.8 -> 1.7 s round-6 fix. Events appears in
+    the plan ZERO times (the fit is entirely post-checkpoint)."""
+    plan = plan_of(QUERIES["k_bradley_terry"](spark, sf_dir), "simple")
+    assert "ExistingRDD" in plan
+    assert "Scan parquet" not in plan and "FileScan" not in plan
+
+
 def test_pagerank_partitioned_no_broadcast(spark, sf_dir):
     """The partitioned PageRank regime (ranks outgrow broadcast): the
     edge list pre-partitions on src before its checkpoint and the
