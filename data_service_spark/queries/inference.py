@@ -74,6 +74,13 @@ def k_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     because midrank sums are exact half-integer arithmetic. Compare H to
     χ²(k−1): 9.49 at α=.05 for k=5.
 
+    Integer bounds (the isotropy overflow class — DuckDB widens, Spark
+    wraps): half-integer rank sums stay exact in doubles to 2⁵² total
+    rank mass (N ≲ 9×10⁷ rows), and the BIGINT tie term t³−t wraps when
+    ONE value repeats ≳ 2×10⁶ times; past either, rank on a coarser
+    value quantization (fewer distinct values shrink ranks AND ties are
+    exact per group).
+
     Scale shape: one global rank window (single sort-shuffle, the honest
     cost of a rank test) then a 5-row aggregate."""
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
@@ -318,9 +325,14 @@ def k_permutation_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _body_welch() -> str:
+    # cents quantize at 1e-2, not 1e-4: the SQUARED sum q_i is the int64
+    # governor (cents² ≤ ~3.1e9 at this corpus's value range, so the
+    # pipeline stays exact to ~10⁹ rows per arm; at 1e-4 it wrapped past
+    # ~10⁵–10⁸ rows — the k_embed_isotropy overflow class, where DuckDB
+    # widens to HUGEINT and Spark silently wraps, silently diverging).
     return """
     WITH q AS (
-      SELECT event_type, CAST(round(value * 10000) AS BIGINT) AS cents
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
       FROM events WHERE event_type IN ('purchase', 'view')
     ), s AS (
       SELECT count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n1,
@@ -339,7 +351,7 @@ def _body_welch() -> str:
       FROM s
     )
     SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
-           CAST(round(md / 10000.0, 6) + 0.0 AS DOUBLE) AS mean_diff,
+           CAST(round(md / 100.0, 6) + 0.0 AS DOUBLE) AS mean_diff,
            CAST(round(md / sqrt(se1 + se2), 6) + 0.0 AS DOUBLE) AS t_stat,
            CAST(round((se1 + se2) * (se1 + se2)
                  / (se1 * se1 / (n1 - 1) + se2 * se2 / (n2 - 1)), 2) + 0.0
@@ -354,9 +366,13 @@ def k_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the Welch–Satterthwaite degrees of freedom — the default
     two-sample test (pooled-variance Student's t silently assumes equal
     variances; Welch never does worse). All moments accumulate as exact
-    integer ten-thousandths so the statistic is identical under any
-    partial-aggregation order; |t| ≥ 1.96 rejects at α=.05 for these df.
-    The effect-size companion is ``k_cohens_d``.
+    integer CENTS so the statistic is identical under any
+    partial-aggregation order AND the squared sums stay inside int64 to
+    ~10⁹ rows per arm (quantizing at 1e-4 was order-proof but wrapped
+    the cents² sum past ~10⁵–10⁸ rows — the isotropy overflow class:
+    DuckDB widens to HUGEINT, Spark silently wraps, engines diverge);
+    |t| ≥ 1.96 rejects at α=.05 for these df. The effect-size companion
+    is ``k_cohens_d``.
 
     Scale shape: one conditional aggregate, map-side partials."""
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
@@ -404,7 +420,11 @@ def k_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     accumulated per DISTINCT value in doubled units (2·R₁ =
     Σ t₁·(2·cum_before + t + 1)), so every intermediate is an exact
     integer; U and the tie-corrected normal-approximation z fall out of
-    one final division. |z| ≥ 1.96 rejects at α=.05.
+    one final division. |z| ≥ 1.96 rejects at α=.05. Integer bounds: the
+    doubled rank sum is ≤ ~2N², inside int64 to N ≈ 2×10⁹ rows, and the
+    BIGINT tie term t³−t wraps when one value repeats ≳ 2×10⁶ times
+    (the isotropy overflow class — DuckDB widens to HUGEINT, Spark
+    silently wraps); past either bound, coarsen the value grid first.
 
     Scale shape: groupBy(value) collapses the fact table to its distinct
     values map-side, one ordered window over that (small) spine, then a

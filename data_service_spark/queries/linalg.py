@@ -519,7 +519,10 @@ def k_embed_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
     (x−μ)/σ per column, whose parameters are exactly these two numbers).
     Per-vector norms are ``k_embed_norm_audit``'s view; this is the
     transposed, per-column one. Cell values quantize to integer micros
-    before the power sums, so the moments are accumulation-order-proof.
+    before the power sums, so the moments are accumulation-order-proof —
+    and x² ≤ 10¹² per cell keeps Σx² inside int64 to ~9×10⁶ vectors per
+    dimension (the ``k_embed_isotropy`` overflow class; past that,
+    re-quantize cells to 1e-3, which reaches ~9×10¹² vectors).
 
     Scale shape: the explode is 64 rows per vector but aggregates
     map-side to 64 groups — the shuffle carries 64×partials, independent

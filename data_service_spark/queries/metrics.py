@@ -3035,7 +3035,14 @@ def k_ols_multifeature(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: both engines evaluate the SAME expression tree over the
     same exact integers; IEEE double ops are correctly rounded, so the
-    results are bit-identical before the final 4dp/2dp rounds."""
+    results are bit-identical before the final 4dp/2dp rounds.
+
+    Integer bound (the isotropy overflow class): the largest BIGINT
+    cross-moment, Σ x₁·y ≤ n·5×10⁸ at this schema's ranges, stays
+    inside int64 to ~1.8×10¹⁰ lineitem rows (≈ TPC-H SF3000); past
+    that, promote the two price cross-moments to DOUBLE in the partial
+    aggregate (the d²-spine merge and solve are unchanged — the exact
+    path needs only the test-scale corpora)."""
     load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(_body_ols2())
 

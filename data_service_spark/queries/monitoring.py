@@ -348,7 +348,7 @@ def k_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH daily AS (
       SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
-             sum(CAST(round(value * 10000) AS BIGINT)) AS cents
+             sum(CAST(round(value * 100) AS BIGINT)) AS cents
       FROM events GROUP BY 1, 2
     ), win AS (
       SELECT event_type, day, cents,
@@ -360,8 +360,8 @@ def k_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
                    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
     )
     SELECT event_type, day, CAST(cents AS BIGINT) AS cents,
-           CAST(floor(s1 * 10.0 / n) AS BIGINT) AS mean7_tenths,
-           CAST(floor(sqrt((s2 - s1 * 1.0 * s1 / n) / (n - 1)) * 10.0)
+           CAST(floor(s1 * 1000.0 / n) AS BIGINT) AS mean7_tenths,
+           CAST(floor(sqrt((s2 - s1 * 1.0 * s1 / n) / (n - 1)) * 1000.0)
              AS BIGINT) AS sd7_tenths,
            (n >= 7 AND abs(cents - s1 * 1.0 / n)
               > 2.0 * sqrt((s2 - s1 * 1.0 * s1 / n) / (n - 1))) AS breach
@@ -374,9 +374,16 @@ def e_win_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
     window is full — the rolling two-sided control chart between the
     global z-score (`k_anomaly_zscore`) and the robust Hampel repair
     (`e_win_hampel_repair`). All window sums run over exact integer
-    ten-thousandths (never floats), so the rolling moments are identical
-    under any accumulation order — the e_win_vwap lesson; outputs are
-    floor-quantized tenths.
+    CENTS (never floats), so the rolling moments are identical under any
+    accumulation order — the e_win_vwap lesson; outputs are
+    floor-quantized tenths (scale factors adjusted to the cent grid).
+    Cents, not ten-thousandths, because the SQUARED daily-mass sum is
+    the int64 governor: a daily mass past ~3×10⁹ quantization units
+    wraps cents², which at 1e-4 units was ~6k purchase-level events/day
+    — the isotropy overflow class (DuckDB widens to HUGEINT, Spark
+    silently wraps). At 1e-2 units the same wrap needs ~10⁷ events/day
+    per type at this value range; past that, re-quantize the daily mass
+    to whole units before squaring.
 
     Scale shape: one map-side daily rollup, then windows over the
     |types|×|days| spine — corpus rows cross one shuffle.
@@ -385,7 +392,7 @@ def e_win_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.groupBy(
         "event_type",
         F.date_trunc("day", "ts").cast("date").alias("day"),
-    ).agg(F.sum(F.round(F.col("value") * 10000).cast("long")).alias("cents"))
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
     w = (
         Window.partitionBy("event_type")
         .orderBy("day")
@@ -408,10 +415,10 @@ def e_win_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "day",
         F.col("cents").cast("long"),
-        F.floor(F.col("s1") * 10.0 / F.col("n")).cast("long").alias(
+        F.floor(F.col("s1") * 1000.0 / F.col("n")).cast("long").alias(
             "mean7_tenths"
         ),
-        F.floor(sd * 10.0).cast("long").alias("sd7_tenths"),
+        F.floor(sd * 1000.0).cast("long").alias("sd7_tenths"),
         (
             (F.col("n") >= 7)
             & (F.abs(F.col("cents") - mean) > 2.0 * sd)
@@ -555,7 +562,7 @@ def e_win_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.groupBy(
         "event_type",
         F.date_trunc("day", "ts").cast("date").alias("day"),
-    ).agg(F.sum(F.round(F.col("value") * 10000).cast("long")).alias("cents"))
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
     wl = Window.partitionBy("event_type").orderBy("day")
     delta = daily.select(
         "event_type",
