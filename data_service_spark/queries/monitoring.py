@@ -559,10 +559,12 @@ def e_win_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
     dimension-sized spine.
     """
     ev = load(spark, sf_dir, "events")
+    # 1e-4 grid is fine HERE: RSI sums are linear in the daily mass (no
+    # squared term, unlike e_win_bollinger's cents-grid governor).
     daily = ev.groupBy(
         "event_type",
         F.date_trunc("day", "ts").cast("date").alias("day"),
-    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+    ).agg(F.sum(F.round(F.col("value") * 10000).cast("long")).alias("cents"))
     wl = Window.partitionBy("event_type").orderBy("day")
     delta = daily.select(
         "event_type",
