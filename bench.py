@@ -295,8 +295,19 @@ def main() -> None:
         line["n_retimed"] = len(variance_retimed)
     if failures:
         line["failures"] = {k: v[:60] for k, v in list(failures.items())[:5]}
+    # Never outgrow the driver's ~2000-char tail buffer — but shed the
+    # DIAGNOSTIC payload first, not the headline timings (a contended run
+    # once produced 39 cold outliers, whose full dict evicted the whole
+    # queries dict from BENCH_rNN). Full detail always lands in
+    # bench_full.json regardless.
     out = json.dumps(line, separators=(",", ":"))
-    if len(out) > 1900:  # never outgrow the driver's tail buffer again
+    if len(out) > 1900 and line.get("cold_outliers"):
+        worst = sorted(
+            line["cold_outliers"].items(), key=lambda kv: -kv[1]
+        )[:8]
+        line["cold_outliers"] = dict(worst)
+        out = json.dumps(line, separators=(",", ":"))
+    if len(out) > 1900:
         line["queries"] = {}
         out = json.dumps(line, separators=(",", ":"))
     print(out)
