@@ -3606,6 +3606,73 @@ def k_sim_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Edge lists mined from a fact table this large carry node-sized score
+# vectors past the sane broadcast bound; the dispatch reads the parquet
+# footer (free) rather than paying a node count before choosing.
+HITS_BROADCAST_MAX_FACT_ROWS = 50_000_000
+
+
+def _fact_rows(sf_dir: str) -> int:
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(
+        os.path.join(sf_dir, "lineitem.parquet")
+    ).metadata.num_rows
+
+
+def hits_auth_scores(
+    spark: SparkSession, e0: DataFrame, partitioned: bool
+) -> DataFrame:
+    """One unrolled HITS iteration (auth₀=degree → hub₁ → auth₂) over an
+    (src, dst) edge list, ppm-quantized between half-iterations. Two
+    physical regimes, same integer algebra — so the regimes agree
+    bit-for-bit:
+
+    - broadcast: the checkpointed edge list joins the (tiny) score
+      vector via broadcast each half-iteration.
+    - partitioned (ranks outgrow broadcast): the forward/reverse
+      adjacency layout — ONE edge copy pre-partitioned by dst and one
+      by src, both checkpointed — makes every propagation join
+      co-partitioned with the score vector the PREVIOUS groupBy already
+      hash-partitioned on that key; each half-iteration costs exactly
+      one exchange and nothing node-sized is broadcast or collected.
+      (The 1-row max used by the ppm normalization stays a scalar
+      broadcast — attaching a scalar is the correct shape at any
+      scale.)
+    """
+    if partitioned:
+        e_by_dst = e0.repartition(F.col("dst")).localCheckpoint()
+        e_by_src = e0.repartition(F.col("src")).localCheckpoint()
+    else:
+        e_by_dst = e_by_src = e0.localCheckpoint()
+
+    def _norm(df: DataFrame, key: str, val: str) -> DataFrame:
+        mx = df.agg(F.max(val).alias("mx"))
+        return df.crossJoin(F.broadcast(mx)).select(
+            key,
+            F.floor(F.col(val).cast("double") * 1000000 / F.col("mx"))
+            .cast("long")
+            .alias(val),
+        )
+
+    def _join(edges: DataFrame, scores: DataFrame, key: str) -> DataFrame:
+        return edges.join(scores if partitioned else F.broadcast(scores), key)
+
+    a1 = _norm(
+        e_by_dst.groupBy("dst").agg(F.count(F.lit(1)).alias("a")), "dst", "a"
+    )
+    h1 = _norm(
+        _join(e_by_dst, a1, "dst").groupBy("src").agg(F.sum("a").alias("h")),
+        "src",
+        "h",
+    )
+    return _norm(
+        _join(e_by_src, h1, "src").groupBy("dst").agg(F.sum("h").alias("a")),
+        "dst",
+        "a",
+    )
+
+
 @register(
     "k_graph_hits",
     oracle="""
@@ -3655,7 +3722,15 @@ def k_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the edge list builds once (orders broadcasts into
     lineitem); each half-iteration is one hash aggregate keyed by the
     receiving side with the (tiny) score vector broadcast — identical
-    shuffle budget to one PageRank iteration.
+    shuffle budget to one PageRank iteration. Above
+    ``HITS_BROADCAST_MAX_FACT_ROWS`` the dispatch flips (in code, the
+    ``pagerank_ranks`` pattern) to ``hits_auth_scores(partitioned=
+    True)``: the forward/reverse adjacency layout — one edge copy
+    pre-partitioned by dst, one by src — makes every propagation join
+    co-partitioned, so each half-iteration still costs exactly ONE
+    exchange with nothing node-sized broadcast (plan- and
+    exact-identity-pinned; scores are integer ppm, so the two regimes
+    agree bit-for-bit).
     """
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
@@ -3666,29 +3741,9 @@ def k_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_suppkey") * 2 + 1).alias("dst"),
         )
         .distinct()
-        .localCheckpoint()
     )
-
-    def _norm(df: DataFrame, key: str, val: str) -> DataFrame:
-        mx = df.agg(F.max(val).alias("mx"))
-        return df.crossJoin(F.broadcast(mx)).select(
-            key,
-            F.floor(F.col(val).cast("double") * 1000000 / F.col("mx"))
-            .cast("long")
-            .alias(val),
-        )
-
-    a1 = _norm(e0.groupBy("dst").agg(F.count(F.lit(1)).alias("a")), "dst", "a")
-    h1 = _norm(
-        e0.join(F.broadcast(a1), "dst").groupBy("src").agg(F.sum("a").alias("h")),
-        "src",
-        "h",
-    )
-    a2 = _norm(
-        e0.join(F.broadcast(h1), "src").groupBy("dst").agg(F.sum("h").alias("a")),
-        "dst",
-        "a",
-    )
+    partitioned = _fact_rows(sf_dir) > HITS_BROADCAST_MAX_FACT_ROWS
+    a2 = hits_auth_scores(spark, e0, partitioned)
     return (
         a2.select(
             ((F.col("dst") - 1) / 2).cast("long").alias("suppkey"),

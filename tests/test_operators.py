@@ -3550,6 +3550,30 @@ def test_pagerank_partitioned_matches_broadcast(spark, sf_dir):
     assert max(abs(want[k] - got[k]) for k in want) < 1e-9
 
 
+def test_hits_partitioned_matches_broadcast(spark, sf_dir):
+    """HITS' two physical regimes must agree BIT-FOR-BIT: every score is
+    an integer ppm quantized between half-iterations, so unlike the
+    PageRank double-tolerance check this is exact equality."""
+    from pyspark.sql import functions as F
+
+    from data_service_spark.io import load
+    from data_service_spark.queries.llm import hits_auth_scores
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e0 = (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    bc = {r.dst: r.a for r in hits_auth_scores(spark, e0, False).collect()}
+    pt = {r.dst: r.a for r in hits_auth_scores(spark, e0, True).collect()}
+    assert bc == pt and len(bc) > 0
+
+
 def test_privacy_index_conformal_batch(spark, sf_dir):
     """Round-5 additions: t-closeness audit recomputes from raw counts;
     IVF balance shares telescope to ~1e6 ppm with consistent flags;

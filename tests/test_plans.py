@@ -665,6 +665,32 @@ def test_pagerank_partitioned_no_broadcast(spark, sf_dir):
     assert n > 0
 
 
+def test_hits_partitioned_no_node_broadcast(spark, sf_dir):
+    """HITS' partitioned regime: the forward/reverse adjacency copies
+    are checkpointed (ExistingRDD) and no node-sized score vector is
+    broadcast-hash-joined — only the 1-row ppm-normalization max rides a
+    broadcast (BroadcastNestedLoopJoin, the accepted scalar-attach
+    shape)."""
+    from pyspark.sql import functions as F
+
+    from data_service_spark.io import load
+    from data_service_spark.queries.llm import hits_auth_scores
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e0 = (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    plan = plan_of(hits_auth_scores(spark, e0, True), "simple")
+    assert "BroadcastHashJoin" not in plan
+    assert "ExistingRDD" in plan
+
+
 def test_kcore_peels_from_checkpoints_no_cartesian(spark, sf_dir):
     """k_graph_kcore materializes each peel round (ExistingRDD) so the
     final plan joins the LAST round's survivor sets instead of an
