@@ -1221,7 +1221,12 @@ def k_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
     singletons = (
         d.select("doc_id")
-        .join(F.broadcast(labels.select("doc_id")), "doc_id", "left_anti")
+        # no forced broadcast: the edge-touched label set's size is
+        # data-dependent (billions of ids on a dup-heavy 100 TB corpus);
+        # labels is a checkpointed RDD whose ACTUAL size AQE reads at
+        # runtime, so it broadcasts when small and shuffle-anti-joins
+        # when not — the regime choice stays automatic.
+        .join(labels.select("doc_id"), "doc_id", "left_anti")
         .select("doc_id", F.col("doc_id").alias("cluster_id"))
     )
     out = labels.unionAll(singletons).localCheckpoint()
@@ -1815,7 +1820,10 @@ def k_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     local_long = local.selectExpr(stack_expr)
     c = load(spark, sf_dir, "customer").select("c_custkey")
     fk = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left")
+        # no forced broadcast: customer is a dimension that outgrows the
+        # broadcast bound at large SFs (AQE broadcasts the pruned 1-column
+        # key side while it is small, shuffle-joins when it is not)
+        o.join(c, o.o_custkey == c.c_custkey, "left")
         .agg(*pf("fk", F.col("c_custkey").isNotNull()))
         .select(
             F.lit("o_custkey_references_customer").alias("rule"),
