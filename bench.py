@@ -308,6 +308,11 @@ def main() -> None:
         line["cold_outliers"] = dict(worst)
         out = json.dumps(line, separators=(",", ":"))
     if len(out) > 1900:
+        # still too big: drop ALL diagnostics before touching the
+        # headline timings
+        line.pop("cold_outliers", None)
+        out = json.dumps(line, separators=(",", ":"))
+    if len(out) > 1900:
         line["queries"] = {}
         out = json.dumps(line, separators=(",", ":"))
     print(out)

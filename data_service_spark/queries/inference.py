@@ -1022,10 +1022,14 @@ def k_bucket_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _body_group_sequential(hash_to_long: str) -> str:
     ha = hash_to_long.format(h="'assign:' || CAST(user_id AS STRING)")
+    # q quantizes at 1e-2 cents, not 1e-4: the cumulative SQUARED sum ss
+    # is the int64 governor (the k_welch_t rule — q² ≤ ~3.1e9 at this
+    # value range keeps ss exact to ~10⁹ rows per (look, arm); at 1e-4 it
+    # wrapped past ~3×10⁵ rows, silently diverging from DuckDB's HUGEINT).
     return f"""
     WITH base AS (
       SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS d,
-             CAST(round(value * 10000, 0) AS BIGINT) AS q
+             CAST(round(value * 100, 0) AS BIGINT) AS q
       FROM events WHERE event_type = 'purchase'
     ), lim AS (SELECT min(d) AS d0 FROM base),
     looks AS (

@@ -287,12 +287,27 @@ def k_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 SIM_PAIRS_GRID_MIN_ROWS = 100_000
 
 
-def _corpus_rows(sf_dir: str) -> int:
+def _footer_rows(sf_dir: str, table: str) -> int:
+    """Row count from parquet footers only — the free dispatch signal
+    for regime switches. Handles both the single-file corpus layout and
+    a directory-of-part-files dataset (the layout a cluster-scale table
+    actually has — exactly the regime the dispatch thresholds exist
+    for), without reading any data pages."""
     import pyarrow.parquet as pq
 
-    return pq.ParquetFile(
-        os.path.join(sf_dir, "embeddings.parquet")
-    ).metadata.num_rows
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    if os.path.isdir(path):
+        return sum(
+            pq.read_metadata(os.path.join(root, f)).num_rows
+            for root, _, files in os.walk(path)
+            for f in files
+            if f.endswith(".parquet")
+        )
+    return pq.ParquetFile(path).metadata.num_rows
+
+
+def _corpus_rows(sf_dir: str) -> int:
+    return _footer_rows(sf_dir, "embeddings")
 
 
 def sim_pairs(
@@ -3621,11 +3636,7 @@ HITS_BROADCAST_MAX_FACT_ROWS = 50_000_000
 
 
 def _fact_rows(sf_dir: str) -> int:
-    import pyarrow.parquet as pq
-
-    return pq.ParquetFile(
-        os.path.join(sf_dir, "lineitem.parquet")
-    ).metadata.num_rows
+    return _footer_rows(sf_dir, "lineitem")
 
 
 def hits_auth_scores(
@@ -3650,7 +3661,9 @@ def hits_auth_scores(
     """
     if partitioned:
         e_by_dst = e0.repartition(F.col("dst")).localCheckpoint()
-        e_by_src = e0.repartition(F.col("src")).localCheckpoint()
+        # derive the reverse layout FROM the pinned RDD — the expensive
+        # edge build (fact join + distinct) runs once, not once per copy
+        e_by_src = e_by_dst.repartition(F.col("src")).localCheckpoint()
     else:
         e_by_dst = e_by_src = e0.localCheckpoint()
 
