@@ -268,22 +268,31 @@ def k_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep the min/max hash (winnowing-style representatives) + distinct
     window count. Map-only — each doc's fingerprint is computed where the
     doc lives, the 100 TB-friendly shape (contrast with shingle JOINS,
-    which k_dedup_near covers)."""
-    d = load(spark, sf_dir, "documents")
+    which k_dedup_near covers).
+
+    The md5-window array is materialized ONCE in its own aliased
+    projection and the three reductions read the staged column —
+    higher-order array lambdas run interpreted (no codegen CSE), so
+    referencing the transform() in min/max/distinct inline re-hashed
+    every document three times (the ``k_text_winnowing`` lesson,
+    SCALING.md round-5; measured 2.1 s → ~0.7 s steady at sf0.1).
+    load_parallel: the single-row-group corpus file otherwise leaves
+    the whole interpreted-lambda scan on one core."""
+    d = load_parallel(spark, sf_dir, "documents", "doc_id")
     words = F.split("text", " ")
     # words[i:i+3] in DuckDB is INCLUSIVE of both ends → a 4-word window.
-    hashes = F.expr(
-        "transform(sequence(1, size(split(text, ' ')) - 3), "
-        "i -> md5(concat_ws(' ', slice(split(text, ' '), i, 4))))"
+    staged = d.filter(F.size(words) >= 4).select(
+        "doc_id",
+        F.expr(
+            "transform(sequence(1, size(split(text, ' ')) - 3), "
+            "i -> md5(concat_ws(' ', slice(split(text, ' '), i, 4))))"
+        ).alias("hashes"),
     )
-    return (
-        d.filter(F.size(words) >= 4)
-        .select(
-            "doc_id",
-            F.array_min(hashes).alias("fp_min"),
-            F.array_max(hashes).alias("fp_max"),
-            F.size(F.array_distinct(hashes)).alias("n_distinct"),
-        )
+    return staged.select(
+        "doc_id",
+        F.array_min("hashes").alias("fp_min"),
+        F.array_max("hashes").alias("fp_max"),
+        F.size(F.array_distinct("hashes")).alias("n_distinct"),
     )
 
 

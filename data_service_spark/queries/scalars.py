@@ -210,7 +210,13 @@ def h_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     # on an all-failing column), so rows that cannot parse short-circuit to
     # the NULL try_cast would return and try_cast only evaluates on
     # plausible numerics (still exercised: prio_num's succeeding cast, and
-    # any genuinely numeric text that would overflow INT).
+    # any genuinely numeric text that would overflow INT). The guard is
+    # ALIGNED with cast's accepted string->int grammar so it cannot
+    # diverge from an unguarded try_cast on any input: Spark trims
+    # exactly [\x00-\x20\x7f] from both ends (probed on 4.1.2: ASCII
+    # control/space/DEL trimmed; C1 \x80-\x9f and unicode whitespace like
+    # NBSP/EM-SPACE are NOT trimmed and NOT accepted), then parses
+    # [+-]?digits with no decimal point.
     o = load(spark, sf_dir, "orders")
     return o.select(
         "o_orderkey",
@@ -220,7 +226,8 @@ def h_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").cast("string").alias("key_str"),
         F.col("o_orderdate").cast("date").alias("od_date"),
         F.expr(
-            "CASE WHEN o_orderpriority RLIKE '^\\\\s*[+-]?[0-9]+\\\\s*$' "
+            "CASE WHEN o_orderpriority RLIKE "
+            "'^[\\\\x00-\\\\x20\\\\x7f]*[+-]?[0-9]+[\\\\x00-\\\\x20\\\\x7f]*$' "
             "THEN try_cast(o_orderpriority AS INT) END"
         ).alias("bad_int"),
         F.expr("try_cast(substring(o_orderpriority, 1, 1) AS INT)").alias("prio_num"),

@@ -26,3 +26,11 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir() -> str:
     return SF_SMOKE
+
+
+@pytest.fixture(scope="session")
+def sf_dir_large() -> str:
+    """Largest local corpus, for cross-regime identity checks — follows
+    the driver's bench corpus override so nothing hardcodes a
+    machine-specific path."""
+    return os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -3483,14 +3483,14 @@ def test_dow_anomaly_and_top_p(spark, sf_dir):
         assert sel * 10 >= tot * 9
 
 
-def test_sim_pairs_grid_matches_broadcast(spark):
+def test_sim_pairs_grid_matches_broadcast(spark, sf_dir_large):
     """The grid regime must be value-identical to the broadcast-GEMM
     regime (same inner loop, same 4dp rounding) — checked at sf0.1, the
     largest local corpus (2000 vectors, ~2M dot products), at both
     thresholds the registry uses."""
     from data_service_spark.queries.llm import sim_pairs, sim_pairs_grid
 
-    sf = "/root/testdata/sf0.1"
+    sf = sf_dir_large
     for thr in (0.4, 0.3):
         want = {
             (r.vec_id_1, r.vec_id_2): r.sim
@@ -4049,7 +4049,7 @@ def test_tpch_refresh_accounting(spark, sf_dir):
     assert r.cents_after != r.cents_before
 
 
-def test_lof_knn_grid_matches_broadcast(spark):
+def test_lof_knn_grid_matches_broadcast(spark, sf_dir_large):
     """The LOF kNN grid regime must yield the same engine-side (dq, o)
     top-5 per point as the broadcast-GEMM regime (shared tie-complete
     kernel) — checked at sf0.1, the largest local corpus."""
@@ -4061,7 +4061,7 @@ def test_lof_knn_grid_matches_broadcast(spark):
         lof_knn_grid,
     )
 
-    sf = "/root/testdata/sf0.1"
+    sf = sf_dir_large
 
     def top5(df):
         w = Window.partitionBy("p").orderBy("dq", "o")

@@ -564,6 +564,20 @@ def test_winnowing_is_map_only(spark, sf_dir):
     assert plan.count("Exchange") <= 2
 
 
+def test_fingerprint_hashes_staged_once(spark, sf_dir):
+    """k_text_fingerprint stages the md5-window array through ONE aliased
+    projection; interpreted array lambdas get no codegen CSE, so the
+    pre-fix inline shape (min/max/distinct each referencing the
+    transform) showed the md5 lambda three times in the plan and did 3×
+    the hash work (BENCH_r06's 15.3 s cold outlier). Map-only otherwise:
+    one load_parallel exchange, no explode, no Python UDF."""
+    plan = plan_of(QUERIES["k_text_fingerprint"](spark, sf_dir))
+    assert plan.count("md5") == 1  # the staged transform, evaluated once
+    assert "Generate" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Exchange") <= 2  # tree + detail of the repartition
+
+
 def test_loop_detect_no_shuffle(spark, sf_dir):
     """k_loop_detect is a pure scan-side CASE projection — zero exchanges,
     zero joins."""

@@ -359,3 +359,41 @@ def test_sharded_packing_matches_per_shard_global(spark, sizes, shards):
         cum[s] += n
     for r in got:
         assert r.pack_id == expect[r.doc_id]
+
+
+_CAST_GUARD = (
+    "CASE WHEN s RLIKE "
+    "'^[\\\\x00-\\\\x20\\\\x7f]*[+-]?[0-9]+[\\\\x00-\\\\x20\\\\x7f]*$' "
+    "THEN try_cast(s AS INT) END"
+)
+# Stress chars: digits/signs, ASCII control + space + DEL (trimmed by
+# Spark's string->int cast), C1 and unicode whitespace (NOT trimmed),
+# letters, dots — the domains where a guard/cast mismatch would hide.
+_cast_strings = st.lists(
+    st.text(
+        alphabet="0189+-. aZ\t\n\x01\x1f\x7f\x80  ",
+        min_size=0,
+        max_size=10,
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(strings=_cast_strings)
+@settings(**SETTINGS)
+def test_cast_guard_equals_unguarded_try_cast(spark, strings):
+    """h_cast's RLIKE plausibility guard (a perf short-circuit around
+    TRY-mode ANSI error construction) must be SEMANTICALLY invisible:
+    guarded CASE ≡ bare try_cast on any string, including control-char
+    trim zones, unicode whitespace, and sign/dot edge cases."""
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(strings)], "i long, s string"
+    )
+    rows = df.select(
+        "i",
+        F.expr("try_cast(s AS INT)").alias("bare"),
+        F.expr(_CAST_GUARD).alias("guarded"),
+    ).collect()
+    for r in rows:
+        assert r.bare == r.guarded, (strings[r.i], r.bare, r.guarded)
