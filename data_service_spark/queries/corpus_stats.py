@@ -154,8 +154,10 @@ def k_text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         bc.filter(F.col("c_ab") >= 5)
-        .join(F.broadcast(u1), "w1")
-        .join(F.broadcast(u2), "w2")
+        # u1/u2 are vocab-sized (Heaps-law growth) — no broadcast hint,
+        # AQE decides; consts is a 1-row scalar and stays broadcast
+        .join(u1, "w1")
+        .join(u2, "w2")
         .crossJoin(F.broadcast(consts))
         .select("w1", "w2", "c_ab", pmi.alias("pmi"))
         .orderBy(F.col("pmi").desc(), "w1", "w2")

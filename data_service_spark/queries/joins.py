@@ -58,8 +58,11 @@ def c_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
 def c_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5-style 5-way join; the flagship query (SURVEY.md §7.2).
 
-    Plan shape at scale: lineitem⋈orders shuffle-joins on orderkey; customer,
-    nation, region are broadcast; aggregation is partial map-side then final.
+    Plan shape at scale: lineitem⋈orders shuffle-joins on orderkey; nation
+    and region are forced broadcast (25/5 rows at any SF); customer GROWS
+    with the data, so its join carries no hint — AQE broadcasts the
+    runtime-small side and shuffle-joins once customer outgrows the bound.
+    Aggregation is partial map-side then final.
     """
     li = load(spark, sf_dir, "lineitem")
     o = load(spark, sf_dir, "orders")
@@ -68,7 +71,7 @@ def c_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load(spark, sf_dir, "region")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .filter(F.col("r_name").isin("ASIA", "EUROPE"))
@@ -395,9 +398,11 @@ def c_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 def c_join_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 (shipping priority): 3-way join, filtered both sides of the
     date, grouped revenue, top-10. The classic benchmark shape — selective
-    dimension filter broadcast against two fact scans, one agg shuffle,
-    TakeOrdered for the limit. l_orderkey added to the sort for a unique
-    tiebreak (SURVEY §7.4.4)."""
+    filters on both fact scans, one agg shuffle, TakeOrdered for the
+    limit. The filtered customer side is still SF-proportional (~1/5 of
+    customers), so it carries no broadcast hint — AQE broadcasts while it
+    fits and shuffle-joins at large SF. l_orderkey added to the sort for
+    a unique tiebreak (SURVEY §7.4.4)."""
     c = load(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
     )
@@ -409,7 +414,7 @@ def c_join_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             F.round(
@@ -436,9 +441,11 @@ def c_join_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def c_join_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q14 (promotion effect): fact ⋈ broadcast dimension with a
+    """TPC-H Q14 (promotion effect): fact ⋈ dimension with a
     conditional-aggregate ratio. The date filter pushes to the lineitem
-    scan; part broadcasts; one aggregate pass."""
+    scan; part is SF-proportional, so no broadcast hint — AQE broadcasts
+    it while small and shuffle-joins on partkey at large SF; one
+    aggregate pass."""
     li = load(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
@@ -446,7 +453,7 @@ def c_join_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load(spark, sf_dir, "part")
     net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .agg(
             F.round(
                 100.0
@@ -1287,8 +1294,10 @@ def c_join_existence_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     Realized as a left join against the DISTINCT key set of the filtered
     side + null-check: the distinct projection keeps the join build side
     key-sized, and no customer row ever duplicates (the bug a naive left
-    join to raw orders would introduce). At 100 TB the distinct urgent-key
-    set is a fraction of orders and broadcasts.
+    join to raw orders would introduce). The distinct urgent-key set is
+    still a fraction of CUSTOMERS — data-dependent-size — so it carries
+    no broadcast hint: AQE broadcasts it while small and shuffle-joins
+    once it outgrows the bound.
     """
     c = load(spark, sf_dir, "customer")
     urgent = (
@@ -1298,7 +1307,7 @@ def c_join_existence_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return c.join(
-        F.broadcast(urgent), c.c_custkey == F.col("uk"), "left"
+        urgent, c.c_custkey == F.col("uk"), "left"
     ).select(
         "c_custkey",
         "c_mktsegment",

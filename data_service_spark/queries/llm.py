@@ -1385,7 +1385,9 @@ def k_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     e0 = (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        # no forced broadcast: orders is SF-proportional; AQE broadcasts
+        # the pruned 2-column side while small, shuffle-joins at large SF
+        li.join(o, li.l_orderkey == o.o_orderkey)
         .select(
             (F.col("o_custkey") * 2).alias("src"),
             (F.col("l_suppkey") * 2 + 1).alias("dst"),
@@ -1540,15 +1542,17 @@ def k_text_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the auto-tagging pass that labels corpus documents for routing and
     mix decisions. Reuses the TF-IDF algebra over the FULL vocabulary,
     then a per-doc window over the already-small (doc, term, score) set.
-    The idf table is Zipf-compact and broadcasts; rounding BEFORE ranking
-    makes the cut identical across engines."""
+    The idf table is Zipf-compact but VOCAB-sized (Heaps-law growth), so
+    its join carries no broadcast hint — AQE broadcasts while small and
+    term-partitions the join when the vocabulary outgrows the bound;
+    rounding BEFORE ranking makes the cut identical across engines."""
     d = load_parallel(spark, sf_dir, "documents", "doc_id")
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     n = d.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(dfreq), "term")
+        tf.join(dfreq, "term")
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",
@@ -1641,9 +1645,11 @@ def k_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     a triangle (x < y < z) is found exactly once by joining e1=(x,y),
     e2=(y,z) and checking the closing edge (x,z) — no double counting,
     no direction explosion. Scale: the thresholded edge list is orders of
-    magnitude smaller than the input (Zipf-ish similarity tail), both
-    joins broadcast it; at web scale the same joins shuffle-partition on
-    the shared vertex, the standard distributed triangle-enumeration plan.
+    magnitude smaller than the input (Zipf-ish similarity tail) but still
+    grows with it, so the joins carry no broadcast hint — AQE broadcasts
+    the (checkpointed, size-known) edge list while small; at web scale
+    the same joins shuffle-partition on the shared vertex, the standard
+    distributed triangle-enumeration plan.
     Edge generation reuses the blocked-GEMM ``sim_pairs`` finder.
     """
     ed = sim_pairs(spark, sf_dir, 0.3).select(
@@ -1652,7 +1658,7 @@ def k_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     e1 = ed.select(F.col("a").alias("x"), F.col("b").alias("y"))
     e2 = ed.select(F.col("a").alias("y"), F.col("b").alias("z"))
     e3 = ed.select(F.col("a").alias("x"), F.col("b").alias("z"))
-    tri = e1.join(F.broadcast(e2), "y").join(F.broadcast(e3), ["x", "z"])
+    tri = e1.join(e2, "y").join(e3, ["x", "z"])
     return (
         tri.select(F.explode(F.array("x", "y", "z")).alias("vec_id"))
         .groupBy("vec_id")
@@ -2042,7 +2048,9 @@ def k_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("id_b").alias("vec_id"))
         .distinct()
     )
-    return m.join(F.broadcast(dropped), "vec_id", "left_anti").select(
+    # no forced broadcast: the dropped-id set grows with the dup mass;
+    # AQE broadcasts it while small, shuffle-anti-joins when not
+    return m.join(dropped, "vec_id", "left_anti").select(
         "vec_id", "cluster_id", "label"
     )
 
@@ -3392,18 +3400,20 @@ def k_cross_lingual_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     These are also the raw material for mined parallel data (bitext).
 
     Embedding pairs come from the blocked-GEMM ``sim_pairs`` finder
-    (threshold 0.4); the language decoration is two broadcast joins
-    against the documents dimension. At 100 TB the pair mining is
-    LSH-bucketed (k_sim_ann_sql) and this language filter composes
-    unchanged on the candidates.
+    (threshold 0.4); the language decoration is two joins against the
+    corpus-sized (doc_id, lang) projection — data-dependent, so no
+    broadcast hint: AQE broadcasts whichever side is runtime-small (the
+    thresholded pair list, usually) and shuffle-joins otherwise. At
+    100 TB the pair mining is LSH-bucketed (k_sim_ann_sql) and this
+    language filter composes unchanged on the candidates.
     """
     d = load(spark, sf_dir, "documents").select("doc_id", "lang")
     ed = sim_pairs(spark, sf_dir, 0.4)
     d1 = d.select(F.col("doc_id").alias("vec_id_1"), F.col("lang").alias("lang_1"))
     d2 = d.select(F.col("doc_id").alias("vec_id_2"), F.col("lang").alias("lang_2"))
     return (
-        ed.join(F.broadcast(d1), "vec_id_1")
-        .join(F.broadcast(d2), "vec_id_2")
+        ed.join(d1, "vec_id_1")
+        .join(d2, "vec_id_2")
         .filter(F.col("lang_1") != F.col("lang_2"))
         .select(
             F.col("vec_id_1").alias("doc_id_1"),
@@ -3756,7 +3766,9 @@ def k_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     e0 = (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        # no forced broadcast: orders is SF-proportional; AQE broadcasts
+        # the pruned 2-column side while small, shuffle-joins at large SF
+        li.join(o, li.l_orderkey == o.o_orderkey)
         .select(
             (F.col("o_custkey") * 2).alias("src"),
             (F.col("l_suppkey") * 2 + 1).alias("dst"),
@@ -3806,8 +3818,10 @@ def k_dedup_token_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
     savings ratio floor-quantizes to basis points.
 
     Scale shape: the CC labels are spine-sized (they memoize across keys
-    in-session); one broadcast-joined pass over the corpus, grouped by
-    source."""
+    in-session) but grow with the dup mass, so the label join carries no
+    broadcast hint — AQE broadcasts the checkpointed label set while
+    small, shuffle-joins on doc_id when not; one pass over the corpus,
+    grouped by source."""
     from data_service_spark.registry import QUERIES
 
     labels = QUERIES["k_dedup_clusters"](spark, sf_dir)
@@ -3819,7 +3833,7 @@ def k_dedup_token_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     kept = F.col("doc_id") == F.col("cluster_id")
     return (
-        toks.join(F.broadcast(labels), "doc_id")
+        toks.join(labels, "doc_id")
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -3894,7 +3908,9 @@ def k_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     e0 = (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        # no forced broadcast: orders is SF-proportional; AQE broadcasts
+        # the pruned 2-column side while small, shuffle-joins at large SF
+        li.join(o, li.l_orderkey == o.o_orderkey)
         .select(
             F.col("o_custkey").alias("c"),
             F.col("l_suppkey").alias("s"),

@@ -310,14 +310,16 @@ def static_enrich_join(events: DataFrame, customers: DataFrame) -> DataFrame:
     whose key equals its user_id (shared between batch twin and stream
     test).
 
-    As a stream the static side is re-broadcast per micro-batch (no state,
-    no watermark needed) — the standard dimension-enrichment shape; at
-    100 TB/day the only cost is the broadcast of the dimension snapshot.
+    As a stream the static side is re-planned per micro-batch (no state,
+    no watermark needed) — the standard dimension-enrichment shape. The
+    user dimension is data-dependent-size, so no broadcast hint: the
+    planner broadcasts the snapshot while it fits and shuffle-joins each
+    micro-batch once the dimension outgrows the bound.
     """
     dim = customers.select(
         F.col("c_custkey").alias("user_id"), "c_mktsegment", "c_nationkey"
     )
-    return events.join(F.broadcast(dim), "user_id").select(
+    return events.join(dim, "user_id").select(
         "event_id", "user_id", "event_type", "c_mktsegment", "c_nationkey"
     )
 

@@ -272,17 +272,19 @@ def k_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-independent and both engines agree exactly.
 
     Reuses k_sim_threshold's blocked-GEMM pair finder (one BLAS multiply
-    per block pair, O(n) Arrow traffic) and finishes with a broadcast
-    left-anti join of the dropped-id set — no quadratic driver-side work.
-    The scale twin bucket-prunes candidates with LSH first (k_sim_ann_sql);
-    the threshold rule is unchanged.
+    per block pair, O(n) Arrow traffic) and finishes with a left-anti
+    join of the dropped-id set — no quadratic driver-side work. The
+    dropped set grows with the dup mass, so no broadcast hint: AQE
+    broadcasts it while small, shuffle-anti-joins when not. The scale
+    twin bucket-prunes candidates with LSH first (k_sim_ann_sql); the
+    threshold rule is unchanged.
     """
     from data_service_spark.queries.llm import k_sim_threshold
 
     pairs = k_sim_threshold(spark, sf_dir)
     dropped = pairs.select(F.col("vec_id_2").alias("vec_id")).distinct()
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "label")
-    return emb.join(F.broadcast(dropped), "vec_id", "left_anti")
+    return emb.join(dropped, "vec_id", "left_anti")
 
 
 # -------------------------------------------------- sequence packing ----
@@ -1368,7 +1370,9 @@ def k_text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = tok.agg(F.countDistinct("term").alias("vocab"))
     return (
         bg.join(bgc, "bigram")
-        .join(F.broadcast(ctx), "w1")
+        # ctx is vocab-sized (per-w1 counts) — no broadcast hint, AQE
+        # decides; v is a 1-row scalar and stays broadcast
+        .join(ctx, "w1")
         .crossJoin(F.broadcast(v))
         .groupBy("doc_id")
         .agg(
@@ -1430,7 +1434,11 @@ def k_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     ts = cs.groupBy("source").agg(F.sum("n").alias("t_s"))
     c = tok.groupBy("term").agg(F.count(F.lit(1)).alias("cn"))
     t = c.agg(F.sum("cn").alias("total"))
-    grid = ts.crossJoin(F.broadcast(c)).crossJoin(F.broadcast(t))
+    # the cross join replicates the SOURCE spine (a handful of rows) over
+    # the vocab-sized term counts — broadcasting the tiny side keeps the
+    # vocab partition-parallel (broadcasting c would ship the whole
+    # vocabulary to every task and cap the grid at ts's parallelism)
+    grid = c.crossJoin(F.broadcast(ts)).crossJoin(F.broadcast(t))
     parts = grid.join(cs, ["source", "term"], "left").select(
         "source",
         (F.coalesce(F.col("n"), F.lit(0)) * 1.0 / F.col("t_s")).alias("p"),
@@ -2555,10 +2563,12 @@ def k_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     upstream joins before they silently drop or duplicate rows
     downstream.
 
-    Each anti join broadcasts the key projection of its dimension side;
-    counts are 1-row aggregates. At 100 TB the fact sides stream
-    partition-parallel against broadcast key sets (or bloom filters for
-    dimensions too big to broadcast — c_join_bloom's machinery).
+    Each anti join probes the key projection of its referenced side —
+    customer and orders keys, both SF-proportional, so no broadcast
+    hint: AQE broadcasts a key set that is runtime-small and
+    shuffle-anti-joins once it outgrows the bound (or swap in a bloom
+    pre-filter — c_join_bloom's machinery — when even the shuffle is too
+    dear). Counts are 1-row aggregates.
     """
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer")
@@ -2566,7 +2576,7 @@ def k_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
 
     def audit(name, fact, dim_keys, cond):
-        orphans = fact.join(F.broadcast(dim_keys), cond, "left_anti").agg(
+        orphans = fact.join(dim_keys, cond, "left_anti").agg(
             F.count(F.lit(1)).alias("n_orphans")
         )
         total = fact.agg(F.count(F.lit(1)).alias("n_rows"))

@@ -458,7 +458,9 @@ def e_win_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     running-sum share the partition."""
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer")
-    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+    # no forced broadcast: customer is SF-proportional; AQE broadcasts
+    # the pruned 2-column side while small, shuffle-joins at large SF
+    j = o.join(c, o.o_custkey == c.c_custkey).select(
         "c_mktsegment", "o_orderkey", "o_totalprice"
     )
     w_all = Window.partitionBy("c_mktsegment")
