@@ -1229,7 +1229,10 @@ def d_agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     variants (sample vs population, bias corrections) disagree across
     engines. l_quantity is integer-valued, so every power sum is an exact
     integer below 2^53: the moment arithmetic is bit-identical in both
-    engines before the final rounding.
+    engines before the final rounding. The governor is the DOUBLE
+    mantissa, not int64 (sums are double-typed): q ≤ 50 → q⁴ ≤ 6.25e6,
+    so Σq⁴ stays exact past 1e9 rows per group; beyond that, re-center
+    on a per-group pivot before summing.
 
     One map-side-combined groupBy — the moment sums are associative
     partials, the textbook single-pass distributed-statistics shape (at
@@ -1304,7 +1307,9 @@ def d_agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same at 100 TB as a count(*).
 
     The explicit Σ-formula (not each engine's corr()) keeps the arithmetic
-    tree identical across engines before the 4dp rounding.
+    tree identical across engines before the 4dp rounding. Power sums
+    accumulate in DOUBLE (the inputs are double columns), so no int64
+    wrap governor applies; the 4dp round absorbs partial-order ulp drift.
     """
     li = load(spark, sf_dir, "lineitem")
     q, p, dc = F.col("l_quantity"), F.col("l_extendedprice"), F.col("l_discount")
@@ -1756,7 +1761,10 @@ def k_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     Per-stratum (n, Σx, Σx²) partials are the only corpus-sized work
     (exact integers — n_chars is int — so both engines derive the same
     stddev double from the same sums); everything after is an 8-row
-    table and one broadcast total.
+    table and one broadcast total. int64 overflow bound on the squared
+    term: n_chars ≤ ~1e4 here → x² ≤ 1e8, so Σx² wraps only past ~9e10
+    docs per stratum (DuckDB widens to HUGEINT, Spark wraps silently);
+    for longer documents, quantize length to KB before squaring.
     """
     d = load(spark, sf_dir, "documents")
     per = d.groupBy("source").agg(

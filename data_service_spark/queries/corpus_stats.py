@@ -55,7 +55,9 @@ def k_text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: token explode → (lang, term) count (map-side combine shrinks the
     shuffle to vocabulary size), per-lang rank window over vocabulary rows
     only, then a 5-row reduce. The slope is the explicit Σ-formula so both
-    engines evaluate the same arithmetic tree.
+    engines evaluate the same arithmetic tree; the (ln rank, ln freq)
+    power sums accumulate in DOUBLE, so no int64 wrap governor applies —
+    the 4dp rounding absorbs partial-order ulp drift.
     """
     d = load(spark, sf_dir, "documents")
     tok = d.select("lang", F.explode(F.split("text", " ")).alias("term"))

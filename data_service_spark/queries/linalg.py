@@ -594,6 +594,10 @@ def k_embed_mmd(spark: SparkSession, sf_dir: str) -> DataFrame:
     Coordinates quantize to integer micros, per-dim mean differences
     floor-quantize to integer micros, and MMD² is an exact BIGINT sum of
     their squares — order-proof under any partial-aggregation schedule.
+    int64 overflow bound: |md| ≤ 2e6 micros for unit-normish vectors →
+    md² ≤ 4e12, and the sum spans d = 64 dims, ≤ 2.6e14 ≪ 2^63 — the
+    bound is dimension-, not corpus-, sized, so it never tightens with
+    data growth (coarsen the micro grid only if d·max(md)² nears 9.2e18).
 
     Scale shape: the 64×|labels| moment table is a map-side reduce
     (shuffle independent of N, the ``k_embed_standardize`` contract);

@@ -3588,7 +3588,9 @@ def k_sim_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pipeline: per-(doc, term) TF-IDF weights → per-doc norms (one
     aggregate) → term-keyed pair join summing weight products → top-50
     via TakeOrderedAndProject. Exact integer tf/df feed identical float
-    trees on both engines.
+    trees on both engines; the Σwt² norm and Σwt·wt dot sums accumulate
+    in DOUBLE, so no int64 wrap governor applies (the shared 4dp sim
+    rounding absorbs partial-order ulp drift).
     """
     d = load(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))

@@ -287,7 +287,9 @@ def k_eval_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     back onto the test scan; metrics are one groupBy over sum-of-squares
     partials, so the corpus crosses exactly one shuffle each for fit and
     score. R² is computed from the same Σv/Σv² partials — no second pass
-    for the mean.
+    for the mean. The error/value power sums accumulate in DOUBLE (value
+    is a double column), so no int64 wrap governor applies; the 4dp
+    rounding absorbs partial-order ulp drift.
     """
     e = load(spark, sf_dir, "events")
     base = e.select(
@@ -1736,7 +1738,10 @@ def k_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     One user-level conditional aggregate (the only data-sized shuffle),
     one 1-row moment reduce, and a 2-row cohort rollup with the broadcast
-    scalar θ — the same shape at 100 TB.
+    scalar θ — the same shape at 100 TB. The θ power sums (Σpre²,
+    Σpre·post) accumulate in DOUBLE (per-user revenue sums are doubles),
+    so no int64 wrap governor applies; the shared 4dp rounding of θ and
+    the adjusted means absorbs partial-order ulp drift.
     """
     e = load(spark, sf_dir, "events")
     us = F.unix_micros(F.col("ts").cast("timestamp"))

@@ -686,8 +686,10 @@ def e_win_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue — the co-movement monitor that flags when two metrics that
     normally track each other decouple (instrumentation break, funnel
     shift) before either one's own control chart fires. Both series
-    quantize to integer cents (coarse enough that 14-day power sums
-    stay inside BIGINT at sf1); all five windowed power sums
+    quantize to integer cents — the grid is sized to the SQUARED term's
+    int64 overflow bound (daily cents ≤ ~1e9 at sf1 → x² ≤ 1e18, ×14
+    window rows nears 2^63; coarsen to whole currency units before any
+    corpus where a day's cents exceed ~8e8); all five windowed power sums
     (Σx, Σy, Σxy, Σx², Σy²) are exact BIGINTs, so the correlation is one
     final expression over identical integers in both engines — the
     bivariate extension of the ``e_win_bollinger`` order-proof-moment

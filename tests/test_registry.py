@@ -309,3 +309,33 @@ def test_priority_keys_all_exist():
 
     assert set(E.PRIORITY) <= set(QUERIES)
     assert len(E.PRIORITY) == len(set(E.PRIORITY))
+
+
+def test_power_sum_keys_document_their_governor():
+    """Every key whose oracle SQL or builder computes a same-identifier
+    squared/cubed SUM (the int64 power-sum class: DuckDB widens BIGINT
+    sums to HUGEINT while non-ANSI Spark silently wraps, so the engines
+    diverge EXACTLY at the bound with no error) must state its governor
+    in the docstring — either the int64/overflow bound sized to the
+    SQUARED term, or an explicit note that the sums accumulate in DOUBLE
+    (where the 2^53 mantissa, not int64, is the limit). Automates the
+    round-6 grep audit (r06 verdict item #5); analysis-only, no Spark
+    jobs."""
+    import inspect
+    import re as _re
+
+    sq = _re.compile(r"sum\(\s*(\w+)\s*\*\s*\1\s*\)", _re.I)
+    cube = _re.compile(r"(\w+)\s*\*\s*\1\s*\*\s*\1")
+    governor = _re.compile(r"int64|overflow|wrap|2\^53|\b2\*\*53\b", _re.I)
+    offenders = {}
+    for key, fn in sorted(QUERIES.items()):
+        src = inspect.getsource(fn)  # includes @register(oracle=...) text
+        if not (sq.search(src) or cube.search(src)):
+            continue
+        doc = inspect.getdoc(fn) or ""
+        if not governor.search(doc):
+            offenders[key] = sorted({m.group(1) for m in sq.finditer(src)})
+    assert not offenders, (
+        "power-sum keys missing an int64/DOUBLE governor note: "
+        f"{offenders}"
+    )
