@@ -947,7 +947,10 @@ def k_eb_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: raw rates floor-quantize to exact ppm integers FIRST,
     the moment sums are BIGINT power sums over those integers (r04
     order-proof-moment convention), and only the final prior/posterior
-    arithmetic is floating, emitted floor-ppm. Scale shape: one
+    arithmetic is floating, emitted floor-ppm. int64 overflow governor:
+    raw_ppm ≤ 1e6 → raw_ppm² ≤ 1e12, so Σppm² wraps only past ~9e6
+    SOURCES (the sum spans the source spine, not the corpus; DuckDB
+    widens to HUGEINT, Spark wraps silently). Scale shape: one
     source-keyed reduce, then all arithmetic on the source spine."""
     load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_body_eb_shrinkage())

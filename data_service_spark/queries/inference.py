@@ -160,7 +160,10 @@ def k_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
     center ⇒ valid under heavy tails, which event values have). Group
     medians are pinned at 6dp before the deviation (SURVEY §7.4: derived
     statistics over interpolated percentiles re-round before reuse).
-    Compare F to F(k−1, N−k) ≈ 2.37 at α=.05 for k=5, large N.
+    Compare F to F(k−1, N−k) ≈ 2.37 at α=.05 for k=5, large N. The Σz²
+    power sums accumulate in DOUBLE (z = |value − median| is a double),
+    so no int64 wrap governor applies; the 6dp rounding of the F
+    statistic absorbs partial-order ulp drift.
 
     Scale shape: a median per group (percentile agg), one broadcast join
     of 5 medians back onto the fact, one grouped aggregate."""
@@ -563,7 +566,10 @@ def k_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     where all k types occur) enter, per the test's definition. Midranks
     are exact half-integers over integer ten-thousandths, so both engines
     produce identical rank sums; χ²_F = 12/(nk(k+1))·ΣR²ⱼ − 3n(k+1) against
-    χ²(k−1) ≈ 9.49 at α=.05 for k=5.
+    χ²(k−1) ≈ 9.49 at α=.05 for k=5. ΣR²ⱼ accumulates in DOUBLE (midranks
+    are half-integers), so the governor is the 2^53 mantissa, not int64:
+    R_j ≤ n·k with n = complete days, exact past ~1e7 days — calendar-,
+    not corpus-, bounded.
 
     Scale shape: map-side reduce to the (day × type) grid, per-day rank
     windows over k-row partitions, then a k-row aggregate."""
@@ -613,7 +619,11 @@ def k_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapsing k behavioral signals into one score feature. All variances
     come from integer count power sums (Σx, Σx², zero-filled absent cells
     cost nothing), so the statistic is order-proof; α ≥ 0.7 reads as
-    acceptable consistency.
+    acceptable consistency. int64 overflow governor: per-item Σx² and
+    per-user ΣR² are BIGINT sums of squared activity counts (x ≤ ~1e3
+    here → x² ≤ 1e6, wraps past ~9e12 users; DuckDB widens to HUGEINT,
+    Spark wraps silently) — cap or log-bucket per-cell counts before a
+    corpus that approaches it.
 
     Scale shape: one (user,type) groupBy, then k-row and user-spine
     reduces — shuffle keyed on the natural user key."""
@@ -656,6 +666,10 @@ def k_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals; compare to χ²(k−1); NULL when every row is constant (zero
     denominator — no within-user contrast to test). All-zero rows
     contribute nothing to either side, per the test's convention.
+    int64 overflow governor: ΣC²ⱼ squares per-type heavy-user counts
+    (C ≤ n_users), so the BIGINT sum wraps once n_users exceeds
+    √(2⁶³/k) ≈ 1.3e9 — sample the user spine before a corpus that
+    approaches it (DuckDB widens to HUGEINT, Spark wraps silently).
 
     Scale shape: one (user,type) groupBy then two spine-sized reduces."""
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
@@ -1087,7 +1101,11 @@ def k_group_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
     inflates false positives several-fold (the companion of ``k_ab_sprt``:
     SPRT is fully-sequential, this is the scheduled-looks design). All
     cumulative moments are exact integer power sums; each look's z is a
-    deterministic double expression over them.
+    deterministic double expression over them. int64 overflow governor:
+    q quantizes at 1e-2 cents SIZED TO THE SQUARED TERM (q² ≤ ~3.1e9 at
+    this value range keeps the cumulative ss exact to ~10⁹ rows per
+    (look, arm); the 1e-4 grid wrapped past ~3e5 rows, silently
+    diverging from DuckDB's HUGEINT — the round-6 requantization).
 
     Scale shape: one (look×arm) conditional aggregate via a 5-row
     broadcast expansion of per-phase partials — the fact table is read

@@ -686,10 +686,14 @@ def e_win_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue — the co-movement monitor that flags when two metrics that
     normally track each other decouple (instrumentation break, funnel
     shift) before either one's own control chart fires. Both series
-    quantize to integer cents — the grid is sized to the SQUARED term's
-    int64 overflow bound (daily cents ≤ ~1e9 at sf1 → x² ≤ 1e18, ×14
-    window rows nears 2^63; coarsen to whole currency units before any
-    corpus where a day's cents exceed ~8e8); all five windowed power sums
+    quantize to integer cents. int64 overflow governor: the binding term
+    is NOT the windowed Σx² but the final expression's CROSS PRODUCT
+    sx·sx ≈ (14·daily_cents)² = 196·daily_cents², which wraps once a
+    day's cents exceed √(2⁶³/196) ≈ 2.1e8 (DuckDB computes it in
+    HUGEINT, Spark wraps silently); this corpus peaks at ~3.7e6
+    cents/day (sf0.1) — ~50× inside the bound — and the mitigation is to
+    requantize to whole currency units (×100² headroom on the squared
+    term) before any corpus that approaches it. All five windowed power sums
     (Σx, Σy, Σxy, Σx², Σy²) are exact BIGINTs, so the correlation is one
     final expression over identical integers in both engines — the
     bivariate extension of the ``e_win_bollinger`` order-proof-moment
@@ -771,7 +775,12 @@ def k_lag_corr_ccf(spark: SparkSession, sf_dir: str) -> DataFrame:
     LEAD purchases, and by how many days?) that turns "the metrics look
     related" into an actionable offset for forecasting features and
     incident root-causing. Same integer power-sum determinism as
-    ``e_win_rolling_corr``; the lag alignment is a calendar-date equi-join
+    ``e_win_rolling_corr``, and the same int64 overflow governor: the
+    binding term is the final n·sxx − sx·sx cross product where sx is
+    the WHOLE spine's cents (≈1e8 here → sx² ≈ 1e16 ≪ 2⁶³; wraps once
+    total-period cents exceed ~3e9 — requantize to whole currency units
+    before a corpus that approaches it); the lag alignment is a
+    calendar-date equi-join
     (b.d = a.d + lag), so gaps in the day spine self-exclude instead of
     silently shifting the series (the row-number-alignment bug this
     formulation avoids).
@@ -885,7 +894,10 @@ def e_win_dow_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     Sundays to Sundays removes exactly that). Cents-integer window power
     sums (the order-proof-moment pattern), strictly-past frame (4..1
     PRECEDING — no self-inclusion leak), NULL where the baseline has zero
-    variance.
+    variance. int64 overflow governor: the 4-row windowed Σv² of daily
+    cents (v ≤ ~3.7e6 here → Σv² ≤ ~5.5e13 ≪ 2⁶³; wraps once a day's
+    cents exceed √(2⁶³/4) ≈ 1.5e9 — requantize to whole units first);
+    the s1·s1 cross term is already computed in DOUBLE.
 
     Scale shape: day-spine reduce + one window partitioned by weekday
     (7 shards over the spine)."""

@@ -16,6 +16,14 @@ from pyspark.sql import functions as F
 from data_service_spark.io import load
 from data_service_spark.registry import register
 
+# Spark-SQL string-literal form (backslashes doubled for the SQL parser) of
+# the EXACT string->int grammar try_cast accepts on 4.1.2: both ends trim
+# precisely [\x00-\x20\x7f] (ASCII control, space, DEL — probed: C1
+# \x80-\x9f and unicode whitespace are neither trimmed nor accepted), then
+# [+-]?digits with no decimal point. h_cast's perf guard and the
+# guard≡try_cast property test share this constant so they cannot drift.
+TRY_INT_GUARD_SQL = "'^[\\\\x00-\\\\x20\\\\x7f]*[+-]?[0-9]+[\\\\x00-\\\\x20\\\\x7f]*$'"
+
 
 @register(
     "h_str_basic",
@@ -226,8 +234,7 @@ def h_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").cast("string").alias("key_str"),
         F.col("o_orderdate").cast("date").alias("od_date"),
         F.expr(
-            "CASE WHEN o_orderpriority RLIKE "
-            "'^[\\\\x00-\\\\x20\\\\x7f]*[+-]?[0-9]+[\\\\x00-\\\\x20\\\\x7f]*$' "
+            f"CASE WHEN o_orderpriority RLIKE {TRY_INT_GUARD_SQL} "
             "THEN try_cast(o_orderpriority AS INT) END"
         ).alias("bad_int"),
         F.expr("try_cast(substring(o_orderpriority, 1, 1) AS INT)").alias("prio_num"),

@@ -30,7 +30,9 @@ def sf_dir() -> str:
 
 @pytest.fixture(scope="session")
 def sf_dir_large() -> str:
-    """Largest local corpus, for cross-regime identity checks — follows
-    the driver's bench corpus override so nothing hardcodes a
-    machine-specific path."""
-    return os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    """Largest local corpus, for cross-regime identity checks. Overridable
+    via its OWN env var (not SPARK_GRAFT_SF_DIR, which selfcheck/service
+    sessions export at SMALL corpora — inheriting it would silently run
+    the tie-dense 2000-vector identity checks on a 50-vector smoke corpus
+    while still reporting green)."""
+    return os.environ.get("SPARK_GRAFT_SF_LARGE", "/root/testdata/sf0.1")

@@ -361,10 +361,10 @@ def test_sharded_packing_matches_per_shard_global(spark, sizes, shards):
         assert r.pack_id == expect[r.doc_id]
 
 
+from data_service_spark.queries.scalars import TRY_INT_GUARD_SQL
+
 _CAST_GUARD = (
-    "CASE WHEN s RLIKE "
-    "'^[\\\\x00-\\\\x20\\\\x7f]*[+-]?[0-9]+[\\\\x00-\\\\x20\\\\x7f]*$' "
-    "THEN try_cast(s AS INT) END"
+    f"CASE WHEN s RLIKE {TRY_INT_GUARD_SQL} THEN try_cast(s AS INT) END"
 )
 # Stress chars: digits/signs, ASCII control + space + DEL (trimmed by
 # Spark's string->int cast), C1 and unicode whitespace (NOT trimmed),

@@ -324,12 +324,16 @@ def test_power_sum_keys_document_their_governor():
     import inspect
     import re as _re
 
-    sq = _re.compile(r"sum\(\s*(\w+)\s*\*\s*\1\s*\)", _re.I)
-    cube = _re.compile(r"(\w+)\s*\*\s*\1\s*\*\s*\1")
+    # [\w.]+ also catches table-qualified columns (sum(a.x * a.x)); the
+    # registered ORACLES string is scanned IN ADDITION to the function
+    # source because helper-built oracles (oracle=_body_xxx()) never
+    # appear in inspect.getsource(fn).
+    sq = _re.compile(r"sum\(\s*([\w.]+)\s*\*\s*\1\s*\)", _re.I)
+    cube = _re.compile(r"([\w.]+)\s*\*\s*\1\s*\*\s*\1")
     governor = _re.compile(r"int64|overflow|wrap|2\^53|\b2\*\*53\b", _re.I)
     offenders = {}
     for key, fn in sorted(QUERIES.items()):
-        src = inspect.getsource(fn)  # includes @register(oracle=...) text
+        src = inspect.getsource(fn) + "\n" + ORACLES.get(key, "")
         if not (sq.search(src) or cube.search(src)):
             continue
         doc = inspect.getdoc(fn) or ""
