@@ -34,29 +34,34 @@ SETTINGS = dict(
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 
-# 12 fixed rows: zeros, sign mixes, NULLs, ties, the ±100 extremes.
+# 12 fixed rows: zeros, sign mixes, NULLs, ties, the ±100 extremes; the
+# string column covers empties, NULL, case variants, repeats, and
+# leading/trailing spaces (ASCII only — binary collation on both sides).
 _ROWS = [
-    (0, 0, None),
-    (1, -1, 3),
-    (-7, 13, None),
-    (100, -100, 0),
-    (42, 42, 42),
-    (-100, 99, -5),
-    (17, 0, 1),
-    (-3, -3, None),
-    (55, 7, -100),
-    (2, 64, 100),
-    (-50, 50, 2),
-    (8, -9, -1),
+    (0, 0, None, "a"),
+    (1, -1, 3, "ab"),
+    (-7, 13, None, ""),
+    (100, -100, 0, None),
+    (42, 42, 42, "b c"),
+    (-100, 99, -5, "aa"),
+    (17, 0, 1, "AB"),
+    (-3, -3, None, "xyz"),
+    (55, 7, -100, " a"),
+    (2, 64, 100, "a "),
+    (-50, 50, 2, "bb"),
+    (8, -9, -1, "cab"),
 ]
 _VALUES = ", ".join(
-    f"({a}, {b}, {'NULL' if c is None else c})" for a, b, c in _ROWS
+    f"({a}, {b}, {'NULL' if c is None else c},"
+    f" {'NULL' if s is None else repr(s)})"
+    for a, b, c, s in _ROWS
 )
 # Both dialects accept the same inline-VALUES derived table; the BIGINT
 # casts keep every downstream operation in int64 on both sides.
 TABLE = (
     "(SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,"
-    f" CAST(c AS BIGINT) AS c FROM (VALUES {_VALUES}) AS v(a, b, c)) t"
+    " CAST(c AS BIGINT) AS c, CAST(s AS STRING) AS s"
+    f" FROM (VALUES {_VALUES}) AS v(a, b, c, s)) t"
 )
 
 _NUM_LEAVES = [
@@ -126,9 +131,60 @@ def bool_expr(draw, depth: int = 3) -> str:
     return f"({draw(num_expr(d))} IS NULL)"
 
 
+_STR_LITS = ["'a'", "'ab'", "''", "'xy'", "'b'", "CAST(NULL AS STRING)"]
+
+
+@st.composite
+def str_expr(draw, depth: int = 3) -> str:
+    """Dialect-identical string core. Probed exclusions (divergent or
+    unparseable): the ``||`` operator (Spark default dialect rejects it),
+    bare ``concat`` (DuckDB ignores NULL args, Spark null-propagates —
+    bridged via coalesce), ``substr`` start 0 (Spark reads it as 1 with
+    the length budget consumed, DuckDB clamps), negative left/right
+    lengths (DuckDB counts from the other end)."""
+    if depth <= 0 or draw(st.integers(0, 2)) == 0:
+        return draw(st.sampled_from(["s", *_STR_LITS]))
+    op = draw(
+        st.sampled_from(
+            [
+                "upper", "lower", "trim", "reverse", "substr", "replace",
+                "left", "right", "lpad", "rpad", "concat", "coalesce",
+                "nullif", "case", "least", "greatest",
+            ]
+        )
+    )
+    d = depth - 1
+    if op in ("upper", "lower", "trim", "reverse"):
+        return f"{op}({draw(str_expr(d))})"
+    if op == "substr":
+        i = draw(st.integers(1, 4))
+        j = draw(st.integers(0, 4))
+        return f"substr({draw(str_expr(d))}, {i}, {j})"
+    if op == "replace":
+        frm = draw(st.sampled_from(["'a'", "'b'", "'ab'", "'x'"]))
+        to = draw(st.sampled_from(["'xy'", "''", "'b'"]))
+        return f"replace({draw(str_expr(d))}, {frm}, {to})"
+    if op in ("left", "right"):
+        return f"{op}({draw(str_expr(d))}, {draw(st.integers(0, 5))})"
+    if op in ("lpad", "rpad"):
+        pad = draw(st.sampled_from(["'x'", "'xy'", "'ab'"]))
+        return f"{op}({draw(str_expr(d))}, {draw(st.integers(0, 8))}, {pad})"
+    if op == "concat":
+        x, y = draw(str_expr(d)), draw(str_expr(d))
+        return f"concat(coalesce({x}, ''), coalesce({y}, ''))"
+    if op in ("coalesce", "nullif", "least", "greatest"):
+        return f"{op}({draw(str_expr(d))}, {draw(str_expr(d))})"
+    return (
+        f"(CASE WHEN {draw(bool_expr(d))} THEN {draw(str_expr(d))}"
+        f" ELSE {draw(str_expr(d))} END)"
+    )
+
+
 def _cell(v):
     if v is None:
         return None
+    if isinstance(v, str):
+        return v
     if isinstance(v, float):
         if math.isnan(v):
             return None
@@ -174,6 +230,33 @@ def test_scalar_expression_parity(spark, duck, exprs):
     sel = ", ".join(
         f"CAST({e} AS BIGINT) AS x{i}" for i, e in enumerate(exprs)
     )
+    q = f"SELECT {sel} FROM {TABLE}"
+    s_rows, o_rows = _both(spark, duck, q)
+    assert s_rows == o_rows, f"divergence for: {q}"
+
+
+@given(
+    exprs=st.lists(
+        st.one_of(
+            str_expr(),
+            str_expr().map(lambda e: f"length({e})"),
+            st.tuples(str_expr(), str_expr()).map(
+                lambda t: f"CAST(({t[0]} < {t[1]}) AS INT)"
+            ),
+            st.tuples(
+                str_expr(),
+                st.sampled_from(["'a'", "'b'", "'ab'", "'xy'"]),
+            ).map(lambda t: f"instr({t[0]}, {t[1]})"),
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(**SETTINGS)
+def test_string_expression_parity(spark, duck, exprs):
+    """String-core parity: generated string pipelines plus their numeric
+    bridges (length, instr, ordering) evaluate identically."""
+    sel = ", ".join(f"{e} AS x{i}" for i, e in enumerate(exprs))
     q = f"SELECT {sel} FROM {TABLE}"
     s_rows, o_rows = _both(spark, duck, q)
     assert s_rows == o_rows, f"divergence for: {q}"
