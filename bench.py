@@ -125,7 +125,9 @@ def main() -> None:
     )
     from data_service_spark.queries.llm import (  # noqa: PLC0415
         _exploded_shingle_hashes,
+        _minhash_pairs,
         _minhash_sigs,
+        _near_pairs,
         k_cluster_assign,
         k_dedup_clusters,
     )
@@ -139,6 +141,8 @@ def main() -> None:
     for warm_fn in (
         _exploded_shingle_hashes,
         _minhash_sigs,
+        _minhash_pairs,
+        _near_pairs,
         _perm_pvals_df,
         k_cluster_assign,
         k_dedup_clusters,
