@@ -335,7 +335,13 @@ def main() -> None:
     ]
     line = dict(full)
     line.pop("variance_retimed", None)
-    line["queries"] = {k: timings[k] for k in headline if k in timings}
+    # Subset iteration runs report every requested key (small by
+    # construction); only the full run must fit the driver's tail buffer.
+    line["queries"] = (
+        dict(timings)
+        if only
+        else {k: timings[k] for k in headline if k in timings}
+    )
     if variance_retimed:
         line["n_retimed"] = len(variance_retimed)
     if failures:
