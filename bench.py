@@ -146,9 +146,11 @@ def main() -> None:
     )
     from data_service_spark.queries.llm import (  # noqa: PLC0415
         _exploded_shingle_hashes,
+        _exact_ranked,
         _minhash_pairs,
         _minhash_sigs,
         _near_pairs,
+        _signrp_buckets,
         k_cluster_assign,
         k_dedup_clusters,
     )
@@ -162,8 +164,10 @@ def main() -> None:
     for warm_fn in (
         _exploded_shingle_hashes,
         _minhash_sigs,
+        _exact_ranked,
         _minhash_pairs,
         _near_pairs,
+        _signrp_buckets,
         _perm_pvals_df,
         k_cluster_assign,
         k_dedup_clusters,

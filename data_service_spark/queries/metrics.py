@@ -1149,7 +1149,7 @@ def k_eval_mrr_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds at 6dp (provably off the half-boundary grid for rank-10
     reciprocal sums; 4dp is NOT — 1/800-denominator averages land exactly
     on .xxxx5)."""
-    from data_service_spark.queries.llm import _emb, dot
+    from data_service_spark.queries.llm import _emb, _exact_ranked
 
     emb = _emb(spark, sf_dir)
     q = emb.filter(F.col("vec_id") < 20).select(
@@ -1157,23 +1157,9 @@ def k_eval_mrr_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("qv"),
         F.col("label").alias("ql"),
     )
-    ranked = (
-        emb.crossJoin(F.broadcast(q))
-        .filter(F.col("vec_id") != F.col("qid"))
-        .select(
-            "qid",
-            "label",
-            "ql",
-            F.row_number()
-            .over(
-                Window.partitionBy("qid").orderBy(
-                    F.round(dot(F.col("v"), F.col("qv")), 6).desc(),
-                    F.col("vec_id"),
-                )
-            )
-            .alias("rn"),
-        )
-    )
+    # Slice of the session-memoized exact ranking (one corpus×probes
+    # product shared by the whole retrieval-evaluation panel).
+    ranked = _exact_ranked(spark, sf_dir).select("qid", "label", "ql", "rn")
     hits = (
         ranked.filter((F.col("rn") <= 10) & (F.col("label") == F.col("ql")))
         .groupBy("qid")
@@ -1325,7 +1311,7 @@ def k_eval_map_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     windows keyed per query, then ≤ 200-row arithmetic. Rounded at 6dp
     (rank-reciprocal sums land exactly on the 4dp half-grid; the 6dp grid
     is provably safe for denominators dividing 504000)."""
-    from data_service_spark.queries.llm import _emb, dot
+    from data_service_spark.queries.llm import _emb, _exact_ranked
 
     emb = _emb(spark, sf_dir)
     q = emb.filter(F.col("vec_id") < 20).select(
@@ -1333,23 +1319,9 @@ def k_eval_map_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("qv"),
         F.col("label").alias("ql"),
     )
-    ranked = (
-        emb.crossJoin(F.broadcast(q))
-        .filter(F.col("vec_id") != F.col("qid"))
-        .select(
-            "qid",
-            "label",
-            "ql",
-            F.row_number()
-            .over(
-                Window.partitionBy("qid").orderBy(
-                    F.round(dot(F.col("v"), F.col("qv")), 6).desc(),
-                    F.col("vec_id"),
-                )
-            )
-            .alias("rn"),
-        )
-    )
+    # Slice of the session-memoized exact ranking (one corpus×probes
+    # product shared by the whole retrieval-evaluation panel).
+    ranked = _exact_ranked(spark, sf_dir).select("qid", "label", "ql", "rn")
     hits = (
         ranked.filter((F.col("rn") <= 10) & (F.col("label") == F.col("ql")))
         .select(
@@ -3154,7 +3126,7 @@ def k_eval_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the 20-probe set broadcasts, the corpus streams once
     through the scoring crossJoin, the per-(k, query) reduce runs on a
     60-row spine."""
-    from data_service_spark.queries.llm import _emb, dot
+    from data_service_spark.queries.llm import _emb, _exact_ranked
 
     emb = _emb(spark, sf_dir)
     q = emb.filter(F.col("vec_id") < 20).select(
@@ -3170,17 +3142,10 @@ def k_eval_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("qid")
         .agg(F.count(F.lit(1)).alias("n_rel"))
     )
-    w = Window.partitionBy("qid").orderBy(
-        F.round(F.col("sim"), 6).desc(), F.col("vec_id")
-    )
-    ranked = (
-        emb.crossJoin(F.broadcast(q))
-        .filter(F.col("vec_id") != F.col("qid"))
-        .select(
-            "qid", "ql", "label", "vec_id",
-            dot(F.col("v"), F.col("qv")).alias("sim"),
-        )
-        .withColumn("rn", F.row_number().over(w))
+    # Slice of the session-memoized exact ranking (one corpus×probes
+    # product shared by the whole retrieval-evaluation panel).
+    ranked = _exact_ranked(spark, sf_dir).select(
+        "qid", "ql", "label", "vec_id", "rn"
     )
     ks = spark.createDataFrame([(1,), (5,), (10,)], "k int")
     hits = (
@@ -3259,29 +3224,18 @@ def k_rank_rbp(spark: SparkSession, sf_dir: str) -> DataFrame:
     before the per-query BIGINT sum, so the mean/min/max are exact
     integer micro-units. Scale shape: the 20-probe broadcast crossJoin
     + per-query rank window, then a 20-row spine reduce."""
-    from pyspark.sql.window import Window as W
+    from data_service_spark.queries.llm import _exact_ranked
 
-    from data_service_spark.queries.llm import _emb, dot
-
-    emb = _emb(spark, sf_dir)
-    q = emb.filter(F.col("vec_id") < 20).select(
-        F.col("vec_id").alias("qid"),
-        F.col("v").alias("qv"),
-        F.col("label").alias("ql"),
-    )
-    w = W.partitionBy("qid").orderBy(
-        F.round(F.col("sim"), 6).desc(), F.col("vec_id")
-    )
+    # Slice of the session-memoized exact ranking (one corpus×probes
+    # product shared by the whole retrieval-evaluation panel).
     ranked = (
-        emb.crossJoin(F.broadcast(q))
-        .filter(F.col("vec_id") != F.col("qid"))
+        _exact_ranked(spark, sf_dir)
+        .filter(F.col("rn") <= 10)
         .select(
             "qid", "vec_id",
             F.when(F.col("label") == F.col("ql"), 1).otherwise(0).alias("rel"),
-            dot(F.col("v"), F.col("qv")).alias("sim"),
+            "rn",
         )
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 10)
     )
     weighted = ranked.groupBy("qid").agg(
         F.sum(

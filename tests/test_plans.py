@@ -72,7 +72,11 @@ def test_whole_stage_codegen_covers_scan_filter(spark, sf_dir):
 def test_sim_topk_broadcasts_probes(spark, sf_dir):
     # The probe set must broadcast so the corpus streams past it once — a
     # shuffled cross join would move the full corpus per probe at scale.
-    plan = plan_of(QUERIES["k_sim_topk"](spark, sf_dir))
+    # k_sim_topk itself slices the session-memoized exact ranking, so the
+    # join strategy to pin lives in the memo's builder DAG.
+    from data_service_spark.queries.llm import _exact_ranked_frame
+
+    plan = plan_of(_exact_ranked_frame(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
 
