@@ -154,6 +154,7 @@ def main() -> None:
         k_cluster_assign,
         k_dedup_clusters,
     )
+    from data_service_spark.queries.llm_text import _ff_feats_df  # noqa: PLC0415
 
     # a_sink_hive_table's child-JVM Derby bring-up (~15 s) is likewise a
     # session fixed cost behind a per-(session, corpus) memo — prime it here
@@ -165,6 +166,7 @@ def main() -> None:
         _exploded_shingle_hashes,
         _minhash_sigs,
         _exact_ranked,
+        _ff_feats_df,
         _minhash_pairs,
         _near_pairs,
         _signrp_buckets,

@@ -1696,14 +1696,29 @@ def k_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FF_FEATS_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
 def _ff_feats_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-pass per-doc gate features (token count, type count,
     language-marker hits, top-token count) — shared by the funnel audit
     (``k_filter_funnel``) and the cascade scheduler
-    (``k_gate_cascade_order``)."""
+    (``k_gate_cascade_order``), memoized per (session, corpus dir) as a
+    localCheckpoint so the gate stack measures the corpus once per
+    session, not once per consumer key.
+
+    top_tok (the max repetition count of any single token) folds over
+    the SORTED token array counting consecutive-run lengths — O(n log n)
+    per doc and a constant-size struct accumulator, where the naive
+    per-token map rebuild (map_filter + map_concat per element) is
+    O(n·k) with k live map keys, all interpreted."""
+    ck = (id(spark), sf_dir)
+    hit = _FF_FEATS_CACHE.get(ck)
+    if hit is not None:
+        return hit
     docs = load(spark, sf_dir, "documents")
     toks = F.split("text", " ")
-    return docs.select(
+    out = docs.select(
         "doc_id",
         F.size(toks).alias("n_tok"),
         F.size(F.array_distinct(toks)).alias("n_typ"),
@@ -1716,25 +1731,21 @@ def _ff_feats_df(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             )
         ).alias("h_mark"),
-        F.array_max(
-            F.transform(
-                F.map_values(
-                    F.aggregate(
-                        toks,
-                        F.create_map().cast("map<string,int>"),
-                        lambda acc, w: F.map_concat(
-                            F.map_filter(acc, lambda k, v: k != w),
-                            F.create_map(
-                                w,
-                                F.coalesce(F.element_at(acc, w), F.lit(0)) + 1,
-                            ),
-                        ),
-                    )
-                ),
-                lambda v: v,
-            )
+        F.expr(
+            "aggregate(array_sort(split(text, ' ')),"
+            " struct(CAST(0 AS INT) AS run, CAST(0 AS INT) AS best,"
+            "        CAST(NULL AS STRING) AS prev),"
+            " (acc, w) -> struct("
+            "   CASE WHEN acc.prev <=> w THEN acc.run + 1 ELSE 1 END AS run,"
+            "   greatest(acc.best,"
+            "     CASE WHEN acc.prev <=> w THEN acc.run + 1 ELSE 1 END)"
+            "     AS best,"
+            "   w AS prev),"
+            " acc -> acc.best)"
         ).alias("top_tok"),
-    )
+    ).localCheckpoint()
+    _FF_FEATS_CACHE[ck] = out
+    return out
 
 
 _FF_SPARK_TAIL = f"""
