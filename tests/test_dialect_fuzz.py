@@ -36,32 +36,38 @@ SETTINGS = dict(
 
 # 12 fixed rows: zeros, sign mixes, NULLs, ties, the ±100 extremes; the
 # string column covers empties, NULL, case variants, repeats, and
-# leading/trailing spaces (ASCII only — binary collation on both sides).
+# leading/trailing spaces (ASCII only — binary collation on both sides);
+# the date column covers a leap day, ISO-week-53 year boundaries
+# (2021-01-01, 2016-01-03), the epoch, month ends, and NULL (each leaf
+# probe-verified identical cross-engine before admission).
 _ROWS = [
-    (0, 0, None, "a"),
-    (1, -1, 3, "ab"),
-    (-7, 13, None, ""),
-    (100, -100, 0, None),
-    (42, 42, 42, "b c"),
-    (-100, 99, -5, "aa"),
-    (17, 0, 1, "AB"),
-    (-3, -3, None, "xyz"),
-    (55, 7, -100, " a"),
-    (2, 64, 100, "a "),
-    (-50, 50, 2, "bb"),
-    (8, -9, -1, "cab"),
+    (0, 0, None, "a", "2020-02-29"),
+    (1, -1, 3, "ab", "2021-01-01"),
+    (-7, 13, None, "", "1970-01-01"),
+    (100, -100, 0, None, None),
+    (42, 42, 42, "b c", "2020-12-31"),
+    (-100, 99, -5, "aa", "2016-01-03"),
+    (17, 0, 1, "AB", "1999-12-31"),
+    (-3, -3, None, "xyz", "2024-12-30"),
+    (55, 7, -100, " a", "2020-01-31"),
+    (2, 64, 100, "a ", "2020-03-01"),
+    (-50, 50, 2, "bb", None),
+    (8, -9, -1, "cab", "2021-06-15"),
 ]
 _VALUES = ", ".join(
     f"({a}, {b}, {'NULL' if c is None else c},"
-    f" {'NULL' if s is None else repr(s)})"
-    for a, b, c, s in _ROWS
+    f" {'NULL' if s is None else repr(s)},"
+    f" {'NULL' if d is None else repr(d)})"
+    for a, b, c, s, d in _ROWS
 )
 # Both dialects accept the same inline-VALUES derived table; the BIGINT
-# casts keep every downstream operation in int64 on both sides.
+# casts keep every downstream operation in int64 on both sides, and the
+# date column arrives as an ISO string cast identically by both.
 TABLE = (
     "(SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,"
-    " CAST(c AS BIGINT) AS c, CAST(s AS STRING) AS s"
-    f" FROM (VALUES {_VALUES}) AS v(a, b, c, s)) t"
+    " CAST(c AS BIGINT) AS c, CAST(s AS STRING) AS s,"
+    " CAST(d AS DATE) AS d"
+    f" FROM (VALUES {_VALUES}) AS v(a, b, c, s, d)) t"
 )
 
 _NUM_LEAVES = [
@@ -180,6 +186,55 @@ def str_expr(draw, depth: int = 3) -> str:
     )
 
 
+_DATE_LITS = [
+    "DATE '2020-02-29'",
+    "DATE '2021-01-01'",
+    "DATE '1999-12-31'",
+    "DATE '1970-01-01'",
+    "CAST(NULL AS DATE)",
+]
+# Probe-verified identical cross-engine: year/month/day, quarter,
+# weekofyear (ISO on both, checked on week-53 boundaries), dayofyear,
+# date_part('day'/'year'). Probed EXCLUSIONS: dayofweek (Spark Sunday=7,
+# DuckDB Saturday=6 on the same date), date ± INTERVAL MONTH (DuckDB
+# returns TIMESTAMP), d1 - d2 (Spark yields an INTERVAL type, DuckDB an
+# integer), 2-arg datediff and months_between (no DuckDB counterpart),
+# date_trunc (timestamp vs date result type).
+_DATE_FIELD_FNS = ["year", "month", "day", "quarter", "weekofyear",
+                   "dayofyear"]
+
+
+@st.composite
+def date_expr(draw, depth: int = 3) -> str:
+    """Dialect-identical date core: the d column and probe-verified
+    literals under ±day arithmetic, last_day, and the generic NULL/order
+    combinators. Day offsets stay within ±400 so no expression leaves
+    the four-digit-year domain either engine formats identically."""
+    if depth <= 0 or draw(st.integers(0, 2)) == 0:
+        return draw(st.sampled_from(["d", "d", *_DATE_LITS]))
+    op = draw(
+        st.sampled_from(
+            [
+                "plus_days", "minus_days", "last_day", "coalesce",
+                "nullif", "least", "greatest", "case",
+            ]
+        )
+    )
+    dd = depth - 1
+    if op == "plus_days":
+        return f"({draw(date_expr(dd))} + {draw(st.integers(0, 400))})"
+    if op == "minus_days":
+        return f"({draw(date_expr(dd))} - {draw(st.integers(0, 400))})"
+    if op == "last_day":
+        return f"last_day({draw(date_expr(dd))})"
+    if op in ("coalesce", "nullif", "least", "greatest"):
+        return f"{op}({draw(date_expr(dd))}, {draw(date_expr(dd))})"
+    return (
+        f"(CASE WHEN {draw(bool_expr(dd))} THEN {draw(date_expr(dd))}"
+        f" ELSE {draw(date_expr(dd))} END)"
+    )
+
+
 def _cell(v):
     if v is None:
         return None
@@ -256,6 +311,32 @@ def test_scalar_expression_parity(spark, duck, exprs):
 def test_string_expression_parity(spark, duck, exprs):
     """String-core parity: generated string pipelines plus their numeric
     bridges (length, instr, ordering) evaluate identically."""
+    sel = ", ".join(f"{e} AS x{i}" for i, e in enumerate(exprs))
+    q = f"SELECT {sel} FROM {TABLE}"
+    s_rows, o_rows = _both(spark, duck, q)
+    assert s_rows == o_rows, f"divergence for: {q}"
+
+
+@given(
+    exprs=st.lists(
+        st.one_of(
+            date_expr().map(lambda e: f"CAST({e} AS STRING)"),
+            st.tuples(
+                date_expr(), st.sampled_from(_DATE_FIELD_FNS)
+            ).map(lambda t: f"CAST({t[1]}({t[0]}) AS BIGINT)"),
+            st.tuples(date_expr(), date_expr()).map(
+                lambda t: f"CAST(({t[0]} < {t[1]}) AS INT)"
+            ),
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(**SETTINGS)
+def test_date_expression_parity(spark, duck, exprs):
+    """Date-core parity: generated date pipelines surfaced through their
+    dialect-identical bridges (ISO string form, calendar field
+    extraction, ordering) evaluate identically."""
     sel = ", ".join(f"{e} AS x{i}" for i, e in enumerate(exprs))
     q = f"SELECT {sel} FROM {TABLE}"
     s_rows, o_rows = _both(spark, duck, q)
