@@ -146,6 +146,7 @@ def main() -> None:
     )
     from data_service_spark.queries.llm import (  # noqa: PLC0415
         _exploded_shingle_hashes,
+        _cs_pairs,
         _exact_ranked,
         _minhash_pairs,
         _minhash_sigs,
@@ -165,6 +166,7 @@ def main() -> None:
     for warm_fn in (
         _exploded_shingle_hashes,
         _minhash_sigs,
+        _cs_pairs,
         _exact_ranked,
         _ff_feats_df,
         _minhash_pairs,

@@ -2816,14 +2816,11 @@ def k_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     degree aggregate (measured 4.5 s; checkpointed rounds ~1.5 s); the
     DuckDB oracle keeps the unrolled CTEs because DuckDB materializes
     multi-referenced CTEs."""
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    e0 = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
-        .distinct()
-        .localCheckpoint()
-    )
+    from data_service_spark.queries.llm import _cs_pairs
+
+    # The base edge list IS the session-memoized checkpoint the graph
+    # family shares; peel rounds checkpoint their shrinking remnants.
+    e0 = _cs_pairs(spark, sf_dir)
 
     def degrees(e: DataFrame) -> tuple[DataFrame, DataFrame]:
         return (
