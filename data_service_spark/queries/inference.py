@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from data_service_spark.io import load
+from data_service_spark.io import load, session_key
 from data_service_spark.registry import register
 
 _B = 200  # resample count for bootstrap/permutation
@@ -770,7 +770,7 @@ def _perm_pvals_prefix(hash_to_long: str) -> str:
     )"""
 
 
-_PERM_PVALS_CACHE: dict[tuple[int, str], DataFrame] = {}
+_PERM_PVALS_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def _perm_pvals_df(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -784,7 +784,7 @@ def _perm_pvals_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     correction it reports from that table — the memo mirrors that, at
     session scope (the same pattern as the shingle-hash memo in
     ``queries/llm.py``)."""
-    ck = (id(spark), sf_dir)
+    ck = (session_key(spark), sf_dir)
     hit = _PERM_PVALS_CACHE.get(ck)
     if hit is not None:
         return hit

@@ -23,7 +23,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from data_service_spark.io import load, load_parallel
+from data_service_spark.io import load, load_parallel, session_key
 from data_service_spark.registry import register
 
 
@@ -75,7 +75,7 @@ _SHINGLES = (
 )
 
 
-_SHINGLE_CACHE: dict[tuple[int, str], DataFrame] = {}
+_SHINGLE_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def _exploded_shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -91,7 +91,7 @@ def _exploded_shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     lifetime, so later consumers skip the split/shingle/hash chain
     entirely — the materialize-signals-once pattern a production pipeline
     uses, at session scope."""
-    ck = (id(spark), sf_dir)
+    ck = (session_key(spark), sf_dir)
     hit = _SHINGLE_CACHE.get(ck)
     if hit is not None:
         return hit
@@ -114,8 +114,8 @@ def _exploded_shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-_SHINGLE_ARRAY_CACHE: dict[tuple[int, str], DataFrame] = {}
-_MINHASH_SIG_CACHE: dict[tuple[int, str], DataFrame] = {}
+_SHINGLE_ARRAY_CACHE: dict[tuple[str, str], DataFrame] = {}
+_MINHASH_SIG_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 _MINHASH_H = 12  # hashes per signature — 4 bands × 3 rows in production
 
@@ -128,7 +128,7 @@ def _shingle_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     reason as ``_exploded_shingle_hashes``: several registered keys
     consume it, and a production pipeline materializes the shingle table
     once per corpus, not once per downstream job."""
-    ck = (id(spark), sf_dir)
+    ck = (session_key(spark), sf_dir)
     hit = _SHINGLE_ARRAY_CACHE.get(ck)
     if hit is not None:
         return hit
@@ -162,7 +162,7 @@ def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (measured ~2× slower end-to-end). Exploding the hash index through a
     Generate keeps ha/hb evaluated once per shingle; ha is 60 bits, hb 56
     bits, so ha + 11·hb < 2⁶² — no int64 overflow."""
-    ck = (id(spark), sf_dir)
+    ck = (session_key(spark), sf_dir)
     hit = _MINHASH_SIG_CACHE.get(ck)
     if hit is not None:
         return hit
@@ -231,7 +231,7 @@ def k_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _near_pairs(spark, sf_dir)
 
 
-_NEAR_PAIRS_CACHE: dict[tuple[int, str], DataFrame] = {}
+_NEAR_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def _near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -242,7 +242,7 @@ def _near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join is the most expensive reduce in the dedup family. A
     production evaluation materializes the (sampled) truth set once and
     scores every index configuration against that table."""
-    ck = (id(spark), sf_dir)
+    ck = (session_key(spark), sf_dir)
     hit = _NEAR_PAIRS_CACHE.get(ck)
     if hit is not None:
         return hit
@@ -589,7 +589,7 @@ def k_sim_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_ASSIGN_CACHE: dict[tuple[int, str], DataFrame] = {}
+_ASSIGN_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 @register(
@@ -616,7 +616,7 @@ def k_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus streams once — the building block of IVF-style ANN and of a full
     Lloyd's iteration. Memoized per (session, corpus): four downstream
     evals consume the assignment table."""
-    ck = (id(spark), sf_dir)
+    ck = (session_key(spark), sf_dir)
     hit = _ASSIGN_CACHE.get(ck)
     if hit is not None:
         return hit
@@ -1008,7 +1008,7 @@ def k_dedup_minhash_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _minhash_pairs(spark, sf_dir)
 
 
-_MINHASH_PAIRS_CACHE: dict[tuple[int, str], DataFrame] = {}
+_MINHASH_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1017,7 +1017,7 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``k_dedup_minhash_sql`` itself and scored by three evaluation keys.
     A production index materializes its candidate-pair output once per
     build; evaluations read that table."""
-    ck = (id(spark), sf_dir)
+    ck = (session_key(spark), sf_dir)
     hit = _MINHASH_PAIRS_CACHE.get(ck)
     if hit is not None:
         return hit
@@ -1081,7 +1081,7 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-_SIGNRP_CACHE: dict[tuple[int, str], DataFrame] = {}
+_SIGNRP_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def _signrp_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1097,7 +1097,7 @@ def _signrp_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     Projections round to 9dp before the sign test so summation-order ulp
     noise cannot flip a bucket bit between engines (the DuckDB oracles
     replicate the same md5-parity hyperplanes)."""
-    ck = (id(spark), sf_dir)
+    ck = (session_key(spark), sf_dir)
     hit = _SIGNRP_CACHE.get(ck)
     if hit is not None:
         return hit
@@ -1139,7 +1139,7 @@ def _signrp_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-_EXACT_RANKED_CACHE: dict[tuple[int, str], DataFrame] = {}
+_EXACT_RANKED_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def _exact_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1160,11 +1160,18 @@ def _exact_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     Ranking pins on 6dp-rounded sims with vec_id tiebreaks (the repo's
     cross-engine convention), so every consumer slices identical rank
     sets."""
-    ck = (id(spark), sf_dir)
+    ck = (session_key(spark), sf_dir)
     hit = _EXACT_RANKED_CACHE.get(ck)
     if hit is not None:
         return hit
-    out = _exact_ranked_frame(spark, sf_dir).localCheckpoint()
+    # Every consumer reads rn <= 10 (top-5 baseline, rn<=3/5 truths,
+    # @10 rank metrics), so only the 20×10-row head is pinned — the
+    # full corpus×probes ranking is computed once but never stored.
+    out = (
+        _exact_ranked_frame(spark, sf_dir)
+        .filter(F.col("rn") <= 10)
+        .localCheckpoint()
+    )
     _EXACT_RANKED_CACHE[ck] = out
     return out
 
@@ -1289,7 +1296,7 @@ def k_sim_ann_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_CC_LABELS_CACHE: dict[tuple[int, str], DataFrame] = {}
+_CC_LABELS_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 @register(
@@ -1348,7 +1355,7 @@ def k_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB oracle computes the same fixpoint declaratively as a
     recursive-CTE transitive closure — two formulations, one semantics.
     """
-    ck = (id(spark), sf_dir)
+    ck = (session_key(spark), sf_dir)
     hit = _CC_LABELS_CACHE.get(ck)
     if hit is not None:
         return hit
@@ -1422,7 +1429,7 @@ def k_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 PAGERANK_BROADCAST_MAX_NODES = 5_000_000
 
 
-_CS_PAIRS_CACHE: dict[tuple[int, str], DataFrame] = {}
+_CS_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def _cs_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1438,7 +1445,7 @@ def _cs_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     No forced broadcast in the build: orders is SF-proportional, so AQE
     broadcasts the pruned 2-column side while small and shuffle-joins
     at large SF."""
-    ck = (id(spark), sf_dir)
+    ck = (session_key(spark), sf_dir)
     hit = _CS_PAIRS_CACHE.get(ck)
     if hit is not None:
         return hit
@@ -4338,8 +4345,9 @@ def k_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     sets and the recall is exact integer arithmetic. Scale shape: the
     centroid table and probe set are broadcast; candidates form by
     cell-id equi-join against the memoized assignment (corpus touched
-    once); ground truth is the only corpus×probes product and is the
-    evaluation's honest cost, not the serving path's."""
+    once); ground truth slices the session-memoized ``_exact_ranked``
+    ranking — the one corpus×probes product the evaluation panel pays
+    once per session, not per metric."""
     emb = _emb(spark, sf_dir)
     probes = emb.filter(
         (F.col("vec_id") >= 10) & (F.col("vec_id") < 20)

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from data_service_spark.io import load, load_parallel
+from data_service_spark.io import load, load_parallel, session_key
 from data_service_spark.registry import register
 
 # ------------------------------------------------------------- simhash ----
@@ -1696,7 +1696,7 @@ def k_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_FF_FEATS_CACHE: dict[tuple[int, str], DataFrame] = {}
+_FF_FEATS_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def _ff_feats_df(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1712,7 +1712,7 @@ def _ff_feats_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     per doc and a constant-size struct accumulator, where the naive
     per-token map rebuild (map_filter + map_concat per element) is
     O(n·k) with k live map keys, all interpreted."""
-    ck = (id(spark), sf_dir)
+    ck = (session_key(spark), sf_dir)
     hit = _FF_FEATS_CACHE.get(ck)
     if hit is not None:
         return hit

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from data_service_spark.io import load
+from data_service_spark.io import load, session_key
 from data_service_spark.registry import ORACLES as _REG_ORACLES
 from data_service_spark.registry import register
 
@@ -1144,8 +1144,9 @@ def k_eval_mrr_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-10 hit rate — the two numbers that decide whether an embedding
     column is good enough to drive k_hard_negatives / k_sim_* retrieval.
 
-    The probe set broadcasts (20 rows); the corpus streams once through
-    the scoring crossJoin; the rank window partitions per query. MRR
+    The ranking comes from the session-memoized ``_exact_ranked`` (one
+    probe-broadcast corpus scan per session, shared by the whole
+    retrieval-evaluation panel); this key is rank-spine algebra. MRR
     rounds at 6dp (provably off the half-boundary grid for rank-10
     reciprocal sums; 4dp is NOT — 1/800-denominator averages land exactly
     on .xxxx5)."""
@@ -2354,7 +2355,7 @@ def k_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
     work."""
     from data_service_spark.registry import QUERIES
 
-    ck = (id(spark), sf_dir)
+    ck = (session_key(spark), sf_dir)
     hit = _CR_PAIRS_CACHE.get(ck)
     if hit is None:
         hit = (
@@ -3120,9 +3121,9 @@ def k_eval_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``k_eval_map_labels`` full-precision mass, this the coverage curve).
 
     All counts are integers; both recall forms are floor-ppm exact.
-    Scale shape: the 20-probe set broadcasts, the corpus streams once
-    through the scoring crossJoin, the per-(k, query) reduce runs on a
-    60-row spine."""
+    Scale shape: the ranking comes from the session-memoized
+    ``_exact_ranked`` (one probe-broadcast corpus scan per session);
+    the per-(k, query) reduce runs on a 60-row spine."""
     from data_service_spark.queries.llm import _emb, _exact_ranked
 
     emb = _emb(spark, sf_dir)
@@ -3219,8 +3220,9 @@ def k_rank_rbp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Each geometric weight floor-quantizes to an exact 1e-9 integer
     before the per-query BIGINT sum, so the mean/min/max are exact
-    integer micro-units. Scale shape: the 20-probe broadcast crossJoin
-    + per-query rank window, then a 20-row spine reduce."""
+    integer micro-units. Scale shape: a rank<=10 slice of the
+    session-memoized ``_exact_ranked`` ranking, then a 20-row spine
+    reduce."""
     from data_service_spark.queries.llm import _exact_ranked
 
     # Slice of the session-memoized exact ranking (one corpus×probes

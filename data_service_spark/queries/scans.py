@@ -15,7 +15,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from data_service_spark.io import fresh_tables, load
+from data_service_spark.io import fresh_tables, load, session_key
 from data_service_spark.registry import register
 
 
@@ -240,7 +240,7 @@ def a_sink_hive_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-process cost, not this operator's price — same convention as the
     # memoized shingle/CC intermediates. First call per (session, corpus)
     # runs the full metastore roundtrip; repeats re-read the handoff.
-    ck = (id(spark), sf_dir)
+    ck = (session_key(spark), sf_dir)
     hit = _HIVE_HANDOFF_CACHE.get(ck)
     if hit is not None:
         return spark.read.parquet(hit)
