@@ -235,6 +235,84 @@ def date_expr(draw, depth: int = 3) -> str:
     )
 
 
+_WIN_PARTS = [
+    "",
+    "PARTITION BY abs(a) % 2 ",
+    "PARTITION BY abs(a) % 3 ",
+    "PARTITION BY abs(b) % 2 ",
+]
+# Explicit direction AND null placement on every generated order key:
+# the probe that motivated this core found the engines' DEFAULTS diverge
+# (Spark orders ASC NULLS FIRST, DuckDB ASC NULLS LAST — rank() over a
+# nullable key silently differs). The trailing ", a" tiebreak totalizes
+# the order (a is unique in the relation), so positional functions are
+# deterministic in both engines.
+_WIN_DIRS = [
+    "ASC NULLS FIRST", "ASC NULLS LAST", "DESC NULLS FIRST",
+    "DESC NULLS LAST",
+]
+_ROWS_FRAMES = [
+    "",
+    " ROWS BETWEEN 2 PRECEDING AND CURRENT ROW",
+    " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+    " ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING",
+    " ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING",
+    " ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING",
+]
+
+
+@st.composite
+def window_expr(draw) -> str:
+    """Dialect-identical window core. Probed exclusions: default null
+    ordering (see _WIN_DIRS), avg (float-division divergence class),
+    RANGE over multi-key orders (invalid in both engines — the RANGE
+    variant here orders by a single coalesced key, where value-frame
+    aggregates are tie-insensitive)."""
+    part = draw(st.sampled_from(_WIN_PARTS))
+    key = draw(st.sampled_from(_NUM_LEAVES))
+    direction = draw(st.sampled_from(_WIN_DIRS))
+    order = f"ORDER BY {key} {direction}, a"
+    kind = draw(
+        st.sampled_from(
+            ["pos", "ntile", "lag", "lead", "valpos", "agg", "range_agg"]
+        )
+    )
+    if kind == "pos":
+        fn = draw(st.sampled_from(["row_number()", "rank()", "dense_rank()"]))
+        return f"{fn} OVER ({part}{order})"
+    if kind == "ntile":
+        return f"ntile({draw(st.integers(2, 4))}) OVER ({part}{order})"
+    if kind in ("lag", "lead"):
+        x = draw(st.sampled_from(_NUM_LEAVES))
+        n = draw(st.integers(0, 3))
+        dflt = draw(st.sampled_from(["", f", {draw(st.integers(-5, 5))}"]))
+        return f"CAST({kind}({x}, {n}{dflt}) OVER ({part}{order}) AS BIGINT)"
+    if kind == "valpos":
+        x = draw(st.sampled_from(_NUM_LEAVES))
+        fn = draw(
+            st.sampled_from(
+                [f"first_value({x})", f"last_value({x})",
+                 f"nth_value({x}, {draw(st.integers(1, 3))})"]
+            )
+        )
+        frame = draw(st.sampled_from(_ROWS_FRAMES))
+        return f"CAST({fn} OVER ({part}{order}{frame}) AS BIGINT)"
+    if kind == "agg":
+        x = draw(num_expr(1))
+        fn = draw(st.sampled_from(["sum", "min", "max", "count"]))
+        frame = draw(st.sampled_from(_ROWS_FRAMES))
+        return f"CAST({fn}({x}) OVER ({part}{order}{frame}) AS BIGINT)"
+    # range_agg: single coalesced numeric order key, value frame
+    x = draw(st.sampled_from(_NUM_LEAVES))
+    fn = draw(st.sampled_from(["sum", "min", "max", "count"]))
+    lo = draw(st.integers(0, 20))
+    hi = draw(st.sampled_from(["CURRENT ROW", "5 FOLLOWING"]))
+    return (
+        f"CAST({fn}({x}) OVER ({part}ORDER BY coalesce(c, 0)"
+        f" RANGE BETWEEN {lo} PRECEDING AND {hi}) AS BIGINT)"
+    )
+
+
 def _cell(v):
     if v is None:
         return None
@@ -339,6 +417,19 @@ def test_date_expression_parity(spark, duck, exprs):
     extraction, ordering) evaluate identically."""
     sel = ", ".join(f"{e} AS x{i}" for i, e in enumerate(exprs))
     q = f"SELECT {sel} FROM {TABLE}"
+    s_rows, o_rows = _both(spark, duck, q)
+    assert s_rows == o_rows, f"divergence for: {q}"
+
+
+@given(exprs=st.lists(window_expr(), min_size=1, max_size=4))
+@settings(**SETTINGS)
+def test_window_expression_parity(spark, duck, exprs):
+    """Window-core parity: generated window functions over explicit
+    direction/null-placement orders with a totalizing tiebreak evaluate
+    identically — guarding the engine's largest operator family (the
+    e_win keys) as a property."""
+    sel = ", ".join(f"{e} AS x{i}" for i, e in enumerate(exprs))
+    q = f"SELECT a, {sel} FROM {TABLE}"
     s_rows, o_rows = _both(spark, duck, q)
     assert s_rows == o_rows, f"divergence for: {q}"
 
