@@ -155,7 +155,10 @@ def main() -> None:
         k_cluster_assign,
         k_dedup_clusters,
     )
-    from data_service_spark.queries.llm_text import _ff_feats_df  # noqa: PLC0415
+    from data_service_spark.queries.llm_text import (  # noqa: PLC0415
+        _ff_feats_df,
+        _simhash_fp,
+    )
 
     # a_sink_hive_table's child-JVM Derby bring-up (~15 s) is likewise a
     # session fixed cost behind a per-(session, corpus) memo — prime it here
@@ -169,6 +172,7 @@ def main() -> None:
         _cs_pairs,
         _exact_ranked,
         _ff_feats_df,
+        _simhash_fp,
         _minhash_pairs,
         _near_pairs,
         _signrp_buckets,
