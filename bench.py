@@ -158,6 +158,7 @@ def main() -> None:
     from data_service_spark.queries.llm_text import (  # noqa: PLC0415
         _ff_feats_df,
         _simhash_fp,
+        k_text_bm25,
     )
 
     # a_sink_hive_table's child-JVM Derby bring-up (~15 s) is likewise a
@@ -173,6 +174,7 @@ def main() -> None:
         _exact_ranked,
         _ff_feats_df,
         _simhash_fp,
+        k_text_bm25,
         _minhash_pairs,
         _near_pairs,
         _signrp_buckets,

@@ -307,7 +307,11 @@ def test_bm25_filters_terms_before_aggregation(spark, sf_dir):
     """k_text_bm25: the query-term IN-filter must sit below the tf
     aggregate (simple string check: Filter appears in the plan and the
     aggregate count stays partial→final), so only posting rows shuffle."""
-    plan = plan_of(QUERIES["k_text_bm25"](spark, sf_dir))
+    # k_text_bm25 returns the session-memoized checkpoint; the shape to
+    # pin lives in the builder DAG.
+    from data_service_spark.queries.llm_text import _bm25_frame
+
+    plan = plan_of(_bm25_frame(spark, sf_dir))
     assert "Filter" in plan and "HashAggregate" in plan
     # the IN-list literal lands in a Filter, not a Join condition
     assert "table" in plan and "hash" in plan and "scan" in plan
