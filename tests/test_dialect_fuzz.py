@@ -434,6 +434,31 @@ def test_window_expression_parity(spark, duck, exprs):
     assert s_rows == o_rows, f"divergence for: {q}"
 
 
+_SETOPS = [
+    "UNION", "UNION ALL", "INTERSECT", "INTERSECT ALL", "EXCEPT",
+    "EXCEPT ALL",
+]
+
+
+@given(
+    le=num_expr(2),
+    re=num_expr(2),
+    op1=st.sampled_from(_SETOPS),
+    op2=st.sampled_from(_SETOPS),
+)
+@settings(**SETTINGS)
+def test_setop_parity(spark, duck, le, re, op1, op2):
+    """Set-operation parity: generated projections under chained
+    UNION/INTERSECT/EXCEPT (DISTINCT and ALL forms, probe-verified
+    including NULL grouping semantics) produce identical multisets."""
+    l_q = f"SELECT CAST({le} AS BIGINT) AS x, abs(a) % 3 AS y FROM {TABLE}"
+    r_q = f"SELECT CAST({re} AS BIGINT) AS x, abs(b) % 3 AS y FROM {TABLE}"
+    m_q = f"SELECT c AS x, abs(a) % 2 AS y FROM {TABLE}"
+    q = f"SELECT * FROM (({l_q}) {op1} ({r_q}) {op2} ({m_q})) u"
+    s_rows, o_rows = _both(spark, duck, q)
+    assert s_rows == o_rows, f"divergence for: {q}"
+
+
 @given(expr=num_expr())
 @settings(**SETTINGS)
 def test_aggregate_parity(spark, duck, expr):
