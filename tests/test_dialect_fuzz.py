@@ -473,3 +473,28 @@ def test_aggregate_parity(spark, duck, expr):
     )
     s_rows, o_rows = _both(spark, duck, q)
     assert s_rows == o_rows, f"divergence for: {q}"
+
+
+@given(
+    se=str_expr(2),
+    de=date_expr(2),
+    g=st.sampled_from(["abs(a) % 2", "abs(a) % 3", "abs(b) % 2"]),
+    having=st.sampled_from(["", " HAVING count(*) > 1", " HAVING count(*) >= 3"]),
+)
+@settings(**SETTINGS)
+def test_typed_aggregate_parity(spark, duck, se, de, g, having):
+    """Typed-aggregate parity: MIN/MAX/COUNT/COUNT DISTINCT over
+    generated STRING and DATE expressions (dates bridged to ISO strings)
+    plus DISTINCT integer sums, under generated HAVING gates. Probed
+    exclusion: multi-column count(DISTINCT a, b) — no DuckDB form."""
+    q = (
+        "SELECT g, min(sv) AS s_lo, max(sv) AS s_hi,"
+        " count(sv) AS s_n, count(DISTINCT sv) AS s_d,"
+        " CAST(min(dv) AS STRING) AS d_lo, CAST(max(dv) AS STRING)"
+        " AS d_hi, count(DISTINCT dv) AS d_d,"
+        " CAST(sum(DISTINCT abs(a) % 5) AS BIGINT) AS i_sd"
+        f" FROM (SELECT {g} AS g, a, ({se}) AS sv, ({de}) AS dv"
+        f" FROM {TABLE}) u GROUP BY g{having}"
+    )
+    s_rows, o_rows = _both(spark, duck, q)
+    assert s_rows == o_rows, f"divergence for: {q}"
