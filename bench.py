@@ -182,7 +182,11 @@ def main() -> None:
         k_cluster_assign,
         k_dedup_clusters,
     ]
-    # The hive warm spawns a ~15 s Derby child JVM — only worth paying
+    # Deliberate: subset runs still pay the (cheap, ~1-2 s total) memo
+    # warms above even when no requested key consumes them — a correct
+    # steady-state number for any memo consumer matters more than the
+    # warm cost, and a consumer map would rot. The one exception is the
+    # hive warm: it spawns a ~15 s Derby child JVM, only worth paying
     # when the timed pass will actually hit the hive key (always true on
     # a full run, rarely on a subset iteration loop).
     if not only or "a_sink_hive_table" in keys:

@@ -39,6 +39,36 @@ def session_key(spark: SparkSession) -> str:
     return spark.sparkContext.applicationId
 
 
+def corpus_memo(build):
+    """Decorator: memoize a ``(spark, sf_dir) -> DataFrame`` builder per
+    (session applicationId, corpus dir), pinning the built frame with
+    ``localCheckpoint`` — the materialize-once pattern every shared
+    corpus-sized reduce in this repo uses (SCALING.md round-7 lessons).
+    The builder body returns the un-checkpointed DAG; plan tests can pin
+    the builder's shape by calling it through its ``__wrapped__``
+    attribute or a separately exposed ``*_frame`` helper. Entries live
+    for the process (a handful of corpus dirs per session); a stopped
+    context's entries are unreachable garbage, never served, because the
+    key changes with the applicationId. Older memos (rounds 2-6) predate
+    this decorator and keep their expanded form where their builders
+    also create temp views or store multiple tables."""
+    import functools
+
+    cache: dict[tuple[str, str], DataFrame] = {}
+
+    @functools.wraps(build)
+    def memoized(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ck = (session_key(spark), sf_dir)
+        hit = cache.get(ck)
+        if hit is None:
+            hit = build(spark, sf_dir).localCheckpoint()
+            cache[ck] = hit
+        return hit
+
+    memoized._cache = cache
+    return memoized
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one corpus table. ``name`` must be in TABLES.
 

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from data_service_spark.io import load, load_parallel, session_key
+from data_service_spark.io import corpus_memo, load, load_parallel
 from data_service_spark.registry import register
 
 # ------------------------------------------------------------- simhash ----
@@ -42,9 +42,7 @@ _SPARK_TOKEN_HASH = (
 _DUCK_TOKEN_HASH = "('0x' || substr(md5(tok), 1, 15))::BIGINT"
 
 
-_SIMHASH_FP_CACHE: dict[tuple[str, str], DataFrame] = {}
-
-
+@corpus_memo
 def _simhash_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """doc_id → 60-bit simhash, computed fully in SQL expressions (stays in
     codegen; one explode + one hash-agg shuffle — linear at 100 TB).
@@ -53,14 +51,10 @@ def _simhash_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     sides (measured 1.2 → 0.35 s at sf0.1 once pinned) — a production
     index stores the fingerprint column, it does not re-hash the corpus
     per probe side."""
-    ck = (session_key(spark), sf_dir)
-    hit = _SIMHASH_FP_CACHE.get(ck)
-    if hit is not None:
-        return hit
     load_parallel(spark, sf_dir, "documents", "doc_id").createOrReplaceTempView(
         "dss_docs_sh"
     )
-    out = spark.sql(
+    return spark.sql(
         f"""
         WITH tok AS (
           SELECT doc_id, explode(split(text, ' ')) AS tok FROM dss_docs_sh
@@ -69,9 +63,7 @@ def _simhash_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT doc_id, {_BIT_VOTES} AS simhash FROM hashed GROUP BY doc_id
         """
-    ).localCheckpoint()
-    _SIMHASH_FP_CACHE[ck] = out
-    return out
+    )
 
 
 @register(
@@ -752,9 +744,6 @@ def k_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_BM25_CACHE: dict[tuple[str, str], DataFrame] = {}
-
-
 @register(
     "k_text_bm25",
     oracle="""
@@ -788,6 +777,7 @@ _BM25_CACHE: dict[tuple[str, str], DataFrame] = {}
     WHERE rn <= 20
     """,
 )
+@corpus_memo
 def k_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 retrieval scoring (k1=1.2, b=0.75) for a fixed 3-term query —
     the lexical-search ranker a corpus-curation stack runs for targeted
@@ -807,13 +797,7 @@ def k_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     downstream keys re-rank or attribute against this exact lexical leg
     (hybrid RRF, NDCG, Brier, interleave, RBO) — a search stack scores
     the query once and every evaluator reads the result list."""
-    ck = (session_key(spark), sf_dir)
-    hit = _BM25_CACHE.get(ck)
-    if hit is not None:
-        return hit
-    out = _bm25_frame(spark, sf_dir).localCheckpoint()
-    _BM25_CACHE[ck] = out
-    return out
+    return _bm25_frame(spark, sf_dir)
 
 
 def _bm25_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1731,9 +1715,7 @@ def k_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_FF_FEATS_CACHE: dict[tuple[str, str], DataFrame] = {}
-
-
+@corpus_memo
 def _ff_feats_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-pass per-doc gate features (token count, type count,
     language-marker hits, top-token count) — shared by the funnel audit
@@ -1747,10 +1729,6 @@ def _ff_feats_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     per doc and a constant-size struct accumulator, where the naive
     per-token map rebuild (map_filter + map_concat per element) is
     O(n·k) with k live map keys, all interpreted."""
-    ck = (session_key(spark), sf_dir)
-    hit = _FF_FEATS_CACHE.get(ck)
-    if hit is not None:
-        return hit
     docs = load(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     out = docs.select(
@@ -1778,8 +1756,7 @@ def _ff_feats_df(spark: SparkSession, sf_dir: str) -> DataFrame:
             "   w AS prev),"
             " acc -> acc.best)"
         ).alias("top_tok"),
-    ).localCheckpoint()
-    _FF_FEATS_CACHE[ck] = out
+    )
     return out
 
 

@@ -214,7 +214,7 @@ def a_sink_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(tbl)
 
 
-_HIVE_HANDOFF_CACHE: dict[tuple[int, str], str] = {}
+_HIVE_HANDOFF_CACHE: dict[tuple[str, str], str] = {}
 
 
 @register("a_sink_hive_table", oracle="SELECT * FROM region", effects="hive-metastore-write: child-JVM Derby roundtrip")

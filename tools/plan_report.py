@@ -105,8 +105,8 @@ SHOWCASE = {
         "the as-of idiom is one shuffle + linear window walk — no pair blowup",
     ),
     "k_dedup_simhash": (
-        "hash-agg fingerprints, exploded bands, ShuffledHashJoin/SortMergeJoin on (band, val)",
-        "LSH turns near-dup search into an equi-join; candidates scale with bucket occupancy, not docs²",
+        "memoized fingerprint checkpoint (Scan ExistingRDD), exploded bands, equi-join on (band, val)",
+        "LSH turns near-dup search into an equi-join; candidates scale with bucket occupancy, not docs²; the fingerprint table is built once per session (its hash-agg lives in the memo builder, not this plan)",
     ),
     "k_sim_threshold": (
         "block aggregation + one-row broadcast + MapInPandas GEMM",
