@@ -459,6 +459,44 @@ def test_setop_parity(spark, duck, le, re, op1, op2):
     assert s_rows == o_rows, f"divergence for: {q}"
 
 
+_T2 = TABLE.replace(") t", ") t2")
+
+
+@given(
+    inner=num_expr(2),
+    outer=num_expr(1),
+    form=st.sampled_from(
+        ["IN", "NOT IN", "EXISTS", "NOT EXISTS", "SCALAR"]
+    ),
+    corr=st.sampled_from(["t2.b = t.a", "t2.a < t.a", "t2.c = t.c"]),
+)
+@settings(**SETTINGS)
+def test_subquery_parity(spark, duck, inner, outer, form, corr):
+    """Subquery-predicate parity: generated [NOT] IN (including the
+    three-valued NOT-IN-over-NULLs trap — the inner projection can be
+    NULL), correlated [NOT] EXISTS, and correlated scalar aggregates
+    evaluate identically. Probed exclusion: quantified ANY/ALL
+    comparisons — Spark 4 does not parse them (DuckDB does)."""
+    if form in ("IN", "NOT IN"):
+        q = (
+            f"SELECT a, b FROM {TABLE} WHERE CAST({outer} AS BIGINT)"
+            f" {form} (SELECT CAST({inner} AS BIGINT) FROM {_T2})"
+        )
+    elif form in ("EXISTS", "NOT EXISTS"):
+        q = (
+            f"SELECT a, b FROM {TABLE} WHERE {form}"
+            f" (SELECT 1 FROM {_T2} WHERE {corr}"
+            f" AND CAST({inner} AS BIGINT) IS NOT NULL)"
+        )
+    else:
+        q = (
+            f"SELECT a, (SELECT CAST(max({inner}) AS BIGINT) FROM {_T2}"
+            f" WHERE {corr}) AS m FROM {TABLE}"
+        )
+    s_rows, o_rows = _both(spark, duck, q)
+    assert s_rows == o_rows, f"divergence for: {q}"
+
+
 @given(expr=num_expr())
 @settings(**SETTINGS)
 def test_aggregate_parity(spark, duck, expr):
