@@ -19,8 +19,10 @@ JVM startup would dominate at sf0.1).
 
 from __future__ import annotations
 
+import inspect
 import json
 import os
+import re
 import sys
 import time
 
@@ -291,6 +293,27 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # Flag keys whose timed number is a memo/checkpoint READ, not the
+    # query: the key's own result is session-memoized (corpus_memo
+    # `_cache`, or an expanded-form `*_CACHE.get` body) or its body
+    # directly returns one of the pre-warmed memo helpers. History
+    # readers need this to tell warm-path step-changes from real wins
+    # across the memoization regime changes (ADVICE r07). Detected from
+    # source, not hand-curated, so new memos self-report.
+    warm_names = {fn.__name__ for fn in warm_fns}
+    memo_backed: list[str] = []
+    for key, fn in QUERIES.items():
+        try:
+            src = inspect.getsource(fn)
+        except (OSError, TypeError):
+            continue
+        direct = any(
+            re.search(rf"return {re.escape(n)}\(spark", src)
+            for n in warm_names
+        )
+        if hasattr(fn, "_cache") or "_CACHE.get(" in src or direct:
+            memo_backed.append(key)
+    memo_backed.sort()
     full = {
         "metric": "wallclock_all_queries",
         "value": total,
@@ -298,6 +321,16 @@ def main() -> None:
         "queries": timings,
         "n_queries": len(timings),
         "sf": sf_val,
+        # Which estimator produced this round's appended history value:
+        # retimed keys report MIN-of-3 (one-sided-noise rationale above),
+        # everything else a single sample. bench_history.json stays a
+        # plain float list; the per-round estimator trail lives here (the
+        # file is committed each round, so git history keeps it).
+        "estimators": {
+            k: ("min_of_3" if k in variance_retimed else "single_run")
+            for k in timings
+        },
+        **({"memoized": memo_backed} if memo_backed else {}),
         **({"cold_outliers": cold_outliers} if cold_outliers else {}),
         **({"variance_retimed": variance_retimed} if variance_retimed else {}),
         **({"failures": failures} if failures else {}),
@@ -359,6 +392,11 @@ def main() -> None:
     ]
     line = dict(full)
     line.pop("variance_retimed", None)
+    # bench_full.json-only diagnostics: the per-key estimator map alone is
+    # ~15 KB on a full run and would evict everything else from the
+    # driver's ~2000-char tail buffer.
+    line.pop("estimators", None)
+    line.pop("memoized", None)
     # Subset iteration runs report every requested key (small by
     # construction); only the full run must fit the driver's tail buffer.
     line["queries"] = (

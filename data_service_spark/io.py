@@ -39,6 +39,19 @@ def session_key(spark: SparkSession) -> str:
     return spark.sparkContext.applicationId
 
 
+def evict_stale(cache: dict, ck: tuple) -> None:
+    """Drop memo entries whose session component differs from ``ck[0]``.
+
+    Every per-(session, corpus) memo in this repo keys on
+    ``(session_key(spark), sf_dir)``; entries from a stopped session are
+    never served again (the applicationId changed) but would otherwise pin
+    checkpointed-DataFrame handles forever in a session-restarting
+    process. Calling this on each miss keeps at most one session's
+    entries alive per cache."""
+    for stale in [k for k in cache if k[0] != ck[0]]:
+        del cache[stale]
+
+
 def corpus_memo(build):
     """Decorator: memoize a ``(spark, sf_dir) -> DataFrame`` builder per
     (session applicationId, corpus dir), pinning the built frame with
@@ -46,12 +59,14 @@ def corpus_memo(build):
     corpus-sized reduce in this repo uses (SCALING.md round-7 lessons).
     The builder body returns the un-checkpointed DAG; plan tests can pin
     the builder's shape by calling it through its ``__wrapped__``
-    attribute or a separately exposed ``*_frame`` helper. Entries live
-    for the process (a handful of corpus dirs per session); a stopped
-    context's entries are unreachable garbage, never served, because the
-    key changes with the applicationId. Older memos (rounds 2-6) predate
-    this decorator and keep their expanded form where their builders
-    also create temp views or store multiple tables."""
+    attribute or a separately exposed ``*_frame`` helper. On a miss the
+    cache first evicts every entry keyed by a DIFFERENT applicationId —
+    those belong to stopped sessions and would otherwise pin unreachable
+    checkpointed-DataFrame handles for the life of a session-restarting
+    process; at most one session's entries survive per memo. Older memos
+    (rounds 2-6) predate this decorator and keep their expanded form
+    where their builders also create temp views or store multiple
+    tables."""
     import functools
 
     cache: dict[tuple[str, str], DataFrame] = {}
@@ -61,6 +76,7 @@ def corpus_memo(build):
         ck = (session_key(spark), sf_dir)
         hit = cache.get(ck)
         if hit is None:
+            evict_stale(cache, ck)
             hit = build(spark, sf_dir).localCheckpoint()
             cache[ck] = hit
         return hit

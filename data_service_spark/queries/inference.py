@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from data_service_spark.io import load, session_key
+from data_service_spark.io import evict_stale, load, session_key
 from data_service_spark.registry import register
 
 _B = 200  # resample count for bootstrap/permutation
@@ -786,6 +786,8 @@ def _perm_pvals_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``queries/llm.py``)."""
     ck = (session_key(spark), sf_dir)
     hit = _PERM_PVALS_CACHE.get(ck)
+    if hit is None:
+        evict_stale(_PERM_PVALS_CACHE, ck)
     if hit is not None:
         return hit
     load(spark, sf_dir, "events").createOrReplaceTempView("events")

@@ -23,7 +23,13 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from data_service_spark.io import corpus_memo, load, load_parallel, session_key
+from data_service_spark.io import (
+    corpus_memo,
+    evict_stale,
+    load,
+    load_parallel,
+    session_key,
+)
 from data_service_spark.registry import register
 
 
@@ -93,6 +99,8 @@ def _exploded_shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     uses, at session scope."""
     ck = (session_key(spark), sf_dir)
     hit = _SHINGLE_CACHE.get(ck)
+    if hit is None:
+        evict_stale(_SHINGLE_CACHE, ck)
     if hit is not None:
         return hit
     d = load_parallel(spark, sf_dir, "documents", "doc_id")
@@ -130,6 +138,8 @@ def _shingle_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     once per corpus, not once per downstream job."""
     ck = (session_key(spark), sf_dir)
     hit = _SHINGLE_ARRAY_CACHE.get(ck)
+    if hit is None:
+        evict_stale(_SHINGLE_ARRAY_CACHE, ck)
     if hit is not None:
         return hit
     d = load_parallel(spark, sf_dir, "documents", "doc_id")
@@ -164,6 +174,8 @@ def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bits, so ha + 11·hb < 2⁶² — no int64 overflow."""
     ck = (session_key(spark), sf_dir)
     hit = _MINHASH_SIG_CACHE.get(ck)
+    if hit is None:
+        evict_stale(_MINHASH_SIG_CACHE, ck)
     if hit is not None:
         return hit
     ex = _shingle_arrays(spark, sf_dir).select(
@@ -608,6 +620,8 @@ def k_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     evals consume the assignment table."""
     ck = (session_key(spark), sf_dir)
     hit = _ASSIGN_CACHE.get(ck)
+    if hit is None:
+        evict_stale(_ASSIGN_CACHE, ck)
     if hit is not None:
         return hit
     emb = _emb(spark, sf_dir)
@@ -1111,6 +1125,13 @@ def _signrp_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return buck.join(emb, ["vec_id"])
 
 
+# Depth of the exact-ranking head the memo pins. Every consumer slices
+# rn <= this (top-5 baseline, rn<=3/5 truths, @10 rank metrics); a consumer
+# needing deeper ranks must raise it HERE — filtering rn beyond it would
+# silently score against a truncated ground truth.
+_EXACT_RANKED_DEPTH = 10
+
+
 @corpus_memo
 def _exact_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(qid, ql, vec_id, label, sim, rn) — the exact brute-force cosine
@@ -1130,10 +1151,11 @@ def _exact_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     Ranking pins on 6dp-rounded sims with vec_id tiebreaks (the repo's
     cross-engine convention), so every consumer slices identical rank
     sets."""
-    # Every consumer reads rn <= 10 (top-5 baseline, rn<=3/5 truths,
-    # @10 rank metrics), so only the 20×10-row head is pinned — the
-    # full corpus×probes ranking is computed once but never stored.
-    return _exact_ranked_frame(spark, sf_dir).filter(F.col("rn") <= 10)
+    # Only the 20×_EXACT_RANKED_DEPTH-row head is pinned — the full
+    # corpus×probes ranking is computed once but never stored.
+    return _exact_ranked_frame(spark, sf_dir).filter(
+        F.col("rn") <= _EXACT_RANKED_DEPTH
+    )
 
 
 def _exact_ranked_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1317,6 +1339,8 @@ def k_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ck = (session_key(spark), sf_dir)
     hit = _CC_LABELS_CACHE.get(ck)
+    if hit is None:
+        evict_stale(_CC_LABELS_CACHE, ck)
     if hit is not None:
         return hit
     d = load_parallel(spark, sf_dir, "documents", "doc_id")

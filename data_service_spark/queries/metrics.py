@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from data_service_spark.io import load, session_key
+from data_service_spark.io import evict_stale, load, session_key
 from data_service_spark.registry import ORACLES as _REG_ORACLES
 from data_service_spark.registry import register
 
@@ -1150,7 +1150,11 @@ def k_eval_mrr_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds at 6dp (provably off the half-boundary grid for rank-10
     reciprocal sums; 4dp is NOT — 1/800-denominator averages land exactly
     on .xxxx5)."""
-    from data_service_spark.queries.llm import _emb, _exact_ranked
+    from data_service_spark.queries.llm import (
+        _EXACT_RANKED_DEPTH,
+        _emb,
+        _exact_ranked,
+    )
 
     emb = _emb(spark, sf_dir)
     q = emb.filter(F.col("vec_id") < 20).select(
@@ -1162,7 +1166,10 @@ def k_eval_mrr_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     # product shared by the whole retrieval-evaluation panel).
     ranked = _exact_ranked(spark, sf_dir).select("qid", "label", "ql", "rn")
     hits = (
-        ranked.filter((F.col("rn") <= 10) & (F.col("label") == F.col("ql")))
+        ranked.filter(
+            (F.col("rn") <= _EXACT_RANKED_DEPTH)
+            & (F.col("label") == F.col("ql"))
+        )
         .groupBy("qid")
         .agg(F.min("rn").alias("fr"))
     )
@@ -1312,7 +1319,11 @@ def k_eval_map_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     windows keyed per query, then ≤ 200-row arithmetic. Rounded at 6dp
     (rank-reciprocal sums land exactly on the 4dp half-grid; the 6dp grid
     is provably safe for denominators dividing 504000)."""
-    from data_service_spark.queries.llm import _emb, _exact_ranked
+    from data_service_spark.queries.llm import (
+        _EXACT_RANKED_DEPTH,
+        _emb,
+        _exact_ranked,
+    )
 
     emb = _emb(spark, sf_dir)
     q = emb.filter(F.col("vec_id") < 20).select(
@@ -1324,7 +1335,10 @@ def k_eval_map_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     # product shared by the whole retrieval-evaluation panel).
     ranked = _exact_ranked(spark, sf_dir).select("qid", "label", "ql", "rn")
     hits = (
-        ranked.filter((F.col("rn") <= 10) & (F.col("label") == F.col("ql")))
+        ranked.filter(
+            (F.col("rn") <= _EXACT_RANKED_DEPTH)
+            & (F.col("label") == F.col("ql"))
+        )
         .select(
             "qid",
             "rn",
@@ -2358,6 +2372,7 @@ def k_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
     ck = (session_key(spark), sf_dir)
     hit = _CR_PAIRS_CACHE.get(ck)
     if hit is None:
+        evict_stale(_CR_PAIRS_CACHE, ck)
         hit = (
             QUERIES["k_dedup_minhash_sql"](spark, sf_dir)
             .select("doc_id_1", "doc_id_2")
@@ -3124,7 +3139,11 @@ def k_eval_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the ranking comes from the session-memoized
     ``_exact_ranked`` (one probe-broadcast corpus scan per session);
     the per-(k, query) reduce runs on a 60-row spine."""
-    from data_service_spark.queries.llm import _emb, _exact_ranked
+    from data_service_spark.queries.llm import (
+        _EXACT_RANKED_DEPTH,
+        _emb,
+        _exact_ranked,
+    )
 
     emb = _emb(spark, sf_dir)
     q = emb.filter(F.col("vec_id") < 20).select(
@@ -3145,7 +3164,9 @@ def k_eval_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = _exact_ranked(spark, sf_dir).select(
         "qid", "ql", "label", "vec_id", "rn"
     )
-    ks = spark.createDataFrame([(1,), (5,), (10,)], "k int")
+    ks = spark.createDataFrame(
+        [(1,), (5,), (_EXACT_RANKED_DEPTH,)], "k int"
+    )
     hits = (
         ranked.crossJoin(F.broadcast(ks))
         .filter(F.col("rn") <= F.col("k"))
@@ -3223,13 +3244,16 @@ def k_rank_rbp(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer micro-units. Scale shape: a rank<=10 slice of the
     session-memoized ``_exact_ranked`` ranking, then a 20-row spine
     reduce."""
-    from data_service_spark.queries.llm import _exact_ranked
+    from data_service_spark.queries.llm import (
+        _EXACT_RANKED_DEPTH,
+        _exact_ranked,
+    )
 
     # Slice of the session-memoized exact ranking (one corpus×probes
     # product shared by the whole retrieval-evaluation panel).
     ranked = (
         _exact_ranked(spark, sf_dir)
-        .filter(F.col("rn") <= 10)
+        .filter(F.col("rn") <= _EXACT_RANKED_DEPTH)
         .select(
             "qid", "vec_id",
             F.when(F.col("label") == F.col("ql"), 1).otherwise(0).alias("rel"),

@@ -343,3 +343,45 @@ def test_power_sum_keys_document_their_governor():
         "power-sum keys missing an int64/DOUBLE governor note: "
         f"{offenders}"
     )
+
+
+def test_memo_caches_evict_stopped_session_entries():
+    """Every per-(session, corpus) memo evicts entries keyed by a stale
+    applicationId on its next miss (ADVICE r07): a session-restarting
+    process must not accumulate checkpointed-DataFrame handles bound to
+    stopped contexts. Pure-Python — exercised through corpus_memo with a
+    stub session, plus a direct evict_stale contract check."""
+    from data_service_spark.io import corpus_memo, evict_stale
+
+    class _Ctx:
+        def __init__(self, app_id):
+            self.applicationId = app_id
+
+    class _StubSession:
+        def __init__(self, app_id):
+            self.sparkContext = _Ctx(app_id)
+
+    class _StubFrame:
+        def localCheckpoint(self):
+            return self
+
+    builds = []
+
+    @corpus_memo
+    def _builder(spark, sf_dir):
+        builds.append((spark.sparkContext.applicationId, sf_dir))
+        return _StubFrame()
+
+    s1, s2 = _StubSession("app-1"), _StubSession("app-2")
+    _builder(s1, "/corpus/a")
+    _builder(s1, "/corpus/b")
+    assert len(_builder._cache) == 2
+    _builder(s1, "/corpus/a")  # hit: no rebuild, no eviction
+    assert len(builds) == 2
+    # New session: first miss purges BOTH app-1 entries before storing.
+    _builder(s2, "/corpus/a")
+    assert set(_builder._cache) == {("app-2", "/corpus/a")}
+    # Direct contract: evict_stale keeps only the current session's keys.
+    cache = {("old", "x"): 1, ("old", "y"): 2, ("new", "x"): 3}
+    evict_stale(cache, ("new", "z"))
+    assert cache == {("new", "x"): 3}
