@@ -15,7 +15,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from data_service_spark.io import fresh_tables, load, session_key
+from data_service_spark.io import evict_stale, fresh_tables, load, session_key
 from data_service_spark.registry import register
 
 
@@ -242,6 +242,8 @@ def a_sink_hive_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     # runs the full metastore roundtrip; repeats re-read the handoff.
     ck = (session_key(spark), sf_dir)
     hit = _HIVE_HANDOFF_CACHE.get(ck)
+    if hit is None:
+        evict_stale(_HIVE_HANDOFF_CACHE, ck)
     if hit is not None:
         return spark.read.parquet(hit)
 
@@ -321,7 +323,8 @@ def a_source_kafka_shaped(spark: SparkSession, sf_dir: str) -> DataFrame:
     file twin (no broker runs in this sandbox): the wrapper source emits
     the exact ``format("kafka")`` schema — key/value BINARY, topic,
     partition, offset, timestamp, timestampType — with one Spark partition
-    per Kafka partition (row group) and monotone offsets; this query then
+    per Kafka partition (sliced row groups, Arrow-vectorized reads — see
+    ``register_kafka_shaped_source``) and monotone offsets; this query then
     does precisely what a production consumer does: ``CAST(value AS
     STRING)`` → ``from_json(schema)`` → aggregate. A live cluster changes
     only the reader config (``sources.kafka_config``), not one line of
@@ -617,12 +620,17 @@ def a_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def a_source_python_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming Python data source (Spark 4 ``simpleStreamReader``):
-    1000 rows arrive over four 256-row micro-batches driven by the
-    offset contract (initialOffset → read(start) → commit), landing in a
-    memory sink that this key returns and the oracle hash-checks — the
-    custom-connector entry point for incremental feeds (queues, CDC logs,
-    vendor APIs). Offset-resume is proven in tests/test_streaming.py.
+    """Streaming Python data source (Spark 4 partition-based
+    ``streamReader``): 1000 rows drain through the full offset contract
+    (initialOffset → latestOffset → partitions(start, end) →
+    executor-side read → commit) under ``Trigger.AvailableNow`` — Spark
+    snapshots the latest offset at start and runs the query to exactly
+    there, so the drain is DETERMINISTIC: one awaitTermination, no
+    processingTime poll loop (which the old driver-prefetch
+    ``simpleStreamReader`` shape forced — availableNow drained only its
+    first prefetched chunk). The 256-row chunks arrive as four parallel
+    InputPartitions; offset-replay determinism is proven in
+    tests/test_streaming.py.
     """
     from data_service_spark.sources import register_synthetic_stream_source
 
@@ -640,17 +648,11 @@ def a_source_python_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         sdf.writeStream.outputMode("append")
         .format("memory")
         .queryName("dss_synth_stream_sink")
-        .trigger(processingTime="50 milliseconds")
+        .trigger(availableNow=True)
         .start()
     )
-    import time
-
-    deadline = time.monotonic() + 60
+    q.awaitTermination(60)
     out = spark.table("dss_synth_stream_sink")
-    while time.monotonic() < deadline and out.count() < 1000:
-        time.sleep(0.2)
-    q.stop()
-    q.awaitTermination()
     assert out.count() == 1000, "stream failed to drain"
     return out
 

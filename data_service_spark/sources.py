@@ -230,22 +230,73 @@ def register_synthetic_pushdown_source(spark: SparkSession) -> None:
 
 def register_synthetic_stream_source(spark: SparkSession) -> None:
     """Register 'dss_synth_stream': the STREAMING Python data source
-    (Spark 4 ``simpleStreamReader``) emitting the same deterministic rows
-    as ``dss_synth`` but incrementally — ``chunk`` rows per micro-batch,
-    offset = next row index. ``readBetweenOffsets`` replays any committed
-    range, which is what exactly-once recovery calls after a restart.
+    emitting the same deterministic rows as ``dss_synth`` incrementally,
+    with BOTH Spark 4 reader shapes behind one format name:
 
-    SimpleDataSourceStreamReader reads on the driver (prefetch model) —
-    right for low-volume control feeds; a high-volume source implements
-    the partition-based ``streamReader`` instead, which plans one
-    InputPartition per executor task per batch exactly like the batch
-    reader. The offset/commit contract is identical, so this source is the
-    API-shape proof for both.
+    - default: the partition-based ``streamReader`` (full
+      ``DataSourceStreamReader`` offset contract). ``latestOffset``
+      reports everything available; ``partitions(start, end)`` splits the
+      offset range into ``chunk``-row InputPartitions that read
+      EXECUTOR-side — one task per chunk, exactly like a batch scan, the
+      shape a high-volume feed needs. Because the batch end is planned
+      from the offset log, ``Trigger.AvailableNow`` drains the whole
+      source deterministically (Spark snapshots ``latestOffset`` at start
+      and runs to it) — no processingTime poll loop. Restart replay
+      re-plans ``partitions(committed, end)`` from the checkpoint: same
+      offsets → same partitions → same rows, which is the exactly-once
+      replay argument.
+    - ``option("mode", "simple")``: the driver-side prefetch
+      ``SimpleDataSourceStreamReader`` (``read(start)`` →
+      ``readBetweenOffsets`` replay) — the low-volume control-feed shape,
+      kept for the incremental processingTime cadence its restart test
+      exercises. (``availableNow`` on this shape drains only the first
+      prefetched chunk — probed; that limitation is why the full reader
+      above is the default.)
+
+    Offset JSON is ``{"pos": next_row_index}`` for both shapes.
     """
-    from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+    from pyspark.errors import PySparkNotImplementedError
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceStreamReader,
+        InputPartition,
+        SimpleDataSourceStreamReader,
+    )
 
     def _rows(lo: int, hi: int):
         return [(i, i * i % 97, f"row{i}") for i in range(lo, hi)]
+
+    class SynthRange(InputPartition):
+        def __init__(self, lo: int, hi: int):
+            self.lo = lo
+            self.hi = hi
+
+    class SynthStreamV2Reader(DataSourceStreamReader):
+        def __init__(self, options):
+            self.n = int(options.get("n", 1000))
+            self.chunk = int(options.get("chunk", 256))
+
+        def initialOffset(self):
+            return {"pos": 0}
+
+        def latestOffset(self):
+            # Everything the bounded feed holds is available; admission
+            # control (how much of it one micro-batch takes) is the
+            # engine's call, and partitions() below fans the granted
+            # range out chunk-wise regardless of batch size.
+            return {"pos": self.n}
+
+        def partitions(self, start, end):
+            return [
+                SynthRange(lo, min(lo + self.chunk, end["pos"]))
+                for lo in range(start["pos"], end["pos"], self.chunk)
+            ]
+
+        def read(self, partition):
+            return iter(_rows(partition.lo, partition.hi))
+
+        def commit(self, end):
+            pass  # nothing to GC: the synthetic feed is stateless
 
     class SynthStreamReader(SimpleDataSourceStreamReader):
         def __init__(self, options):
@@ -270,6 +321,17 @@ def register_synthetic_stream_source(spark: SparkSession) -> None:
 
         def schema(self):
             return "id long, mod97 long, tag string"
+
+        def streamReader(self, schema):
+            if self.options.get("mode") == "simple":
+                # Raising the typed error routes pyspark's reader
+                # selection to simpleStreamReader (datasource_internal
+                # _streamReader's documented fallback).
+                raise PySparkNotImplementedError(
+                    errorClass="NOT_IMPLEMENTED",
+                    messageParameters={"feature": "streamReader"},
+                )
+            return SynthStreamV2Reader(self.options)
 
         def simpleStreamReader(self, schema):
             return SynthStreamReader(self.options)
@@ -348,14 +410,16 @@ def register_kafka_shaped_source(spark: SparkSession) -> None:
     (key/value binary, topic, partition, offset, timestamp, timestampType),
     backed by a parquet file twin — no broker runs in this sandbox, so this
     wrapper pins the consumer-side code path a real ``format("kafka")``
-    read would exercise: one Spark partition per Kafka partition (here: per
-    parquet row group), monotone offsets within a partition, JSON payloads
-    decoded with ``CAST(value AS STRING)`` + ``from_json``. Swapping the
-    format string for "kafka" + bootstrap options (see ``kafka_config``) is
-    the only change a live cluster needs.
+    read would exercise: one Spark partition per Kafka partition (here:
+    per ``sliceRows``-row slice of a parquet row group, so a single-file
+    corpus still scans in parallel), monotone offsets from 0 within each
+    partition, JSON payloads decoded with ``CAST(value AS STRING)`` +
+    ``from_json``. Reads are Arrow-vectorized end to end (pandas to_json
+    → RecordBatch yields — no per-row Python objects). Swapping the
+    format string for "kafka" + bootstrap options (see ``kafka_config``)
+    is the only change a live cluster needs.
     """
-    import datetime
-    import json
+    import datetime  # noqa: F401 — epoch literal for null-ts corpora
 
     from pyspark.sql.datasource import (
         DataSource,
@@ -364,54 +428,112 @@ def register_kafka_shaped_source(spark: SparkSession) -> None:
     )
 
     class RowGroupPartition(InputPartition):
-        def __init__(self, path: str, group: int):
+        def __init__(self, path: str, group: int, part_id: int,
+                     lo: int, hi: int):
             self.path = path
             self.group = group
+            self.part_id = part_id
+            self.lo = lo
+            self.hi = hi
 
     class KafkaShapedReader(DataSourceReader):
         def __init__(self, options):
             self.path = options["path"]
             self.topic = options.get("topic", "events")
+            # Rows per emitted partition. A single-file corpus ships ONE
+            # row group, which would otherwise serialize the whole scan
+            # through one Python worker (the load_parallel lesson —
+            # maxPartitionBytes can't split inside a row group either).
+            # Slicing the group into row ranges fans the decode across
+            # workers; each slice presents as its own Kafka partition
+            # (ids dense, offsets 0..len-1 within each — the contract is
+            # about shape, not about how the broker sharded the topic).
+            self.slice_rows = int(options.get("sliceRows", 16384))
 
         def partitions(self):
             import pyarrow.parquet as pq
 
-            n = pq.ParquetFile(self.path).num_row_groups
-            return [RowGroupPartition(self.path, g) for g in range(n)]
+            pf = pq.ParquetFile(self.path)
+            parts = []
+            for g in range(pf.num_row_groups):
+                rows = pf.metadata.row_group(g).num_rows
+                for lo in range(0, max(rows, 1), self.slice_rows):
+                    parts.append(
+                        RowGroupPartition(
+                            self.path, g, len(parts),
+                            lo, min(lo + self.slice_rows, rows),
+                        )
+                    )
+            return parts
 
         def read(self, partition):
+            # Arrow-vectorized: the row group flows pandas→to_json(C
+            # impl)→Arrow RecordBatch with zero per-row Python objects —
+            # the per-row dict+json.dumps+pickle loop this replaces was a
+            # 2.4 s floor at sf0.1 (every event serialized twice through
+            # Python). Yielding RecordBatches also hands Spark the
+            # columns Arrow-native instead of re-pickling tuples.
+            import pandas as pd
+            import pyarrow as pa
             import pyarrow.parquet as pq
 
-            tbl = pq.ParquetFile(partition.path).read_row_group(
-                partition.group
+            tbl = (
+                pq.ParquetFile(partition.path)
+                .read_row_group(partition.group)
+                .slice(partition.lo, partition.hi - partition.lo)
             )
-            cols = tbl.to_pylist()
-            for off, rec in enumerate(cols):
-                payload = {}
-                for k, v in rec.items():
-                    if isinstance(v, datetime.datetime):
-                        # exact integer micros (total_seconds() is a float
-                        # and loses sub-µs precision at 2026 epochs)
-                        td = v - datetime.datetime(1970, 1, 1)
-                        payload[k + "_us"] = (
-                            td.days * 86_400_000_000
-                            + td.seconds * 1_000_000
-                            + td.microseconds
-                        )
-                    else:
-                        payload[k] = v
-                key = str(rec.get("user_id", off)).encode()
-                value = json.dumps(payload, sort_keys=True).encode()
-                ts = rec.get("ts") or datetime.datetime(1970, 1, 1)
-                yield (
-                    key,
-                    value,
-                    self.topic,
-                    partition.group,
-                    off,
-                    ts,
-                    0,  # TimestampType.CREATE_TIME
+            pdf = tbl.to_pandas()
+            n = len(pdf)
+            payload = pdf.copy()
+            ts_col = None
+            for c in list(payload.columns):
+                if pd.api.types.is_datetime64_any_dtype(payload[c]):
+                    # exact integer micros (float total_seconds() loses
+                    # sub-µs precision at 2026 epochs)
+                    payload[c + "_us"] = (
+                        payload[c]
+                        .astype("datetime64[us]")
+                        .astype("int64")
+                    )
+                    if c == "ts":
+                        ts_col = payload[c]
+                    payload = payload.drop(columns=[c])
+            # Sorted columns ≙ json.dumps(sort_keys=True) key order; the
+            # consumer contract is from_json, which is whitespace- and
+            # float-format-agnostic.
+            payload = payload[sorted(payload.columns)]
+            values = payload.to_json(
+                orient="records", lines=True, double_precision=15
+            ).split("\n")[:n]
+            keys = (
+                pdf["user_id"].astype(str)
+                if "user_id" in pdf.columns
+                else pd.Series(range(n), dtype="int64").astype(str)
+            )
+            if ts_col is None:
+                ts_arr = pa.array(
+                    [datetime.datetime(1970, 1, 1)] * n,
+                    pa.timestamp("us"),
                 )
+            else:
+                ts_arr = pa.Array.from_pandas(
+                    ts_col.fillna(pd.Timestamp(0)), type=pa.timestamp("us")
+                )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(keys, pa.string()).cast(pa.binary()),
+                    pa.array(values, pa.string()).cast(pa.binary()),
+                    pa.array([self.topic] * n, pa.string()),
+                    pa.array([partition.part_id] * n, pa.int32()),
+                    pa.array(range(n), pa.int64()),
+                    ts_arr,
+                    pa.array([0] * n, pa.int32()),  # CREATE_TIME
+                ],
+                names=[
+                    "key", "value", "topic", "partition", "offset",
+                    "timestamp", "timestampType",
+                ],
+            )
 
     class KafkaShapedSource(DataSource):
         @classmethod

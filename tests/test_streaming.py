@@ -438,7 +438,11 @@ def test_dedup_within_watermark(spark, tmp_path):
 def test_python_stream_source_offset_resume(spark, tmp_path):
     """The streaming Python data source honors the offset contract across
     restarts: a checkpointed run killed mid-stream resumes from the
-    committed offset — every row exactly once, none replayed."""
+    committed offset — every row exactly once, none replayed. Pinned to
+    the driver-prefetch simple shape (mode=simple): its chunk-per-batch
+    cadence is what makes the mid-stream kill land between commits (the
+    default partition-based reader drains everything in one batch, which
+    test_python_stream_v2_* cover)."""
     from data_service_spark.sources import register_synthetic_stream_source
 
     register_synthetic_stream_source(spark)
@@ -447,6 +451,7 @@ def test_python_stream_source_offset_resume(spark, tmp_path):
         spark.readStream.format("dss_synth_stream")
         .option("n", 300)
         .option("chunk", 100)
+        .option("mode", "simple")
         .load()
     )
     # foreachBatch is AT-LEAST-once on restart: a batch whose sink ran but
@@ -494,6 +499,88 @@ def test_python_stream_source_offset_resume(spark, tmp_path):
     q2.awaitTermination()
     allr = pd.concat(seen.values())
     assert sorted(allr["id"]) == list(range(300))  # exactly once, complete
+
+
+def test_python_stream_v2_available_now_drains_fully(spark, tmp_path):
+    """The partition-based streamReader under Trigger.AvailableNow: Spark
+    snapshots latestOffset at start and runs exactly to it, so ONE
+    awaitTermination drains the whole bounded feed — every row exactly
+    once, no poll loop — and a restart from the same checkpoint finds no
+    new offsets and re-emits nothing."""
+    from data_service_spark.sources import register_synthetic_stream_source
+
+    register_synthetic_stream_source(spark)
+    ckpt = str(tmp_path / "pyds_v2_ckpt")
+    sdf = (
+        spark.readStream.format("dss_synth_stream")
+        .option("n", 1000)
+        .option("chunk", 256)
+        .load()
+    )
+    seen: dict[int, pd.DataFrame] = {}
+    q = (
+        sdf.writeStream.outputMode("append")
+        .foreachBatch(lambda b, e: seen.__setitem__(e, b.toPandas()))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(60)
+    allr = pd.concat(seen.values())
+    assert sorted(allr["id"]) == list(range(1000))
+
+    seen2: dict[int, pd.DataFrame] = {}
+    q2 = (
+        sdf.writeStream.outputMode("append")
+        .foreachBatch(lambda b, e: seen2.__setitem__(e, b.toPandas()))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q2.awaitTermination(60)
+    assert sum(len(p) for p in seen2.values()) == 0
+
+
+def test_python_stream_v2_partition_replay_is_deterministic():
+    """The exactly-once replay argument for the full reader, unit-level:
+    partitions(start, end) re-planned from any committed offset pair
+    yields the same chunk boundaries, and read() over them reproduces
+    exactly the rows of that offset range — so a restart that re-plans a
+    batch from the offset log re-reads identical data. No Spark session
+    needed: the offset contract is plain Python."""
+    from data_service_spark.sources import register_synthetic_stream_source
+
+    # Reach the reader class without a session: rebuild it through the
+    # registration closure's locals via a tiny stub.
+    class _Reg:
+        def register(self, cls):
+            self.cls = cls
+
+    class _Stub:
+        dataSource = _Reg()
+
+    stub = _Stub()
+    register_synthetic_stream_source(stub)  # type: ignore[arg-type]
+    src = stub.dataSource.cls({"n": "1000", "chunk": "256"})
+    reader = src.streamReader(schema=None)
+
+    assert reader.initialOffset() == {"pos": 0}
+    assert reader.latestOffset() == {"pos": 1000}
+    parts = reader.partitions({"pos": 0}, {"pos": 1000})
+    assert [(p.lo, p.hi) for p in parts] == [
+        (0, 256), (256, 512), (512, 768), (768, 1000),
+    ]
+    # Replay of a mid-stream range: same boundaries, same rows.
+    replay = reader.partitions({"pos": 256}, {"pos": 768})
+    rows = [r for p in replay for r in reader.read(p)]
+    assert [r[0] for r in rows] == list(range(256, 768))
+    assert rows[0] == (256, 256 * 256 % 97, "row256")
+    # The simple shape stays reachable for control feeds.
+    simple = stub.dataSource.cls({"mode": "simple"}).simpleStreamReader(
+        schema=None
+    )
+    it, off = simple.read({"pos": 0})
+    assert off == {"pos": 256} and next(it)[0] == 0
 
 
 def test_stateful_funnel_on_rocksdb(spark, tmp_path):

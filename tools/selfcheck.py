@@ -7,6 +7,7 @@ value multiset. Run BEFORE the driver does:
     python tools/selfcheck.py                 # all keys at sf0.01
     python tools/selfcheck.py b_distinct ...  # subset
     python tools/selfcheck.py --plain         # DRIVER-FAITHFUL bare session
+    python tools/selfcheck.py --shuffle[=N]   # randomized key order
     SPARK_GRAFT_SF_DIR=/root/testdata/sf0.001 python tools/selfcheck.py
 
 --plain runs on a bare SparkSession (no session.py confs) — exactly what
@@ -101,7 +102,20 @@ def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     args = sys.argv[1:]
     plain = "--plain" in args
+    shuffle_args = [a for a in args if a.startswith("--shuffle")]
     keys = [a for a in args if not a.startswith("--")] or sorted(QUERIES)
+    if shuffle_args:
+        # Randomized execution order: proves no key depends on a sibling
+        # having populated a session memo first (the materialize-once
+        # family makes results SHARE session state; insertion-order runs
+        # would mask a key that only works after its memo's usual first
+        # consumer). --shuffle=SEED reproduces a specific order.
+        import random
+
+        arg = shuffle_args[0]
+        seed = int(arg.split("=", 1)[1]) if "=" in arg else int(time.time())
+        print(f"shuffled order, seed={seed} (reproduce with --shuffle={seed})")
+        random.Random(seed).shuffle(keys)
     if plain:
         from pyspark.sql import SparkSession
 
