@@ -22,14 +22,17 @@ Example counts are small: each example is a real Spark job.
 from __future__ import annotations
 
 import math
+import os
 
 import duckdb
 import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
+# DIALECT_FUZZ_EXAMPLES=150 pytest tests/test_dialect_fuzz.py  ← offline
+# hunt budget (each example is a real Spark job; CI keeps the small default)
 SETTINGS = dict(
-    max_examples=15,
+    max_examples=int(os.environ.get("DIALECT_FUZZ_EXAMPLES", "15")),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -534,5 +537,183 @@ def test_typed_aggregate_parity(spark, duck, se, de, g, having):
         f" FROM (SELECT {g} AS g, a, ({se}) AS sv, ({de}) AS dv"
         f" FROM {TABLE}) u GROUP BY g{having}"
     )
+    s_rows, o_rows = _both(spark, duck, q)
+    assert s_rows == o_rows, f"divergence for: {q}"
+
+
+# ---------------------------------------------------------------------------
+# Float/quantization core (round-8). Probe-verified admissions (2026-08-15):
+# IEEE +/-/*, nullif-guarded /, abs, sqrt(abs(.)), power(., 2), least/
+# greatest, coalesce and CASE over DOUBLE are bit-identical cross-engine
+# (same written order -> same bits; neither engine reassociates FP), so any
+# bridge that only depends on the BITS — floor/ceil with an explicit BIGINT
+# cast, comparisons, sign — is divergence-free. Probe-verified EXCLUSIONS:
+#   - round(x, d): Spark rounds the shortest-decimal repr HALF_UP via
+#     BigDecimal, DuckDB rounds the binary double — diverges exactly on
+#     half-grid values (the documented house rule: floor-quantize instead).
+#   - exp/ln/log10: libm last-ulp differences (exp/ln caught DIFF in the
+#     admission probe on this very relation).
+#   - CAST(double AS BIGINT): Spark TRUNCATES (2.7 -> 2), DuckDB ROUNDS
+#     (2.7 -> 3) — a silent off-by-one on every non-integer value; all
+#     narrowing goes through floor()/ceil() explicitly.
+#   - bare floor/ceil/sign without a cast: value-identical but Spark types
+#     floor/ceil as BIGINT and sign as DOUBLE while DuckDB keeps DOUBLE /
+#     INT — the BIGINT cast is part of the bridge, not decoration.
+#   - signed zero: round/products can yield -0.0 in one engine and 0.0 in
+#     the other; the house `+ 0.0` normalization is fuzzed as its own
+#     bridge below.
+# Float literals are written CAST(x AS DOUBLE): a bare 0.5 is DECIMAL in
+# Spark and the decimal lattice is the r04 pitfall class.
+
+_FLT_LEAVES = [
+    "CAST(a AS DOUBLE)",
+    "CAST(b AS DOUBLE)",
+    "CAST(c AS DOUBLE)",
+    "CAST(0.5 AS DOUBLE)",
+    "CAST(-0.25 AS DOUBLE)",
+    "CAST(1 AS DOUBLE)",
+    "CAST(0 AS DOUBLE)",
+    "CAST(100 AS DOUBLE)",
+    "CAST(NULL AS DOUBLE)",
+]
+
+
+@st.composite
+def float_expr(draw, depth: int = 3) -> str:
+    if depth <= 0 or draw(st.integers(0, 2)) == 0:
+        return draw(st.sampled_from(_FLT_LEAVES))
+    kind = draw(
+        st.sampled_from(
+            ["add", "sub", "mul", "div", "abs", "sqrt", "pow2",
+             "least", "greatest", "coalesce", "case"]
+        )
+    )
+    d = depth - 1
+    if kind in ("add", "sub", "mul"):
+        op = {"add": "+", "sub": "-", "mul": "*"}[kind]
+        # one factor always a leaf: magnitudes stay far from overflow and
+        # from the 2^53 integer ceiling the floor-quantize bridge needs
+        return f"({draw(float_expr(d))} {op} {draw(st.sampled_from(_FLT_LEAVES))})"
+    if kind == "div":
+        return (
+            f"({draw(float_expr(d))} /"
+            f" nullif({draw(st.sampled_from(_FLT_LEAVES))}, CAST(0 AS DOUBLE)))"
+        )
+    if kind == "abs":
+        return f"abs({draw(float_expr(d))})"
+    if kind == "sqrt":
+        return f"sqrt(abs({draw(float_expr(d))}))"
+    if kind == "pow2":
+        x = draw(st.sampled_from(_FLT_LEAVES))
+        return f"({x} * {x})"
+    if kind in ("least", "greatest"):
+        return f"{kind}({draw(float_expr(d))}, {draw(float_expr(d))})"
+    if kind == "coalesce":
+        return f"coalesce({draw(float_expr(d))}, {draw(st.sampled_from(_FLT_LEAVES))})"
+    op = draw(st.sampled_from(_CMP_OPS))
+    cond = f"{draw(st.sampled_from(_FLT_LEAVES))} {op} {draw(st.sampled_from(_FLT_LEAVES))}"
+    return f"(CASE WHEN {cond} THEN {draw(float_expr(d))} ELSE {draw(float_expr(d))} END)"
+
+
+@given(
+    exprs=st.lists(
+        st.one_of(
+            # the house floor-quantize bridge (exact int grid, both sides)
+            float_expr().map(
+                lambda e: "CAST(floor(({}) * CAST(10000 AS DOUBLE))"
+                " AS BIGINT)".format(e)
+            ),
+            float_expr().map(lambda e: f"CAST(ceil({e}) AS BIGINT)"),
+            float_expr().map(lambda e: f"CAST(sign({e}) AS BIGINT)"),
+            # signed-zero normalization: emitted as the raw DOUBLE
+            float_expr().map(lambda e: f"(({e}) * CAST(0 AS DOUBLE)) + CAST(0 AS DOUBLE)"),
+            st.tuples(float_expr(), float_expr()).map(
+                lambda t: f"CAST(({t[0]} < {t[1]}) AS INT)"
+            ),
+            st.tuples(float_expr(), float_expr()).map(
+                lambda t: f"CAST(({t[0]} IS NOT DISTINCT FROM {t[1]}) AS INT)"
+            ),
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(**SETTINGS)
+def test_float_quantization_parity(spark, duck, exprs):
+    """Float-core parity: generated DOUBLE pipelines surfaced through the
+    house quantization bridges (floor-quantize to an exact BIGINT grid,
+    explicit-cast ceil/sign, +0.0 signed-zero normalization, ordering and
+    null-safe equality) evaluate identically — the property behind every
+    round-to-grid output convention in the registry."""
+    sel = ", ".join(f"{e} AS x{i}" for i, e in enumerate(exprs))
+    q = f"SELECT {sel} FROM {TABLE}"
+    s_rows, o_rows = _both(spark, duck, q)
+    assert s_rows == o_rows, f"divergence for: {q}"
+
+
+# ---------------------------------------------------------------------------
+# Join-shape/3VL core (round-8). Probe-verified admissions (2026-08-15):
+# INNER/LEFT/RIGHT/FULL with arbitrary residual conditions, bare
+# SEMI JOIN / ANTI JOIN (the spelling BOTH dialects parse — LEFT SEMI/LEFT
+# ANTI are Spark-only, plain SEMI/ANTI is shared), IS NOT DISTINCT FROM
+# null-safe equality, coalesce-bridged keys, inequality-only FULL joins and
+# CROSS JOIN + WHERE all agree over relations carrying NULL keys, duplicate
+# keys and NULL payloads. The NULL-key rows are the point: a 3VL bug in
+# either engine's join filter (NULL = NULL matching, NULL residuals
+# dropping outer rows) would surface as a multiset diff here.
+
+_JOIN_L = (
+    "(SELECT CAST(k AS BIGINT) AS lk, CAST(v AS BIGINT) AS lv FROM (VALUES"
+    " (0,0),(1,10),(1,11),(2,20),(NULL,30),(NULL,31),(3,NULL),(4,40))"
+    " AS l(k, v))"
+)
+_JOIN_R = (
+    "(SELECT CAST(k AS BIGINT) AS rk, CAST(w AS BIGINT) AS rw FROM (VALUES"
+    " (1,100),(1,101),(2,200),(NULL,300),(5,NULL),(4,400),(4,401))"
+    " AS r(k, w))"
+)
+_JOIN_KEY_FORMS = [
+    "x.lk = y.rk",
+    "x.lk IS NOT DISTINCT FROM y.rk",
+    "coalesce(x.lk, -1) = coalesce(y.rk, -1)",
+    "x.lk < y.rk",
+]
+_JOIN_RESIDUALS = [
+    "",
+    " AND x.lv < y.rw",
+    " AND (x.lv + y.rw) > 100",
+    " AND x.lv IS NOT NULL",
+    " AND (x.lv > y.rw OR x.lv IS NULL)",
+    " OR (x.lv IS NULL AND y.rw IS NULL)",
+]
+
+
+@given(
+    jt=st.sampled_from(
+        ["JOIN", "LEFT JOIN", "RIGHT JOIN", "FULL JOIN",
+         "SEMI JOIN", "ANTI JOIN"]
+    ),
+    key=st.sampled_from(_JOIN_KEY_FORMS),
+    residual=st.sampled_from(_JOIN_RESIDUALS),
+    agg=st.booleans(),
+)
+@settings(**SETTINGS)
+def test_join_shape_parity(spark, duck, jt, key, residual, agg):
+    """Join-core parity: every join shape × key form × 3VL residual
+    produces the same multiset (or the same per-key counts when
+    aggregated) over NULL-and-duplicate-key relations — the property
+    behind the c_join_* family's outer/semi/anti semantics."""
+    cond = f"({key}{residual})"
+    if jt in ("SEMI JOIN", "ANTI JOIN"):
+        cols = "x.lk, x.lv"
+    else:
+        cols = "x.lk, x.lv, y.rk, y.rw"
+    q = f"SELECT {cols} FROM {_JOIN_L} x {jt} {_JOIN_R} y ON {cond}"
+    if agg:
+        q = (
+            f"SELECT lk, count(*) AS n FROM ({q}) j GROUP BY lk"
+            if jt in ("SEMI JOIN", "ANTI JOIN")
+            else f"SELECT lk, rk, count(*) AS n FROM ({q}) j GROUP BY lk, rk"
+        )
     s_rows, o_rows = _both(spark, duck, q)
     assert s_rows == o_rows, f"divergence for: {q}"
