@@ -609,7 +609,12 @@ def j_udtf_table_arg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the TABLE argument hash-partitions on the PARTITION BY
     key exactly like a groupBy — one shuffle, per-partition Python
-    state, Arrow row transport."""
+    state, Arrow row transport. Per-row cost is the floor (r08 A/B at
+    sf0.1): positional row access reads 2.2 s vs 2.65 s for named-field
+    lookups, while `spark.sql.execution.pythonUDTF.arrow.enabled` is a
+    measured 3.7× REGRESSION on this row-at-a-time eval (9.7 s — the
+    arrow path's per-row materialization costs more than the pickled
+    Row it replaces) — left off."""
     from pyspark.sql.functions import udtf
 
     @udtf(returnType=(
@@ -623,10 +628,11 @@ def j_udtf_table_arg(spark: SparkSession, sf_dir: str) -> DataFrame:
             self._first = None
 
         def eval(self, row) -> None:
-            self._key = row["event_type"]
+            # positional: (event_type, event_id, value) per the TABLE arg
+            self._key = row[0]
             self._n += 1
-            self._cents += int(round(row["value"] * 10000))
-            eid = row["event_id"]
+            self._cents += int(round(row[2] * 10000))
+            eid = row[1]
             if self._first is None or eid < self._first:
                 self._first = eid
 
