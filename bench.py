@@ -322,12 +322,17 @@ def main() -> None:
         "n_queries": len(timings),
         "sf": sf_val,
         # Which estimator produced this round's appended history value:
-        # retimed keys report MIN-of-3 (one-sided-noise rationale above),
+        # variance-retimed keys report MIN-of-3, cold-outlier keys
+        # min(first, second) (one-sided-noise rationale above),
         # everything else a single sample. bench_history.json stays a
         # plain float list; the per-round estimator trail lives here (the
         # file is committed each round, so git history keeps it).
         "estimators": {
-            k: ("min_of_3" if k in variance_retimed else "single_run")
+            k: (
+                "min_of_3"
+                if k in variance_retimed
+                else "min_of_2" if k in cold_outliers else "single_run"
+            )
             for k in timings
         },
         **({"memoized": memo_backed} if memo_backed else {}),

@@ -1128,7 +1128,9 @@ def _signrp_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Depth of the exact-ranking head the memo pins. Every consumer slices
 # rn <= this (top-5 baseline, rn<=3/5 truths, @10 rank metrics); a consumer
 # needing deeper ranks must raise it HERE — filtering rn beyond it would
-# silently score against a truncated ground truth.
+# silently score against a truncated ground truth. Raising it does NOT
+# deepen the @K metrics: their cutoffs are their own definitions,
+# asserted <= this depth at each consumer site (r08 review finding).
 _EXACT_RANKED_DEPTH = 10
 
 

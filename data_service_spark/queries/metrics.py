@@ -1164,11 +1164,15 @@ def k_eval_mrr_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Slice of the session-memoized exact ranking (one corpus×probes
     # product shared by the whole retrieval-evaluation panel).
+    # @10 is this metric's DEFINITION; the assert pins it inside the
+    # memoized ranking head (raising the cache depth must not silently
+    # deepen the metric — r08 review finding).
+    at_k = 10
+    assert at_k <= _EXACT_RANKED_DEPTH
     ranked = _exact_ranked(spark, sf_dir).select("qid", "label", "ql", "rn")
     hits = (
         ranked.filter(
-            (F.col("rn") <= _EXACT_RANKED_DEPTH)
-            & (F.col("label") == F.col("ql"))
+            (F.col("rn") <= at_k) & (F.col("label") == F.col("ql"))
         )
         .groupBy("qid")
         .agg(F.min("rn").alias("fr"))
@@ -1333,11 +1337,15 @@ def k_eval_map_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Slice of the session-memoized exact ranking (one corpus×probes
     # product shared by the whole retrieval-evaluation panel).
+    # @10 is this metric's DEFINITION; the assert pins it inside the
+    # memoized ranking head (raising the cache depth must not silently
+    # deepen the metric — r08 review finding).
+    at_k = 10
+    assert at_k <= _EXACT_RANKED_DEPTH
     ranked = _exact_ranked(spark, sf_dir).select("qid", "label", "ql", "rn")
     hits = (
         ranked.filter(
-            (F.col("rn") <= _EXACT_RANKED_DEPTH)
-            & (F.col("label") == F.col("ql"))
+            (F.col("rn") <= at_k) & (F.col("label") == F.col("ql"))
         )
         .select(
             "qid",
@@ -3164,9 +3172,10 @@ def k_eval_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = _exact_ranked(spark, sf_dir).select(
         "qid", "ql", "label", "vec_id", "rn"
     )
-    ks = spark.createDataFrame(
-        [(1,), (5,), (_EXACT_RANKED_DEPTH,)], "k int"
-    )
+    # The k grid is the metric's definition (recall@1/5/10); the assert
+    # pins the deepest cutoff inside the memoized ranking head.
+    ks = spark.createDataFrame([(1,), (5,), (10,)], "k int")
+    assert 10 <= _EXACT_RANKED_DEPTH
     hits = (
         ranked.crossJoin(F.broadcast(ks))
         .filter(F.col("rn") <= F.col("k"))
@@ -3251,9 +3260,12 @@ def k_rank_rbp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # Slice of the session-memoized exact ranking (one corpus×probes
     # product shared by the whole retrieval-evaluation panel).
+    # Evaluation depth 10 is RBP's definition here; pinned within the
+    # memoized ranking head.
+    assert 10 <= _EXACT_RANKED_DEPTH
     ranked = (
         _exact_ranked(spark, sf_dir)
-        .filter(F.col("rn") <= _EXACT_RANKED_DEPTH)
+        .filter(F.col("rn") <= 10)
         .select(
             "qid", "vec_id",
             F.when(F.col("label") == F.col("ql"), 1).otherwise(0).alias("rel"),

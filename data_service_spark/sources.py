@@ -467,14 +467,24 @@ def register_kafka_shaped_source(spark: SparkSession) -> None:
             return parts
 
         def read(self, partition):
-            # Arrow-vectorized: the row group flows pandas→to_json(C
-            # impl)→Arrow RecordBatch with zero per-row Python objects —
-            # the per-row dict+json.dumps+pickle loop this replaces was a
-            # 2.4 s floor at sf0.1 (every event serialized twice through
-            # Python). Yielding RecordBatches also hands Spark the
-            # columns Arrow-native instead of re-pickling tuples.
+            # Arrow-vectorized with EXACT per-dtype serialization: ints
+            # serialize via an Arrow int→string cast (never through
+            # float64 — a pandas to_pandas on a nullable int column would
+            # emit 7.0 and null whole from_json structs), doubles via
+            # Python repr (shortest round-trip — to_json's 15-digit cap
+            # truncates 17-digit doubles), timestamps via an Arrow
+            # µs-int64 cast with nulls preserved as JSON null (NOT the
+            # int64 NaT sentinel), strings via json.dumps (same \u
+            # escaping as the old per-row path). The only per-row Python
+            # is repr/json.dumps over the float and string columns; the
+            # old per-row dict+json.dumps+pickle loop was a 2.4 s floor
+            # at sf0.1. Yielding RecordBatches hands Spark the columns
+            # Arrow-native instead of re-pickling tuples.
+            import json as _json
+
             import pandas as pd
             import pyarrow as pa
+            import pyarrow.compute as pc
             import pyarrow.parquet as pq
 
             tbl = (
@@ -482,51 +492,86 @@ def register_kafka_shaped_source(spark: SparkSession) -> None:
                 .read_row_group(partition.group)
                 .slice(partition.lo, partition.hi - partition.lo)
             )
-            pdf = tbl.to_pandas()
-            n = len(pdf)
-            payload = pdf.copy()
-            ts_col = None
-            for c in list(payload.columns):
-                if pd.api.types.is_datetime64_any_dtype(payload[c]):
+            n = tbl.num_rows
+            fields: dict[str, object] = {}
+            ts_src = None
+            for name, col in zip(tbl.schema.names, tbl.columns):
+                if pa.types.is_timestamp(col.type):
                     # exact integer micros (float total_seconds() loses
                     # sub-µs precision at 2026 epochs)
-                    payload[c + "_us"] = (
-                        payload[c]
-                        .astype("datetime64[us]")
-                        .astype("int64")
+                    fields[name + "_us"] = col.cast(
+                        pa.timestamp("us")
+                    ).cast(pa.int64())
+                    if name == "ts":
+                        ts_src = col
+                else:
+                    fields[name] = col
+            # Sorted keys ≙ json.dumps(sort_keys=True) key order.
+            value_ser = None
+            for key in sorted(fields):
+                col = fields[key]
+                if pa.types.is_integer(col.type):
+                    sv = pd.Series(
+                        col.cast(pa.string()).to_pylist(), dtype="object"
+                    ).fillna("null")
+                elif pa.types.is_floating(col.type):
+                    sv = pd.Series(
+                        [
+                            "null" if v is None else repr(v)
+                            for v in col.to_pylist()
+                        ],
+                        dtype="object",
                     )
-                    if c == "ts":
-                        ts_col = payload[c]
-                    payload = payload.drop(columns=[c])
-            # Sorted columns ≙ json.dumps(sort_keys=True) key order; the
-            # consumer contract is from_json, which is whitespace- and
-            # float-format-agnostic.
-            payload = payload[sorted(payload.columns)]
-            values = payload.to_json(
-                orient="records", lines=True, double_precision=15
-            ).split("\n")[:n]
-            keys = (
-                pdf["user_id"].astype(str)
-                if "user_id" in pdf.columns
-                else pd.Series(range(n), dtype="int64").astype(str)
+                else:
+                    sv = pd.Series(
+                        [
+                            "null" if v is None else _json.dumps(v)
+                            for v in col.to_pylist()
+                        ],
+                        dtype="object",
+                    )
+                piece = f'"{key}":' + sv
+                value_ser = (
+                    piece if value_ser is None else value_ser + "," + piece
+                )
+            values = (
+                ("{" + value_ser + "}").tolist() if n else []
             )
-            if ts_col is None:
+            if "user_id" in fields:
+                keys = pc.fill_null(
+                    fields["user_id"].cast(pa.string()), "None"
+                )
+            else:
+                keys = pa.array([str(i) for i in range(n)], pa.string())
+            if ts_src is None:
                 ts_arr = pa.array(
                     [datetime.datetime(1970, 1, 1)] * n,
                     pa.timestamp("us"),
                 )
             else:
-                ts_arr = pa.Array.from_pandas(
-                    ts_col.fillna(pd.Timestamp(0)), type=pa.timestamp("us")
+                ts_arr = pc.fill_null(
+                    ts_src.cast(pa.timestamp("us")),
+                    pa.scalar(
+                        datetime.datetime(1970, 1, 1), pa.timestamp("us")
+                    ),
                 )
+            def _flat(arr):
+                # RecordBatch.from_arrays needs Arrays; parquet columns
+                # arrive as (single-chunk) ChunkedArrays
+                return (
+                    arr.combine_chunks()
+                    if isinstance(arr, pa.ChunkedArray)
+                    else arr
+                )
+
             yield pa.RecordBatch.from_arrays(
                 [
-                    pa.array(keys, pa.string()).cast(pa.binary()),
+                    _flat(keys.cast(pa.binary())),
                     pa.array(values, pa.string()).cast(pa.binary()),
                     pa.array([self.topic] * n, pa.string()),
                     pa.array([partition.part_id] * n, pa.int32()),
                     pa.array(range(n), pa.int64()),
-                    ts_arr,
+                    _flat(ts_arr),
                     pa.array([0] * n, pa.int32()),  # CREATE_TIME
                 ],
                 names=[

@@ -257,3 +257,56 @@ def test_fresh_tables_orphan_sweep_and_exit_drop(spark, tmp_path):
     for d in (young, unmatched):
         os.rmdir(d)
     dio._TABLE_GC.pop("exit_probe", None)
+
+
+def test_kafka_shaped_exact_serialization(spark, tmp_path):
+    """The vectorized reader's payloads stay EXACT on the edges the r08
+    review called out: null ints emit JSON null (never 7.0 / whole-struct
+    null-out via float64), null timestamps emit null (never the int64 NaT
+    sentinel), and doubles round-trip at full 17-digit precision (to_json
+    would cap at 15)."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_service_spark.sources import register_kafka_shaped_source
+
+    src = str(tmp_path / "edge.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([1, None, 3], pa.int64()),
+                "event_type": pa.array(["a", None, "c\n\"x"], pa.string()),
+                "user_id": pa.array([7, 8, None], pa.int64()),
+                "value": pa.array(
+                    [0.30000000000000004, None, 1e-17], pa.float64()
+                ),
+                "ts": pa.array(
+                    [1_700_000_000_000_000, None, 1_700_000_000_000_001],
+                    pa.timestamp("us"),
+                ),
+            }
+        ),
+        src,
+    )
+    register_kafka_shaped_source(spark)
+    rows = (
+        spark.read.format("kafka_shaped")
+        .option("path", src)
+        .option("topic", "edge")
+        .load()
+        .collect()
+    )
+    payloads = [json.loads(bytes(r.value).decode()) for r in rows]
+    by_uid = {p["user_id"]: p for p in payloads}
+    assert by_uid[7]["event_id"] == 1 and isinstance(by_uid[7]["event_id"], int)
+    assert by_uid[8]["event_id"] is None          # null int -> null
+    assert by_uid[8]["ts_us"] is None             # null ts -> null, no NaT
+    assert by_uid[None]["user_id"] is None
+    assert by_uid[7]["value"] == 0.30000000000000004  # 17-digit roundtrip
+    assert by_uid[None]["value"] == 1e-17
+    assert by_uid[None]["event_type"] == 'c\n"x'  # escaping intact
+    # null user_id -> literal "None" key (the legacy per-row behavior)
+    keys = {bytes(r.key).decode() for r in rows}
+    assert keys == {"7", "8", "None"}
