@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from data_service_spark.io import load
+from data_service_spark.io import load, load_parallel
 from data_service_spark.registry import register
 
 # Spark-SQL string-literal form (backslashes doubled for the SQL parser) of
@@ -143,7 +143,12 @@ def h_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def h_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # libm last-ulp differences across engines → transcendentals rounded 6dp.
-    li = load(spark, sf_dir, "lineitem")
+    # load_parallel: 15 transcendental projections × every lineitem row is
+    # compute-dense enough that the one repartition beats the 3-partition
+    # single-row-group ceiling 2.4× (A/B r08: 1.45 → 0.61 s at sf0.1); at
+    # cluster scale a multi-file table already arrives parallel and the
+    # pass is no-op-sized.
+    li = load_parallel(spark, sf_dir, "lineitem", "l_orderkey")
     q, ep = F.col("l_quantity"), F.col("l_extendedprice")
     return li.select(
         "l_orderkey", "l_linenumber",
@@ -423,8 +428,11 @@ def h_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def h_trig_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trigonometric scalar surface (libm on both engines; 6dp rounding
-    absorbs the last-ulp differences between implementations)."""
-    li = load(spark, sf_dir, "lineitem")
+    absorbs the last-ulp differences between implementations).
+    load_parallel for the same reason as ``h_math_funcs``: compute-dense
+    per-row projections beat the single-row-group 3-partition ceiling
+    (A/B r08: 1.2 → ~0.5 s at sf0.1)."""
+    li = load_parallel(spark, sf_dir, "lineitem", "l_orderkey")
     q, ln = F.col("l_quantity"), F.col("l_linenumber")
     return li.select(
         "l_orderkey",
