@@ -717,3 +717,63 @@ def test_join_shape_parity(spark, duck, jt, key, residual, agg):
         )
     s_rows, o_rows = _both(spark, duck, q)
     assert s_rows == o_rows, f"divergence for: {q}"
+
+
+# ---------------------------------------------------------------------------
+# Grouped-multiset core (round-8): ROLLUP / CUBE / GROUPING SETS ×
+# aggregate FILTER × grouping()/grouping_id(). Probe-verified admissions
+# (2026-08-15): both dialects parse the same ROLLUP/CUBE/GROUPING SETS
+# syntax, agree on super-aggregate NULL rows (including over a NULLable
+# group expression — the 3VL corner where a data NULL and a rollup NULL
+# coexist), on FILTER (WHERE ...) under rollups, on count(DISTINCT) per
+# grouping set, and on grouping()/grouping_id() when called on the full
+# GROUP BY EXPRESSION. Probe-verified exclusion: grouping()/grouping_id()
+# on a SELECT ALIAS of the expression — Spark resolves the lateral alias
+# reference and errors (GROUPING_COLUMN_MISMATCH) where DuckDB accepts
+# it; the grammar always repeats the expression.
+
+_GRP_EXPRS = ["abs(a) % 2", "abs(b) % 3", "c % 2", "abs(a + b) % 4"]
+_AGG_FILTERS = ["", " FILTER (WHERE b > 0)", " FILTER (WHERE c IS NOT NULL)"]
+
+
+@st.composite
+def grouping_query(draw) -> str:
+    g1 = draw(st.sampled_from(_GRP_EXPRS))
+    g2 = draw(st.sampled_from([e for e in _GRP_EXPRS if e != g1]))
+    shape = draw(
+        st.sampled_from(
+            [
+                f"ROLLUP({g1})",
+                f"ROLLUP({g1}, {g2})",
+                f"CUBE({g1})",
+                f"CUBE({g1}, {g2})",
+                f"GROUPING SETS (({g1}), ({g2}), ())",
+                f"GROUPING SETS (({g1}, {g2}), ({g1}), ())",
+            ]
+        )
+    )
+    two = "," in shape.split("(", 1)[1] or "GROUPING SETS" in shape
+    aggs = [
+        f"count(*){draw(st.sampled_from(_AGG_FILTERS))} AS n",
+        f"CAST(sum({draw(st.sampled_from(['a', 'b', 'a + b']))})"
+        f"{draw(st.sampled_from(_AGG_FILTERS))} AS BIGINT) AS s",
+        f"count(DISTINCT {draw(st.sampled_from(_GRP_EXPRS))}) AS nd",
+        f"grouping({g1}) AS gf",
+    ]
+    if two and "GROUPING SETS" not in shape:
+        aggs.append(f"grouping_id({g1}, {g2}) AS gid")
+    cols = f"{g1} AS g1" + (f", {g2} AS g2" if two else "")
+    having = draw(st.sampled_from(["", " HAVING count(*) > 2"]))
+    sel = ", ".join([cols] + draw(st.permutations(aggs)))
+    return f"SELECT {sel} FROM {TABLE} GROUP BY {shape}{having}"
+
+
+@given(q=grouping_query())
+@settings(**SETTINGS)
+def test_grouped_multiset_parity(spark, duck, q):
+    """Grouped-multiset parity: every ROLLUP/CUBE/GROUPING SETS shape ×
+    FILTERed aggregate × grouping()/grouping_id() marker evaluates to the
+    same multiset — the property behind the d_agg_rollup / d_agg_cube /
+    d_agg_grouping_sets / d_agg_conditional family."""
+    s_rows, o_rows = _both(spark, duck, q)
+    assert s_rows == o_rows, f"divergence for: {q}"
