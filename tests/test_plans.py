@@ -732,3 +732,52 @@ def test_bands_sweep_single_signature_build(spark, sf_dir):
     assert "ExistingRDD" in plan
     assert "CartesianProduct" not in plan
     assert plan.count("Scan parquet") <= 2  # truth join may rescan docs once
+
+
+def test_math_funcs_repartitions_past_row_group_ceiling(spark, sf_dir):
+    """The compute-dense scalar projections (h_math_funcs/h_trig_funcs)
+    keep their explicit repartition: a single-row-group corpus scan
+    otherwise caps the 15-expression transcendental projection at the
+    file's partition count (r08 A/B: 2.3-2.4x). The exchange must sit
+    between the scan and the projection."""
+    for key in ("h_math_funcs", "h_trig_funcs"):
+        plan = plan_of(QUERIES[key](spark, sf_dir), "simple")
+        assert "Exchange hashpartitioning" in plan, key
+
+
+def test_kafka_shaped_reader_slices_row_groups():
+    """The kafka_shaped reader plans multiple ranged partitions from a
+    ONE-row-group file (sliceRows), so the Python-side decode fans out —
+    pure-Python check via the registration-closure stub."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_service_spark.sources import register_kafka_shaped_source
+
+    class _Reg:
+        def register(self, cls):
+            self.cls = cls
+
+    class _Stub:
+        dataSource = _Reg()
+
+    stub = _Stub()
+    register_kafka_shaped_source(stub)  # type: ignore[arg-type]
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/one_group.parquet"
+        pq.write_table(
+            pa.table({"x": pa.array(range(100), pa.int64())}),
+            path,
+            row_group_size=100,
+        )
+        reader = stub.dataSource.cls(
+            {"path": path, "topic": "t", "sliceRows": "16"}
+        ).reader(schema=None)
+        parts = reader.partitions()
+        assert len(parts) == 7  # ceil(100 / 16)
+        assert [p.part_id for p in parts] == list(range(7))
+        assert parts[0].lo == 0 and parts[-1].hi == 100
+        spans = [(p.lo, p.hi) for p in parts]
+        assert all(a[1] == b[0] for a, b in zip(spans, spans[1:]))
