@@ -305,14 +305,34 @@ def window_expr(draw) -> str:
         fn = draw(st.sampled_from(["sum", "min", "max", "count"]))
         frame = draw(st.sampled_from(_ROWS_FRAMES))
         return f"CAST({fn}({x}) OVER ({part}{order}{frame}) AS BIGINT)"
-    # range_agg: single coalesced numeric order key, value frame
+    # range_agg: single numeric order key, value frame. r08 probes extend
+    # the admitted grammar: a NULLABLE raw key with explicit NULLS
+    # placement agrees cross-engine (NULL rows form their own frame
+    # peer-group in both), as do DESC direction, 0-width and
+    # UNBOUNDED-edge value frames.
     x = draw(st.sampled_from(_NUM_LEAVES))
     fn = draw(st.sampled_from(["sum", "min", "max", "count"]))
-    lo = draw(st.integers(0, 20))
-    hi = draw(st.sampled_from(["CURRENT ROW", "5 FOLLOWING"]))
+    rkey = draw(
+        st.sampled_from(
+            ["coalesce(c, 0)", "c NULLS FIRST", "c NULLS LAST",
+             "a DESC", "abs(b) % 3"]
+        )
+    )
+    lo = draw(
+        st.sampled_from(
+            ["UNBOUNDED PRECEDING", "0 PRECEDING",
+             f"{draw(st.integers(1, 20))} PRECEDING"]
+        )
+    )
+    hi = draw(
+        st.sampled_from(
+            ["CURRENT ROW", "0 FOLLOWING", "5 FOLLOWING",
+             "UNBOUNDED FOLLOWING"]
+        )
+    )
     return (
-        f"CAST({fn}({x}) OVER ({part}ORDER BY coalesce(c, 0)"
-        f" RANGE BETWEEN {lo} PRECEDING AND {hi}) AS BIGINT)"
+        f"CAST({fn}({x}) OVER ({part}ORDER BY {rkey}"
+        f" RANGE BETWEEN {lo} AND {hi}) AS BIGINT)"
     )
 
 
