@@ -797,3 +797,82 @@ def test_grouped_multiset_parity(spark, duck, q):
     d_agg_grouping_sets / d_agg_conditional family."""
     s_rows, o_rows = _both(spark, duck, q)
     assert s_rows == o_rows, f"divergence for: {q}"
+
+
+# ---------------------------------------------------------------------------
+# Try-cast core (round-8): string→{BIGINT, DOUBLE, DATE, BOOLEAN} casts
+# over messy inputs — the h_cast surface as a property. Probe-verified
+# admissions (2026-08-15): both engines agree on integer-grammar strings
+# (sign, surrounding whitespace), garbage → NULL, int64-boundary
+# overflow → NULL, the full DOUBLE grammar including '.5' / '5.' /
+# scientific notation / NaN / ±inf ('1e400' → inf in both), ISO dates
+# incl. whitespace-trimmed and invalid-month rejects, and the unpadded
+# boolean lexicon {true,false,t,f,1,0} case-insensitively. Probe-verified
+# EXCLUSIONS (DuckDB's string→BIGINT grammar is a superset that also
+# ROUNDS): '3.9'→4, '1e2'→100, '0x1A'→26, '.5'→1, '5.'→5, '1_000'→1000 —
+# all None in Spark; '1_000' also parses as DOUBLE only in DuckDB;
+# BOOLEAN: Spark trims (' true '→true) and accepts yes/no — DuckDB does
+# neither. These are exactly the forms the registry's h_cast RLIKE
+# plausibility guard exists to fence.
+
+_CASTABLE = [
+    "'1'", "'  42  '", "'-7'", "'+3'", "''", "'abc'", "'12abc'",
+    "CAST(NULL AS STRING)", "' -0 '", "'9223372036854775807'",
+    "'9223372036854775808'", "'2020-02-29'", "'2020-13-01'",
+    "' 2020-02-29 '", "'true'", "'FALSE'", "'t'", "'0'",
+]
+_DOUBLE_ONLY = ["'3.9'", "'.5'", "'5.'", "'1e2'", "'NaN'", "'inf'",
+                "'-inf'", "'1e400'"]
+
+
+@st.composite
+def castable_str(draw, pool) -> str:
+    base = draw(st.sampled_from(pool))
+    wrap = draw(st.sampled_from(["", "trim", "upper", "lower"]))
+    return f"{wrap}({base})" if wrap else base
+
+
+@given(
+    exprs=st.lists(
+        st.one_of(
+            castable_str(_CASTABLE).map(
+                lambda e: f"try_cast({e} AS BIGINT)"
+            ),
+            castable_str(_CASTABLE + _DOUBLE_ONLY).map(
+                lambda e: f"(try_cast({e} AS DOUBLE) IS NULL)"
+            ),
+            castable_str(_CASTABLE + _DOUBLE_ONLY).map(
+                lambda e: f"isnan(coalesce(try_cast({e} AS DOUBLE),"
+                " CAST(0 AS DOUBLE)))"
+            ),
+            # finite numeric grammar → exact value on the 1e4 grid
+            castable_str(
+                ["'1'", "'  42  '", "'-7'", "'3.9'", "'.5'", "'5.'",
+                 "'1e2'", "'abc'", "''", "CAST(NULL AS STRING)"]
+            ).map(
+                lambda e: "CAST(floor(try_cast({} AS DOUBLE)"
+                " * CAST(10000 AS DOUBLE)) AS BIGINT)".format(e)
+            ),
+            castable_str(_CASTABLE).map(
+                lambda e: f"CAST(try_cast({e} AS DATE) AS STRING)"
+            ),
+            st.sampled_from(
+                ["'true'", "'FALSE'", "'t'", "'f'", "'1'", "'0'", "'abc'",
+                 "CAST(NULL AS STRING)"]
+            ).map(lambda e: f"try_cast({e} AS BOOLEAN)"),
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(**SETTINGS)
+def test_try_cast_parity(spark, duck, exprs):
+    """Try-cast parity: every generated cast pipeline over the shared
+    grammar (integer strings for BIGINT, the full double grammar incl.
+    NaN/inf via null/isnan/quantize bridges, ISO dates, the unpadded
+    boolean lexicon) evaluates identically — the property behind the
+    h_cast family and every try_cast ingestion guard in the registry."""
+    sel = ", ".join(f"{e} AS x{i}" for i, e in enumerate(exprs))
+    q = f"SELECT {sel} FROM (SELECT 1 AS one) o"
+    s_rows, o_rows = _both(spark, duck, q)
+    assert s_rows == o_rows, f"divergence for: {q}"
