@@ -515,11 +515,22 @@ def register_kafka_shaped_source(spark: SparkSession) -> None:
                         col.cast(pa.string()).to_pylist(), dtype="object"
                     ).fillna("null")
                 elif pa.types.is_floating(col.type):
+                    # repr is the shortest round-trip for finite doubles;
+                    # non-finite values use json.dumps' NaN/Infinity
+                    # spellings (repr's 'nan'/'inf' are not JSON tokens)
+                    def _fser(v):
+                        if v is None:
+                            return "null"
+                        if v != v:
+                            return "NaN"
+                        if v == float("inf"):
+                            return "Infinity"
+                        if v == float("-inf"):
+                            return "-Infinity"
+                        return repr(v)
+
                     sv = pd.Series(
-                        [
-                            "null" if v is None else repr(v)
-                            for v in col.to_pylist()
-                        ],
+                        [_fser(v) for v in col.to_pylist()],
                         dtype="object",
                     )
                 else:

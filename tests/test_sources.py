@@ -280,7 +280,7 @@ def test_kafka_shaped_exact_serialization(spark, tmp_path):
                 "event_type": pa.array(["a", None, "c\n\"x"], pa.string()),
                 "user_id": pa.array([7, 8, None], pa.int64()),
                 "value": pa.array(
-                    [0.30000000000000004, None, 1e-17], pa.float64()
+                    [0.30000000000000004, float("nan"), 1e-17], pa.float64()
                 ),
                 "ts": pa.array(
                     [1_700_000_000_000_000, None, 1_700_000_000_000_001],
@@ -306,6 +306,8 @@ def test_kafka_shaped_exact_serialization(spark, tmp_path):
     assert by_uid[None]["user_id"] is None
     assert by_uid[7]["value"] == 0.30000000000000004  # 17-digit roundtrip
     assert by_uid[None]["value"] == 1e-17
+    nanv = by_uid[8]["value"]
+    assert nanv != nanv  # NaN serialized as the JSON-extension token
     assert by_uid[None]["event_type"] == 'c\n"x'  # escaping intact
     # null user_id -> literal "None" key (the legacy per-row behavior)
     keys = {bytes(r.key).decode() for r in rows}
