@@ -876,3 +876,153 @@ def test_try_cast_parity(spark, duck, exprs):
     q = f"SELECT {sel} FROM (SELECT 1 AS one) o"
     s_rows, o_rows = _both(spark, duck, q)
     assert s_rows == o_rows, f"divergence for: {q}"
+
+
+# ---------------------------------------------------------------------------
+# Translated-pair core (round-8): unlike the 12 shared-text cores, this one
+# renders each generated expression TWICE — Spark spelling and DuckDB
+# spelling — and compares the multisets. It fuzzes the TRANSLATION IDIOMS
+# the hand-written oracles rely on for the array/explode family:
+#     split ↔ string_split        sequence ↔ generate_series
+#     transform ↔ list_transform  filter ↔ list_filter
+#     array_distinct ↔ list_distinct    array_sort ↔ list_sort
+#     size ↔ len                  try_element_at ↔ list[i]
+#     array_contains ↔ list_contains    array_join ↔ array_to_string
+#     aggregate(+, 0L) ↔ list_sum array_max/min ↔ list_max/min
+#     slice(a, i, n) ↔ a[i : i+n-1]     explode ↔ unnest
+# Probe-verified identical (2026-08-15) including out-of-bounds and
+# NEGATIVE indexing (both count from the end), NULL/empty source strings,
+# stepped sequences, and column-dependent sequence bounds under explode.
+# Probe-verified exclusions: index literal 0 — Spark rejects it at
+# compile time (INVALID_INDEX_OF_ZERO) where DuckDB returns NULL — and a
+# REAL trap this core's first 150-example hunt caught: Spark
+# array_join(EMPTY, d) → '' but DuckDB array_to_string(EMPTY, d) → NULL
+# (list_aggregate string_agg too) — every oracle translating array_join
+# must coalesce the DuckDB side to '' — but only under a NOT NULL
+# guard, since a NULL array joins to NULL in both engines (the two-step
+# bridge the grammar now carries). Second catch: Spark array_distinct
+# keeps first-occurrence order, DuckDB list_distinct is UNORDERED — any
+# ordered bridge (element_at/slice/join) after a distinct needs the
+# sort-after-distinct convention both sides.
+
+
+@st.composite
+def paired_int_array(draw, depth: int = 2):
+    """Returns (spark_sql, duck_sql) for an integer-array expression."""
+    if depth <= 0 or draw(st.integers(0, 1)) == 0:
+        lo = draw(st.integers(1, 4))
+        hi = lo + draw(st.integers(0, 5))
+        step = draw(st.sampled_from(["", ", 2", ", 3"]))
+        return (f"sequence({lo}, {hi}{step})",
+                f"generate_series({lo}, {hi}{step})")
+    s, d = draw(paired_int_array(depth - 1))
+    kind = draw(st.sampled_from(["transform", "filter", "distinct", "sort"]))
+    if kind == "transform":
+        lam = draw(st.sampled_from(["x + 1", "x * x", "x - 3", "x * -1"]))
+        return (f"transform({s}, x -> {lam})",
+                f"list_transform({d}, x -> {lam})")
+    if kind == "filter":
+        pred = draw(st.sampled_from(["x % 2 = 0", "x > 3", "x <= 5"]))
+        return (f"filter({s}, x -> {pred})", f"list_filter({d}, x -> {pred})")
+    if kind == "distinct":
+        # ordered-bridge safety: Spark array_distinct preserves
+        # first-occurrence order, DuckDB list_distinct returns ARBITRARY
+        # order (probed: [3,1,2,1] -> [3,1,2] vs [2,1,3]) — the sort
+        # wrapper is the house collect_set/array_sort convention, not
+        # decoration
+        return (f"array_sort(array_distinct({s}))",
+                f"list_sort(list_distinct({d}))")
+    return (f"array_sort({s})", f"list_sort({d})")
+
+
+@st.composite
+def paired_str_array(draw):
+    base = draw(
+        st.sampled_from(
+            ["'a b c ab b'", "'c a b'", "'x'", "''", "'a  b'",
+             "CAST(NULL AS STRING)"]
+        )
+    )
+    return (f"split({base}, ' ')", f"string_split({base}, ' ')")
+
+
+@st.composite
+def paired_scalar(draw):
+    """(spark_sql, duck_sql) scalar bridges over a paired array."""
+    typ = draw(st.sampled_from(["int", "str"]))
+    s, d = draw(paired_int_array() if typ == "int" else paired_str_array())
+    kind = draw(
+        st.sampled_from(
+            ["size", "elem", "contains", "join_or_sum", "maxmin", "slice"]
+        )
+    )
+    if kind == "size":
+        return (f"size({s})", f"len({d})")
+    if kind == "elem":
+        i = draw(st.sampled_from([1, 2, 3, 9, -1, -2]))
+        return (f"try_element_at({s}, {i})", f"({d})[{i}]")
+    if kind == "contains":
+        if typ == "int":
+            return (f"array_contains({s}, 4)", f"list_contains({d}, 4)")
+        return (f"array_contains({s}, 'b')", f"list_contains({d}, 'b')")
+    if kind == "join_or_sum":
+        if typ == "int":
+            return (
+                f"aggregate({s}, 0L, (a, x) -> a + x)",
+                f"coalesce(list_sum({d}), 0)",
+            )
+        return (
+            f"array_join(array_sort({s}), ',')",
+            f"(CASE WHEN {d} IS NOT NULL THEN"
+            f" coalesce(array_to_string(list_sort({d}), ','), '') END)",
+        )
+    if kind == "maxmin":
+        fn = draw(st.sampled_from(["max", "min"]))
+        if typ == "int":
+            return (f"array_{fn}({s})", f"list_{fn}({d})")
+        return (f"array_{fn}({s})", f"list_{fn}({d})")
+    i = draw(st.integers(1, 3))
+    n = draw(st.integers(1, 3))
+    if typ == "int":
+        return (
+            f"size(slice({s}, {i}, {n}))",
+            f"len(({d})[{i}:{i + n - 1}])",
+        )
+    return (
+        f"array_join(slice({s}, {i}, {n}), ',')",
+        f"(CASE WHEN {d} IS NOT NULL THEN coalesce("
+        f"array_to_string(({d})[{i}:{i + n - 1}], ','), '') END)",
+    )
+
+
+@given(pairs=st.lists(paired_scalar(), min_size=1, max_size=5))
+@settings(**SETTINGS)
+def test_translated_pair_parity(spark, duck, pairs):
+    """Translated-pair parity: each generated array pipeline rendered in
+    BOTH dialect spellings evaluates to the same multiset — the property
+    behind every split/sequence/explode translation the oracle corpus
+    hand-writes."""
+    s_sel = ", ".join(f"{s} AS x{i}" for i, (s, _) in enumerate(pairs))
+    d_sel = ", ".join(f"{d} AS x{i}" for i, (_, d) in enumerate(pairs))
+    s_rows = _canon(spark.sql(f"SELECT {s_sel}").toPandas())
+    o_rows = _canon(duck.execute(f"SELECT {d_sel}").df())
+    assert s_rows == o_rows, f"divergence for: {s_sel}  VS  {d_sel}"
+
+
+@given(arr=paired_int_array())
+@settings(**SETTINGS)
+def test_translated_explode_parity(spark, duck, arr):
+    """explode ↔ unnest parity: the flattened rows of any paired array
+    agree, including through a downstream aggregate."""
+    s, d = arr
+    sq = (
+        "SELECT CAST(sum(x) AS BIGINT) AS s, count(*) AS n"
+        f" FROM (SELECT explode({s}) AS x) e"
+    )
+    dq = (
+        "SELECT CAST(sum(x) AS BIGINT) AS s, count(*) AS n"
+        f" FROM (SELECT unnest({d}) AS x) e"
+    )
+    s_rows = _canon(spark.sql(sq).toPandas())
+    o_rows = _canon(duck.execute(dq).df())
+    assert s_rows == o_rows, f"divergence for: {sq}  VS  {dq}"
