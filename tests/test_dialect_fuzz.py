@@ -1026,3 +1026,95 @@ def test_translated_explode_parity(spark, duck, arr):
     s_rows = _canon(spark.sql(sq).toPandas())
     o_rows = _canon(duck.execute(dq).df())
     assert s_rows == o_rows, f"divergence for: {sq}  VS  {dq}"
+
+
+# Aggregate translation pairs (round-8, same paired-rendering harness).
+# Probe-verified identical: the md5-bucket splice (Spark
+# pmod(conv(substring(md5 …,16,10)), m) ↔ DuckDB ('0x'||…)::BIGINT % m —
+# the corpus' deterministic-split convention), collect_set ↔
+# string_agg(DISTINCT … ORDER BY) and collect_list ↔ string_agg under the
+# sort-before-join convention, percentile ↔ quantile_cont,
+# percentile_approx(…, 2^31-1) ↔ quantile_disc, median. Probe-verified
+# exclusion: mode() — tie-breaking differs (probed: {a×2, ab×2} → Spark
+# 'ab', DuckDB 'a').
+
+_AGG_GROUPS = ["", " GROUP BY g"]
+
+
+@st.composite
+def paired_aggregate(draw):
+    kind = draw(
+        st.sampled_from(["md5_bucket", "set_join", "list_join", "pctl",
+                         "pctl_disc", "median"])
+    )
+    if kind == "md5_bucket":
+        w = draw(st.sampled_from([4, 8, 15]))
+        m = draw(st.integers(2, 12))
+        return (
+            f"count(DISTINCT pmod(conv(substring(md5(s), 1, {w}), 16, 10),"
+            f" {m}))",
+            f"count(DISTINCT ('0x' || substring(md5(s), 1, {w}))::BIGINT"
+            f" % {m})",
+        )
+    if kind == "set_join":
+        return (
+            "array_join(array_sort(collect_set(s)), ',')",
+            "string_agg(DISTINCT s, ',' ORDER BY s)",
+        )
+    if kind == "list_join":
+        return (
+            "array_join(array_sort(collect_list(s)), ',')",
+            "string_agg(s, ',' ORDER BY s)",
+        )
+    if kind == "pctl":
+        q = draw(st.sampled_from(["0.1", "0.25", "0.5", "0.75", "0.9"]))
+        return (
+            f"CAST(round(percentile(a, {q}), 6) + 0.0 AS DOUBLE)",
+            f"CAST(round(quantile_cont(a, {q}), 6) + 0.0 AS DOUBLE)",
+        )
+    if kind == "pctl_disc":
+        q = draw(st.sampled_from(["0.25", "0.5", "0.75"]))
+        return (
+            f"percentile_approx(a, {q}, 2147483647)",
+            f"quantile_disc(a, {q})",
+        )
+    return ("CAST(median(a) AS DOUBLE)", "CAST(median(a) AS DOUBLE)")
+
+
+@given(
+    pairs=st.lists(paired_aggregate(), min_size=1, max_size=4),
+    grp=st.sampled_from(_AGG_GROUPS),
+)
+@settings(**SETTINGS)
+def test_translated_aggregate_parity(spark, duck, pairs, grp):
+    """Aggregate-pair parity: the corpus' deterministic-split md5 splice,
+    the sort-before-join collect conventions and the percentile family
+    rendered in both dialect spellings agree, grouped and global."""
+    src = (
+        "(SELECT abs(a) % 3 AS g, a, s FROM"
+        f" (SELECT a, b, c, s FROM {TABLE}) u) v"
+    )
+    s_sel = ", ".join(f"{s} AS x{i}" for i, (s, _) in enumerate(pairs))
+    d_sel = ", ".join(f"{d} AS x{i}" for i, (_, d) in enumerate(pairs))
+    gcol = "g, " if grp else ""
+    sq = f"SELECT {gcol}{s_sel} FROM {src}{grp}"
+    dq = f"SELECT {gcol}{d_sel} FROM {src}{grp}"
+
+    # the module _cell truncates floats to ints (fine for the BIGINT
+    # cores); the percentile pairs need EXACT double comparison or a
+    # 0.1-sized interpolation divergence would be masked
+    def strong(df):
+        cols = sorted(df.columns)
+        rows = [
+            tuple(
+                repr(v) if isinstance(v, float) and v == v else _cell(v)
+                for v in row
+            )
+            for row in df[cols].itertuples(index=False)
+        ]
+        rows.sort(key=repr)
+        return rows
+
+    s_rows = strong(spark.sql(sq).toPandas())
+    o_rows = strong(duck.execute(dq).df())
+    assert s_rows == o_rows, f"divergence for: {sq}  VS  {dq}"
