@@ -1118,3 +1118,95 @@ def test_translated_aggregate_parity(spark, duck, pairs, grp):
     s_rows = strong(spark.sql(sq).toPandas())
     o_rows = strong(duck.execute(dq).df())
     assert s_rows == o_rows, f"divergence for: {sq}  VS  {dq}"
+
+
+# Timestamp translation pairs (round-8, paired-rendering harness): the
+# idioms every events-table oracle hand-writes. Probe-verified identical
+# (2026-08-15) including pre-1970 (negative-epoch) values, fractional
+# seconds, and NULLs: unix_micros ↔ epoch_us; timestampdiff(MICROSECOND)
+# ↔ date_diff('microseconds') (the SECOND-granularity form is the
+# documented crossing-vs-elapsed divergence — micros stay exact);
+# date_trunc at subday units (shared text; day-or-coarser units are a
+# TYPE divergence this core's first run caught: DuckDB returns DATE
+# where Spark keeps TIMESTAMP — re-timestamped on the DuckDB side,
+# extending the r07 date-core finding to timestamp inputs);
+# hour/minute/second extraction (second floor-bridged: DuckDB's returns
+# the fractional type); timestamp_micros ↔ make_timestamp(µs);
+# epoch-bucketing with DIV ↔ // — BOTH truncate toward zero, probed on
+# negative epochs (-7 DIV 2 = -3 = -7 // 2).
+
+_TS_ROWS = (
+    "(SELECT CAST(t AS TIMESTAMP) AS ts FROM (VALUES"
+    " ('2026-01-15 10:30:45.123456'), ('1999-12-31 23:59:59.999999'),"
+    " ('1970-01-01 00:00:00'), ('1969-12-31 22:45:01.5'),"
+    " ('2020-02-29 12:00:00.5'), ('2024-12-30 00:00:01'), (NULL))"
+    " AS v(t)) tt"
+)
+_TS_EPOCH = ("unix_micros(ts)", "epoch_us(ts)")
+
+
+@st.composite
+def paired_ts_scalar(draw):
+    kind = draw(
+        st.sampled_from(
+            ["epoch", "diff_us", "trunc", "extract", "bucket", "roundtrip"]
+        )
+    )
+    se, de = _TS_EPOCH
+    if kind == "epoch":
+        return (se, de)
+    if kind == "diff_us":
+        anchor = draw(
+            st.sampled_from(
+                ["TIMESTAMP '2020-01-01 00:00:00'",
+                 "TIMESTAMP '1969-06-01 12:00:00'"]
+            )
+        )
+        return (
+            f"timestampdiff(MICROSECOND, {anchor}, ts)",
+            f"date_diff('microseconds', {anchor}, ts)",
+        )
+    if kind == "trunc":
+        unit = draw(
+            st.sampled_from(["hour", "minute", "second", "day", "month",
+                             "year", "quarter", "week"])
+        )
+        s = f"CAST(date_trunc('{unit}', ts) AS STRING)"
+        if unit in ("hour", "minute", "second"):
+            return (s, s)  # subday: TIMESTAMP in both
+        # day-or-coarser: DuckDB returns DATE where Spark keeps
+        # TIMESTAMP (found by this core's first run) — re-timestamp the
+        # DuckDB side before the string bridge
+        return (
+            s,
+            f"CAST(CAST(date_trunc('{unit}', ts) AS TIMESTAMP)"
+            " AS STRING)",
+        )
+    if kind == "extract":
+        fld = draw(st.sampled_from(["hour", "minute", "second"]))
+        if fld == "second":
+            return ("second(ts)", "CAST(floor(second(ts)) AS BIGINT)")
+        return (f"{fld}(ts)", f"{fld}(ts)")
+    if kind == "bucket":
+        m = draw(
+            st.sampled_from(["3600000000", "60000000", "86400000000"])
+        )
+        return (f"({se}) DIV {m}", f"({de}) // {m}")
+    off = draw(st.integers(-3, 3))
+    return (
+        f"CAST(timestamp_micros(({se}) + {off}) AS STRING)",
+        f"CAST(make_timestamp(({de}) + {off}) AS STRING)",
+    )
+
+
+@given(pairs=st.lists(paired_ts_scalar(), min_size=1, max_size=5))
+@settings(**SETTINGS)
+def test_translated_timestamp_parity(spark, duck, pairs):
+    """Timestamp-pair parity: the epoch/diff/trunc/extract/bucket
+    translation idioms of the events oracles agree in both dialect
+    spellings, including negative epochs and NULLs."""
+    s_sel = ", ".join(f"{s} AS x{i}" for i, (s, _) in enumerate(pairs))
+    d_sel = ", ".join(f"{d} AS x{i}" for i, (_, d) in enumerate(pairs))
+    s_rows = _canon(spark.sql(f"SELECT {s_sel} FROM {_TS_ROWS}").toPandas())
+    o_rows = _canon(duck.execute(f"SELECT {d_sel} FROM {_TS_ROWS}").df())
+    assert s_rows == o_rows, f"divergence for: {s_sel}  VS  {d_sel}"
