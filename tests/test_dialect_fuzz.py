@@ -1210,3 +1210,75 @@ def test_translated_timestamp_parity(spark, duck, pairs):
     s_rows = _canon(spark.sql(f"SELECT {s_sel} FROM {_TS_ROWS}").toPandas())
     o_rows = _canon(duck.execute(f"SELECT {d_sel} FROM {_TS_ROWS}").df())
     assert s_rows == o_rows, f"divergence for: {s_sel}  VS  {d_sel}"
+
+
+# Regex translation pairs (round-8, paired-rendering harness). The TWO
+# traps this family's probes caught:
+#   1. DEFAULT SCOPE: Spark regexp_replace replaces ALL matches, DuckDB
+#      only the FIRST — every DuckDB-side replace needs the 'g' flag
+#      (the corpus convention, scalars.py:75, audited already-universal).
+#   2. STRING-LITERAL ESCAPES: the same SQL text '\\d' is regex \d in
+#      Spark (its parser processes backslash escapes inside literals)
+#      but the LITERAL two chars \\+d in DuckDB (no escape processing) —
+#      a silently different pattern in any shared-text SQL. Shared
+#      grammars must use bracket classes ([0-9], [a-z]); backslash
+#      classes require per-dialect rendering ('\\d' Spark ↔ '\d' Duck),
+#      which this core exercises explicitly.
+# Probe-verified identical otherwise: regexp_extract with group index
+# (both return '' on no-match and NULL on NULL input — no coalesce),
+# grouped regexp_extract_all under the array bridges, RLIKE ↔
+# regexp_matches, LIKE shared.
+
+_RX_ROWS = (
+    "(SELECT CAST(s AS STRING) AS s FROM (VALUES ('abc123def'),"
+    " ('  x  '), ('a-b_c.d'), (''), ('AA bb CC'), ('12.34'),"
+    " ('a1b2c3'), (NULL), ('aa11bb22')) AS v(s)) rx"
+)
+_RX_CLASSES = ["[0-9]+", "[a-z]+", "[A-Z]", "[0-9]", "[a-zA-Z]+", "[.]"]
+
+
+@st.composite
+def paired_regex(draw):
+    kind = draw(
+        st.sampled_from(
+            ["extract", "extract_all", "replace", "rlike", "backslash"]
+        )
+    )
+    pat = draw(st.sampled_from(_RX_CLASSES))
+    if kind == "extract":
+        both = f"regexp_extract(s, '({pat})', 1)"
+        return (both, both)
+    if kind == "extract_all":
+        return (
+            f"array_join(regexp_extract_all(s, '({pat})', 1), ',')",
+            f"(CASE WHEN s IS NOT NULL THEN coalesce(array_to_string("
+            f"regexp_extract_all(s, '({pat})', 1), ','), '') END)",
+        )
+    if kind == "replace":
+        rep = draw(st.sampled_from(["'#'", "''", "'XY'"]))
+        return (
+            f"regexp_replace(s, '{pat}', {rep})",
+            f"regexp_replace(s, '{pat}', {rep}, 'g')",
+        )
+    if kind == "rlike":
+        anchored = draw(st.booleans())
+        p = f"^{pat}$" if anchored else pat
+        return (f"(s RLIKE '{p}')", f"regexp_matches(s, '{p}')")
+    cls = draw(st.sampled_from(["d", "w", "s"]))
+    return (
+        f"regexp_replace(s, '\\\\{cls}', '_')",
+        f"regexp_replace(s, '\\{cls}', '_', 'g')",
+    )
+
+
+@given(pairs=st.lists(paired_regex(), min_size=1, max_size=5))
+@settings(**SETTINGS)
+def test_translated_regex_parity(spark, duck, pairs):
+    """Regex-pair parity: extraction, global replacement (the 'g'
+    bridge), matching and per-dialect backslash classes agree over messy
+    strings including no-match and NULL rows."""
+    s_sel = ", ".join(f"{s} AS x{i}" for i, (s, _) in enumerate(pairs))
+    d_sel = ", ".join(f"{d} AS x{i}" for i, (_, d) in enumerate(pairs))
+    s_rows = _canon(spark.sql(f"SELECT {s_sel} FROM {_RX_ROWS}").toPandas())
+    o_rows = _canon(duck.execute(f"SELECT {d_sel} FROM {_RX_ROWS}").df())
+    assert s_rows == o_rows, f"divergence for: {s_sel}  VS  {d_sel}"
