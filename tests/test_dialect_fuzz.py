@@ -1282,3 +1282,72 @@ def test_translated_regex_parity(spark, duck, pairs):
     s_rows = _canon(spark.sql(f"SELECT {s_sel} FROM {_RX_ROWS}").toPandas())
     o_rows = _canon(duck.execute(f"SELECT {d_sel} FROM {_RX_ROWS}").df())
     assert s_rows == o_rows, f"divergence for: {s_sel}  VS  {d_sel}"
+
+
+# Linear-algebra translation pairs (round-8): the dot-product fold the
+# ENTIRE embedding family's oracles stand on — Spark
+# aggregate(zip_with(a, b, x*y), 0D, acc+x) ↔ DuckDB
+# list_inner_product(a, b) — is claimed bitwise-identical (both compute
+# a sequential left fold, llm.py module docstring). This core fuzzes
+# that claim where it would break first: MIXED-MAGNITUDE arrays where
+# the association order of the additions changes the double result (a
+# pairwise/SIMD reduction on either side would diverge in the last
+# ulp). Probed adversarial case (±1e17 cancellation against unit-scale
+# terms) agrees exactly; compared via repr (exact bits), not the
+# truncating module canon. Probe exclusion: list_cosine_distance does
+# not exist in this DuckDB — cosine stays the explicit dot/norm fold.
+
+_VEC_VALS = ["1.5", "-2.25", "3.0", "1e8", "-1e8", "1e-8", "7.5",
+             "1e16", "-1e16", "0.125"]
+
+
+@st.composite
+def paired_vec(draw):
+    n = draw(st.integers(2, 8))
+    vals = [draw(st.sampled_from(_VEC_VALS)) for _ in range(n)]
+    return (
+        "CAST(array({}) AS ARRAY<DOUBLE>)".format(", ".join(vals)),
+        "[{}]::DOUBLE[]".format(", ".join(vals)),
+        n,
+    )
+
+
+@given(a=paired_vec(), b=paired_vec(), kind=st.sampled_from(
+    ["dot", "l2sq", "diffsq"]))
+@settings(**SETTINGS)
+def test_translated_linalg_parity(spark, duck, a, b, kind):
+    """Linalg-pair parity: dot products, squared norms and squared
+    distances over mixed-magnitude double arrays agree BITWISE in both
+    dialect spellings — the fold order underneath every embedding
+    oracle."""
+    sa, da, na = a
+    sb, db, nb = b
+    if kind == "dot" or kind == "diffsq":
+        # zip length semantics differ on unequal lengths; pin equal
+        if na != nb:
+            sb, db = sa, da
+    if kind == "dot":
+        sq = (
+            f"SELECT aggregate(zip_with({sa}, {sb}, (x, y) -> x * y),"
+            " CAST(0 AS DOUBLE), (acc, x) -> acc + x) AS d"
+        )
+        dq = f"SELECT list_inner_product({da}, {db}) AS d"
+    elif kind == "l2sq":
+        sq = (
+            f"SELECT aggregate({sa}, CAST(0 AS DOUBLE),"
+            " (acc, x) -> acc + x * x) AS d"
+        )
+        dq = f"SELECT list_sum(list_transform({da}, x -> x * x)) AS d"
+    else:
+        sq = (
+            f"SELECT aggregate(zip_with({sa}, {sb},"
+            " (x, y) -> (x - y) * (x - y)), CAST(0 AS DOUBLE),"
+            " (acc, x) -> acc + x) AS d"
+        )
+        dq = (
+            f"SELECT list_sum(list_transform(list_zip({da}, {db}),"
+            " p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d"
+        )
+    sv = spark.sql(sq).collect()[0][0]
+    dv = duck.execute(dq).fetchone()[0]
+    assert repr(sv) == repr(dv), f"bitwise divergence: {sq} VS {dq}: {sv!r} != {dv!r}"
