@@ -1351,3 +1351,63 @@ def test_translated_linalg_parity(spark, duck, a, b, kind):
     sv = spark.sql(sq).collect()[0][0]
     dv = duck.execute(dq).fetchone()[0]
     assert repr(sv) == repr(dv), f"bitwise divergence: {sq} VS {dq}: {sv!r} != {dv!r}"
+
+
+# JSON translation pairs (round-8): Spark get_json_object ↔ DuckDB
+# json_extract_string / json_extract — the payload-decode idiom behind
+# the Kafka pipeline and h_map_json. Probe finding: DuckDB's extractors
+# ERROR on malformed JSON where Spark returns NULL — every DuckDB-side
+# extraction needs a json_valid() guard (the bridge this grammar
+# carries). Under it, scalar/nested/array-index/missing-key paths,
+# null-valued keys and raw object/array extraction (both render compact)
+# agree exactly.
+
+_JSON_ROWS = (
+    """(SELECT CAST(j AS STRING) AS j FROM (VALUES"""
+    """ ('{"a": 1, "b": "x", "c": [1,2,3], "d": {"e": 2.5}}'),"""
+    """ ('{"a": null}'), ('{}'), ('not json'), (NULL),"""
+    """ ('{"a": -7, "b": "", "c": []}'),"""
+    """ ('{"d": {"e": null}, "c": [7]}')) AS v(j)) jt"""
+)
+_JSON_PATHS = ["$.a", "$.b", "$.d.e", "$.c[0]", "$.c[1]", "$.zzz"]
+
+
+@st.composite
+def paired_json(draw):
+    path = draw(st.sampled_from(_JSON_PATHS))
+    kind = draw(st.sampled_from(["string", "raw", "int_bridge"]))
+    if kind == "string":
+        return (
+            f"get_json_object(j, '{path}')",
+            f"(CASE WHEN json_valid(j) THEN"
+            f" json_extract_string(j, '{path}') END)",
+        )
+    if kind == "raw":
+        rawpath = draw(st.sampled_from(["$.c", "$.d"]))
+        return (
+            f"get_json_object(j, '{rawpath}')",
+            f"(CASE WHEN json_valid(j) THEN"
+            f" CAST(json_extract(j, '{rawpath}') AS STRING) END)",
+        )
+    # integer-valued paths only: the extracted TEXT of $.d.e is '2.5',
+    # and string->BIGINT try_cast is itself a documented divergence
+    # (DuckDB rounds, Spark rejects — see the try-cast core)
+    ipath = draw(st.sampled_from(["$.a", "$.c[0]", "$.c[1]", "$.zzz"]))
+    return (
+        f"try_cast(get_json_object(j, '{ipath}') AS BIGINT)",
+        f"try_cast((CASE WHEN json_valid(j) THEN"
+        f" json_extract_string(j, '{ipath}') END) AS BIGINT)",
+    )
+
+
+@given(pairs=st.lists(paired_json(), min_size=1, max_size=5))
+@settings(**SETTINGS)
+def test_translated_json_parity(spark, duck, pairs):
+    """JSON-pair parity: payload extraction in both dialect spellings
+    agrees over valid, empty, malformed and NULL documents — the decode
+    path every semi-structured oracle translation uses."""
+    s_sel = ", ".join(f"{s} AS x{i}" for i, (s, _) in enumerate(pairs))
+    d_sel = ", ".join(f"{d} AS x{i}" for i, (_, d) in enumerate(pairs))
+    s_rows = _canon(spark.sql(f"SELECT {s_sel} FROM {_JSON_ROWS}").toPandas())
+    o_rows = _canon(duck.execute(f"SELECT {d_sel} FROM {_JSON_ROWS}").df())
+    assert s_rows == o_rows, f"divergence for: {s_sel}  VS  {d_sel}"
