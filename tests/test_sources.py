@@ -312,3 +312,98 @@ def test_kafka_shaped_exact_serialization(spark, tmp_path):
     # null user_id -> literal "None" key (the legacy per-row behavior)
     keys = {bytes(r.key).decode() for r in rows}
     assert keys == {"7", "8", "None"}
+
+
+def test_kafka_shaped_payload_roundtrip_property(spark, tmp_path):
+    """Property (Hypothesis): for ARBITRARY small tables — ints, doubles,
+    unicode strings and timestamps, each with NULLs — every value in the
+    kafka_shaped JSON payload round-trips EXACTLY to the parquet source
+    (the r08 serializer rewrite's contract: Arrow int→string casts, repr
+    doubles, JSON-extension non-finite tokens, escaped strings, µs
+    timestamps). Each example is a real write+scan, so the budget is
+    small."""
+    import json
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from data_service_spark.sources import register_kafka_shaped_source
+
+    register_kafka_shaped_source(spark)
+    counter = {"n": 0}
+
+    text = st.one_of(
+        st.none(),
+        st.text(
+            alphabet=st.characters(
+                codec="utf-8", exclude_categories=("Cs",)
+            ),
+            max_size=20,
+        ),
+    )
+    ints = st.one_of(
+        st.none(), st.integers(-(2**62), 2**62)
+    )
+    floats = st.one_of(
+        st.none(),
+        st.floats(allow_nan=True, allow_infinity=True, width=64),
+    )
+    ts_us = st.one_of(
+        st.none(),
+        st.integers(-(2**52), 2**52),  # µs, well inside arrow's range
+    )
+    rows = st.lists(
+        st.tuples(ints, text, floats, ts_us), min_size=1, max_size=8
+    )
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(data=rows)
+    def check(data):
+        counter["n"] += 1
+        src = str(tmp_path / f"prop_{counter['n']}.parquet")
+        uid, txt, val, ts = (list(c) for c in zip(*data))
+        pq.write_table(
+            pa.table(
+                {
+                    "user_id": pa.array(uid, pa.int64()),
+                    "props": pa.array(txt, pa.string()),
+                    "value": pa.array(val, pa.float64()),
+                    "ts": pa.array(ts, pa.timestamp("us")),
+                }
+            ),
+            src,
+        )
+        got = (
+            spark.read.format("kafka_shaped")
+            .option("path", src)
+            .option("topic", "prop")
+            .option("sliceRows", "3")
+            .load()
+            .collect()
+        )
+        assert len(got) == len(data)
+        def tup(u, t, v, s):
+            # NaN compares unequal to itself; normalize for pairing
+            if isinstance(v, float) and math.isnan(v):
+                v = "NaN"
+            return (u, t, v, s)
+
+        payloads = sorted(
+            (
+                tup(d["user_id"], d["props"], d["value"], d["ts_us"])
+                for d in (json.loads(bytes(r.value).decode()) for r in got)
+            ),
+            key=repr,
+        )
+        want = sorted((tup(*row) for row in data), key=repr)
+        # exact equality, incl. 17-digit doubles, ±inf, unicode, NULLs
+        assert payloads == want
+
+    check()
