@@ -385,3 +385,44 @@ def test_memo_caches_evict_stopped_session_entries():
     cache = {("old", "x"): 1, ("old", "y"): 2, ("new", "x"): 3}
     evict_stale(cache, ("new", "z"))
     assert cache == {("new", "x"): 3}
+
+
+def test_oracles_use_global_flag_on_regexp_replace():
+    """Trap audit (r08 regex core): DuckDB regexp_replace replaces only
+    the FIRST match unless the 'g' flag is passed, while Spark's is
+    global by default — a DuckDB-side replace without the flag silently
+    under-replaces. Analysis-only: every regexp_replace( call in every
+    registered oracle must carry a 4th options argument."""
+    import re as _re
+
+    offenders = {}
+    for key, sql in sorted(ORACLES.items()):
+        for m in _re.finditer(r"regexp_replace\s*\(", sql):
+            # walk the call to its closing paren, counting top-level commas
+            depth, args, i = 1, 1, m.end()
+            while i < len(sql) and depth:
+                ch = sql[i]
+                if ch == "'":  # skip string literal (doubled-quote escapes)
+                    i += 1
+                    while i < len(sql):
+                        if sql[i] == "'":
+                            if i + 1 < len(sql) and sql[i + 1] == "'":
+                                i += 2
+                                continue
+                            break
+                        i += 1
+                elif ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                elif ch == "," and depth == 1:
+                    args += 1
+                i += 1
+            if args < 4:
+                offenders.setdefault(key, 0)
+                offenders[key] += 1
+    assert not offenders, (
+        "oracle regexp_replace without the DuckDB 'g' flag (first-match "
+        f"semantics): {offenders}"
+    )
+
