@@ -1411,3 +1411,72 @@ def test_translated_json_parity(spark, duck, pairs):
     s_rows = _canon(spark.sql(f"SELECT {s_sel} FROM {_JSON_ROWS}").toPandas())
     o_rows = _canon(duck.execute(f"SELECT {d_sel} FROM {_JSON_ROWS}").df())
     assert s_rows == o_rows, f"divergence for: {s_sel}  VS  {d_sel}"
+
+
+# QUALIFY translation pairs (round-8): Spark has no QUALIFY (probed
+# r02, still true in 4.1.2); every oracle that uses DuckDB's QUALIFY is
+# hand-rewritten Spark-side as subquery + WHERE on the window column.
+# This family fuzzes that rewrite equivalence across window function
+# classes (row_number/rank/dense_rank top-k, windowed-aggregate gates,
+# lag gates with their 3VL NULL first-row handling), explicit
+# deterministic orders throughout (the r07 NULL-ordering rule).
+
+
+@st.composite
+def paired_qualify(draw):
+    part = draw(
+        st.sampled_from(["", "PARTITION BY abs(a) % 2 ",
+                         "PARTITION BY abs(a) % 3 "])
+    )
+    kind = draw(st.sampled_from(["topk", "agg_gate", "lag_gate"]))
+    if kind == "topk":
+        fn = draw(
+            st.sampled_from(["row_number()", "rank()", "dense_rank()"])
+        )
+        key = draw(st.sampled_from(["b", "coalesce(c, -999)", "a + b"]))
+        k = draw(st.integers(1, 5))
+        win = f"{fn} OVER ({part}ORDER BY {key}, a)"
+        return (
+            f"SELECT a, b FROM (SELECT a, b, {win} AS rn FROM"
+            f" {TABLE}) s WHERE rn <= {k}",
+            f"SELECT a, b FROM {TABLE} QUALIFY {win} <= {k}",
+        )
+    if kind == "agg_gate":
+        agg = draw(st.sampled_from(["sum(b)", "min(a)", "count(c)"]))
+        op = draw(st.sampled_from(["> 0", "< 50", ">= 2"]))
+        win = f"{agg} OVER ({part.rstrip()})"
+        return (
+            f"SELECT a FROM (SELECT a, {win} AS w FROM {TABLE}) s"
+            f" WHERE w {op}",
+            f"SELECT a FROM {TABLE} QUALIFY {win} {op}",
+        )
+    win = f"lag(b, 1) OVER ({part}ORDER BY a)"
+    cond = draw(
+        st.sampled_from(
+            ["IS NOT NULL", "IS NULL", "< b", "IS NOT NULL AND {w} < b"]
+        )
+    )
+    if cond == "IS NOT NULL AND {w} < b":
+        s_where = "pb IS NOT NULL AND pb < b"
+        d_where = f"{win} IS NOT NULL AND {win} < b"
+    else:
+        s_where = f"pb {cond}"
+        d_where = f"{win} {cond}"
+    return (
+        f"SELECT a, b FROM (SELECT a, b, {win} AS pb FROM {TABLE}) s"
+        f" WHERE {s_where}",
+        f"SELECT a, b FROM {TABLE} QUALIFY {d_where}",
+    )
+
+
+@given(q=paired_qualify())
+@settings(**SETTINGS)
+def test_translated_qualify_parity(spark, duck, q):
+    """QUALIFY-pair parity: the subquery+WHERE rewrite Spark oracles use
+    for DuckDB's QUALIFY selects exactly the same rows across top-k,
+    windowed-aggregate and lag-gate shapes (3VL: a NULL window predicate
+    drops the row in both forms)."""
+    sq, dq = q
+    s_rows = _canon(spark.sql(sq).toPandas())
+    o_rows = _canon(duck.execute(dq).df())
+    assert s_rows == o_rows, f"divergence for: {sq}  VS  {dq}"
