@@ -1480,3 +1480,56 @@ def test_translated_qualify_parity(spark, duck, q):
     s_rows = _canon(spark.sql(sq).toPandas())
     o_rows = _canon(duck.execute(dq).df())
     assert s_rows == o_rows, f"divergence for: {sq}  VS  {dq}"
+
+
+# Unpivot translation pairs (round-8): the single-scan counter-fold
+# convention (r05 — Spark folds N counters into ONE aggregate and
+# unpivots with stack(); DuckDB oracles may keep UNION ALL because it
+# materializes multi-referenced CTEs). Probe-verified: stack() ↔ UNION
+# ALL agree (stack KEEPS NULL-valued rows, exactly like the UNION), and
+# the UNPIVOT keyword is SHARED SYNTAX with identical semantics in both
+# engines — NULL cells dropped by default, kept under INCLUDE NULLS.
+
+_UNPIVOT_COLS = ["a", "b", "coalesce(c, -1)", "c", "a + b"]
+
+
+@st.composite
+def paired_unpivot(draw):
+    cols = draw(
+        st.lists(
+            st.sampled_from(_UNPIVOT_COLS), min_size=2, max_size=4,
+            unique=True,
+        )
+    )
+    names = [f"m{i}" for i in range(len(cols))]
+    proj = ", ".join(f"{c} AS {n}" for c, n in zip(cols, names))
+    kind = draw(st.sampled_from(["stack_union", "unpivot_shared"]))
+    if kind == "stack_union":
+        lbls = ", ".join(f"'{n}', {n}" for n in names)
+        branches = " UNION ALL ".join(
+            f"SELECT '{n}' AS m, {n} AS v FROM p" for n in names
+        )
+        return (
+            f"SELECT m, v FROM (SELECT {proj} FROM {TABLE}) p"
+            f" LATERAL VIEW stack({len(cols)}, {lbls}) u AS m, v",
+            f"WITH p AS (SELECT {proj} FROM {TABLE}) {branches}",
+        )
+    nulls = draw(st.sampled_from(["", " INCLUDE NULLS"]))
+    shared = (
+        f"SELECT m, v FROM (SELECT {proj} FROM {TABLE}) p"
+        f" UNPIVOT{nulls} (v FOR m IN ({', '.join(names)}))"
+    )
+    return (shared, shared)
+
+
+@given(q=paired_unpivot())
+@settings(**SETTINGS)
+def test_translated_unpivot_parity(spark, duck, q):
+    """Unpivot-pair parity: stack() against its UNION ALL translation
+    (NULL rows kept by both) and the shared UNPIVOT syntax (NULL cells
+    dropped by default, kept under INCLUDE NULLS) produce identical
+    multisets."""
+    sq, dq = q
+    s_rows = _canon(spark.sql(sq).toPandas())
+    o_rows = _canon(duck.execute(dq).df())
+    assert s_rows == o_rows, f"divergence for: {sq}  VS  {dq}"
