@@ -470,12 +470,13 @@ def register_kafka_shaped_source(spark: SparkSession) -> None:
             # Arrow-vectorized with EXACT per-dtype serialization: ints
             # serialize via an Arrow int→string cast (never through
             # float64 — a pandas to_pandas on a nullable int column would
-            # emit 7.0 and null whole from_json structs), doubles via
-            # Python repr (shortest round-trip — to_json's 15-digit cap
-            # truncates 17-digit doubles), timestamps via an Arrow
-            # µs-int64 cast with nulls preserved as JSON null (NOT the
-            # int64 NaT sentinel), strings via json.dumps (same \u
-            # escaping as the old per-row path). The only per-row Python
+            # emit 7.0 and null whole from_json structs), doubles and
+            # strings via json.dumps (shortest-round-trip repr for
+            # finite doubles — unlike pandas to_json's 15-digit cap —
+            # NaN/Infinity extension tokens for non-finite, \u escaping
+            # for strings), timestamps via an Arrow µs-int64 cast with
+            # nulls preserved as JSON null (NOT the int64 NaT
+            # sentinel). The only per-row Python
             # is repr/json.dumps over the float and string columns; the
             # old per-row dict+json.dumps+pickle loop was a 2.4 s floor
             # at sf0.1. Yielding RecordBatches hands Spark the columns
@@ -514,26 +515,12 @@ def register_kafka_shaped_source(spark: SparkSession) -> None:
                     sv = pd.Series(
                         col.cast(pa.string()).to_pylist(), dtype="object"
                     ).fillna("null")
-                elif pa.types.is_floating(col.type):
-                    # repr is the shortest round-trip for finite doubles;
-                    # non-finite values use json.dumps' NaN/Infinity
-                    # spellings (repr's 'nan'/'inf' are not JSON tokens)
-                    def _fser(v):
-                        if v is None:
-                            return "null"
-                        if v != v:
-                            return "NaN"
-                        if v == float("inf"):
-                            return "Infinity"
-                        if v == float("-inf"):
-                            return "-Infinity"
-                        return repr(v)
-
-                    sv = pd.Series(
-                        [_fser(v) for v in col.to_pylist()],
-                        dtype="object",
-                    )
                 else:
+                    # floats and strings both serialize correctly through
+                    # json.dumps: shortest-round-trip repr for finite
+                    # doubles (unlike pandas to_json's 15-digit cap),
+                    # NaN/Infinity extension tokens for non-finite, \u
+                    # escaping for strings
                     sv = pd.Series(
                         [
                             "null" if v is None else _json.dumps(v)
