@@ -651,7 +651,14 @@ def a_source_python_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(60)
+    try:
+        drained = q.awaitTermination(60)
+        assert drained, "stream did not terminate within 60 s"
+    finally:
+        # stop on timeout/assert so a slow drain never leaks a running
+        # query holding the memory sink into the next key
+        if q.isActive:
+            q.stop()
     out = spark.table("dss_synth_stream_sink")
     assert out.count() == 1000, "stream failed to drain"
     return out

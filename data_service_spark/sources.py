@@ -499,9 +499,16 @@ def register_kafka_shaped_source(spark: SparkSession) -> None:
             for name, col in zip(tbl.schema.names, tbl.columns):
                 if pa.types.is_timestamp(col.type):
                     # exact integer micros (float total_seconds() loses
-                    # sub-µs precision at 2026 epochs)
+                    # sub-µs precision at 2026 epochs); safe=False keeps
+                    # the legacy truncating behavior for ns-precision
+                    # sources instead of raising ArrowInvalid
+                    if name + "_us" in tbl.schema.names:
+                        raise ValueError(
+                            f"column {name + '_us'!r} collides with the "
+                            f"serialized-micros rename of {name!r}"
+                        )
                     fields[name + "_us"] = col.cast(
-                        pa.timestamp("us")
+                        pa.timestamp("us"), safe=False
                     ).cast(pa.int64())
                     if name == "ts":
                         ts_src = col
@@ -528,13 +535,17 @@ def register_kafka_shaped_source(spark: SparkSession) -> None:
                         ],
                         dtype="object",
                     )
-                piece = f'"{key}":' + sv
+                # json.dumps(key) escapes quotes/backslashes/non-ASCII in
+                # column names exactly like the legacy sort_keys serializer
+                piece = _json.dumps(key) + ":" + sv
                 value_ser = (
                     piece if value_ser is None else value_ser + "," + piece
                 )
-            values = (
-                ("{" + value_ser + "}").tolist() if n else []
-            )
+            if value_ser is None:
+                # zero-column slice: every row serializes to the empty object
+                values = ["{}"] * n
+            else:
+                values = ("{" + value_ser + "}").tolist() if n else []
             if "user_id" in fields:
                 keys = pc.fill_null(
                     fields["user_id"].cast(pa.string()), "None"
@@ -548,7 +559,7 @@ def register_kafka_shaped_source(spark: SparkSession) -> None:
                 )
             else:
                 ts_arr = pc.fill_null(
-                    ts_src.cast(pa.timestamp("us")),
+                    ts_src.cast(pa.timestamp("us"), safe=False),
                     pa.scalar(
                         datetime.datetime(1970, 1, 1), pa.timestamp("us")
                     ),

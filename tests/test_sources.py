@@ -314,6 +314,83 @@ def test_kafka_shaped_exact_serialization(spark, tmp_path):
     assert keys == {"7", "8", "None"}
 
 
+def test_kafka_shaped_key_escaping_and_ns_truncation(spark, tmp_path):
+    """r08 ADVICE closures: (1) JSON object KEYS are escaped via json.dumps
+    (a column named with a quote/backslash/non-ASCII char must produce
+    valid JSON, like the legacy sort_keys serializer); (2) a timestamp[ns]
+    source column truncates to µs (legacy to_pylist behavior) instead of
+    raising ArrowInvalid on sub-µs values."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_service_spark.sources import register_kafka_shaped_source
+
+    src = str(tmp_path / "edge_keys.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                'we"ird\\né': pa.array([1, 2], pa.int64()),
+                "user_id": pa.array([7, 8], pa.int64()),
+                # 1_500 ns past an exact second: sub-µs → must truncate
+                "ts": pa.array(
+                    [1_700_000_000_000_000_500, 1_700_000_000_000_001_500],
+                    pa.timestamp("ns"),
+                ),
+            }
+        ),
+        src,
+    )
+    register_kafka_shaped_source(spark)
+    rows = (
+        spark.read.format("kafka_shaped")
+        .option("path", src)
+        .option("topic", "edge_keys")
+        .load()
+        .collect()
+    )
+    payloads = [json.loads(bytes(r.value).decode()) for r in rows]
+    by_uid = {p["user_id"]: p for p in payloads}
+    assert by_uid[7]['we"ird\\né'] == 1
+    assert by_uid[8]['we"ird\\né'] == 2
+    # ns → µs truncation, not ArrowInvalid and not rounding
+    assert by_uid[7]["ts_us"] == 1_700_000_000_000_000
+    assert by_uid[8]["ts_us"] == 1_700_000_000_000_001
+
+
+def test_kafka_shaped_us_rename_collision_raises(spark, tmp_path):
+    """A source column literally named '<ts>_us' alongside timestamp column
+    '<ts>' must fail loudly instead of silently clobbering one of the two
+    payload fields (r08 ADVICE #4)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from data_service_spark.sources import register_kafka_shaped_source
+
+    src = str(tmp_path / "collide.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "ts": pa.array([1_700_000_000_000_000], pa.timestamp("us")),
+                "ts_us": pa.array([42], pa.int64()),
+                "user_id": pa.array([1], pa.int64()),
+            }
+        ),
+        src,
+    )
+    register_kafka_shaped_source(spark)
+    with pytest.raises(Exception, match="collides"):
+        (
+            spark.read.format("kafka_shaped")
+            .option("path", src)
+            .option("topic", "collide")
+            .load()
+            .collect()
+        )
+
+
 def test_kafka_shaped_payload_roundtrip_property(spark, tmp_path):
     """Property (Hypothesis): for ARBITRARY small tables — ints, doubles,
     unicode strings and timestamps, each with NULLs — every value in the
