@@ -1533,3 +1533,310 @@ def test_translated_unpivot_parity(spark, duck, q):
     s_rows = _canon(spark.sql(sq).toPandas())
     o_rows = _canon(duck.execute(dq).df())
     assert s_rows == o_rows, f"divergence for: {sq}  VS  {dq}"
+
+
+# Map/struct translation pairs (round-9, same paired-rendering harness —
+# the one §2 type class that had no dedicated core). Probe-verified
+# bridges (2026-08-15, Spark 4.1.2 / DuckDB 1.x): Spark
+# element_at(m, k) ↔ DuckDB map_extract(m, k)[1] — DuckDB map extraction
+# returns a LIST ([1] on hit, [] on miss), so the [1] de-listing IS the
+# bridge, exact on missing keys, NULL values, and NULL maps;
+# size ↔ cardinality; map_keys/map_entries/map_from_entries shared;
+# map_contains_key ↔ list_contains(map_keys(…)); map_filter /
+# transform_values / map_zip_with bridge through the entries list; struct
+# field access, nesting, ordering over NON-NULL fields, and
+# IS [NOT] DISTINCT FROM all agree. Probe-verified EXCLUSIONS (fenced
+# out of the grammar): map equality — analysis error in Spark
+# (INVALID_ORDERING_TYPE) vs supported order-insensitive equality in
+# DuckDB; map_concat with OVERLAPPING keys — Spark raises
+# DUPLICATED_MAP_KEY (EXCEPTION dedup policy) where DuckDB last-wins, so
+# generated concats use disjoint key sets only; struct =/< where the
+# comparison must read a NULL field — Spark compares null-safely
+# (struct('x', NULL) = struct('x', NULL) → TRUE) where DuckDB yields
+# 3VL NULL, so =/< operands are built from non-null leaves and
+# null-bearing structs only meet IS [NOT] DISTINCT FROM; CAST(struct AS
+# STRING) — '{1, a}' vs "{'x': 1, 'y': a}" rendering; duplicate literal
+# map keys — both engines raise, but with different error classes.
+
+_MAP_KEYS = ["ka", "kb", "kc", "kd"]
+# a and b are non-null in every row; c carries NULLs (see _ROWS)
+_MAP_VALS = ["a", "b", "c", "CAST(7 AS BIGINT)", "CAST(-1 AS BIGINT)",
+             "CAST(NULL AS BIGINT)"]
+_NONNULL_VALS = ["a", "b", "CAST(7 AS BIGINT)", "CAST(-1 AS BIGINT)"]
+
+
+def _render_map(pairs):
+    s = "map(" + ", ".join(f"'{k}', {v}" for k, v in pairs) + ")"
+    d = "map {" + ", ".join(f"'{k}': {v}" for k, v in pairs) + "}"
+    return s, d
+
+
+@st.composite
+def paired_map(draw, depth: int = 2):
+    """(spark_sql, duck_sql) for a BIGINT-valued map expression."""
+    keys = draw(
+        st.lists(st.sampled_from(_MAP_KEYS), min_size=1, max_size=3,
+                 unique=True)
+    )
+    vals = [draw(st.sampled_from(_MAP_VALS)) for _ in keys]
+    s, d = _render_map(list(zip(keys, vals)))
+    concat_pool = ["zx", "zy"]
+    for _ in range(draw(st.integers(0, depth))):
+        kind = draw(st.sampled_from(["filter", "xform", "concat"]))
+        if kind == "filter":
+            sp, dp = draw(
+                st.sampled_from(
+                    [
+                        ("v > 1", "e.value > 1"),
+                        ("v % 2 = 0", "e.value % 2 = 0"),
+                        ("v IS NOT NULL", "e.value IS NOT NULL"),
+                        ("k < 'kc'", "e.key < 'kc'"),
+                    ]
+                )
+            )
+            s = f"map_filter({s}, (k, v) -> {sp})"
+            d = f"map_from_entries(list_filter(map_entries({d}), e -> {dp}))"
+        elif kind == "xform":
+            sl, dl = draw(
+                st.sampled_from(
+                    [
+                        ("v * 2", "e.value * 2"),
+                        ("v + 1", "e.value + 1"),
+                        ("coalesce(v, 0) - 3", "coalesce(e.value, 0) - 3"),
+                    ]
+                )
+            )
+            s = f"transform_values({s}, (k, v) -> {sl})"
+            d = (
+                f"map_from_entries(list_transform(map_entries({d}),"
+                f" e -> {{'key': e.key, 'value': {dl}}}))"
+            )
+        else:
+            # disjoint-keys-only concat: overlapping keys RAISE in Spark
+            # (DUPLICATED_MAP_KEY) but last-win in DuckDB — fenced by
+            # construction with a DRAINED key pool disjoint from
+            # _MAP_KEYS (each concat key is used at most once, so nested
+            # concats stay disjoint too)
+            if not concat_pool:
+                continue
+            k2 = concat_pool.pop(draw(st.integers(0, len(concat_pool) - 1)))
+            v2 = draw(st.sampled_from(_MAP_VALS))
+            s2, d2 = _render_map([(k2, v2)])
+            s = f"map_concat({s}, {s2})"
+            d = f"map_concat({d}, {d2})"
+    return s, d
+
+
+@st.composite
+def paired_map_scalar(draw):
+    """Scalar bridges over a paired map."""
+    sm, dm = draw(paired_map())
+    kind = draw(
+        st.sampled_from(["elem", "size", "contains", "keys", "vals"])
+    )
+    if kind == "elem":
+        k = draw(st.sampled_from(_MAP_KEYS + ["zz", "zx"]))
+        return (
+            f"element_at({sm}, '{k}')",
+            f"map_extract({dm}, '{k}')[1]",
+        )
+    if kind == "size":
+        return f"size({sm})", f"cardinality({dm})"
+    if kind == "contains":
+        k = draw(st.sampled_from(_MAP_KEYS + ["zz"]))
+        return (
+            f"map_contains_key({sm}, '{k}')",
+            f"list_contains(map_keys({dm}), '{k}')",
+        )
+    if kind == "keys":
+        # a filter can empty the map, and the r08 array trap applies:
+        # Spark array_join(EMPTY) → '' but DuckDB array_to_string(EMPTY)
+        # → NULL (re-probed through map_keys). The generated maps are
+        # never NULL, so a bare coalesce is the exact bridge.
+        return (
+            f"array_join(array_sort(map_keys({sm})), ',')",
+            f"coalesce(array_to_string(list_sort(map_keys({dm})), ','), '')",
+        )
+    # values surfaced through an explicit NULL sentinel: array_join
+    # SKIPS NULL elements in Spark (and DuckDB list_sum IGNORES NULLs),
+    # so raw value joins/sums are not bridges — the coalesce is load-
+    # bearing, not decoration
+    return (
+        f"array_join(array_sort(transform(map_values({sm}),"
+        f" x -> cast(coalesce(x, -99999) as string))), ',')",
+        f"coalesce(array_to_string(list_sort(list_transform("
+        f"map_values({dm}), x -> cast(coalesce(x, -99999) as varchar))),"
+        f" ','), '')",
+    )
+
+
+@st.composite
+def paired_struct_scalar(draw):
+    """Scalar bridges over paired two-field structs."""
+    kind = draw(st.sampled_from(["field", "nested", "cmp", "distinct"]))
+    if kind == "field":
+        v1 = draw(st.sampled_from(_MAP_VALS))
+        v2 = draw(st.sampled_from(_MAP_VALS))
+        f = draw(st.sampled_from(["x", "y"]))
+        return (
+            f"(named_struct('x', {v1}, 'y', {v2})).{f}",
+            f"({{'x': {v1}, 'y': {v2}}}).{f}",
+        )
+    if kind == "nested":
+        v = draw(st.sampled_from(_MAP_VALS))
+        return (
+            f"(named_struct('p', named_struct('q', {v}))).p.q",
+            f"({{'p': {{'q': {v}}}}}).p.q",
+        )
+    if kind == "cmp":
+        # non-null leaves ONLY: Spark struct ordering is null-safe
+        # (NULL = NULL inside a struct → TRUE) where DuckDB goes 3VL
+        vs = [draw(st.sampled_from(_NONNULL_VALS)) for _ in range(4)]
+        op = draw(st.sampled_from(["=", "<", "<=", "<>"]))
+        return (
+            f"CAST((named_struct('x', {vs[0]}, 'y', {vs[1]}) {op}"
+            f" named_struct('x', {vs[2]}, 'y', {vs[3]})) AS INT)",
+            f"CAST(({{'x': {vs[0]}, 'y': {vs[1]}}} {op}"
+            f" {{'x': {vs[2]}, 'y': {vs[3]}}}) AS INT)",
+        )
+    # null-bearing structs may ONLY meet IS [NOT] DISTINCT FROM — the
+    # one comparison the probe showed agrees across NULL fields
+    vs = [draw(st.sampled_from(_MAP_VALS)) for _ in range(4)]
+    neg = draw(st.sampled_from(["", " NOT"]))
+    return (
+        f"CAST((named_struct('x', {vs[0]}, 'y', {vs[1]}) IS{neg}"
+        f" DISTINCT FROM named_struct('x', {vs[2]}, 'y', {vs[3]})) AS INT)",
+        f"CAST(({{'x': {vs[0]}, 'y': {vs[1]}}} IS{neg}"
+        f" DISTINCT FROM {{'x': {vs[2]}, 'y': {vs[3]}}}) AS INT)",
+    )
+
+
+@given(
+    pairs=st.lists(
+        st.one_of(paired_map_scalar(), paired_struct_scalar()),
+        min_size=1,
+        max_size=4,
+    )
+)
+@settings(**SETTINGS)
+def test_translated_map_struct_parity(spark, duck, pairs):
+    """Map/struct-pair parity: every generated map pipeline (build →
+    filter/transform-values/disjoint-concat → scalar bridge) and struct
+    bridge (field access, nesting, non-null ordering, IS DISTINCT FROM)
+    rendered in both dialect spellings evaluates to the same multiset
+    over the shared relation."""
+    s_sel = ", ".join(f"{s} AS x{i}" for i, (s, _) in enumerate(pairs))
+    d_sel = ", ".join(f"{d} AS x{i}" for i, (_, d) in enumerate(pairs))
+    sq = f"SELECT {s_sel} FROM {TABLE}"
+    dq = f"SELECT {d_sel} FROM {TABLE}"
+    s_rows = _canon(spark.sql(sq).toPandas())
+    o_rows = _canon(duck.execute(dq).df())
+    assert s_rows == o_rows, f"divergence for: {sq}  VS  {dq}"
+
+
+# Interval-arithmetic pairs (round-9). Probe-verified (2026-08-15):
+# date ± INTERVAL 'n' DAY/WEEK/MONTH/YEAR in the shared quoted-literal
+# spelling agrees EXACTLY under a terminal CAST(… AS DATE) — month-end
+# clamping (Jan 31 + 1 month → Feb 29), leap-day year hops, negative
+# and zero counts, k * INTERVAL '1' UNIT multiplication, mixed
+# month+day chains in both application orders, and NULL propagation all
+# match. add_months ↔ CAST(d + to_months(n) AS DATE); date_add/
+# date_sub ↔ d ± n; Spark date_diff(DAY, …) ↔ DuckDB
+# date_diff('day', …); whole-month distance bridges as
+# (year(x)-year(y))*12 + month(x)-month(y) ↔ date_diff('month', y, x)
+# (month-boundary crossings ≡ month-index delta, verified both signs).
+# Probe-verified EXCLUSIONS: the UNCAST result type — Spark keeps DATE
+# under date+interval where DuckDB widens to TIMESTAMP for EVERY unit
+# (even DAY), so the terminal DATE cast is mandatory, not cosmetic;
+# months_between — fractional 31-day-month semantics with a last-day
+# rule exist only in Spark (DuckDB's date_diff('month') counts
+# crossings: months_between(Mar 15, Jan 31) = 1.48… has no DuckDB
+# twin); INTERVAL-typed output columns (second-class in both pandas
+# bridges).
+
+_IV_DATE_LITS = [
+    "DATE '2020-01-31'", "DATE '2020-02-29'", "DATE '2019-12-31'",
+    "DATE '2021-06-15'", "DATE '2016-01-03'",
+]
+_IV_UNITS = ["DAY", "WEEK", "MONTH", "YEAR"]
+
+
+@st.composite
+def paired_interval_date(draw, depth: int = 3):
+    """(spark_sql, duck_sql) for a date expression built from ±interval
+    chains; Spark side stays DATE-typed throughout, DuckDB side may pass
+    through TIMESTAMP intermediates (re-dated at each paired step and at
+    the terminal bridge)."""
+    leaf = draw(st.sampled_from(_IV_DATE_LITS + ["d", "d"]))
+    s = d = leaf
+    for _ in range(draw(st.integers(0, depth))):
+        kind = draw(
+            st.sampled_from(["shared_iv", "mult_iv", "add_months", "add_days"])
+        )
+        if kind == "shared_iv":
+            unit = draw(st.sampled_from(_IV_UNITS))
+            n = draw(st.integers(0, 30 if unit in ("DAY", "WEEK") else 14))
+            sign = draw(st.sampled_from(["+", "-"]))
+            s = f"({s} {sign} INTERVAL '{n}' {unit})"
+            d = f"({d} {sign} INTERVAL '{n}' {unit})"
+        elif kind == "mult_iv":
+            unit = draw(st.sampled_from(_IV_UNITS))
+            k = draw(st.integers(-12, 12))
+            s = f"({s} + {k} * INTERVAL '1' {unit})"
+            d = f"({d} + {k} * INTERVAL '1' {unit})"
+        elif kind == "add_months":
+            n = draw(st.integers(-24, 24))
+            s = f"add_months({s}, {n})"
+            d = f"CAST(CAST({d} AS DATE) + to_months({n}) AS DATE)"
+        else:
+            n = draw(st.integers(0, 400))
+            fn = draw(st.sampled_from(["date_add", "date_sub"]))
+            op = "+" if fn == "date_add" else "-"
+            s = f"{fn}({s}, {n})"
+            d = f"(CAST({d} AS DATE) {op} {n})"
+    return s, d
+
+
+@st.composite
+def paired_interval_scalar(draw):
+    """Scalar bridges over paired interval-date expressions."""
+    kind = draw(st.sampled_from(["iso", "day_diff", "month_diff", "cmp"]))
+    s1, d1 = draw(paired_interval_date())
+    if kind == "iso":
+        return (
+            f"CAST(CAST({s1} AS DATE) AS STRING)",
+            f"CAST(CAST({d1} AS DATE) AS STRING)",
+        )
+    s2, d2 = draw(paired_interval_date())
+    if kind == "day_diff":
+        return (
+            f"CAST(date_diff(DAY, {s2}, {s1}) AS BIGINT)",
+            f"CAST(date_diff('day', CAST({d2} AS DATE),"
+            f" CAST({d1} AS DATE)) AS BIGINT)",
+        )
+    if kind == "month_diff":
+        return (
+            f"CAST((year({s1}) - year({s2})) * 12"
+            f" + month({s1}) - month({s2}) AS BIGINT)",
+            f"CAST(date_diff('month', CAST({d2} AS DATE),"
+            f" CAST({d1} AS DATE)) AS BIGINT)",
+        )
+    return (
+        f"CAST((CAST({s1} AS DATE) < CAST({s2} AS DATE)) AS INT)",
+        f"CAST((CAST({d1} AS DATE) < CAST({d2} AS DATE)) AS INT)",
+    )
+
+
+@given(pairs=st.lists(paired_interval_scalar(), min_size=1, max_size=4))
+@settings(**SETTINGS)
+def test_translated_interval_parity(spark, duck, pairs):
+    """Interval-pair parity: month/day-time interval chains (clamping,
+    leap days, multiplication, add_months/date_add translations) agree
+    through the DATE-cast, day-diff, month-diff, and ordering bridges."""
+    s_sel = ", ".join(f"{s} AS x{i}" for i, (s, _) in enumerate(pairs))
+    d_sel = ", ".join(f"{d} AS x{i}" for i, (_, d) in enumerate(pairs))
+    sq = f"SELECT {s_sel} FROM {TABLE}"
+    dq = f"SELECT {d_sel} FROM {TABLE}"
+    s_rows = _canon(spark.sql(sq).toPandas())
+    o_rows = _canon(duck.execute(dq).df())
+    assert s_rows == o_rows, f"divergence for: {sq}  VS  {dq}"
