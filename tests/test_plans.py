@@ -319,15 +319,17 @@ def test_bm25_filters_terms_before_aggregation(spark, sf_dir):
 
 def test_semantic_dedup_pair_join_is_equi(spark, sf_dir):
     """k_dedup_semantic's within-cluster pair search must plan as an
-    EQUI-join on cluster_id (hash/broadcast-hash/sort-merge), never the
-    un-keyed all-pairs nested loop. (The tiny 10-row centroid broadcast
-    cross from k_cluster_assign is the one intended BNLJ.)"""
+    EQUI-join on (cluster_id, salt) — salted so occupancy, not cluster
+    COUNT, bounds parallelism (r09 A/B) — never the un-keyed all-pairs
+    nested loop. (The tiny 10-row centroid broadcast cross from
+    k_cluster_assign is the one intended BNLJ.)"""
     plan = plan_of(QUERIES["k_dedup_semantic"](spark, sf_dir), "simple")
     join_lines = [
         ln for ln in plan.splitlines() if "Join" in ln and "cluster_id" in ln
     ]
     assert any(
-        "SortMergeJoin" in ln or "HashJoin" in ln for ln in join_lines
+        ("SortMergeJoin" in ln or "HashJoin" in ln) and "salt" in ln
+        for ln in join_lines
     ), plan
     assert "CartesianProduct" not in plan
     # every BNLJ present must be the broadcast centroid cross, never the
