@@ -494,26 +494,40 @@ def register_kafka_shaped_source(spark: SparkSession) -> None:
                 .slice(partition.lo, partition.hi - partition.lo)
             )
             n = tbl.num_rows
+            # serialized field name per column: timestamps rename to
+            # '<name>_us'; a duplicate in the RENAMED namespace (e.g. a
+            # non-timestamp column literally named 'ts_us' next to
+            # timestamp 'ts') would silently clobber — fail loudly. A
+            # 'ts_us' that is ITSELF a timestamp renames to 'ts_us_us'
+            # and does not collide.
+            out_names = [
+                name + "_us" if pa.types.is_timestamp(col.type) else name
+                for name, col in zip(tbl.schema.names, tbl.columns)
+            ]
+            dup = {nm for nm in out_names if out_names.count(nm) > 1}
+            if dup:
+                raise ValueError(
+                    f"serialized field name collision {sorted(dup)!r} "
+                    f"between a timestamp '_us' rename and an existing "
+                    f"column"
+                )
             fields: dict[str, object] = {}
             ts_src = None
-            for name, col in zip(tbl.schema.names, tbl.columns):
+            for out, (name, col) in zip(
+                out_names, zip(tbl.schema.names, tbl.columns)
+            ):
                 if pa.types.is_timestamp(col.type):
                     # exact integer micros (float total_seconds() loses
                     # sub-µs precision at 2026 epochs); safe=False keeps
                     # the legacy truncating behavior for ns-precision
                     # sources instead of raising ArrowInvalid
-                    if name + "_us" in tbl.schema.names:
-                        raise ValueError(
-                            f"column {name + '_us'!r} collides with the "
-                            f"serialized-micros rename of {name!r}"
-                        )
-                    fields[name + "_us"] = col.cast(
+                    fields[out] = col.cast(
                         pa.timestamp("us"), safe=False
                     ).cast(pa.int64())
                     if name == "ts":
                         ts_src = col
                 else:
-                    fields[name] = col
+                    fields[out] = col
             # Sorted keys ≙ json.dumps(sort_keys=True) key order.
             value_ser = None
             for key in sorted(fields):
@@ -545,7 +559,7 @@ def register_kafka_shaped_source(spark: SparkSession) -> None:
                 # zero-column slice: every row serializes to the empty object
                 values = ["{}"] * n
             else:
-                values = ("{" + value_ser + "}").tolist() if n else []
+                values = ("{" + value_ser + "}").tolist()
             if "user_id" in fields:
                 keys = pc.fill_null(
                     fields["user_id"].cast(pa.string()), "None"

@@ -381,7 +381,7 @@ def test_kafka_shaped_us_rename_collision_raises(spark, tmp_path):
         src,
     )
     register_kafka_shaped_source(spark)
-    with pytest.raises(Exception, match="collides"):
+    with pytest.raises(Exception, match="collision"):
         (
             spark.read.format("kafka_shaped")
             .option("path", src)
@@ -389,6 +389,34 @@ def test_kafka_shaped_us_rename_collision_raises(spark, tmp_path):
             .load()
             .collect()
         )
+    # negative: a 'ts_us' column that is ITSELF a timestamp renames to
+    # 'ts_us_us' and must NOT trip the guard (reviewed r09: the first
+    # guard draft over-fired on this legal schema)
+    src_ok = str(tmp_path / "no_collide.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "ts": pa.array([1_700_000_000_000_000], pa.timestamp("us")),
+                "ts_us": pa.array(
+                    [1_600_000_000_000_000], pa.timestamp("us")
+                ),
+                "user_id": pa.array([1], pa.int64()),
+            }
+        ),
+        src_ok,
+    )
+    import json
+
+    rows = (
+        spark.read.format("kafka_shaped")
+        .option("path", src_ok)
+        .option("topic", "no_collide")
+        .load()
+        .collect()
+    )
+    payload = json.loads(bytes(rows[0].value).decode())
+    assert payload["ts_us"] == 1_700_000_000_000_000
+    assert payload["ts_us_us"] == 1_600_000_000_000_000
 
 
 def test_kafka_shaped_payload_roundtrip_property(spark, tmp_path):
