@@ -2200,8 +2200,9 @@ def k_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cluster_id, salt) — the probe side keyed by id_a's salt, the build
     side replicated across the 8 salts — so parallelism scales with
     occupancy × salts instead of being capped at the cluster COUNT (10
-    clusters left 22 of 32 shuffle partitions empty; r09 A/B: 1.48 →
-    0.73 s steady at sf0.1, and the same fix is what keeps one mega-
+    clusters left 22 of 32 shuffle partitions empty; r09 interleaved
+    same-session A/B: 1.40–1.64 → 0.92–1.12 s at sf0.1, bench min-of-3
+    1.873 → 0.81, and the same fix is what keeps one mega-
     cluster from serializing a task at 100 TB). Every (id_a, id_b) pair
     still meets exactly once (in id_a's salt partition). No broadcast of
     the full corpus, no BNLJ; the dot product is the Catalyst

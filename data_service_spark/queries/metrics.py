@@ -2829,20 +2829,23 @@ def k_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     (1–3, 0 = survived) removed it — the lineage a graph-cleaning audit
     reports. All quantities are exact integer degrees.
 
-    Scale shape: each peel round is FUSED into two count-over-window
-    passes on the edge list itself (partition by c, then by s) with one
-    combined filter — 2 exchanges per round instead of the 4 the
-    groupBy-then-semi-join shape paid (degree tables joined back), since
-    the window keeps each edge row next to its endpoint degree instead
-    of shipping a degree table back onto the edges (r09 A/B, same
-    harness: 6–7 s → 2.2–2.6 s; rounds shrink monotonically; a fixpoint
+    Scale shape: each peel round is one edge-keyed groupBy + one
+    semi-join of the edge list against surviving nodes — the standard
+    distributed k-core shape (rounds shrink monotonically; a fixpoint
     loop would checkpoint each round exactly like ``k_dedup_clusters``'
     CC iteration; 3 unrolled rounds keep the plan static and
     oracle-expressible). The Spark side materializes each round's edge
     list with localCheckpoint — WITH-chains are inlined per reference in
     Spark, so the pure-SQL form recomputed the whole peel once per
-    degree aggregate (measured 4.5 s); the DuckDB oracle keeps the
-    unrolled CTEs because DuckDB materializes multi-referenced CTEs."""
+    degree aggregate (measured 4.5 s; checkpointed rounds ~1.5 s); the
+    DuckDB oracle keeps the unrolled CTEs because DuckDB materializes
+    multi-referenced CTEs. Measured null result (r09): fusing each round
+    into two count-over-window passes LOST the interleaved same-session
+    A/B (old 1.24–1.26 s vs window 1.65–1.84 s steady at sf0.1 — the
+    window's per-round partition sorts cost more than the tiny degree
+    tables' broadcast join-back), joining the r07 degree-checkpoint null
+    result; a non-interleaved A/B had shown the opposite, which was
+    cold-JVM order bias (see BASELINE.md r09)."""
     from data_service_spark.queries.llm import _cs_pairs
 
     # The base edge list IS the session-memoized checkpoint the graph
@@ -2856,16 +2859,10 @@ def k_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     def peel(e: DataFrame) -> DataFrame:
-        # degrees are computed on THIS round's edge set before any drop,
-        # so the fused filter is exactly the groupBy+semi-join semantics
+        dc, ds = degrees(e)
         return (
-            e.withColumn(
-                "dcw", F.count(F.lit(1)).over(Window.partitionBy("c"))
-            )
-            .withColumn(
-                "dsw", F.count(F.lit(1)).over(Window.partitionBy("s"))
-            )
-            .filter((F.col("dcw") >= 3) & (F.col("dsw") >= 3))
+            e.join(dc.filter(F.col("d") >= 3).select("c"), "c")
+            .join(ds.filter(F.col("d") >= 3).select("s"), "s")
             .select("c", "s")
             .localCheckpoint()
         )
