@@ -1,7 +1,10 @@
 """SparkSession factory.
 
 Defaults chosen for correctness parity with the DuckDB oracle (UTC session
-timezone, ANSI off so arithmetic matches the corpus' permissive semantics)
+timezone; Spark 4's default ANSI mode is left ON — probe-verified
+2026-08-16: DuckDB raises on the same overflow/invalid-cast classes, and
+the ÷0 divergence (Spark raises, DuckDB → NULL) is handled at the query
+layer via try_divide / explicit guards, never by flipping the global conf)
 and for scale (AQE on with skew-join handling, Arrow for the pandas-UDF
 path). On a real cluster the same builder is used — only master/memory
 change, never query code.

@@ -1840,3 +1840,497 @@ def test_translated_interval_parity(spark, duck, pairs):
     s_rows = _canon(spark.sql(sq).toPandas())
     o_rows = _canon(duck.execute(dq).df())
     assert s_rows == o_rows, f"divergence for: {sq}  VS  {dq}"
+
+
+# Decimal translation pairs (round-9, paired-rendering harness). Decimals
+# were EXCLUDED from the shared scalar core by design (module header);
+# this core admits the probe-verified exact subset the money-style
+# oracles would use, and fences the rest. Probe-verified identical
+# (2026-08-16, Spark 4.1.2 / DuckDB 1.x): string→DECIMAL casts round
+# HALF_UP in both ('1.005'→1.01, '2.675'→2.68, negatives away from
+# zero); +/-/* values agree wherever neither engine overflows its
+# (different) result width; round(dec, d) for d in [-2, 2] rounds
+# half-away-from-zero in both (2.5→3, 1250@-2→1300, -1250@-2→-1300);
+# min/max/sum/count agree (result WIDTHS differ — Spark sum → p+10,
+# DuckDB sum → DECIMAL(38,s) — so every terminal bridges through
+# CAST(… AS DECIMAL(38,6))); division is exact and identical when the
+# divisor is 2^a·5^b (quotient terminates within the 6-digit bridge)
+# with Spark try_divide(a, b) ↔ DuckDB (a / b) pairing the ÷0 → NULL
+# behavior (ANSI Spark raises on bare /0; DuckDB returns NULL).
+# Probe-verified EXCLUSIONS (fenced out of the grammar): decimal ÷
+# decimal TYPING — Spark keeps DECIMAL(p, max(6, …)) where DuckDB
+# widens to DOUBLE, so free-form division (non-terminating quotients)
+# diverges in the 6th digit's rounding; avg(DECIMAL) — DECIMAL(p+4, s+4)
+# in Spark vs DOUBLE in DuckDB (sum/12 never terminates); decimal →
+# decimal DOWN-rescale — Spark rounds HALF_UP where DuckDB TRUNCATES
+# toward zero (CAST(DECIMAL(4,3) '0.015' AS DECIMAL(10,2)) → 0.02 vs
+# 0.01 — the nastiest trap this probe found), so every generated
+# rescale is value-exact (widening only) and the grammar tracks scale;
+# width-capped multiplication overflow (DuckDB raises at its storage
+# width where Spark's wider result survives) — leaf magnitudes ≤ 99.99
+# and ≤ 2 multiplications bound |v| < 2·10⁸ ≪ both widths.
+
+_DEC_LITS = ["0.00", "1.10", "-2.25", "99.99", "-99.99", "0.05",
+             "7.31", "-1.17", "42.42", "0.01", "-0.01", "13.00"]
+_DEC_VALUES = ", ".join(
+    f"('{x}', '{y}')"
+    for x, y in zip(_DEC_LITS, _DEC_LITS[3:] + _DEC_LITS[:3])
+)
+# p is non-null everywhere; q carries two NULLs (via nullif on markers).
+_DEC_TABLE = (
+    "(SELECT CAST(x AS DECIMAL(12,2)) AS p,"
+    " CAST(nullif(nullif(y, '0.05'), '13.00') AS DECIMAL(12,2)) AS q"
+    f" FROM (VALUES {_DEC_VALUES}) AS v(x, y)) dt"
+)
+# Exact-terminating divisors: 2^a·5^b, so a scale-2 dividend's quotient
+# has at most 2+4 fractional digits — inside the (38,6) bridge exactly.
+_DEC_DIVISORS = ["2", "4", "5", "8", "10", "16", "20", "25"]
+
+
+@st.composite
+def dec_expr(draw, depth: int = 3, scale: int = 2) -> tuple[str, str, int]:
+    """(spark_sql, duck_sql, result_scale) for a decimal expression.
+
+    Shared text except the division pair; `scale` is threaded so no
+    generated expression ever needs a DOWN-rescale (the fenced
+    truncation-vs-HALF_UP trap) and multiplication stops at scale 6.
+    """
+    if depth <= 0 or draw(st.integers(0, 2)) == 0:
+        leaf = draw(
+            st.sampled_from(
+                ["p", "q", "CAST('1.50' AS DECIMAL(12,2))",
+                 "CAST('-0.25' AS DECIMAL(12,2))",
+                 "CAST('99.99' AS DECIMAL(12,2))",
+                 "CAST(NULL AS DECIMAL(12,2))"]
+            )
+        )
+        return leaf, leaf, 2
+    d = depth - 1
+    op = draw(
+        st.sampled_from(
+            ["add", "sub", "mul", "abs", "neg", "least", "greatest",
+             "coalesce", "nullif", "case", "round", "divide"]
+        )
+    )
+    if op == "divide":
+        # dividend is a LEAF (scale 2) so the quotient terminates; the
+        # pair carries the ÷0→NULL bridge: try_divide ↔ bare /.
+        a_s, a_d, _ = draw(dec_expr(0))
+        b = draw(st.sampled_from(_DEC_DIVISORS + ["0"]))
+        return (
+            f"try_divide({a_s}, CAST({b} AS DECIMAL(12,2)))",
+            f"({a_d} / CAST({b} AS DECIMAL(12,2)))",
+            6,
+        )
+    if op == "mul" and scale <= 4:
+        # one factor is a leaf: magnitude ≤ ×100 per level, scale +2
+        a_s, a_d, a_sc = draw(dec_expr(d, scale + 2))
+        b_s, b_d, _ = draw(dec_expr(0))
+        return f"({a_s} * {b_s})", f"({a_d} * {b_d})", a_sc + 2
+    if op == "round":
+        nd = draw(st.integers(-2, 2))
+        a_s, a_d, _ = draw(dec_expr(d, scale))
+        return (
+            f"round({a_s}, {nd})",
+            f"round({a_d}, {nd})",
+            max(0, nd),
+        )
+    if op in ("abs", "neg"):
+        a_s, a_d, a_sc = draw(dec_expr(d, scale))
+        f = "abs" if op == "abs" else "-"
+        return f"{f}({a_s})", f"{f}({a_d})", a_sc
+    if op in ("least", "greatest", "coalesce", "nullif"):
+        a_s, a_d, a_sc = draw(dec_expr(d, scale))
+        b_s, b_d, b_sc = draw(dec_expr(d, scale))
+        return (
+            f"{op}({a_s}, {b_s})",
+            f"{op}({a_d}, {b_d})",
+            max(a_sc, b_sc),
+        )
+    if op == "case":
+        c_s, c_d, _ = draw(dec_expr(d, scale))
+        t_s, t_d, t_sc = draw(dec_expr(d, scale))
+        e_s, e_d, e_sc = draw(dec_expr(d, scale))
+        cmp = draw(st.sampled_from(["<", "<=", ">", "IS NULL"]))
+        cond_s = (
+            f"{c_s} IS NULL" if cmp == "IS NULL" else f"{c_s} {cmp} p"
+        )
+        cond_d = (
+            f"{c_d} IS NULL" if cmp == "IS NULL" else f"{c_d} {cmp} p"
+        )
+        return (
+            f"(CASE WHEN {cond_s} THEN {t_s} ELSE {e_s} END)",
+            f"(CASE WHEN {cond_d} THEN {t_d} ELSE {e_d} END)",
+            max(t_sc, e_sc),
+        )
+    a_s, a_d, a_sc = draw(dec_expr(d, scale))
+    b_s, b_d, b_sc = draw(dec_expr(d, scale))
+    sign = "+" if op == "add" else "-"
+    return f"({a_s} {sign} {b_s})", f"({a_d} {sign} {b_d})", max(a_sc, b_sc)
+
+
+def _dec_bridge(e: str) -> str:
+    # widening rescale only (exact in both engines), then text
+    return f"CAST(CAST({e} AS DECIMAL(38,6)) AS STRING)"
+
+
+@st.composite
+def paired_dec_scalar(draw):
+    kind = draw(st.sampled_from(["row", "row", "agg"]))
+    s, d, _ = draw(dec_expr())
+    if kind == "row":
+        return _dec_bridge(s), _dec_bridge(d)
+    fn = draw(st.sampled_from(["sum", "min", "max", "count"]))
+    if fn == "count":
+        return f"CAST(count({s}) AS BIGINT)", f"CAST(count({d}) AS BIGINT)"
+    return _dec_bridge(f"{fn}({s})"), _dec_bridge(f"{fn}({d})")
+
+
+@given(pairs=st.lists(paired_dec_scalar(), min_size=1, max_size=4))
+@settings(**SETTINGS)
+def test_translated_decimal_parity(spark, duck, pairs):
+    """Decimal-pair parity: the exact-arithmetic money subset (cast
+    rounding, +/-/*, round, terminating division with ÷0→NULL pairing,
+    sum/min/max/count) agrees through the widening DECIMAL(38,6) text
+    bridge; the known divergence classes (÷ typing, avg, down-rescale
+    truncation, width-capped overflow) are fenced out by construction."""
+    agg = any("sum(" in s or "min(" in s or "max(" in s or "count(" in s
+              for s, _ in pairs)
+    # aggregates and row expressions can't share one SELECT — split by
+    # rendering every pair in its own aggregate context when any pair
+    # aggregates (row pairs wrap in max() over the single group).
+    if agg:
+        s_sel = ", ".join(
+            (s if any(f"{f}(" in s for f in ("sum", "min", "max", "count"))
+             else f"max({s})") + f" AS x{i}"
+            for i, (s, _) in enumerate(pairs)
+        )
+        d_sel = ", ".join(
+            (d if any(f"{f}(" in d for f in ("sum", "min", "max", "count"))
+             else f"max({d})") + f" AS x{i}"
+            for i, (_, d) in enumerate(pairs)
+        )
+    else:
+        s_sel = ", ".join(f"{s} AS x{i}" for i, (s, _) in enumerate(pairs))
+        d_sel = ", ".join(f"{d} AS x{i}" for i, (_, d) in enumerate(pairs))
+    sq = f"SELECT {s_sel} FROM {_DEC_TABLE}"
+    dq = f"SELECT {d_sel} FROM {_DEC_TABLE}"
+    s_rows = _canon(spark.sql(sq).toPandas())
+    o_rows = _canon(duck.execute(dq).df())
+    assert s_rows == o_rows, f"divergence for: {sq}  VS  {dq}"
+
+
+# Format-token translation pairs (round-9, paired-rendering harness):
+# date_format's Java-style pattern letters vs DuckDB strftime's C-style
+# % tokens — the translation every human-readable-date oracle
+# hand-writes, and an easy place to mistranslate a single token.
+# Probe-verified identical (2026-08-16): yyyy/%Y, yy/%y, MM/%m, M/%-m,
+# dd/%d, d/%-d, DDD/%j, D/%-j (unpadded day-of-year), MMM/%b, MMMM/%B
+# (↔ monthname()), EEE/%a, EEEE/%A (↔ dayname()), HH/%H, H/%-H, hh/%I
+# (12 at midnight AND noon), a/%p, mm/%M, ss/%S, SSS/%g (DuckDB's
+# nonstandard milliseconds token), SSSSSS/%f (zero-padded micros incl.
+# '.5' → 500000 and whole seconds → 000000), NULL input → NULL in both,
+# and the strptime round-trips (full timestamp, dd/MM/yyyy ↔ %d/%m/%Y,
+# month-name parse MMMM ↔ %B, bare-year parse defaulting to Jan 1,
+# try_to_timestamp ↔ try_strptime on garbage). Calendar-number bridges:
+# dayofweek(d) ↔ DuckDB dayofweek(d) + 1 (Sunday is 1 in Spark, 0 in
+# DuckDB — found by this core's probe), extract(DAYOFWEEK_ISO) ↔
+# isodow, weekofyear ↔ weekofyear (ISO in both) ↔ CAST(strftime '%V'),
+# dayofyear, quarter, last_day shared. Probe-verified EXCLUSIONS:
+# week-based pattern letters ('ww') — Spark 4 raises
+# INCONSISTENT_BEHAVIOR_CROSS_VERSION (removed in the proleptic
+# calendar change), so week numbers bridge through weekofyear()/%V
+# only; extract(EPOCH) — unsupported field in Spark (bridged in the
+# timestamp core via unix_micros); %W (Monday-week-of-year) has no
+# surviving Spark twin.
+
+_FMT_ROWS = (
+    "(SELECT CAST(ds AS DATE) AS fd, CAST(ts AS TIMESTAMP) AS ft"
+    " FROM (VALUES"
+    " ('2020-02-29', '2020-02-29 12:00:00.5'),"
+    " ('2021-01-01', '2021-01-01 00:07:03'),"
+    " ('2021-01-03', '2021-01-03 23:59:59.999999'),"
+    " ('1970-01-01', '1970-01-01 00:00:00'),"
+    " ('1999-12-31', '1999-12-31 11:59:59.25'),"
+    " ('2016-01-03', '2016-01-03 12:00:00'),"
+    " ('2024-12-30', '2024-12-30 09:07:03.123456'),"
+    " (NULL, NULL),"
+    " ('2026-08-16', '2026-08-16 15:30:45.000001'))"
+    " AS v(ds, ts)) ft"
+)
+_FMT_DATE_TOKENS = [
+    ("yyyy", "%Y"), ("yy", "%y"), ("MM", "%m"), ("M", "%-m"),
+    ("dd", "%d"), ("d", "%-d"), ("DDD", "%j"), ("D", "%-j"),
+    ("MMM", "%b"), ("MMMM", "%B"), ("EEE", "%a"), ("EEEE", "%A"),
+]
+_FMT_TIME_TOKENS = [
+    ("HH", "%H"), ("H", "%-H"), ("hh", "%I"), ("a", "%p"),
+    ("mm", "%M"), ("ss", "%S"), ("SSS", "%g"), ("SSSSSS", "%f"),
+]
+_FMT_SEPS = ["-", " ", ":", "/", "."]
+
+
+@st.composite
+def paired_fmt_scalar(draw):
+    """(spark_sql, duck_sql) for one format/calendar bridge."""
+    kind = draw(
+        st.sampled_from(
+            ["fmt", "fmt", "fmt", "roundtrip", "calendar", "fn"]
+        )
+    )
+    if kind == "fmt":
+        use_ts = draw(st.booleans())
+        col = "ft" if use_ts else "fd"
+        pool = _FMT_DATE_TOKENS + (_FMT_TIME_TOKENS if use_ts else [])
+        toks = draw(st.lists(st.sampled_from(pool), min_size=1, max_size=3))
+        sep = draw(st.sampled_from(_FMT_SEPS))
+        sp = sep.join(t[0] for t in toks)
+        dp = sep.join(t[1] for t in toks)
+        return (
+            f"date_format({col}, '{sp}')",
+            f"strftime({col}, '{dp}')",
+        )
+    if kind == "roundtrip":
+        sp, dp = draw(
+            st.sampled_from(
+                [("yyyy-MM-dd", "%Y-%m-%d"), ("dd/MM/yyyy", "%d/%m/%Y"),
+                 ("MMMM d, yyyy", "%B %-d, %Y")]
+            )
+        )
+        return (
+            f"CAST(to_date(date_format(fd, '{sp}'), '{sp}') AS STRING)",
+            f"CAST(CAST(strptime(strftime(fd, '{dp}'), '{dp}')"
+            " AS DATE) AS STRING)",
+        )
+    if kind == "calendar":
+        which = draw(
+            st.sampled_from(
+                ["dow", "isodow", "week", "week_v", "doy", "quarter",
+                 "lastday"]
+            )
+        )
+        if which == "dow":
+            return "dayofweek(fd)", "(dayofweek(fd) + 1)"
+        if which == "isodow":
+            return "extract(DAYOFWEEK_ISO FROM fd)", "isodow(fd)"
+        if which == "week":
+            return "weekofyear(fd)", "weekofyear(fd)"
+        if which == "week_v":
+            return (
+                "weekofyear(fd)",
+                "CAST(strftime(fd, '%V') AS BIGINT)",
+            )
+        if which == "doy":
+            return "dayofyear(fd)", "dayofyear(fd)"
+        if which == "quarter":
+            return "quarter(fd)", "quarter(fd)"
+        return "CAST(last_day(fd) AS STRING)", "CAST(last_day(fd) AS STRING)"
+    fn = draw(st.sampled_from(["monthname", "dayname"]))
+    if fn == "monthname":
+        return "date_format(fd, 'MMMM')", "monthname(fd)"
+    return "date_format(fd, 'EEEE')", "dayname(fd)"
+
+
+@given(pairs=st.lists(paired_fmt_scalar(), min_size=1, max_size=5))
+@settings(**SETTINGS)
+def test_translated_strftime_parity(spark, duck, pairs):
+    """Format-token parity: multi-token date_format patterns and their
+    strftime renderings, parse round-trips, and the calendar-number
+    bridges (dayofweek+1, isodow, %V weeks) agree over leap days, ISO
+    week-53 boundaries, midnight/noon, fractional seconds, and NULLs."""
+    s_sel = ", ".join(f"{s} AS x{i}" for i, (s, _) in enumerate(pairs))
+    d_sel = ", ".join(f"{d} AS x{i}" for i, (_, d) in enumerate(pairs))
+    sq = f"SELECT {s_sel} FROM {_FMT_ROWS}"
+    dq = f"SELECT {d_sel} FROM {_FMT_ROWS}"
+    s_rows = _canon(spark.sql(sq).toPandas())
+    o_rows = _canon(duck.execute(dq).df())
+    assert s_rows == o_rows, f"divergence for: {sq}  VS  {dq}"
+
+
+# Bitwise + string-function translation pairs (round-9, paired-rendering
+# harness). Probe-verified identical (2026-08-16): & | ~ and bit_count
+# shared; shiftleft/shiftright ↔ << / >> (arithmetic on negatives: -33
+# >> 2 = -9 in both); % and DIV ↔ // follow C truncation on negative
+# operands in BOTH engines (the shared core's blanket signed-mod
+# exclusion is engine-parity-safe — it stays excluded there only
+# because the grammar predates this probe); pmod(x, m) ↔ ((x % m) + m)
+# % m; locate/instr ↔ strpos (ARGUMENT ORDER FLIPS: needle-first in
+# Spark, haystack-first in DuckDB), 0 on miss in both;
+# substring/left/right/translate (incl. short-to delete semantics)/
+# repeat (0 and negative counts → '')/reverse/levenshtein/ascii/
+# char↔chr/lpad/rpad (multi-char pads, truncating rpad)/split_part
+# (negative = from-the-end, out-of-bounds = '') shared;
+# format_string ↔ printf (%d, %s, %05d, %.3f); startswith/endswith ↔
+# starts_with/ends_with; contains shared. Probe-verified EXCLUSIONS
+# (fenced): the caret — `12 ^ 10` is bitwise XOR = 6 in Spark but
+# POWER = 6.2e10 in DuckDB (the single most dangerous token in the
+# whole translation space; bridged as Spark ^ ↔ DuckDB xor());
+# substring with start 0 — Spark clamps to 1 ('hel') where DuckDB
+# consumes a position ('he'), so generated starts skip 0; left/right
+# with negative counts — '' in Spark vs drop-|n|-from-the-other-end in
+# DuckDB; lpad/rpad with '' padding — Spark no-ops where DuckDB raises
+# Insufficient padding; overlay() and initcap() — absent in DuckDB;
+# ÷0 and %0 — ANSI Spark raises (try_divide/try_mod bridge in the
+# decimal core; divisor literals here are nonzero); split_part(NULL, …)
+# — NULL in Spark but '' in DuckDB (found by this core's FIRST HUNT,
+# not the probe — the probe used literal haystacks only; bridged with
+# an IS NULL guard on the DuckDB side); negative LEFT-shift operands —
+# DuckDB << raises Out of Range where Spark shiftleft wraps Java-style
+# (also hunt-found; left-shift operands are abs()-guarded, right shifts
+# stay signed — arithmetic in both).
+
+_BS_NEEDLES = ["'a'", "'b'", "'bc'", "'z'", "' '"]
+_BS_HAYS = ["s", "'abcb'", "'Hello World'", "''"]
+_BS_SHIFTS = list(range(0, 9))
+_BS_MODULI = ["3", "7", "16", "-5"]
+
+
+@st.composite
+def paired_bitstring_scalar(draw):
+    """(spark_sql, duck_sql) for one bitwise or string-function bridge."""
+    kind = draw(
+        st.sampled_from(
+            ["bit", "bit", "shift", "modplus", "find", "slice",
+             "pad", "misc", "printf", "predicate"]
+        )
+    )
+    x = draw(st.sampled_from(["a", "b", "c", "CAST(12 AS BIGINT)",
+                              "CAST(-7 AS BIGINT)"]))
+    y = draw(st.sampled_from(["a", "b", "CAST(10 AS BIGINT)",
+                              "CAST(-3 AS BIGINT)"]))
+    if kind == "bit":
+        op = draw(st.sampled_from(["&", "|", "^", "~", "bit_count"]))
+        if op == "~":
+            return f"(~{x})", f"(~{x})"
+        if op == "bit_count":
+            return f"bit_count({x})", f"bit_count({x})"
+        if op == "^":
+            # THE trap: caret is XOR in Spark, POWER in DuckDB
+            return f"({x} ^ {y})", f"xor({x}, {y})"
+        return f"({x} {op} {y})", f"({x} {op} {y})"
+    if kind == "shift":
+        k = draw(st.sampled_from(_BS_SHIFTS))
+        fn, sym = draw(
+            st.sampled_from([("shiftleft", "<<"), ("shiftright", ">>")])
+        )
+        if fn == "shiftleft":
+            # found by this core's first hunt: DuckDB << RAISES on a
+            # negative left operand where Spark shiftleft wraps
+            # Java-style — left-shift operands are abs()-guarded
+            return f"{fn}(abs({x}), {k})", f"(abs({x}) {sym} {k})"
+        return f"{fn}({x}, {k})", f"({x} {sym} {k})"
+    if kind == "modplus":
+        m = draw(st.sampled_from(_BS_MODULI))
+        which = draw(st.sampled_from(["mod", "intdiv", "pmod"]))
+        if which == "mod":
+            return f"({x} % {m})", f"({x} % {m})"
+        if which == "intdiv":
+            return f"({x} DIV {m})", f"({x} // {m})"
+        mm = m.lstrip("-")  # pmod bridge needs a positive modulus
+        return (
+            f"pmod({x}, {mm})",
+            f"((({x} % {mm}) + {mm}) % {mm})",
+        )
+    if kind == "find":
+        needle = draw(st.sampled_from(_BS_NEEDLES))
+        hay = draw(st.sampled_from(_BS_HAYS))
+        fn = draw(st.sampled_from(["locate", "instr", "split_part"]))
+        if fn == "locate":
+            return f"locate({needle}, {hay})", f"strpos({hay}, {needle})"
+        if fn == "instr":
+            return f"instr({hay}, {needle})", f"strpos({hay}, {needle})"
+        idx = draw(st.sampled_from([-2, -1, 1, 2, 9]))
+        # found by this core's first hunt: split_part(NULL, …) is NULL
+        # in Spark but '' in DuckDB — the only string function probed
+        # here that swallows a NULL input
+        return (
+            f"split_part({hay}, {needle}, {idx})",
+            f"(CASE WHEN {hay} IS NULL THEN NULL"
+            f" ELSE split_part({hay}, {needle}, {idx}) END)",
+        )
+    if kind == "slice":
+        hay = draw(st.sampled_from(_BS_HAYS))
+        which = draw(st.sampled_from(["substr", "substr_n", "left", "right"]))
+        start = draw(st.sampled_from([-5, -3, -1, 1, 2, 5]))  # never 0
+        if which == "substr":
+            return f"substring({hay}, {start})", f"substring({hay}, {start})"
+        if which == "substr_n":
+            n = draw(st.integers(0, 4))
+            q = f"substring({hay}, {start}, {n})"
+            return q, q
+        n = draw(st.integers(0, 6))  # negative counts are fenced
+        return f"{which}({hay}, {n})", f"{which}({hay}, {n})"
+    if kind == "pad":
+        hay = draw(st.sampled_from(_BS_HAYS))
+        fn = draw(st.sampled_from(["lpad", "rpad"]))
+        n = draw(st.integers(0, 8))
+        pad = draw(st.sampled_from(["'x'", "'ab'"]))  # non-empty: fenced
+        q = f"{fn}({hay}, {n}, {pad})"
+        return q, q
+    if kind == "misc":
+        hay = draw(st.sampled_from(_BS_HAYS))
+        which = draw(
+            st.sampled_from(
+                ["translate", "repeat", "reverse", "levenshtein",
+                 "ascii", "chr"]
+            )
+        )
+        if which == "translate":
+            q = f"translate({hay}, 'ab', 'xy')"
+            return q, q
+        if which == "repeat":
+            n = draw(st.integers(-1, 3))
+            q = f"repeat({hay}, {n})"
+            return q, q
+        if which == "reverse":
+            return f"reverse({hay})", f"reverse({hay})"
+        if which == "levenshtein":
+            other = draw(st.sampled_from(_BS_HAYS))
+            q = f"levenshtein({hay}, {other})"
+            return q, q
+        if which == "ascii":
+            return f"ascii({hay})", f"ascii({hay})"
+        code = draw(st.integers(65, 90))
+        return f"char({code})", f"chr({code})"
+    if kind == "printf":
+        fmt_s, fmt_d, args = draw(
+            st.sampled_from(
+                [("'%d-%s'", "'%d-%s'", "7, 'x'"),
+                 ("'%05d'", "'%05d'", "42"),
+                 ("'%.3f'", "'%.3f'", "CAST(2.5 AS DOUBLE)"),
+                 ("'[%s]'", "'[%s]'", "'q'")]
+            )
+        )
+        return (
+            f"format_string({fmt_s}, {args})",
+            f"printf({fmt_d}, {args})",
+        )
+    hay = draw(st.sampled_from(_BS_HAYS))
+    needle = draw(st.sampled_from(_BS_NEEDLES))
+    which = draw(st.sampled_from(["startswith", "endswith", "contains"]))
+    if which == "contains":
+        return (
+            f"CAST(contains({hay}, {needle}) AS INT)",
+            f"CAST(contains({hay}, {needle}) AS INT)",
+        )
+    return (
+        f"CAST({which}({hay}, {needle}) AS INT)",
+        f"CAST({which.replace('swith', 's_with')}({hay}, {needle}) AS INT)",
+    )
+
+
+@given(pairs=st.lists(paired_bitstring_scalar(), min_size=1, max_size=5))
+@settings(**SETTINGS)
+def test_translated_bitstring_parity(spark, duck, pairs):
+    """Bitwise/string-function parity: shifts, masks, the ^↔xor() bridge,
+    signed mod/intdiv, pmod, needle-order-flipped locate↔strpos, slicing,
+    padding, printf, and the predicate renames agree over the shared
+    12-row relation (fenced: caret-power, substring start 0, negative
+    left/right, empty pads, overlay/initcap)."""
+    s_sel = ", ".join(f"{s} AS x{i}" for i, (s, _) in enumerate(pairs))
+    d_sel = ", ".join(f"{d} AS x{i}" for i, (_, d) in enumerate(pairs))
+    sq = f"SELECT {s_sel} FROM {TABLE}"
+    dq = f"SELECT {d_sel} FROM {TABLE}"
+    s_rows = _canon(spark.sql(sq).toPandas())
+    o_rows = _canon(duck.execute(dq).df())
+    assert s_rows == o_rows, f"divergence for: {sq}  VS  {dq}"
