@@ -2161,7 +2161,11 @@ def test_translated_strftime_parity(spark, duck, pairs):
 # char↔chr/lpad/rpad (multi-char pads, truncating rpad)/split_part
 # (negative = from-the-end, out-of-bounds = '') shared;
 # format_string ↔ printf (%d, %s, %05d, %.3f); startswith/endswith ↔
-# starts_with/ends_with; contains shared. Probe-verified EXCLUSIONS
+# starts_with/ends_with; contains shared; digests — md5/hex/unhex
+# shared, sha2(s,256) ↔ sha256(s), base64(s) ↔ base64(CAST(s AS BLOB))
+# — bit-exact incl. '' and NULL (sha1/crc32: Spark-only, excluded;
+# bit_and/bit_or/bit_xor AGGREGATES probed identical too, incl.
+# negatives, but live with the aggregate cores). Probe-verified EXCLUSIONS
 # (fenced): the caret — `12 ^ 10` is bitwise XOR = 6 in Spark but
 # POWER = 6.2e10 in DuckDB (the single most dangerous token in the
 # whole translation space; bridged as Spark ^ ↔ DuckDB xor());
@@ -2191,7 +2195,7 @@ def paired_bitstring_scalar(draw):
     kind = draw(
         st.sampled_from(
             ["bit", "bit", "shift", "modplus", "find", "slice",
-             "pad", "misc", "printf", "predicate"]
+             "pad", "misc", "printf", "predicate", "digest"]
         )
     )
     x = draw(st.sampled_from(["a", "b", "c", "CAST(12 AS BIGINT)",
@@ -2292,6 +2296,26 @@ def paired_bitstring_scalar(draw):
             return f"ascii({hay})", f"ascii({hay})"
         code = draw(st.integers(65, 90))
         return f"char({code})", f"chr({code})"
+    if kind == "digest":
+        # probe-verified 2026-08-16: md5 / sha2-256↔sha256 / base64 over
+        # BLOB / hex / unhex round-trips agree bit-exact incl. '' and
+        # NULL; sha1 and crc32 are Spark-only (excluded)
+        hay = draw(st.sampled_from(_BS_HAYS))
+        which = draw(
+            st.sampled_from(["md5", "sha256", "base64", "hex", "unhex_rt"])
+        )
+        if which == "md5":
+            return f"md5({hay})", f"md5({hay})"
+        if which == "sha256":
+            return f"sha2({hay}, 256)", f"sha256({hay})"
+        if which == "base64":
+            return f"base64({hay})", f"base64(CAST({hay} AS BLOB))"
+        if which == "hex":
+            return f"hex({hay})", f"hex({hay})"
+        return (
+            f"CAST(unhex(hex({hay})) AS STRING)",
+            f"CAST(unhex(hex({hay})) AS STRING)",
+        )
     if kind == "printf":
         fmt_s, fmt_d, args = draw(
             st.sampled_from(
