@@ -185,8 +185,8 @@ SHOWCASE = {
         "the snowflake's dimension legs ship to executors once; fact shuffles are the only data movement",
     ),
     "k_dedup_semantic": (
-        "SortMergeJoin on cluster_id for the pair search; the only BNLJ is the 10-row centroid broadcast cross",
-        "SemDeDup's point: candidate pairs shrink O(n²)→Σm_c² and the pair search is a plain co-partitioned equi-join",
+        "pair-search join hashed on (cluster_id, salt) — probe side salted by pmod(vec_id, 8), build side replicated; the only BNLJ is the 10-row centroid broadcast cross",
+        "SemDeDup's candidate pairs shrink O(n²)→Σm_c², and the salt spreads Σm_c² over occupancy×8 tasks instead of capping parallelism at the cluster COUNT (r09: 22 of 32 partitions sat empty unsalted; at scale the same salt breaks the one-mega-cluster straggler)",
     ),
     "k_dedup_spans": (
         "posting-style hash aggregate keyed by gram, then a shuffle equi-join back (dup side NOT broadcast)",
