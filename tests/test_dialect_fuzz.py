@@ -277,12 +277,23 @@ def window_expr(draw) -> str:
     order = f"ORDER BY {key} {direction}, a"
     kind = draw(
         st.sampled_from(
-            ["pos", "ntile", "lag", "lead", "valpos", "agg", "range_agg"]
+            ["pos", "ntile", "lag", "lead", "valpos", "agg", "range_agg",
+             "dist"]
         )
     )
     if kind == "pos":
         fn = draw(st.sampled_from(["row_number()", "rank()", "dense_rank()"]))
         return f"{fn} OVER ({part}{order})"
+    if kind == "dist":
+        # r09 probe: percent_rank/cume_dist rationals agree through the
+        # floor(×1e6) quantization (CAST would hit the truncate-vs-round
+        # narrowing trap) with the explicit NULLS placement _WIN_DIRS
+        # already enforces (defaults differ: Spark NULLS FIRST asc,
+        # DuckDB NULLS LAST)
+        fn = draw(st.sampled_from(["percent_rank()", "cume_dist()"]))
+        return (
+            f"CAST(floor({fn} OVER ({part}{order}) * 1000000) AS BIGINT)"
+        )
     if kind == "ntile":
         return f"ntile({draw(st.integers(2, 4))}) OVER ({part}{order})"
     if kind in ("lag", "lead"):
@@ -582,6 +593,13 @@ def test_typed_aggregate_parity(spark, duck, se, de, g, having):
 #   - signed zero: round/products can yield -0.0 in one engine and 0.0 in
 #     the other; the house `+ 0.0` normalization is fuzzed as its own
 #     bridge below.
+#   - CAST(non-finite AS STRING): 'NaN'/'Infinity'/'-Infinity' in Spark vs
+#     'nan'/'inf'/'-inf' in DuckDB (r09 probe). The EQUALITY-CLASS
+#     semantics, by contrast, are probe-identical and need no fence:
+#     both engines normalize -0.0 = 0.0 and NaN = NaN in GROUP BY,
+#     DISTINCT, equi-joins, =, IS DISTINCT FROM, and sort NaN above
+#     +inf — so float grouping keys are safe, only their non-finite
+#     TEXT rendering is not.
 # Float literals are written CAST(x AS DOUBLE): a bare 0.5 is DECIMAL in
 # Spark and the decimal lattice is the r04 pitfall class.
 
