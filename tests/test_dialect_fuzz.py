@@ -2349,7 +2349,19 @@ def paired_bitstring_scalar(draw):
         )
     hay = draw(st.sampled_from(_BS_HAYS))
     needle = draw(st.sampled_from(_BS_NEEDLES))
-    which = draw(st.sampled_from(["startswith", "endswith", "contains"]))
+    which = draw(
+        st.sampled_from(
+            ["startswith", "endswith", "contains", "nullsafe_eq"]
+        )
+    )
+    if which == "nullsafe_eq":
+        # Spark's <=> spelling ↔ the standard IS NOT DISTINCT FROM
+        # (probe-verified on NULL/NULL, value/NULL, value/value)
+        other = draw(st.sampled_from(_BS_HAYS))
+        return (
+            f"CAST(({hay} <=> {other}) AS INT)",
+            f"CAST(({hay} IS NOT DISTINCT FROM {other}) AS INT)",
+        )
     if which == "contains":
         return (
             f"CAST(contains({hay}, {needle}) AS INT)",
