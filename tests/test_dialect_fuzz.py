@@ -832,6 +832,20 @@ def test_grouped_multiset_parity(spark, duck, q):
 # BOOLEAN: Spark trims (' true '→true) and accepts yes/no — DuckDB does
 # neither. These are exactly the forms the registry's h_cast RLIKE
 # plausibility guard exists to fence.
+#
+# Temporal targets (r09 probe): the shared DATE/TIMESTAMP grammar is
+# broad — single-digit month/day ('2020-1-5'), surrounding whitespace,
+# 'T'-separated datetimes, datetime→DATE truncation, case-insensitive
+# 'epoch', 7-digit fractions truncating to µs, invalid
+# month/day/hour → NULL, years 0001–9999, pre-1970 — all identical.
+# Temporal EXCLUSIONS (fenced out of _TEMPORAL_POOL): slash dates
+# ('2020/01/05') and lowercase-'t' datetime separators — DuckDB accepts
+# where Spark NULLs; leading '+', bare year '2020', and minute-precision
+# timestamps ('2020-01-05 10:11') — Spark accepts where DuckDB NULLs;
+# 'now' (nondeterministic and DuckDB-rejected as DATE anyway); 5-digit
+# years — both parse but Spark renders '+99999-…' where DuckDB omits
+# the plus. The pool also skips the upper/lower wraps of castable_str:
+# the 'T' separator is case-sensitive in Spark only.
 
 _CASTABLE = [
     "'1'", "'  42  '", "'-7'", "'+3'", "''", "'abc'", "'12abc'",
@@ -841,6 +855,24 @@ _CASTABLE = [
 ]
 _DOUBLE_ONLY = ["'3.9'", "'.5'", "'5.'", "'1e2'", "'NaN'", "'inf'",
                 "'-inf'", "'1e400'"]
+# every entry probe-verified identical under BOTH try_cast(… AS DATE)
+# and try_cast(… AS TIMESTAMP) (2026-08-16)
+_TEMPORAL_POOL = [
+    "'2020-01-05'", "'2020-1-5'", "' 2020-01-05'",
+    "'2020-01-05T10:11:12'", "'2020-01-05 10:11:12'",
+    "' 2020-01-05 10:11:12 '",
+    "'2020-01-05 10:11:12.5'", "'2020-01-05 10:11:12.1234567'",
+    "'2020-02-30'", "'2020-13-01'", "'20200105'", "'05-01-2020'",
+    "'2020.01.05'", "'2020-01-05 25:00:00'", "'epoch'", "'Epoch'",
+    "''", "'abc'", "CAST(NULL AS STRING)", "'0001-01-01'",
+    "'9999-12-31 23:59:59.999999'", "'1969-12-31 23:59:59'",
+]
+# hunt-found (first 400-example run): a TRAILING space after a DATE-ONLY
+# string diverges under the TIMESTAMP target — DuckDB reads it as an
+# empty time part and NULLs (' 2020-01-05 ' → NULL) where Spark trims;
+# both engines accept it as DATE, and a trailing space after a FULL
+# datetime is fine in both — so these forms are date-target-only.
+_TEMPORAL_DATE_ONLY = ["' 2020-01-05 '", "'2020-01-05 '"]
 
 
 @st.composite
@@ -873,6 +905,12 @@ def castable_str(draw, pool) -> str:
             ),
             castable_str(_CASTABLE).map(
                 lambda e: f"CAST(try_cast({e} AS DATE) AS STRING)"
+            ),
+            st.sampled_from(_TEMPORAL_POOL + _TEMPORAL_DATE_ONLY).map(
+                lambda e: f"CAST(try_cast({e} AS DATE) AS STRING)"
+            ),
+            st.sampled_from(_TEMPORAL_POOL).map(
+                lambda e: f"CAST(try_cast({e} AS TIMESTAMP) AS STRING)"
             ),
             st.sampled_from(
                 ["'true'", "'FALSE'", "'t'", "'f'", "'1'", "'0'", "'abc'",
