@@ -972,7 +972,31 @@ def paired_int_array(draw, depth: int = 2):
         return (f"sequence({lo}, {hi}{step})",
                 f"generate_series({lo}, {hi}{step})")
     s, d = draw(paired_int_array(depth - 1))
-    kind = draw(st.sampled_from(["transform", "filter", "distinct", "sort"]))
+    kind = draw(
+        st.sampled_from(
+            ["transform", "filter", "distinct", "sort",
+             "intersect", "union", "except_"]
+        )
+    )
+    if kind in ("intersect", "union", "except_"):
+        # r09 probe: the set-op family agrees through the
+        # sort-after-set-op convention (Spark keeps first-occurrence
+        # order, DuckDB's list ops are unordered — same class as the
+        # list_distinct catch above). DuckDB spells union/except as
+        # distinct-concat / filtered-distinct; arrays here are NULL-free
+        # by construction so list_contains 3VL never bites.
+        s2, d2 = draw(paired_int_array(depth - 1))
+        if kind == "intersect":
+            return (f"array_sort(array_intersect({s}, {s2}))",
+                    f"list_sort(list_intersect({d}, {d2}))")
+        if kind == "union":
+            return (f"array_sort(array_union({s}, {s2}))",
+                    f"list_sort(list_distinct(list_concat({d}, {d2})))")
+        return (
+            f"array_sort(array_except({s}, {s2}))",
+            f"list_sort(list_filter(list_distinct({d}),"
+            f" x -> NOT list_contains({d2}, x)))",
+        )
     if kind == "transform":
         lam = draw(st.sampled_from(["x + 1", "x * x", "x - 3", "x * -1"]))
         return (f"transform({s}, x -> {lam})",
