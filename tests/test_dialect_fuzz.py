@@ -2450,3 +2450,66 @@ def test_translated_bitstring_parity(spark, duck, pairs):
     s_rows = _canon(spark.sql(sq).toPandas())
     o_rows = _canon(duck.execute(dq).df())
     assert s_rows == o_rows, f"divergence for: {sq}  VS  {dq}"
+
+
+# PIVOT translation pairs (round-9, paired-rendering harness): the wide
+# direction of the unpivot family above — Spark's subquery PIVOT
+# (… PIVOT (agg(n) FOR k IN ('v' AS v, …))) vs DuckDB's statement-level
+# PIVOT (PIVOT … ON k IN ('v', …) USING agg(n) GROUP BY g) — plus both
+# engines' shared conditional-CASE and FILTER-clause renderings, which
+# the d_agg_pivot/d_agg_conditional oracles hand-write. Probe-verified
+# identical (2026-08-16): sum/min/max cells, absent pivot values
+# (all-NULL column in both), NULL pivot keys (match no IN value in
+# both), string-valued cells, and cross-rendering equivalence
+# (PIVOT ≡ CASE ≡ FILTER). Probe-verified EXCLUSION (fenced):
+# count() over an EMPTY cell — Spark's pivot writes NULL into missing
+# cells for EVERY aggregate where DuckDB's count (and a shared
+# count(CASE …)) gives 0, so counting pivots must coalesce the Spark
+# side; the grammar admits sum/min/max only.
+
+_PIVOT_VALS = ["a", "ab", "aa", "AB", "xyz"]
+_PIVOT_GROUPS = ["abs(b) % 2", "a % 3", "(CASE WHEN c IS NULL THEN 0 ELSE 1 END)"]
+
+
+@st.composite
+def paired_pivot(draw):
+    """(spark_sql, duck_sql) for one PIVOT rendering pair."""
+    g = draw(st.sampled_from(_PIVOT_GROUPS))
+    n = draw(st.sampled_from(["a", "b", "c", "a + b"]))
+    fn = draw(st.sampled_from(["sum", "min", "max"]))
+    vals = draw(
+        st.lists(st.sampled_from(_PIVOT_VALS), min_size=1, max_size=3,
+                 unique=True)
+    )
+    src = f"(SELECT {g} AS g, s AS k, {n} AS n FROM {TABLE}) src"
+    s_in = ", ".join(f"'{v}' AS {v}" for v in vals)
+    d_in = ", ".join(f"'{v}'" for v in vals)
+    sq = f"SELECT * FROM {src} PIVOT ({fn}(n) FOR k IN ({s_in}))"
+    form = draw(st.sampled_from(["pivot", "case", "filter"]))
+    if form == "pivot":
+        dq = (f"PIVOT {src} ON k IN ({d_in})"
+              f" USING {fn}(n) GROUP BY g")
+        return sq, dq
+    if form == "case":
+        cells = ", ".join(
+            f"{fn}(CASE WHEN k = '{v}' THEN n END) AS {v}" for v in vals
+        )
+    else:
+        cells = ", ".join(
+            f"{fn}(n) FILTER (WHERE k = '{v}') AS {v}" for v in vals
+        )
+    return sq, f"SELECT g, {cells} FROM {src} GROUP BY g"
+
+
+@given(q=paired_pivot())
+@settings(**SETTINGS)
+def test_translated_pivot_parity(spark, duck, q):
+    """PIVOT parity: Spark's subquery PIVOT matches DuckDB's PIVOT
+    statement, the conditional-CASE rendering, and the FILTER-clause
+    rendering cell-for-cell over computed group keys, absent values,
+    and NULL pivot keys (count is fenced: Spark NULLs empty cells,
+    DuckDB counts 0)."""
+    sq, dq = q
+    s_rows = _canon(spark.sql(sq).toPandas())
+    o_rows = _canon(duck.execute(dq).df())
+    assert s_rows == o_rows, f"divergence for: {sq}  VS  {dq}"
