@@ -2513,3 +2513,75 @@ def test_translated_pivot_parity(spark, duck, q):
     s_rows = _canon(spark.sql(sq).toPandas())
     o_rows = _canon(duck.execute(dq).df())
     assert s_rows == o_rows, f"divergence for: {sq}  VS  {dq}"
+
+
+# IGNORE NULLS + multi-DISTINCT translation pairs (round-9, paired
+# rendering): the gap-fill idiom behind e_win_interpolate and the
+# multi-column distinct-count idiom. The SYNTAX POSITION differs —
+# Spark only parses the postfix form `f(x) IGNORE NULLS OVER (…)`
+# while DuckDB only parses the in-argument form `f(x IGNORE NULLS)
+# OVER (…)` (probe-verified both directions: each engine REJECTS the
+# other's spelling with a parse error). Probe-verified identical
+# through the paired spellings (2026-08-16): first_value/last_value/
+# nth_value(x, k) under explicit ROWS frames, lead/lag with offsets
+# 0–2 — all gap-fill semantics agree including all-NULL tails.
+# count(DISTINCT p, q) is Spark-only syntax; DuckDB's struct form
+# count(DISTINCT (p, q)) COUNTS rows with NULL fields where Spark
+# drops them (probed: 3 vs 5) — the bridge is a FILTER (WHERE every
+# arg IS NOT NULL) on the DuckDB side.
+
+_IGN_VALS = ["c", "nullif(b, 13)", "nullif(a, 0)"]
+
+
+@st.composite
+def paired_ignore_nulls(draw):
+    part = draw(st.sampled_from(["", "PARTITION BY abs(b) % 2 "]))
+    x = draw(st.sampled_from(_IGN_VALS))
+    kind = draw(st.sampled_from(["valpos", "leadlag", "cnt_distinct"]))
+    if kind == "cnt_distinct":
+        cols = draw(
+            st.lists(st.sampled_from(["a", "b", "c", "s"]), min_size=2,
+                     max_size=3, unique=True)
+        )
+        guard = " AND ".join(f"{col} IS NOT NULL" for col in cols)
+        return (
+            f"SELECT count(DISTINCT {', '.join(cols)}) AS n FROM {TABLE}",
+            f"SELECT count(DISTINCT ({', '.join(cols)}))"
+            f" FILTER (WHERE {guard}) AS n FROM {TABLE}",
+        )
+    if kind == "valpos":
+        # DuckDB's IGNORE NULLS sits after the LAST argument
+        s_fn, d_fn = draw(
+            st.sampled_from(
+                [("first_value({x})", "first_value({x} IGNORE NULLS)"),
+                 ("last_value({x})", "last_value({x} IGNORE NULLS)"),
+                 ("nth_value({x}, 2)", "nth_value({x}, 2 IGNORE NULLS)"),
+                 ("nth_value({x}, 3)", "nth_value({x}, 3 IGNORE NULLS)")]
+            )
+        )
+        frame = draw(st.sampled_from(_ROWS_FRAMES[1:]))  # explicit only
+        over = f"({part}ORDER BY a{frame})"
+        s = f"CAST({s_fn.format(x=x)} IGNORE NULLS OVER {over} AS BIGINT)"
+        d = f"CAST({d_fn.format(x=x)} OVER {over} AS BIGINT)"
+        return f"SELECT a, {s} AS f FROM {TABLE}", \
+               f"SELECT a, {d} AS f FROM {TABLE}"
+    fn = draw(st.sampled_from(["lead", "lag"]))
+    n = draw(st.integers(0, 2))
+    over = f"({part}ORDER BY a)"
+    s = f"CAST({fn}({x}, {n}) IGNORE NULLS OVER {over} AS BIGINT)"
+    d = f"CAST({fn}({x}, {n} IGNORE NULLS) OVER {over} AS BIGINT)"
+    return f"SELECT a, {s} AS f FROM {TABLE}", \
+           f"SELECT a, {d} AS f FROM {TABLE}"
+
+
+@given(q=paired_ignore_nulls())
+@settings(**SETTINGS)
+def test_translated_ignore_nulls_parity(spark, duck, q):
+    """IGNORE NULLS parity: the postfix (Spark) and in-argument (DuckDB)
+    spellings of gap-fill window functions agree over nullable values,
+    and multi-column count(DISTINCT …) matches DuckDB's struct-distinct
+    under the every-arg-NOT-NULL filter bridge."""
+    sq, dq = q
+    s_rows = _canon(spark.sql(sq).toPandas())
+    o_rows = _canon(duck.execute(dq).df())
+    assert s_rows == o_rows, f"divergence for: {sq}  VS  {dq}"
