@@ -802,6 +802,14 @@ def grouping_query(draw) -> str:
         aggs.append(f"grouping_id({g1}, {g2}) AS gid")
     cols = f"{g1} AS g1" + (f", {g2} AS g2" if two else "")
     having = draw(st.sampled_from(["", " HAVING count(*) > 2"]))
+    if draw(st.integers(0, 5)) == 0:
+        # GROUP BY ALL (r09 probe: inference agrees on aliased
+        # expressions, CASE keys, agg-only selects, and aggs inside
+        # arithmetic) — grouping()/grouping_id() markers don't apply
+        sel = ", ".join(
+            [cols] + [a for a in aggs if not a.startswith("grouping")]
+        )
+        return f"SELECT {sel} FROM {TABLE} GROUP BY ALL{having}"
     sel = ", ".join([cols] + draw(st.permutations(aggs)))
     return f"SELECT {sel} FROM {TABLE} GROUP BY {shape}{having}"
 
