@@ -1031,6 +1031,15 @@ def paired_str_array(draw):
              "CAST(NULL AS STRING)"]
         )
     )
+    if draw(st.booleans()):
+        # r09 probe: Spark's split() is REGEX-based; the DuckDB twin for
+        # a regex separator is regexp_split_to_array (string_split is
+        # literal-only). Trailing-empty-element conventions agree.
+        pat = draw(st.sampled_from(["' '", "'[0-9]+'", "' +'", "'b'"]))
+        return (
+            f"split({base}, {pat})",
+            f"regexp_split_to_array({base}, {pat})",
+        )
     return (f"split({base}, ' ')", f"string_split({base}, ' ')")
 
 
@@ -2283,7 +2292,7 @@ def paired_bitstring_scalar(draw):
     kind = draw(
         st.sampled_from(
             ["bit", "bit", "shift", "modplus", "find", "slice",
-             "pad", "misc", "printf", "predicate", "digest"]
+             "pad", "misc", "printf", "predicate", "digest", "likeops"]
         )
     )
     x = draw(st.sampled_from(["a", "b", "c", "CAST(12 AS BIGINT)",
@@ -2384,6 +2393,23 @@ def paired_bitstring_scalar(draw):
             return f"ascii({hay})", f"ascii({hay})"
         code = draw(st.integers(65, 90))
         return f"char({code})", f"chr({code})"
+    if kind == "likeops":
+        # r09 probe: like/ilike/%_/escapes agree — but the ESCAPE
+        # RENDERING differs: Spark reads '\\_' as an escaped literal
+        # from the string literal alone, DuckDB needs an explicit
+        # ESCAPE '\' clause
+        hay = draw(st.sampled_from(_BS_HAYS))
+        op = draw(st.sampled_from(["like", "ilike", "not like",
+                                   "not ilike", "escape"]))
+        if op == "escape":
+            return (
+                f"CAST(('a_c' like 'a\\\\_c') AS INT)",
+                "CAST(('a_c' LIKE 'a\\_c' ESCAPE '\\') AS INT)",
+            )
+        pat = draw(st.sampled_from(["'a%'", "'%b%'", "'A_'", "'%'",
+                                    "''", "'ab'"]))
+        q = f"CAST(({hay} {op} {pat}) AS INT)"
+        return q, q
     if kind == "digest":
         # probe-verified 2026-08-16: md5 / sha2-256↔sha256 / base64 over
         # BLOB / hex / unhex round-trips agree bit-exact incl. '' and
