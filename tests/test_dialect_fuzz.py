@@ -1894,10 +1894,37 @@ def paired_interval_date(draw, depth: int = 3):
     return s, d
 
 
+# Date-sequence pairs (r09 probe): sequence(d1, d2, INTERVAL) ↔
+# generate_series(d1, d2, INTERVAL) agree for DAY/WEEK steps in both
+# directions — but MONTH steps diverge on month-END anchors: Spark
+# re-clamps every step against the ORIGINAL day-of-month (Jan 31 →
+# Feb 29 → Mar 31) where DuckDB sticks at the clamped day (Jan 31 →
+# Feb 29 → Mar 29 …), so month-stepped anchors stay at day ≤ 28.
+_SEQ_TRIPLES = [
+    ("DATE '2020-02-27'", "DATE '2020-03-02'", "INTERVAL '1' DAY"),
+    ("DATE '2020-03-02'", "DATE '2020-02-27'", "INTERVAL '-1' DAY"),
+    ("DATE '2021-01-01'", "DATE '2021-02-01'", "INTERVAL '1' WEEK"),
+    ("DATE '2020-01-15'", "DATE '2020-06-15'", "INTERVAL '1' MONTH"),
+    ("DATE '2019-12-01'", "DATE '2020-03-01'", "INTERVAL '1' MONTH"),
+    ("DATE '2020-06-15'", "DATE '2020-01-15'", "INTERVAL '-1' MONTH"),
+]
+
+
 @st.composite
 def paired_interval_scalar(draw):
     """Scalar bridges over paired interval-date expressions."""
-    kind = draw(st.sampled_from(["iso", "day_diff", "month_diff", "cmp"]))
+    kind = draw(
+        st.sampled_from(["iso", "day_diff", "month_diff", "cmp", "seq"])
+    )
+    if kind == "seq":
+        lo, hi, step = draw(st.sampled_from(_SEQ_TRIPLES))
+        return (
+            f"array_join(transform(sequence({lo}, {hi}, {step}),"
+            " x -> CAST(x AS STRING)), ',')",
+            f"array_to_string(list_transform("
+            f"generate_series({lo}, {hi}, {step}),"
+            " x -> CAST(CAST(x AS DATE) AS STRING)), ',')",
+        )
     s1, d1 = draw(paired_interval_date())
     if kind == "iso":
         return (
