@@ -1050,9 +1050,31 @@ def paired_scalar(draw):
     s, d = draw(paired_int_array() if typ == "int" else paired_str_array())
     kind = draw(
         st.sampled_from(
-            ["size", "elem", "contains", "join_or_sum", "maxmin", "slice"]
+            ["size", "elem", "contains", "join_or_sum", "maxmin", "slice",
+             "sortnull"]
         )
     )
+    if kind == "sortnull" and typ == "int":
+        # r09 probe: NULL PLACEMENT in sorts is cross-engine identical —
+        # array_sort ↔ list_sort both default NULLS LAST; sort_array's
+        # NULLS-FIRST default pairs with the explicit DuckDB modifier;
+        # descending sort_array(…, false) ↔ 'DESC', 'NULLS LAST'. Read
+        # back positionally so the placement (not just the multiset) is
+        # pinned; nullif injects the NULLs the base grammar never makes.
+        k = draw(st.integers(1, 6))
+        i = draw(st.sampled_from([1, 2, -1]))
+        s_fn, d_args = draw(
+            st.sampled_from(
+                [("array_sort", "'ASC', 'NULLS LAST'"),
+                 ("sort_array", "'ASC', 'NULLS FIRST'")]
+            )
+        )
+        return (
+            f"try_element_at({s_fn}(transform({s},"
+            f" x -> nullif(x, {k}))), {i})",
+            f"(list_sort(list_transform({d}, x -> nullif(x, {k})),"
+            f" {d_args}))[{i}]",
+        )
     if kind == "size":
         return (f"size({s})", f"len({d})")
     if kind == "elem":
