@@ -2668,3 +2668,99 @@ def test_translated_ignore_nulls_parity(spark, duck, q):
     s_rows = _canon(spark.sql(sq).toPandas())
     o_rows = _canon(duck.execute(dq).df())
     assert s_rows == o_rows, f"divergence for: {sq}  VS  {dq}"
+
+
+# Statistical-aggregate + windowed-collect translation pairs (round-9).
+# Probe-verified identical (2026-08-16) through the %.9e rendering
+# bridge (_stats_bridge — the first hunt showed engines differ in the
+# LAST ULP on exact-rational results like covar_samp = −434.25, which
+# flips any commensurate floor-quantize across its grid boundary):
+# stddev_samp/stddev_pop/var_samp/var_pop, corr, covar_samp — same
+# numerically-stable merge formulas, agreeing to ~15 digits on
+# NULL-bearing inputs. Windowed collect: Spark collect_list OVER a ROWS frame ↔
+# DuckDB list() OVER the same frame — but collect_list DROPS NULLs
+# where DuckDB's list() KEEPS them (probed: frame lengths 1 vs 2 over
+# a NULL row), so the DuckDB side carries a list_filter NOT-NULL
+# bridge; frame order makes the contents deterministic, read back via
+# join and length. Probe-verified EXCLUSIONS (fenced): skewness and
+# kurtosis — DIFFERENT ESTIMATOR FAMILIES (Spark's biased population
+# g1/g2 vs DuckDB's sample-corrected G1/G2: 0.65 vs 1.14 skew on the
+# same five rows), not a bridgeable rendering; any_value/first —
+# nondeterministic by contract.
+
+_STATS_XS = ["a", "b", "c", "a + b"]
+
+
+def _stats_bridge(expr: str) -> tuple[str, str]:
+    """10-significant-digit rendering bridge for spread/corr values.
+
+    A floor-quantize bridge is WRONG here (first hunt): covariances of
+    integer inputs are small-denominator rationals that land exactly on
+    any commensurate grid (covar_samp = −434.25), and the two engines'
+    last-ulp difference flips floor() across the boundary. %.9e
+    rounding is tie-free for such rationals — a 10-digit half-boundary
+    would need an exact (k+½)·10^(e−9) value, which a q ≤ 144 rational
+    at these magnitudes cannot be — so both renderings collapse the
+    ulp noise to the same text. NULL (empty/degenerate group) guards
+    the format call on both sides.
+    """
+    return (
+        f"(CASE WHEN {expr} IS NOT NULL"
+        f" THEN format_string('%.9e', {expr}) END)",
+        f"(CASE WHEN {expr} IS NOT NULL"
+        f" THEN printf('%.9e', {expr}) END)",
+    )
+
+
+@st.composite
+def paired_stats(draw):
+    kind = draw(st.sampled_from(["spread", "pair", "win_collect"]))
+    if kind == "spread":
+        fn = draw(
+            st.sampled_from(
+                ["stddev_samp", "stddev_pop", "var_samp", "var_pop"]
+            )
+        )
+        x = draw(st.sampled_from(_STATS_XS))
+        grp = draw(st.sampled_from(["", " GROUP BY abs(b) % 2"]))
+        sv, dv = _stats_bridge(f"{fn}({x})")
+        return (f"SELECT {sv} AS v FROM {TABLE}{grp}",
+                f"SELECT {dv} AS v FROM {TABLE}{grp}")
+    if kind == "pair":
+        fn = draw(st.sampled_from(["corr", "covar_samp"]))
+        x = draw(st.sampled_from(_STATS_XS))
+        y = draw(st.sampled_from([e for e in _STATS_XS if e != x]))
+        sv, dv = _stats_bridge(f"{fn}({x}, {y})")
+        return (f"SELECT {sv} AS v FROM {TABLE}",
+                f"SELECT {dv} AS v FROM {TABLE}")
+    x = draw(st.sampled_from(["a", "c"]))  # c injects NULLs
+    frame = draw(st.sampled_from(_ROWS_FRAMES[1:]))
+    over = f"(ORDER BY a{frame})"
+    bridge = draw(st.sampled_from(["join", "len"]))
+    s_arr = f"collect_list({x}) OVER {over}"
+    d_arr = (f"list_filter(list({x}) OVER {over},"
+             " v -> v IS NOT NULL)")
+    if bridge == "join":
+        return (
+            f"SELECT a, array_join({s_arr}, ',') AS l FROM {TABLE}",
+            f"SELECT a, coalesce(array_to_string({d_arr}, ','), '')"
+            f" AS l FROM {TABLE}",
+        )
+    return (
+        f"SELECT a, size({s_arr}) AS n FROM {TABLE}",
+        f"SELECT a, len({d_arr}) AS n FROM {TABLE}",
+    )
+
+
+@given(q=paired_stats())
+@settings(**SETTINGS)
+def test_translated_stats_parity(spark, duck, q):
+    """Stats parity: spread/correlation aggregates match through the
+    quantization bridge, and frame-ordered collect_list matches
+    DuckDB's list() under the NOT-NULL filter bridge (collect_list
+    drops NULLs, list() keeps them); skewness/kurtosis are fenced —
+    the engines implement different estimator families."""
+    sq, dq = q
+    s_rows = _canon(spark.sql(sq).toPandas())
+    o_rows = _canon(duck.execute(dq).df())
+    assert s_rows == o_rows, f"divergence for: {sq}  VS  {dq}"
