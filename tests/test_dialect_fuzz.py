@@ -2714,7 +2714,68 @@ def _stats_bridge(expr: str) -> tuple[str, str]:
 
 @st.composite
 def paired_stats(draw):
-    kind = draw(st.sampled_from(["spread", "pair", "win_collect"]))
+    kind = draw(
+        st.sampled_from(
+            ["spread", "pair", "win_collect", "regr", "boolagg",
+             "argminmax", "median"]
+        )
+    )
+    if kind == "regr":
+        # r09 probe: the whole regr_* family (slope/intercept/r2/avgx/
+        # avgy/sxx/sxy/count) matches through %.9e, incl. the
+        # both-non-NULL pair rule (regr_count excludes half-NULL rows)
+        fn = draw(
+            st.sampled_from(
+                ["regr_slope", "regr_intercept", "regr_r2", "regr_avgx",
+                 "regr_avgy", "regr_sxx", "regr_sxy"]
+            )
+        )
+        y = draw(st.sampled_from(_STATS_XS))
+        x = draw(st.sampled_from([e for e in _STATS_XS if e != y]))
+        sv, dv = _stats_bridge(f"{fn}({y}, {x})")
+        return (f"SELECT {sv} AS v FROM {TABLE}",
+                f"SELECT {dv} AS v FROM {TABLE}")
+    if kind == "boolagg":
+        pred = draw(
+            st.sampled_from(["a > 0", "c IS NULL", "b % 2 = 0", "c > b"])
+        )
+        fn_s, fn_d = draw(
+            st.sampled_from(
+                [("bool_and", "bool_and"), ("bool_or", "bool_or"),
+                 ("every", "bool_and"), ("any", "bool_or")]
+            )
+        )
+        return (
+            f"SELECT CAST({fn_s}({pred}) AS INT) AS v FROM {TABLE}",
+            f"SELECT CAST({fn_d}({pred}) AS INT) AS v FROM {TABLE}",
+        )
+    if kind == "argminmax":
+        # key is column a — unique in every row, so no tie
+        # nondeterminism; DuckDB also accepts the min_by spelling but
+        # arg_min/arg_max is its native name. Hunt-found trap: when the
+        # value at the winning key is NULL, Spark's min_by/max_by
+        # RETURNS that NULL where DuckDB's arg_min/arg_max SKIPS
+        # null-valued rows and answers from the next-best key — the
+        # Spark side carries a FILTER (value IS NOT NULL) to pin
+        # DuckDB's semantics.
+        val = draw(st.sampled_from(["s", "b", "c"]))
+        fn_s, fn_d = draw(
+            st.sampled_from(
+                [("min_by", "arg_min"), ("max_by", "arg_max"),
+                 ("min_by", "min_by"), ("max_by", "max_by")]
+            )
+        )
+        return (
+            f"SELECT {fn_s}({val}, a)"
+            f" FILTER (WHERE {val} IS NOT NULL) AS v FROM {TABLE}",
+            f"SELECT {fn_d}({val}, a) AS v FROM {TABLE}",
+        )
+    if kind == "median":
+        x = draw(st.sampled_from(_STATS_XS))
+        grp = draw(st.sampled_from(["", " GROUP BY abs(b) % 2"]))
+        sv, dv = _stats_bridge(f"median({x})")
+        return (f"SELECT {sv} AS v FROM {TABLE}{grp}",
+                f"SELECT {dv} AS v FROM {TABLE}{grp}")
     if kind == "spread":
         fn = draw(
             st.sampled_from(
