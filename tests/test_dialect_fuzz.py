@@ -1494,7 +1494,30 @@ _JSON_PATHS = ["$.a", "$.b", "$.d.e", "$.c[0]", "$.c[1]", "$.zzz"]
 @st.composite
 def paired_json(draw):
     path = draw(st.sampled_from(_JSON_PATHS))
-    kind = draw(st.sampled_from(["string", "raw", "int_bridge"]))
+    kind = draw(st.sampled_from(["string", "raw", "int_bridge", "build"]))
+    if kind == "build":
+        # r09 probe: to_json CONSTRUCTION is byte-identical (key order,
+        # string escapes, doubles, nested objects/arrays, top-level
+        # arrays, json_object) — EXCEPT NULL struct fields, which Spark
+        # OMITS and DuckDB emits as "k":null, so generated fields are
+        # non-null expressions only.
+        n_fields = draw(st.integers(1, 3))
+        fields = []
+        for i in range(n_fields):
+            v = draw(
+                st.sampled_from(
+                    ["length(coalesce(j, ''))",
+                     "CAST(length(coalesce(j, '')) % 5 AS BIGINT)",
+                     "'lit'", "CAST(1.5 AS DOUBLE)", "CAST(-7 AS BIGINT)"]
+                )
+            )
+            fields.append((f"f{i}", v))
+        s_args = ", ".join(f"'{k}', {v}" for k, v in fields)
+        d_args = ", ".join(f"'{k}': {v}" for k, v in fields)
+        return (
+            f"to_json(named_struct({s_args}))",
+            f"CAST(to_json({{{d_args}}}) AS VARCHAR)",
+        )
     if kind == "string":
         return (
             f"get_json_object(j, '{path}')",
