@@ -1132,7 +1132,10 @@ def test_translated_pair_parity(spark, duck, pairs):
 @settings(**SETTINGS)
 def test_translated_explode_parity(spark, duck, arr):
     """explode ↔ unnest parity: the flattened rows of any paired array
-    agree, including through a downstream aggregate."""
+    agree, including through a downstream aggregate; posexplode's
+    0-based ordinality bridges as generate_subscripts(…) − 1 (r09
+    probe — DuckDB's generate_series can't lateral-join on the array
+    length, so subscripts is THE ordinality spelling)."""
     s, d = arr
     sq = (
         "SELECT CAST(sum(x) AS BIGINT) AS s, count(*) AS n"
@@ -1145,6 +1148,19 @@ def test_translated_explode_parity(spark, duck, arr):
     s_rows = _canon(spark.sql(sq).toPandas())
     o_rows = _canon(duck.execute(dq).df())
     assert s_rows == o_rows, f"divergence for: {sq}  VS  {dq}"
+    # ordinality: position-weighted sum pins order, not just multiset
+    sq2 = (
+        "SELECT CAST(sum((pos + 1) * x) AS BIGINT) AS ws"
+        f" FROM (SELECT posexplode({s}) AS (pos, x)) e"
+    )
+    dq2 = (
+        "SELECT CAST(sum(pos1 * x) AS BIGINT) AS ws FROM"
+        f" (SELECT generate_subscripts({d}, 1) AS pos1,"
+        f" unnest({d}) AS x) e"
+    )
+    s2 = _canon(spark.sql(sq2).toPandas())
+    o2 = _canon(duck.execute(dq2).df())
+    assert s2 == o2, f"divergence for: {sq2}  VS  {dq2}"
 
 
 # Aggregate translation pairs (round-8, same paired-rendering harness).
@@ -1952,6 +1968,14 @@ _SEQ_TRIPLES = [
     ("DATE '2020-01-15'", "DATE '2020-06-15'", "INTERVAL '1' MONTH"),
     ("DATE '2019-12-01'", "DATE '2020-03-01'", "INTERVAL '1' MONTH"),
     ("DATE '2020-06-15'", "DATE '2020-01-15'", "INTERVAL '-1' MONTH"),
+    # TIMESTAMP steps (r09 probe: hour/minute/second chains agree,
+    # including midnight crossings; rendered without the DATE recast)
+    ("TIMESTAMP '2020-01-05 00:00:00'", "TIMESTAMP '2020-01-05 06:00:00'",
+     "INTERVAL '2' HOUR"),
+    ("TIMESTAMP '2020-01-05 23:58:00'", "TIMESTAMP '2020-01-06 00:02:00'",
+     "INTERVAL '1' MINUTE"),
+    ("TIMESTAMP '2020-01-05 00:00:02'", "TIMESTAMP '2020-01-05 00:00:00'",
+     "INTERVAL '-1' SECOND"),
 ]
 
 
@@ -1963,12 +1987,19 @@ def paired_interval_scalar(draw):
     )
     if kind == "seq":
         lo, hi, step = draw(st.sampled_from(_SEQ_TRIPLES))
+        # DATE chains need the re-date on the DuckDB side (the
+        # date+interval TIMESTAMP-widening exclusion above); TIMESTAMP
+        # chains render shared
+        d_elem = (
+            "CAST(x AS STRING)" if lo.startswith("TIMESTAMP")
+            else "CAST(CAST(x AS DATE) AS STRING)"
+        )
         return (
             f"array_join(transform(sequence({lo}, {hi}, {step}),"
             " x -> CAST(x AS STRING)), ',')",
             f"array_to_string(list_transform("
             f"generate_series({lo}, {hi}, {step}),"
-            " x -> CAST(CAST(x AS DATE) AS STRING)), ',')",
+            f" x -> {d_elem}), ',')",
         )
     s1, d1 = draw(paired_interval_date())
     if kind == "iso":
