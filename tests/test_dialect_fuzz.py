@@ -2879,3 +2879,80 @@ def test_translated_stats_parity(spark, duck, q):
     s_rows = _canon(spark.sql(sq).toPandas())
     o_rows = _canon(duck.execute(dq).df())
     assert s_rows == o_rows, f"divergence for: {sq}  VS  {dq}"
+
+
+# ---------------------------------------------------------------------------
+# Recursive-CTE core (round-9, shared text): WITH RECURSIVE landed in
+# Spark 4, giving both engines the same syntax for the iteration
+# idioms graph/hierarchy oracles want. Probe-verified admissions
+# (2026-08-16): UNION ALL recursion with single- and multi-column
+# state (linear recurrences — fib(12) = 144 in both), string
+# accumulation, several recursive CTEs in one WITH, and join-seeded
+# DAG reachability with depth guards (duplicate path multiplicity
+# agrees — UNION ALL keeps both arrivals). Probe-verified EXCLUSION
+# (fenced): UNION-distinct recursion — Spark raises
+# UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE where DuckDB iterates to a
+# fixpoint, so every generated recursion is UNION ALL with an explicit
+# bound (also keeps well under Spark's recursion row limit).
+
+_REC_DAG = "(VALUES (1,2),(1,3),(2,4),(3,4),(4,5),(2,5),(5,6)) e(a,b)"
+
+
+@st.composite
+def recursive_query(draw) -> str:
+    kind = draw(st.sampled_from(["chain", "recur2", "reach", "strgrow"]))
+    if kind == "chain":
+        seed = draw(st.integers(0, 3))
+        step = draw(st.integers(1, 3))
+        bound = draw(st.integers(5, 40))
+        agg = draw(st.sampled_from(["sum(n)", "count(*)", "min(n)",
+                                    "max(n)"]))
+        return (
+            f"WITH RECURSIVE r(n) AS (SELECT {seed} UNION ALL"
+            f" SELECT n + {step} FROM r WHERE n < {bound})"
+            f" SELECT CAST({agg} AS BIGINT) AS v FROM r"
+        )
+    if kind == "recur2":
+        ca = draw(st.integers(1, 2))
+        cb = draw(st.integers(1, 2))
+        depth = draw(st.integers(3, 18))
+        return (
+            "WITH RECURSIVE f(i, a, b) AS ("
+            " SELECT 1, CAST(0 AS BIGINT), CAST(1 AS BIGINT)"
+            f" UNION ALL SELECT i + 1, b, {ca} * a + {cb} * b"
+            f" FROM f WHERE i < {depth})"
+            " SELECT CAST(max(b) AS BIGINT) AS v,"
+            " CAST(sum(a) AS BIGINT) AS t FROM f"
+        )
+    if kind == "reach":
+        seed = draw(st.sampled_from([1, 2, 3]))
+        dmax = draw(st.integers(1, 5))
+        return (
+            f"WITH RECURSIVE edges(a, b) AS (SELECT * FROM {_REC_DAG}),"
+            f" reach(n, d) AS (SELECT {seed}, 0 UNION ALL"
+            " SELECT e.b, r.d + 1 FROM edges e JOIN reach r ON e.a = r.n"
+            f" WHERE r.d < {dmax})"
+            " SELECT count(*) AS c, CAST(sum(n) AS BIGINT) AS s,"
+            " CAST(max(d) AS BIGINT) AS md FROM reach"
+        )
+    depth = draw(st.integers(2, 6))
+    piece = draw(st.sampled_from(["'b'", "'xy'", "CAST(n AS STRING)"]))
+    return (
+        "WITH RECURSIVE p(n, s) AS ("
+        " SELECT 1, CAST('a' AS STRING)"
+        f" UNION ALL SELECT n + 1, s || {piece} FROM p WHERE n < {depth})"
+        " SELECT max(length(s)) AS l, count(*) AS c,"
+        " max(s) AS tail FROM p"
+    )
+
+
+@given(q=recursive_query())
+@settings(**SETTINGS)
+def test_recursive_cte_parity(spark, duck, q):
+    """Recursive-CTE parity: bounded UNION ALL recursions — arithmetic
+    chains, two-column linear recurrences, string growth, and DAG
+    reachability with duplicate-path multiplicity — produce identical
+    aggregates in both engines (UNION-distinct recursion is fenced:
+    Spark-unsupported)."""
+    s_rows, o_rows = _both(spark, duck, q)
+    assert s_rows == o_rows, f"divergence for: {q}"
