@@ -1510,7 +1510,22 @@ _JSON_PATHS = ["$.a", "$.b", "$.d.e", "$.c[0]", "$.c[1]", "$.zzz"]
 @st.composite
 def paired_json(draw):
     path = draw(st.sampled_from(_JSON_PATHS))
-    kind = draw(st.sampled_from(["string", "raw", "int_bridge", "build"]))
+    kind = draw(
+        st.sampled_from(["string", "raw", "int_bridge", "build", "variant"])
+    )
+    if kind == "variant":
+        # r09 probe: Spark 4's VARIANT bridges to DuckDB's JSON type —
+        # parse_json renders the same canonical text, and
+        # variant_get(…, '$.p', 'bigint') ↔ json_extract text. Guarded
+        # to VALID documents: parse_json raises on malformed where the
+        # extraction grammar (above) NULLs.
+        ipath = draw(st.sampled_from(["$.a", "$.c[0]", "$.c[1]"]))
+        doc = "'{\"a\": 7, \"c\": [1, 2]}'"
+        return (
+            f"CAST(variant_get(parse_json({doc}), '{ipath}',"
+            f" 'bigint') AS BIGINT)",
+            f"CAST(json_extract({doc}, '{ipath}') AS BIGINT)",
+        )
     if kind == "build":
         # r09 probe: to_json CONSTRUCTION is byte-identical (key order,
         # string escapes, doubles, nested objects/arrays, top-level
@@ -2395,7 +2410,8 @@ def paired_bitstring_scalar(draw):
     kind = draw(
         st.sampled_from(
             ["bit", "bit", "shift", "modplus", "find", "slice",
-             "pad", "misc", "printf", "predicate", "digest", "likeops"]
+             "pad", "misc", "printf", "predicate", "digest", "likeops",
+             "trimops"]
         )
     )
     x = draw(st.sampled_from(["a", "b", "c", "CAST(12 AS BIGINT)",
@@ -2496,6 +2512,34 @@ def paired_bitstring_scalar(draw):
             return f"ascii({hay})", f"ascii({hay})"
         code = draw(st.integers(65, 90))
         return f"char({code})", f"chr({code})"
+    if kind == "trimops":
+        # r09 probe: trim(BOTH/LEADING/TRAILING chars FROM s) is shared
+        # (character-SET semantics in both); btrim(s, chars) ↔
+        # trim(s, chars); the || operator concats with NULL propagation
+        # and implicit int→string casts identically. Trap: two-arg
+        # ltrim/rtrim ARGUMENT ORDER FLIPS — Spark ltrim(trimStr, str)
+        # vs DuckDB ltrim(str, chars).
+        hay = draw(st.sampled_from(_BS_HAYS))
+        chars = draw(st.sampled_from(["'x'", "'ab'", "' '"]))
+        which = draw(
+            st.sampled_from(
+                ["both", "leading", "trailing", "btrim", "lr2", "concat"]
+            )
+        )
+        if which in ("both", "leading", "trailing"):
+            q = f"trim({which.upper()} {chars} FROM {hay})"
+            return q, q
+        if which == "btrim":
+            return f"btrim({hay}, {chars})", f"trim({hay}, {chars})"
+        if which == "lr2":
+            fn = draw(st.sampled_from(["ltrim", "rtrim"]))
+            return (
+                f"{fn}({chars}, {hay})",
+                f"{fn}({hay}, {chars})",
+            )
+        other = draw(st.sampled_from(_BS_HAYS + ["CAST(7 AS BIGINT)"]))
+        q = f"({hay} || {other})"
+        return q, q
     if kind == "likeops":
         # r09 probe: like/ilike/%_/escapes agree — but the ESCAPE
         # RENDERING differs: Spark reads '\\_' as an escaped literal
