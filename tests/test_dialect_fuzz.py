@@ -1998,8 +1998,33 @@ _SEQ_TRIPLES = [
 def paired_interval_scalar(draw):
     """Scalar bridges over paired interval-date expressions."""
     kind = draw(
-        st.sampled_from(["iso", "day_diff", "month_diff", "cmp", "seq"])
+        st.sampled_from(
+            ["iso", "day_diff", "month_diff", "cmp", "seq", "ts_chain"]
+        )
     )
+    if kind == "ts_chain":
+        # r09 probe: TIMESTAMP ± INTERVAL is SHARED text (unlike the
+        # DATE case above, where DuckDB widens to TIMESTAMP): hour/
+        # minute/fractional-second/day arithmetic and month-end
+        # clamping all agree under the string bridge in UTC
+        ts = draw(
+            st.sampled_from(
+                ["TIMESTAMP '2020-01-31 10:00:00'",
+                 "TIMESTAMP '2020-01-05 23:30:00'",
+                 "TIMESTAMP '1999-12-31 23:59:59.5'"]
+            )
+        )
+        e = ts
+        for _ in range(draw(st.integers(1, 3))):
+            n = draw(st.integers(0, 48))
+            unit = draw(
+                st.sampled_from(["HOUR", "MINUTE", "SECOND", "DAY",
+                                 "MONTH"])
+            )
+            sign = draw(st.sampled_from(["+", "-"]))
+            e = f"({e} {sign} INTERVAL '{n}' {unit})"
+        q = f"CAST({e} AS STRING)"
+        return q, q
     if kind == "seq":
         lo, hi, step = draw(st.sampled_from(_SEQ_TRIPLES))
         # DATE chains need the re-date on the DuckDB side (the
@@ -3000,3 +3025,49 @@ def test_recursive_cte_parity(spark, duck, q):
     Spark-unsupported)."""
     s_rows, o_rows = _both(spark, duck, q)
     assert s_rows == o_rows, f"divergence for: {q}"
+
+
+# listagg translation pairs (round-9). Spark 4's listagg lives in its
+# OWN test rather than paired_aggregate for a hunt-found reason: an
+# ordered listagg co-planned with TWO different-child DISTINCT
+# aggregates in one SELECT crashes Spark 4.1.2's planner outright —
+# minimal repro
+#   SELECT count(DISTINCT a % 2), count(DISTINCT a % 3),
+#          listagg(s, ',') WITHIN GROUP (ORDER BY s) FROM t
+# → ClassCastException: AttributeReference cannot be cast to SortOrder
+# (the Expand-based multi-distinct rewrite mishandles the WITHIN GROUP
+# sort order). That is an ENGINE BUG, not a dialect divergence; the
+# paired harness mixes up to 4 arbitrary pairs per SELECT, so listagg
+# gets a SELECT of its own. Probe-verified pairs: listagg … WITHIN
+# GROUP (ORDER BY) ↔ DuckDB string_agg/listagg with order-inside,
+# both directions, grouped and global, DISTINCT included (safe here —
+# no co-planned multi-distinct).
+
+
+@given(
+    sep=st.sampled_from([",", "|"]),
+    direction=st.sampled_from(["", " DESC"]),
+    dist=st.sampled_from(["", "DISTINCT "]),
+    d_fn=st.sampled_from(["string_agg", "listagg"]),
+    grp=st.sampled_from(["", " GROUP BY g"]),
+)
+@settings(**SETTINGS)
+def test_translated_listagg_parity(spark, duck, sep, direction, dist,
+                                   d_fn, grp):
+    """listagg parity: Spark's WITHIN GROUP spelling matches DuckDB's
+    order-inside string_agg/listagg, grouped and global, with DISTINCT
+    and DESC — isolated per-SELECT to stay clear of the co-planned
+    multi-distinct planner crash documented above."""
+    src = f"(SELECT abs(a) % 3 AS g, s FROM {TABLE} WHERE s IS NOT NULL) v"
+    gcol = "g, " if grp else ""
+    sq = (
+        f"SELECT {gcol}listagg({dist}s, '{sep}')"
+        f" WITHIN GROUP (ORDER BY s{direction}) AS l FROM {src}{grp}"
+    )
+    dq = (
+        f"SELECT {gcol}{d_fn}({dist}s, '{sep}'"
+        f" ORDER BY s{direction}) AS l FROM {src}{grp}"
+    )
+    s_rows = _canon(spark.sql(sq).toPandas())
+    o_rows = _canon(duck.execute(dq).df())
+    assert s_rows == o_rows, f"divergence for: {sq}  VS  {dq}"
