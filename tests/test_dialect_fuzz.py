@@ -1180,7 +1180,7 @@ _AGG_GROUPS = ["", " GROUP BY g"]
 def paired_aggregate(draw):
     kind = draw(
         st.sampled_from(["md5_bucket", "set_join", "list_join", "pctl",
-                         "pctl_disc", "median"])
+                         "pctl_array", "pctl_disc", "median"])
     )
     if kind == "md5_bucket":
         w = draw(st.sampled_from([4, 8, 15]))
@@ -1206,6 +1206,19 @@ def paired_aggregate(draw):
         return (
             f"CAST(round(percentile(a, {q}), 6) + 0.0 AS DOUBLE)",
             f"CAST(round(quantile_cont(a, {q}), 6) + 0.0 AS DOUBLE)",
+        )
+    if kind == "pctl_array":
+        # r09 probe: the ARRAY form matches element-wise too
+        qs = draw(
+            st.lists(st.sampled_from(["0.1", "0.25", "0.5", "0.75", "0.9"]),
+                     min_size=1, max_size=3, unique=True)
+        )
+        s_qs = ", ".join(qs)
+        return (
+            f"array_join(transform(percentile(a, array({s_qs})),"
+            " x -> format_string('%.6e', x)), ';')",
+            f"array_to_string(list_transform(quantile_cont(a, [{s_qs}]),"
+            " x -> printf('%.6e', x)), ';')",
         )
     if kind == "pctl_disc":
         q = draw(st.sampled_from(["0.25", "0.5", "0.75"]))
@@ -1905,6 +1918,34 @@ def test_translated_map_struct_parity(spark, duck, pairs):
     s_rows = _canon(spark.sql(sq).toPandas())
     o_rows = _canon(duck.execute(dq).df())
     assert s_rows == o_rows, f"divergence for: {sq}  VS  {dq}"
+
+
+@given(mp=paired_map(), pairs=st.integers(0, 1))
+@settings(**SETTINGS)
+def test_translated_map_explode_parity(spark, duck, mp, pairs):
+    """Map/struct ROW GENERATION parity (r09 probe): Spark's
+    explode(map) → (key, value) rows pairs with DuckDB's parallel
+    unnest over map_keys/map_values (positionally aligned by unnest's
+    zip behavior); inline(array(named_struct…)) pairs with unnest of a
+    struct list (recursive := false keeps one level)."""
+    s_map, d_map = mp
+    sq = (f"SELECT key, value FROM (SELECT explode({s_map}) FROM"
+          f" {TABLE}) e")
+    dq = (f"SELECT unnest(map_keys({d_map})) AS key,"
+          f" unnest(map_values({d_map})) AS value FROM {TABLE}")
+    s_rows = _canon(spark.sql(sq).toPandas())
+    o_rows = _canon(duck.execute(dq).df())
+    assert s_rows == o_rows, f"divergence for: {sq}  VS  {dq}"
+    if pairs:
+        sq2 = ("SELECT k, v FROM (SELECT inline(array("
+               "named_struct('k', a, 'v', s),"
+               f" named_struct('k', b, 'v', 'z'))) FROM {TABLE}) e")
+        dq2 = ("SELECT u.k AS k, u.v AS v FROM (SELECT unnest("
+               "[{'k': a, 'v': s}, {'k': b, 'v': 'z'}],"
+               f" recursive := false) AS u FROM {TABLE}) t")
+        s2 = _canon(spark.sql(sq2).toPandas())
+        o2 = _canon(duck.execute(dq2).df())
+        assert s2 == o2, f"divergence for: {sq2}  VS  {dq2}"
 
 
 # Interval-arithmetic pairs (round-9). Probe-verified (2026-08-15):
