@@ -1128,14 +1128,20 @@ def test_translated_pair_parity(spark, duck, pairs):
     assert s_rows == o_rows, f"divergence for: {s_sel}  VS  {d_sel}"
 
 
-@given(arr=paired_int_array())
+@given(
+    arr=paired_int_array(),
+    rng=st.tuples(st.integers(0, 5), st.integers(0, 12), st.integers(1, 4)),
+)
 @settings(**SETTINGS)
-def test_translated_explode_parity(spark, duck, arr):
+def test_translated_explode_parity(spark, duck, arr, rng):
     """explode ↔ unnest parity: the flattened rows of any paired array
     agree, including through a downstream aggregate; posexplode's
     0-based ordinality bridges as generate_subscripts(…) − 1 (r09
     probe — DuckDB's generate_series can't lateral-join on the array
-    length, so subscripts is THE ordinality spelling)."""
+    length, so subscripts is THE ordinality spelling); the range()
+    TABLE function is shared except its output column NAME (Spark
+    `id`, DuckDB `range` — the alias is the bridge), r09-probed over
+    bounds, steps, negative steps, empties, and self-joins."""
     s, d = arr
     sq = (
         "SELECT CAST(sum(x) AS BIGINT) AS s, count(*) AS n"
@@ -1161,6 +1167,14 @@ def test_translated_explode_parity(spark, duck, arr):
     s2 = _canon(spark.sql(sq2).toPandas())
     o2 = _canon(duck.execute(dq2).df())
     assert s2 == o2, f"divergence for: {sq2}  VS  {dq2}"
+    lo, span, step = rng
+    sq3 = (f"SELECT CAST(sum(id) AS BIGINT) AS s, count(*) AS n"
+           f" FROM range({lo}, {lo + span}, {step})")
+    dq3 = (f"SELECT CAST(sum(range) AS BIGINT) AS s, count(*) AS n"
+           f" FROM range({lo}, {lo + span}, {step})")
+    s3 = _canon(spark.sql(sq3).toPandas())
+    o3 = _canon(duck.execute(dq3).df())
+    assert s3 == o3, f"divergence for: {sq3}  VS  {dq3}"
 
 
 # Aggregate translation pairs (round-8, same paired-rendering harness).
