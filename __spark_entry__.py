@@ -33,48 +33,48 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness pass is BOUNDED (~50 keys) and records the
-# FIRST entries of queries() in insertion order. Rounds 1-8 recorded 399
-# distinct keys (CORRECTNESS_r01..r08.json). Round 9 rotates again: the 137
-# never-driver-recorded keys lead (in prior PRIORITY order), and all 399
+# FIRST entries of queries() in insertion order. Rounds 1-9 recorded 449
+# distinct keys (CORRECTNESS_r01..r09.json). Round 10 rotates again: the 87
+# never-driver-recorded keys lead (in prior PRIORITY order), and all 449
 # driver-recorded keys queue last. Each round's ~50-key window is therefore
-# all first-time keys until the full 536 are confirmed (~r11: 449 after
-# r09, 499 after r10, 536 at r11).
+# all first-time keys until the full 536 are confirmed (499 after r10,
+# 536 at r11).
 PRIORITY = [
-    "a_sink_python_ds", "a_sink_zorder", "a_scan_glob", "b_filter_in_subquery",
-    "b_lateral_alias", "c_join_band_bucketed", "c_merge_scd1", "c_join_null_safe",
-    "c_join_overlap", "c_merge_cdc", "c_join_asof_nearest", "c_join_pit",
-    "c_join_cardinality_est", "d_agg_bool", "d_agg_histogram", "d_agg_unpivot",
-    "d_agg_approx_quantile", "d_agg_hll_sketch", "d_agg_freq_items", "d_agg_grouping_id",
-    "d_transpose", "d_agg_group_by_all", "d_agg_listagg", "d_agg_regression",
-    "d_agg_crosstab", "d_agg_approx_top_k", "d_agg_moments", "d_agg_corr_matrix",
-    "d_agg_histogram_equiheight", "d_agg_weighted_median", "e_win_reset_sum", "e_win_zscore_rolling",
-    "e_win_vwap", "e_win_drawdown", "k_conversion_lag", "k_survival_km",
-    "k_cohort_ltv", "k_autocorr_daily", "k_peak_concurrency", "k_event_paths",
-    "k_dedup_containment", "k_sim_threshold", "k_sim_ann", "k_cluster_assign",
-    "k_text_tokens", "k_text_stats", "k_multimodal_join", "k_dedup_minhash",
-    "k_cluster_iterate", "k_dedup_clusters", "k_cluster_silhouette", "k_text_keywords",
-    "k_eval_dedup_recall", "k_graph_triangles", "k_anonymize_kanon", "k_incremental_agg",
-    "k_expectations", "k_dedup_apply", "k_dataset_card", "k_vocab_coverage",
-    "k_negatives_random", "k_sim_pq", "k_sim_pq_rerank", "k_rag_mmr",
-    "k_anonymize_ldiv", "k_dedup_incremental", "k_sim_matryoshka", "k_dup_family_sizes",
-    "k_dedup_canonical_best", "k_sim_hamming", "k_text_quality", "k_text_fingerprint",
-    "k_text_token_count", "k_multimodal_decode", "k_multimodal_framesample", "k_multimodal_resize",
-    "k_text_ngram_chars", "k_multimodal_dedup", "k_bpe_first_merge", "k_text_normalize",
-    "k_text_bm25", "k_bpe_apply", "k_text_compressibility", "k_query_expansion_prf",
-    "k_truncation_loss", "k_text_repetition", "k_profile_table", "k_text_unigram_logprob",
-    "k_embed_quantize", "k_mix_report", "k_dedup_segments", "k_curriculum",
-    "k_sft_records", "k_winsorize_embed", "k_sample_weighted", "k_quality_logreg",
-    "k_dsir_weights", "k_shard_balance", "k_text_bigram_logprob", "k_source_divergence",
-    "k_retention_cohorts", "k_anomaly_zscore", "k_batch_padding_waste", "k_active_margin",
-    "k_embed_drift", "k_group_kfold", "k_learning_curve", "k_dataset_diff",
-    "k_shard_plan", "k_sample_balanced", "k_fk_orphans", "k_target_encoding",
-    "k_embed_pca_project", "k_embed_outliers", "k_label_noise_knn", "k_eval_regression",
-    "k_eval_ks_test", "k_ab_sprt", "k_eval_brier", "k_rank_spearman",
-    "k_jackknife_se", "k_eval_interleave", "k_threshold_sweep", "k_threshold_youden",
-    "k_eval_langid_confusion", "k_eval_kappa", "k_text_burstiness", "k_text_hashing_trick",
-    "k_graph_jaccard", "k_tail_hill", "k_gini_sources", "k_assoc_rules",
-    "k_chi2_terms", "k_changepoint_cusum", "k_anomaly_mad", "k_trimmed_mean",
-    "k_interarrival", "k_eval_avg_precision", "a_scan_json_corrupt", "q_pivot_sql",
+    "k_cluster_silhouette", "k_text_keywords", "k_eval_dedup_recall", "k_graph_triangles",
+    "k_anonymize_kanon", "k_incremental_agg", "k_expectations", "k_dedup_apply",
+    "k_dataset_card", "k_vocab_coverage", "k_negatives_random", "k_sim_pq",
+    "k_sim_pq_rerank", "k_rag_mmr", "k_anonymize_ldiv", "k_dedup_incremental",
+    "k_sim_matryoshka", "k_dup_family_sizes", "k_dedup_canonical_best", "k_sim_hamming",
+    "k_text_quality", "k_text_fingerprint", "k_text_token_count", "k_multimodal_decode",
+    "k_multimodal_framesample", "k_multimodal_resize", "k_text_ngram_chars", "k_multimodal_dedup",
+    "k_bpe_first_merge", "k_text_normalize", "k_text_bm25", "k_bpe_apply",
+    "k_text_compressibility", "k_query_expansion_prf", "k_truncation_loss", "k_text_repetition",
+    "k_profile_table", "k_text_unigram_logprob", "k_embed_quantize", "k_mix_report",
+    "k_dedup_segments", "k_curriculum", "k_sft_records", "k_winsorize_embed",
+    "k_sample_weighted", "k_quality_logreg", "k_dsir_weights", "k_shard_balance",
+    "k_text_bigram_logprob", "k_source_divergence", "k_retention_cohorts", "k_anomaly_zscore",
+    "k_batch_padding_waste", "k_active_margin", "k_embed_drift", "k_group_kfold",
+    "k_learning_curve", "k_dataset_diff", "k_shard_plan", "k_sample_balanced",
+    "k_fk_orphans", "k_target_encoding", "k_embed_pca_project", "k_embed_outliers",
+    "k_label_noise_knn", "k_eval_regression", "k_eval_ks_test", "k_ab_sprt",
+    "k_eval_brier", "k_rank_spearman", "k_jackknife_se", "k_eval_interleave",
+    "k_threshold_sweep", "k_threshold_youden", "k_eval_langid_confusion", "k_eval_kappa",
+    "k_text_burstiness", "k_text_hashing_trick", "k_graph_jaccard", "k_tail_hill",
+    "k_gini_sources", "k_assoc_rules", "k_chi2_terms", "k_changepoint_cusum",
+    "k_anomaly_mad", "k_trimmed_mean", "k_interarrival", "a_sink_python_ds",
+    "a_sink_zorder", "a_scan_glob", "b_filter_in_subquery", "b_lateral_alias",
+    "c_join_band_bucketed", "c_merge_scd1", "c_join_null_safe", "c_join_overlap",
+    "c_merge_cdc", "c_join_asof_nearest", "c_join_pit", "c_join_cardinality_est",
+    "d_agg_bool", "d_agg_histogram", "d_agg_unpivot", "d_agg_approx_quantile",
+    "d_agg_hll_sketch", "d_agg_freq_items", "d_agg_grouping_id", "d_transpose",
+    "d_agg_group_by_all", "d_agg_listagg", "d_agg_regression", "d_agg_crosstab",
+    "d_agg_approx_top_k", "d_agg_moments", "d_agg_corr_matrix", "d_agg_histogram_equiheight",
+    "d_agg_weighted_median", "e_win_reset_sum", "e_win_zscore_rolling", "e_win_vwap",
+    "e_win_drawdown", "k_conversion_lag", "k_survival_km", "k_cohort_ltv",
+    "k_autocorr_daily", "k_peak_concurrency", "k_event_paths", "k_dedup_containment",
+    "k_sim_threshold", "k_sim_ann", "k_cluster_assign", "k_text_tokens",
+    "k_text_stats", "k_multimodal_join", "k_dedup_minhash", "k_cluster_iterate",
+    "k_dedup_clusters", "k_eval_avg_precision", "a_scan_json_corrupt", "q_pivot_sql",
     "q_lateral_view", "d_agg_median_counting", "i_idempotent_sink", "c_join_asof_tolerance",
     "k_srm_check", "k_importance_ess", "k_fdr_bh", "k_power_mde",
     "k_capture_recapture", "k_best_split_stump", "q_filter_clause", "e_win_rolling_corr",

@@ -562,12 +562,21 @@ def d_agg_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     expensive join (find the hot keys WITHOUT a full groupBy). One pass,
     constant memory per column, mergeable across partitions. Rows-only:
     KSP candidate sets are order/impl-sensitive; the exact twin for declared
-    frequencies is d_agg_groupby-style counting."""
+    frequencies is d_agg_groupby-style counting.
+
+    Output columns are flattened to csv strings: the correctness harness
+    canonicalizes rows via a pandas sort, which cannot order array-typed
+    cells (CORRECTNESS_r09: unhashable list). Sorted-then-joined strings
+    carry the same information deterministically."""
     o = load(spark, sf_dir, "orders")
     fi = o.freqItems(["o_orderstatus", "o_orderpriority"], support=0.1)
     return fi.select(
-        F.sort_array(F.col("o_orderstatus_freqItems")).alias("hot_statuses"),
-        F.sort_array(F.col("o_orderpriority_freqItems")).alias("hot_priorities"),
+        F.array_join(F.sort_array(F.col("o_orderstatus_freqItems")), ",").alias(
+            "hot_statuses"
+        ),
+        F.array_join(
+            F.sort_array(F.col("o_orderpriority_freqItems")), ","
+        ).alias("hot_priorities"),
     )
 
 

@@ -37,6 +37,17 @@ class DecimalOutputError(ValueError):
     """A query emitted a Decimal-typed cell — a driver value-hash risk."""
 
 
+class NonAtomicOutputError(ValueError):
+    """A query emitted an Array/Map/Struct-typed column.
+
+    The driver's pandas canonicalizer sorts rows with ``sort_values``,
+    which crashes on list/dict cells (CORRECTNESS_r09 ``d_agg_freq_items``:
+    ``TypeError: unhashable type: 'list'``) — even for rows-only keys,
+    where the crash happens BEFORE the weaker check runs. Flatten nested
+    output (``array_join(sort_array(...), ',')`` / ``to_json``) instead.
+    """
+
+
 def canon_cell(v) -> str:
     """Canonical string for a cell so Spark/DuckDB values can be compared."""
     if v is None:
@@ -81,7 +92,19 @@ def canon_rows(df) -> list[tuple]:
 def run_one(spark, con, key: str, sf_dir: str) -> tuple[bool, str]:
     fn = QUERIES[key]
     t0 = time.time()
-    sdf = fn(spark, sf_dir).toPandas()
+    result = fn(spark, sf_dir)
+    nested = [
+        f"{f.name}:{f.dataType.typeName()}"
+        for f in result.schema.fields
+        if f.dataType.typeName() in ("array", "map", "struct")
+    ]
+    if nested:
+        raise NonAtomicOutputError(
+            f"non-atomic output column(s) {nested} — the driver's pandas "
+            "canonicalizer crashes on nested cells; flatten with "
+            "array_join/to_json in the query"
+        )
+    sdf = result.toPandas()
     t_spark = time.time() - t0
     if key not in ORACLES:
         return True, f"rows-only: {len(sdf)} rows ({t_spark:.1f}s)"
