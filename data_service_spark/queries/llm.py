@@ -1445,9 +1445,17 @@ def pagerank_ranks(
     packed-long ids, returning (ranks, n_nodes). Two physical regimes,
     same algebra — dispatch on node count like ``sim_pairs``:
 
-    - broadcast (n_nodes ≤ ``PAGERANK_BROADCAST_MAX_NODES``): the edge
-      list with 1/deg weights localCheckpoints once and every iteration
-      broadcasts the rank vector — the 2|E|-row side never re-shuffles.
+    - broadcast (n_nodes ≤ ``PAGERANK_BROADCAST_MAX_NODES``): only the
+      |V|-row DEGREE table checkpoints; the 2|E| edge rows stay the raw
+      two-column projection off the session-pinned distinct-pair memo
+      (narrow re-scan per iteration — no weighted third column ever
+      materializes, no 2|E|-row checkpoint write). Each iteration folds
+      rank/degree into a |V|-row broadcast (``r * (1.0/d)`` — the same
+      float ops as the per-edge ``r * inv`` product, so the two regimes
+      still agree to 1e-9) and aggregates contributions on dst. The
+      r10 interleaved A/B: the old shape paid ~0.9 s building and
+      pinning the weighted edge list before iteration one; this shape
+      runs 1.85 → 1.24–1.5 s steady at sf0.1 (control key on band).
     - partitioned (above the threshold, or forced via ``partitioned=``):
       the weighted edge list pre-partitions on src BEFORE its checkpoint
       (LogicalRDD keeps the partitioning, so no iteration re-exchanges
@@ -1456,31 +1464,50 @@ def pagerank_ranks(
       iteration, nothing broadcast, nothing collected.
     """
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    n_nodes: int | None = None
+    if partitioned is not True:
+        # Pin the |V|-row degree table (rank-vector-sized, safe at any
+        # regime) — the regime decision, rank init, and per-iteration
+        # weights all derive from it without touching the edge rows.
+        deg = deg.localCheckpoint()
+        # One driver-side scalar (node count) — O(1) result; both init
+        # and the damping term need it as a literal.
+        n_nodes = deg.count()
+        if partitioned is None:
+            partitioned = n_nodes > PAGERANK_BROADCAST_MAX_NODES
+    if not partitioned:
+        ranks = deg.select(
+            F.col("src").alias("node"), F.lit(1.0 / n_nodes).alias("r")
+        )
+        for _ in range(3):
+            rod = ranks.join(F.broadcast(deg), ranks.node == deg.src).select(
+                F.col("node"),
+                (F.col("r") * (F.lit(1.0) / F.col("d"))).alias("w"),
+            )
+            ranks = (
+                edges.join(F.broadcast(rod), edges.src == rod.node)
+                .groupBy("dst")
+                .agg(F.sum("w").alias("s"))
+                .select(
+                    F.col("dst").alias("node"),
+                    (F.lit(0.15 / n_nodes) + F.lit(0.85) * F.col("s")).alias(
+                        "r"
+                    ),
+                )
+            )
+        return ranks, n_nodes
     ewd = edges.join(deg, "src").select(
         "src", "dst", (F.lit(1.0) / F.col("d")).alias("inv")
     )
-    if partitioned:
-        ewd = ewd.repartition(F.col("src"))
-    # Checkpoint the weighted edge list FIRST — the degree join happens
-    # once, and the node spine + count below derive from the pinned RDD
-    # instead of re-running the edge build.
-    ewd = ewd.localCheckpoint()
+    # Pre-partition on src before the one checkpoint: LogicalRDD keeps
+    # the layout, so no iteration re-exchanges the 2|E|-row side.
+    ewd = ewd.repartition(F.col("src")).localCheckpoint()
     nodes = ewd.select(F.col("src").alias("node")).distinct()
-    # One driver-side scalar (node count) — O(1) result, not a collect of
-    # data rows; both init and the damping term need it as a literal.
-    n_nodes = nodes.count()
-    if partitioned is None:
-        partitioned = n_nodes > PAGERANK_BROADCAST_MAX_NODES
-        if partitioned:
-            # rank vector too big to broadcast: re-pin the edge list in
-            # its pre-partitioned layout (one extra pass, paid once)
-            ewd = ewd.repartition(F.col("src")).localCheckpoint()
+    if n_nodes is None:
+        n_nodes = nodes.count()
     ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("r"))
     for _ in range(3):
-        contrib = ewd.join(
-            ranks if partitioned else F.broadcast(ranks),
-            ewd.src == ranks.node,
-        )
+        contrib = ewd.join(ranks, ewd.src == ranks.node)
         ranks = (
             contrib.groupBy("dst")
             .agg(F.sum(F.col("r") * F.col("inv")).alias("s"))
@@ -1550,10 +1577,12 @@ def k_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.1): node ids are packed LONGS throughout the hot loop
     (2·custkey / 2·suppkey+1 — integer hash/compare in every join and
     aggregate) and only the final projection decodes the display string;
-    orders broadcasts into the edge build (no lineitem shuffle); the
-    weighted edge list checkpoints ONCE and every iteration broadcasts
-    the rank vector (|nodes| ≪ |edges|, the defining ratio of a
-    transaction graph) so the 2|E|-row edge list never re-shuffles.
+    orders broadcasts into the edge build (no lineitem shuffle); only
+    the |V|-row degree table checkpoints, and every iteration broadcasts
+    the rank×(1/deg) weight vector (|nodes| ≪ |edges|, the defining
+    ratio of a transaction graph) over the raw two-column edge
+    projection off the session-pinned pair memo — the 2|E|-row side
+    never re-shuffles and never materializes a weight column.
     Above ``PAGERANK_BROADCAST_MAX_NODES`` the rank vector outgrows a
     sane broadcast and the iteration DISPATCHES (in code, like
     ``sim_pairs``' grid regime) to ``pagerank_ranks(partitioned=True)``:

@@ -2183,12 +2183,22 @@ _DEC_DIVISORS = ["2", "4", "5", "8", "10", "16", "20", "25"]
 
 
 @st.composite
-def dec_expr(draw, depth: int = 3, scale: int = 2) -> tuple[str, str, int]:
+def dec_expr(
+    draw, depth: int = 3, scale: int = 2, allow_divide: bool = True
+) -> tuple[str, str, int]:
     """(spark_sql, duck_sql, result_scale) for a decimal expression.
 
     Shared text except the division pair; `scale` is threaded so no
     generated expression ever needs a DOWN-rescale (the fenced
     truncation-vs-HALF_UP trap) and multiplication stops at scale 6.
+
+    `divide` is TERMINAL: only the top-level draw (consumed directly by
+    the (38,6) bridge) may produce it. DuckDB types a decimal quotient
+    DOUBLE, so a quotient nested under round() re-enters the fenced
+    rounding trap (round(7.31/2, 2): exact-decimal 3.66 vs double
+    3.65) and under mul pushes true scale past the bridge's 6. The
+    quotient is also re-anchored to DECIMAL(38,6) at the node itself so
+    aggregate consumers (sum) accumulate exactly on both sides.
     """
     if depth <= 0 or draw(st.integers(0, 2)) == 0:
         leaf = draw(
