@@ -709,7 +709,10 @@ def h_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
     join, distinct) inherits it without lower() wrappers mangling the
     stored values. The fixture mixes the case of half the rows; binary
     sees 2× the segments, the collated count restores the true 5. The
-    oracle states the lcase semantics explicitly with lower().
+    oracle states the lcase semantics explicitly with lower() — and MUST:
+    the r10 collation fuzz core proved DuckDB IGNORES a COLLATE clause
+    inside count(DISTINCT ...), so a naive COLLATE-based twin would
+    count the binary classes.
 
     Scale: collation-aware distinct is the same hash aggregate with a
     collation-keyed hash — no extra pass, unlike the lower()-projection

@@ -261,6 +261,15 @@ _ROWS_FRAMES = [
     " ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING",
     " ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING",
     " ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING",
+    # r10 probes: frames that exclude the current row entirely —
+    # backward-only, forward-only, and their UNBOUNDED edges. Rows with
+    # an EMPTY frame agree cross-engine (NULL for sum/first_value, 0 for
+    # count). Probed exclusions: EXCLUDE clauses (Spark 4 does not parse
+    # them) and GROUPS mode (unimplemented in BOTH engines).
+    " ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING",
+    " ROWS BETWEEN 1 FOLLOWING AND 3 FOLLOWING",
+    " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING",
+    " ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING",
 ]
 
 
@@ -329,18 +338,41 @@ def window_expr(draw) -> str:
              "a DESC", "abs(b) % 3"]
         )
     )
-    lo = draw(
-        st.sampled_from(
-            ["UNBOUNDED PRECEDING", "0 PRECEDING",
-             f"{draw(st.integers(1, 20))} PRECEDING"]
+    # r10 probes extend further: value frames strictly BEHIND or strictly
+    # AHEAD of the current row's peer group (hi = m PRECEDING / lo =
+    # n FOLLOWING, empty-frame rows included) agree in both directions
+    # and under NULLS placement. Bound pairs are drawn so lo ≤ hi stays
+    # valid in both engines.
+    shape = draw(st.sampled_from(["span", "span", "behind", "ahead"]))
+    if shape == "behind":
+        m = draw(st.integers(1, 5))
+        lo = draw(
+            st.sampled_from(
+                ["UNBOUNDED PRECEDING", f"{m + draw(st.integers(0, 15))} PRECEDING"]
+            )
         )
-    )
-    hi = draw(
-        st.sampled_from(
-            ["CURRENT ROW", "0 FOLLOWING", "5 FOLLOWING",
-             "UNBOUNDED FOLLOWING"]
+        hi = f"{m} PRECEDING"
+    elif shape == "ahead":
+        n = draw(st.integers(1, 5))
+        lo = f"{n} FOLLOWING"
+        hi = draw(
+            st.sampled_from(
+                ["UNBOUNDED FOLLOWING", f"{n + draw(st.integers(0, 15))} FOLLOWING"]
+            )
         )
-    )
+    else:
+        lo = draw(
+            st.sampled_from(
+                ["UNBOUNDED PRECEDING", "0 PRECEDING",
+                 f"{draw(st.integers(1, 20))} PRECEDING"]
+            )
+        )
+        hi = draw(
+            st.sampled_from(
+                ["CURRENT ROW", "0 FOLLOWING", "5 FOLLOWING",
+                 "UNBOUNDED FOLLOWING"]
+            )
+        )
     return (
         f"CAST({fn}({x}) OVER ({part}ORDER BY {rkey}"
         f" RANGE BETWEEN {lo} AND {hi}) AS BIGINT)"
@@ -500,7 +532,8 @@ _T2 = TABLE.replace(") t", ") t2")
     inner=num_expr(2),
     outer=num_expr(1),
     form=st.sampled_from(
-        ["IN", "NOT IN", "EXISTS", "NOT EXISTS", "SCALAR"]
+        ["IN", "NOT IN", "EXISTS", "NOT EXISTS", "SCALAR",
+         "IN_CORR", "NOT_IN_CORR"]
     ),
     corr=st.sampled_from(["t2.b = t.a", "t2.a < t.a", "t2.c = t.c"]),
 )
@@ -508,13 +541,23 @@ _T2 = TABLE.replace(") t", ") t2")
 def test_subquery_parity(spark, duck, inner, outer, form, corr):
     """Subquery-predicate parity: generated [NOT] IN (including the
     three-valued NOT-IN-over-NULLs trap — the inner projection can be
-    NULL), correlated [NOT] EXISTS, and correlated scalar aggregates
-    evaluate identically. Probed exclusion: quantified ANY/ALL
-    comparisons — Spark 4 does not parse them (DuckDB does)."""
+    NULL), correlated [NOT] EXISTS, correlated [NOT] IN (r10: the inner
+    set varies PER OUTER ROW, so the NULL-in-set 3VL collapse hits some
+    rows and not others — subquery 3VL, not just the join-shape kind),
+    and correlated scalar aggregates evaluate identically. Probed
+    exclusion: quantified ANY/ALL comparisons — Spark 4 does not parse
+    them (DuckDB does)."""
     if form in ("IN", "NOT IN"):
         q = (
             f"SELECT a, b FROM {TABLE} WHERE CAST({outer} AS BIGINT)"
             f" {form} (SELECT CAST({inner} AS BIGINT) FROM {_T2})"
+        )
+    elif form in ("IN_CORR", "NOT_IN_CORR"):
+        kw = "IN" if form == "IN_CORR" else "NOT IN"
+        q = (
+            f"SELECT a, b FROM {TABLE} WHERE CAST({outer} AS BIGINT)"
+            f" {kw} (SELECT CAST({inner} AS BIGINT) FROM {_T2}"
+            f" WHERE {corr})"
         )
     elif form in ("EXISTS", "NOT EXISTS"):
         q = (
@@ -1048,13 +1091,14 @@ def paired_scalar(draw):
     """(spark_sql, duck_sql) scalar bridges over a paired array."""
     typ = draw(st.sampled_from(["int", "str"]))
     s, d = draw(paired_int_array() if typ == "int" else paired_str_array())
-    kind = draw(
-        st.sampled_from(
-            ["size", "elem", "contains", "join_or_sum", "maxmin", "slice",
-             "sortnull"]
-        )
-    )
-    if kind == "sortnull" and typ == "int":
+    # sortnull's nullif-injection grammar is int-only; drawing it for str
+    # would silently fall through to the slice tail and misreport which
+    # kind ran in shrunk examples, so condition the kind list on typ.
+    kinds = ["size", "elem", "contains", "join_or_sum", "maxmin", "slice"]
+    if typ == "int":
+        kinds.append("sortnull")
+    kind = draw(st.sampled_from(kinds))
+    if kind == "sortnull":
         # r09 probe: NULL PLACEMENT in sorts is cross-engine identical —
         # array_sort ↔ list_sort both default NULLS LAST; sort_array's
         # NULLS-FIRST default pairs with the explicit DuckDB modifier;
@@ -1610,6 +1654,139 @@ def test_translated_json_parity(spark, duck, pairs):
     d_sel = ", ".join(f"{d} AS x{i}" for i, (_, d) in enumerate(pairs))
     s_rows = _canon(spark.sql(f"SELECT {s_sel} FROM {_JSON_ROWS}").toPandas())
     o_rows = _canon(duck.execute(f"SELECT {d_sel} FROM {_JSON_ROWS}").df())
+    assert s_rows == o_rows, f"divergence for: {s_sel}  VS  {d_sel}"
+
+
+# from_json/to_json ROUND-TRIP pairs (round-10): parse a generated JSON
+# document against a generated nested schema (struct/array over
+# bigint/double/boolean/string, depth ≤ 3) and re-render — Spark
+# from_json+to_json vs DuckDB json_transform+to_json. The admitted
+# grammar is the intersection the r10 probes proved byte-identical:
+# type-correct scalar values (DuckDB COERCES "7"→7 where Spark nulls the
+# field — fenced by construction), ignoreNullFields=false on the Spark
+# side (Spark otherwise OMITS null fields where DuckDB emits "k":null),
+# omitted/extra object fields, null array elements, whole-null nested
+# structs, unicode strings WITHOUT backslash escapes (the r09
+# literal-syntax trap: the same quoted doc reaches the two parsers with
+# different text), int-valued doubles (both render 3.0), and int64-edge
+# bigints. Fenced malformed-document asymmetries (probe-documented):
+# a STRUCT-root malformed doc is PERMISSIVE struct-of-nulls in Spark vs
+# NULL under the DuckDB json_valid guard, and Spark accepts trailing
+# garbage after a valid object; only the probed ARRAY-root malformed
+# shape (both engines → NULL) is generated.
+
+_JSON_LEAF_VALS = {
+    "bigint": ["1", "-7", "0", "9007199254740993", "null"],
+    "double": ["2.5", "0.1", "-3.25", "3", "null"],
+    "boolean": ["true", "false", "null"],
+    "string": ['"a"', '"héé"', '""', '"q z"', "null"],
+}
+_DUCK_LEAF = {
+    "bigint": "BIGINT", "double": "DOUBLE",
+    "boolean": "BOOLEAN", "string": "VARCHAR",
+}
+
+
+def _json_schema(draw, depth: int):
+    if depth <= 0 or draw(st.integers(0, 2)) == 0:
+        return ("leaf", draw(st.sampled_from(list(_JSON_LEAF_VALS))))
+    if draw(st.booleans()):
+        return ("array", _json_schema(draw, depth - 1))
+    n = draw(st.integers(1, 3))
+    return (
+        "struct",
+        [(f"f{i}", _json_schema(draw, depth - 1)) for i in range(n)],
+    )
+
+
+def _json_doc(draw, node, root: bool = False) -> str:
+    kind, payload = node
+    if kind == "leaf":
+        return draw(st.sampled_from(_JSON_LEAF_VALS[payload]))
+    if kind == "array":
+        return (
+            "[" + ",".join(
+                _json_doc(draw, payload)
+                for _ in range(draw(st.integers(0, 3)))
+            ) + "]"
+        )
+    if not root and draw(st.integers(0, 5)) == 0:
+        # whole-null NESTED struct (probed: both render null). At the
+        # ROOT this is a fenced trap the hunt itself found: Spark
+        # from_json('null') is PERMISSIVE struct-of-nulls
+        # ('{"f0":null}') while DuckDB json_transform('null') is SQL
+        # NULL — so the root document is never the literal null.
+        return "null"
+    fields = []
+    for name, sub in payload:
+        if draw(st.integers(0, 3)) == 0:
+            continue  # omitted field → null on both sides (probed)
+        fields.append(f'"{name}":{_json_doc(draw, sub)}')
+    if draw(st.integers(0, 5)) == 0:
+        fields.append('"zz":1')  # extra field: both engines drop it (probed)
+    return "{" + ",".join(fields) + "}"
+
+
+def _spark_ddl(node) -> str:
+    kind, payload = node
+    if kind == "leaf":
+        return payload
+    if kind == "array":
+        return f"array<{_spark_ddl(payload)}>"
+    return (
+        "struct<"
+        + ",".join(f"{n}:{_spark_ddl(s)}" for n, s in payload)
+        + ">"
+    )
+
+
+def _duck_structure(node) -> str:
+    kind, payload = node
+    if kind == "leaf":
+        return f'"{_DUCK_LEAF[payload]}"'
+    if kind == "array":
+        return "[" + _duck_structure(payload) + "]"
+    return (
+        "{"
+        + ",".join(f'"{n}":{_duck_structure(s)}' for n, s in payload)
+        + "}"
+    )
+
+
+@st.composite
+def paired_json_roundtrip(draw):
+    if draw(st.integers(0, 9)) == 0:
+        # the one admitted malformed shape: ARRAY root (both → NULL)
+        doc = draw(st.sampled_from(["[1,2", '[{"x":']))
+        node = ("array", ("struct", [("x", ("leaf", "bigint"))]))
+    else:
+        # JSON documents are objects or arrays at the root
+        if draw(st.booleans()):
+            node = ("struct", [(f"f{i}", _json_schema(draw, 2))
+                               for i in range(draw(st.integers(1, 3)))])
+        else:
+            node = ("array", _json_schema(draw, 2))
+        doc = _json_doc(draw, node, root=True)
+    return (
+        f"to_json(from_json('{doc}', '{_spark_ddl(node)}'),"
+        f" map('ignoreNullFields', 'false'))",
+        f"(CASE WHEN json_valid('{doc}') THEN"
+        f" to_json(json_transform('{doc}', '{_duck_structure(node)}'))"
+        f" END)",
+    )
+
+
+@given(pairs=st.lists(paired_json_roundtrip(), min_size=1, max_size=5))
+@settings(**SETTINGS)
+def test_translated_json_roundtrip_parity(spark, duck, pairs):
+    """Nested parse→re-render parity: generated documents against
+    generated array-of-struct schemas survive the from_json/to_json ↔
+    json_transform/to_json round trip byte-identically within the
+    probe-fenced grammar (see the block comment above)."""
+    s_sel = ", ".join(f"{s} AS x{i}" for i, (s, _) in enumerate(pairs))
+    d_sel = ", ".join(f"{d} AS x{i}" for i, (_, d) in enumerate(pairs))
+    s_rows = _canon(spark.sql(f"SELECT {s_sel}").toPandas())
+    o_rows = _canon(duck.execute(f"SELECT {d_sel}").df())
     assert s_rows == o_rows, f"divergence for: {s_sel}  VS  {d_sel}"
 
 
@@ -3133,6 +3310,99 @@ def test_translated_listagg_parity(spark, duck, sep, direction, dist,
         f"SELECT {gcol}{d_fn}({dist}s, '{sep}'"
         f" ORDER BY s{direction}) AS l FROM {src}{grp}"
     )
+    s_rows = _canon(spark.sql(sq).toPandas())
+    o_rows = _canon(duck.execute(dq).df())
+    assert s_rows == o_rows, f"divergence for: {sq}  VS  {dq}"
+
+
+# Collation translation pairs (round-10, probe-first): Spark's collate()
+# expression ↔ DuckDB's COLLATE clause. Admitted by probe:
+# case-insensitive compares (=, <>, <, <=, >, >=) with Spark UTF8_LCASE ↔
+# DuckDB NOCASE over ASCII and NULLs; case+accent-insensitive equality
+# and ordering with Spark UNICODE_CI_AI ↔ DuckDB NOCASE.NOACCENT over the
+# probe-verified accent alphabet (à â ç è é É ï ñ ö ü — each folds
+# identically in both engines); min/max aggregates (lower()-normalized —
+# the winning EQUIVALENCE CLASS is deterministic, its representative is
+# not); rank() over a collated order with a totalizing tiebreak; GROUP BY
+# a collated key with a lower()-normalized output key. Probe-fenced REAL
+# traps: (a) count(DISTINCT x COLLATE NOCASE) — DuckDB IGNORES the
+# collation in distinct aggregation (counts 5 where Spark's
+# count(DISTINCT collate(x,'UTF8_LCASE')) counts the 3 fold classes);
+# (b) full case folding — Spark's ICU UNICODE_CI_AI folds ß→ss (and
+# ligatures) where DuckDB NOCASE.NOACCENT does not, so ß never enters
+# the alphabet; (c) bare-s grouping representatives are first-seen and
+# engine-specific — outputs always normalize through lower().
+
+_COLL_LITS = ["'a'", "'ab'", "'AB'", "'b c'", "''", "CAST(NULL AS STRING)"]
+_ACCENT_CHARS = ["a", "b", "A", "B", "e", "E", "é", "É", "à", "ç", "ü",
+                 "ö", "ñ", "ï", "â", "è"]
+
+
+@st.composite
+def paired_collation_query(draw):
+    """(spark_query, duck_query) exercising one collation construct."""
+    kind = draw(
+        st.sampled_from(["cmp", "minmax", "rank", "group", "accent"])
+    )
+    if kind == "cmp":
+        op = draw(st.sampled_from(_CMP_OPS))
+        lit = draw(st.sampled_from(_COLL_LITS))
+        return (
+            f"SELECT a, (collate(s, 'UTF8_LCASE') {op} {lit}) AS x"
+            f" FROM {TABLE}",
+            f"SELECT a, (s {op} {lit} COLLATE NOCASE) AS x FROM {TABLE}",
+        )
+    if kind == "minmax":
+        fn = draw(st.sampled_from(["min", "max"]))
+        return (
+            f"SELECT lower({fn}(collate(s, 'UTF8_LCASE'))) AS x"
+            f" FROM {TABLE}",
+            f"SELECT lower({fn}(s COLLATE NOCASE)) AS x FROM {TABLE}",
+        )
+    if kind == "rank":
+        fn = draw(st.sampled_from(["rank()", "dense_rank()",
+                                   "row_number()"]))
+        direction = draw(st.sampled_from(["ASC NULLS LAST",
+                                          "DESC NULLS FIRST"]))
+        return (
+            f"SELECT a, {fn} OVER (ORDER BY collate(s, 'UTF8_LCASE')"
+            f" {direction}, a, b) AS x FROM {TABLE}",
+            f"SELECT a, {fn} OVER (ORDER BY s COLLATE NOCASE"
+            f" {direction}, a, b) AS x FROM {TABLE}",
+        )
+    if kind == "group":
+        return (
+            f"SELECT lower(collate(s, 'UTF8_LCASE')) AS k,"
+            f" CAST(count(*) AS BIGINT) AS n,"
+            f" CAST(sum(a) AS BIGINT) AS t FROM {TABLE}"
+            f" GROUP BY collate(s, 'UTF8_LCASE')",
+            f"SELECT lower(s COLLATE NOCASE) AS k,"
+            f" CAST(count(*) AS BIGINT) AS n,"
+            f" CAST(sum(a) AS BIGINT) AS t FROM {TABLE}"
+            f" GROUP BY s COLLATE NOCASE",
+        )
+    # accent: literal-only equality/ordering under CI+AI folding
+    l_str = "".join(draw(st.lists(st.sampled_from(_ACCENT_CHARS),
+                                  min_size=0, max_size=4)))
+    r_str = "".join(draw(st.lists(st.sampled_from(_ACCENT_CHARS),
+                                  min_size=0, max_size=4)))
+    op = draw(st.sampled_from(_CMP_OPS))
+    return (
+        f"SELECT (collate('{l_str}', 'UNICODE_CI_AI') {op} '{r_str}')"
+        f" AS x",
+        f"SELECT ('{l_str}' {op} '{r_str}' COLLATE NOCASE.NOACCENT)"
+        f" AS x",
+    )
+
+
+@given(q=paired_collation_query())
+@settings(**SETTINGS)
+def test_translated_collation_parity(spark, duck, q):
+    """Collation parity: case-insensitive and case+accent-insensitive
+    compares, aggregates, window orders and groupings agree through the
+    collate() ↔ COLLATE translation within the probe-fenced grammar
+    (see the block comment above)."""
+    sq, dq = q
     s_rows = _canon(spark.sql(sq).toPandas())
     o_rows = _canon(duck.execute(dq).df())
     assert s_rows == o_rows, f"divergence for: {sq}  VS  {dq}"
