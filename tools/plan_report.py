@@ -153,8 +153,8 @@ SHOWCASE = {
         "the dim filter prunes fact PARTITIONS at runtime — 10-100× I/O cuts on date/region-partitioned facts",
     ),
     "k_graph_pagerank": (
-        "one checkpointed weighted edge list; per iteration exactly one join + one partial→final HashAggregate",
-        "iteration cost is one shuffle on dst; driver traffic per round is zero (fixed iteration count)",
+        "one checkpointed |V|-row degree table; per iteration a broadcast of the rank×(1/deg) vector over the raw 2-column edge projection + one partial→final HashAggregate",
+        "iteration cost is one agg shuffle on dst and a |V|-sized broadcast; the 2|E| edge rows never re-shuffle and never materialize a weight column (r10: the weighted-edge checkpoint itself was the cost)",
     ),
     "c_join_band_bucketed": (
         "SortMergeJoin/ShuffledHashJoin on the band key where the theta twin plans BroadcastNestedLoopJoin",
