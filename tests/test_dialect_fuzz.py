@@ -3172,9 +3172,13 @@ def paired_stats(draw):
             f"SELECT a, coalesce(array_to_string({d_arr}, ','), '')"
             f" AS l FROM {TABLE}",
         )
+    # r10 (found by the backward-only-frame extension the moment it
+    # landed): over an EMPTY frame Spark collect_list is [] (size 0)
+    # while DuckDB list() is NULL — coalesce the length like the join
+    # bridge already coalesces the text.
     return (
         f"SELECT a, size({s_arr}) AS n FROM {TABLE}",
-        f"SELECT a, len({d_arr}) AS n FROM {TABLE}",
+        f"SELECT a, coalesce(len({d_arr}), 0) AS n FROM {TABLE}",
     )
 
 
