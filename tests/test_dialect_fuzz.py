@@ -3328,13 +3328,22 @@ def test_translated_listagg_parity(spark, duck, sep, direction, dist,
 # identically in both engines); min/max aggregates (lower()-normalized —
 # the winning EQUIVALENCE CLASS is deterministic, its representative is
 # not); rank() over a collated order with a totalizing tiebreak; GROUP BY
-# a collated key with a lower()-normalized output key. Probe-fenced REAL
-# traps: (a) count(DISTINCT x COLLATE NOCASE) — DuckDB IGNORES the
+# a collated key with a lower()-normalized output key; equi-JOINs whose
+# ON compares two collated sides; IN over literal lists; ORDER BY +
+# LIMIT with a totalizing tiebreak; collated CASE WHEN predicates; and
+# DISTINCT row-sets over lower()-normalized collated keys. Probe-fenced
+# REAL traps: (a) count(DISTINCT x COLLATE NOCASE) — DuckDB IGNORES the
 # collation in distinct aggregation (counts 5 where Spark's
 # count(DISTINCT collate(x,'UTF8_LCASE')) counts the 3 fold classes);
-# (b) full case folding — Spark's ICU UNICODE_CI_AI folds ß→ss (and
-# ligatures) where DuckDB NOCASE.NOACCENT does not, so ß never enters
-# the alphabet; (c) bare-s grouping representatives are first-seen and
+# (b) IN (SELECT …) — DuckDB likewise DROPS the collation in the
+# subquery semi-join (binary matches only: {5,6,7} where Spark's
+# fold-class match returns {2,3,5,6,7} on the probe relation) even with
+# COLLATE on both the outer key and the inner projection; (c) full case
+# folding — Spark's ICU UNICODE_CI_AI folds ß→ss (and ligatures) where
+# DuckDB NOCASE.NOACCENT does not, so ß never enters the alphabet;
+# (d) nullif over a collated operand — Spark raises
+# INDETERMINATE_COLLATION_IN_EXPRESSION where DuckDB computes;
+# (e) bare-s grouping representatives are first-seen and
 # engine-specific — outputs always normalize through lower().
 
 _COLL_LITS = ["'a'", "'ab'", "'AB'", "'b c'", "''", "CAST(NULL AS STRING)"]
@@ -3346,7 +3355,8 @@ _ACCENT_CHARS = ["a", "b", "A", "B", "e", "E", "é", "É", "à", "ç", "ü",
 def paired_collation_query(draw):
     """(spark_query, duck_query) exercising one collation construct."""
     kind = draw(
-        st.sampled_from(["cmp", "minmax", "rank", "group", "accent"])
+        st.sampled_from(["cmp", "minmax", "rank", "group", "accent",
+                         "join", "inlist", "order_limit", "case_when"])
     )
     if kind == "cmp":
         op = draw(st.sampled_from(_CMP_OPS))
@@ -3355,6 +3365,44 @@ def paired_collation_query(draw):
             f"SELECT a, (collate(s, 'UTF8_LCASE') {op} {lit}) AS x"
             f" FROM {TABLE}",
             f"SELECT a, (s {op} {lit} COLLATE NOCASE) AS x FROM {TABLE}",
+        )
+    if kind == "join":
+        return (
+            f"SELECT t.a AS la, t2.a AS ra FROM {TABLE} JOIN {_T2}"
+            f" ON collate(t.s, 'UTF8_LCASE')"
+            f" = collate(t2.s, 'UTF8_LCASE') AND t.a < t2.a",
+            f"SELECT t.a AS la, t2.a AS ra FROM {TABLE} JOIN {_T2}"
+            f" ON t.s = t2.s COLLATE NOCASE AND t.a < t2.a",
+        )
+    if kind == "inlist":
+        lits = draw(
+            st.lists(st.sampled_from(["'a'", "'ab'", "'B C'", "'Q'"]),
+                     min_size=1, max_size=3, unique=True)
+        )
+        in_list = ", ".join(lits)
+        return (
+            f"SELECT a FROM {TABLE}"
+            f" WHERE collate(s, 'UTF8_LCASE') IN ({in_list})",
+            f"SELECT a FROM {TABLE}"
+            f" WHERE s COLLATE NOCASE IN ({in_list})",
+        )
+    if kind == "order_limit":
+        n = draw(st.integers(1, 8))
+        direction = draw(st.sampled_from(["ASC NULLS LAST",
+                                          "DESC NULLS FIRST"]))
+        return (
+            f"SELECT a FROM {TABLE} ORDER BY collate(s, 'UTF8_LCASE')"
+            f" {direction}, a LIMIT {n}",
+            f"SELECT a FROM {TABLE} ORDER BY s COLLATE NOCASE"
+            f" {direction}, a LIMIT {n}",
+        )
+    if kind == "case_when":
+        lit = draw(st.sampled_from(["'ab'", "'b c'", "''"]))
+        return (
+            f"SELECT a, (CASE WHEN collate(s, 'UTF8_LCASE') = {lit}"
+            f" THEN 1 ELSE 0 END) AS x FROM {TABLE}",
+            f"SELECT a, (CASE WHEN s = {lit} COLLATE NOCASE"
+            f" THEN 1 ELSE 0 END) AS x FROM {TABLE}",
         )
     if kind == "minmax":
         fn = draw(st.sampled_from(["min", "max"]))
