@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from data_service_spark.io import load
+from data_service_spark.io import corpus_memo, load
 from data_service_spark.registry import register
 
 # ------------------------------------------------------- Zipf slope ----
@@ -82,6 +82,49 @@ def k_text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------- PMI collocations ----
 
 
+@corpus_memo
+def _unigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(term, n) — corpus term frequencies over raw whitespace tokens,
+    memoized per (session, corpus dir): the ONE vocabulary-sized reduce
+    the n-gram statistics family shares (collocations' unigram side and
+    token total, the bigram LM's vocabulary size, the unigram-logprob
+    model). A production corpus pipeline materializes the term
+    dictionary once per snapshot and every statistic reads it. Same
+    tokenization as the consumers' oracles: split(text, ' '), no
+    casefold, no empty-token filter."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@corpus_memo
+def _bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(w1, w2, c) — corpus adjacent-bigram counts over raw whitespace
+    tokens, memoized per (session, corpus dir): the dictionary-sized
+    reduce shared by the collocation miner, the Kneser–Ney LM, and the
+    bigram-logprob scorer (whose doc-level stream still explodes at its
+    own scan — only the CORPUS MODEL tables derive from here). The
+    1-token-doc guard mirrors the oracles: docs with <2 tokens
+    contribute no bigrams (the sequence(1,0) auto-step fence, ADVICE
+    r2). Keys with a different tokenization (k_ngram_entropy_rate:
+    lower + empty filter) deliberately do NOT consume this memo."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(F.split("text", " ").alias("t"))
+    big = toks.select(
+        F.explode(
+            F.expr(
+                "transform(filter(sequence(1, size(t) - 1),"
+                " i -> i >= 1 AND i < size(t)),"
+                " i -> struct(t[i-1] AS w1, t[i] AS w2))"
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    return big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+
+
 @register(
     "k_text_collocations",
     oracle="""
@@ -118,29 +161,21 @@ def k_text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     beyond their unigram rates are markup, legal footers, generated text).
 
     PMI = ln(p(ab) / (p(a)·p(b))) from exact integer counts: the bigram and
-    unigram count tables are vocabulary-sized after their map-side-combined
-    groupBys, the unigram side joins in broadcast, and the final top-20
-    sorts only the |V|²-bounded collocation table. Nothing proportional to
-    corpus size crosses a shuffle after tokenization.
+    unigram count tables come from the session-memoized corpus reduces
+    (``_bigram_counts`` / ``_unigram_counts`` — shared with the bigram-LM
+    keys; totals are sums over the pinned dictionaries, so the corpus is
+    never re-exploded here), the unigram side joins per AQE, and the
+    final top-20 sorts only the |V|²-bounded collocation table. Nothing
+    proportional to corpus size crosses a shuffle after tokenization.
     """
-    d = load(spark, sf_dir, "documents")
-    toks = d.select(F.split("text", " ").alias("t"))
-    big = toks.select(
-        F.explode(
-            # filter() guards 1-token docs: sequence(1, 0) auto-steps -1 in
-            # Spark ([1, 0]) and would emit two NULL-member bigrams where the
-            # DuckDB oracle's range(1, len(t)) is empty (ADVICE r2).
-            F.expr(
-                "transform(filter(sequence(1, size(t) - 1), i -> i >= 1 AND i < size(t)),"
-                " i -> struct(t[i-1] AS w1, t[i] AS w2))"
-            )
-        ).alias("p")
-    ).select("p.w1", "p.w2")
-    bc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab"))
-    uni = d.select(F.explode(F.split("text", " ")).alias("w"))
-    uc = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
-    consts = big.agg(F.count(F.lit(1)).alias("n_big")).crossJoin(
-        uni.agg(F.count(F.lit(1)).alias("n_tok"))
+    bc = _bigram_counts(spark, sf_dir).select(
+        "w1", "w2", F.col("c").alias("c_ab")
+    )
+    uc = _unigram_counts(spark, sf_dir).select(
+        F.col("term").alias("w"), F.col("n").alias("c")
+    )
+    consts = bc.agg(F.sum("c_ab").alias("n_big")).crossJoin(
+        uc.agg(F.sum("c").alias("n_tok"))
     )
     u1 = uc.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
     u2 = uc.select(F.col("w").alias("w2"), F.col("c").alias("c2"))

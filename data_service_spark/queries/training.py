@@ -514,15 +514,19 @@ def k_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     document under the corpus's own term distribution (low = rare-token
     gibberish, high = repetitive boilerplate — both tails get filtered).
 
-    Two passes over the token stream: (1) term frequencies — one hash agg;
-    (2) per-doc mean of ln(tf/total) — the term-frequency table joins back
-    to the token stream. At corpus scale the tf table is Zipf-compact
-    (vocab ≪ tokens) so AQE broadcasts it; the one-row total is a literal
-    cross join both engines fold away. No UDFs, pure log algebra.
+    The term-frequency model is the session-memoized ``_unigram_counts``
+    dictionary (r10: shared with collocations and the bigram LM — the
+    corpus token stream reduces once per session); the per-doc token
+    stream still explodes here and joins it back. At corpus scale the tf
+    table is Zipf-compact (vocab ≪ tokens) so AQE broadcasts it; the
+    one-row total is a literal cross join both engines fold away. No
+    UDFs, pure log algebra.
     """
+    from data_service_spark.queries.corpus_stats import _unigram_counts
+
     d = load_parallel(spark, sf_dir, "documents", "doc_id")
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
-    tf = tok.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    tf = _unigram_counts(spark, sf_dir)
     total = tf.agg(F.sum("n").alias("total"))
     return (
         tok.join(tf, "term")
@@ -1344,12 +1348,21 @@ def k_text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     of k_text_unigram_logprob (catches incoherent *sequences* that a
     unigram model scores as normal, e.g. shuffled text).
 
-    Three corpus aggregates — bigram counts, context counts, vocab size —
-    then one join back to the per-doc bigram stream. The bigram table is
-    the only non-Zipf-compact piece; it joins on its own key (hash
-    shuffle), while context counts and the scalar vocab broadcast. Same
-    plan family at 100 TB: posting-style joins keyed by n-gram, no UDFs.
+    Three corpus model tables — bigram counts, context counts, vocab
+    size — then one join back to the per-doc bigram stream. r10: the
+    model tables are dictionary-sized algebra over the session-memoized
+    ``_bigram_counts`` / ``_unigram_counts`` reduces (shared with the
+    collocation and Kneser–Ney keys), so only the per-doc stream
+    explodes here; it joins the bigram table on (w1, w2) — equivalent
+    to the oracle's "w1 w2" string key since whitespace tokens cannot
+    contain the separator. Same plan family at 100 TB: posting-style
+    joins keyed by n-gram, no UDFs.
     """
+    from data_service_spark.queries.corpus_stats import (
+        _bigram_counts,
+        _unigram_counts,
+    )
+
     d = load_parallel(spark, sf_dir, "documents", "doc_id")
     w = d.select("doc_id", F.split("text", " ").alias("words")).filter(
         F.size("words") >= 2
@@ -1360,16 +1373,18 @@ def k_text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(
                 "transform(sequence(1, size(words) - 1),"
                 " i -> struct(element_at(words, i) AS w1,"
-                "             concat_ws(' ', slice(words, i, 2)) AS bigram))"
+                "             element_at(words, i + 1) AS w2))"
             )
         ).alias("b"),
-    ).select("doc_id", F.col("b.w1").alias("w1"), F.col("b.bigram").alias("bigram"))
-    bgc = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c_bg"))
-    ctx = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c_w1"))
-    tok = d.select(F.explode(F.split("text", " ")).alias("term"))
-    v = tok.agg(F.countDistinct("term").alias("vocab"))
+    ).select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    bgm = _bigram_counts(spark, sf_dir)
+    bgc = bgm.select("w1", "w2", F.col("c").alias("c_bg"))
+    ctx = bgm.groupBy("w1").agg(F.sum("c").alias("c_w1"))
+    v = _unigram_counts(spark, sf_dir).agg(
+        F.count(F.lit(1)).alias("vocab")
+    )
     return (
-        bg.join(bgc, "bigram")
+        bg.join(bgc, ["w1", "w2"])
         # ctx is vocab-sized (per-w1 counts) — no broadcast hint, AQE
         # decides; v is a 1-row scalar and stays broadcast
         .join(ctx, "w1")
@@ -3135,8 +3150,7 @@ def k_raking_ipf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------- Kneser-Ney bigram LM ----
 
-_KN_CORE = """
-    bgc AS (SELECT w1, w2, count(*) AS c_vw FROM bg GROUP BY 1, 2),
+_KN_TAIL = """
     ctx AS (SELECT w1, sum(c_vw) AS c_v, count(*) AS n1_fwd
             FROM bgc GROUP BY 1),
     cont AS (SELECT w2, count(*) AS n1_back FROM bgc GROUP BY 1),
@@ -3167,7 +3181,8 @@ _KN_CORE = """
                i -> {{'w1': words[i], 'w2': words[i + 1]}})) AS p
       FROM w
     ), bg AS (SELECT p.w1 AS w1, p.w2 AS w2 FROM bgx),
-    {_KN_CORE}
+    bgc AS (SELECT w1, w2, count(*) AS c_vw FROM bg GROUP BY 1, 2),
+    {_KN_TAIL}
     """,
 )
 def k_text_kn_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3182,25 +3197,19 @@ def k_text_kn_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical three-term expression — deterministic without quantization.
     Top-20 bigrams by count, total-ordered.
 
-    Scale shape: three n-gram-keyed hash aggregates over the bigram
-    stream (the posting-list family — no UDFs, no n² anywhere); the
-    scored join is keyed by bigram parts, continuation/type tables
-    broadcast."""
-    load_parallel(spark, sf_dir, "documents", "doc_id").createOrReplaceTempView(
-        "dss_docs_kn"
-    )
+    Scale shape: every model table (bigram, context, continuation, type
+    count) derives from the session-memoized ``_bigram_counts``
+    dictionary (r10: the corpus bigram stream explodes ONCE per session
+    for the whole n-gram family — this key's aggregates are
+    dictionary-sized algebra over the pinned reduce); the scored join
+    is keyed by bigram parts, continuation/type tables broadcast."""
+    from data_service_spark.queries.corpus_stats import _bigram_counts
+
+    _bigram_counts(spark, sf_dir).createOrReplaceTempView("dss_bgc_memo")
     return spark.sql(
         f"""
-    WITH w AS (
-      SELECT doc_id, split(text, ' ') AS words FROM dss_docs_kn
-      WHERE size(split(text, ' ')) >= 2
-    ), bg AS (
-      SELECT p.w1, p.w2 FROM w
-      LATERAL VIEW explode(transform(sequence(1, size(words) - 1),
-        i -> struct(element_at(words, i) AS w1,
-                    element_at(words, i + 1) AS w2))) ex AS p
-    ),
-    {_KN_CORE}
+    WITH bgc AS (SELECT w1, w2, c AS c_vw FROM dss_bgc_memo),
+    {_KN_TAIL}
     """
     )
 
