@@ -3338,7 +3338,11 @@ def test_translated_listagg_parity(spark, duck, sep, direction, dist,
 # (b) IN (SELECT …) — DuckDB likewise DROPS the collation in the
 # subquery semi-join (binary matches only: {5,6,7} where Spark's
 # fold-class match returns {2,3,5,6,7} on the probe relation) even with
-# COLLATE on both the outer key and the inner projection; (c) full case
+# COLLATE on both the outer key and the inner projection — and the same
+# class covers ALL SET OPERATIONS (UNION DISTINCT keeps both 'a' and
+# 'A', INTERSECT of {'a','AB'} ∩ {'A','ab'} is EMPTY, EXCEPT keeps
+# 'AB' − {'ab'}): DuckDB's collation is comparison/GROUP-BY-deep only,
+# never dedup-deep, where Spark's is a TYPE property; (c) full case
 # folding — Spark's ICU UNICODE_CI_AI folds ß→ss (and ligatures) where
 # DuckDB NOCASE.NOACCENT does not, so ß never enters the alphabet;
 # (d) nullif over a collated operand — Spark raises
