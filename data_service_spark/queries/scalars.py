@@ -843,6 +843,12 @@ def h_str_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines share, JVM-side (contrast k_dedup_levenshtein, which
     BANDS the quadratic all-pairs search; this is the per-pair scalar it
     verifies candidates with).
+
+    Oracle-parity bound (r10 probe): DuckDB's levenshtein counts UTF-8
+    BYTES where Spark counts codepoints ('café'→'cafe' is 2 vs 1), so
+    the twin holds only on ASCII inputs — satisfied here (TPC-H part
+    columns are ASCII by spec) and corpus-audited for the documents
+    keys.
     """
     p = load(spark, sf_dir, "part")
     return p.select(

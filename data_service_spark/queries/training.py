@@ -625,9 +625,13 @@ def k_dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     an equi-join on length bands (each right row fans to its 3 adjacent
     bands, so every qualifying pair meets exactly once — no theta join, no
     docs² nested loop). The oracle states the same predicate declaratively;
-    both engines implement standard Levenshtein so distances agree. At
-    100 TB the band join is the difference between a shuffle-bounded
-    candidate set and an impossible cross join.
+    both engines implement standard Levenshtein so distances agree ON
+    ASCII — DuckDB's counts UTF-8 bytes where Spark counts codepoints
+    ('café'→'cafe': 2 vs 1, r10 probe), a latent twin divergence bounded
+    by the corpus audit (documents.text is ASCII at every shipped SF;
+    re-audit on corpus regeneration). At 100 TB the band join is the
+    difference between a shuffle-bounded candidate set and an impossible
+    cross join.
     """
     d = load_parallel(spark, sf_dir, "documents", "doc_id")
     p = d.select(
