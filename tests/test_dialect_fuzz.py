@@ -2388,51 +2388,53 @@ def dec_expr(
         )
         return leaf, leaf, 2
     d = depth - 1
-    op = draw(
-        st.sampled_from(
-            ["add", "sub", "mul", "abs", "neg", "least", "greatest",
-             "coalesce", "nullif", "case", "round", "divide"]
-        )
-    )
+    ops = ["add", "sub", "mul", "abs", "neg", "least", "greatest",
+           "coalesce", "nullif", "case", "round"]
+    if allow_divide:
+        ops.append("divide")
+    op = draw(st.sampled_from(ops))
     if op == "divide":
         # dividend is a LEAF (scale 2) so the quotient terminates; the
-        # pair carries the ÷0→NULL bridge: try_divide ↔ bare /.
-        a_s, a_d, _ = draw(dec_expr(0))
+        # pair carries the ÷0→NULL bridge: try_divide ↔ bare /. The
+        # DuckDB quotient re-anchors to DECIMAL(38,6) at the node so an
+        # aggregate consumer (sum) accumulates exactly, not in DOUBLE.
+        a_s, a_d, _ = draw(dec_expr(0, allow_divide=False))
         b = draw(st.sampled_from(_DEC_DIVISORS + ["0"]))
         return (
             f"try_divide({a_s}, CAST({b} AS DECIMAL(12,2)))",
-            f"({a_d} / CAST({b} AS DECIMAL(12,2)))",
+            f"CAST(({a_d} / CAST({b} AS DECIMAL(12,2)))"
+            f" AS DECIMAL(38,6))",
             6,
         )
     if op == "mul" and scale <= 4:
         # one factor is a leaf: magnitude ≤ ×100 per level, scale +2
-        a_s, a_d, a_sc = draw(dec_expr(d, scale + 2))
-        b_s, b_d, _ = draw(dec_expr(0))
+        a_s, a_d, a_sc = draw(dec_expr(d, scale + 2, allow_divide=False))
+        b_s, b_d, _ = draw(dec_expr(0, allow_divide=False))
         return f"({a_s} * {b_s})", f"({a_d} * {b_d})", a_sc + 2
     if op == "round":
         nd = draw(st.integers(-2, 2))
-        a_s, a_d, _ = draw(dec_expr(d, scale))
+        a_s, a_d, _ = draw(dec_expr(d, scale, allow_divide=False))
         return (
             f"round({a_s}, {nd})",
             f"round({a_d}, {nd})",
             max(0, nd),
         )
     if op in ("abs", "neg"):
-        a_s, a_d, a_sc = draw(dec_expr(d, scale))
+        a_s, a_d, a_sc = draw(dec_expr(d, scale, allow_divide=False))
         f = "abs" if op == "abs" else "-"
         return f"{f}({a_s})", f"{f}({a_d})", a_sc
     if op in ("least", "greatest", "coalesce", "nullif"):
-        a_s, a_d, a_sc = draw(dec_expr(d, scale))
-        b_s, b_d, b_sc = draw(dec_expr(d, scale))
+        a_s, a_d, a_sc = draw(dec_expr(d, scale, allow_divide=False))
+        b_s, b_d, b_sc = draw(dec_expr(d, scale, allow_divide=False))
         return (
             f"{op}({a_s}, {b_s})",
             f"{op}({a_d}, {b_d})",
             max(a_sc, b_sc),
         )
     if op == "case":
-        c_s, c_d, _ = draw(dec_expr(d, scale))
-        t_s, t_d, t_sc = draw(dec_expr(d, scale))
-        e_s, e_d, e_sc = draw(dec_expr(d, scale))
+        c_s, c_d, _ = draw(dec_expr(d, scale, allow_divide=False))
+        t_s, t_d, t_sc = draw(dec_expr(d, scale, allow_divide=False))
+        e_s, e_d, e_sc = draw(dec_expr(d, scale, allow_divide=False))
         cmp = draw(st.sampled_from(["<", "<=", ">", "IS NULL"]))
         cond_s = (
             f"{c_s} IS NULL" if cmp == "IS NULL" else f"{c_s} {cmp} p"
@@ -2445,8 +2447,8 @@ def dec_expr(
             f"(CASE WHEN {cond_d} THEN {t_d} ELSE {e_d} END)",
             max(t_sc, e_sc),
         )
-    a_s, a_d, a_sc = draw(dec_expr(d, scale))
-    b_s, b_d, b_sc = draw(dec_expr(d, scale))
+    a_s, a_d, a_sc = draw(dec_expr(d, scale, allow_divide=False))
+    b_s, b_d, b_sc = draw(dec_expr(d, scale, allow_divide=False))
     sign = "+" if op == "add" else "-"
     return f"({a_s} {sign} {b_s})", f"({a_d} {sign} {b_d})", max(a_sc, b_sc)
 
