@@ -1913,6 +1913,12 @@ def d_agg_median_counting(spark: SparkSession, sf_dir: str) -> DataFrame:
     position ⌊N/2⌋+1 ⇔ 2·cum ≥ N+2 — pure integer comparisons.
 
     Scale shape: one partial+final count aggregate (shuffle ∝ distinct
-    values), per-group spine windows partitioned on the group key."""
+    values), per-group spine windows partitioned on the group key. The
+    group-key window caps parallelism at the group count; an r10
+    interleaved A/B measured the chunked prefix-sum alternative (the
+    ``e_win_range_frame_linear`` decomposition) as a LOSS at this spine
+    size (~300k rows / 3 groups sort in-memory faster than the extra
+    exchange + offset join) — reach for that recipe only when per-group
+    distinct values hit the tens of millions (SCALING.md round-10)."""
     load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(_body_median_counting())
