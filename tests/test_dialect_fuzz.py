@@ -1753,6 +1753,26 @@ def _duck_structure(node) -> str:
     )
 
 
+def _json_extract_pair(draw, node, s_base: str, d_base: str):
+    """Walk a random path to a leaf: typed post-parse ACCESS (struct dot
+    fields, array indexing via the 0-vs-1-base bridge try_element_at ↔
+    [k], out-of-bounds and missing/null nodes → NULL on both — all
+    probe-verified r10)."""
+    kind, payload = node
+    if kind == "leaf":
+        return s_base, d_base
+    if kind == "array":
+        k = draw(st.integers(1, 3))
+        return _json_extract_pair(
+            draw, payload,
+            f"try_element_at({s_base}, {k})", f"({d_base})[{k}]",
+        )
+    name, sub = draw(st.sampled_from(payload))
+    return _json_extract_pair(
+        draw, sub, f"({s_base}).{name}", f"({d_base}).{name}"
+    )
+
+
 @st.composite
 def paired_json_roundtrip(draw):
     if draw(st.integers(0, 9)) == 0:
@@ -1767,6 +1787,13 @@ def paired_json_roundtrip(draw):
         else:
             node = ("array", _json_schema(draw, 2))
         doc = _json_doc(draw, node, root=True)
+        if draw(st.integers(0, 2)) == 0:
+            # typed extraction instead of re-render (valid docs only)
+            return _json_extract_pair(
+                draw, node,
+                f"from_json('{doc}', '{_spark_ddl(node)}')",
+                f"(json_transform('{doc}', '{_duck_structure(node)}'))",
+            )
     return (
         f"to_json(from_json('{doc}', '{_spark_ddl(node)}'),"
         f" map('ignoreNullFields', 'false'))",
