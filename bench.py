@@ -157,6 +157,10 @@ def main() -> None:
         k_cluster_assign,
         k_dedup_clusters,
     )
+    from data_service_spark.queries.corpus_stats import (  # noqa: PLC0415
+        _bigram_counts,
+        _unigram_counts,
+    )
     from data_service_spark.queries.llm_text import (  # noqa: PLC0415
         _ff_feats_df,
         _simhash_fp,
@@ -173,6 +177,8 @@ def main() -> None:
         _exploded_shingle_hashes,
         _minhash_sigs,
         _cs_pairs,
+        _unigram_counts,
+        _bigram_counts,
         _exact_ranked,
         _ff_feats_df,
         _simhash_fp,
