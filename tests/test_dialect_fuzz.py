@@ -967,6 +967,20 @@ def castable_str(draw, pool) -> str:
                 ["'true'", "'FALSE'", "'t'", "'f'", "'1'", "'0'", "'abc'",
                  "CAST(NULL AS STRING)"]
             ).map(lambda e: f"try_cast({e} AS BOOLEAN)"),
+            # r10 probe: string→DECIMAL rounds HALF_UP in BOTH engines
+            # (unlike the fenced decimal→decimal DOWN-rescale, which
+            # truncates in DuckDB), overflow NULLs in both, and
+            # exponent/sign/bare-point grammars agree. Fenced: an
+            # UNDERSCORE separator string ('1_0') casts in DuckDB but
+            # NULLs in Spark — the r09 numeric-literal trap extended to
+            # the cast grammar.
+            castable_str(
+                ["'3.999'", "'3.994'", "'-3.995'", "'0.005'", "'1e2'",
+                 "'  2.5 '", "'abc'", "'99999.99'", "'100000'",
+                 "'+7.25'", "'.5'", "'5.'", "CAST(NULL AS STRING)"]
+            ).map(
+                lambda e: f"CAST(try_cast({e} AS DECIMAL(7,2)) AS STRING)"
+            ),
         ),
         min_size=1,
         max_size=6,
