@@ -546,7 +546,16 @@ def test_subquery_parity(spark, duck, inner, outer, form, corr):
     rows and not others — subquery 3VL, not just the join-shape kind),
     and correlated scalar aggregates evaluate identically. Probed
     exclusion: quantified ANY/ALL comparisons — Spark 4 does not parse
-    them (DuckDB does)."""
+    them (DuckDB does). Hunt-found (150-example r10 run, minimal repro
+    kept): correlated NOT IN with a NULLABLE inner projection is a REAL
+    divergence — when the correlation filter leaves an outer row's
+    inner set EMPTY, NOT IN must be TRUE and Spark keeps the row, but
+    DuckDB's decorrelation drops it whenever the inner expression can
+    be NULL (a NOT IN (SELECT NULL FROM t2 WHERE t2.b = t.a): Spark
+    returns the unmatched rows, DuckDB returns zero rows). The
+    correlated-NOT-IN grammar therefore coalesces its inner projection
+    NOT-NULL; every registry oracle's NOT IN (SELECT …) is
+    uncorrelated over non-null keys (audited r10)."""
     if form in ("IN", "NOT IN"):
         q = (
             f"SELECT a, b FROM {TABLE} WHERE CAST({outer} AS BIGINT)"
@@ -554,9 +563,14 @@ def test_subquery_parity(spark, duck, inner, outer, form, corr):
         )
     elif form in ("IN_CORR", "NOT_IN_CORR"):
         kw = "IN" if form == "IN_CORR" else "NOT IN"
+        proj = (
+            f"coalesce(CAST({inner} AS BIGINT), 0)"
+            if form == "NOT_IN_CORR"
+            else f"CAST({inner} AS BIGINT)"
+        )
         q = (
             f"SELECT a, b FROM {TABLE} WHERE CAST({outer} AS BIGINT)"
-            f" {kw} (SELECT CAST({inner} AS BIGINT) FROM {_T2}"
+            f" {kw} (SELECT {proj} FROM {_T2}"
             f" WHERE {corr})"
         )
     elif form in ("EXISTS", "NOT EXISTS"):
