@@ -307,7 +307,9 @@ def window_expr(draw) -> str:
         return f"ntile({draw(st.integers(2, 4))}) OVER ({part}{order})"
     if kind in ("lag", "lead"):
         x = draw(st.sampled_from(_NUM_LEAVES))
-        n = draw(st.integers(0, 3))
+        # r10 probe: NEGATIVE offsets mirror (lag(x,-1) ≡ lead(x,1))
+        # identically in both engines
+        n = draw(st.integers(-3, 3))
         dflt = draw(st.sampled_from(["", f", {draw(st.integers(-5, 5))}"]))
         return f"CAST({kind}({x}, {n}{dflt}) OVER ({part}{order}) AS BIGINT)"
     if kind == "valpos":
@@ -3524,11 +3526,15 @@ def test_translated_collation_parity(spark, duck, q):
 # Name-resolution pairs (round-10, probe-first): where an output alias
 # SHADOWS a base column, both engines resolve ORDER BY to the ALIAS
 # (the output column) and GROUP BY to the BASE column; GROUP BY/ORDER BY
-# ordinals, HAVING over select-list aliases, and ORDER BY expressions
-# under SELECT * all agree. Probe-fenced asymmetry: a lateral alias in
-# WHERE (SELECT a+1 AS c ... WHERE c > 2) resolves in DuckDB but is
-# UNRESOLVED_COLUMN in Spark — WHERE never sees the select list there,
-# so the shared grammar keeps aliases out of WHERE.
+# ordinals, HAVING over select-list aliases, ORDER BY expressions under
+# SELECT *, aggregates in ORDER BY (including HIDDEN aggregates not in
+# the select list), and OFFSET / LIMIT-OFFSET pagination all agree.
+# Probe-fenced asymmetries: a lateral alias in WHERE (SELECT a+1 AS c
+# ... WHERE c > 2) resolves in DuckDB but is UNRESOLVED_COLUMN in Spark
+# — WHERE never sees the select list there, so the shared grammar keeps
+# aliases out of WHERE; FETCH FIRST n ROWS ONLY and ordered
+# any_value(x ORDER BY …) are DuckDB-only spellings (Spark parse
+# errors).
 
 _A_EXPRS = ["abs(a)", "(a % 2)", "(a + 1)", "(0 - a)", "greatest(a, 0)"]
 
@@ -3540,9 +3546,25 @@ def resolution_query(draw) -> str:
     kind = draw(
         st.sampled_from(
             ["order_shadow", "group_shadow", "group_ordinal",
-             "having_alias", "order_ordinal"]
+             "having_alias", "order_ordinal", "order_by_agg", "offset"]
         )
     )
+    if kind == "order_by_agg":
+        # aggregate in ORDER BY — drawn hidden (not in the select list)
+        # or visible; both probe-identical
+        agg = draw(st.sampled_from(["count(*)", "sum(a)", "max(b)"]))
+        return (
+            f"SELECT abs(b) % 3 AS g FROM {TABLE} GROUP BY 1"
+            f" ORDER BY {agg} {direction}, g LIMIT {draw(st.integers(1, 4))}"
+        )
+    if kind == "offset":
+        n = draw(st.integers(0, 13))
+        lim = draw(st.sampled_from(["", f" LIMIT {draw(st.integers(1, 5))}"]))
+        # OFFSET after LIMIT in shared syntax: LIMIT x OFFSET y / bare OFFSET
+        return (
+            f"SELECT a FROM {TABLE} ORDER BY a {direction}, b"
+            f"{lim} OFFSET {n}"
+        )
     if kind == "order_shadow":
         n = draw(st.integers(1, 12))
         return (
