@@ -535,7 +535,7 @@ _T2 = TABLE.replace(") t", ") t2")
     outer=num_expr(1),
     form=st.sampled_from(
         ["IN", "NOT IN", "EXISTS", "NOT EXISTS", "SCALAR",
-         "IN_CORR", "NOT_IN_CORR"]
+         "IN_CORR", "NOT_IN_CORR", "EXISTS_AGG", "IN_LIMIT"]
     ),
     corr=st.sampled_from(["t2.b = t.a", "t2.a < t.a", "t2.c = t.c"]),
 )
@@ -557,7 +557,13 @@ def test_subquery_parity(spark, duck, inner, outer, form, corr):
     returns the unmatched rows, DuckDB returns zero rows). The
     correlated-NOT-IN grammar therefore coalesces its inner projection
     NOT-NULL; every registry oracle's NOT IN (SELECT …) is
-    uncorrelated over non-null keys (audited r10)."""
+    uncorrelated over non-null keys (audited r10). Further r10 probes:
+    EXISTS over a bare-aggregate subquery is TRUE even when the filter
+    matches nothing (the aggregate still emits one row — both engines),
+    IN over an ORDER-BY-LIMIT subquery and zero-row scalar subqueries
+    (→ NULL) agree; fenced: a MULTI-ROW scalar subquery RAISES in Spark
+    (ANSI) but DuckDB silently takes the first row — oracle SQL must
+    never rely on that."""
     if form in ("IN", "NOT IN"):
         q = (
             f"SELECT a, b FROM {TABLE} WHERE CAST({outer} AS BIGINT)"
@@ -580,6 +586,20 @@ def test_subquery_parity(spark, duck, inner, outer, form, corr):
             f"SELECT a, b FROM {TABLE} WHERE {form}"
             f" (SELECT 1 FROM {_T2} WHERE {corr}"
             f" AND CAST({inner} AS BIGINT) IS NOT NULL)"
+        )
+    elif form == "EXISTS_AGG":
+        # a bare aggregate emits one row even over zero input rows, so
+        # EXISTS is TRUE regardless of the correlation filter
+        q = (
+            f"SELECT a, b FROM {TABLE} WHERE EXISTS"
+            f" (SELECT max(CAST({inner} AS BIGINT)) FROM {_T2}"
+            f" WHERE {corr})"
+        )
+    elif form == "IN_LIMIT":
+        q = (
+            f"SELECT a, b FROM {TABLE} WHERE CAST({outer} AS BIGINT) IN"
+            f" (SELECT CAST({inner} AS BIGINT) FROM {_T2}"
+            f" ORDER BY 1 NULLS LAST, t2.a LIMIT 3)"
         )
     else:
         q = (
