@@ -126,7 +126,11 @@ def bool_expr(draw, depth: int = 3) -> str:
             f"({draw(st.sampled_from(_NUM_LEAVES))} {op}"
             f" {draw(st.sampled_from(_NUM_LEAVES))})"
         )
-    kind = draw(st.sampled_from(["cmp", "and", "or", "not", "isnull"]))
+    kind = draw(
+        st.sampled_from(
+            ["cmp", "and", "or", "not", "isnull", "between", "inlist"]
+        )
+    )
     d = depth - 1
     if kind == "cmp":
         op = draw(st.sampled_from(_CMP_OPS))
@@ -137,6 +141,24 @@ def bool_expr(draw, depth: int = 3) -> str:
         return f"({draw(bool_expr(d))} OR {draw(bool_expr(d))})"
     if kind == "not":
         return f"(NOT {draw(bool_expr(d))})"
+    if kind == "between":
+        # r10 probe: BETWEEN's 3VL (NULL operand or bound), empty
+        # ranges, and NOT BETWEEN agree cross-engine
+        neg = draw(st.sampled_from(["", "NOT "]))
+        return (
+            f"({draw(num_expr(d))} {neg}BETWEEN"
+            f" {draw(st.sampled_from(_NUM_LEAVES))}"
+            f" AND {draw(st.sampled_from(_NUM_LEAVES))})"
+        )
+    if kind == "inlist":
+        # r10 probe: literal IN lists with NULL members follow the same
+        # 3VL collapse in both engines (x NOT IN (…, NULL) is never TRUE)
+        neg = draw(st.sampled_from(["", "NOT "]))
+        items = ", ".join(
+            draw(st.lists(st.sampled_from(_NUM_LEAVES), min_size=1,
+                          max_size=3))
+        )
+        return f"({draw(num_expr(d))} {neg}IN ({items}))"
     return f"({draw(num_expr(d))} IS NULL)"
 
 
