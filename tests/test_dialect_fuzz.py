@@ -241,7 +241,7 @@ def date_expr(draw, depth: int = 3) -> str:
         st.sampled_from(
             [
                 "plus_days", "minus_days", "last_day", "coalesce",
-                "nullif", "least", "greatest", "case",
+                "nullif", "least", "greatest", "case", "trunc",
             ]
         )
     )
@@ -252,6 +252,14 @@ def date_expr(draw, depth: int = 3) -> str:
         return f"({draw(date_expr(dd))} - {draw(st.integers(0, 400))})"
     if op == "last_day":
         return f"last_day({draw(date_expr(dd))})"
+    if op == "trunc":
+        # r10 probe: date_trunc anchors agree at week (Monday), month,
+        # quarter and year; the shared CAST AS DATE collapses Spark's
+        # TIMESTAMP return to DuckDB's DATE. extract(DOW) stays OUT —
+        # the Sunday-base divergence (3 vs 2 on the same Tuesday), and
+        # extract(EPOCH) is Spark-unparseable.
+        unit = draw(st.sampled_from(["week", "month", "quarter", "year"]))
+        return f"CAST(date_trunc('{unit}', {draw(date_expr(dd))}) AS DATE)"
     if op in ("coalesce", "nullif", "least", "greatest"):
         return f"{op}({draw(date_expr(dd))}, {draw(date_expr(dd))})"
     return (
