@@ -1445,6 +1445,16 @@ def pagerank_ranks(
     packed-long ids, returning (ranks, n_nodes). Two physical regimes,
     same algebra — dispatch on node count like ``sim_pairs``:
 
+    CONTRACT: in the broadcast regime ``edges`` is re-scanned four times
+    (degree build + one per iteration), so its plan must be cheap to
+    re-evaluate — a narrow projection/filter off a pinned LogicalRDD
+    (localCheckpoint/cache) or a parquet scan. Callers in this repo pass
+    a projection off the localCheckpoint-pinned ``_cs_pairs`` memo. A
+    caller handing an unpinned join/agg DAG is defended below: if the
+    optimized plan still contains an expensive node (Join/Aggregate/
+    Window/Generate) the raw 2-column edge list is localCheckpointed
+    once before iteration so the DAG is evaluated exactly once.
+
     - broadcast (n_nodes ≤ ``PAGERANK_BROADCAST_MAX_NODES``): only the
       |V|-row DEGREE table checkpoints; the 2|E| edge rows stay the raw
       two-column projection off the session-pinned distinct-pair memo
@@ -1463,6 +1473,15 @@ def pagerank_ranks(
       hash-partitioned on the next join key — exactly ONE exchange per
       iteration, nothing broadcast, nothing collected.
     """
+    if partitioned is not True:
+        # Contract guard (see docstring): the broadcast regime re-scans
+        # `edges` 4x. If the optimized plan still carries an expensive
+        # node, pin the raw 2-column list once so the caller's DAG is
+        # not silently recomputed per iteration. Repo-internal callers
+        # pass Project/Filter over a pinned LogicalRDD and skip this.
+        plan = edges._jdf.queryExecution().optimizedPlan().toString()
+        if any(t in plan for t in ("Join", "Aggregate", "Window", "Generate")):
+            edges = edges.localCheckpoint()
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
     n_nodes: int | None = None
     if partitioned is not True:

@@ -636,6 +636,38 @@ def test_pagerank_broadcasts_ranks_over_checkpointed_edges(spark, sf_dir):
     assert "ExistingRDD" in plan
 
 
+def test_pagerank_pins_unpinned_join_dag_edges(spark, sf_dir):
+    """pagerank_ranks' broadcast regime re-scans edges 4x (degree build +
+    3 iterations), so its contract guard (r10 ADVICE) localCheckpoints the
+    edge list when a caller hands an unpinned join/agg DAG instead of a
+    projection off a pinned memo: the final plan must read edges from
+    ExistingRDD with ZERO parquet scans — the caller's join DAG ran
+    exactly once, at pin time."""
+    from pyspark.sql import functions as F
+
+    from data_service_spark.io import load
+    from data_service_spark.queries.llm import pagerank_ranks
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e0 = (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = e0.unionAll(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    ranks, n = pagerank_ranks(spark, edges, partitioned=False)
+    plan = plan_of(ranks, "simple")
+    assert "ExistingRDD" in plan
+    assert "Scan parquet" not in plan and "FileScan" not in plan
+    assert n > 0
+
+
 def test_contamination_single_candidate_scan(spark, sf_dir):
     """k_text_contamination evaluates the candidate shingle lambda ONCE:
     one candidate-side scan of documents feeding a broadcast LEFT join
