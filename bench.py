@@ -258,14 +258,30 @@ def main() -> None:
             history: dict[str, list[float]] = json.load(fh)
     except (OSError, ValueError):
         history = {}
+    # Keys whose query FITS an MLlib model per call (LSH hyperplane /
+    # minhash coefficient sampling + Scala reflection on first touch):
+    # their first same-session execution pays a JIT/classload warm-up that
+    # decays over ~3 runs (r11 adjudication of the k_sim_ann 1.04→1.71 s
+    # r10 move: 8 interleaved runs read 1.96, 1.40, 1.13, then 1.04±0.05
+    # steady — the code was unchanged; the single_run number is simply not
+    # a steady-state measurement for fit-bearing keys). Always min-of-3.
+    always_retime = {"k_sim_ann", "k_dedup_minhash"}
     variance_retimed: dict[str, dict] = {}
     for key, t in list(timings.items()):
         prev = history.get(key)
-        if not prev:
-            continue
-        last = prev[-1]
-        if max(t, last) < 0.5 or (t <= last * 1.5 and last <= t * 1.5):
-            continue
+        if key not in always_retime:
+            if not prev:
+                continue
+            # Compare against the BEST known steady state, not merely the
+            # last entry: r10's k_sim_ann 1.709 sat within 1.5× of a stale
+            # 2.492 tail entry while being 1.6× off the true 1.04 floor,
+            # so the guard never fired and the move reached the verdict
+            # unadjudicated.
+            last = min(prev)
+            if max(t, last) < 0.5 or (t <= last * 1.5 and last <= t * 1.5):
+                continue
+        else:
+            last = min(prev) if prev else t
         runs = [t]
         for _ in range(2):
             t0 = time.perf_counter()
