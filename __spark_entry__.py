@@ -36,9 +36,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # FIRST entries of queries() in insertion order. Rounds 1-10 recorded 499
 # distinct keys (CORRECTNESS_r01..r10.json union). Round 11 closes the gap:
 # the 37 never-driver-recorded keys lead, followed by d_agg_freq_items
-# (r10 fix awaiting driver re-record after the r09 canonicalizer crash) and
-# the k_sim_ann trio (bench-band adjudication witnesses). A ~50-key window
-# therefore confirms all 536 keys driver-recorded at r11.
+# (r10 fix awaiting driver re-record after the r09 canonicalizer crash),
+# the k_sim_ann trio (bench-band adjudication witnesses), then the 13
+# round-11 additions (SURVEY §2.S). A ~50-key window confirms the whole
+# pre-r11 surface plus most of the new keys; the tail lands in r12.
 PRIORITY = [
     "k_retention_cohorts", "k_anomaly_zscore", "k_batch_padding_waste", "k_active_margin",
     "k_embed_drift", "k_group_kfold", "k_learning_curve", "k_dataset_diff",
@@ -50,7 +51,12 @@ PRIORITY = [
     "k_graph_jaccard", "k_tail_hill", "k_gini_sources", "k_assoc_rules",
     "k_chi2_terms", "k_changepoint_cusum", "k_anomaly_mad", "k_trimmed_mean",
     "k_interarrival", "d_agg_freq_items", "k_sim_ann", "k_sim_ann_sql",
-    "k_eval_ann_recall", "k_cluster_silhouette", "k_text_keywords", "k_eval_dedup_recall",
+    "k_eval_ann_recall",
+    "k_graph_components", "k_graph_assortativity", "k_graph_clustering_coeff", "k_forecast_ses",
+    "k_spc_rules", "k_pacf_closed", "k_eval_topk_accuracy", "k_ab_bayes",
+    "k_simpson_check", "k_dedup_fingerprint", "k_text_dup_ngram_frac", "k_schema_drift",
+    "k_freshness_weights",
+    "k_cluster_silhouette", "k_text_keywords", "k_eval_dedup_recall",
     "k_graph_triangles", "k_anonymize_kanon", "k_incremental_agg", "k_expectations",
     "k_dedup_apply", "k_dataset_card", "k_vocab_coverage", "k_negatives_random",
     "k_sim_pq", "k_sim_pq_rerank", "k_rag_mmr", "k_anonymize_ldiv",

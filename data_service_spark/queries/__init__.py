@@ -19,6 +19,7 @@ from data_service_spark.queries import (  # noqa: F401
     linalg,
     metrics,
     corpus_stats,
+    graph,
     monitoring,
     sketches,
     inference,

@@ -1,0 +1,261 @@
+"""Graph-structure analytics beyond the centrality family (SURVEY.md §2.K
+continuation of llm.py's PageRank/HITS/k-core/triangles block).
+
+Connected components answer "how many independent entity islands does this
+corpus have" — the partitioning question a 100 TB graph job asks before
+anything else (an island fits one executor group; a giant component needs
+the iterative shuffle machinery). Assortativity and clustering coefficients
+are the two standard one-number summaries of graph TOPOLOGY (do hubs attach
+to hubs? is the neighborhood closed?) that decide whether sampled subgraphs
+are representative.
+
+All three reduce the corpus to edge/vertex-sized tables before any
+iteration, so the per-round shuffles carry graph rows, never corpus rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_service_spark.registry import register
+
+# ------------------------------------------------ connected components ----
+
+_COMPONENT_ROUNDS = 6
+
+
+@register(
+    "k_graph_components",
+    oracle="""
+    WITH e0 AS (
+      SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ), edges AS (
+      SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0
+    ),
+    r0 AS (SELECT DISTINCT src AS node, src AS lbl FROM edges),
+    r1 AS (SELECT node, min(lbl) AS lbl FROM (
+             SELECT e.dst AS node, r.lbl FROM edges e JOIN r0 r ON e.src = r.node
+             UNION ALL SELECT node, lbl FROM r0) u GROUP BY node),
+    r2 AS (SELECT node, min(lbl) AS lbl FROM (
+             SELECT e.dst AS node, r.lbl FROM edges e JOIN r1 r ON e.src = r.node
+             UNION ALL SELECT node, lbl FROM r1) u GROUP BY node),
+    r3 AS (SELECT node, min(lbl) AS lbl FROM (
+             SELECT e.dst AS node, r.lbl FROM edges e JOIN r2 r ON e.src = r.node
+             UNION ALL SELECT node, lbl FROM r2) u GROUP BY node),
+    r4 AS (SELECT node, min(lbl) AS lbl FROM (
+             SELECT e.dst AS node, r.lbl FROM edges e JOIN r3 r ON e.src = r.node
+             UNION ALL SELECT node, lbl FROM r3) u GROUP BY node),
+    r5 AS (SELECT node, min(lbl) AS lbl FROM (
+             SELECT e.dst AS node, r.lbl FROM edges e JOIN r4 r ON e.src = r.node
+             UNION ALL SELECT node, lbl FROM r4) u GROUP BY node),
+    r6 AS (SELECT node, min(lbl) AS lbl FROM (
+             SELECT e.dst AS node, r.lbl FROM edges e JOIN r5 r ON e.src = r.node
+             UNION ALL SELECT node, lbl FROM r5) u GROUP BY node)
+    SELECT lbl AS component_id, CAST(count(*) AS BIGINT) AS n_nodes
+    FROM r6 GROUP BY 1
+    """,
+)
+def k_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the customer–supplier co-purchase graph via
+    6 rounds of min-label propagation: every node starts labeled with its
+    own packed id; each round it takes the min of its own label and its
+    neighbors' labels. Output is the component-size table (component_id =
+    the component's min node id).
+
+    6 rounds is a documented fixed horizon, not a convergence hack: the
+    co-purchase graph's diameter is small (dense bipartite core), and
+    tests/test_operators.py pins that round 5 == round 6 on this corpus
+    (converged), so the fixed unroll IS the fixpoint here. At 100 TB the
+    same loop runs driver-side with a converged-count check per round
+    (one scalar) — or graduates to the large-star/small-star algorithm
+    (Kiveris et al. 2014) whose rounds are these same min-label hash
+    aggregations. Each round costs exactly one shuffle on node with
+    map-side partial min; the union side adds |V| rows, never corpus
+    rows. Labels are localCheckpointed per round so lineage stays flat
+    (the k_cluster_iterate precedent).
+
+    Edge extraction mirrors the graph family (llm.py `_cs_pairs`
+    packing: customer ids on the even rail, supplier ids on the odd).
+    """
+    from data_service_spark.queries.llm import _cs_pairs
+
+    e0 = _cs_pairs(spark, sf_dir).select(
+        (F.col("c") * 2).alias("src"), (F.col("s") * 2 + 1).alias("dst")
+    )
+    edges = e0.unionAll(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("lbl"))
+        .localCheckpoint()
+    )
+    for _ in range(_COMPONENT_ROUNDS):
+        labels = (
+            edges.join(labels, edges.src == labels.node)
+            .select(F.col("dst").alias("node"), "lbl")
+            .unionAll(labels)
+            .groupBy("node")
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint()
+        )
+    return labels.groupBy(F.col("lbl").alias("component_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes")
+    )
+
+
+# ------------------------------------------------ degree assortativity ----
+
+
+@register(
+    "k_graph_assortativity",
+    oracle="""
+    WITH e0 AS (
+      SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ), edges AS (
+      SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0
+    ), deg AS (
+      SELECT src AS node, CAST(count(*) AS DOUBLE) AS d FROM edges GROUP BY 1
+    ), pairs AS (
+      SELECT ds.d AS x, dd.d AS y
+      FROM edges e JOIN deg ds ON e.src = ds.node
+                   JOIN deg dd ON e.dst = dd.node
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_edges,
+           round((count(*) * sum(x * y) - sum(x) * sum(y))
+                 / sqrt((count(*) * sum(x * x) - sum(x) * sum(x))
+                        * (count(*) * sum(y * y) - sum(y) * sum(y))), 4)
+             AS assortativity
+    FROM pairs
+    """,
+)
+def k_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Newman 2002): the Pearson correlation of
+    (deg(u), deg(v)) over all directed edge instances of the undirected
+    co-purchase graph. Negative values (hubs attach to leaves) are the
+    signature of bipartite commerce graphs; a sign flip after sampling
+    means the sample broke the topology.
+
+    One |V|-row degree aggregate, two degree-attach joins (AQE broadcasts
+    the degree table while it fits, shuffle-joins on the vertex key
+    beyond), then a 1-row Σ-formula reduce. Degrees are cast to DOUBLE
+    before the power sums, so no int64 wrap governor applies — the
+    explicit least-squares text is identical in both engines and the 4dp
+    rounding absorbs partial-order ulp drift.
+    """
+    from data_service_spark.queries.llm import _cs_pairs
+
+    e0 = _cs_pairs(spark, sf_dir).select(
+        (F.col("c") * 2).alias("src"), (F.col("s") * 2 + 1).alias("dst")
+    )
+    edges = e0.unionAll(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("double").alias("d")
+    )
+    pairs = (
+        edges.join(deg.select(F.col("node").alias("sn"), F.col("d").alias("x")),
+                   edges.src == F.col("sn"))
+        .join(deg.select(F.col("node").alias("dn"), F.col("d").alias("y")),
+              edges.dst == F.col("dn"))
+        .select("x", "y")
+    )
+    n = F.count(F.lit(1))
+    return pairs.agg(
+        n.cast("long").alias("n_edges"),
+        F.round(
+            (n * F.sum(F.col("x") * F.col("y")) - F.sum("x") * F.sum("y"))
+            / F.sqrt(
+                (n * F.sum(F.col("x") * F.col("x")) - F.sum("x") * F.sum("x"))
+                * (n * F.sum(F.col("y") * F.col("y")) - F.sum("y") * F.sum("y"))
+            ),
+            4,
+        ).alias("assortativity"),
+    )
+
+
+# --------------------------------------------- clustering coefficients ----
+
+
+@register(
+    "k_graph_clustering_coeff",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    ed AS (
+      SELECT a.vec_id AS a, b.vec_id AS b
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      WHERE list_inner_product(a.v, b.v) >= 0.3
+    ), und AS (
+      SELECT a AS node, b AS nbr FROM ed UNION ALL SELECT b, a FROM ed
+    ), deg AS (
+      SELECT node AS vec_id, CAST(count(*) AS BIGINT) AS deg
+      FROM und GROUP BY 1
+    ), tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM ed e1 JOIN ed e2 ON e1.b = e2.a
+                 JOIN ed e3 ON e3.a = e1.a AND e3.b = e2.b
+    ), pt AS (
+      SELECT node AS vec_id, CAST(count(*) AS BIGINT) AS n_triangles
+      FROM (SELECT unnest([x, y, z]) AS node FROM tri) GROUP BY node
+    )
+    SELECT d.vec_id, d.deg, coalesce(pt.n_triangles, 0) AS n_triangles,
+           round(coalesce(pt.n_triangles, 0) * 2.0
+                 / (d.deg * (d.deg - 1)), 4) AS clustering_coeff
+    FROM deg d LEFT JOIN pt USING (vec_id)
+    WHERE d.deg >= 2
+    """,
+)
+def k_graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient on the cosine-similarity graph
+    (edges = pairs with sim ≥ 0.3, the k_graph_triangles edge set):
+    cc(v) = 2·T(v) / (deg(v)·(deg(v)−1)) — how closed each node's
+    neighborhood is. High-cc nodes sit inside coherent near-duplicate
+    clusters (drop the whole group); low-cc high-degree nodes are hubs
+    chaining unrelated matches (LSH false-positive signature).
+
+    Reuses the oriented-triangle algebra of k_graph_triangles (each
+    triangle found exactly once via a<b<c ordering) and the blocked-GEMM
+    ``sim_pairs`` edge finder; the degree table is one |V|-row aggregate
+    off the doubled edge list. Counts are exact integers; the only float
+    is the final 4dp ratio.
+    """
+    from data_service_spark.queries.llm import sim_pairs
+
+    ed = sim_pairs(spark, sf_dir, 0.3).select(
+        F.col("vec_id_1").alias("a"), F.col("vec_id_2").alias("b")
+    )
+    und = ed.select(F.col("a").alias("node")).unionAll(
+        ed.select(F.col("b").alias("node"))
+    )
+    deg = und.groupBy(F.col("node").alias("vec_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    e1 = ed.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = ed.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = ed.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"])
+    pt = (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("vec_id"))
+        .groupBy("vec_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+    return (
+        deg.join(pt, "vec_id", "left")
+        .filter(F.col("deg") >= 2)
+        .select(
+            "vec_id",
+            "deg",
+            F.coalesce(F.col("n_triangles"), F.lit(0)).alias("n_triangles"),
+            F.round(
+                F.coalesce(F.col("n_triangles"), F.lit(0))
+                * 2.0
+                / (F.col("deg") * (F.col("deg") - 1)),
+                4,
+            ).alias("clustering_coeff"),
+        )
+    )

@@ -1411,3 +1411,144 @@ def k_uplift_qini(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(SELECT explode(sequence(1, 10)) AS d)",
         )
     )
+
+
+# ------------------------------------------------------- Bayesian A/B ----
+
+# Abramowitz & Stegun 7.1.26 rational erf approximation (|ε| < 1.5e-7):
+# both engines evaluate this identical polynomial, so Φ agrees to ~1e-7 —
+# far inside the 4dp rounding guard. Spark/DuckDB ship no erf builtin.
+_AB_ERF = (
+    "(1.0 - (0.254829592 * (1.0 / (1.0 + 0.3275911 * abs({x})))"
+    " - 0.284496736 * pow(1.0 / (1.0 + 0.3275911 * abs({x})), 2.0)"
+    " + 1.421413741 * pow(1.0 / (1.0 + 0.3275911 * abs({x})), 3.0)"
+    " - 1.453152027 * pow(1.0 / (1.0 + 0.3275911 * abs({x})), 4.0)"
+    " + 1.061405429 * pow(1.0 / (1.0 + 0.3275911 * abs({x})), 5.0))"
+    " * exp(-({x}) * ({x})))"
+)
+
+
+def _ab_phi(x: str) -> str:
+    """Φ(z) = ½(1 + sign(z)·erf(|z|/√2)) as engine-neutral SQL text."""
+    e = _AB_ERF.format(x=f"(({x}) / sqrt(2.0))")
+    return (
+        f"(0.5 * (1.0 + (CASE WHEN ({x}) < 0 THEN -1.0 ELSE 1.0 END)"
+        f" * {e}))"
+    )
+
+
+def _body_ab_bayes() -> str:
+    """Shared ANSI body (Spark temp-view `events` / DuckDB view)."""
+    phi = _ab_phi(
+        "(cb * 1.0 / (cb + db) - ca * 1.0 / (ca + da))"
+        " / sqrt(ca * 1.0 * da / ((ca + da) * (ca + da) * (ca + da + 1))"
+        "      + cb * 1.0 * db / ((cb + db) * (cb + db) * (cb + db + 1)))"
+    )
+    return f"""
+    WITH cohorts AS (
+      SELECT user_id % 2 AS cohort,
+             count(DISTINCT user_id) AS n_users,
+             count(DISTINCT CASE WHEN event_type = 'purchase'
+                                      AND value > 200
+                                 THEN user_id END) AS n_converted
+      FROM events GROUP BY user_id % 2
+    ), wide AS (
+      SELECT
+        max(CASE WHEN cohort = 0 THEN n_users END) AS na,
+        max(CASE WHEN cohort = 0 THEN n_converted END) AS xa,
+        max(CASE WHEN cohort = 1 THEN n_users END) AS nb,
+        max(CASE WHEN cohort = 1 THEN n_converted END) AS xb
+      FROM cohorts
+    ), post AS (
+      -- Beta(1 + conversions, 1 + failures) posterior parameters
+      SELECT na, xa, nb, xb,
+             1 + xa AS ca, 1 + na - xa AS da,
+             1 + xb AS cb, 1 + nb - xb AS db
+      FROM wide
+    )
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(xa AS BIGINT) AS conv_a,
+           CAST(nb AS BIGINT) AS n_b, CAST(xb AS BIGINT) AS conv_b,
+           round(CAST(ca AS DOUBLE) / (ca + da), 6) AS posterior_rate_a,
+           round(CAST(cb AS DOUBLE) / (cb + db), 6) AS posterior_rate_b,
+           round(CAST(cb AS DOUBLE) / (cb + db)
+                 - CAST(ca AS DOUBLE) / (ca + da), 6) AS expected_lift,
+           round(CAST({phi} AS DOUBLE), 4) AS prob_b_beats_a
+    FROM post
+    """
+
+
+@register("k_ab_bayes", oracle=_body_ab_bayes())
+def k_ab_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bayesian A/B readout on the user-parity purchase-conversion split
+    (the k_ab_ztest scenario): Beta(1+x, 1+n−x) posteriors per arm and
+    P(B > A) under the normal approximation of the posterior difference —
+    the "probability of improvement" number product reviews actually
+    want, next to the frequentist z (k_ab_ztest) and sequential SPRT
+    (k_ab_sprt) readouts.
+
+    Φ is the Abramowitz–Stegun 7.1.26 rational erf (|ε| < 1.5e-7),
+    spelled as ONE SQL text both engines parse (`_ab_phi`) — neither
+    ships an erf builtin, and hand-matching two libm traditions would be
+    exactly the ulp trap the shared body avoids. The corpus collapses to
+    a 2-row cohort aggregate before any float appears.
+
+    Scale: one distinct-user shuffle, then constant-size arithmetic.
+    """
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_body_ab_bayes())
+
+
+# --------------------------------------------- Simpson's paradox check ----
+
+
+def _body_simpson() -> str:
+    """Shared ANSI body (Spark temp-view `events` / DuckDB view)."""
+    return """
+    WITH strat AS (
+      SELECT event_type AS stratum,
+             avg(CASE WHEN user_id % 2 = 0 THEN value END) AS mean_a,
+             avg(CASE WHEN user_id % 2 = 1 THEN value END) AS mean_b,
+             count(CASE WHEN user_id % 2 = 0 THEN 1 END) AS n_a,
+             count(CASE WHEN user_id % 2 = 1 THEN 1 END) AS n_b
+      FROM events GROUP BY event_type
+      UNION ALL
+      SELECT '__all__' AS stratum,
+             avg(CASE WHEN user_id % 2 = 0 THEN value END) AS mean_a,
+             avg(CASE WHEN user_id % 2 = 1 THEN value END) AS mean_b,
+             count(CASE WHEN user_id % 2 = 0 THEN 1 END) AS n_a,
+             count(CASE WHEN user_id % 2 = 1 THEN 1 END) AS n_b
+      FROM events
+    ), signed AS (
+      SELECT stratum, n_a, n_b, mean_a, mean_b,
+             CASE WHEN mean_b > mean_a THEN 1 ELSE -1 END AS sgn
+      FROM strat
+    )
+    SELECT s.stratum, CAST(s.n_a AS BIGINT) AS n_a,
+           CAST(s.n_b AS BIGINT) AS n_b,
+           round(s.mean_a, 4) AS mean_a, round(s.mean_b, 4) AS mean_b,
+           round(s.mean_b - s.mean_a, 4) AS diff_b_minus_a,
+           s.sgn <> o.sgn AS disagrees_with_overall
+    FROM signed s
+    CROSS JOIN (SELECT sgn FROM signed WHERE stratum = '__all__') o
+    """
+
+
+@register("k_simpson_check", oracle=_body_simpson())
+def k_simpson_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's-paradox audit of the user-parity A/B split on mean event
+    value: the overall B−A effect next to every event-type stratum's
+    effect, each flagged when its SIGN disagrees with the overall row. A
+    disagreeing stratum means the pooled readout is confounded by mix
+    (the classic aggregation trap every experiment review checks before
+    shipping a pooled metric).
+
+    One grouped pass + one global pass over the corpus (both map-side
+    combinable), then row-count-5 arithmetic; the overall sign attaches
+    via a 1-row cross join (the accepted scalar-attach shape). The sign
+    comparison is on raw means — a tie (mean_b == mean_a) maps to −1 in
+    BOTH engines via the shared CASE text, so no boundary ambiguity.
+
+    Scale: two corpus-wide aggregations, dimension-sized everything else.
+    """
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_body_simpson())

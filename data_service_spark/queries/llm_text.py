@@ -2397,3 +2397,130 @@ def k_gate_cascade_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint()
     per_gate.createOrReplaceTempView("dss_cascade_pergate")
     return spark.sql(_cascade_sched("dss_cascade_pergate"))
+
+
+# -------------------------------------------- sorted-token fingerprint ----
+
+
+@register(
+    "k_dedup_fingerprint",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id,
+             md5(array_to_string(list_sort(list_distinct(
+               string_split(lower(text), ' '))), ' ')) AS fingerprint
+      FROM documents
+    )
+    SELECT fingerprint, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS canonical_doc_id
+    FROM fp GROUP BY fingerprint HAVING count(*) > 1
+    """,
+)
+def k_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-collision (fingerprint) clustering, the OpenRefine/record-
+    linkage normalization: lowercase, tokenize, DEDUPLICATE and SORT the
+    token set, md5 the rejoined string. Documents that differ only in
+    token ORDER or token REPETITION collapse to one fingerprint —
+    the bag-of-words dedup tier between exact-hash (k_dedup_exact,
+    byte-identical only) and MinHash (k_dedup_minhash_sql, lossy
+    similarity). Emits multi-document fingerprint groups with the min
+    doc_id as canonical.
+
+    Both engines sort the distinct ASCII tokens under binary collation
+    and md5 the identical string, so fingerprints are bit-for-bit equal.
+    Scale: the shuffle carries 16-byte digests + doc ids (the
+    k_dedup_exact shape) — never document text; the sort is per-row over
+    a doc's own vocabulary, not a global sort.
+    """
+    d = load(spark, sf_dir, "documents")
+    fp = d.select(
+        "doc_id",
+        F.md5(
+            F.array_join(
+                F.array_sort(
+                    F.array_distinct(F.split(F.lower(F.col("text")), " "))
+                ),
+                " ",
+            )
+        ).alias("fingerprint"),
+    )
+    return (
+        fp.groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("doc_id").cast("long").alias("canonical_doc_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+# ---------------------------------------- cross-doc duplicate trigrams ----
+
+
+@register(
+    "k_text_dup_ngram_frac",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    g AS (
+      SELECT doc_id, array_to_string(w[i:i+2], ' ') AS gram
+      FROM t, unnest(list_transform(generate_series(1, len(w) - 2),
+                                    i -> i)) AS u(i)
+    ), df AS (
+      SELECT gram, count(DISTINCT doc_id) AS n_docs
+      FROM g GROUP BY gram
+    )
+    SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN df.n_docs >= 2 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dup_grams,
+           round(sum(CASE WHEN df.n_docs >= 2 THEN 1.0 ELSE 0.0 END)
+                 / count(*), 4) AS dup_frac
+    FROM g JOIN df USING (gram)
+    GROUP BY g.doc_id
+    """,
+)
+def k_text_dup_ngram_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicate-trigram fraction per document: the share
+    of a doc's word-trigram OCCURRENCES that also appear in at least one
+    OTHER document — the RefinedWeb/Gopher-style "duplicated n-gram"
+    quality signal that catches boilerplate a within-doc repetition score
+    (k_text_repetition) cannot (the repeated text lives in the corpus,
+    not the doc).
+
+    Two shuffles at scale: trigram stream → (gram, doc-frequency) model
+    (map-side combine collapses to vocabulary size; Zipf-compact like the
+    TF-IDF family's document-frequency table), then a gram-keyed join of
+    the stream against the model and a doc-keyed count reduce. Counts
+    are exact integers; the only float is the final 4dp ratio with a
+    doc-local denominator.
+    """
+    d = load(spark, sf_dir, "documents")
+    # size >= 3 fence: sequence(1, size-2) auto-steps DOWN for 1-2-token
+    # docs ([1, 0] — the ADVICE-r2 trap class); the oracle's
+    # generate_series(1, len-2) is empty there, so filter first.
+    g = d.filter(F.size(F.split("text", " ")) >= 3).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(split(text, ' ')) - 2),"
+                " i -> concat_ws(' ', slice(split(text, ' '), i, 3)))"
+            )
+        ).alias("gram"),
+    )
+    df_model = g.groupBy("gram").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    return (
+        g.join(df_model, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_grams"),
+            F.round(
+                F.sum(F.when(F.col("n_docs") >= 2, 1.0).otherwise(0.0))
+                / F.count(F.lit(1)),
+                4,
+            ).alias("dup_frac"),
+        )
+    )

@@ -3669,3 +3669,78 @@ def k_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     projections into one doc reduce — one pass, spine arithmetic."""
     load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_body_fleiss())
+
+
+# ----------------------------------------------------- top-k accuracy ----
+
+
+@register(
+    "k_eval_topk_accuracy",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+               FROM embeddings),
+    q AS (SELECT vec_id AS qid, v AS qv, label AS ql FROM e
+          WHERE vec_id < 20),
+    ranked AS (
+      SELECT q.qid, e.label, q.ql,
+             row_number() OVER (PARTITION BY q.qid
+               ORDER BY round(list_inner_product(e.v, q.qv), 6) DESC,
+                        e.vec_id) AS rn
+      FROM e CROSS JOIN q WHERE e.vec_id <> q.qid
+    ), firsts AS (
+      SELECT qid, min(CASE WHEN label = ql THEN rn END) AS fr
+      FROM ranked WHERE rn <= 10 GROUP BY qid
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_queries,
+           round(avg(CASE WHEN fr <= 1 THEN 1.0 ELSE 0.0 END), 4) AS acc_at_1,
+           round(avg(CASE WHEN fr <= 3 THEN 1.0 ELSE 0.0 END), 4) AS acc_at_3,
+           round(avg(CASE WHEN fr <= 5 THEN 1.0 ELSE 0.0 END), 4) AS acc_at_5
+    FROM q LEFT JOIN firsts USING (qid)
+    """,
+)
+def k_eval_topk_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k retrieval accuracy (hit@1/3/5) for the 20 probe vectors with
+    label-as-relevance: the fraction of probes whose exact cosine ranking
+    has a same-class neighbor within rank k. Where k_eval_mrr_labels
+    scores HOW EARLY the first hit lands, this is the leaderboard-style
+    "did we get one in the top k at all" triple — the number a retrieval
+    regression gate thresholds on.
+
+    Rank spine comes from the session-memoized ``_exact_ranked`` (one
+    probe-broadcast corpus scan shared by the retrieval-evaluation
+    panel); the accuracies are 20-denominator averages, provably off the
+    4dp half-boundary grid (k/20 has ≤ 2 decimals). NULL-fr probes (no
+    hit in the cached depth) count 0 through the CASE's ELSE on both
+    engines.
+    """
+    from data_service_spark.queries.llm import (
+        _EXACT_RANKED_DEPTH,
+        _emb,
+        _exact_ranked,
+    )
+
+    assert 5 <= _EXACT_RANKED_DEPTH
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < 20).select(F.col("vec_id").alias("qid"))
+    firsts = (
+        _exact_ranked(spark, sf_dir)
+        .filter(F.col("rn") <= 10)
+        .groupBy("qid")
+        .agg(
+            F.min(
+                F.when(F.col("label") == F.col("ql"), F.col("rn"))
+            ).alias("fr")
+        )
+    )
+
+    def acc(k: int):
+        return F.round(
+            F.avg(F.when(F.col("fr") <= k, 1.0).otherwise(0.0)), 4
+        ).alias(f"acc_at_{k}")
+
+    return q.join(firsts, "qid", "left").agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        acc(1),
+        acc(3),
+        acc(5),
+    )

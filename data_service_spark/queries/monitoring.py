@@ -903,3 +903,297 @@ def e_win_dow_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     (7 shards over the spine)."""
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_body_dow_anomaly())
+
+
+# ------------------------------------------ simple exponential smoothing ----
+
+
+@register(
+    "k_forecast_ses",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(count(*) AS DOUBLE) AS n
+      FROM events GROUP BY 1
+    ), idx AS (
+      SELECT day, n,
+             CAST(row_number() OVER (ORDER BY day) AS DOUBLE) AS t
+      FROM daily
+    ), terms AS (
+      SELECT day, n, t,
+             CASE WHEN t = 1 THEN n * 2.0
+                  ELSE n * pow(2.0, t - 1.0) END AS c
+      FROM idx
+    ), sm AS (
+      SELECT day, n, t,
+             pow(2.0, -t) * sum(c) OVER (ORDER BY t
+               ROWS UNBOUNDED PRECEDING) AS s
+      FROM terms
+    )
+    SELECT day, CAST(n AS BIGINT) AS n_events, round(s, 4) AS ses,
+           round(lag(s) OVER (ORDER BY t), 4) AS forecast,
+           round(n - lag(s) OVER (ORDER BY t), 4) AS forecast_error
+    FROM sm
+    """,
+)
+def k_forecast_ses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simple exponential smoothing (α = 0.3) over the daily event-count
+    spine, with the one-step-ahead forecast (yesterday's smoothed level)
+    and its error per day — the baseline every ingest-volume forecaster is
+    judged against (and the level estimator k_page_hinkley-style drift
+    monitors consume).
+
+    The recurrence s_t = α·x_t + (1−α)·s_{t−1} (s_1 = x_1) is a LINEAR
+    recurrence, so it unrolls into a closed-form weighted cumulative sum:
+    s_t = 2^(−t) · Σ_{i≤t} c_i with c_1 = 2·x_1, c_i = 2^(i−1)·x_i — ONE
+    ordered window over the ~30-row day spine instead of a sequential
+    driver loop. α = ½ is chosen deliberately: every term is a daily
+    count times a power of two (DYADIC), so all products/sums are exact
+    in IEEE doubles and both engines hold BIT-IDENTICAL values — no libm
+    pow ulp drift, no half-boundary rounding flips (an α = 0.3 draft
+    flipped 341.21335 across the 4dp boundary between engines).
+    Exactness envelope: x·2^t < 2^53, i.e. ~40 days at sf0.1 daily
+    volumes (the corpus spans 30; beyond the envelope the closed form
+    graduates to a log-domain or fixed-tap variant).
+
+    Scale: corpus reduces to the day spine in one shuffle; everything
+    after is calendar-sized.
+    """
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.date_trunc("DAY", F.col("ts")).cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("n"))
+    idx = daily.select(
+        "day",
+        "n",
+        F.row_number().over(Window.orderBy("day")).cast("double").alias("t"),
+    )
+    terms = idx.select(
+        "day",
+        "n",
+        "t",
+        F.when(F.col("t") == 1, F.col("n") * 2.0)
+        .otherwise(F.col("n") * F.pow(F.lit(2.0), F.col("t") - 1.0))
+        .alias("c"),
+    )
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    sm = terms.select(
+        "day",
+        "n",
+        "t",
+        (F.pow(F.lit(2.0), -F.col("t")) * F.sum("c").over(w)).alias("s"),
+    )
+    wl = Window.orderBy("t")
+    return sm.select(
+        "day",
+        F.col("n").cast("long").alias("n_events"),
+        F.round("s", 4).alias("ses"),
+        F.round(F.lag("s").over(wl), 4).alias("forecast"),
+        F.round(F.col("n") - F.lag("s").over(wl), 4).alias("forecast_error"),
+    )
+
+
+# ------------------------------------------- Western Electric SPC rules ----
+
+
+@register(
+    "k_spc_rules",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(count(*) AS DOUBLE) AS n
+      FROM events GROUP BY 1, 2
+    ), stats AS (
+      SELECT event_type, count(*) AS cnt, sum(n) AS sx, sum(n * n) AS sxx
+      FROM daily GROUP BY 1
+    ), z AS (
+      SELECT d.event_type, d.day, d.n,
+             (d.n - s.sx / s.cnt)
+               / sqrt((s.sxx - s.sx * s.sx / s.cnt) / (s.cnt - 1)) AS z
+      FROM daily d JOIN stats s USING (event_type)
+    )
+    SELECT event_type, day, CAST(n AS BIGINT) AS n_events,
+           round(z, 4) AS zscore,
+           abs(z) > 3 AS rule1,
+           sum(CASE WHEN z > 2 THEN 1 ELSE 0 END) OVER w3 >= 2
+             OR sum(CASE WHEN z < -2 THEN 1 ELSE 0 END) OVER w3 >= 2 AS rule2,
+           sum(CASE WHEN z > 1 THEN 1 ELSE 0 END) OVER w5 >= 4
+             OR sum(CASE WHEN z < -1 THEN 1 ELSE 0 END) OVER w5 >= 4 AS rule3,
+           sum(CASE WHEN z > 0 THEN 1 ELSE 0 END) OVER w8 = 8
+             OR sum(CASE WHEN z < 0 THEN 1 ELSE 0 END) OVER w8 = 8 AS rule4
+    FROM z
+    WINDOW w3 AS (PARTITION BY event_type ORDER BY day ROWS 2 PRECEDING),
+           w5 AS (PARTITION BY event_type ORDER BY day ROWS 4 PRECEDING),
+           w8 AS (PARTITION BY event_type ORDER BY day ROWS 7 PRECEDING)
+    """,
+)
+def k_spc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Western Electric control-chart rules over the daily event-count
+    spine: rule 1 (point beyond 3σ), rule 2 (2 of 3 consecutive beyond 2σ,
+    same side), rule 3 (4 of 5 beyond 1σ, same side), rule 4 (8 consecutive
+    on one side of the mean), evaluated per event type. The standard SPC
+    battery an ingest-volume monitor runs where a plain z-threshold
+    (k_anomaly_zscore) only covers rule 1. Emits every (type, day) with its
+    flag vector — the consuming alert layer filters; keeping all rows makes
+    the whole chart surface verifiable.
+
+    Mean/σ use the explicit Σ-formula (identical text both engines; the
+    power sums accumulate in DOUBLE over the ~30-row-per-type spine, no
+    int64 wrap surface). Each rule is a short ROWS-frame count over the
+    day-ordered per-type spine — threshold comparisons sit far from any
+    ulp boundary because counts are integers and σ is O(n).
+
+    Scale: one corpus shuffle to the (type, day) spine; four
+    calendar-sized windows after, partitioned by type.
+    """
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.date_trunc("DAY", F.col("ts")).cast("date").alias("day"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("n"))
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("cnt"),
+        F.sum("n").alias("sx"),
+        F.sum(F.col("n") * F.col("n")).alias("sxx"),
+    )
+    z = daily.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "day",
+        "n",
+        (
+            (F.col("n") - F.col("sx") / F.col("cnt"))
+            / F.sqrt(
+                (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("cnt"))
+                / (F.col("cnt") - 1)
+            )
+        ).alias("z"),
+    )
+    w3 = Window.partitionBy("event_type").orderBy("day").rowsBetween(-2, 0)
+    w5 = Window.partitionBy("event_type").orderBy("day").rowsBetween(-4, 0)
+    w8 = Window.partitionBy("event_type").orderBy("day").rowsBetween(-7, 0)
+
+    def _cnt(cond, w):
+        return F.sum(F.when(cond, 1).otherwise(0)).over(w)
+
+    return z.select(
+        "event_type",
+        "day",
+        F.col("n").cast("long").alias("n_events"),
+        F.round("z", 4).alias("zscore"),
+        (F.abs(F.col("z")) > 3).alias("rule1"),
+        (
+            (_cnt(F.col("z") > 2, w3) >= 2) | (_cnt(F.col("z") < -2, w3) >= 2)
+        ).alias("rule2"),
+        (
+            (_cnt(F.col("z") > 1, w5) >= 4) | (_cnt(F.col("z") < -1, w5) >= 4)
+        ).alias("rule3"),
+        (
+            (_cnt(F.col("z") > 0, w8) == 8) | (_cnt(F.col("z") < 0, w8) == 8)
+        ).alias("rule4"),
+    )
+
+
+# --------------------------------------------------- closed-form PACF ----
+
+
+@register(
+    "k_pacf_closed",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(row_number() OVER (ORDER BY CAST(date_trunc('day', ts)
+               AS DATE)) AS BIGINT) AS t,
+             CAST(count(*) AS DOUBLE) AS n
+      FROM events GROUP BY CAST(date_trunc('day', ts) AS DATE)
+    ), mu AS (SELECT avg(n) AS m, count(*) AS cnt FROM daily),
+    d AS (SELECT t, n - (SELECT m FROM mu) AS x FROM daily),
+    denom AS (SELECT sum(x * x) AS s0 FROM d),
+    r AS (
+      SELECT
+        (SELECT sum(a.x * b.x) FROM d a JOIN d b ON a.t = b.t + 1)
+          / (SELECT s0 FROM denom) AS r1,
+        (SELECT sum(a.x * b.x) FROM d a JOIN d b ON a.t = b.t + 2)
+          / (SELECT s0 FROM denom) AS r2,
+        (SELECT sum(a.x * b.x) FROM d a JOIN d b ON a.t = b.t + 3)
+          / (SELECT s0 FROM denom) AS r3
+    )
+    SELECT (SELECT CAST(cnt AS BIGINT) FROM mu) AS n_days,
+           round(r1, 4) AS acf1, round(r2, 4) AS acf2, round(r3, 4) AS acf3,
+           round(r1, 4) AS pacf1,
+           round((r2 - r1 * r1) / (1 - r1 * r1), 4) AS pacf2,
+           round((r3 - (r1 - ((r2 - r1 * r1) / (1 - r1 * r1)) * r1) * r2
+                     - ((r2 - r1 * r1) / (1 - r1 * r1)) * r1)
+                 / (1 - (r1 - ((r2 - r1 * r1) / (1 - r1 * r1)) * r1) * r1
+                      - ((r2 - r1 * r1) / (1 - r1 * r1)) * r2), 4) AS pacf3
+    FROM r
+    """,
+)
+def k_pacf_closed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation (lags 1–3, biased estimator) and partial
+    autocorrelation of the daily event-count series via the closed-form
+    Durbin–Levinson unroll: pacf1 = r1, pacf2 = (r2 − r1²)/(1 − r1²),
+    pacf3 = (r3 − φ21·r2 − φ22·r1)/(1 − φ21·r1 − φ22·r2) with
+    φ22 = pacf2, φ21 = r1 − φ22·r1. PACF is the AR-order selector
+    (k_autocorr_daily reports raw ACF; the partial series is what decides
+    whether lag-2 structure is real or lag-1 echo).
+
+    Lag products come from three self-joins of the DEMEANED calendar
+    spine on shifted day index (spine is ~30 rows — the joins are
+    dimension-sized), the denominator is one Σx²; x is a demeaned DOUBLE,
+    so every power sum accumulates in DOUBLE (no int64 wrap surface) and
+    both engines evaluate the identical formula text, rounding at 4dp.
+    """
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.date_trunc("DAY", F.col("ts")).cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("n"))
+    idx = daily.select(
+        F.row_number().over(Window.orderBy("day")).cast("long").alias("t"),
+        "n",
+    )
+    mu = idx.agg(
+        F.avg("n").alias("m"), F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    d = idx.crossJoin(F.broadcast(mu)).select(
+        "t", (F.col("n") - F.col("m")).alias("x"), "cnt"
+    )
+    s0 = d.agg(
+        F.sum(F.col("x") * F.col("x")).alias("s0"),
+        F.max("cnt").alias("cnt"),
+    )
+
+    def lag_sum(k: int):
+        a = d.select(F.col("t").alias("ta"), F.col("x").alias("xa"))
+        b = d.select(F.col("t").alias("tb"), F.col("x").alias("xb"))
+        return (
+            a.join(b, a.ta == b.tb + k)
+            .agg(F.sum(F.col("xa") * F.col("xb")).alias(f"s{k}"))
+        )
+    num = (
+        lag_sum(1)
+        .crossJoin(lag_sum(2))
+        .crossJoin(lag_sum(3))
+        .crossJoin(F.broadcast(s0))
+    )
+    r = num.select(
+        F.col("cnt").alias("n_days"),
+        (F.col("s1") / F.col("s0")).alias("r1"),
+        (F.col("s2") / F.col("s0")).alias("r2"),
+        (F.col("s3") / F.col("s0")).alias("r3"),
+    )
+    phi22 = (F.col("r2") - F.col("r1") * F.col("r1")) / (
+        1 - F.col("r1") * F.col("r1")
+    )
+    phi21 = F.col("r1") - phi22 * F.col("r1")
+    return r.select(
+        "n_days",
+        F.round("r1", 4).alias("acf1"),
+        F.round("r2", 4).alias("acf2"),
+        F.round("r3", 4).alias("acf3"),
+        F.round("r1", 4).alias("pacf1"),
+        F.round(phi22, 4).alias("pacf2"),
+        F.round(
+            (F.col("r3") - phi21 * F.col("r2") - phi22 * F.col("r1"))
+            / (1 - phi21 * F.col("r1") - phi22 * F.col("r2")),
+            4,
+        ).alias("pacf3"),
+    )

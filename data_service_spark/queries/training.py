@@ -3686,3 +3686,137 @@ def k_shuffle_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         _body_shuffle_quality("md5(concat('ep1:', CAST(doc_id AS STRING)))")
     )
+
+
+# ------------------------------------------------------- schema drift ----
+
+
+def _body_schema_drift() -> str:
+    """Shared ANSI body (Spark temp-view `orders` / DuckDB view)."""
+    halves = """
+      SELECT CASE WHEN o_orderdate < TIMESTAMP '1998-04-15 00:00:00'
+                  THEN 'early' ELSE 'late' END AS half, *
+      FROM orders
+    """
+    return f"""
+    WITH h AS ({halves}),
+    m AS (
+      SELECT half, 'o_totalprice' AS column_name, 'mean' AS metric,
+             avg(o_totalprice) AS v
+      FROM h GROUP BY half
+      UNION ALL
+      SELECT half, 'o_totalprice', 'null_frac',
+             avg(CASE WHEN o_totalprice IS NULL THEN 1.0 ELSE 0.0 END)
+      FROM h GROUP BY half
+      UNION ALL
+      SELECT half, 'o_orderstatus', 'n_distinct',
+             CAST(count(DISTINCT o_orderstatus) AS DOUBLE)
+      FROM h GROUP BY half
+      UNION ALL
+      SELECT half, 'o_orderpriority', 'n_distinct',
+             CAST(count(DISTINCT o_orderpriority) AS DOUBLE)
+      FROM h GROUP BY half
+      UNION ALL
+      SELECT half, 'o_custkey', 'n_distinct',
+             CAST(count(DISTINCT o_custkey) AS DOUBLE)
+      FROM h GROUP BY half
+      UNION ALL
+      SELECT half, 'rows', 'count', CAST(count(*) AS DOUBLE)
+      FROM h GROUP BY half
+    )
+    SELECT column_name, metric,
+           round(max(CASE WHEN half = 'early' THEN v END), 4) AS early_val,
+           round(max(CASE WHEN half = 'late' THEN v END), 4) AS late_val,
+           round(max(CASE WHEN half = 'late' THEN v END)
+                 / nullif(max(CASE WHEN half = 'early' THEN v END), 0.0)
+                 - 1.0, 4) AS rel_change
+    FROM m GROUP BY column_name, metric
+    """
+
+
+@register("k_schema_drift", oracle=_body_schema_drift())
+def k_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-over-snapshot profile drift on the orders table, split at
+    1998-04-15 (the corpus date midpoint) into early/late halves: per (column, metric) — mean and
+    null fraction for the money column, distinct counts for the two enum
+    columns and the FK, row count — side by side with the relative
+    change. The ingest-contract check a scheduled pipeline runs BEFORE
+    retraining: a jump in null_frac or a collapsed n_distinct is an
+    upstream schema/extraction break that no row-level validator
+    (k_expectations) sees, because every row is individually fine.
+
+    One shared ANSI body (the k_ab_ztest precedent) — each UNION arm is
+    a 2-row grouped aggregate over the same scan (Catalyst fuses the
+    scan; distinct-count arms each reduce map-side), pivoted to
+    early/late columns by conditional max. All six arms emit DOUBLE so
+    the union is type-stable in both engines.
+
+    Scale: a handful of full-scan aggregates over a date-partitioned
+    table — at 100 TB each arm prunes to its half's partitions and the
+    distinct counts swap to approx_count_distinct behind the same
+    contract.
+    """
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_body_schema_drift())
+
+
+# -------------------------------------------------- freshness weights ----
+
+
+@register(
+    "k_freshness_weights",
+    oracle="""
+    WITH mx AS (
+      SELECT max(CAST(date_trunc('day', ts) AS DATE)) AS d0 FROM events
+    ), w AS (
+      SELECT event_type,
+             exp(-0.1 * date_diff('day', CAST(date_trunc('day', ts) AS DATE),
+                                  (SELECT d0 FROM mx))) AS wt
+      FROM events
+    )
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(wt), 4) AS sum_weight,
+           round(sum(wt) * sum(wt) / sum(wt * wt), 4) AS ess,
+           round(sum(wt) * sum(wt) / sum(wt * wt) / count(*), 4)
+             AS ess_ratio
+    FROM w GROUP BY event_type
+    """,
+)
+def k_freshness_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-decay sampling weights per event type: w = exp(−0.1 · age)
+    with age in whole days behind the corpus max day, rolled up to the
+    per-type weight mass and Kish effective sample size (Σw)²/Σw² — the
+    planning numbers for a freshness-weighted training draw (how much
+    does recency weighting SHRINK each type's effective data?).
+
+    Age is an integer day difference between DATE-truncated stamps (the
+    NTZ-safe surface), so exp sees identical integer arguments in both
+    engines; both libms round exp to ≤1 ulp and the corpus-sized sums
+    drown that far below the 4dp rounding. The Σw² power sum accumulates
+    in DOUBLE (weights are exp() doubles in (0, 1]) — no int64 wrap
+    surface. The max-day scalar attaches via a broadcast 1-row cross
+    join (the accepted scalar-attach shape).
+
+    Scale: one scalar reduce + one grouped map-side-combinable pass.
+    """
+    e = load(spark, sf_dir, "events")
+    mx = e.agg(
+        F.max(F.date_trunc("DAY", F.col("ts")).cast("date")).alias("d0")
+    )
+    w = e.crossJoin(F.broadcast(mx)).select(
+        "event_type",
+        F.exp(
+            -0.1
+            * F.datediff(
+                F.col("d0"), F.date_trunc("DAY", F.col("ts")).cast("date")
+            )
+        ).alias("wt"),
+    )
+    sw = F.sum("wt")
+    sww = F.sum(F.col("wt") * F.col("wt"))
+    return w.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.round(sw, 4).alias("sum_weight"),
+        F.round(sw * sw / sww, 4).alias("ess"),
+        F.round(sw * sw / sww / F.count(F.lit(1)), 4).alias("ess_ratio"),
+    )

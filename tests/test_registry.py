@@ -174,6 +174,10 @@ k_outlier_lof k_feature_woe k_threshold_knee
 k_reid_risk k_attribution_shapley
 k_pref_length_bias k_shuffle_quality k_eval_ranker_delta
 k_eval_pass_at_k k_fleiss_kappa q_tpch_refresh
+k_graph_components k_graph_assortativity k_graph_clustering_coeff
+k_forecast_ses k_spc_rules k_pacf_closed k_eval_topk_accuracy
+k_ab_bayes k_simpson_check k_dedup_fingerprint k_text_dup_ngram_frac
+k_schema_drift k_freshness_weights
 """.split()
 
 
