@@ -55,7 +55,8 @@ PRIORITY = [
     "k_graph_components", "k_graph_assortativity", "k_graph_clustering_coeff", "k_forecast_ses",
     "k_spc_rules", "k_pacf_closed", "k_eval_topk_accuracy", "k_ab_bayes",
     "k_simpson_check", "k_dedup_fingerprint", "k_text_dup_ngram_frac", "k_schema_drift",
-    "k_freshness_weights",
+    "k_freshness_weights", "k_markov_absorption", "k_wilcoxon_signed", "k_bucket_batching_gain",
+    "k_sample_fixed_k", "k_eval_auc_by_segment",
     "k_cluster_silhouette", "k_text_keywords", "k_eval_dedup_recall",
     "k_graph_triangles", "k_anonymize_kanon", "k_incremental_agg", "k_expectations",
     "k_dedup_apply", "k_dataset_card", "k_vocab_coverage", "k_negatives_random",

@@ -1552,3 +1552,74 @@ def k_simpson_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_body_simpson())
+
+
+# --------------------------------------------- Wilcoxon signed-rank ----
+
+
+def _body_wilcoxon() -> str:
+    """Shared ANSI body (Spark temp-view `events` / DuckDB view)."""
+    return """
+    WITH half AS (
+      SELECT user_id,
+             CASE WHEN CAST(date_trunc('day', ts) AS DATE)
+                       < DATE '2024-01-16'
+                  THEN 'a' ELSE 'b' END AS h,
+             value
+      FROM events
+    ), pair AS (
+      SELECT user_id,
+             avg(CASE WHEN h = 'a' THEN value END) AS va,
+             avg(CASE WHEN h = 'b' THEN value END) AS vb
+      FROM half GROUP BY user_id
+      HAVING count(CASE WHEN h = 'a' THEN 1 END) > 0
+         AND count(CASE WHEN h = 'b' THEN 1 END) > 0
+    ), d AS (
+      SELECT vb - va AS diff, round(abs(vb - va), 6) AS absd
+      FROM pair WHERE round(abs(vb - va), 6) > 0
+    ), rk AS (
+      -- CAST AS DOUBLE: x.y literals parse as DECIMAL in both engines and
+      -- decimal midrank sums surface as DecimalType output (driver-hash
+      -- trap class).
+      SELECT diff,
+             CAST(rank() OVER (ORDER BY absd)
+               + (count(*) OVER (PARTITION BY absd) - 1) / CAST(2.0 AS DOUBLE)
+               AS DOUBLE) AS midrank
+      FROM d
+    ), s AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             sum(CASE WHEN diff > 0 THEN midrank
+                      ELSE CAST(0.0 AS DOUBLE) END) AS wplus
+      FROM rk
+    )
+    SELECT CAST(n AS BIGINT) AS n_pairs,
+           round(wplus, 4) AS w_plus,
+           round((wplus - n * (n + 1) / 4.0)
+                 / sqrt(n * (n + 1) * (2 * n + 1) / 24.0), 4) AS z_stat,
+           abs((wplus - n * (n + 1) / 4.0)
+               / sqrt(n * (n + 1) * (2 * n + 1) / 24.0)) > 1.96
+             AS significant_95
+    FROM s
+    """
+
+
+@register("k_wilcoxon_signed", oracle=_body_wilcoxon())
+def k_wilcoxon_signed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank test on PAIRED per-user mean event values,
+    first half of the month vs second half: did the typical user's spend
+    level shift, without assuming normality? The paired complement to
+    k_mann_whitney (independent samples) and k_welch_t (parametric) —
+    the within-subject design kills the between-user variance those
+    tests absorb.
+
+    Midranks partition on the 6dp-ROUNDED |diff| (rank() + (ties−1)/2),
+    so both engines see identical tie groups — ranking raw doubles
+    across engines is the classic last-ulp trap; zero-diff pairs drop
+    per the standard procedure, and the sign of diff is safe because
+    surviving |diff| ≥ 5e-7 dwarfs any ulp. Normal approximation without
+    tie-variance correction (noted; ties are measure-zero at 6dp on
+    continuous spend). One grouped pass to user pairs, one
+    rank-table-sized window, a 1-row reduce.
+    """
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_body_wilcoxon())

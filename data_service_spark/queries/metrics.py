@@ -3744,3 +3744,94 @@ def k_eval_topk_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         acc(3),
         acc(5),
     )
+
+
+# ------------------------------------------------- AUC per segment ----
+
+
+@register(
+    "k_eval_auc_by_segment",
+    oracle=f"""
+    WITH scored AS ({_REG_ORACLES.get("k_quality_logreg", "SELECT 1")}),
+    lab AS (
+      SELECT d.source, s.score_q,
+             CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM scored s JOIN documents d USING (doc_id)
+    ), grp AS (
+      SELECT source, score_q, count(*) AS n_tot, sum(y) AS n_pos
+      FROM lab GROUP BY source, score_q
+    ), ranked AS (
+      SELECT source, n_tot, n_pos,
+             coalesce(sum(n_tot) OVER (PARTITION BY source ORDER BY score_q
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + (n_tot + 1) / 2.0 AS avg_rank
+      FROM grp
+    )
+    SELECT source,
+           round((sum(n_pos * avg_rank)
+                  - sum(n_pos) * (sum(n_pos) + 1) / 2.0)
+                 / (sum(n_pos) * (sum(n_tot) - sum(n_pos))), 6) AS auc,
+           CAST(sum(n_pos) AS BIGINT) AS n_pos,
+           CAST(sum(n_tot) - sum(n_pos) AS BIGINT) AS n_neg
+    FROM ranked GROUP BY source
+    HAVING sum(n_pos) > 0 AND sum(n_tot) - sum(n_pos) > 0
+    """,
+)
+def k_eval_auc_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source ROC AUC of the k_quality_logreg score against the
+    lang='en' label — the fairness/segment slice of k_eval_auc: a
+    classifier can hold a healthy pooled AUC while being a coin flip on
+    one source (exactly the slice a data-curation gate must not regress).
+    Sources lacking either class drop (AUC undefined), via the same
+    HAVING on exact integer counts in both engines.
+
+    Same Mann–Whitney midrank identity as k_eval_auc, with every window
+    and reduce additionally keyed by source: per-(source, score) integer
+    counts, a source-partitioned prefix window over distinct-score rows,
+    a per-source 1-row reduce. Exact integer rank sums; one 6dp division
+    at the end.
+    """
+    d = load(spark, sf_dir, "documents")
+    from data_service_spark.registry import QUERIES
+
+    scored = QUERIES["k_quality_logreg"](spark, sf_dir).select(
+        "doc_id", "score_q"
+    )
+    lab = scored.join(d.select("doc_id", "source", "lang"), "doc_id").select(
+        "source",
+        "score_q",
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    grp = lab.groupBy("source", "score_q").agg(
+        F.count(F.lit(1)).alias("n_tot"), F.sum("y").alias("n_pos")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("score_q")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = grp.select(
+        "source",
+        "n_tot",
+        "n_pos",
+        (
+            F.coalesce(F.sum("n_tot").over(w), F.lit(0))
+            + (F.col("n_tot") + 1) / 2.0
+        ).alias("avg_rank"),
+    )
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.round(
+                (
+                    F.sum(F.col("n_pos") * F.col("avg_rank"))
+                    - F.sum("n_pos") * (F.sum("n_pos") + 1) / 2.0
+                )
+                / (F.sum("n_pos") * (F.sum("n_tot") - F.sum("n_pos"))),
+                6,
+            ).alias("auc"),
+            F.sum("n_pos").cast("long").alias("n_pos"),
+            (F.sum("n_tot") - F.sum("n_pos")).cast("long").alias("n_neg"),
+        )
+        .filter((F.col("n_pos") > 0) & (F.col("n_neg") > 0))
+    )

@@ -3820,3 +3820,162 @@ def k_freshness_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(sw * sw / sww, 4).alias("ess"),
         F.round(sw * sw / sww / F.count(F.lit(1)), 4).alias("ess_ratio"),
     )
+
+
+# ------------------------------------------- length-bucketed batching ----
+
+
+@register(
+    "k_bucket_batching_gain",
+    oracle="""
+    WITH lens AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+      FROM documents
+    ), gb AS (
+      SELECT n, (row_number() OVER (ORDER BY doc_id) - 1) // 8 AS b
+      FROM lens
+    ), bb AS (
+      SELECT n, (row_number() OVER (ORDER BY n, doc_id) - 1) // 8 AS b
+      FROM lens
+    ), gw AS (
+      SELECT sum(mx * cnt - s) AS waste FROM (
+        SELECT max(n) AS mx, count(*) AS cnt, sum(n) AS s
+        FROM gb GROUP BY b) x
+    ), bw AS (
+      SELECT sum(mx * cnt - s) AS waste FROM (
+        SELECT max(n) AS mx, count(*) AS cnt, sum(n) AS s
+        FROM bb GROUP BY b) x
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM lens) AS n_docs,
+           (SELECT CAST(waste AS BIGINT) FROM gw) AS arrival_pad_tokens,
+           (SELECT CAST(waste AS BIGINT) FROM bw) AS bucketed_pad_tokens,
+           round(1.0 - (SELECT waste FROM bw) * 1.0
+                     / nullif((SELECT waste FROM gw), 0), 4) AS pad_gain
+    """,
+)
+def k_bucket_batching_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-waste gain from length-bucketed batching: batch documents
+    8 at a time in ARRIVAL order (doc_id) vs LENGTH-SORTED order, pad
+    every batch to its max token count, and compare the wasted-token
+    totals — the one number that justifies a bucketing stage in a
+    training dataloader (k_batch_padding_waste measures the waste of one
+    fixed policy; this measures the GAIN of switching).
+
+    Batch assignment is floor((row_number − 1)/8) over a deterministic
+    key (doc_id, or (length, doc_id)) so both engines build identical
+    batches; all quantities are exact integer token counts until the
+    final 4dp ratio. Scale note: the length-sorted row_number is a
+    global sort ORDER — at 100 TB the same policy runs per shard
+    (k_pack_sequences_sharded precedent: range-partition by length, then
+    window within shards) with identical arithmetic; the global spec
+    here keeps the oracle exact.
+    """
+    from pyspark.sql.window import Window
+
+    d = load(spark, sf_dir, "documents")
+    lens = d.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n")
+    )
+    gb = lens.select(
+        "n",
+        F.floor(
+            (F.row_number().over(Window.orderBy("doc_id")) - 1) / 8
+        ).alias("b"),
+    )
+    bb = lens.select(
+        "n",
+        F.floor(
+            (F.row_number().over(Window.orderBy("n", "doc_id")) - 1) / 8
+        ).alias("b"),
+    )
+
+    def waste(batched: DataFrame) -> DataFrame:
+        return (
+            batched.groupBy("b")
+            .agg(
+                F.max("n").alias("mx"),
+                F.count(F.lit(1)).alias("cnt"),
+                F.sum("n").alias("s"),
+            )
+            .agg(
+                F.sum(
+                    F.col("mx") * F.col("cnt") - F.col("s")
+                ).alias("waste")
+            )
+        )
+
+    n_docs = lens.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    gw = waste(gb).select(F.col("waste").alias("arrival_pad_tokens"))
+    bw = waste(bb).select(F.col("waste").alias("bucketed_pad_tokens"))
+    return (
+        n_docs.crossJoin(F.broadcast(gw))
+        .crossJoin(F.broadcast(bw))
+        .select(
+            "n_docs",
+            F.col("arrival_pad_tokens").cast("long").alias(
+                "arrival_pad_tokens"
+            ),
+            F.col("bucketed_pad_tokens").cast("long").alias(
+                "bucketed_pad_tokens"
+            ),
+            F.round(
+                1.0
+                - F.col("bucketed_pad_tokens")
+                / F.nullif(
+                    F.col("arrival_pad_tokens").cast("double"), F.lit(0.0)
+                ),
+                4,
+            ).alias("pad_gain"),
+        )
+    )
+
+
+# ------------------------------------------ exact-k deterministic sample ----
+
+
+@register(
+    "k_sample_fixed_k",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5('rsv:' || CAST(doc_id AS VARCHAR)), doc_id)
+               AS sample_rank
+      FROM documents
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+           CAST(sample_rank AS BIGINT) AS sample_rank
+    FROM ranked WHERE sample_rank <= 5
+    """,
+)
+def k_sample_fixed_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k-per-group deterministic sample (k = 5 per source) by
+    salted-md5 rank — the reproducible reservoir-sampling equivalent: a
+    uniform draw (hash order is independent of every attribute) that,
+    unlike the hash-BUCKET predicate of k_sample_stratified, guarantees
+    the exact per-group count a fixed-size eval set needs, and unlike
+    `sampleBy` is stable across runs, partitionings, and engines.
+
+    Per-group top-k over the hash ranking: Spark's window TopK pushes
+    the rank filter into a partial sort per partition (no global sort of
+    the corpus); the salt prefix ('rsv:') decorrelates this draw from
+    every other salted-hash consumer in the registry. Deterministic
+    bit-for-bit in both engines (md5 of identical strings, doc_id
+    tiebreak).
+    """
+    from pyspark.sql.window import Window
+
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.concat(F.lit("rsv:"), F.col("doc_id").cast("string"))),
+        "doc_id",
+    )
+    return (
+        d.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "source",
+            F.row_number().over(w).cast("long").alias("sample_rank"),
+        )
+        .filter(F.col("sample_rank") <= 5)
+    )

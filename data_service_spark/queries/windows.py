@@ -1150,3 +1150,68 @@ def e_win_hampel_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(is_out, F.col("med")).otherwise(F.col("value")), 4
         ).alias("repaired"),
     )
+
+
+# --------------------------------------------- Markov absorption probs ----
+
+
+def _body_markov_absorption() -> str:
+    """Shared ANSI body (Spark temp-view `events` / DuckDB view): 8
+    unrolled absorption steps of the user-journey chain."""
+    steps = ""
+    prev = "a0"
+    for i in range(1, 9):
+        steps += f""", a{i} AS (
+      SELECT p.src AS st, a.target, sum(p.pr * a.pr) AS pr
+      FROM pt p JOIN {prev} a ON p.dst = a.st GROUP BY p.src, a.target
+    )"""
+        prev = f"a{i}"
+    return f"""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ), t AS (
+      SELECT prev_type, event_type AS next_type, count(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, next_type
+    ), pt AS (
+      -- CAST AS DOUBLE everywhere: x.y literals parse as DECIMAL in both
+      -- engines, and 8 multiplicative steps of decimal-rounded arithmetic
+      -- drift from double arithmetic past the 6dp output rounding.
+      SELECT prev_type AS src, next_type AS dst,
+             CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY prev_type) AS pr
+      FROM t WHERE prev_type NOT IN ('purchase', 'error')
+      UNION ALL SELECT 'purchase', 'purchase', CAST(1.0 AS DOUBLE)
+      UNION ALL SELECT 'error', 'error', CAST(1.0 AS DOUBLE)
+    ), a0 AS (
+      SELECT 'purchase' AS st, 'purchase' AS target, CAST(1.0 AS DOUBLE) AS pr
+      UNION ALL SELECT 'error', 'error', CAST(1.0 AS DOUBLE)
+    ){steps}
+    SELECT st AS from_state, target AS absorbed_into,
+           round(pr, 6) AS p_absorbed_8
+    FROM {prev}
+    WHERE st NOT IN ('purchase', 'error')
+    """
+
+
+@register("k_markov_absorption", oracle=_body_markov_absorption())
+def k_markov_absorption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Absorption probabilities of the per-user event-journey Markov
+    chain: with `purchase` and `error` as absorbing states, the
+    probability that a journey starting in each transient state (view /
+    click / signup) has been absorbed into each outcome within 8 steps —
+    the "where do sessions END UP" readout k_markov_stationary's
+    long-run mix cannot give (stationary analysis has no notion of
+    first-passage outcome). 8 unrolled steps ARE the spec (finite-horizon
+    absorption), written once as a shared ANSI body both engines parse.
+
+    Scale: the corpus collapses to the ≤|states|² transition table in
+    the first two shuffles (lag window + count); every unrolled step is
+    a join-aggregate over ≤ 5×2 probability rows — constant-size work
+    regardless of corpus. All floats derive from exact integer count
+    ratios through the identical formula text; output rounds at 6dp.
+    """
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_body_markov_absorption())

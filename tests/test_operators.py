@@ -4372,3 +4372,67 @@ def test_assortativity_in_pearson_range(spark, sf_dir):
     r = QUERIES["k_graph_assortativity"](spark, sf_dir).collect()[0]
     assert -1.0 <= r.assortativity <= 1.0
     assert r.n_edges > 0 and r.n_edges % 2 == 0  # doubled edge list
+
+
+def test_markov_absorption_probability_laws(spark, sf_dir):
+    """Each transient state emits one row per absorbing target, every
+    probability is in [0, 1], and the two-target total is ≤ 1 (mass not
+    yet absorbed after 8 steps remains in transit)."""
+    rows = QUERIES["k_markov_absorption"](spark, sf_dir).collect()
+    by_state: dict = {}
+    for r in rows:
+        assert r.from_state not in ("purchase", "error")
+        assert 0.0 <= r.p_absorbed_8 <= 1.0
+        by_state.setdefault(r.from_state, {})[r.absorbed_into] = (
+            r.p_absorbed_8
+        )
+    assert set(by_state) == {"view", "click", "signup"}
+    for st, targets in by_state.items():
+        assert set(targets) == {"purchase", "error"}, st
+        assert sum(targets.values()) <= 1.0 + 1e-9, (st, targets)
+
+
+def test_wilcoxon_statistic_bounds(spark, sf_dir):
+    """W+ must lie in [0, n(n+1)/2] and the z-statistic must be finite
+    and consistent with the significance flag."""
+    r = QUERIES["k_wilcoxon_signed"](spark, sf_dir).collect()[0]
+    n = r.n_pairs
+    assert n > 0
+    assert 0.0 <= r.w_plus <= n * (n + 1) / 2.0
+    assert r.significant_95 == (abs(r.z_stat) > 1.96)
+
+
+def test_bucket_batching_never_hurts(spark, sf_dir):
+    """Length-sorted batching can only reduce padding (rearrangement
+    inequality over batch maxima), so pad_gain ∈ [0, 1] and the bucketed
+    waste is ≤ the arrival-order waste."""
+    r = QUERIES["k_bucket_batching_gain"](spark, sf_dir).collect()[0]
+    assert r.bucketed_pad_tokens <= r.arrival_pad_tokens
+    assert 0.0 <= r.pad_gain <= 1.0
+    assert r.n_docs > 0
+
+
+def test_sample_fixed_k_exact_counts_and_stability(spark, sf_dir):
+    """Exactly 5 docs per source, ranks 1..5, and the draw is identical
+    across two evaluations (hash-deterministic, unlike sampleBy)."""
+    a = QUERIES["k_sample_fixed_k"](spark, sf_dir).collect()
+    b = QUERIES["k_sample_fixed_k"](spark, sf_dir).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    per: dict = {}
+    for r in a:
+        per.setdefault(r.source, []).append(r.sample_rank)
+    for src, ranks in per.items():
+        assert sorted(ranks) == [1, 2, 3, 4, 5], src
+
+
+def test_auc_by_segment_bounds_and_pooled_consistency(spark, sf_dir):
+    """Every per-source AUC is a valid probability with both classes
+    present; the pooled k_eval_auc uses the same scorer, so the segment
+    table must be non-empty whenever the pooled AUC exists."""
+    seg = QUERIES["k_eval_auc_by_segment"](spark, sf_dir).collect()
+    assert seg
+    for r in seg:
+        assert 0.0 <= r.auc <= 1.0
+        assert r.n_pos > 0 and r.n_neg > 0
+    pooled = QUERIES["k_eval_auc"](spark, sf_dir).collect()[0]
+    assert sum(r.n_pos for r in seg) <= pooled.n_pos
