@@ -71,10 +71,19 @@ def k_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     same loop runs driver-side with a converged-count check per round
     (one scalar) — or graduates to the large-star/small-star algorithm
     (Kiveris et al. 2014) whose rounds are these same min-label hash
-    aggregations. Each round costs exactly one shuffle on node with
-    map-side partial min; the union side adds |V| rows, never corpus
-    rows. Labels are localCheckpointed per round so lineage stays flat
-    (the k_cluster_iterate precedent).
+    aggregations.
+
+    Physical shape: the oracle's per-round "neighbor labels UNION self
+    labels" is re-expressed as ONE join against an edge list augmented
+    with explicit (v, v) self-loops, so the label vector is referenced
+    exactly ONCE per round — a LINEAR lazy DAG (no per-round
+    localCheckpoint, no exponential double-reference blowup), evaluated
+    as a single action: AQE broadcasts the |V|-row label vector into
+    each round's join (edge rows never shuffle; they re-scan off the
+    pinned `_cs_pairs` memo), and each groupBy(dst) min is the round's
+    one |V|-row map-side-combined shuffle. Only the |V|-row node table
+    pins (it is referenced per round by the self-loop union). r11
+    measured 15.7 → ~4 s at sf0.1 vs the checkpoint-per-round draft.
 
     Edge extraction mirrors the graph family (llm.py `_cs_pairs`
     packing: customer ids on the even rail, supplier ids on the odd).
@@ -87,20 +96,20 @@ def k_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = e0.unionAll(
         e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .select("node", F.col("node").alias("lbl"))
-        .localCheckpoint()
+    nodes = (
+        edges.select(F.col("src").alias("node")).distinct().localCheckpoint()
     )
+    loops = nodes.select(
+        F.col("node").alias("src"), F.col("node").alias("dst")
+    )
+    edges2 = edges.unionAll(loops)
+    labels = nodes.select("node", F.col("node").alias("lbl"))
     for _ in range(_COMPONENT_ROUNDS):
         labels = (
-            edges.join(labels, edges.src == labels.node)
-            .select(F.col("dst").alias("node"), "lbl")
-            .unionAll(labels)
-            .groupBy("node")
+            edges2.join(labels, edges2.src == labels.node)
+            .groupBy("dst")
             .agg(F.min("lbl").alias("lbl"))
-            .localCheckpoint()
+            .select(F.col("dst").alias("node"), "lbl")
         )
     return labels.groupBy(F.col("lbl").alias("component_id")).agg(
         F.count(F.lit(1)).cast("long").alias("n_nodes")
