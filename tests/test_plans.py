@@ -815,3 +815,45 @@ def test_kafka_shaped_reader_slices_row_groups():
         assert parts[0].lo == 0 and parts[-1].hi == 100
         spans = [(p.lo, p.hi) for p in parts]
         assert all(a[1] == b[0] for a, b in zip(spans, spans[1:]))
+
+
+def test_sample_fixed_k_uses_window_group_limit(spark, sf_dir):
+    """k_sample_fixed_k's rank-≤-5 filter must push into the window as a
+    WindowGroupLimit (per-partition partial top-k, Spark 4's rank-limit
+    pushdown) with exactly ONE exchange — a full per-group sort of the
+    corpus would be the 100 TB regression this pins against."""
+    plan = plan_of(QUERIES["k_sample_fixed_k"](spark, sf_dir), "simple")
+    assert "WindowGroupLimit" in plan
+    assert plan.count("Exchange") <= 2
+
+
+def test_dup_ngram_frac_two_shuffle_shape(spark, sf_dir):
+    """k_text_dup_ngram_frac: trigram-stream → doc-frequency model →
+    gram-keyed join → doc reduce. No cartesian/BNLJ anywhere, and the
+    exchange count stays at the documented two-shuffles-plus-join shape
+    (≤ 5 with AQE reuse) — the model table must join on gram, not
+    broadcast the corpus."""
+    plan = plan_of(QUERIES["k_text_dup_ngram_frac"](spark, sf_dir), "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Exchange") <= 5
+
+
+def test_dedup_fingerprint_single_digest_shuffle(spark, sf_dir):
+    """k_dedup_fingerprint shuffles 16-byte digests once (the
+    k_dedup_exact shape): one exchange, no join, no window."""
+    plan = plan_of(QUERIES["k_dedup_fingerprint"](spark, sf_dir), "simple")
+    assert plan.count("Exchange") <= 2
+    assert "Join" not in plan and "Window" not in plan
+
+
+def test_components_linear_dag_no_checkpoint_per_round(spark, sf_dir):
+    """k_graph_components' 6 rounds must form ONE lazy plan: exactly one
+    ExistingRDD family feeding the rounds (the pinned pair memo + node
+    table), with the six per-round min aggregations visible as
+    HashAggregate pairs — a checkpoint-per-round regression would
+    collapse the plan to a single scan of a materialized RDD."""
+    plan = plan_of(QUERIES["k_graph_components"](spark, sf_dir), "simple")
+    # 6 rounds × (partial+final) min aggs + the final component count agg
+    assert plan.count("HashAggregate") >= 12
+    assert "CartesianProduct" not in plan
