@@ -1097,11 +1097,41 @@ def test_try_cast_parity(spark, duck, exprs):
 def paired_int_array(draw, depth: int = 2):
     """Returns (spark_sql, duck_sql) for an integer-array expression."""
     if depth <= 0 or draw(st.integers(0, 1)) == 0:
-        lo = draw(st.integers(1, 4))
-        hi = lo + draw(st.integers(0, 5))
-        step = draw(st.sampled_from(["", ", 2", ", 3"]))
-        return (f"sequence({lo}, {hi}{step})",
-                f"generate_series({lo}, {hi}{step})")
+        mode = draw(st.sampled_from(["asc", "fenced", "signed"]))
+        if mode == "asc":
+            lo = draw(st.integers(1, 4))
+            hi = lo + draw(st.integers(0, 5))
+            step = draw(st.sampled_from(["", ", 2", ", 3"]))
+            return (f"sequence({lo}, {hi}{step})",
+                    f"generate_series({lo}, {hi}{step})")
+        if mode == "fenced":
+            # The DIVERGENCE ZONE (r11 probe): no-step sequence(a, b) with
+            # a > b AUTO-STEPS DOWN in Spark ([4,3,2,1]) where DuckDB's
+            # generate_series is EMPTY — the ADVICE-r2 trap class every
+            # n-gram builder fences by hand. The correct Spark spelling of
+            # generate_series(a, b) over an arbitrary range is the bounds
+            # filter below.
+            lo = draw(st.integers(1, 4))
+            hi = lo + draw(st.integers(-4, 4))
+            return (
+                f"filter(sequence({lo}, {hi}),"
+                f" x -> x >= {lo} AND x <= {hi})",
+                f"generate_series({lo}, {hi})",
+            )
+        # signed: explicit step whose sign may CONTRADICT the range —
+        # Spark sequence THROWS (Illegal sequence boundaries) where DuckDB
+        # returns empty; the lazy CASE sign-guard is the translation.
+        # Equal bounds agree under any step sign (probed: both [a]).
+        a = draw(st.integers(1, 6))
+        b = draw(st.integers(1, 6))
+        stp = draw(st.sampled_from([-3, -2, -1, 1, 2, 3]))
+        return (
+            f"CASE WHEN ({a} <= {b} AND {stp} > 0)"
+            f" OR ({a} >= {b} AND {stp} < 0)"
+            f" THEN sequence({a}, {b}, {stp})"
+            f" ELSE CAST(array() AS ARRAY<INT>) END",
+            f"generate_series({a}, {b}, {stp})",
+        )
     s, d = draw(paired_int_array(depth - 1))
     kind = draw(
         st.sampled_from(
