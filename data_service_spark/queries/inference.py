@@ -1623,3 +1623,66 @@ def k_wilcoxon_signed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_body_wilcoxon())
+
+
+# -------------------------------------------------- TOST equivalence ----
+
+
+def _body_tost() -> str:
+    """Shared ANSI body (Spark temp-view `events` / DuckDB view)."""
+    return """
+    WITH arms AS (
+      SELECT user_id % 2 AS arm,
+             count(*) AS n, sum(value) AS sx, sum(value * value) AS sxx
+      FROM events GROUP BY user_id % 2
+    ), wide AS (
+      SELECT
+        max(CASE WHEN arm = 0 THEN n END) AS na,
+        max(CASE WHEN arm = 0 THEN sx END) AS sxa,
+        max(CASE WHEN arm = 0 THEN sxx END) AS sxxa,
+        max(CASE WHEN arm = 1 THEN n END) AS nb,
+        max(CASE WHEN arm = 1 THEN sx END) AS sxb,
+        max(CASE WHEN arm = 1 THEN sxx END) AS sxxb
+      FROM arms
+    ), s AS (
+      SELECT na, nb,
+             sxa / na AS ma, sxb / nb AS mb,
+             (sxxa - sxa * sxa / na) / (na - 1) AS va,
+             (sxxb - sxb * sxb / nb) / (nb - 1) AS vb
+      FROM wide
+    ), t AS (
+      SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+             ma, mb, mb - ma AS diff,
+             sqrt(va / na + vb / nb) AS se
+      FROM s
+    )
+    SELECT n_a, n_b,
+           round(ma, 4) AS mean_a, round(mb, 4) AS mean_b,
+           round(diff, 4) AS diff_b_minus_a,
+           round(se, 6) AS se,
+           round((diff + 5.0) / se, 4) AS z_lower,
+           round((diff - 5.0) / se, 4) AS z_upper,
+           (diff + 5.0) / se > 1.6449 AND (diff - 5.0) / se < -1.6449
+             AS equivalent_90
+    FROM t
+    """
+
+
+@register("k_eval_tost_equivalence", oracle=_body_tost())
+def k_eval_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOST equivalence test (two one-sided z-tests, margin δ = ±5.0 on
+    mean event value, α = 0.05 per side) on the user-parity split: the
+    NON-INFERIORITY question a data-pipeline swap actually asks —
+    "prove the new variant is WITHIN δ of the old", which a plain
+    k_ab_ztest non-rejection never establishes (absence of evidence).
+    Equivalent iff BOTH one-sided statistics clear ±1.6449 (the normal
+    95th percentile; large-n z approximation of Schuirmann's TOST).
+
+    Welch-style standard error from the explicit Σ-formula (power sums
+    accumulate in DOUBLE — value is a DOUBLE column, no int64 wrap
+    surface); the corpus collapses to a 2-row arm aggregate before any
+    division. The boolean compares |z| ≈ O(1) values against the fixed
+    quantile, far from any ulp boundary on this corpus.
+    """
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_body_tost())

@@ -1197,3 +1197,57 @@ def k_pacf_closed(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("pacf3"),
     )
+
+
+# ---------------------------------------------------- winsorized mean ----
+
+
+def _body_winsorized() -> str:
+    """Shared ANSI body (Spark temp-view `events` / DuckDB view)."""
+    return """
+    WITH ranked AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    ), k AS (
+      -- k = floor(n/20): exact 5% tail count via floor over an exact
+      -- double quotient (n < 2^49), identical in both engines.
+      SELECT event_type, value, rn, n,
+             CAST(floor(n / CAST(20 AS DOUBLE)) AS BIGINT) AS k
+      FROM ranked
+    ), caps AS (
+      SELECT event_type,
+             max(CASE WHEN rn = k + 1 THEN value END) AS lo_cap,
+             max(CASE WHEN rn = n - k THEN value END) AS hi_cap
+      FROM k GROUP BY event_type
+    )
+    SELECT k.event_type, CAST(max(k.n) AS BIGINT) AS n_events,
+           round(avg(k.value), 4) AS mean_raw,
+           round(avg(CASE WHEN k.value < c.lo_cap THEN c.lo_cap
+                          WHEN k.value > c.hi_cap THEN c.hi_cap
+                          ELSE k.value END), 4) AS mean_winsorized,
+           round(max(c.lo_cap), 4) AS lo_cap,
+           round(max(c.hi_cap), 4) AS hi_cap
+    FROM k JOIN caps c ON k.event_type = c.event_type
+    GROUP BY k.event_type
+    """
+
+
+@register("k_winsorized_mean", oracle=_body_winsorized())
+def k_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5%-each-side WINSORIZED mean per event type next to the raw mean:
+    tail values are CLIPPED to the 5th/95th order statistics rather than
+    dropped — the robust location estimate that keeps n constant where
+    k_trimmed_mean discards (the right tool when downstream weighting
+    needs every row). Caps are exact order statistics selected by rank
+    (k = floor(n/20), value at ranks k+1 and n−k, event_id tiebreak) —
+    no percentile interpolation, so both engines select the identical
+    cap VALUES bit-for-bit and the only float work is two averages.
+
+    One per-type rank window over corpus rows, a dimension-sized cap
+    table joined back (AQE broadcasts it), one grouped average pass.
+    """
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_body_winsorized())

@@ -1079,3 +1079,69 @@ def q_tpch_refresh(spark: "SparkSession", sf_dir: str) -> "DataFrame":
         spark.sql(f"DROP TABLE IF EXISTS {t1}")
         spark.catalog.dropTempView(rf2)
         spark.catalog.dropTempView(src)
+
+
+@register(
+    "q_star_except",
+    oracle="""
+    SELECT * EXCLUDE (o_orderdate, o_orderpriority)
+    FROM orders WHERE o_totalprice > 400000
+    """,
+)
+def q_star_except(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """``SELECT * EXCEPT (cols)`` — the wide-table projection idiom
+    (Spark 3.4+/BigQuery spelling; DuckDB spells it ``EXCLUDE``): keep
+    everything but the named columns without enumerating a 100-column
+    schema. The dialect point is that column PRUNING still applies — the
+    excluded columns never reach the scan (ReadSchema drops them), so
+    the idiom is free at 100 TB, not sugar over a full-width read.
+
+    The only dialect divergence is the keyword itself; both engines
+    resolve the star against the view schema in declaration order, so
+    the output schemas align positionally and by name.
+    """
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT * EXCEPT (o_orderdate, o_orderpriority)
+        FROM orders WHERE o_totalprice > 400000
+        """
+    )
+
+
+@register(
+    "q_order_by_all",
+    oracle="""
+    SELECT * FROM (
+      SELECT o_orderstatus, o_orderpriority,
+             CAST(count(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY ALL
+      ORDER BY ALL
+      LIMIT 5
+    ) t
+    """,
+)
+def q_order_by_all(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """``ORDER BY ALL`` (Spark 3.4+/DuckDB): lexicographic ordering over
+    every select-list column left to right — the exploratory-SQL idiom
+    that replaces hand-typing a full ORDER BY. The LIMIT 5 head makes
+    the ordering semantically OBSERVABLE through the driver's
+    order-insensitive hash: only if both engines agree on the total
+    order (including that ALL means select-list order, not table order)
+    do they keep the same 5 rows.
+
+    Group-aggregate first (dimension-sized), then the ordered head —
+    TakeOrdered over ~15 rows, no global sort of anything corpus-sized.
+    """
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT * FROM (
+          SELECT o_orderstatus, o_orderpriority,
+                 CAST(count(*) AS BIGINT) AS n_orders
+          FROM orders GROUP BY ALL
+          ORDER BY ALL
+          LIMIT 5
+        ) t
+        """
+    )

@@ -4436,3 +4436,68 @@ def test_auc_by_segment_bounds_and_pooled_consistency(spark, sf_dir):
         assert r.n_pos > 0 and r.n_neg > 0
     pooled = QUERIES["k_eval_auc"](spark, sf_dir).collect()[0]
     assert sum(r.n_pos for r in seg) <= pooled.n_pos
+
+
+def test_star_except_prunes_excluded_columns(spark, sf_dir):
+    """SELECT * EXCEPT must drop the named columns from the schema AND
+    from the parquet ReadSchema (pruning reaches the scan)."""
+    df = QUERIES["q_star_except"](spark, sf_dir)
+    assert "o_orderdate" not in df.columns
+    assert "o_orderpriority" not in df.columns
+    assert "o_orderkey" in df.columns
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    rs = buf.getvalue().split("ReadSchema:")[1].splitlines()[0]
+    assert "o_orderdate" not in rs and "o_orderpriority" not in rs
+
+
+def test_order_by_all_head_is_lexicographic(spark, sf_dir):
+    """The LIMIT-5 head must be the lexicographic minimum over
+    (status, priority, n) — recomputed independently from the unordered
+    aggregate."""
+    got = [
+        (r.o_orderstatus, r.o_orderpriority, r.n_orders)
+        for r in QUERIES["q_order_by_all"](spark, sf_dir).collect()
+    ]
+    full = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+        .collect()
+    )
+    want = sorted(
+        (r.o_orderstatus, r.o_orderpriority, r.n_orders) for r in full
+    )[:5]
+    assert sorted(got) == want
+
+
+def test_tost_coherent_with_ztest_family(spark, sf_dir):
+    """Equivalence flag must equal the two one-sided conditions on the
+    emitted statistics, and the diff must match the means."""
+    r = QUERIES["k_eval_tost_equivalence"](spark, sf_dir).collect()[0]
+    assert abs(r.diff_b_minus_a - round(r.mean_b - r.mean_a, 4)) < 2e-4
+    assert r.equivalent_90 == bool(
+        r.z_lower > 1.6449 and r.z_upper < -1.6449
+    )
+
+
+def test_winsorized_mean_between_trimmed_and_raw(spark, sf_dir):
+    """Caps must bracket the winsorized mean; winsorizing a heavy right
+    tail pulls the mean DOWN toward (but not past) the caps, and n is
+    preserved (unlike trimming)."""
+    rows = {r.event_type: r for r in
+            QUERIES["k_winsorized_mean"](spark, sf_dir).collect()}
+    raw_n = {
+        r.event_type: r.n
+        for r in load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for et, r in rows.items():
+        assert r.lo_cap <= r.mean_winsorized <= r.hi_cap
+        assert r.n_events == raw_n[et]
