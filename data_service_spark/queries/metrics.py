@@ -3835,3 +3835,175 @@ def k_eval_auc_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter((F.col("n_pos") > 0) & (F.col("n_neg") > 0))
     )
+
+
+# ------------------------------------------- expected reciprocal rank ----
+
+def _err_expr() -> str:
+    """ERR@10 as ONE explicit 10-term expression over the pivoted top-10
+    relevance-eighths columns r1..r10 (r_k = 2^rel − 1 ∈ {0,1,3,7}):
+
+        ERR = Σ_k (r_k/8)/k · Π_{j<k}((8−r_j)/8)
+            = Σ_k r_k · Π_{j<k}(8−r_j) / (8^k · k)
+
+    Every numerator is an exact int64 (≤ 7·8⁹ ≈ 9.4e8) and both engines
+    evaluate the identical expression tree on identical integers, so the
+    doubles agree bit-for-bit — no cumulative-product window (which SQL
+    lacks) and no exp/ln detour (which would reintroduce libm ulps)."""
+    terms = []
+    for k in range(1, 11):
+        pref = " * ".join(f"(8 - r{j})" for j in range(1, k)) or "1"
+        terms.append(f"CAST(r{k} * {pref} AS DOUBLE) / ({8 ** k}.0 * {k})")
+    return " + ".join(terms)
+
+
+@register(
+    "k_eval_err",
+    oracle=f"""
+    WITH scored AS ({_REG_ORACLES.get("k_text_bm25", "SELECT 1")}),
+    ranked AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY round(bm25, 6) DESC, doc_id) AS r
+      FROM scored
+    ), rel AS (
+      SELECT doc_id,
+             CAST(list_contains(string_split(text, ' '), 'table') AS INT)
+             + CAST(list_contains(string_split(text, ' '), 'hash') AS INT)
+             + CAST(list_contains(string_split(text, ' '), 'scan') AS INT)
+               AS rel
+      FROM documents
+    ), top AS (
+      SELECT r, CAST(pow(2, rel) - 1 AS BIGINT) AS r8, rel
+      FROM ranked JOIN rel USING (doc_id) WHERE r <= 10
+    ), piv AS (
+      SELECT
+        {", ".join(f"coalesce(max(CASE WHEN r = {k} THEN r8 END), 0) AS r{k}"
+                   for k in range(1, 11))},
+        CAST(sum(rel) AS BIGINT) AS top10_rel_sum
+      FROM top
+    )
+    SELECT round({_err_expr()}, 6) AS err_at_10, top10_rel_sum
+    FROM piv
+    """,
+)
+def k_eval_err(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected Reciprocal Rank @10 (Chapelle et al. 2009) of the BM25
+    ranking under the cascade user model: the probability-weighted
+    reciprocal rank where a user stops at each document with probability
+    R = (2^rel − 1)/2^rel_max. Complements k_eval_ndcg's positional
+    discount with a model where a STRONG early result absorbs attention
+    — the metric that separates "one great hit then junk" from "uniform
+    mediocrity", which NDCG scores similarly.
+
+    The evaluated ranking IS the registered ``k_text_bm25`` plan
+    (composed, not re-derived); the top-10 pivots to one row of integer
+    relevance-eighths and the cascade sum is one shared 10-term exact
+    expression (`_err_expr`) — see its docstring for why this is
+    bit-identical cross-engine. At scale the only costs are BM25's own
+    plan and a rank-10 TakeOrdered head.
+    """
+    from data_service_spark.registry import QUERIES
+
+    scored = QUERIES["k_text_bm25"](spark, sf_dir)
+    wr = Window.orderBy(F.round("bm25", 6).desc(), F.col("doc_id"))
+    ranked = scored.select("doc_id", F.row_number().over(wr).alias("r"))
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    rel = d.select(
+        "doc_id",
+        (
+            F.array_contains(toks, "table").cast("int")
+            + F.array_contains(toks, "hash").cast("int")
+            + F.array_contains(toks, "scan").cast("int")
+        ).alias("rel"),
+    )
+    top = (
+        ranked.join(rel, "doc_id")
+        .filter(F.col("r") <= 10)
+        .select(
+            "r",
+            (F.pow(F.lit(2), F.col("rel")) - 1).cast("long").alias("r8"),
+            "rel",
+        )
+    )
+    piv = top.agg(
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("r") == k, F.col("r8"))), F.lit(0)
+            ).alias(f"r{k}")
+            for k in range(1, 11)
+        ],
+        F.sum("rel").cast("long").alias("top10_rel_sum"),
+    )
+    return piv.select(
+        F.round(F.expr(_err_expr()), 6).alias("err_at_10"),
+        "top10_rel_sum",
+    )
+
+
+# ---------------------------------------------------- pinball loss ----
+
+
+def _body_pinball() -> str:
+    """Shared ANSI body (Spark temp-view `events` / DuckDB view)."""
+    return """
+    WITH split AS (
+      SELECT event_type, value, event_id,
+             CASE WHEN CAST(date_trunc('day', ts) AS DATE)
+                       < DATE '2024-01-16'
+                  THEN 'train' ELSE 'test' END AS part
+      FROM events
+    ), ranked AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM split WHERE part = 'train'
+    ), preds AS (
+      -- exact order statistics at ceil(q*n): rank selection, no
+      -- interpolation, so both engines pick identical predictor VALUES
+      SELECT event_type,
+             max(CASE WHEN rn = CAST(ceil(n * CAST(0.5 AS DOUBLE))
+                                  AS BIGINT) THEN value END) AS q50,
+             max(CASE WHEN rn = CAST(ceil(n * CAST(0.9 AS DOUBLE))
+                                  AS BIGINT) THEN value END) AS q90,
+             CAST(max(n) AS BIGINT) AS n_train
+      FROM ranked GROUP BY event_type
+    )
+    SELECT s.event_type, p.n_train,
+           CAST(count(*) AS BIGINT) AS n_test,
+           round(max(p.q50), 4) AS q50_pred,
+           round(max(p.q90), 4) AS q90_pred,
+           round(avg(CASE WHEN s.value >= p.q50
+                          THEN 0.5 * (s.value - p.q50)
+                          ELSE (1.0 - 0.5) * (p.q50 - s.value) END), 4)
+             AS pinball_q50,
+           round(avg(CASE WHEN s.value >= p.q90
+                          THEN 0.9 * (s.value - p.q90)
+                          ELSE (1.0 - 0.9) * (p.q90 - s.value) END), 4)
+             AS pinball_q90
+    FROM split s JOIN preds p USING (event_type)
+    WHERE s.part = 'test'
+    GROUP BY s.event_type, p.n_train
+    """
+
+
+@register("k_pinball_loss", oracle=_body_pinball())
+def k_pinball_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pinball (quantile) loss of per-type value-quantile predictors,
+    properly OUT-OF-SAMPLE: the q50/q90 predictors are exact train-half
+    order statistics (first 15 days) evaluated on the test half — the
+    scoring rule under which the true quantile is the optimal forecast,
+    i.e. the metric a capacity-planning forecaster (p90 spend, p90
+    latency) is actually graded on. k_eval_regression scores point
+    predictions; this scores the quantile band.
+
+    Predictors are rank-selected (ceil(q·n), event_id tiebreak) — no
+    percentile interpolation, both engines pick identical cap values
+    (the k_winsorized_mean convention; the ceil over an exact double
+    quotient is engine-identical). One train-half rank window, a
+    dimension-sized predictor table joined back, one grouped average
+    over the test half. Power-free float math in DOUBLE.
+    """
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_body_pinball())

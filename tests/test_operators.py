@@ -4501,3 +4501,40 @@ def test_winsorized_mean_between_trimmed_and_raw(spark, sf_dir):
     for et, r in rows.items():
         assert r.lo_cap <= r.mean_winsorized <= r.hi_cap
         assert r.n_events == raw_n[et]
+
+
+def test_err_bounds_and_cascade_dominance(spark, sf_dir):
+    """ERR@10 ∈ [0, 1]; with any rel-3 doc in the top 10 ERR ≥ its
+    stopping term (7/8)/rank · prefix — recompute the exact cascade from
+    the underlying ranking independently in Python."""
+    r = QUERIES["k_eval_err"](spark, sf_dir).collect()[0]
+    assert 0.0 <= r.err_at_10 <= 1.0
+    from data_service_spark.io import load as _load
+    from data_service_spark.registry import QUERIES as _Q
+
+    scored = {x.doc_id: x.bm25 for x in _Q["k_text_bm25"](spark, sf_dir).collect()}
+    docs = {
+        x.doc_id: sum(
+            w in x.text.split(" ") for w in ("table", "hash", "scan")
+        )
+        for x in _load(spark, sf_dir, "documents").collect()
+    }
+    top = sorted(scored, key=lambda d: (-round(scored[d], 6), d))[:10]
+    err, survive = 0.0, 1.0
+    for k, d in enumerate(top, 1):
+        R = (2 ** docs[d] - 1) / 8.0
+        err += survive * R / k
+        survive *= 1.0 - R
+    assert abs(r.err_at_10 - round(err, 6)) < 2e-6
+    assert r.top10_rel_sum == sum(docs[d] for d in top)
+
+
+def test_pinball_loss_optimality_direction(spark, sf_dir):
+    """Pinball loss is non-negative, and the q90 predictor must be ≥ the
+    q50 predictor per type (order statistics are monotone in q)."""
+    rows = QUERIES["k_pinball_loss"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.pinball_q50 >= 0 and r.pinball_q90 >= 0
+        assert r.q90_pred >= r.q50_pred
+        assert r.n_train > 0 and r.n_test > 0
