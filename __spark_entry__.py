@@ -58,6 +58,7 @@ PRIORITY = [
     "k_freshness_weights", "k_markov_absorption", "k_wilcoxon_signed", "k_bucket_batching_gain",
     "k_sample_fixed_k", "k_eval_auc_by_segment", "q_star_except", "q_order_by_all",
     "k_eval_tost_equivalence", "k_winsorized_mean", "k_eval_err", "k_pinball_loss",
+    "a_source_rest_paged",
     "k_cluster_silhouette", "k_text_keywords", "k_eval_dedup_recall",
     "k_graph_triangles", "k_anonymize_kanon", "k_incremental_agg", "k_expectations",
     "k_dedup_apply", "k_dataset_card", "k_vocab_coverage", "k_negatives_random",

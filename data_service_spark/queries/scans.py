@@ -1081,3 +1081,36 @@ def a_sink_parquet_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_rows").cast("long"),
         F.col("n_distinct_keys").cast("long"),
     )
+
+
+@register(
+    "a_source_rest_paged",
+    oracle="""
+    SELECT i AS rec_id, i // 88 AS page, (i * 7) % 13 AS v,
+           15 + length(CAST(i AS VARCHAR))
+              + length(CAST((i * 7) % 13 AS VARCHAR)) AS payload_chars
+    FROM range(0, 1000) t(i)
+    """,
+)
+def a_source_rest_paged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REST-pagination-shaped Python data source: 1000 records served in
+    88-record pages (12 pages, short last page), ONE InputPartition per
+    page so a real API's pages fetch in parallel across executors, each
+    task parsing an actual serialized JSON response body. The
+    `payload_chars` column is computed from the per-record serialized
+    form (`{"id": X, "v": Y}` → 15 + digit counts, which the oracle
+    reproduces arithmetically) — so a parse-path regression (schema
+    drift, whitespace, key order) breaks the hash, not just the row
+    count. Completes the Python DataSource V2 family: plain
+    (`a_source_python_ds`), pushdown, streaming, sink — and now the
+    paged-HTTP connector shape the reference's multi-source service
+    implies."""
+    from data_service_spark.sources import register_rest_paged_source
+
+    register_rest_paged_source(spark)
+    return (
+        spark.read.format("dss_rest_paged")
+        .option("n", 1000)
+        .option("page_size", 88)
+        .load()
+    )

@@ -618,3 +618,78 @@ def register_kafka_shaped_source(spark: SparkSession) -> None:
             return KafkaShapedReader(self.options)
 
     spark.dataSource.register(KafkaShapedSource)
+
+
+def register_rest_paged_source(spark: SparkSession) -> None:
+    """Register 'dss_rest_paged': a REST-pagination-SHAPED batch source —
+    the connector pattern for a paginated HTTP API (offset/limit or
+    page-token), with the fetch step replaced by a deterministic local
+    response builder (this sandbox has no network; the PLUMBING — one
+    InputPartition per page so pages fetch in parallel, a short last
+    page, a JSON response body parsed executor-side — is the real
+    contract a production REST reader needs).
+
+    Page planning happens on the driver from (n, page_size) exactly the
+    way a real connector derives it from a count endpoint or a
+    Link/next-token probe; each task then "fetches" ONLY its page and
+    parses the body with the stdlib json parser, so per-record values
+    round-trip through an actual serialized payload rather than being
+    fabricated post-parse.
+    """
+    import json
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+    )
+
+    class RestPagedReader(DataSourceReader):
+        def __init__(self, options):
+            self.n = int(options.get("n", 1000))
+            self.page_size = int(options.get("page_size", 88))
+
+        def partitions(self):
+            pages = (self.n + self.page_size - 1) // self.page_size
+            return [InputPartition(p) for p in range(pages)]
+
+        def read(self, partition):
+            import pyarrow as pa
+
+            page = partition.value
+            lo = page * self.page_size
+            hi = min(lo + self.page_size, self.n)
+            # Simulated GET /records?offset={lo}&limit={page_size}:
+            # build the body a REST API would return, then PARSE it —
+            # the parse path (not the fabrication) feeds the rows.
+            body = json.dumps(
+                [{"id": i, "v": (i * 7) % 13} for i in range(lo, hi)]
+            )
+            recs = json.loads(body)
+            yield pa.record_batch(
+                {
+                    "rec_id": pa.array([r["id"] for r in recs], pa.int64()),
+                    "page": pa.array([page] * len(recs), pa.int64()),
+                    "v": pa.array([r["v"] for r in recs], pa.int64()),
+                    "payload_chars": pa.array(
+                        [
+                            len(json.dumps({"id": r["id"], "v": r["v"]}))
+                            for r in recs
+                        ],
+                        pa.int64(),
+                    ),
+                }
+            )
+
+    class RestPagedSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "dss_rest_paged"
+
+        def schema(self):
+            return "rec_id long, page long, v long, payload_chars long"
+
+        def reader(self, schema):
+            return RestPagedReader(self.options)
+
+    spark.dataSource.register(RestPagedSource)

@@ -4538,3 +4538,16 @@ def test_pinball_loss_optimality_direction(spark, sf_dir):
         assert r.pinball_q50 >= 0 and r.pinball_q90 >= 0
         assert r.q90_pred >= r.q50_pred
         assert r.n_train > 0 and r.n_test > 0
+
+
+def test_rest_paged_source_partition_per_page(spark, sf_dir):
+    """The paged source must plan exactly ceil(n/page_size) input
+    partitions (parallel page fetches) and the short last page must
+    carry the remainder."""
+    df = QUERIES["a_source_rest_paged"](spark, sf_dir)
+    assert df.rdd.getNumPartitions() == 12  # ceil(1000/88)
+    per_page = {
+        r.page: r.n
+        for r in df.groupBy("page").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert per_page == {p: (88 if p < 11 else 1000 - 11 * 88) for p in range(12)}
