@@ -228,6 +228,18 @@ SHOWCASE = {
         "three BroadcastHashJoin LeftAnti legs, one per relationship; no shuffle of any fact side",
         "referential-integrity audits ride broadcast anti-joins — fact tables stream once, dimensions ship as key sets",
     ),
+    "k_graph_components": (
+        "6 unrolled join + map-side-combined min-aggregate rounds in ONE lazy plan (self-loop edges make the label vector single-reference); only the node table is a pinned ExistingRDD",
+        "iterative label propagation without per-round materialization: each round's shuffle carries |V| label rows, never corpus rows; AQE picks broadcast vs shuffle joins per round at runtime",
+    ),
+    "k_text_dup_ngram_frac": (
+        "trigram explode -> vocabulary-sized doc-frequency hash agg -> gram-keyed join back -> doc-keyed count reduce; no BNLJ, <= 5 exchanges",
+        "the cross-document duplicate-n-gram signal stays two-shuffle because the model side is Zipf-compact — the regression to guard is broadcasting the CORPUS instead of the model",
+    ),
+    "k_sample_fixed_k": (
+        "WindowGroupLimit above the per-source rank window: the rank <= 5 filter pushes into a per-partition partial top-k; ONE exchange",
+        "exact-k-per-group sampling at 100 TB must not globally sort each group — Spark 4's rank-limit pushdown keeps it a bounded head per partition",
+    ),
 }
 
 
