@@ -37,9 +37,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # distinct keys (CORRECTNESS_r01..r10.json union). Round 11 closes the gap:
 # the 37 never-driver-recorded keys lead, followed by d_agg_freq_items
 # (r10 fix awaiting driver re-record after the r09 canonicalizer crash),
-# the k_sim_ann trio (bench-band adjudication witnesses), then the 13
-# round-11 additions (SURVEY §2.S). A ~50-key window confirms the whole
-# pre-r11 surface plus most of the new keys; the tail lands in r12.
+# the k_sim_ann trio (bench-band adjudication witnesses), then the 25
+# round-11 additions (SURVEY §2.S) — 66 leading keys in all. A ~50-key
+# window confirms the whole pre-r11 surface plus the head of the new
+# keys; the ~16-key tail lands in r12.
 PRIORITY = [
     "k_retention_cohorts", "k_anomaly_zscore", "k_batch_padding_waste", "k_active_margin",
     "k_embed_drift", "k_group_kfold", "k_learning_curve", "k_dataset_diff",

@@ -245,8 +245,10 @@ def main() -> None:
     # (q_tpch_q05 2.98 s in r03, did not reproduce in r04) that consumed a
     # verdict item each round. Persist per-key steady-state history in
     # bench_history.json; any key whose timing moved >1.5× in either
-    # direction vs the last recorded run (and is ≥0.5 s absolute — ratio
-    # noise on centisecond keys is meaningless) is re-timed twice more and
+    # direction vs the BEST recorded run (min of history — a stale slow
+    # tail entry must not mask a real move; r11 fix) and is ≥0.5 s
+    # absolute (ratio noise on centisecond keys is meaningless) is
+    # re-timed twice more and
     # reports the MIN of its three same-run measurements (contention
     # noise is one-sided). The raw runs stay visible in bench_full.json
     # under "variance_retimed".
@@ -301,7 +303,7 @@ def main() -> None:
             # [0.665, 5.49, 6.911] and the reported 5.49 was pure ambient,
             # a 13× phantom regression. The raw runs stay visible here.
             best = min(runs)
-            variance_retimed[key] = {"runs": runs, "prev_round": last}
+            variance_retimed[key] = {"runs": runs, "history_floor": last}
             timings[key] = best
     # Subset invocations (bench.py key1 key2 ...) are iteration tools;
     # only a FULL run may rewrite the persistent artifacts, or a 3-key

@@ -66,8 +66,9 @@ def k_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     6 rounds is a documented fixed horizon, not a convergence hack: the
     co-purchase graph's diameter is small (dense bipartite core), and
-    tests/test_operators.py pins that round 5 == round 6 on this corpus
-    (converged), so the fixed unroll IS the fixpoint here. At 100 TB the
+    tests/test_operators.py pins that ONE EXTRA round leaves the full
+    per-node label map unchanged on this corpus (converged), so the
+    fixed unroll IS the fixpoint here. At 100 TB the
     same loop runs driver-side with a converged-count check per round
     (one scalar) — or graduates to the large-star/small-star algorithm
     (Kiveris et al. 2014) whose rounds are these same min-label hash
@@ -88,14 +89,9 @@ def k_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     Edge extraction mirrors the graph family (llm.py `_cs_pairs`
     packing: customer ids on the even rail, supplier ids on the odd).
     """
-    from data_service_spark.queries.llm import _cs_pairs
+    from data_service_spark.queries.llm import _packed_edges
 
-    e0 = _cs_pairs(spark, sf_dir).select(
-        (F.col("c") * 2).alias("src"), (F.col("s") * 2 + 1).alias("dst")
-    )
-    edges = e0.unionAll(
-        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    edges = _packed_edges(spark, sf_dir)
     nodes = (
         edges.select(F.col("src").alias("node")).distinct().localCheckpoint()
     )
@@ -156,14 +152,9 @@ def k_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     explicit least-squares text is identical in both engines and the 4dp
     rounding absorbs partial-order ulp drift.
     """
-    from data_service_spark.queries.llm import _cs_pairs
+    from data_service_spark.queries.llm import _packed_edges
 
-    e0 = _cs_pairs(spark, sf_dir).select(
-        (F.col("c") * 2).alias("src"), (F.col("s") * 2 + 1).alias("dst")
-    )
-    edges = e0.unionAll(
-        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    edges = _packed_edges(spark, sf_dir)
     deg = edges.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).cast("double").alias("d")
     )

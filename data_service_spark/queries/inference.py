@@ -1519,8 +1519,12 @@ def _body_simpson() -> str:
              count(CASE WHEN user_id % 2 = 1 THEN 1 END) AS n_b
       FROM events
     ), signed AS (
+      -- sign on the 4dp-ROUNDED means (the emitted precision), so the
+      -- flag is exactly recomputable from the output columns and a raw
+      -- sub-0.00005 diff can't make flag and visible means disagree
       SELECT stratum, n_a, n_b, mean_a, mean_b,
-             CASE WHEN mean_b > mean_a THEN 1 ELSE -1 END AS sgn
+             CASE WHEN round(mean_b, 4) > round(mean_a, 4)
+                  THEN 1 ELSE -1 END AS sgn
       FROM strat
     )
     SELECT s.stratum, CAST(s.n_a AS BIGINT) AS n_a,
@@ -1545,8 +1549,9 @@ def k_simpson_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     One grouped pass + one global pass over the corpus (both map-side
     combinable), then row-count-5 arithmetic; the overall sign attaches
     via a 1-row cross join (the accepted scalar-attach shape). The sign
-    comparison is on raw means — a tie (mean_b == mean_a) maps to −1 in
-    BOTH engines via the shared CASE text, so no boundary ambiguity.
+    compares the 4dp-ROUNDED means (the emitted precision), so the flag
+    is exactly recomputable from the output columns; ties map to −1 in
+    BOTH engines via the shared CASE text.
 
     Scale: two corpus-wide aggregations, dimension-sized everything else.
     """

@@ -1408,6 +1408,22 @@ def k_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _packed_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DOUBLED packed-long co-purchase edge list every undirected
+    graph algorithm walks: customer ids on the even rail (c*2), supplier
+    ids on the odd (s*2+1), each distinct pair emitted in both
+    directions. One definition — pagerank, components and assortativity
+    all consume this projection off the pinned ``_cs_pairs`` memo, so a
+    packing change cannot silently diverge between algorithms."""
+    e0 = _cs_pairs(spark, sf_dir).select(
+        (F.col("c") * 2).alias("src"),
+        (F.col("s") * 2 + 1).alias("dst"),
+    )
+    return e0.unionAll(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+
 # A rank vector of doubles keyed by packed-long node ids is ~16 B/row;
 # past this many nodes (~80 MB serialized) broadcasting it every
 # iteration stops being the cheap side and the iteration flips to the
@@ -1614,13 +1630,7 @@ def k_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     # Packed-long encoding over the session-memoized distinct edge list
     # (the fact-sized reduce runs once per session for the graph family).
-    e0 = _cs_pairs(spark, sf_dir).select(
-        (F.col("c") * 2).alias("src"),
-        (F.col("s") * 2 + 1).alias("dst"),
-    )
-    edges = e0.unionAll(
-        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    edges = _packed_edges(spark, sf_dir)
     ranks, n_nodes = pagerank_ranks(spark, edges)
     half = (F.col("node") / 2).cast("long").cast("string")
     half_s = ((F.col("node") - 1) / 2).cast("long").cast("string")

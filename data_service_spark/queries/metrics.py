@@ -3719,7 +3719,9 @@ def k_eval_topk_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         _exact_ranked,
     )
 
-    assert 5 <= _EXACT_RANKED_DEPTH
+    # fr is built from the top-10 slice (matching the oracle), even
+    # though only cutoffs <= 5 consume it — the depth contract is 10.
+    assert 10 <= _EXACT_RANKED_DEPTH
     emb = _emb(spark, sf_dir)
     q = emb.filter(F.col("vec_id") < 20).select(F.col("vec_id").alias("qid"))
     firsts = (

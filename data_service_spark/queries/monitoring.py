@@ -937,7 +937,7 @@ def e_win_dow_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def k_forecast_ses(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Simple exponential smoothing (α = 0.3) over the daily event-count
+    """Simple exponential smoothing (α = ½) over the daily event-count
     spine, with the one-step-ahead forecast (yesterday's smoothed level)
     and its error per day — the baseline every ingest-volume forecaster is
     judged against (and the level estimator k_page_hinkley-style drift

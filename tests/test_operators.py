@@ -4122,27 +4122,38 @@ from data_service_spark.registry import QUERIES  # noqa: E402
 
 
 def test_components_fixed_unroll_is_converged(spark, sf_dir):
-    """k_graph_components' docstring claim: 6 min-label-propagation rounds
-    ARE the fixpoint on this corpus — one more round must not move any
-    label. Runs the same loop at 6 and 7 rounds and compares the
-    component-size tables exactly."""
+    """k_graph_components' docstring claim: the fixed unroll IS the
+    fixpoint on this corpus — one extra round must not move ANY node's
+    label. Reruns the registered loop body at rounds and rounds+1 and
+    compares the FULL per-node label maps (component-size tables can
+    coincide while labels still move; labels cannot)."""
     import data_service_spark.queries.graph as graph_mod
+    from data_service_spark.queries.llm import _packed_edges
+
+    def labels_at(rounds: int) -> dict:
+        edges = _packed_edges(spark, sf_dir)
+        nodes = (
+            edges.select(F.col("src").alias("node"))
+            .distinct()
+            .localCheckpoint()
+        )
+        loops = nodes.select(
+            F.col("node").alias("src"), F.col("node").alias("dst")
+        )
+        edges2 = edges.unionAll(loops)
+        labels = nodes.select("node", F.col("node").alias("lbl"))
+        for _ in range(rounds):
+            labels = (
+                edges2.join(labels, edges2.src == labels.node)
+                .groupBy("dst")
+                .agg(F.min("lbl").alias("lbl"))
+                .select(F.col("dst").alias("node"), "lbl")
+            )
+        return {r.node: r.lbl for r in labels.collect()}
 
     base = graph_mod._COMPONENT_ROUNDS
-    out6 = {
-        (r.component_id, r.n_nodes)
-        for r in QUERIES["k_graph_components"](spark, sf_dir).collect()
-    }
-    try:
-        graph_mod._COMPONENT_ROUNDS = base + 1
-        out7 = {
-            (r.component_id, r.n_nodes)
-            for r in QUERIES["k_graph_components"](spark, sf_dir).collect()
-        }
-    finally:
-        graph_mod._COMPONENT_ROUNDS = base
-    assert out6 == out7
-    assert sum(n for _, n in out6) > 0
+    la, lb = labels_at(base), labels_at(base + 1)
+    assert la == lb and len(la) > 0
 
 
 def test_components_partition_graph_into_all_nodes(spark, sf_dir):
@@ -4271,6 +4282,8 @@ def test_simpson_overall_row_never_disagrees_with_itself(spark, sf_dir):
     rows = QUERIES["k_simpson_check"](spark, sf_dir).collect()
     overall = [r for r in rows if r.stratum == "__all__"]
     assert len(overall) == 1 and overall[0].disagrees_with_overall is False
+    # the key's sign compares the 4dp-ROUNDED means (= the emitted
+    # columns), so the flag is exactly recomputable from the output
     o_sign = 1 if overall[0].mean_b > overall[0].mean_a else -1
     for r in rows:
         s_sign = 1 if r.mean_b > r.mean_a else -1
