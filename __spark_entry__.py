@@ -37,10 +37,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # distinct keys (CORRECTNESS_r01..r10.json union). Round 11 closes the gap:
 # the 37 never-driver-recorded keys lead, followed by d_agg_freq_items
 # (r10 fix awaiting driver re-record after the r09 canonicalizer crash),
-# the k_sim_ann trio (bench-band adjudication witnesses), then the 25
-# round-11 additions (SURVEY §2.S) — 66 leading keys in all. A ~50-key
+# the k_sim_ann trio (bench-band adjudication witnesses), then the 26
+# round-11 additions (SURVEY §2.S) — 67 leading keys in all. A ~50-key
 # window confirms the whole pre-r11 surface plus the head of the new
-# keys; the ~16-key tail lands in r12.
+# keys; the ~17-key tail lands in r12.
 PRIORITY = [
     "k_retention_cohorts", "k_anomaly_zscore", "k_batch_padding_waste", "k_active_margin",
     "k_embed_drift", "k_group_kfold", "k_learning_curve", "k_dataset_diff",
@@ -59,7 +59,7 @@ PRIORITY = [
     "k_freshness_weights", "k_markov_absorption", "k_wilcoxon_signed", "k_bucket_batching_gain",
     "k_sample_fixed_k", "k_eval_auc_by_segment", "q_star_except", "q_order_by_all",
     "k_eval_tost_equivalence", "k_winsorized_mean", "k_eval_err", "k_pinball_loss",
-    "a_source_rest_paged",
+    "a_source_rest_paged", "q_identifier_clause",
     "k_cluster_silhouette", "k_text_keywords", "k_eval_dedup_recall",
     "k_graph_triangles", "k_anonymize_kanon", "k_incremental_agg", "k_expectations",
     "k_dedup_apply", "k_dataset_card", "k_vocab_coverage", "k_negatives_random",

@@ -1145,3 +1145,41 @@ def q_order_by_all(spark: "SparkSession", sf_dir: str) -> "DataFrame":
         ) t
         """
     )
+
+
+@register(
+    "q_identifier_clause",
+    oracle="""
+    SELECT o_orderstatus AS grp,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_identifier_clause(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """``IDENTIFIER(:param)`` (Spark 3.4+): table and column names bound
+    as named PARAMETERS instead of string-spliced into the SQL text —
+    the injection-safe dynamic-identifier pattern a SQL web service
+    (the reference's surface) must use for "group by <user-chosen
+    column> of <user-chosen table>" endpoints. A spliced name can smuggle
+    `'t; DROP TABLE'`; IDENTIFIER() parses the value strictly as one
+    multi-part name, so a payload fails resolution instead of executing.
+
+    The oracle is the RESOLVED query (DuckDB has no IDENTIFIER clause —
+    the clause is pure name-binding sugar with zero effect on the plan,
+    which is the dialect point: same scan, same aggregate, bound names).
+    """
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT IDENTIFIER(:grp_col) AS grp,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               round(sum(IDENTIFIER(:val_col)), 2) AS revenue
+        FROM IDENTIFIER(:tab) GROUP BY IDENTIFIER(:grp_col)
+        """,
+        args={
+            "grp_col": "o_orderstatus",
+            "val_col": "o_totalprice",
+            "tab": "orders",
+        },
+    )

@@ -4564,3 +4564,25 @@ def test_rest_paged_source_partition_per_page(spark, sf_dir):
         for r in df.groupBy("page").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert per_page == {p: (88 if p < 11 else 1000 - 11 * 88) for p in range(12)}
+
+
+def test_identifier_clause_rejects_injection_payload(spark, sf_dir):
+    """IDENTIFIER(:p) must parse the bound value strictly as a name: a
+    spliced-SQL payload fails ANALYSIS instead of executing — the whole
+    point of the clause for a web-service endpoint."""
+    import pytest as _pytest
+
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    with _pytest.raises(Exception) as exc:
+        spark.sql(
+            "SELECT count(*) FROM IDENTIFIER(:tab)",
+            args={"tab": "orders; DROP TABLE orders"},
+        ).collect()
+    assert "orders; DROP TABLE orders" in str(exc.value) or "PARSE" in str(
+        exc.value
+    ).upper() or "INVALID" in str(exc.value).upper()
+    # and the legitimate binding still resolves
+    n = spark.sql(
+        "SELECT count(*) AS n FROM IDENTIFIER(:tab)", args={"tab": "orders"}
+    ).collect()[0].n
+    assert n > 0

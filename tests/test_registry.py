@@ -181,7 +181,7 @@ k_schema_drift k_freshness_weights
 k_markov_absorption k_wilcoxon_signed k_bucket_batching_gain
 k_sample_fixed_k k_eval_auc_by_segment
 q_star_except q_order_by_all k_eval_tost_equivalence k_winsorized_mean
-k_eval_err k_pinball_loss a_source_rest_paged
+k_eval_err k_pinball_loss a_source_rest_paged q_identifier_clause
 """.split()
 
 
