@@ -1224,10 +1224,10 @@ def k_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(s1 / n, 4) AS mean,
            round((s2 - s1 * s1 / n) / n, 4) AS m2,
            round(((s3 - 3 * s1 * s2 / n + 2 * s1 * s1 * s1 / (n * n)) / n)
-                 / pow((s2 - s1 * s1 / n) / n, 1.5), 4) AS skewness,
+                 / pow((s2 - s1 * s1 / n) / n, 1.5), 4) + 0.0 AS skewness,
            round(((s4 - 4 * s1 * s3 / n + 6 * s1 * s1 * s2 / (n * n)
                    - 3 * s1 * s1 * s1 * s1 / (n * n * n)) / n)
-                 / pow((s2 - s1 * s1 / n) / n, 2) - 3.0, 4) AS kurtosis
+                 / pow((s2 - s1 * s1 / n) / n, 2) - 3.0, 4) + 0.0 AS kurtosis
     FROM s
     """,
 )
@@ -1270,8 +1270,10 @@ def d_agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(s1 / n, 4).alias("mean"),
         F.round(m2, 4).alias("m2"),
-        F.round(m3 / F.pow(m2, 1.5), 4).alias("skewness"),
-        F.round(m4 / F.pow(m2, 2) - 3.0, 4).alias("kurtosis"),
+        # + 0.0 normalizes -0.0 (a kurtosis rounding to zero from below
+        # printed -0.0 in one engine at sf0.001 — the cusum idiom)
+        (F.round(m3 / F.pow(m2, 1.5), 4) + F.lit(0.0)).alias("skewness"),
+        (F.round(m4 / F.pow(m2, 2) - 3.0, 4) + F.lit(0.0)).alias("kurtosis"),
     )
 
 
