@@ -1440,9 +1440,15 @@ def _ab_phi(x: str) -> str:
 def _body_ab_bayes() -> str:
     """Shared ANSI body (Spark temp-view `events` / DuckDB view)."""
     phi = _ab_phi(
+        # Denominator cubes promote to DOUBLE via the leading 1.0 factor
+        # BEFORE multiplying: (n+2)^3 in BIGINT exceeds 2^63 once an arm
+        # passes ~2.1M distinct users — Spark (ANSI off) would wrap
+        # silently while DuckDB errors (ADVICE r11).
         "(cb * 1.0 / (cb + db) - ca * 1.0 / (ca + da))"
-        " / sqrt(ca * 1.0 * da / ((ca + da) * (ca + da) * (ca + da + 1))"
-        "      + cb * 1.0 * db / ((cb + db) * (cb + db) * (cb + db + 1)))"
+        " / sqrt(ca * 1.0 * da"
+        "        / ((ca + da) * 1.0 * (ca + da) * (ca + da + 1))"
+        "      + cb * 1.0 * db"
+        "        / ((cb + db) * 1.0 * (cb + db) * (cb + db + 1)))"
     )
     return f"""
     WITH cohorts AS (

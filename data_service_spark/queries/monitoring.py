@@ -1011,6 +1011,7 @@ def k_forecast_ses(spark: SparkSession, sf_dir: str) -> DataFrame:
              (d.n - s.sx / s.cnt)
                / sqrt((s.sxx - s.sx * s.sx / s.cnt) / (s.cnt - 1)) AS z
       FROM daily d JOIN stats s USING (event_type)
+      WHERE s.cnt >= 2
     )
     SELECT event_type, day, CAST(n AS BIGINT) AS n_events,
            round(z, 4) AS zscore,
@@ -1041,7 +1042,9 @@ def k_spc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     power sums accumulate in DOUBLE over the ~30-row-per-type spine, no
     int64 wrap surface). Each rule is a short ROWS-frame count over the
     day-ordered per-type spine — threshold comparisons sit far from any
-    ulp boundary because counts are integers and σ is O(n).
+    ulp boundary because counts are integers and σ is O(n). Types with a
+    single active day are fenced out (cnt >= 2, both engines): their σ is
+    0/0, NaN in Spark vs setting-dependent in DuckDB.
 
     Scale: one corpus shuffle to the (type, day) spine; four
     calendar-sized windows after, partitioned by type.
@@ -1056,7 +1059,12 @@ def k_spc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").alias("sx"),
         F.sum(F.col("n") * F.col("n")).alias("sxx"),
     )
-    z = daily.join(F.broadcast(stats), "event_type").select(
+    # cnt >= 2 fence (both engines): a type active on a single day gives
+    # 0/0 — NaN in Spark, setting-dependent in DuckDB (ADVICE r11).
+    z = (
+        daily.join(F.broadcast(stats), "event_type")
+        .filter(F.col("cnt") >= 2)
+        .select(
         "event_type",
         "day",
         "n",
@@ -1067,6 +1075,7 @@ def k_spc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (F.col("cnt") - 1)
             )
         ).alias("z"),
+        )
     )
     w3 = Window.partitionBy("event_type").orderBy("day").rowsBetween(-2, 0)
     w5 = Window.partitionBy("event_type").orderBy("day").rowsBetween(-4, 0)
