@@ -2695,8 +2695,13 @@ def _bt_fit_sql(duel_sql: str) -> str:
       JOIN wins wn ON p.i = wn.i
       GROUP BY p.i, wn.big_w
     ), q1 AS (
-      SELECT i, CAST(floor(s_raw * 1000000
-                           / max(s_raw) OVER ()) AS BIGINT) AS s
+      -- round(·, 3) BEFORE floor: partial-agg order jitters s_raw by an
+      -- ulp, and at sf0.001 one score lands exactly ON a ppm integer
+      -- boundary, so bare floor alternated with run order (r11 census).
+      -- Rounding at milli-ppm collapses the jitter 500× away from the
+      -- floor boundary; shared text keeps both engines identical.
+      SELECT i, CAST(floor(round(s_raw * 1000000
+                           / max(s_raw) OVER (), 3)) AS BIGINT) AS s
       FROM it1
     ), it2 AS (
       SELECT p.i,
@@ -2710,7 +2715,7 @@ def _bt_fit_sql(duel_sql: str) -> str:
     )
     SELECT it2.i AS event_type,
            CAST(wn.big_w AS BIGINT) AS total_wins,
-           CAST(floor(it2.s_raw * 1000000 / max(it2.s_raw) OVER ())
+           CAST(floor(round(it2.s_raw * 1000000 / max(it2.s_raw) OVER (), 3))
              AS BIGINT) AS bt_strength_ppm
     FROM it2 JOIN wins wn ON it2.i = wn.i
     """
@@ -2729,6 +2734,10 @@ def k_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor-quantize to max-normalized ppm between iterations (the
     ``k_graph_hits`` fixed-point determinism pattern), so both engines
     walk an identical integer trajectory; contest counts are exact.
+    Each floor is preceded by round(·, 3): the sf0.001 corpus puts one
+    score exactly ON a ppm boundary where partial-agg ulp jitter made
+    bare floor run-order-dependent (r11 census item) — milli-ppm
+    rounding re-centers the grid 500× away from the boundary.
 
     Scale shape: the duel table is a session-keyed self-join over 5-row
     groups (fan-out 10 pairs/session, map-local); both MM iterations run

