@@ -4018,3 +4018,407 @@ def k_pinball_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_body_pinball())
+
+
+# ------------------------------------------------ Jarque-Bera normality ----
+
+
+def _body_jarque_bera() -> str:
+    """Shared ANSI body (Spark temp-view `events` / DuckDB view)."""
+    return """
+    WITH s AS (
+      SELECT event_type,
+             CAST(count(*) AS DOUBLE) AS n,
+             sum(CAST(value AS DOUBLE)) AS s1,
+             sum(CAST(value AS DOUBLE) * value) AS s2,
+             sum(CAST(value AS DOUBLE) * value * value) AS s3,
+             sum(CAST(value AS DOUBLE) * value * value * value) AS s4
+      FROM events GROUP BY 1 HAVING count(*) >= 8
+    ), m AS (
+      SELECT event_type, n,
+             s2 / n - (s1 / n) * (s1 / n) AS m2,
+             s3 / n - 3 * (s1 / n) * (s2 / n)
+               + 2 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+             s4 / n - 4 * (s1 / n) * (s3 / n)
+               + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+               - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+      FROM s
+    ), jb AS (
+      SELECT event_type, n,
+             m3 / sqrt(m2 * m2 * m2) AS g1,
+             m4 / (m2 * m2) - 3.0e0 AS g2,
+             n / 6.0e0 * (m3 * m3 / (m2 * m2 * m2)
+               + (m4 / (m2 * m2) - 3.0e0)
+                 * (m4 / (m2 * m2) - 3.0e0) / 4.0e0) AS jb
+      FROM m
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           round(g1, 4) + 0.0 AS skewness,
+           round(g2, 4) + 0.0 AS ex_kurtosis,
+           round(jb, 4) + 0.0 AS jb_stat,
+           jb > 5.991464547107979e0 AS reject_normal_5pct
+    FROM jb
+    """
+
+
+@register("k_jarque_bera", oracle=_body_jarque_bera())
+def k_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque-Bera normality test per event type on `value`:
+    JB = n/6 * (skew^2 + ex_kurtosis^2 / 4), with the chi^2(2) 5%
+    critical value 5.9915 as the reject flag — the moment-based
+    normality screen next to ``k_eval_ks_test``'s distribution-shape
+    test (JB is the one that names WHICH moment breaks normality:
+    skewness vs tails). A metric whose JB explodes is one where every
+    z-score monitor (k_anomaly_zscore, k_spc_rules) is mis-calibrated.
+
+    Power sums accumulate in DOUBLE (no int64 wrap surface); central
+    moments expand from raw moments in one identical text. No libm
+    pow: g1^2 = m3^2/m2^3 and the m2 powers are explicit products, so
+    the only correctly-rounded-but-engine-identical ops are *, /,
+    sqrt. The reject boolean compares far from the 4dp grid.
+
+    Scale: one map-side-combined moment pass over the corpus; the
+    5-row type spine does the algebra. HAVING n >= 8 fences the
+    small-sample degenerate m2 ~ 0 regime.
+    """
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_body_jarque_bera())
+
+
+# ----------------------------------------------------- Grubbs outlier ----
+
+
+def _body_grubbs() -> str:
+    """Shared ANSI body (Spark temp-view `events` / DuckDB view)."""
+    return """
+    WITH s AS (
+      SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+             sum(CAST(value AS DOUBLE)) AS s1,
+             sum(CAST(value AS DOUBLE) * value) AS s2
+      FROM events GROUP BY 1 HAVING count(*) >= 3
+    ), st AS (
+      SELECT event_type, n,
+             round(s1 / n, 6) AS mu,
+             round(sqrt((s2 - s1 * s1 / n) / (n - 1)), 6) AS sd
+      FROM s
+    ), z AS (
+      SELECT e.event_type, e.event_id,
+             CAST(floor(abs(CAST(e.value AS DOUBLE) - st.mu) / st.sd
+                        * 1000000) AS BIGINT) AS g_ppm
+      FROM events e JOIN st USING (event_type)
+    ), top AS (
+      SELECT event_type, max(g_ppm) AS g_ppm FROM z GROUP BY 1
+    )
+    SELECT z.event_type,
+           CAST(max(st.n) AS BIGINT) AS n,
+           max(st.mu) + 0.0 AS mean_value,
+           max(st.sd) + 0.0 AS sd_value,
+           max(z.g_ppm) AS grubbs_g_ppm,
+           CAST(min(z.event_id) AS BIGINT) AS outlier_event_id
+    FROM z JOIN top ON z.event_type = top.event_type
+                   AND z.g_ppm = top.g_ppm
+    JOIN st ON st.event_type = z.event_type
+    GROUP BY z.event_type
+    """
+
+
+@register("k_grubbs_test", oracle=_body_grubbs())
+def k_grubbs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grubbs (maximum normed residual) outlier statistic per event
+    type: G = max |x - mean| / sd, emitted floor-quantized at 1e-6
+    (g_ppm), with the offending row identified (min event_id among
+    argmax rows — deterministic tiebreak). The single-most-extreme-
+    point screen that complements k_anomaly_mad's per-row robust
+    z-scores: G against its t-based critical value is the classical
+    one-outlier-at-a-time test; here the statistic and its witness row
+    are the stable, engine-checkable output.
+
+    Mean and sd are pinned at 6dp BEFORE the per-row scores (the
+    k_anomaly_mad fence): the per-type power sums jitter by an ulp
+    under partial-agg order, and an unpinned boundary case would flip
+    the floor grid. Power sums accumulate in DOUBLE — no int64 wrap
+    surface.
+
+    Scale: one moment pass, one broadcast stats join back into the
+    scan, one max reduce — corpus rows cross one shuffle.
+    """
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_body_grubbs())
+
+
+# ------------------------------------------- Anderson-Darling normality ----
+
+
+def _body_anderson_darling() -> str:
+    """Shared ANSI body; Φ is the Abramowitz-Stegun 7.1.26 erf text
+    from the Bayesian A/B key (one text, both engines)."""
+    from data_service_spark.queries.inference import _ab_phi
+
+    phi_lo = f"greatest(least({_ab_phi('a.z')}, 1.0 - 1e-12), 1e-12)"
+    phi_hi = f"greatest(least({_ab_phi('b.z')}, 1.0 - 1e-12), 1e-12)"
+    return f"""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(count(*) AS DOUBLE) AS x
+      FROM events GROUP BY 1, 2
+    ), st AS (
+      SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+             avg(x) AS mu,
+             sqrt((sum(x * x) - sum(x) * sum(x) / count(*))
+                  / (count(*) - 1)) AS sd
+      FROM daily GROUP BY 1 HAVING count(*) >= 8
+    ), ranked AS (
+      SELECT d.event_type, st.n,
+             CAST(row_number() OVER (PARTITION BY d.event_type
+                                     ORDER BY d.x, d.day) AS DOUBLE) AS i,
+             (d.x - st.mu) / st.sd AS z
+      FROM daily d JOIN st USING (event_type)
+    ), paired AS (
+      SELECT a.event_type, a.n, a.i,
+             {phi_lo} AS p_lo,
+             {phi_hi} AS p_hi
+      FROM ranked a JOIN ranked b
+        ON a.event_type = b.event_type AND b.i = a.n + 1 - a.i
+    ), stat AS (
+      SELECT event_type, max(n) AS n,
+             -max(n) - sum((2 * i - 1) * (ln(p_lo) + ln(1 - p_hi)))
+                       / max(n) AS a2
+      FROM paired GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_days,
+           round(a2, 3) + 0.0 AS a2_stat,
+           round(a2 * (1 + 0.75e0 / n + 2.25e0 / (n * n)), 3) + 0.0
+             AS a2_adjusted,
+           a2 * (1 + 0.75e0 / n + 2.25e0 / (n * n)) > 0.752e0
+             AS reject_normal_5pct
+    FROM stat
+    """
+
+
+@register("k_anderson_darling", oracle=_body_anderson_darling())
+def k_anderson_darling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anderson-Darling normality test on each type's daily-count
+    spine: A^2 = -n - (1/n) * sum (2i-1) [ln Phi(z_(i)) +
+    ln(1 - Phi(z_(n+1-i)))], with the Stephens small-sample adjustment
+    A*^2 = A^2 (1 + 0.75/n + 2.25/n^2) and the 0.752 5% critical value
+    (estimated-parameter case). The tail-weighted normality test the
+    SPC family's 3-sigma rules implicitly assume — A-D weights the
+    tails where k_eval_ks_test's KS is most insensitive.
+
+    Phi is the SAME Abramowitz-Stegun 7.1.26 erf text as k_ab_bayes
+    (|eps| < 1.5e-7, one text both engines), clamped to
+    [1e-12, 1-1e-12] so an extreme z can never reach ln(0). Order
+    statistics pair i with n+1-i via an equi-join on the rank spine
+    (day tiebreak makes the sort total). Rounded 3dp — coarser than
+    the house 4dp because the erf approximation error (~1e-7) exceeds
+    ulp noise. Daily-count power sums accumulate in DOUBLE (no int64
+    wrap surface; exact far inside 2^53), so mu,
+    sd and every z are bit-identical before the erf text runs.
+
+    Scale: one corpus shuffle to the (type, day) spine; ranking,
+    pairing and the A^2 reduce are calendar-sized.
+    """
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_body_anderson_darling())
+
+
+# ------------------------------------------------- partial correlation ----
+
+
+def _body_partial_corr() -> str:
+    """Shared ANSI body (Spark temp-view `events` / DuckDB view)."""
+    return """
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS DOUBLE) AS x,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS DOUBLE) AS y,
+             CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                  AS DOUBLE) AS z
+      FROM events GROUP BY 1
+    ), s AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             sum(x) AS sx, sum(y) AS sy, sum(z) AS sz,
+             sum(x * x) AS sxx, sum(y * y) AS syy, sum(z * z) AS szz,
+             sum(x * y) AS sxy, sum(x * z) AS sxz, sum(y * z) AS syz
+      FROM daily
+    ), r AS (
+      SELECT n,
+        (n * sxy - sx * sy)
+          / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS rxy,
+        (n * sxz - sx * sz)
+          / sqrt((n * sxx - sx * sx) * (n * szz - sz * sz)) AS rxz,
+        (n * syz - sy * sz)
+          / sqrt((n * syy - sy * sy) * (n * szz - sz * sz)) AS ryz
+      FROM s
+    )
+    SELECT CAST(n AS BIGINT) AS n_days,
+           round(rxy, 4) + 0.0 AS r_click_purchase,
+           round(rxz, 4) + 0.0 AS r_click_view,
+           round(ryz, 4) + 0.0 AS r_purchase_view,
+           round((rxy - rxz * ryz)
+                 / sqrt((1 - rxz * rxz) * (1 - ryz * ryz)), 4) + 0.0
+             AS r_partial_given_view
+    FROM r
+    """
+
+
+@register("k_partial_corr", oracle=_body_partial_corr())
+def k_partial_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order partial correlation on the daily count spine:
+    r(click, purchase | view) = (r_xy - r_xz r_yz) /
+    sqrt((1-r_xz^2)(1-r_yz^2)) — does click volume predict purchase
+    volume beyond what overall traffic (views) explains, or is their
+    raw correlation (also emitted) a common-cause artifact? The
+    confounder-aware sibling of ``d_agg_corr_matrix``: the matrix
+    reports raw r, this key removes the third variable, which is the
+    question an experimentation review actually asks.
+
+    The three conditional daily counts are exact integers, so every
+    power sum is exact in DOUBLE (no int64 wrap surface) and the
+    closed-form r's differ only by correctly-rounded *, /, sqrt —
+    bit-identical across engines before the 4dp output rounding.
+
+    Scale: ONE conditional-aggregate pass over the corpus to the day
+    spine (the pivot is three CASE sums, not three scans), then a
+    1-row Sigma-formula reduce.
+    """
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_body_partial_corr())
+
+
+# -------------------------------------------- Krippendorff's alpha ----
+
+
+def _body_krippendorff() -> str:
+    """Shared ANSI body (Spark temp-view `events` / DuckDB view)."""
+    return """
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(count(*) AS DOUBLE) AS x
+      FROM events GROUP BY 1, 2
+    ), mu AS (
+      SELECT event_type, avg(x) AS mu FROM daily GROUP BY 1
+    ), rating AS (
+      SELECT d.day,
+             CASE WHEN d.x > m.mu THEN 1.0e0 ELSE 0.0e0 END AS r
+      FROM daily d JOIN mu m USING (event_type)
+    ), unit AS (
+      SELECT day, CAST(count(*) AS DOUBLE) AS m_u, sum(r) AS n1
+      FROM rating GROUP BY day HAVING count(*) >= 2
+    ), tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_units,
+             sum(m_u) AS n, sum(n1) AS c1, sum(m_u - n1) AS c0,
+             sum(n1 * (m_u - n1) / (m_u - 1)) AS do_sum
+      FROM unit
+    )
+    SELECT n_units, CAST(n AS BIGINT) AS n_ratings,
+           CAST(c1 AS BIGINT) AS n_high, CAST(c0 AS BIGINT) AS n_low,
+           round(1 - do_sum / nullif(c1 * c0 / (n - 1), 0), 4) + 0.0
+             AS kripp_alpha
+    FROM tot
+    """
+
+
+@register("k_krippendorff_alpha", oracle=_body_krippendorff())
+def k_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Krippendorff's alpha (nominal, binary) treating each DAY as a
+    unit and each event type as a rater voting "high day" (daily count
+    above that type's own mean): alpha = 1 - D_o/D_e with observed
+    disagreement sum n1*(m-n1)/(m-1) per unit and expected c1*c0/(N-1)
+    from the pooled margins. The missing-data-tolerant agreement
+    coefficient that completes the panel (``k_eval_kappa`` two-rater,
+    ``k_fleiss_kappa`` fixed-rater, ``k_cronbach_alpha`` continuous,
+    ``k_cochran_q`` binary repeated-measures): alpha alone stays
+    defined when raters skip units, exactly what HAVING m_u >= 2
+    models here (a type absent on a day just doesn't rate it).
+
+    Ratings derive from exact integer counts vs an exact-rational mean
+    (one identical text), so every n1, m_u is integer-exact; the one
+    inexact family is /(m_u - 1) on incomplete units, far inside the
+    4dp rounding. Degenerate all-one-class corpora emit NULL via
+    nullif rather than a 0/0 divergence.
+
+    Scale: one corpus shuffle to the (type, day) spine; everything
+    after is calendar-sized.
+    """
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_body_krippendorff())
+
+
+# -------------------------------------------- ordinal association panel ----
+
+
+def _body_ordinal_assoc() -> str:
+    """Shared ANSI body (Spark temp-view `events` / DuckDB view)."""
+    return """
+    WITH base AS (
+      SELECT ntile(4) OVER (ORDER BY value, event_id) AS vq,
+             CAST(floor(extract(HOUR FROM ts) / 6.0e0) AS BIGINT) AS hb
+      FROM events
+    ), cell AS (
+      SELECT vq, hb, CAST(count(*) AS DOUBLE) AS c
+      FROM base GROUP BY 1, 2
+    ), cd AS (
+      SELECT
+        sum(CASE WHEN b.vq > a.vq AND b.hb > a.hb
+                 THEN a.c * b.c ELSE 0 END) AS conc,
+        sum(CASE WHEN b.vq > a.vq AND b.hb < a.hb
+                 THEN a.c * b.c ELSE 0 END) AS disc
+      FROM cell a CROSS JOIN cell b
+    ), marg AS (
+      SELECT sum(c) AS n FROM cell
+    ), mx AS (
+      SELECT sum(nv * (nv - 1)) / 2 AS tx
+      FROM (SELECT sum(c) AS nv FROM cell GROUP BY vq) q
+    ), my AS (
+      SELECT sum(nh * (nh - 1)) / 2 AS ty
+      FROM (SELECT sum(c) AS nh FROM cell GROUP BY hb) q
+    )
+    SELECT CAST(m.n AS BIGINT) AS n_events,
+           CAST(cd.conc AS BIGINT) AS concordant_pairs,
+           CAST(cd.disc AS BIGINT) AS discordant_pairs,
+           round((cd.conc - cd.disc)
+                 / nullif(cd.conc + cd.disc, 0), 4) + 0.0 AS gk_gamma,
+           round((cd.conc - cd.disc)
+                 / nullif(m.n * (m.n - 1) / 2 - mx.tx, 0), 4) + 0.0
+             AS somers_d_hour_given_value,
+           round((cd.conc - cd.disc)
+                 / nullif(m.n * (m.n - 1) / 2 - my.ty, 0), 4) + 0.0
+             AS somers_d_value_given_hour,
+           round((cd.conc - cd.disc)
+                 / nullif(sqrt((m.n * (m.n - 1) / 2 - mx.tx)
+                               * (m.n * (m.n - 1) / 2 - my.ty)), 0), 4)
+             + 0.0 AS tau_b
+    FROM cd CROSS JOIN marg m CROSS JOIN mx CROSS JOIN my
+    """
+
+
+@register("k_ordinal_assoc", oracle=_body_ordinal_assoc())
+def k_ordinal_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordinal-association panel between value quartile and time-of-day
+    bucket (hour/6) from the 4x4 contingency table: Goodman-Kruskal
+    gamma (ties ignored), both Somers' D directions (asymmetric,
+    predictor-tie-corrected) and Kendall tau-b (both-margin-corrected)
+    — all from ONE concordant/discordant pair count computed on the
+    16-cell table, never on row pairs. ``k_rank_kendall`` ranks the
+    tiny source spine; this key is the grouped-data form that scales
+    to corpus-sized inputs because C and D are cell-count products.
+
+    All pair counts are exact integers carried in DOUBLE: the governor
+    is the 2^53 mantissa on n(n-1)/2 (exact below ~1.3e8 rows; beyond,
+    the same cell algebra runs on HUGEINT-free normalized frequencies)
+    — no same-identifier int64 power sum exists to wrap, and the
+    tau_b denominator multiplies the two tie-corrected pair counts in
+    DOUBLE (the k_ab_bayes cube lesson). ntile(4) over the totally-
+    ordered (value, event_id) key assigns identical quartiles in both
+    engines (remainder rows to the first buckets, SQL standard).
+
+    Scale: one window pass for quartiles (per-partition at scale via
+    pre-bucketed value ranges), one reduce to 16 cells, a 256-row
+    cross join of the cell table with itself — the corpus crosses two
+    shuffles, the quadratic work is O(cells^2).
+    """
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_body_ordinal_assoc())

@@ -1260,3 +1260,276 @@ def k_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_body_winsorized())
+
+
+# ------------------------------------------------- Holt linear trend ----
+
+
+def _body_holt() -> str:
+    """Shared ANSI body (Spark temp-view `events` / DuckDB view)."""
+    return """
+    WITH RECURSIVE daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(count(*) AS DOUBLE) AS x
+      FROM events GROUP BY 1
+    ), idx AS (
+      SELECT day, x,
+             CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t
+      FROM daily
+    ), holt(t, l, b) AS (
+      SELECT CAST(1 AS BIGINT), a.x, bb.x - a.x
+      FROM idx a JOIN idx bb ON a.t = 1 AND bb.t = 2
+      UNION ALL
+      SELECT i.t,
+             CAST(0.5 AS DOUBLE) * i.x
+               + CAST(0.5 AS DOUBLE) * (h.l + h.b),
+             CAST(0.25 AS DOUBLE) * i.x
+               - CAST(0.25 AS DOUBLE) * h.l
+               + CAST(0.75 AS DOUBLE) * h.b
+      FROM holt h JOIN idx i ON i.t = h.t + 1
+    )
+    SELECT i.day, CAST(i.x AS BIGINT) AS n_events,
+           round(h.l, 4) + 0.0 AS level,
+           round(h.b, 4) + 0.0 AS trend,
+           round(lag(h.l + h.b) OVER (ORDER BY h.t), 4) + 0.0 AS forecast
+    FROM holt h JOIN idx i ON i.t = h.t
+    """
+
+
+@register("k_forecast_holt", oracle=_body_holt())
+def k_forecast_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend method (double exponential smoothing,
+    alpha = beta = 1/2) over the daily event-count spine: level l_t =
+    alpha*x_t + (1-alpha)(l+b)_{t-1}, trend b_t substituted closed-form
+    to 1/4*x_t - 1/4*l_{t-1} + 3/4*b_{t-1}; one-step forecast =
+    yesterday's l+b. The trend-aware sibling of ``k_forecast_ses``
+    (whose level-only forecast systematically lags a drifting series) —
+    together with ``k_forecast_snaive`` they form the classical
+    baseline ladder every volume forecaster is judged against.
+
+    Unlike SES, the coupled (l, b) recurrence has a rotation-like
+    transition matrix (complex eigenvalues), so no dyadic cumsum
+    closed form exists — it runs as a ``WITH RECURSIVE`` CTE (the
+    q_recursive_cte surface) stepping the 2-vector once per day.
+    Determinism: the recursion fixes the evaluation ORDER, every
+    coefficient is an explicit CAST-to-DOUBLE dyadic, and +, *, / are
+    IEEE correctly-rounded — both engines walk bit-identical states,
+    so the 4dp rounding cannot flip. Init l_1 = x_1, b_1 = x_2 - x_1
+    (spines shorter than 2 days emit empty, both engines).
+
+    Scale: the corpus crosses ONE shuffle into the day spine; the
+    recursion is calendar-sized (one ~1-row step per day, O(days)
+    rounds). At 100 TB the spine is still tiny — the recursion depth,
+    not the data volume, is the cost, exactly as in q_recursive_cte.
+    """
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_body_holt())
+
+
+# --------------------------------------------- forecast-accuracy panel ----
+
+
+def _body_forecast_mase() -> str:
+    """Shared ANSI body (Spark temp-view `events` / DuckDB view)."""
+    return """
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(count(*) AS DOUBLE) AS x
+      FROM events GROUP BY 1
+    ), lagged AS (
+      SELECT day, x,
+             lag(x, 1) OVER (ORDER BY day) AS p1,
+             lag(x, 7) OVER (ORDER BY day) AS p7
+      FROM daily
+    ), scored AS (
+      SELECT 'naive_1' AS forecaster, x, p1 AS yhat
+      FROM lagged WHERE p1 IS NOT NULL
+      UNION ALL
+      SELECT 'snaive_7' AS forecaster, x, p7 AS yhat
+      FROM lagged WHERE p7 IS NOT NULL
+    ), denom AS (
+      SELECT avg(abs(x - p1)) AS naive_mae
+      FROM lagged WHERE p1 IS NOT NULL
+    )
+    SELECT s.forecaster,
+           CAST(count(*) AS BIGINT) AS n_forecasts,
+           round(avg(abs(s.x - s.yhat)), 4) AS mae,
+           round(sqrt(sum((s.x - s.yhat) * (s.x - s.yhat)) / count(*)), 4)
+             AS rmse,
+           round(sum(abs(s.x - s.yhat)) / sum(abs(s.x)), 4) AS wape,
+           round(avg(abs(s.x - s.yhat)) / max(d.naive_mae), 4) AS mase
+    FROM scored s CROSS JOIN denom d
+    GROUP BY s.forecaster
+    """
+
+
+@register("k_forecast_mase", oracle=_body_forecast_mase())
+def k_forecast_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-free forecast-accuracy panel (Hyndman-Koehler 2006) for the
+    two classical baselines on the daily event-count spine: naive-1
+    (yesterday) and seasonal-naive-7 (same weekday last week), each
+    scored with MAE, RMSE, WAPE and MASE (MAE scaled by the in-sample
+    naive-1 MAE — the denominator that makes accuracy comparable across
+    series; MASE < 1 beats carrying yesterday forward). Complements
+    ``k_forecast_snaive``'s MAPE/sMAPE readout with the estimators that
+    stay defined when a day's count is zero (MAPE's failure mode).
+
+    Determinism by construction: daily counts are integers, so every
+    error, |error| and squared error is an exact integer in DOUBLE;
+    the sums stay exact (far inside 2^53), and the final divisions /
+    sqrt are IEEE correctly-rounded — bit-identical across engines, no
+    rounding-boundary surface at all.
+
+    Scale: one corpus shuffle to the day spine; two lag windows and a
+    2-group aggregate after, all calendar-sized.
+    """
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_body_forecast_mase())
+
+
+# --------------------------------------------------- Durbin-Watson ----
+
+
+def _body_durbin_watson() -> str:
+    """Shared ANSI body (Spark temp-view `events` / DuckDB view)."""
+    return """
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(count(*) AS DOUBLE) AS x
+      FROM events GROUP BY 1, 2
+    ), idx AS (
+      SELECT event_type, day, x,
+             CAST(row_number() OVER (PARTITION BY event_type
+                                     ORDER BY day) AS DOUBLE) AS t
+      FROM daily
+    ), fit AS (
+      SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+             sum(t) AS st, sum(x) AS sx,
+             sum(t * x) AS stx, sum(t * t) AS stt
+      FROM idx GROUP BY 1 HAVING count(*) >= 3
+    ), coef AS (
+      SELECT event_type, n,
+             (n * stx - st * sx) / (n * stt - st * st) AS slope,
+             (sx - (n * stx - st * sx) / (n * stt - st * st) * st) / n
+               AS icept
+      FROM fit
+    ), resid AS (
+      SELECT i.event_type, i.t,
+             i.x - c.icept - c.slope * i.t AS e
+      FROM idx i JOIN coef c USING (event_type)
+    ), diffs AS (
+      SELECT event_type, e,
+             lag(e) OVER (PARTITION BY event_type ORDER BY t) AS ep
+      FROM resid
+    )
+    SELECT d.event_type,
+           CAST(max(c.n) AS BIGINT) AS n_days,
+           round(max(c.slope), 6) + 0.0 AS trend_slope,
+           round(sum(CASE WHEN d.ep IS NULL THEN 0.0
+                          ELSE (d.e - d.ep) * (d.e - d.ep) END)
+                 / nullif(sum(d.e * d.e), 0), 4) + 0.0 AS dw,
+           round(1.0 - sum(CASE WHEN d.ep IS NULL THEN 0.0
+                                ELSE (d.e - d.ep) * (d.e - d.ep) END)
+                       / nullif(sum(d.e * d.e), 0) / 2, 4) + 0.0
+             AS rho_hat
+    FROM diffs d JOIN coef c USING (event_type)
+    GROUP BY d.event_type
+    """
+
+
+@register("k_durbin_watson", oracle=_body_durbin_watson())
+def k_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin-Watson serial-correlation test on the residuals of a
+    per-type OLS day trend: DW = sum((e_t - e_{t-1})^2) / sum(e_t^2),
+    with rho_hat = 1 - DW/2 as the lag-1 residual autocorrelation
+    estimate. The regression-diagnostics companion to ``k_pacf_closed``
+    (which reads autocorrelation of the RAW series): DW answers whether
+    the day-trend model left structure in the residuals — DW near 2
+    means the trend explains the dynamics, near 0/4 means a drifting
+    or oscillating remainder the SPC monitors should watch.
+
+    OLS closed form from power sums over the ~30-row per-type spine
+    (t and x both exact integers in DOUBLE, so the sums are exact; the
+    slope/intercept divisions are the first rounding). Residual sums
+    accumulate in DOUBLE — no int64 wrap surface. A perfectly-fit type
+    (all residuals zero) yields NULL via nullif, identically in both
+    engines, rather than a 0/0 NaN divergence.
+
+    Scale: one corpus shuffle to the (type, day) spine; the fit, the
+    residual pass and the lag window are all calendar-sized.
+    """
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_body_durbin_watson())
+
+
+# ----------------------------------------------- Hurst exponent (R/S) ----
+
+
+def _body_hurst() -> str:
+    """Shared ANSI body (Spark temp-view `events` / DuckDB view)."""
+    return """
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(count(*) AS DOUBLE) AS x
+      FROM events GROUP BY 1
+    ), idx AS (
+      SELECT x, CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t
+      FROM daily
+    ), sized AS (
+      SELECT ws.w, CAST(floor((i.t - 1) / ws.w) AS BIGINT) AS blk, i.t, i.x
+      FROM idx i CROSS JOIN (SELECT 8 AS w UNION ALL SELECT 16) ws
+    ), blocks AS (
+      SELECT w, blk, t, x,
+             count(*) OVER (PARTITION BY w, blk) AS bn,
+             avg(x) OVER (PARTITION BY w, blk) AS mu
+      FROM sized
+    ), cum AS (
+      SELECT w, blk, x, mu,
+             sum(x - mu) OVER (PARTITION BY w, blk ORDER BY t) AS z
+      FROM blocks WHERE bn = w
+    ), rs AS (
+      SELECT w, blk,
+             (max(z) - min(z))
+               / nullif(sqrt(sum((x - mu) * (x - mu)) / w), 0) AS rs
+      FROM cum GROUP BY w, blk
+    ), mean_rs AS (
+      SELECT w, avg(rs) AS rsbar, CAST(count(*) AS BIGINT) AS n_blocks
+      FROM rs GROUP BY w
+    )
+    SELECT
+      max(CASE WHEN w = 8 THEN n_blocks END) AS blocks_8,
+      max(CASE WHEN w = 16 THEN n_blocks END) AS blocks_16,
+      round(max(CASE WHEN w = 8 THEN rsbar END), 4) + 0.0 AS rs_8,
+      round(max(CASE WHEN w = 16 THEN rsbar END), 4) + 0.0 AS rs_16,
+      round(ln(max(CASE WHEN w = 16 THEN rsbar END)
+               / max(CASE WHEN w = 8 THEN rsbar END)) / ln(2.0e0), 4)
+        + 0.0 AS hurst
+    FROM mean_rs
+    """
+
+
+@register("k_hurst_rs", oracle=_body_hurst())
+def k_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent by rescaled-range (R/S) analysis of the daily
+    event-count spine: for block sizes w = 8 and 16 days, each full
+    block contributes R/S = (range of cumulative mean-deviations) /
+    (population std); H = log2(RS_16 / RS_8) — the two-point slope of
+    the log-log R/S law. H ~ 0.5 is short-memory noise, H > 0.5
+    long-range persistence (load trends compound — capacity planning
+    must extrapolate, not average), H < 0.5 mean reversion. The
+    long-memory diagnostic next to k_pacf_closed's short-lag view.
+
+    Determinism: block membership is integer arithmetic on the day
+    index; within-block mean, cumulative deviations (ordered window)
+    and the max-min range are exact-integer-derived; the one libm
+    surface is the final ln ratio, rounded 4dp (same exposure class as
+    the repo's other log-domain keys). Constant blocks yield NULL via
+    nullif rather than a divide-by-zero divergence.
+
+    Scale: one corpus shuffle to the day spine; block windows are
+    calendar-sized. At 100 TB the spine grows with the calendar, not
+    the data — more block sizes (powers of two) and an OLS log-log fit
+    slot in without changing the shuffle shape.
+    """
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_body_hurst())

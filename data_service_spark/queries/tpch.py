@@ -1183,3 +1183,92 @@ def q_identifier_clause(spark: "SparkSession", sf_dir: str) -> "DataFrame":
             "tab": "orders",
         },
     )
+
+
+@register(
+    "q_distinct_on",
+    oracle="""
+    SELECT DISTINCT ON (user_id)
+           user_id, event_id, event_type, ts AS first_ts
+    FROM events
+    ORDER BY user_id, ts, event_id
+    """,
+)
+def q_distinct_on(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """DISTINCT ON dialect translation: DuckDB/Postgres `SELECT DISTINCT
+    ON (key) ... ORDER BY key, ord` (first row per key) has no Spark SQL
+    spelling — the idiomatic Spark form is the row_number()-over-window
+    filter, which Catalyst can execute as a partial top-1 per key
+    (no full sort of the corpus when the window is rank-limited). Each
+    user's FIRST event by (ts, event_id) — event_id breaks timestamp
+    ties so both engines pick the identical row.
+
+    Scale: one hash shuffle on user_id; the rank filter is applied
+    streaming per key group. The dialect lesson IS the key: engines
+    disagree on the spelling, the plan shape (shuffle + per-key top-1)
+    is the same.
+    """
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql("""
+        SELECT user_id, event_id, event_type, first_ts FROM (
+          SELECT user_id, event_id, event_type, ts AS first_ts,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS rn
+          FROM events
+        ) q WHERE rn = 1
+    """)
+
+
+@register(
+    "q_tvf_range",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(min(date_trunc('day', ts)) AS DATE) AS d0,
+             datediff('day', CAST(min(date_trunc('day', ts)) AS DATE),
+                      CAST(max(date_trunc('day', ts)) AS DATE)) AS span
+      FROM events
+    ), spine AS (
+      SELECT b.d0 + CAST(r.range AS INTEGER) AS day
+      FROM b JOIN range(0, 3700) r ON r.range <= b.span
+    ), daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             count(*) AS n
+      FROM events GROUP BY 1
+    )
+    SELECT s.day, CAST(coalesce(d.n, 0) AS BIGINT) AS n_events
+    FROM spine s LEFT JOIN daily d USING (day)
+    """,
+)
+def q_tvf_range(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """range() table-valued function as a GAP-FREE calendar spine: both
+    engines ship the TVF (Spark `range(0, n)` emits `id`, DuckDB emits
+    `range`), bounded by the corpus min/max day and LEFT-joined with the
+    daily rollup so silent zero-volume days surface as explicit 0 rows —
+    the spine-generation idiom every gap-sensitive monitor upstream
+    (k_spc_rules, i_gap_fill's batch twin) depends on. The 3700-row TVF
+    covers a decade of days; the join predicate prunes to the actual
+    span.
+
+    Scale: the TVF is driver-synthesized metadata (no scan), the
+    1-row bounds aggregate broadcasts into it, and the LEFT JOIN is
+    calendar-sized against the day rollup — corpus rows cross exactly
+    one shuffle.
+    """
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql("""
+        WITH b AS (
+          SELECT CAST(min(date_trunc('DAY', ts)) AS DATE) AS d0,
+                 datediff(CAST(max(date_trunc('DAY', ts)) AS DATE),
+                          CAST(min(date_trunc('DAY', ts)) AS DATE)) AS span
+          FROM events
+        ), spine AS (
+          SELECT date_add(b.d0, CAST(r.id AS INT)) AS day
+          FROM b JOIN range(0, 3700) r ON r.id <= b.span
+        ), daily AS (
+          SELECT CAST(date_trunc('DAY', ts) AS DATE) AS day,
+                 count(*) AS n
+          FROM events GROUP BY 1
+        )
+        SELECT s.day, CAST(coalesce(d.n, 0) AS BIGINT) AS n_events
+        FROM spine s LEFT JOIN daily d USING (day)
+    """)

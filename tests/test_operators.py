@@ -4620,3 +4620,336 @@ def test_identifier_clause_rejects_injection_payload(spark, sf_dir):
         "SELECT count(*) AS n FROM IDENTIFIER(:tab)", args={"tab": "orders"}
     ).collect()[0].n
     assert n > 0
+
+
+# ------------------------------------------------- round-12 additions ----
+
+
+def _daily_counts(spark, sf_dir):
+    """Ordered daily event counts (the spine the forecast family reads)."""
+    rows = (
+        load(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("DAY", F.col("ts")).cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("day")
+        .collect()
+    )
+    return [float(r.n) for r in rows]
+
+
+def test_holt_matches_sequential_recurrence(spark, sf_dir):
+    """k_forecast_holt must equal the literal coupled recurrence
+    l_t = 1/2 x_t + 1/2(l+b)_{t-1}, b_t = 1/2(l_t - l_{t-1}) + 1/2 b_{t-1}
+    run in plain Python — EXACTLY at the rounded grid, because the
+    recursion fixes evaluation order and every op is IEEE."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    xs = _daily_counts(spark, sf_dir)
+    l, b = xs[0], xs[1] - xs[0]
+    exp = {1: (l, b)}
+    for t in range(2, len(xs) + 1):
+        x = xs[t - 1]
+        l_new = 0.5 * x + 0.5 * (l + b)
+        b_new = 0.25 * x - 0.25 * l + 0.75 * b
+        l, b = l_new, b_new
+        exp[t] = (l, b)
+    rows = sorted(
+        QUERIES["k_forecast_holt"](spark, sf_dir).collect(),
+        key=lambda r: r.day,
+    )
+    assert len(rows) == len(xs)
+
+    def q4(v: float) -> float:
+        return float(
+            Decimal(repr(v)).quantize(Decimal("0.0001"), ROUND_HALF_UP)
+        )
+
+    for t, r in enumerate(rows, start=1):
+        el, eb = exp[t]
+        assert abs(r.level - q4(el)) < 1e-9, (t, r.level, el)
+        assert abs(r.trend - q4(eb)) < 1e-9, (t, r.trend, eb)
+
+
+def test_forecast_mase_naive_identity(spark, sf_dir):
+    """MASE of the naive-1 forecaster is 1.0 BY CONSTRUCTION (its MAE is
+    the MASE denominator) — plus basic estimator sanity on both rows."""
+    rows = {
+        r.forecaster: r
+        for r in QUERIES["k_forecast_mase"](spark, sf_dir).collect()
+    }
+    assert set(rows) == {"naive_1", "snaive_7"}
+    assert rows["naive_1"].mase == 1.0
+    for r in rows.values():
+        assert r.rmse >= r.mae > 0
+        assert 0 < r.wape < 2
+
+
+def test_durbin_watson_bounds_and_rho(spark, sf_dir):
+    """DW lives in [0, 4] and rho_hat must equal 1 - dw/2 at the grid."""
+    rows = QUERIES["k_durbin_watson"](spark, sf_dir).collect()
+    assert len(rows) >= 2
+    for r in rows:
+        assert 0.0 <= r.dw <= 4.0
+        assert abs(r.rho_hat - (1.0 - r.dw / 2)) < 2e-4
+
+
+def test_hurst_matches_numpy_recompute(spark, sf_dir):
+    """R/S per block and the two-point Hurst slope recomputed with numpy
+    must match the SQL to the 4dp grid."""
+    import math
+
+    import numpy as np
+
+    xs = np.array(_daily_counts(spark, sf_dir))
+    exp = {}
+    for w in (8, 16):
+        rs = []
+        for b in range(len(xs) // w):
+            blk = xs[b * w : (b + 1) * w]
+            dev = blk - blk.mean()
+            z = np.cumsum(dev)
+            s = math.sqrt(float((dev * dev).sum()) / w)
+            rs.append((z.max() - z.min()) / s)
+        exp[w] = sum(rs) / len(rs)
+    row = QUERIES["k_hurst_rs"](spark, sf_dir).collect()[0]
+    assert row.blocks_8 == len(xs) // 8
+    assert abs(row.rs_8 - exp[8]) < 1e-3
+    assert abs(row.rs_16 - exp[16]) < 1e-3
+    assert abs(row.hurst - math.log2(exp[16] / exp[8])) < 1e-3
+
+
+def test_jarque_bera_matches_numpy_moments(spark, sf_dir):
+    """Skewness, excess kurtosis and JB recomputed from numpy central
+    moments must match the SQL within the 4dp grid."""
+    import numpy as np
+
+    vals = {
+        r.event_type: np.array(r.vs)
+        for r in load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.collect_list("value").alias("vs"))
+        .collect()
+    }
+    rows = {r.event_type: r for r in QUERIES["k_jarque_bera"](spark, sf_dir).collect()}
+    for et, v in vals.items():
+        n = len(v)
+        m2 = ((v - v.mean()) ** 2).mean()
+        m3 = ((v - v.mean()) ** 3).mean()
+        m4 = ((v - v.mean()) ** 4).mean()
+        g1 = m3 / m2**1.5
+        g2 = m4 / m2**2 - 3
+        jb = n / 6 * (g1**2 + g2**2 / 4)
+        r = rows[et]
+        assert abs(r.skewness - g1) < 1e-3, et
+        assert abs(r.ex_kurtosis - g2) < 1e-3, et
+        assert abs(r.jb_stat - jb) < max(1e-3, abs(jb) * 1e-4), et
+        assert r.reject_normal_5pct == (jb > 5.991464547107979)
+
+
+def test_grubbs_matches_numpy(spark, sf_dir):
+    """Grubbs G (ppm floor grid) and the witness row recomputed with
+    numpy must match; the witness is the min event_id among argmax."""
+    import numpy as np
+
+    df = (
+        load(spark, sf_dir, "events")
+        .select("event_type", "event_id", "value")
+        .toPandas()
+    )
+    rows = {r.event_type: r for r in QUERIES["k_grubbs_test"](spark, sf_dir).collect()}
+    for et, g in df.groupby("event_type"):
+        v = g["value"].to_numpy()
+        mu = round(float(v.mean()), 6)
+        sd = round(float(v.std(ddof=1)), 6)
+        ppm = np.floor(np.abs(v - mu) / sd * 1e6).astype("int64")
+        top = ppm.max()
+        witness = int(g["event_id"].to_numpy()[ppm == top].min())
+        r = rows[et]
+        assert r.grubbs_g_ppm == top, et
+        assert r.outlier_event_id == witness, et
+        assert abs(r.mean_value - mu) < 1e-9 and abs(r.sd_value - sd) < 1e-9
+
+
+def test_anderson_darling_matches_python_recompute(spark, sf_dir):
+    """A^2 recomputed in plain Python with the SAME A&S erf text
+    semantics must match the SQL at the 3dp grid."""
+    import math
+
+    rows = (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.date_trunc("DAY", F.col("ts")).cast("date").alias("day"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    by_type: dict = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append((r.day, float(r.n)))
+
+    def phi(x: float) -> float:
+        t = 1.0 / (1.0 + 0.3275911 * abs(x / math.sqrt(2.0)))
+        e = (
+            0.254829592 * t
+            - 0.284496736 * t**2
+            + 1.421413741 * t**3
+            - 1.453152027 * t**4
+            + 1.061405429 * t**5
+        ) * math.exp(-((x / math.sqrt(2.0)) ** 2))
+        erf = 1.0 - e
+        val = 0.5 * (1.0 + (-1.0 if x < 0 else 1.0) * erf)
+        return min(max(val, 1e-12), 1.0 - 1e-12)
+
+    out = {r.event_type: r for r in QUERIES["k_anderson_darling"](spark, sf_dir).collect()}
+    for et, pairs in by_type.items():
+        xs = [x for _, x in sorted(pairs)]
+        n = len(xs)
+        if n < 8:
+            assert et not in out
+            continue
+        mu = sum(xs) / n
+        sd = math.sqrt(sum((x - mu) ** 2 for x in xs) / (n - 1))
+        zs = sorted(
+            ((x - mu) / sd, d) for d, x in pairs
+        )  # (value, day) ordering mirrors the SQL's ORDER BY x, day
+        z = [v for v, _ in zs]
+        a2 = -n - sum(
+            (2 * (i + 1) - 1) * (math.log(phi(z[i])) + math.log(1 - phi(z[n - 1 - i])))
+            for i in range(n)
+        ) / n
+        r = out[et]
+        assert abs(r.a2_stat - a2) < 2e-3, (et, r.a2_stat, a2)
+        astar = a2 * (1 + 0.75 / n + 2.25 / n**2)
+        assert r.reject_normal_5pct == (astar > 0.752)
+
+
+def test_partial_corr_matches_numpy(spark, sf_dir):
+    """All three raw r's and the partial r recomputed with numpy must
+    match the SQL at the 4dp grid."""
+    import math
+
+    import numpy as np
+
+    rows = (
+        load(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("DAY", F.col("ts")).cast("date").alias("day"))
+        .agg(
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("x"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("y"),
+            F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("z"),
+        )
+        .collect()
+    )
+    x = np.array([float(r.x) for r in rows])
+    y = np.array([float(r.y) for r in rows])
+    z = np.array([float(r.z) for r in rows])
+    rxy = float(np.corrcoef(x, y)[0, 1])
+    rxz = float(np.corrcoef(x, z)[0, 1])
+    ryz = float(np.corrcoef(y, z)[0, 1])
+    part = (rxy - rxz * ryz) / math.sqrt((1 - rxz**2) * (1 - ryz**2))
+    r = QUERIES["k_partial_corr"](spark, sf_dir).collect()[0]
+    assert r.n_days == len(rows)
+    assert abs(r.r_click_purchase - rxy) < 1e-3
+    assert abs(r.r_partial_given_view - part) < 1e-3
+
+
+def test_krippendorff_matches_python_recompute(spark, sf_dir):
+    """Alpha recomputed from the coincidence formula in plain Python
+    must match the SQL at the 4dp grid; hand-check the degenerate
+    perfect-agreement and coin-flip anchors hold (alpha <= 1)."""
+    rows = (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.date_trunc("DAY", F.col("ts")).cast("date").alias("day"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    per_type: dict = {}
+    for r in rows:
+        per_type.setdefault(r.event_type, []).append((r.day, float(r.n)))
+    ratings: dict = {}
+    for et, pairs in per_type.items():
+        mu = sum(x for _, x in pairs) / len(pairs)
+        for d, x in pairs:
+            ratings.setdefault(d, []).append(1.0 if x > mu else 0.0)
+    units = [(len(v), sum(v)) for v in ratings.values() if len(v) >= 2]
+    n = sum(m for m, _ in units)
+    c1 = sum(n1 for _, n1 in units)
+    c0 = n - c1
+    do = sum(n1 * (m - n1) / (m - 1) for m, n1 in units)
+    de = c1 * c0 / (n - 1)
+    alpha = 1 - do / de
+    r = QUERIES["k_krippendorff_alpha"](spark, sf_dir).collect()[0]
+    assert r.n_units == len(units) and r.n_ratings == int(n)
+    assert abs(r.kripp_alpha - alpha) < 1e-3
+    assert r.kripp_alpha <= 1.0
+
+
+def test_ordinal_assoc_matches_pandas_recompute(spark, sf_dir):
+    """C, D and every coefficient recomputed from a pandas contingency
+    table (identical ntile rule: extras to the first buckets) must
+    match the SQL exactly / at the 4dp grid."""
+    import math
+
+    import numpy as np
+
+    df = (
+        load(spark, sf_dir, "events")
+        .select("event_id", "value", F.expr("extract(HOUR FROM ts)").alias("h"))
+        .toPandas()
+    )
+    df = df.sort_values(["value", "event_id"]).reset_index(drop=True)
+    n = len(df)
+    base, rem = divmod(n, 4)
+    sizes = [base + (1 if i < rem else 0) for i in range(4)]
+    vq = np.repeat(np.arange(1, 5), sizes)
+    df["vq"] = vq
+    df["hb"] = (df["h"] // 6).astype(int)
+    cell = df.groupby(["vq", "hb"]).size().reset_index(name="c")
+    conc = disc = 0
+    recs = cell.to_records(index=False)
+    for a in recs:
+        for b in recs:
+            if b[0] > a[0] and b[1] > a[1]:
+                conc += int(a[2]) * int(b[2])
+            elif b[0] > a[0] and b[1] < a[1]:
+                disc += int(a[2]) * int(b[2])
+    p_all = n * (n - 1) / 2
+    tx = sum(v * (v - 1) / 2 for v in cell.groupby("vq")["c"].sum())
+    ty = sum(v * (v - 1) / 2 for v in cell.groupby("hb")["c"].sum())
+    r = QUERIES["k_ordinal_assoc"](spark, sf_dir).collect()[0]
+    assert r.n_events == n
+    assert r.concordant_pairs == conc and r.discordant_pairs == disc
+    assert abs(r.gk_gamma - (conc - disc) / (conc + disc)) < 1e-3
+    assert abs(r.tau_b - (conc - disc) / math.sqrt((p_all - tx) * (p_all - ty))) < 1e-3
+
+
+def test_distinct_on_picks_first_row_per_user(spark, sf_dir):
+    """Exactly one row per user, and it is the (ts, event_id)-min row."""
+    e = load(spark, sf_dir, "events")
+    expected = {
+        r.user_id: (r.ts, r.eid)
+        for r in e.groupBy("user_id")
+        .agg(F.min(F.struct("ts", F.col("event_id").alias("eid"))).alias("m"))
+        .select("user_id", F.col("m.ts").alias("ts"), F.col("m.eid").alias("eid"))
+        .collect()
+    }
+    rows = QUERIES["q_distinct_on"](spark, sf_dir).collect()
+    assert len(rows) == len(expected)
+    for r in rows:
+        assert expected[r.user_id] == (r.first_ts, r.event_id)
+
+
+def test_tvf_range_spine_is_gap_free_and_mass_preserving(spark, sf_dir):
+    """span+1 consecutive days, and the left join preserves total event
+    mass (gap days contribute explicit zeros)."""
+    rows = sorted(
+        QUERIES["q_tvf_range"](spark, sf_dir).collect(), key=lambda r: r.day
+    )
+    days = [r.day for r in rows]
+    assert (days[-1] - days[0]).days + 1 == len(days)
+    total = load(spark, sf_dir, "events").count()
+    assert sum(r.n_events for r in rows) == total

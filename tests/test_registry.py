@@ -182,6 +182,9 @@ k_markov_absorption k_wilcoxon_signed k_bucket_batching_gain
 k_sample_fixed_k k_eval_auc_by_segment
 q_star_except q_order_by_all k_eval_tost_equivalence k_winsorized_mean
 k_eval_err k_pinball_loss a_source_rest_paged q_identifier_clause
+k_forecast_holt k_forecast_mase k_durbin_watson k_hurst_rs
+k_jarque_bera k_grubbs_test k_anderson_darling k_partial_corr
+k_krippendorff_alpha k_ordinal_assoc q_distinct_on q_tvf_range
 """.split()
 
 
