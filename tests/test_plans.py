@@ -857,3 +857,39 @@ def test_components_linear_dag_no_checkpoint_per_round(spark, sf_dir):
     # 6 rounds × (partial+final) min aggs + the final component count agg
     assert plan.count("HashAggregate") >= 12
     assert "CartesianProduct" not in plan
+
+
+# ------------------------------------------------- round-12 additions ----
+
+
+def test_jarque_bera_single_moment_pass(spark, sf_dir):
+    """k_jarque_bera's docstring claim: ONE map-side-combined moment
+    pass over the corpus — exactly one Exchange, no joins at all."""
+    plan = plan_of(QUERIES["k_jarque_bera"](spark, sf_dir), "simple")
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan
+
+
+def test_partial_corr_is_one_pivot_pass(spark, sf_dir):
+    """k_partial_corr pivots the three series as conditional sums in ONE
+    pass (not three scans): <= 2 exchanges (day spine + 1-row reduce),
+    no joins."""
+    plan = plan_of(QUERIES["k_partial_corr"](spark, sf_dir), "simple")
+    assert plan.count("Exchange") <= 2
+    assert "Join" not in plan
+
+
+def test_distinct_on_is_one_shuffle_rank_filter(spark, sf_dir):
+    """q_distinct_on: one hash shuffle on user_id, rank filter applied
+    streaming — no join, no global sort of the corpus."""
+    plan = plan_of(QUERIES["q_distinct_on"](spark, sf_dir), "simple")
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan
+
+
+def test_ordinal_assoc_quadratic_work_stays_on_cells(spark, sf_dir):
+    """k_ordinal_assoc's O(cells^2) cross join must be broadcast-nested-
+    loop over the bounded cell table, never a CartesianProduct over
+    corpus rows."""
+    plan = plan_of(QUERIES["k_ordinal_assoc"](spark, sf_dir), "simple")
+    assert "CartesianProduct" not in plan
