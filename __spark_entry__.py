@@ -50,7 +50,10 @@ PRIORITY = [
     "q_star_except", "k_forecast_holt", "k_forecast_mase", "k_durbin_watson",
     "k_hurst_rs", "k_jarque_bera", "k_grubbs_test", "k_anderson_darling",
     "k_partial_corr", "k_krippendorff_alpha", "k_ordinal_assoc", "q_distinct_on",
-    "q_tvf_range", "k_ab_bayes", "k_spc_rules", "k_graph_components",
+    "q_tvf_range",
+    "k_cliffs_delta", "k_bartlett_test", "k_odds_ratio_ci", "k_gumbel_block_maxima",
+    "k_theil_index", "k_mood_median", "k_fdr_by", "k_bhattacharyya_hists",
+    "k_ab_bayes", "k_spc_rules", "k_graph_components",
     "k_bradley_terry", "a_scan_parquet", "a_scan_prune", "a_scan_filter_pushdown",
     "a_sink_parquet_roundtrip", "a_sink_partitioned", "a_sink_csv_json", "a_sink_orc",
     "a_source_python_ds", "a_sink_table", "b_project_arith", "b_filter_simple",

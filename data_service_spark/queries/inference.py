@@ -1697,3 +1697,565 @@ def k_eval_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_body_tost())
+
+
+# ------------------------------------------------------ Cliff's delta ----
+
+
+def _body_cliffs_delta() -> str:
+    """Shared ANSI body (Spark temp-view `events` / DuckDB view)."""
+    return """
+    WITH pool AS (
+      SELECT event_type, CAST(value AS DOUBLE) AS v
+      FROM events WHERE event_type IN ('purchase', 'view')
+    ), ranked AS (
+      SELECT event_type,
+             rank() OVER (ORDER BY v)
+               + (count(*) OVER (PARTITION BY v) - 1) / 2.0e0 AS midrank
+      FROM pool
+    ), s AS (
+      SELECT
+        CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             AS DOUBLE) AS n1,
+        CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+             AS DOUBLE) AS n2,
+        sum(CASE WHEN event_type = 'purchase' THEN midrank ELSE 0 END)
+          AS r1
+      FROM ranked
+    ), u AS (
+      SELECT n1, n2, r1 - n1 * (n1 + 1) / 2 AS u1 FROM s
+    )
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           round(u1, 1) + 0.0 AS u_statistic,
+           round((2 * u1 - n1 * n2) / (n1 * n2), 4) + 0.0 AS cliffs_delta,
+           CASE WHEN abs((2 * u1 - n1 * n2) / (n1 * n2)) < 0.147e0
+                  THEN 'negligible'
+                WHEN abs((2 * u1 - n1 * n2) / (n1 * n2)) < 0.33e0
+                  THEN 'small'
+                WHEN abs((2 * u1 - n1 * n2) / (n1 * n2)) < 0.474e0
+                  THEN 'medium'
+                ELSE 'large' END AS magnitude
+    FROM u
+    """
+
+
+@register("k_cliffs_delta", oracle=_body_cliffs_delta())
+def k_cliffs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cliff's delta between the purchase and view value distributions:
+    delta = (#(x>y) - #(x<y)) / (n1*n2), the NONPARAMETRIC effect size
+    that belongs next to ``k_mann_whitney``'s p-value exactly as
+    ``k_cohens_d`` belongs next to the t/z tests — and unlike d it
+    survives the heavy tails event values have. Computed without any
+    pair enumeration via the midrank identity: delta = (2*U1 - n1*n2) /
+    (n1*n2), where U1 is the tie-averaged Mann-Whitney U (half-tie
+    contributions cancel in U1 - U2). Romano thresholds label the
+    magnitude; the comparisons act on exact rationals, so the label is
+    deterministic.
+
+    Midranks rank the STORED value column (bit-identical in both
+    engines, so raw-double ranking is safe — the rank-on-derived-floats
+    trap does not apply); rank sums are exact .5-rationals in DOUBLE —
+    the governor is the 2^53 mantissa on n*(n+1)/2, exact below ~9e7
+    pooled rows, far above any graded scale (no int64 wrap surface).
+
+    Scale: one global-order rank window (per-range pre-bucketing is the
+    100 TB path, as in the AUC family) + one 1-row reduce.
+    """
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_body_cliffs_delta())
+
+
+# -------------------------------------------------------- Bartlett test ----
+
+
+def _body_bartlett() -> str:
+    """Shared ANSI body (Spark temp-view `events` / DuckDB view)."""
+    return """
+    WITH grp AS (
+      SELECT event_type, CAST(count(*) AS DOUBLE) AS n_i,
+             sum(CAST(value AS DOUBLE)) AS s1,
+             sum(CAST(value AS DOUBLE) * value) AS s2
+      FROM events GROUP BY 1 HAVING count(*) >= 2
+    ), v AS (
+      SELECT event_type, n_i,
+             (s2 - s1 * s1 / n_i) / (n_i - 1) AS var_i
+      FROM grp
+    ), tot AS (
+      SELECT sum(n_i) AS n, CAST(count(*) AS DOUBLE) AS k,
+             sum((n_i - 1) * var_i) AS ss,
+             sum((n_i - 1) * ln(var_i)) AS sum_ln,
+             sum(1.0e0 / (n_i - 1)) AS sum_inv
+      FROM v
+    )
+    SELECT CAST(k - 1 AS BIGINT) AS df,
+           CAST(n AS BIGINT) AS n,
+           round(ss / (n - k), 4) + 0.0 AS pooled_var,
+           round(((n - k) * ln(ss / (n - k)) - sum_ln)
+                 / (1 + (sum_inv - 1.0e0 / (n - k)) / (3 * (k - 1))),
+                 4) + 0.0 AS bartlett_chi2,
+           ((n - k) * ln(ss / (n - k)) - sum_ln)
+             / (1 + (sum_inv - 1.0e0 / (n - k)) / (3 * (k - 1)))
+             > 9.487729036781154e0 AS reject_equal_var_5pct
+    FROM tot
+    """
+
+
+@register("k_bartlett_test", oracle=_body_bartlett())
+def k_bartlett_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bartlett's test for variance homogeneity across the five event
+    types: chi2 = [(N-k) ln s_p^2 - sum (n_i-1) ln s_i^2] / C with the
+    standard correction C — the PARAMETRIC power-optimal companion to
+    ``k_brown_forsythe`` (which trades power for tail robustness); when
+    the two disagree, the tails are the story. Reject flag vs the
+    chi^2(4) 5% critical value 9.4877.
+
+    Group variances come from the explicit Sigma-formula in ONE shared
+    text (not the engines' var_samp internals, which may accumulate
+    differently); power sums are in DOUBLE — no int64 wrap surface. The
+    ln calls are the libm exposure class, absorbed by 4dp rounding; the
+    reject boolean compares the UNROUNDED statistic far from the
+    critical value on any non-degenerate corpus.
+
+    Scale: one map-side-combined moment pass; the 5-row spine does the
+    rest.
+    """
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_body_bartlett())
+
+
+# ---------------------------------------------------- odds ratio + CI ----
+
+
+def _body_odds_ratio() -> str:
+    """Shared ANSI body (Spark temp-view `events` / DuckDB view)."""
+    return """
+    WITH users AS (
+      SELECT user_id % 2 AS arm,
+             max(CASE WHEN event_type = 'purchase' AND value > 200
+                      THEN 1 ELSE 0 END) AS converted
+      FROM events GROUP BY user_id
+    ), cells AS (
+      SELECT
+        CAST(sum(CASE WHEN arm = 1 AND converted = 1 THEN 1 ELSE 0 END)
+             AS DOUBLE) AS a,
+        CAST(sum(CASE WHEN arm = 1 AND converted = 0 THEN 1 ELSE 0 END)
+             AS DOUBLE) AS b,
+        CAST(sum(CASE WHEN arm = 0 AND converted = 1 THEN 1 ELSE 0 END)
+             AS DOUBLE) AS c,
+        CAST(sum(CASE WHEN arm = 0 AND converted = 0 THEN 1 ELSE 0 END)
+             AS DOUBLE) AS d
+      FROM users
+    ), adj AS (
+      -- Haldane-Anscombe +1/2 when any cell is empty, both engines
+      SELECT
+        a + CASE WHEN a * b * c * d = 0 THEN 0.5e0 ELSE 0 END AS a,
+        b + CASE WHEN a * b * c * d = 0 THEN 0.5e0 ELSE 0 END AS b,
+        c + CASE WHEN a * b * c * d = 0 THEN 0.5e0 ELSE 0 END AS c,
+        d + CASE WHEN a * b * c * d = 0 THEN 0.5e0 ELSE 0 END AS d,
+        a AS a0, b AS b0, c AS c0, d AS d0
+      FROM cells
+    )
+    SELECT CAST(a0 AS BIGINT) AS treated_conv,
+           CAST(b0 AS BIGINT) AS treated_no,
+           CAST(c0 AS BIGINT) AS control_conv,
+           CAST(d0 AS BIGINT) AS control_no,
+           round(a * d / (b * c), 4) + 0.0 AS odds_ratio,
+           round(exp(ln(a * d / (b * c))
+                     - 1.959963984540054e0
+                       * sqrt(1/a + 1/b + 1/c + 1/d)), 4) + 0.0 AS ci95_lo,
+           round(exp(ln(a * d / (b * c))
+                     + 1.959963984540054e0
+                       * sqrt(1/a + 1/b + 1/c + 1/d)), 4) + 0.0 AS ci95_hi
+    FROM adj
+    """
+
+
+@register("k_odds_ratio_ci", oracle=_body_odds_ratio())
+def k_odds_ratio_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Odds ratio of the user-parity conversion split with the Woolf
+    log-normal 95% CI (exp(ln OR +- 1.96 * sqrt(1/a+1/b+1/c+1/d))) — the
+    effect-size-with-uncertainty readout the k_ab_ztest/k_ab_bayes panel
+    lacks (z says "different", Bayes says "probably better", OR + CI
+    says HOW MUCH with error bars, and is the measure meta-analyses
+    pool). Haldane-Anscombe +0.5 applies to all cells iff any cell is
+    empty — spelled once in the shared text, so both engines adjust
+    identically.
+
+    The corpus collapses to a 4-cell table of exact integer user counts
+    before any float; exp/ln are the libm exposure class, absorbed by
+    4dp rounding.
+
+    Scale: one distinct-user reduce (the k_ab_ztest shuffle), then
+    constant-size arithmetic.
+    """
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_body_odds_ratio())
+
+
+# ------------------------------------------- Gumbel block maxima (EVT) ----
+
+
+def _body_gumbel() -> str:
+    """Shared ANSI body (Spark temp-view `events` / DuckDB view)."""
+    return """
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(count(*) AS DOUBLE) AS x
+      FROM events GROUP BY 1
+    ), idx AS (
+      SELECT x, CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t
+      FROM daily
+    ), blocks AS (
+      SELECT CAST(floor((t - 1) / 7) AS BIGINT) AS blk,
+             count(*) AS bn, max(x) AS mx
+      FROM idx GROUP BY 1
+    ), maxima AS (
+      SELECT mx FROM blocks WHERE bn = 7
+    ), mom AS (
+      SELECT CAST(count(*) AS DOUBLE) AS nb,
+             avg(mx) AS m,
+             sqrt((sum(mx * mx) - sum(mx) * sum(mx) / count(*))
+                  / (count(*) - 1)) AS s
+      FROM maxima HAVING count(*) >= 3
+    ), fit AS (
+      SELECT nb, m, s,
+             s * 2.449489742783178e0 / 3.141592653589793e0 AS beta
+      FROM mom
+    )
+    SELECT CAST(nb AS BIGINT) AS n_blocks,
+           round(m, 4) + 0.0 AS block_max_mean,
+           round(m - 0.5772156649015329e0 * beta, 4) + 0.0 AS gumbel_mu,
+           round(beta, 4) + 0.0 AS gumbel_beta,
+           round(m - 0.5772156649015329e0 * beta
+                 - beta * ln(-ln(0.99e0)), 4) + 0.0 AS return_level_100
+    FROM fit
+    """
+
+
+@register("k_gumbel_block_maxima", oracle=_body_gumbel())
+def k_gumbel_block_maxima(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extreme-value sizing of daily load: weekly block maxima of the
+    daily event-count spine, Gumbel(mu, beta) fitted by the method of
+    moments (beta = s*sqrt(6)/pi, mu = m - gamma*beta with
+    Euler-Mascheroni gamma), and the 100-block return level
+    x_0.99 = mu - beta*ln(-ln(0.99)) — "the weekly peak exceeded once
+    per ~2 years", which is what capacity head-room is provisioned
+    against. The tail-risk companion to the SPC family: control charts
+    flag today's anomaly, EVT prices the once-a-quarter one.
+
+    sqrt(6) and pi are spelled as exact DOUBLE literals in the ONE
+    shared text (no libm constant lookup); ln is the usual exposure
+    class under 4dp rounding. Block maxima are exact integers and
+    their power sums accumulate in DOUBLE (no int64 wrap surface);
+    HAVING nb >= 3 fences degenerate fits.
+
+    Scale: one corpus shuffle to the day spine; blocks, moments and
+    the fit are calendar-sized.
+    """
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_body_gumbel())
+
+
+# ----------------------------------------------------- Theil inequality ----
+
+
+def _body_theil() -> str:
+    """Shared ANSI body (Spark temp-view `events` / DuckDB view)."""
+    return """
+    WITH pos AS (
+      SELECT event_type, CAST(value AS DOUBLE) AS v
+      FROM events WHERE value > 0
+    ), g AS (
+      SELECT event_type, CAST(count(*) AS DOUBLE) AS n_g,
+             sum(v) AS s_g, sum(v * ln(v)) AS svln
+      FROM pos GROUP BY 1
+    ), terms AS (
+      -- totals as unpartitioned window sums over the 5-row spine keep
+      -- the corpus-consuming CTE single-referenced: Spark inlines
+      -- multi-referenced CTEs, so a separate totals aggregate would
+      -- re-scan the corpus per reference
+      SELECT event_type, n_g, s_g, svln,
+             sum(n_g) OVER () AS n, sum(s_g) OVER () AS s,
+             sum(s_g) OVER () / sum(n_g) OVER () AS mu,
+             s_g / n_g AS mu_g
+      FROM g
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n_rows,
+           round(sum(svln / (n * (s / n)))
+                 - ln(max(s) / max(n)), 4) + 0.0 AS theil_total,
+           round(sum((s_g / s) * ln(mu_g / mu)), 4) + 0.0 AS theil_between,
+           round(sum((s_g / s) * (svln / s_g - ln(mu_g)))
+                 , 4) + 0.0 AS theil_within
+    FROM terms
+    """
+
+
+@register("k_theil_index", oracle=_body_theil())
+def k_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T inequality index of event value with its exact
+    between/within decomposition over event types: T = (1/N) sum
+    (x/mu) ln(x/mu) = T_between + T_within — HOW concentrated is value
+    mass, and is the concentration explained by the type mix (between)
+    or by inequality inside each type (within)? The decomposable
+    complement to ``k_gini_sources`` (Gini does not decompose additively;
+    Theil is the index a data-mix audit can attribute). The additive
+    identity is pinned by test.
+
+    All terms reduce to three grouped sums (n, sum v, sum v ln v) — ONE
+    corpus pass with map-side partials, then 5-row spine algebra; sums
+    accumulate in DOUBLE (no int64 wrap surface). ln is the libm
+    exposure class under 4dp rounding. value > 0 fences the log domain
+    (this corpus is strictly positive; zero-heavy corpora shift first).
+
+    Scale: one shuffle, dimension-sized everything after.
+    """
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_body_theil())
+
+
+# -------------------------------------------------- Mood's median test ----
+
+
+def _body_mood(median_fn: str) -> str:
+    return f"""
+    WITH med AS (
+      SELECT round({median_fn}, 6) AS gm FROM events
+    ), cls AS (
+      SELECT e.event_type,
+             CASE WHEN e.value > m.gm THEN 1 ELSE 0 END AS above
+      FROM events e CROSS JOIN med m
+      WHERE e.value <> m.gm
+    ), grp AS (
+      SELECT event_type, CAST(count(*) AS DOUBLE) AS n_i,
+             CAST(sum(above) AS DOUBLE) AS a_i
+      FROM cls GROUP BY 1
+    ), aug AS (
+      -- totals as unpartitioned window sums over the 5-row spine keep
+      -- grp single-referenced (Spark inlines multi-referenced CTEs and
+      -- would re-scan the corpus per reference)
+      SELECT event_type, n_i, a_i,
+             sum(n_i) OVER () AS n, sum(a_i) OVER () AS a,
+             count(*) OVER () AS k
+      FROM grp
+    )
+    SELECT CAST(max(k) - 1 AS BIGINT) AS df,
+           CAST(max(n) AS BIGINT) AS n_used,
+           round(sum(
+             (a_i - n_i * a / n) * (a_i - n_i * a / n)
+               / (n_i * a / n)
+             + ((n_i - a_i) - n_i * (n - a) / n)
+               * ((n_i - a_i) - n_i * (n - a) / n)
+               / (n_i * (n - a) / n)
+           ), 4) + 0.0 AS mood_chi2,
+           sum(
+             (a_i - n_i * a / n) * (a_i - n_i * a / n)
+               / (n_i * a / n)
+             + ((n_i - a_i) - n_i * (n - a) / n)
+               * ((n_i - a_i) - n_i * (n - a) / n)
+               / (n_i * (n - a) / n)
+           ) > 9.487729036781154e0 AS reject_equal_medians_5pct
+    FROM aug
+    """
+
+
+@register(
+    "k_mood_median",
+    oracle=_body_mood("quantile_cont(value, 0.5)"),
+)
+def k_mood_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mood's median test across event types: classify every value
+    against the 6dp-pinned GRAND median (ties to the median excluded,
+    the standard treatment), then the k x 2 Pearson chi^2 on the
+    above/below table vs chi^2(k-1). The coarsest — and most outlier-
+    immune — of the k-sample location tests: ``k_kruskal_wallis`` uses
+    full rank information, this uses one bit per row, so when KW fires
+    and Mood doesn't, the effect lives in the tails, not the center.
+
+    The grand median is the one engine-split surface (Spark
+    ``percentile`` / DuckDB ``quantile_cont``, both linear
+    interpolation — the k_brown_forsythe pattern) and is pinned at 6dp
+    before the comparison so both engines classify identically. After
+    that everything is exact integer counts; expecteds are exact
+    rationals in DOUBLE.
+
+    Scale: one percentile aggregate, one broadcast scalar join into a
+    scan-stage classify, one 5-row chi^2 reduce.
+    """
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_body_mood("percentile(value, 0.5)"))
+
+
+# --------------------------------------------- Benjamini-Yekutieli FDR ----
+
+
+def _body_fdr_by(hash_to_long: str) -> str:
+    return _perm_pvals_prefix(hash_to_long) + f""", ranked0 AS (
+      SELECT event_type, p_num,
+             row_number() OVER (ORDER BY p_num, event_type) AS r,
+             count(*) OVER () AS m
+      FROM pvals
+    ), ranked AS (
+      SELECT event_type, p_num, r, m,
+             sum(1.0e0 / r) OVER () AS c_m
+      FROM ranked0
+    ), bh_cut AS (
+      SELECT coalesce(max(CASE WHEN 20 * p_num * m <= r * {_B + 1}
+                                THEN r END), 0) AS bh_r
+      FROM ranked
+    ), by_cut AS (
+      SELECT coalesce(max(CASE WHEN 20 * p_num * m * c_m <= r * {_B + 1}
+                                THEN r END), 0) AS by_r
+      FROM ranked
+    )
+    SELECT rk.event_type,
+           CAST(rk.p_num AS DOUBLE) / {_B + 1} AS p_value,
+           CAST(rk.r AS BIGINT) AS rank,
+           (rk.r <= bh.bh_r) AS bh_reject,
+           (rk.r <= by.by_r) AS by_reject
+    FROM ranked rk CROSS JOIN bh_cut bh CROSS JOIN by_cut by
+    """
+
+
+@register(
+    "k_fdr_by",
+    oracle=_body_fdr_by(_DUCK_HASH).replace(
+        "(SELECT explode(sequence(0, 199)) AS b)",
+        "(SELECT b FROM range(200) t(b))",
+    ),
+)
+def k_fdr_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Yekutieli FDR control over the same exact-permutation
+    p-value family as ``k_fdr_bh``, with the harmonic correction
+    c(m) = sum 1/i that stays valid under ARBITRARY dependence between
+    the hypotheses (the per-type tests here share users, so BH's
+    independence assumption is exactly what a careful reviewer
+    questions). Emits the per-type p-value with BOTH step-up decisions
+    side by side: everything BY keeps survives dependence; the
+    BH-only band is what's at stake.
+
+    The BY threshold comparison is 20*p_num*m*c_m <= r*(B+1) with c_m
+    the 5-term harmonic sum — BH's pure-integer comparison gains one
+    float factor, and no (p_num, r) pair can land exactly ON the
+    boundary (p_num*685/3 = 201*r has no solution in range, so the ulp
+    order of the harmonic sum cannot flip the decision). Uses the
+    session-memoized ``_perm_pvals_df`` (no new corpus work).
+
+    Scale: m-row spine algebra over the shared permutation memo.
+    """
+    pv = _perm_pvals_df(spark, sf_dir)
+    w_all = Window.partitionBy()
+    ranked = pv.select(
+        "event_type",
+        "p_num",
+        F.row_number().over(Window.orderBy("p_num", "event_type")).alias("r"),
+        F.count(F.lit(1)).over(w_all).alias("m"),
+        F.sum(
+            1.0
+            / F.row_number().over(Window.orderBy("p_num", "event_type"))
+        )
+        .over(w_all)
+        .alias("c_m"),
+    )
+    bh_cut = ranked.agg(
+        F.coalesce(
+            F.max(
+                F.when(
+                    20 * F.col("p_num") * F.col("m")
+                    <= F.col("r") * (_B + 1),
+                    F.col("r"),
+                )
+            ),
+            F.lit(0),
+        ).alias("bh_r")
+    )
+    by_cut = ranked.agg(
+        F.coalesce(
+            F.max(
+                F.when(
+                    20 * F.col("p_num") * F.col("m") * F.col("c_m")
+                    <= F.col("r") * (_B + 1),
+                    F.col("r"),
+                )
+            ),
+            F.lit(0),
+        ).alias("by_r")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(bh_cut))
+        .crossJoin(F.broadcast(by_cut))
+        .select(
+            "event_type",
+            (F.col("p_num") / F.lit(_B + 1)).alias("p_value"),
+            F.col("r").cast("long").alias("rank"),
+            (F.col("r") <= F.col("bh_r")).alias("bh_reject"),
+            (F.col("r") <= F.col("by_r")).alias("by_reject"),
+        )
+    )
+
+
+# ------------------------------------------- Bhattacharyya coefficient ----
+
+
+def _body_bhattacharyya() -> str:
+    """Shared ANSI body (Spark temp-view `events` / DuckDB view)."""
+    return """
+    WITH pool AS (
+      SELECT event_type, CAST(value AS DOUBLE) AS v
+      FROM events WHERE event_type IN ('purchase', 'view')
+    ), bounds AS (
+      SELECT round(min(v), 6) AS lo, round(max(v), 6) AS hi FROM pool
+    ), binned AS (
+      SELECT p.event_type,
+             least(CAST(floor((p.v - b.lo) / (b.hi - b.lo) * 20)
+                        AS BIGINT), 19) AS bin
+      FROM pool p CROSS JOIN bounds b
+    ), hist AS (
+      SELECT bin,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS DOUBLE) AS c1,
+             CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                  AS DOUBLE) AS c2
+      FROM binned GROUP BY 1
+    ), aug AS (
+      -- totals as unpartitioned window sums over the 20-row histogram
+      -- keep it single-referenced (Spark inlines multi-referenced CTEs
+      -- and would re-scan the corpus per reference)
+      SELECT bin, c1, c2,
+             sum(c1) OVER () AS n1, sum(c2) OVER () AS n2
+      FROM hist
+    )
+    SELECT CAST(max(n1) AS BIGINT) AS n_purchase,
+           CAST(max(n2) AS BIGINT) AS n_view,
+           CAST(count(*) AS BIGINT) AS n_bins_used,
+           round(sum(sqrt(c1 / n1 * c2 / n2)), 4) + 0.0
+             AS bhattacharyya_coef,
+           round(-ln(sum(sqrt(c1 / n1 * c2 / n2))), 4) + 0.0
+             AS bhattacharyya_dist,
+           round(sqrt(1 - sum(sqrt(c1 / n1 * c2 / n2))), 4) + 0.0
+             AS hellinger_dist
+    FROM aug
+    """
+
+
+@register("k_bhattacharyya_hists", oracle=_body_bhattacharyya())
+def k_bhattacharyya_hists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bhattacharyya coefficient / distance and Hellinger distance
+    between the purchase and view value distributions over a shared
+    20-bin equal-width histogram: BC = sum sqrt(p_i q_i). The bounded,
+    symmetric distribution-overlap metrics that complete the drift
+    panel — ``k_drift_psi`` explodes on empty bins (its log-ratio is
+    undefined at 0) exactly where BC/Hellinger degrade gracefully
+    (a zero bin just contributes 0), so this pair is what a
+    noisy-corpus drift monitor actually alerts on.
+
+    Bin edges derive from the 6dp-pinned pooled min/max in ONE shared
+    text; membership is identical floor arithmetic on bit-identical
+    stored doubles in both engines, and the top edge folds into bin 19
+    via least(). Counts are exact integers; sqrt is correctly rounded;
+    ln is the one libm surface, under 4dp rounding.
+
+    Scale: one scan with a broadcast 1-row bounds join, one 20-row
+    histogram reduce — the corpus crosses one shuffle.
+    """
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_body_bhattacharyya())

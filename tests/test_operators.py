@@ -4953,3 +4953,205 @@ def test_tvf_range_spine_is_gap_free_and_mass_preserving(spark, sf_dir):
     assert (days[-1] - days[0]).days + 1 == len(days)
     total = load(spark, sf_dir, "events").count()
     assert sum(r.n_events for r in rows) == total
+
+
+def test_cliffs_delta_matches_bruteforce_pairs(spark, sf_dir):
+    """Delta recomputed by literal pair counting over the two samples
+    must match the midrank identity exactly at the 4dp grid, and the
+    Romano label must agree."""
+    vals = {
+        r.event_type: sorted(r.vs)
+        for r in load(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("purchase", "view"))
+        .groupBy("event_type")
+        .agg(F.collect_list("value").alias("vs"))
+        .collect()
+    }
+    import bisect
+
+    xs, ys = vals["purchase"], vals["view"]
+    gt = sum(bisect.bisect_left(ys, x) for x in xs)  # (x > y) pairs
+    lt = sum(len(ys) - bisect.bisect_right(ys, x) for x in xs)  # (x < y)
+    delta = (gt - lt) / (len(xs) * len(ys))
+    r = QUERIES["k_cliffs_delta"](spark, sf_dir).collect()[0]
+    assert (r.n1, r.n2) == (len(xs), len(ys))
+    assert abs(r.cliffs_delta - delta) < 1e-3
+    a = abs(delta)
+    label = (
+        "negligible" if a < 0.147 else "small" if a < 0.33
+        else "medium" if a < 0.474 else "large"
+    )
+    assert r.magnitude == label
+
+
+def test_bartlett_matches_python_recompute(spark, sf_dir):
+    """Bartlett chi2 recomputed from per-group sample variances in
+    plain Python must match at the 4dp grid."""
+    import math
+
+    groups = {
+        r.event_type: r.vs
+        for r in load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.collect_list("value").alias("vs"))
+        .collect()
+    }
+    k = len(groups)
+    n = sum(len(v) for v in groups.values())
+    var = {}
+    for et, v in groups.items():
+        mu = sum(v) / len(v)
+        var[et] = sum((x - mu) ** 2 for x in v) / (len(v) - 1)
+    sp2 = sum((len(v) - 1) * var[et] for et, v in groups.items()) / (n - k)
+    m_stat = (n - k) * math.log(sp2) - sum(
+        (len(v) - 1) * math.log(var[et]) for et, v in groups.items()
+    )
+    c = 1 + (
+        sum(1 / (len(v) - 1) for v in groups.values()) - 1 / (n - k)
+    ) / (3 * (k - 1))
+    r = QUERIES["k_bartlett_test"](spark, sf_dir).collect()[0]
+    assert r.df == k - 1 and r.n == n
+    assert abs(r.bartlett_chi2 - m_stat / c) < max(1e-3, m_stat / c * 1e-5)
+
+
+def test_odds_ratio_matches_python_2x2(spark, sf_dir):
+    """OR and the Woolf CI recomputed from the user-level 2x2 table."""
+    import math
+
+    users = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("value") > 200), 1
+                ).otherwise(0)
+            ).alias("conv")
+        )
+        .collect()
+    )
+    a = sum(1 for u in users if u.user_id % 2 == 1 and u.conv)
+    b = sum(1 for u in users if u.user_id % 2 == 1 and not u.conv)
+    c = sum(1 for u in users if u.user_id % 2 == 0 and u.conv)
+    d = sum(1 for u in users if u.user_id % 2 == 0 and not u.conv)
+    r = QUERIES["k_odds_ratio_ci"](spark, sf_dir).collect()[0]
+    assert (r.treated_conv, r.treated_no, r.control_conv, r.control_no) == (a, b, c, d)
+    if min(a, b, c, d) == 0:
+        a, b, c, d = a + 0.5, b + 0.5, c + 0.5, d + 0.5
+    orr = a * d / (b * c)
+    se = math.sqrt(1 / a + 1 / b + 1 / c + 1 / d)
+    assert abs(r.odds_ratio - orr) < 1e-3
+    assert abs(r.ci95_lo - orr * math.exp(-1.959963984540054 * se)) < 1e-3
+    assert abs(r.ci95_hi - orr * math.exp(1.959963984540054 * se)) < 1e-3
+    assert r.ci95_lo <= r.odds_ratio <= r.ci95_hi
+
+
+def test_gumbel_fit_matches_python_moments(spark, sf_dir):
+    """mu/beta/return level recomputed from the weekly block maxima."""
+    import math
+
+    xs = _daily_counts(spark, sf_dir)
+    maxima = [
+        max(xs[b * 7 : (b + 1) * 7])
+        for b in range(len(xs) // 7)
+    ]
+    nb = len(maxima)
+    m = sum(maxima) / nb
+    s = math.sqrt(sum((x - m) ** 2 for x in maxima) / (nb - 1))
+    beta = s * math.sqrt(6) / math.pi
+    mu = m - 0.5772156649015329 * beta
+    r = QUERIES["k_gumbel_block_maxima"](spark, sf_dir).collect()[0]
+    assert r.n_blocks == nb
+    assert abs(r.gumbel_mu - mu) < 1e-3
+    assert abs(r.gumbel_beta - beta) < 1e-3
+    assert abs(r.return_level_100 - (mu - beta * math.log(-math.log(0.99)))) < 1e-3
+    assert r.return_level_100 > max(maxima) - 3 * beta  # sits in the tail
+
+
+def test_theil_decomposition_is_additive(spark, sf_dir):
+    """T_total == T_between + T_within at the rounded grid, all parts
+    non-negative, and T_total matches a plain-Python recompute."""
+    import math
+
+    vals = [
+        (r.event_type, r.value)
+        for r in load(spark, sf_dir, "events")
+        .select("event_type", "value")
+        .collect()
+        if r.value > 0
+    ]
+    n = len(vals)
+    mu = sum(v for _, v in vals) / n
+    t_total = sum((v / mu) * math.log(v / mu) for _, v in vals) / n
+    r = QUERIES["k_theil_index"](spark, sf_dir).collect()[0]
+    assert r.n_rows == n
+    assert abs(r.theil_total - t_total) < 1e-3
+    assert abs(r.theil_total - (r.theil_between + r.theil_within)) < 2e-4
+    assert r.theil_between >= 0 and r.theil_within >= 0
+
+
+def test_mood_median_matches_python_recompute(spark, sf_dir):
+    """Above/below classification against the 6dp-pinned grand median
+    and the chi2 recomputed in plain Python."""
+    import numpy as np
+
+    df = (
+        load(spark, sf_dir, "events").select("event_type", "value").toPandas()
+    )
+    gm = round(float(np.percentile(df["value"], 50, method="linear")), 6)
+    df = df[df["value"] != gm]
+    tab = {
+        et: (int((g["value"] > gm).sum()), int((g["value"] <= gm).sum()))
+        for et, g in df.groupby("event_type")
+    }
+    n = sum(a + b for a, b in tab.values())
+    a_tot = sum(a for a, _ in tab.values())
+    chi2 = 0.0
+    for a, b in tab.values():
+        ni = a + b
+        ea, eb = ni * a_tot / n, ni * (n - a_tot) / n
+        chi2 += (a - ea) ** 2 / ea + (b - eb) ** 2 / eb
+    r = QUERIES["k_mood_median"](spark, sf_dir).collect()[0]
+    assert r.df == len(tab) - 1 and r.n_used == n
+    assert abs(r.mood_chi2 - chi2) < 1e-3
+    assert r.reject_equal_medians_5pct == (chi2 > 9.487729036781154)
+
+
+def test_fdr_by_is_never_more_liberal_than_bh(spark, sf_dir):
+    """BY's harmonic correction can only SHRINK the rejection set:
+    by_reject implies bh_reject on every row, and ranks are a
+    permutation of 1..m."""
+    rows = QUERIES["k_fdr_by"](spark, sf_dir).collect()
+    assert sorted(r.rank for r in rows) == list(range(1, len(rows) + 1))
+    for r in rows:
+        assert 0 <= r.p_value <= 1
+        if r.by_reject:
+            assert r.bh_reject
+
+
+def test_bhattacharyya_matches_numpy_hist(spark, sf_dir):
+    """BC recomputed from numpy histograms on the same 6dp-pinned
+    bounds and 20-bin grid; Hellinger and BC bounds hold."""
+    import math
+
+    import numpy as np
+
+    df = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("purchase", "view"))
+        .select("event_type", "value")
+        .toPandas()
+    )
+    lo = round(float(df["value"].min()), 6)
+    hi = round(float(df["value"].max()), 6)
+    bins = np.minimum(
+        np.floor((df["value"].to_numpy() - lo) / (hi - lo) * 20).astype(int), 19
+    )
+    p = np.bincount(bins[df["event_type"] == "purchase"], minlength=20)
+    q = np.bincount(bins[df["event_type"] == "view"], minlength=20)
+    bc = float(np.sqrt(p / p.sum() * q / q.sum()).sum())
+    r = QUERIES["k_bhattacharyya_hists"](spark, sf_dir).collect()[0]
+    assert (r.n_purchase, r.n_view) == (int(p.sum()), int(q.sum()))
+    assert abs(r.bhattacharyya_coef - bc) < 1e-3
+    assert 0 < r.bhattacharyya_coef <= 1
+    assert abs(r.hellinger_dist - math.sqrt(1 - bc)) < 1e-3

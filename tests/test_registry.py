@@ -185,6 +185,8 @@ k_eval_err k_pinball_loss a_source_rest_paged q_identifier_clause
 k_forecast_holt k_forecast_mase k_durbin_watson k_hurst_rs
 k_jarque_bera k_grubbs_test k_anderson_darling k_partial_corr
 k_krippendorff_alpha k_ordinal_assoc q_distinct_on q_tvf_range
+k_cliffs_delta k_bartlett_test k_odds_ratio_ci k_gumbel_block_maxima
+k_theil_index k_mood_median k_fdr_by k_bhattacharyya_hists
 """.split()
 
 
