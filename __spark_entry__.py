@@ -53,6 +53,8 @@ PRIORITY = [
     "q_tvf_range",
     "k_cliffs_delta", "k_bartlett_test", "k_odds_ratio_ci", "k_gumbel_block_maxima",
     "k_theil_index", "k_mood_median", "k_fdr_by", "k_bhattacharyya_hists",
+    "q_semi_anti_sql", "k_ljung_box", "k_dft_periodogram", "k_mutual_info",
+    "k_tail_gpd",
     "k_ab_bayes", "k_spc_rules", "k_graph_components",
     "k_bradley_terry", "a_scan_parquet", "a_scan_prune", "a_scan_filter_pushdown",
     "a_sink_parquet_roundtrip", "a_sink_partitioned", "a_sink_csv_json", "a_sink_orc",

@@ -4422,3 +4422,127 @@ def k_ordinal_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_body_ordinal_assoc())
+
+
+# ---------------------------------------------------- mutual information ----
+
+
+def _body_mutual_info() -> str:
+    """Shared ANSI body (Spark temp-view `events` / DuckDB view)."""
+    return """
+    WITH cell AS (
+      SELECT event_type AS et,
+             CAST(floor(extract(HOUR FROM ts) / 6.0e0) AS BIGINT) AS hb,
+             CAST(count(*) AS DOUBLE) AS c
+      FROM events GROUP BY 1, 2
+    ), aug AS (
+      -- margins as window sums keep the corpus-consuming CTE
+      -- single-referenced (Spark inlines multi-referenced CTEs)
+      SELECT et, hb, c,
+             sum(c) OVER (PARTITION BY et) AS ni,
+             sum(c) OVER (PARTITION BY hb) AS nj,
+             sum(c) OVER () AS n
+      FROM cell
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n_events,
+           CAST(count(*) AS BIGINT) AS n_cells,
+           round(sum(c / n * ln(c * n / (ni * nj))), 4) + 0.0 AS mi_nats,
+           -- sum over ALL cells telescopes to the marginal entropy:
+           -- sum_ij (c_ij/n) ln(n_i/n) = sum_i (n_i/n) ln(n_i/n)
+           round(-sum(c / n * ln(ni / n)), 4) + 0.0 AS h_type,
+           round(-sum(c / n * ln(nj / n)), 4) + 0.0 AS h_hour,
+           round(sum(c / n * ln(c * n / (ni * nj)))
+                 / sqrt(sum(c / n * ln(ni / n))
+                        * sum(c / n * ln(nj / n))),
+                 4) + 0.0 AS nmi_sqrt
+    FROM aug
+    """
+
+
+@register("k_mutual_info", oracle=_body_mutual_info())
+def k_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between event type and time-of-day bucket
+    (hour/6) with both marginal entropies and the sqrt-normalized NMI:
+    MI = sum p_ij ln(p_ij/(p_i q_j)) over the 20-cell grid — the
+    feature-selection functional on the same kind of contingency table
+    ``k_contingency_chi2`` tests (chi^2 answers "dependent at all?",
+    MI answers "how many nats does knowing the hour buy?", and NMI
+    makes it comparable across tables). Marginal entropies come from
+    the telescoping identity sum_ij (c_ij/n) ln(n_i/n) = sum_i
+    (n_i/n) ln(n_i/n) — summed over ALL cells, so no slice-completeness
+    assumption exists; the identity is pinned by test.
+
+    Counts are exact integers; margins are window sums over the 20-row
+    grid (single corpus reference); ln is the libm exposure class under
+    4dp rounding. Power sums accumulate in DOUBLE — no int64 wrap
+    surface.
+
+    Scale: one map-side-combined reduce to the grid; grid-sized algebra
+    after.
+    """
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_body_mutual_info())
+
+
+# ------------------------------------------------ GPD tail fit (POT) ----
+
+
+def _body_tail_gpd(q95_fn: str) -> str:
+    return f"""
+    WITH thr AS (
+      SELECT round({q95_fn}, 6) AS u, count(*) AS n_total FROM events
+    ), exc AS (
+      SELECT CAST(e.value AS DOUBLE) - t.u AS y, t.u, t.n_total
+      FROM events e CROSS JOIN thr t
+      WHERE e.value > t.u
+    ), mom AS (
+      SELECT CAST(count(*) AS DOUBLE) AS ne,
+             max(u) AS u, CAST(max(n_total) AS DOUBLE) AS n_total,
+             avg(y) AS m,
+             (sum(y * y) - sum(y) * sum(y) / count(*)) / (count(*) - 1)
+               AS s2
+      FROM exc HAVING count(*) >= 10
+    ), fit AS (
+      SELECT ne, u, n_total, m, s2,
+             0.5e0 * (1 - m * m / s2) AS xi,
+             0.5e0 * m * (m * m / s2 + 1) AS beta
+      FROM mom
+    )
+    SELECT CAST(ne AS BIGINT) AS n_exceedances,
+           u + 0.0 AS threshold_u,
+           round(xi, 4) + 0.0 AS gpd_xi,
+           round(beta, 4) + 0.0 AS gpd_beta,
+           round(u + beta / xi
+                 * (pow(0.001e0 * n_total / ne, -xi) - 1), 4) + 0.0
+             AS var_999
+    FROM fit
+    """
+
+
+@register(
+    "k_tail_gpd",
+    oracle=_body_tail_gpd("quantile_cont(value, 0.95)"),
+)
+def k_tail_gpd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peaks-over-threshold tail fit: exceedances of event value over
+    the 6dp-pinned 95th percentile, GPD(xi, beta) by the method of
+    moments (xi = (1 - m^2/s^2)/2, beta = m(m^2/s^2 + 1)/2), and the
+    POT 99.9% quantile x_p = u + beta/xi * ((p_exceed_target/zeta_u)^-xi
+    - 1). The OTHER extreme-value view next to
+    ``k_gumbel_block_maxima``: block maxima ask "how bad is the worst
+    week", POT asks "how bad is the worst 0.1% of VALUES" — and xi's
+    sign is the heavy-tail verdict that decides whether mean-based
+    capacity math is valid at all (xi > 0 = power-law-ish tail, pairs
+    with ``k_tail_hill``'s index).
+
+    The threshold is the one engine-split surface (Spark ``percentile``
+    / DuckDB ``quantile_cont``, the brown_forsythe pattern), pinned at
+    6dp before the strict > comparison. Exceedance moments accumulate
+    in DOUBLE (no int64 wrap surface); pow is the libm exposure class
+    under 4dp rounding; HAVING ne >= 10 fences degenerate fits.
+
+    Scale: one percentile pass, one broadcast-threshold filter scan,
+    one moment reduce — the corpus never shuffles on rows.
+    """
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_body_tail_gpd("percentile(value, 0.95)"))

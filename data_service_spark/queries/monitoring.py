@@ -1533,3 +1533,136 @@ def k_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_body_hurst())
+
+
+# ------------------------------------------------------- Ljung-Box Q ----
+
+
+def _body_ljung_box() -> str:
+    """Shared ANSI body (Spark temp-view `events` / DuckDB view)."""
+    return """
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(count(*) AS DOUBLE) AS x
+      FROM events GROUP BY 1
+    ), idx AS (
+      SELECT x, CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t
+      FROM daily
+    ), mu AS (
+      SELECT x, t,
+             avg(x) OVER () AS m,
+             CAST(count(*) OVER () AS DOUBLE) AS n
+      FROM idx
+    ), d AS (
+      SELECT t, x - m AS e, n FROM mu
+    ), acf AS (
+      SELECT k.k, max(a.n) AS n,
+             sum(a.e * b.e) / max(den.s0) AS r_k
+      FROM (SELECT 1 AS k UNION ALL SELECT 2 UNION ALL SELECT 3
+            UNION ALL SELECT 4 UNION ALL SELECT 5) k
+      JOIN d a ON 1 = 1
+      JOIN d b ON b.t = a.t + k.k
+      CROSS JOIN (SELECT sum(e * e) AS s0 FROM d) den
+      GROUP BY k.k
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n_days,
+           CAST(count(*) AS BIGINT) AS n_lags,
+           round(max(n) * (max(n) + 2)
+                 * sum(r_k * r_k / (n - k)), 4) + 0.0 AS ljung_box_q,
+           max(n) * (max(n) + 2) * sum(r_k * r_k / (n - k))
+             > 11.070497693516351e0 AS reject_white_noise_5pct
+    FROM acf
+    """
+
+
+@register("k_ljung_box", oracle=_body_ljung_box())
+def k_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau test on the daily event-count spine:
+    Q = n(n+2) * sum_{k=1..5} r_k^2/(n-k) vs chi^2(5) — is the series
+    white noise AT ALL, across all five lags jointly? The gatekeeper in
+    front of the per-lag views: ``k_autocorr_daily`` reads individual
+    r_k, ``k_pacf_closed`` picks an AR order, Ljung-Box says whether
+    there is any autocorrelation worth modeling (and is the standard
+    residual-whiteness check after a forecast fit).
+
+    ACF numerators come from shifted self-joins on the integer day
+    index (the k_pacf_closed pattern: the 5-lag spine is tiny, the
+    joins are index-equi); the demeaned products are floats from
+    exact-integer counts minus an exact-rational mean, summed over a
+    ~30-row spine — 4dp rounding absorbs partial-order ulps, and the
+    reject boolean compares far from the critical value on any
+    non-degenerate corpus (power sums accumulate in DOUBLE, no int64
+    wrap surface).
+
+    Scale: one corpus shuffle to the day spine; everything after is
+    calendar-sized.
+    """
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_body_ljung_box())
+
+
+# ---------------------------------------------------- DFT periodogram ----
+
+
+def _body_periodogram() -> str:
+    """Shared ANSI body (Spark temp-view `events` / DuckDB view)."""
+    return """
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(count(*) AS DOUBLE) AS x
+      FROM events GROUP BY 1
+    ), idx AS (
+      SELECT x, CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t
+      FROM daily
+    ), mu0 AS (
+      SELECT x, t, avg(x) OVER () AS m,
+             CAST(count(*) OVER () AS DOUBLE) AS n
+      FROM idx
+    ), mu AS (
+      -- second layer: DuckDB rejects nested window calls
+      SELECT x, t, m, n,
+             sum((x - m) * (x - m)) OVER () AS ss
+      FROM mu0
+    ), harm AS (
+      SELECT p.p, max(mu.n) AS n, max(mu.ss) AS ss,
+             sum((x - m) * cos(6.283185307179586e0 * t / p.p)) AS c,
+             sum((x - m) * sin(6.283185307179586e0 * t / p.p)) AS s
+      FROM (SELECT 2 AS p UNION ALL SELECT 3 UNION ALL SELECT 4
+            UNION ALL SELECT 5 UNION ALL SELECT 6 UNION ALL SELECT 7
+            UNION ALL SELECT 8 UNION ALL SELECT 9 UNION ALL SELECT 10) p
+      JOIN mu ON 1 = 1
+      GROUP BY p.p
+    ), frac AS (
+      SELECT p, CAST(n AS BIGINT) AS n_days,
+             2 * (c * c + s * s) / (n * ss) AS var_frac
+      FROM harm
+    )
+    SELECT p AS period_days, n_days,
+           round(var_frac, 4) + 0.0 AS var_frac,
+           (rank() OVER (ORDER BY round(var_frac, 6) DESC, p) = 1)
+             AS is_dominant
+    FROM frac
+    """
+
+
+@register("k_dft_periodogram", oracle=_body_periodogram())
+def k_dft_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-frequency DFT periodogram of the daily event-count spine
+    at candidate periods 2..10 days: variance fraction 2(C^2+S^2)/(n*SS)
+    per period (C, S = demeaned cos/sin dot products), dominant period
+    flagged. The frequency-domain seasonality DETECTOR in front of the
+    period-7 assumers (``k_seasonal_dow``, ``k_forecast_snaive``,
+    ``k_seasonal_strength`` all hard-code weekly): this key is what
+    says 7 is the right number — or that the cadence changed.
+
+    cos/sin on identical double inputs are the libm exposure class
+    (4dp-rounded output); the dominance rank acts on 6dp-rounded
+    fractions with the period as tiebreak, so the flag is
+    deterministic. Demeaned power sums accumulate in DOUBLE (no int64
+    wrap surface).
+
+    Scale: one corpus shuffle to the day spine; the 9-period harmonic
+    probe is a constant-size broadcast join over the spine.
+    """
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_body_periodogram())

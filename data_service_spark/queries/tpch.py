@@ -1272,3 +1272,45 @@ def q_tvf_range(spark: "SparkSession", sf_dir: str) -> "DataFrame":
         SELECT s.day, CAST(coalesce(d.n, 0) AS BIGINT) AS n_events
         FROM spine s LEFT JOIN daily d USING (day)
     """)
+
+
+@register(
+    "q_semi_anti_sql",
+    oracle="""
+    SELECT 'semi' AS mode, s_suppkey, s_name
+    FROM supplier SEMI JOIN lineitem
+      ON s_suppkey = l_suppkey AND l_shipdate >= TIMESTAMP '1997-06-01'
+    UNION ALL
+    SELECT 'anti' AS mode, s_suppkey, s_name
+    FROM supplier ANTI JOIN lineitem
+      ON s_suppkey = l_suppkey AND l_shipdate >= TIMESTAMP '1997-06-01'
+    """,
+)
+def q_semi_anti_sql(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """SEMI / ANTI join SQL dialect surface: Spark spells them LEFT
+    SEMI JOIN / LEFT ANTI JOIN, DuckDB SEMI JOIN / ANTI JOIN — the
+    existence-join syntax pair next to the DataFrame-API twins
+    (c_join_semi / c_join_anti, which go through ``.join(how=...)``).
+    Suppliers with (semi) and without (anti) a shipment since mid-1997,
+    tagged and unioned so one result table witnesses both planners'
+    existence-join paths; the two branches partition the supplier
+    dimension exactly (pinned by test).
+
+    Scale: both branches are one broadcast/hash semi-join each — the
+    probe side never fans out (no row multiplication by match count),
+    which is the entire point of semi joins at 100 TB.
+    """
+    return _sql(
+        spark,
+        sf_dir,
+        ["supplier", "lineitem"],
+        """
+        SELECT 'semi' AS mode, s_suppkey, s_name
+        FROM supplier LEFT SEMI JOIN lineitem
+          ON s_suppkey = l_suppkey AND l_shipdate >= TIMESTAMP '1997-06-01'
+        UNION ALL
+        SELECT 'anti' AS mode, s_suppkey, s_name
+        FROM supplier LEFT ANTI JOIN lineitem
+          ON s_suppkey = l_suppkey AND l_shipdate >= TIMESTAMP '1997-06-01'
+        """,
+    )

@@ -5155,3 +5155,121 @@ def test_bhattacharyya_matches_numpy_hist(spark, sf_dir):
     assert abs(r.bhattacharyya_coef - bc) < 1e-3
     assert 0 < r.bhattacharyya_coef <= 1
     assert abs(r.hellinger_dist - math.sqrt(1 - bc)) < 1e-3
+
+
+def test_semi_anti_partition_supplier_dimension(spark, sf_dir):
+    """The semi and anti branches must partition suppliers exactly:
+    disjoint, union = dimension, semi side cross-checked against a
+    distinct-key probe."""
+    rows = QUERIES["q_semi_anti_sql"](spark, sf_dir).collect()
+    semi = {r.s_suppkey for r in rows if r.mode == "semi"}
+    anti = {r.s_suppkey for r in rows if r.mode == "anti"}
+    assert semi.isdisjoint(anti)
+    all_sup = {
+        r.s_suppkey for r in load(spark, sf_dir, "supplier").select("s_suppkey").collect()
+    }
+    assert semi | anti == all_sup
+    probe = {
+        r.l_suppkey
+        for r in load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") >= "1997-06-01")
+        .select("l_suppkey")
+        .distinct()
+        .collect()
+    }
+    assert semi == probe & all_sup
+
+
+def test_ljung_box_matches_python_recompute(spark, sf_dir):
+    """Q recomputed from the ACF definition in plain Python."""
+    xs = _daily_counts(spark, sf_dir)
+    n = len(xs)
+    m = sum(xs) / n
+    e = [x - m for x in xs]
+    s0 = sum(v * v for v in e)
+    q = 0.0
+    for k in range(1, 6):
+        rk = sum(e[i] * e[i + k] for i in range(n - k)) / s0
+        q += rk * rk / (n - k)
+    q *= n * (n + 2)
+    r = QUERIES["k_ljung_box"](spark, sf_dir).collect()[0]
+    assert r.n_days == n and r.n_lags == 5
+    assert abs(r.ljung_box_q - q) < 1e-3
+    assert r.reject_white_noise_5pct == (q > 11.070497693516351)
+
+
+def test_periodogram_matches_python_and_flags_unique_dominant(spark, sf_dir):
+    """Variance fractions recomputed with math.cos/sin; exactly one
+    dominant row."""
+    import math
+
+    xs = _daily_counts(spark, sf_dir)
+    n = len(xs)
+    m = sum(xs) / n
+    ss = sum((x - m) ** 2 for x in xs)
+    rows = {r.period_days: r for r in QUERIES["k_dft_periodogram"](spark, sf_dir).collect()}
+    assert set(rows) == set(range(2, 11))
+    assert sum(1 for r in rows.values() if r.is_dominant) == 1
+    for p, r in rows.items():
+        c = sum((xs[t - 1] - m) * math.cos(2 * math.pi * t / p) for t in range(1, n + 1))
+        s = sum((xs[t - 1] - m) * math.sin(2 * math.pi * t / p) for t in range(1, n + 1))
+        frac = 2 * (c * c + s * s) / (n * ss)
+        assert abs(r.var_frac - frac) < 1e-3, p
+
+
+def test_mutual_info_identities(spark, sf_dir):
+    """MI recomputed from the contingency table; the telescoping
+    marginal-entropy identity; 0 <= MI <= min(H); NMI consistent."""
+    import math
+
+    cells = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type", F.expr("CAST(floor(extract(HOUR FROM ts) / 6.0e0) AS BIGINT)").alias("hb"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    n = sum(r.c for r in cells)
+    ni: dict = {}
+    nj: dict = {}
+    for r in cells:
+        ni[r.event_type] = ni.get(r.event_type, 0) + r.c
+        nj[r.hb] = nj.get(r.hb, 0) + r.c
+    mi = sum(
+        r.c / n * math.log(r.c * n / (ni[r.event_type] * nj[r.hb]))
+        for r in cells
+    )
+    hx = -sum(v / n * math.log(v / n) for v in ni.values())
+    hy = -sum(v / n * math.log(v / n) for v in nj.values())
+    out = QUERIES["k_mutual_info"](spark, sf_dir).collect()[0]
+    assert out.n_events == n and out.n_cells == len(cells)
+    assert abs(out.mi_nats - mi) < 1e-3
+    assert abs(out.h_type - hx) < 1e-3 and abs(out.h_hour - hy) < 1e-3
+    assert -1e-9 <= out.mi_nats <= min(hx, hy) + 1e-9
+    assert abs(out.nmi_sqrt - mi / math.sqrt(hx * hy)) < 1e-3
+
+
+def test_tail_gpd_matches_numpy_moments(spark, sf_dir):
+    """xi/beta/VaR recomputed from the exceedance moments over the
+    6dp-pinned P95 threshold."""
+    import numpy as np
+
+    v = (
+        load(spark, sf_dir, "events")
+        .select("value")
+        .toPandas()["value"]
+        .to_numpy()
+    )
+    u = round(float(np.percentile(v, 95, method="linear")), 6)
+    y = v[v > u] - u
+    m = float(y.mean())
+    s2 = float(y.var(ddof=1))
+    xi = 0.5 * (1 - m * m / s2)
+    beta = 0.5 * m * (m * m / s2 + 1)
+    var999 = u + beta / xi * ((0.001 * len(v) / len(y)) ** (-xi) - 1)
+    r = QUERIES["k_tail_gpd"](spark, sf_dir).collect()[0]
+    assert r.n_exceedances == len(y)
+    assert abs(r.threshold_u - u) < 1e-9
+    assert abs(r.gpd_xi - xi) < 1e-3
+    assert abs(r.gpd_beta - beta) < 1e-3
+    assert abs(r.var_999 - var999) < max(1e-3, abs(var999) * 1e-5)
+    assert r.var_999 > r.threshold_u
