@@ -282,10 +282,12 @@ def main() -> None:
         # min([]) would raise (ADVICE r11).
         floor = min(prev) if prev else None
         # Slow-tail policy (r11 verdict item #3, generalizing the
-        # k_sim_ann fit-bearing rule): ANY key whose best-known cost is
-        # >= 1.4 s reports min-of-3 — single_run estimators on expensive
-        # keys kept re-accruing one by one as the registry grew.
-        slow_tail = (floor if floor is not None else t) >= 1.4
+        # k_sim_ann fit-bearing rule): ANY key whose best-known cost OR
+        # current reading is >= 1.4 s reports min-of-3 — single_run
+        # estimators on expensive keys kept re-accruing one by one as
+        # the registry grew (max(t, floor): a sub-1.4 floor must not
+        # exempt a spiked current reading, and vice versa).
+        slow_tail = max(t, floor if floor is not None else t) >= 1.4
         if key not in always_retime and not slow_tail:
             if not prev:
                 continue
