@@ -79,6 +79,7 @@ def _cc_labels(
     # MAX_ROUNDS is a runaway fence, not a horizon: label propagation
     # converges in O(diameter) rounds and 64 covers any real corpus graph.
     labels = labels.localCheckpoint()
+    moved = -1
     for _ in range(_COMPONENT_MAX_ROUNDS):
         nxt = _cc_label_round(edges2, labels).localCheckpoint()
         moved = (
@@ -91,6 +92,17 @@ def _cc_labels(
         labels = nxt
         if moved == 0:
             break
+    if moved != 0:
+        # The fence is a runaway guard, NOT a horizon: exhausting it
+        # means labels were still moving, and returning them would be
+        # exactly the silent under-labeling this regime exists to
+        # prevent. Fail loudly instead.
+        raise RuntimeError(
+            "k_graph_components: min-label propagation did not converge "
+            f"within {_COMPONENT_MAX_ROUNDS} rounds (graph diameter "
+            "exceeds the fence); raise _COMPONENT_MAX_ROUNDS or "
+            "graduate to large-star/small-star"
+        )
     return labels
 
 

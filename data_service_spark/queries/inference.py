@@ -1768,6 +1768,27 @@ def k_cliffs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -------------------------------------------------------- Bartlett test ----
 
 
+def _chi2_5pct_case(df_expr: str) -> str:
+    """chi^2 5% critical value as CASE text on a dynamic df (1..8) —
+    a reject flag must track the df actually realized after group
+    fences drop degenerate groups, not assume k = 5 (NULL beyond the
+    table rather than a silently wrong test)."""
+    crit = {
+        1: "3.841458820694124e0",
+        2: "5.991464547107979e0",
+        3: "7.814727903251179e0",
+        4: "9.487729036781154e0",
+        5: "11.070497693516351e0",
+        6: "12.591587243743977e0",
+        7: "14.067140449340169e0",
+        8: "15.50731305586545e0",
+    }
+    whens = " ".join(
+        f"WHEN {d} THEN {v}" for d, v in crit.items()
+    )
+    return f"(CASE CAST({df_expr} AS BIGINT) {whens} END)"
+
+
 def _body_bartlett() -> str:
     """Shared ANSI body (Spark temp-view `events` / DuckDB view)."""
     return """
@@ -1777,9 +1798,13 @@ def _body_bartlett() -> str:
              sum(CAST(value AS DOUBLE) * value) AS s2
       FROM events GROUP BY 1 HAVING count(*) >= 2
     ), v AS (
+      -- var_i > 0 fences the log domain: a constant group (or one
+      -- whose Sigma-formula cancels to a tiny negative double) would
+      -- hard-error DuckDB's ln while Spark returns NULL
       SELECT event_type, n_i,
              (s2 - s1 * s1 / n_i) / (n_i - 1) AS var_i
       FROM grp
+      WHERE (s2 - s1 * s1 / n_i) / (n_i - 1) > 0
     ), tot AS (
       SELECT sum(n_i) AS n, CAST(count(*) AS DOUBLE) AS k,
              sum((n_i - 1) * var_i) AS ss,
@@ -1795,9 +1820,9 @@ def _body_bartlett() -> str:
                  4) + 0.0 AS bartlett_chi2,
            ((n - k) * ln(ss / (n - k)) - sum_ln)
              / (1 + (sum_inv - 1.0e0 / (n - k)) / (3 * (k - 1)))
-             > 9.487729036781154e0 AS reject_equal_var_5pct
+             > {crit} AS reject_equal_var_5pct
     FROM tot
-    """
+    """.format(crit=_chi2_5pct_case("k - 1"))
 
 
 @register("k_bartlett_test", oracle=_body_bartlett())
@@ -1806,12 +1831,16 @@ def k_bartlett_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     types: chi2 = [(N-k) ln s_p^2 - sum (n_i-1) ln s_i^2] / C with the
     standard correction C — the PARAMETRIC power-optimal companion to
     ``k_brown_forsythe`` (which trades power for tail robustness); when
-    the two disagree, the tails are the story. Reject flag vs the
-    chi^2(4) 5% critical value 9.4877.
+    the two disagree, the tails are the story. The reject flag tests
+    against the chi^2(df) 5% critical value AT THE REALIZED df — the
+    variance fence below can drop groups, and a k=5 assumption would
+    silently mis-test (`_chi2_5pct_case`).
 
     Group variances come from the explicit Sigma-formula in ONE shared
     text (not the engines' var_samp internals, which may accumulate
-    differently); power sums are in DOUBLE — no int64 wrap surface. The
+    differently); power sums are in DOUBLE — no int64 wrap surface;
+    var_i > 0 fences the log domain (a constant group would hard-error
+    DuckDB's ln while Spark NULLs — the 0/0 divergence class). The
     ln calls are the libm exposure class, absorbed by 4dp rounding; the
     reject boolean compares the UNROUNDED statistic far from the
     critical value on any non-degenerate corpus.
@@ -1914,13 +1943,16 @@ def _body_gumbel() -> str:
     ), mom AS (
       SELECT CAST(count(*) AS DOUBLE) AS nb,
              avg(mx) AS m,
-             sqrt((sum(mx * mx) - sum(mx) * sum(mx) / count(*))
-                  / (count(*) - 1)) AS s
+             (sum(mx * mx) - sum(mx) * sum(mx) / count(*))
+               / (count(*) - 1) AS s2
       FROM maxima HAVING count(*) >= 3
     ), fit AS (
-      SELECT nb, m, s,
-             s * 2.449489742783178e0 / 3.141592653589793e0 AS beta
-      FROM mom
+      -- s2 > 0 fences sqrt: constant maxima (or a Sigma-formula
+      -- cancelling to a tiny negative) would hard-error DuckDB
+      SELECT nb, m,
+             sqrt(s2) * 2.449489742783178e0 / 3.141592653589793e0
+               AS beta
+      FROM mom WHERE s2 > 0
     )
     SELECT CAST(nb AS BIGINT) AS n_blocks,
            round(m, 4) + 0.0 AS block_max_mean,
@@ -2053,7 +2085,8 @@ def _body_mood(median_fn: str) -> str:
              + ((n_i - a_i) - n_i * (n - a) / n)
                * ((n_i - a_i) - n_i * (n - a) / n)
                / (n_i * (n - a) / n)
-           ) > 9.487729036781154e0 AS reject_equal_medians_5pct
+           ) > {_chi2_5pct_case("max(k) - 1")}
+             AS reject_equal_medians_5pct
     FROM aug
     """
 
@@ -2066,7 +2099,10 @@ def k_mood_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mood's median test across event types: classify every value
     against the 6dp-pinned GRAND median (ties to the median excluded,
     the standard treatment), then the k x 2 Pearson chi^2 on the
-    above/below table vs chi^2(k-1). The coarsest — and most outlier-
+    above/below table vs the chi^2 5% critical value AT THE REALIZED
+    df (`_chi2_5pct_case` — a type can vanish from the table when all
+    its values tie the median, and a k=5 assumption would silently
+    mis-test). The coarsest — and most outlier-
     immune — of the k-sample location tests: ``k_kruskal_wallis`` uses
     full rank information, this uses one bit per row, so when KW fires
     and Mood doesn't, the effect lives in the tails, not the center.
@@ -2205,9 +2241,11 @@ def _body_bhattacharyya() -> str:
     ), bounds AS (
       SELECT round(min(v), 6) AS lo, round(max(v), 6) AS hi FROM pool
     ), binned AS (
+      -- clamp BOTH edges: round(min, 6) can round the lower bound UP
+      -- past the true min, making the min row's raw index -1
       SELECT p.event_type,
-             least(CAST(floor((p.v - b.lo) / (b.hi - b.lo) * 20)
-                        AS BIGINT), 19) AS bin
+             greatest(least(CAST(floor((p.v - b.lo) / (b.hi - b.lo) * 20)
+                                 AS BIGINT), 19), 0) AS bin
       FROM pool p CROSS JOIN bounds b
     ), hist AS (
       SELECT bin,
@@ -2229,7 +2267,9 @@ def _body_bhattacharyya() -> str:
            CAST(count(*) AS BIGINT) AS n_bins_used,
            round(sum(sqrt(c1 / n1 * c2 / n2)), 4) + 0.0
              AS bhattacharyya_coef,
-           round(-ln(sum(sqrt(c1 / n1 * c2 / n2))), 4) + 0.0
+           -- nullif: disjoint-support histograms have BC = 0, where
+           -- -ln would hard-error DuckDB while Spark NULLs
+           round(-ln(nullif(sum(sqrt(c1 / n1 * c2 / n2)), 0)), 4) + 0.0
              AS bhattacharyya_dist,
            round(sqrt(1 - sum(sqrt(c1 / n1 * c2 / n2))), 4) + 0.0
              AS hellinger_dist

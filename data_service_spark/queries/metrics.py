@@ -4097,28 +4097,35 @@ def _body_grubbs() -> str:
              sum(CAST(value AS DOUBLE) * value) AS s2
       FROM events GROUP BY 1 HAVING count(*) >= 3
     ), st AS (
+      -- variance > 0 fences the sqrt (tiny-negative cancellation
+      -- hard-errors DuckDB); sd > 0 after the 6dp pin fences the
+      -- division (an sd < 5e-7 rounds to zero)
       SELECT event_type, n,
              round(s1 / n, 6) AS mu,
              round(sqrt((s2 - s1 * s1 / n) / (n - 1)), 6) AS sd
       FROM s
+      WHERE (s2 - s1 * s1 / n) > 0
     ), z AS (
-      SELECT e.event_type, e.event_id,
+      SELECT e.event_type, e.event_id, st.n, st.mu, st.sd,
              CAST(floor(abs(CAST(e.value AS DOUBLE) - st.mu) / st.sd
                         * 1000000) AS BIGINT) AS g_ppm
       FROM events e JOIN st USING (event_type)
-    ), top AS (
-      SELECT event_type, max(g_ppm) AS g_ppm FROM z GROUP BY 1
+      WHERE st.sd > 0
+    ), aug AS (
+      -- per-type max as a window keeps z single-referenced (the
+      -- multi-referenced-CTE re-scan lesson)
+      SELECT event_type, event_id, n, mu, sd, g_ppm,
+             max(g_ppm) OVER (PARTITION BY event_type) AS top
+      FROM z
     )
-    SELECT z.event_type,
-           CAST(max(st.n) AS BIGINT) AS n,
-           max(st.mu) + 0.0 AS mean_value,
-           max(st.sd) + 0.0 AS sd_value,
-           max(z.g_ppm) AS grubbs_g_ppm,
-           CAST(min(z.event_id) AS BIGINT) AS outlier_event_id
-    FROM z JOIN top ON z.event_type = top.event_type
-                   AND z.g_ppm = top.g_ppm
-    JOIN st ON st.event_type = z.event_type
-    GROUP BY z.event_type
+    SELECT event_type,
+           CAST(max(n) AS BIGINT) AS n,
+           max(mu) + 0.0 AS mean_value,
+           max(sd) + 0.0 AS sd_value,
+           max(g_ppm) AS grubbs_g_ppm,
+           CAST(min(event_id) AS BIGINT) AS outlier_event_id
+    FROM aug WHERE g_ppm = top
+    GROUP BY event_type
     """
 
 
@@ -4154,36 +4161,42 @@ def _body_anderson_darling() -> str:
     from the Bayesian A/B key (one text, both engines)."""
     from data_service_spark.queries.inference import _ab_phi
 
-    phi_lo = f"greatest(least({_ab_phi('a.z')}, 1.0 - 1e-12), 1e-12)"
-    phi_hi = f"greatest(least({_ab_phi('b.z')}, 1.0 - 1e-12), 1e-12)"
+    phi = f"greatest(least({_ab_phi('z')}, 1.0 - 1e-12), 1e-12)"
     return f"""
     WITH daily AS (
       SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
              CAST(count(*) AS DOUBLE) AS x
       FROM events GROUP BY 1, 2
     ), st AS (
-      SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
-             avg(x) AS mu,
-             sqrt((sum(x * x) - sum(x) * sum(x) / count(*))
-                  / (count(*) - 1)) AS sd
-      FROM daily GROUP BY 1 HAVING count(*) >= 8
+      -- per-type moments as WINDOW aggregates keep daily
+      -- single-referenced (a stats aggregate joined back would re-run
+      -- the spine aggregation under Spark's CTE inlining)
+      SELECT event_type, day, x,
+             CAST(count(*) OVER w AS DOUBLE) AS n,
+             avg(x) OVER w AS mu,
+             (sum(x * x) OVER w
+              - sum(x) OVER w * sum(x) OVER w / count(*) OVER w) AS cs2
+      FROM daily WINDOW w AS (PARTITION BY event_type)
     ), ranked AS (
-      SELECT d.event_type, st.n,
-             CAST(row_number() OVER (PARTITION BY d.event_type
-                                     ORDER BY d.x, d.day) AS DOUBLE) AS i,
-             (d.x - st.mu) / st.sd AS z
-      FROM daily d JOIN st USING (event_type)
-    ), paired AS (
-      SELECT a.event_type, a.n, a.i,
-             {phi_lo} AS p_lo,
-             {phi_hi} AS p_hi
-      FROM ranked a JOIN ranked b
-        ON a.event_type = b.event_type AND b.i = a.n + 1 - a.i
+      -- n >= 8 and variance > 0 fence the sqrt and the z division
+      -- (a constant spine would hard-error DuckDB / NaN Spark)
+      SELECT event_type, n,
+             CAST(row_number() OVER (PARTITION BY event_type
+                                     ORDER BY x, day) AS DOUBLE) AS i,
+             (x - mu) / sqrt(cs2 / (n - 1)) AS z
+      FROM st WHERE n >= 8 AND cs2 > 0
+    ), scored AS (
+      SELECT event_type, n, i, {phi} AS p
+      FROM ranked
     ), stat AS (
+      -- reindexing j = n+1-i folds the classical paired form into ONE
+      -- pass: sum (2i-1) ln(1-Phi(z_(n+1-i))) = sum (2n-2i+1)
+      -- ln(1-Phi(z_i)) — no rank self-join, ranked single-referenced
       SELECT event_type, max(n) AS n,
-             -max(n) - sum((2 * i - 1) * (ln(p_lo) + ln(1 - p_hi)))
+             -max(n) - sum((2 * i - 1) * ln(p)
+                           + (2 * n - 2 * i + 1) * ln(1 - p))
                        / max(n) AS a2
-      FROM paired GROUP BY event_type
+      FROM scored GROUP BY event_type
     )
     SELECT event_type, CAST(n AS BIGINT) AS n_days,
            round(a2, 3) + 0.0 AS a2_stat,
@@ -4207,9 +4220,11 @@ def k_anderson_darling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Phi is the SAME Abramowitz-Stegun 7.1.26 erf text as k_ab_bayes
     (|eps| < 1.5e-7, one text both engines), clamped to
-    [1e-12, 1-1e-12] so an extreme z can never reach ln(0). Order
-    statistics pair i with n+1-i via an equi-join on the rank spine
-    (day tiebreak makes the sort total). Rounded 3dp — coarser than
+    [1e-12, 1-1e-12] so an extreme z can never reach ln(0). The
+    classical i/(n+1-i) pairing is folded into ONE pass via the
+    reindexing identity (2i-1) -> (2n-2i+1), so the rank spine is
+    single-referenced — no self-join, no corpus re-scan (day tiebreak
+    makes the sort total). Rounded 3dp — coarser than
     the house 4dp because the erf approximation error (~1e-7) exceeds
     ulp noise. Daily-count power sums accumulate in DOUBLE (no int64
     wrap surface; exact far inside 2^53), so mu,
@@ -4298,12 +4313,14 @@ def _body_krippendorff() -> str:
       SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
              CAST(count(*) AS DOUBLE) AS x
       FROM events GROUP BY 1, 2
-    ), mu AS (
-      SELECT event_type, avg(x) AS mu FROM daily GROUP BY 1
     ), rating AS (
-      SELECT d.day,
-             CASE WHEN d.x > m.mu THEN 1.0e0 ELSE 0.0e0 END AS r
-      FROM daily d JOIN mu m USING (event_type)
+      -- the per-type mean as a window keeps daily single-referenced
+      -- (a mean aggregate joined back would re-run the spine
+      -- aggregation under Spark's CTE inlining)
+      SELECT day,
+             CASE WHEN x > avg(x) OVER (PARTITION BY event_type)
+                  THEN 1.0e0 ELSE 0.0e0 END AS r
+      FROM daily
     ), unit AS (
       SELECT day, CAST(count(*) AS DOUBLE) AS m_u, sum(r) AS n1
       FROM rating GROUP BY day HAVING count(*) >= 2

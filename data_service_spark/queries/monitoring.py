@@ -1265,11 +1265,10 @@ def k_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------- Holt linear trend ----
 
 
-# The day spine as a standalone fragment: the RECURSIVE member below
-# references idx every round, and Spark re-plans referenced CTEs per
-# iteration — inlined, that re-scanned the corpus ~once per day (5.8 s
-# at sf0.1); the Spark side localCheckpoints this spine first (the
-# k_bradley_terry pattern) so each round joins a 30-row RDD instead.
+# The day spine as a standalone fragment: the Spark side of
+# k_forecast_holt collects it (calendar-sized) and folds the recurrence
+# driver-side; the ORACLE splices it into the full WITH RECURSIVE text
+# so DuckDB cross-validates the recursion semantics.
 _HOLT_SPINE_SQL = """
       SELECT day, x,
              CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t
@@ -1390,24 +1389,33 @@ def _body_forecast_mase() -> str:
              lag(x, 7) OVER (ORDER BY day) AS p7
       FROM daily
     ), scored AS (
-      SELECT 'naive_1' AS forecaster, x, p1 AS yhat
-      FROM lagged WHERE p1 IS NOT NULL
-      UNION ALL
-      SELECT 'snaive_7' AS forecaster, x, p7 AS yhat
-      FROM lagged WHERE p7 IS NOT NULL
-    ), denom AS (
-      SELECT avg(abs(x - p1)) AS naive_mae
-      FROM lagged WHERE p1 IS NOT NULL
+      -- a 2-row forecaster selector joined once keeps the
+      -- corpus-consuming chain single-referenced (a UNION ALL of two
+      -- lagged reads re-runs the day-spine aggregation per branch
+      -- under Spark's CTE inlining)
+      SELECT f.forecaster, l.x,
+             CASE WHEN f.forecaster = 'naive_1' THEN l.p1
+                  ELSE l.p7 END AS yhat
+      FROM lagged l
+      CROSS JOIN (SELECT 'naive_1' AS forecaster
+                  UNION ALL SELECT 'snaive_7') f
+      WHERE CASE WHEN f.forecaster = 'naive_1' THEN l.p1
+                 ELSE l.p7 END IS NOT NULL
+    ), agg AS (
+      SELECT forecaster,
+             CAST(count(*) AS BIGINT) AS n_forecasts,
+             avg(abs(x - yhat)) AS mae,
+             sqrt(sum((x - yhat) * (x - yhat)) / count(*)) AS rmse,
+             sum(abs(x - yhat)) / sum(abs(x)) AS wape
+      FROM scored GROUP BY forecaster
     )
-    SELECT s.forecaster,
-           CAST(count(*) AS BIGINT) AS n_forecasts,
-           round(avg(abs(s.x - s.yhat)), 4) AS mae,
-           round(sqrt(sum((s.x - s.yhat) * (s.x - s.yhat)) / count(*)), 4)
-             AS rmse,
-           round(sum(abs(s.x - s.yhat)) / sum(abs(s.x)), 4) AS wape,
-           round(avg(abs(s.x - s.yhat)) / max(d.naive_mae), 4) AS mase
-    FROM scored s CROSS JOIN denom d
-    GROUP BY s.forecaster
+    SELECT forecaster, n_forecasts,
+           round(mae, 4) AS mae,
+           round(rmse, 4) AS rmse,
+           round(wape, 4) AS wape,
+           round(mae / max(CASE WHEN forecaster = 'naive_1'
+                                THEN mae END) OVER (), 4) AS mase
+    FROM agg
     """
 
 
@@ -1451,37 +1459,38 @@ def _body_durbin_watson() -> str:
                                      ORDER BY day) AS DOUBLE) AS t
       FROM daily
     ), fit AS (
-      SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
-             sum(t) AS st, sum(x) AS sx,
-             sum(t * x) AS stx, sum(t * t) AS stt
-      FROM idx GROUP BY 1 HAVING count(*) >= 3
-    ), coef AS (
-      SELECT event_type, n,
-             (n * stx - st * sx) / (n * stt - st * st) AS slope,
-             (sx - (n * stx - st * sx) / (n * stt - st * st) * st) / n
-               AS icept
-      FROM fit
+      -- OLS power sums as per-type WINDOW aggregates keep idx
+      -- single-referenced (a separate fit aggregate joined back would
+      -- re-run the day-spine aggregation under Spark's CTE inlining)
+      SELECT event_type, t, x,
+             CAST(count(*) OVER w AS DOUBLE) AS n,
+             sum(t) OVER w AS st, sum(x) OVER w AS sx,
+             sum(t * x) OVER w AS stx, sum(t * t) OVER w AS stt
+      FROM idx WINDOW w AS (PARTITION BY event_type)
     ), resid AS (
-      SELECT i.event_type, i.t,
-             i.x - c.icept - c.slope * i.t AS e
-      FROM idx i JOIN coef c USING (event_type)
+      SELECT event_type, t, n,
+             (n * stx - st * sx) / (n * stt - st * st) AS slope,
+             x - (sx - (n * stx - st * sx) / (n * stt - st * st) * st)
+                   / n
+               - (n * stx - st * sx) / (n * stt - st * st) * t AS e
+      FROM fit WHERE n >= 3
     ), diffs AS (
-      SELECT event_type, e,
+      SELECT event_type, n, slope, e,
              lag(e) OVER (PARTITION BY event_type ORDER BY t) AS ep
       FROM resid
     )
-    SELECT d.event_type,
-           CAST(max(c.n) AS BIGINT) AS n_days,
-           round(max(c.slope), 6) + 0.0 AS trend_slope,
-           round(sum(CASE WHEN d.ep IS NULL THEN 0.0
-                          ELSE (d.e - d.ep) * (d.e - d.ep) END)
-                 / nullif(sum(d.e * d.e), 0), 4) + 0.0 AS dw,
-           round(1.0 - sum(CASE WHEN d.ep IS NULL THEN 0.0
-                                ELSE (d.e - d.ep) * (d.e - d.ep) END)
-                       / nullif(sum(d.e * d.e), 0) / 2, 4) + 0.0
+    SELECT event_type,
+           CAST(max(n) AS BIGINT) AS n_days,
+           round(max(slope), 6) + 0.0 AS trend_slope,
+           round(sum(CASE WHEN ep IS NULL THEN 0.0
+                          ELSE (e - ep) * (e - ep) END)
+                 / nullif(sum(e * e), 0), 4) + 0.0 AS dw,
+           round(1.0 - sum(CASE WHEN ep IS NULL THEN 0.0
+                                ELSE (e - ep) * (e - ep) END)
+                       / nullif(sum(e * e), 0) / 2, 4) + 0.0
              AS rho_hat
-    FROM diffs d JOIN coef c USING (event_type)
-    GROUP BY d.event_type
+    FROM diffs
+    GROUP BY event_type
     """
 
 
@@ -1603,23 +1612,34 @@ def _body_ljung_box() -> str:
       FROM idx
     ), d AS (
       SELECT t, x - m AS e, n FROM mu
-    ), acf AS (
-      SELECT k.k, max(a.n) AS n,
-             sum(a.e * b.e) / max(den.s0) AS r_k
-      FROM (SELECT 1 AS k UNION ALL SELECT 2 UNION ALL SELECT 3
-            UNION ALL SELECT 4 UNION ALL SELECT 5) k
-      JOIN d a ON 1 = 1
-      JOIN d b ON b.t = a.t + k.k
-      CROSS JOIN (SELECT sum(e * e) AS s0 FROM d) den
-      GROUP BY k.k
+    ), shifted AS (
+      -- all five lags as window functions in ONE pass keep d
+      -- single-referenced (the lag-table self-join re-ran the
+      -- day-spine aggregation per lag under Spark's CTE inlining)
+      SELECT e, n,
+             lag(e, 1) OVER w AS e1, lag(e, 2) OVER w AS e2,
+             lag(e, 3) OVER w AS e3, lag(e, 4) OVER w AS e4,
+             lag(e, 5) OVER w AS e5
+      FROM d WINDOW w AS (ORDER BY t)
+    ), sums AS (
+      SELECT max(n) AS n, sum(e * e) AS s0,
+             sum(e * e1) AS c1, sum(e * e2) AS c2, sum(e * e3) AS c3,
+             sum(e * e4) AS c4, sum(e * e5) AS c5
+      FROM shifted
+    ), q AS (
+      SELECT n,
+             n * (n + 2) * ((c1 / s0) * (c1 / s0) / (n - 1)
+                          + (c2 / s0) * (c2 / s0) / (n - 2)
+                          + (c3 / s0) * (c3 / s0) / (n - 3)
+                          + (c4 / s0) * (c4 / s0) / (n - 4)
+                          + (c5 / s0) * (c5 / s0) / (n - 5)) AS q
+      FROM sums
     )
-    SELECT CAST(max(n) AS BIGINT) AS n_days,
-           CAST(count(*) AS BIGINT) AS n_lags,
-           round(max(n) * (max(n) + 2)
-                 * sum(r_k * r_k / (n - k)), 4) + 0.0 AS ljung_box_q,
-           max(n) * (max(n) + 2) * sum(r_k * r_k / (n - k))
-             > 11.070497693516351e0 AS reject_white_noise_5pct
-    FROM acf
+    SELECT CAST(n AS BIGINT) AS n_days,
+           CAST(5 AS BIGINT) AS n_lags,
+           round(q, 4) + 0.0 AS ljung_box_q,
+           q > 11.070497693516351e0 AS reject_white_noise_5pct
+    FROM q
     """
 
 

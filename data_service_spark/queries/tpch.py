@@ -1229,7 +1229,7 @@ def q_distinct_on(spark: "SparkSession", sf_dir: str) -> "DataFrame":
       FROM events
     ), spine AS (
       SELECT b.d0 + CAST(r.range AS INTEGER) AS day
-      FROM b JOIN range(0, 3700) r ON r.range <= b.span
+      FROM b JOIN range(0, 366000) r ON r.range <= b.span
     ), daily AS (
       SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
              count(*) AS n
@@ -1245,9 +1245,11 @@ def q_tvf_range(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     `range`), bounded by the corpus min/max day and LEFT-joined with the
     daily rollup so silent zero-volume days surface as explicit 0 rows —
     the spine-generation idiom every gap-sensitive monitor upstream
-    (k_spc_rules, i_gap_fill's batch twin) depends on. The 3700-row TVF
-    covers a decade of days; the join predicate prunes to the actual
-    span.
+    (k_spc_rules, i_gap_fill's batch twin) depends on. The TVF bound
+    (366000 rows, ~1000 years) is a fence, not a horizon — no real
+    corpus reaches it, so the spine can never silently truncate (the
+    'no silent caps' rule), and the TVF is lazily-planned metadata the
+    join predicate prunes to the actual span.
 
     Scale: the TVF is driver-synthesized metadata (no scan), the
     1-row bounds aggregate broadcasts into it, and the LEFT JOIN is
@@ -1263,7 +1265,7 @@ def q_tvf_range(spark: "SparkSession", sf_dir: str) -> "DataFrame":
           FROM events
         ), spine AS (
           SELECT date_add(b.d0, CAST(r.id AS INT)) AS day
-          FROM b JOIN range(0, 3700) r ON r.id <= b.span
+          FROM b JOIN range(0, 366000) r ON r.id <= b.span
         ), daily AS (
           SELECT CAST(date_trunc('DAY', ts) AS DATE) AS day,
                  count(*) AS n

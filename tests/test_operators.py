@@ -5144,8 +5144,10 @@ def test_bhattacharyya_matches_numpy_hist(spark, sf_dir):
     )
     lo = round(float(df["value"].min()), 6)
     hi = round(float(df["value"].max()), 6)
-    bins = np.minimum(
-        np.floor((df["value"].to_numpy() - lo) / (hi - lo) * 20).astype(int), 19
+    bins = np.clip(
+        np.floor((df["value"].to_numpy() - lo) / (hi - lo) * 20).astype(int),
+        0,
+        19,
     )
     p = np.bincount(bins[df["event_type"] == "purchase"], minlength=20)
     q = np.bincount(bins[df["event_type"] == "view"], minlength=20)
