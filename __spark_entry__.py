@@ -55,6 +55,8 @@ PRIORITY = [
     "k_theil_index", "k_mood_median", "k_fdr_by", "k_bhattacharyya_hists",
     "q_semi_anti_sql", "k_ljung_box", "k_dft_periodogram", "k_mutual_info",
     "k_tail_gpd",
+    "k_anova_oneway", "k_welch_anova", "k_icc_oneway", "d_agg_geomean",
+    "k_vocab_overlap",
     "k_ab_bayes", "k_spc_rules", "k_graph_components",
     "k_bradley_terry", "a_scan_parquet", "a_scan_prune", "a_scan_filter_pushdown",
     "a_sink_parquet_roundtrip", "a_sink_partitioned", "a_sink_csv_json", "a_sink_orc",

@@ -1924,3 +1924,38 @@ def d_agg_median_counting(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct values hit the tens of millions (SCALING.md round-10)."""
     load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(_body_median_counting())
+
+
+# -------------------------------------------------- Pythagorean means ----
+
+
+def _body_pythagorean() -> str:
+    """Shared ANSI body (Spark temp-view `events` / DuckDB view)."""
+    return """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(CAST(value AS DOUBLE)), 4) AS arith_mean,
+           round(exp(avg(ln(CAST(value AS DOUBLE)))), 4) AS geo_mean,
+           round(count(*) / sum(1.0e0 / CAST(value AS DOUBLE)), 4)
+             AS harm_mean
+    FROM events WHERE value > 0
+    GROUP BY event_type
+    """
+
+
+@register("d_agg_geomean", oracle=_body_pythagorean())
+def d_agg_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Pythagorean-means panel per event type: arithmetic, geometric
+    (exp of the log-mean — the only mean that composes across
+    multiplicative factors like rates and ratios) and harmonic (the
+    right average of speeds/per-unit costs). Neither engine ships a
+    geometric-mean aggregate over DOUBLE, so the log-domain identity IS
+    the implementation — and the AM >= GM >= HM ordering is pinned by
+    test as a cross-check. value > 0 fences the log/reciprocal domain
+    (this corpus is strictly positive).
+
+    exp/ln/avg are the libm exposure class under 4dp rounding; the sums
+    accumulate in DOUBLE. One map-side-combined grouped pass.
+    """
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_body_pythagorean())

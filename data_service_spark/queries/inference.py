@@ -2299,3 +2299,120 @@ def k_bhattacharyya_hists(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_body_bhattacharyya())
+
+
+# ------------------------------------------------------ one-way ANOVA ----
+
+
+def _body_anova() -> str:
+    """Shared ANSI body (Spark temp-view `events` / DuckDB view)."""
+    return """
+    WITH g AS (
+      SELECT event_type, CAST(count(*) AS DOUBLE) AS n_i,
+             sum(CAST(value AS DOUBLE)) AS s1,
+             sum(CAST(value AS DOUBLE) * value) AS s2
+      FROM events GROUP BY 1 HAVING count(*) >= 2
+    ), aug AS (
+      -- grand totals as window sums keep the corpus-consuming CTE
+      -- single-referenced (Spark inlines multi-referenced CTEs)
+      SELECT n_i, s1, s2,
+             sum(n_i) OVER () AS n, sum(s1) OVER () AS gs1,
+             CAST(count(*) OVER () AS DOUBLE) AS k
+      FROM g
+    ), parts AS (
+      SELECT max(n) AS n, max(k) AS k,
+             sum(s1 * s1 / n_i) - max(gs1) * max(gs1) / max(n) AS ssb,
+             sum(s2 - s1 * s1 / n_i) AS ssw
+      FROM aug
+    )
+    SELECT CAST(k - 1 AS BIGINT) AS df_between,
+           CAST(n - k AS BIGINT) AS df_within,
+           round((ssb / (k - 1)) / nullif(ssw / (n - k), 0), 4) + 0.0
+             AS f_stat,
+           round(ssb / nullif(ssb + ssw, 0), 4) + 0.0 AS eta_squared,
+           round((ssb - (k - 1) * ssw / (n - k))
+                 / nullif(ssb + ssw + ssw / (n - k), 0), 4) + 0.0
+             AS omega_squared
+    FROM parts
+    """
+
+
+@register("k_anova_oneway", oracle=_body_anova())
+def k_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical one-way ANOVA F across event types on `value`, with
+    BOTH effect sizes (eta^2 = SSB/SST, the variance-explained share;
+    omega^2, its small-sample-unbiased correction) — the parametric
+    k-sample location test the panel was missing: k_kruskal_wallis is
+    its rank twin, k_mood_median its one-bit twin, k_welch_anova (next
+    key) its unequal-variance correction, and eta^2 is the "does the
+    grouping MATTER" number a 100 TB z-test can't give.
+
+    SSB/SSW come from per-group power sums (DOUBLE accumulation — no
+    int64 wrap surface) with grand totals as unpartitioned window sums,
+    so the corpus is referenced ONCE; nullif fences the all-equal
+    degenerate case to NULL identically in both engines.
+
+    Scale: one map-side-combined moment pass, 5-row spine algebra.
+    """
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_body_anova())
+
+
+# ------------------------------------------------------- Welch ANOVA ----
+
+
+def _body_welch_anova() -> str:
+    """Shared ANSI body (Spark temp-view `events` / DuckDB view)."""
+    return """
+    WITH g AS (
+      SELECT event_type, CAST(count(*) AS DOUBLE) AS n_i,
+             sum(CAST(value AS DOUBLE)) AS s1,
+             sum(CAST(value AS DOUBLE) * value) AS s2
+      FROM events GROUP BY 1 HAVING count(*) >= 2
+    ), w AS (
+      -- s2var > 0 fences the weight division (constant group)
+      SELECT n_i, s1 / n_i AS m_i,
+             n_i / ((s2 - s1 * s1 / n_i) / (n_i - 1)) AS w_i
+      FROM g
+      WHERE (s2 - s1 * s1 / n_i) > 0
+    ), aug AS (
+      SELECT n_i, m_i, w_i,
+             sum(w_i) OVER () AS sw,
+             sum(w_i * m_i) OVER () AS swm,
+             CAST(count(*) OVER () AS DOUBLE) AS k
+      FROM w
+    ), parts AS (
+      SELECT max(k) AS k,
+             sum(w_i * (m_i - swm / sw) * (m_i - swm / sw))
+               / (max(k) - 1) AS a,
+             sum((1 - w_i / sw) * (1 - w_i / sw) / (n_i - 1)) AS lam
+      FROM aug
+    )
+    SELECT CAST(k - 1 AS BIGINT) AS df1,
+           round((k * k - 1) / (3 * lam), 2) + 0.0 AS df2,
+           round(a / (1 + 2 * (k - 2) / (k * k - 1) * lam), 4) + 0.0
+             AS welch_f
+    FROM parts
+    """
+
+
+@register("k_welch_anova", oracle=_body_welch_anova())
+def k_welch_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's heteroscedastic one-way ANOVA (the k-sample extension of
+    ``k_welch_t``): groups weighted by n_i/s_i^2, F* = A/(1 + 2(k-2)/
+    (k^2-1) * Lambda) with the Welch-Satterthwaite df2 — the location
+    test to trust when ``k_bartlett_test`` REJECTS equal variances
+    (classic ANOVA's F is anticonservative under variance heterogeneity
+    with unequal n). Together: bartlett gates, anova or welch_anova
+    answers, eta^2 sizes.
+
+    One grouped moment pass (DOUBLE power sums, no int64 wrap surface),
+    weight totals as window sums (single corpus reference), variance
+    > 0 fencing the weight division. df2 rounds at 2dp — it is a
+    reporting quantity, not a grid the reject decision sits on.
+
+    Scale: identical shape to k_anova_oneway — one shuffle, spine
+    algebra.
+    """
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_body_welch_anova())

@@ -2524,3 +2524,84 @@ def k_text_dup_ngram_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_frac"),
         )
     )
+
+
+# ------------------------------------------------ source vocab overlap ----
+
+# Distinct (source, token) vocabulary — referenced three times by the
+# pair fit (both self-join sides + the per-source sizes), so the Spark
+# side localCheckpoints it first (the k_bradley_terry pattern: Spark
+# inlines multi-referenced CTEs and would re-tokenize the corpus per
+# reference); the DuckDB oracle keeps the single WITH-chain because it
+# materializes multi-referenced CTEs.
+_VOCAB_TOK_SQL = """
+      SELECT DISTINCT source, token
+      FROM (
+        SELECT source, explode(split(lower(text), ' ')) AS token
+        FROM documents
+      ) t WHERE token <> ''
+"""
+
+
+def _vocab_fit_sql(tok_sql: str) -> str:
+    return f"""
+    WITH tok AS ({tok_sql}), sizes AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS v FROM tok GROUP BY 1
+    ), pairs AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(count(*) AS BIGINT) AS n_common
+      FROM tok a JOIN tok b
+        ON a.token = b.token AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT p.source_a, p.source_b,
+           va.v AS vocab_a, vb.v AS vocab_b, p.n_common,
+           round(p.n_common
+                 / (va.v + vb.v - p.n_common * 1.0e0), 4) + 0.0
+             AS jaccard,
+           round(p.n_common / (CASE WHEN va.v < vb.v THEN va.v
+                                    ELSE vb.v END * 1.0e0), 4) + 0.0
+             AS containment_min
+    FROM pairs p
+    JOIN sizes va ON p.source_a = va.source
+    JOIN sizes vb ON p.source_b = vb.source
+    """
+
+
+@register(
+    "k_vocab_overlap",
+    oracle=_vocab_fit_sql(
+        _VOCAB_TOK_SQL.replace(
+            "explode(split(lower(text), ' '))",
+            "unnest(string_split(lower(text), ' '))",
+        )
+    ),
+)
+def k_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-pair VOCABULARY overlap: token-set Jaccard and
+    min-containment for every source pair — the lexical-register view
+    of corpus mix next to ``k_source_overlap_matrix``'s document-level
+    syndication graph (two feeds can share zero documents yet be the
+    same register, or syndicate heavily while one adds its own jargon;
+    these two matrices separate the cases). High containment with low
+    Jaccard flags a sub-register — the smaller source's vocabulary
+    lives inside the bigger one's.
+
+    The pair join runs on the DISTINCT (source, token) table — Zipf-
+    compact vocabulary rows, never corpus text; counts are exact
+    integers and the only floats are the two final ratios. Spark side
+    localCheckpoints the vocabulary before the triple-referenced fit
+    (see `_VOCAB_TOK_SQL`); output is |sources|^2-bounded.
+
+    Scale: one tokenize + distinct shuffle to vocabulary rows, then a
+    token-keyed equi-join on the compressed table.
+    """
+    import uuid
+
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    view = f"dss_vocab_tok_{uuid.uuid4().hex[:12]}"
+    spark.sql(_VOCAB_TOK_SQL).localCheckpoint().createOrReplaceTempView(view)
+    try:
+        return spark.sql(_vocab_fit_sql(f"SELECT * FROM {view}"))
+    finally:
+        spark.catalog.dropTempView(view)

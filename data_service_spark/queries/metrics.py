@@ -4563,3 +4563,66 @@ def k_tail_gpd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_body_tail_gpd("percentile(value, 0.95)"))
+
+
+# ------------------------------------------------- intraclass correlation ----
+
+
+def _body_icc() -> str:
+    """Shared ANSI body (Spark temp-view `events` / DuckDB view)."""
+    return """
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             event_type, CAST(count(*) AS DOUBLE) AS x
+      FROM events GROUP BY 1, 2
+    ), g AS (
+      SELECT day, CAST(count(*) AS DOUBLE) AS n_j,
+             sum(x) AS s1, sum(x * x) AS s2
+      FROM daily GROUP BY 1 HAVING count(*) >= 2
+    ), aug AS (
+      -- grand totals as window sums keep g single-referenced
+      SELECT n_j, s1, s2,
+             sum(n_j) OVER () AS n, sum(s1) OVER () AS gs1,
+             CAST(count(*) OVER () AS DOUBLE) AS j
+      FROM g
+    ), parts AS (
+      SELECT max(n) AS n, max(j) AS j,
+             (sum(s1 * s1 / n_j) - max(gs1) * max(gs1) / max(n))
+               / (max(j) - 1) AS msb,
+             sum(s2 - s1 * s1 / n_j) / (max(n) - max(j)) AS msw,
+             (max(n) - sum(n_j * n_j) / max(n)) / (max(j) - 1) AS k0
+      FROM aug
+    )
+    SELECT CAST(j AS BIGINT) AS n_days,
+           round(k0, 4) + 0.0 AS mean_raters_k0,
+           round(msb, 4) + 0.0 AS ms_between,
+           round(msw, 4) + 0.0 AS ms_within,
+           round((msb - msw) / nullif(msb + (k0 - 1) * msw, 0), 4) + 0.0
+             AS icc1,
+           round(msb / nullif(msw, 0), 4) + 0.0 AS f_stat
+    FROM parts
+    """
+
+
+@register("k_icc_oneway", oracle=_body_icc())
+def k_icc_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way random-effects intraclass correlation ICC(1,1) treating
+    each DAY as a target rated by every active event type (its daily
+    count): ICC = (MSB - MSW)/(MSB + (k0-1) MSW) with the unbalanced-
+    design k0 = (N - sum n_j^2/N)/(J-1), plus the MSB/MSW and the ANOVA
+    F. The CONTINUOUS-scale agreement coefficient completing the panel
+    (``k_krippendorff_alpha`` binary-nominal, ``k_fleiss_kappa``
+    categorical, ``k_cronbach_alpha`` item-consistency): a high ICC
+    says event types move together day to day — one shared traffic
+    factor — so per-type monitors are redundant; a low ICC says each
+    type needs its own control chart.
+
+    Day-group power sums in DOUBLE (exact integer counts, no int64 wrap
+    surface), grand totals as window sums (single corpus reference),
+    nullif on the degenerate zero-variance denominators.
+
+    Scale: one corpus shuffle to the (day, type) spine; calendar-sized
+    algebra after.
+    """
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_body_icc())

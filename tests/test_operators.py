@@ -5275,3 +5275,144 @@ def test_tail_gpd_matches_numpy_moments(spark, sf_dir):
     assert abs(r.gpd_beta - beta) < 1e-3
     assert abs(r.var_999 - var999) < max(1e-3, abs(var999) * 1e-5)
     assert r.var_999 > r.threshold_u
+
+
+def test_anova_matches_python_and_brackets_welch(spark, sf_dir):
+    """F, eta2, omega2 recomputed from group moments in plain Python;
+    Welch's F on the same data must be in the same order of magnitude
+    (equal-ish group sizes here)."""
+    groups = {
+        r.event_type: r.vs
+        for r in load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.collect_list("value").alias("vs"))
+        .collect()
+    }
+    k = len(groups)
+    n = sum(len(v) for v in groups.values())
+    grand = sum(sum(v) for v in groups.values()) / n
+    ssb = sum(len(v) * (sum(v) / len(v) - grand) ** 2 for v in groups.values())
+    ssw = sum(
+        sum((x - sum(v) / len(v)) ** 2 for x in v) for v in groups.values()
+    )
+    f_stat = (ssb / (k - 1)) / (ssw / (n - k))
+    r = QUERIES["k_anova_oneway"](spark, sf_dir).collect()[0]
+    assert (r.df_between, r.df_within) == (k - 1, n - k)
+    assert abs(r.f_stat - f_stat) < max(1e-3, f_stat * 1e-4)
+    assert abs(r.eta_squared - ssb / (ssb + ssw)) < 1e-3
+    omega = (ssb - (k - 1) * ssw / (n - k)) / (ssb + ssw + ssw / (n - k))
+    assert abs(r.omega_squared - omega) < 1e-3
+    w = QUERIES["k_welch_anova"](spark, sf_dir).collect()[0]
+    assert w.df1 == k - 1
+    assert w.df2 > 0 and w.welch_f >= 0
+
+
+def test_welch_anova_matches_python(spark, sf_dir):
+    """Welch's F* and df2 recomputed from the textbook formulas."""
+    groups = {
+        r.event_type: r.vs
+        for r in load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.collect_list("value").alias("vs"))
+        .collect()
+    }
+    k = len(groups)
+    w, m = {}, {}
+    for et, v in groups.items():
+        mu = sum(v) / len(v)
+        s2 = sum((x - mu) ** 2 for x in v) / (len(v) - 1)
+        w[et] = len(v) / s2
+        m[et] = mu
+    sw = sum(w.values())
+    yhat = sum(w[et] * m[et] for et in w) / sw
+    a = sum(w[et] * (m[et] - yhat) ** 2 for et in w) / (k - 1)
+    lam = sum(
+        (1 - w[et] / sw) ** 2 / (len(groups[et]) - 1) for et in w
+    )
+    f_w = a / (1 + 2 * (k - 2) / (k * k - 1) * lam)
+    df2 = (k * k - 1) / (3 * lam)
+    r = QUERIES["k_welch_anova"](spark, sf_dir).collect()[0]
+    assert abs(r.welch_f - f_w) < max(1e-3, f_w * 1e-4)
+    assert abs(r.df2 - df2) < max(1e-2, df2 * 1e-4)
+
+
+def test_icc_matches_python_recompute(spark, sf_dir):
+    """ICC(1), MSB/MSW, k0 recomputed from the one-way ANOVA identities
+    on the (day, type) count table."""
+    rows = (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            F.date_trunc("DAY", F.col("ts")).cast("date").alias("day"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    by_day: dict = {}
+    for r in rows:
+        by_day.setdefault(r.day, []).append(float(r.c))
+    groups = [v for v in by_day.values() if len(v) >= 2]
+    j = len(groups)
+    n = sum(len(v) for v in groups)
+    grand = sum(sum(v) for v in groups) / n
+    msb = sum(len(v) * (sum(v) / len(v) - grand) ** 2 for v in groups) / (j - 1)
+    msw = sum(
+        sum((x - sum(v) / len(v)) ** 2 for x in v) for v in groups
+    ) / (n - j)
+    k0 = (n - sum(len(v) ** 2 for v in groups) / n) / (j - 1)
+    icc = (msb - msw) / (msb + (k0 - 1) * msw)
+    r = QUERIES["k_icc_oneway"](spark, sf_dir).collect()[0]
+    assert r.n_days == j
+    assert abs(r.ms_between - msb) < max(1e-3, msb * 1e-5)
+    assert abs(r.ms_within - msw) < max(1e-3, msw * 1e-5)
+    assert abs(r.mean_raters_k0 - k0) < 1e-3
+    assert abs(r.icc1 - icc) < 1e-3
+
+
+def test_pythagorean_means_ordering_and_values(spark, sf_dir):
+    """AM >= GM >= HM on every type, and GM matches the log-domain
+    recompute."""
+    import math
+
+    groups = {
+        r.event_type: r.vs
+        for r in load(spark, sf_dir, "events")
+        .filter(F.col("value") > 0)
+        .groupBy("event_type")
+        .agg(F.collect_list("value").alias("vs"))
+        .collect()
+    }
+    rows = {r.event_type: r for r in QUERIES["d_agg_geomean"](spark, sf_dir).collect()}
+    for et, v in groups.items():
+        r = rows[et]
+        assert r.n == len(v)
+        gm = math.exp(sum(math.log(x) for x in v) / len(v))
+        hm = len(v) / sum(1 / x for x in v)
+        assert abs(r.geo_mean - gm) < max(1e-3, gm * 1e-5)
+        assert abs(r.harm_mean - hm) < max(1e-3, hm * 1e-5)
+        assert r.arith_mean >= r.geo_mean >= r.harm_mean
+
+
+def test_vocab_overlap_matches_python_sets(spark, sf_dir):
+    """Jaccard/containment recomputed from Python token sets for every
+    source pair; symmetric coverage (each unordered pair once)."""
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("source", F.lower(F.col("text")).alias("t"))
+        .collect()
+    )
+    vocab: dict = {}
+    for r in docs:
+        vocab.setdefault(r.source, set()).update(
+            w for w in r.t.split(" ") if w
+        )
+    rows = QUERIES["k_vocab_overlap"](spark, sf_dir).collect()
+    srcs = sorted(vocab)
+    assert len(rows) == len(srcs) * (len(srcs) - 1) // 2
+    for r in rows:
+        a, b = vocab[r.source_a], vocab[r.source_b]
+        inter = len(a & b)
+        assert r.source_a < r.source_b
+        assert (r.vocab_a, r.vocab_b, r.n_common) == (len(a), len(b), inter)
+        assert abs(r.jaccard - inter / len(a | b)) < 1e-3
+        assert abs(r.containment_min - inter / min(len(a), len(b))) < 1e-3

@@ -188,6 +188,7 @@ k_krippendorff_alpha k_ordinal_assoc q_distinct_on q_tvf_range
 k_cliffs_delta k_bartlett_test k_odds_ratio_ci k_gumbel_block_maxima
 k_theil_index k_mood_median k_fdr_by k_bhattacharyya_hists
 q_semi_anti_sql k_ljung_box k_dft_periodogram k_mutual_info k_tail_gpd
+k_anova_oneway k_welch_anova k_icc_oneway d_agg_geomean k_vocab_overlap
 """.split()
 
 
