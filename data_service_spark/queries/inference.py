@@ -2072,19 +2072,24 @@ def _body_mood(median_fn: str) -> str:
     )
     SELECT CAST(max(k) - 1 AS BIGINT) AS df,
            CAST(max(n) AS BIGINT) AS n_used,
+           -- nullif fences a = 0 / a = n (all non-tied values on one
+           -- side of the grand median): the zero expected count would
+           -- 0/0-diverge between engines; observed is then 0 too, so
+           -- the conventional 0-contribution is what NULL-skipping
+           -- sum() yields in BOTH engines
            round(sum(
-             (a_i - n_i * a / n) * (a_i - n_i * a / n)
-               / (n_i * a / n)
-             + ((n_i - a_i) - n_i * (n - a) / n)
+             coalesce((a_i - n_i * a / n) * (a_i - n_i * a / n)
+               / nullif(n_i * a / n, 0), 0)
+             + coalesce(((n_i - a_i) - n_i * (n - a) / n)
                * ((n_i - a_i) - n_i * (n - a) / n)
-               / (n_i * (n - a) / n)
+               / nullif(n_i * (n - a) / n, 0), 0)
            ), 4) + 0.0 AS mood_chi2,
            sum(
-             (a_i - n_i * a / n) * (a_i - n_i * a / n)
-               / (n_i * a / n)
-             + ((n_i - a_i) - n_i * (n - a) / n)
+             coalesce((a_i - n_i * a / n) * (a_i - n_i * a / n)
+               / nullif(n_i * a / n, 0), 0)
+             + coalesce(((n_i - a_i) - n_i * (n - a) / n)
                * ((n_i - a_i) - n_i * (n - a) / n)
-               / (n_i * (n - a) / n)
+               / nullif(n_i * (n - a) / n, 0), 0)
            ) > {_chi2_5pct_case("max(k) - 1")}
              AS reject_equal_medians_5pct
     FROM aug
@@ -2242,10 +2247,15 @@ def _body_bhattacharyya() -> str:
       SELECT round(min(v), 6) AS lo, round(max(v), 6) AS hi FROM pool
     ), binned AS (
       -- clamp BOTH edges: round(min, 6) can round the lower bound UP
-      -- past the true min, making the min row's raw index -1
+      -- past the true min, making the min row's raw index -1.
+      -- CASE fences the degenerate hi = lo range (constant pooled
+      -- column): 0/0 is NaN and CAST(NaN AS BIGINT) hard-errors DuckDB
+      -- while Spark NULLs — short-circuit to bin 0 before the divide
       SELECT p.event_type,
-             greatest(least(CAST(floor((p.v - b.lo) / (b.hi - b.lo) * 20)
-                                 AS BIGINT), 19), 0) AS bin
+             CASE WHEN b.hi = b.lo THEN CAST(0 AS BIGINT)
+                  ELSE greatest(least(CAST(floor((p.v - b.lo)
+                                                 / (b.hi - b.lo) * 20)
+                                      AS BIGINT), 19), 0) END AS bin
       FROM pool p CROSS JOIN bounds b
     ), hist AS (
       SELECT bin,

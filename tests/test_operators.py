@@ -5159,6 +5159,59 @@ def test_bhattacharyya_matches_numpy_hist(spark, sf_dir):
     assert abs(r.hellinger_dist - math.sqrt(1 - bc)) < 1e-3
 
 
+def test_mood_bhattacharyya_degenerate_corpora_cross_engine(spark):
+    """r13 ADVICE fences: (a) k_mood_median with ALL non-tied values on
+    one side of the grand median (a = 0 / a = n) must not 0/0-diverge;
+    (b) k_bhattacharyya_hists on a CONSTANT pooled column (hi = lo)
+    must not CAST(NaN) — which hard-errors DuckDB while Spark NULLs.
+    Both engines run the SAME shared body over the same synthetic rows
+    and must agree exactly."""
+    import duckdb
+
+    from data_service_spark.queries.inference import (
+        _body_bhattacharyya,
+        _body_mood,
+    )
+
+    # (a) values {1,1,1,5,5}: median 1, ties excluded leaves {5,5} both
+    # ABOVE (a = n → below-expected 0); mirrored set hits a = 0.
+    for vals in ([1.0, 1.0, 1.0, 5.0, 5.0], [1.0, 5.0, 5.0, 5.0, 5.0]):
+        rows = [("purchase" if i % 2 else "view", v) for i, v in enumerate(vals)]
+        spark.createDataFrame(rows, "event_type string, value double") \
+            .createOrReplaceTempView("events")
+        got = spark.sql(_body_mood("percentile(value, 0.5)")).collect()[0]
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW events AS SELECT * FROM (VALUES "
+            + ", ".join(f"('{t}', {v})" for t, v in rows)
+            + ") t(event_type, value)"
+        )
+        exp = con.execute(_body_mood("quantile_cont(value, 0.5)")).fetchone()
+        con.close()
+        assert got.mood_chi2 == exp[2]
+        assert got.reject_equal_medians_5pct == exp[3]
+        # one-sided table → every per-type observed matches expected on
+        # the populated side → chi2 must be finite (fence worked)
+        assert got.mood_chi2 == got.mood_chi2  # not NaN
+
+    # (b) constant pooled value: lo = hi → every row bins to 0, BC = 1.
+    rows = [("purchase", 7.0)] * 3 + [("view", 7.0)] * 4
+    spark.createDataFrame(rows, "event_type string, value double") \
+        .createOrReplaceTempView("events")
+    got = spark.sql(_body_bhattacharyya()).collect()[0]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM (VALUES "
+        + ", ".join(f"('{t}', {v})" for t, v in rows)
+        + ") t(event_type, value)"
+    )
+    exp = con.execute(_body_bhattacharyya()).fetchone()
+    con.close()
+    assert got.bhattacharyya_coef == exp[3] == 1.0
+    assert got.hellinger_dist == exp[5] == 0.0
+    assert (got.n_purchase, got.n_view, got.n_bins_used) == (3, 4, 1)
+
+
 def test_semi_anti_partition_supplier_dimension(spark, sf_dir):
     """The semi and anti branches must partition suppliers exactly:
     disjoint, union = dimension, semi side cross-checked against a
