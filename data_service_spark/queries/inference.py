@@ -38,9 +38,14 @@ _B = 200  # resample count for bootstrap/permutation
 def _body_kruskal() -> str:
     return """
     WITH ranked AS (
+      -- CAST AS DOUBLE: the bare 2.0 literal made midrank DECIMAL in
+      -- Spark but the downstream chain DOUBLE in DuckDB — two different
+      -- arithmetics whose 6dp rounds split on a half-boundary (r13
+      -- census fix; the standing decimal-literal trap)
       SELECT event_type,
              rank() OVER (ORDER BY value)
-               + (count(*) OVER (PARTITION BY value) - 1) / 2.0 AS midrank,
+               + (count(*) OVER (PARTITION BY value) - 1)
+                 / CAST(2 AS DOUBLE) AS midrank,
              value
       FROM events
     ), grp AS (
@@ -57,11 +62,20 @@ def _body_kruskal() -> str:
     )
     SELECT CAST(n AS BIGINT) AS n_total,
            CAST(k AS BIGINT) AS n_groups,
-           CAST(round(12.0 / (n * (n + 1)) * rr - 3 * (n + 1), 6) + 0.0
+           -- floor-based 6dp round: H is computed bit-identically in
+           -- both engines (correctly-rounded IEEE ops over identical
+           -- integers), but round() half-handling differs per engine on
+           -- a half-boundary (r13 census fix: sf0.001 lands the
+           -- tie-adjusted H ON x.xxxxx95). floor(x*1e6 + 0.5)/1e6 is
+           -- the same IEEE op sequence in both engines, so it cannot
+           -- split; H >= 0 so the half-up convention is well-defined.
+           CAST(floor((12.0 / (n * (n + 1)) * rr - 3 * (n + 1))
+                      * 1000000.0 + 0.5) / 1000000.0 + 0.0
              AS DOUBLE) AS h_stat,
-           CAST(round((12.0 / (n * (n + 1)) * rr - 3 * (n + 1))
+           CAST(floor((12.0 / (n * (n + 1)) * rr - 3 * (n + 1))
                  / (1.0 - coalesce(tie_mass, 0) * 1.0
-                          / (n * n * n - n)), 6) + 0.0 AS DOUBLE)
+                          / (n * n * n - n))
+                      * 1000000.0 + 0.5) / 1000000.0 + 0.0 AS DOUBLE)
              AS h_stat_tie_adj
     FROM tot, ties
     """

@@ -3222,8 +3222,20 @@ def k_eval_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# RBP geometric weights as EXACT 1e-9 floor literals: the real value
+# 0.2 * 0.8^(rn-1) * 1e9 = 2 * 8^(rn-1) * 10^(9-rn) is an exact integer
+# for rn <= 9, so a pow()-computed double sits ulps AROUND the integer
+# and floor() flips per libm (the r12 census one-ppm line). Ten literal
+# mathematical floors have zero engine surface.
+_RBP_W_CASE = """CASE rn WHEN 1 THEN 200000000 WHEN 2 THEN 160000000
+                 WHEN 3 THEN 128000000 WHEN 4 THEN 102400000
+                 WHEN 5 THEN 81920000 WHEN 6 THEN 65536000
+                 WHEN 7 THEN 52428800 WHEN 8 THEN 41943040
+                 WHEN 9 THEN 33554432 ELSE 26843545 END"""
+
+
 def _body_rank_rbp() -> str:
-    return """
+    return f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
                FROM embeddings),
     q AS (SELECT vec_id AS qid, v AS qv, label AS ql FROM e
@@ -3238,15 +3250,16 @@ def _body_rank_rbp() -> str:
     ),
     weighted AS (
       SELECT qid,
-             sum(rel * CAST(floor(0.2 * power(0.8, rn - 1) * 1000000000)
-                            AS BIGINT)) AS rbp_q
+             sum(rel * CAST({_RBP_W_CASE} AS BIGINT)) AS rbp_q
       FROM ranked WHERE rn <= 10 GROUP BY qid
     )
     SELECT CAST(count(*) AS BIGINT) AS n_queries,
            CAST(floor(sum(rbp_q) / (count(*) * 1000.0)) AS BIGINT)
              AS rbp_micro,
-           CAST(min(rbp_q) / 1000 AS BIGINT) AS rbp_min_micro,
-           CAST(max(rbp_q) / 1000 AS BIGINT) AS rbp_max_micro
+           -- explicit floor: bare CAST(double AS BIGINT) ROUNDS in
+           -- DuckDB but TRUNCATES in Spark (r13 census fix)
+           CAST(floor(min(rbp_q) / 1000.0) AS BIGINT) AS rbp_min_micro,
+           CAST(floor(max(rbp_q) / 1000.0) AS BIGINT) AS rbp_max_micro
     FROM weighted
     """
 
@@ -3265,9 +3278,12 @@ def k_rank_rbp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Each geometric weight floor-quantizes to an exact 1e-9 integer
     before the per-query BIGINT sum, so the mean/min/max are exact
-    integer micro-units. Scale shape: a rank<=10 slice of the
-    session-memoized ``_exact_ranked`` ranking, then a 20-row spine
-    reduce."""
+    integer micro-units; the ten weights are spelled as LITERAL
+    mathematical floors (``_RBP_W_CASE``) because 0.2*0.8^(rn-1)*1e9
+    is itself an exact integer for rn<=9 and a pow()-computed double
+    floor flips per libm ulp (r13 census fix). Scale shape: a rank<=10
+    slice of the session-memoized ``_exact_ranked`` ranking, then a
+    20-row spine reduce."""
     from data_service_spark.queries.llm import (
         _EXACT_RANKED_DEPTH,
         _exact_ranked,
@@ -3289,10 +3305,7 @@ def k_rank_rbp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     weighted = ranked.groupBy("qid").agg(
         F.sum(
-            F.col("rel")
-            * F.floor(
-                F.lit(0.2) * F.pow(F.lit(0.8), F.col("rn") - 1) * 1000000000
-            ).cast("long")
+            F.col("rel") * F.expr(_RBP_W_CASE).cast("long")
         ).alias("rbp_q")
     )
     return weighted.agg(
@@ -3300,8 +3313,8 @@ def k_rank_rbp(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.sum("rbp_q") / (F.count(F.lit(1)) * 1000.0))
         .cast("long")
         .alias("rbp_micro"),
-        (F.min("rbp_q") / 1000).cast("long").alias("rbp_min_micro"),
-        (F.max("rbp_q") / 1000).cast("long").alias("rbp_max_micro"),
+        F.floor(F.min("rbp_q") / 1000.0).cast("long").alias("rbp_min_micro"),
+        F.floor(F.max("rbp_q") / 1000.0).cast("long").alias("rbp_max_micro"),
     )
 
 

@@ -595,10 +595,18 @@ def e_win_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
     )
     SELECT event_type, h AS hour_start, sv IS NULL AS interpolated,
-           round(CASE WHEN sv IS NOT NULL THEN sv
+           -- floor-based 4dp round (r13 census fix): the lerp of
+           -- 2dp-rounded endpoints at rational hour fractions lands
+           -- EXACTLY on 4dp halves (e.g. frac 3/8), where round()
+           -- half-handling differs per engine even on identical
+           -- doubles; floor(x*1e4 + 0.5) is the same IEEE op sequence
+           -- in both engines so it cannot split. CAST AS DOUBLE keeps
+           -- the fraction out of DuckDB's decimal-literal arithmetic.
+           floor(CASE WHEN sv IS NOT NULL THEN sv
                       ELSE pv + (nv - pv)
-                           * (date_diff('hour', ph, h) * 1.0
-                              / date_diff('hour', ph, nh)) END, 4) AS filled
+                           * (CAST(date_diff('hour', ph, h) AS DOUBLE)
+                              / date_diff('hour', ph, nh)) END
+                 * 10000.0 + 0.5) / 10000.0 AS filled
     FROM n
     """,
 )
@@ -652,18 +660,17 @@ def e_win_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first(obs_h, ignorenulls=True).over(fw).alias("nh"),
     )
     frac = (
-        F.timestamp_diff("HOUR", F.col("ph"), F.col("h"))
-        * F.lit(1.0)
+        F.timestamp_diff("HOUR", F.col("ph"), F.col("h")).cast("double")
         / F.timestamp_diff("HOUR", F.col("ph"), F.col("nh"))
     )
     lerp = F.col("pv") + (F.col("nv") - F.col("pv")) * frac
+    # floor-based 4dp round — see the oracle comment (r13 census fix)
+    filled = F.when(F.col("sv").isNotNull(), F.col("sv")).otherwise(lerp)
     return n.select(
         "event_type",
         F.col("h").alias("hour_start"),
         F.col("sv").isNull().alias("interpolated"),
-        F.round(F.when(F.col("sv").isNotNull(), F.col("sv")).otherwise(lerp), 4).alias(
-            "filled"
-        ),
+        (F.floor(filled * 10000.0 + 0.5) / 10000.0).alias("filled"),
     )
 
 
