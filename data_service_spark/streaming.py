@@ -103,28 +103,14 @@ def funnel_stream(events: DataFrame) -> DataFrame:
         # group's micro-batch across several ~10k-row pandas chunks, and a
         # signup in a later chunk must still see purchases from an earlier
         # chunk with a later ts. One concat + one sort per (group, batch)
-        # restores whole-batch event-time order.
+        # restores whole-batch event-time order (sort lives in
+        # ``_funnel_fold``, shared with the transformWithStateInPandas
+        # port so the two stateful APIs cannot drift).
         chunks = [pdf for pdf in pdfs if len(pdf)]
         if chunks:
-            batch = pd.concat(chunks, ignore_index=True).sort_values(
-                "ts", kind="stable"
+            first_signup_us, purchases = _funnel_fold(
+                pd.concat(chunks, ignore_index=True), first_signup_us, purchases
             )
-            # Vectorized fold (no per-row Python): a purchase at row i
-            # counts iff some signup strictly earlier in event time has
-            # been seen — i.e. ts_us[i] > running-min of signup ts through
-            # row i (the row itself is a purchase, so inclusive prefix ==
-            # exclusive prefix), seeded with the carried-in state.
-            import numpy as np
-
-            ts_us = batch["ts"].astype("int64").to_numpy() // 1000
-            is_signup = (batch["event_type"] == "signup").to_numpy()
-            is_purchase = (batch["event_type"] == "purchase").to_numpy()
-            seed = float("inf") if first_signup_us is None else first_signup_us
-            sig_ts = np.where(is_signup, ts_us.astype("float64"), np.inf)
-            eff_first = np.minimum(np.minimum.accumulate(sig_ts), seed)
-            purchases += int((is_purchase & (ts_us > eff_first)).sum())
-            if eff_first[-1] != float("inf"):
-                first_signup_us = int(eff_first[-1])
         state.update((first_signup_us, purchases))
         stage = 2 if purchases > 0 else (1 if first_signup_us is not None else 0)
         yield pd.DataFrame(
@@ -141,6 +127,99 @@ def funnel_stream(events: DataFrame) -> DataFrame:
         stateStructType="first_signup_us long, purchases long",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def _funnel_fold(
+    batch: pd.DataFrame, first_signup_us: int | None, purchases: int
+) -> tuple[int | None, int]:
+    """One (group, micro-batch) fold of the funnel state — shared verbatim
+    by the ``applyInPandasWithState`` path and the
+    ``transformWithStateInPandas`` port so the two APIs cannot drift.
+
+    Vectorized (no per-row Python): a purchase at row i counts iff some
+    signup strictly earlier in event time has been seen — ts_us[i] >
+    running-min of signup ts through row i, seeded with carried-in state.
+    """
+    import numpy as np
+
+    batch = batch.sort_values("ts", kind="stable")
+    ts_us = batch["ts"].astype("int64").to_numpy() // 1000
+    is_signup = (batch["event_type"] == "signup").to_numpy()
+    is_purchase = (batch["event_type"] == "purchase").to_numpy()
+    seed = float("inf") if first_signup_us is None else first_signup_us
+    sig_ts = np.where(is_signup, ts_us.astype("float64"), np.inf)
+    eff_first = np.minimum(np.minimum.accumulate(sig_ts), seed)
+    purchases += int((is_purchase & (ts_us > eff_first)).sum())
+    if eff_first[-1] != float("inf"):
+        first_signup_us = int(eff_first[-1])
+    return first_signup_us, purchases
+
+
+def funnel_stream_tws(events: DataFrame) -> DataFrame:
+    """``transformWithStateInPandas`` port of ``funnel_stream`` — the
+    Spark 4 successor stateful API (SPARK-49564). Same per-user scalar
+    state, same update-mode emissions; the fold is the SAME function
+    (``_funnel_fold``), so equivalence with the applyInPandasWithState
+    path is structural, not re-derived.
+
+    Environment gate: the TWS python worker imports ``google.protobuf``
+    at STREAMING_PYTHON_RUNNER_INITIALIZATION time, which this container
+    does not ship — so this path is exercised by
+    tests/test_streaming.py::test_stateful_funnel_tws_port, which
+    ``importorskip``s protobuf and otherwise pins the port's API shape
+    by inspection. The day the environment grows protobuf, the
+    equivalence test activates with no code change.
+    """
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class FunnelProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            # ValueState replaces GroupState: one (first_signup_us,
+            # purchases) tuple per user key, no TTL (the funnel is
+            # lifetime state by design, like the GroupState NoTimeout).
+            self._state = handle.getValueState(
+                "funnel", "first_signup_us long, purchases long"
+            )
+
+        def handleInputRows(
+            self, key: Any, rows: Iterator[pd.DataFrame], timerValues: Any
+        ) -> Iterator[pd.DataFrame]:
+            (user_id,) = key
+            if self._state.exists():
+                first_signup_us, purchases = self._state.get()
+            else:
+                first_signup_us, purchases = None, 0
+            # Concat chunk iterator BEFORE folding (same contract as the
+            # applyInPandasWithState path: one group's batch may arrive
+            # as several pandas chunks).
+            chunks = [pdf for pdf in rows if len(pdf)]
+            if chunks:
+                first_signup_us, purchases = _funnel_fold(
+                    pd.concat(chunks, ignore_index=True),
+                    first_signup_us,
+                    purchases,
+                )
+            self._state.update((first_signup_us, purchases))
+            stage = 2 if purchases > 0 else (1 if first_signup_us is not None else 0)
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "purchases_after_signup": [purchases],
+                    "funnel_stage": [stage],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=FunnelProcessor(),
+        outputStructType=(
+            "user_id long, purchases_after_signup long, funnel_stage int"
+        ),
+        outputMode="Update",
+        timeMode="None",
     )
 
 

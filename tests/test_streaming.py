@@ -202,6 +202,93 @@ def test_stateful_funnel(spark, tmp_path, sf_dir):
         assert final[r.user_id]["purchases_after_signup"] == r.purchases_after_signup, r
 
 
+def test_tws_port_api_shape(spark, tmp_path):
+    """The transformWithStateInPandas port of the funnel must COMPILE
+    against the Spark 4.1 TWS surface today (plan construction + schema),
+    even though the TWS python worker needs google.protobuf at runtime —
+    this pins the 'mechanical port' claim as code, and the shared
+    ``_funnel_fold`` is proven identical to the applyInPandasWithState
+    fold on a direct pandas call."""
+    from data_service_spark.streaming import _funnel_fold, funnel_stream_tws
+
+    d = str(tmp_path / "tws_shape")
+    write_event_files(spark, d, [ev(1, "2024-01-01 09:00", 1, "view")])
+    sdf = funnel_stream_tws(read_event_stream(spark, d))
+    assert sdf.isStreaming
+    assert [(f.name, f.dataType.simpleString()) for f in sdf.schema.fields] == [
+        ("user_id", "bigint"),
+        ("purchases_after_signup", "bigint"),
+        ("funnel_stage", "int"),
+    ]
+    # The fold itself (used by BOTH stateful APIs): purchase-before-signup
+    # ignored, post-signup purchase counted, state carries across calls.
+    b1 = pd.DataFrame(
+        {
+            "ts": [TS("2024-01-01 09:00"), TS("2024-01-01 09:05")],
+            "event_type": ["purchase", "signup"],
+        }
+    )
+    first, purchases = _funnel_fold(b1, None, 0)
+    assert purchases == 0 and first == TS("2024-01-01 09:05").value // 1000
+    b2 = pd.DataFrame(
+        {"ts": [TS("2024-01-01 10:00")], "event_type": ["purchase"]}
+    )
+    first, purchases = _funnel_fold(b2, first, purchases)
+    assert purchases == 1
+
+
+def test_stateful_funnel_tws_port(spark, tmp_path):
+    """ACTIVATES when the environment grows google.protobuf (the TWS
+    python worker's import): the transformWithStateInPandas funnel must
+    converge to the same per-user state as the applyInPandasWithState
+    path and the batch twin. Skips cleanly where protobuf is absent
+    (re-probed each round — SURVEY §8 environment notes)."""
+    pytest.importorskip("google.protobuf")
+    from data_service_spark.streaming import funnel_stream_tws
+
+    conf = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(conf)
+    # TWS requires the RocksDB state store provider.
+    spark.conf.set(
+        conf,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        d = str(tmp_path / "funnel_tws")
+        write_event_files(
+            spark,
+            d,
+            [
+                ev(1, "2024-01-01 09:00", 1, "view"),
+                ev(2, "2024-01-01 09:05", 1, "signup"),
+                ev(3, "2024-01-01 09:00", 2, "purchase"),
+            ],
+            [
+                ev(4, "2024-01-01 10:00", 1, "purchase"),
+                ev(5, "2024-01-01 10:05", 2, "signup"),
+            ],
+            [ev(6, "2024-01-01 11:00", 2, "purchase")],
+        )
+        sdf = funnel_stream_tws(
+            read_event_stream(spark, d, one_file_per_batch=True)
+        )
+        batches = drain_available_now(sdf, output_mode="update")
+        final = last_rows_per_key(batches, "user_id")
+        events = spark.read.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        ).parquet(d)
+        for r in funnel_batch(events).collect():
+            assert final[r.user_id]["funnel_stage"] == r.funnel_stage, r
+            assert (
+                final[r.user_id]["purchases_after_signup"]
+                == r.purchases_after_signup
+            ), r
+    finally:
+        spark.conf.set(conf, old)
+
+
 def test_stream_stream_join_matches_batch(spark, tmp_path):
     """i_stream_join: watermarked stream-stream interval join produces the
     same pairs as the batch twin over the same files."""
