@@ -2605,3 +2605,277 @@ def k_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.sql(_vocab_fit_sql(f"SELECT * FROM {view}"))
     finally:
         spark.catalog.dropTempView(view)
+
+
+# ------------------------------ generation-eval overlap metrics (r13) ----
+
+# BLEU / ROUGE-N / distinct-n share one clipped-n-gram machine over
+# deterministic within-source (candidate, reference) document pairs:
+# rn-adjacent docs by doc_id, each doc used in at most one pair. The
+# engine-split surfaces are array/lambda spellings only; counts are
+# exact integers and every ratio is a correctly-rounded division of
+# exact integers (identical cross-engine), rounded via the bit-identical
+# floor form. The one libm exposure is BLEU's brevity-penalty exp(),
+# documented on the key.
+_EVAL_SPARK = {
+    "TOK": "filter(split(lower(text), ' '), t -> t <> '')",
+    "SIZE": "size",
+    "EXPLODE": "explode",
+    "ARRCAT": "concat",
+    "EMPTY": "array()",
+    # sequence() is guarded by the CASE: Spark auto-steps DOWN for
+    # sequence(2, 1) (the standing trap), so size >= 2 must gate it
+    "BIGRAMS": (
+        "CASE WHEN size({a}) >= 2 THEN transform(sequence(2, size({a})),"
+        " i -> concat(element_at({a}, i - 1), ' ', element_at({a}, i))) END"
+    ),
+}
+_EVAL_DUCK = {
+    "TOK": "list_filter(string_split(lower(text), ' '), t -> t <> '')",
+    "SIZE": "len",
+    "EXPLODE": "unnest",
+    "ARRCAT": "list_concat",
+    "EMPTY": "[]",
+    "BIGRAMS": (
+        "CASE WHEN len({a}) >= 2 THEN list_transform(generate_series(2,"
+        " len({a})), i -> {a}[i - 1] || ' ' || {a}[i]) END"
+    ),
+}
+
+
+def _eval_pairs_sql(d: dict) -> str:
+    """(source, cand_id, ca, ra) — rn-odd doc paired with its rn+1
+    neighbor within source via lead() (single corpus pass, no self-join:
+    Spark inlines multi-referenced CTEs)."""
+    return f"""
+      SELECT source, doc_id AS cand_id, ca, ra
+      FROM (
+        SELECT source, doc_id, a AS ca,
+               lead(a) OVER (PARTITION BY source ORDER BY doc_id) AS ra,
+               row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        FROM (SELECT source, doc_id, {d['TOK']} AS a FROM documents) t
+      ) p
+      WHERE rn % 2 = 1 AND ra IS NOT NULL
+    """
+
+
+def _eval_overlap_prefix(d: dict, pairs_src: str) -> str:
+    """CTE chain pairs -> per-pair clipped gram matches + exact totals.
+
+    Uni- and bigrams ride ONE explode per side (bigrams contain a space,
+    so n derives from the gram itself) keeping every CTE
+    single-referenced except `pairs` (3 refs — the Spark caller
+    localCheckpoints it; DuckDB materializes CTEs). Totals come from
+    array sizes, not a gram re-scan."""
+    big_c = d["BIGRAMS"].format(a="ca")
+    big_r = d["BIGRAMS"].format(a="ra")
+    return f"""
+    WITH pairs AS ({pairs_src}),
+    cg0 AS (
+      SELECT cand_id,
+             {d['EXPLODE']}({d['ARRCAT']}(ca, coalesce({big_c}, {d['EMPTY']})))
+               AS gram
+      FROM pairs
+    ), rg0 AS (
+      SELECT cand_id,
+             {d['EXPLODE']}({d['ARRCAT']}(ra, coalesce({big_r}, {d['EMPTY']})))
+               AS gram
+      FROM pairs
+    ), cg AS (
+      SELECT cand_id, CASE WHEN gram LIKE '% %' THEN 2 ELSE 1 END AS n,
+             gram, count(*) AS c
+      FROM cg0 GROUP BY 1, 2, 3
+    ), rg AS (
+      SELECT cand_id, CASE WHEN gram LIKE '% %' THEN 2 ELSE 1 END AS n,
+             gram, count(*) AS c
+      FROM rg0 GROUP BY 1, 2, 3
+    ), m AS (
+      SELECT cg.n,
+             sum(CASE WHEN cg.c < rg.c THEN cg.c ELSE rg.c END) AS matched
+      FROM cg JOIN rg ON cg.cand_id = rg.cand_id AND cg.n = rg.n
+                     AND cg.gram = rg.gram
+      GROUP BY cg.n
+    ), mm AS (
+      SELECT coalesce(sum(CASE WHEN n = 1 THEN matched END), 0) AS m1,
+             coalesce(sum(CASE WHEN n = 2 THEN matched END), 0) AS m2
+      FROM m
+    ), lens AS (
+      SELECT count(*) AS n_pairs,
+             sum({d['SIZE']}(ca)) AS c_tok, sum({d['SIZE']}(ra)) AS r_tok,
+             sum(greatest({d['SIZE']}(ca) - 1, 0)) AS c_bi,
+             sum(greatest({d['SIZE']}(ra) - 1, 0)) AS r_bi
+      FROM pairs
+    )
+    """
+
+
+def _body_bleu(d: dict, pairs_src: str) -> str:
+    return _eval_overlap_prefix(d, pairs_src) + """
+    SELECT CAST(l.n_pairs AS BIGINT) AS n_pairs,
+           CAST(l.c_tok AS BIGINT) AS cand_tokens,
+           CAST(l.r_tok AS BIGINT) AS ref_tokens,
+           CAST(mm.m1 AS BIGINT) AS match_1,
+           CAST(mm.m2 AS BIGINT) AS match_2,
+           CAST(l.c_bi AS BIGINT) AS cand_bigrams,
+           floor(mm.m1 * 1.0e0 / nullif(l.c_tok, 0) * 1000000.0e0 + 0.5)
+             / 1000000.0e0 AS p1,
+           floor(mm.m2 * 1.0e0 / nullif(l.c_bi, 0) * 1000000.0e0 + 0.5)
+             / 1000000.0e0 AS p2,
+           floor(CASE WHEN l.c_tok >= l.r_tok THEN 1.0e0
+                      ELSE exp(1.0e0 - l.r_tok * 1.0e0 / nullif(l.c_tok, 0))
+                 END * 1000000.0e0 + 0.5) / 1000000.0e0 AS brevity_penalty,
+           floor(CASE WHEN l.c_tok >= l.r_tok THEN 1.0e0
+                      ELSE exp(1.0e0 - l.r_tok * 1.0e0 / nullif(l.c_tok, 0))
+                 END
+                 * sqrt((mm.m1 * 1.0e0 / nullif(l.c_tok, 0))
+                        * (mm.m2 * 1.0e0 / nullif(l.c_bi, 0)))
+                 * 10000.0e0 + 0.5) / 10000.0e0 AS bleu_2
+    FROM lens l CROSS JOIN mm
+    """
+
+
+def _body_rouge(d: dict, pairs_src: str) -> str:
+    return _eval_overlap_prefix(d, pairs_src) + """
+    , spine AS (SELECT 1 AS n UNION ALL SELECT 2)
+    SELECT CAST(s.n AS INT) AS ngram_n,
+           CAST(CASE WHEN s.n = 1 THEN mm.m1 ELSE mm.m2 END AS BIGINT)
+             AS n_matched,
+           CAST(CASE WHEN s.n = 1 THEN l.c_tok ELSE l.c_bi END AS BIGINT)
+             AS cand_grams,
+           CAST(CASE WHEN s.n = 1 THEN l.r_tok ELSE l.r_bi END AS BIGINT)
+             AS ref_grams,
+           floor(CASE WHEN s.n = 1 THEN mm.m1 ELSE mm.m2 END * 1.0e0
+                 / nullif(CASE WHEN s.n = 1 THEN l.c_tok ELSE l.c_bi END, 0)
+                 * 1000000.0e0 + 0.5) / 1000000.0e0 AS rouge_precision,
+           floor(CASE WHEN s.n = 1 THEN mm.m1 ELSE mm.m2 END * 1.0e0
+                 / nullif(CASE WHEN s.n = 1 THEN l.r_tok ELSE l.r_bi END, 0)
+                 * 1000000.0e0 + 0.5) / 1000000.0e0 AS rouge_recall,
+           floor(coalesce(
+                 2.0e0 * (CASE WHEN s.n = 1 THEN mm.m1 ELSE mm.m2 END * 1.0e0)
+                 / nullif((CASE WHEN s.n = 1 THEN l.c_tok ELSE l.c_bi END)
+                          + (CASE WHEN s.n = 1 THEN l.r_tok ELSE l.r_bi END),
+                          0), 0.0e0)
+                 * 1000000.0e0 + 0.5) / 1000000.0e0 AS rouge_f1
+    FROM spine s CROSS JOIN lens l CROSS JOIN mm
+    """
+
+
+@register(
+    "k_eval_bleu",
+    oracle=_body_bleu(_EVAL_DUCK, _eval_pairs_sql(_EVAL_DUCK)),
+)
+def k_eval_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus BLEU-2 (Papineni 2002) over deterministic within-source
+    document pairs: clipped uni/bigram precision with brevity penalty —
+    BLEU = BP * sqrt(p1 * p2). The reference-overlap eval a generation
+    pipeline runs between model outputs and references; here the pair
+    spine is rn-adjacent docs per source, so the metric doubles as a
+    neighbor-similarity floor for the corpus itself. Clipping
+    (min(cand_count, ref_count) per gram) is the part naive precision
+    gets wrong — a candidate repeating one common token scores ~0, not 1.
+
+    Exactness: matches/totals are exact integers; p1/p2 are single
+    correctly-rounded divisions (identical cross-engine); the ONE libm
+    surface is the brevity-penalty exp() under 4dp rounding (the
+    documented ln/exp exposure class). BP is also emitted separately so
+    the exp surface is auditable. F1-style denominators carry nullif
+    fences for empty-token corpora.
+
+    Scale: one tokenize pass to the pair spine (lead(), no self-join),
+    one explode per side with uni+bigrams riding the same explode, one
+    (pair, gram)-keyed join of Zipf-compact count tables. The Spark
+    side localCheckpoints the 3-times-referenced pair table (Spark
+    inlines multi-referenced CTEs — the k_bradley_terry pattern).
+    """
+    import uuid
+
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    view = f"dss_eval_pairs_{uuid.uuid4().hex[:12]}"
+    spark.sql(_eval_pairs_sql(_EVAL_SPARK)).localCheckpoint() \
+        .createOrReplaceTempView(view)
+    try:
+        return spark.sql(_body_bleu(_EVAL_SPARK, f"SELECT * FROM {view}"))
+    finally:
+        spark.catalog.dropTempView(view)
+
+
+@register(
+    "k_eval_rouge_n",
+    oracle=_body_rouge(_EVAL_DUCK, _eval_pairs_sql(_EVAL_DUCK)),
+)
+def k_eval_rouge_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus ROUGE-1 / ROUGE-2 (Lin 2004) precision, recall and F1 over
+    the same deterministic pair spine as ``k_eval_bleu`` — the
+    recall-oriented complement (summarization eval weights what the
+    REFERENCE contains, BLEU what the CANDIDATE asserts). One row per
+    n ∈ {1, 2} with the exact integer match/total counts beside each
+    ratio, so downstream re-aggregation needs no re-scan.
+
+    Pure-rational surface: every emitted float is one correctly-rounded
+    division of exact integers (identical cross-engine, no libm
+    anywhere), rounded via the bit-identical floor form; nullif fences
+    empty gram totals, coalesce pins F1 of a zero-overlap corpus to 0.
+
+    Scale: identical machine to ``k_eval_bleu`` (shared CTE builder) —
+    single tokenize, single explode per side, gram-keyed compact join;
+    pair table localCheckpointed on the Spark side.
+    """
+    import uuid
+
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    view = f"dss_eval_pairs_{uuid.uuid4().hex[:12]}"
+    spark.sql(_eval_pairs_sql(_EVAL_SPARK)).localCheckpoint() \
+        .createOrReplaceTempView(view)
+    try:
+        return spark.sql(_body_rouge(_EVAL_SPARK, f"SELECT * FROM {view}"))
+    finally:
+        spark.catalog.dropTempView(view)
+
+
+def _body_distinct_n(d: dict) -> str:
+    big = d["BIGRAMS"].format(a="a")
+    return f"""
+    WITH toks AS (
+      SELECT source, {d['TOK']} AS a FROM documents
+    ), g0 AS (
+      SELECT source,
+             {d['EXPLODE']}({d['ARRCAT']}(a, coalesce({big}, {d['EMPTY']})))
+               AS gram
+      FROM toks
+    ), agg AS (
+      SELECT source, CASE WHEN gram LIKE '% %' THEN 2 ELSE 1 END AS n,
+             count(*) AS total_grams, count(DISTINCT gram) AS distinct_grams
+      FROM g0 GROUP BY 1, 2
+    )
+    SELECT source, CAST(n AS INT) AS ngram_n,
+           CAST(total_grams AS BIGINT) AS total_grams,
+           CAST(distinct_grams AS BIGINT) AS distinct_grams,
+           CAST(floor(distinct_grams * 1000000.0 / nullif(total_grams, 0))
+                AS BIGINT) AS distinct_ppm
+    FROM agg
+    """
+
+
+@register("k_eval_distinct_n", oracle=_body_distinct_n(_EVAL_DUCK))
+def k_eval_distinct_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-1 / distinct-2 diversity (Li 2016) per source: the share
+    of n-grams that are unique — THE degeneracy alarm for generated or
+    templated text (mode-collapsed generations and boilerplate feeds
+    crater distinct-2 long before perplexity moves). Complements
+    ``k_text_ttr`` (type-token is per-doc; this is the per-source pool
+    where cross-doc repetition shows) and ``k_text_dup_ngram_frac``
+    (which asks how much of one doc is corpus-duplicated; this asks how
+    varied the source's gram pool is).
+
+    Uni- and bigrams ride ONE explode (bigrams contain a space, so n
+    derives from the gram), keeping the token CTE single-referenced —
+    no checkpoint needed. distinct_ppm is an exact BIGINT floor: the
+    scaled numerator stays under 2^53 so the division is correctly
+    rounded identically in both engines.
+
+    Scale: one tokenize+explode pass, one (source, n, gram) distinct
+    aggregate — the same Zipf-compact shuffle class as the vocabulary
+    keys; output is |sources| x 2 rows.
+    """
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_body_distinct_n(_EVAL_SPARK))

@@ -1316,3 +1316,102 @@ def q_semi_anti_sql(spark: "SparkSession", sf_dir: str) -> "DataFrame":
           ON s_suppkey = l_suppkey AND l_shipdate >= TIMESTAMP '1997-06-01'
         """,
     )
+
+
+@register(
+    "q_sql_udtf",
+    oracle="""
+    SELECT c.cut, t.event_type, t.n, t.sum_value
+    FROM (VALUES (100.0e0), (250.0e0)) c(cut)
+    CROSS JOIN LATERAL (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             round(sum(value), 2) AS sum_value
+      FROM events WHERE value > c.cut GROUP BY event_type
+    ) t
+    """,
+)
+def q_sql_udtf(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """SQL UDTF (Spark 4 ``CREATE FUNCTION … RETURNS TABLE``) invoked
+    LATERALLY with a correlated argument — the catalog-resident table
+    function a SQL web service exposes so users name a parameterized
+    subquery instead of pasting it (the SQL-native sibling of the
+    Python UDTF surface ``j_udtf`` / ``j_udtf_table_arg``). The oracle
+    inlines the function body as a correlated LATERAL subquery —
+    definitionally the same relation, so the hash-match proves Spark's
+    UDTF expansion equals the inline plan.
+
+    Cutoffs are spelled ``100.0e0`` (DOUBLE, not DECIMAL) in both
+    texts — the standing decimal-literal fence.
+
+    Scale: each lateral invocation is one grouped aggregate with the
+    correlated predicate pushed into the scan; the spine is 2 rows, so
+    the plan is a bounded union of pushed-down scans, not a row-wise
+    loop.
+    """
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION dss_evt_above(cut DOUBLE)
+        RETURNS TABLE (event_type STRING, n BIGINT, sum_value DOUBLE)
+        RETURN SELECT event_type, count(*), round(sum(value), 2)
+               FROM events WHERE value > cut GROUP BY event_type
+        """
+    )
+    return spark.sql(
+        """
+        SELECT c.cut, t.event_type, t.n, t.sum_value
+        FROM (VALUES (100.0e0), (250.0e0)) c(cut),
+             LATERAL dss_evt_above(c.cut) t
+        """
+    )
+
+
+@register(
+    "q_like_any",
+    oracle="""
+    SELECT p_brand,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(CASE WHEN p_type LIKE '%BRASS' OR p_type LIKE '%COPPER'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_like_any,
+           CAST(sum(CASE WHEN p_type LIKE 'PROMO%' AND p_type LIKE '%TIN'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_like_all,
+           CAST(sum(CASE WHEN NOT (p_name LIKE '%green%'
+                                   OR p_name LIKE '%blue%')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_like_neither
+    FROM part GROUP BY p_brand
+    """,
+)
+def q_like_any(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """``LIKE ANY`` / ``LIKE ALL`` multi-pattern predicates (Spark
+    dialect) against their portable OR/AND expansion (the oracle text) —
+    a translation-pair key like ``q_distinct_on``: the service accepts
+    the concise dialect form, and the hash-match proves it equals the
+    ANSI expansion DuckDB runs. Covers the negated form too —
+    ``NOT LIKE ALL`` ("matches neither") ≡ NOT (… OR …); note the
+    dialect trap that ``NOT LIKE ANY`` instead means "fails at least
+    one pattern" (probed, not assumed). Corpus strings are non-NULL;
+    null semantics of the expansion are pinned separately by the
+    b_filter_null_semantics family.
+
+    Scale: all three predicates are scan-stage row filters folded into
+    one aggregate pass over ``part`` — no shuffle beyond the
+    5-row-group hash aggregate; StartsWith/EndsWith patterns stay
+    codegen string ops (no regex compilation).
+    """
+    return _sql(
+        spark,
+        sf_dir,
+        ["part"],
+        """
+        SELECT p_brand,
+               count(*) AS n_parts,
+               CAST(sum(CASE WHEN p_type LIKE ANY ('%BRASS', '%COPPER')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_like_any,
+               CAST(sum(CASE WHEN p_type LIKE ALL ('PROMO%', '%TIN')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_like_all,
+               CAST(sum(CASE WHEN p_name NOT LIKE ALL ('%green%', '%blue%')
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_like_neither
+        FROM part GROUP BY p_brand
+        """,
+    )

@@ -5469,3 +5469,151 @@ def test_vocab_overlap_matches_python_sets(spark, sf_dir):
         assert (r.vocab_a, r.vocab_b, r.n_common) == (len(a), len(b), inter)
         assert abs(r.jaccard - inter / len(a | b)) < 1e-3
         assert abs(r.containment_min - inter / min(len(a), len(b))) < 1e-3
+
+
+def test_eval_bleu_rouge_match_python_recompute(spark, sf_dir):
+    """r13 eval keys: pairing, clipped-gram matches, BLEU-2 and ROUGE-N
+    recomputed in plain Python from the same tokenize convention."""
+    import math
+    from collections import Counter
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("source", "doc_id", "text")
+        .toPandas()
+        .sort_values(["source", "doc_id"])
+    )
+    pairs = []
+    for _, g in docs.groupby("source"):
+        rows = list(g.itertuples())
+        for i in range(0, len(rows) - 1, 2):
+            tok = lambda r: [t for t in r.text.lower().split(" ") if t]
+            pairs.append((tok(rows[i]), tok(rows[i + 1])))
+
+    def grams(a, n):
+        return Counter(
+            " ".join(a[i : i + n]) for i in range(len(a) - n + 1)
+        )
+
+    m = {1: 0, 2: 0}
+    c_tot = {1: 0, 2: 0}
+    r_tot = {1: 0, 2: 0}
+    for ca, ra in pairs:
+        for n in (1, 2):
+            cg, rg = grams(ca, n), grams(ra, n)
+            m[n] += sum(min(c, rg[g]) for g, c in cg.items())
+            c_tot[n] += sum(cg.values())
+            r_tot[n] += sum(rg.values())
+
+    b = QUERIES["k_eval_bleu"](spark, sf_dir).collect()[0]
+    assert b.n_pairs == len(pairs)
+    assert (b.match_1, b.match_2) == (m[1], m[2])
+    assert (b.cand_tokens, b.ref_tokens) == (c_tot[1], r_tot[1])
+    assert b.cand_bigrams == c_tot[2]
+    p1, p2 = m[1] / c_tot[1], m[2] / c_tot[2]
+    bp = 1.0 if c_tot[1] >= r_tot[1] else math.exp(1 - r_tot[1] / c_tot[1])
+    assert abs(b.p1 - p1) < 1e-5 and abs(b.p2 - p2) < 1e-5
+    assert abs(b.brevity_penalty - bp) < 1e-5
+    assert abs(b.bleu_2 - bp * math.sqrt(p1 * p2)) < 1e-3
+    assert 0 <= b.bleu_2 <= 1
+
+    rough = {r.ngram_n: r for r in QUERIES["k_eval_rouge_n"](spark, sf_dir).collect()}
+    for n in (1, 2):
+        r = rough[n]
+        assert (r.n_matched, r.cand_grams, r.ref_grams) == (m[n], c_tot[n], r_tot[n])
+        prec, rec = m[n] / c_tot[n], m[n] / r_tot[n]
+        assert abs(r.rouge_precision - prec) < 1e-5
+        assert abs(r.rouge_recall - rec) < 1e-5
+        assert abs(r.rouge_f1 - 2 * m[n] / (c_tot[n] + r_tot[n])) < 1e-5
+
+
+def test_eval_distinct_n_matches_python_recompute(spark, sf_dir):
+    """distinct-n per source: exact integer totals and ppm floors."""
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("source", "text")
+        .toPandas()
+    )
+    got = {
+        (r.source, r.ngram_n): r
+        for r in QUERIES["k_eval_distinct_n"](spark, sf_dir).collect()
+    }
+    for source, g in docs.groupby("source"):
+        uni, bi = set(), set()
+        t1 = t2 = 0
+        for text in g["text"]:
+            a = [t for t in text.lower().split(" ") if t]
+            uni.update(a)
+            t1 += len(a)
+            bgs = [f"{a[i]} {a[i+1]}" for i in range(len(a) - 1)]
+            bi.update(bgs)
+            t2 += len(bgs)
+        for n, d, t in ((1, uni, t1), (2, bi, t2)):
+            r = got[(source, n)]
+            assert (r.distinct_grams, r.total_grams) == (len(d), t)
+            assert r.distinct_ppm == len(d) * 1000000 // t
+
+
+def test_like_any_matches_dataframe_recount(spark, sf_dir):
+    """q_like_any: the LIKE ANY/ALL dialect forms against a DataFrame-API
+    recount with explicit boolean algebra."""
+    part = load(spark, sf_dir, "part")
+    exp = {
+        r.p_brand: r
+        for r in part.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum(
+                (
+                    F.col("p_type").endswith("BRASS")
+                    | F.col("p_type").endswith("COPPER")
+                ).cast("long")
+            ).alias("n_like_any"),
+            F.sum(
+                (
+                    F.col("p_type").startswith("PROMO")
+                    & F.col("p_type").endswith("TIN")
+                ).cast("long")
+            ).alias("n_like_all"),
+            F.sum(
+                (
+                    ~(
+                        F.col("p_name").contains("green")
+                        | F.col("p_name").contains("blue")
+                    )
+                ).cast("long")
+            ).alias("n_like_neither"),
+        )
+        .collect()
+    }
+    for r in QUERIES["q_like_any"](spark, sf_dir).collect():
+        e = exp[r.p_brand]
+        assert (r.n_parts, r.n_like_any, r.n_like_all, r.n_like_neither) == (
+            e.n_parts,
+            e.n_like_any,
+            e.n_like_all,
+            e.n_like_neither,
+        )
+
+
+def test_sql_udtf_matches_inline_subquery(spark, sf_dir):
+    """q_sql_udtf: the catalog table-function expansion equals the inline
+    correlated aggregate, cutoff by cutoff."""
+    rows = QUERIES["q_sql_udtf"](spark, sf_dir).collect()
+    events = load(spark, sf_dir, "events")
+    for cut in (100.0, 250.0):
+        exp = {
+            r.event_type: r
+            for r in events.filter(F.col("value") > cut)
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("value"), 2).alias("sum_value"),
+            )
+            .collect()
+        }
+        got = [r for r in rows if r.cut == cut]
+        assert len(got) == len(exp)
+        for r in got:
+            assert r.n == exp[r.event_type].n
+            assert abs(r.sum_value - exp[r.event_type].sum_value) < 1e-6

@@ -101,11 +101,36 @@ def test_topk_uses_take_ordered(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
 
 
-def test_no_accidental_cartesian_products(spark, sf_dir):
-    """Global audit: no key's plan may contain a CartesianProduct unless it
-    is semantically a cross join. (BroadcastNestedLoopJoin with a broadcast
-    small side is acceptable for theta joins; an unbroadcast cartesian of
-    two big sides is never acceptable at 100 TB.)"""
+def test_registry_wide_cartesian_and_decimal_audit(spark, sf_dir):
+    """Global single-pass audit (r13: merged the former cartesian-product
+    and decimal-output sweeps, which each rebuilt all ~600 key DataFrames —
+    the two slowest tests in the suite at ~165 s combined):
+
+    1. No key's plan may contain a CartesianProduct unless it is
+       semantically a cross join (BroadcastNestedLoopJoin with a broadcast
+       small side is acceptable for theta joins; an unbroadcast cartesian
+       of two big sides is never acceptable at 100 TB).
+    2. No ORACLED key may emit a DecimalType column: Spark returns
+       ``Decimal('x.0328000')`` where DuckDB returns DOUBLE ``x.0328`` and
+       the driver's value-hash distinguishes them even when numerically
+       equal — the one r03 driver failure (q_tpch_q09; twin k_text_langid).
+
+    Both checks are analysis/planning only — nothing executes."""
+    from pyspark.sql.types import ArrayType, DecimalType, MapType, StructType
+
+    from data_service_spark.registry import ORACLES
+
+    def has_decimal(dt) -> bool:
+        if isinstance(dt, DecimalType):
+            return True
+        if isinstance(dt, StructType):
+            return any(has_decimal(f.dataType) for f in dt.fields)
+        if isinstance(dt, ArrayType):
+            return has_decimal(dt.elementType)
+        if isinstance(dt, MapType):
+            return has_decimal(dt.keyType) or has_decimal(dt.valueType)
+        return False
+
     # k_attribution_markov's scenario build is a theta-join of the 5-row
     # channel spine against the <=49-row transition grid — an intentional
     # tiny cross, never data-sized.
@@ -113,14 +138,20 @@ def test_no_accidental_cartesian_products(spark, sf_dir):
     sinks = {k for k in QUERIES if k.startswith("a_sink")}  # these write
     bad = []
     for key in sorted(QUERIES):
-        if key in intentionally_cross | sinks:
+        skip_plan = key in intentionally_cross | sinks
+        skip_decimal = key not in ORACLES
+        if skip_plan and skip_decimal:
             continue
         try:
-            plan = plan_of(QUERIES[key](spark, sf_dir), "simple")
+            df = QUERIES[key](spark, sf_dir)
         except Exception as exc:  # pragma: no cover - surface in assert
-            bad.append((key, f"plan build failed: {exc}"))
+            bad.append((key, f"build failed: {exc}"))
             continue
-        if "CartesianProduct" in plan:
+        if not skip_decimal:
+            dec = [f.name for f in df.schema.fields if has_decimal(f.dataType)]
+            if dec:
+                bad.append((key, f"DecimalType output: {dec}"))
+        if not skip_plan and "CartesianProduct" in plan_of(df, "simple"):
             bad.append((key, "CartesianProduct"))
     assert not bad, bad
 

@@ -189,6 +189,7 @@ k_cliffs_delta k_bartlett_test k_odds_ratio_ci k_gumbel_block_maxima
 k_theil_index k_mood_median k_fdr_by k_bhattacharyya_hists
 q_semi_anti_sql k_ljung_box k_dft_periodogram k_mutual_info k_tail_gpd
 k_anova_oneway k_welch_anova k_icc_oneway d_agg_geomean k_vocab_overlap
+q_sql_udtf q_like_any k_eval_bleu k_eval_rouge_n k_eval_distinct_n
 """.split()
 
 
@@ -261,32 +262,9 @@ def test_survey_s2_matches_registry():
     )
 
 
-def test_no_decimal_output_on_oracled_keys(spark, sf_dir):
-    """No oracled key may emit a DecimalType column: Spark returns
-    ``Decimal('x.0328000')`` where DuckDB returns DOUBLE ``x.0328`` and the
-    driver's value-hash distinguishes them even when numerically equal —
-    the one r03 driver failure (q_tpch_q09; twin k_text_langid). Analysis
-    only: building the DataFrame resolves the schema without executing."""
-    from pyspark.sql.types import ArrayType, DecimalType, MapType, StructType
-
-    def has_decimal(dt) -> bool:
-        if isinstance(dt, DecimalType):
-            return True
-        if isinstance(dt, StructType):
-            return any(has_decimal(f.dataType) for f in dt.fields)
-        if isinstance(dt, ArrayType):
-            return has_decimal(dt.elementType)
-        if isinstance(dt, MapType):
-            return has_decimal(dt.keyType) or has_decimal(dt.valueType)
-        return False
-
-    offenders = {}
-    for key in sorted(ORACLES):
-        schema = QUERIES[key](spark, sf_dir).schema
-        bad = [f.name for f in schema.fields if has_decimal(f.dataType)]
-        if bad:
-            offenders[key] = bad
-    assert not offenders, offenders
+# The DecimalType-output audit lives in tests/test_plans.py::
+# test_registry_wide_cartesian_and_decimal_audit (r13: merged with the
+# cartesian sweep so the ~600 key DataFrames are built once, not twice).
 
 
 def test_registry_totals_match_prose():
