@@ -2850,7 +2850,7 @@ def _body_distinct_n(d: dict) -> str:
     SELECT source, CAST(n AS INT) AS ngram_n,
            CAST(total_grams AS BIGINT) AS total_grams,
            CAST(distinct_grams AS BIGINT) AS distinct_grams,
-           CAST(floor(distinct_grams * 1000000.0 / nullif(total_grams, 0))
+           CAST(floor(distinct_grams * 1000000.0e0 / nullif(total_grams, 0))
                 AS BIGINT) AS distinct_ppm
     FROM agg
     """

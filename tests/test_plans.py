@@ -924,3 +924,38 @@ def test_ordinal_assoc_quadratic_work_stays_on_cells(spark, sf_dir):
     corpus rows."""
     plan = plan_of(QUERIES["k_ordinal_assoc"](spark, sf_dir), "simple")
     assert "CartesianProduct" not in plan
+
+
+def test_eval_gram_machine_plan_shapes(spark, sf_dir):
+    """r13 eval keys: distinct-n's bigrams must ride the unigram explode
+    (exactly ONE Generate — the single-pass design), and BLEU's machine
+    must explode once per side off the checkpointed pair table with the
+    gram join staying an equi-hash join (no cartesian)."""
+    p = plan_of(QUERIES["k_eval_distinct_n"](spark, sf_dir), "simple")
+    assert p.count("Generate") == 1, p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    p = plan_of(QUERIES["k_eval_bleu"](spark, sf_dir), "simple")
+    assert p.count("Generate") == 2, p  # one per side, never re-tokenizing
+    assert "CartesianProduct" not in p
+    # pairs table is read from the localCheckpoint, not re-derived: no
+    # parquet scan of documents may survive into the consuming plan
+    assert "documents.parquet" not in p
+
+
+def test_like_any_plan_is_codegen_string_ops(spark, sf_dir):
+    """LIKE ANY/ALL with anchored patterns must fold to codegen
+    StartsWith/EndsWith/Contains (no regex compilation) and prune the
+    scan to the three referenced columns."""
+    p = plan_of(QUERIES["q_like_any"](spark, sf_dir))
+    assert "StartsWith" in p and "EndsWith" in p and "Contains" in p
+    read_schema = p.split("ReadSchema:")[1].splitlines()[0]
+    assert "p_size" not in read_schema and "p_partkey" not in read_schema
+
+
+def test_sql_udtf_lateral_broadcasts_spine(spark, sf_dir):
+    """The correlated SQL-UDTF lateral must broadcast the 2-row cutoff
+    spine against the events scan — never a cartesian, never a broadcast
+    of the corpus side."""
+    p = plan_of(QUERIES["q_sql_udtf"](spark, sf_dir), "simple")
+    assert "CartesianProduct" not in p
+    assert "BroadcastExchange" in p
