@@ -20,6 +20,10 @@ SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
 # key → (what to look for, why it matters at 100 TB)
 SHOWCASE = {
+    "k_eval_bleu": (
+        "lead()-paired spine localCheckpointed ONCE -> one explode per side -> (pair, gram)-keyed hash join of Zipf-compact count tables",
+        "clipped-precision generation eval whose shuffles carry gram counts, never text; uni+bigrams ride a single Generate per side and the 3-times-referenced pair table is pinned (Spark inlines multi-referenced CTEs)",
+    ),
     "k_text_winnowing": (
         "staged map-only array algebra: k-gram md5 array ONCE -> winnowed min-set ONCE -> scalar projections; zero shuffle",
         "MOSS fingerprint selection at scan site; staging matters because interpreted array lambdas get no codegen CSE (inlining re-hashed the doc 5x)",
