@@ -147,22 +147,32 @@ def test_pyavro_empty_dir_schema_error(spark, tmp_path):
         spark.read.format("pyavro").option("path", empty).load()
 
 
-def test_hive_metastore_persists_across_processes(sf_dir, tmp_path):
-    """Phase 1 creates dss.region_hive via a hive-enabled child session
-    (saveAsTable + ANALYZE); phase 2 is a FRESH process that only does
-    spark.table — it can succeed only if the Derby metastore persisted the
-    catalog entry and its stats."""
-    wh, ms = str(tmp_path / "wh"), str(tmp_path / "ms")
-    h1, h2 = str(tmp_path / "h1"), str(tmp_path / "h2")
+def test_hive_metastore_persists_across_processes(spark, sf_dir, tmp_path):
+    """Phase 1 is ``a_sink_hive_table``'s own child-JVM roundtrip
+    (saveAsTable + ANALYZE into a Derby metastore under the operator's
+    scratch dir — session-memoized, so a suite run shares the one child
+    bring-up with the registry-wide audit instead of paying a second
+    ~25 s JVM here); phase 2 is a FRESH process that only does
+    spark.table against that SAME metastore — it can succeed only if
+    Derby persisted the catalog entry and its stats across processes
+    (--read-only re-asserts DESCRIBE EXTENDED Statistics)."""
+    from data_service_spark.queries.scans import _tmpdir
+    from data_service_spark.registry import QUERIES
+
+    QUERIES["a_sink_hive_table"](spark, sf_dir).count()  # phase 1 (memoized)
+    base_dir = _tmpdir("hive_roundtrip")
+    wh = os.path.join(base_dir, "warehouse")
+    ms = os.path.join(base_dir, "metastore_db")
+    h2 = str(tmp_path / "h2")
     src = os.path.join(sf_dir, "region.parquet")
-    base = [sys.executable, "-m", "data_service_spark.hive_roundtrip", wh, ms, src]
-    subprocess.run(base + [h1], check=True, cwd=REPO, timeout=300,
-                   capture_output=True)
-    subprocess.run(base + [h2, "--read-only"], check=True, cwd=REPO,
-                   timeout=300, capture_output=True)
+    subprocess.run(
+        [sys.executable, "-m", "data_service_spark.hive_roundtrip",
+         wh, ms, src, h2, "--read-only"],
+        check=True, cwd=REPO, timeout=300, capture_output=True)
     import pyarrow.parquet as pq
 
-    t1 = pq.read_table(h1).to_pandas().sort_values("r_regionkey")
+    t1 = pq.read_table(os.path.join(base_dir, "handoff")).to_pandas() \
+        .sort_values("r_regionkey")
     t2 = pq.read_table(h2).to_pandas().sort_values("r_regionkey")
     assert t1.reset_index(drop=True).equals(t2.reset_index(drop=True))
     assert len(t1) == pq.read_table(src).num_rows
