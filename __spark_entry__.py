@@ -39,14 +39,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # k_bradley_terry leads (its r12 quantization fix missed the window at
 # position 51 — ADVICE r12 #1), then the 5 keys whose formulas changed
 # this round (the mood/bhattacharyya ADVICE fences and the three
-# sf0.001 census fixes: kruskal, interpolate, rank_rbp), then the 5 new
-# r13 keys, then 39 of the 50 stalest records (r01 vintage per VERDICT
+# sf0.001 census fixes: kruskal, interpolate, rank_rbp), then the 6 new
+# r13 keys, then 38 of the 50 stalest records (r01 vintage per VERDICT
 # Appendix A). The tail continues vintage-ascending so future rounds
 # keep refreshing the oldest records by taking the next ~50.
 PRIORITY = [
     "k_bradley_terry", "k_bhattacharyya_hists", "k_mood_median", "k_kruskal_wallis",
     "e_win_interpolate", "k_rank_rbp", "q_sql_udtf", "q_like_any",
-    "k_eval_bleu", "k_eval_rouge_n", "k_eval_distinct_n", "a_scan_parquet",
+    "k_eval_bleu", "k_eval_rouge_n", "k_eval_distinct_n", "k_eval_chrf", "a_scan_parquet",
     "a_scan_prune", "a_scan_filter_pushdown", "a_sink_parquet_roundtrip", "a_sink_partitioned",
     "a_sink_csv_json", "a_sink_orc", "a_source_python_ds", "a_sink_table",
     "b_project_arith", "b_filter_simple", "b_filter_compound", "b_filter_like",

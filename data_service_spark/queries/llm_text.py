@@ -2879,3 +2879,135 @@ def k_eval_distinct_n(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_body_distinct_n(_EVAL_SPARK))
+
+# chrF character-n-gram templates (one per engine): all three sizes ride
+# ONE explode per side — a char gram's own length() IS its n, the
+# character twin of the space-in-gram trick above. Every size is CASE-
+# guarded (Spark sequence(n, len) auto-steps DOWN for len < n — the
+# standing sequence trap — and n=1 needs the guard too: an empty string
+# makes sequence(1, 0) descend).
+_EVAL_SPARK["CHRGRAMS"] = (
+    "concat("
+    "CASE WHEN length({s}) >= 1 THEN transform(sequence(1, length({s})),"
+    " i -> substring({s}, i, 1)) ELSE array() END, "
+    "CASE WHEN length({s}) >= 2 THEN transform(sequence(2, length({s})),"
+    " i -> substring({s}, i - 1, 2)) ELSE array() END, "
+    "CASE WHEN length({s}) >= 3 THEN transform(sequence(3, length({s})),"
+    " i -> substring({s}, i - 2, 3)) ELSE array() END)"
+)
+_EVAL_DUCK["CHRGRAMS"] = (
+    "list_concat(list_concat("
+    "CASE WHEN length({s}) >= 1 THEN list_transform(generate_series(1,"
+    " length({s})), i -> substring({s}, i, 1)) ELSE [] END, "
+    "CASE WHEN length({s}) >= 2 THEN list_transform(generate_series(2,"
+    " length({s})), i -> substring({s}, i - 1, 2)) ELSE [] END), "
+    "CASE WHEN length({s}) >= 3 THEN list_transform(generate_series(3,"
+    " length({s})), i -> substring({s}, i - 2, 3)) ELSE [] END)"
+)
+
+
+def _chrf_pairs_sql() -> str:
+    """(source, cand_id, cs, rs) — the SAME rn-adjacent within-source
+    pairing as ``_eval_pairs_sql`` (so chrF is comparable pair-for-pair
+    with BLEU/ROUGE), but carrying the whitespace-stripped lowercase
+    character string per side (chrF operates on characters with spaces
+    removed, Popović 2015 §2). Portable ANSI — ONE text for both
+    engines."""
+    return """
+      SELECT source, doc_id AS cand_id, cs, rs
+      FROM (
+        SELECT source, doc_id, s AS cs,
+               lead(s) OVER (PARTITION BY source ORDER BY doc_id) AS rs,
+               row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        FROM (SELECT source, doc_id, replace(lower(text), ' ', '') AS s
+              FROM documents) t
+      ) p
+      WHERE rn % 2 = 1 AND rs IS NOT NULL
+    """
+
+
+def _body_chrf(d: dict, pairs_src: str) -> str:
+    gr_c = d["CHRGRAMS"].format(s="cs")
+    gr_r = d["CHRGRAMS"].format(s="rs")
+    return f"""
+    WITH pairs AS ({pairs_src}),
+    cg0 AS (SELECT cand_id, {d['EXPLODE']}({gr_c}) AS gram FROM pairs),
+    rg0 AS (SELECT cand_id, {d['EXPLODE']}({gr_r}) AS gram FROM pairs),
+    cg AS (
+      SELECT cand_id, length(gram) AS n, gram, count(*) AS c
+      FROM cg0 GROUP BY 1, 2, 3
+    ), rg AS (
+      SELECT cand_id, length(gram) AS n, gram, count(*) AS c
+      FROM rg0 GROUP BY 1, 2, 3
+    ), m AS (
+      -- gram equality implies length equality, so the join key is just
+      -- (pair, gram); n comes along from the candidate side
+      SELECT cg.n,
+             sum(CASE WHEN cg.c < rg.c THEN cg.c ELSE rg.c END) AS matched
+      FROM cg JOIN rg ON cg.cand_id = rg.cand_id AND cg.gram = rg.gram
+      GROUP BY cg.n
+    ), spine AS (SELECT 1 AS n UNION ALL SELECT 2 UNION ALL SELECT 3),
+    tot AS (
+      -- totals ride the 3-row spine over the (checkpointed) pair table:
+      -- (len - n + 1) grams per side per pair, floored at 0
+      SELECT s.n,
+             sum(greatest(length(p.cs) - s.n + 1, 0)) AS c_g,
+             sum(greatest(length(p.rs) - s.n + 1, 0)) AS r_g
+      FROM spine s CROSS JOIN pairs p GROUP BY s.n
+    )
+    SELECT CAST(t.n AS INT) AS ngram_n,
+           CAST(coalesce(m.matched, 0) AS BIGINT) AS n_matched,
+           CAST(t.c_g AS BIGINT) AS cand_grams,
+           CAST(t.r_g AS BIGINT) AS ref_grams,
+           floor(coalesce(m.matched, 0) * 1.0e0 / nullif(t.c_g, 0)
+                 * 1000000.0e0 + 0.5) / 1000000.0e0 AS chrf_precision,
+           floor(coalesce(m.matched, 0) * 1.0e0 / nullif(t.r_g, 0)
+                 * 1000000.0e0 + 0.5) / 1000000.0e0 AS chrf_recall,
+           floor(coalesce(
+                 5.0e0 * (coalesce(m.matched, 0) * 1.0e0 / nullif(t.c_g, 0))
+                       * (coalesce(m.matched, 0) * 1.0e0 / nullif(t.r_g, 0))
+                 / nullif(4.0e0 * (coalesce(m.matched, 0) * 1.0e0
+                                   / nullif(t.c_g, 0))
+                          + (coalesce(m.matched, 0) * 1.0e0
+                             / nullif(t.r_g, 0)), 0)
+                 , 0.0e0) * 1000000.0e0 + 0.5) / 1000000.0e0 AS chrf2
+    FROM tot t LEFT JOIN m ON m.n = t.n
+    """
+
+
+@register("k_eval_chrf", oracle=_body_chrf(_EVAL_DUCK, _chrf_pairs_sql()))
+def k_eval_chrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus chrF2 (Popović 2015) per character-n-gram size over the
+    same deterministic pair spine as ``k_eval_bleu``: clipped char-gram
+    precision/recall and the β=2 F-score (recall weighted 2×) — the
+    tokenization-free generation eval that tracks human judgment where
+    word-level BLEU breaks (morphology, compounding, no-whitespace
+    scripts). n ∈ {1,2,3} here vs the tool default 1..6 — the formula
+    is unchanged and the explode cost stays ≤3 grams/char; exact
+    integer counts ride beside every ratio so a 1..6 re-aggregation
+    needs only wider templates.
+
+    Pure-rational surface: matched/total counts are exact BIGINT sums;
+    P and R are single correctly-rounded divisions of exact integers
+    (identical cross-engine), chrF2 = 5PR/(4P+R) is the same IEEE op
+    sequence in both engines — no libm anywhere; floor-form 6dp
+    rounds, nullif fences for empty sides, coalesce pins zero-overlap
+    F to 0.
+
+    Scale: one string-clean pass to the pair spine (lead(), no
+    self-join), ONE explode per side carrying all three sizes (a char
+    gram's length() is its n), a (pair, gram)-keyed join of compact
+    count tables, and a 3-row-spine total pass — the Spark side
+    localCheckpoints the 3-times-referenced pair table (Spark inlines
+    multi-referenced CTEs; the ``k_eval_bleu`` pattern).
+    """
+    import uuid
+
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    view = f"dss_chrf_pairs_{uuid.uuid4().hex[:12]}"
+    spark.sql(_chrf_pairs_sql()).localCheckpoint() \
+        .createOrReplaceTempView(view)
+    try:
+        return spark.sql(_body_chrf(_EVAL_SPARK, f"SELECT * FROM {view}"))
+    finally:
+        spark.catalog.dropTempView(view)

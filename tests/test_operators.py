@@ -5617,3 +5617,52 @@ def test_sql_udtf_matches_inline_subquery(spark, sf_dir):
         for r in got:
             assert r.n == exp[r.event_type].n
             assert abs(r.sum_value - exp[r.event_type].sum_value) < 1e-6
+
+
+def test_eval_chrf_matches_python_recompute(spark, sf_dir):
+    """k_eval_chrf: whitespace-stripped char-gram clipping, per-n P/R and
+    the beta=2 F recomputed in plain Python from the same pairing."""
+    from collections import Counter
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("source", "doc_id", "text")
+        .toPandas()
+        .sort_values(["source", "doc_id"])
+    )
+    pairs = []
+    for _, g in docs.groupby("source"):
+        rows = list(g.itertuples())
+        for i in range(0, len(rows) - 1, 2):
+            clean = lambda r: r.text.lower().replace(" ", "")
+            pairs.append((clean(rows[i]), clean(rows[i + 1])))
+
+    def grams(s, n):
+        return Counter(s[i : i + n] for i in range(len(s) - n + 1))
+
+    m = {1: 0, 2: 0, 3: 0}
+    c_tot = {1: 0, 2: 0, 3: 0}
+    r_tot = {1: 0, 2: 0, 3: 0}
+    for cs, rs in pairs:
+        for n in (1, 2, 3):
+            cg, rg = grams(cs, n), grams(rs, n)
+            m[n] += sum(min(c, rg[g]) for g, c in cg.items())
+            c_tot[n] += max(len(cs) - n + 1, 0)
+            r_tot[n] += max(len(rs) - n + 1, 0)
+
+    got = {r.ngram_n: r for r in QUERIES["k_eval_chrf"](spark, sf_dir).collect()}
+    assert set(got) == {1, 2, 3}
+    for n in (1, 2, 3):
+        r = got[n]
+        assert (r.n_matched, r.cand_grams, r.ref_grams) == (
+            m[n], c_tot[n], r_tot[n],
+        )
+        p, rc = m[n] / c_tot[n], m[n] / r_tot[n]
+        assert abs(r.chrf_precision - p) < 1e-5
+        assert abs(r.chrf_recall - rc) < 1e-5
+        f = 5 * p * rc / (4 * p + rc) if p + rc else 0.0
+        assert abs(r.chrf2 - f) < 1e-5
+        assert 0 <= r.chrf2 <= 1
+    # char unigram recall floors the pair-similarity family: every longer
+    # gram match is built from matched chars
+    assert got[1].n_matched >= got[2].n_matched >= got[3].n_matched

@@ -190,6 +190,7 @@ k_theil_index k_mood_median k_fdr_by k_bhattacharyya_hists
 q_semi_anti_sql k_ljung_box k_dft_periodogram k_mutual_info k_tail_gpd
 k_anova_oneway k_welch_anova k_icc_oneway d_agg_geomean k_vocab_overlap
 q_sql_udtf q_like_any k_eval_bleu k_eval_rouge_n k_eval_distinct_n
+k_eval_chrf
 """.split()
 
 
