@@ -2931,21 +2931,24 @@ def _body_chrf(d: dict, pairs_src: str) -> str:
     gr_r = d["CHRGRAMS"].format(s="rs")
     return f"""
     WITH pairs AS ({pairs_src}),
-    cg0 AS (SELECT cand_id, {d['EXPLODE']}({gr_c}) AS gram FROM pairs),
-    rg0 AS (SELECT cand_id, {d['EXPLODE']}({gr_r}) AS gram FROM pairs),
-    cg AS (
-      SELECT cand_id, length(gram) AS n, gram, count(*) AS c
-      FROM cg0 GROUP BY 1, 2, 3
-    ), rg AS (
-      SELECT cand_id, length(gram) AS n, gram, count(*) AS c
-      FROM rg0 GROUP BY 1, 2, 3
+    -- both sides ride ONE union with a side flag, so the clipped match
+    -- min(cand_count, ref_count) per (pair, gram) falls out of a SINGLE
+    -- (pair, gram)-keyed aggregation — no per-side count tables and no
+    -- re-keyed join (the join design costs ~5 corpus-sized exchanges;
+    -- this is 1, and grams are <=3 chars wide on the wire)
+    ug AS (
+      SELECT cand_id, {d['EXPLODE']}({gr_c}) AS gram, 1 AS is_c FROM pairs
+      UNION ALL
+      SELECT cand_id, {d['EXPLODE']}({gr_r}) AS gram, 0 AS is_c FROM pairs
+    ), pg AS (
+      SELECT cand_id, gram,
+             sum(is_c) AS c, sum(1 - is_c) AS r
+      FROM ug GROUP BY 1, 2
     ), m AS (
-      -- gram equality implies length equality, so the join key is just
-      -- (pair, gram); n comes along from the candidate side
-      SELECT cg.n,
-             sum(CASE WHEN cg.c < rg.c THEN cg.c ELSE rg.c END) AS matched
-      FROM cg JOIN rg ON cg.cand_id = rg.cand_id AND cg.gram = rg.gram
-      GROUP BY cg.n
+      -- a char gram's own length() IS its n
+      SELECT length(gram) AS n,
+             sum(CASE WHEN c < r THEN c ELSE r END) AS matched
+      FROM pg GROUP BY 1
     ), spine AS (SELECT 1 AS n UNION ALL SELECT 2 UNION ALL SELECT 3),
     tot AS (
       -- totals ride the 3-row spine over the (checkpointed) pair table:
@@ -2996,10 +2999,14 @@ def k_eval_chrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one string-clean pass to the pair spine (lead(), no
     self-join), ONE explode per side carrying all three sizes (a char
-    gram's length() is its n), a (pair, gram)-keyed join of compact
-    count tables, and a 3-row-spine total pass — the Spark side
-    localCheckpoints the 3-times-referenced pair table (Spark inlines
-    multi-referenced CTEs; the ``k_eval_bleu`` pattern).
+    gram's length() is its n), then ONE side-flagged union whose
+    single (pair, gram)-keyed aggregation yields the clipped min
+    directly — no per-side count tables, no re-keyed join, exactly one
+    corpus-sized exchange carrying <=3-char grams (the join-design
+    alternative costs ~5 and measured 4x slower at sf0.1) — and a
+    3-row-spine total pass; the Spark side localCheckpoints the
+    3-times-referenced pair table (Spark inlines multi-referenced
+    CTEs; the ``k_eval_bleu`` pattern).
     """
     import uuid
 
