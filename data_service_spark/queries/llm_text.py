@@ -2929,6 +2929,33 @@ def _chrf_pairs_sql() -> str:
 def _body_chrf(d: dict, pairs_src: str) -> str:
     gr_c = d["CHRGRAMS"].format(s="cs")
     gr_r = d["CHRGRAMS"].format(s="rs")
+    if d is _EVAL_SPARK:
+        # r13 codegen form: grams via position explode + plain substr —
+        # same (cand_id, gram, is_c) row set as the lambda-array build
+        # below (i ranges over gram END positions; n <= i), but the whole
+        # stage stays in WholeStageCodegen instead of the interpreted
+        # higher-order-lambda evaluator, and no per-doc ~3·len string
+        # array is ever materialized (A/B at sf0.1: explode-only 0.43 s
+        # lambda vs 0.24 s codegen; DuckDB keeps the lambda text — its
+        # list_transform is vectorized native, and the oracle is not the
+        # hot path). Empty-string CASE guards the descending-sequence
+        # trap (sequence(1, 0) steps DOWN); the n explode is a 3-row
+        # inline array filtered to n <= i.
+        ug = """
+      SELECT cand_id, substr(s, i - n + 1, n) AS gram, is_c
+      FROM (SELECT cand_id, cs AS s, 1 AS is_c FROM pairs
+            UNION ALL
+            SELECT cand_id, rs AS s, 0 AS is_c FROM pairs) u
+      LATERAL VIEW explode(CASE WHEN length(s) >= 1
+                                THEN sequence(1, length(s))
+                                ELSE array() END) pos AS i
+      LATERAL VIEW explode(array(1, 2, 3)) ns AS n
+      WHERE i >= n"""
+    else:
+        ug = f"""
+      SELECT cand_id, {d['EXPLODE']}({gr_c}) AS gram, 1 AS is_c FROM pairs
+      UNION ALL
+      SELECT cand_id, {d['EXPLODE']}({gr_r}) AS gram, 0 AS is_c FROM pairs"""
     return f"""
     WITH pairs AS ({pairs_src}),
     -- both sides ride ONE union with a side flag, so the clipped match
@@ -2936,10 +2963,7 @@ def _body_chrf(d: dict, pairs_src: str) -> str:
     -- (pair, gram)-keyed aggregation — no per-side count tables and no
     -- re-keyed join (the join design costs ~5 corpus-sized exchanges;
     -- this is 1, and grams are <=3 chars wide on the wire)
-    ug AS (
-      SELECT cand_id, {d['EXPLODE']}({gr_c}) AS gram, 1 AS is_c FROM pairs
-      UNION ALL
-      SELECT cand_id, {d['EXPLODE']}({gr_r}) AS gram, 0 AS is_c FROM pairs
+    ug AS ({ug}
     ), pg AS (
       SELECT cand_id, gram,
              sum(is_c) AS c, sum(1 - is_c) AS r
@@ -3012,7 +3036,16 @@ def k_eval_chrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     view = f"dss_chrf_pairs_{uuid.uuid4().hex[:12]}"
-    spark.sql(_chrf_pairs_sql()).localCheckpoint() \
+    # r13: AQE coalesces the tiny post-window spine to ONE partition and
+    # localCheckpoint pins that layout — the ~1500x char-gram explode
+    # downstream then ran on one core (measured 4.6 s steady; whole key
+    # ~1.1 s after spreading). Repartition to the session's parallelism
+    # BEFORE the checkpoint: cores-derived, not a local constant — on a
+    # cluster this is one spine partition per core, which is the layout
+    # the explode stage wants regardless of spine size.
+    spark.sql(_chrf_pairs_sql()) \
+        .repartition(spark.sparkContext.defaultParallelism) \
+        .localCheckpoint() \
         .createOrReplaceTempView(view)
     try:
         return spark.sql(_body_chrf(_EVAL_SPARK, f"SELECT * FROM {view}"))

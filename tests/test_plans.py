@@ -940,9 +940,11 @@ def test_eval_gram_machine_plan_shapes(spark, sf_dir):
     # pairs table is read from the localCheckpoint, not re-derived: no
     # parquet scan of documents may survive into the consuming plan
     assert "documents.parquet" not in p
-    # chrF rides the same machine on char grams: one explode per side
-    # (all three sizes in it), totals via the broadcast 3-row spine —
-    # never a cartesian, never a re-scan of documents
+    # chrF (r13 codegen form): a side-flagged union feeds ONE position
+    # explode + ONE 3-row size explode with plain substr — exactly two
+    # Generates, no interpreted lambda array build, totals via the
+    # broadcast 3-row spine — never a cartesian, never a re-scan of
+    # documents
     p = plan_of(QUERIES["k_eval_chrf"](spark, sf_dir), "simple")
     assert p.count("Generate") == 2, p
     assert "CartesianProduct" not in p
