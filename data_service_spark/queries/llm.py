@@ -3447,9 +3447,16 @@ def k_sim_reciprocal_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w = Window.partitionBy("a").orderBy(F.col("sim").desc(), F.col("b"))
-    nn = ed.select(
-        "a", "b", "sim", F.row_number().over(w).alias("rn")
-    ).filter(F.col("rn") == 1)
+    # r13: the rank-1 table is node-sized but feeds BOTH sides of the
+    # reciprocity self-join — without a checkpoint Spark re-runs the
+    # whole GEMM candidate build + rank window once per side (Catalyst
+    # does not share subtrees across join branches). Pinning the tiny
+    # argmax table halves the corpus work (A/B 1.12 -> 0.75 s at sf0.1).
+    nn = (
+        ed.select("a", "b", "sim", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .localCheckpoint()
+    )
     other = nn.select(
         F.col("a").alias("b2"), F.col("b").alias("a2")
     )

@@ -868,14 +868,18 @@ def k_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     training). Docs shorter than the gram width carry no spans and drop
     out on both engines.
 
-    Spark shape: split once, explode positions via sequence+transform
-    (all Catalyst higher-order functions, no Python), aggregate grams
-    (hash shuffle keyed by gram — the posting-list pattern), then one
-    equi-join back. The dup-gram side is NOT broadcast: its size scales
-    with corpus duplication, so it stays a shuffle join; at 100 TB you'd
-    additionally xxhash64 the gram to an int64 join key to cut shuffle
-    bytes (proven equivalent in k_dedup_minhash's hashed-shingle path).
+    Spark shape (r13): split once, explode positions via
+    sequence+transform (all Catalyst higher-order functions, no Python),
+    then ONE gram-keyed exchange whose window computes min/max(doc_id)
+    per gram — "spans >= 2 distinct docs" is exactly min != max, so the
+    former countDistinct aggregate + join-back (which re-derived the
+    explode on the probe side) collapses into the single shuffle the
+    posting list needs anyway. At 100 TB you'd additionally xxhash64 the
+    gram to an int64 shuffle key to cut bytes (proven equivalent in
+    k_dedup_minhash's hashed-shingle path).
     """
+    from pyspark.sql.window import Window
+
     t = (
         load_parallel(spark, sf_dir, "documents", "doc_id")
         .select("doc_id", F.split("text", " ").alias("toks"))
@@ -890,15 +894,22 @@ def k_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("gram"),
     )
-    dup = (
-        grams.groupBy("gram")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("gram", F.lit(1).alias("is_dup"))
+    # r13: "occurs in >= 2 distinct docs" is exactly min(doc_id) !=
+    # max(doc_id) over the gram partition — one window over ONE
+    # gram-keyed exchange replaces the countDistinct aggregate + join-back
+    # (which re-derived the whole explode on the probe side: two corpus
+    # passes and three exchanges; A/B 0.80 -> 0.55 s at sf0.1, values
+    # identical). Same posting-list layout at 100 TB: the exchange is the
+    # same gram-keyed shuffle the aggregate needed anyway.
+    gw = Window.partitionBy("gram")
+    flagged = grams.select(
+        "doc_id",
+        F.when(
+            F.min("doc_id").over(gw) != F.max("doc_id").over(gw), 1
+        ).alias("is_dup"),
     )
     return (
-        grams.join(dup, "gram", "left")
-        .groupBy("doc_id")
+        flagged.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_grams"),
             F.count("is_dup").alias("n_dup"),
@@ -940,11 +951,16 @@ def k_text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     diminishing-returns curve a data-acquisition loop watches (and the
     document-level dual of k_dedup_spans' span view).
 
-    Same posting-list plan family: distinct (doc, gram) pairs, a min
-    aggregate keyed by gram (one hash shuffle), then the join back and a
-    per-doc aggregate. Nothing broadcasts the gram table — it scales with
-    the corpus; both joins are hash-partitioned on gram/doc_id.
+    Same posting-list plan family (r13): distinct (doc, gram) pairs,
+    then ONE gram-keyed window — "first corpus occurrence is this doc"
+    is exactly doc_id == min(doc_id) over the gram partition, so the
+    former min-aggregate + join-back (which re-derived the whole
+    explode+distinct on the probe side: two corpus passes, two extra
+    exchanges) collapses into the single gram shuffle. Nothing
+    broadcasts the gram table — it scales with the corpus.
     """
+    from pyspark.sql.window import Window
+
     t = (
         load_parallel(spark, sf_dir, "documents", "doc_id")
         .select("doc_id", F.split("text", " ").alias("toks"))
@@ -959,15 +975,15 @@ def k_text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("gram"),
     ).distinct()
-    firsts = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
-    novel = F.when(F.col("first_doc") == F.col("doc_id"), 1)
+    gw = Window.partitionBy("gram")
+    novel = F.when(F.min("doc_id").over(gw) == F.col("doc_id"), 1)
     return (
-        grams.join(firsts, "gram")
+        grams.select("doc_id", novel.alias("is_novel"))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_grams"),
-            F.count(novel).alias("n_novel"),
-            F.round(F.count(novel) * 1.0 / F.count(F.lit(1)), 4).alias(
+            F.count("is_novel").alias("n_novel"),
+            F.round(F.count("is_novel") * 1.0 / F.count(F.lit(1)), 4).alias(
                 "novelty_ratio"
             ),
         )
@@ -1418,6 +1434,10 @@ def k_boilerplate_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("phrase"),
     )
+    # r13 interleaved A/B: a manual (phrase, doc_id) pre-aggregate +
+    # re-aggregate read 1.30 s vs 1.08 s for this form — countDistinct's
+    # partial distinct is already map-side and pays ONE exchange where
+    # the manual two-level pays two. Kept as-is (null result recorded).
     c = p.groupBy("phrase").agg(
         F.count(F.lit(1)).cast("long").alias("n_occur"),
         F.countDistinct("doc_id").cast("long").alias("n_docs"),
