@@ -1449,9 +1449,19 @@ def k_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     because the mixture m = (p+q)/2 is positive wherever q > 0."""
     d = load_parallel(spark, sf_dir, "documents", "doc_id")
     tok = d.select("source", F.explode(F.split("text", " ")).alias("term"))
-    cs = tok.groupBy("source", "term").agg(F.count(F.lit(1)).alias("n"))
+    # r13: every downstream table re-aggregates from the ONE Zipf-compact
+    # (source, term) count table — the corpus-wide term counts previously
+    # re-ran the whole tokenize+explode as a second corpus pass (Catalyst
+    # does not share the explode subtree across aggregation branches),
+    # and the table feeds three branches (ts, c, the grid join), so it is
+    # pinned with localCheckpoint: vocab-sized, never corpus-sized.
+    # Interleaved A/B at sf0.1: 2.49 s (two passes) -> 1.99 s (derived c)
+    # -> 1.46 s (derived c + checkpoint).
+    cs = tok.groupBy("source", "term").agg(
+        F.count(F.lit(1)).alias("n")
+    ).localCheckpoint()
     ts = cs.groupBy("source").agg(F.sum("n").alias("t_s"))
-    c = tok.groupBy("term").agg(F.count(F.lit(1)).alias("cn"))
+    c = cs.groupBy("term").agg(F.sum("n").alias("cn"))
     t = c.agg(F.sum("cn").alias("total"))
     # the cross join replicates the SOURCE spine (a handful of rows) over
     # the vocab-sized term counts — broadcasting the tiny side keeps the
