@@ -154,6 +154,8 @@ def main() -> None:
         _minhash_sigs,
         _near_pairs,
         _signrp_buckets,
+        _sim_pairs_warm_03,
+        _sim_pairs_warm_04,
         k_cluster_assign,
         k_dedup_clusters,
     )
@@ -186,6 +188,8 @@ def main() -> None:
         _minhash_pairs,
         _near_pairs,
         _signrp_buckets,
+        _sim_pairs_warm_03,
+        _sim_pairs_warm_04,
         _perm_pvals_df,
         k_cluster_assign,
         k_dedup_clusters,
@@ -350,7 +354,15 @@ def main() -> None:
             re.search(rf"return {re.escape(n)}\(spark", src)
             for n in warm_names
         )
-        if hasattr(fn, "_cache") or "_CACHE.get(" in src or direct:
+        # sim_pairs is the r13 session-memoized candidate-graph entry
+        # point (threshold-keyed, so its warm wrappers carry different
+        # names); any key calling it consumes a pre-warmed memo.
+        if (
+            hasattr(fn, "_cache")
+            or "_CACHE.get(" in src
+            or re.search(r"\bsim_pairs\(spark", src)
+            or direct
+        ):
             memo_backed.append(key)
     memo_backed.sort()
     full = {

@@ -3505,7 +3505,9 @@ def test_sim_pairs_grid_matches_broadcast(spark, sf_dir_large):
 
 
 def test_sim_pairs_dispatches_on_corpus_size(monkeypatch, spark):
-    """sim_pairs flips to the grid regime above SIM_PAIRS_GRID_MIN_ROWS."""
+    """sim_pairs_frame (the un-memoized builder behind the r13
+    session-memoized sim_pairs entry point) flips to the grid regime
+    above SIM_PAIRS_GRID_MIN_ROWS."""
     from data_service_spark.queries import llm
 
     calls = []
@@ -3513,8 +3515,24 @@ def test_sim_pairs_dispatches_on_corpus_size(monkeypatch, spark):
         llm, "sim_pairs_grid", lambda *a, **k: calls.append(a)
     )
     monkeypatch.setattr(llm, "_corpus_rows", lambda sf_dir: 10**9)
-    llm.sim_pairs(spark, "/root/testdata/sf0.01", 0.4)
+    llm.sim_pairs_frame(spark, "/root/testdata/sf0.01", 0.4)
     assert len(calls) == 1
+
+
+def test_sim_pairs_memo_pins_per_session_and_threshold(spark, sf_dir):
+    """The r13 sim_pairs memo must return the SAME checkpointed frame on
+    a repeat call (no GEMM re-run) and distinct frames per threshold."""
+    from data_service_spark.queries import llm
+
+    a = llm.sim_pairs(spark, sf_dir, 0.3)
+    b = llm.sim_pairs(spark, sf_dir, 0.3)
+    c = llm.sim_pairs(spark, sf_dir, 0.4)
+    assert a is b
+    assert a is not c
+    # the memoized frame is pinned: its plan is a checkpoint scan, not
+    # the GEMM pipeline
+    assert "Scan ExistingRDD" in a._jdf.queryExecution().executedPlan().toString() or \
+        "LogicalRDD" in a._jdf.queryExecution().logical().toString()
 
 
 def test_pagerank_partitioned_matches_broadcast(spark, sf_dir):

@@ -44,15 +44,16 @@ def _warm(spark):
     from data_service_spark.queries.inference import _perm_pvals_df
     from data_service_spark.queries.llm import (
         _cs_pairs, _exact_ranked, _exploded_shingle_hashes, _minhash_pairs,
-        _minhash_sigs, _near_pairs, _signrp_buckets, k_cluster_assign,
-        k_dedup_clusters,
+        _minhash_sigs, _near_pairs, _signrp_buckets, _sim_pairs_warm_03,
+        _sim_pairs_warm_04, k_cluster_assign, k_dedup_clusters,
     )
     from data_service_spark.queries.corpus_stats import _bigram_counts, _unigram_counts
     from data_service_spark.queries.llm_text import _ff_feats_df, _simhash_fp, k_text_bm25
 
     for fn in [_exploded_shingle_hashes, _minhash_sigs, _cs_pairs, _unigram_counts,
                _bigram_counts, _exact_ranked, _ff_feats_df, _simhash_fp, k_text_bm25,
-               _minhash_pairs, _near_pairs, _signrp_buckets, _perm_pvals_df,
+               _minhash_pairs, _near_pairs, _signrp_buckets, _sim_pairs_warm_03,
+               _sim_pairs_warm_04, _perm_pvals_df,
                k_cluster_assign, k_dedup_clusters]:
         try:
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
