@@ -1445,16 +1445,19 @@ def d_agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("l_quantity").over(wc).alias("cumw"),
         F.sum("l_quantity").over(wt).alias("totw"),
     )
-    wp = Window.partitionBy("l_returnflag").orderBy("cumw", "v")
-    return (
-        w.filter(F.col("cumw") >= F.col("totw") / 2.0)
-        .withColumn("rn", F.row_number().over(wp))
-        .filter(F.col("rn") == 1)
-        .select(
-            "l_returnflag",
-            F.round("v", 2).alias("weighted_median"),
-            F.col("totw").cast("long").alias("total_weight"),
-        )
+    # r13: cumw is a STRICTLY increasing cumulative sum within each flag
+    # (l_quantity >= 1), so the rn=1 row under ORDER BY (cumw, v) is just
+    # the argmin — one min_by aggregate instead of a second full
+    # sort+window over the crossing half (interleaved A/B 1.40 -> ~1.1 s
+    # at sf0.1; the min_by is deterministic because cumw is unique per
+    # flag).
+    crossing = w.filter(F.col("cumw") >= F.col("totw") / 2.0)
+    return crossing.groupBy("l_returnflag").agg(
+        F.round(
+            F.min_by(F.col("v"), F.struct("cumw", "v")), 2
+        ).alias("weighted_median"),
+        # totw is constant within a flag partition; max == the value
+        F.max("totw").cast("long").alias("total_weight"),
     )
 
 

@@ -2506,39 +2506,51 @@ def k_text_dup_ngram_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
     (k_text_repetition) cannot (the repeated text lives in the corpus,
     not the doc).
 
-    Two shuffles at scale: trigram stream → (gram, doc-frequency) model
-    (map-side combine collapses to vocabulary size; Zipf-compact like the
-    TF-IDF family's document-frequency table), then a gram-keyed join of
-    the stream against the model and a doc-keyed count reduce. Counts
-    are exact integers; the only float is the final 4dp ratio with a
-    doc-local denominator.
+    Two shuffles at scale (r13): trigram stream → ONE gram-keyed window
+    ("appears in >= 2 distinct docs" is exactly min(doc_id) !=
+    max(doc_id) over the gram partition — the k_dedup_spans identity) →
+    doc-keyed count reduce. The r13 rewrite also hoists split(text) into
+    a column BEFORE the position lambda: the old form re-ran split per
+    lambda element (O(len²) string work per doc inside the interpreted
+    evaluator) and re-derived the whole explode on the join-back probe
+    side. Interleaved A/B at sf0.1: 4.10 s → 1.83 s (hoist alone) →
+    1.11 s (hoist + window). Counts are exact integers; the only float
+    is the final 4dp ratio with a doc-local denominator.
     """
+    from pyspark.sql.window import Window
+
     d = load(spark, sf_dir, "documents")
     # size >= 3 fence: sequence(1, size-2) auto-steps DOWN for 1-2-token
     # docs ([1, 0] — the ADVICE-r2 trap class); the oracle's
     # generate_series(1, len-2) is empty there, so filter first.
-    g = d.filter(F.size(F.split("text", " ")) >= 3).select(
+    t = d.select("doc_id", F.split("text", " ").alias("toks")).filter(
+        F.size("toks") >= 3
+    )
+    g = t.select(
         "doc_id",
         F.explode(
             F.expr(
-                "transform(sequence(1, size(split(text, ' ')) - 2),"
-                " i -> concat_ws(' ', slice(split(text, ' '), i, 3)))"
+                "transform(sequence(1, size(toks) - 2),"
+                " i -> concat_ws(' ', slice(toks, i, 3)))"
             )
         ).alias("gram"),
     )
-    df_model = g.groupBy("gram").agg(
-        F.countDistinct("doc_id").alias("n_docs")
+    gw = Window.partitionBy("gram")
+    flagged = g.select(
+        "doc_id",
+        (F.min("doc_id").over(gw) != F.max("doc_id").over(gw)).alias(
+            "is_dup"
+        ),
     )
     return (
-        g.join(df_model, "gram")
-        .groupBy("doc_id")
+        flagged.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_grams"),
-            F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0))
+            F.sum(F.when(F.col("is_dup"), 1).otherwise(0))
             .cast("long")
             .alias("n_dup_grams"),
             F.round(
-                F.sum(F.when(F.col("n_docs") >= 2, 1.0).otherwise(0.0))
+                F.sum(F.when(F.col("is_dup"), 1.0).otherwise(0.0))
                 / F.count(F.lit(1)),
                 4,
             ).alias("dup_frac"),

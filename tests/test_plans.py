@@ -859,15 +859,17 @@ def test_sample_fixed_k_uses_window_group_limit(spark, sf_dir):
 
 
 def test_dup_ngram_frac_two_shuffle_shape(spark, sf_dir):
-    """k_text_dup_ngram_frac: trigram-stream → doc-frequency model →
-    gram-keyed join → doc reduce. No cartesian/BNLJ anywhere, and the
-    exchange count stays at the documented two-shuffles-plus-join shape
-    (≤ 5 with AQE reuse) — the model table must join on gram, not
-    broadcast the corpus."""
+    """k_text_dup_ngram_frac (r13): ONE trigram explode (split hoisted
+    out of the position lambda) → ONE gram-keyed window (min!=max over
+    gram replaces the doc-frequency model + join-back) → doc reduce.
+    No cartesian/BNLJ, no join at all, exactly one Generate, and the
+    exchange count drops to the window + doc-reduce pair."""
     plan = plan_of(QUERIES["k_text_dup_ngram_frac"](spark, sf_dir), "simple")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert plan.count("Exchange") <= 5
+    assert "Join" not in plan
+    assert plan.count("Generate") == 1
+    assert plan.count("Exchange") <= 3
 
 
 def test_dedup_fingerprint_single_digest_shuffle(spark, sf_dir):
