@@ -64,6 +64,41 @@ def main() -> None:
     spark.range(8).select(
         F.pandas_udf(lambda s: s * 2, "long")(F.col("id"))
     ).write.format("noop").mode("overwrite").save()
+    # MLlib LSH classload + Scala reflection + fit-path JIT is a session
+    # fixed cost the same way the Python-worker bring-up is: the first
+    # fit in a session measured ~9 s standalone vs ~1.6 s steady
+    # (r13; it is why k_sim_ann/k_dedup_minhash sit in always_retime).
+    # One tiny fit+transform of each estimator moves the bring-up out of
+    # the timed pass; the per-key numbers then measure the operator.
+    try:
+        from pyspark.ml.feature import (  # noqa: PLC0415
+            BucketedRandomProjectionLSH,
+            MinHashLSH,
+        )
+        from pyspark.ml.linalg import Vectors  # noqa: PLC0415
+
+        warm_vecs = spark.createDataFrame(
+            [(i, Vectors.dense([float(i), float(i % 3)])) for i in range(8)],
+            ["id", "features"],
+        )
+        brp = BucketedRandomProjectionLSH(
+            inputCol="features", outputCol="h", bucketLength=1.0, seed=1
+        ).fit(warm_vecs)
+        brp.approxSimilarityJoin(warm_vecs, warm_vecs, 10.0).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        warm_sparse = spark.createDataFrame(
+            [(i, Vectors.sparse(8, [i % 8], [1.0])) for i in range(8)],
+            ["id", "features"],
+        )
+        mh = MinHashLSH(
+            inputCol="features", outputCol="h", numHashTables=2, seed=1
+        ).fit(warm_sparse)
+        mh.approxSimilarityJoin(warm_sparse, warm_sparse, 1.0).write.format(
+            "noop"
+        ).mode("overwrite").save()
+    except Exception:
+        pass  # a failed MLlib warm must not sink the bench
     # The STREAMING Python-source path spins its own worker/planner
     # machinery that the batch dss_synth warm above does not touch
     # (a_source_python_stream read ~3.3 s cold vs ~2.2 s steady in

@@ -4639,6 +4639,10 @@ def k_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("probe_bucket"),
     )
     strategies = spark.createDataFrame([(1,), (7,)], "n_probe int")
+    # r13: the candidate set feeds BOTH the scoring join and the
+    # volume/recall stats aggregate — without the pin the whole
+    # probe-fanout + bucket equi-join + distinct re-runs per branch.
+    # Candidate-set-sized (bucket occupancy × 7 probes), never corpus².
     cand = (
         flips.crossJoin(F.broadcast(strategies))
         .filter((F.col("n_probe") == 7) | (F.col("flip") == 0))
@@ -4649,6 +4653,7 @@ def k_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id") != F.col("pid"))
         .select("n_probe", "pid", "vec_id")
         .distinct()
+        .localCheckpoint()
     )
     pv = _emb(spark, sf_dir).select(
         F.col("vec_id").alias("pid"), F.col("v").alias("pv")

@@ -29,7 +29,13 @@ def get_spark(app_name: str = "data_service_spark", master: str | None = None) -
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.sql.shuffle.partitions", "32")
+        # Track the session's core count instead of a hard-coded 32: the
+        # driver also benches at lower core counts (master local[cpus]),
+        # where 32 partitions only add task overhead; AQE coalescing
+        # still owns the post-shuffle sizing either way. On a cluster
+        # this knob is sized from input bytes, not cores — documented in
+        # OPTIMIZATION_r13.md.
+        .config("spark.sql.shuffle.partitions", cpus)
         # Arrow: the only sane JVM<->Python boundary for pandas UDFs.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # NOTE on TIMESTAMP(NANOS) parquet: Spark 4.x rejects it outright.
