@@ -910,8 +910,21 @@ def d_agg_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial aggregation happens map-side, the final state broadcasts, and
     merging shards is cell-wise addition (the property that makes CMS the
     streaming/distributed frequency sketch of choice).
-    """
+
+    r13: the corpus pass is ONE narrow count(*) groupBy on the raw key;
+    md5 + the 3-lane explode run on the per-key count table (|keys| rows,
+    not |corpus|) and the bucket counters are cell-wise sums of per-key
+    counts — identical algebra (count per bucket = sum of counts of keys
+    hashing there), interleaved A/B 1.73 -> 0.74 s min at sf0.1 (new
+    wins all 5 reps). The probe/truth
+    branches read the same checkpointed per-key table, so the plan's
+    three corpus scans collapse to one."""
     li = load(spark, sf_dir, "lineitem").select("l_suppkey")
+    per_key = (
+        li.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()
+    )
 
     def lanes(src: DataFrame, *keep: str) -> DataFrame:
         exploded = src.select(
@@ -935,15 +948,14 @@ def d_agg_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return exploded.select(*keep, "p.r", "p.b")
 
-    digest = li.select(
-        F.md5(F.col("l_suppkey").cast("string")).alias("h")
+    digest = per_key.select(
+        F.md5(F.col("l_suppkey").cast("string")).alias("h"), "n"
     )
-    pairs = lanes(digest)
-    counters = pairs.groupBy("r", "b").agg(F.count(F.lit(1)).alias("n"))
+    pairs = lanes(digest, "n")
+    counters = pairs.groupBy("r", "b").agg(F.sum("n").alias("n"))
     probes = (
-        li.filter(F.col("l_suppkey") <= 10)
+        per_key.filter(F.col("l_suppkey") <= 10)
         .select(F.col("l_suppkey").alias("k"))
-        .distinct()
     )
     pb = lanes(
         probes.select("k", F.md5(F.col("k").cast("string")).alias("h")), "k"
@@ -953,10 +965,8 @@ def d_agg_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("k")
         .agg(F.min("n").alias("cm_est"))
     )
-    truth = (
-        li.filter(F.col("l_suppkey") <= 10)
-        .groupBy(F.col("l_suppkey").alias("k"))
-        .agg(F.count(F.lit(1)).alias("true_n"))
+    truth = per_key.filter(F.col("l_suppkey") <= 10).select(
+        F.col("l_suppkey").alias("k"), F.col("n").alias("true_n")
     )
     return truth.join(est, "k").select(
         F.col("k").alias("suppkey"),

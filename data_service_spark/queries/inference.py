@@ -1259,9 +1259,78 @@ def k_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubles), so both engines select bit-identical numbers; the quantile
     index uses pure integer arithmetic (ceil via (a+b-1)/b floor form,
     clamped to n_cal). Scale shape: two window passes partitioned by
-    event_type plus spine-sized joins — corpus-sized work is one scan."""
+    event_type plus spine-sized joins — corpus-sized work is one scan.
+
+    r13: the WITH-chain references `armed` 4+ ways (center, scored via
+    ranked AND cov, the n_train correlated subquery) and Spark inlines
+    per reference, so the pure-SQL form re-scanned events up to 8x.
+    The Spark side now (a) reduces the TRAIN half to a checkpointed
+    per-type spine (center + n_train) in one pass, (b) ranks the CAL
+    half once, folding `cov` into the same window pass via the
+    (event_type, score)-partitioned max(rn) identity: with rows ordered
+    by (score, event_id), count(score <= qhat) = max rank within qhat's
+    score-tie group — the second window reuses the first one's sort.
+    Two corpus scans total, interleaved A/B 1.68 -> 1.23 s min at sf0.1
+    (new wins all 5 reps; plan: 8 events scans -> 1 + spine);
+    the DuckDB oracle keeps the single WITH-chain (it materializes
+    multi-referenced CTEs, so the chain is already one-scan there)."""
+    import uuid
+
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
-    return spark.sql(_body_conformal(_SPARK_HASH))
+    h = _SPARK_HASH.format(h="'conf:' || CAST(user_id AS STRING)")
+    spine_sql = f"""
+    SELECT event_type,
+           min(CASE WHEN rn = CAST(floor((cnt + 1) / 2) AS BIGINT)
+               THEN value END) AS m,
+           max(cnt) AS n_train
+    FROM (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS cnt
+      FROM events WHERE CAST({h} % 2 AS INT) = 0
+    ) r
+    GROUP BY event_type
+    """
+    view = f"dss_conf_spine_{uuid.uuid4().hex[:12]}"
+    spark.sql(spine_sql).localCheckpoint().createOrReplaceTempView(view)
+    try:
+        return spark.sql(f"""
+        WITH scored AS (
+          SELECT a.event_type, abs(a.value - c.m) AS score, a.event_id
+          FROM events a JOIN {view} c USING (event_type)
+          WHERE CAST({h.replace("user_id", "a.user_id")} % 2 AS INT) = 1
+        ), ranked AS (
+          SELECT event_type, score,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY score, event_id) AS rn,
+                 count(*) OVER (PARTITION BY event_type) AS n_cal
+          FROM scored
+        ), tied AS (
+          SELECT event_type, score, rn, n_cal,
+                 max(rn) OVER (PARTITION BY event_type, score) AS rn_tie_max
+          FROM ranked
+        ), qagg AS (
+          SELECT event_type, max(n_cal) AS n_cal,
+                 min(CASE WHEN rn = CAST(least(
+                        floor(((n_cal + 1) * 9 + 9) / 10), n_cal) AS BIGINT)
+                     THEN score END) AS q,
+                 min(CASE WHEN rn = CAST(least(
+                        floor(((n_cal + 1) * 9 + 9) / 10), n_cal) AS BIGINT)
+                     THEN CAST(rn_tie_max AS BIGINT) END) AS n_in
+          FROM tied GROUP BY event_type
+        )
+        SELECT q.event_type,
+               CAST(c.n_train AS BIGINT) AS n_train,
+               CAST(q.n_cal AS BIGINT) AS n_cal,
+               CAST(round(c.m, 6) + 0.0 AS DOUBLE) AS center,
+               CAST(round(q.q, 6) + 0.0 AS DOUBLE) AS qhat,
+               CAST(floor(q.n_in * 1000000 / q.n_cal) AS BIGINT)
+                 AS coverage_ppm
+        FROM qagg q JOIN {view} c USING (event_type)
+        """)
+    finally:
+        spark.catalog.dropTempView(view)
 
 
 def _body_holm(hash_to_long: str) -> str:
