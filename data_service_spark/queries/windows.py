@@ -1162,9 +1162,7 @@ def e_win_hampel_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------- Markov absorption probs ----
 
 
-def _body_markov_absorption() -> str:
-    """Shared ANSI body (Spark temp-view `events` / DuckDB view): 8
-    unrolled absorption steps of the user-journey chain."""
+def _markov_abs_steps() -> str:
     steps = ""
     prev = "a0"
     for i in range(1, 9):
@@ -1173,7 +1171,13 @@ def _body_markov_absorption() -> str:
       FROM pt p JOIN {prev} a ON p.dst = a.st GROUP BY p.src, a.target
     )"""
         prev = f"a{i}"
-    return f"""
+    return steps
+
+
+def _markov_abs_reduced_sql() -> str:
+    """The corpus reduction alone: events -> the <= |states|²+2-row
+    transition-probability table pt (the chain state)."""
+    return """
     WITH seq AS (
       SELECT user_id, event_type,
              lag(event_type) OVER (PARTITION BY user_id
@@ -1183,7 +1187,7 @@ def _body_markov_absorption() -> str:
       SELECT prev_type, event_type AS next_type, count(*) AS n
       FROM seq WHERE prev_type IS NOT NULL
       GROUP BY prev_type, next_type
-    ), pt AS (
+    )
       -- CAST AS DOUBLE everywhere: x.y literals parse as DECIMAL in both
       -- engines, and 8 multiplicative steps of decimal-rounded arithmetic
       -- drift from double arithmetic past the 6dp output rounding.
@@ -1192,15 +1196,28 @@ def _body_markov_absorption() -> str:
       FROM t WHERE prev_type NOT IN ('purchase', 'error')
       UNION ALL SELECT 'purchase', 'purchase', CAST(1.0 AS DOUBLE)
       UNION ALL SELECT 'error', 'error', CAST(1.0 AS DOUBLE)
-    ), a0 AS (
+    """
+
+
+def _markov_abs_main_sql(pt_source: str) -> str:
+    """The 8-step absorption chain over a pt relation (a subquery for the
+    oracle's single WITH-chain, a checkpointed view on the Spark side)."""
+    return f"""
+    WITH pt AS ({pt_source}), a0 AS (
       SELECT 'purchase' AS st, 'purchase' AS target, CAST(1.0 AS DOUBLE) AS pr
       UNION ALL SELECT 'error', 'error', CAST(1.0 AS DOUBLE)
-    ){steps}
+    ){_markov_abs_steps()}
     SELECT st AS from_state, target AS absorbed_into,
            round(pr, 6) AS p_absorbed_8
-    FROM {prev}
+    FROM a8
     WHERE st NOT IN ('purchase', 'error')
     """
+
+
+def _body_markov_absorption() -> str:
+    """Shared ANSI body (Spark temp-view `events` / DuckDB view): 8
+    unrolled absorption steps of the user-journey chain."""
+    return _markov_abs_main_sql(_markov_abs_reduced_sql())
 
 
 @register("k_markov_absorption", oracle=_body_markov_absorption())
@@ -1219,6 +1236,23 @@ def k_markov_absorption(spark: SparkSession, sf_dir: str) -> DataFrame:
     a join-aggregate over ≤ 5×2 probability rows — constant-size work
     regardless of corpus. All floats derive from exact integer count
     ratios through the identical formula text; output rounds at 6dp.
+
+    r13: Spark inlines the multi-referenced `pt` CTE per reference, so
+    the pure WITH-chain re-ran the events lag-window + count per
+    unrolled step wherever ReusedExchange failed to dedup. The Spark
+    side now checkpoints the ≤27-row pt spine and runs the chain over
+    the view (exactly 1 corpus scan by construction; interleaved A/B
+    1.70 -> 1.27 s min at sf0.1, new wins all 5 reps — the residual is
+    the 8 sequential spine-stage latencies); the DuckDB oracle keeps
+    the single chain — it materializes multi-referenced CTEs.
     """
+    import uuid as _uuid
+
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
-    return spark.sql(_body_markov_absorption())
+    view = f"dss_markov_abs_{_uuid.uuid4().hex[:12]}"
+    spark.sql(_markov_abs_reduced_sql()).localCheckpoint() \
+        .createOrReplaceTempView(view)
+    try:
+        return spark.sql(_markov_abs_main_sql(f"SELECT * FROM {view}"))
+    finally:
+        spark.catalog.dropTempView(view)
