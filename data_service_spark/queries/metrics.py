@@ -3557,9 +3557,88 @@ def k_attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_body_shapley())
 
 
+def _ranker_delta_rr_sql(dot_full: str, dot_trunc: str,
+                         arr_cast: str) -> str:
+    """The corpus-sized leg of the ranker comparison: per-query paired
+    reciprocal ranks (20 rows). Split out so the Spark path can pin it
+    once — the single WITH-chain oracle references ``rr`` three times
+    and ``ordered`` four, which Spark inlines into seven corpus
+    re-scans (24 parquet scans in the r13 before-plan)."""
+    return f"""
+    WITH e AS (SELECT vec_id, {arr_cast} AS v, label
+               FROM embeddings),
+    q AS (SELECT vec_id AS qid, v AS qv, label AS ql,
+                 row_number() OVER (ORDER BY vec_id) - 1 AS qidx
+          FROM e WHERE vec_id < 20),
+    ranked AS (
+      SELECT q.qid, q.ql, q.qidx, e.label,
+             row_number() OVER (PARTITION BY q.qid
+               ORDER BY round({dot_full}, 6) DESC,
+                        e.vec_id) AS rn_full,
+             row_number() OVER (PARTITION BY q.qid
+               ORDER BY round({dot_trunc}, 6)
+                        DESC, e.vec_id) AS rn_trunc
+      FROM e CROSS JOIN q WHERE e.vec_id <> q.qid
+    )
+    SELECT qid, max(qidx) AS qidx,
+             coalesce(CAST(floor(1000000.0 / min(CASE WHEN label = ql
+                            AND rn_full <= 10 THEN rn_full END)) AS BIGINT),
+                      0) AS rr_a,
+             coalesce(CAST(floor(1000000.0 / min(CASE WHEN label = ql
+                            AND rn_trunc <= 10 THEN rn_trunc END)) AS BIGINT),
+                      0) AS rr_b
+      FROM ranked GROUP BY qid
+    """
+
+
+def _ranker_delta_boot_sql(hash_to_long: str, seq_fn: str, rr: str) -> str:
+    """The 200×20 bootstrap replicate means over the (tiny) rr table."""
+    h = hash_to_long.format(
+        h="'boot:' || CAST(b.b AS STRING) || ':' || CAST(i.i AS STRING)"
+    )
+    return f"""
+    WITH draws AS (
+      SELECT b.b, {h} % 20 AS pick
+      FROM (SELECT {seq_fn.format(lo=0, hi=199)} AS b) b
+      CROSS JOIN (SELECT {seq_fn.format(lo=0, hi=19)} AS i) i
+    )
+    SELECT d.b,
+             CAST(floor(CAST(sum(r.rr_a - r.rr_b) AS DOUBLE) / count(*))
+               AS BIGINT) AS delta_b
+      FROM draws d JOIN {rr} r ON r.qidx = d.pick
+      GROUP BY d.b
+    """
+
+
+def _ranker_delta_final_sql(rr: str, boot: str) -> str:
+    """Order-statistic CI + observed delta from the two pinned spines."""
+    return f"""
+    WITH obs AS (
+      SELECT CAST(floor(CAST(sum(rr_a - rr_b) AS DOUBLE) / count(*))
+             AS BIGINT) AS delta_obs
+      FROM {rr}
+    ),
+    ordered AS (
+      SELECT delta_b, row_number() OVER (ORDER BY delta_b, b) AS r
+      FROM {boot}
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM {rr}) AS n_queries,
+           (SELECT delta_obs FROM obs) AS delta_mrr_micro,
+           (SELECT delta_b FROM ordered WHERE r = 5) AS ci_lo_micro,
+           (SELECT delta_b FROM ordered WHERE r = 195) AS ci_hi_micro,
+           ((SELECT delta_b FROM ordered WHERE r = 5) > 0
+            OR (SELECT delta_b FROM ordered WHERE r = 195) < 0)
+             AS significant
+    """
+
+
 def _body_ranker_delta(hash_to_long: str, seq_fn: str,
                        dot_full: str, dot_trunc: str,
                        arr_cast: str = "CAST(embedding AS DOUBLE[])") -> str:
+    """Single WITH-chain form (the DuckDB oracle keeps it: DuckDB
+    materializes multi-referenced CTEs, so the chain costs one corpus
+    pass there). The expressions are kept textually identical to the
+    split fragments above — edit both together."""
     h = hash_to_long.format(
         h="'boot:' || CAST(b.b AS STRING) || ':' || CAST(i.i AS STRING)"
     )
@@ -3646,22 +3725,43 @@ def k_eval_ranker_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the probe broadcast + one corpus stream for BOTH
     rankings (two windows over the same scored join); the bootstrap is
-    a 200×20 spine join — never corpus-sized."""
+    a 200×20 spine join — never corpus-sized. The Spark side pins the
+    20-row rr table and the 200-row replicate table with localCheckpoint
+    (r13: the single-chain form re-ran the corpus ranking per CTE
+    reference — 7 references, 24 parquet scans, see
+    plans/r13/k_eval_ranker_delta_before.txt); the DuckDB oracle keeps
+    the one WITH-chain because DuckDB materializes shared CTEs."""
+    import uuid
+
     load(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
 
     def spark_dot(a: str, b: str) -> str:
         return (f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D,"
                 " (acc, x) -> acc + x)")
 
-    return spark.sql(
-        _body_ranker_delta(
-            "CAST(conv(substr(md5({h}), 1, 8), 16, 10) AS BIGINT)",
-            "explode(sequence({lo}, {hi}))",
+    sfx = uuid.uuid4().hex[:12]
+    rr_view, boot_view = f"dss_rkd_rr_{sfx}", f"dss_rkd_boot_{sfx}"
+    spark.sql(
+        _ranker_delta_rr_sql(
             spark_dot("e.v", "q.qv"),
             spark_dot("slice(e.v, 1, 16)", "slice(q.qv, 1, 16)"),
-            arr_cast="CAST(embedding AS ARRAY<DOUBLE>)",
+            "CAST(embedding AS ARRAY<DOUBLE>)",
         )
-    )
+    ).localCheckpoint().createOrReplaceTempView(rr_view)
+    try:
+        spark.sql(
+            _ranker_delta_boot_sql(
+                "CAST(conv(substr(md5({h}), 1, 8), 16, 10) AS BIGINT)",
+                "explode(sequence({lo}, {hi}))",
+                rr_view,
+            )
+        ).localCheckpoint().createOrReplaceTempView(boot_view)
+        try:
+            return spark.sql(_ranker_delta_final_sql(rr_view, boot_view))
+        finally:
+            spark.catalog.dropTempView(boot_view)
+    finally:
+        spark.catalog.dropTempView(rr_view)
 
 
 def _body_pass_at_k(seq_fn: str) -> str:
