@@ -245,9 +245,19 @@ def d_agg_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: signatures aggregate map-side to |types|·k rows (a
     constant), so the pairwise comparison is a self-join of a tiny table;
     the exact-Jaccard ground truth is the only input-sized join and exists
-    purely as the audit's reference.
+    purely as the audit's reference. The distinct (type, user) set feeds
+    FOUR subtrees (signatures, both exact-join sides, sizes) and the
+    signature table feeds its own self-join twice — both are pinned with
+    localCheckpoint (r13: Spark re-ran the events scan + distinct per
+    reference — 6 scans, 32 exchanges in the before-plan; after: 1 scan,
+    the set-sized pin is exactly what a production audit materializes).
     """
-    ev = load(spark, sf_dir, "events").select("event_type", "user_id").distinct()
+    ev = (
+        load(spark, sf_dir, "events")
+        .select("event_type", "user_id")
+        .distinct()
+        .localCheckpoint()
+    )
     salts = F.explode(
         F.array(*[F.lit(i) for i in range(_MH_K)])
     ).alias("salt")
@@ -264,6 +274,7 @@ def d_agg_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("event_type", "salt")
         .agg(F.min("hv").alias("mh"))
+        .localCheckpoint()  # |types|·k rows; self-joined below
     )
     a, b = sig.alias("a"), sig.alias("b")
     matches = (
