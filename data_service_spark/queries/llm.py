@@ -2655,6 +2655,66 @@ def k_negatives_random(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------- product quantization ANN ----
 
 
+def _pq_stage(spark: SparkSession, sf_dir: str):
+    """Shared PQ leg of ``k_sim_pq`` / ``k_sim_pq_rerank``: M=4 subvector
+    split, 16-entry codebook per subspace, argmin encode, and the
+    query-0 ADC sum per corpus vector. Returns (emb, adist).
+
+    r13 shape: the per-(vec_id, m) argmin is a ``min(struct(rd, k))``
+    hash aggregate — partial map-side combine, no per-partition sort —
+    instead of the former rn=1 window (4n two-row sort partitions); the
+    struct's lexicographic order (rounded dist, then k) is exactly the
+    window's ORDER BY, so the selected code is identical."""
+    emb = _emb(spark, sf_dir)
+    ms = F.array([F.lit(i) for i in range(4)])
+    sub = emb.select("vec_id", F.explode(ms).alias("m"), "v").select(
+        "vec_id", "m", F.expr("slice(v, m * 16 + 1, 16)").alias("s")
+    )
+    cb = sub.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("k"), F.col("m").alias("cm"), F.col("s").alias("cv")
+    )
+    sq = F.aggregate(
+        F.zip_with(F.col("s"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = sub.join(F.broadcast(cb), F.col("m") == F.col("cm")).select(
+        "vec_id", "m", "k", sq.alias("dist2")
+    )
+    code = (
+        scored.groupBy("vec_id", "m")
+        .agg(
+            F.min(
+                F.struct(F.round("dist2", 6).alias("rd"), F.col("k").alias("k"))
+            ).alias("mn")
+        )
+        .select("vec_id", "m", F.col("mn.k").alias("k"))
+    )
+    qd = (
+        sub.filter(F.col("vec_id") == 0)
+        .select(F.col("m").alias("qm"), F.col("s").alias("qs"))
+        .join(F.broadcast(cb), F.col("qm") == F.col("cm"))
+        .select(
+            F.col("qm").alias("m"),
+            "k",
+            F.aggregate(
+                F.zip_with(
+                    F.col("qs"), F.col("cv"), lambda x, y: (x - y) * (x - y)
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("qdist"),
+        )
+    )
+    adist = (
+        code.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(qd), ["m", "k"])
+        .groupBy("vec_id")
+        .agg(F.sum("qdist").alias("ad"))
+    )
+    return emb, adist
+
+
 @register(
     "k_sim_pq",
     oracle="""
@@ -2706,62 +2766,17 @@ def k_sim_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     join + 4-row sum per vector with NO full-vector reads, and the top-10
     is TakeOrderedAndProject. Argmin and ranking order on 6dp-rounded
     distances with id tiebreaks so cross-engine float noise cannot flip a
-    code assignment.
+    code assignment. r13: argmin encode runs as a min(struct) hash
+    aggregate and the global top-10 as orderBy+limit (TakeOrdered) with
+    the rank window over the 10 survivors — same total order, no global
+    sort, no 4n sort partitions (plan diff in plans/r13/).
     """
-    emb = _emb(spark, sf_dir)
-    ms = F.array([F.lit(i) for i in range(4)])
-    sub = emb.select(
-        "vec_id", F.explode(ms).alias("m"), F.col("v")
-    ).select(
-        "vec_id",
-        "m",
-        F.expr("slice(v, m * 16 + 1, 16)").alias("s"),
-    )
-    cb = sub.filter(F.col("vec_id") < 16).select(
-        F.col("vec_id").alias("k"), F.col("m").alias("cm"), F.col("s").alias("cv")
-    )
-    sq = F.aggregate(
-        F.zip_with(F.col("s"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    scored = sub.join(F.broadcast(cb), F.col("m") == F.col("cm")).select(
-        "vec_id", "m", "k", sq.alias("dist2")
-    )
-    we = Window.partitionBy("vec_id", "m").orderBy(
-        F.round("dist2", 6), F.col("k")
-    )
-    code = (
-        scored.withColumn("rn", F.row_number().over(we))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "m", "k")
-    )
-    qd = (
-        sub.filter(F.col("vec_id") == 0)
-        .select(F.col("m").alias("qm"), F.col("s").alias("qs"))
-        .join(F.broadcast(cb), F.col("qm") == F.col("cm"))
-        .select(
-            F.col("qm").alias("m"),
-            "k",
-            F.aggregate(
-                F.zip_with(
-                    F.col("qs"), F.col("cv"), lambda x, y: (x - y) * (x - y)
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ).alias("qdist"),
-        )
-    )
-    adist = (
-        code.filter(F.col("vec_id") != 0)
-        .join(F.broadcast(qd), ["m", "k"])
-        .groupBy("vec_id")
-        .agg(F.sum("qdist").alias("ad"))
-    )
+    _, adist = _pq_stage(spark, sf_dir)
     wr = Window.orderBy(F.round("ad", 6), F.col("vec_id"))
     return (
-        adist.withColumn("rn", F.row_number().over(wr).cast("long"))
-        .filter(F.col("rn") <= 10)
+        adist.orderBy(F.round("ad", 6), "vec_id")
+        .limit(10)
+        .withColumn("rn", F.row_number().over(wr).cast("long"))
         .select("vec_id", F.round("ad", 4).alias("adist"), "rn")
     )
 
@@ -2815,55 +2830,13 @@ def k_sim_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     full vectors for an exact L2 rerank to top-10 — the standard
     IVF/PQ + rerank architecture (full-precision reads drop from corpus
     size to shortlist size, the difference between scanning 100 TB of
-    floats and 50 rows of them).
+    floats and 50 rows of them). r13: PQ stage shared with ``k_sim_pq``
+    (min(struct) argmin encode, see ``_pq_stage``), shortlist and final
+    top-10 as orderBy+limit TakeOrdered instead of global rank windows.
     """
-    emb = _emb(spark, sf_dir)
-    # PQ stage (same formulation as k_sim_pq), widened to a 50-candidate
-    # shortlist.
-    ms = F.array([F.lit(i) for i in range(4)])
-    sub = emb.select("vec_id", F.explode(ms).alias("m"), "v").select(
-        "vec_id", "m", F.expr("slice(v, m * 16 + 1, 16)").alias("s")
-    )
-    cb = sub.filter(F.col("vec_id") < 16).select(
-        F.col("vec_id").alias("k"), F.col("m").alias("cm"), F.col("s").alias("cv")
-    )
-    sq = F.aggregate(
-        F.zip_with(F.col("s"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    scored = sub.join(F.broadcast(cb), F.col("m") == F.col("cm")).select(
-        "vec_id", "m", "k", sq.alias("dist2")
-    )
-    we = Window.partitionBy("vec_id", "m").orderBy(F.round("dist2", 6), "k")
-    code = (
-        scored.withColumn("rn", F.row_number().over(we))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "m", "k")
-    )
-    qd = (
-        sub.filter(F.col("vec_id") == 0)
-        .select(F.col("m").alias("qm"), F.col("s").alias("qs"))
-        .join(F.broadcast(cb), F.col("qm") == F.col("cm"))
-        .select(
-            F.col("qm").alias("m"),
-            "k",
-            F.aggregate(
-                F.zip_with(F.col("qs"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ).alias("qdist"),
-        )
-    )
-    wp = Window.orderBy(F.round(F.sum("qdist"), 6), F.col("vec_id"))
+    emb, adist = _pq_stage(spark, sf_dir)
     shortlist = (
-        code.filter(F.col("vec_id") != 0)
-        .join(F.broadcast(qd), ["m", "k"])
-        .groupBy("vec_id")
-        .agg(F.sum("qdist").alias("ad"))
-        .withColumn("prn", F.row_number().over(Window.orderBy(F.round("ad", 6), "vec_id")))
-        .filter(F.col("prn") <= 50)
-        .select("vec_id")
+        adist.orderBy(F.round("ad", 6), "vec_id").limit(50).select("vec_id")
     )
     qv = emb.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
     exact = F.sqrt(
@@ -2878,8 +2851,9 @@ def k_sim_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         shortlist.join(emb, "vec_id")
         .crossJoin(F.broadcast(qv))
         .select("vec_id", exact.alias("exact_dist"))
+        .orderBy(F.round("exact_dist", 6), "vec_id")
+        .limit(10)
         .withColumn("rn", F.row_number().over(wr).cast("long"))
-        .filter(F.col("rn") <= 10)
         .select("vec_id", F.round("exact_dist", 4).alias("exact_dist"), "rn")
     )
 
