@@ -386,30 +386,38 @@ def k_label_noise_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _emb(spark, sf_dir)
     vec = F.struct("vec_id", "v", "label")
+    # Flat primitive payloads across Arrow (ids/labels + flattened
+    # matrix, all split from ONE collect_list so orders agree) — r13,
+    # same rationale as _lof_knn_broadcast (guide §4).
     a_blocks = (
         emb.withColumn("blk", F.pmod("vec_id", F.lit(32)))
         .groupBy("blk")
-        .agg(F.collect_list(vec).alias("ablock"))
+        .agg(F.collect_list(vec).alias("al"))
+        .select(
+            F.expr("transform(al, x -> x.vec_id)").alias("aids"),
+            F.expr("transform(al, x -> x.label)").alias("alab"),
+            F.expr("flatten(transform(al, x -> x.v))").alias("aflat"),
+        )
     )
-    corpus = emb.agg(F.collect_list(vec).alias("corpus"))
+    corpus = emb.agg(F.collect_list(vec).alias("cl")).select(
+        F.expr("transform(cl, x -> x.vec_id)").alias("cids"),
+        F.expr("transform(cl, x -> x.label)").alias("clab"),
+        F.expr("flatten(transform(cl, x -> x.v))").alias("cflat"),
+    )
 
     def knn(batches):
         for pdf in batches:
             for _, row in pdf.iterrows():
-                aids = np.fromiter(
-                    (r["vec_id"] for r in row["ablock"]), np.int64
+                aids = np.asarray(row["aids"], dtype=np.int64)
+                alab = np.asarray(row["alab"], dtype=np.int64)
+                amat = np.asarray(row["aflat"], dtype=np.float64).reshape(
+                    len(aids), -1
                 )
-                alab = np.fromiter(
-                    (r["label"] for r in row["ablock"]), np.int64
+                cids = np.asarray(row["cids"], dtype=np.int64)
+                clab = np.asarray(row["clab"], dtype=np.int64)
+                cmat = np.asarray(row["cflat"], dtype=np.float64).reshape(
+                    len(cids), -1
                 )
-                amat = np.vstack([np.asarray(r["v"]) for r in row["ablock"]])
-                cids = np.fromiter(
-                    (r["vec_id"] for r in row["corpus"]), np.int64
-                )
-                clab = np.fromiter(
-                    (r["label"] for r in row["corpus"]), np.int64
-                )
-                cmat = np.vstack([np.asarray(r["v"]) for r in row["corpus"]])
                 sims = amat @ cmat.T
                 out_id, out_lab, out_n = [], [], []
                 for r_i in range(len(aids)):
@@ -771,7 +779,15 @@ def _knn_tie_complete(aids, amat, cids, cmat, k):
 def _lof_knn_broadcast(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
     """Broadcast-corpus regime of the LOF kNN (the sim_pairs physical
     strategy): one BLAS GEMM per row-block against the broadcast corpus,
-    emitting the tie-complete per-point candidate superset."""
+    emitting the tie-complete per-point candidate superset.
+
+    The block and corpus payloads cross the Arrow boundary as FLAT
+    primitive arrays (ids + flattened matrix, split from one
+    collect_list so the orders cannot diverge) — r13: the former
+    struct-list rows cost every task a Python loop over 2000 dicts to
+    rebuild the matrices (guide §4: pass only what the kernel needs, in
+    the shape Arrow moves for free); np.asarray on a primitive list is
+    one memcpy."""
     import numpy as np
     import pandas as pd  # noqa: F401 — Arrow batch schema
 
@@ -780,21 +796,28 @@ def _lof_knn_broadcast(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
     blocks = (
         emb.withColumn("blk", F.pmod("vec_id", F.lit(32)))
         .groupBy("blk")
-        .agg(F.collect_list(vec).alias("ablock"))
+        .agg(F.collect_list(vec).alias("al"))
+        .select(
+            F.expr("transform(al, x -> x.vec_id)").alias("aids"),
+            F.expr("flatten(transform(al, x -> x.v))").alias("aflat"),
+        )
     )
-    corpus = emb.agg(F.collect_list(vec).alias("corpus"))
+    corpus = emb.agg(F.collect_list(vec).alias("cl")).select(
+        F.expr("transform(cl, x -> x.vec_id)").alias("cids"),
+        F.expr("flatten(transform(cl, x -> x.v))").alias("cflat"),
+    )
 
     def knn_gemm(batches):
         for pdf in batches:
             for _, row in pdf.iterrows():
-                aids = np.fromiter(
-                    (r["vec_id"] for r in row["ablock"]), np.int64
+                aids = np.asarray(row["aids"], dtype=np.int64)
+                cids = np.asarray(row["cids"], dtype=np.int64)
+                amat = np.asarray(row["aflat"], dtype=np.float64).reshape(
+                    len(aids), -1
                 )
-                amat = np.vstack([np.asarray(r["v"]) for r in row["ablock"]])
-                cids = np.fromiter(
-                    (r["vec_id"] for r in row["corpus"]), np.int64
+                cmat = np.asarray(row["cflat"], dtype=np.float64).reshape(
+                    len(cids), -1
                 )
-                cmat = np.vstack([np.asarray(r["v"]) for r in row["corpus"]])
                 yield _knn_tie_complete(aids, amat, cids, cmat, k)
 
     return blocks.crossJoin(F.broadcast(corpus)).mapInPandas(
