@@ -2431,35 +2431,41 @@ def k_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
     selection — the decreasing sequence whose last value is the 2-approx
     coverage radius.
 
-    Spark runs the natural driver loop: per round one broadcast of the new
-    center (a 64-float row), one codegen `least` fold into the running
-    min-distance column, one TakeOrdered argmax — driver traffic is ONE
-    ROW per round, data never leaves executors. The oracle unrolls the
-    same recurrence as nested CTEs; round(·,6)+vec_id tiebreaks pin the
-    argmax across engines. At 100 TB each round is one scan-speed map over
-    the running-distance table (k rounds, k small by design)."""
+    Spark runs the natural driver loop: the selected center round-trips to
+    the driver as ONE ROW per round and re-enters the plan as a 64-double
+    literal array, so each round is a single TakeOrdered job whose input is
+    the parquet scan plus r codegen `least`/dot folds — no join, no
+    shuffle, and (unlike the earlier broadcast-crossJoin form) no eager
+    localCheckpoint that would spool the corpus-sized distance table to
+    disk every round at 100 TB. The oracle unrolls the same recurrence as
+    nested CTEs; round(·,6)+vec_id tiebreaks pin the argmax across
+    engines. At 100 TB each round is one scan-speed map over the running-
+    distance table (k rounds, k small by design)."""
     emb = _emb(spark, sf_dir).select("vec_id", "v")
-    first = emb.filter(F.col("vec_id") == 0).select(F.col("v").alias("cv"))
-    d = emb.crossJoin(F.broadcast(first)).select(
-        "vec_id", "v", (2 - 2 * dot(F.col("v"), F.col("cv"))).alias("dmin")
+
+    def lit_vec(vals: list[float]) -> Column:
+        return F.array(*[F.lit(float(x)) for x in vals])
+
+    seed = emb.filter(F.col("vec_id") == 0).select("v").collect()[0].v
+    d = emb.select(
+        "vec_id", "v", (2 - 2 * dot(F.col("v"), lit_vec(seed))).alias("dmin")
     )
     picks = [(1, 0, 0.0)]
     for step in range(2, 6):
-        top = (
+        row = (
             d.select("vec_id", F.round("dmin", 6).alias("sd"), "v")
             .orderBy(F.col("sd").desc(), "vec_id")
             .limit(1)
-        )
-        row = top.collect()[0]
+            .collect()
+        )[0]
         picks.append((step, row.vec_id, float(row.sd)))
-        center = top.select(F.col("v").alias("cv"))
-        d = d.crossJoin(F.broadcast(center)).select(
+        d = d.select(
             "vec_id",
             "v",
             F.least(
-                F.col("dmin"), 2 - 2 * dot(F.col("v"), F.col("cv"))
+                F.col("dmin"), 2 - 2 * dot(F.col("v"), lit_vec(row.v))
             ).alias("dmin"),
-        ).localCheckpoint()
+        )
     return spark.createDataFrame(
         picks, "step int, vec_id bigint, sel_dist double"
     )
