@@ -147,12 +147,16 @@ def j_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 def j_map_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Partition-wise iterator transform — the shape used for batch scoring /
     # model inference at scale (one Arrow batch in, one out, bounded memory).
+    # Column pruning does NOT push through mapInPandas (the function is a
+    # black box to the optimizer), so the projection must sit BEFORE the
+    # Arrow boundary: ship the 3 columns the function touches, not all 16.
     def keep_bulk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = pdf[pdf["l_quantity"] > 45]
-            yield out[["l_orderkey", "l_linenumber", "l_quantity"]]
+            yield pdf[pdf["l_quantity"] > 45]
 
-    li = load(spark, sf_dir, "lineitem")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
     return li.mapInPandas(
         keep_bulk, "l_orderkey long, l_linenumber int, l_quantity double"
     )
