@@ -2695,38 +2695,37 @@ def _eval_overlap_prefix(d: dict, pairs_src: str) -> str:
     """CTE chain pairs -> per-pair clipped gram matches + exact totals.
 
     Uni- and bigrams ride ONE explode per side (bigrams contain a space,
-    so n derives from the gram itself) keeping every CTE
-    single-referenced except `pairs` (3 refs — the Spark caller
-    localCheckpoints it; DuckDB materializes CTEs). Totals come from
-    array sizes, not a gram re-scan."""
+    so n derives from the gram itself); both sides carry a side flag
+    through ONE union, so the clipped match min(cand_count, ref_count)
+    per (pair, gram) falls out of a SINGLE (pair, gram)-keyed
+    aggregation — no per-side count tables and no re-keyed join (the
+    ``k_eval_chrf`` r13 rewrite, here with word grams: the join design
+    paid two count-table exchanges plus an SMJ; this pays one exchange).
+    `pairs` stays the only multi-referenced CTE (3 refs — the Spark
+    caller localCheckpoints it; DuckDB materializes CTEs). Totals come
+    from array sizes, not a gram re-scan."""
     big_c = d["BIGRAMS"].format(a="ca")
     big_r = d["BIGRAMS"].format(a="ra")
     return f"""
     WITH pairs AS ({pairs_src}),
-    cg0 AS (
+    ug AS (
       SELECT cand_id,
              {d['EXPLODE']}({d['ARRCAT']}(ca, coalesce({big_c}, {d['EMPTY']})))
-               AS gram
+               AS gram, 1 AS is_c
       FROM pairs
-    ), rg0 AS (
+      UNION ALL
       SELECT cand_id,
              {d['EXPLODE']}({d['ARRCAT']}(ra, coalesce({big_r}, {d['EMPTY']})))
-               AS gram
+               AS gram, 0 AS is_c
       FROM pairs
-    ), cg AS (
-      SELECT cand_id, CASE WHEN gram LIKE '% %' THEN 2 ELSE 1 END AS n,
-             gram, count(*) AS c
-      FROM cg0 GROUP BY 1, 2, 3
-    ), rg AS (
-      SELECT cand_id, CASE WHEN gram LIKE '% %' THEN 2 ELSE 1 END AS n,
-             gram, count(*) AS c
-      FROM rg0 GROUP BY 1, 2, 3
+    ), pg AS (
+      SELECT cand_id, gram, sum(is_c) AS cc, sum(1 - is_c) AS rc
+      FROM ug GROUP BY 1, 2
     ), m AS (
-      SELECT cg.n,
-             sum(CASE WHEN cg.c < rg.c THEN cg.c ELSE rg.c END) AS matched
-      FROM cg JOIN rg ON cg.cand_id = rg.cand_id AND cg.n = rg.n
-                     AND cg.gram = rg.gram
-      GROUP BY cg.n
+      -- a word gram's own shape IS its n: bigrams contain a space
+      SELECT CASE WHEN gram LIKE '% %' THEN 2 ELSE 1 END AS n,
+             sum(CASE WHEN cc < rc THEN cc ELSE rc END) AS matched
+      FROM pg GROUP BY 1
     ), mm AS (
       SELECT coalesce(sum(CASE WHEN n = 1 THEN matched END), 0) AS m1,
              coalesce(sum(CASE WHEN n = 2 THEN matched END), 0) AS m2
