@@ -1688,12 +1688,19 @@ def k_eval_heldout_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor — i.e. the eval loop a data-curation pipeline runs to compare
     corpus variants.
 
-    Same posting-list plan family: two train-side aggregates (bigram and
-    context counts, each one hash shuffle on its own key), a broadcast
-    scalar vocab, LEFT joins back to the held-out bigram stream (left:
-    held-out bigrams may be unseen in train). The split predicate is the
-    deterministic md5 bucket, so train/test membership is reproducible
-    across engines and reruns.
+    Same posting-list plan family: ONE train-side bigram-count aggregate
+    (one hash shuffle, Zipf-compact result); the context-count table is
+    DERIVED from it — c_w1 = Σ c_bg over bigrams sharing the first token,
+    an exact integer identity (every train bigram row contributes 1 to
+    its w1's count), so the r13 rewrite folds what was a second
+    corpus-sized explode+shuffle into a vocabulary-sized re-aggregate of
+    the count table (the "derive from the count table" pattern shared
+    with k_source_divergence). A broadcast scalar vocab, then LEFT joins
+    back to the held-out bigram stream (left: held-out bigrams may be
+    unseen in train). The split predicate is the deterministic md5
+    bucket, so train/test membership is reproducible across engines and
+    reruns; the oracle keeps the two-aggregate text (it is not the hot
+    path) and hashes identically.
     """
     d = load_parallel(spark, sf_dir, "documents", "doc_id").withColumn(
         "is_train",
@@ -1714,8 +1721,24 @@ def k_eval_heldout_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("b"),
     ).select("doc_id", "is_train", F.col("b.w1").alias("w1"), F.col("b.bigram").alias("bigram"))
     train = bg.filter("is_train")
-    bgc = train.groupBy("bigram").agg(F.count(F.lit(1)).alias("c_bg"))
-    ctx = train.groupBy("w1").agg(F.count(F.lit(1)).alias("c_w1"))
+    # The bigram count table is Zipf-compact (vocabulary-sized, not
+    # corpus-sized) — pin it so the derived context table below reads the
+    # materialized counts instead of re-deriving the whole explode+agg
+    # subtree (DataFrame reuse does not dedupe plan subtrees).
+    bgc = (
+        train.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("c_bg"))
+        .localCheckpoint()
+    )
+    # c_w1 = Σ c_bg over the first token: tokens are space-split (w1 has
+    # no spaces), so the first space-delimited field of `bigram` IS w1 —
+    # the context table re-aggregates the compact count table instead of
+    # re-exploding the corpus.
+    ctx = (
+        bgc.groupBy(
+            F.substring_index("bigram", " ", 1).alias("w1")
+        ).agg(F.sum("c_bg").alias("c_w1"))
+    )
     v = (
         d.filter("is_train")
         .select(F.explode(F.split("text", " ")).alias("term"))
