@@ -4783,9 +4783,24 @@ def k_dedup_bands_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     # never rebuilds them (exactly what a re-banding decision does on a
     # 100 TB index: the signature table is already on disk).
     mh = _minhash_sigs(spark, sf_dir)
-    cfgs = spark.createDataFrame([(2,), (3,), (6,)], "rows_per_band int")
+    # r13: the 3-config fan-out rides an explode (stays in codegen; the
+    # old broadcast crossJoin priced a BNLJ node), and candidates come
+    # from WITHIN-BUCKET pair generation instead of a bands self-join —
+    # the self-join re-derived the whole crossJoin+double-aggregate
+    # banding subtree on each side (ExistingRDD inputs defeat exchange
+    # reuse) and paid an SMJ on the long string bkey. Grouping the bands
+    # table once by its bucket key and exploding sorted-id pairs emits
+    # the IDENTICAL candidate set (a bucket of s docs yields the same
+    # s·(s−1)/2 ordered pairs the equi-join produced) for one aggregation
+    # and zero joins; per-task blowup on a hot bucket matches what the
+    # join's matching-key group already cost.
     bands = (
-        mh.crossJoin(F.broadcast(cfgs))
+        mh.select(
+            "doc_id", "h", "mh",
+            F.explode(
+                F.array(F.lit(2), F.lit(3), F.lit(6))
+            ).alias("rows_per_band"),
+        )
         .groupBy(
             "rows_per_band",
             "doc_id",
@@ -4798,16 +4813,23 @@ def k_dedup_bands_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bkey")
         )
     )
-    a = bands.select(
-        "rows_per_band", "band_id", "bkey", F.col("doc_id").alias("doc_id_1")
-    )
-    b = bands.select(
-        "rows_per_band", "band_id", "bkey", F.col("doc_id").alias("doc_id_2")
+    buckets = (
+        bands.groupBy("rows_per_band", "band_id", "bkey")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
     )
     cand = (
-        a.join(b, ["rows_per_band", "band_id", "bkey"])
-        .filter(F.col("doc_id_1") < F.col("doc_id_2"))
-        .select("rows_per_band", "doc_id_1", "doc_id_2")
+        buckets.select(
+            "rows_per_band",
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) ->"
+                    " transform(slice(ids, i + 2, size(ids) - i - 1),"
+                    " y -> struct(x AS doc_id_1, y AS doc_id_2))))"
+                )
+            ).alias("p"),
+        )
+        .select("rows_per_band", "p.doc_id_1", "p.doc_id_2")
         .distinct()
     )
     truth = (
@@ -4816,7 +4838,9 @@ def k_dedup_bands_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("is_true", F.lit(1))
     )
     stats = (
-        cand.join(truth, ["doc_id_1", "doc_id_2"], "left")
+        # truth is the tiny verified-pair table — broadcast it so the
+        # candidate stream never shuffles for the left join
+        cand.join(F.broadcast(truth), ["doc_id_1", "doc_id_2"], "left")
         .groupBy("rows_per_band")
         .agg(
             F.count(F.lit(1)).alias("n_cand"),
