@@ -341,11 +341,15 @@ def a_source_kafka_shaped(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("topic", "events")
         .load()
     )
+    # r13: the consumer schema carries ONLY the fields this query reads —
+    # from_json matches by name, so Jackson skips converting event_id/
+    # props/value instead of materializing all six (the manual form of
+    # the OptimizeJsonExprs pruning, which cannot fire here because the
+    # thrice-referenced struct blocks CollapseProject). Identical output.
     parsed = raw.select(
         F.from_json(
             F.col("value").cast("string"),
-            "event_id BIGINT, event_type STRING, props STRING,"
-            " ts_us BIGINT, user_id BIGINT, value DOUBLE",
+            "event_type STRING, ts_us BIGINT, user_id BIGINT",
         ).alias("e")
     )
     return parsed.groupBy(F.col("e.event_type").alias("event_type")).agg(
