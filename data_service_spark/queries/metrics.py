@@ -3479,10 +3479,13 @@ def k_threshold_knee(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(body)
 
 
-def _body_shapley() -> str:
-    pop = ("((m % 2) + (CAST(floor(m / 2) AS INT) % 2)"
-           " + (CAST(floor(m / 4) AS INT) % 2))")
-    return f"""
+def _shapley_rates_sql() -> str:
+    """The corpus-sized leg: one (user) reduce to touch sets, folded to
+    the 8-row coalition-rate spine. Split out so the Spark path can pin
+    it once — the single WITH-chain oracle references ``rates`` four
+    times (two coalition joins + two scalar subqueries), which Spark
+    inlines into 16 parquet scans of events (r13 before-plan)."""
+    return """
     WITH fp AS (
       SELECT user_id,
              min(CASE WHEN event_type = 'purchase' THEN ts END) AS pts
@@ -3507,13 +3510,23 @@ def _body_shapley() -> str:
       FROM tc GROUP BY 1
     ), grid AS (
       SELECT m FROM (VALUES (0), (1), (2), (3), (4), (5), (6), (7)) g(m)
-    ), rates AS (
-      SELECT g.m, coalesce(s.n_u, 0) AS n_u,
-             coalesce(s.n_conv, 0) AS n_conv,
-             CASE WHEN coalesce(s.n_u, 0) = 0 THEN 0.0
-                  ELSE CAST(s.n_conv AS DOUBLE) / s.n_u END AS v
-      FROM grid g LEFT JOIN subsets s ON s.m = g.m
-    ), channels AS (
+    )
+    SELECT g.m, coalesce(s.n_u, 0) AS n_u,
+           coalesce(s.n_conv, 0) AS n_conv,
+           CASE WHEN coalesce(s.n_u, 0) = 0 THEN 0.0
+                ELSE CAST(s.n_conv AS DOUBLE) / s.n_u END AS v
+    FROM grid g LEFT JOIN subsets s ON s.m = g.m
+    """
+
+
+def _shapley_final_sql(rates_src: str) -> str:
+    """The 12-term weighted sum + single-coalition report columns over
+    the (8-row) rates spine."""
+    pop = ("((m % 2) + (CAST(floor(m / 2) AS INT) % 2)"
+           " + (CAST(floor(m / 4) AS INT) % 2))")
+    return f"""
+    WITH rates AS ({rates_src}),
+    channels AS (
       SELECT * FROM (VALUES ('view', 1), ('click', 2), ('signup', 4))
         c(channel, bit)
     ), terms AS (
@@ -3536,6 +3549,10 @@ def _body_shapley() -> str:
     """
 
 
+def _body_shapley() -> str:
+    return _shapley_final_sql(_shapley_rates_sql())
+
+
 @register("k_attribution_shapley", oracle=_body_shapley())
 def k_attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact Shapley-value attribution over the three pre-purchase
@@ -3552,9 +3569,23 @@ def k_attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
     All coalition counts are integers; rates and the 12-term weighted
     sum are identical expression trees both engines floor-quantize at
     1e-6. Scale shape: one (user) reduce to touch sets, an 8-row
-    coalition spine, 12-term arithmetic — corpus touched once."""
+    coalition spine, 12-term arithmetic — corpus touched once. The
+    Spark side pins the 8-row rates spine (localCheckpoint + view, the
+    k_bradley_terry pattern): the single WITH-chain references rates
+    four times (two coalition joins + two scalar subqueries), which
+    Spark's per-reference CTE inlining blew up into 16 parquet scans of
+    events (r13 before-plan); the DuckDB oracle keeps the flat chain
+    because it materializes multi-referenced CTEs."""
+    import uuid
+
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
-    return spark.sql(_body_shapley())
+    view = f"dss_shapley_rates_{uuid.uuid4().hex[:12]}"
+    spark.sql(_shapley_rates_sql()).localCheckpoint() \
+        .createOrReplaceTempView(view)
+    try:
+        return spark.sql(_shapley_final_sql(f"SELECT * FROM {view}"))
+    finally:
+        spark.catalog.dropTempView(view)
 
 
 def _ranker_delta_rr_sql(dot_full: str, dot_trunc: str,
