@@ -1819,7 +1819,12 @@ def k_text_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_parallel(spark, sf_dir, "documents", "doc_id")
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    # r13: tf rows ARE the distinct (doc, term) pairs, so df per term is
+    # a plain count over the tf table — the second tokenize+explode and
+    # its two-phase countDistinct shuffle fold into a vocab-keyed
+    # re-aggregate of the count table (both branches share the tf
+    # subtree, whose exchange Spark reuses).
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = d.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
         tf.join(dfreq, "term")
