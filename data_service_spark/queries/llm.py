@@ -3878,7 +3878,10 @@ def k_sim_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfc = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    # r13 (the k_text_keywords fold): tf rows ARE the distinct
+    # (doc, term) pairs, so df is a plain count over tf — no second
+    # tokenize+explode and no two-phase countDistinct shuffle.
+    dfc = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = d.agg(F.count(F.lit(1)).alias("n_docs"))
     w = (
         tf.join(dfc, "term")
