@@ -953,6 +953,45 @@ def test_eval_gram_machine_plan_shapes(spark, sf_dir):
     assert "documents.parquet" not in p
 
 
+def test_r13_optimization_plan_shapes(spark, sf_dir):
+    """r13 optimization pins, one assertion per structural claim:
+
+    - j_map_in_pandas projects to the 3 consumed columns BEFORE the
+      Arrow boundary (pruning does not push through the Python map);
+    - a_source_kafka_shaped parses only the 3 consumed payload fields
+      (manual OptimizeJsonExprs — the full 6-field parse must not come
+      back);
+    - k_attribution_shapley's consuming plan reads the pinned 8-row
+      rates spine, never the events parquet (was 16 scans);
+    - k_eval_heldout_ppl re-scans documents exactly twice (held-out
+      bigram stream + vocab), with the context table derived from the
+      pinned bigram counts;
+    - k_dedup_bands_sweep generates candidates within buckets: ONE
+      banding chain (no self-join of the bands table, so no SMJ), truth
+      attached by broadcast."""
+    p = plan_of(QUERIES["j_map_in_pandas"](spark, sf_dir))
+    assert (
+        "ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,"
+        "l_quantity:double>" in p
+    ), p
+    p = plan_of(QUERIES["a_source_kafka_shaped"](spark, sf_dir))
+    assert "StructField(event_type" in p, p
+    assert "StructField(event_id" not in p and "StructField(props" not in p, p
+    p = plan_of(QUERIES["k_attribution_shapley"](spark, sf_dir), "simple")
+    assert "Scan parquet" not in p, p
+    assert "ExistingRDD" in p, p
+    p = plan_of(QUERIES["k_eval_heldout_ppl"](spark, sf_dir), "simple")
+    assert p.count("Scan parquet") == 2, p
+    assert p.count("Generate") == 2, p
+    assert "ExistingRDD" in p, p  # the pinned bigram count table
+    p = plan_of(QUERIES["k_dedup_bands_sweep"](spark, sf_dir), "simple")
+    assert "SortMergeJoin" not in p, p
+    assert "BroadcastHashJoin" in p, p  # truth join
+    # one banding chain: collect_list aggregates appear exactly twice
+    # (bands bkey + bucket ids), each as a partial/final pair
+    assert p.count("ObjectHashAggregate") == 4, p
+
+
 def test_like_any_plan_is_codegen_string_ops(spark, sf_dir):
     """LIKE ANY/ALL with anchored patterns must fold to codegen
     StartsWith/EndsWith/Contains (no regex compilation) and prune the
