@@ -220,6 +220,9 @@ def e_win_range_frame_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice",
         F.lit("hi").alias("kind"),
     )
+    # r13: u feeds BOTH the local-prefix window and the chunk-totals
+    # aggregate; unpinned, Spark re-derived the 3-scan union per branch
+    # (6 parquet scans in the before-plan). One pin halves the scans.
     u = (
         mass.select(probe_cols)
         .unionByName(lo.select(probe_cols))
@@ -227,6 +230,7 @@ def e_win_range_frame_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "chunk", F.floor(F.col("val") / F.lit(chunk_w)).cast("long")
         )
+        .localCheckpoint()
     )
     # mass points sort before probes at the same value (is_probe tiebreak)
     # so a probe's running sum is the inclusive prefix ≤ its value.
