@@ -1094,10 +1094,17 @@ def d_agg_funnel_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     state. The 1-day window bound is what keeps streaming/backfill state
     finite at 100 TB/day."""
     e = load(spark, sf_dir, "events")
+    # r13: t1 feeds t2, t3 AND levels, and t2 feeds t3 and levels;
+    # unpinned, Spark re-derived each stage's filtered scan + aggregate
+    # per reference (8 parquet scans of events in the census). The stage
+    # tables are user-keyed (bounded by converting users) — pin each
+    # once; the chain then costs one scan per stage, the documented
+    # "three hash aggregates + equi-joins" shape.
     t1 = (
         e.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t1"))
+        .localCheckpoint()
     )
     t2 = (
         e.join(t1, "user_id")
@@ -1108,6 +1115,7 @@ def d_agg_funnel_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("user_id")
         .agg(F.min("ts").alias("t2"))
+        .localCheckpoint()
     )
     t3 = (
         e.join(t1, "user_id")

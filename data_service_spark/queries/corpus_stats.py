@@ -743,11 +743,15 @@ def k_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------- contingency independence chi2 ----
 
 
-def _body_contingency_chi2() -> str:
-    return """
-    WITH cell AS (
-      SELECT source, lang, count(*) AS o FROM documents GROUP BY 1, 2
-    ), rowm AS (SELECT source, sum(o) AS r FROM cell GROUP BY 1),
+_CONTINGENCY_CELL_SQL = (
+    "SELECT source, lang, count(*) AS o FROM documents GROUP BY 1, 2"
+)
+
+
+def _contingency_final_sql(cell_src: str) -> str:
+    return f"""
+    WITH cell AS ({cell_src}),
+    rowm AS (SELECT source, sum(o) AS r FROM cell GROUP BY 1),
     colm AS (SELECT lang, sum(o) AS c FROM cell GROUP BY 1),
     n AS (SELECT sum(o) AS n FROM cell),
     full_grid AS (
@@ -775,6 +779,10 @@ def _body_contingency_chi2() -> str:
     """
 
 
+def _body_contingency_chi2() -> str:
+    return _contingency_final_sql(_CONTINGENCY_CELL_SQL)
+
+
 @register("k_contingency_chi2", oracle=_body_contingency_chi2())
 def k_contingency_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full source × language contingency-table independence test: χ² =
@@ -788,9 +796,22 @@ def k_contingency_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     output.
 
     Scale shape: map-side reduce to the grid, margins broadcast, one
-    grid-sized reduce."""
+    grid-sized reduce. The Spark side pins the grid (localCheckpoint +
+    view, the k_bradley_terry pattern): `cell` is referenced by rowm/
+    colm/n/full_grid and the margins again by the dof/Cramér scalar
+    subqueries, which Spark's per-reference CTE inlining blew up into 9
+    parquet scans of documents (r13 census); the DuckDB oracle keeps the
+    flat chain because it materializes multi-referenced CTEs."""
+    import uuid
+
     load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
-    return spark.sql(_body_contingency_chi2())
+    view = f"dss_chi2_cell_{uuid.uuid4().hex[:12]}"
+    spark.sql(_CONTINGENCY_CELL_SQL).localCheckpoint() \
+        .createOrReplaceTempView(view)
+    try:
+        return spark.sql(_contingency_final_sql(f"SELECT * FROM {view}"))
+    finally:
+        spark.catalog.dropTempView(view)
 
 
 # --------------------------------------------- Kendall rank stability ----

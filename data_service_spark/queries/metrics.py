@@ -662,10 +662,15 @@ def k_jackknife_se(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = QUERIES["k_quality_logreg"](spark, sf_dir).select(
         "doc_id", (F.col("score_q") / 1e6).alias("p")
     )
+    # r13: g feeds tot and loo (and loo feeds mt and the final reduce);
+    # unpinned, every reference re-derived the scoring join + aggregate
+    # (8 parquet scans in the census). The per-source partials are
+    # ~20 rows — pin once, everything downstream is row-trivial.
     g = (
         scored.join(d.select("doc_id", "source"), "doc_id")
         .groupBy("source")
         .agg(F.count(F.lit(1)).alias("n_g"), F.sum("p").alias("s_g"))
+        .localCheckpoint()
     )
     tot = g.agg(
         F.count(F.lit(1)).alias("g"),

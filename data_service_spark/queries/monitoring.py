@@ -1162,9 +1162,14 @@ def k_pacf_closed(spark: SparkSession, sf_dir: str) -> DataFrame:
     mu = idx.agg(
         F.avg("n").alias("m"), F.count(F.lit(1)).cast("long").alias("cnt")
     )
+    # r13: d feeds s0 plus both sides of the three lag self-joins (7
+    # references); unpinned, Spark re-derived the corpus daily-count
+    # aggregate per reference (14 parquet scans of events, 41 exchanges
+    # in the before-plan). The demeaned spine is calendar-sized (~30
+    # rows) — pin it once.
     d = idx.crossJoin(F.broadcast(mu)).select(
         "t", (F.col("n") - F.col("m")).alias("x"), "cnt"
-    )
+    ).localCheckpoint()
     s0 = d.agg(
         F.sum(F.col("x") * F.col("x")).alias("s0"),
         F.max("cnt").alias("cnt"),
