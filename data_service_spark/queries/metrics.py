@@ -67,14 +67,14 @@ def k_eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     and a bounded window. Exact integer rank sums; the single division
     rounds at 6dp.
     """
-    d = load(spark, sf_dir, "documents")
-    # Recompute the registered scorer's plan (same fixed weights) and label.
-    from data_service_spark.registry import QUERIES
+    # One-scan scorer spine (same fixed weights); the label comes from the
+    # same documents row, so no doc_id self-join (guide §2.4).
+    from data_service_spark.queries.training import quality_scored
 
-    scored = QUERIES["k_quality_logreg"](spark, sf_dir).select("doc_id", "score_q")
-    lab = scored.join(d.select("doc_id", "lang"), "doc_id").select(
-        "score_q", F.when(F.col("lang") == "en", 1).otherwise(0).alias("y")
-    )
+    lab = quality_scored(
+        spark, sf_dir,
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    ).select("score_q", "y")
     grp = lab.groupBy("score_q").agg(
         F.count(F.lit(1)).alias("n_tot"), F.sum("y").alias("n_pos")
     )
@@ -227,16 +227,18 @@ def k_eval_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial aggregation carries ten rows per partition regardless of corpus
     size.
     """
-    d = load(spark, sf_dir, "documents")
-    from data_service_spark.registry import QUERIES
+    # One-scan scorer spine; label from the same row (guide §2.4).
+    from data_service_spark.queries.training import quality_scored
 
-    scored = QUERIES["k_quality_logreg"](spark, sf_dir).select("doc_id", "score_q")
-    lab = scored.join(d.select("doc_id", "lang"), "doc_id").select(
+    lab = quality_scored(
+        spark, sf_dir,
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    ).select(
         F.least(F.floor(F.col("score_q") / 100000.0).cast("long"), F.lit(9)).alias(
             "bin"
         ),
         (F.col("score_q") / 1e6).alias("p"),
-        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+        "y",
     )
     return lab.groupBy("bin").agg(
         F.count(F.lit(1)).alias("n"),
@@ -507,15 +509,13 @@ def k_eval_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
     One broadcast-joined projection and a 1-row aggregate of squared
     errors — scan-rate cost at any corpus size.
     """
-    d = load(spark, sf_dir, "documents")
-    from data_service_spark.registry import QUERIES
+    # One-scan scorer spine; label from the same row (guide §2.4).
+    from data_service_spark.queries.training import quality_scored
 
-    scored = QUERIES["k_quality_logreg"](spark, sf_dir).select(
-        "doc_id", (F.col("score_q") / 1e6).alias("p")
-    )
-    lab = scored.join(d.select("doc_id", "lang"), "doc_id").select(
-        "p", F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y")
-    )
+    lab = quality_scored(
+        spark, sf_dir,
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+    ).select((F.col("score_q") / 1e6).alias("p"), "y")
     se = (F.col("p") - F.col("y")) * (F.col("p") - F.col("y"))
     return lab.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
@@ -656,19 +656,18 @@ def k_jackknife_se(spark: SparkSession, sf_dir: str) -> DataFrame:
     no resampling passes, unlike a bootstrap, which is what makes the
     estimator feasible at 100 TB.
     """
-    d = load(spark, sf_dir, "documents")
-    from data_service_spark.registry import QUERIES
+    # One-scan scorer spine; source from the same row (guide §2.4).
+    from data_service_spark.queries.training import quality_scored
 
-    scored = QUERIES["k_quality_logreg"](spark, sf_dir).select(
-        "doc_id", (F.col("score_q") / 1e6).alias("p")
+    scored = quality_scored(spark, sf_dir, "source").select(
+        "source", (F.col("score_q") / 1e6).alias("p")
     )
     # r13: g feeds tot and loo (and loo feeds mt and the final reduce);
     # unpinned, every reference re-derived the scoring join + aggregate
     # (8 parquet scans in the census). The per-source partials are
     # ~20 rows — pin once, everything downstream is row-trivial.
     g = (
-        scored.join(d.select("doc_id", "source"), "doc_id")
-        .groupBy("source")
+        scored.groupBy("source")
         .agg(F.count(F.lit(1)).alias("n_g"), F.sum("p").alias("s_g"))
         .localCheckpoint()
     )
@@ -865,15 +864,11 @@ def k_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     single grouped conditional aggregate — a 5-point curve for one pass,
     the same trick as k_learning_curve.
     """
-    d = load(spark, sf_dir, "documents")
-    from data_service_spark.registry import QUERIES
+    # One-scan scorer spine; token count from the same row (guide §2.4).
+    from data_service_spark.queries.training import quality_scored
 
-    scored = QUERIES["k_quality_logreg"](spark, sf_dir).select(
-        "doc_id", "score_q"
-    )
-    j = scored.join(
-        d.select("doc_id", F.size(F.split("text", " ")).alias("n_tok")),
-        "doc_id",
+    j = quality_scored(
+        spark, sf_dir, F.size(F.split("text", " ")).alias("n_tok")
     )
     tot = j.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("n_tokens")
@@ -944,15 +939,13 @@ def k_threshold_youden(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix-sum window over distinct scores (≤1e6 rows by construction),
     argmax on exact-integer-derived ratios with a score tiebreak.
     """
-    d = load(spark, sf_dir, "documents")
-    from data_service_spark.registry import QUERIES
+    # One-scan scorer spine; label from the same row (guide §2.4).
+    from data_service_spark.queries.training import quality_scored
 
-    scored = QUERIES["k_quality_logreg"](spark, sf_dir).select(
-        "doc_id", "score_q"
-    )
-    lab = scored.join(d.select("doc_id", "lang"), "doc_id").select(
-        "score_q", F.when(F.col("lang") == "en", 1).otherwise(0).alias("y")
-    )
+    lab = quality_scored(
+        spark, sf_dir,
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    ).select("score_q", "y")
     grp = lab.groupBy("score_q").agg(
         F.count(F.lit(1)).alias("n"), F.sum("y").alias("pos")
     )
@@ -1842,14 +1835,10 @@ def k_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     Skyline is distributive (skyline(∪Sᵢ) = skyline(∪skyline(Sᵢ))), so
     at 100 TB the same algebra runs per partition first.
     """
-    from data_service_spark.registry import QUERIES
+    # One-scan scorer spine; n_chars from the same row (guide §2.4).
+    from data_service_spark.queries.training import quality_scored
 
-    d = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    pts = (
-        QUERIES["k_quality_logreg"](spark, sf_dir)
-        .select("doc_id", "score_q")
-        .join(d, "doc_id")
-    )
+    pts = quality_scored(spark, sf_dir, "n_chars")
     g = pts.groupBy("score_q").agg(F.max("n_chars").alias("mc"))
     w = (
         Window.orderBy(F.col("score_q").desc())
@@ -1976,16 +1965,14 @@ def k_eval_lift_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-row total, and a 10-row cumulative window — the scan is the only
     data-sized work; exact integer counts feed the three final ratios.
     """
-    d = load(spark, sf_dir, "documents")
-    from data_service_spark.registry import QUERIES
+    # One-scan scorer spine; label from the same row (guide §2.4).
+    from data_service_spark.queries.training import quality_scored
 
-    scored = QUERIES["k_quality_logreg"](spark, sf_dir).select(
-        "doc_id", "score_q"
-    )
-    lab = scored.join(d.select("doc_id", "lang"), "doc_id").select(
-        "score_q",
+    lab = quality_scored(
+        spark,
+        sf_dir,
         F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
-    )
+    ).select("score_q", "y")
     bands = lab.groupBy(
         F.least(F.floor(F.col("score_q") / 100000), F.lit(9))
         .cast("long")
@@ -2204,16 +2191,17 @@ def k_calibration_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     the O(bins³)=8000-row minimax grid is driver-trivial but stays fully
     distributed as two grouped reductions over a broadcast spine.
     """
-    d = load(spark, sf_dir, "documents")
-    from data_service_spark.registry import QUERIES
+    # One-scan scorer spine; label from the same row (guide §2.4).
+    from data_service_spark.queries.training import quality_scored
 
-    scored = QUERIES["k_quality_logreg"](spark, sf_dir).select(
-        "doc_id", "score_q"
-    )
-    lab = scored.join(d.select("doc_id", "lang"), "doc_id").select(
+    lab = quality_scored(
+        spark,
+        sf_dir,
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    ).select(
         F.least(F.floor(F.col("score_q") / 50000.0).cast("long"), F.lit(19))
         .alias("bin"),
-        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+        "y",
     )
     b = lab.groupBy("bin").agg(
         F.count(F.lit(1)).alias("c"), F.sum("y").alias("s")
@@ -2300,15 +2288,13 @@ def k_eval_avg_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantized scores map-side; one ordered window over that spine and a
     1-row reduce — the ``k_eval_auc`` rank-sum shape on the PR side.
     """
-    d = load(spark, sf_dir, "documents")
-    from data_service_spark.registry import QUERIES
+    # One-scan scorer spine; label from the same row (guide §2.4).
+    from data_service_spark.queries.training import quality_scored
 
-    scored = QUERIES["k_quality_logreg"](spark, sf_dir).select(
-        "doc_id", "score_q"
-    )
-    lab = scored.join(d.select("doc_id", "lang"), "doc_id").select(
-        "score_q", F.when(F.col("lang") == "en", 1).otherwise(0).alias("y")
-    )
+    lab = quality_scored(
+        spark, sf_dir,
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    ).select("score_q", "y")
     g = lab.groupBy("score_q").agg(
         F.count(F.lit(1)).alias("c"), F.sum("y").alias("p")
     )
@@ -2718,17 +2704,18 @@ def k_eval_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
     accumulation-order exposure.
 
     Scale shape: one 10-group map-side aggregate, 1-row output."""
-    d = load(spark, sf_dir, "documents")
-    from data_service_spark.registry import QUERIES
+    # One-scan scorer spine; label from the same row (guide §2.4).
+    from data_service_spark.queries.training import quality_scored
 
-    scored = QUERIES["k_quality_logreg"](spark, sf_dir).select(
-        "doc_id", "score_q"
-    )
-    lab = scored.join(d.select("doc_id", "lang"), "doc_id").select(
+    lab = quality_scored(
+        spark,
+        sf_dir,
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    ).select(
         F.least(F.floor(F.col("score_q") / 100000.0).cast("long"), F.lit(9))
         .alias("bin"),
         F.col("score_q").alias("sq"),
-        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+        "y",
     )
     b = lab.groupBy("bin").agg(
         F.count(F.lit(1)).alias("n"),
@@ -4052,17 +4039,16 @@ def k_eval_auc_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     a per-source 1-row reduce. Exact integer rank sums; one 6dp division
     at the end.
     """
-    d = load(spark, sf_dir, "documents")
-    from data_service_spark.registry import QUERIES
+    # One-scan scorer spine; segment and label from the same row
+    # (guide §2.4).
+    from data_service_spark.queries.training import quality_scored
 
-    scored = QUERIES["k_quality_logreg"](spark, sf_dir).select(
-        "doc_id", "score_q"
-    )
-    lab = scored.join(d.select("doc_id", "source", "lang"), "doc_id").select(
+    lab = quality_scored(
+        spark,
+        sf_dir,
         "source",
-        "score_q",
         F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
-    )
+    ).select("source", "score_q", "y")
     grp = lab.groupBy("source", "score_q").agg(
         F.count(F.lit(1)).alias("n_tot"), F.sum("y").alias("n_pos")
     )

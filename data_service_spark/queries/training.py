@@ -1162,21 +1162,41 @@ def k_quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
     codegen expressions evaluated in the scan stage, so the filter runs at
     read speed on 100 TB. Scores floor-quantized at 1e-6 for the hash.
     """
-    d = load(spark, sf_dir, "documents")
-    n_words = "size(split(text, ' '))"
-    z = (
-        f"-8.0 + 1.6 * ln(1 + n_chars)"
-        f" + 0.5 * ((n_chars - {n_words} + 1) * 1.0 / {n_words})"
-        f" - 4.0 * ((n_chars - length(regexp_replace(text, '[0-9]', '')))"
-        f"          * 1.0 / n_chars)"
-    )
-    score = f"1.0 / (1.0 + exp(-({z})))"
-    return d.select(
-        "doc_id",
-        F.expr(f"CAST(floor({score} * 1e6) AS BIGINT)").alias("score_q"),
+    return quality_scored(
+        spark,
+        sf_dir,
         F.expr(
-            f"CASE WHEN {score} >= 0.5 THEN 'keep' ELSE 'drop' END"
+            f"CASE WHEN {_QL_SCORE} >= 0.5 THEN 'keep' ELSE 'drop' END"
         ).alias("verdict"),
+    )
+
+
+_QL_NWORDS = "size(split(text, ' '))"
+_QL_Z = (
+    f"-8.0 + 1.6 * ln(1 + n_chars)"
+    f" + 0.5 * ((n_chars - {_QL_NWORDS} + 1) * 1.0 / {_QL_NWORDS})"
+    f" - 4.0 * ((n_chars - length(regexp_replace(text, '[0-9]', '')))"
+    f"          * 1.0 / n_chars)"
+)
+_QL_SCORE = f"1.0 / (1.0 + exp(-({_QL_Z})))"
+_QL_SCORE_Q = f"CAST(floor({_QL_SCORE} * 1e6) AS BIGINT)"
+
+
+def quality_scored(spark: SparkSession, sf_dir: str, *extra) -> DataFrame:
+    """One-scan scorer spine: ``(doc_id, score_q, *extra)`` with the extra
+    columns taken from the SAME documents row as the score.
+
+    Scorer consumers (AUC/Brier/calibration/threshold family) need label
+    or length columns next to ``score_q`` and historically joined the
+    registered scorer's projection back to documents ``USING (doc_id)`` —
+    a self-join of each row with itself (doc_id is the corpus PK; every
+    oracle keeps the explicit join, and selfcheck adjudicates the
+    identity). Computing both sides in one select turns each consumer's
+    2 scans + 1 join into 1 scan, zero joins (guide §2.4).
+    """
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.expr(_QL_SCORE_Q).alias("score_q"), *extra
     )
 
 
@@ -2382,20 +2402,19 @@ def k_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     subset sizes unrolled as a 4-row broadcast cross join — not four
     passes.
     """
-    d = load(spark, sf_dir, "documents")
-    from data_service_spark.registry import QUERIES
-
-    scored = QUERIES["k_quality_logreg"](spark, sf_dir).select(
-        "doc_id", (F.col("score_q") >= 500000).cast("int").alias("pred")
-    )
+    # One-scan scorer spine; bucket and label from the same row
+    # (guide §2.4 — the historical join was a doc_id PK self-join).
     bucket = F.expr(_SPARK_BUCKET.format(salt="lc:", key="doc_id"))
-    lab = (
-        d.select(
-            "doc_id",
-            bucket.alias("bucket"),
-            F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
-        )
-        .join(scored, "doc_id")
+    lab = quality_scored(
+        spark,
+        sf_dir,
+        bucket.alias("bucket"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    ).select(
+        "doc_id",
+        "bucket",
+        "y",
+        (F.col("score_q") >= 500000).cast("int").alias("pred"),
     )
     fracs = spark.createDataFrame([(10,), (25,), (50,), (100,)], "frac int")
     return (
@@ -3593,13 +3612,9 @@ def k_pref_length_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
     Counts and length gaps are exact integers; the two windows share one
     group-key exchange. Scale shape: the scorer is the registered
     zero-shuffle projection; everything after runs on the group spine."""
-    from data_service_spark.queries.training import k_quality_logreg
-
-    scored = k_quality_logreg(spark, sf_dir).select("doc_id", "score_q")
-    d = load(spark, sf_dir, "documents").select(
-        "doc_id", "lang", "source", "n_chars"
-    )
-    j = d.join(scored, "doc_id")
+    # One-scan scorer spine; group keys and length from the same row
+    # (guide §2.4 — the historical join was a doc_id PK self-join).
+    j = quality_scored(spark, sf_dir, "lang", "source", "n_chars")
     from pyspark.sql.window import Window as W
 
     wb = W.partitionBy("lang", "source").orderBy(
