@@ -183,6 +183,11 @@ def k_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: a median per group (percentile agg), one broadcast join
     of 5 medians back onto the fact, one grouped aggregate."""
+    # r13: grp/tot are multi-referenced CTEs (12 scan nodes in the plan
+    # text), but runtime exchange reuse already dedupes the median +
+    # deviation passes — a localCheckpoint pin of grp was A/B'd and
+    # returned ~flat-to-worse (0.90s → 0.99s at sf0.1, barrier cost).
+    # Examined, left alone.
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_body_brown_forsythe("percentile(value, 0.5)"))
 

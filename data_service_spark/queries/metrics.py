@@ -1070,6 +1070,10 @@ def k_eval_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_service_spark.registry import QUERIES
 
     pred = QUERIES["k_text_langid"](spark, sf_dir)
+    # r13: cells feeds tot/po/r/c (5 inlined references in the plan
+    # text), but runtime exchange reuse executes the langid pass once —
+    # a localCheckpoint pin was A/B'd and LOST (0.97s → 2.2s at sf0.1,
+    # barrier cost with no saved work). Examined, left alone.
     cells = pred.groupBy("lang_meta", "pred_lang").agg(
         F.count(F.lit(1)).alias("n")
     )

@@ -1249,28 +1249,30 @@ def k_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = d.select(
         "doc_id", "lang", F.explode(F.split("text", " ")).alias("term")
     )
-    raw = tok.groupBy("term").agg(
-        F.count(F.lit(1)).cast("double").alias("r_cnt")
+    # r13: raw and tgt are the SAME term-keyed reduce (tgt adds an en
+    # filter) — one conditional aggregate computes both counts in a single
+    # tokenize+explode pass (guide §2.2; the raw LEFT JOIN tgt disappears:
+    # a term absent from the en slice simply counts 0, which coalesce
+    # mapped to 0 anyway). NOT pinned: runtime exchange reuse already
+    # executes the shared reduce once, and an A/B'd localCheckpoint only
+    # added a materialization barrier (1.19s → 4.5s at sf0.1).
+    cnt = tok.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("r_cnt"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("double")
+        .alias("t_cnt"),
     )
-    tgt = (
-        tok.filter(F.col("lang") == "en")
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).cast("double").alias("t_cnt"))
-    )
-    consts = raw.agg(
+    consts = cnt.agg(
         F.sum("r_cnt").alias("r_tot"),
         F.count(F.lit(1)).cast("double").alias("v"),
-    ).crossJoin(tgt.agg(F.coalesce(F.sum("t_cnt"), F.lit(0.0)).alias("t_tot")))
-    ratio = (
-        raw.join(tgt, "term", "left")
-        .crossJoin(F.broadcast(consts))
-        .select(
-            "term",
-            F.expr(
-                "ln(((coalesce(t_cnt, 0) + 1) / (t_tot + v))"
-                " / ((r_cnt + 1) / (r_tot + v)))"
-            ).alias("lr"),
-        )
+        F.coalesce(F.sum("t_cnt"), F.lit(0.0)).alias("t_tot"),
+    )
+    ratio = cnt.crossJoin(F.broadcast(consts)).select(
+        "term",
+        F.expr(
+            "ln(((coalesce(t_cnt, 0) + 1) / (t_tot + v))"
+            " / ((r_cnt + 1) / (r_tot + v)))"
+        ).alias("lr"),
     )
     return (
         tok.join(ratio, "term")
@@ -3136,14 +3138,17 @@ def k_importance_ess(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ----------------------------------------------- raking / IPF weights ----
 
 
-def _body_raking() -> str:
+def _body_raking(
+    cell_src: str = "SELECT source, lang, count(*) AS c "
+    "FROM documents GROUP BY 1, 2",
+) -> str:
     # Integer-exact IPF: weights live in ppm; every rescale is one BIGINT
     # multiply followed by exact integer division (Spark `DIV`; the oracle
     # swaps in DuckDB's `//`). Positive operands throughout, so both
     # operators agree (floor division).
-    return """
+    return f"""
     WITH cell AS (
-      SELECT source, lang, count(*) AS c FROM documents GROUP BY 1, 2
+      {cell_src}
     ), tot AS (
       SELECT sum(c) AS n, count(DISTINCT source) AS n_src FROM cell
     ), col_t AS (
@@ -3200,6 +3205,10 @@ def k_raking_ipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the corpus reduces map-side to the (source×lang) grid;
     each IPF half-round is one partitioned window over that spine —
     shuffle size independent of N."""
+    # r13: cell transitively feeds tot/col_t/w0 (6 scan nodes in the
+    # plan text), but runtime exchange reuse executes the corpus reduce
+    # once — a localCheckpoint pin of the grid was A/B'd and LOST
+    # (0.72s → 1.03s at sf0.1, barrier cost). Examined, left alone.
     load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_body_raking())
 
