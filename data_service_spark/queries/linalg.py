@@ -63,7 +63,16 @@ def _gram_partials(emb: DataFrame) -> DataFrame:
                 }
             )
 
-    return emb.select("v").repartition(16).mapInPandas(
+    # r13 (guide §2.5): spread ONLY when the scan is narrower than the
+    # GEMM fan-out. Locally the corpus ships as one row group, so the
+    # repartition(16) always fires (unchanged batch boundaries → same
+    # 4dp-rounded sums); at scale the parquet scan already yields many
+    # splits and the blind repartition would be a full-corpus shuffle of
+    # the vectors — the costliest node in the whole query — for nothing.
+    src = emb.select("v")
+    if src.rdd.getNumPartitions() < 16:
+        src = src.repartition(16)
+    return src.mapInPandas(
         partials, schema="i int, j int, partial double"
     )
 
