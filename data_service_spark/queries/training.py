@@ -3472,13 +3472,23 @@ def k_tokenizer_vocab_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("doc_id").alias("doc_freq"),
     )
     total = counts.agg(F.sum("freq").alias("tot"))
+    # r13 (guide F/§2): the rk ≤ 200 cut rode a row_number + running-sum
+    # window over the FULL vocabulary on one partition (the running sum
+    # blocks Spark's WindowGroupLimit rewrite, so the plan carried a
+    # full-vocab single-partition Sort). Select the top-200 first via
+    # orderBy+limit — TakeOrderedAndProject, per-partition heaps — and
+    # run the window on 200 rows. Same (freq DESC, token) total order,
+    # so rk and the running sum are bit-identical.
     w = Window.orderBy(F.col("freq").desc(), F.col("token"))
-    ranked = (
+    top = (
         counts.filter(F.col("freq") >= 2)
-        .withColumn("rk", F.row_number().over(w))
+        .orderBy(F.col("freq").desc(), "token")
+        .limit(200)
+    )
+    ranked = (
+        top.withColumn("rk", F.row_number().over(w))
         .withColumn("cum", F.sum("freq").over(w.rowsBetween(
             Window.unboundedPreceding, Window.currentRow)))
-        .filter(F.col("rk") <= 200)
     )
     vocab = ranked.crossJoin(F.broadcast(total)).select(
         (F.col("rk") + 3).cast("long").alias("token_id"),
