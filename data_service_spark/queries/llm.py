@@ -3175,9 +3175,14 @@ def k_sim_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
     serving truncated embeddings (4× memory/bandwidth cut) before
     committing the index to it.
 
-    Two ranking passes over broadcast-query dot products (the truncated
-    one reads a 16-element slice — at scale, a separate 4×-smaller
-    column); the audit join touches only the two top-k frames' union.
+    Two passes over broadcast-query dot products (the truncated one
+    reads a 16-element slice — at scale, a separate 4×-smaller column):
+    the full-rank top-10 rides TakeOrderedAndProject, and each survivor's
+    TRUNCATED rank is a broadcast conditional count (1 + rows strictly
+    ahead in the (sim, vec_id) total order) — r13: the previous form
+    materialized the truncated ranking as an UNCUT row_number window,
+    i.e. a full-corpus sort on one partition (nothing bounded it, unlike
+    the full side's rank ≤ 10 cut). Same total order, same ranks.
     """
     emb = _emb(spark, sf_dir).select("vec_id", "v")
     q = emb.filter(F.col("vec_id") == 0).select(
@@ -3187,12 +3192,30 @@ def k_sim_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = emb.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(q))
     simf = dot(F.col("v"), F.col("qv"))
     simt = dot(F.expr("slice(v, 1, 16)"), F.col("qv16"))
-    wf = Window.orderBy(F.round(simf, 6).desc(), F.col("vec_id"))
-    wt = Window.orderBy(F.round(simt, 6).desc(), F.col("vec_id"))
-    fr = base.select("vec_id", F.row_number().over(wf).alias("fr"))
-    tr = base.select("vec_id", F.row_number().over(wt).alias("tr"))
-    j = fr.join(tr, "vec_id").filter(F.col("fr") <= 10)
-    return j.agg(
+    top = (
+        base.select(
+            "vec_id",
+            F.round(simf, 6).alias("sf"),
+            F.round(simt, 6).alias("st"),
+        )
+        .orderBy(F.col("sf").desc(), "vec_id")
+        .limit(10)
+    )
+    wf = Window.orderBy(F.col("sf").desc(), F.col("vec_id"))
+    fr10 = top.withColumn("fr", F.row_number().over(wf))
+    cand = base.select(
+        F.col("vec_id").alias("cid"), F.round(simt, 6).alias("cst")
+    )
+    j = cand.crossJoin(F.broadcast(fr10))
+    ahead = F.when(
+        (F.col("cst") > F.col("st"))
+        | ((F.col("cst") == F.col("st")) & (F.col("cid") < F.col("vec_id"))),
+        1,
+    ).otherwise(0)
+    ranks = j.groupBy("vec_id", "fr").agg(
+        (F.sum(ahead) + 1).alias("tr")
+    )
+    return ranks.agg(
         F.count(F.when(F.col("tr") <= 10, 1)).cast("long").alias(
             "hits_at_10"
         ),
