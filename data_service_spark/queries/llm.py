@@ -3367,6 +3367,7 @@ def k_sim_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir).select("vec_id", "v")
     sig = emb.select(
         "vec_id",
+        "v",
         F.expr(
             "aggregate(transform(sequence(1, 62), i -> CASE WHEN v[i-1] > 0"
             " THEN CAST(pow(2, i - 1) AS BIGINT) ELSE 0L END),"
@@ -3375,38 +3376,45 @@ def k_sim_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q = (
         sig.filter(F.col("vec_id") == 0)
-        .crossJoin(
-            emb.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+        .select(F.col("h").alias("qh"), F.col("v").alias("qv"))
+    )
+    # r13 (same fix as k_sim_matryoshka): the Hamming ranking was an
+    # UNCUT row_number window — a full-corpus single-partition sort
+    # (only the exact side's rank ≤ 10 was bounded). The exact top-10
+    # rides TakeOrderedAndProject; each survivor's Hamming rank is a
+    # broadcast conditional count of rows strictly ahead in the same
+    # (bit_count, vec_id) total order. Same ranks, no global sort.
+    base = sig.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(q))
+    top = (
+        base.select(
+            "vec_id",
+            F.expr("bit_count(h ^ qh)").alias("hd"),
+            F.round(dot(F.col("v"), F.col("qv")), 6).alias("ed"),
         )
-        .select(F.col("h").alias("qh"), "qv")
+        .orderBy(F.col("ed").desc(), "vec_id")
+        .limit(10)
     )
-    wh = Window.orderBy(
-        F.expr("bit_count(h ^ qh)"), F.col("vec_id")
+    cand = base.select(
+        F.col("vec_id").alias("cid"),
+        F.expr("bit_count(h ^ qh)").alias("chd"),
     )
-    ranked = (
-        sig.filter(F.col("vec_id") != 0)
-        .crossJoin(F.broadcast(q))
-        .select("vec_id", F.row_number().over(wh).alias("hr"))
+    ahead = F.when(
+        (F.col("chd") < F.col("hd"))
+        | ((F.col("chd") == F.col("hd")) & (F.col("cid") < F.col("vec_id"))),
+        1,
+    ).otherwise(0)
+    ranks = (
+        cand.crossJoin(F.broadcast(top))
+        .groupBy("vec_id")
+        .agg((F.sum(ahead) + 1).alias("hr"))
     )
-    we = Window.orderBy(
-        F.round(dot(F.col("v"), F.col("qv")), 6).desc(), F.col("vec_id")
-    )
-    exact = (
-        emb.filter(F.col("vec_id") != 0)
-        .crossJoin(F.broadcast(q.select("qv")))
-        .select("vec_id", F.row_number().over(we).alias("er"))
-    )
-    return (
-        exact.filter(F.col("er") <= 10)
-        .join(ranked, "vec_id")
-        .agg(
-            F.count(F.when(F.col("hr") <= 30, 1)).cast("long").alias(
-                "hits_in_30"
-            ),
-            F.round(
-                F.count(F.when(F.col("hr") <= 30, 1)) / 10.0, 4
-            ).alias("recall_10_at_30"),
-        )
+    return ranks.agg(
+        F.count(F.when(F.col("hr") <= 30, 1)).cast("long").alias(
+            "hits_in_30"
+        ),
+        F.round(
+            F.count(F.when(F.col("hr") <= 30, 1)) / 10.0, 4
+        ).alias("recall_10_at_30"),
     )
 
 
