@@ -238,11 +238,18 @@ def main() -> None:
     # a full run, rarely on a subset iteration loop).
     if not only or "a_sink_hive_table" in keys:
         warm_fns.append(a_sink_hive_table)
+    # VERDICT r13 #2: the memo builds run untimed here, so consumer keys'
+    # timed numbers are memo READS. Report the total build seconds as
+    # memo_build_sec so wallclock_all_queries + memo_build_sec is the
+    # honest session total (the JIT/classload warms above stay out: they
+    # are session bring-up, not query compute).
+    memo_build_t0 = time.perf_counter()
     for warm_fn in warm_fns:
         try:
             warm_fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         except Exception:
             pass  # a missing corpus table must not sink the bench
+    memo_build_sec = round(time.perf_counter() - memo_build_t0, 3)
 
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}
@@ -407,6 +414,9 @@ def main() -> None:
         "queries": timings,
         "n_queries": len(timings),
         "sf": sf_val,
+        # Untimed session-memo build seconds (VERDICT r13 #2): the honest
+        # session total is value + memo_build_sec.
+        "memo_build_sec": memo_build_sec,
         # Which estimator produced this round's appended history value:
         # variance-retimed keys report MIN-of-3, cold-outlier keys
         # min(first, second) (one-sided-noise rationale above),

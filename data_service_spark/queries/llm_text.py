@@ -2706,9 +2706,26 @@ def _eval_overlap_prefix(d: dict, pairs_src: str) -> str:
     from array sizes, not a gram re-scan."""
     big_c = d["BIGRAMS"].format(a="ca")
     big_r = d["BIGRAMS"].format(a="ra")
-    return f"""
-    WITH pairs AS ({pairs_src}),
-    ug AS (
+    if d is _EVAL_SPARK:
+        # r14: single-scan side explode instead of UNION ALL — UnionExec
+        # reports UnknownPartitioning, which forced a corpus-sized
+        # (cand_id, gram) exchange into pg. Generate preserves the pair
+        # spine's hash partitioning on cand_id (the caller repartitions
+        # by cand_id), so pg aggregates exchange-free; same (cand_id,
+        # gram, is_c) row multiset as the union (explode of a NULL/empty
+        # side array yields no rows either way). DuckDB keeps the union
+        # text — vectorized native, and the oracle is not the hot path.
+        ug = f"""
+      SELECT cand_id, gram, sd.is_c AS is_c
+      FROM pairs
+      LATERAL VIEW explode(array(
+          named_struct('g', {d['ARRCAT']}(ca, coalesce({big_c}, {d['EMPTY']})),
+                       'is_c', 1),
+          named_struct('g', {d['ARRCAT']}(ra, coalesce({big_r}, {d['EMPTY']})),
+                       'is_c', 0))) sides AS sd
+      LATERAL VIEW explode(sd.g) g0 AS gram"""
+    else:
+        ug = f"""
       SELECT cand_id,
              {d['EXPLODE']}({d['ARRCAT']}(ca, coalesce({big_c}, {d['EMPTY']})))
                AS gram, 1 AS is_c
@@ -2717,7 +2734,10 @@ def _eval_overlap_prefix(d: dict, pairs_src: str) -> str:
       SELECT cand_id,
              {d['EXPLODE']}({d['ARRCAT']}(ra, coalesce({big_r}, {d['EMPTY']})))
                AS gram, 0 AS is_c
-      FROM pairs
+      FROM pairs"""
+    return f"""
+    WITH pairs AS ({pairs_src}),
+    ug AS ({ug}
     ), pg AS (
       SELECT cand_id, gram, sum(is_c) AS cc, sum(1 - is_c) AS rc
       FROM ug GROUP BY 1, 2
@@ -2822,7 +2842,13 @@ def k_eval_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     view = f"dss_eval_pairs_{uuid.uuid4().hex[:12]}"
+    # r14: checkpoint the spine once (as before), then hash-spread the
+    # CHECKPOINT by cand_id — the pair-row exchange is cheap (|pairs|
+    # rows), and downstream the single-scan side-explode preserves that
+    # partitioning so pg's corpus-sized (cand_id, gram) exchange
+    # disappears (see k_eval_chrf).
     spark.sql(_eval_pairs_sql(_EVAL_SPARK)).localCheckpoint() \
+        .repartition(spark.sparkContext.defaultParallelism, F.col("cand_id")) \
         .createOrReplaceTempView(view)
     try:
         return spark.sql(_body_bleu(_EVAL_SPARK, f"SELECT * FROM {view}"))
@@ -2855,7 +2881,9 @@ def k_eval_rouge_n(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     view = f"dss_eval_pairs_{uuid.uuid4().hex[:12]}"
+    # r14: checkpoint, then hash-spread by cand_id — see k_eval_bleu.
     spark.sql(_eval_pairs_sql(_EVAL_SPARK)).localCheckpoint() \
+        .repartition(spark.sparkContext.defaultParallelism, F.col("cand_id")) \
         .createOrReplaceTempView(view)
     try:
         return spark.sql(_body_rouge(_EVAL_SPARK, f"SELECT * FROM {view}"))
@@ -2972,13 +3000,21 @@ def _body_chrf(d: dict, pairs_src: str) -> str:
         # hot path). Empty-string CASE guards the descending-sequence
         # trap (sequence(1, 0) steps DOWN); the n explode is a 3-row
         # inline array filtered to n <= i.
+        # r14: the two sides ride ONE scan via a 2-struct side explode
+        # instead of UNION ALL — UnionExec reports UnknownPartitioning,
+        # which forced a full corpus-sized (cand_id, gram) exchange into
+        # pg. Generate/Project preserve the pair spine's hash
+        # partitioning on cand_id (set by the caller's repartition before
+        # the checkpoint), so pg's aggregation is exchange-free: grams
+        # never cross the wire at all.
         ug = """
-      SELECT cand_id, substr(s, i - n + 1, n) AS gram, is_c
-      FROM (SELECT cand_id, cs AS s, 1 AS is_c FROM pairs
-            UNION ALL
-            SELECT cand_id, rs AS s, 0 AS is_c FROM pairs) u
-      LATERAL VIEW explode(CASE WHEN length(s) >= 1
-                                THEN sequence(1, length(s))
+      SELECT cand_id, substr(sd.s, i - n + 1, n) AS gram, sd.is_c AS is_c
+      FROM pairs
+      LATERAL VIEW explode(array(named_struct('s', cs, 'is_c', 1),
+                                 named_struct('s', rs, 'is_c', 0)))
+                   sides AS sd
+      LATERAL VIEW explode(CASE WHEN length(sd.s) >= 1
+                                THEN sequence(1, length(sd.s))
                                 ELSE array() END) pos AS i
       LATERAL VIEW explode(array(1, 2, 3)) ns AS n
       WHERE i >= n"""
@@ -2987,18 +3023,48 @@ def _body_chrf(d: dict, pairs_src: str) -> str:
       SELECT cand_id, {d['EXPLODE']}({gr_c}) AS gram, 1 AS is_c FROM pairs
       UNION ALL
       SELECT cand_id, {d['EXPLODE']}({gr_r}) AS gram, 0 AS is_c FROM pairs"""
-    return f"""
-    WITH pairs AS ({pairs_src}),
-    -- both sides ride ONE union with a side flag, so the clipped match
-    -- min(cand_count, ref_count) per (pair, gram) falls out of a SINGLE
-    -- (pair, gram)-keyed aggregation — no per-side count tables and no
-    -- re-keyed join (the join design costs ~5 corpus-sized exchanges;
-    -- this is 1, and grams are <=3 chars wide on the wire)
-    ug AS ({ug}
-    ), pg AS (
-      SELECT cand_id, gram,
-             sum(is_c) AS c, sum(1 - is_c) AS r
-      FROM ug GROUP BY 1, 2
+    if d is _EVAL_SPARK:
+        # r14: totals derive from pg itself — Σ of a side's per-gram
+        # counts over grams of length n IS that side's total n-gram
+        # instances (Σ greatest(len - n + 1, 0), exact integer identity),
+        # so the second pair-table pass and its 3x cross-join explode
+        # disappear. The 3-row spine LEFT JOIN keeps the always-3-rows
+        # contract: a size with zero grams emits (n, 0, 0, 0) with NULL
+        # ratios exactly as the totals-pass form did (nullif(0) and a
+        # missing m row both yield NULL division). DuckDB keeps the
+        # totals-pass text — the oracle is not the hot path.
+        tail = """
+    ), m AS (
+      -- a char gram's own length() IS its n
+      SELECT length(gram) AS n,
+             sum(CASE WHEN c < r THEN c ELSE r END) AS matched,
+             sum(c) AS c_g, sum(r) AS r_g
+      FROM pg GROUP BY 1
+    ), spine AS (SELECT 1 AS n UNION ALL SELECT 2 UNION ALL SELECT 3)
+    SELECT CAST(s.n AS INT) AS ngram_n,
+           CAST(coalesce(m.matched, 0) AS BIGINT) AS n_matched,
+           CAST(coalesce(m.c_g, 0) AS BIGINT) AS cand_grams,
+           CAST(coalesce(m.r_g, 0) AS BIGINT) AS ref_grams,
+           floor(coalesce(m.matched, 0) * 1.0e0
+                 / nullif(coalesce(m.c_g, 0), 0)
+                 * 1000000.0e0 + 0.5) / 1000000.0e0 AS chrf_precision,
+           floor(coalesce(m.matched, 0) * 1.0e0
+                 / nullif(coalesce(m.r_g, 0), 0)
+                 * 1000000.0e0 + 0.5) / 1000000.0e0 AS chrf_recall,
+           floor(coalesce(
+                 5.0e0 * (coalesce(m.matched, 0) * 1.0e0
+                          / nullif(coalesce(m.c_g, 0), 0))
+                       * (coalesce(m.matched, 0) * 1.0e0
+                          / nullif(coalesce(m.r_g, 0), 0))
+                 / nullif(4.0e0 * (coalesce(m.matched, 0) * 1.0e0
+                                   / nullif(coalesce(m.c_g, 0), 0))
+                          + (coalesce(m.matched, 0) * 1.0e0
+                             / nullif(coalesce(m.r_g, 0), 0)), 0)
+                 , 0.0e0) * 1000000.0e0 + 0.5) / 1000000.0e0 AS chrf2
+    FROM spine s LEFT JOIN m ON m.n = s.n
+    """
+    else:
+        tail = """
     ), m AS (
       -- a char gram's own length() IS its n
       SELECT length(gram) AS n,
@@ -3031,6 +3097,19 @@ def _body_chrf(d: dict, pairs_src: str) -> str:
                  , 0.0e0) * 1000000.0e0 + 0.5) / 1000000.0e0 AS chrf2
     FROM tot t LEFT JOIN m ON m.n = t.n
     """
+    return f"""
+    WITH pairs AS ({pairs_src}),
+    -- both sides ride ONE union with a side flag, so the clipped match
+    -- min(cand_count, ref_count) per (pair, gram) falls out of a SINGLE
+    -- (pair, gram)-keyed aggregation — no per-side count tables and no
+    -- re-keyed join (the join design costs ~5 corpus-sized exchanges;
+    -- this is 1, and grams are <=3 chars wide on the wire)
+    ug AS ({ug}
+    ), pg AS (
+      SELECT cand_id, gram,
+             sum(is_c) AS c, sum(1 - is_c) AS r
+      FROM ug GROUP BY 1, 2
+    {tail}"""
 
 
 @register("k_eval_chrf", oracle=_body_chrf(_EVAL_DUCK, _chrf_pairs_sql()))
@@ -3074,9 +3153,20 @@ def k_eval_chrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # BEFORE the checkpoint: cores-derived, not a local constant — on a
     # cluster this is one spine partition per core, which is the layout
     # the explode stage wants regardless of spine size.
+    # r14: HASH-partition by cand_id AFTER the checkpoint instead of the
+    # round-robin spread before it. The checkpoint's LogicalRDD reports
+    # UnknownPartitioning (verified in plans/r14/), so partitioning must
+    # be established above it; the pair-row exchange is cheap (|pairs|
+    # rows), Generate/Project preserve its HashPartitioning through the
+    # gram explode, and the (cand_id, gram) aggregation then satisfies
+    # its ClusteredDistribution with NO exchange (cand_id is a subset of
+    # the grouping key). The corpus-sized gram shuffle disappears; only
+    # the 3-row total spine moves. (A no-checkpoint variant relying on
+    # AQE exchange reuse was A/B'd and lost for BLEU/ROUGE — the spine
+    # re-derivation costs more than the checkpoint saves.)
     spark.sql(_chrf_pairs_sql()) \
-        .repartition(spark.sparkContext.defaultParallelism) \
         .localCheckpoint() \
+        .repartition(spark.sparkContext.defaultParallelism, F.col("cand_id")) \
         .createOrReplaceTempView(view)
     try:
         return spark.sql(_body_chrf(_EVAL_SPARK, f"SELECT * FROM {view}"))

@@ -1297,29 +1297,51 @@ def k_state_sizing(spark: SparkSession, sf_dir: str) -> DataFrame:
     size the cluster, then start the stream.
 
     The sliding-horizon distinct is computed WITHOUT a range join: each
-    (key, bucket) occurrence explodes to the 6 buckets it keeps the key
-    alive in, deduped, then one count per bucket — linear in events, the
-    same coverage-explode trick as the spatial grid join. Exact integer
+    (key, bucket) occurrence explodes to the buckets it NEWLY keeps the
+    key alive in ([max(bkt, prev+6), bkt+5] per key via lag — disjoint
+    ranges, so each (key, b) appears exactly once and no dedup pass is
+    needed), then one count per bucket — linear in events, the same
+    coverage-explode trick as the spatial grid join. Exact integer
     microsecond bucketing on both engines.
     """
     e = load(spark, sf_dir, "events")
     us = F.unix_micros(F.col("ts").cast("timestamp"))
-    kb = e.select(
-        "user_id",
-        "event_type",
-        F.floor(us / 600000000.0).cast("long").alias("bkt"),
-    ).distinct()
-    cover = (
-        kb.select(
+    # r14 (guide §2.4): ONE upfront hash repartition on the state key
+    # establishes the clustering every downstream op needs — the
+    # (key, bkt) distinct, the per-key window and the coverage explode
+    # all run exchange-free on top of it (HashPartitioning on a subset
+    # of each grouping/partitioning key satisfies ClusteredDistribution).
+    # The old chain paid a second, 6x-exploded corpus exchange for the
+    # cover distinct; the explode below emits each (key, b) EXACTLY once
+    # (per key, a bucket's fresh coverage is [max(bkt, prev+6), bkt+5] —
+    # buckets are strictly increasing after the distinct, so the range is
+    # never empty and never overlaps the previous one), so no second
+    # dedup pass exists at all. 4 exchanges -> 3; the only corpus-sized
+    # shuffle carries raw (user, type, bkt) triples once.
+    kb = (
+        e.select(
             "user_id",
             "event_type",
-            F.explode(F.sequence(F.lit(0), F.lit(5))).alias("o"),
-            "bkt",
+            F.floor(us / 600000000.0).cast("long").alias("bkt"),
         )
-        .select(
-            "user_id", "event_type", (F.col("bkt") + F.col("o")).alias("b")
-        )
+        .repartition("user_id", "event_type")
         .distinct()
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy("bkt")
+    start = F.greatest(
+        F.col("bkt"), F.coalesce(F.col("prev") + 6, F.col("bkt"))
+    )
+    cover = kb.withColumn("prev", F.lag("bkt").over(w)).select(
+        "user_id",
+        "event_type",
+        F.explode(
+            # NULL-bucket fence (ts NULL): emit the single NULL bucket the
+            # old explode+distinct produced; sequence(NULL, ...) would
+            # silently drop it.
+            F.when(
+                F.col("bkt").isNull(), F.array(F.lit(None).cast("long"))
+            ).otherwise(F.sequence(start, F.col("bkt") + 5))
+        ).alias("b"),
     )
     per = cover.groupBy("b").agg(F.count(F.lit(1)).alias("state_rows"))
     return per.agg(
