@@ -69,6 +69,14 @@ def _cc_labels(
     labels = nodes.select("node", F.col("node").alias("lbl"))
     regime = force_regime or _cc_regime(nodes.count())
     if regime == "fixed":
+        # r14 null result (VERDICT r13 #5): per-round localCheckpoint of
+        # the |V|-row label table was A/B'd on this fixed regime —
+        # min-of-5 2.446 pinned vs 2.504 linear at sf0.1, inside the
+        # ambient band. The linear lazy DAG stays: it needs no 6 blocking
+        # materializations, and the r11 A/B showed the checkpoint-heavy
+        # draft 4x slower when the per-round pin included corpus-sized
+        # inputs. The converged regime below keeps its per-round pin
+        # because its lineage is UNBOUNDED (loop-carried), not 6 deep.
         for _ in range(_COMPONENT_ROUNDS):
             labels = _cc_label_round(edges2, labels)
         return labels

@@ -1770,11 +1770,20 @@ def k_cluster_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = sims.withColumn("rn", F.row_number().over(w)).filter(
         F.col("rn") <= 2
     )
-    a = ranked.filter(F.col("rn") == 1).select(
-        "vec_id", "cluster_id", F.col("sim").alias("sim1")
+    # r14 (census): the rn=1 ⋈ rn=2 self-join re-derived the whole
+    # sims+window subtree per side (2 corpus scans + SMJ). One
+    # conditional aggregation over the ranked rows yields both sims —
+    # and it rides the window's vec_id partitioning, so no new exchange.
+    # The sim2-null filter mirrors the inner join exactly (a vector
+    # lacking a runner-up row was dropped there too).
+    per_vec = ranked.groupBy("vec_id").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("cluster_id"))).alias(
+            "cluster_id"
+        ),
+        F.max(F.when(F.col("rn") == 1, F.col("sim"))).alias("sim1"),
+        F.max(F.when(F.col("rn") == 2, F.col("sim"))).alias("sim2"),
     )
-    b = ranked.filter(F.col("rn") == 2).select("vec_id", F.col("sim").alias("sim2"))
-    margins = a.join(b, "vec_id").select(
+    margins = per_vec.filter(F.col("sim2").isNotNull()).select(
         "vec_id", "cluster_id", (F.col("sim1") - F.col("sim2")).alias("margin")
     )
     return margins.groupBy("cluster_id").agg(

@@ -3469,9 +3469,43 @@ def k_threshold_knee(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     k_quality_logreg(spark, sf_dir).select("doc_id", "score_q")\
         .createOrReplaceTempView("dss_knee_scored")
-    body = _body_knee("SELECT explode(sequence(0, 20)) AS i").replace(
-        "{LOGREG}", "SELECT * FROM dss_knee_scored"
-    )
+    # r14 (census): the shared body's correlated per-threshold count
+    # decorrelates in Spark to a 21-way BroadcastNestedLoopJoin fan-out
+    # over the corpus, duplicated once more for the argmax reference
+    # (8 scans / 5 BNLJ in plans/r14/k_threshold_knee_before.txt) — a
+    # 2x21 corpus-pass shape at scale. One histogram pass replaces it:
+    # kept(i) = Σ cnt over buckets b >= i where b = least(20,
+    # floor(score_q / 50000)) (floor(x) >= i ⟺ x >= 50000·i for integer
+    # i — exact), n = Σ all cnt (sub-0 and NULL buckets keep their rows
+    # for n but never enter kept, exactly as score_q >= i·50000 did).
+    # Everything after the single corpus aggregate is 21-row arithmetic.
+    # DuckDB keeps the correlated text — the oracle is not the hot path.
+    body = """
+    WITH hist AS (
+      SELECT least(20, floor(score_q / 50000)) AS b, count(*) AS cnt
+      FROM dss_knee_scored GROUP BY 1
+    ),
+    tot AS (SELECT sum(cnt) AS n FROM hist),
+    thr AS (SELECT explode(sequence(0, 20)) AS i),
+    curve AS (
+      SELECT t.i,
+             coalesce(sum(CASE WHEN h.b >= t.i THEN h.cnt END), 0) AS kept
+      FROM thr t LEFT JOIN hist h ON h.b >= t.i
+      GROUP BY t.i
+    ),
+    sc AS (
+      SELECT c.i, c.kept, t.n,
+             20 * c.kept - t.n * c.i AS knee_score
+      FROM curve c CROSS JOIN tot t
+    ), mx AS (SELECT max(knee_score) AS m FROM sc)
+    SELECT CAST(sc.i AS INT) AS step,
+           CAST(sc.i * 50000 AS BIGINT) AS thr_q,
+           CAST(sc.kept AS BIGINT) AS docs_kept,
+           CAST(floor(sc.kept * 1000000 / sc.n) AS BIGINT) AS keep_ppm,
+           CAST(sc.knee_score AS BIGINT) AS knee_score,
+           (sc.knee_score = mx.m) AS is_knee
+    FROM sc CROSS JOIN mx
+    """
     return spark.sql(body)
 
 

@@ -772,17 +772,25 @@ def k_dedup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("seg"),
         )
     )
-    seg_docs = segs.groupBy("seg").agg(
-        F.countDistinct("doc_id").alias("nd")
-    )
+    # r14 (census; the k_text_dup_ngram_frac identity): "segment appears
+    # in >1 distinct doc" is min(doc_id) != max(doc_id) over the segment
+    # window — the countDistinct table and its join-back (which re-derived
+    # the whole explode subtree as the second join side) collapse into ONE
+    # exchange on seg. Within-doc duplicate occurrences keep their flag
+    # per occurrence exactly as the row-preserving inner join did.
+    from pyspark.sql.window import Window
+
+    wseg = Window.partitionBy("seg")
+    shared = F.min("doc_id").over(wseg) != F.max("doc_id").over(wseg)
     return (
-        segs.join(seg_docs, "seg")
+        segs.withColumn("is_shared", shared)
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_segments"),
-            F.count(F.when(F.col("nd") > 1, 1)).alias("n_shared"),
+            F.count(F.when(F.col("is_shared"), 1)).alias("n_shared"),
             F.round(
-                F.count(F.when(F.col("nd") > 1, 1)) * F.lit(1.0) / F.count(F.lit(1)), 4
+                F.count(F.when(F.col("is_shared"), 1))
+                * F.lit(1.0) / F.count(F.lit(1)), 4
             ).alias("boilerplate_ratio"),
         )
     )
@@ -3553,6 +3561,14 @@ def k_ngram_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     double. Scale shape: one adjacent-pair fan-out at scan site, two
     dictionary-sized reduces — the same shape as every n-gram key."""
     load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    # r14 (census, the dsir fold): the context count c1 is a per-w1 SUM OF
+    # c12 joined straight back to c12 — a window sum over c12 partitioned
+    # by w1 is the same exact BIGINT per row and deletes both the c1
+    # aggregation and the join (2 exchanges + SMJ -> 1 exchange);
+    # n_distinct_bigrams = count(*) over terms because the c12⋈c1 inner
+    # join was row-preserving (c1 is keyed by w1 and built FROM c12), so
+    # the scalar-subquery re-derivation of the whole bigram subtree goes
+    # too. 3 documents scans -> 1. DuckDB oracle keeps the join text.
     return spark.sql(
         """
     WITH toks AS (
@@ -3563,16 +3579,15 @@ def k_ngram_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
       LATERAL VIEW explode(sequence(1, size(ws) - 1)) t AS i
       WHERE ws[i - 1] <> '' AND ws[i] <> ''
     ), c12 AS (SELECT w1, w2, count(*) AS c FROM bi GROUP BY w1, w2),
-    c1 AS (SELECT w1, sum(c) AS c1 FROM c12 GROUP BY w1),
     terms AS (
-      SELECT CAST(floor(c12.c
-               * ln(CAST(c1.c1 AS DOUBLE) / c12.c) * 1000000000)
-               AS BIGINT) AS t_q,
-             c12.c AS c
-      FROM c12 JOIN c1 USING (w1)
+      SELECT CAST(floor(c
+               * ln(CAST(sum(c) OVER (PARTITION BY w1) AS DOUBLE) / c)
+               * 1000000000) AS BIGINT) AS t_q,
+             c
+      FROM c12
     )
     SELECT CAST(sum(c) AS BIGINT) AS n_bigrams,
-           (SELECT CAST(count(*) AS BIGINT) FROM c12) AS n_distinct_bigrams,
+           CAST(count(*) AS BIGINT) AS n_distinct_bigrams,
            CAST(floor(sum(t_q) / (sum(c) * 1000.0)) AS BIGINT)
              AS h_cond_micro_nats,
            CAST(round(exp(CAST(floor(sum(t_q) / (sum(c) * 1000.0))

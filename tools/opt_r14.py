@@ -41,21 +41,33 @@ def _warm(spark):
                 F.sum("v").over(warm_r).alias("rsum"))
         .orderBy("k", "rn").limit(100)
     ).write.format("noop").mode("overwrite").save()
-    from data_service_spark.queries.inference import _perm_pvals_df
-    from data_service_spark.queries.llm import (
-        _cs_pairs, _exact_ranked, _exploded_shingle_hashes, _minhash_pairs,
-        _minhash_sigs, _near_pairs, _signrp_buckets, _sim_pairs_warm_03,
-        _sim_pairs_warm_04, k_cluster_assign, k_dedup_clusters,
-    )
-    from data_service_spark.queries.corpus_stats import _bigram_counts, _unigram_counts
-    from data_service_spark.queries.llm_text import _ff_feats_df, _simhash_fp, k_text_bm25
+    # Import each memo warm defensively: retime_movers.py runs this file
+    # inside OLDER checkouts (git worktrees of prior rounds) whose module
+    # surface may not have every helper yet.
+    import importlib
 
-    for fn in [_exploded_shingle_hashes, _minhash_sigs, _cs_pairs, _unigram_counts,
-               _bigram_counts, _exact_ranked, _ff_feats_df, _simhash_fp, k_text_bm25,
-               _minhash_pairs, _near_pairs, _signrp_buckets, _sim_pairs_warm_03,
-               _sim_pairs_warm_04, _perm_pvals_df,
-               k_cluster_assign, k_dedup_clusters]:
+    warm_specs = [
+        ("data_service_spark.queries.llm", "_exploded_shingle_hashes"),
+        ("data_service_spark.queries.llm", "_minhash_sigs"),
+        ("data_service_spark.queries.llm", "_cs_pairs"),
+        ("data_service_spark.queries.corpus_stats", "_unigram_counts"),
+        ("data_service_spark.queries.corpus_stats", "_bigram_counts"),
+        ("data_service_spark.queries.llm", "_exact_ranked"),
+        ("data_service_spark.queries.llm_text", "_ff_feats_df"),
+        ("data_service_spark.queries.llm_text", "_simhash_fp"),
+        ("data_service_spark.queries.llm_text", "k_text_bm25"),
+        ("data_service_spark.queries.llm", "_minhash_pairs"),
+        ("data_service_spark.queries.llm", "_near_pairs"),
+        ("data_service_spark.queries.llm", "_signrp_buckets"),
+        ("data_service_spark.queries.llm", "_sim_pairs_warm_03"),
+        ("data_service_spark.queries.llm", "_sim_pairs_warm_04"),
+        ("data_service_spark.queries.inference", "_perm_pvals_df"),
+        ("data_service_spark.queries.llm", "k_cluster_assign"),
+        ("data_service_spark.queries.llm", "k_dedup_clusters"),
+    ]
+    for mod_name, fn_name in warm_specs:
         try:
+            fn = getattr(importlib.import_module(mod_name), fn_name)
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         except Exception:
             pass
