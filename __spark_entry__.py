@@ -46,12 +46,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # should confirm; the scorer-spine family shares one new helper, so it
 # is listed in full), then the stalest r01-vintage records fill the
 # tail. Future rounds keep refreshing the oldest records by taking the
-# next ~50. Later duplicate mentions are deduped by _ordered (first
-# occurrence wins).
+# next ~50. PRIORITY is a unique, complete cover of the registry
+# (test-enforced); _ordered merely tolerates registry drift by dropping
+# unknown names and appending unlisted ones.
 PRIORITY = [
     "k_bradley_terry", "k_bhattacharyya_hists", "k_mood_median", "k_kruskal_wallis",
     "e_win_interpolate", "k_rank_rbp", "q_sql_udtf", "q_like_any",
     "k_eval_bleu", "k_eval_rouge_n", "k_eval_distinct_n", "k_eval_chrf",
+    # --- r14 plan-rewrite refresh (criterion (a)): every one selfcheck-
+    # hash-verified at 3 SFs, but the driver record should confirm ---
+    "k_state_sizing", "k_ngram_entropy_rate", "k_dedup_segments",
+    "k_cluster_silhouette", "k_threshold_knee", "k_query_expansion_prf",
     # --- r13 plan-rewrite refresh (criterion (a)) ---
     "k_quality_logreg", "k_eval_auc", "k_eval_calibration", "k_eval_brier",
     "k_jackknife_se", "k_threshold_sweep", "k_threshold_youden", "k_eval_avg_precision",
@@ -131,11 +136,11 @@ PRIORITY = [
     "k_fwer_holm", "k_dp_noised_counts", "k_eb_shrinkage", "k_offpolicy_ips",
     "k_ols_multifeature", "k_user_entropy", "k_dedup_lines", "k_loop_detect",
     "k_instruction_mine", "k_gate_cascade_order", "k_dup_weighted_sampling", "k_ivf_probe_sweep",
-    "k_embed_isotropy", "k_eval_recall_curve", "k_ngram_entropy_rate", "i_stream_topk",
-    "j_udtf_table_arg", "k_uplift_qini", "k_feature_woe", "k_threshold_knee",
+    "k_embed_isotropy", "k_eval_recall_curve", "i_stream_topk",
+    "j_udtf_table_arg", "k_uplift_qini", "k_feature_woe", 
     "k_reid_risk", "k_shuffle_quality", "k_eval_pass_at_k", "k_fleiss_kappa",
     "q_tpch_refresh", "k_dedup_jaccard_histogram", "c_join_er_blocking", "k_forecast_snaive",
-    "k_markov_stationary", "k_sim_tfidf_pairs", "k_state_sizing", "k_design_effect",
+    "k_markov_stationary", "k_sim_tfidf_pairs", "k_design_effect",
     "e_win_hampel_repair", "d_agg_linear_counting", "d_agg_bloom_audit", "a_sink_xml",
     "k_cohens_d", "k_brown_forsythe", "k_eval_mcnemar", "k_bootstrap_src_ci",
     "k_permutation_ab", "k_theil_sen", "e_win_bollinger", "k_seasonal_strength",
@@ -168,7 +173,7 @@ PRIORITY = [
     "k_cohort_ltv", "k_autocorr_daily", "k_peak_concurrency", "k_event_paths",
     "k_dedup_containment", "k_sim_threshold", "k_cluster_assign", "k_text_tokens",
     "k_text_stats", "k_multimodal_join", "k_dedup_minhash", "k_cluster_iterate",
-    "k_dedup_clusters", "k_cluster_silhouette", "k_text_keywords", "k_eval_dedup_recall",
+    "k_dedup_clusters", "k_text_keywords", "k_eval_dedup_recall",
     "k_graph_triangles", "k_anonymize_kanon", "k_incremental_agg", "k_expectations",
     "k_dedup_apply", "k_dataset_card", "k_vocab_coverage", "k_negatives_random",
     "k_sim_pq", "k_sim_pq_rerank", "k_anonymize_ldiv", "k_dedup_incremental",
@@ -176,9 +181,9 @@ PRIORITY = [
     "k_text_quality", "k_text_fingerprint", "k_text_token_count", "k_multimodal_decode",
     "k_multimodal_framesample", "k_multimodal_resize", "k_text_ngram_chars", "k_multimodal_dedup",
     "k_bpe_first_merge", "k_text_normalize", "k_text_bm25", "k_bpe_apply",
-    "k_text_compressibility", "k_query_expansion_prf", "k_truncation_loss", "k_text_repetition",
+    "k_text_compressibility", "k_truncation_loss", "k_text_repetition",
     "k_profile_table", "k_text_unigram_logprob", "k_embed_quantize", "k_mix_report",
-    "k_dedup_segments", "k_curriculum", "k_sft_records", "k_winsorize_embed",
+    "k_curriculum", "k_sft_records", "k_winsorize_embed",
     "k_sample_weighted", "k_shard_balance", "k_text_bigram_logprob", "k_retention_cohorts",
     "k_anomaly_zscore", "k_batch_padding_waste", "k_active_margin", "k_embed_drift",
     "k_group_kfold", "k_dataset_diff", "k_shard_plan", "k_sample_balanced",

@@ -1254,21 +1254,33 @@ def k_query_expansion_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
-    fb = (
-        tok.join(F.broadcast(top5), "doc_id")
-        .filter(~F.col("term").isin("table", "hash", "scan"))
-        .groupBy("term")
-        .agg(F.countDistinct("doc_id").alias("df_fb"))
+    # r14 (census): the feedback-df and corpus-df branches were two
+    # separate tokenize passes (no shared exchange — the broadcast join
+    # sat between scan and aggregate on one side), each paying its own
+    # two-phase countDistinct. ONE distinct (term, doc_id) pass with a
+    # broadcast top-5 flag yields both counts: df = pairs per term,
+    # df_fb = flagged pairs per term; the fb-term selection (in ≥1
+    # feedback doc, not a query term) is the filter the old inner join
+    # expressed. Exact countDistinct identity — pairs are deduped first.
+    pairs = tok.distinct()
+    flagged = pairs.join(
+        F.broadcast(top5.withColumn("is_fb", F.lit(1))), "doc_id", "left"
     )
-    cdf = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    per_term = flagged.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.count("is_fb").alias("df_fb"),
+    )
+    fbsel = per_term.filter(
+        (F.col("df_fb") > 0)
+        & ~F.col("term").isin("table", "hash", "scan")
+    )
     n = d.agg(F.count(F.lit(1)).alias("n_docs"))
     score = F.round(
         F.col("df_fb") * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)),
         6,
     )
     return (
-        fb.join(cdf, "term")
-        .crossJoin(F.broadcast(n))
+        fbsel.crossJoin(F.broadcast(n))
         .select("term", "df_fb", score.alias("prf_score"))
         .orderBy(F.col("prf_score").desc(), "term")
         .limit(10)

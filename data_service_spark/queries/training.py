@@ -3146,17 +3146,14 @@ def k_importance_ess(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ----------------------------------------------- raking / IPF weights ----
 
 
-def _body_raking(
-    cell_src: str = "SELECT source, lang, count(*) AS c "
-    "FROM documents GROUP BY 1, 2",
-) -> str:
+def _body_raking() -> str:
     # Integer-exact IPF: weights live in ppm; every rescale is one BIGINT
     # multiply followed by exact integer division (Spark `DIV`; the oracle
     # swaps in DuckDB's `//`). Positive operands throughout, so both
     # operators agree (floor division).
-    return f"""
+    return """
     WITH cell AS (
-      {cell_src}
+      SELECT source, lang, count(*) AS c FROM documents GROUP BY 1, 2
     ), tot AS (
       SELECT sum(c) AS n, count(DISTINCT source) AS n_src FROM cell
     ), col_t AS (

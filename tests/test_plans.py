@@ -136,23 +136,51 @@ def test_registry_wide_cartesian_and_decimal_audit(spark, sf_dir):
     # tiny cross, never data-sized.
     intentionally_cross = {"c_join_cross", "k_attribution_markov"}
     sinks = {k for k in QUERIES if k.startswith("a_sink")}  # these write
-    bad = []
-    for key in sorted(QUERIES):
+    # r14: builds run from a small thread pool (guide §2.6 — Spark happily
+    # runs concurrent jobs in one session; the cost here is ~600 eager
+    # localCheckpoint builds that were strictly sequential and left the
+    # session idle between jobs; measured 168 s serial, ~70 s pooled).
+    # Safe for pooled keys because their catalog interactions are either
+    # per-uuid temp views/tables (dropped in their own finally) or
+    # idempotent createOrReplace of the same content for the same sf_dir.
+    # Two classes must stay SERIAL: (a) builds that temporarily mutate
+    # session conf (c_join_bloom lowers autoBroadcastJoinThreshold to -1
+    # around its eager materialization — a concurrently-planned join then
+    # really does go cartesian; same for the partition-overwrite and
+    # pushdown toggles), and (b) sink builds, whose first-touch of a
+    # format races Spark's DataSource ServiceLoader lookup
+    # (SparkClassNotFoundException on avro under the pool).
+    from concurrent.futures import ThreadPoolExecutor
+
+    conf_mutators = {
+        "c_join_bloom",
+        "a_sink_partition_overwrite",
+        "a_source_python_ds_pushdown",
+        "q_tpch_refresh",
+    }
+    serial_keys = sinks | conf_mutators
+
+    def audit(key: str):
         skip_plan = key in intentionally_cross | sinks
         skip_decimal = key not in ORACLES
         if skip_plan and skip_decimal:
-            continue
+            return None
         try:
             df = QUERIES[key](spark, sf_dir)
         except Exception as exc:  # pragma: no cover - surface in assert
-            bad.append((key, f"build failed: {exc}"))
-            continue
+            return (key, f"build failed: {exc}")
         if not skip_decimal:
             dec = [f.name for f in df.schema.fields if has_decimal(f.dataType)]
             if dec:
-                bad.append((key, f"DecimalType output: {dec}"))
+                return (key, f"DecimalType output: {dec}")
         if not skip_plan and "CartesianProduct" in plan_of(df, "simple"):
-            bad.append((key, "CartesianProduct"))
+            return (key, "CartesianProduct")
+        return None
+
+    bad = [r for k in sorted(serial_keys) for r in [audit(k)] if r is not None]
+    pooled = [k for k in sorted(QUERIES) if k not in serial_keys]
+    with ThreadPoolExecutor(max_workers=12) as pool:
+        bad += [r for r in pool.map(audit, pooled) if r is not None]
     assert not bad, bad
 
 
@@ -929,28 +957,48 @@ def test_ordinal_assoc_quadratic_work_stays_on_cells(spark, sf_dir):
 
 
 def test_eval_gram_machine_plan_shapes(spark, sf_dir):
-    """r13 eval keys: distinct-n's bigrams must ride the unigram explode
-    (exactly ONE Generate — the single-pass design), and BLEU's machine
-    must explode once per side off the checkpointed pair table with the
-    gram join staying an equi-hash join (no cartesian)."""
+    """r13/r14 eval keys: distinct-n's bigrams must ride the unigram
+    explode (exactly ONE Generate — the single-pass design); BLEU and
+    chrF explode off the checkpointed pair table via the r14 single-scan
+    side explode (a 2-struct Generate instead of UNION ALL, so the
+    (cand_id, gram) aggregation keeps the spine's cand_id hash
+    partitioning and needs NO exchange between its partial and final
+    steps)."""
     p = plan_of(QUERIES["k_eval_distinct_n"](spark, sf_dir), "simple")
     assert p.count("Generate") == 1, p
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    # BLEU: side explode + gram-array explode = exactly two Generates on
+    # ONE scan of the checkpointed pair table (no UNION, no re-tokenize)
     p = plan_of(QUERIES["k_eval_bleu"](spark, sf_dir), "simple")
-    assert p.count("Generate") == 2, p  # one per side, never re-tokenizing
+    assert p.count("Generate") == 2, p
     assert "CartesianProduct" not in p
     # pairs table is read from the localCheckpoint, not re-derived: no
     # parquet scan of documents may survive into the consuming plan
     assert "documents.parquet" not in p
-    # chrF (r13 codegen form): a side-flagged union feeds ONE position
-    # explode + ONE 3-row size explode with plain substr — exactly two
-    # Generates, no interpreted lambda array build, totals via the
-    # broadcast 3-row spine — never a cartesian, never a re-scan of
-    # documents
+    # the gram machine must NOT union the two sides (UnionExec loses the
+    # cand_id partitioning and forces a corpus-sized gram exchange): the
+    # checkpointed pair table is scanned exactly twice — once by the
+    # side-exploding ug, once by the lens totals (was 3x with the union)
+    assert p.count("Scan ExistingRDD") == 2, p
+    # chrF (r14 form): side explode + position explode + 3-row size
+    # explode = exactly three Generates, one scan; totals derive from the
+    # per-gram count table, so the 3x spine cross-join (the old
+    # BroadcastNestedLoopJoin) is gone; never a re-scan of documents
     p = plan_of(QUERIES["k_eval_chrf"](spark, sf_dir), "simple")
-    assert p.count("Generate") == 2, p
+    assert p.count("Generate") == 3, p
     assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
     assert "documents.parquet" not in p
+    # the clipped-match aggregation rides the spine's partitioning: its
+    # partial and final HashAggregates on (cand_id, gram) are adjacent
+    # with no Exchange between them
+    import re as _re
+
+    gram_aggs = [
+        m.start() for m in _re.finditer(r"HashAggregate\(keys=\[cand_id", p)
+    ]
+    assert len(gram_aggs) == 2, p
+    assert "Exchange" not in p[gram_aggs[0]:gram_aggs[1]], p
 
 
 def test_r13_optimization_plan_shapes(spark, sf_dir):
