@@ -104,11 +104,21 @@ def _exploded_shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     if hit is not None:
         return hit
     d = load_parallel(spark, sf_dir, "documents", "doc_id")
+    # r14: ONE lambda pass — hash each positional shingle to int64 first,
+    # dedup the longs (array_distinct on 8-byte values instead of ~40-byte
+    # strings, and no distinct string array is materialized then re-walked
+    # by a second transform). Distinct-then-hash and hash-then-distinct
+    # agree barring a 64-bit collision — the same caveat the docstring
+    # already carries for the downstream Jaccard.
     sh = (
         d.withColumn("words", F.split("text", " "))
         .filter(F.size("words") >= 5)
         .withColumn(
-            "shingles", F.expr(f"transform({_SHINGLES}, s -> xxhash64(s))")
+            "shingles",
+            F.expr(
+                "array_distinct(transform(sequence(1, size(words) - 4),"
+                " i -> xxhash64(concat_ws(' ', slice(words, i, 5)))))"
+            ),
         )
         .select("doc_id", "shingles", F.size("shingles").alias("n"))
     )
