@@ -2703,7 +2703,8 @@ def _eval_pairs_sql(d: dict) -> str:
     """
 
 
-def _eval_overlap_prefix(d: dict, pairs_src: str) -> str:
+def _eval_overlap_prefix(d: dict, pairs_src: str,
+                         lens_src: str = "pairs") -> str:
     """CTE chain pairs -> per-pair clipped gram matches + exact totals.
 
     Uni- and bigrams ride ONE explode per side (bigrams contain a space,
@@ -2713,9 +2714,16 @@ def _eval_overlap_prefix(d: dict, pairs_src: str) -> str:
     aggregation — no per-side count tables and no re-keyed join (the
     ``k_eval_chrf`` r13 rewrite, here with word grams: the join design
     paid two count-table exchanges plus an SMJ; this pays one exchange).
-    `pairs` stays the only multi-referenced CTE (3 refs — the Spark
-    caller localCheckpoints it; DuckDB materializes CTEs). Totals come
-    from array sizes, not a gram re-scan."""
+    `pairs` stays the only multi-referenced CTE (DuckDB materializes
+    CTEs). Totals come from array sizes, not a gram re-scan.
+
+    ``lens_src`` (r14): the lens totals are a GLOBAL aggregate that does
+    not need the cand_id hash spread the gram machine wants, but Spark
+    cannot reuse the repartition exchange across the two references
+    (ExistingRDD defeats canonical equality), so routing each reference
+    through `pairs` paid the pair-row exchange TWICE. The Spark callers
+    pass the bare checkpoint view here so lens aggregates straight off
+    the pinned rows; DuckDB keeps the default (both read the one CTE)."""
     big_c = d["BIGRAMS"].format(a="ca")
     big_r = d["BIGRAMS"].format(a="ra")
     if d is _EVAL_SPARK:
@@ -2767,13 +2775,13 @@ def _eval_overlap_prefix(d: dict, pairs_src: str) -> str:
              sum({d['SIZE']}(ca)) AS c_tok, sum({d['SIZE']}(ra)) AS r_tok,
              sum(greatest({d['SIZE']}(ca) - 1, 0)) AS c_bi,
              sum(greatest({d['SIZE']}(ra) - 1, 0)) AS r_bi
-      FROM pairs
+      FROM {lens_src}
     )
     """
 
 
-def _body_bleu(d: dict, pairs_src: str) -> str:
-    return _eval_overlap_prefix(d, pairs_src) + """
+def _body_bleu(d: dict, pairs_src: str, lens_src: str = "pairs") -> str:
+    return _eval_overlap_prefix(d, pairs_src, lens_src) + """
     SELECT CAST(l.n_pairs AS BIGINT) AS n_pairs,
            CAST(l.c_tok AS BIGINT) AS cand_tokens,
            CAST(l.r_tok AS BIGINT) AS ref_tokens,
@@ -2797,8 +2805,8 @@ def _body_bleu(d: dict, pairs_src: str) -> str:
     """
 
 
-def _body_rouge(d: dict, pairs_src: str) -> str:
-    return _eval_overlap_prefix(d, pairs_src) + """
+def _body_rouge(d: dict, pairs_src: str, lens_src: str = "pairs") -> str:
+    return _eval_overlap_prefix(d, pairs_src, lens_src) + """
     , spine AS (SELECT 1 AS n UNION ALL SELECT 2)
     SELECT CAST(s.n AS INT) AS ngram_n,
            CAST(CASE WHEN s.n = 1 THEN mm.m1 ELSE mm.m2 END AS BIGINT)
@@ -2854,18 +2862,27 @@ def k_eval_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     view = f"dss_eval_pairs_{uuid.uuid4().hex[:12]}"
+    ck_view = f"{view}_ck"
     # r14: checkpoint the spine once (as before), then hash-spread the
     # CHECKPOINT by cand_id — the pair-row exchange is cheap (|pairs|
     # rows), and downstream the single-scan side-explode preserves that
     # partitioning so pg's corpus-sized (cand_id, gram) exchange
-    # disappears (see k_eval_chrf).
-    spark.sql(_eval_pairs_sql(_EVAL_SPARK)).localCheckpoint() \
-        .repartition(spark.sparkContext.defaultParallelism, F.col("cand_id")) \
-        .createOrReplaceTempView(view)
+    # disappears (see k_eval_chrf). The lens totals read the BARE
+    # checkpoint view: they are a global aggregate that gains nothing
+    # from the spread, and ExistingRDD defeats exchange reuse, so
+    # routing them through the spread view paid the pair exchange twice.
+    ck = spark.sql(_eval_pairs_sql(_EVAL_SPARK)).localCheckpoint()
+    ck.createOrReplaceTempView(ck_view)
+    ck.repartition(
+        spark.sparkContext.defaultParallelism, F.col("cand_id")
+    ).createOrReplaceTempView(view)
     try:
-        return spark.sql(_body_bleu(_EVAL_SPARK, f"SELECT * FROM {view}"))
+        return spark.sql(
+            _body_bleu(_EVAL_SPARK, f"SELECT * FROM {view}", ck_view)
+        )
     finally:
         spark.catalog.dropTempView(view)
+        spark.catalog.dropTempView(ck_view)
 
 
 @register(
@@ -2893,14 +2910,21 @@ def k_eval_rouge_n(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     view = f"dss_eval_pairs_{uuid.uuid4().hex[:12]}"
-    # r14: checkpoint, then hash-spread by cand_id — see k_eval_bleu.
-    spark.sql(_eval_pairs_sql(_EVAL_SPARK)).localCheckpoint() \
-        .repartition(spark.sparkContext.defaultParallelism, F.col("cand_id")) \
-        .createOrReplaceTempView(view)
+    ck_view = f"{view}_ck"
+    # r14: checkpoint, hash-spread by cand_id for the gram machine, bare
+    # checkpoint for the lens totals — see k_eval_bleu.
+    ck = spark.sql(_eval_pairs_sql(_EVAL_SPARK)).localCheckpoint()
+    ck.createOrReplaceTempView(ck_view)
+    ck.repartition(
+        spark.sparkContext.defaultParallelism, F.col("cand_id")
+    ).createOrReplaceTempView(view)
     try:
-        return spark.sql(_body_rouge(_EVAL_SPARK, f"SELECT * FROM {view}"))
+        return spark.sql(
+            _body_rouge(_EVAL_SPARK, f"SELECT * FROM {view}", ck_view)
+        )
     finally:
         spark.catalog.dropTempView(view)
+        spark.catalog.dropTempView(ck_view)
 
 
 def _body_distinct_n(d: dict) -> str:
